@@ -1,0 +1,58 @@
+package graft.model
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.{BinaryType, StructType}
+
+/** Core data model of the engine, re-expressing the reference's
+  * abstractions (SURVEY.md §1.1) Spark-first.
+  *
+  * Reference shapes: `TableDefinition.java:10-21` (name + ordered column
+  * list + per-column LOB flag), `TableSelection.java:12-21` (rows of a
+  * table whose column is in a key set), `ForeignKeyRelationship.java:10-31`
+  * (FK edge), `Operation.java:9-11` (replayable unit of work).
+  */
+final case class TableDef(name: String, schema: StructType, pk: Option[String] = None) {
+  def columnNames: Seq[String] = schema.fieldNames.toSeq
+  /** The reference's only per-column type metadata: LOB-ness
+    * (`CopyUtils.java:944-951`). Binary columns play the BLOB role here. */
+  def isLob: Seq[Boolean] = schema.fields.toSeq.map(_.dataType == BinaryType)
+}
+
+/** FK edge. Mirrors `ForeignKeyRelationship.java:10-31`. */
+final case class FkEdge(
+    name: String,
+    parentTable: String,
+    parentColumn: String,
+    childTable: String,
+    childColumn: String)
+
+/** "The rows of `table` whose `column` ∈ keys" — the unit of subsetting
+  * (`TableSelection.java:12-21`). Keys are carried as a single-column
+  * DataFrame (not a driver-side List) so a selection scales to key sets
+  * that never fit on the driver.
+  */
+final case class Selection(table: String, column: String, keys: DataFrame) {
+  require(keys.columns.length == 1, s"Selection keys must be a single-column DataFrame, got ${keys.columns.mkString(",")}")
+  def keyCol: String = keys.columns(0)
+}
+
+/** Replayable unit of work — the dump stream is a sequence of these
+  * (`Operation.java:9-11`). Payload-bearing ops reference a parquet
+  * dataset relative to the dump directory rather than embedding rows
+  * (SURVEY.md §1.4: gzip-of-Java-serialization → manifest + parquet).
+  */
+sealed trait Operation {
+  def kind: String
+}
+object Operation {
+  /** Ordered DDL/SQL statements (`ExecuteSqlList.java:11-39`). */
+  final case class SqlList(statements: Seq[String]) extends Operation { val kind = "sql_list" }
+  /** Bulk append of a parquet payload into a table (`ExecuteTableLoad.java:10-24`). */
+  final case class TableLoad(table: String, payload: String) extends Operation { val kind = "table_load" }
+  /** Update-else-insert of a payload keyed by pk (`ExecuteTableUpdate.java:10-26`). */
+  final case class TableUpsert(table: String, pk: String, payload: String) extends Operation { val kind = "table_upsert" }
+  /** Batched delete of the pk values in the payload (`DeleteByPk.java:15-43`). */
+  final case class DeleteByPk(table: String, pk: String, payload: String) extends Operation { val kind = "delete_by_pk" }
+  /** Create, dropping first if present (`CreateOrReplaceTableOperation.java:15-46`). */
+  final case class CreateOrReplace(table: String, ddl: String) extends Operation { val kind = "create_or_replace" }
+}

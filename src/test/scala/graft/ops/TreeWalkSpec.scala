@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.catalog.SchemaCatalog
+
+class TreeWalkSpec extends SparkSpec {
+  val loader = (name: String) => load(name)
+  val paths = Seq("customer->orders.o_custkey", "orders->lineitem.l_orderkey")
+
+  test("copy-tree golden case: selections match direct subqueries (FIXTURES.md §B)") {
+    val sels = TreeWalk.selectAlongPath(
+      spark, loader, paths, SchemaCatalog.walkPks, "customer", 1L to 10L)
+    assert(sels.map(_.table) == Seq("customer", "orders", "lineitem"))
+
+    import org.apache.spark.sql.functions.col
+    val expOrders = load("orders").filter(col("o_custkey").between(1, 10)).count()
+    val gotOrders = sels(1).keys.count()
+    assert(gotOrders == expOrders)
+
+    val orderKeys = load("orders").filter(col("o_custkey").between(1, 10)).select("o_orderkey")
+    val expLi = load("lineitem")
+      .join(orderKeys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select("l_orderkey").distinct().count()
+    assert(sels(2).keys.count() == expLi)
+
+    // cardinality invariant on the orders selection (CopyUtils.java:44-46)
+    assert(TreeWalk.selectRows(loader, sels(1)).count() == gotOrders)
+  }
+
+  test("unreachable path errors ('Could not find path to')") {
+    val edges = PathDsl.parseAll(Seq("orders->lineitem.l_orderkey"), SchemaCatalog.walkPks)
+    val e = intercept[RuntimeException] {
+      TreeWalk.walkLinked(loader, edges, SchemaCatalog.walkPks, roots = Map.empty)
+    }
+    assert(e.getMessage.contains("Could not find path to"))
+  }
+
+  test("missing child PK errors ('no PK for')") {
+    val edges = PathDsl.parseAll(paths, SchemaCatalog.walkPks)
+    import org.apache.spark.sql.functions.col
+    val roots = Map("customer" -> load("customer").filter(col("c_custkey") <= 5).select("c_custkey"))
+    val e = intercept[RuntimeException] {
+      TreeWalk.walkLinked(loader, edges, SchemaCatalog.starPks, roots) // starPks: lineitem has no PK
+    }
+    assert(e.getMessage.contains("no PK for lineitem"))
+  }
+
+  test("antiRows is the complement of selectRows") {
+    val sels = TreeWalk.selectAlongPath(
+      spark, loader, Seq("customer->orders.o_custkey"), SchemaCatalog.walkPks, "customer", 1L to 10L)
+    val sel = sels.last
+    val n = TreeWalk.selectRows(loader, sel).count() + TreeWalk.antiRows(loader, sel).count()
+    assert(n == load("orders").count())
+  }
+}
