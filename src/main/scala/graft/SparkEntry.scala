@@ -5,7 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.catalog.SchemaCatalog
-import graft.ops.TreeWalk
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{TreeWalk, Writers}
+import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,7 +31,11 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ dmlQueries ++ textQueries ++ dedupQueries ++
+      similarityQueries ++ eventQueries ++ miscQueries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S1/P1: full scan with explicit projection (exportTable,
     // CopyUtils.java:682-710) — pruned read, no shuffle.
@@ -143,11 +149,156 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
     }),
+
+    // GROUPING SETS through the SQL surface
+    "q09_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+          |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // set ops: EXCEPT (F4 family) and UNION (§2.7)
+    "q11_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O").select("o_custkey").distinct()
+        .except(o.filter(col("o_orderstatus") === "F").select("o_custkey").distinct())
+        .orderBy("o_custkey")
+    }),
+    "q12_union" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.filter(col("c_nationkey").isin(1, 2)).select("c_custkey")
+        .union(c.filter(col("c_acctbal") > 9500.0).select("c_custkey"))
+        .distinct()
+        .orderBy("c_custkey")
+    }),
+
+    // pivot (conditional aggregation form in the oracle)
+    "q15_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority")
+    }),
+  )
+
+  /** K4/K5 as queries (upsert merge, delete-by-pk) — Writers semantics
+    * on fixture-derived base/delta frames. */
+  private def dmlQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_upsert_merge" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val base = c.filter(col("c_custkey") <= 100)
+        .select(col("c_custkey").as("pk"), col("c_name").as("name"), col("c_acctbal").as("bal"))
+      val delta = c.filter(col("c_custkey").between(51, 150))
+        .select(col("c_custkey").as("pk"),
+          concat(lit("u_"), col("c_name")).as("name"),
+          (col("c_acctbal") + 1000.0).as("bal"))
+      Writers.upsert(base, delta, "pk").orderBy("pk")
+    }),
+    "q14_delete_pk" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      Writers.deleteByPk(c, (1L to 25L).toDF("k"), "c_custkey")
+        .orderBy("c_custkey")
+    }),
+  )
+
+  private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(t(s, dir, "documents")).orderBy("doc_id")),
+    "q21_lang_guess" -> ((s, dir) =>
+      TextAnalysis.languageGuess(t(s, dir, "documents")).orderBy("doc_id")),
+    "q22_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents")).orderBy("doc_id")),
+    "q23_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents")).orderBy("doc_id")),
+  )
+
+  private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_exact_dedup" -> ((s, dir) =>
+      Dedup.exactByContent(t(s, dir, "documents"), "doc_id", Seq("text"))
+        .orderBy("content_hash")),
+    "q25_minhash_sig" -> ((s, dir) =>
+      Dedup.minhash(t(s, dir, "documents"), k = 6).orderBy("doc_id")),
+    "q26_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents")).orderBy("doc_id")),
+    "q27_jaccard_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      Dedup.jaccardPairs(docs)
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+    }),
+  )
+
+  private def similarityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.cosineTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+    // LSH-bucketed ANN — the 100 TB path; not SQL-expressible → rows-only
+    "q29_ann_lsh" -> ((s, dir) => {
+      Similarity.annTopK(t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+        k = 3, planes = 4, dim = 64)
+        .orderBy("query_id", "rank")
+    }),
+    "q30_neardup_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0)
+      Similarity.nearDupPairs(emb, threshold = -2.0)
+        .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+        .limit(20)
+    }),
+  )
+
+  private def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_events_tumbling" -> ((s, dir) =>
+      EventStreams.tumbling(t(s, dir, "events"))
+        .orderBy("win_start", "event_type")),
+    "q32_events_sessions" -> ((s, dir) =>
+      EventStreams.sessions(t(s, dir, "events"))
+        .orderBy("user_id", "session_start")),
+    "q33_events_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
+        .orderBy("event_type")),
+  )
+
+  /** Rows-only checked (no SQL-expressible oracle). */
+  private def miscQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.fromDocuments(t(s, dir, "documents")))
+        .orderBy("media_id")),
+    "q35_catalog_tables" -> ((s, dir) => {
+      val cat = new SchemaCatalog(s, dir)
+      val rows = cat.tableNames.map { n =>
+        (n, cat.schemaOf(n).fields.length, cat.primaryKeys.get(n).orNull)
+      }
+      import s.implicits._
+      rows.toDF("table_name", "n_columns", "pk").orderBy("table_name")
+    }),
   )
 
   /** DuckDB-equivalent SQL per query (same column names, same ordering,
-    * same DECIMAL(18,4) money arithmetic). */
-  def oracleSql: Map[String, String] = Map(
+    * same DECIMAL(18,4) money arithmetic). Queries absent here
+    * (q29/q34/q35) get the driver's weaker rows-only check. */
+  def oracleSql: Map[String, String] = coreOracleSql ++ extOracleSql
+
+  private def coreOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -227,5 +378,214 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
+
+    "q09_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q11_except" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q12_union" ->
+      """SELECT c_custkey FROM customer WHERE c_nationkey IN (1, 2)
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 9500.0
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q13_upsert_merge" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS pk, c_name AS name, c_acctbal AS bal
+        |  FROM customer WHERE c_custkey <= 100),
+        |delta AS (
+        |  SELECT c_custkey AS pk, 'u_' || c_name AS name, c_acctbal + 1000.0 AS bal
+        |  FROM customer WHERE c_custkey BETWEEN 51 AND 150)
+        |SELECT pk, name, bal FROM delta
+        |UNION ALL
+        |SELECT pk, name, bal FROM base WHERE pk NOT IN (SELECT pk FROM delta)
+        |ORDER BY pk""".stripMargin,
+
+    "q14_delete_pk" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+        |WHERE c_custkey NOT BETWEEN 1 AND 25
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q15_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
+
+  // shared oracle-SQL fragments for the token-based queries
+  private val tokCte =
+    """toks AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok <> '')""".stripMargin
+  private val shingleCte =
+    """sh AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(tl) - 2),
+      |    i -> array_to_string(tl[i:i+2], ' '))) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tl
+      |        FROM documents))""".stripMargin
+
+  private def extOracleSql: Map[String, String] = Map(
+    "q20_token_stats" ->
+      s"""WITH $tokCte
+         |SELECT d.doc_id,
+         |  length(d.text) AS n_chars,
+         |  count(*) AS n_tokens,
+         |  count(DISTINCT tok) AS n_distinct,
+         |  CAST(SUM(length(tok)) AS DOUBLE) / count(*) AS avg_token_len,
+         |  CAST(count(DISTINCT tok) AS DOUBLE) / count(*) AS type_token_ratio
+         |FROM documents d JOIN toks USING (doc_id)
+         |GROUP BY d.doc_id, d.text
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q21_lang_guess" -> langGuessSql,
+    "q22_quality_score" ->
+      s"""WITH $tokCte,
+         |stats AS (
+         |  SELECT doc_id,
+         |    count(*) AS n_tokens,
+         |    CAST(count(DISTINCT tok) AS DOUBLE) / count(*) AS ttr,
+         |    CAST(SUM(length(tok)) AS DOUBLE) / count(*) AS avg_len
+         |  FROM toks GROUP BY doc_id)
+         |SELECT doc_id,
+         |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |    + ttr * 0.3
+         |    + least(avg_len / 8.0, 1.0) * 0.3 AS quality
+         |FROM stats ORDER BY doc_id""".stripMargin,
+
+    "q23_fingerprint" ->
+      s"""WITH $tokCte
+         |SELECT doc_id, md5(string_agg(DISTINCT tok, ' ' ORDER BY tok)) AS fingerprint
+         |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q24_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "q25_minhash_sig" ->
+      s"""WITH $shingleCte
+         |SELECT doc_id,
+         |  ${(0 until 6).map(i => s"min(md5(sh || '#$i')) AS mh$i").mkString(",\n  ")}
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q26_simhash" -> simhashSql,
+
+    "q27_jaccard_topk" ->
+      """WITH tl AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tl
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(tl) - 2),
+        |      i -> array_to_string(tl[i:i+2], ' '))) AS sh
+        |    FROM tl)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+        |  CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    "q28_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id, list_dot_product(qv, cv) AS sim
+        |      FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+        |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    "q30_neardup_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id % 4 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_dot_product(a.v, b.v) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |ORDER BY sim DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    "q31_events_tumbling" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q32_events_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, value FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |i AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM i GROUP BY user_id, island
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q33_events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+        |    / count(json_extract_string(props, '$.k')) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+
+  /** Language-guess oracle: same stopword lists, votes, tie-break. */
+  private def langGuessSql: String = {
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+    def list(l: String) = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(", ")
+    val votes = langs.map(l => s"count(*) FILTER (WHERE tok IN (${list(l)})) AS votes_$l")
+      .mkString(",\n    ")
+    val best = s"greatest(${langs.map(l => s"votes_$l").mkString(", ")})"
+    val cases = langs.map(l => s"WHEN votes_$l = $best THEN '$l'").mkString("\n    ")
+    s"""WITH $tokCte,
+       |v AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM toks GROUP BY doc_id)
+       |SELECT doc_id, ${langs.map(l => s"votes_$l").mkString(", ")},
+       |  CASE WHEN $best = 0 THEN 'und'
+       |    $cases
+       |    ELSE 'und' END AS lang_guess
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  /** SimHash oracle: identical 16-bit nibble-hash construction. */
+  private def simhashSql: String = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1)"
+    val hv = s"${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}"
+    val sums = (0 until 16).map { k =>
+      s"SUM(CASE WHEN CAST(FLOOR(hv / ${math.pow(2, k).toLong}.0) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s$k"
+    }.mkString(",\n    ")
+    val bits = (0 until 16).map { k =>
+      s"CASE WHEN s$k >= 0 THEN ${math.pow(2, k).toLong} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH $tokCte,
+       |h AS (SELECT doc_id, $hv AS hv FROM toks),
+       |b AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM b ORDER BY doc_id""".stripMargin
+  }
 }

@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`ArrayType(FloatType)`) — SURVEY.md §2.11.
+  *
+  * - `cosineTopK` is the exact baseline: broadcast the (small) query
+  *   set, compute the dot product per (query, candidate) with a
+  *   sequential double fold (deterministic, bit-identical to a scalar
+  *   loop), rank per query. Cost O(|Q|·N) — fine when |Q| is small,
+  *   the 100 TB scan is embarrassingly parallel.
+  * - `signBuckets`/`annTopK` is the scale path: random-hyperplane LSH
+  *   with a hash-seeded (RNG-free, reproducible) plane family; only
+  *   same-bucket candidates are scored, turning O(|Q|·N) into
+  *   O(|Q|·N/2^planes) per probe.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array columns in double
+    * precision. Evaluation order is the array order on both sides, so
+    * results are deterministic and engine-portable. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; equals `dot` when embeddings are pre-normalized. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k neighbors for each query vector. `queries` and
+    * `candidates` both carry (idCol, vecCol); output
+    * (query_id, neighbor_id, sim, rank). Ties broken by neighbor id —
+    * fully deterministic. */
+  def cosineTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 normalized: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val simCol = if (normalized) dot(col("q_vec"), col("c_vec"))
+                 else cosine(col("q_vec"), col("c_vec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), simCol.as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component: plane `p`,
+    * dimension `d` → a value in [-7.5, 7.5] derived from md5 — no RNG,
+    * identical across runs/executors. */
+  private def planeComponent(p: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane:$p:$d".getBytes("UTF-8"))
+    ((hex(0) & 0xff) % 16) - 7.5
+  }
+
+  /** Sign-pattern LSH bucket id for each vector: bit `p` = sign of
+    * ⟨v, plane_p⟩. 2^planes buckets; cosine-similar vectors collide
+    * with high probability. */
+  def signBuckets(df: DataFrame, planes: Int, dim: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planeLits = (0 until planes).map { p =>
+      array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
+    }
+    val bucket = (0 until planes).map { p =>
+      when(dot(col(vecCol), planeLits(p)) >= 0, math.pow(2, p).toLong).otherwise(0L)
+    }.reduce(_ + _)
+    df.withColumn("bucket", bucket)
+  }
+
+  /** ANN top-k: score only same-bucket candidates. Recall < 1 by
+    * construction (LSH); increase `planes` for selectivity, or probe
+    * multiple buckets for recall. */
+  def annTopK(df: DataFrame, queryIds: Seq[Long], k: Int, planes: Int, dim: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = signBuckets(df, planes, dim, idCol, vecCol)
+    val q = bucketed.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("bucket"))
+    val c = bucketed.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("q_vec"), col("c_vec")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Brute-force near-duplicate pairs by cosine ≥ threshold (exact,
+    * quadratic — the correctness baseline for the LSH path). */
+  def nearDupPairs(df: DataFrame, threshold: Double,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), dot(col("vec_a"), col("vec_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (SURVEY.md §2.11): token statistics, quality scoring, language
+  * guessing, document fingerprinting.
+  *
+  * All of these are per-row narrow transformations built from codegen'd
+  * array/string functions — no shuffle, no UDFs — so they scale linearly
+  * with input splits: on a 100 TB corpus each executor processes its
+  * parquet splits independently.
+  */
+object TextAnalysis {
+
+  /** Non-empty whitespace tokens of a text column. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  /** Tokens matched by a BPE-ish word/number/punctuation regex — a
+    * better proxy for subword tokenizers than whitespace splitting. */
+  def regexTokens(text: Column): Column =
+    filter(split(text, """(?<=\W)|(?=\W)"""), t => t.rlike("""\S"""))
+
+  /** Per-document token statistics: counts, distinct counts, mean token
+    * length, type-token ratio. */
+  def tokenStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      (aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x).cast("double") /
+        size(toks)).as("avg_token_len"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("type_token_ratio"))
+  }
+
+  /** Tiny per-language stopword lists for the language-guess heuristic.
+    * Deterministic and fixed — the operator contract is the vote
+    * formula, not lexicon quality. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我"))
+
+  /** Language-ID heuristic: per-language stopword vote (with
+    * multiplicity), highest vote wins, ties broken lexicographically;
+    * no votes → "und" (undetermined). */
+  def languageGuess(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val voted = docs.select(
+      col(idCol) +: stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+        size(filter(toks, t => t.isInCollection(words))).cast("long").as(s"votes_$lang")
+      }: _*)
+    val langs = stopwords.keys.toSeq.sorted
+    val best = langs.map(l => col(s"votes_$l")).reduce((a, b) => greatest(a, b))
+    val guess = langs.foldRight(lit("und")) { (l, alt) =>
+      when(col(s"votes_$l") === best && best > 0, lit(l)).otherwise(alt)
+    }
+    voted.withColumn("lang_guess", guess)
+  }
+
+  /** Quality score in [0,1]: saturating length credit, type-token
+    * ratio, and a penalty for very short tokens (boilerplate/noise
+    * proxies — length/stopword/punct ratio family). */
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val s = tokenStats(docs, idCol, textCol)
+    // no rounding: the arithmetic is already deterministic, and round()
+    // tie-breaking differs across engines (half-up vs half-even)
+    s.select(
+      col(idCol),
+      (least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4
+        + col("type_token_ratio") * 0.3
+        + least(col("avg_token_len") / 8.0, lit(1.0)) * 0.3).as("quality"))
+  }
+
+  /** Content fingerprint: md5 over the sorted distinct token set —
+    * stable under token reordering/duplication, the hash form of the
+    * reference's DDL-normalization idea (SURVEY.md §2.8 X2/X3). */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      md5(concat_ws(" ", array_sort(array_distinct(tokens(col(textCol)))))).as("fingerprint"))
+}

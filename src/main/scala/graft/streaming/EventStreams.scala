@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.Row
+
+/** Streaming analytics over the `events` table (SURVEY.md §2.11):
+  * tumbling/sliding windows, session windows, and a Structured
+  * Streaming pipeline with watermarks. The same transformations run in
+  * batch (fixture tests, DuckDB oracle) and streaming (readStream)
+  * mode — Spark's unified Dataset semantics.
+  *
+  * The fixture parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
+  * reader rejects; sessions set
+  * `spark.sql.legacy.parquet.nanosAsLong=true` and [[withEventTime]]
+  * converts to a microsecond timestamp (truncation matches the
+  * oracle's `date_trunc('microseconds', ts)`).
+  */
+object EventStreams {
+
+  /** Normalize the raw events frame: nanos-long `ts` → timestamp. */
+  def withEventTime(events: DataFrame): DataFrame =
+    if (events.schema("ts").dataType == LongType)
+      // integer division: ns epoch values exceed 2^53, double arithmetic
+      // would lose microseconds
+      events.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else events
+
+  def load(spark: SparkSession, dir: String): DataFrame =
+    withEventTime(spark.read.parquet(s"$dir/events.parquet"))
+
+  /** Tumbling-window counts/sums per event type. */
+  def tumbling(events: DataFrame, width: String = "10 minutes"): DataFrame =
+    events.groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding-window event counts. */
+  def sliding(events: DataFrame, width: String = "10 minutes", slide: String = "5 minutes"): DataFrame =
+    events.groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n_events"))
+
+  /** Session windows per user: a session closes after `gap` of
+    * inactivity. Start = min ts; batch- and stream-compatible. */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Structured Streaming form of [[tumbling]] with a watermark: late
+    * events beyond `lateness` are dropped, state is bounded — the
+    * property that matters on an unbounded 100 TB/day stream. */
+  def streamingTumbling(spark: SparkSession, dir: String,
+                        width: String = "10 minutes",
+                        lateness: String = "10 minutes"): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // FileStreamSource wants a directory; glob-filter to the events file
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    withEventTime(stream)
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n_events"))
+  }
+
+  /** Drive a streaming frame to completion against the in-memory sink
+    * (test harness: batch parquet replayed as a stream). */
+  def runToMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,162 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenStats computes counts and ratios") {
+    val df = Seq((1L, "a bb ccc a")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenStats(df).collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 4)
+    assert(r.getAs[Long]("n_distinct") == 3)
+    assert(r.getAs[Double]("avg_token_len") == 7.0 / 4)
+    assert(r.getAs[Double]("type_token_ratio") == 0.75)
+  }
+
+  test("languageGuess votes stopwords, ties break deterministically, no votes → und") {
+    val df = Seq(
+      (1L, "the cat and the dog"),
+      (2L, "el perro y la casa de los gatos"),
+      (3L, "xyzzy qwerty")).toDF("doc_id", "text")
+    val r = TextAnalysis.languageGuess(df).orderBy("doc_id")
+      .select("lang_guess").as[String].collect()
+    assert(r.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("fingerprint is stable under token reorder and duplication") {
+    val df = Seq((1L, "b a c"), (2L, "a b c c a")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(df).select("fingerprint").as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("qualityScore lands in [0,1]") {
+    val q = TextAnalysis.qualityScore(load("documents")).select("quality").as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: sliding 3-grams; short docs yield empty (not sequence(1,0) garbage)") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect()
+    assert(r(0)._2 == Seq("a b c", "b c d"))
+    assert(r(1)._2 == Seq.empty)
+  }
+
+  test("exactByContent groups identical content") {
+    val df = Seq((1L, "same text here"), (2L, "same text here"), (3L, "different"))
+      .toDF("doc_id", "text")
+    val r = Dedup.exactByContent(df, "doc_id", Seq("text"))
+      .orderBy("keep_id").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("keep_id") == 1L && r(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash: identical docs have identical signatures; near-dups collide in some band") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq((1L, base), (2L, base), (3L, base + " extra tail"), (4L, "totally unrelated words appear here instead now"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhash(df, k = 6)
+    val rows = sigs.orderBy("doc_id").collect()
+    assert((1 to 6).forall(i => rows(0).getString(i) == rows(1).getString(i)))
+    val pairs = Dedup.candidatePairs(Dedup.lshBands(sigs, bands = 3, rowsPerBand = 2))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("jaccardPairs: identical docs score 1.0") {
+    val df = Seq((1L, "w x y z w x"), (2L, "w x y z w x"), (3L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val r = Dedup.jaccardPairs(df).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash: near-identical docs are close in hamming distance, unrelated far") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val sh = Dedup.simhash(df)
+    val m = sh.collect().map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    val near = java.lang.Long.bitCount(m(1L) ^ m(2L))
+    val far = java.lang.Long.bitCount(m(1L) ^ m(3L))
+    assert(near < far)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot/cosine on known vectors") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.6f, 0.8f))).toDF("a", "b")
+    val r = df.select(Similarity.dot(col("a"), col("b")).as("d"),
+      Similarity.cosine(col("a"), col("b")).as("c")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 0.6) < 1e-7)
+    assert(math.abs(r.getDouble(1) - 0.6) < 1e-7)
+  }
+
+  test("cosineTopK: nearest neighbor of a vector's duplicate is that duplicate") {
+    val emb = load("embeddings")
+    val dup = emb.filter(col("vec_id") === 0).withColumn("vec_id", lit(9999L))
+    val all = emb.union(dup)
+    val top = Similarity.cosineTopK(all.filter(col("vec_id") === 9999L), all, k = 1)
+      .collect()(0)
+    assert(top.getAs[Long]("neighbor_id") == 0L)
+    assert(math.abs(top.getAs[Double]("sim") - 1.0) < 1e-6)
+  }
+
+  test("annTopK returns same-bucket neighbors ranked like the exact ranking") {
+    val emb = load("embeddings")
+    val ann = Similarity.annTopK(emb, Seq(0L), k = 3, planes = 3, dim = 64)
+      .select("neighbor_id", "sim").as[(Long, Double)].collect()
+    assert(ann.nonEmpty && ann.length <= 3)
+    // every ANN hit must appear in the exact scoring with the same sim
+    val exact = Similarity.cosineTopK(emb.filter(col("vec_id") === 0), emb, k = 500)
+      .select("neighbor_id", "sim").as[(Long, Double)].collect().toMap
+    ann.foreach { case (id, sim) => assert(exact(id) == sim) }
+  }
+
+  test("signBuckets is deterministic across invocations") {
+    val emb = load("embeddings").limit(50)
+    val b1 = Similarity.signBuckets(emb, 4, 64).select("vec_id", "bucket").collect().toSeq
+    val b2 = Similarity.signBuckets(emb, 4, 64).select("vec_id", "bucket").collect().toSeq
+    assert(b1 == b2)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("media schema carries binary payload + typed metadata") {
+    val media = Multimodal.fromDocuments(load("documents"))
+    assert(media.schema("payload").dataType.typeName == "binary")
+    assert(media.schema("meta").dataType.typeName == "struct")
+    assert(media.count() == load("documents").count())
+  }
+
+  test("stubbed feature extraction: 16-bin normalized histogram per row") {
+    val media = Multimodal.fromDocuments(load("documents").limit(20))
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 20)
+    feats.foreach { r =>
+      val f = r.getAs[scala.collection.Seq[Double]]("features")
+      assert(f.length == 16)
+      assert(math.abs(f.sum - 1.0) < 1e-9) // normalized
+    }
+  }
+
+  test("stubbed frame sampling strides the payload") {
+    val media = Multimodal.fromDocuments(load("documents").limit(5))
+    val s = Multimodal.frameSample(media, stride = 10).collect()
+    s.foreach { r =>
+      val n = r.getAs[Array[Byte]]("payload").length
+      assert(r.getAs[Long]("n_sampled") == (n + 9) / 10)
+    }
+  }
+}

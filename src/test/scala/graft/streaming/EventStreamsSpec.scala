@@ -1,0 +1,50 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("events fixture loads with microsecond timestamps (nanos handled)") {
+    val ev = load("events")
+    assert(ev.schema("ts").dataType.typeName == "timestamp")
+    assert(ev.count() > 0)
+  }
+
+  test("tumbling windows partition all events exactly once") {
+    val ev = load("events")
+    val w = EventStreams.tumbling(ev)
+    assert(w.agg(sum("n_events")).as[Long].head() == ev.count())
+  }
+
+  test("session windows close after the gap") {
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val ev = Seq(
+      (1L, ts(0), 1.0), (1L, ts(10), 1.0), (1L, ts(20), 1.0), // session 1
+      (1L, ts(60), 1.0), // session 2 (40 min gap)
+      (2L, ts(0), 1.0)) // other user
+      .toDF("user_id", "ts", "value")
+    val s = EventStreams.sessions(ev, "30 minutes").orderBy("user_id", "session_start").collect()
+    assert(s.length == 3)
+    assert(s(0).getAs[Long]("n_events") == 3)
+    assert(s(1).getAs[Long]("n_events") == 1)
+    assert(s(2).getAs[Long]("n_events") == 1)
+  }
+
+  test("streaming tumbling (AvailableNow + memory sink) matches batch result") {
+    val batch = EventStreams.tumbling(load("events"))
+      .select("win_start", "event_type", "n_events")
+    val streamed = EventStreams.runToMemorySink(
+      EventStreams.streamingTumbling(spark, sf), "stream_tumbling")
+    // append mode emits only watermark-closed windows: everything emitted
+    // must match batch, and anything withheld must be a still-open window
+    // (win_start past maxTs - width - lateness)
+    assert(streamed.exceptAll(batch).isEmpty)
+    val maxTs = load("events").agg(max("ts")).head().getTimestamp(0).getTime
+    val missing = batch.exceptAll(streamed).collect()
+    assert(missing.forall(_.getTimestamp(0).getTime >= maxTs - 20 * 60 * 1000))
+  }
+}
