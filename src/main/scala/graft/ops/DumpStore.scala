@@ -79,6 +79,23 @@ object DumpStore {
     ops
   }
 
+  /** Delete-tree export (`deleteSelections`, `CopyUtils.java:23-31`):
+    * one DeleteByPk op per selection, emitted child-first (reverse walk
+    * order) so replay never deletes a parent row still referenced by
+    * children. */
+  def exportDeleteTree(
+      spark: SparkSession,
+      selections: Seq[Selection],
+      dumpDir: String): Seq[Operation] = {
+    val ops = selections.reverse.zipWithIndex.map { case (sel, i) =>
+      val payload = s"payloads/del_${sel.table}_$i"
+      sel.keys.toDF(sel.column).write.mode(SaveMode.Overwrite).parquet(s"$dumpDir/$payload")
+      DeleteByPk(sel.table, sel.column, payload)
+    }
+    writeManifest(spark, dumpDir, ops)
+    ops
+  }
+
   // ---- manifest serialization (driver-side; metadata-sized) ----
 
   private def esc(s: String): String =
