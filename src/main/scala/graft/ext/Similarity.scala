@@ -19,10 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array columns in double
-    * precision. Evaluation order is the array order on both sides, so
-    * results are deterministic and engine-portable. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two array columns in double precision — the native
+    * codegen'd expression (graft.functions.DotProduct). Sequential
+    * left-fold evaluation order: deterministic and engine-portable. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
+
+  /** The composable higher-order-function form (interpreted; kept as
+    * the reference implementation [[dot]] is tested against). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 

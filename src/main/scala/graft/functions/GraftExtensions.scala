@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions registering graft's native expressions as SQL
+  * functions (`SELECT dot_product(a, b) ...`). Install with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      GraftExtensions.builder))
+  }
+}
+
+object GraftExtensions {
+  private val builder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "dot_product takes exactly 2 arguments")
+    DotProduct(children(0), children(1))
+  }
+
+  /** Register into an already-running session (extensions via
+    * `withExtensions`/`spark.sql.extensions` only apply to new ones). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("dot_product", builder, "built-in")
+}

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ext.Similarity
+
+class DotProductSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native dot_product is bit-identical to the interpreted fold on real embeddings") {
+    val emb = load("embeddings")
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va")).limit(50)
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")).limit(50)
+    val pairs = a.crossJoin(b)
+    val diff = pairs.select(
+      Similarity.dot(col("va"), col("vb")).as("fast"),
+      Similarity.dotFold(col("va"), col("vb")).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() == 0) // bit-identical, not approximately equal
+  }
+
+  test("null array yields null; mismatched lengths error") {
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f))),
+      (None, Some(Array(1.0f, 1.0f)))).toDF("a", "b")
+    val r = df.select(Similarity.dot(col("a"), col("b")).as("d")).collect()
+    assert(r(0).getDouble(0) == 11.0)
+    assert(r(1).isNullAt(0))
+    val bad = Seq((Array(1.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    intercept[Exception] {
+      bad.select(Similarity.dot(col("a"), col("b"))).collect()
+    }
+  }
+
+  test("double arrays and mixed float/double inputs work") {
+    val df = Seq((Array(1.0, 2.0), Array(3.0f, 4.0f))).toDF("a", "b")
+    val r = df.select(Similarity.dot(col("a"), col("b"))).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+  }
+
+  test("non-array input is rejected at analysis time") {
+    val df = Seq((1, Array(1.0f))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(Similarity.dot(col("a"), col("b"))).collect()
+    }
+  }
+
+  test("registered as a SQL function (GraftExtensions.register)") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").collect()(0)
+    assert(r.getDouble(0) == 11.0)
+  }
+}
