@@ -267,6 +267,16 @@ object SparkEntry {
     "q32_events_sessions" -> ((s, dir) =>
       EventStreams.sessions(t(s, dir, "events"))
         .orderBy("user_id", "session_start")),
+    "q36_events_sliding" -> ((s, dir) =>
+      EventStreams.sliding(t(s, dir, "events"))
+        .orderBy("win_start", "event_type")),
+    "q37_distinct_users" -> ((s, dir) =>
+      EventStreams.userCounts(t(s, dir, "events"))
+        .orderBy("event_type")),
+    // HLL sketch — engine-specific, rows-only check
+    "q38_approx_distinct" -> ((s, dir) =>
+      EventStreams.approxUserCounts(t(s, dir, "events"))
+        .orderBy("event_type")),
     "q33_events_json" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_type"),
@@ -528,6 +538,19 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q36_events_sliding" ->
+      """WITH b AS (
+        |  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS tb FROM events),
+        |w AS (
+        |  SELECT event_type, unnest([tb, tb - INTERVAL '5 minutes']) AS win_start FROM b)
+        |SELECT win_start, event_type, count(*) AS n_events
+        |FROM w GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    "q37_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q32_events_sessions" ->
       """WITH e AS (

@@ -39,11 +39,26 @@ object EventStreams {
       .select(col("w.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
-  /** Sliding-window event counts. */
+  /** Sliding-window event counts (each event lands in width/slide
+    * windows). */
   def sliding(events: DataFrame, width: String = "10 minutes", slide: String = "5 minutes"): DataFrame =
     events.groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("win_start"), col("event_type"), col("n_events"))
+
+  /** Exact distinct-user and event counts per type. */
+  def userCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  /** HLL-sketch distinct counts — the 100 TB form of [[userCounts]]
+    * (fixed-size state instead of a distinct shuffle); engine-specific
+    * sketch, so checked rows-only, with the exact form as its test. */
+  def approxUserCounts(events: DataFrame, rsd: Double = 0.01): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        count(lit(1)).as("n_events"))
 
   /** Session windows per user: a session closes after `gap` of
     * inactivity. Start = min ts; batch- and stream-compatible. */
