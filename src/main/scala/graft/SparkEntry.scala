@@ -252,6 +252,12 @@ object SparkEntry {
         k = 3, planes = 4, dim = 64)
         .orderBy("query_id", "rank")
     }),
+    // IVF ANN (KMeans coarse quantizer) — rows-only check
+    "q39_ann_ivf" -> ((s, dir) => {
+      Similarity.ivfTopK(t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+        k = 3, nLists = 8, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
     "q30_neardup_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0)
       Similarity.nearDupPairs(emb, threshold = -2.0)

@@ -96,6 +96,52 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer (fixed seed —
+    * reproducible) partitions vectors into `nLists` cells; queries are
+    * scored only against their `nProbe` nearest cells. The classic
+    * trade: `nProbe/nLists` of the corpus scanned per query, recall
+    * grows with `nProbe`. Cell assignment is a narrow map; per-query
+    * work is a broadcast join on cell id — at 100 TB the corpus stays
+    * partitioned by cell and only probed cells are read. */
+  def ivfTopK(df: DataFrame, queryIds: Seq[Long], k: Int,
+              nLists: Int, nProbe: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = df.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol)).as("__features"))
+    val model = new KMeans().setK(nLists).setSeed(42L)
+      .setFeaturesCol("__features").setPredictionCol("__cell")
+      .fit(vecs)
+    val assigned = model.transform(vecs).drop("__features")
+    // nProbe nearest cells per query vector, via centroid dot products
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toDF("__cell", "__centroid")
+    val q = assigned.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val qCells = q.crossJoin(broadcast(centDf))
+      .select(col("query_id"), col("q_vec"), col("__cell"),
+        dot(col("q_vec"), col("__centroid")).as("__cd"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("__cd").desc, col("__cell"))))
+      .filter(col("__r") <= nProbe)
+      .select("query_id", "q_vec", "__cell")
+    val scored = assigned
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("__cell"))
+      .join(broadcast(qCells), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("q_vec"), col("c_vec")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Brute-force near-duplicate pairs by cosine ≥ threshold (exact,
     * quadratic — the correctness baseline for the LSH path). */
   def nearDupPairs(df: DataFrame, threshold: Double,

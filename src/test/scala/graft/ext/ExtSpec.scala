@@ -123,6 +123,18 @@ class SimilaritySpec extends SparkSpec {
     ann.foreach { case (id, sim) => assert(exact(id) == sim) }
   }
 
+  test("ivfTopK hits are real neighbors with exact sims; self excluded") {
+    val emb = load("embeddings")
+    val ivf = Similarity.ivfTopK(emb, Seq(0L, 1L), k = 3, nLists = 4, nProbe = 2)
+      .select("query_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.forall { case (q, n, _) => q != n })
+    val exact = Similarity.cosineTopK(emb.filter(col("vec_id") <= 1), emb, k = 500)
+      .select("query_id", "neighbor_id", "sim").as[(Long, Long, Double)]
+      .collect().map { case (q, n, s) => (q, n) -> s }.toMap
+    ivf.foreach { case (q, n, s) => assert(exact((q, n)) == s) }
+  }
+
   test("signBuckets is deterministic across invocations") {
     val emb = load("embeddings").limit(50)
     val b1 = Similarity.signBuckets(emb, 4, 64).select("vec_id", "bucket").collect().toSeq
