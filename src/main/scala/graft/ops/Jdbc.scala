@@ -34,6 +34,20 @@ object Jdbc {
     spark.read.format("jdbc").option("url", url)
       .option("dbtable", quoted(table)).load()
 
+  /** Partitioned parallel read: `numPartitions` concurrent range-bounded
+    * cursors — the cluster form of a JDBC table scan (each executor
+    * pulls its own stride; the reference's single cursor is the
+    * numPartitions=1 case). */
+  def readPartitioned(spark: SparkSession, url: String, table: String,
+                      partitionColumn: String, lower: Long, upper: Long,
+                      numPartitions: Int): DataFrame =
+    spark.read.format("jdbc").option("url", url)
+      .option("dbtable", quoted(table))
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lower).option("upperBound", upper)
+      .option("numPartitions", numPartitions)
+      .load()
+
   /** Keyed read (S2): predicate is pushed to the database by Spark's
     * JDBC source — the engine-native form of the reference's batched
     * IN-list SQL. */

@@ -18,6 +18,9 @@ import org.apache.spark.sql.Row
   * converts to a microsecond timestamp (truncation matches the
   * oracle's `date_trunc('microseconds', ts)`).
   */
+/** Streaming state for [[EventStreams.runningUserTotals]]. */
+case class UserTotals(n: Long, sum: Double)
+
 object EventStreams {
 
   /** Normalize the raw events frame: nanos-long `ts` → timestamp. */
@@ -86,14 +89,55 @@ object EventStreams {
       .select(col("w.start").as("win_start"), col("event_type"), col("n_events"))
   }
 
+  /** Per-user running totals via explicit streaming state
+    * (`flatMapGroupsWithState`) — the custom-state hook for logic that
+    * windowed aggregation can't express. State is one small case class
+    * per user (bounded); emits an updated running row per input batch
+    * and times out idle users after `idleTimeout` of processing time. */
+  def runningUserTotals(spark: SparkSession, dir: String,
+                        idleTimeout: Option[String] = Some("1 hour")): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = withEventTime(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val typed = stream.select(col("user_id"), col("value")).as[(Long, Double)]
+    def update(user: Long, rows: Iterator[(Long, Double)],
+               state: GroupState[UserTotals]): Iterator[(Long, Long, Double)] = {
+      if (state.hasTimedOut) {
+        state.remove(); Iterator.empty
+      } else {
+        val prev = state.getOption.getOrElse(UserTotals(0L, 0.0))
+        val batch = rows.toSeq
+        val next = UserTotals(prev.n + batch.size, prev.sum + batch.map(_._2).sum)
+        state.update(next)
+        idleTimeout.foreach(state.setTimeoutDuration)
+        Iterator((user, next.n, next.sum))
+      }
+    }
+    // pending processing-time timers keep the query alive (and
+    // processAllAvailable never latches), so NoTimeout when not evicting
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append, timeoutConf)(update)
+      .toDF("user_id", "n_events", "sum_value")
+  }
+
   /** Drive a streaming frame to completion against the in-memory sink
     * (test harness: batch parquet replayed as a stream). */
   def runToMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): DataFrame = {
     val q = df.writeStream.outputMode(mode)
       .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    // drain everything currently available, then stop — awaitTermination
+    // would hang for queries that keep state timers alive (e.g.
+    // flatMapGroupsWithState with processing-time timeouts)
+    q.processAllAvailable()
+    q.stop()
     df.sparkSession.table(name)
   }
 }

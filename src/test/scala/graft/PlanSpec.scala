@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Physical-plan regression tests: the properties that make these
+  * queries scale (pushdown, pruning, join strategy, top-k operator)
+  * asserted so a refactor can't silently regress them.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def run(name: String): DataFrame = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.count() // force AQE final plan
+    df
+  }
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def shuffles(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collect { case e: ShuffleExchangeLike => e }.size
+
+  test("q01: filter pushed to parquet, only the 6 needed columns read") {
+    val df = run("q01_pricing_summary")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    val scanCols = """FileScan parquet \[([^\]]*)\]""".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse(fail(s"no FileScan in:\n$p"))
+    val names = scanCols.split(",").map(_.trim.takeWhile(_ != '#')).toSet
+    assert(names == Set("l_quantity", "l_extendedprice", "l_discount",
+      "l_returnflag", "l_linestatus", "l_shipdate"))
+  }
+
+  test("q02: IN-list pushed to the scan") {
+    val p = plan(run("q02_inlist_scan"))
+    assert(p.contains("PushedFilters: [In(l_orderkey"))
+  }
+
+  test("q03: copy-tree walk runs as broadcast left-semi joins") {
+    val p = plan(run("q03_copy_tree"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q06: top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(run("q06_topk"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q10: five-way join is all broadcast, single aggregation shuffle") {
+    val df = run("q10_join_revenue")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    // agg exchange + orderBy exchange only
+    assert(shuffles(df) <= 2, s"expected ≤2 shuffles, got ${shuffles(df)}:\n$p")
+  }
+
+  test("q20: text stats are a narrow projection — zero shuffles before ordering") {
+    val df = ext.TextAnalysis.tokenStats(load("documents"))
+    df.count()
+    assert(shuffles(df) == 0, plan(df))
+  }
+
+  test("q28: similarity scan uses the codegen'd dot_product, queries broadcast") {
+    val df = run("q28_cosine_topk")
+    val p = plan(df)
+    assert(p.contains("dot_product"))
+    assert(p.contains("Broadcast"))
+  }
+}

@@ -40,6 +40,16 @@ class JdbcSpec extends SparkSpec {
     assert(pushed.contains("PushedFilters") || pushed.contains("pk"))
   }
 
+  test("partitioned read splits the scan into parallel range cursors") {
+    val url = freshDb()
+    Jdbc.executeSqlList(url, Seq(Jdbc.ddlFor("tp", base.schema)))
+    Jdbc.append(base, url, "tp")
+    val got = Jdbc.readPartitioned(spark, url, "tp", "pk", 1L, 100L, 4)
+    assert(got.rdd.getNumPartitions == 4)
+    assert(got.count() == 100)
+    assert(got.exceptAll(base).isEmpty)
+  }
+
   test("upsert: overlap updated, new inserted, 0/1-row invariant holds (FIXTURES.md §C)") {
     val url = freshDb()
     Jdbc.executeSqlList(url, Seq(Jdbc.ddlFor("t3", base.schema)))

@@ -45,6 +45,24 @@ class TreeWalkSpec extends SparkSpec {
     assert(e.getMessage.contains("no PK for lineitem"))
   }
 
+  test("multi-parent walk accumulates key unions (part AND supplier into lineitem)") {
+    import org.apache.spark.sql.functions.col
+    val pks = SchemaCatalog.walkPks + ("lineitem" -> "l_orderkey")
+    val edges = PathDsl.parseAll(
+      Seq("part->lineitem.l_partkey", "supplier->lineitem.l_suppkey"), pks)
+    val roots = Map(
+      "part" -> load("part").filter(col("p_partkey") <= 5).select("p_partkey"),
+      "supplier" -> load("supplier").filter(col("s_suppkey") <= 2).select("s_suppkey"))
+    val sels = TreeWalk.walkLinked(loader, edges, pks, roots)
+    assert(sels.map(_.table) == Seq("lineitem", "lineitem"))
+    val byPart = load("lineitem").filter(col("l_partkey") <= 5)
+      .select("l_orderkey").distinct().count()
+    val bySupp = load("lineitem").filter(col("l_suppkey") <= 2)
+      .select("l_orderkey").distinct().count()
+    assert(sels(0).keys.count() == byPart)
+    assert(sels(1).keys.count() == bySupp)
+  }
+
   test("antiRows is the complement of selectRows") {
     val sels = TreeWalk.selectAlongPath(
       spark, loader, Seq("customer->orders.o_custkey"), SchemaCatalog.walkPks, "customer", 1L to 10L)

@@ -34,6 +34,23 @@ class EventStreamsSpec extends SparkSpec {
     assert(s(2).getAs[Long]("n_events") == 1)
   }
 
+  test("stateful running totals (flatMapGroupsWithState) match batch aggregation") {
+    val streamed = EventStreams.runToMemorySink(
+      EventStreams.runningUserTotals(spark, sf, idleTimeout = None), "stateful_totals")
+    // one microbatch → one emitted row per user, equal to the batch agg
+    val batch = load("events").groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum("value").as("sum_value"))
+    assert(streamed.count() == batch.count())
+    val s = streamed.orderBy("user_id").collect()
+    val b = batch.orderBy("user_id").collect()
+    s.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(0) == y.getLong(0))
+      assert(x.getLong(1) == y.getLong(1))
+      assert(math.abs(x.getDouble(2) - y.getDouble(2)) < 1e-6)
+    }
+  }
+
   test("streaming tumbling (AvailableNow + memory sink) matches batch result") {
     val batch = EventStreams.tumbling(load("events"))
       .select("win_start", "event_type", "n_events")
