@@ -24,6 +24,13 @@ object Jdbc {
   /** The reference's statement batch size (`CopyUtils.java:20`). */
   val batchSize = 500
 
+  /** F6: refuse destructive writes to a URL that looks like production
+    * unless explicitly allowed (the reference's prod-destination guard,
+    * `GradleUtils.groovy:42-51`). */
+  def guardProduction(url: String, allowProduction: Boolean = false): Unit =
+    if (!allowProduction && url.toLowerCase.contains("prod"))
+      sys.error(s"Destination '$url' looks like production — pass allowProduction=true to override")
+
   /** Quoted identifier — used consistently on BOTH the statement side
     * and Spark's `dbtable` option: an unquoted name would be
     * case-folded by the database into a *different* table than the

@@ -52,10 +52,14 @@ object TreeWalk {
         sys.error(s"There is no PK for ${edge.childTable}"))
       val keys = if (broadcastKeys) broadcast(parentIds) else parentIds
       val child = loader(edge.childTable)
+      // persist each level: selections are consumed at least twice
+      // (cardinality count + export), and without caching every reuse
+      // re-runs the whole upstream walk
       val childKeys = child
         .join(keys, child(edge.childColumn) === keys("__key"), "left_semi")
         .select(col(childPk).as("__key"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out += Selection(edge.childTable, childPk, childKeys.toDF(childPk))
       acc(edge.childTable) = acc.get(edge.childTable) match {
         case Some(prev) => prev.union(childKeys).distinct()

@@ -91,6 +91,14 @@ class JdbcSpec extends SparkSpec {
     assert(n2 == 0)
   }
 
+  test("production guard refuses prod-looking URLs unless overridden (F6)") {
+    val e = intercept[RuntimeException](
+      Jdbc.guardProduction("jdbc:derby://prod-db-1/app"))
+    assert(e.getMessage.contains("production"))
+    Jdbc.guardProduction("jdbc:derby://prod-db-1/app", allowProduction = true)
+    Jdbc.guardProduction("jdbc:derby:/tmp/dev/db")
+  }
+
   test("dump → JDBC replay: schema + data land in the live database (import path)") {
     val url = freshDb()
     val dump = Files.createTempDirectory("graft-dump").toString
