@@ -221,6 +221,18 @@ object SparkEntry {
       TextAnalysis.qualityScore(t(s, dir, "documents")).orderBy("doc_id")),
     "q23_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents")).orderBy("doc_id")),
+    "q40_scrub" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.scrub(col("text")).as("clean"))
+        .orderBy("doc_id")),
+    "q41_train_test_split" -> ((s, dir) =>
+      TextAnalysis.trainTestSplit(t(s, dir, "documents"), "doc_id")
+        .groupBy("split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("split")),
+    "q42_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionScore(t(s, dir, "documents")).orderBy("doc_id")),
+    "q43_length_histogram" -> ((s, dir) =>
+      TextAnalysis.lengthHistogram(t(s, dir, "documents")).orderBy("bucket")),
   )
 
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -485,6 +497,27 @@ object SparkEntry {
       s"""WITH $tokCte
          |SELECT doc_id, md5(string_agg(DISTINCT tok, ' ' ORDER BY tok)) AS fingerprint
          |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q40_scrub" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q41_train_test_split" ->
+      """SELECT CASE WHEN strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13
+        |  THEN 'train' ELSE 'test' END AS split, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q42_repetition" ->
+      s"""WITH $shingleCte,
+         |cnt AS (SELECT doc_id, sh, count(*) AS c FROM sh GROUP BY doc_id, sh)
+         |SELECT doc_id, CAST(max(c) AS DOUBLE) / SUM(c) AS repetition,
+         |  CAST(SUM(c) AS BIGINT) AS n_shingles
+         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q43_length_histogram" ->
+      """SELECT CAST(FLOOR(n_chars / 200.0) AS BIGINT) AS bucket, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q24_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies

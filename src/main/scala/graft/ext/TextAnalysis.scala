@@ -78,6 +78,40 @@ object TextAnalysis {
         + least(col("avg_token_len") / 8.0, lit(1.0)) * 0.3).as("quality"))
   }
 
+  /** Text normalization for training corpora: lowercase, strip
+    * non-alphanumerics, collapse whitespace. Narrow, codegen'd. */
+  def scrub(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Deterministic hash-based train/test assignment: first md5 nibble of
+    * the id string < `trainNibbles` (of 16) → "train". Stable across
+    * runs/engines — the property a 100 TB split must have (no RNG, no
+    * reshuffling on re-run). trainNibbles=13 ≈ 81% train. */
+  def trainTestSplit(df: DataFrame, idCol: String, trainNibbles: Int = 13): DataFrame = {
+    val firstNibble =
+      instr(lit("0123456789abcdef"), substring(md5(col(idCol).cast("string")), 1, 1)) - 1
+    df.withColumn("split",
+      when(firstNibble < trainNibbles, lit("train")).otherwise(lit("test")))
+  }
+
+  /** Document-length histogram: docs per `width`-char bucket. */
+  def lengthHistogram(docs: DataFrame, width: Int = 200, charsCol: String = "n_chars"): DataFrame =
+    docs.groupBy(floor(col(charsCol) / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Repetition score: frequency of the most common `n`-token shingle
+    * over the total shingle count — near 1.0 flags boilerplate/looping
+    * text (a standard pretraining quality filter). */
+  def repetitionScore(docs: DataFrame, shingleN: Int = 3,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val exploded = docs.select(col(idCol),
+      explode(Dedup.shingles(col(textCol), shingleN)).as("sh"))
+    exploded.groupBy(idCol, "sh").agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg((max(col("c")).cast("double") / sum(col("c"))).as("repetition"),
+        sum(col("c")).as("n_shingles"))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set —
     * stable under token reordering/duplication, the hash form of the
     * reference's DDL-normalization idea (SURVEY.md §2.8 X2/X3). */
