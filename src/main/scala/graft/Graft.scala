@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.catalog.SchemaCatalog
+import graft.model.{Operation, Selection, TableDef}
+import graft.model.Operation._
+import graft.ops.{DumpStore, Jdbc, TreeWalk}
+
+/** Polymorphic sink for Operations — the reference's `Target`
+  * (`Target.java:3-8`): `DumpTarget` serializes ops into a portable
+  * dump (≅ `OutputStreamTarget`), `JdbcTarget` executes them against a
+  * live database (≅ `ExecuteTarget`). Producers stage bulk payloads
+  * through [[writePayload]] so the same op stream works for both.
+  */
+trait Target extends AutoCloseable {
+  def writePayload(name: String, df: DataFrame): String
+  def apply(op: Operation): Unit
+  def close(): Unit
+}
+
+/** Dump-file target: payloads as parquet, ops accumulated into
+  * `manifest.jsonl` on close (single "commit", mirroring the
+  * reference's one-transaction-per-target, `ExecuteTarget.java:26`). */
+class DumpTarget(spark: SparkSession, dumpDir: String) extends Target {
+  private val ops = scala.collection.mutable.ArrayBuffer.empty[Operation]
+  def writePayload(name: String, df: DataFrame): String = {
+    val payload = s"payloads/$name"
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dumpDir/$payload")
+    payload
+  }
+  def apply(op: Operation): Unit = ops += op
+  def close(): Unit = DumpStore.writeManifest(spark, dumpDir, ops.toSeq)
+}
+
+/** Live-database target: ops execute immediately over JDBC; payloads
+  * stage in a scratch directory. */
+class JdbcTarget(spark: SparkSession, url: String,
+                 allowProduction: Boolean = false) extends Target {
+  Jdbc.guardProduction(url, allowProduction)
+  private val staging =
+    java.nio.file.Files.createTempDirectory("graft-staging").toString
+  def writePayload(name: String, df: DataFrame): String = {
+    val payload = s"payloads/$name"
+    df.write.mode(SaveMode.Overwrite).parquet(s"$staging/$payload")
+    payload
+  }
+  def apply(op: Operation): Unit = op match {
+    case CreateOrReplace(t, _) =>
+      val schema = spark.read.parquet(s"$staging/payloads/$t").schema
+      val ddl = Jdbc.ddlFor(t, schema)
+      try Jdbc.executeSqlList(url, Seq(ddl))
+      catch { case _: Exception =>
+        Jdbc.executeSqlList(url, Seq(s"""DROP TABLE "$t"""", ddl))
+      }
+    case TableLoad(t, payload) =>
+      Jdbc.append(spark.read.parquet(s"$staging/$payload"), url, t)
+    case TableUpsert(t, pk, payload) =>
+      Jdbc.upsert(spark.read.parquet(s"$staging/$payload"), url, t, pk)
+    case DeleteByPk(t, pk, payload) =>
+      Jdbc.deleteByPk(spark.read.parquet(s"$staging/$payload").select(pk), url, t, pk)
+    case SqlList(stmts) => Jdbc.executeSqlList(url, stmts)
+  }
+  def close(): Unit = ()
+}
+
+/** The user-facing API — one verb per closure of the reference's Groovy
+  * scripting DSL (`Main.java:106-211`): `copyTree`, `deleteTree`,
+  * `copy`, `update`, `executeSql`, with file/db targets from
+  * [[Graft.fileTarget]]/[[Graft.dbTarget]].
+  */
+class Graft(spark: SparkSession, dataDir: String,
+            pks: Map[String, String] = SchemaCatalog.walkPks) {
+
+  private val loader: String => DataFrame = Tables.load(spark, dataDir, _)
+
+  def fileTarget(dumpDir: String): DumpTarget = new DumpTarget(spark, dumpDir)
+  def dbTarget(url: String, allowProduction: Boolean = false): JdbcTarget =
+    new JdbcTarget(spark, url, allowProduction)
+
+  /** `copyTree(conn, target, paths, rootIds)` (`Main.java:142-155`):
+    * walk the FK graph from root ids, stream each selection's rows to
+    * the target; cardinality invariant enforced per selection
+    * (`CopyUtils.java:44-46`). */
+  def copyTree(target: Target, paths: Seq[String], rootTable: String,
+               rootIds: Seq[Long]): Seq[Selection] = {
+    val sels = TreeWalk.selectAlongPath(spark, loader, paths, pks, rootTable, rootIds)
+    sels.zipWithIndex.foreach { case (sel, i) =>
+      val rows = TreeWalk.selectRows(loader, sel)
+      val nKeys = sel.keys.count()
+      val payload = target.writePayload(s"${sel.table}_$i", rows)
+      // cardinality invariant: rows written must equal keys selected
+      val nRows = rows.count()
+      if (nRows != nKeys)
+        sys.error(s"Only $nRows of $nKeys rows copied for ${sel.table}")
+      target.apply(TableLoad(sel.table, payload))
+    }
+    sels
+  }
+
+  /** `deleteTree` (`Main.java:157-169`): same walk, DeleteByPk ops in
+    * child-first order. */
+  def deleteTree(target: Target, paths: Seq[String], rootTable: String,
+                 rootIds: Seq[Long]): Seq[Selection] = {
+    val sels = TreeWalk.selectAlongPath(spark, loader, paths, pks, rootTable, rootIds)
+    sels.reverse.zipWithIndex.foreach { case (sel, i) =>
+      val payload = target.writePayload(s"del_${sel.table}_$i",
+        sel.keys.toDF(sel.column))
+      target.apply(DeleteByPk(sel.table, sel.column, payload))
+    }
+    sels
+  }
+
+  /** `copy` / full-schema export: DDL then data per table, in
+    * FK-dependency order when edges are known (`exportAll`,
+    * `CopyUtils.java:966-979`). */
+  def copy(target: Target, tables: Seq[String],
+           order: Seq[String] = Nil): Unit = {
+    val ordered = if (order.nonEmpty) order.filter(tables.contains) else tables.sorted
+    ordered.foreach { t =>
+      val df = loader(t)
+      val payload = target.writePayload(t, df)
+      target.apply(CreateOrReplace(t, DumpStore.ddlFor(t, df.schema)))
+      target.apply(TableLoad(t, payload))
+    }
+  }
+
+  /** `update`: upsert a delta frame into a table by pk. */
+  def update(target: Target, table: String, delta: DataFrame, pk: String): Unit = {
+    val payload = target.writePayload(s"upsert_$table", delta)
+    target.apply(TableUpsert(table, pk, payload))
+  }
+
+  /** `executeSql`: raw statements through the target. */
+  def executeSql(target: Target, statements: Seq[String]): Unit =
+    target.apply(SqlList(statements))
+}

@@ -78,6 +78,8 @@ object Jdbc {
       case FloatType => ps.setFloat(i, v.asInstanceOf[Float])
       case StringType => ps.setString(i, v.toString)
       case TimestampType => ps.setTimestamp(i, v.asInstanceOf[java.sql.Timestamp])
+      case TimestampNTZType =>
+        ps.setTimestamp(i, java.sql.Timestamp.valueOf(v.asInstanceOf[java.time.LocalDateTime]))
       case DateType => ps.setDate(i, v.asInstanceOf[java.sql.Date])
       case BooleanType => ps.setBoolean(i, v.asInstanceOf[Boolean])
       case BinaryType => ps.setBytes(i, v.asInstanceOf[Array[Byte]])
@@ -198,7 +200,7 @@ object Jdbc {
       case DoubleType => "DOUBLE"
       case FloatType => "REAL"
       case StringType => "VARCHAR(4000)"
-      case TimestampType => "TIMESTAMP"
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
       case DateType => "DATE"
       case BooleanType => "BOOLEAN"
       case BinaryType => "BLOB"
