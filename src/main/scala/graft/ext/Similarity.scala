@@ -110,9 +110,15 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val vecs = df.select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol)).as("__features"))
+    // train the quantizer on a deterministic hash-sample: centroid
+    // quality needs only a representative subset, not the full corpus
+    // (at 100 TB, training on everything would dominate the query)
+    val sample = vecs.filter(pmod(hash(col(idCol)), lit(4)) === 0)
+    val trainSet = if (sample.isEmpty) vecs else sample
     val model = new KMeans().setK(nLists).setSeed(42L)
       .setFeaturesCol("__features").setPredictionCol("__cell")
-      .fit(vecs)
+      .setMaxIter(10)
+      .fit(trainSet)
     val assigned = model.transform(vecs).drop("__features")
     // nProbe nearest cells per query vector, via centroid dot products
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
