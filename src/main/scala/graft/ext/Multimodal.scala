@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -40,30 +40,26 @@ object Multimodal {
         (col("n_chars") % 480).cast("int").as("height"),
         lit(16000).as("sample_rate")).as("meta"))
 
-  private val featureSchema = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("n_bytes", LongType),
-    StructField("features", ArrayType(DoubleType))))
-
   /** STUB decode + feature extraction: a real pipeline would decode the
     * payload (JPEG/WAV/...) here; the stub computes a 16-bin byte
     * histogram, normalized — deterministic, so tests can assert on it.
-    * Runs per-partition over iterator batches (the mapInPandas shape):
-    * executors stream batches, nothing is collected to the driver. */
+    * Runs per-partition over iterator batches (the mapInPandas shape)
+    * as a typed Dataset transform — rows stay in Tungsten encoding,
+    * nothing is collected to the driver. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        val payload = r.getAs[Array[Byte]](1)
-        val hist = new Array[Double](16)
-        if (payload != null) payload.foreach(b => hist((b & 0xff) % 16) += 1.0)
-        val n = if (payload == null) 0L else payload.length.toLong
-        val norm = if (n > 0) hist.map(_ / n) else hist
-        Row(id, n, norm.toSeq)
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val hist = new Array[Double](16)
+          if (payload != null) payload.foreach(b => hist((b & 0xff) % 16) += 1.0)
+          val n = if (payload == null) 0L else payload.length.toLong
+          val norm = if (n > 0) hist.map(_ / n) else hist
+          (id, n, norm)
+        }
       }
-    }
-    spark.createDataFrame(rdd, featureSchema)
+      .toDF("media_id", "n_bytes", "features")
   }
 
   /** STUB frame sampling: a real pipeline would decode and select video
