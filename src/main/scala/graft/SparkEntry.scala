@@ -295,6 +295,9 @@ object SparkEntry {
     "q38_approx_distinct" -> ((s, dir) =>
       EventStreams.approxUserCounts(t(s, dir, "events"))
         .orderBy("event_type")),
+    "q44_interval_join" -> ((s, dir) =>
+      EventStreams.intervalJoin(t(s, dir, "events"), "click", "purchase")
+        .orderBy("user_id", "left_id", "right_id")),
     "q33_events_json" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_type"),
@@ -590,6 +593,16 @@ object SparkEntry {
     "q37_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q44_interval_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, date_trunc('microseconds', ts) AS ts
+        |  FROM events)
+        |SELECT a.user_id, a.event_id AS left_id, b.event_id AS right_id
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND a.event_type = 'click' AND b.event_type = 'purchase'
+        |  AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL '10 minutes'
+        |ORDER BY a.user_id, left_id, right_id""".stripMargin,
 
     "q32_events_sessions" ->
       """WITH e AS (

@@ -89,6 +89,46 @@ object EventStreams {
       .select(col("w.start").as("win_start"), col("event_type"), col("n_events"))
   }
 
+  /** Interval (range) join: for each `leftType` event, the `rightType`
+    * events of the same user within `[ts, ts + horizon)`. Equi-join on
+    * user plus a range predicate — Catalyst plans the equi part as a
+    * hash join and applies the range as a filter; at scale the shuffle
+    * keys on user_id. The streaming form is [[streamingIntervalJoin]]
+    * (watermarked stream-stream join, bounded state). */
+  def intervalJoin(events: DataFrame, leftType: String, rightType: String,
+                   horizon: String = "10 minutes"): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("event_id").as("left_id"), col("ts").as("left_ts"))
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("user_id"), col("event_id").as("right_id"), col("ts").as("right_ts"))
+    l.join(r, Seq("user_id"))
+      .filter(col("right_ts") >= col("left_ts") &&
+        col("right_ts") < col("left_ts") + expr(s"INTERVAL $horizon"))
+      .select("user_id", "left_id", "right_id")
+  }
+
+  /** Stream-stream interval join with watermarks: both sides bounded,
+    * state expires once the watermark passes the join horizon. */
+  def streamingIntervalJoin(spark: SparkSession, dir: String,
+                            leftType: String, rightType: String,
+                            horizon: String = "10 minutes",
+                            lateness: String = "10 minutes"): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def side(tpe: String, idAs: String, tsAs: String) = withEventTime(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      .filter(col("event_type") === tpe)
+      .select(col("user_id"), col("event_id").as(idAs), col("ts").as(tsAs))
+      .withWatermark(tsAs, lateness)
+    val l = side(leftType, "left_id", "left_ts")
+    val r = side(rightType, "right_id", "right_ts")
+    l.join(r,
+      l("user_id") === r("user_id") &&
+        col("right_ts") >= col("left_ts") &&
+        col("right_ts") < col("left_ts") + expr(s"INTERVAL $horizon"))
+      .select(l("user_id"), col("left_id"), col("right_id"))
+  }
+
   /** Per-user running totals via explicit streaming state
     * (`flatMapGroupsWithState`) — the custom-state hook for logic that
     * windowed aggregation can't express. State is one small case class

@@ -51,6 +51,17 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val batch = EventStreams.intervalJoin(load("events"), "click", "purchase")
+    val streamed = EventStreams.runToMemorySink(
+      EventStreams.streamingIntervalJoin(spark, sf, "click", "purchase"),
+      "stream_ij")
+    // inner stream-stream join emits matched pairs; with one microbatch
+    // covering all data, results equal the batch join
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty)
+  }
+
   test("streaming tumbling (AvailableNow + memory sink) matches batch result") {
     val batch = EventStreams.tumbling(load("events"))
       .select("win_start", "event_type", "n_events")
