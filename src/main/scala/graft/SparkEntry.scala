@@ -295,6 +295,9 @@ object SparkEntry {
     "q38_approx_distinct" -> ((s, dir) =>
       EventStreams.approxUserCounts(t(s, dir, "events"))
         .orderBy("event_type")),
+    "q45_asof_join" -> ((s, dir) =>
+      EventStreams.asofJoin(t(s, dir, "events"), "error", "signup")
+        .orderBy("user_id", "left_id")),
     "q44_interval_join" -> ((s, dir) =>
       EventStreams.intervalJoin(t(s, dir, "events"), "click", "purchase")
         .orderBy("user_id", "left_id", "right_id")),
@@ -593,6 +596,22 @@ object SparkEntry {
     "q37_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q45_asof_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, date_trunc('microseconds', ts) AS ts
+        |  FROM events WHERE event_type IN ('error', 'signup')),
+        |u AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS side
+        |  FROM e),
+        |m AS (
+        |  SELECT *, coalesce(last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, side, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS right_id
+        |  FROM u)
+        |SELECT user_id, event_id AS left_id, right_id FROM m WHERE side = 1
+        |ORDER BY user_id, left_id""".stripMargin,
 
     "q44_interval_join" ->
       """WITH e AS (

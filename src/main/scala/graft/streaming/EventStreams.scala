@@ -129,6 +129,29 @@ object EventStreams {
       .select(l("user_id"), col("left_id"), col("right_id"))
   }
 
+  /** As-of join: for each `leftType` event, the most recent `rightType`
+    * event of the same user at or before its timestamp (-1 when none).
+    *
+    * Composed, not a custom operator (SURVEY.md §7.3 preference (a)):
+    * both sides are unioned and the latest right id is carried forward
+    * with `last(..., ignoreNulls)` over a (user, time) window — one
+    * shuffle + one sort, no per-row range join blowup. At equal
+    * timestamps the right side sorts first (as-of-or-equal semantics);
+    * event_id breaks remaining ties deterministically. */
+  def asofJoin(events: DataFrame, leftType: String, rightType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events.filter(col("event_type").isin(leftType, rightType))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === rightType, lit(0)).otherwise(lit(1)).as("side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("right_id",
+        coalesce(last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w), lit(-1L)))
+      .filter(col("side") === 1)
+      .select(col("user_id"), col("event_id").as("left_id"), col("right_id"))
+  }
+
   /** Per-user running totals via explicit streaming state
     * (`flatMapGroupsWithState`) — the custom-state hook for logic that
     * windowed aggregation can't express. State is one small case class

@@ -51,6 +51,21 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin picks the latest right event at or before each left event") {
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val ev = Seq(
+      (1L, 100L, "signup", ts(0)),
+      (1L, 101L, "error", ts(5)), // → 100
+      (1L, 102L, "signup", ts(10)),
+      (1L, 103L, "error", ts(10)), // same minute: signup sorts first → 102
+      (2L, 200L, "error", ts(1))) // no signup → -1
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val r = EventStreams.asofJoin(ev, "error", "signup")
+      .orderBy("left_id").collect()
+    assert(r.map(x => (x.getLong(1), x.getLong(2))).toSeq ==
+      Seq((101L, 100L), (103L, 102L), (200L, -1L)))
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val batch = EventStreams.intervalJoin(load("events"), "click", "purchase")
     val streamed = EventStreams.runToMemorySink(
