@@ -28,7 +28,7 @@ object Scale {
     // deterministic salt (hash of the whole row, not rand()): reruns and
     // speculative retries place rows identically
     val salted = large.withColumn("__salt",
-      pmod(hash(large.columns.map(col): _*), lit(saltFactor)))
+      pmod(hash(large.columns.toIndexedSeq.map(col): _*), lit(saltFactor)))
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     val joined = salted.join(replicated,
