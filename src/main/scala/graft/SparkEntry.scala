@@ -264,6 +264,31 @@ object SparkEntry {
         k = 3, planes = 4, dim = 64)
         .orderBy("query_id", "rank")
     }),
+    // per-label embedding centroids, 2^24-grid quantized: floor onto the
+    // grid makes every element an exact integer sum — partition-order
+    // independent AND engine-portable (decimal casts of doubles round
+    // from different representations across engines; floor cannot tie).
+    // The unquantized typed-Aggregator form is graft.functions.VectorMean.
+    "q46_label_centroids" -> ((s, dir) => {
+      val q = 16777216.0 // 2^24: full float mantissa
+      val e = t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(floor(col("v").cast("double") * q).cast("long")).cast("double")
+          / count(lit(1)) / q).as("m"))
+      e.groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("centroid"))
+        .orderBy("label")
+    }),
+    // exact percentiles (linear interpolation)
+    "q47_percentiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(percentile(col("o_totalprice"), lit(0.5)).as("median"),
+          percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
     // IVF ANN (KMeans coarse quantizer) — rows-only check
     "q39_ann_ivf" -> ((s, dir) => {
       Similarity.ivfTopK(t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
@@ -570,6 +595,25 @@ object SparkEntry {
         |        ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
         |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5
         |ORDER BY query_id, rnk""".stripMargin,
+
+    "q46_label_centroids" ->
+      """WITH x AS (
+        |  SELECT label, i - 1 AS pos,
+        |    CAST(SUM(CAST(FLOOR(v * 16777216.0) AS BIGINT)) AS DOUBLE)
+        |      / COUNT(*) / 16777216.0 AS m
+        |  FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |          generate_subscripts(embedding, 1) AS i
+        |        FROM embeddings)
+        |  GROUP BY label, i)
+        |SELECT label, list(m ORDER BY pos) AS centroid
+        |FROM x GROUP BY label ORDER BY label""".stripMargin,
+
+    "q47_percentiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS median,
+        |  quantile_cont(o_totalprice, 0.9) AS p90,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q30_neardup_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -45,6 +45,25 @@ class DotProductSpec extends SparkSpec {
     }
   }
 
+  test("VectorMean aggregator computes per-label centroids (matches explicit mean)") {
+    import org.apache.spark.sql.{functions => F}
+    val emb = load("embeddings")
+    val vm = new VectorMean(64).toColumn
+    val got = emb.select(col("label"), col("embedding"))
+      .as[(Int, Array[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(vm.name("centroid"))
+      .collect().toMap
+    // reference: mean of position 0 for one label, computed directly
+    val label = got.keys.head
+    val exp = emb.filter(col("label") === label)
+      .select(F.expr("CAST(embedding[0] AS DOUBLE)").as[Double])
+      .collect()
+    assert(math.abs(got(label)(0) - exp.sum / exp.length) < 1e-9)
+    assert(got(label).length == 64)
+  }
+
   test("registered as a SQL function (GraftExtensions.register)") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").collect()(0)
