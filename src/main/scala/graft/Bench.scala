@@ -5,9 +5,16 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every SparkEntry query on
   * `$SPARK_GRAFT_SF_DIR` and prints one JSON line.
   *
-  * Each query runs twice and reports the faster run: the host shows
-  * double-digit hypervisor CPU steal, so single runs are dominated by
-  * noise; min-of-2 measures the engine, not the neighbor.
+  * Measurement hygiene: the host shows double-digit hypervisor CPU
+  * steal, so single runs are dominated by noise. Each query is timed
+  * once per pass, with three full *interleaved* passes over the whole
+  * suite (a steal burst then inflates different queries in different
+  * passes instead of every sample of one query), and the per-query
+  * minimum is reported.
+  *
+  * Failures are loud: the stack trace goes to stderr, the query is
+  * reported in an `errors` object, and the process exits non-zero —
+  * a broken query must never silently improve the total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,20 +31,40 @@ object Bench {
     // absorb session/codegen warm-up before any timed work
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    def timeOnce(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      try { fn(spark, sfDir).count() }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          e.printStackTrace()
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          return Double.NaN
+      }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val a = timeOnce(fn)
-      val b = if (a < 0) a else math.min(a, timeOnce(fn))
-      name -> b
+
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes = 3
+    val samples = (1 to passes).map { _ =>
+      names.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = names.map { case (name, _) =>
+      val xs = samples.map(_(name)).filterNot(_.isNaN)
+      name -> (if (xs.isEmpty) -1.0 else xs.min)
+    }
+
+    def jnum(v: Double): String = if (v.isNaN || v.isInfinite) "-1" else v.toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
+      .mkString("{", ",", "}")
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, m) => "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

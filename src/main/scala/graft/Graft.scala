@@ -54,11 +54,11 @@ class JdbcTarget(spark: SparkSession, url: String,
         Jdbc.executeSqlList(url, Seq(s"""DROP TABLE "$t"""", ddl))
       }
     case TableLoad(t, payload) =>
-      Jdbc.append(spark.read.parquet(s"$staging/$payload"), url, t)
+      Jdbc.append(spark.read.parquet(s"$staging/$payload"), url, t, allowProduction)
     case TableUpsert(t, pk, payload) =>
-      Jdbc.upsert(spark.read.parquet(s"$staging/$payload"), url, t, pk)
+      Jdbc.upsert(spark.read.parquet(s"$staging/$payload"), url, t, pk, allowProduction)
     case DeleteByPk(t, pk, payload) =>
-      Jdbc.deleteByPk(spark.read.parquet(s"$staging/$payload").select(pk), url, t, pk)
+      Jdbc.deleteByPk(spark.read.parquet(s"$staging/$payload").select(pk), url, t, pk, allowProduction)
     case SqlList(stmts) => Jdbc.executeSqlList(url, stmts)
   }
   def close(): Unit = ()
@@ -85,17 +85,23 @@ class Graft(spark: SparkSession, dataDir: String,
   def copyTree(target: Target, paths: Seq[String], rootTable: String,
                rootIds: Seq[Long]): Seq[Selection] = {
     val sels = TreeWalk.selectAlongPath(spark, loader, paths, pks, rootTable, rootIds)
-    sels.zipWithIndex.foreach { case (sel, i) =>
-      val rows = TreeWalk.selectRows(loader, sel)
-      val nKeys = sel.keys.count()
-      val payload = target.writePayload(s"${sel.table}_$i", rows)
-      // cardinality invariant: rows written must equal keys selected
-      val nRows = rows.count()
-      if (nRows != nKeys)
-        sys.error(s"Only $nRows of $nKeys rows copied for ${sel.table}")
-      target.apply(TableLoad(sel.table, payload))
-    }
-    sels
+    try {
+      sels.zipWithIndex.foreach { case (sel, i) =>
+        val rows = TreeWalk.selectRows(loader, sel)
+        // cardinality invariant, checked BEFORE the payload is written:
+        // the distinct walk-key values among the selected rows must
+        // cover every selected key. Compared on distinct counts (not
+        // raw row counts) so tables whose walk key is a non-unique
+        // stand-in — many rows per key — export without spurious errors.
+        val nKeys = sel.keys.count()
+        val nRowKeys = rows.select(sel.column).distinct().count()
+        if (nRowKeys != nKeys)
+          sys.error(s"Only $nRowKeys of $nKeys keys copied for ${sel.table}")
+        val payload = target.writePayload(s"${sel.table}_$i", rows)
+        target.apply(TableLoad(sel.table, payload))
+      }
+      sels
+    } finally TreeWalk.release(sels)
   }
 
   /** `deleteTree` (`Main.java:157-169`): same walk, DeleteByPk ops in
@@ -103,12 +109,14 @@ class Graft(spark: SparkSession, dataDir: String,
   def deleteTree(target: Target, paths: Seq[String], rootTable: String,
                  rootIds: Seq[Long]): Seq[Selection] = {
     val sels = TreeWalk.selectAlongPath(spark, loader, paths, pks, rootTable, rootIds)
-    sels.reverse.zipWithIndex.foreach { case (sel, i) =>
-      val payload = target.writePayload(s"del_${sel.table}_$i",
-        sel.keys.toDF(sel.column))
-      target.apply(DeleteByPk(sel.table, sel.column, payload))
-    }
-    sels
+    try {
+      sels.reverse.zipWithIndex.foreach { case (sel, i) =>
+        val payload = target.writePayload(s"del_${sel.table}_$i",
+          sel.keys.toDF(sel.column))
+        target.apply(DeleteByPk(sel.table, sel.column, payload))
+      }
+      sels
+    } finally TreeWalk.release(sels)
   }
 
   /** `copy` / full-schema export: DDL then data per table, in

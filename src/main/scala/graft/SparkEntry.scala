@@ -70,7 +70,8 @@ object SparkEntry {
         paths = Seq("customer->orders.o_custkey", "orders->lineitem.l_orderkey"),
         pks = SchemaCatalog.walkPks,
         rootTable = "customer",
-        rootIds = (1L to 10L))
+        rootIds = (1L to 10L),
+        cache = false) // single consumer — caching would only leak
       val lineitemSel = sels.last
       TreeWalk.selectRows(name => t(s, dir, name), lineitemSel)
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
@@ -86,7 +87,8 @@ object SparkEntry {
         paths = Seq("customer->orders.o_custkey"),
         pks = SchemaCatalog.walkPks,
         rootTable = "customer",
-        rootIds = (1L to 10L))
+        rootIds = (1L to 10L),
+        cache = false) // single consumer — caching would only leak
       TreeWalk.antiRows(loader, sels.last)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
         .orderBy("o_orderkey")
@@ -249,6 +251,17 @@ object SparkEntry {
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
         .limit(20)
     }),
+    // the full LSH dedup pipeline — minhash → banding → per-bucket
+    // candidate pairs → exact Jaccard only for candidates. This is the
+    // 100 TB path (pair generation is local to each band bucket); the
+    // all-pairs q27 is the labeled exact baseline.
+    "q48_lsh_candidates" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.minhash(docs, k = 6)
+      val pairs = Dedup.candidatePairs(Dedup.lshBands(sigs, bands = 3, rowsPerBand = 2))
+      Dedup.jaccardForPairs(docs, pairs)
+        .orderBy("doc_a", "doc_b")
+    }),
   )
 
   private def similarityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -268,18 +281,18 @@ object SparkEntry {
     // grid makes every element an exact integer sum — partition-order
     // independent AND engine-portable (decimal casts of doubles round
     // from different representations across engines; floor cannot tie).
+    // Emitted as one (label, pos, m) row per centroid element — scalar
+    // columns only, so the driver's comparator can sort/hash them.
     // The unquantized typed-Aggregator form is graft.functions.VectorMean.
     "q46_label_centroids" -> ((s, dir) => {
       val q = 16777216.0 // 2^24: full float mantissa
-      val e = t(s, dir, "embeddings")
+      t(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("label"), col("pos"))
         .agg((sum(floor(col("v").cast("double") * q).cast("long")).cast("double")
           / count(lit(1)) / q).as("m"))
-      e.groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("centroid"))
-        .orderBy("label")
+        .select(col("label"), col("pos").cast("long").as("pos"), col("m"))
+        .orderBy("label", "pos")
     }),
     // exact percentiles (linear interpolation)
     "q47_percentiles" -> ((s, dir) =>
@@ -298,6 +311,14 @@ object SparkEntry {
     "q30_neardup_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0)
       Similarity.nearDupPairs(emb, threshold = -2.0)
+        .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+        .limit(20)
+    }),
+    // sign-bucketed near-dup — the scale path of q30: candidate pairs
+    // per LSH bucket, never the all-pairs cross product
+    "q49_neardup_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0)
+      Similarity.nearDupPairsLsh(emb, threshold = -2.0, planes = 4, dim = 64)
         .orderBy(col("sim").desc, col("id_a"), col("id_b"))
         .limit(20)
     }),
@@ -337,11 +358,17 @@ object SparkEntry {
         .orderBy("event_type")),
   )
 
-  /** Rows-only checked (no SQL-expressible oracle). */
   private def miscQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // one (media_id, n_bytes, pos, feature) row per histogram bin —
+    // scalar columns for the comparator; the fixture payloads are ASCII
+    // text bytes, so the byte histogram is SQL-expressible too
     "q34_multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.fromDocuments(t(s, dir, "documents")))
-        .orderBy("media_id")),
+        .select(col("media_id"), col("n_bytes"),
+          posexplode(col("features")).as(Seq("pos", "feature")))
+        .select(col("media_id"), col("n_bytes"),
+          col("pos").cast("long").as("pos"), col("feature"))
+        .orderBy("media_id", "pos")),
     "q35_catalog_tables" -> ((s, dir) => {
       val cat = new SchemaCatalog(s, dir)
       val rows = cat.tableNames.map { n =>
@@ -597,16 +624,35 @@ object SparkEntry {
         |ORDER BY query_id, rnk""".stripMargin,
 
     "q46_label_centroids" ->
-      """WITH x AS (
-        |  SELECT label, i - 1 AS pos,
-        |    CAST(SUM(CAST(FLOOR(v * 16777216.0) AS BIGINT)) AS DOUBLE)
-        |      / COUNT(*) / 16777216.0 AS m
-        |  FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
-        |          generate_subscripts(embedding, 1) AS i
-        |        FROM embeddings)
-        |  GROUP BY label, i)
-        |SELECT label, list(m ORDER BY pos) AS centroid
-        |FROM x GROUP BY label ORDER BY label""".stripMargin,
+      """SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+        |  CAST(SUM(CAST(FLOOR(v * 16777216.0) AS BIGINT)) AS DOUBLE)
+        |    / COUNT(*) / 16777216.0 AS m
+        |FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |        generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings)
+        |GROUP BY label, i
+        |ORDER BY label, pos""".stripMargin,
+
+    // payloads are UTF-8 bytes of ASCII fixture text, so byte value ==
+    // code point and the byte histogram is expressible over substr
+    "q34_multimodal_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, unicode(substr(text, i, 1)) % 16 AS bin
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+        |        FROM documents)),
+        |c AS (SELECT doc_id, bin, count(*) AS cnt FROM b GROUP BY doc_id, bin),
+        |g AS (SELECT d.doc_id, length(d.text) AS n_bytes, p.pos
+        |      FROM documents d CROSS JOIN (SELECT unnest(range(16)) AS pos) p)
+        |SELECT g.doc_id AS media_id, CAST(g.n_bytes AS BIGINT) AS n_bytes,
+        |  CAST(g.pos AS BIGINT) AS pos,
+        |  CASE WHEN g.n_bytes = 0 THEN 0.0
+        |    ELSE coalesce(c.cnt, 0) / CAST(g.n_bytes AS DOUBLE) END AS feature
+        |FROM g LEFT JOIN c ON c.doc_id = g.doc_id AND c.bin = g.pos
+        |ORDER BY media_id, pos""".stripMargin,
+
+    "q29_ann_lsh" -> annLshOracle,
+    "q49_neardup_lsh" -> neardupLshOracle,
+    "q48_lsh_candidates" -> lshCandidatesOracle,
 
     "q47_percentiles" ->
       """SELECT o_orderpriority,
@@ -699,16 +745,92 @@ object SparkEntry {
       .mkString(",\n    ")
     val best = s"greatest(${langs.map(l => s"votes_$l").mkString(", ")})"
     val cases = langs.map(l => s"WHEN votes_$l = $best THEN '$l'").mkString("\n    ")
+    // LEFT JOIN from documents so zero-token docs keep parity with the
+    // Spark side (all-zero votes → 'und') instead of being dropped
+    val cv = langs.map(l => s"coalesce(votes_$l, 0) AS votes_$l").mkString(", ")
     s"""WITH $tokCte,
        |v AS (
        |  SELECT doc_id,
        |    $votes
-       |  FROM toks GROUP BY doc_id)
+       |  FROM toks GROUP BY doc_id),
+       |f AS (
+       |  SELECT d.doc_id, $cv
+       |  FROM documents d LEFT JOIN v USING (doc_id))
        |SELECT doc_id, ${langs.map(l => s"votes_$l").mkString(", ")},
        |  CASE WHEN $best = 0 THEN 'und'
        |    $cases
        |    ELSE 'und' END AS lang_guess
-       |FROM v ORDER BY doc_id""".stripMargin
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** The sign-LSH bucket expression with the engine's deterministic
+    * plane family inlined as literals — reproduces
+    * [[graft.ext.Similarity.signBuckets]] bit-for-bit in DuckDB (the
+    * planes are md5-derived constants, not RNG draws). */
+  private def bucketExprSql(planes: Int, dim: Int): String =
+    Similarity.planeFamily(planes, dim).zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) >= 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("\n    + ")
+
+  /** q29 oracle: bucket both sides with the inlined plane family, score
+    * same-bucket candidates, rank — the exact SQL mirror of annTopK. */
+  private def annLshOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, ${bucketExprSql(4, 64)} AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b
+       |      WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |s AS (SELECT query_id, c.vec_id AS neighbor_id, list_dot_product(qv, c.v) AS sim
+       |      FROM q JOIN b c USING (bucket) WHERE query_id <> c.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+       |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS "rank"
+       |FROM r WHERE rnk <= 3
+       |ORDER BY query_id, "rank"""".stripMargin
+
+  /** q49 oracle: per-bucket near-dup pairs with the same plane family. */
+  private def neardupLshOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings WHERE vec_id % 4 = 0),
+       |b AS (SELECT vec_id, v, ${bucketExprSql(4, 64)} AS bucket FROM e),
+       |s AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       |        list_dot_product(a.v, c.v) AS sim
+       |      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+       |SELECT id_a, id_b, sim FROM s WHERE sim >= -2.0
+       |ORDER BY sim DESC, id_a, id_b LIMIT 20""".stripMargin
+
+  /** q48 oracle: the full LSH dedup pipeline in SQL — minhash (as in
+    * q25), 3 bands × 2 rows banding, per-bucket candidate pairs, exact
+    * Jaccard over distinct shingles for candidates only. */
+  private def lshCandidatesOracle: String = {
+    val mh = (0 until 6).map(i => s"min(md5(sh || '#$i')) AS mh$i").mkString(",\n    ")
+    val bandSelects = (0 until 3).map { b =>
+      s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS band_key FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shingleCte,
+       |mh AS (
+       |  SELECT doc_id,
+       |    $mh
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT doc_a, doc_b, count(*) AS n_shared
+       |  FROM pairs
+       |  JOIN dsh a ON a.doc_id = doc_a
+       |  JOIN dsh b ON b.doc_id = doc_b AND b.sh = a.sh
+       |  GROUP BY doc_a, doc_b)
+       |SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+       |  CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+       |FROM shared
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** SimHash oracle: identical 16-bit nibble-hash construction. */

@@ -63,6 +63,12 @@ object Similarity {
     ((hex(0) & 0xff) % 16) - 7.5
   }
 
+  /** The full deterministic plane family as plain doubles — public so a
+    * SQL oracle can inline the identical literals and reproduce
+    * [[signBuckets]] exactly. */
+  def planeFamily(planes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until planes).map(p => (0 until dim).map(d => planeComponent(p, d)))
+
   /** Sign-pattern LSH bucket id for each vector: bit `p` = sign of
     * ⟨v, plane_p⟩. 2^planes buckets; cosine-similar vectors collide
     * with high probability. */
@@ -155,6 +161,22 @@ object Similarity {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), dot(col("vec_a"), col("vec_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Sign-bucketed near-duplicate pairs — the 100 TB form of
+    * [[nearDupPairs]]: candidate pairs are generated per LSH bucket
+    * (an equi-join on bucket id, shuffle partitioned by bucket), never
+    * the full cross product. Recall < 1 by construction: only pairs
+    * whose sign patterns agree on every plane are compared. */
+  def nearDupPairsLsh(df: DataFrame, threshold: Double, planes: Int, dim: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = signBuckets(df, planes, dim, idCol, vecCol)
+    val l = b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val r = b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), dot(col("vec_a"), col("vec_b")).as("sim"))
       .filter(col("sim") >= threshold)
   }

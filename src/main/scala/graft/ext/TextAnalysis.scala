@@ -24,10 +24,13 @@ object TextAnalysis {
     filter(split(text, """(?<=\W)|(?=\W)"""), t => t.rlike("""\S"""))
 
   /** Per-document token statistics: counts, distinct counts, mean token
-    * length, type-token ratio. */
+    * length, type-token ratio. Zero-token documents (empty or
+    * whitespace-only) are excluded — they have no token statistics, and
+    * keeping them would divide by zero (an error under ANSI semantics)
+    * and diverge from a SQL oracle's inner join on the token set. */
   def tokenStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = tokens(col(textCol))
-    docs.select(
+    docs.filter(size(toks) > 0).select(
       col(idCol),
       length(col(textCol)).cast("long").as("n_chars"),
       size(toks).cast("long").as("n_tokens"),

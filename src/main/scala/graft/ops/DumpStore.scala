@@ -68,11 +68,15 @@ object DumpStore {
     val ops = selections.zipWithIndex.map { case (sel, i) =>
       val payload = s"payloads/${sel.table}_$i"
       val rows = TreeWalk.selectRows(loader, sel)
-      rows.write.mode(SaveMode.Overwrite).parquet(s"$dumpDir/$payload")
-      val nRows = spark.read.parquet(s"$dumpDir/$payload").count()
+      // invariant first (before any bytes land): distinct walk-key
+      // values among the selected rows must cover every selected key —
+      // distinct-vs-distinct, so non-unique stand-in keys (many rows
+      // per key) don't trip it
       val nKeys = sel.keys.distinct().count()
-      if (nRows != nKeys)
-        sys.error(s"Only $nRows of $nKeys rows copied for ${sel.table} — cardinality invariant violated")
+      val nRowKeys = rows.select(sel.column).distinct().count()
+      if (nRowKeys != nKeys)
+        sys.error(s"Only $nRowKeys of $nKeys keys copied for ${sel.table} — cardinality invariant violated")
+      rows.write.mode(SaveMode.Overwrite).parquet(s"$dumpDir/$payload")
       TableLoad(sel.table, payload)
     }
     writeManifest(spark, dumpDir, ops)

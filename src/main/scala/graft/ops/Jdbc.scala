@@ -64,10 +64,13 @@ object Jdbc {
 
   /** Bulk append (K3): Spark's JDBC writer with the reference's batch
     * granularity. */
-  def append(df: DataFrame, url: String, table: String): Unit =
+  def append(df: DataFrame, url: String, table: String,
+             allowProduction: Boolean = false): Unit = {
+    guardProduction(url, allowProduction)
     df.write.mode("append").format("jdbc")
       .option("url", url).option("dbtable", quoted(table))
       .option("batchsize", batchSize).save()
+  }
 
   private def bind(ps: PreparedStatement, i: Int, v: Any, dt: DataType): Unit =
     if (v == null) ps.setNull(i, java.sql.Types.NULL)
@@ -91,7 +94,9 @@ object Jdbc {
     * `CopyUtils.java:763-767`); queued rows bulk-inserted in batches.
     * The delta is pre-deduplicated latest-wins so concurrent partitions
     * never race on a key. */
-  def upsert(df: DataFrame, url: String, table: String, pk: String): Unit = {
+  def upsert(df: DataFrame, url: String, table: String, pk: String,
+             allowProduction: Boolean = false): Unit = {
+    guardProduction(url, allowProduction)
     val deduped = Writers.dedupLatest(df, pk)
     val schema = deduped.schema
     val cols = schema.fieldNames.toSeq
@@ -130,7 +135,9 @@ object Jdbc {
   }
 
   /** Delete-by-pk (K5): batched prepared deletes over the key frame. */
-  def deleteByPk(keys: DataFrame, url: String, table: String, pk: String): Unit = {
+  def deleteByPk(keys: DataFrame, url: String, table: String, pk: String,
+                 allowProduction: Boolean = false): Unit = {
+    guardProduction(url, allowProduction)
     val dt = keys.schema.fields(0).dataType
     val sql = s"DELETE FROM ${quoted(table)} WHERE ${quoted(pk)} = ?"
     keys.distinct().foreachPartition { (rows: Iterator[Row]) =>
@@ -216,8 +223,10 @@ object Jdbc {
   /** Replay a dump (SURVEY.md §1.4) into a live JDBC database — the
     * `import <dump> <alias>` path (`Main.java:84-90`) with parquet
     * payloads instead of Java serialization. */
-  def replay(spark: SparkSession, dumpDir: String, url: String): Unit = {
+  def replay(spark: SparkSession, dumpDir: String, url: String,
+             allowProduction: Boolean = false): Unit = {
     import graft.model.Operation._
+    guardProduction(url, allowProduction)
     DumpStore.readManifest(spark, dumpDir).foreach {
       case CreateOrReplace(t, _) =>
         val schema = spark.read.parquet(s"$dumpDir/payloads/$t").schema
@@ -228,11 +237,11 @@ object Jdbc {
             executeSqlList(url, Seq(s"DROP TABLE ${quoted(t)}", ddl))
         }
       case TableLoad(t, payload) =>
-        append(spark.read.parquet(s"$dumpDir/$payload"), url, t)
+        append(spark.read.parquet(s"$dumpDir/$payload"), url, t, allowProduction)
       case TableUpsert(t, pk, payload) =>
-        upsert(spark.read.parquet(s"$dumpDir/$payload"), url, t, pk)
+        upsert(spark.read.parquet(s"$dumpDir/$payload"), url, t, pk, allowProduction)
       case DeleteByPk(t, pk, payload) =>
-        deleteByPk(spark.read.parquet(s"$dumpDir/$payload").select(pk), url, t, pk)
+        deleteByPk(spark.read.parquet(s"$dumpDir/$payload").select(pk), url, t, pk, allowProduction)
       case SqlList(stmts) =>
         executeSqlList(url, stmts)
     }

@@ -30,13 +30,20 @@ object TreeWalk {
     *
     * @param broadcastKeys hint key sets as broadcastable (small roots —
     *   the common copy-tree case). With false, Catalyst/AQE decides.
+    * @param cache persist each key level (MEMORY_AND_DISK). Use when
+    *   selections are consumed more than once (export: invariant count
+    *   + payload write) and call [[release]] when the walk's outputs
+    *   are no longer needed — persisted levels otherwise accumulate in
+    *   the session for its whole lifetime. Pass false for single-shot
+    *   query composition, where caching would only add bookkeeping.
     */
   def walkLinked(
       loader: String => DataFrame,
       edges: Seq[FkEdge],
       pks: Map[String, String],
       roots: Map[String, DataFrame],
-      broadcastKeys: Boolean = true): Seq[Selection] = {
+      broadcastKeys: Boolean = true,
+      cache: Boolean = true): Seq[Selection] = {
 
     val acc = scala.collection.mutable.Map.empty[String, DataFrame]
     roots.foreach { case (t, keys) =>
@@ -52,22 +59,29 @@ object TreeWalk {
         sys.error(s"There is no PK for ${edge.childTable}"))
       val keys = if (broadcastKeys) broadcast(parentIds) else parentIds
       val child = loader(edge.childTable)
-      // persist each level: selections are consumed at least twice
-      // (cardinality count + export), and without caching every reuse
-      // re-runs the whole upstream walk
       val childKeys = child
         .join(keys, child(edge.childColumn) === keys("__key"), "left_semi")
-        .select(col(childPk).as("__key"))
+        .select(col(childPk))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out += Selection(edge.childTable, childPk, childKeys.toDF(childPk))
+      // persist each level when reused: the Selection keeps the SAME
+      // DataFrame that was persisted, so release() can unpersist it
+      if (cache)
+        childKeys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out += Selection(edge.childTable, childPk, childKeys)
       acc(edge.childTable) = acc.get(edge.childTable) match {
-        case Some(prev) => prev.union(childKeys).distinct()
-        case None => childKeys
+        case Some(prev) => prev.union(childKeys.toDF("__key")).distinct()
+        case None => childKeys.toDF("__key")
       }
     }
     out.result()
   }
+
+  /** Unpersist every key level a walk cached. Call after the walk's
+    * selections have been fully consumed (payloads written) — a
+    * long-lived session otherwise leaks one cached level per edge per
+    * walk invocation. */
+  def release(selections: Seq[Selection]): Unit =
+    selections.foreach(_.keys.unpersist(blocking = false))
 
   /** `copyTree` (`Main.java:142-155` → `selectAlongPath`,
     * `CopyUtils.java:50-57`): parse paths, seed the root table with a
@@ -78,7 +92,8 @@ object TreeWalk {
       paths: Seq[String],
       pks: Map[String, String],
       rootTable: String,
-      rootIds: Seq[Long]): Seq[Selection] = {
+      rootIds: Seq[Long],
+      cache: Boolean = true): Seq[Selection] = {
     import spark.implicits._
     val rootPk = pks.getOrElse(rootTable, sys.error(s"There is no PK for $rootTable"))
     // keep only root ids that actually exist (the reference selects the
@@ -87,7 +102,7 @@ object TreeWalk {
       .filter(col(rootPk).isin(rootIds.map(x => lit(x)): _*))
       .select(col(rootPk))
     val edges = PathDsl.parseAll(paths, pks)
-    val walked = walkLinked(loader, edges, pks, Map(rootTable -> rootKeys))
+    val walked = walkLinked(loader, edges, pks, Map(rootTable -> rootKeys), cache = cache)
     Selection(rootTable, rootPk, rootKeys) +: walked
   }
 

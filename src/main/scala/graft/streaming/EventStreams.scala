@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 import org.apache.spark.sql.types.LongType
@@ -89,19 +89,56 @@ object EventStreams {
       .select(col("w.start").as("win_start"), col("event_type"), col("n_events"))
   }
 
+  /** Microseconds of a `"<n> <unit>"` interval string (the subset the
+    * bucketing join needs — no months/years, which have no fixed
+    * microsecond width). */
+  private def intervalMicros(s: String): Long = {
+    val m = """(\d+)\s+(second|minute|hour|day)s?""".r
+    s.trim match {
+      case m(n, unit) =>
+        val base = unit match {
+          case "second" => 1000000L
+          case "minute" => 60L * 1000000L
+          case "hour"   => 3600L * 1000000L
+          case "day"    => 86400L * 1000000L
+        }
+        n.toLong * base
+      case _ => sys.error(s"Unsupported interval for bucketed join: $s")
+    }
+  }
+
+  /** Floor time-bucket id of width `micros` (pmod keeps the floor
+    * semantics for pre-epoch timestamps; the subtraction makes the
+    * double division exact — the operands are exact multiples). */
+  private def timeBucket(ts: Column, micros: Long): Column = {
+    val us = unix_micros(ts)
+    ((us - pmod(us, lit(micros))) / lit(micros)).cast("long")
+  }
+
   /** Interval (range) join: for each `leftType` event, the `rightType`
-    * events of the same user within `[ts, ts + horizon)`. Equi-join on
-    * user plus a range predicate — Catalyst plans the equi part as a
-    * hash join and applies the range as a filter; at scale the shuffle
-    * keys on user_id. The streaming form is [[streamingIntervalJoin]]
-    * (watermarked stream-stream join, bounded state). */
+    * events of the same user within `[ts, ts + horizon)`.
+    *
+    * Scale shape: the equi-join key is `(user_id, time_bucket)`, not
+    * bare `user_id`. Bucket width = horizon; each left event's window
+    * spans at most two buckets, so the left side is duplicated into its
+    * own and the following bucket and the range predicate then filters
+    * exactly. A hot user's events no longer produce a per-user
+    * quadratic pair blowup — candidate pairs are bounded per (user,
+    * bucket), and the shuffle spreads one user across many buckets.
+    * Each qualifying pair matches exactly once (the right event lives
+    * in exactly one bucket). The streaming form is
+    * [[streamingIntervalJoin]] (watermarked stream-stream join). */
   def intervalJoin(events: DataFrame, leftType: String, rightType: String,
                    horizon: String = "10 minutes"): DataFrame = {
+    val h = intervalMicros(horizon)
     val l = events.filter(col("event_type") === leftType)
       .select(col("user_id"), col("event_id").as("left_id"), col("ts").as("left_ts"))
+      .withColumn("__b", explode(array(timeBucket(col("left_ts"), h),
+        timeBucket(col("left_ts"), h) + 1)))
     val r = events.filter(col("event_type") === rightType)
       .select(col("user_id"), col("event_id").as("right_id"), col("ts").as("right_ts"))
-    l.join(r, Seq("user_id"))
+      .withColumn("__b", timeBucket(col("right_ts"), h))
+    l.join(r, Seq("user_id", "__b"))
       .filter(col("right_ts") >= col("left_ts") &&
         col("right_ts") < col("left_ts") + expr(s"INTERVAL $horizon"))
       .select("user_id", "left_id", "right_id")
