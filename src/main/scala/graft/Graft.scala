@@ -60,6 +60,7 @@ class JdbcTarget(spark: SparkSession, url: String,
     case DeleteByPk(t, pk, payload) =>
       Jdbc.deleteByPk(spark.read.parquet(s"$staging/$payload").select(pk), url, t, pk, allowProduction)
     case SqlList(stmts) => Jdbc.executeSqlList(url, stmts)
+    case ConstraintDdl(stmts) => Jdbc.executeSqlList(url, stmts)
   }
   def close(): Unit = ()
 }
@@ -121,16 +122,21 @@ class Graft(spark: SparkSession, dataDir: String,
 
   /** `copy` / full-schema export: DDL then data per table, in
     * FK-dependency order when edges are known (`exportAll`,
-    * `CopyUtils.java:966-979`). */
+    * `CopyUtils.java:966-979`), with PK/FK constraint DDL emitted after
+    * all loads (`:981-994`) for targets that can execute it. */
   def copy(target: Target, tables: Seq[String],
-           order: Seq[String] = Nil): Unit = {
+           order: Seq[String] = Nil,
+           edges: Seq[graft.model.FkEdge] = Nil): Unit = {
     val ordered = if (order.nonEmpty) order.filter(tables.contains) else tables.sorted
-    ordered.foreach { t =>
+    val defs = ordered.map { t =>
       val df = loader(t)
       val payload = target.writePayload(t, df)
       target.apply(CreateOrReplace(t, DumpStore.ddlFor(t, df.schema)))
       target.apply(TableLoad(t, payload))
+      TableDef(t, df.schema, pks.get(t))
     }
+    val stmts = DumpStore.constraintStatements(defs, edges)
+    if (stmts.nonEmpty) target.apply(Operation.ConstraintDdl(stmts))
   }
 
   /** `update`: upsert a delta frame into a table by pk. */

@@ -371,8 +371,10 @@ object SparkEntry {
         .orderBy("media_id", "pos")),
     "q35_catalog_tables" -> ((s, dir) => {
       val cat = new SchemaCatalog(s, dir)
-      val rows = cat.tableNames.map { n =>
-        (n, cat.schemaOf(n).fields.length, cat.primaryKeys.get(n).orNull)
+      // tableDefs fans the footer reads out in parallel — the serial
+      // per-table spark.read loop would crawl on a wide lake
+      val rows = cat.tableDefs.map { d =>
+        (d.name, d.schema.fields.length, d.pk.orNull)
       }
       import s.implicits._
       rows.toDF("table_name", "n_columns", "pk").orderBy("table_name")

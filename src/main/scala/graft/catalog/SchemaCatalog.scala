@@ -36,6 +36,16 @@ final class SchemaCatalog(spark: SparkSession, dir: String,
   def tableDef(name: String): TableDef =
     TableDef(name, schemaOf(name), pks.get(name))
 
+  /** All table definitions, footer reads fanned out on the driver's
+    * thread pool: each read is an independent remote metadata fetch,
+    * and a 10k-table lake would crawl through them serially. */
+  def tableDefs: Seq[TableDef] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.sequence(tableNames.map(n => Future(tableDef(n)))), Duration.Inf)
+  }
+
   def schemaOf(name: String): StructType =
     spark.read.parquet(s"$dir/$name.parquet").schema
 
@@ -55,7 +65,67 @@ final class SchemaCatalog(spark: SparkSession, dir: String,
   }
 }
 
+/** Catalog discovered live from a JDBC database's dictionary — the
+  * direct analogue of the reference's `USER_CONSTRAINTS` /
+  * `USER_CONS_COLUMNS` scans (`CopyUtils.java:393-425` getPrimaryKeys,
+  * `:427-458` getFkRelationships), through the vendor-neutral
+  * `java.sql.DatabaseMetaData` surface. Feeds the same TreeWalk as the
+  * parquet-directory catalog — no hand-written FK graph needed against
+  * a live source. */
+final case class JdbcCatalog(
+    tables: Seq[String],
+    primaryKeys: Map[String, String],
+    fkEdges: Seq[FkEdge])
+
 object SchemaCatalog {
+
+  /** Introspect tables, single-column PKs and single-column FK edges
+    * from a live JDBC source. Composite PKs are treated as absent —
+    * the walk then raises the reference's "There is no PK" error
+    * (`CopyUtils.java:410-412` hard-errors on multi-column PKs);
+    * composite FKs are skipped (the reference models only
+    * single-column relationships, `ForeignKeyRelationship.java:10-31`).
+    *
+    * Driver-side and metadata-sized by construction: one dictionary
+    * round-trip per table, no row data touched. */
+  def fromJdbc(url: String, schemaPattern: String = null): JdbcCatalog = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val md = conn.getMetaData
+      val tables = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        val rs = md.getTables(null, schemaPattern, "%", Array("TABLE"))
+        try while (rs.next()) buf += rs.getString("TABLE_NAME") finally rs.close()
+        buf.toSeq.sorted
+      }
+      val pks = tables.flatMap { t =>
+        val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+        val rs = md.getPrimaryKeys(null, schemaPattern, t)
+        try while (rs.next()) cols += rs.getString("COLUMN_NAME") finally rs.close()
+        if (cols.size == 1) Some(t -> cols.head) else None
+      }.toMap
+      val edges = tables.flatMap { t =>
+        val rows = scala.collection.mutable.ArrayBuffer.empty[(String, FkEdge)]
+        val rs = md.getImportedKeys(null, schemaPattern, t)
+        try while (rs.next()) {
+          val fkName = Option(rs.getString("FK_NAME"))
+            .getOrElse(s"fk_${rs.getString("FKTABLE_NAME")}_${rs.getString("PKTABLE_NAME")}")
+          rows += fkName -> FkEdge(
+            name = fkName,
+            parentTable = rs.getString("PKTABLE_NAME"),
+            parentColumn = rs.getString("PKCOLUMN_NAME"),
+            childTable = rs.getString("FKTABLE_NAME"),
+            childColumn = rs.getString("FKCOLUMN_NAME"))
+        } finally rs.close()
+        // one row per (constraint, key column): multi-column FKs show up
+        // as >1 rows under one FK_NAME — skip those
+        rows.groupBy(_._1).valuesIterator
+          .collect { case buf if buf.size == 1 => buf.head._2 }
+          .toSeq
+      }.sortBy(_.name)
+      JdbcCatalog(tables, pks, edges)
+    } finally conn.close()
+  }
   /** PK fixture from FIXTURES.md §B (lineitem deliberately has no
     * single-column PK — the reference's "no PK" negative path,
     * `CopyUtils.java:562-564`). */

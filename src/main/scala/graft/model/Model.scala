@@ -55,4 +55,10 @@ object Operation {
   final case class DeleteByPk(table: String, pk: String, payload: String) extends Operation { val kind = "delete_by_pk" }
   /** Create, dropping first if present (`CreateOrReplaceTableOperation.java:15-46`). */
   final case class CreateOrReplace(table: String, ddl: String) extends Operation { val kind = "create_or_replace" }
+  /** PK/FK constraint DDL emitted AFTER the data loads (the reference
+    * exports index + referential-constraint DDL at the tail of the
+    * stream, `CopyUtils.java:981-994`). Kept distinct from [[SqlList]]
+    * because only JDBC targets can execute it — a Spark-catalog replay
+    * has no constraint surface and skips it. */
+  final case class ConstraintDdl(statements: Seq[String]) extends Operation { val kind = "constraint_ddl" }
 }

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
 
-import graft.model.{Operation, Selection, TableDef}
+import graft.model.{FkEdge, Operation, Selection, TableDef}
 import graft.model.Operation._
 
 /** Portable snapshot ("dump") store — the Spark-native answer to the
@@ -28,6 +28,33 @@ object DumpStore {
   def ddlFor(name: String, schema: StructType): String =
     s"CREATE TABLE $name (${schema.toDDL}) USING parquet"
 
+  private def q(id: String): String = "\"" + id + "\""
+
+  /** PK/FK constraint statements for a set of exported tables
+    * (reference `CopyUtils.java:981-994`; the `:987-990` filter —
+    * constraints referencing tables outside the export are dropped).
+    * PK columns are first made NOT NULL (parquet schemas are nullable
+    * by default, and SQL primary keys must not be); PKs come before
+    * FKs so every REFERENCES target already has its unique constraint.
+    * Quoted-identifier ANSI SQL — executable by JDBC targets only. */
+  def constraintStatements(tables: Seq[TableDef], edges: Seq[FkEdge]): Seq[String] = {
+    val exported = tables.map(_.name).toSet
+    val pkStmts = tables.sortBy(_.name).flatMap { t =>
+      t.pk.toSeq.flatMap { c =>
+        Seq(
+          s"ALTER TABLE ${q(t.name)} ALTER COLUMN ${q(c)} NOT NULL",
+          s"ALTER TABLE ${q(t.name)} ADD CONSTRAINT ${q(s"pk_${t.name}")} PRIMARY KEY (${q(c)})")
+      }
+    }
+    val fkStmts = edges
+      .filter(e => exported.contains(e.parentTable) && exported.contains(e.childTable))
+      .map { e =>
+        s"ALTER TABLE ${q(e.childTable)} ADD CONSTRAINT ${q(e.name)} " +
+          s"FOREIGN KEY (${q(e.childColumn)}) REFERENCES ${q(e.parentTable)} (${q(e.parentColumn)})"
+      }
+    pkStmts ++ fkStmts
+  }
+
   /** Full-schema export (the reference's `exportAll`,
     * `CopyUtils.java:966-979`): DDL ops for every table first, then one
     * bulk-load payload per data table. Tables are ordered
@@ -39,7 +66,8 @@ object DumpStore {
       loader: String => DataFrame,
       tables: Seq[TableDef],
       dumpDir: String,
-      order: Seq[String] = Nil): Seq[Operation] = {
+      order: Seq[String] = Nil,
+      edges: Seq[FkEdge] = Nil): Seq[Operation] = {
     val byName = tables.map(t => t.name -> t).toMap
     val ordered =
       if (order.nonEmpty) order.filter(byName.contains).map(byName)
@@ -50,7 +78,11 @@ object DumpStore {
       loader(t.name).write.mode(SaveMode.Overwrite).parquet(s"$dumpDir/$payload")
       TableLoad(t.name, payload)
     }
-    val ops = ddlOps ++ loadOps
+    // emission order mirrors the reference stream: tables → data →
+    // constraints (CopyUtils.java:966-994)
+    val constraintStmts = constraintStatements(ordered, edges)
+    val tailOps = if (constraintStmts.isEmpty) Nil else Seq(ConstraintDdl(constraintStmts))
+    val ops = ddlOps ++ loadOps ++ tailOps
     writeManifest(spark, dumpDir, ops)
     ops
   }
@@ -116,6 +148,8 @@ object DumpStore {
   private def toJson(seq: Int, op: Operation): String = op match {
     case SqlList(stmts) =>
       s"""{"seq":$seq,"kind":"sql_list","statements":[${stmts.map(esc).mkString(",")}]}"""
+    case ConstraintDdl(stmts) =>
+      s"""{"seq":$seq,"kind":"constraint_ddl","statements":[${stmts.map(esc).mkString(",")}]}"""
     case TableLoad(t, p) =>
       s"""{"seq":$seq,"kind":"table_load","table":${esc(t)},"payload":${esc(p)}}"""
     case TableUpsert(t, pk, p) =>
@@ -150,6 +184,7 @@ object DumpStore {
 
   private def rowToOp(r: Row): Operation = r.getAs[String]("kind") match {
     case "sql_list" => SqlList(r.getAs[scala.collection.Seq[String]]("statements").toSeq)
+    case "constraint_ddl" => ConstraintDdl(r.getAs[scala.collection.Seq[String]]("statements").toSeq)
     case "table_load" => TableLoad(r.getAs[String]("table"), r.getAs[String]("payload"))
     case "table_upsert" => TableUpsert(r.getAs[String]("table"), r.getAs[String]("pk"), r.getAs[String]("payload"))
     case "delete_by_pk" => DeleteByPk(r.getAs[String]("table"), r.getAs[String]("pk"), r.getAs[String]("payload"))
@@ -180,6 +215,11 @@ object DumpStore {
         try spark.sql(s)
         catch { case e: Exception => throw new RuntimeException(s"Failed executing: $s", e) }
       }
+    case ConstraintDdl(_) =>
+      // Spark's catalog has no PK/FK constraint surface; constraints in
+      // the manifest are for JDBC replay targets (Jdbc.replay executes
+      // them) and are informational here
+      ()
     case CreateOrReplace(t, ddl) =>
       // try CREATE; on failure DROP then CREATE (the reference's
       // create-drop-create, CreateOrReplaceTableOperation.java:30-36)

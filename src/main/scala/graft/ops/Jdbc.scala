@@ -244,6 +244,10 @@ object Jdbc {
         deleteByPk(spark.read.parquet(s"$dumpDir/$payload").select(pk), url, t, pk, allowProduction)
       case SqlList(stmts) =>
         executeSqlList(url, stmts)
+      case ConstraintDdl(stmts) =>
+        // the tail of the dump stream: PK/FK constraints after all data
+        // has landed (reference emission order, CopyUtils.java:981-994)
+        executeSqlList(url, stmts)
     }
   }
 }

@@ -68,4 +68,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dot_product"))
     assert(p.contains("Broadcast"))
   }
+
+  test("q44: interval join is an equi-join keyed on (user_id, time bucket), " +
+    "never a bare per-user join") {
+    val df = run("q44_interval_join")
+    val p = plan(df)
+    // the bucket column must be part of the join key (hash or sort-merge),
+    // and no nested-loop/cartesian fallback may appear
+    assert(p.contains("__b"), s"bucket key missing from plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    val joinKeys = """(?s)Join [^\n]*\[user_id[^\]]*__b""".r
+    assert(joinKeys.findFirstIn(p).isDefined
+      || p.contains("keys=[user_id") && p.contains("__b"),
+      s"join not keyed on (user_id, __b):\n$p")
+  }
+
+  test("q49: near-dup candidates join on the LSH bucket (no cross product)") {
+    val df = run("q49_neardup_lsh")
+    val p = plan(df)
+    assert(p.contains("bucket"), s"no bucket key in plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q48: LSH candidate pairs join on (band, band_key) buckets") {
+    val df = run("q48_lsh_candidates")
+    val p = plan(df)
+    assert(p.contains("band_key"), s"no band_key in plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
 }

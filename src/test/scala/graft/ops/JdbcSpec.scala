@@ -99,6 +99,43 @@ class JdbcSpec extends SparkSpec {
     Jdbc.guardProduction("jdbc:derby:/tmp/dev/db")
   }
 
+  test("constraints: exportAll emits tables→data→constraints; JDBC replay applies them; " +
+    "fromJdbc rediscovers the graph and drives a copy-tree (S5/S6/J2 live path)") {
+    import graft.catalog.SchemaCatalog
+    import graft.model.{FkEdge, TableDef}
+    val url = freshDb()
+    val dump = Files.createTempDirectory("graft-dump").toString
+    val region = load("region"); val nation = load("nation")
+    val defs = Seq(
+      TableDef("region", region.schema, Some("r_regionkey")),
+      TableDef("nation", nation.schema, Some("n_nationkey")))
+    val edge = FkEdge("fk_nation_region", "region", "r_regionkey", "nation", "n_regionkey")
+    val ops = DumpStore.exportAll(spark, load, defs, dump,
+      order = Seq("region", "nation"), edges = Seq(edge))
+    // emission order: all DDL, then all loads, then the constraint tail
+    assert(ops.map(_.kind) ==
+      Seq("create_or_replace", "create_or_replace", "table_load", "table_load", "constraint_ddl"))
+    // manifest round-trip preserves the constraint op
+    assert(DumpStore.readManifest(spark, dump).map(_.kind) == ops.map(_.kind))
+
+    Jdbc.replay(spark, dump, url)
+
+    // discovered — not injected — catalog
+    val cat = SchemaCatalog.fromJdbc(url)
+    assert(cat.tables == Seq("nation", "region"))
+    assert(cat.primaryKeys == Map("region" -> "r_regionkey", "nation" -> "n_nationkey"))
+    assert(cat.fkEdges == Seq(edge))
+
+    // the discovered graph drives the same TreeWalk over the live db
+    val loader = (t: String) => Jdbc.read(spark, url, t)
+    val rootKeys = load("region").filter($"r_regionkey" <= 1).select("r_regionkey")
+    val sels = TreeWalk.walkLinked(loader, cat.fkEdges, cat.primaryKeys,
+      Map("region" -> rootKeys), cache = false)
+    assert(sels.map(_.table) == Seq("nation"))
+    val expected = load("nation").filter($"n_regionkey" <= 1).count()
+    assert(expected > 0 && sels.head.keys.count() == expected)
+  }
+
   test("dump → JDBC replay: schema + data land in the live database (import path)") {
     val url = freshDb()
     val dump = Files.createTempDirectory("graft-dump").toString
