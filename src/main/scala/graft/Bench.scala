@@ -46,7 +46,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // SPARK_GRAFT_ONLY=q48_lsh_candidates,q27_jaccard_topk — iterate on a
+    // subset without paying for the whole suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val passes = 3
     val samples = (1 to passes).map { _ =>
       names.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap

@@ -256,9 +256,16 @@ object SparkEntry {
     // 100 TB path (pair generation is local to each band bucket); the
     // all-pairs q27 is the labeled exact baseline.
     "q48_lsh_candidates" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // the fixture corpus is one parquet split; the signature pass is
+      // CPU-bound, so spread it across all cores first (at real scale
+      // the input's own splits provide this and the repartition goes)
+      val docs = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
       val sigs = Dedup.minhash(docs, k = 6)
+      // the candidate set is tiny relative to the corpus — materialize
+      // it once; its three consumers (candidate-id pruning, the shared
+      // count, the final join) must not re-run the signature pass
       val pairs = Dedup.candidatePairs(Dedup.lshBands(sigs, bands = 3, rowsPerBand = 2))
+        .localCheckpoint()
       Dedup.jaccardForPairs(docs, pairs)
         .orderBy("doc_a", "doc_b")
     }),

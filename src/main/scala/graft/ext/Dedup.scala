@@ -38,7 +38,14 @@ object Dedup {
   /** MinHash signature over shingles: component `i` is
     * `min(md5(shingle || "#i"))` — a deterministic permutation family
     * via salted hashing; min taken lexicographically over hex strings.
-    * One row per doc with `k` signature columns `mh0..mh{k-1}`. */
+    * One row per doc with `k` signature columns `mh0..mh{k-1}`.
+    *
+    * Pure per-row array expressions — ZERO shuffle: at 100 TB the
+    * signature pass is a narrow map over the corpus, unlike an
+    * explode→groupBy formulation that would shuffle every (doc,
+    * shingle) row. Downstream consumers that reuse signatures more
+    * than once (the candidate self-join family) must avoid duplicating
+    * this expression lineage — see [[candidatePairs]]. */
   def minhash(docs: DataFrame, k: Int, shingleN: Int = 3,
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = shingles(col(textCol), shingleN)
@@ -60,23 +67,49 @@ object Dedup {
       .select(col(idCol), col("bk.band"), col("bk.band_key"))
   }
 
-  /** Candidate pairs from LSH bands: self-join per (band, band_key)
-    * bucket, `a < b`, distinct. The scale path — pair generation is
-    * local to each bucket, never the full cross product. */
+  /** Candidate pairs from LSH bands: group ids per (band, band_key)
+    * bucket and expand the in-bucket `a < b` combinations with array
+    * expressions, then distinct. The scale path — pair generation is
+    * local to each bucket, never the full cross product, and there is
+    * exactly ONE shuffle (the bucket group-by; pair expansion is a
+    * narrow map). Deliberately NOT a self-join: joining a frame to
+    * itself duplicates the whole upstream expression lineage (here the
+    * per-row minhash trees) and Catalyst re-plans both copies — the
+    * join form took tens of seconds in planning for a 15k-row input.
+    * No bucket-size cap is applied: a pathological mega-bucket (many
+    * identical docs) expands quadratically by definition of the
+    * operator — cap upstream if that is a concern. */
   def candidatePairs(bands: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val l = bands.select(col("band"), col("band_key"), col(idCol).as("doc_a"))
-    val r = bands.select(col("band"), col("band_key"), col(idCol).as("doc_b"))
-    l.join(r, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val buckets = bands.groupBy(col("band"), col("band_key"))
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+    val sorted = array_sort(col("__ids"))
+    val pairs = flatten(transform(sorted, (a, i) =>
+      transform(slice(sorted, i + lit(2), size(sorted) - i - 1),
+        b => struct(a.as("doc_a"), b.as("doc_b")))))
+    buckets.select(explode(pairs).as("__p"))
+      .select(col("__p.doc_a"), col("__p.doc_b"))
+      .distinct()
   }
 
   /** Exact Jaccard similarity over distinct `n`-token shingles for
     * given candidate pairs. shape: (doc_a, doc_b, n_a, n_b, n_shared,
-    * jaccard). */
+    * jaccard).
+    *
+    * Only candidate documents are shingled: the corpus is first
+    * semi-joined to the pair ids, so verification cost scales with the
+    * candidate set (LSH output), not the corpus — the property that
+    * makes the dedup pipeline's verify stage cheap at 100 TB. */
   def jaccardForPairs(docs: DataFrame, pairs: DataFrame, shingleN: Int = 3,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val docShingles = docs
+    // single consumption of `pairs` (not a two-select union): each
+    // consumer of an uncached frame re-executes the candidate
+    // generation upstream of it
+    val candIds = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as(idCol))
+      .distinct()
+    val candDocs = docs.join(candIds, Seq(idCol), "left_semi")
+    val docShingles = candDocs
       .select(col(idCol), explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
     val sizes = docShingles.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val a = docShingles.toDF("doc_a", "sh")

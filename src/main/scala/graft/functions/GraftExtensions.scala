@@ -25,8 +25,16 @@ object GraftExtensions {
   }
 
   /** Register into an already-running session (extensions via
-    * `withExtensions`/`spark.sql.extensions` only apply to new ones). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    * `withExtensions`/`spark.sql.extensions` only apply to new ones).
+    * `dot_product` lands as a native expression; `vector_mean` is the
+    * Aggregator surface (§2.10 UDAF registration — partial aggregation
+    * and map-side combine come from the Aggregator contract). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("dot_product", builder, "built-in")
+    implicit val inEnc: org.apache.spark.sql.Encoder[Array[Float]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
+    spark.udf.register("vector_mean",
+      org.apache.spark.sql.functions.udaf(new VectorMean))
+  }
 }

@@ -27,6 +27,34 @@ class GraftSpec extends SparkSpec {
     assert(sels.map(_.table) == Seq("customer", "orders"))
   }
 
+  test("copyTree through lineitem's non-unique stand-in key: invariant holds " +
+    "on distinct coverage, many rows per key export cleanly") {
+    val dump = Files.createTempDirectory("graft-dump").toString
+    val g = new Graft(spark, sf)
+    val target = g.fileTarget(dump)
+    val sels = g.copyTree(target,
+      Seq("customer->orders.o_custkey", "orders->lineitem.l_orderkey"),
+      "customer", 1L to 10L)
+    target.close()
+    val expectedRows = load("lineitem").join(
+      load("orders").filter(col("o_custkey").between(1, 10)).select("o_orderkey"),
+      col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    val got = spark.read.parquet(s"$dump/payloads/lineitem_2")
+    assert(got.count() == expectedRows)
+    // more rows than keys — the raw-count invariant would have errored
+    assert(expectedRows > sels.last.keys.count())
+  }
+
+  test("copyTree releases its cached key levels on completion") {
+    val dump = Files.createTempDirectory("graft-dump").toString
+    val g = new Graft(spark, sf)
+    val target = g.fileTarget(dump)
+    val sels = g.copyTree(target, Seq("customer->orders.o_custkey"), "customer", 1L to 5L)
+    target.close()
+    assert(sels.forall(_.keys.storageLevel == org.apache.spark.storage.StorageLevel.NONE),
+      "persisted key levels must be unpersisted after the walk completes")
+  }
+
   test("copy + update + deleteTree → live database target") {
     val url = freshDb()
     val g = new Graft(spark, sf)

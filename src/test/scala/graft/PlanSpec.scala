@@ -90,10 +90,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
-  test("q48: LSH candidate pairs join on (band, band_key) buckets") {
-    val df = run("q48_lsh_candidates")
-    val p = plan(df)
+  test("q48 candidate generation: one bucket group-by, no join at all") {
+    import graft.ext.Dedup
+    val docs = load("documents")
+    val pairs = Dedup.candidatePairs(
+      Dedup.lshBands(Dedup.minhash(docs, k = 6), bands = 3, rowsPerBand = 2))
+    pairs.count()
+    val p = plan(pairs)
     assert(p.contains("band_key"), s"no band_key in plan:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // pair expansion is in-bucket array combinatorics after a single
+    // aggregation — the plan must contain NO join of any kind
+    assert(!p.contains("Join"), s"candidate generation must be join-free:\n$p")
+    // full query still free of pathological joins
+    val full = run("q48_lsh_candidates")
+    val fp = plan(full)
+    assert(!fp.contains("BroadcastNestedLoopJoin") && !fp.contains("CartesianProduct"))
   }
 }

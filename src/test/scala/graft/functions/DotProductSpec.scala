@@ -48,7 +48,7 @@ class DotProductSpec extends SparkSpec {
   test("VectorMean aggregator computes per-label centroids (matches explicit mean)") {
     import org.apache.spark.sql.{functions => F}
     val emb = load("embeddings")
-    val vm = new VectorMean(64).toColumn
+    val vm = (new VectorMean).toColumn
     val got = emb.select(col("label"), col("embedding"))
       .as[(Int, Array[Float])]
       .groupByKey(_._1)
@@ -68,5 +68,27 @@ class DotProductSpec extends SparkSpec {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").collect()(0)
     assert(r.getDouble(0) == 11.0)
+  }
+
+  test("vector_mean UDAF is SQL-callable and matches the typed Aggregator") {
+    GraftExtensions.register(spark)
+    load("embeddings").createOrReplaceTempView("emb_vm")
+    val sqlRes = spark.sql(
+      "SELECT label, vector_mean(embedding) AS centroid FROM emb_vm GROUP BY label")
+      .as[(Int, Array[Double])].collect().toMap
+    val typedRes = load("embeddings").select(col("label"), col("embedding"))
+      .as[(Int, Array[Float])]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg((new VectorMean).toColumn.name("centroid"))
+      .collect().toMap
+    assert(sqlRes.keySet == typedRes.keySet)
+    for (k <- sqlRes.keySet) {
+      assert(sqlRes(k).length == 64)
+      // same partial-aggregation algorithm either way; allow for
+      // partition-order-dependent double summation between the two runs
+      sqlRes(k).zip(typedRes(k)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9)
+      }
+    }
   }
 }
