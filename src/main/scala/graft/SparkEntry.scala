@@ -235,6 +235,15 @@ object SparkEntry {
       TextAnalysis.repetitionScore(t(s, dir, "documents")).orderBy("doc_id")),
     "q43_length_histogram" -> ((s, dir) =>
       TextAnalysis.lengthHistogram(t(s, dir, "documents")).orderBy("bucket")),
+    // BPE-ish token counting: word runs + individual punctuation marks
+    "q51_regex_tokens" -> ((s, dir) => {
+      val toks = TextAnalysis.regexTokens(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+        .orderBy("doc_id")
+    }),
   )
 
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -267,6 +276,22 @@ object SparkEntry {
       val pairs = Dedup.candidatePairs(Dedup.lshBands(sigs, bands = 3, rowsPerBand = 2))
         .localCheckpoint()
       Dedup.jaccardForPairs(docs, pairs)
+        .orderBy("doc_a", "doc_b")
+    }),
+    // pairs → duplicate CLUSTERS: iterative min-label propagation,
+    // checked against a recursive-CTE transitive closure in the oracle
+    "q50_dedup_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+      val pairs = Dedup.candidatePairs(
+        Dedup.lshBands(Dedup.minhash(docs, k = 6), bands = 3, rowsPerBand = 2))
+        .localCheckpoint()
+      Dedup.connectedComponents(pairs).orderBy("doc_id")
+    }),
+    // simhash near-dup via nibble blocking — exact for hamming ≤ 3,
+    // never all-pairs
+    "q52_simhash_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+      Dedup.simhashNearDup(docs, maxHamming = 1)
         .orderBy("doc_a", "doc_b")
     }),
   )
@@ -321,6 +346,13 @@ object SparkEntry {
         .orderBy(col("sim").desc, col("id_a"), col("id_b"))
         .limit(20)
     }),
+    // deterministic hash-stratified sampling: per-label fractions with
+    // no RNG — reproducible across runs/engines/partitionings
+    "q53_stratified_sample" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(t(s, dir, "embeddings"), "label", "vec_id",
+        fractions = Map("0" -> 0.75, "1" -> 0.5), defaultFraction = 0.25)
+        .select("vec_id", "label")
+        .orderBy("vec_id")),
     // sign-bucketed near-dup — the scale path of q30: candidate pairs
     // per LSH bucket, never the all-pairs cross product
     "q49_neardup_lsh" -> ((s, dir) => {
@@ -662,6 +694,16 @@ object SparkEntry {
     "q29_ann_lsh" -> annLshOracle,
     "q49_neardup_lsh" -> neardupLshOracle,
     "q48_lsh_candidates" -> lshCandidatesOracle,
+    "q50_dedup_components" -> dedupComponentsOracle,
+    "q52_simhash_neardup" -> simhashNearDupOracle,
+
+    "q51_regex_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q53_stratified_sample" -> stratifiedSampleOracle,
 
     "q47_percentiles" ->
       """SELECT o_orderpriority,
@@ -807,15 +849,15 @@ object SparkEntry {
        |SELECT id_a, id_b, sim FROM s WHERE sim >= -2.0
        |ORDER BY sim DESC, id_a, id_b LIMIT 20""".stripMargin
 
-  /** q48 oracle: the full LSH dedup pipeline in SQL — minhash (as in
-    * q25), 3 bands × 2 rows banding, per-bucket candidate pairs, exact
-    * Jaccard over distinct shingles for candidates only. */
-  private def lshCandidatesOracle: String = {
+  /** CTE chain ending in `pairs(doc_a, doc_b)` — the LSH candidate
+    * pipeline in SQL: minhash (as in q25), 3 bands × 2 rows banding,
+    * distinct same-bucket pairs. Shared by the q48 and q50 oracles. */
+  private def lshPairsCtes: String = {
     val mh = (0 until 6).map(i => s"min(md5(sh || '#$i')) AS mh$i").mkString(",\n    ")
     val bandSelects = (0 until 3).map { b =>
       s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS band_key FROM mh"
     }.mkString("\n  UNION ALL ")
-    s"""WITH $shingleCte,
+    s"""$shingleCte,
        |mh AS (
        |  SELECT doc_id,
        |    $mh
@@ -825,7 +867,13 @@ object SparkEntry {
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** q48 oracle: the full LSH dedup pipeline in SQL — candidate pairs,
+    * then exact Jaccard over distinct shingles for candidates only. */
+  private def lshCandidatesOracle: String =
+    s"""WITH $lshPairsCtes,
        |dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
        |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
        |shared AS (
@@ -840,10 +888,24 @@ object SparkEntry {
        |JOIN sizes sa ON sa.doc_id = doc_a
        |JOIN sizes sb ON sb.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
-  /** SimHash oracle: identical 16-bit nibble-hash construction. */
-  private def simhashSql: String = {
+  /** q50 oracle: duplicate clusters from the LSH candidate pairs via a
+    * recursive transitive closure — component = min reachable id. */
+  private def dedupComponentsOracle: String =
+    s"""WITH RECURSIVE $lshPairsCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src)
+       |SELECT id AS doc_id, least(id, min(r)) AS comp
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** CTE chain ending in `s(doc_id, simhash)` — the identical 16-bit
+    * nibble-hash construction. Shared by the q26 and q52 oracles. */
+  private def simhashCtes: String = {
     def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1)"
     val hv = s"${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}"
     val sums = (0 until 16).map { k =>
@@ -852,9 +914,34 @@ object SparkEntry {
     val bits = (0 until 16).map { k =>
       s"CASE WHEN s$k >= 0 THEN ${math.pow(2, k).toLong} ELSE 0 END"
     }.mkString(" + ")
-    s"""WITH $tokCte,
+    s"""$tokCte,
        |h AS (SELECT doc_id, $hv AS hv FROM toks),
-       |b AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
-       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM b ORDER BY doc_id""".stripMargin
+       |b AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+       |s AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM b)""".stripMargin
+  }
+
+  /** SimHash oracle (q26). */
+  private def simhashSql: String =
+    s"""WITH $simhashCtes
+       |SELECT doc_id, simhash FROM s ORDER BY doc_id""".stripMargin
+
+  /** q52 oracle: exact all-pairs hamming filter — the blocked Spark
+    * form is provably equivalent for maxHamming ≤ 3 (pigeonhole). */
+  private def simhashNearDupOracle: String =
+    s"""WITH $simhashCtes
+       |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
+       |FROM s a JOIN s c ON a.doc_id < c.doc_id
+       |WHERE bit_count(xor(a.simhash, c.simhash)) <= 1
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q53 oracle: the same md5-nibble threshold arithmetic inline. */
+  private def stratifiedSampleOracle: String = {
+    val hx = "md5(CAST(label AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR))"
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr($hx, $i, 1)) - 1)"
+    s"""SELECT vec_id, label FROM embeddings
+       |WHERE ${nib(1)} * 16 + ${nib(2)} <
+       |  CASE CAST(label AS VARCHAR) WHEN '0' THEN 192 WHEN '1' THEN 128 ELSE 64 END
+       |ORDER BY vec_id""".stripMargin
   }
 }

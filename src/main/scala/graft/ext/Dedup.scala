@@ -147,6 +147,48 @@ object Dedup {
         (col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"))
   }
 
+  /** Connected components over an undirected pair list
+    * `(doc_a, doc_b)` — the step that turns near-duplicate PAIRS into
+    * duplicate CLUSTERS, so a dedup pipeline can keep exactly one
+    * representative (the minimum id) per transitive group.
+    *
+    * Iterative min-label propagation: every node starts labeled with
+    * its own id; each round takes the min of its label and its
+    * neighbors' labels; converges in O(graph diameter) rounds — small
+    * for dedup graphs, whose clusters are near-cliques. All state is
+    * DataFrames (nothing driver-sized); each round's result is
+    * localCheckpoint'ed to cut the plan lineage, the standard guard
+    * for iterative DataFrame algorithms. Returns (doc_id, comp) where
+    * comp = min id in the component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          idCol: String = "doc_id"): DataFrame = {
+    val nodes = pairs.select(col("doc_a").as("id"))
+      .union(pairs.select(col("doc_b").as("id"))).distinct()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.withColumn("comp", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("dcomp")).as("ncomp"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.select(col("id"), col("comp").as("prev")), "id")
+        .filter(col("comp") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("id").as(idCol), col("comp"))
+  }
+
   /** Portable 16-bit token hash: value of the first 4 hex nibbles of
     * md5(token), via position lookup — expressible identically in
     * ANSI SQL (no engine-specific hash function). */
@@ -178,5 +220,42 @@ object Dedup {
     val x = a.bitwiseXOR(b)
     (0 until 16).map(k => pmod(floor(x / math.pow(2, k).toLong), lit(2)))
       .reduce(_ + _).cast("long")
+  }
+
+  /** SimHash near-duplicate pairs within `maxHamming` bits, via nibble
+    * blocking (the classic simhash dedup construction): the 16-bit
+    * fingerprint splits into 4 nibbles, and two fingerprints within
+    * hamming distance 3 must agree on at least one nibble (pigeonhole:
+    * ≤3 differing bits touch ≤3 of the 4 blocks). Candidates are
+    * therefore generated per (nibble index, nibble value) block — same
+    * join-free bucket-expansion shape as [[candidatePairs]] — and the
+    * exact hamming filter runs only within blocks, so the result is
+    * EXACT for `maxHamming` ≤ 3, never all-pairs. (A production-size
+    * 64-bit simhash would use more/wider blocks; 16 bits keeps the
+    * fingerprint oracle-portable via md5 nibbles.) */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 1,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming <= 3, "4-block pigeonhole is exact only for maxHamming <= 3")
+    val sh = simhash(docs, idCol, textCol)
+    val blockCols = (0 until 4).map { b =>
+      struct(lit(b).as("blk"),
+        pmod(floor(col("simhash") / (1L << (4 * b))), lit(16)).cast("long").as("v"))
+    }
+    val blocks = sh
+      .select(col(idCol).as("id"), col("simhash"), explode(array(blockCols: _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.blk").as("blk"), col("bk.v").as("v"))
+    val buckets = blocks.groupBy(col("blk"), col("v"))
+      .agg(collect_list(struct(col("id"), col("simhash").as("h"))).as("__xs"))
+      .filter(size(col("__xs")) > 1)
+    val sorted = array_sort(col("__xs"))
+    val pairs = flatten(transform(sorted, (a, i) =>
+      transform(slice(sorted, i + lit(2), size(sorted) - i - 1),
+        b => struct(a.getField("id").as("doc_a"), a.getField("h").as("h_a"),
+          b.getField("id").as("doc_b"), b.getField("h").as("h_b")))))
+    buckets.select(explode(pairs).as("__p"))
+      .select(col("__p.doc_a"), col("__p.doc_b"),
+        hamming16(col("__p.h_a"), col("__p.h_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 }

@@ -97,6 +97,26 @@ object TextAnalysis {
       when(firstNibble < trainNibbles, lit("train")).otherwise(lit("test")))
   }
 
+  /** Deterministic hash-stratified sampling: a row is kept iff the
+    * first two md5 nibbles of `"<strata>|<id>"` — a uniform value in
+    * [0, 256) — fall below `floor(fraction(strata) * 256)`. No RNG:
+    * the sample is reproducible across runs, engines and partitionings,
+    * which is the property a 100 TB training pipeline needs (an
+    * RNG-based sample drawn again on retry would silently reshuffle
+    * the training set). Per-stratum fraction granularity is 1/256. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0): DataFrame = {
+    val hx = md5(concat(col(strataCol).cast("string"), lit("|"), col(idCol).cast("string")))
+    def nibAt(i: Int) = instr(lit("0123456789abcdef"), substring(hx, i, 1)) - 1
+    val v = nibAt(1) * 16 + nibAt(2)
+    val thr = fractions.toSeq.sortBy(_._1).foldLeft(lit(math.floor(defaultFraction * 256))) {
+      case (acc, (k, f)) =>
+        when(col(strataCol).cast("string") === k, lit(math.floor(f * 256))).otherwise(acc)
+    }
+    df.filter(v < thr)
+  }
+
   /** Document-length histogram: docs per `width`-char bucket. */
   def lengthHistogram(docs: DataFrame, width: Int = 200, charsCol: String = "n_chars"): DataFrame =
     docs.groupBy(floor(col(charsCol) / width).cast("long").as("bucket"))

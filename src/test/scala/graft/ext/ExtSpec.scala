@@ -35,6 +35,24 @@ class TextAnalysisSpec extends SparkSpec {
     val q = TextAnalysis.qualityScore(load("documents")).select("quality").as[Double].collect()
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
   }
+
+  test("stratifiedSample: deterministic, per-stratum fractions roughly honored") {
+    val emb = load("embeddings")
+    val s1 = TextAnalysis.stratifiedSample(emb, "label", "vec_id",
+      Map("0" -> 0.75, "1" -> 0.5), defaultFraction = 0.25)
+      .select("vec_id").as[Long].collect().toSet
+    val s2 = TextAnalysis.stratifiedSample(emb, "label", "vec_id",
+      Map("0" -> 0.75, "1" -> 0.5), defaultFraction = 0.25)
+      .select("vec_id").as[Long].collect().toSet
+    assert(s1 == s2) // no RNG — identical on re-run
+    val perLabel = emb.groupBy("label").count().as[(Int, Long)].collect().toMap
+    val sampled = TextAnalysis.stratifiedSample(emb, "label", "vec_id",
+      Map("0" -> 0.75, "1" -> 0.5), defaultFraction = 0.25)
+      .groupBy("label").count().as[(Int, Long)].collect().toMap
+    def frac(l: Int) = sampled.getOrElse(l, 0L).toDouble / perLabel(l)
+    assert(math.abs(frac(0) - 0.75) < 0.2)
+    assert(math.abs(frac(1) - 0.5) < 0.2)
+  }
 }
 
 class DedupSpec extends SparkSpec {
@@ -88,6 +106,42 @@ class DedupSpec extends SparkSpec {
     val near = java.lang.Long.bitCount(m(1L) ^ m(2L))
     val far = java.lang.Long.bitCount(m(1L) ^ m(3L))
     assert(near < far)
+  }
+
+  test("connectedComponents: chains collapse to min id, separate clusters stay apart") {
+    // 1-2-3 chained, 5-6 separate, 7-8-9 via two pairs
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 7L), (8L, 9L))
+      .toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("connectedComponents converges on a long path (diameter > 1 round)") {
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(comps.size == 12 && comps.values.forall(_ == 1L))
+  }
+
+  test("simhashNearDup: identical docs pair at hamming 0; blocked result is " +
+    "exact (matches the all-pairs filter)") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val blocked = Dedup.simhashNearDup(df, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(blocked.contains((1L, 2L, 0L)))
+    // exact reference: all-pairs hamming over the fingerprints
+    val m = Dedup.simhash(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    val exact = (for {
+      a <- m.keys; b <- m.keys if a < b
+      h = java.lang.Long.bitCount(m(a) ^ m(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(blocked == exact)
   }
 }
 
