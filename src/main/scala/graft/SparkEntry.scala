@@ -178,6 +178,20 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // the skew toolkit exercised end to end: salted join ≡ plain join
+    // (the oracle IS the unsalted SQL join), but each hot key spreads
+    // over saltFactor reducers
+    "q56_salted_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.ops.Scale.saltedJoin(l, o, "l_orderkey", saltFactor = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(dbl(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    }),
     // pivot (conditional aggregation form in the oracle)
     "q15_pivot" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -235,6 +249,11 @@ object SparkEntry {
       TextAnalysis.repetitionScore(t(s, dir, "documents")).orderBy("doc_id")),
     "q43_length_histogram" -> ((s, dir) =>
       TextAnalysis.lengthHistogram(t(s, dir, "documents")).orderBy("bucket")),
+    // overlapping token-window chunks (size 50, stride 40) — corpus
+    // prep for embedding/training over long documents
+    "q54_chunking" -> ((s, dir) =>
+      TextAnalysis.chunk(t(s, dir, "documents"), size = 50, stride = 40)
+        .orderBy("doc_id", "chunk_id")),
     // BPE-ish token counting: word runs + individual punctuation marks
     "q51_regex_tokens" -> ((s, dir) => {
       val toks = TextAnalysis.regexTokens(col("text"))
@@ -386,6 +405,12 @@ object SparkEntry {
     "q44_interval_join" -> ((s, dir) =>
       EventStreams.intervalJoin(t(s, dir, "events"), "click", "purchase")
         .orderBy("user_id", "left_id", "right_id")),
+    // earliest-event dedup per (user, type) — batch form of the
+    // watermark-bounded streaming dedup (dropDuplicatesWithinWatermark)
+    "q57_events_dedup" -> ((s, dir) =>
+      EventStreams.dedupEvents(t(s, dir, "events"), Seq("user_id", "event_type"))
+        .select("user_id", "event_type", "event_id")
+        .orderBy("user_id", "event_type")),
     "q33_events_json" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_type"),
@@ -704,6 +729,37 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q53_stratified_sample" -> stratifiedSampleOracle,
+
+    "q54_chunking" ->
+      """WITH tl AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tl
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, tl, unnest(generate_series(1, len(tl), 40)) AS s1
+        |  FROM tl WHERE len(tl) > 0)
+        |SELECT doc_id, CAST((s1 - 1) // 40 AS BIGINT) AS chunk_id,
+        |  array_to_string(tl[s1:s1+49], ' ') AS chunk,
+        |  CAST(least(50, len(tl) - s1 + 1) AS BIGINT) AS n_tokens
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q56_salted_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q57_events_dedup" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |    date_trunc('microseconds', ts) AS ts
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM e)
+        |SELECT user_id, event_type, event_id FROM r WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "q47_percentiles" ->
       """SELECT o_orderpriority,

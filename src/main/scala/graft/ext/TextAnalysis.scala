@@ -117,6 +117,31 @@ object TextAnalysis {
     df.filter(v < thr)
   }
 
+  /** Overlapping token-window chunks — the standard corpus-prep step
+    * before embedding or training on long documents. Chunk `k` starts
+    * at token `1 + k·stride` and spans up to `size` tokens; the last
+    * chunk may be shorter. Narrow (per-row array expressions + one
+    * explode), no shuffle; deterministic, so chunk ids are stable
+    * across runs. Returns (idCol, chunk_id, chunk, n_tokens). */
+  def chunk(docs: DataFrame, size: Int, stride: Int,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    val toks = tokens(col(textCol))
+    val chunks = when(size_(toks) > 0,
+      transform(sequence(lit(1), size_(toks), lit(stride)), s =>
+        struct(
+          ((s - 1) / stride).cast("long").as("chunk_id"),
+          concat_ws(" ", slice(toks, s, lit(size))).as("chunk"),
+          least(lit(size), size_(toks) - s + 1).cast("long").as("n_tokens"))))
+      .otherwise(array().cast("array<struct<chunk_id:bigint,chunk:string,n_tokens:bigint>>"))
+    docs.select(col(idCol), explode(chunks).as("c"))
+      .select(col(idCol), col("c.chunk_id"), col("c.chunk"), col("c.n_tokens"))
+  }
+
+  // functions.size, locally aliased so `chunk`'s size parameter can't
+  // shadow it
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
   /** Document-length histogram: docs per `width`-char bucket. */
   def lengthHistogram(docs: DataFrame, width: Int = 200, charsCol: String = "n_chars"): DataFrame =
     docs.groupBy(floor(col(charsCol) / width).cast("long").as("bucket"))

@@ -63,6 +63,32 @@ object EventStreams {
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
         count(lit(1)).as("n_events"))
 
+  /** Event dedup, batch form: keep the earliest event (by ts, then
+    * event_id for determinism) per key set. The batch oracle of
+    * [[streamingDedup]]. */
+  def dedupEvents(events: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("ts"), col("event_id"))
+    events.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Streaming dedup with bounded state: duplicates arriving within the
+    * watermark delay are dropped, and per-key state expires once the
+    * watermark passes — the only dedup shape that survives an unbounded
+    * stream (a plain dropDuplicates would hold every key forever). */
+  def streamingDedup(spark: SparkSession, dir: String, keys: Seq[String],
+                     lateness: String = "10 minutes"): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = withEventTime(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    stream.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keys)
+  }
+
   /** Session windows per user: a session closes after `gap` of
     * inactivity. Start = min ts; batch- and stream-compatible. */
   def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =

@@ -36,6 +36,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("chunk: overlapping token windows cover every token; last chunk short") {
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.chunk(df, size = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, String, Long)].collect()
+    val d1 = r.filter(_._1 == 1L)
+    assert(d1.map(_._3).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    assert(d1.map(_._4).toSeq == Seq(4L, 4L, 4L, 1L))
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    // doc 2: a single short chunk
+    assert(r.filter(_._1 == 2L).map(_._3).toSeq == Seq("a b"))
+  }
+
   test("stratifiedSample: deterministic, per-stratum fractions roughly honored") {
     val emb = load("embeddings")
     val s1 = TextAnalysis.stratifiedSample(emb, "label", "vec_id",

@@ -77,6 +77,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty)
   }
 
+  test("streamingDedup (dropDuplicatesWithinWatermark) keeps one event per key; " +
+    "batch dedupEvents keeps the earliest") {
+    val batch = EventStreams.dedupEvents(load("events"), Seq("user_id", "event_type"))
+    // exactly one survivor per (user, type)
+    val keyCounts = batch.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count()
+    assert(keyCounts == 0)
+    // survivor is the earliest: its ts equals the per-key min
+    val mins = load("events").groupBy("user_id", "event_type")
+      .agg(min("ts").as("min_ts"))
+    val bad = batch.join(mins, Seq("user_id", "event_type"))
+      .filter(col("ts") =!= col("min_ts")).count()
+    assert(bad == 0)
+    // streaming form: one row per key too (one microbatch covers all
+    // data, so within-watermark dedup sees every duplicate)
+    val streamed = EventStreams.runToMemorySink(
+      EventStreams.streamingDedup(spark, sf, Seq("user_id", "event_type")),
+      "stream_dedup")
+    assert(streamed.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count() == 0)
+    assert(streamed.count() == batch.count())
+  }
+
   test("streaming tumbling (AvailableNow + memory sink) matches batch result") {
     val batch = EventStreams.tumbling(load("events"))
       .select("win_start", "event_type", "n_events")
