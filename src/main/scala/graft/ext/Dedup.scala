@@ -162,12 +162,17 @@ object Dedup {
     * comp = min id in the component. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
                           idCol: String = "doc_id"): DataFrame = {
+    // the label/edge state is bounded by the pair list (small relative
+    // to the corpus); run the loop at low parallelism so each round's
+    // materialization isn't dominated by empty-task overhead
+    val loopParts = 4
     val nodes = pairs.select(col("doc_a").as("id"))
       .union(pairs.select(col("doc_b").as("id"))).distinct()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    var labels = nodes.withColumn("comp", col("id")).localCheckpoint()
+      .coalesce(loopParts).localCheckpoint()
+    var labels = nodes.withColumn("comp", col("id"))
+      .coalesce(loopParts).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -177,7 +182,7 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        .coalesce(loopParts).localCheckpoint()
       val changed = next
         .join(labels.select(col("id"), col("comp").as("prev")), "id")
         .filter(col("comp") =!= col("prev")).count()
@@ -222,24 +227,32 @@ object Dedup {
       .reduce(_ + _).cast("long")
   }
 
-  /** SimHash near-duplicate pairs within `maxHamming` bits, via nibble
+  /** SimHash near-duplicate pairs within `maxHamming` bits, via bit
     * blocking (the classic simhash dedup construction): the 16-bit
-    * fingerprint splits into 4 nibbles, and two fingerprints within
-    * hamming distance 3 must agree on at least one nibble (pigeonhole:
-    * ≤3 differing bits touch ≤3 of the 4 blocks). Candidates are
-    * therefore generated per (nibble index, nibble value) block — same
-    * join-free bucket-expansion shape as [[candidatePairs]] — and the
-    * exact hamming filter runs only within blocks, so the result is
-    * EXACT for `maxHamming` ≤ 3, never all-pairs. (A production-size
-    * 64-bit simhash would use more/wider blocks; 16 bits keeps the
-    * fingerprint oracle-portable via md5 nibbles.) */
+    * fingerprint splits into `maxHamming + 1` contiguous blocks, and
+    * two fingerprints within `maxHamming` differing bits must agree on
+    * at least one whole block (pigeonhole). Candidates are generated
+    * per (block index, block value) bucket — same join-free
+    * bucket-expansion shape as [[candidatePairs]] — and the exact
+    * hamming filter runs only within buckets, so the result is EXACT,
+    * never all-pairs. Fewer blocks ⇒ wider blocks ⇒ more selective
+    * buckets: maxHamming=1 gives 2 blocks × 8 bits = 256 bucket values
+    * per block, quadratically fewer in-bucket candidates than nibble
+    * blocking. (A production-size 64-bit simhash would use wider
+    * blocks again; 16 bits keeps the fingerprint oracle-portable via
+    * md5 nibbles.) */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 1,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(maxHamming <= 3, "4-block pigeonhole is exact only for maxHamming <= 3")
+    require(maxHamming >= 0 && maxHamming < 16, "need 1..16 blocks over 16 bits")
     val sh = simhash(docs, idCol, textCol)
-    val blockCols = (0 until 4).map { b =>
+    val nBlocks = maxHamming + 1
+    val widths = Array.fill(nBlocks)(16 / nBlocks)
+    for (i <- 0 until 16 % nBlocks) widths(i) += 1
+    val offsets = widths.scanLeft(0)(_ + _)
+    val blockCols = (0 until nBlocks).map { b =>
       struct(lit(b).as("blk"),
-        pmod(floor(col("simhash") / (1L << (4 * b))), lit(16)).cast("long").as("v"))
+        pmod(floor(col("simhash") / (1L << offsets(b))), lit(1 << widths(b)))
+          .cast("long").as("v"))
     }
     val blocks = sh
       .select(col(idCol).as("id"), col("simhash"), explode(array(blockCols: _*)).as("bk"))
