@@ -139,6 +139,33 @@ class DedupSpec extends SparkSpec {
     assert(comps.size == 12 && comps.values.forall(_ == 1L))
   }
 
+  test("connectedComponents matches a reference union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 30
+      val pairList = (1 to 40)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val got = Dedup.connectedComponents(pairList.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      // reference: driver-side union-find with min-id roots
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairList.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = pairList.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(x => x -> find(x)).toMap
+      assert(got == want)
+    }
+  }
+
   test("simhashNearDup: identical docs pair at hamming 0; blocked result is " +
     "exact (matches the all-pairs filter)") {
     val df = Seq(
