@@ -90,6 +90,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q56: salted join keys include the salt; no nested-loop fallback") {
+    val df = run("q56_salted_join")
+    val p = plan(df)
+    assert(p.contains("__salt"), s"salt key missing:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q34: multimodal feature extraction is narrow — only the final sort shuffles") {
+    val df = run("q34_multimodal_features")
+    assert(shuffles(df) <= 1, plan(df))
+  }
+
+  test("q53: stratified sample reads only the two projected columns, narrow filter") {
+    val df = run("q53_stratified_sample")
+    assert(shuffles(df) <= 1, plan(df))
+    val p = plan(df)
+    val scanCols = """FileScan parquet \[([^\]]*)\]""".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse(fail(s"no FileScan in:\n$p"))
+    val names = scanCols.split(",").map(_.trim.takeWhile(_ != '#')).toSet
+    assert(names == Set("vec_id", "label"), s"embedding column not pruned: $names")
+  }
+
+  test("q54: chunking is a narrow explode — only the final sort shuffles") {
+    val df = run("q54_chunking")
+    assert(shuffles(df) <= 1, plan(df))
+  }
+
   test("q48 candidate generation: one bucket group-by, no join at all") {
     import graft.ext.Dedup
     val docs = load("documents")
