@@ -136,6 +136,34 @@ class JdbcSpec extends SparkSpec {
     assert(expected > 0 && sels.head.keys.count() == expected)
   }
 
+  test("fromJdbc: composite PK discovered as absent (reference's hard-error path), " +
+    "composite FK skipped, single-column constraints kept") {
+    import graft.catalog.SchemaCatalog
+    val url = freshDb()
+    Jdbc.executeSqlList(url, Seq(
+      """CREATE TABLE "solo" ("id" BIGINT NOT NULL, "x" INT, PRIMARY KEY ("id"))""",
+      """CREATE TABLE "duo" ("a" BIGINT NOT NULL, "b" BIGINT NOT NULL, "y" INT,
+        | PRIMARY KEY ("a", "b"))""".stripMargin.replace("\n", ""),
+      """CREATE TABLE "kid" ("kid_id" BIGINT NOT NULL, "solo_id" BIGINT,
+        | "ca" BIGINT NOT NULL, "cb" BIGINT NOT NULL, PRIMARY KEY ("kid_id"),
+        | CONSTRAINT "fk_kid_solo" FOREIGN KEY ("solo_id") REFERENCES "solo" ("id"),
+        | CONSTRAINT "fk_kid_duo" FOREIGN KEY ("ca", "cb") REFERENCES "duo" ("a", "b"))"""
+        .stripMargin.replace("\n", "")))
+    val cat = SchemaCatalog.fromJdbc(url)
+    assert(cat.tables == Seq("duo", "kid", "solo"))
+    // composite PK ("duo") is absent → the walk raises "There is no PK"
+    assert(cat.primaryKeys == Map("solo" -> "id", "kid" -> "kid_id"))
+    // composite FK skipped; single-column FK kept
+    assert(cat.fkEdges.map(_.name) == Seq("fk_kid_solo"))
+    val e = intercept[RuntimeException] {
+      TreeWalk.walkLinked(
+        t => Jdbc.read(spark, url, t),
+        Seq(graft.model.FkEdge("x", "solo", "id", "duo", "a")),
+        cat.primaryKeys, Map("solo" -> spark.range(1).toDF("id")), cache = false)
+    }
+    assert(e.getMessage.contains("no PK for duo"))
+  }
+
   test("dump → JDBC replay: schema + data land in the live database (import path)") {
     val url = freshDb()
     val dump = Files.createTempDirectory("graft-dump").toString
