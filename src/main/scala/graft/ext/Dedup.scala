@@ -162,15 +162,20 @@ object Dedup {
     * comp = min id in the component. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
                           idCol: String = "doc_id"): DataFrame = {
-    // the label/edge state is bounded by the pair list (small relative
-    // to the corpus); run the loop at low parallelism so each round's
-    // materialization isn't dominated by empty-task overhead
-    val loopParts = 4
     val nodes = pairs.select(col("doc_a").as("id"))
       .union(pairs.select(col("doc_b").as("id"))).distinct()
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edgesRaw = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .coalesce(loopParts).localCheckpoint()
+      .localCheckpoint()
+    // scale the loop's parallelism to the graph, not the session: the
+    // label/edge state is bounded by the pair list, and running a tiny
+    // graph's rounds at full shuffle width is pure empty-task
+    // overhead, while a billion-edge graph needs the full width.
+    // (~1M symmetric edges per partition; count() is free — the
+    // checkpoint just materialized.)
+    val sessionParts = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val loopParts = math.max(2, math.min(sessionParts, (edgesRaw.count() / 1000000L).toInt))
+    val edges = edgesRaw.coalesce(loopParts).localCheckpoint()
     var labels = nodes.withColumn("comp", col("id"))
       .coalesce(loopParts).localCheckpoint()
     var converged = false
@@ -220,12 +225,11 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** Hamming distance between two simhash values (for near-dup pairing). */
-  def hamming16(a: Column, b: Column): Column = {
-    val x = a.bitwiseXOR(b)
-    (0 until 16).map(k => pmod(floor(x / math.pow(2, k).toLong), lit(2)))
-      .reduce(_ + _).cast("long")
-  }
+  /** Hamming distance between two simhash values (for near-dup
+    * pairing): population count of the XOR — a single codegen'd
+    * builtin. */
+  def hamming16(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
 
   /** SimHash near-duplicate pairs within `maxHamming` bits, via bit
     * blocking (the classic simhash dedup construction): the 16-bit
