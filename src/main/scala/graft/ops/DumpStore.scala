@@ -52,7 +52,23 @@ object DumpStore {
         s"ALTER TABLE ${q(e.childTable)} ADD CONSTRAINT ${q(e.name)} " +
           s"FOREIGN KEY (${q(e.childColumn)}) REFERENCES ${q(e.parentTable)} (${q(e.parentColumn)})"
       }
-    pkStmts ++ fkStmts
+    pkStmts ++ fkStmts ++ indexStatements(tables, edges)
+  }
+
+  /** `CREATE INDEX` statements for FK child columns, excluding any
+    * column already backed by the table's primary key — the
+    * reference's NOT-EXISTS index-export filters (skip indexes backing
+    * P/U constraints, `CopyUtils.java:987-990`) re-expressed as a set
+    * difference over the catalog model. */
+  def indexStatements(tables: Seq[TableDef], edges: Seq[FkEdge]): Seq[String] = {
+    val exported = tables.map(_.name).toSet
+    val pkBacked = tables.flatMap(t => t.pk.map(c => t.name -> c)).toSet
+    edges
+      .filter(e => exported.contains(e.childTable) && exported.contains(e.parentTable))
+      .map(e => e.childTable -> e.childColumn)
+      .distinct
+      .filterNot(pkBacked)
+      .map { case (t, c) => s"CREATE INDEX ${q(s"ix_${t}_$c")} ON ${q(t)} (${q(c)})" }
   }
 
   /** Full-schema export (the reference's `exportAll`,

@@ -126,6 +126,24 @@ class JdbcSpec extends SparkSpec {
     assert(cat.primaryKeys == Map("region" -> "r_regionkey", "nation" -> "n_nationkey"))
     assert(cat.fkEdges == Seq(edge))
 
+    // F3 tail: the FK child column got a secondary index; PK columns
+    // did not get a duplicate one (constraint-backed indexes excluded)
+    val stmts = ops.collect { case graft.model.Operation.ConstraintDdl(s) => s }.flatten
+    assert(stmts.exists(_.startsWith("""CREATE INDEX "ix_nation_n_regionkey"""")))
+    assert(!stmts.exists(_.contains("""ix_region_r_regionkey""")))
+    // end state: the FK column is indexed (Derby silently dedups our
+    // CREATE INDEX against the index it auto-creates for the FK
+    // constraint — SQLSTATE 01504 — so assert on the column, not the
+    // index name)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getIndexInfo(null, null, "nation", false, false)
+      val idxCols = scala.collection.mutable.Set.empty[String]
+      while (rs.next()) Option(rs.getString("COLUMN_NAME")).foreach(idxCols += _)
+      rs.close()
+      assert(idxCols.contains("n_regionkey"), s"indexed columns on nation: $idxCols")
+    } finally conn.close()
+
     // the discovered graph drives the same TreeWalk over the live db
     val loader = (t: String) => Jdbc.read(spark, url, t)
     val rootKeys = load("region").filter($"r_regionkey" <= 1).select("r_regionkey")
