@@ -322,7 +322,8 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
     }),
-    // LSH-bucketed ANN — the 100 TB path; not SQL-expressible → rows-only
+    // LSH-bucketed ANN — the 100 TB path; deterministic md5 planes make
+    // the bucket family inlinable into the DuckDB oracle (annLshOracle)
     "q29_ann_lsh" -> ((s, dir) => {
       Similarity.annTopK(t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
         k = 3, planes = 4, dim = 64)
@@ -353,11 +354,32 @@ object SparkEntry {
           percentile(col("o_totalprice"), lit(0.9)).as("p90"),
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")),
-    // IVF ANN (KMeans coarse quantizer) — rows-only check
+    // IVF ANN (KMeans coarse quantizer) — the raw hits are rows-only
+    // (cell assignment is not SQL-expressible); q58 is the
+    // oracle-checked quality contract over the same call
     "q39_ann_ivf" -> ((s, dir) => {
       Similarity.ivfTopK(t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
         k = 3, nLists = 8, nProbe = 2)
         .orderBy("query_id", "rank")
+    }),
+    // IVF quality harness: the KMeans cells are engine-specific, but
+    // two properties of the probe are engine-portable and asserted
+    // cross-engine — it answers exactly k hits per query, and every
+    // hit is a genuine near neighbor (exact top-40 of 2k vectors ≈
+    // top 2%, brute-forced in Spark; observed max exact rank 17)
+    "q58_ann_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qids = Seq(0L, 1L, 2L, 3L, 4L)
+      val ivf = Similarity.ivfTopK(emb, queryIds = qids, k = 3, nLists = 8, nProbe = 2)
+      val exact = Similarity.cosineTopK(
+        emb.filter(col("vec_id").isin(qids: _*)), emb, k = 40)
+      ivf.join(
+          exact.select(col("query_id"), col("neighbor_id"), col("rank").as("exact_rank")),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          (count(col("exact_rank")) === count(lit(1))).as("all_hits_in_exact_top40"))
+        .orderBy("query_id")
     }),
     "q30_neardup_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0)
@@ -395,9 +417,11 @@ object SparkEntry {
     "q37_distinct_users" -> ((s, dir) =>
       EventStreams.userCounts(t(s, dir, "events"))
         .orderBy("event_type")),
-    // HLL sketch — engine-specific, rows-only check
+    // HLL sketch, cross-checked: the estimate is engine-specific, so
+    // the oracle-checkable columns are the exact count plus the bound
+    // that the sketch landed within 5% of it
     "q38_approx_distinct" -> ((s, dir) =>
-      EventStreams.approxUserCounts(t(s, dir, "events"))
+      EventStreams.approxUserCountsChecked(t(s, dir, "events"))
         .orderBy("event_type")),
     "q45_asof_join" -> ((s, dir) =>
       EventStreams.asofJoin(t(s, dir, "events"), "error", "signup")
@@ -446,8 +470,10 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query (same column names, same ordering,
-    * same DECIMAL(18,4) money arithmetic). Queries absent here
-    * (q29/q34/q35) get the driver's weaker rows-only check. */
+    * same DECIMAL(18,4) money arithmetic). The one query absent here
+    * (q39, raw IVF hits — KMeans cells are not SQL-expressible) gets
+    * the driver's weaker rows-only check; its quality contract is
+    * oracle-checked as q58 instead. */
   def oracleSql: Map[String, String] = coreOracleSql ++ extOracleSql
 
   private def coreOracleSql: Map[String, String] = Map(
@@ -590,6 +616,41 @@ object SparkEntry {
       |        FROM documents))""".stripMargin
 
   private def extOracleSql: Map[String, String] = Map(
+    // S3/S4 catalog scans: the comparator registers one DuckDB view per
+    // parquet table, so information_schema sees exactly the catalog the
+    // Spark side reads from parquet footers. The pk CASE inlines the
+    // same starPks fixture constants SchemaCatalog ships (config, not
+    // computation) — the cross-engine content is the table list and
+    // per-table column counts.
+    "q35_catalog_tables" ->
+      """SELECT table_name,
+        |  CAST(COUNT(*) AS INTEGER) AS n_columns,
+        |  CASE table_name
+        |    WHEN 'region' THEN 'r_regionkey'
+        |    WHEN 'nation' THEN 'n_nationkey'
+        |    WHEN 'customer' THEN 'c_custkey'
+        |    WHEN 'supplier' THEN 's_suppkey'
+        |    WHEN 'part' THEN 'p_partkey'
+        |    WHEN 'orders' THEN 'o_orderkey'
+        |  END AS pk
+        |FROM information_schema.columns
+        |GROUP BY table_name
+        |ORDER BY table_name""".stripMargin,
+
+    // exact side of the HLL cross-check; hll_ok is the Spark-side
+    // assertion that the sketch landed within tolerance
+    "q38_approx_distinct" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users, TRUE AS hll_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the IVF contract: k hits per query, all genuine near neighbors
+    // (the Spark side brute-forces the exact top-40 to check)
+    "q58_ann_ivf_recall" ->
+      """SELECT vec_id AS query_id, CAST(3 AS BIGINT) AS n_hits,
+        |  TRUE AS all_hits_in_exact_top40
+        |FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+        |ORDER BY query_id""".stripMargin,
     "q20_token_stats" ->
       s"""WITH $tokCte
          |SELECT d.doc_id,

@@ -63,6 +63,23 @@ object EventStreams {
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
         count(lit(1)).as("n_events"))
 
+  /** [[approxUserCounts]] cross-checked against the exact distinct
+    * count in the same aggregation. The HLL estimate itself is
+    * engine-specific (no other engine reproduces Spark's sketch
+    * bit-for-bit), so the checkable contract is: the exact count, plus
+    * the sketch landing within `tolerance` relative error of it. At
+    * scale the exact column would be dropped and only the sketch kept;
+    * here it doubles as the oracle for the sketch's error bound. */
+  def approxUserCountsChecked(events: DataFrame, rsd: Double = 0.01,
+                              tolerance: Double = 0.05): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id"), rsd).as("__approx"))
+      .select(col("event_type"), col("n_events"), col("n_users"),
+        (abs(col("__approx") - col("n_users")).cast("double") / col("n_users")
+          <= tolerance).as("hll_ok"))
+
   /** Event dedup, batch form: keep the earliest event (by ts, then
     * event_id for determinism) per key set. The batch oracle of
     * [[streamingDedup]]. */
