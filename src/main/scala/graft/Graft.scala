@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import graft.catalog.SchemaCatalog
 import graft.model.{Operation, Selection, TableDef}
 import graft.model.Operation._
-import graft.ops.{DumpStore, Jdbc, TreeWalk}
+import graft.ops.{DumpStore, Jdbc, ObjectDdl, TreeWalk}
 
 /** Polymorphic sink for Operations — the reference's `Target`
   * (`Target.java:3-8`): `DumpTarget` serializes ops into a portable
@@ -148,4 +148,19 @@ class Graft(spark: SparkSession, dataDir: String,
   /** `executeSql`: raw statements through the target. */
   def executeSql(target: Target, statements: Seq[String]): Unit =
     target.apply(SqlList(statements))
+
+  /** The reference's `exportSchemaOtherObjects`
+    * (`CopyUtils.java:996-1010`): append the non-table object surface
+    * of a live JDBC schema — dictionary-extracted views and sequences,
+    * plus caller-supplied opaque DDL for kinds the dialect cannot
+    * round-trip — after tables, data and constraints. */
+  def copyOtherObjects(target: Target, sourceUrl: String,
+                       dialect: ObjectDdl.DdlDialect = ObjectDdl.DerbyDialect,
+                       srcSchema: Option[String] = None,
+                       procedureDdl: Seq[String] = Nil,
+                       functionDdl: Seq[String] = Nil,
+                       triggerDdl: Seq[String] = Nil,
+                       packageDdl: Seq[String] = Nil): Unit =
+    ObjectDdl.exportOtherObjects(sourceUrl, dialect, srcSchema,
+      procedureDdl, functionDdl, triggerDdl, packageDdl).foreach(target.apply)
 }

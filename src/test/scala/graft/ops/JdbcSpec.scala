@@ -198,6 +198,42 @@ class JdbcSpec extends SparkSpec {
     assert(back.count() == nation.count() - 3)
     assert(back.filter($"n_nationkey".between(1, 3)).count() == 0)
   }
+
+  test("other-objects export: views + sequences extracted from the source dictionary, " +
+    "replayed onto a second database (exportSchemaOtherObjects path)") {
+    val src = freshDb()
+    Jdbc.executeSqlList(src, Seq(
+      Jdbc.ddlFor("t1", base.schema),
+      """CREATE VIEW "v_big" AS SELECT "pk", "b" FROM "t1" WHERE "b" > 50.0""",
+      "CREATE SEQUENCE \"seq_ids\" AS BIGINT START WITH 7 INCREMENT BY 3"))
+    Jdbc.append(base, src, "t1")
+
+    val ops = ObjectDdl.exportOtherObjects(src,
+      triggerDdl = Seq("CREATE TRIGGER trg BEGIN x; END;\nALTER TRIGGER trg ENABLE"))
+    val stmts = ops.collect { case SqlList(s) => s }.flatten
+    assert(stmts.exists(s => s.toUpperCase.startsWith("CREATE VIEW") && s.contains("v_big")),
+      s"no view DDL in $stmts")
+    assert(stmts.exists(s => s.startsWith("CREATE SEQUENCE \"seq_ids\" AS BIGINT START WITH 7")),
+      s"no sequence DDL in $stmts")
+    // trigger passthrough got the X3 strip
+    assert(stmts.exists(_ == "CREATE TRIGGER trg BEGIN x; END;"))
+
+    // replay everything except the (Derby-invalid) fake trigger onto a
+    // fresh database that already has the base table
+    val dst = freshDb()
+    Jdbc.executeSqlList(dst, Seq(Jdbc.ddlFor("t1", base.schema)))
+    Jdbc.append(base, dst, "t1")
+    Jdbc.executeSqlList(dst, stmts.filterNot(_.startsWith("CREATE TRIGGER")))
+    val viaView = Jdbc.read(spark, dst, "v_big")
+    assert(viaView.count() == 50)
+    val conn = java.sql.DriverManager.getConnection(dst)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        """VALUES NEXT VALUE FOR "seq_ids"""")
+      rs.next()
+      assert(rs.getLong(1) == 7L)
+    } finally conn.close()
+  }
 }
 
 class SqlTextSpec extends graft.SparkSpec {
