@@ -33,6 +33,11 @@ object ObjectDdl {
       * (the reference's extracted sequence DDL likewise carries the
       * live `START WITH`). */
     def sequenceDdl(conn: Connection): Seq[String]
+    /** `CREATE PROCEDURE` statements; empty when the dialect cannot
+      * round-trip routine DDL (callers then supply it opaquely). */
+    def procedureDdl(conn: Connection): Seq[String] = Nil
+    /** `CREATE FUNCTION` statements; same contract as procedures. */
+    def functionDdl(conn: Connection): Seq[String] = Nil
   }
 
   private def q(id: String): String = "\"" + id + "\""
@@ -80,6 +85,37 @@ object ObjectDdl {
         buf.toSeq
       } finally st.close()
     }
+
+    override def procedureDdl(conn: Connection): Seq[String] = routineDdl(conn, "P")
+    override def functionDdl(conn: Connection): Seq[String] = routineDdl(conn, "F")
+
+    /** Reconstruct routine DDL from `SYS.SYSALIASES` the way dblook
+      * does: `ALIASINFO`'s string form is
+      * `<javaMethod>(<signature and attributes>)`, so the DDL is
+      * `CREATE {PROCEDURE|FUNCTION} "<alias>"<signature…>
+      * EXTERNAL NAME '<javaClass>.<javaMethod>'`. System schemas are
+      * excluded (they hold Derby's own metadata routines). */
+    private def routineDdl(conn: Connection, aliasType: String): Seq[String] = {
+      val kind = if (aliasType == "P") "PROCEDURE" else "FUNCTION"
+      val st = conn.prepareStatement(
+        """SELECT a.ALIAS, a.JAVACLASSNAME, a.ALIASINFO
+          |FROM SYS.SYSALIASES a JOIN SYS.SYSSCHEMAS s ON a.SCHEMAID = s.SCHEMAID
+          |WHERE s.SCHEMANAME NOT LIKE 'SYS%' AND s.SCHEMANAME <> 'SQLJ'
+          |  AND a.ALIASTYPE = ?
+          |ORDER BY a.ALIAS""".stripMargin)
+      try {
+        st.setString(1, aliasType)
+        val rs = st.executeQuery()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        try while (rs.next()) {
+          val info = String.valueOf(rs.getObject(3))
+          val method = info.substring(0, info.indexOf('('))
+          buf += s"CREATE $kind ${q(rs.getString(1))}${info.substring(method.length)} " +
+            s"EXTERNAL NAME '${rs.getString(2)}.$method'"
+        } finally rs.close()
+        buf.toSeq
+      } finally st.close()
+    }
   }
 
   /** Extract the non-table object surface of a live JDBC schema as
@@ -99,7 +135,8 @@ object ObjectDdl {
       packageDdl: Seq[String] = Nil): Seq[Operation] = {
     val conn = java.sql.DriverManager.getConnection(url)
     val extracted =
-      try (procedureDdl ++ functionDdl) ++
+      try (dialect.procedureDdl(conn) ++ procedureDdl) ++
+        (dialect.functionDdl(conn) ++ functionDdl) ++
         dialect.viewDdl(conn) ++
         triggerDdl.map(SqlText.stripTrailingAlterTriggerEnable) ++
         dialect.sequenceDdl(conn) ++

@@ -205,7 +205,9 @@ class JdbcSpec extends SparkSpec {
     Jdbc.executeSqlList(src, Seq(
       Jdbc.ddlFor("t1", base.schema),
       """CREATE VIEW "v_big" AS SELECT "pk", "b" FROM "t1" WHERE "b" > 50.0""",
-      "CREATE SEQUENCE \"seq_ids\" AS BIGINT START WITH 7 INCREMENT BY 3"))
+      "CREATE SEQUENCE \"seq_ids\" AS BIGINT START WITH 7 INCREMENT BY 3",
+      "CREATE FUNCTION \"f_abs\"(\"x\" INT) RETURNS INT LANGUAGE JAVA " +
+        "PARAMETER STYLE JAVA EXTERNAL NAME 'java.lang.Math.abs' NO SQL"))
     Jdbc.append(base, src, "t1")
 
     val ops = ObjectDdl.exportOtherObjects(src,
@@ -215,6 +217,11 @@ class JdbcSpec extends SparkSpec {
       s"no view DDL in $stmts")
     assert(stmts.exists(s => s.startsWith("CREATE SEQUENCE \"seq_ids\" AS BIGINT START WITH 7")),
       s"no sequence DDL in $stmts")
+    // routine DDL reconstructed from SYSALIASES, dblook-style; Derby's
+    // own metadata routines (system schemas) are excluded
+    assert(stmts.exists(s => s.startsWith("CREATE FUNCTION \"f_abs\"") &&
+      s.endsWith("EXTERNAL NAME 'java.lang.Math.abs'")), s"no function DDL in $stmts")
+    assert(!stmts.exists(_.contains("SYSCS_")))
     // trigger passthrough got the X3 strip
     assert(stmts.exists(_ == "CREATE TRIGGER trg BEGIN x; END;"))
 
@@ -228,10 +235,13 @@ class JdbcSpec extends SparkSpec {
     assert(viaView.count() == 50)
     val conn = java.sql.DriverManager.getConnection(dst)
     try {
-      val rs = conn.createStatement().executeQuery(
-        """VALUES NEXT VALUE FOR "seq_ids"""")
+      val st = conn.createStatement()
+      val rs = st.executeQuery("""VALUES NEXT VALUE FOR "seq_ids"""")
       rs.next()
       assert(rs.getLong(1) == 7L)
+      val rf = st.executeQuery("""VALUES "f_abs"(-5)""")
+      rf.next()
+      assert(rf.getInt(1) == 5)
     } finally conn.close()
   }
 }
