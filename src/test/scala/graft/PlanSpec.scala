@@ -133,4 +133,16 @@ class PlanSpec extends SparkSpec {
     val fp = plan(full)
     assert(!fp.contains("BroadcastNestedLoopJoin") && !fp.contains("CartesianProduct"))
   }
+
+  test("q52: blocked simhash near-dup is join-free (pigeonhole buckets, in-bucket pairs)") {
+    val p = plan(run("q52_simhash_neardup"))
+    assert(!p.contains("Join"), s"blocked near-dup must be join-free:\n$p")
+  }
+
+  test("q58: IVF probe joins candidates on the cell id; no cartesian product") {
+    val df = run("q58_ann_ivf_recall")
+    val p = plan(df)
+    assert(p.contains("__cell"), s"no cell-keyed join in plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in plan:\n$p")
+  }
 }
