@@ -713,7 +713,7 @@ object SparkEntry {
     "q25_minhash_sig" ->
       s"""WITH $shingleCte
          |SELECT doc_id,
-         |  ${(0 until 6).map(i => s"min(md5(sh || '#$i')) AS mh$i").mkString(",\n  ")}
+         |  ${(0 until 6).map(i => s"min(substr(md5(sh), ${1 + 5 * i}, 5)) AS mh$i").mkString(",\n  ")}
          |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q26_simhash" -> simhashSql,
@@ -972,7 +972,7 @@ object SparkEntry {
     * pipeline in SQL: minhash (as in q25), 3 bands × 2 rows banding,
     * distinct same-bucket pairs. Shared by the q48 and q50 oracles. */
   private def lshPairsCtes: String = {
-    val mh = (0 until 6).map(i => s"min(md5(sh || '#$i')) AS mh$i").mkString(",\n    ")
+    val mh = (0 until 6).map(i => s"min(substr(md5(sh), ${1 + 5 * i}, 5)) AS mh$i").mkString(",\n    ")
     val bandSelects = (0 until 3).map { b =>
       s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS band_key FROM mh"
     }.mkString("\n  UNION ALL ")

@@ -48,11 +48,20 @@ object Dedup {
     * this expression lineage — see [[candidatePairs]]. */
   def minhash(docs: DataFrame, k: Int, shingleN: Int = 3,
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingles(col(textCol), shingleN)
+    require(k >= 1 && k <= 32, "k minhash functions are sliced from one 32-hex md5")
+    // one md5 per shingle, materialized once (the projection below is
+    // not collapsed into the per-function selects: Catalyst keeps
+    // non-cheap expressions single-evaluation), then the k hash
+    // functions are disjoint hex slices of the digest — at scale the
+    // digest cost dominates minhashing, and this is k× less hashing
+    // than salting the shingle per function
+    val w = 32 / k
+    val hashed = docs.select(col(idCol),
+      transform(shingles(col(textCol), shingleN), s => md5(s)).as("__h"))
     val sig = (0 until k).map { i =>
-      array_min(transform(sh, s => md5(concat(s, lit(s"#$i"))))).as(s"mh$i")
+      array_min(transform(col("__h"), h => substring(h, 1 + w * i, w))).as(s"mh$i")
     }
-    docs.select(col(idCol) +: sig: _*)
+    hashed.select(col(idCol) +: sig: _*)
   }
 
   /** LSH banding of a minhash signature: band `b` key =
