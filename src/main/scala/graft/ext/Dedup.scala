@@ -278,10 +278,13 @@ object Dedup {
       transform(slice(sorted, i + lit(2), size(sorted) - i - 1),
         b => struct(a.getField("id").as("doc_a"), a.getField("h").as("h_a"),
           b.getField("id").as("doc_b"), b.getField("h").as("h_b")))))
+    // hamming filter BEFORE the dedup shuffle: the pigeonhole blocks
+    // produce each qualifying pair up to nBlocks times, so distinct is
+    // required — but only pairs that survive the radius need to travel
     buckets.select(explode(pairs).as("__p"))
       .select(col("__p.doc_a"), col("__p.doc_b"),
         hamming16(col("__p.h_a"), col("__p.h_b")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }
