@@ -134,6 +134,11 @@ class PlanSpec extends SparkSpec {
     assert(!fp.contains("BroadcastNestedLoopJoin") && !fp.contains("CartesianProduct"))
   }
 
+  test("q42: repetition score is a narrow array scan — only the final sort shuffles") {
+    val df = run("q42_repetition")
+    assert(shuffles(df) <= 1, s"expected only the orderBy exchange:\n${plan(df)}")
+  }
+
   test("q52: blocked simhash near-dup is join-free (pigeonhole buckets, in-bucket pairs)") {
     val p = plan(run("q52_simhash_neardup"))
     assert(!p.contains("Join"), s"blocked near-dup must be join-free:\n$p")
