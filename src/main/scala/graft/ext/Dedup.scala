@@ -220,17 +220,25 @@ object Dedup {
 
   /** 16-bit SimHash over tokens: bit k of the fingerprint is set iff
     * the sum over tokens of ±1 (by bit k of the token hash) is ≥ 0.
-    * One aggregation per doc; near-dups differ in few bits. */
+    * Computed per row as an array scan — the md5 per token is paid
+    * once in a `transform`, then 16 vote lanes accumulate with cheap
+    * integer ops. Exploding the token stream through a keyed group-by
+    * would shuffle many times the corpus size for a per-document
+    * fingerprint; this form is narrow, zero shuffles. */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("h", hash16(col("tok")))
-    val bitSums: Seq[Column] = (0 until 16).map { k =>
-      sum(when(pmod(floor(col("h") / math.pow(2, k).toLong), lit(2)) === 1, lit(1)).otherwise(lit(-1))).as(s"s$k")
-    }
-    toks.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+    val hashes = transform(TextAnalysis.tokens(col(textCol)), t => hash16(t))
+    val zeros = array((0 until 16).map(_ => lit(0L)): _*)
+    val votes = aggregate(hashes, zeros, (acc, h) =>
+      array((0 until 16).map { k =>
+        acc.getItem(k) +
+          when(pmod(floor(h / (1L << k)), lit(2)) === 1, lit(1L)).otherwise(lit(-1L))
+      }: _*))
+    // zero-token docs produce no row (matching the previous
+    // explode-then-group form and the GROUP BY oracle)
+    docs.filter(size(TextAnalysis.tokens(col(textCol))) > 0)
       .select(col(idCol),
-        (0 until 16).map(k => when(col(s"s$k") >= 0, math.pow(2, k).toLong).otherwise(0L))
+        (0 until 16).map(k =>
+          when(votes.getItem(k) >= 0, lit(1L << k)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
 
