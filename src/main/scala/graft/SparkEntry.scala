@@ -346,6 +346,20 @@ object SparkEntry {
         .select(col("label"), col("pos").cast("long").as("pos"), col("m"))
         .orderBy("label", "pos")
     }),
+    // per-key top-k through the bounded-buffer TopK aggregator —
+    // partial aggregation ships ≤ k rows per key per map task instead
+    // of the window-rank full shuffle+sort of the fact table
+    "q59_topk_per_key" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.TopK.topK(3, col("o_totalprice"),
+          col("o_orderkey")).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "s")))
+        .select(col("o_orderpriority"),
+          (col("pos") + 1).cast("long").as("rnk"),
+          col("s.id").as("o_orderkey"),
+          col("s.ord").as("o_totalprice"))
+        .orderBy("o_orderpriority", "rnk")),
     // exact percentiles (linear interpolation)
     "q47_percentiles" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -823,6 +837,16 @@ object SparkEntry {
         |  FROM e)
         |SELECT user_id, event_type, event_id FROM r WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q59_topk_per_key" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk,
+        |  CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice
+        |FROM r WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
 
     "q47_percentiles" ->
       """SELECT o_orderpriority,
