@@ -43,11 +43,16 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           return Double.NaN
       }
-      // drop any blocks a query pinned (persisted levels, local
-      // checkpoints): they are dead once the count returns, and letting
-      // them accumulate across 3 passes × the whole suite turns the
-      // tail of the run into GC pressure that reads as noise
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // drop any blocks a query pinned (persisted levels): they are
+      // dead once the count returns, and letting them accumulate across
+      // 3 passes × the whole suite turns the tail of the run into GC
+      // pressure that reads as noise. Locally-checkpointed RDDs stay:
+      // they are the iterative loops' final label states (KB-sized,
+      // bounded by the loop), and unpersisting a truncated-lineage RDD
+      // logs a lineage warning on every sweep
+      spark.sparkContext.getPersistentRDDs.values
+        .filterNot(_.isCheckpointed)
+        .foreach(_.unpersist(blocking = false))
       (System.nanoTime() - t0) / 1e9
     }
 

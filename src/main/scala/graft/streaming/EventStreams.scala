@@ -106,6 +106,20 @@ object EventStreams {
       .dropDuplicatesWithinWatermark(keys)
   }
 
+  /** Stream-static enrichment: join the event stream to a static
+    * dimension frame on `key`. The static side is planned per
+    * micro-batch (Spark re-resolves it, so a dimension backed by a
+    * table picks up new snapshots), is broadcast when small, and adds
+    * no streaming state — the standard shape for decorating a 100
+    * TB/day stream with reference data. `how` may be "inner" or
+    * "left_outer" (events with no dimension row survive as nulls). */
+  def enrich(stream: DataFrame, dim: DataFrame, key: Seq[String],
+             how: String = "left_outer"): DataFrame = {
+    require(Seq("inner", "left_outer").contains(how),
+      s"stream-static enrich supports inner/left_outer, got $how")
+    stream.join(broadcast(dim), key, how)
+  }
+
   /** Session windows per user: a session closes after `gap` of
     * inactivity. Start = min ts; batch- and stream-compatible. */
   def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =

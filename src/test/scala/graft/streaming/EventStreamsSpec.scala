@@ -100,6 +100,23 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.count() == batch.count())
   }
 
+  test("stream-static enrich decorates every event, matching the batch join") {
+    val ev = load("events")
+    val dim = ev.select($"event_type").distinct()
+      .withColumn("category", upper($"event_type"))
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = EventStreams.withEventTime(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf))
+    val streamed = EventStreams.runToMemorySink(
+      EventStreams.enrich(stream, dim, Seq("event_type")), "stream_enrich")
+      .select("event_type", "category", "user_id", "ts")
+    val batch = EventStreams.enrich(ev, dim, Seq("event_type"))
+      .select("event_type", "category", "user_id", "ts")
+    assert(streamed.count() == ev.count()) // left_outer: nothing dropped
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming tumbling (AvailableNow + memory sink) matches batch result") {
     val batch = EventStreams.tumbling(load("events"))
       .select("win_start", "event_type", "n_events")
