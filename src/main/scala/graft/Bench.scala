@@ -26,6 +26,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // fixture files are single-digit MB: at the default 128 MB split
+      // bound every scan is ONE partition and the narrow pipelines run
+      // on one core. 4 MB ≈ 3-5 tasks for the big tables, still one for
+      // the dims — the local stand-in for a cluster's many-file layout
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/codegen warm-up before any timed work

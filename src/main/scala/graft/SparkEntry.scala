@@ -306,6 +306,15 @@ object SparkEntry {
         .localCheckpoint()
       Dedup.connectedComponents(pairs).orderBy("doc_id")
     }),
+    // the pipeline's end product: the corpus with one representative
+    // kept per duplicate cluster (anti-join against the non-reps)
+    "q60_dedup_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+      val pairs = Dedup.candidatePairs(
+        Dedup.lshBands(Dedup.minhash(docs, k = 6), bands = 3, rowsPerBand = 2))
+        .localCheckpoint()
+      Dedup.dedupCorpus(docs, pairs).select("doc_id").orderBy("doc_id")
+    }),
     // simhash near-dup via nibble blocking — exact for hamming ≤ 3,
     // never all-pairs
     "q52_simhash_neardup" -> ((s, dir) => {
@@ -797,6 +806,7 @@ object SparkEntry {
     "q49_neardup_lsh" -> neardupLshOracle,
     "q48_lsh_candidates" -> lshCandidatesOracle,
     "q50_dedup_components" -> dedupComponentsOracle,
+    "q60_dedup_corpus" -> dedupCorpusOracle,
     "q52_simhash_neardup" -> simhashNearDupOracle,
 
     "q51_regex_tokens" ->
@@ -1045,6 +1055,24 @@ object SparkEntry {
        |  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src)
        |SELECT id AS doc_id, least(id, min(r)) AS comp
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** q60 oracle: the deduped corpus — drop every component member whose
+    * min-reachable label is smaller than its own id. */
+  private def dedupCorpusOracle: String =
+    s"""WITH RECURSIVE $lshPairsCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+       |comp AS (
+       |  SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id)
+       |SELECT d.doc_id FROM documents d
+       |LEFT JOIN comp c ON d.doc_id = c.id
+       |WHERE c.id IS NULL OR c.comp = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** CTE chain ending in `s(doc_id, simhash)` — the identical 16-bit
     * nibble-hash construction. Shared by the q26 and q52 oracles. */

@@ -208,6 +208,21 @@ object Dedup {
     labels.select(col("id").as(idCol), col("comp"))
   }
 
+  /** The dedup pipeline's last stage: given the corpus and its
+    * near-duplicate PAIRS, keep exactly one representative (minimum id)
+    * per transitive duplicate group and every unpaired document.
+    * The non-representatives are the component members whose label is
+    * not their own id — a set bounded by the DUPLICATE count, usually a
+    * small fraction of the corpus, so the anti-join's build side stays
+    * broadcast-sized even when the corpus is 100 TB. */
+  def dedupCorpus(docs: DataFrame, pairs: DataFrame,
+                  idCol: String = "doc_id"): DataFrame = {
+    val losers = connectedComponents(pairs, idCol = idCol)
+      .filter(col("comp") =!= col(idCol))
+      .select(idCol)
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Portable 16-bit token hash: value of the first 4 hex nibbles of
     * md5(token), via position lookup — expressible identically in
     * ANSI SQL (no engine-specific hash function). */

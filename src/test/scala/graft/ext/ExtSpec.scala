@@ -133,6 +133,15 @@ class DedupSpec extends SparkSpec {
       7L -> 7L, 8L -> 7L, 9L -> 7L))
   }
 
+  test("dedupCorpus keeps the min-id representative per cluster and all unpaired docs") {
+    val docs = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters {1,2,3} and {7,8}; 4,5,6,9,10 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.dedupCorpus(docs, pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L, 6L, 7L, 9L, 10L))
+  }
+
   test("connectedComponents converges on a long path (diameter > 1 round)") {
     val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val comps = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
