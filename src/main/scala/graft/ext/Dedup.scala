@@ -187,6 +187,15 @@ object Dedup {
     val edges = edgesRaw.coalesce(loopParts).localCheckpoint()
     var labels = nodes.withColumn("comp", col("id"))
       .coalesce(loopParts).localCheckpoint()
+    // labels only ever DECREASE under min-propagation, so the rounds
+    // converge exactly when sum(comp) stops falling — a narrow
+    // aggregate per round instead of a prev⋈next diff join (one fewer
+    // shuffle join per iteration, at any scale). decimal(38,0): exact
+    // for any node count × id magnitude a real corpus reaches.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -197,11 +206,10 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .coalesce(loopParts).localCheckpoint()
-      val changed = next
-        .join(labels.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") =!= col("prev")).count()
+      val s = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       i += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
