@@ -102,23 +102,24 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** IVF (inverted-file) ANN: a KMeans coarse quantizer (fixed seed —
-    * reproducible) partitions vectors into `nLists` cells; queries are
-    * scored only against their `nProbe` nearest cells. The classic
-    * trade: `nProbe/nLists` of the corpus scanned per query, recall
-    * grows with `nProbe`. Cell assignment is a narrow map; per-query
-    * work is a broadcast join on cell id — at 100 TB the corpus stays
-    * partitioned by cell and only probed cells are read. */
-  def ivfTopK(df: DataFrame, queryIds: Seq[Long], k: Int,
-              nLists: Int, nProbe: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** A built IVF index: the corpus with its coarse-quantizer cell id
+    * (`__cell`) attached, plus the centroid table
+    * `(__cell, __centroid)`. Build once, query many — and persist with
+    * [[ivfWrite]] so probed-cell reads become partition-pruned scans. */
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+
+  /** Build the IVF coarse quantizer: KMeans (fixed seed —
+    * reproducible) partitions vectors into `nLists` cells. The
+    * quantizer trains on a deterministic hash-sample: centroid quality
+    * needs only a representative subset, not the full corpus (at
+    * 100 TB, training on everything would dominate). Cell assignment
+    * is a narrow map over the corpus. */
+  def ivfBuild(df: DataFrame, nLists: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val vecs = df.select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol)).as("__features"))
-    // train the quantizer on a deterministic hash-sample: centroid
-    // quality needs only a representative subset, not the full corpus
-    // (at 100 TB, training on everything would dominate the query)
     val sample = vecs.filter(pmod(hash(col(idCol)), lit(4)) === 0)
     val trainSet = if (sample.isEmpty) vecs else sample
     val model = new KMeans().setK(nLists).setSeed(42L)
@@ -126,23 +127,46 @@ object Similarity {
       .setMaxIter(10)
       .fit(trainSet)
     val assigned = model.transform(vecs).drop("__features")
-    // nProbe nearest cells per query vector, via centroid dot products
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray)
-    }.toSeq
     val spark = df.sparkSession
     import spark.implicits._
-    val centDf = centroids.toDF("__cell", "__centroid")
-    val q = assigned.filter(col(idCol).isin(queryIds: _*))
+    val centDf = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("__cell", "__centroid")
+    IvfIndex(assigned, centDf)
+  }
+
+  /** Persist an IVF index: the assigned corpus lands PARTITIONED BY
+    * cell id, so a query probing `nProbe` of `nLists` cells reads only
+    * those directories (partition pruning) — the property that makes
+    * IVF pay at 100 TB. Centroids are a small side table. */
+  def ivfWrite(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite")
+      .partitionBy("__cell").parquet(s"$path/assigned")
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Reload a persisted IVF index. */
+  def ivfRead(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$path/assigned"),
+      spark.read.parquet(s"$path/centroids"))
+
+  /** Query an IVF index: each query vector is scored only against its
+    * `nProbe` nearest cells (by centroid dot product). The classic
+    * trade — `nProbe/nLists` of the corpus scanned per query, recall
+    * grows with `nProbe`. Per-query work is a broadcast join on cell
+    * id against the (pruned) assigned corpus. */
+  def ivfQuery(index: IvfIndex, queryIds: Seq[Long], k: Int, nProbe: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = index.assigned.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val qCells = q.crossJoin(broadcast(centDf))
+    val qCells = q.crossJoin(broadcast(index.centroids))
       .select(col("query_id"), col("q_vec"), col("__cell"),
         dot(col("q_vec"), col("__centroid")).as("__cd"))
       .withColumn("__r", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("__cd").desc, col("__cell"))))
       .filter(col("__r") <= nProbe)
       .select("query_id", "q_vec", "__cell")
-    val scored = assigned
+    val scored = index.assigned
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("__cell"))
       .join(broadcast(qCells), Seq("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -153,6 +177,14 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** IVF (inverted-file) ANN in one shot: [[ivfBuild]] + [[ivfQuery]].
+    * Production callers should build (and [[ivfWrite]]) once and query
+    * many times. */
+  def ivfTopK(df: DataFrame, queryIds: Seq[Long], k: Int,
+              nLists: Int, nProbe: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfQuery(ivfBuild(df, nLists, idCol, vecCol), queryIds, k, nProbe, idCol, vecCol)
 
   /** Brute-force near-duplicate pairs by cosine ≥ threshold (exact,
     * quadratic — the correctness baseline for the LSH path). */

@@ -240,6 +240,26 @@ class SimilaritySpec extends SparkSpec {
     ivf.foreach { case (q, n, s) => assert(exact((q, n)) == s) }
   }
 
+  test("persisted IVF index: read-back query matches in-memory; cell filter prunes partitions") {
+    val emb = load("embeddings")
+    val idx = Similarity.ivfBuild(emb, nLists = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.ivfWrite(idx, dir)
+    val back = Similarity.ivfRead(spark, dir)
+    def run(i: Similarity.IvfIndex) =
+      Similarity.ivfQuery(i, Seq(0L, 1L), k = 3, nProbe = 2)
+        .select("query_id", "neighbor_id", "sim")
+        .as[(Long, Long, Double)].collect().toSet
+    assert(run(back) == run(idx))
+    // the property that pays at 100 TB: a probed-cell read scans only
+    // that cell's directory
+    val probe = back.assigned.filter(col("__cell") === 1)
+    probe.count()
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(__cell"),
+      s"expected a partition-pruned scan in:\n$p")
+  }
+
   test("signBuckets is deterministic across invocations") {
     val emb = load("embeddings").limit(50)
     val b1 = Similarity.signBuckets(emb, 4, 64).select("vec_id", "bucket").collect().toSeq
