@@ -5,10 +5,14 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
-/** One scored row entering the per-key top-k: an ordering value and the
-  * row id it belongs to. Rows with a null ordering value must be
-  * filtered out by the caller (a null score has no rank). */
+/** One ranked element in the top-k buffer/output: an ordering value and
+  * the row id it belongs to. */
 final case class Scored(ord: Double, id: Long)
+
+/** The aggregator's input row — nullable on both sides so a stray null
+  * score or id is SKIPPED (a null has no rank) instead of killing a
+  * 100 TB job mid-shuffle. */
+final case class ScoredIn(ord: Option[Double], id: Option[Long])
 
 /** Typed aggregator: per-group top-k with a bounded buffer.
   *
@@ -25,7 +29,7 @@ final case class Scored(ord: Double, id: Long)
   * deterministic tiebreak every oracle-checked ranking in this repo
   * uses (same as `ORDER BY ord DESC, id ASC`).
   */
-class TopK(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored]] {
+class TopK(k: Int) extends Aggregator[ScoredIn, List[Scored], Seq[Scored]] {
   require(k > 0, s"k must be positive, got $k")
 
   private def beats(a: Scored, b: Scored): Boolean =
@@ -33,11 +37,14 @@ class TopK(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored]] {
 
   def zero: List[Scored] = Nil
 
-  def reduce(buf: List[Scored], v: Scored): List[Scored] = {
-    // buf is sorted best-first with ≤ k elements; common case at steady
-    // state is "worse than the current k-th" — reject in O(k) compare
-    val (pre, post) = buf.span(beats(_, v))
-    if (pre.length >= k) buf else (pre ::: v :: post).take(k)
+  def reduce(buf: List[Scored], in: ScoredIn): List[Scored] = (in.ord, in.id) match {
+    case (Some(ord), Some(id)) =>
+      val v = Scored(ord, id)
+      // buf is sorted best-first with ≤ k elements; common case at
+      // steady state is "worse than the current k-th" — reject in O(k)
+      val (pre, post) = buf.span(beats(_, v))
+      if (pre.length >= k) buf else (pre ::: v :: post).take(k)
+    case _ => buf // null score or id: unrankable, skip
   }
 
   def merge(a: List[Scored], b: List[Scored]): List[Scored] = {
@@ -66,5 +73,5 @@ object TopK {
     * `array<struct<ord,id>>` sorted best-first, length ≤ k.
     * `posexplode` it to get ranked rows (rank = pos + 1). */
   def topK(k: Int, ord: Column, id: Column): Column =
-    udaf(new TopK(k), Encoders.product[Scored]).apply(ord, id)
+    udaf(new TopK(k), Encoders.product[ScoredIn]).apply(ord, id)
 }

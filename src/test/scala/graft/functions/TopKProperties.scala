@@ -9,16 +9,22 @@ import org.scalacheck.Prop.forAll
   */
 object TopKProperties extends Properties("graft.functions.TopK") {
 
-  private val rowsGen: Gen[List[Scored]] = Gen.listOf(for {
-    ord <- Gen.choose(-100.0, 100.0)
-    // small id space to force ord ties AND duplicate ids
-    id <- Gen.choose(0L, 30L)
-  } yield Scored(ord, id))
+  private val rowGen: Gen[ScoredIn] = Gen.frequency(
+    9 -> (for {
+      ord <- Gen.choose(-100.0, 100.0)
+      // small id space to force ord ties AND duplicate ids
+      id <- Gen.choose(0L, 30L)
+    } yield ScoredIn(Some(ord), Some(id))),
+    // stray nulls must be skipped, not crash or rank
+    1 -> Gen.oneOf(ScoredIn(None, Some(1L)), ScoredIn(Some(1.0), None)))
 
-  private def expected(xs: List[Scored], k: Int): List[Scored] =
-    xs.sortBy(s => (-s.ord, s.id)).take(k)
+  private val rowsGen: Gen[List[ScoredIn]] = Gen.listOf(rowGen)
 
-  property("sequential reduce equals sort-and-take") =
+  private def expected(xs: List[ScoredIn], k: Int): List[Scored] =
+    xs.collect { case ScoredIn(Some(o), Some(i)) => Scored(o, i) }
+      .sortBy(s => (-s.ord, s.id)).take(k)
+
+  property("sequential reduce equals sort-and-take (nulls skipped)") =
     forAll(rowsGen, Gen.choose(1, 8)) { (xs, k) =>
       val agg = new TopK(k)
       xs.foldLeft(agg.zero)(agg.reduce) == expected(xs, k)

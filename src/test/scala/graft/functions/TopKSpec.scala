@@ -46,6 +46,16 @@ class TopKSpec extends SparkSpec {
     assert(ids === Seq(2L, 5L))
   }
 
+  test("topK skips null-score rows instead of failing") {
+    import spark.implicits._
+    val df = Seq(("a", Some(3.0), 1L), ("a", None, 2L), ("a", Some(9.0), 3L))
+      .toDF("key", "ord", "id")
+    val ids = df.groupBy($"key")
+      .agg(TopK.topK(5, $"ord", $"id").as("top"))
+      .select(explode($"top.id").as("id")).as[Long].collect().toSeq
+    assert(ids === Seq(3L, 1L))
+  }
+
   test("topK aggregates partially before the shuffle (no full-table sort)") {
     val o = load("orders")
     val df = o.groupBy(col("o_orderpriority"))
