@@ -355,6 +355,15 @@ object SparkEntry {
         .select(col("label"), col("pos").cast("long").as("pos"), col("m"))
         .orderBy("label", "pos")
     }),
+    // the registered native expression through the SQL surface
+    // (GraftExtensions → dot_product in whole-stage codegen)
+    "q61_sql_dot" -> ((s, dir) => {
+      graft.functions.GraftExtensions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql(
+        """SELECT vec_id, label, dot_product(embedding, embedding) AS norm_sq
+          |FROM embeddings ORDER BY vec_id""".stripMargin)
+    }),
     // per-key top-k through the bounded-buffer TopK aggregator —
     // partial aggregation ships ≤ k rows per key per map task instead
     // of the window-rank full shuffle+sort of the fact table
@@ -847,6 +856,12 @@ object SparkEntry {
         |  FROM e)
         |SELECT user_id, event_type, event_id FROM r WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q61_sql_dot" ->
+      """SELECT vec_id, label,
+        |  list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                   CAST(embedding AS DOUBLE[])) AS norm_sq
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q59_topk_per_key" ->
       """WITH r AS (
