@@ -355,6 +355,12 @@ object SparkEntry {
         .select(col("label"), col("pos").cast("long").as("pos"), col("m"))
         .orderBy("label", "pos")
     }),
+    // corpus vocabulary (tokenizer-training input): token frequency +
+    // document frequency, global top-k via TakeOrderedAndProject
+    "q62_vocab" -> ((s, dir) =>
+      TextAnalysis.vocab(t(s, dir, "documents"))
+        .orderBy(col("n_occurrences").desc, col("token").asc)
+        .limit(50)),
     // the registered native expression through the SQL surface
     // (GraftExtensions → dot_product in whole-stage codegen)
     "q61_sql_dot" -> ((s, dir) => {
@@ -856,6 +862,13 @@ object SparkEntry {
         |  FROM e)
         |SELECT user_id, event_type, event_id FROM r WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q62_vocab" ->
+      s"""WITH $tokCte
+         |SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM toks GROUP BY tok
+         |ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin,
 
     "q61_sql_dot" ->
       """SELECT vec_id, label,

@@ -23,6 +23,18 @@ object TextAnalysis {
   def regexTokens(text: Column): Column =
     filter(split(text, """(?<=\W)|(?=\W)"""), t => t.rlike("""\S"""))
 
+  /** Corpus vocabulary: token → document frequency and total count —
+    * the aggregation a tokenizer-training pass reads. One explode +
+    * one group-by on the token (uniform hash key, partial-aggregated
+    * map-side, so the shuffle carries per-partition token counts, not
+    * the token stream). */
+  def vocab(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"))
+
   /** Per-document token statistics: counts, distinct counts, mean token
     * length, type-token ratio. Zero-token documents (empty or
     * whitespace-only) are excluded — they have no token statistics, and

@@ -15,6 +15,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("type_token_ratio") == 0.75)
   }
 
+  test("vocab counts token occurrences and document frequency") {
+    val df = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocab(df)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(v == Map("a" -> (3L, 2L), "b" -> (1L, 1L), "c" -> (1L, 1L)))
+  }
+
   test("languageGuess votes stopwords, ties break deterministically, no votes → und") {
     val df = Seq(
       (1L, "the cat and the dog"),
