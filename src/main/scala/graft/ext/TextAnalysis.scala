@@ -23,17 +23,24 @@ object TextAnalysis {
   def regexTokens(text: Column): Column =
     filter(split(text, """(?<=\W)|(?=\W)"""), t => t.rlike("""\S"""))
 
-  /** Corpus vocabulary: token → document frequency and total count —
+  /** Corpus vocabulary: token → total count and document frequency —
     * the aggregation a tokenizer-training pass reads. One explode +
-    * one group-by on the token (uniform hash key, partial-aggregated
+    * one group-by on the token; occurrence counts partial-aggregate
     * map-side, so the shuffle carries per-partition token counts, not
-    * the token stream). */
+    * the token stream. Exact document frequency expands to distinct
+    * (token, doc) pairs — for a Zipfian corpus a stopword's pair set is
+    * nearly every document, concentrating that token's state on one
+    * reducer; `exactDocFreq = false` switches to an HLL sketch
+    * (`approx_count_distinct`, bounded state per token), the 100 TB
+    * form. */
   def vocab(docs: DataFrame, idCol: String = "doc_id",
-            textCol: String = "text"): DataFrame =
+            textCol: String = "text", exactDocFreq: Boolean = true): DataFrame = {
+    val docFreq = if (exactDocFreq) countDistinct(col(idCol))
+                  else approx_count_distinct(col(idCol))
     docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy("token")
-      .agg(count(lit(1)).as("n_occurrences"),
-        countDistinct(col(idCol)).as("n_docs"))
+      .agg(count(lit(1)).as("n_occurrences"), docFreq.as("n_docs"))
+  }
 
   /** Per-document token statistics: counts, distinct counts, mean token
     * length, type-token ratio. Zero-token documents (empty or
