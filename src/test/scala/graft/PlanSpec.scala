@@ -47,6 +47,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q62: vocab top-k is TakeOrderedAndProject over a partial-aggregated group-by") {
+    val p = plan(run("q62_vocab"))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"expected map-side partial aggregation in:\n$p")
+  }
+
   test("q10: five-way join is all broadcast, single aggregation shuffle") {
     val df = run("q10_join_revenue")
     val p = plan(df)
