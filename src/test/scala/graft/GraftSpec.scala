@@ -14,6 +14,10 @@ class GraftSpec extends SparkSpec {
   private def freshDb(): String =
     s"jdbc:derby:${Files.createTempDirectory("graft-derby").toString}/db;create=true"
 
+  test("driver entry point returns rows (smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("copyTree → file target: manifest ops + payloads with exact cardinality") {
     val dump = Files.createTempDirectory("graft-dump").toString
     val g = new Graft(spark, sf)
