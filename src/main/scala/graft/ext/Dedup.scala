@@ -87,7 +87,11 @@ object Dedup {
     * join form took tens of seconds in planning for a 15k-row input.
     * No bucket-size cap is applied: a pathological mega-bucket (many
     * identical docs) expands quadratically by definition of the
-    * operator — cap upstream if that is a concern. */
+    * operator — cap upstream if that is a concern. (A chained
+    * posexplode+slice expansion bounding per-row memory to O(m) was
+    * measured 3-4× slower at bench scale — every generated row
+    * re-copies the bucket array — so the single-pass pair-array build
+    * stays.) */
   def candidatePairs(bands: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val buckets = bands.groupBy(col("band"), col("band_key"))
       .agg(collect_list(col(idCol)).as("__ids"))
