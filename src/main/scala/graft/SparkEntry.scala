@@ -297,6 +297,16 @@ object SparkEntry {
       Dedup.jaccardForPairs(docs, pairs)
         .orderBy("doc_a", "doc_b")
     }),
+    // the verification-free screening stage: Jaccard ESTIMATED from
+    // signature agreement alone — per pair reads 2k signature values,
+    // no shingle join
+    "q63_jaccard_estimate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+      val sigs = Dedup.minhash(docs, k = 6).localCheckpoint()
+      val pairs = Dedup.candidatePairs(Dedup.lshBands(sigs, bands = 3, rowsPerBand = 2))
+      Dedup.jaccardEstimate(sigs, pairs, k = 6)
+        .orderBy("doc_a", "doc_b")
+    }),
     // pairs → duplicate CLUSTERS: iterative min-label propagation,
     // checked against a recursive-CTE transitive closure in the oracle
     "q50_dedup_components" -> ((s, dir) => {
@@ -820,6 +830,7 @@ object SparkEntry {
     "q29_ann_lsh" -> annLshOracle,
     "q49_neardup_lsh" -> neardupLshOracle,
     "q48_lsh_candidates" -> lshCandidatesOracle,
+    "q63_jaccard_estimate" -> jaccardEstimateOracle,
     "q50_dedup_components" -> dedupComponentsOracle,
     "q60_dedup_corpus" -> dedupCorpusOracle,
     "q52_simhash_neardup" -> simhashNearDupOracle,
@@ -1049,6 +1060,19 @@ object SparkEntry {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** q63 oracle: the signature-agreement estimator over the same
+    * candidate pairs — mh0..mh5 equality votes divided by k. */
+  private def jaccardEstimateOracle: String = {
+    val votes = (0 until 6)
+      .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $lshPairsCtes
+       |SELECT doc_a, doc_b, CAST($votes AS DOUBLE) / 6 AS jaccard_est
+       |FROM pairs
+       |JOIN mh a ON a.doc_id = doc_a
+       |JOIN mh b ON b.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** q48 oracle: the full LSH dedup pipeline in SQL — candidate pairs,

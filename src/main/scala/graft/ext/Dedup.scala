@@ -105,6 +105,26 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash Jaccard ESTIMATE for candidate pairs: the fraction of
+    * agreeing signature components (the textbook unbiased estimator,
+    * E[match fraction] = J). No shingling, no shingle join — the
+    * screening stage that lets a pipeline discard most candidates
+    * before paying [[jaccardForPairs]]'s exact verification; per pair
+    * it reads 2k signature values and nothing else. `sigs` is the
+    * [[minhash]] output; pass it checkpointed/cached if candidate
+    * generation shares its lineage. */
+  def jaccardEstimate(sigs: DataFrame, pairs: DataFrame, k: Int,
+                      idCol: String = "doc_id"): DataFrame = {
+    val a = sigs.toDF("doc_a" +: (0 until k).map(i => s"__a$i"): _*)
+    val b = sigs.toDF("doc_b" +: (0 until k).map(i => s"__b$i"): _*)
+    val matches = (0 until k)
+      .map(i => when(col(s"__a$i") === col(s"__b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / k).as("jaccard_est"))
+  }
+
   /** Exact Jaccard similarity over distinct `n`-token shingles for
     * given candidate pairs. shape: (doc_a, doc_b, n_a, n_b, n_shared,
     * jaccard).

@@ -110,6 +110,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("jaccardEstimate: identical docs estimate 1.0, disjoint docs 0.0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val sigs = Dedup.minhash(docs, k = 4)
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val est = Dedup.jaccardEstimate(sigs, pairs, k = 4)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(est((1L, 2L)) == 1.0)
+    assert(est((1L, 3L)) == 0.0)
+  }
+
   test("jaccardPairs: identical docs score 1.0") {
     val df = Seq((1L, "w x y z w x"), (2L, "w x y z w x"), (3L, "p q r s t u"))
       .toDF("doc_id", "text")
