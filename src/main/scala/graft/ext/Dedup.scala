@@ -266,27 +266,20 @@ object Dedup {
   }
 
   /** 16-bit SimHash over tokens: bit k of the fingerprint is set iff
-    * the sum over tokens of ±1 (by bit k of the token hash) is ≥ 0.
-    * Computed per row as an array scan — the md5 per token is paid
-    * once in a `transform`, then 16 vote lanes accumulate with cheap
-    * integer ops. Exploding the token stream through a keyed group-by
-    * would shuffle many times the corpus size for a per-document
-    * fingerprint; this form is narrow, zero shuffles. */
+    * the sum over tokens of ±1 (by bit k of the token hash, see
+    * [[hash16]]) is ≥ 0. Computed per row by the native
+    * `graft.functions.SimhashPack` expression — one compiled
+    * digest-vote-pack loop inside whole-stage codegen (the composable
+    * `aggregate`/`transform` form runs interpreted with a lambda frame
+    * and 16 CASE branches per token). Narrow, zero shuffles; exploding
+    * the token stream through a keyed group-by would shuffle many
+    * times the corpus size for a per-document fingerprint. */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val hashes = transform(TextAnalysis.tokens(col(textCol)), t => hash16(t))
-    val zeros = array((0 until 16).map(_ => lit(0L)): _*)
-    val votes = aggregate(hashes, zeros, (acc, h) =>
-      array((0 until 16).map { k =>
-        acc.getItem(k) +
-          when(pmod(floor(h / (1L << k)), lit(2)) === 1, lit(1L)).otherwise(lit(-1L))
-      }: _*))
-    // zero-token docs produce no row (matching the previous
-    // explode-then-group form and the GROUP BY oracle)
+    // zero-token docs produce no row (matching the explode-then-group
+    // form and the GROUP BY oracle)
     docs.filter(size(TextAnalysis.tokens(col(textCol))) > 0)
       .select(col(idCol),
-        (0 until 16).map(k =>
-          when(votes.getItem(k) >= 0, lit(1L << k)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+        graft.functions.SimhashPack(TextAnalysis.tokens(col(textCol))).as("simhash"))
   }
 
   /** Hamming distance between two simhash values (for near-dup

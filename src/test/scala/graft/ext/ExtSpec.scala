@@ -131,6 +131,25 @@ class DedupSpec extends SparkSpec {
     assert(r(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("native simhash16 expression is bit-for-bit the composable md5-nibble construction") {
+    val docs = load("documents").limit(200)
+    val toks = TextAnalysis.tokens(col("text"))
+    val hashes = transform(toks, t => Dedup.hash16(t))
+    val zeros = array((0 until 16).map(_ => lit(0L)): _*)
+    val votes = aggregate(hashes, zeros, (acc, h) =>
+      array((0 until 16).map { k =>
+        acc.getItem(k) +
+          when(pmod(floor(h / (1L << k)), lit(2)) === 1, lit(1L)).otherwise(lit(-1L))
+      }: _*))
+    val composable = docs.filter(size(toks) > 0)
+      .select(col("doc_id"),
+        (0 until 16).map(k =>
+          when(votes.getItem(k) >= 0, lit(1L << k)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    val native = Dedup.simhash(docs)
+    assert(native.exceptAll(composable).isEmpty && composable.exceptAll(native).isEmpty)
+  }
+
   test("simhash: near-identical docs are close in hamming distance, unrelated far") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
