@@ -49,19 +49,16 @@ object Dedup {
   def minhash(docs: DataFrame, k: Int, shingleN: Int = 3,
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 1 && k <= 32, "k minhash functions are sliced from one 32-hex md5")
-    // one md5 per shingle, materialized once (the projection below is
-    // not collapsed into the per-function selects: Catalyst keeps
-    // non-cheap expressions single-evaluation), then the k hash
-    // functions are disjoint hex slices of the digest — at scale the
-    // digest cost dominates minhashing, and this is k× less hashing
-    // than salting the shingle per function
-    val w = 32 / k
-    val hashed = docs.select(col(idCol),
-      transform(shingles(col(textCol), shingleN), s => md5(s)).as("__h"))
-    val sig = (0 until k).map { i =>
-      array_min(transform(col("__h"), h => substring(h, 1 + w * i, w))).as(s"mh$i")
-    }
-    hashed.select(col(idCol) +: sig: _*)
+    // one md5 per shingle, k functions as disjoint hex slices of the
+    // digest (k× less hashing than salting the shingle per function),
+    // all in the native MinhashSig expression — a single compiled
+    // shingle-digest-min loop per row inside whole-stage codegen. The
+    // signature array is materialized once (Catalyst keeps non-cheap
+    // expressions single-evaluation across the unpacking projection).
+    val sigged = docs.select(col(idCol),
+      graft.functions.MinhashSig(TextAnalysis.tokens(col(textCol)), shingleN, k).as("__sig"))
+    sigged.select(col(idCol) +:
+      (0 until k).map(i => col("__sig")(i).as(s"mh$i")): _*)
   }
 
   /** LSH banding of a minhash signature: band `b` key =

@@ -97,6 +97,18 @@ class DedupSpec extends SparkSpec {
     assert(r(0).getAs[Long]("keep_id") == 1L && r(0).getAs[Long]("n_copies") == 2L)
   }
 
+  test("native minhash_sig is bit-for-bit the composable shingle-md5-slice construction") {
+    val docs = load("documents").limit(200)
+    val k = 6; val w = 32 / k
+    val hashed = docs.select(col("doc_id"),
+      transform(Dedup.shingles(col("text"), 3), s => md5(s)).as("__h"))
+    val composable = hashed.select(col("doc_id") +: (0 until k).map { i =>
+      array_min(transform(col("__h"), h => substring(h, 1 + w * i, w))).as(s"mh$i")
+    }: _*)
+    val native = Dedup.minhash(docs, k = k)
+    assert(native.exceptAll(composable).isEmpty && composable.exceptAll(native).isEmpty)
+  }
+
   test("minhash: identical docs have identical signatures; near-dups collide in some band") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val df = Seq((1L, base), (2L, base), (3L, base + " extra tail"), (4L, "totally unrelated words appear here instead now"))
