@@ -15,6 +15,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       GraftExtensions.builder))
+    ext.injectFunction((
+      FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[SimhashPack].getName, "simhash16"),
+      GraftExtensions.simhashBuilder))
   }
 }
 
@@ -22,6 +26,10 @@ object GraftExtensions {
   private val builder: Seq[Expression] => Expression = { children =>
     require(children.size == 2, "dot_product takes exactly 2 arguments")
     DotProduct(children(0), children(1))
+  }
+  private val simhashBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "simhash16 takes exactly 1 argument")
+    SimhashPack(children(0))
   }
 
   /** Register into an already-running session (extensions via
@@ -32,6 +40,8 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("dot_product", builder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("simhash16", simhashBuilder, "built-in")
     implicit val inEnc: org.apache.spark.sql.Encoder[Array[Float]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
     spark.udf.register("vector_mean",

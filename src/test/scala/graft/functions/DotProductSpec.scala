@@ -70,6 +70,16 @@ class DotProductSpec extends SparkSpec {
     assert(r.getDouble(0) == 11.0)
   }
 
+  test("simhash16 is SQL-callable and matches Dedup.simhash") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT simhash16(array('alpha', 'beta', 'gamma')) AS h")
+      .collect()(0).getLong(0)
+    import spark.implicits._
+    val viaApi = graft.ext.Dedup.simhash(Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"))
+      .select("simhash").as[Long].head()
+    assert(viaSql == viaApi)
+  }
+
   test("vector_mean UDAF is SQL-callable and matches the typed Aggregator") {
     GraftExtensions.register(spark)
     load("embeddings").createOrReplaceTempView("emb_vm")
