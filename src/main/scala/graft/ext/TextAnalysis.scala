@@ -168,30 +168,21 @@ object TextAnalysis {
 
   /** Repetition score: frequency of the most common `n`-token shingle
     * over the total shingle count — near 1.0 flags boilerplate/looping
-    * text (a standard pretraining quality filter). */
-  /** Repetition = multiplicity of the most-repeated shingle / total
-    * shingles. Computed per row as a run-length scan over the SORTED
-    * shingle array — explode + two keyed group-bys would shuffle the
-    * full shingle stream (a 10–100× amplification of the corpus) for
-    * a per-document score; this form is a narrow map, zero shuffles.
-    * Docs with no shingles produce no row (explode semantics kept). */
+    * text (a standard pretraining quality filter). Computed per row by
+    * the native `graft.functions.RepetitionStats` expression (one
+    * compiled hash-count loop) — explode + two keyed group-bys would
+    * shuffle the full shingle stream (a 10–100× amplification of the
+    * corpus) for a per-document score; this form is a narrow map, zero
+    * shuffles. Docs with no shingles produce no row (explode semantics
+    * kept). */
   def repetitionScore(docs: DataFrame, shingleN: Int = 3,
-                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sorted = array_sort(Dedup.shingles(col(textCol), shingleN))
-    val zero = struct(lit(null).cast("string").as("prev"),
-      lit(0L).as("run"), lit(0L).as("best"), lit(0L).as("n"))
-    val scan = aggregate(sorted, zero, (acc, x) => {
-      val run = when(acc.getField("prev") === x, acc.getField("run") + 1L).otherwise(lit(1L))
-      struct(x.as("prev"), run.as("run"),
-        greatest(acc.getField("best"), run).as("best"),
-        (acc.getField("n") + 1L).as("n"))
-    })
-    docs.select(col(idCol), scan.as("__s"))
-      .filter(col("__s.n") > 0)
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.RepetitionStats(tokens(col(textCol)), shingleN).as("__s"))
+      .filter(col("__s").isNotNull)
       .select(col(idCol),
         (col("__s.best").cast("double") / col("__s.n")).as("repetition"),
         col("__s.n").as("n_shingles"))
-  }
 
   /** Content fingerprint: md5 over the sorted distinct token set —
     * stable under token reordering/duplication, the hash form of the

@@ -15,6 +15,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("type_token_ratio") == 0.75)
   }
 
+  test("native repetition_stats is value-identical to the sorted-run-scan construction") {
+    val docs = load("documents").limit(200)
+    val sorted = array_sort(Dedup.shingles(col("text"), 3))
+    val zero = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("best"), lit(0L).as("n"))
+    val scan = aggregate(sorted, zero, (acc, x) => {
+      val run = when(acc.getField("prev") === x, acc.getField("run") + 1L).otherwise(lit(1L))
+      struct(x.as("prev"), run.as("run"),
+        greatest(acc.getField("best"), run).as("best"),
+        (acc.getField("n") + 1L).as("n"))
+    })
+    val composable = docs.select(col("doc_id"), scan.as("__s"))
+      .filter(col("__s.n") > 0)
+      .select(col("doc_id"),
+        (col("__s.best").cast("double") / col("__s.n")).as("repetition"),
+        col("__s.n").as("n_shingles"))
+    val native = TextAnalysis.repetitionScore(docs)
+    assert(native.exceptAll(composable).isEmpty && composable.exceptAll(native).isEmpty)
+  }
+
   test("vocab counts token occurrences and document frequency") {
     val df = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
     val v = TextAnalysis.vocab(df)
