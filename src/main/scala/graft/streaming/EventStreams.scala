@@ -129,6 +129,26 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Structured Streaming form of [[sessions]]: watermarked session
+    * windows with bounded state — sessions whose gap has passed the
+    * watermark close and emit, open sessions stay in the store. The
+    * one windowing mode whose state size depends on data (sessions
+    * merge), which is why the watermark is mandatory here. */
+  def streamingSessions(spark: SparkSession, dir: String,
+                        gap: String = "30 minutes",
+                        lateness: String = "10 minutes"): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    withEventTime(stream)
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Structured Streaming form of [[tumbling]] with a watermark: late
     * events beyond `lateness` are dropped, state is bounded — the
     * property that matters on an unbounded 100 TB/day stream. */

@@ -47,6 +47,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q63: estimator joins broadcast the candidate pairs, not the corpus") {
+    val p = plan(run("q63_jaccard_estimate"))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-sized shuffle join in the screening stage:\n$p")
+  }
+
   test("q62: vocab top-k is TakeOrderedAndProject over a partial-aggregated group-by") {
     val p = plan(run("q62_vocab"))
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")

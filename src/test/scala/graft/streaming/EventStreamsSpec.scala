@@ -117,6 +117,22 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming session windows emit watermark-closed sessions matching batch") {
+    val batch = EventStreams.sessions(load("events"))
+      .select("user_id", "session_start", "n_events", "sum_value")
+    val streamed = EventStreams.runToMemorySink(
+      EventStreams.streamingSessions(spark, sf), "stream_sessions")
+      .select("user_id", "session_start", "n_events", "sum_value")
+    // append mode emits only sessions closed by the watermark: all
+    // emitted rows must match batch; anything withheld must still be
+    // open at end-of-stream (session start past maxTs - gap - lateness)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty)
+    val maxTs = load("events").agg(max("ts")).head().getTimestamp(0).getTime
+    val missing = batch.exceptAll(streamed).collect()
+    assert(missing.forall(_.getTimestamp(1).getTime >= maxTs - 40 * 60 * 1000))
+  }
+
   test("streaming tumbling (AvailableNow + memory sink) matches batch result") {
     val batch = EventStreams.tumbling(load("events"))
       .select("win_start", "event_type", "n_events")
