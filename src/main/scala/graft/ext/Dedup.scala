@@ -63,13 +63,22 @@ object Dedup {
 
   /** LSH banding of a minhash signature: band `b` key =
     * md5(mh[b*r] || .. || mh[b*r+r-1]). Docs sharing any band key are
-    * near-dup candidates. Returns (idCol, band, band_key). */
+    * near-dup candidates. Returns (idCol, band, band_key).
+    *
+    * Docs too short to shingle carry a NULL signature ([[minhash]]),
+    * and `concat_ws` skips nulls — unfiltered they would all collide
+    * on md5('') in every band: spurious candidate pairs, and at corpus
+    * scale one global mega-bucket whose pair expansion is quadratic
+    * inside a single task. A shingle-less doc has no similarity
+    * evidence, so it is excluded here (the exact-Jaccard verify stage
+    * likewise sees no shingles for it). */
   def lshBands(sigs: DataFrame, bands: Int, rowsPerBand: Int, idCol: String = "doc_id"): DataFrame = {
     val bandRows = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
       struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("band_key"))
     }
-    sigs.select(col(idCol), explode(array(bandRows: _*)).as("bk"))
+    sigs.filter(col("mh0").isNotNull)
+      .select(col(idCol), explode(array(bandRows: _*)).as("bk"))
       .select(col(idCol), col("bk.band"), col("bk.band_key"))
   }
 

@@ -32,8 +32,14 @@ final case class ScoredIn(ord: Option[Double], id: Option[Long])
 class TopK(k: Int) extends Aggregator[ScoredIn, List[Scored], Seq[Scored]] {
   require(k > 0, s"k must be positive, got $k")
 
-  private def beats(a: Scored, b: Scored): Boolean =
-    a.ord > b.ord || (a.ord == b.ord && a.id < b.id)
+  // Double.compare, not </==: gives NaN a total-order position (largest
+  // double, NaN == NaN) matching Spark SQL's ORDER BY — primitive
+  // comparison treats NaN as incomparable, so a NaN-scored row would
+  // land wherever the scan stopped and survive merges inconsistently.
+  private def beats(a: Scored, b: Scored): Boolean = {
+    val c = java.lang.Double.compare(a.ord, b.ord)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   def zero: List[Scored] = Nil
 
