@@ -32,12 +32,15 @@ final case class ScoredIn(ord: Option[Double], id: Option[Long])
 class TopK(k: Int) extends Aggregator[ScoredIn, List[Scored], Seq[Scored]] {
   require(k > 0, s"k must be positive, got $k")
 
-  // Double.compare, not </==: gives NaN a total-order position (largest
-  // double, NaN == NaN) matching Spark SQL's ORDER BY — primitive
-  // comparison treats NaN as incomparable, so a NaN-scored row would
-  // land wherever the scan stopped and survive merges inconsistently.
+  // Spark SQL's double ordering (SQLOrderingUtil.compareDoubles) checks
+  // primitive == first — so -0.0 and 0.0 are EQUAL and fall through to the
+  // id tiebreak — then Double.compare, which gives NaN a total-order
+  // position (largest double, NaN == NaN). Primitive == is false for NaN,
+  // so NaN still orders via Double.compare; plain Double.compare alone
+  // would rank 0.0 strictly above -0.0 and diverge from the documented
+  // `ORDER BY ord DESC, id ASC` oracle semantics.
   private def beats(a: Scored, b: Scored): Boolean = {
-    val c = java.lang.Double.compare(a.ord, b.ord)
+    val c = if (a.ord == b.ord) 0 else java.lang.Double.compare(a.ord, b.ord)
     c > 0 || (c == 0 && a.id < b.id)
   }
 

@@ -46,6 +46,19 @@ class TopKSpec extends SparkSpec {
     assert(ids === Seq(2L, 5L))
   }
 
+  test("topK treats -0.0 and 0.0 as equal (Spark SQL double ordering)") {
+    import spark.implicits._
+    // Under plain Double.compare, 0.0 beats -0.0 and id 9 would win rank
+    // 0; Spark SQL's compareDoubles treats them as equal, so the id
+    // tiebreak must pick id 2 first.
+    val df = Seq(("k", 0.0, 9L), ("k", -0.0, 2L), ("k", -1.0, 5L))
+      .toDF("key", "ord", "id")
+    val ids = df.groupBy($"key")
+      .agg(TopK.topK(3, $"ord", $"id").as("top"))
+      .select(explode($"top.id").as("id")).as[Long].collect().toSeq
+    assert(ids === Seq(2L, 9L, 5L))
+  }
+
   test("topK skips null-score rows instead of failing") {
     import spark.implicits._
     val df = Seq(("a", Some(3.0), 1L), ("a", None, 2L), ("a", Some(9.0), 3L))
