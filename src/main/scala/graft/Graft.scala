@@ -58,7 +58,10 @@ class JdbcTarget(spark: SparkSession, url: String,
     case TableUpsert(t, pk, payload) =>
       Jdbc.upsert(spark.read.parquet(s"$staging/$payload"), url, t, pk, allowProduction)
     case DeleteByPk(t, pk, payload) =>
-      Jdbc.deleteByPk(spark.read.parquet(s"$staging/$payload").select(pk), url, t, pk, allowProduction)
+      val keyCols = pk.split(",").map(_.trim).toSeq
+      Jdbc.deleteByPk(
+        spark.read.parquet(s"$staging/$payload").selectExpr(keyCols: _*),
+        url, t, pk, allowProduction)
     case SqlList(stmts) => Jdbc.executeSqlList(url, stmts)
     case ConstraintDdl(stmts) => Jdbc.executeSqlList(url, stmts)
   }
@@ -95,7 +98,7 @@ class Graft(spark: SparkSession, dataDir: String,
         // raw row counts) so tables whose walk key is a non-unique
         // stand-in — many rows per key — export without spurious errors.
         val nKeys = sel.keys.count()
-        val nRowKeys = rows.select(sel.column).distinct().count()
+        val nRowKeys = rows.select(sel.columns.head, sel.columns.tail: _*).distinct().count()
         if (nRowKeys != nKeys)
           sys.error(s"Only $nRowKeys of $nKeys keys copied for ${sel.table}")
         val payload = target.writePayload(s"${sel.table}_$i", rows)
@@ -113,8 +116,8 @@ class Graft(spark: SparkSession, dataDir: String,
     try {
       sels.reverse.zipWithIndex.foreach { case (sel, i) =>
         val payload = target.writePayload(s"del_${sel.table}_$i",
-          sel.keys.toDF(sel.column))
-        target.apply(DeleteByPk(sel.table, sel.column, payload))
+          sel.keys.toDF(sel.columns: _*))
+        target.apply(DeleteByPk(sel.table, sel.columns.mkString(","), payload))
       }
       sels
     } finally TreeWalk.release(sels)

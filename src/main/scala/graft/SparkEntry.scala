@@ -78,6 +78,23 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // J3 extended past the reference's single-column-PK hard error
+    // (CopyUtils.java:410-412): the same walk with lineitem keyed by
+    // its natural composite PK (l_orderkey, l_linenumber) — the
+    // selection carries the full two-column key
+    "q55_composite_walk" -> ((s, dir) => {
+      val sels = TreeWalk.selectAlongPathComposite(
+        s, name => t(s, dir, name),
+        paths = Seq("customer->orders.o_custkey", "orders->lineitem.l_orderkey"),
+        pks = SchemaCatalog.compositeWalkPks,
+        rootTable = "customer",
+        rootIds = (1L to 10L),
+        cache = false) // single consumer — caching would only leak
+      sels.last.keys
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // J4/K5 query form: delete-tree = anti join (deleteSelections,
     // CopyUtils.java:23-31; DeleteByPk.java:15-43)
     "q04_delete_tree" -> ((s, dir) => {
@@ -548,6 +565,14 @@ object SparkEntry {
 
     "q03_copy_tree" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_custkey IN (
+        |    SELECT c_custkey FROM customer WHERE c_custkey BETWEEN 1 AND 10))
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q55_composite_walk" ->
+      """SELECT DISTINCT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber
         |FROM lineitem
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_custkey IN (

@@ -75,15 +75,23 @@ final class SchemaCatalog(spark: SparkSession, dir: String,
 final case class JdbcCatalog(
     tables: Seq[String],
     primaryKeys: Map[String, String],
-    fkEdges: Seq[FkEdge])
+    fkEdges: Seq[FkEdge],
+    pkColumns: Map[String, Seq[String]] = Map.empty) {
+  /** PKs of every arity, for the composite-aware walk: discovered
+    * multi-column keys plus the single-column ones. */
+  def compositePks: Map[String, Seq[String]] =
+    pkColumns ++ primaryKeys.map { case (t, c) => t -> Seq(c) }
+}
 
 object SchemaCatalog {
 
-  /** Introspect tables, single-column PKs and single-column FK edges
-    * from a live JDBC source. Composite PKs are treated as absent —
-    * the walk then raises the reference's "There is no PK" error
-    * (`CopyUtils.java:410-412` hard-errors on multi-column PKs);
-    * composite FKs are skipped (the reference models only
+  /** Introspect tables, PKs and single-column FK edges from a live
+    * JDBC source. `primaryKeys` carries the single-column PKs (the
+    * reference's shape — it hard-errors on multi-column PKs,
+    * `CopyUtils.java:410-412`, so a composite key is "no PK" to the
+    * single-column walk); `pkColumns`/`compositePks` carry every
+    * discovered key, any arity, for `TreeWalk.walkLinkedComposite`.
+    * Composite FKs are skipped (the reference models only
     * single-column relationships, `ForeignKeyRelationship.java:10-31`).
     *
     * Driver-side and metadata-sized by construction: one dictionary
@@ -98,12 +106,17 @@ object SchemaCatalog {
         try while (rs.next()) buf += rs.getString("TABLE_NAME") finally rs.close()
         buf.toSeq.sorted
       }
-      val pks = tables.flatMap { t =>
-        val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+      val pkCols = tables.flatMap { t =>
+        // (KEY_SEQ, column) pairs — JDBC does not promise result order,
+        // the sequence number defines the key's column order
+        val cols = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
         val rs = md.getPrimaryKeys(null, schemaPattern, t)
-        try while (rs.next()) cols += rs.getString("COLUMN_NAME") finally rs.close()
-        if (cols.size == 1) Some(t -> cols.head) else None
+        try while (rs.next())
+          cols += ((rs.getInt("KEY_SEQ"), rs.getString("COLUMN_NAME")))
+        finally rs.close()
+        if (cols.isEmpty) None else Some(t -> cols.sortBy(_._1).map(_._2).toSeq)
       }.toMap
+      val pks = pkCols.collect { case (t, Seq(c)) => t -> c }
       val edges = tables.flatMap { t =>
         val rows = scala.collection.mutable.ArrayBuffer.empty[(String, FkEdge)]
         val rs = md.getImportedKeys(null, schemaPattern, t)
@@ -123,7 +136,7 @@ object SchemaCatalog {
           .collect { case buf if buf.size == 1 => buf.head._2 }
           .toSeq
       }.sortBy(_.name)
-      JdbcCatalog(tables, pks, edges)
+      JdbcCatalog(tables, pks, edges, pkCols)
     } finally conn.close()
   }
   /** PK fixture from FIXTURES.md §B (lineitem deliberately has no
@@ -140,6 +153,14 @@ object SchemaCatalog {
   /** Like starPks but with the working stand-in PK for lineitem used by
     * tree-walk tests (FIXTURES.md §B). */
   val walkPks: Map[String, String] = starPks + ("lineitem" -> "l_orderkey")
+
+  /** Composite-aware PK fixture: every starPks table plus lineitem's
+    * natural two-column key (l_orderkey, l_linenumber) — the shape the
+    * reference hard-errors on (`CopyUtils.java:410-412`) and
+    * `TreeWalk.walkLinkedComposite` supports. */
+  val compositeWalkPks: Map[String, Seq[String]] =
+    starPks.map { case (t, c) => t -> Seq(c) } +
+      ("lineitem" -> Seq("l_orderkey", "l_linenumber"))
 
   /** FK edges of the star schema (FIXTURES.md §B). */
   val starEdges: Seq[FkEdge] = Seq(

@@ -26,14 +26,33 @@ final case class FkEdge(
     childTable: String,
     childColumn: String)
 
-/** "The rows of `table` whose `column` ∈ keys" — the unit of subsetting
-  * (`TableSelection.java:12-21`). Keys are carried as a single-column
+/** "The rows of `table` whose key columns ∈ keys" — the unit of
+  * subsetting (`TableSelection.java:12-21`). Keys are carried as a
   * DataFrame (not a driver-side List) so a selection scales to key sets
   * that never fit on the driver.
+  *
+  * The reference models single-column selections only (it hard-errors
+  * on composite PKs, `CopyUtils.java:410-412`); this engine extends the
+  * shape to multi-column keys — `columns` and the key frame's columns
+  * are positionally aligned.
   */
-final case class Selection(table: String, column: String, keys: DataFrame) {
-  require(keys.columns.length == 1, s"Selection keys must be a single-column DataFrame, got ${keys.columns.mkString(",")}")
-  def keyCol: String = keys.columns(0)
+final case class Selection(table: String, columns: Seq[String], keys: DataFrame) {
+  require(columns.nonEmpty && keys.columns.length == columns.length,
+    s"Selection columns ${columns.mkString(",")} must align with key columns ${keys.columns.mkString(",")}")
+  /** The single selection column — most walks; composite selections
+    * must go through [[columns]]. */
+  def column: String = {
+    require(columns.length == 1,
+      s"selection on $table has a composite key (${columns.mkString(",")})")
+    columns.head
+  }
+  def keyCols: Seq[String] = keys.columns.toSeq
+  def keyCol: String = keyCols.head
+}
+object Selection {
+  /** Single-column form (the reference's shape). */
+  def apply(table: String, column: String, keys: DataFrame): Selection =
+    Selection(table, Seq(column), keys)
 }
 
 /** Replayable unit of work — the dump stream is a sequence of these
@@ -49,9 +68,12 @@ object Operation {
   final case class SqlList(statements: Seq[String]) extends Operation { val kind = "sql_list" }
   /** Bulk append of a parquet payload into a table (`ExecuteTableLoad.java:10-24`). */
   final case class TableLoad(table: String, payload: String) extends Operation { val kind = "table_load" }
-  /** Update-else-insert of a payload keyed by pk (`ExecuteTableUpdate.java:10-26`). */
+  /** Update-else-insert of a payload keyed by pk (`ExecuteTableUpdate.java:10-26`).
+    * A composite key travels comma-joined (`"c1,c2"`) so the manifest
+    * shape is unchanged. */
   final case class TableUpsert(table: String, pk: String, payload: String) extends Operation { val kind = "table_upsert" }
-  /** Batched delete of the pk values in the payload (`DeleteByPk.java:15-43`). */
+  /** Batched delete of the pk values in the payload (`DeleteByPk.java:15-43`).
+    * Composite keys comma-joined, as in [[TableUpsert]]. */
   final case class DeleteByPk(table: String, pk: String, payload: String) extends Operation { val kind = "delete_by_pk" }
   /** Create, dropping first if present (`CreateOrReplaceTableOperation.java:15-46`). */
   final case class CreateOrReplace(table: String, ddl: String) extends Operation { val kind = "create_or_replace" }

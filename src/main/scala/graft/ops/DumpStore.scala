@@ -121,7 +121,7 @@ object DumpStore {
       // distinct-vs-distinct, so non-unique stand-in keys (many rows
       // per key) don't trip it
       val nKeys = sel.keys.distinct().count()
-      val nRowKeys = rows.select(sel.column).distinct().count()
+      val nRowKeys = rows.select(sel.columns.head, sel.columns.tail: _*).distinct().count()
       if (nRowKeys != nKeys)
         sys.error(s"Only $nRowKeys of $nKeys keys copied for ${sel.table} — cardinality invariant violated")
       rows.write.mode(SaveMode.Overwrite).parquet(s"$dumpDir/$payload")
@@ -141,8 +141,8 @@ object DumpStore {
       dumpDir: String): Seq[Operation] = {
     val ops = selections.reverse.zipWithIndex.map { case (sel, i) =>
       val payload = s"payloads/del_${sel.table}_$i"
-      sel.keys.toDF(sel.column).write.mode(SaveMode.Overwrite).parquet(s"$dumpDir/$payload")
-      DeleteByPk(sel.table, sel.column, payload)
+      sel.keys.toDF(sel.columns: _*).write.mode(SaveMode.Overwrite).parquet(s"$dumpDir/$payload")
+      DeleteByPk(sel.table, sel.columns.mkString(","), payload)
     }
     writeManifest(spark, dumpDir, ops)
     ops

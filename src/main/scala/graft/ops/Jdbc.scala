@@ -89,19 +89,26 @@ object Jdbc {
       case _ => ps.setObject(i, v)
     }
 
+  /** A manifest key field may carry a composite key comma-joined
+    * (`Operation.TableUpsert`/`DeleteByPk` docs). */
+  private def pkCols(pk: String): Seq[String] = pk.split(",").map(_.trim).toSeq
+
   /** Upsert (K4): per row UPDATE … WHERE pk=?; 0 rows updated → queue
     * for insert; >1 → hard error (the reference's wrong-pk guard,
     * `CopyUtils.java:763-767`); queued rows bulk-inserted in batches.
     * The delta is pre-deduplicated latest-wins so concurrent partitions
-    * never race on a key. */
+    * never race on a key. `pk` may be comma-joined for a composite key —
+    * the WHERE clause then matches every key column. */
   def upsert(df: DataFrame, url: String, table: String, pk: String,
              allowProduction: Boolean = false): Unit = {
     guardProduction(url, allowProduction)
-    val deduped = Writers.dedupLatest(df, pk)
+    val pks = pkCols(pk)
+    val deduped = Writers.dedupLatest(df, pks, Nil)
     val schema = deduped.schema
     val cols = schema.fieldNames.toSeq
-    val nonPk = cols.filterNot(_ == pk)
-    val updateSql = s"UPDATE ${quoted(table)} SET ${nonPk.map(c => s"${quoted(c)} = ?").mkString(", ")} WHERE ${quoted(pk)} = ?"
+    val nonPk = cols.filterNot(pks.contains)
+    val updateSql = s"UPDATE ${quoted(table)} SET ${nonPk.map(c => s"${quoted(c)} = ?").mkString(", ")} " +
+      s"WHERE ${pks.map(c => s"${quoted(c)} = ?").mkString(" AND ")}"
     val insertSql = s"INSERT INTO ${quoted(table)} (${cols.map(quoted).mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     deduped.foreachPartition { (rows: Iterator[Row]) =>
@@ -115,10 +122,14 @@ object Jdbc {
           nonPk.zipWithIndex.foreach { case (c, i) =>
             bind(upd, i + 1, r.get(r.fieldIndex(c)), types(c))
           }
-          bind(upd, nonPk.size + 1, r.get(r.fieldIndex(pk)), types(pk))
+          pks.zipWithIndex.foreach { case (c, i) =>
+            bind(upd, nonPk.size + i + 1, r.get(r.fieldIndex(c)), types(c))
+          }
           val n = upd.executeUpdate()
-          if (n > 1)
-            sys.error(s"Update for ${r.get(r.fieldIndex(pk))} changed $n rows — was the wrong column given as the primary key?")
+          if (n > 1) {
+            val kv = pks.map(c => r.get(r.fieldIndex(c))).mkString(", ")
+            sys.error(s"Update for ($kv) changed $n rows — was the wrong column given as the primary key?")
+          }
           if (n == 0) {
             cols.zipWithIndex.foreach { case (c, i) =>
               bind(ins, i + 1, r.get(r.fieldIndex(c)), types(c))
@@ -134,12 +145,17 @@ object Jdbc {
     }
   }
 
-  /** Delete-by-pk (K5): batched prepared deletes over the key frame. */
+  /** Delete-by-pk (K5): batched prepared deletes over the key frame.
+    * `pk` may be comma-joined for a composite key; the key frame's
+    * columns align positionally with it. */
   def deleteByPk(keys: DataFrame, url: String, table: String, pk: String,
                  allowProduction: Boolean = false): Unit = {
     guardProduction(url, allowProduction)
-    val dt = keys.schema.fields(0).dataType
-    val sql = s"DELETE FROM ${quoted(table)} WHERE ${quoted(pk)} = ?"
+    val pks = pkCols(pk)
+    require(keys.columns.length == pks.length,
+      s"key frame has ${keys.columns.length} columns for a ${pks.length}-column key $pk")
+    val dts = keys.schema.fields.map(_.dataType).toSeq
+    val sql = s"DELETE FROM ${quoted(table)} WHERE ${pks.map(c => s"${quoted(c)} = ?").mkString(" AND ")}"
     keys.distinct().foreachPartition { (rows: Iterator[Row]) =>
       val conn = DriverManager.getConnection(url)
       conn.setAutoCommit(false)
@@ -147,7 +163,7 @@ object Jdbc {
         val del = conn.prepareStatement(sql)
         var pending = 0
         rows.foreach { r =>
-          bind(del, 1, r.get(0), dt)
+          dts.zipWithIndex.foreach { case (dt, i) => bind(del, i + 1, r.get(i), dt) }
           del.addBatch()
           pending += 1
           if (pending >= batchSize) { del.executeBatch(); pending = 0 }
@@ -241,7 +257,8 @@ object Jdbc {
       case TableUpsert(t, pk, payload) =>
         upsert(spark.read.parquet(s"$dumpDir/$payload"), url, t, pk, allowProduction)
       case DeleteByPk(t, pk, payload) =>
-        deleteByPk(spark.read.parquet(s"$dumpDir/$payload").select(pk), url, t, pk, allowProduction)
+        deleteByPk(spark.read.parquet(s"$dumpDir/$payload")
+          .select(pkCols(pk).map(col): _*), url, t, pk, allowProduction)
       case SqlList(stmts) =>
         executeSqlList(url, stmts)
       case ConstraintDdl(stmts) =>

@@ -24,4 +24,23 @@ object PathDsl {
 
   def parseAll(paths: Seq[String], pks: Map[String, String]): Seq[FkEdge] =
     paths.map(parse(_, pks))
+
+  /** [[parseAll]] over a composite-PK catalog. A path edge references
+    * its parent through the parent's PK, which a single-column FK can
+    * only do when that PK is single-column — a composite-PK *parent* is
+    * rejected here (its children would need composite FKs, outside the
+    * reference's edge model, `ForeignKeyRelationship.java:10-31`);
+    * composite-PK *children* are fine (the walk selects their full PK).
+    */
+  def parseAllComposite(paths: Seq[String], pks: Map[String, Seq[String]]): Seq[FkEdge] =
+    paths.map { path =>
+      path match {
+        case Path(parent, _, _) =>
+          val parentPk = pks.getOrElse(parent, sys.error(s"There is no PK for $parent"))
+          require(parentPk.length == 1,
+            s"path '$path' walks out of $parent, whose PK (${parentPk.mkString(",")}) is composite — a single-column FK edge cannot reference it")
+        case _ => ()
+      }
+      parse(path, pks.collect { case (t, Seq(c)) => t -> c })
+    }
 }

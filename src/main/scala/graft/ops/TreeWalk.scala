@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, lit}
 
 import graft.model.{FkEdge, Selection}
@@ -20,13 +20,18 @@ import graft.model.{FkEdge, Selection}
   * Reference error semantics kept:
   * - an edge whose parent has no accumulated ids yet → hard error
   *   ("Could not find path to …", `CopyUtils.java:552-555`);
-  * - a child table without a single-column PK → hard error
-  *   ("no PK for …", `:562-564`).
+  * - a child table without a PK → hard error ("no PK for …", `:562-564`).
+  *
+  * The reference additionally hard-errors on multi-column PKs
+  * (`CopyUtils.java:410-412`); the single-column entry points keep that
+  * contract, while [[walkLinkedComposite]] extends the walk to composite
+  * child keys (selections then carry one key column per PK column).
   */
 object TreeWalk {
 
   /** Walk `edges` in order from `roots` (table → single-column key DF),
-    * returning one Selection per edge, in walk order.
+    * returning one Selection per edge, in walk order. Single-column-PK
+    * form — the reference's shape.
     *
     * @param broadcastKeys hint key sets as broadcastable (small roots —
     *   the common copy-tree case). With false, Catalyst/AQE decides.
@@ -44,24 +49,58 @@ object TreeWalk {
       roots: Map[String, DataFrame],
       broadcastKeys: Boolean = true,
       cache: Boolean = true): Seq[Selection] = {
+    roots.foreach { case (t, keys) =>
+      require(keys.columns.length == 1, s"root keys for $t must be single-column")
+    }
+    val rootsNamed = roots.map { case (t, keys) =>
+      val pk = pks.getOrElse(t, sys.error(s"There is no PK for $t"))
+      t -> keys.toDF(pk)
+    }
+    walkLinkedComposite(loader, edges, pks.map { case (t, c) => t -> Seq(c) },
+      rootsNamed, broadcastKeys, cache)
+  }
+
+  /** [[walkLinked]] generalized to composite (multi-column) child PKs —
+    * the extension past the reference's single-column-PK hard error.
+    *
+    * `pks` maps each table to its ordered PK column list; `roots` key
+    * frames must carry the root table's PK columns (names aligned).
+    * Each selection's key frame holds the child's full PK; onward edges
+    * join through `edge.parentColumn`, which must be one of the parent's
+    * accumulated key columns (an FK can only reference what the walk
+    * has selected).
+    */
+  def walkLinkedComposite(
+      loader: String => DataFrame,
+      edges: Seq[FkEdge],
+      pks: Map[String, Seq[String]],
+      roots: Map[String, DataFrame],
+      broadcastKeys: Boolean = true,
+      cache: Boolean = true): Seq[Selection] = {
 
     val acc = scala.collection.mutable.Map.empty[String, DataFrame]
     roots.foreach { case (t, keys) =>
-      require(keys.columns.length == 1, s"root keys for $t must be single-column")
-      acc(t) = keys.toDF("__key").distinct()
+      val pk = pks.getOrElse(t, sys.error(s"There is no PK for $t"))
+      require(keys.columns.toSeq == pk,
+        s"root keys for $t must carry its PK columns ${pk.mkString(",")}, got ${keys.columns.mkString(",")}")
+      acc(t) = keys.distinct()
     }
 
     val out = Seq.newBuilder[Selection]
     edges.foreach { edge =>
-      val parentIds = acc.getOrElse(edge.parentTable,
+      val parentKeys = acc.getOrElse(edge.parentTable,
         sys.error(s"Could not find path to ${edge.parentTable} (edge ${edge.name})"))
+      require(parentKeys.columns.contains(edge.parentColumn),
+        s"edge ${edge.name} leaves ${edge.parentTable} through ${edge.parentColumn}, " +
+          s"which is not among its selected key columns ${parentKeys.columns.mkString(",")}")
       val childPk = pks.getOrElse(edge.childTable,
         sys.error(s"There is no PK for ${edge.childTable}"))
+      val parentIds = parentKeys.select(edge.parentColumn).distinct().toDF("__key")
       val keys = if (broadcastKeys) broadcast(parentIds) else parentIds
       val child = loader(edge.childTable)
       val childKeys = child
         .join(keys, child(edge.childColumn) === keys("__key"), "left_semi")
-        .select(col(childPk))
+        .select(childPk.map(col): _*)
         .distinct()
       // persist each level when reused: the Selection keeps the SAME
       // DataFrame that was persisted, so release() can unpersist it
@@ -69,8 +108,8 @@ object TreeWalk {
         childKeys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out += Selection(edge.childTable, childPk, childKeys)
       acc(edge.childTable) = acc.get(edge.childTable) match {
-        case Some(prev) => prev.union(childKeys.toDF("__key")).distinct()
-        case None => childKeys.toDF("__key")
+        case Some(prev) => prev.union(childKeys).distinct()
+        case None => childKeys
       }
     }
     out.result()
@@ -93,24 +132,47 @@ object TreeWalk {
       pks: Map[String, String],
       rootTable: String,
       rootIds: Seq[Long],
+      cache: Boolean = true): Seq[Selection] =
+    selectAlongPathComposite(spark, loader, paths,
+      pks.map { case (t, c) => t -> Seq(c) }, rootTable, rootIds, cache)
+
+  /** [[selectAlongPath]] over a composite-PK catalog. The root table
+    * must still have a single-column PK (root ids are scalars); child
+    * tables may have composite PKs. */
+  def selectAlongPathComposite(
+      spark: SparkSession,
+      loader: String => DataFrame,
+      paths: Seq[String],
+      pks: Map[String, Seq[String]],
+      rootTable: String,
+      rootIds: Seq[Long],
       cache: Boolean = true): Seq[Selection] = {
-    import spark.implicits._
     val rootPk = pks.getOrElse(rootTable, sys.error(s"There is no PK for $rootTable"))
+    require(rootPk.length == 1,
+      s"root table $rootTable must have a single-column PK to seed from scalar ids, got ${rootPk.mkString(",")}")
     // keep only root ids that actually exist (the reference selects the
     // root rows by id too — absent ids select nothing)
     val rootKeys = loader(rootTable)
-      .filter(col(rootPk).isin(rootIds.map(x => lit(x)): _*))
-      .select(col(rootPk))
-    val edges = PathDsl.parseAll(paths, pks)
-    val walked = walkLinked(loader, edges, pks, Map(rootTable -> rootKeys), cache = cache)
+      .filter(col(rootPk.head).isin(rootIds.map(x => lit(x)): _*))
+      .select(col(rootPk.head))
+    val edges = PathDsl.parseAllComposite(paths, pks)
+    val walked = walkLinkedComposite(loader, edges, pks,
+      Map(rootTable -> rootKeys), cache = cache)
     Selection(rootTable, rootPk, rootKeys) +: walked
   }
+
+  /** The equi-join condition matching a table's columns to a selection's
+    * key columns, pairwise in order. */
+  private def keyCondition(t: DataFrame, sel: Selection): Column =
+    sel.columns.zip(sel.keyCols)
+      .map { case (c, k) => t(c) === sel.keys(k) }
+      .reduce(_ && _)
 
   /** The materialized rows of a selection — child ⋉ keys (J1 in query
     * form). Broadcast of the key side left to AQE. */
   def selectRows(loader: String => DataFrame, sel: Selection): DataFrame = {
     val t = loader(sel.table)
-    t.join(sel.keys, t(sel.column) === sel.keys(sel.keyCol), "left_semi")
+    t.join(sel.keys, keyCondition(t, sel), "left_semi")
   }
 
   /** `deleteTree` in query form (J4): target rows whose key is NOT in
@@ -118,6 +180,6 @@ object TreeWalk {
     * `DeleteByPk.java:15-43`). */
   def antiRows(loader: String => DataFrame, sel: Selection): DataFrame = {
     val t = loader(sel.table)
-    t.join(sel.keys, t(sel.column) === sel.keys(sel.keyCol), "left_anti")
+    t.join(sel.keys, keyCondition(t, sel), "left_anti")
   }
 }

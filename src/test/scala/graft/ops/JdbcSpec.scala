@@ -154,6 +154,29 @@ class JdbcSpec extends SparkSpec {
     assert(expected > 0 && sels.head.keys.count() == expected)
   }
 
+  test("composite-PK upsert and delete: multi-column WHERE, 0/1-row invariant") {
+    val url = freshDb()
+    val duo = (1L to 10L).flatMap(a => (1 to 3).map(b => (a, b.toLong, s"v$a-$b")))
+      .toDF("ka", "kb", "v")
+    Jdbc.executeSqlList(url, Seq(
+      """CREATE TABLE "cp" ("ka" BIGINT NOT NULL, "kb" BIGINT NOT NULL,
+        | "v" VARCHAR(40), PRIMARY KEY ("ka", "kb"))""".stripMargin.replace("\n", "")))
+    Jdbc.append(duo, url, "cp")
+    // update one existing cell, insert one new composite key
+    val delta = Seq((5L, 2L, "updated"), (11L, 1L, "fresh")).toDF("ka", "kb", "v")
+    Jdbc.upsert(delta, url, "cp", "ka,kb")
+    val back = Jdbc.read(spark, url, "cp").cache()
+    assert(back.count() == 31)
+    assert(back.filter($"ka" === 5L && $"kb" === 2L && $"v" === "updated").count() == 1)
+    assert(back.filter($"ka" === 5L && $"kb" === 1L && $"v" === "v5-1").count() == 1)
+    assert(back.filter($"ka" === 11L && $"v" === "fresh").count() == 1)
+    // delete two specific composite keys — nothing else
+    Jdbc.deleteByPk(Seq((5L, 2L), (1L, 3L)).toDF("ka", "kb"), url, "cp", "ka,kb")
+    val after = Jdbc.read(spark, url, "cp")
+    assert(after.count() == 29)
+    assert(after.filter($"ka" === 5L).count() == 2 && after.filter($"ka" === 1L).count() == 2)
+  }
+
   test("fromJdbc: composite PK discovered as absent (reference's hard-error path), " +
     "composite FK skipped, single-column constraints kept") {
     import graft.catalog.SchemaCatalog
@@ -171,6 +194,10 @@ class JdbcSpec extends SparkSpec {
     assert(cat.tables == Seq("duo", "kid", "solo"))
     // composite PK ("duo") is absent → the walk raises "There is no PK"
     assert(cat.primaryKeys == Map("solo" -> "id", "kid" -> "kid_id"))
+    // …but IS discovered in KEY_SEQ order for the composite-aware walk
+    assert(cat.pkColumns("duo") == Seq("a", "b"))
+    assert(cat.compositePks == Map(
+      "solo" -> Seq("id"), "kid" -> Seq("kid_id"), "duo" -> Seq("a", "b")))
     // composite FK skipped; single-column FK kept
     assert(cat.fkEdges.map(_.name) == Seq("fk_kid_solo"))
     val e = intercept[RuntimeException] {
@@ -180,6 +207,19 @@ class JdbcSpec extends SparkSpec {
         cat.primaryKeys, Map("solo" -> spark.range(1).toDF("id")), cache = false)
     }
     assert(e.getMessage.contains("no PK for duo"))
+
+    // the SAME edge drives the composite walk: the duo selection now
+    // carries its full (a, b) key, discovered — not injected
+    Jdbc.append(Seq((0L, 10), (1L, 11)).toDF("id", "x"), url, "solo")
+    Jdbc.append(Seq((0L, 1L, 5), (0L, 2L, 6), (7L, 1L, 7)).toDF("a", "b", "y"), url, "duo")
+    val sels = TreeWalk.walkLinkedComposite(
+      t => Jdbc.read(spark, url, t),
+      Seq(graft.model.FkEdge("x", "solo", "id", "duo", "a")),
+      cat.compositePks,
+      Map("solo" -> Seq(0L).toDF("id")), cache = false)
+    assert(sels.map(_.table) == Seq("duo"))
+    assert(sels.head.columns == Seq("a", "b"))
+    assert(sels.head.keys.as[(Long, Long)].collect().toSet == Set((0L, 1L), (0L, 2L)))
   }
 
   test("dump → JDBC replay: schema + data land in the live database (import path)") {

@@ -63,6 +63,30 @@ class TreeWalkSpec extends SparkSpec {
     assert(sels(1).keys.count() == bySupp)
   }
 
+  test("composite walk: lineitem selection carries its full (l_orderkey, l_linenumber) key") {
+    import org.apache.spark.sql.functions.col
+    val sels = TreeWalk.selectAlongPathComposite(
+      spark, loader, paths, SchemaCatalog.compositeWalkPks, "customer", 1L to 10L)
+    val li = sels.last
+    assert(li.table == "lineitem" && li.columns == Seq("l_orderkey", "l_linenumber"))
+    val orderKeys = load("orders").filter(col("o_custkey").between(1, 10)).select("o_orderkey")
+    val expPairs = load("lineitem")
+      .join(orderKeys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber").distinct().count()
+    assert(li.keys.count() == expPairs)
+    // selectRows/antiRows partition the table on the composite key
+    val n = TreeWalk.selectRows(loader, li).count() + TreeWalk.antiRows(loader, li).count()
+    assert(n == load("lineitem").count())
+  }
+
+  test("composite walk refuses to leave a composite-PK parent through a single-column path") {
+    val pks = SchemaCatalog.compositeWalkPks
+    val e = intercept[IllegalArgumentException] {
+      PathDsl.parseAllComposite(Seq("lineitem->orders.o_orderkey"), pks)
+    }
+    assert(e.getMessage.contains("composite"))
+  }
+
   test("antiRows is the complement of selectRows") {
     val sels = TreeWalk.selectAlongPath(
       spark, loader, Seq("customer->orders.o_custkey"), SchemaCatalog.walkPks, "customer", 1L to 10L)
