@@ -271,6 +271,17 @@ object SparkEntry {
     "q54_chunking" -> ((s, dir) =>
       TextAnalysis.chunk(t(s, dir, "documents"), size = 50, stride = 40)
         .orderBy("doc_id", "chunk_id")),
+    // corpus-level boilerplate: 3-gram shingles repeated across ≥ 25
+    // distinct documents (template text detection)
+    "q65_boilerplate" -> ((s, dir) =>
+      TextAnalysis.boilerplateNgrams(t(s, dir, "documents"), shingleN = 3, minDocs = 25)
+        .orderBy(col("n_docs").desc, col("ngram").asc)
+        .limit(30)),
+    // train/test decontamination: test docs sharing a 5-gram with any
+    // train doc (the benchmark-leakage audit)
+    "q64_decontamination" -> ((s, dir) =>
+      TextAnalysis.decontaminate(t(s, dir, "documents"), shingleN = 5)
+        .orderBy("doc_id")),
     // BPE-ish token counting: word runs + individual punctuation marks
     "q51_regex_tokens" -> ((s, dir) => {
       val toks = TextAnalysis.regexTokens(col("text"))
@@ -454,6 +465,12 @@ object SparkEntry {
         .orderBy(col("sim").desc, col("id_a"), col("id_b"))
         .limit(20)
     }),
+    // symmetric int8 quantization of the embedding column — the 4×
+    // storage form of a vector corpus; scalar outputs pin every
+    // component (checksum) and the worst reconstruction error
+    "q66_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(t(s, dir, "embeddings"))
+        .orderBy("vec_id")),
     // deterministic hash-stratified sampling: per-label fractions with
     // no RNG — reproducible across runs/engines/partitionings
     "q53_stratified_sample" -> ((s, dir) =>
@@ -511,6 +528,11 @@ object SparkEntry {
           sum(col("k")).as("sum_k"),
           (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
         .orderBy("event_type")),
+    // ordered conversion funnel: stage k+1 counts only events strictly
+    // after the user's first stage-k event
+    "q67_funnel" -> ((s, dir) =>
+      EventStreams.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))
+        .orderBy("stage_idx")),
   )
 
   private def miscQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -867,6 +889,78 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q53_stratified_sample" -> stratifiedSampleOracle,
+
+    // corpus-level boilerplate 3-grams (distinct-doc frequency ≥ 25)
+    "q65_boilerplate" ->
+      s"""WITH $shingleCte,
+         |d AS (SELECT DISTINCT doc_id, sh FROM sh)
+         |SELECT sh AS ngram, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM d GROUP BY sh HAVING count(*) >= 25
+         |ORDER BY n_docs DESC, ngram ASC LIMIT 30""".stripMargin,
+
+    // 5-gram train/test leakage: per contaminated test doc, its count
+    // of distinct shingles that appear anywhere in the train split
+    "q64_decontamination" ->
+      """WITH tl AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tl
+        |  FROM documents),
+        |sh5 AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(tl) - 4),
+        |      i -> array_to_string(tl[i:i+4], ' '))) AS sh
+        |    FROM tl)),
+        |lab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13
+        |      THEN 'train' ELSE 'test' END AS split
+        |  FROM documents),
+        |tr AS (
+        |  SELECT DISTINCT sh FROM sh5 JOIN lab USING (doc_id) WHERE split = 'train')
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+        |FROM sh5 s JOIN lab USING (doc_id) JOIN tr ON s.sh = tr.sh
+        |WHERE lab.split = 'test'
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // int8 quantization audit: scale, component sum, position-weighted
+    // checksum, worst reconstruction error — floor (never round), all
+    // arithmetic in double, so both engines produce identical bits
+    "q66_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM v),
+        |q AS (
+        |  SELECT vec_id, scale, v,
+        |    CASE WHEN scale = 0.0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(v, x -> CAST(floor(x / scale) AS BIGINT)) END AS q
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(generate_series(1, len(q)), i -> q[i] * i)) AS BIGINT) AS q_checksum,
+        |  list_max(list_transform(generate_series(1, len(q)), i -> abs(v[i] - q[i] * scale))) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    // ordered conversion funnel over view → click → purchase
+    "q67_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+        |    (SELECT count(*) FROM s1) AS n_users
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM s3))
+        |ORDER BY stage_idx""".stripMargin,
 
     "q54_chunking" ->
       """WITH tl AS (

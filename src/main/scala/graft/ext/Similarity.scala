@@ -54,6 +54,37 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Symmetric int8 quantization of an embedding column — the storage
+    * form a 100 TB vector corpus actually ships (4× smaller than
+    * float32, dot products in integer SIMD). Per vector: `scale =
+    * max(|v|)/127`, `q_i = floor(v_i / scale)` ∈ [-127, 127] (floor,
+    * not round: round's half-up/half-even tie-break differs across
+    * engines, floor cannot tie). All-zero vectors quantize to zeros
+    * with scale 0.
+    *
+    * Narrow per-row array expressions, zero shuffles. Output is
+    * comparator-friendly scalars per vector: the scale, the component
+    * sum, a position-weighted checksum (pins every component), and the
+    * worst reconstruction error `max |v_i − q_i·scale|`. */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val scale = (array_max(transform(v, x => abs(x))) / 127.0).as("scale")
+    emb.select(col(idCol), v.as("__v"), scale)
+      .select(col(idCol), col("scale"), col("__v"),
+        when(col("scale") === 0.0, transform(col("__v"), _ => lit(0L)))
+          .otherwise(transform(col("__v"), x => floor(x / col("scale")).cast("long")))
+          .as("__q"))
+      .select(col(idCol), col("scale"),
+        aggregate(col("__q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        aggregate(zip_with(col("__q"),
+            sequence(lit(1L), size(col("__q")).cast("long")), (q, i) => q * i),
+          lit(0L), (a, x) => a + x).as("q_checksum"),
+        aggregate(zip_with(col("__v"), col("__q"),
+            (x, q) => abs(x - q.cast("double") * col("scale"))),
+          lit(0.0), (a, x) => greatest(a, x)).as("max_err"))
+  }
+
   /** Deterministic pseudo-random hyperplane component: plane `p`,
     * dimension `d` → a value in [-7.5, 7.5] derived from md5 — no RNG,
     * identical across runs/executors. */

@@ -184,6 +184,47 @@ object TextAnalysis {
         (col("__s.best").cast("double") / col("__s.n")).as("repetition"),
         col("__s.n").as("n_shingles"))
 
+  /** Boilerplate n-gram detection: the `n`-token shingles that occur in
+    * at least `minDocs` DISTINCT documents. Repeated across many
+    * documents = template/navigation/license text — the corpus-level
+    * complement of the per-document [[repetitionScore]], and the input
+    * to a boilerplate-stripping pass.
+    *
+    * Shape: per-row distinct shingling (narrow) then ONE group-by on
+    * the shingle — exploding already-distinct per-doc shingles makes
+    * `count(*)` the document frequency with no `countDistinct` state,
+    * and the count partial-aggregates map-side, so the shuffle carries
+    * per-partition (shingle, count) rows, not the shingle stream. */
+  def boilerplateNgrams(docs: DataFrame, shingleN: Int = 3, minDocs: Long = 2,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(explode(array_distinct(Dedup.shingles(col(textCol), shingleN))).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Train/test decontamination: test-split documents that share at
+    * least one `n`-token shingle with ANY train-split document — the
+    * benchmark-leakage check every training pipeline runs before
+    * holding out an eval set. Returns one row per contaminated test
+    * document with the count of its leaked (distinct) shingles.
+    *
+    * Shape at 100 TB: both sides reduce to distinct (doc, shingle)
+    * pairs via a narrow per-row pass; the train side collapses to a
+    * distinct shingle set (uniform hash shuffle), and the test side
+    * left-semi joins against it on the shingle — candidate work scales
+    * with shingle overlap, never test × train. */
+  def decontaminate(docs: DataFrame, shingleN: Int = 5, trainNibbles: Int = 13,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val labeled = trainTestSplit(docs, idCol, trainNibbles)
+    val sh = labeled.select(col(idCol), col("split"),
+      explode(array_distinct(Dedup.shingles(col(textCol), shingleN))).as("sh"))
+    val trainShingles = sh.filter(col("split") === "train").select("sh").distinct()
+    sh.filter(col("split") === "test")
+      .join(trainShingles, Seq("sh"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set —
     * stable under token reordering/duplication, the hash form of the
     * reference's DDL-normalization idea (SURVEY.md §2.8 X2/X3). */

@@ -266,6 +266,33 @@ object EventStreams {
       .select(col("user_id"), col("event_id").as("left_id"), col("right_id"))
   }
 
+  /** Funnel analysis: how many users reach each stage of an ordered
+    * event sequence, where stage `k+1` counts only events strictly
+    * after the user's first stage-`k` event (the standard ordered
+    * conversion funnel).
+    *
+    * Shape: one min-aggregate per stage keyed on `user_id`, chained by
+    * an equi-join on `user_id` + a timestamp filter — every shuffle is
+    * on the same uniform key, so consecutive stages reuse the
+    * partitioning (no exchange between them in the physical plan), and
+    * per-stage state is one row per surviving user. Stage frames only
+    * ever shrink, so the deepest stage is the cheapest. */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val first = events.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val stageDfs = stages.tail.scanLeft(first) { (prev, stage) =>
+      events.filter(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col("t").as("__pt")), "user_id")
+        .filter(col("ts") > col("__pt"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    }
+    stages.zip(stageDfs).zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("stage_idx"), lit(name).as("stage"), col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-user running totals via explicit streaming state
     * (`flatMapGroupsWithState`) — the custom-state hook for logic that
     * windowed aggregation can't express. State is one small case class

@@ -15,6 +15,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("type_token_ratio") == 0.75)
   }
 
+  test("boilerplateNgrams counts DISTINCT documents (in-doc repetition counts once)") {
+    val df = Seq(
+      (1L, "x y z x y z x y z"), // "x y z" three times in ONE doc
+      (2L, "x y z q"),
+      (3L, "q r s"),
+      (4L, "x y z r")).toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateNgrams(df, shingleN = 3, minDocs = 2)
+      .as[(String, Long)].collect().toMap
+    assert(got("x y z") == 3) // docs 1, 2, 4 — not 5
+    assert(!got.contains("q r s")) // df 1 < minDocs
+  }
+
+  test("decontaminate: contaminated docs are test-split and leak counts are bounded") {
+    val docs = load("documents")
+    val got = TextAnalysis.decontaminate(docs, shingleN = 5).cache()
+    assert(got.count() > 0, "fixture corpus is templated — some test doc must leak")
+    // every flagged doc is in the test split
+    val testIds = TextAnalysis.trainTestSplit(docs, "doc_id")
+      .filter(col("split") === "test").select("doc_id")
+    assert(got.select("doc_id").exceptAll(testIds).isEmpty)
+    // the leak count never exceeds the doc's distinct 5-shingle count
+    val bounds = docs.select(col("doc_id"),
+      size(array_distinct(Dedup.shingles(col("text"), 5))).cast("long").as("n_sh"))
+    assert(got.join(bounds, "doc_id")
+      .filter(col("n_contaminated") > col("n_sh")).isEmpty)
+  }
+
   test("native repetition_stats is value-identical to the sorted-run-scan construction") {
     val docs = load("documents").limit(200)
     val sorted = array_sort(Dedup.shingles(col("text"), 3))
@@ -286,6 +313,29 @@ class SimilaritySpec extends SparkSpec {
       .collect()(0)
     assert(top.getAs[Long]("neighbor_id") == 0L)
     assert(math.abs(top.getAs[Double]("sim") - 1.0) < 1e-6)
+  }
+
+  test("quantizeInt8: floor quantization, bounded reconstruction error, zero-vector safe") {
+    val df = Seq(
+      (1L, Array(1.27f, -1.27f, 0.5f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df)
+      .as[(Long, Double, Long, Long, Double)].collect().sortBy(_._1)
+    val (_, scale1, qSum1, qCk1, err1) = got(0)
+    // scale = 1.27f/127 ≈ 0.01 (float→double rounding shifts ~1.5e-10);
+    // q = (127, -127, 50); checksum 127·1 − 127·2 + 50·3
+    assert(math.abs(scale1 - 0.01) < 1e-9)
+    assert(qSum1 == 127L - 127L + 50L)
+    assert(qCk1 == 127L * 1 - 127L * 2 + 50L * 3)
+    // floor error is < one quantization step
+    assert(err1 >= 0.0 && err1 < scale1)
+    // all-zero vector: scale 0, zero components, zero error
+    assert(got(1) == ((2L, 0.0, 0L, 0L, 0.0)))
+    // corpus-wide: error never reaches one step
+    val emb = load("embeddings")
+    val bad = Similarity.quantizeInt8(emb)
+      .filter(col("max_err") >= col("scale")).count()
+    assert(bad == 0)
   }
 
   test("annTopK returns same-bucket neighbors ranked like the exact ranking") {

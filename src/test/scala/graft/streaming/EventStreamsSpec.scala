@@ -34,6 +34,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(s(2).getAs[Long]("n_events") == 1)
   }
 
+  test("funnel: stages count users in strict event order") {
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, ts(0), "view"), (1L, ts(5), "click"), (1L, ts(9), "purchase"),
+      // user 2: click BEFORE the first view — stalls at view
+      (2L, ts(5), "click"), (2L, ts(8), "view"),
+      // user 3: purchase skips click — reaches click stage never
+      (3L, ts(0), "view"), (3L, ts(2), "purchase"),
+      // user 4: click at the SAME instant as view — strict > excludes it
+      (4L, ts(0), "view"), (4L, ts(0), "click"),
+      // user 5: never views
+      (5L, ts(1), "click"), (5L, ts(2), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = EventStreams.funnel(ev, Seq("view", "click", "purchase"))
+      .orderBy("stage_idx")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "view", 4L), (2L, "click", 1L), (3L, "purchase", 1L)))
+  }
+
   test("stateful running totals (flatMapGroupsWithState) match batch aggregation") {
     val streamed = EventStreams.runToMemorySink(
       EventStreams.runningUserTotals(spark, sf, idleTimeout = None), "stateful_totals")
