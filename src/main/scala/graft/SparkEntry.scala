@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.catalog.SchemaCatalog
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ops.{TreeWalk, Writers}
 import graft.streaming.EventStreams
 
@@ -291,6 +291,21 @@ object SparkEntry {
         size(array_distinct(toks)).cast("long").as("n_distinct"))
         .orderBy("doc_id")
     }),
+    // smoothed-idf TF-IDF, top 5 terms per document (ranked on the
+    // 6-decimal-rounded score so rank order is engine-portable)
+    "q68_tfidf" -> ((s, dir) =>
+      Corpus.tfidf(t(s, dir, "documents"), topN = 5)
+        .orderBy("doc_id", "rnk")),
+    // token-budget sequence packing (concat-then-chunk, sharded so no
+    // single source serializes the running-sum window)
+    "q69_sequence_pack" -> ((s, dir) =>
+      Corpus.sequencePack(t(s, dir, "documents"), budget = 512, nShards = 8)
+        .orderBy("source", "shard", "chunk_id")),
+    // corpus-trained bigram LM score per document (perplexity proxy
+    // for quality filtering); decimal-summed rounded log-probs
+    "q70_bigram_lm" -> ((s, dir) =>
+      Corpus.bigramLogProb(t(s, dir, "documents"))
+        .orderBy("doc_id")),
   )
 
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -486,6 +501,17 @@ object SparkEntry {
         .orderBy(col("sim").desc, col("id_a"), col("id_b"))
         .limit(20)
     }),
+    // k-NN label classification: majority vote of the 5 exact nearest
+    // neighbors, ties toward the smallest label
+    "q71_knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(t(s, dir, "embeddings"),
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L), k = 5)
+        .orderBy("query_id")),
+    // Johnson–Lindenstrauss random projection 64 → 8 dims with the
+    // deterministic md5 plane family; scalar (id, dim, value) rows
+    "q72_random_projection" -> ((s, dir) =>
+      Similarity.randomProject(t(s, dir, "embeddings"), outDim = 8, dim = 64)
+        .orderBy("vec_id", "dim")),
   )
 
   private def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -533,6 +559,11 @@ object SparkEntry {
     "q67_funnel" -> ((s, dir) =>
       EventStreams.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))
         .orderBy("stage_idx")),
+    // per-type window-count anomaly score: integer moments (exact,
+    // order-free) then pure IEEE mean/var/z — engine-portable doubles
+    "q73_window_zscore" -> ((s, dir) =>
+      EventStreams.windowZscore(t(s, dir, "events"))
+        .orderBy("event_type", "win_start")),
   )
 
   private def miscQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1006,6 +1037,105 @@ object SparkEntry {
         |                   CAST(embedding AS DOUBLE[])) AS norm_sq
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
+    // smoothed-idf TF-IDF: rank on the 6-decimal-rounded score, token
+    // asc tie-break — identical in any engine with ln within 1 ulp
+    "q68_tfidf" ->
+      s"""WITH $tokCte,
+         |tf AS (SELECT doc_id, tok AS token, count(*) AS tf
+         |       FROM toks GROUP BY 1, 2),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |s AS (SELECT doc_id, token, tf, df,
+         |        round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+         |      FROM tf JOIN df USING (token), n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY tfidf DESC, token) AS rnk FROM s)
+         |SELECT doc_id, token, tf, df, tfidf, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
+
+    // concat-then-chunk sequence packing: pure integer math (token
+    // counts, running sums, floor-div by the 512-token budget)
+    "q69_sequence_pack" ->
+      """WITH d AS (
+        |  SELECT source, doc_id % 8 AS shard, doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, COALESCE(SUM(n_tokens) OVER (
+        |      PARTITION BY source, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      // 512 AS chunk_id
+        |  FROM d)
+        |SELECT source, shard, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2, 3 ORDER BY source, shard, chunk_id""".stripMargin,
+
+    // corpus-trained bigram LM: each ln rounded to 9 decimals before
+    // the (exact) DECIMAL sum, so partition order cannot matter
+    "q70_bigram_lm" ->
+      """WITH b AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(tl) - 1),
+        |      i -> {'t1': tl[i], 't2': tl[i + 1]})) AS bg
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tl
+        |        FROM documents)),
+        |bg AS (SELECT doc_id, bg.t1 AS t1, bg.t2 AS t2 FROM b),
+        |pc AS (SELECT t1, t2, count(*) AS c_pair FROM bg GROUP BY 1, 2),
+        |pfx AS (SELECT t1, SUM(c_pair) AS c_prefix FROM pc GROUP BY 1),
+        |m AS (SELECT t1, t2,
+        |        CAST(round(ln(CAST(c_pair AS DOUBLE) / c_prefix), 9)
+        |          AS DECIMAL(28,9)) AS lp
+        |      FROM pc JOIN pfx USING (t1)),
+        |s AS (SELECT doc_id, count(*) AS n_bigrams, SUM(lp) AS sm
+        |      FROM bg JOIN m USING (t1, t2) GROUP BY 1)
+        |SELECT doc_id, n_bigrams, CAST(sm AS DOUBLE) AS sum_logprob,
+        |  CAST(sm AS DOUBLE) / n_bigrams AS avg_logprob
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // 5-NN majority-vote classification over exact cosine neighbors
+    "q71_knn_classify" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv, label AS true_label
+        |      FROM e WHERE vec_id < 10),
+        |s AS (SELECT query_id, e.vec_id AS neighbor_id, e.label AS nl,
+        |        list_dot_product(qv, e.v) AS sim
+        |      FROM q JOIN e ON query_id <> e.vec_id),
+        |nn AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |         ORDER BY sim DESC, neighbor_id) AS rnk FROM s),
+        |v AS (SELECT query_id, nl, count(*) AS n_votes
+        |      FROM nn WHERE rnk <= 5 GROUP BY 1, 2),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY n_votes DESC, nl) AS pr FROM v)
+        |SELECT query_id, true_label, nl AS pred_label, n_votes
+        |FROM p JOIN q USING (query_id) WHERE pr = 1
+        |ORDER BY query_id""".stripMargin,
+
+    "q72_random_projection" -> randomProjectionOracle,
+
+    // window-count z-score from exact integer moments — the doubles
+    // are pure IEEE arithmetic on exact longs, engine-portable
+    "q73_window_zscore" ->
+      """WITH c AS (
+        |  SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+        |    event_type, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, count(*) AS n, SUM(n_events) AS s,
+        |    SUM(n_events * n_events) AS q
+        |  FROM c GROUP BY 1)
+        |SELECT win_start, event_type, n_events,
+        |  CASE WHEN CAST(q AS DOUBLE) / n
+        |         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) > 0
+        |    THEN (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / n)
+        |      / sqrt(CAST(q AS DOUBLE) / n
+        |             - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+        |    ELSE 0.0 END AS zscore
+        |FROM c JOIN m USING (event_type)
+        |ORDER BY event_type, win_start""".stripMargin,
+
     "q59_topk_per_key" ->
       """WITH r AS (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
@@ -1133,6 +1263,19 @@ object SparkEntry {
     Similarity.planeFamily(planes, dim).zipWithIndex.map { case (p, i) =>
       s"CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) >= 0 THEN ${1L << i} ELSE 0 END"
     }.mkString("\n    + ")
+
+  /** q72 oracle: the identical md5 plane family inlined as literals,
+    * one `list_dot_product` per output dimension. */
+  private def randomProjectionOracle: String = {
+    val dims = Similarity.planeFamily(8, 64).zipWithIndex.map { case (p, i) =>
+      s"{'dim': $i, 'value': list_dot_product(v, [${p.mkString(", ")}])}"
+    }.mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |u AS (SELECT vec_id, unnest([
+       |    $dims]) AS pr FROM e)
+       |SELECT vec_id, CAST(pr.dim AS BIGINT) AS dim, pr.value AS value
+       |FROM u ORDER BY vec_id, dim""".stripMargin
+  }
 
   /** q29 oracle: bucket both sides with the inlined plane family, score
     * same-bucket candidates, rank — the exact SQL mirror of annTopK. */

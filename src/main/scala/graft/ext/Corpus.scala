@@ -1,0 +1,131 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistics a training-data pipeline computes over the
+  * whole document set — TF-IDF term weighting, token-budget sequence
+  * packing, and n-gram language-model scoring (SURVEY.md §2.11).
+  *
+  * Every operator here is two map-reduce passes at most: a narrow
+  * per-document pass plus one keyed aggregation over tokens. Nothing
+  * holds per-corpus state on the driver; the corpus-wide statistics
+  * (document frequency, bigram counts) are themselves DataFrames that
+  * join back — broadcast-able when the vocabulary is small, shuffled
+  * hash joins otherwise (Catalyst/AQE picks).
+  *
+  * All scoring math is engine-portable by construction: counts are
+  * exact longs; each `ln` is taken once per key and rounded before any
+  * summation; sums of rounded values go through DECIMAL so partition
+  * order cannot change the result.
+  */
+object Corpus {
+
+  /** Smoothed-idf TF-IDF, sklearn convention:
+    * `idf = ln((N+1)/(df+1)) + 1`, `tfidf = tf · idf`, with the top
+    * `topN` terms kept per document (ties broken by token asc).
+    *
+    * Shape at scale: tf is one shuffle on (doc, token); df is a
+    * second, smaller aggregation over the tf result keyed by token;
+    * the df join back is vocabulary-sized (broadcast-able). The
+    * per-document top-N window partitions by doc_id — millions of
+    * tiny partitions, never a global sort.
+    *
+    * `tfidf` is rounded to 6 decimals BEFORE ranking so the rank
+    * order is identical in any engine evaluating `ln` within 1 ulp.
+    */
+  def tfidf(docs: DataFrame, topN: Int = 5,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val nDocs = docs.count()
+    val tf = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "token")
+      .withColumn("tfidf",
+        round(col("tf") * (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topN)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"), col("rnk"))
+  }
+
+  /** Token-budget sequence packing — the concat-then-chunk form LLM
+    * training actually uses: documents are laid out in a deterministic
+    * order and cut into chunks of ~`budget` tokens; a document lands in
+    * the chunk its starting token falls in.
+    *
+    * The layout order is (source, shard, doc_id) where
+    * `shard = doc_id % nShards`: packing is independent per
+    * (source, shard), so the running-sum window never sees more than
+    * 1/nShards of a source — at 100 TB a handful of giant sources
+    * would otherwise serialize into single window partitions. Raise
+    * nShards with corpus size; chunk ids stay deterministic because
+    * the shard function is content-addressed, not round-robin.
+    *
+    * Pure integer math (token counts, cumulative sums, floor-div) —
+    * exactly reproducible in any SQL engine.
+    */
+  def sequencePack(docs: DataFrame, budget: Int = 512, nShards: Int = 8,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   sourceCol: String = "source"): DataFrame = {
+    val perDoc = docs.select(
+      col(sourceCol).as("source"),
+      pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+      col(idCol).as("doc_id"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perDoc
+      .withColumn("chunk_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget).cast("long"))
+      .groupBy(col("source"), col("shard"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  /** Corpus-trained bigram language-model score per document (an LM
+    * perplexity proxy for quality filtering): MLE bigram probability
+    * `P(t2|t1) = c(t1,t2) / c(t1,·)` trained on the corpus itself, and
+    * each document scored by the sum and mean of its bigram log-probs.
+    * Documents with fewer than 2 tokens have no bigrams and are
+    * omitted (score undefined).
+    *
+    * Two aggregations over the bigram stream (pair counts, prefix
+    * counts) and one join back — the model tables are
+    * vocabulary-sized. Each `ln` is rounded to 9 decimals and summed
+    * as DECIMAL(28,9): the per-document sum is exact and
+    * partition-order-free, so it reproduces bit-for-bit in any engine
+    * whose `ln` is within 1 ulp.
+    */
+  def bigramLogProb(docs: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val bigrams = docs.select(col(idCol),
+        explode(zip_with(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => struct(a.as("t1"), b.as("t2")))).as("bg"))
+      .select(col(idCol), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+    val pairCounts = bigrams.groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("c_pair"))
+    val prefixCounts = pairCounts.groupBy(col("t1"))
+      .agg(sum(col("c_pair")).as("c_prefix"))
+    val model = pairCounts.join(prefixCounts, "t1")
+      .withColumn("logprob",
+        round(log(col("c_pair").cast("double") / col("c_prefix")), 9)
+          .cast("decimal(28,9)"))
+    bigrams.join(model, Seq("t1", "t2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("logprob")).as("__sum"))
+      .select(col(idCol), col("n_bigrams"),
+        col("__sum").cast("double").as("sum_logprob"),
+        (col("__sum").cast("double") / col("n_bigrams")).as("avg_logprob"))
+  }
+}

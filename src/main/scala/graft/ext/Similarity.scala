@@ -217,6 +217,52 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     ivfQuery(ivfBuild(df, nLists, idCol, vecCol), queryIds, k, nProbe, idCol, vecCol)
 
+  /** Deterministic random-projection dimensionality reduction
+    * (Johnson–Lindenstrauss): each output dimension is the dot product
+    * with one plane from the md5-derived family ([[planeFamily]] — no
+    * RNG, identical on every executor and inlinable into a SQL
+    * oracle). Output is comparator-friendly scalar rows
+    * `(id, dim, value)` via posexplode rather than an array column.
+    *
+    * A narrow per-row map — zero shuffles; at 100 TB this runs at
+    * parquet-scan speed and cuts downstream vector bytes by
+    * `outDim/dim`. */
+  def randomProject(df: DataFrame, outDim: Int, dim: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val projections = array((0 until outDim).map { p =>
+      dot(col(vecCol), array((0 until dim).map(d => lit(planeComponent(p, d))): _*))
+    }: _*)
+    df.select(col(idCol), posexplode(projections).as(Seq("dim", "value")))
+      .select(col(idCol), col("dim").cast("long").as("dim"), col("value"))
+  }
+
+  /** k-NN label classification: predict each query vector's label by
+    * majority vote of its k nearest neighbors (exact cosine top-k,
+    * self excluded), ties broken toward the smallest label. Output
+    * `(query_id, true_label, pred_label, n_votes)`.
+    *
+    * The neighbor search is [[cosineTopK]] (broadcast query side ×
+    * corpus scan); the vote is a tiny aggregation keyed by query. */
+  def knnClassify(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    val queries = emb.filter(col(idCol).isin(queryIds: _*))
+    val nn = cosineTopK(queries, emb, k, idCol, vecCol)
+    val labels = emb.select(col(idCol).as("neighbor_id"), col(labelCol).as("__nl"))
+    val votes = nn.join(labels, "neighbor_id")
+      .groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("__nl").asc)
+    val pred = votes.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("query_id"), col("__nl").as("pred_label"), col("n_votes"))
+    pred.join(
+        emb.select(col(idCol).as("query_id"), col(labelCol).as("true_label")),
+        "query_id")
+      .select(col("query_id"), col("true_label"), col("pred_label"), col("n_votes"))
+  }
+
   /** Brute-force near-duplicate pairs by cosine ≥ threshold (exact,
     * quadratic — the correctness baseline for the LSH path). */
   def nearDupPairs(df: DataFrame, threshold: Double,

@@ -344,4 +344,40 @@ object EventStreams {
     q.stop()
     df.sparkSession.table(name)
   }
+
+  /** Per-type window-count anomaly score: tumbling-window event counts
+    * z-scored against that event type's own mean/variance across all
+    * windows. The monitoring primitive for a 100 TB event firehose —
+    * "which 10-minute windows were unusual for this signal?".
+    *
+    * Determinism across engines: the only aggregates are integer
+    * counts and integer sums (`S = Σc`, `Q = Σc²` as longs — exact,
+    * partition-order-free); mean/variance/z are then pure IEEE
+    * arithmetic on those exact integers, so any engine reproduces the
+    * doubles bit-for-bit. Spark's own `stddev` (Welford merge, float
+    * accumulation order) is deliberately avoided.
+    *
+    * Two aggregations: windows (shuffle on type+window), then per-type
+    * moments (type-keyed, broadcast-able back). `minAbsZ` keeps only
+    * anomalous windows — at scale the output is alerts, not the full
+    * window set. */
+  def windowZscore(events: DataFrame, width: String = "10 minutes",
+                   minAbsZ: Double = 0.0): DataFrame = {
+    val counts = events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n_events"))
+    val moments = counts.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("n_events")).as("__s"),
+        sum(col("n_events") * col("n_events")).as("__q"))
+    val mean = col("__s").cast("double") / col("__n")
+    val variance = col("__q").cast("double") / col("__n") - mean * mean
+    counts.join(moments, "event_type")
+      .withColumn("zscore",
+        when(variance > 0.0, (col("n_events").cast("double") - mean) / sqrt(variance))
+          .otherwise(lit(0.0)))
+      .filter(abs(col("zscore")) >= minAbsZ)
+      .select(col("win_start"), col("event_type"), col("n_events"), col("zscore"))
+  }
 }

@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "source")
+
+  test("tfidf: corpus-unique terms outrank ubiquitous ones; ranks dense per doc") {
+    val d = docs(
+      (1L, "apple banana banana", "a"),
+      (2L, "apple cherry", "a"),
+      (3L, "apple durian durian durian", "a"))
+    val out = Corpus.tfidf(d, topN = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    // 'apple' appears in all 3 docs (df=3, idf=ln(4/4)+1=1); unique terms get
+    // idf=ln(4/2)+1 — so doc 1's top term is banana (tf=2), not apple
+    val d1 = out.filter(_._1 == 1L).sortBy(_._6)
+    assert(d1.head._2 == "banana" && d1.head._6 == 1L)
+    assert(d1.map(_._6).toSeq == (1L to d1.length).toSeq)
+    val apple = out.filter(r => r._1 == 1L && r._2 == "apple").head
+    assert(apple._3 == 1L && apple._4 == 3L && apple._5 == 1.0) // tf·(ln(1)+1)
+  }
+
+  test("sequencePack: chunks respect the running token budget; totals conserved") {
+    // 10 docs of 3 tokens each in one source/shard → budget 9 packs 3 per chunk
+    val d = (0L until 10L).map(i => (i * 8, "a b c", "s")) // ids ≡ 0 (mod 8) → one shard
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.sequencePack(d, budget = 9, nShards = 8)
+      .orderBy("chunk_id").collect()
+    assert(out.map(_.getAs[Long]("n_tokens")).sum == 30L)
+    assert(out.map(_.getAs[Long]("n_docs")).toSeq == Seq(3L, 3L, 3L, 1L))
+    assert(out.map(_.getAs[Long]("chunk_id")).toSeq == Seq(0L, 1L, 2L, 3L))
+    // first_doc/last_doc are contiguous in layout order
+    assert(out.head.getAs[Long]("first_doc") == 0L && out.head.getAs[Long]("last_doc") == 16L)
+  }
+
+  test("sequencePack: packing is independent per (source, shard)") {
+    val d = Seq((0L, "a b", "x"), (8L, "a b", "x"), (1L, "a b", "x"), (2L, "a b", "y"))
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.sequencePack(d, budget = 100, nShards = 8).collect()
+    // (x, shard 0) holds docs 0+8, (x, shard 1) doc 1, (y, shard 2) doc 2
+    assert(out.length == 3)
+    val x0 = out.find(r => r.getAs[String]("source") == "x" && r.getAs[Long]("shard") == 0L).get
+    assert(x0.getAs[Long]("n_docs") == 2L && x0.getAs[Long]("n_tokens") == 4L)
+  }
+
+  test("bigramLogProb: a doc that IS the corpus model scores 0; rare continuations score negative") {
+    // corpus: "a b" ×3 and "a c" ×1 → P(b|a)=3/4, P(c|a)=1/4
+    val d = docs(
+      (1L, "a b", "s"), (2L, "a b", "s"), (3L, "a b", "s"), (4L, "a c", "s"))
+    val out = Corpus.bigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1)._1 == 1L)
+    assert(math.abs(out(1)._2 - math.log(0.75)) < 1e-8)
+    assert(math.abs(out(4)._2 - math.log(0.25)) < 1e-8)
+    assert(out(4)._2 < out(1)._2) // rarer continuation → worse score
+  }
+
+  test("bigramLogProb: docs with fewer than 2 tokens are omitted") {
+    val d = docs((1L, "solo", "s"), (2L, "", "s"), (3L, "a b", "s"))
+    val out = Corpus.bigramLogProb(d).select("doc_id").as[Long].collect()
+    assert(out.toSeq == Seq(3L))
+  }
+}

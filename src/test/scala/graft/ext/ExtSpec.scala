@@ -387,6 +387,47 @@ class SimilaritySpec extends SparkSpec {
     val b2 = Similarity.signBuckets(emb, 4, 64).select("vec_id", "bucket").collect().toSeq
     assert(b1 == b2)
   }
+
+  test("randomProject: one row per (vector, output dim); values are the plane dots") {
+    val emb = load("embeddings").limit(10)
+    val out = Similarity.randomProject(emb, outDim = 8, dim = 64)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 80)
+    // cross-check one projection against an explicit dot product
+    val plane0 = Similarity.planeFamily(8, 64).head
+    val v0 = emb.filter(col("vec_id") === out.head._1)
+      .select("embedding").as[Seq[Float]].head()
+    val expect = v0.zip(plane0).foldLeft(0.0) { case (a, (x, p)) => a + x.toDouble * p }
+    val got = out.find(r => r._1 == out.head._1 && r._2 == 0L).get._3
+    assert(got == expect)
+  }
+
+  test("knnClassify: a clustered toy set classifies by its cluster's majority label") {
+    // two orthogonal clusters: ids 0-3 near (1,0), labeled 0 (query 0 unlabeled
+    // ground truth irrelevant); ids 4-7 near (0,1), labeled 1
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.99f, 0.1f), 0),
+      (2L, Seq(0.98f, 0.2f), 0), (3L, Seq(0.97f, 0.15f), 0),
+      (4L, Seq(0.0f, 1.0f), 1), (5L, Seq(0.1f, 0.99f), 1),
+      (6L, Seq(0.2f, 0.98f), 1), (7L, Seq(0.15f, 0.97f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(rows, queryIds = Seq(0L, 4L), k = 3)
+      .as[(Long, Int, Int, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._3 == 0 && out(0L)._4 == 3L) // all 3 NNs from cluster 0
+    assert(out(4L)._3 == 1 && out(4L)._4 == 3L)
+  }
+
+  test("knnClassify ties break toward the smallest label") {
+    // query 0 equidistant from one doc of each label → k=2 splits 1-1
+    val rows = Seq(
+      (0L, Seq(1.0f, 1.0f), 9),
+      (1L, Seq(1.0f, 0.0f), 5),
+      (2L, Seq(0.0f, 1.0f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(rows, queryIds = Seq(0L), k = 2)
+      .as[(Long, Int, Int, Long)].collect()
+    assert(out.head._3 == 3 && out.head._4 == 1L)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

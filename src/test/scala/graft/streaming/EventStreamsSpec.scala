@@ -166,4 +166,35 @@ class EventStreamsSpec extends SparkSpec {
     val missing = batch.exceptAll(streamed).collect()
     assert(missing.forall(_.getTimestamp(0).getTime >= maxTs - 20 * 60 * 1000))
   }
+
+  test("windowZscore: z-scores have zero mean per type and match a direct computation") {
+    val ev = load("events")
+    val z = EventStreams.windowZscore(ev)
+      .select("event_type", "n_events", "zscore")
+      .as[(String, Long, Double)].collect()
+    assert(z.nonEmpty)
+    // per type: mean of z ≈ 0, population variance of z ≈ 1 (or all-0 when flat)
+    z.groupBy(_._1).foreach { case (_, rows) =>
+      val zs = rows.map(_._3)
+      assert(math.abs(zs.sum / zs.length) < 1e-9)
+      val varZ = zs.map(v => v * v).sum / zs.length
+      assert(math.abs(varZ - 1.0) < 1e-9 || zs.forall(_ == 0.0))
+    }
+    // direct recomputation for one type
+    val (ty, rows) = z.groupBy(_._1).head
+    val cs = rows.map(_._2.toDouble)
+    val mean = cs.sum / cs.length
+    val v = cs.map(c => c * c).sum / cs.length - mean * mean
+    rows.foreach { case (_, c, zz) =>
+      val expect = if (v > 0) (c - mean) / math.sqrt(v) else 0.0
+      assert(math.abs(zz - expect) < 1e-9, s"type $ty count $c")
+    }
+  }
+
+  test("windowZscore minAbsZ keeps only anomalous windows") {
+    val ev = load("events")
+    val all = EventStreams.windowZscore(ev)
+    val flagged = EventStreams.windowZscore(ev, minAbsZ = 1.5)
+    assert(flagged.count() == all.filter(abs(col("zscore")) >= 1.5).count())
+  }
 }
