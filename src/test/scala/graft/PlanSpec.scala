@@ -164,4 +164,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("__cell"), s"no cell-keyed join in plan:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian product in plan:\n$p")
   }
+
+  test("q72: random projection is a narrow scan — only the final sort shuffles") {
+    val df = run("q72_random_projection")
+    assert(shuffles(df) <= 1, s"expected only the orderBy exchange:\n${plan(df)}")
+    assert(plan(df).contains("dot_product"), "projection must use the codegen'd dot")
+  }
+
+  test("q71: k-NN classify broadcasts the query side; no nested-loop joins") {
+    val df = run("q71_knn_classify")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in plan:\n$p")
+  }
+
+  test("q68: tf-idf df-join is broadcast (vocabulary side), no extra shuffles") {
+    val df = run("q68_tfidf")
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // tf (doc,token) shuffle + df (token) shuffle + per-doc window + final sort
+    assert(shuffles(df) <= 4, s"tf-idf shuffle count regressed:\n$p")
+  }
+
+  test("q69: sequence packing shuffles only on (source, shard) then the group-by") {
+    val df = run("q69_sequence_pack")
+    assert(shuffles(df) <= 3, s"packing shuffle count regressed:\n${plan(df)}")
+  }
 }
