@@ -936,7 +936,7 @@ object SparkEntry {
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tl
         |  FROM documents),
         |sh5 AS (
-        |  SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT DISTINCT doc_id, substr(md5(sh), 1, 16) AS sh FROM (
         |    SELECT doc_id, unnest(list_transform(
         |      generate_series(1, len(tl) - 4),
         |      i -> array_to_string(tl[i:i+4], ' '))) AS sh

@@ -214,10 +214,20 @@ object TextAnalysis {
     * left-semi joins against it on the shingle — candidate work scales
     * with shingle overlap, never test × train. */
   def decontaminate(docs: DataFrame, shingleN: Int = 5, trainNibbles: Int = 13,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                    idCol: String = "doc_id", textCol: String = "text",
+                    hashShingles: Boolean = true): DataFrame = {
     val labeled = trainTestSplit(docs, idCol, trainNibbles)
+    // the distinct/join key: with hashShingles, a 64-bit md5 prefix
+    // replaces the raw n-gram — the shuffles carry 16-byte keys
+    // instead of arbitrary-length text (the dominant cost at corpus
+    // scale), at the price of counting two same-doc shingles as one on
+    // a hash collision (~2^-64 per pair; both engines hash identically
+    // so the oracle cannot diverge)
+    def key(c: Column): Column =
+      if (hashShingles) substring(md5(c), 1, 16) else c
     val sh = labeled.select(col(idCol), col("split"),
-      explode(array_distinct(Dedup.shingles(col(textCol), shingleN))).as("sh"))
+      explode(array_distinct(transform(Dedup.shingles(col(textCol), shingleN), key(_))))
+        .as("sh"))
     val trainShingles = sh.filter(col("split") === "train").select("sh").distinct()
     sh.filter(col("split") === "test")
       .join(trainShingles, Seq("sh"), "left_semi")

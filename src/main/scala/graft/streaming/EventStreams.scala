@@ -363,21 +363,55 @@ object EventStreams {
     * window set. */
   def windowZscore(events: DataFrame, width: String = "10 minutes",
                    minAbsZ: Double = 0.0): DataFrame = {
-    val counts = events
-      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+    val counts = windowCounts(events, width)
+    counts.join(zscoreMoments(counts), "event_type")
+      .withColumn("zscore", zExpr)
+      .filter(abs(col("zscore")) >= minAbsZ)
+      .select(col("win_start"), col("event_type"), col("n_events"), col("zscore"))
+  }
+
+  /** Tumbling-window event counts per type — the shared input of the
+    * batch and streaming z-score forms. */
+  private def windowCounts(events: DataFrame, width: String): DataFrame =
+    events.groupBy(window(col("ts"), width).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("win_start"), col("event_type"), col("n_events"))
-    val moments = counts.groupBy(col("event_type"))
+
+  /** Per-type integer moments of the window counts: `(__n, __s, __q)`
+    * = window count, Σc, Σc² as exact longs. This is the trained
+    * "model" of [[streamingZscore]] — computed offline on history,
+    * broadcast online. */
+  def zscoreMoments(counts: DataFrame): DataFrame =
+    counts.groupBy(col("event_type"))
       .agg(count(lit(1)).as("__n"),
         sum(col("n_events")).as("__s"),
         sum(col("n_events") * col("n_events")).as("__q"))
+
+  private def zExpr: Column = {
     val mean = col("__s").cast("double") / col("__n")
     val variance = col("__q").cast("double") / col("__n") - mean * mean
-    counts.join(moments, "event_type")
-      .withColumn("zscore",
-        when(variance > 0.0, (col("n_events").cast("double") - mean) / sqrt(variance))
-          .otherwise(lit(0.0)))
-      .filter(abs(col("zscore")) >= minAbsZ)
+    when(variance > 0.0, (col("n_events").cast("double") - mean) / sqrt(variance))
+      .otherwise(lit(0.0))
+  }
+
+  /** The online deployment of [[windowZscore]]: score a live stream's
+    * watermark-closed windows against moments trained offline (the
+    * standard split — global statistics cannot be computed on an
+    * unbounded stream, so the model is a static broadcast side and the
+    * stream contributes only bounded windowed state). */
+  def streamingZscore(spark: SparkSession, dir: String, moments: DataFrame,
+                      width: String = "10 minutes",
+                      lateness: String = "10 minutes"): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = withEventTime(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    stream.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n_events"))
+      .join(broadcast(moments), "event_type")
+      .withColumn("zscore", zExpr)
       .select(col("win_start"), col("event_type"), col("n_events"), col("zscore"))
   }
 }

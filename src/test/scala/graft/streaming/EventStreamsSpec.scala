@@ -197,4 +197,23 @@ class EventStreamsSpec extends SparkSpec {
     val flagged = EventStreams.windowZscore(ev, minAbsZ = 1.5)
     assert(flagged.count() == all.filter(abs(col("zscore")) >= 1.5).count())
   }
+
+  test("streamingZscore scores watermark-closed windows exactly like batch") {
+    val ev = load("events")
+    val moments = EventStreams.zscoreMoments(
+      ev.groupBy(window($"ts", "10 minutes").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"w.start".as("win_start"), $"event_type", $"n_events"))
+    val streamed = EventStreams.runToMemorySink(
+      EventStreams.streamingZscore(spark, sf, moments), "stream_zscore")
+      .select("win_start", "event_type", "n_events", "zscore")
+    val batch = EventStreams.windowZscore(ev)
+      .select("win_start", "event_type", "n_events", "zscore")
+    // append mode: emitted = watermark-closed subset, values identical
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty)
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0).getTime
+    val missing = batch.exceptAll(streamed).collect()
+    assert(missing.forall(_.getTimestamp(0).getTime >= maxTs - 20 * 60 * 1000))
+  }
 }
