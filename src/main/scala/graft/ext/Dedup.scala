@@ -99,10 +99,14 @@ object Dedup {
     * re-copies the bucket array — so the single-pass pair-array build
     * stays.) */
   def candidatePairs(bands: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    // materialize the sorted bucket ONCE per row (inlining array_sort
+    // into the expansion lambda re-sorts per outer element — O(n²·log n)
+    // on the skewed buckets near-identical docs collapse into)
     val buckets = bands.groupBy(col("band"), col("band_key"))
-      .agg(collect_list(col(idCol)).as("__ids"))
-      .filter(size(col("__ids")) > 1)
-    val sorted = array_sort(col("__ids"))
+      .agg(collect_list(col(idCol)).as("__raw"))
+      .filter(size(col("__raw")) > 1)
+      .select(array_sort(col("__raw")).as("__ids"))
+    val sorted = col("__ids")
     val pairs = flatten(transform(sorted, (a, i) =>
       transform(slice(sorted, i + lit(2), size(sorted) - i - 1),
         b => struct(a.as("doc_a"), b.as("doc_b")))))
@@ -324,10 +328,15 @@ object Dedup {
     val blocks = sh
       .select(col(idCol).as("id"), col("simhash"), explode(array(blockCols: _*)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.blk").as("blk"), col("bk.v").as("v"))
+    // materialize the sorted bucket ONCE per row: inlining array_sort
+    // into the pair-expansion lambda re-evaluates the sort for every
+    // outer element (O(n²·log n) per bucket — ruinous on the skewed
+    // buckets short/templated docs hash into)
     val buckets = blocks.groupBy(col("blk"), col("v"))
-      .agg(collect_list(struct(col("id"), col("simhash").as("h"))).as("__xs"))
-      .filter(size(col("__xs")) > 1)
-    val sorted = array_sort(col("__xs"))
+      .agg(collect_list(struct(col("id"), col("simhash").as("h"))).as("__raw"))
+      .filter(size(col("__raw")) > 1)
+      .select(array_sort(col("__raw")).as("__xs"))
+    val sorted = col("__xs")
     val pairs = flatten(transform(sorted, (a, i) =>
       transform(slice(sorted, i + lit(2), size(sorted) - i - 1),
         b => struct(a.getField("id").as("doc_a"), a.getField("h").as("h_a"),
