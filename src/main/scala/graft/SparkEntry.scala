@@ -306,6 +306,13 @@ object SparkEntry {
     "q70_bigram_lm" -> ((s, dir) =>
       Corpus.bigramLogProb(t(s, dir, "documents"))
         .orderBy("doc_id")),
+    // curriculum mixture: src0 oversampled past its size (capped at 1),
+    // src1 at a 0.2 share, the long tail at the default weight
+    "q74_mixture_sample" -> ((s, dir) =>
+      Corpus.mixtureSample(t(s, dir, "documents"),
+        weights = Map("src0" -> 0.4, "src1" -> 0.2),
+        targetTokens = 5000L, defaultWeight = 0.02)
+        .orderBy("doc_id")),
   )
 
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1114,6 +1121,28 @@ object SparkEntry {
         |ORDER BY query_id""".stripMargin,
 
     "q72_random_projection" -> randomProjectionOracle,
+
+    // mixture sampling: per-source token totals → capped fraction →
+    // 1/256-granular md5-nibble threshold, all literal-mirrored
+    "q74_mixture_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |f AS (
+        |  SELECT source,
+        |    floor(least(1.0,
+        |      (CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.2
+        |       ELSE 0.02 END) * 5000.0 / SUM(n_tokens)) * 256) AS thr
+        |  FROM d GROUP BY source)
+        |SELECT doc_id, source, n_tokens
+        |FROM d JOIN f USING (source)
+        |WHERE (strpos('0123456789abcdef',
+        |         substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef',
+        |         substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < thr
+        |ORDER BY doc_id""".stripMargin,
 
     // window-count z-score from exact integer moments — the doubles
     // are pure IEEE arithmetic on exact longs, engine-portable

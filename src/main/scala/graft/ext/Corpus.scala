@@ -90,6 +90,40 @@ object Corpus {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** Source-mixture sampling to a token budget — the curriculum step
+    * that turns raw per-source corpora into a training mix: source `s`
+    * should contribute ~`weights(s) · targetTokens` tokens (weights
+    * are absolute shares, caller-normalized; unlisted sources get
+    * `defaultWeight`), so each source is hash-sampled at
+    * `f_s = min(1, weights(s)·targetTokens / tokens_s)` — capped when
+    * a source is too small to meet its share.
+    *
+    * The sample is the same RNG-free md5-nibble threshold as
+    * stratified sampling (granularity 1/256): reproducible across
+    * runs, engines, partitionings and retries. One tiny per-source
+    * aggregate (broadcast back) plus a narrow filter — the corpus
+    * itself is scanned once. */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Double],
+                    targetTokens: Long, defaultWeight: Double = 0.0,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    sourceCol: String = "source"): DataFrame = {
+    val perDoc = docs.select(col(idCol), col(sourceCol).as("source"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val wCol = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (s, w)) => when(col("source") === s, lit(w)).otherwise(acc)
+    }
+    val thresholds = perDoc.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tok_s"))
+      .select(col("source"),
+        floor(least(lit(1.0), wCol * targetTokens.toDouble / col("tok_s")) * 256)
+          .as("__thr"))
+    val hx = md5(concat(col("source"), lit("|"), col(idCol).cast("string")))
+    def nibAt(i: Int) = instr(lit("0123456789abcdef"), substring(hx, i, 1)) - 1
+    perDoc.join(broadcast(thresholds), "source")
+      .filter(nibAt(1) * 16 + nibAt(2) < col("__thr"))
+      .select(col(idCol), col("source"), col("n_tokens"))
+  }
+
   /** Corpus-trained bigram language-model score per document (an LM
     * perplexity proxy for quality filtering): MLE bigram probability
     * `P(t2|t1) = c(t1,t2) / c(t1,·)` trained on the corpus itself, and

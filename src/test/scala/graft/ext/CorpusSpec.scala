@@ -62,6 +62,28 @@ class CorpusSpec extends SparkSpec {
     assert(out(4)._2 < out(1)._2) // rarer continuation → worse score
   }
 
+  test("mixtureSample: capped sources keep everything, zero-weight sources drop, " +
+    "sampled share lands near its target") {
+    val d = (0L until 400L).map { i =>
+      val src = if (i < 20) "big" else if (i < 40) "full" else "tail"
+      (i, ("tok " * 10).trim, src) // 10 tokens per doc
+    }.toDF("doc_id", "text", "source")
+    // full: 20 docs × 10 tok = 200 tokens, weight 1 × target 200 → f=1 (keep all)
+    // big: 200 tokens, weight 0.25 × 200 = 50 of 200 → f=0.25 (thr 64/256)
+    val out = Corpus.mixtureSample(d,
+      weights = Map("full" -> 1.0, "big" -> 0.25), targetTokens = 200L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc.getOrElse("full", 0) == 20) // capped at fraction 1
+    assert(!bySrc.contains("tail")) // defaultWeight 0
+    assert(bySrc.getOrElse("big", 0) > 0 && bySrc("big") < 20)
+    // deterministic: second run identical
+    val again = Corpus.mixtureSample(d,
+      weights = Map("full" -> 1.0, "big" -> 0.25), targetTokens = 200L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("bigramLogProb: docs with fewer than 2 tokens are omitted") {
     val d = docs((1L, "solo", "s"), (2L, "", "s"), (3L, "a b", "s"))
     val out = Corpus.bigramLogProb(d).select("doc_id").as[Long].collect()
