@@ -375,6 +375,16 @@ object SparkEntry {
         .localCheckpoint()
       Dedup.dedupCorpus(docs, pairs).select("doc_id").orderBy("doc_id")
     }),
+    // exact edit-distance verification over the LSH-bounded candidate
+    // set (never all-pairs); thresholded Levenshtein early-exits
+    "q75_editdist_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+      val pairs = Dedup.candidatePairs(
+        Dedup.lshBands(Dedup.minhash(docs, k = 6), bands = 3, rowsPerBand = 2))
+        .localCheckpoint()
+      Dedup.editDistancePairs(docs, pairs, maxDist = 200)
+        .orderBy("doc_a", "doc_b")
+    }),
     // simhash near-dup via nibble blocking — exact for hamming ≤ 3,
     // never all-pairs
     "q52_simhash_neardup" -> ((s, dir) => {
@@ -915,6 +925,7 @@ object SparkEntry {
     "q29_ann_lsh" -> annLshOracle,
     "q49_neardup_lsh" -> neardupLshOracle,
     "q48_lsh_candidates" -> lshCandidatesOracle,
+    "q75_editdist_neardup" -> editDistNearDupOracle,
     "q63_jaccard_estimate" -> jaccardEstimateOracle,
     "q50_dedup_components" -> dedupComponentsOracle,
     "q60_dedup_corpus" -> dedupCorpusOracle,
@@ -1352,6 +1363,17 @@ object SparkEntry {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  /** q75 oracle: exact Levenshtein over the same candidate pairs. */
+  private def editDistNearDupOracle: String =
+    s"""WITH $lshPairsCtes
+       |SELECT doc_a, doc_b,
+       |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+       |FROM pairs
+       |JOIN documents a ON a.doc_id = doc_a
+       |JOIN documents b ON b.doc_id = doc_b
+       |WHERE levenshtein(a.text, b.text) <= 200
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q63 oracle: the signature-agreement estimator over the same
     * candidate pairs — mh0..mh5 equality votes divided by k. */

@@ -250,6 +250,25 @@ object Dedup {
     labels.select(col("id").as(idCol), col("comp"))
   }
 
+  /** Exact edit-distance verification of candidate pairs — the last
+    * filter before declaring two documents duplicates when Jaccard is
+    * too coarse (small edits inside shared shingles). Levenshtein is
+    * O(|a|·|b|) per pair, so it is only ever run on the LSH-bounded
+    * candidate set, never all-pairs; the thresholded form stops a
+    * pair's DP early once the distance provably exceeds `maxDist`.
+    * The (tiny) pair list is broadcast into both text joins — the
+    * corpus side streams. */
+  def editDistancePairs(docs: DataFrame, pairs: DataFrame, maxDist: Int,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val a = docs.select(col(idCol).as("doc_a"), col(textCol).as("__ta"))
+    val b = docs.select(col(idCol).as("doc_b"), col(textCol).as("__tb"))
+    a.join(broadcast(pairs), Seq("doc_a"))
+      .join(b, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") >= 0)
+  }
+
   /** The dedup pipeline's last stage: given the corpus and its
     * near-duplicate PAIRS, keep exactly one representative (minimum id)
     * per transitive duplicate group and every unpaired document.

@@ -221,6 +221,19 @@ class DedupSpec extends SparkSpec {
     assert(near < far)
   }
 
+  test("editDistancePairs: exact distances on candidates, above-threshold pairs dropped") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fix"),   // distance 1 from doc 1
+      (3L, "completely different words here"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.editDistancePairs(docs, pairs, maxDist = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((2L, 1L, 1L)) || out == Set((1L, 2L, 1L)),
+      s"expected only the (1,2) pair at distance 1, got $out")
+  }
+
   test("connectedComponents: chains collapse to min id, separate clusters stay apart") {
     // 1-2-3 chained, 5-6 separate, 7-8-9 via two pairs
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 7L), (8L, 9L))
