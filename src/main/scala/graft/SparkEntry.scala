@@ -594,6 +594,24 @@ object SparkEntry {
         .select(col("media_id"), col("n_bytes"),
           col("pos").cast("long").as("pos"), col("feature"))
         .orderBy("media_id", "pos")),
+    // container-header parsing round-trip: synthesize REAL PNG bytes
+    // (signature + IHDR) per doc, then recover the fields from the
+    // binary with the builtin-only parser — the oracle derives the
+    // expected values arithmetically
+    "q76_container_meta" -> ((s, dir) => {
+      val w = (col("n_chars") % 640 + 1).cast("int")
+      val h = (col("n_chars") % 480 + 1).cast("int")
+      val payload = unhex(concat(
+        lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0802000000")))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), payload.as("payload"))
+      Multimodal.containerMeta(media)
+        .select(col("media_id"), col("n_bytes"),
+          col("png.width").as("width"), col("png.height").as("height"),
+          col("png.bit_depth").as("bit_depth"), col("png.color_type").as("color_type"))
+        .orderBy("media_id")
+    }),
     "q35_catalog_tables" -> ((s, dir) => {
       val cat = new SchemaCatalog(s, dir)
       // tableDefs fans the footer reads out in parallel — the serial
@@ -907,6 +925,15 @@ object SparkEntry {
 
     // payloads are UTF-8 bytes of ASCII fixture text, so byte value ==
     // code point and the byte histogram is expressible over substr
+    // expected header fields derived arithmetically (the Spark side
+    // does the real bytes round-trip; 29 = 8 sig + 25 IHDR bytes)
+    "q76_container_meta" ->
+      """SELECT doc_id AS media_id, CAST(29 AS BIGINT) AS n_bytes,
+        |  CAST(n_chars % 640 + 1 AS INT) AS width,
+        |  CAST(n_chars % 480 + 1 AS INT) AS height,
+        |  CAST(8 AS INT) AS bit_depth, CAST(2 AS INT) AS color_type
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q34_multimodal_features" ->
       """WITH b AS (
         |  SELECT doc_id, unicode(substr(text, i, 1)) % 16 AS bin

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -80,4 +80,60 @@ object Multimodal {
     media.withColumn("meta",
       struct(col("meta.kind"), lit(w).as("width"), lit(h).as("height"),
         col("meta.sample_rate").as("sample_rate")))
+
+  // ---- container-header parsing: REAL (not stubbed) ----------------
+  // The codec step needs libraries, but the container headers are
+  // plain byte arithmetic — parsed with builtin (codegen'd) binary
+  // slicing + hex conversion, narrow per-row, no UDF.
+
+  /** Big-endian unsigned int from `len` bytes of a binary column at
+    * 1-based `pos` — substring on binary yields a binary slice, whose
+    * hex digits convert exactly. */
+  private def beUint(bin: Column, pos: Int, len: Int): Column =
+    conv(hex(substring(bin, pos, len)), 16, 10).cast("long")
+
+  /** Little-endian unsigned int: byte-reverse via per-byte slices. */
+  private def leUint(bin: Column, pos: Int, len: Int): Column =
+    (0 until len).map(i => beUint(bin, pos + i, 1) * (1L << (8 * i)))
+      .reduce(_ + _)
+
+  /** Parse PNG IHDR metadata straight from payload bytes: signature
+    * check (`\x89PNG\r\n\x1a\n`), then width/height/bit-depth/color-type
+    * from the IHDR chunk at fixed offsets (PNG spec §5.2, §11.2.2 —
+    * IHDR is always first). Non-PNG payloads yield nulls, so a mixed
+    * 100 TB media lake can be scanned with one narrow projection and
+    * filtered by `png_width IS NOT NULL`. */
+  def pngMeta(payload: Column): Column = {
+    val isPng = hex(substring(payload, 1, 8)) === lit("89504E470D0A1A0A")
+    val meta = struct(
+      beUint(payload, 17, 4).cast("int").as("width"),
+      beUint(payload, 21, 4).cast("int").as("height"),
+      beUint(payload, 25, 1).cast("int").as("bit_depth"),
+      beUint(payload, 26, 1).cast("int").as("color_type"))
+    when(isPng, meta)
+  }
+
+  /** Parse WAV/RIFF fmt metadata from payload bytes: `RIFF....WAVE`
+    * signature, then the canonical fmt chunk at offset 13 (audio
+    * format, channels, sample rate, bits per sample — all
+    * little-endian per the RIFF spec). Non-WAV payloads yield nulls. */
+  def wavMeta(payload: Column): Column = {
+    val isWav = hex(substring(payload, 1, 4)) === lit("52494646") &&
+      hex(substring(payload, 9, 8)) === lit("57415645666D7420")
+    val meta = struct(
+      leUint(payload, 21, 2).cast("int").as("audio_format"),
+      leUint(payload, 23, 2).cast("int").as("channels"),
+      leUint(payload, 25, 4).cast("int").as("sample_rate"),
+      leUint(payload, 35, 2).cast("int").as("bits_per_sample"))
+    when(isWav, meta)
+  }
+
+  /** Scan a media frame, attaching parsed container metadata columns —
+    * the real half of "decode": header fields come from the bytes
+    * themselves, only pixel/sample decoding remains stubbed. */
+  def containerMeta(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      pngMeta(col("payload")).as("png"),
+      wavMeta(col("payload")).as("wav"))
 }

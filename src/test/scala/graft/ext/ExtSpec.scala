@@ -471,4 +471,36 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Long]("n_sampled") == (n + 9) / 10)
     }
   }
+
+  private def be(v: Long, len: Int): Array[Byte] =
+    (len - 1 to 0 by -1).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+  private def le(v: Long, len: Int): Array[Byte] =
+    (0 until len).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+
+  test("containerMeta parses real PNG IHDR and WAV fmt headers; other payloads null") {
+    import spark.implicits._
+    // a genuine minimal PNG header: signature + IHDR(640×480, 8-bit RGB)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be(13, 4) ++ "IHDR".getBytes ++ be(640, 4) ++ be(480, 4) ++
+      Array[Byte](8, 2, 0, 0, 0)
+    // a genuine canonical WAV header: RIFF/WAVE + 16-byte PCM fmt chunk
+    // (stereo, 44.1 kHz, 16-bit)
+    val wav = "RIFF".getBytes ++ le(36, 4) ++ "WAVEfmt ".getBytes ++
+      le(16, 4) ++ le(1, 2) ++ le(2, 2) ++ le(44100, 4) ++
+      le(176400, 4) ++ le(4, 2) ++ le(16, 2)
+    val media = Seq(
+      (1L, png), (2L, wav), (3L, "not media at all".getBytes))
+      .toDF("media_id", "payload")
+    val out = Multimodal.containerMeta(media).orderBy("media_id").collect()
+    val p = out(0).getAs[org.apache.spark.sql.Row]("png")
+    assert(p.getAs[Int]("width") == 640 && p.getAs[Int]("height") == 480)
+    assert(p.getAs[Int]("bit_depth") == 8 && p.getAs[Int]("color_type") == 2)
+    assert(out(0).isNullAt(out(0).fieldIndex("wav")))
+    val w = out(1).getAs[org.apache.spark.sql.Row]("wav")
+    assert(w.getAs[Int]("audio_format") == 1 && w.getAs[Int]("channels") == 2)
+    assert(w.getAs[Int]("sample_rate") == 44100 && w.getAs[Int]("bits_per_sample") == 16)
+    assert(out(1).isNullAt(out(1).fieldIndex("png")))
+    assert(out(2).isNullAt(out(2).fieldIndex("png")) &&
+      out(2).isNullAt(out(2).fieldIndex("wav")))
+  }
 }
