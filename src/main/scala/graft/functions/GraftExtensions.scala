@@ -19,6 +19,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimhashPack].getName, "simhash16"),
       GraftExtensions.simhashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      GraftExtensions.minhashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      GraftExtensions.repetitionBuilder))
   }
 }
 
@@ -31,6 +39,20 @@ object GraftExtensions {
     require(children.size == 1, "simhash16 takes exactly 1 argument")
     SimhashPack(children(0))
   }
+  // shingle width / signature count arrive as SQL int literals
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+  private val minhashBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 3, "minhash_sig(tokens, shingleN, k)")
+    MinhashSig(children(0), intLit(children(1), "shingleN"), intLit(children(2), "k"))
+  }
+  private val repetitionBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "repetition_stats(tokens, shingleN)")
+    RepetitionStats(children(0), intLit(children(1), "shingleN"))
+  }
 
   /** Register into an already-running session (extensions via
     * `withExtensions`/`spark.sql.extensions` only apply to new ones).
@@ -42,6 +64,10 @@ object GraftExtensions {
       .createOrReplaceTempFunction("dot_product", builder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("simhash16", simhashBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("minhash_sig", minhashBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("repetition_stats", repetitionBuilder, "built-in")
     implicit val inEnc: org.apache.spark.sql.Encoder[Array[Float]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
     spark.udf.register("vector_mean",

@@ -80,6 +80,30 @@ class DotProductSpec extends SparkSpec {
     assert(viaSql == viaApi)
   }
 
+  test("minhash_sig and repetition_stats are SQL-callable and match the Column API") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta gamma alpha beta gamma alpha")).toDF("doc_id", "text")
+    d.createOrReplaceTempView("mh_docs")
+    val viaSql = spark.sql(
+      "SELECT minhash_sig(filter(split(text, ' '), t -> t <> ''), 3, 6) AS sig FROM mh_docs")
+      .select("sig").as[Seq[String]].head()
+    val viaApi = graft.ext.Dedup.minhash(d, k = 6)
+      .select(array((0 until 6).map(i => col(s"mh$i")): _*)).as[Seq[String]].head()
+    assert(viaSql == viaApi)
+    val rep = spark.sql(
+      "SELECT repetition_stats(filter(split(text, ' '), t -> t <> ''), 3) AS s FROM mh_docs")
+      .select("s.best", "s.n").as[(Long, Long)].head()
+    // 7 tokens → 5 3-shingles; "alpha beta gamma" repeats
+    assert(rep._2 == 5 && rep._1 == 2)
+    // non-literal shingle width must be rejected loudly, not miscompiled
+    val err = intercept[Exception] {
+      spark.sql("SELECT repetition_stats(array('a'), CAST(doc_id AS INT)) FROM mh_docs")
+        .collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("vector_mean UDAF is SQL-callable and matches the typed Aggregator") {
     GraftExtensions.register(spark)
     load("embeddings").createOrReplaceTempView("emb_vm")
