@@ -462,6 +462,23 @@ object SparkEntry {
           percentile(col("o_totalprice"), lit(0.9)).as("p90"),
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")),
+    // sketch-based quantiles — the 100 TB path (exact percentile needs
+    // a per-group sort; the t-digest-style sketch merges map-side).
+    // Oracle-checkable columns are the exact quantiles plus the
+    // contract that the sketch landed within 1% of each (q38's HLL
+    // pattern): the sketch estimate itself is engine-specific
+    "q77_approx_percentiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(percentile(col("o_totalprice"), lit(0.5)).as("median"),
+          percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("__am"),
+          percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("__a90"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderpriority"), col("median"), col("p90"), col("n"),
+          (abs(col("__am") - col("median")) <= col("median") * 0.01).as("median_close"),
+          (abs(col("__a90") - col("p90")) <= col("p90") * 0.01).as("p90_close"))
+        .orderBy("o_orderpriority")),
     // IVF ANN (KMeans coarse quantizer) — the raw hits are rows-only
     // (cell assignment is not SQL-expressible); q58 is the
     // oracle-checked quality contract over the same call
@@ -1218,6 +1235,14 @@ object SparkEntry {
         |  quantile_cont(o_totalprice, 0.5) AS median,
         |  quantile_cont(o_totalprice, 0.9) AS p90,
         |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q77_approx_percentiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS median,
+        |  quantile_cont(o_totalprice, 0.9) AS p90,
+        |  count(*) AS n,
+        |  TRUE AS median_close, TRUE AS p90_close
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q30_neardup_cosine" ->
