@@ -191,4 +191,30 @@ class PlanSpec extends SparkSpec {
     val df = run("q69_sequence_pack")
     assert(shuffles(df) <= 3, s"packing shuffle count regressed:\n${plan(df)}")
   }
+
+  test("plan hygiene sweep: no cartesian/nested-loop joins anywhere except " +
+    "the labeled exact baselines") {
+    // q30/q27 are the documented quadratic correctness baselines (their
+    // LSH-path twins q49/q48 are asserted join-shape-clean above);
+    // q28/q71's neighbor scans broadcast a FILTERED query set against
+    // the corpus with a non-equi self-exclusion — the intended
+    // broadcast-nested-loop over |Q|·N, not an accidental cross product
+    // q39/q58's IVF probe selection is a broadcast cross of the query
+    // set against the nLists centroids (|Q|·nLists rows — the coarse
+    // quantizer's definition, not a data-sized product)
+    val exactBaselines = Set(
+      "q30_neardup_cosine", "q27_jaccard_topk", "q28_cosine_topk",
+      "q71_knn_classify", "q58_ann_ivf_recall", "q39_ann_ivf")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(exactBaselines)
+      .flatMap { name =>
+        val df = SparkEntry.queries(name)(spark, sf)
+        df.count()
+        val p = plan(df)
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+    assert(offenders.isEmpty, s"pathological join shapes in: $offenders")
+  }
 }
