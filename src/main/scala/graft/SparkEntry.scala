@@ -306,6 +306,11 @@ object SparkEntry {
     "q70_bigram_lm" -> ((s, dir) =>
       Corpus.bigramLogProb(t(s, dir, "documents"))
         .orderBy("doc_id")),
+    // vocabulary-indexed encoding: frequency-ranked ids, OOV → 0
+    "q78_encode_tokens" -> ((s, dir) =>
+      Corpus.encodeTokens(t(s, dir, "documents"), vocabSize = 100)
+        .filter(col("doc_id") < 50)
+        .orderBy("doc_id", "pos")),
     // curriculum mixture: src0 oversampled past its size (capped at 1),
     // src1 at a 0.2 share, the long tail at the default weight
     "q74_mixture_sample" -> ((s, dir) =>
@@ -1176,6 +1181,27 @@ object SparkEntry {
         |ORDER BY query_id""".stripMargin,
 
     "q72_random_projection" -> randomProjectionOracle,
+
+    // frequency-ranked vocabulary encoding; QUALIFY keeps the rank
+    // window before the cutoff, exactly like the Spark filter
+    "q78_encode_tokens" ->
+      s"""WITH $tokCte,
+         |pt AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(tl)),
+         |      i -> {'pos': i, 'tok': tl[i]})) AS x
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tl
+         |        FROM documents)),
+         |pos AS (SELECT doc_id, CAST(x.pos AS BIGINT) AS pos, x.tok AS tok FROM pt),
+         |v AS (
+         |  SELECT tok, CAST(row_number() OVER (ORDER BY count(*) DESC, tok)
+         |    AS BIGINT) AS token_id
+         |  FROM toks GROUP BY tok
+         |  QUALIFY token_id <= 100)
+         |SELECT doc_id, pos, coalesce(token_id, 0) AS token_id
+         |FROM pos LEFT JOIN v USING (tok)
+         |WHERE doc_id < 50
+         |ORDER BY doc_id, pos""".stripMargin,
 
     // mixture sampling: per-source token totals → capped fraction →
     // 1/256-granular md5-nibble threshold, all literal-mirrored

@@ -90,6 +90,33 @@ object Corpus {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** Vocabulary-indexed token encoding — the final corpus-prep step
+    * that turns text into the integer sequences training consumes:
+    * ids are assigned by corpus frequency rank (1 = most frequent,
+    * ties toward the lexicographically smaller token, 0 = OOV for
+    * tokens outside the top `vocabSize`), and each document emits one
+    * `(doc_id, pos, token_id)` row per token position.
+    *
+    * The vocabulary ranking runs on the (tiny) aggregated token-count
+    * table, and the id assignment joins it back to the positional
+    * token stream — broadcast-sized at any corpus scale. The stream
+    * itself is a narrow posexplode of the scan. */
+  def encodeTokens(docs: DataFrame, vocabSize: Int = 100,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos0", "token")))
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"), col("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("__c"))
+    val vocab = counts
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("__c").desc, col("token").asc)).cast("long"))
+      .filter(col("token_id") <= vocabSize)
+      .select(col("token"), col("token_id"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("token_id"), lit(0L)).as("token_id"))
+  }
+
   /** Source-mixture sampling to a token budget — the curriculum step
     * that turns raw per-source corpora into a training mix: source `s`
     * should contribute ~`weights(s) · targetTokens` tokens (weights

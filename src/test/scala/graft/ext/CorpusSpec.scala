@@ -84,6 +84,18 @@ class CorpusSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("encodeTokens: frequency-ranked ids, positional rows, OOV → 0") {
+    val d = docs((1L, "a a a b b c", "s"), (2L, "b a", "s"))
+    val out = Corpus.encodeTokens(d, vocabSize = 2)
+      .orderBy("doc_id", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // a: 4 occurrences → id 1; b: 3 → id 2; c OOV → 0
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 1L),
+      (1L, 4L, 2L), (1L, 5L, 2L), (1L, 6L, 0L),
+      (2L, 1L, 2L), (2L, 2L, 1L)))
+  }
+
   test("bigramLogProb: docs with fewer than 2 tokens are omitted") {
     val d = docs((1L, "solo", "s"), (2L, "", "s"), (3L, "a b", "s"))
     val out = Corpus.bigramLogProb(d).select("doc_id").as[Long].collect()
