@@ -306,6 +306,13 @@ object SparkEntry {
     "q70_bigram_lm" -> ((s, dir) =>
       Corpus.bigramLogProb(t(s, dir, "documents"))
         .orderBy("doc_id")),
+    // conjunctive search via inverted-index posting intersection —
+    // work scales with matched postings, not corpus text
+    "q79_phrase_search" -> ((s, dir) =>
+      Corpus.searchAll(
+        Corpus.invertedIndex(t(s, dir, "documents")),
+        phrase = Seq("hash", "join", "filter"))
+        .orderBy("doc_id")),
     // vocabulary-indexed encoding: frequency-ranked ids, OOV → 0
     "q78_encode_tokens" -> ((s, dir) =>
       Corpus.encodeTokens(t(s, dir, "documents"), vocabSize = 100)
@@ -1181,6 +1188,14 @@ object SparkEntry {
         |ORDER BY query_id""".stripMargin,
 
     "q72_random_projection" -> randomProjectionOracle,
+
+    // posting-list AND: docs whose distinct-token set covers the phrase
+    "q79_phrase_search" ->
+      s"""WITH $tokCte
+         |SELECT doc_id FROM (SELECT DISTINCT doc_id, tok FROM toks)
+         |WHERE tok IN ('hash', 'join', 'filter')
+         |GROUP BY doc_id HAVING count(*) = 3
+         |ORDER BY doc_id""".stripMargin,
 
     // frequency-ranked vocabulary encoding; QUALIFY keeps the rank
     // window before the cutoff, exactly like the Spark filter

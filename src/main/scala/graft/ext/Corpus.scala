@@ -90,6 +90,32 @@ object Corpus {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** Inverted index over the corpus: one posting row per distinct
+    * (token, doc) — the search-side structure a document lake
+    * materializes once so lookups never rescan text. Partitioned by
+    * token at write time, a lookup reads only its tokens' postings. */
+  def invertedIndex(docs: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("token"))
+
+  /** Conjunctive (AND) token search via posting-list intersection:
+    * documents containing EVERY token of `phrase`. The classic
+    * inverted-index query shape — work scales with the matched
+    * postings, not the corpus: the token filter prunes the index scan
+    * (partition pruning when the index is stored partitioned by
+    * token), and the intersection is one count-match aggregation. */
+  def searchAll(index: DataFrame, phrase: Seq[String],
+                idCol: String = "doc_id"): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val terms = phrase.distinct
+    index.filter(col("token").isin(terms: _*))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === terms.size)
+      .select(col(idCol))
+  }
+
   /** Vocabulary-indexed token encoding — the final corpus-prep step
     * that turns text into the integer sequences training consumes:
     * ids are assigned by corpus frequency rank (1 = most frequent,

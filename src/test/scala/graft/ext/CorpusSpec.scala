@@ -96,6 +96,21 @@ class CorpusSpec extends SparkSpec {
       (2L, 1L, 2L), (2L, 2L, 1L)))
   }
 
+  test("invertedIndex + searchAll: conjunctive match, duplicate tokens count once") {
+    val d = docs(
+      (1L, "hash join filter scan", "s"),
+      (2L, "hash hash join join", "s"),   // no 'filter' → must not match
+      (3L, "filter join hash filter", "s"))
+    val idx = Corpus.invertedIndex(d)
+    val hits = Corpus.searchAll(idx, Seq("hash", "join", "filter"))
+      .as[Long].collect().sorted.toSeq
+    assert(hits == Seq(1L, 3L))
+    // a repeated term in the phrase must not require double postings
+    val dup = Corpus.searchAll(idx, Seq("hash", "hash", "join"))
+      .as[Long].collect().sorted.toSeq
+    assert(dup == Seq(1L, 2L, 3L))
+  }
+
   test("bigramLogProb: docs with fewer than 2 tokens are omitted") {
     val d = docs((1L, "solo", "s"), (2L, "", "s"), (3L, "a b", "s"))
     val out = Corpus.bigramLogProb(d).select("doc_id").as[Long].collect()
