@@ -271,10 +271,10 @@ object SparkEntry {
     "q54_chunking" -> ((s, dir) =>
       TextAnalysis.chunk(t(s, dir, "documents"), size = 50, stride = 40)
         .orderBy("doc_id", "chunk_id")),
-    // corpus-level boilerplate: 3-gram shingles repeated across ≥ 25
+    // corpus-level boilerplate: 3-gram shingles repeated across ≥ 5
     // distinct documents (template text detection)
     "q65_boilerplate" -> ((s, dir) =>
-      TextAnalysis.boilerplateNgrams(t(s, dir, "documents"), shingleN = 3, minDocs = 25)
+      TextAnalysis.boilerplateNgrams(t(s, dir, "documents"), shingleN = 3, minDocs = 5)
         .orderBy(col("n_docs").desc, col("ngram").asc)
         .limit(30)),
     // train/test decontamination: test docs sharing a 5-gram with any
@@ -995,12 +995,12 @@ object SparkEntry {
 
     "q53_stratified_sample" -> stratifiedSampleOracle,
 
-    // corpus-level boilerplate 3-grams (distinct-doc frequency ≥ 25)
+    // corpus-level boilerplate 3-grams (distinct-doc frequency ≥ 5)
     "q65_boilerplate" ->
       s"""WITH $shingleCte,
          |d AS (SELECT DISTINCT doc_id, sh FROM sh)
          |SELECT sh AS ngram, CAST(count(*) AS BIGINT) AS n_docs
-         |FROM d GROUP BY sh HAVING count(*) >= 25
+         |FROM d GROUP BY sh HAVING count(*) >= 5
          |ORDER BY n_docs DESC, ngram ASC LIMIT 30""".stripMargin,
 
     // 5-gram train/test leakage: per contaminated test doc, its count
