@@ -313,6 +313,10 @@ object SparkEntry {
         Corpus.invertedIndex(t(s, dir, "documents")),
         phrase = Seq("hash", "join", "filter"))
         .orderBy("doc_id")),
+    // BM25 ranking over the same term query as q79 (k1=1.2, b=0.75)
+    "q80_bm25" -> ((s, dir) =>
+      Corpus.bm25(t(s, dir, "documents"),
+        terms = Seq("hash", "join", "filter"), topN = 10)),
     // vocabulary-indexed encoding: frequency-ranked ids, OOV → 0
     "q78_encode_tokens" -> ((s, dir) =>
       Corpus.encodeTokens(t(s, dir, "documents"), vocabSize = 100)
@@ -1188,6 +1192,30 @@ object SparkEntry {
         |ORDER BY query_id""".stripMargin,
 
     "q72_random_projection" -> randomProjectionOracle,
+
+    // BM25 with the engine's exact expression shape: one rounded ln per
+    // term, per-term scores decimal-summed — rank-stable across engines
+    "q80_bm25" ->
+      s"""WITH $tokCte,
+         |lens AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+         |      AS len
+         |  FROM documents),
+         |st AS (SELECT count(*) AS n, SUM(len) AS tot FROM lens),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+         |       WHERE tok IN ('hash', 'join', 'filter') GROUP BY 1, 2),
+         |dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT doc_id,
+         |        CAST(round(
+         |          ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |          * ((tf * 2.2)
+         |             / (tf + 1.2 * (0.25 + 0.75 * (len / (CAST(tot AS DOUBLE) / n))))),
+         |          9) AS DECIMAL(28,9)) AS s
+         |      FROM tf JOIN dfx USING (tok) JOIN lens USING (doc_id), st)
+         |SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score
+         |FROM s GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     // posting-list AND: docs whose distinct-token set covers the phrase
     "q79_phrase_search" ->

@@ -116,6 +116,43 @@ object Corpus {
       .select(col(idCol))
   }
 
+  /** Okapi BM25 ranking for a term query — the scoring half of corpus
+    * search ([[searchAll]] being the boolean half): per matched
+    * (doc, term), `idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avglen))`
+    * with the standard k1=1.2, b=0.75, summed per document.
+    *
+    * Work scales with the matched postings (the term filter prunes the
+    * token stream); the corpus statistics (N, total length) are one
+    * exact integer aggregate. Engine-portable by the same recipe as
+    * the LM score: one `ln` per term rounded to 9 decimals, per-term
+    * scores rounded and summed as DECIMAL, so partition order cannot
+    * change a score or a rank. */
+  def bm25(docs: DataFrame, terms: Seq[String], topN: Int = 10,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    val q = terms.distinct
+    val lens = docs.select(col(idCol),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("__len"))
+    val stats = lens.agg(count(lit(1)), sum(col("__len"))).head()
+    val n = stats.getLong(0)
+    val avgLen = stats.getLong(1).toDouble / n
+    val tf = docs.select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .filter(col("token").isin(q: _*))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    val termScore = idf * ((col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("__len") / lit(avgLen)))))
+    tf.join(df, "token").join(lens, idCol)
+      .select(col(idCol), round(termScore, 9).cast("decimal(28,9)").as("__s"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__s")).cast("double").as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(topN)
+  }
+
   /** Vocabulary-indexed token encoding — the final corpus-prep step
     * that turns text into the integer sequences training consumes:
     * ids are assigned by corpus frequency rank (1 = most frequent,

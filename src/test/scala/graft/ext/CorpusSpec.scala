@@ -111,6 +111,23 @@ class CorpusSpec extends SparkSpec {
     assert(dup == Seq(1L, 2L, 3L))
   }
 
+  test("bm25: docs matching rarer query terms outrank common-term-only matches") {
+    val d = docs(
+      (1L, "needle in the stack", "s"),       // rare term 'needle'
+      (2L, "the the the stack stack", "s"),   // only common terms
+      (3L, "the stack", "s"),
+      (4L, "the the the the", "s"),
+      (5L, "filler text here", "s"))
+    val out = Corpus.bm25(d, terms = Seq("needle", "the", "stack"), topN = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.head._1 == 1L, s"rare-term doc should rank first: ${out.toSeq}")
+    // scores strictly ordered, ties impossible on this fixture
+    assert(out.map(_._2).toSeq == out.map(_._2).sorted(Ordering[Double].reverse).toSeq)
+    // doc 4 matches only 'the' (ubiquitous) → ranks below docs with 'stack'
+    val rank = out.map(_._1).zipWithIndex.toMap
+    assert(rank(4L) > rank(2L) && rank(4L) > rank(3L))
+  }
+
   test("bigramLogProb: docs with fewer than 2 tokens are omitted") {
     val d = docs((1L, "solo", "s"), (2L, "", "s"), (3L, "a b", "s"))
     val out = Corpus.bigramLogProb(d).select("doc_id").as[Long].collect()
