@@ -495,12 +495,18 @@ object SparkEntry {
           (abs(col("__am") - col("median")) <= col("median") * 0.01).as("median_close"),
           (abs(col("__a90") - col("p90")) <= col("p90") * 0.01).as("p90_close"))
         .orderBy("o_orderpriority")),
-    // IVF ANN (KMeans coarse quantizer) — the raw hits are rows-only
-    // (cell assignment is not SQL-expressible); q58 is the
-    // oracle-checked quality contract over the same call
+    // IVF ANN, deterministic coarse quantizer (sign-plane cells +
+    // grid-quantized centroids): the COMPLETE pipeline — build →
+    // ivfWrite (partitioned by cell) → ivfRead → partition-pruned
+    // probe — is hash-checked against annIvfOracle. The KMeans
+    // quantizer stays the quality path, contracted by q58.
     "q39_ann_ivf" -> ((s, dir) => {
-      Similarity.ivfTopK(t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
-        k = 3, nLists = 8, nProbe = 2)
+      val idx = Similarity.ivfBuildDeterministic(
+        t(s, dir, "embeddings"), planes = 4, dim = 64)
+      val path = java.nio.file.Files.createTempDirectory("graft-q39-ivf").toString
+      Similarity.ivfWrite(idx, path)
+      Similarity.ivfQuery(Similarity.ivfRead(s, path),
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 3, nProbe = 2)
         .orderBy("query_id", "rank")
     }),
     // IVF quality harness: the KMeans cells are engine-specific, but
@@ -658,10 +664,9 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query (same column names, same ordering,
-    * same DECIMAL(18,4) money arithmetic). The one query absent here
-    * (q39, raw IVF hits — KMeans cells are not SQL-expressible) gets
-    * the driver's weaker rows-only check; its quality contract is
-    * oracle-checked as q58 instead. */
+    * same DECIMAL(18,4) money arithmetic). Every query has an oracle:
+    * q39's deterministic quantizer makes the full IVF pipeline
+    * SQL-expressible; the KMeans form's contract is q58. */
   def oracleSql: Map[String, String] = coreOracleSql ++ extOracleSql
 
   private def coreOracleSql: Map[String, String] = Map(
@@ -983,6 +988,7 @@ object SparkEntry {
         |ORDER BY media_id, pos""".stripMargin,
 
     "q29_ann_lsh" -> annLshOracle,
+    "q39_ann_ivf" -> annIvfOracle,
     "q49_neardup_lsh" -> neardupLshOracle,
     "q48_lsh_candidates" -> lshCandidatesOracle,
     "q75_editdist_neardup" -> editDistNearDupOracle,
@@ -1447,6 +1453,39 @@ object SparkEntry {
        |      WHERE vec_id IN (0, 1, 2, 3, 4)),
        |s AS (SELECT query_id, c.vec_id AS neighbor_id, list_dot_product(qv, c.v) AS sim
        |      FROM q JOIN b c USING (bucket) WHERE query_id <> c.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+       |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS "rank"
+       |FROM r WHERE rnk <= 3
+       |ORDER BY query_id, "rank"""".stripMargin
+
+  /** q39 oracle: the deterministic-quantizer IVF pipeline end to end —
+    * sign-plane cell assignment (same inlined plane family as q29),
+    * per-cell 2^24-grid-quantized centroid means (exact integer sums,
+    * so centroid doubles are bit-identical across engines), probe-cell
+    * selection by centroid dot product, then scoring restricted to the
+    * probed cells. Mirrors ivfBuildDeterministic → ivfQuery exactly;
+    * the parquet persist/reload between them is value-preserving. */
+  private def annIvfOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, ${bucketExprSql(4, 64)} AS cell FROM e),
+       |ex AS (SELECT cell, r.d, v[r.d] AS x
+       |       FROM b CROSS JOIN (SELECT unnest(range(1, 65)) AS d) r),
+       |cm AS (SELECT cell, d,
+       |         CAST(SUM(CAST(FLOOR(x * 16777216.0) AS BIGINT)) AS DOUBLE)
+       |           / COUNT(*) / 16777216.0 AS m
+       |       FROM ex GROUP BY cell, d),
+       |cent AS (SELECT cell, list(m ORDER BY d) AS c FROM cm GROUP BY cell),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM b
+       |      WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |qc AS (SELECT query_id, qv, cell,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY list_dot_product(qv, c) DESC, cell) AS r
+       |       FROM q CROSS JOIN cent),
+       |probe AS (SELECT query_id, qv, cell FROM qc WHERE r <= 2),
+       |s AS (SELECT query_id, c.vec_id AS neighbor_id,
+       |        list_dot_product(qv, c.v) AS sim
+       |      FROM probe JOIN b c USING (cell) WHERE query_id <> c.vec_id),
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |        ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
        |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS "rank"

@@ -166,6 +166,38 @@ object Similarity {
     IvfIndex(assigned, centDf)
   }
 
+  /** Build an IVF index with a DETERMINISTIC coarse quantizer: cells
+    * are the sign-LSH bucket ids of [[signBuckets]] (md5-derived plane
+    * literals — engine-portable), and centroids are per-cell
+    * 2^24-grid-quantized means (exact integer sums: partition-order
+    * independent and bit-reproducible in any SQL engine — the q46
+    * centroid trick). Unlike the KMeans quantizer ([[ivfBuild]]),
+    * every stage of this pipeline — build → [[ivfWrite]] (partitioned
+    * by cell) → [[ivfRead]] → partition-pruned [[ivfQuery]] probe — is
+    * hash-checkable against a SQL oracle.
+    *
+    * Trade: 2^planes halfspace-intersection cells instead of learned
+    * Voronoi cells, so recall per probe is lower than a trained
+    * quantizer. Use it when auditability outranks recall, or as the
+    * bootstrap quantizer while KMeans trains; [[ivfBuild]] remains the
+    * quality path (its contract is the recall harness, q58). */
+  def ivfBuildDeterministic(df: DataFrame, planes: Int, dim: Int,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): IvfIndex = {
+    val assigned = signBuckets(df, planes, dim, idCol, vecCol)
+      .withColumn("__cell", col("bucket").cast("int")).drop("bucket")
+    val q = 16777216.0 // 2^24: full float mantissa — long sums stay exact
+    val cent = assigned
+      .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .groupBy(col("__cell"), col("__pos"))
+      .agg((sum(floor(col("__x").cast("double") * q).cast("long")).cast("double")
+        / count(lit(1)) / q).as("__m"))
+      .groupBy(col("__cell"))
+      .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+        s => s.getField("__m")).as("__centroid"))
+    IvfIndex(assigned, cent)
+  }
+
   /** Persist an IVF index: the assigned corpus lands PARTITIONED BY
     * cell id, so a query probing `nProbe` of `nLists` cells reads only
     * those directories (partition pruning) — the property that makes

@@ -158,6 +158,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"blocked near-dup must be join-free:\n$p")
   }
 
+  test("q39: deterministic-IVF probe reads the persisted index partition-pruned") {
+    val df = run("q39_ann_ivf")
+    val p = plan(df)
+    // the property that pays at 100 TB: probing nProbe of 2^planes
+    // cells must scan only those cells' directories. The probe join
+    // broadcasts the (query, cell) set, so Spark prunes via a dynamic
+    // partition filter on __cell reusing that broadcast.
+    assert(p.contains("PartitionFilters: [isnotnull(__cell"),
+      s"probe scan not partition-filtered on cell id:\n$p")
+    assert(p.contains("dynamicpruning"),
+      s"probe scan lacks dynamic partition pruning:\n$p")
+  }
+
   test("q58: IVF probe joins candidates on the cell id; no cartesian product") {
     val df = run("q58_ann_ivf_recall")
     val p = plan(df)

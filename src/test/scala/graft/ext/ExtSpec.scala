@@ -374,6 +374,31 @@ class SimilaritySpec extends SparkSpec {
     ivf.foreach { case (q, n, s) => assert(exact((q, n)) == s) }
   }
 
+  test("deterministic IVF: cells are the sign buckets; hits are real neighbors with exact sims") {
+    val emb = load("embeddings")
+    val idx = Similarity.ivfBuildDeterministic(emb, planes = 3, dim = 64)
+    // cell assignment IS the sign-LSH bucket family (what makes the
+    // pipeline SQL-expressible)
+    val cells = idx.assigned.select("vec_id", "__cell")
+      .as[(Long, Int)].collect().toMap
+    val buckets = Similarity.signBuckets(emb, 3, 64)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(cells.forall { case (id, c) => buckets(id) == c.toLong })
+    // centroids: one per non-empty cell, dim-length, finite values
+    val cents = idx.centroids.select("__cell", "__centroid")
+      .as[(Int, Seq[Double])].collect()
+    assert(cents.map(_._1).toSet == cells.values.toSet)
+    assert(cents.forall(_._2.length == 64))
+    val ivf = Similarity.ivfQuery(idx, Seq(0L, 1L), k = 3, nProbe = 2)
+      .select("query_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.forall { case (q, n, _) => q != n })
+    val exact = Similarity.cosineTopK(emb.filter(col("vec_id") <= 1), emb, k = 500)
+      .select("query_id", "neighbor_id", "sim").as[(Long, Long, Double)]
+      .collect().map { case (q, n, s) => (q, n) -> s }.toMap
+    ivf.foreach { case (q, n, s) => assert(exact((q, n)) == s) }
+  }
+
   test("persisted IVF index: read-back query matches in-memory; cell filter prunes partitions") {
     val emb = load("embeddings")
     val idx = Similarity.ivfBuild(emb, nLists = 4)
