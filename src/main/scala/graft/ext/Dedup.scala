@@ -91,14 +91,26 @@ object Dedup {
     * itself duplicates the whole upstream expression lineage (here the
     * per-row minhash trees) and Catalyst re-plans both copies — the
     * join form took tens of seconds in planning for a 15k-row input.
-    * No bucket-size cap is applied: a pathological mega-bucket (many
-    * identical docs) expands quadratically by definition of the
-    * operator — cap upstream if that is a concern. (A chained
-    * posexplode+slice expansion bounding per-row memory to O(m) was
-    * measured 3-4× slower at bench scale — every generated row
-    * re-copies the bucket array — so the single-pass pair-array build
-    * stays.) */
-  def candidatePairs(bands: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    * (A chained posexplode+slice expansion bounding per-row memory to
+    * O(m) was measured 3-4× slower at bench scale — every generated
+    * row re-copies the bucket array — so the single-pass pair-array
+    * build stays.)
+    *
+    * MEGA-BUCKET GUARD: a pathological bucket (a million identical
+    * short docs — common in real crawls) expands O(n²) pairs inside
+    * one task and OOMs/straggles at 100 TB. [[exactByContent]] is the
+    * MANDATORY pre-stage — byte-identical docs must be collapsed
+    * before LSH, which removes such buckets at the source. `maxBucket`
+    * is the in-operator defense when they slip through anyway
+    * (near-identical, not byte-identical): buckets larger than it are
+    * STAR-expanded — every member pairs with the bucket minimum only,
+    * n−1 pairs instead of n(n−1)/2. The star preserves exactly what
+    * transitive dedup ([[connectedComponents]] → one representative
+    * per cluster) consumes: all members stay connected through the
+    * minimum. Pairwise-similarity consumers lose non-minimum pairs in
+    * oversized buckets, so the cap is opt-in (default: no cap). */
+  def candidatePairs(bands: DataFrame, idCol: String = "doc_id",
+                     maxBucket: Int = Int.MaxValue): DataFrame = {
     // materialize the sorted bucket ONCE per row (inlining array_sort
     // into the expansion lambda re-sorts per outer element — O(n²·log n)
     // on the skewed buckets near-identical docs collapse into)
@@ -107,9 +119,14 @@ object Dedup {
       .filter(size(col("__raw")) > 1)
       .select(array_sort(col("__raw")).as("__ids"))
     val sorted = col("__ids")
-    val pairs = flatten(transform(sorted, (a, i) =>
+    val full = flatten(transform(sorted, (a, i) =>
       transform(slice(sorted, i + lit(2), size(sorted) - i - 1),
         b => struct(a.as("doc_a"), b.as("doc_b")))))
+    val star = transform(slice(sorted, lit(2), size(sorted) - 1),
+      b => struct(element_at(sorted, 1).as("doc_a"), b.as("doc_b")))
+    val pairs =
+      if (maxBucket == Int.MaxValue) full
+      else when(size(sorted) > maxBucket, star).otherwise(full)
     buckets.select(explode(pairs).as("__p"))
       .select(col("__p.doc_a"), col("__p.doc_b"))
       .distinct()
@@ -330,9 +347,19 @@ object Dedup {
     * per block, quadratically fewer in-bucket candidates than nibble
     * blocking. (A production-size 64-bit simhash would use wider
     * blocks again; 16 bits keeps the fingerprint oracle-portable via
-    * md5 nibbles.) */
+    * md5 nibbles.)
+    *
+    * `maxBucket` is the same mega-bucket guard as [[candidatePairs]]:
+    * oversized (blk, v) buckets star-expand against the bucket minimum
+    * (n−1 pairs, connectivity preserved for transitive dedup) instead
+    * of the full n(n−1)/2. [[exactByContent]] remains the mandatory
+    * pre-stage — identical docs share a fingerprint and belong in ONE
+    * row before any similarity bucketing. With a cap the result is no
+    * longer exhaustive within oversized buckets (pairs not involving
+    * the minimum are dropped), so it stays opt-in. */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 1,
-                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                     idCol: String = "doc_id", textCol: String = "text",
+                     maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 16, "need 1..16 blocks over 16 bits")
     val sh = simhash(docs, idCol, textCol)
     val nBlocks = maxHamming + 1
@@ -356,10 +383,17 @@ object Dedup {
       .filter(size(col("__raw")) > 1)
       .select(array_sort(col("__raw")).as("__xs"))
     val sorted = col("__xs")
-    val pairs = flatten(transform(sorted, (a, i) =>
+    def pairStruct(a: Column, b: Column): Column =
+      struct(a.getField("id").as("doc_a"), a.getField("h").as("h_a"),
+        b.getField("id").as("doc_b"), b.getField("h").as("h_b"))
+    val full = flatten(transform(sorted, (a, i) =>
       transform(slice(sorted, i + lit(2), size(sorted) - i - 1),
-        b => struct(a.getField("id").as("doc_a"), a.getField("h").as("h_a"),
-          b.getField("id").as("doc_b"), b.getField("h").as("h_b")))))
+        b => pairStruct(a, b))))
+    val star = transform(slice(sorted, lit(2), size(sorted) - 1),
+      b => pairStruct(element_at(sorted, 1), b))
+    val pairs =
+      if (maxBucket == Int.MaxValue) full
+      else when(size(sorted) > maxBucket, star).otherwise(full)
     // hamming filter BEFORE the dedup shuffle: the pigeonhole blocks
     // produce each qualifying pair up to nBlocks times, so distinct is
     // required — but only pairs that survive the radius need to travel

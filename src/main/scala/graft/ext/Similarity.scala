@@ -139,20 +139,32 @@ object Similarity {
     * [[ivfWrite]] so probed-cell reads become partition-pruned scans. */
   final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
 
+  /** Deterministic bounded training sample for the KMeans quantizer:
+    * the `cap` hash-smallest rows (a pseudo-random-but-reproducible
+    * subset, computed as a map-side partial top-k — never a full
+    * sort). An ABSOLUTE row bound, not a fraction: a fraction of a
+    * 100 TB corpus is still terabytes into `KMeans.fit`, while
+    * centroid quality saturates at a few hundred rows per cell. */
+  private[ext] def ivfTrainSample(vecs: DataFrame, cap: Int,
+                                  idCol: String): DataFrame =
+    vecs.orderBy(pmod(hash(col(idCol)), lit(1000000007)), col(idCol)).limit(cap)
+
   /** Build the IVF coarse quantizer: KMeans (fixed seed —
     * reproducible) partitions vectors into `nLists` cells. The
-    * quantizer trains on a deterministic hash-sample: centroid quality
-    * needs only a representative subset, not the full corpus (at
-    * 100 TB, training on everything would dominate). Cell assignment
-    * is a narrow map over the corpus. */
+    * quantizer trains on a deterministic hash-sample bounded to
+    * `maxTrainRows` rows (0 ⇒ max(10000, 256·nLists)): centroid
+    * quality needs only a representative subset, not the full corpus
+    * (at 100 TB, training on everything would dominate the build).
+    * Cell assignment is a narrow map over the corpus. */
   def ivfBuild(df: DataFrame, nLists: Int,
-               idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               maxTrainRows: Int = 0): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val vecs = df.select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol)).as("__features"))
-    val sample = vecs.filter(pmod(hash(col(idCol)), lit(4)) === 0)
-    val trainSet = if (sample.isEmpty) vecs else sample
+    val cap = if (maxTrainRows > 0) maxTrainRows else math.max(10000, 256 * nLists)
+    val trainSet = ivfTrainSample(vecs, cap, idCol)
     val model = new KMeans().setK(nLists).setSeed(42L)
       .setFeaturesCol("__features").setPredictionCol("__cell")
       .setMaxIter(10)

@@ -195,9 +195,24 @@ class PlanSpec extends SparkSpec {
   test("q68: tf-idf df-join is broadcast (vocabulary side), no extra shuffles") {
     val df = run("q68_tfidf")
     val p = plan(df)
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
-    // tf (doc,token) shuffle + df (token) shuffle + per-doc window + final sort
-    assert(shuffles(df) <= 4, s"tf-idf shuffle count regressed:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // tf (doc,token) shuffle + df (token) shuffle + the 1-row N
+    // aggregate (SinglePartition — replaced the driver-side count
+    // action) + per-doc window + final sort
+    assert(shuffles(df) <= 5, s"tf-idf shuffle count regressed:\n$p")
+  }
+
+  test("q80: bm25 is two narrow passes — zero data shuffles, map-side top-k, no driver action") {
+    val df = run("q80_bm25")
+    val p = plan(df)
+    // corpus stats (N, total len, per-term df) are ONE 1-row aggregate
+    // broadcast into the scoring scan; no (doc, token) shuffle exists
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bm25 should have no keyed shuffle at all:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ranking should be a map-side top-k:\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected stats + scoring scans only, found $scans:\n$p")
   }
 
   test("q69: sequence packing shuffles only on (source, shard) then the group-by") {
@@ -215,9 +230,13 @@ class PlanSpec extends SparkSpec {
     // q39/q58's IVF probe selection is a broadcast cross of the query
     // set against the nLists centroids (|Q|·nLists rows — the coarse
     // quantizer's definition, not a data-sized product)
+    // q68/q80's corpus statistics are a ONE-ROW aggregate broadcast
+    // cross-joined into the scoring pass (the replacement for a
+    // driver-side count()/head() action) — a 1×N join, not a product
     val exactBaselines = Set(
       "q30_neardup_cosine", "q27_jaccard_topk", "q28_cosine_topk",
-      "q71_knn_classify", "q58_ann_ivf_recall", "q39_ann_ivf")
+      "q71_knn_classify", "q58_ann_ivf_recall", "q39_ann_ivf",
+      "q68_tfidf", "q80_bm25")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
       .flatMap { name =>

@@ -135,6 +135,39 @@ class DedupSpec extends SparkSpec {
     assert(r(1)._2 == Seq.empty)
   }
 
+  test("maxBucket guard: ~1k near-identical docs star-expand to bounded pairs; " +
+    "transitive dedup unaffected") {
+    // one mega-bucket: every doc minhashes identically
+    val docs = spark.range(1000).select(col("id").as("doc_id"),
+      lit("the same short crawl boilerplate repeated on every page").as("text"))
+    val bands = Dedup.lshBands(Dedup.minhash(docs, k = 6), bands = 3, rowsPerBand = 2)
+    val capped = Dedup.candidatePairs(bands, maxBucket = 100)
+    val pairs = capped.as[(Long, Long)].collect()
+    // star expansion: n-1 pairs, all anchored at the bucket minimum —
+    // not the n(n-1)/2 ≈ 500k the uncapped expansion would produce
+    assert(pairs.length == 999)
+    assert(pairs.forall(_._1 == 0L))
+    // what transitive dedup consumes is intact: one cluster, min rep
+    val comps = Dedup.connectedComponents(capped).as[(Long, Long)].collect()
+    assert(comps.length == 1000 && comps.forall(_._2 == 0L))
+    // under-threshold buckets are untouched by the cap
+    val tiny = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val tinyBands = Dedup.lshBands(Dedup.minhash(tiny, k = 6), 3, 2)
+    assert(Dedup.candidatePairs(tinyBands, maxBucket = 100)
+      .as[(Long, Long)].collect().toSet ==
+      Dedup.candidatePairs(tinyBands).as[(Long, Long)].collect().toSet)
+  }
+
+  test("simhashNearDup maxBucket: identical docs stay one cluster with n-1 pairs") {
+    val docs = spark.range(500).select(col("id").as("doc_id"),
+      lit("identical page body for simhash blocking").as("text"))
+    val capped = Dedup.simhashNearDup(docs, maxHamming = 1, maxBucket = 50)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(capped.length == 499)
+    assert(capped.forall(_._1 == 0L))
+  }
+
   test("exactByContent groups identical content") {
     val df = Seq((1L, "same text here"), (2L, "same text here"), (3L, "different"))
       .toDF("doc_id", "text")
@@ -374,6 +407,26 @@ class SimilaritySpec extends SparkSpec {
     ivf.foreach { case (q, n, s) => assert(exact((q, n)) == s) }
   }
 
+  test("ivfBuild trains on a bounded deterministic sample") {
+    val emb = load("embeddings")
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = emb.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("__features"))
+    // cap binds: exactly `cap` rows, and the same rows every time
+    val s1 = Similarity.ivfTrainSample(vecs, 100, "vec_id")
+      .select("vec_id").as[Long].collect().toSeq
+    val s2 = Similarity.ivfTrainSample(vecs, 100, "vec_id")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(s1.length == 100 && s1 == s2)
+    // cap above the corpus size degrades to the whole corpus
+    val n = vecs.count()
+    assert(Similarity.ivfTrainSample(vecs, Int.MaxValue, "vec_id").count() == n)
+    // a capped build still yields a queryable index with exact sims
+    val idx = Similarity.ivfBuild(emb, nLists = 4, maxTrainRows = 200)
+    val hits = Similarity.ivfQuery(idx, Seq(0L), k = 3, nProbe = 2)
+    assert(hits.count() == 3)
+  }
+
   test("deterministic IVF: cells are the sign buckets; hits are real neighbors with exact sims") {
     val emb = load("embeddings")
     val idx = Similarity.ivfBuildDeterministic(emb, planes = 3, dim = 64)
@@ -513,10 +566,15 @@ class MultimodalSpec extends SparkSpec {
     val wav = "RIFF".getBytes ++ le(36, 4) ++ "WAVEfmt ".getBytes ++
       le(16, 4) ++ le(1, 2) ++ le(2, 2) ++ le(44100, 4) ++
       le(176400, 4) ++ le(4, 2) ++ le(16, 2)
+    // PNG signature but no IHDR behind it: must yield a null struct,
+    // not garbage width/height parsed from whatever bytes follow
+    val truncated = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      "JUNKJUNKJUNKJUNKJUNK".getBytes
     val media = Seq(
-      (1L, png), (2L, wav), (3L, "not media at all".getBytes))
+      (1L, png), (2L, wav), (3L, "not media at all".getBytes), (4L, truncated))
       .toDF("media_id", "payload")
     val out = Multimodal.containerMeta(media).orderBy("media_id").collect()
+    assert(out(3).isNullAt(out(3).fieldIndex("png")))
     val p = out(0).getAs[org.apache.spark.sql.Row]("png")
     assert(p.getAs[Int]("width") == 640 && p.getAs[Int]("height") == 480)
     assert(p.getAs[Int]("bit_depth") == 8 && p.getAs[Int]("color_type") == 2)
