@@ -37,15 +37,18 @@ object Corpus {
     */
   def tfidf(docs: DataFrame, topN: Int = 5,
             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val nDocs = docs.count()
+    // N is a 1-row aggregate broadcast-cross-joined into the scoring
+    // job — no separate driver action, and the count branch is a
+    // zero-column scan (parquet answers it from footer row counts)
+    val nd = docs.agg(count(lit(1)).as("__n"))
     val tf = docs
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(df, "token")
+    val scored = tf.join(df, "token").crossJoin(broadcast(nd))
       .withColumn("tfidf",
-        round(col("tf") * (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+        round(col("tf") * (log((col("__n") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("token").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long"))
@@ -66,8 +69,10 @@ object Corpus {
     * nShards with corpus size; chunk ids stay deterministic because
     * the shard function is content-addressed, not round-robin.
     *
-    * Pure integer math (token counts, cumulative sums, floor-div) —
-    * exactly reproducible in any SQL engine.
+    * Pure integer math (token counts, cumulative sums, true integer
+    * division via `div`) — exactly reproducible in any SQL engine at
+    * any magnitude (a double-division floor would only stay exact
+    * while per-(source, shard) cumulative sums remain below 2^53).
     */
   def sequencePack(docs: DataFrame, budget: Int = 512, nShards: Int = 8,
                    idCol: String = "doc_id", textCol: String = "text",
@@ -81,8 +86,8 @@ object Corpus {
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     perDoc
-      .withColumn("chunk_id",
-        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget).cast("long"))
+      .withColumn("__cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("chunk_id", expr(s"__cum div ${budget}L"))
       .groupBy(col("source"), col("shard"), col("chunk_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
@@ -109,9 +114,11 @@ object Corpus {
                 idCol: String = "doc_id"): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
     val terms = phrase.distinct
+    // countDistinct, not count: correct for ANY (token, doc) posting
+    // list, not just one already array_distinct'ed by invertedIndex
     index.filter(col("token").isin(terms: _*))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("__hits"))
+      .agg(countDistinct(col("token")).as("__hits"))
       .filter(col("__hits") === terms.size)
       .select(col(idCol))
   }
@@ -121,34 +128,47 @@ object Corpus {
     * (doc, term), `idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avglen))`
     * with the standard k1=1.2, b=0.75, summed per document.
     *
-    * Work scales with the matched postings (the term filter prunes the
-    * token stream); the corpus statistics (N, total length) are one
-    * exact integer aggregate. Engine-portable by the same recipe as
-    * the LM score: one `ln` per term rounded to 9 decimals, per-term
-    * scores rounded and summed as DECIMAL, so partition order cannot
-    * change a score or a rank. */
+    * Shape at scale — a term query has a FIXED handful of terms, so
+    * nothing here needs a (doc, token) shuffle at all: per-term tf is
+    * a per-row array count, and ALL corpus statistics (N, total
+    * length, per-term document frequency) collapse into ONE 1-row
+    * aggregate, broadcast into a second narrow scoring pass. Two
+    * tokenization passes over the corpus, zero data shuffles, and the
+    * ranking is a map-side top-k (TakeOrderedAndProject) — no driver
+    * action, no postings materialization.
+    *
+    * Engine-portable by the same recipe as the LM score: each
+    * per-(doc, term) score — idf × tf-saturation, one `ln` per term —
+    * is rounded ONCE to 9 decimals, and the rounded scores sum as
+    * DECIMAL (exact, so neither partition order nor per-row term order
+    * can change a score or a rank). */
   def bm25(docs: DataFrame, terms: Seq[String], topN: Int = 10,
            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(terms.nonEmpty, "empty query")
     val q = terms.distinct
-    val lens = docs.select(col(idCol),
-      size(TextAnalysis.tokens(col(textCol))).cast("long").as("__len"))
-    val stats = lens.agg(count(lit(1)), sum(col("__len"))).head()
-    val n = stats.getLong(0)
-    val avgLen = stats.getLong(1).toDouble / n
-    val tf = docs.select(col(idCol),
-        explode(TextAnalysis.tokens(col(textCol))).as("token"))
-      .filter(col("token").isin(q: _*))
-      .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
-    val termScore = idf * ((col("tf") * 2.2) /
-      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("__len") / lit(avgLen)))))
-    tf.join(df, "token").join(lens, idCol)
-      .select(col(idCol), round(termScore, 9).cast("decimal(28,9)").as("__s"))
-      .groupBy(col(idCol))
-      .agg(sum(col("__s")).cast("double").as("score"))
+    val toks = TextAnalysis.tokens(col(textCol))
+    def tfOf(t: String): Column =
+      size(filter(toks, x => x === lit(t))).cast("long")
+    val statExprs =
+      Seq(count(lit(1)).as("__n"), sum(size(toks).cast("long")).as("__tot")) ++
+        q.zipWithIndex.map { case (t, i) =>
+          sum(when(tfOf(t) > 0, 1L).otherwise(0L)).as(s"__df$i")
+        }
+    val stats = docs.agg(statExprs.head, statExprs.tail: _*)
+    val len = size(toks).cast("long")
+    val avgLen = col("__tot").cast("double") / col("__n")
+    val perTerm = q.zipWithIndex.map { case (t, i) =>
+      val tf = tfOf(t)
+      val idf = log(lit(1.0) +
+        (col("__n").cast("double") - col(s"__df$i") + 0.5) / (col(s"__df$i") + 0.5))
+      val sat = (tf * 2.2) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (len / avgLen)))
+      when(tf > 0, round(idf * sat, 9).cast("decimal(28,9)"))
+        .otherwise(lit(0).cast("decimal(28,9)"))
+    }
+    docs.crossJoin(broadcast(stats))
+      .filter(q.map(t => array_contains(toks, t)).reduce(_ || _))
+      .select(col(idCol), perTerm.reduce(_ + _).cast("double").as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(topN)
   }

@@ -100,11 +100,15 @@ object Multimodal {
   /** Parse PNG IHDR metadata straight from payload bytes: signature
     * check (`\x89PNG\r\n\x1a\n`), then width/height/bit-depth/color-type
     * from the IHDR chunk at fixed offsets (PNG spec §5.2, §11.2.2 —
-    * IHDR is always first). Non-PNG payloads yield nulls, so a mixed
-    * 100 TB media lake can be scanned with one narrow projection and
-    * filtered by `png_width IS NOT NULL`. */
+    * IHDR is always first: a well-formed stream has the 13-byte IHDR
+    * length then the 'IHDR' tag at bytes 13-16, both checked so a
+    * signature-matching but truncated/malformed payload yields a null
+    * struct instead of garbage fields). Non-PNG payloads yield nulls,
+    * so a mixed 100 TB media lake can be scanned with one narrow
+    * projection and filtered by `png_width IS NOT NULL`. */
   def pngMeta(payload: Column): Column = {
-    val isPng = hex(substring(payload, 1, 8)) === lit("89504E470D0A1A0A")
+    val isPng = hex(substring(payload, 1, 8)) === lit("89504E470D0A1A0A") &&
+      hex(substring(payload, 9, 8)) === lit("0000000D49484452")
     val meta = struct(
       beUint(payload, 17, 4).cast("int").as("width"),
       beUint(payload, 21, 4).cast("int").as("height"),

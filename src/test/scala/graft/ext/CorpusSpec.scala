@@ -109,6 +109,12 @@ class CorpusSpec extends SparkSpec {
     val dup = Corpus.searchAll(idx, Seq("hash", "hash", "join"))
       .as[Long].collect().sorted.toSeq
     assert(dup == Seq(1L, 2L, 3L))
+    // a NON-distinct index (duplicate (token, doc) postings) must give
+    // the same answer — no phantom matches from double-counted rows
+    val rawIdx = idx.union(idx)
+    val raw = Corpus.searchAll(rawIdx, Seq("hash", "join", "filter"))
+      .as[Long].collect().sorted.toSeq
+    assert(raw == Seq(1L, 3L))
   }
 
   test("bm25: docs matching rarer query terms outrank common-term-only matches") {
