@@ -76,14 +76,26 @@ object Bench {
       name -> (if (xs.isEmpty) -1.0 else xs.min)
     }
 
-    def jnum(v: Double): String = if (v.isNaN || v.isInfinite) "-1" else v.toString
+    // 3-decimal values keep the single JSON line short enough that a
+    // tail capture cannot truncate away the total (r4 lost q01-q15 and
+    // the "metric" key to exactly that)
+    def jnum(v: Double): String =
+      if (v.isNaN || v.isInfinite) "-1" else f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, m) => "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-braces artifact: the same line on disk, immune to any
+    // stdout capture window
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Command-line entry point — the parity counterpart of the
+  * reference's script-binding main (`Main.java:61-211`, which wires a
+  * Groovy DSL's `copyTree`/`deleteTree`/`copy` closures to live
+  * connections). Here the same verbs wire argv to the [[Graft]] API;
+  * a target argument starting with `jdbc:` executes live, anything
+  * else is a dump directory.
+  *
+  * {{{
+  * graft.Main copy-tree   --data DIR --target (DIR|jdbc:URL)
+  *                        --path "PARENT->CHILD.FK" [--path …]
+  *                        --root TABLE --ids 1,2,3
+  * graft.Main delete-tree (same flags as copy-tree)
+  * graft.Main copy        --data DIR --target (DIR|jdbc:URL) --tables a,b,c
+  * graft.Main replay      --dump DIR --url jdbc:URL
+  * graft.Main other-objects --source-url jdbc:URL --target (DIR|jdbc:URL)
+  *                          [--src-schema S]
+  * }}}
+  *
+  * Writes against a production-looking JDBC URL require
+  * `--allow-production true` (the reference's guard,
+  * `CopyUtils.java:34-39`).
+  */
+object Main {
+
+  private val usageText = """usage:
+    |  copy-tree   --data DIR --target (DIR|jdbc:URL) --path P [--path P…] --root T --ids 1,2,3
+    |  delete-tree --data DIR --target (DIR|jdbc:URL) --path P [--path P…] --root T --ids 1,2,3
+    |  copy        --data DIR --target (DIR|jdbc:URL) --tables a,b,c
+    |  replay      --dump DIR --url jdbc:URL
+    |  other-objects --source-url jdbc:URL --target (DIR|jdbc:URL) [--src-schema S]
+    |""".stripMargin
+
+  /** `--flag value` pairs; repeatable flags accumulate in order. */
+  private[graft] def parseFlags(args: Seq[String]): (String, Map[String, Seq[String]]) = {
+    if (args.isEmpty) sys.error(usageText)
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
+    var rest = args.tail
+    while (rest.nonEmpty) {
+      if (!rest.head.startsWith("--") || rest.length < 2)
+        sys.error(s"malformed flag '${rest.head}'\n$usageText")
+      val k = rest.head.drop(2)
+      m(k) = m.getOrElse(k, Vector()) :+ rest(1)
+      rest = rest.drop(2)
+    }
+    (args.head, m.toMap.withDefaultValue(Vector()))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (verb, f) = parseFlags(args.toSeq)
+    def one(k: String): String =
+      f(k).headOption.getOrElse(sys.error(s"missing --$k\n$usageText"))
+    def ids(k: String): Seq[Long] =
+      f(k).flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map(_.toLong)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    val allowProd = f("allow-production").headOption.exists(_.toBoolean)
+    def graft(): Graft = new Graft(spark, one("data"))
+    def target(g: Graft, t: String): Target =
+      if (t.startsWith("jdbc:")) g.dbTarget(t, allowProd) else g.fileTarget(t)
+
+    verb match {
+      case "copy-tree" =>
+        val g = graft(); val t = target(g, one("target"))
+        try g.copyTree(t, f("path"), one("root"), ids("ids"))
+        finally t.close()
+      case "delete-tree" =>
+        val g = graft(); val t = target(g, one("target"))
+        try g.deleteTree(t, f("path"), one("root"), ids("ids"))
+        finally t.close()
+      case "copy" =>
+        val g = graft(); val t = target(g, one("target"))
+        try g.copy(t, f("tables").flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+        finally t.close()
+      case "replay" =>
+        ops.Jdbc.replay(spark, one("dump"), one("url"), allowProd)
+      case "other-objects" =>
+        val g = new Graft(spark, f("data").headOption.getOrElse("."))
+        val t = target(g, one("target"))
+        try g.copyOtherObjects(t, one("source-url"),
+          srcSchema = f("src-schema").headOption)
+        finally t.close()
+      case other => sys.error(s"unknown verb '$other'\n$usageText")
+    }
+    // no spark.stop(): the session may be shared (tests, notebooks);
+    // process exit runs Spark's own shutdown hook
+  }
+}

@@ -15,13 +15,14 @@ import graft.model.Operation.SqlList
   * leans on Oracle's `dbms_metadata.GET_DDL`,
   * `CopyUtils.java:258-261`), so extraction is per-dialect: a
   * [[DdlDialect]] turns dictionary rows back into executable DDL text.
-  * The Derby dialect reconstructs views from `SYS.SYSVIEWS` and
-  * sequences from `SYS.SYSSEQUENCES`. Object kinds whose dialect
-  * cannot round-trip DDL (Derby procedures are JVM-method bindings)
-  * are carried as caller-supplied statements, post-processed exactly
-  * like the reference: trigger text gets the iterated
-  * `ALTER TRIGGER … ENABLE` strip (`CopyUtils.java:106-124`) and the
-  * source-schema qualifier drop (`:126-131`).
+  * The Derby dialect reconstructs views from `SYS.SYSVIEWS`, sequences
+  * from `SYS.SYSSEQUENCES`, routines from `SYS.SYSALIASES` and
+  * triggers from `SYS.SYSTRIGGERS`. Object kinds with no dictionary
+  * form (packages are Oracle-only) are carried as caller-supplied
+  * statements, post-processed exactly like the reference: trigger text
+  * gets the iterated `ALTER TRIGGER … ENABLE` strip
+  * (`CopyUtils.java:106-124`) and the source-schema qualifier drop
+  * (`:126-131`).
   */
 object ObjectDdl {
 
@@ -38,6 +39,8 @@ object ObjectDdl {
     def procedureDdl(conn: Connection): Seq[String] = Nil
     /** `CREATE FUNCTION` statements; same contract as procedures. */
     def functionDdl(conn: Connection): Seq[String] = Nil
+    /** `CREATE TRIGGER` statements; same contract as procedures. */
+    def triggerDdl(conn: Connection): Seq[String] = Nil
   }
 
   private def q(id: String): String = "\"" + id + "\""
@@ -89,6 +92,74 @@ object ObjectDdl {
     override def procedureDdl(conn: Connection): Seq[String] = routineDdl(conn, "P")
     override def functionDdl(conn: Connection): Seq[String] = routineDdl(conn, "F")
 
+    /** Reconstruct `CREATE TRIGGER` DDL from `SYS.SYSTRIGGERS` — the
+      * live-dictionary counterpart of the reference's
+      * `dbms_metadata.GET_DDL('TRIGGER', …)` (`CopyUtils.java:208-276`),
+      * closing the round-1..4 gap where trigger text had to be
+      * caller-supplied. Derby stores the pieces, not the statement:
+      * event/firing-time/granularity flags, the REFERENCING names, the
+      * optional WHEN clause and the action text, reassembled here in
+      * the grammar's order. `UPDATE OF` column lists come back as
+      * column NUMBERS (`REFERENCEDCOLUMNS`), resolved against
+      * `SYS.SYSCOLUMNS` per trigger. */
+    override def triggerDdl(conn: Connection): Seq[String] = {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(
+          """SELECT tr.TRIGGERNAME, tr.EVENT, tr.FIRINGTIME, tr.TYPE,
+            |  t.TABLENAME, tr.REFERENCEDCOLUMNS, tr.TRIGGERDEFINITION,
+            |  tr.REFERENCINGOLD, tr.REFERENCINGNEW,
+            |  tr.OLDREFERENCINGNAME, tr.NEWREFERENCINGNAME,
+            |  tr.WHENCLAUSETEXT, CAST(tr.TABLEID AS CHAR(36)) AS TID
+            |FROM SYS.SYSTRIGGERS tr
+            |JOIN SYS.SYSTABLES t ON tr.TABLEID = t.TABLEID
+            |ORDER BY tr.TRIGGERNAME""".stripMargin)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        try while (rs.next()) {
+          val firing =
+            if (rs.getString(3).trim == "B") "NO CASCADE BEFORE" else "AFTER"
+          val ofCols = Option(rs.getObject(6)).map { rc =>
+            // ReferencedColumns stringifies as "(n[,m…])" 1-based column
+            // numbers; map them to names through the table's dictionary
+            val nums = String.valueOf(rc).replaceAll("[()\\s]", "")
+              .split(",").filter(_.nonEmpty).map(_.toInt).toSeq
+            s" OF ${nums.map(n => q(columnName(conn, rs.getString(13), n))).mkString(", ")}"
+          }.getOrElse("")
+          val event = rs.getString(2).trim match {
+            case "U" => s"UPDATE$ofCols"
+            case "D" => "DELETE"
+            case _   => "INSERT"
+          }
+          val referencing = {
+            val olds = if (rs.getBoolean(8)) Seq(s"OLD AS ${q(rs.getString(10))}") else Nil
+            val news = if (rs.getBoolean(9)) Seq(s"NEW AS ${q(rs.getString(11))}") else Nil
+            val both = olds ++ news
+            if (both.isEmpty) "" else s" REFERENCING ${both.mkString(" ")}"
+          }
+          val each = if (rs.getString(4).trim == "R") "ROW" else "STATEMENT"
+          val when =
+            Option(rs.getString(12)).map(w => s" WHEN ($w)").getOrElse("")
+          buf += s"CREATE TRIGGER ${q(rs.getString(1))} $firing $event " +
+            s"ON ${q(rs.getString(5))}$referencing FOR EACH $each$when " +
+            rs.getString(7).trim
+        } finally rs.close()
+        buf.toSeq
+      } finally st.close()
+    }
+
+    private def columnName(conn: Connection, tableId: String, num: Int): String = {
+      val st = conn.prepareStatement(
+        """SELECT COLUMNNAME FROM SYS.SYSCOLUMNS
+          |WHERE CAST(REFERENCEID AS CHAR(36)) = ? AND COLUMNNUMBER = ?""".stripMargin)
+      try {
+        st.setString(1, tableId)
+        st.setInt(2, num)
+        val rs = st.executeQuery()
+        try { require(rs.next(), s"no column $num in table $tableId"); rs.getString(1) }
+        finally rs.close()
+      } finally st.close()
+    }
+
     /** Reconstruct routine DDL from `SYS.SYSALIASES` the way dblook
       * does: `ALIASINFO`'s string form is
       * `<javaMethod>(<signature and attributes>)`, so the DDL is
@@ -138,7 +209,8 @@ object ObjectDdl {
       try (dialect.procedureDdl(conn) ++ procedureDdl) ++
         (dialect.functionDdl(conn) ++ functionDdl) ++
         dialect.viewDdl(conn) ++
-        triggerDdl.map(SqlText.stripTrailingAlterTriggerEnable) ++
+        (dialect.triggerDdl(conn) ++
+          triggerDdl.map(SqlText.stripTrailingAlterTriggerEnable)) ++
         dialect.sequenceDdl(conn) ++
         packageDdl
       finally conn.close()

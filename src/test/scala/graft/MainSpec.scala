@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.Jdbc
+
+/** The CLI wiring (reference `Main.java:61-211` parity): argv → Graft
+  * verbs, dump-vs-jdbc target selection by URL shape, replay. Runs
+  * Main.main in-process — the session is shared, which is exactly why
+  * Main must not stop it. */
+class MainSpec extends SparkSpec {
+
+  test("flag parser: verb, repeatable flags in order, malformed input errors") {
+    val (verb, f) = Main.parseFlags(Seq("copy-tree",
+      "--path", "a->b.x", "--path", "b->c.y", "--root", "a", "--ids", "1,2"))
+    assert(verb == "copy-tree")
+    assert(f("path") == Seq("a->b.x", "b->c.y"))
+    assert(f("root") == Seq("a"))
+    assert(f("nope").isEmpty)
+    intercept[RuntimeException](Main.parseFlags(Seq()))
+    intercept[RuntimeException](Main.parseFlags(Seq("copy", "--dangling")))
+    intercept[RuntimeException](Main.parseFlags(Seq("copy", "positional")))
+  }
+
+  test("copy-tree → dump dir → replay onto Derby, driven entirely through argv") {
+    val dump = Files.createTempDirectory("graft-cli-dump").toString
+    Main.main(Array("copy-tree",
+      "--data", sf, "--target", dump,
+      "--path", "customer->orders.o_custkey",
+      "--root", "customer", "--ids", (1L to 10L).mkString(",")))
+    // dump target wrote payloads + manifest
+    assert(new java.io.File(s"$dump/manifest.jsonl").exists())
+
+    // stand the schema up in Derby, then replay the dump through argv
+    val db = Files.createTempDirectory("graft-cli-derby").toString
+    val url = s"jdbc:derby:$db/db;create=true"
+    val customer = load("customer").filter(org.apache.spark.sql.functions
+      .col("c_custkey") <= 10)
+    val orders = load("orders")
+    Jdbc.executeSqlList(url, Seq(
+      Jdbc.ddlFor("customer", customer.schema),
+      Jdbc.ddlFor("orders", orders.schema)))
+    Main.main(Array("replay", "--dump", dump, "--url", url))
+    assert(Jdbc.read(spark, url, "customer").count() == 10)
+    val expectOrders = orders
+      .filter(org.apache.spark.sql.functions.col("o_custkey").between(1, 10)).count()
+    assert(Jdbc.read(spark, url, "orders").count() == expectOrders)
+  }
+
+  test("unknown verb and missing flags fail loudly") {
+    intercept[RuntimeException](Main.main(Array("frobnicate", "--x", "y")))
+    intercept[RuntimeException](Main.main(Array("copy-tree", "--data", sf)))
+  }
+}

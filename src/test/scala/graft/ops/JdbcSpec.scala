@@ -284,6 +284,48 @@ class JdbcSpec extends SparkSpec {
       assert(rf.getInt(1) == 5)
     } finally conn.close()
   }
+
+  test("trigger DDL extracted live from SYSTRIGGERS round-trips and FIRES on a second database") {
+    val src = freshDb()
+    Jdbc.executeSqlList(src, Seq(
+      """CREATE TABLE "evt"("n" INT)""",
+      """CREATE TABLE "log"("m" INT)""",
+      """CREATE TRIGGER "trg_stmt" AFTER INSERT ON "evt" """ +
+        """FOR EACH STATEMENT INSERT INTO "log" VALUES (1)""",
+      """CREATE TRIGGER "trg_row" AFTER UPDATE OF "n" ON "evt" """ +
+        """REFERENCING OLD AS "o" NEW AS "nw" FOR EACH ROW """ +
+        """WHEN ("nw"."n" > 5) INSERT INTO "log" VALUES ("nw"."n")"""))
+    val conn = java.sql.DriverManager.getConnection(src)
+    val ddl = try ObjectDdl.DerbyDialect.triggerDdl(conn) finally conn.close()
+    assert(ddl.length == 2, s"expected both triggers, got $ddl")
+    // granularity, firing time, event, OF-columns (resolved from
+    // numbers to names), REFERENCING and WHEN all reassembled
+    // (Derby stores the action text schema-qualified — "APP"."log" —
+    // which exportOtherObjects' srcSchema/dropSchemaName handles when
+    // retargeting schemas; same-schema replay keeps it verbatim)
+    assert(ddl.exists(s => s.startsWith("CREATE TRIGGER \"trg_row\" AFTER UPDATE OF \"n\" ON \"evt\"") &&
+      s.contains("REFERENCING OLD AS \"o\" NEW AS \"nw\" FOR EACH ROW") &&
+      s.contains("WHEN (") && s.endsWith("""VALUES ("nw"."n")""")), s"bad row-trigger DDL: $ddl")
+    assert(ddl.exists(s => s.startsWith("CREATE TRIGGER \"trg_stmt\" AFTER INSERT ON \"evt\"") &&
+      s.contains("FOR EACH STATEMENT")), s"bad statement-trigger DDL: $ddl")
+
+    // replay on a fresh database and prove the triggers actually fire
+    val dst = freshDb()
+    Jdbc.executeSqlList(dst, Seq(
+      """CREATE TABLE "evt"("n" INT)""",
+      """CREATE TABLE "log"("m" INT)""") ++ ddl)
+    Jdbc.executeSqlList(dst, Seq(
+      """INSERT INTO "evt" VALUES (3)""",
+      """UPDATE "evt" SET "n" = 9"""))
+    val c2 = java.sql.DriverManager.getConnection(dst)
+    try {
+      val rs = c2.createStatement()
+        .executeQuery("""SELECT "m" FROM "log" ORDER BY "m"""")
+      val got = Iterator.continually(rs).takeWhile(_.next()).map(_.getInt(1)).toSeq
+      // statement trigger on the insert (1), row trigger on the update (9)
+      assert(got == Seq(1, 9), s"triggers misfired: $got")
+    } finally c2.close()
+  }
 }
 
 class SqlTextSpec extends graft.SparkSpec {
