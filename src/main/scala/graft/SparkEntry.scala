@@ -271,6 +271,25 @@ object SparkEntry {
     "q54_chunking" -> ((s, dir) =>
       TextAnalysis.chunk(t(s, dir, "documents"), size = 50, stride = 40)
         .orderBy("doc_id", "chunk_id")),
+    // PII audit + redaction: the corpus is deterministically enriched
+    // with synthetic emails/IPs/phone numbers derived from doc_id (the
+    // fixture text carries no PII of its own), then counted and
+    // redacted; the redacted text is pinned by hash
+    "q81_pii_redact" -> ((s, dir) => {
+      val enriched = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" reach user"), col("doc_id"), lit("@mail.example.com from host 10."),
+          pmod(col("doc_id"), lit(200L)), lit("."), pmod(col("doc_id"), lit(250L)),
+          lit(".7 or call +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")).as("text"))
+      TextAnalysis.piiStats(enriched).orderBy("doc_id")
+    }),
+    // content-defined (Rabin-style) chunking: boundaries addressed by
+    // shingle hash, so edits move only local boundaries — the
+    // chunk-level-dedup companion of the fixed grid above
+    "q83_content_chunks" -> ((s, dir) =>
+      TextAnalysis.contentChunks(t(s, dir, "documents"))
+        .orderBy("doc_id", "chunk_idx")),
     // corpus-level boilerplate: 3-gram shingles repeated across ≥ 5
     // distinct documents (template text detection)
     "q65_boilerplate" -> ((s, dir) =>
@@ -361,6 +380,16 @@ object SparkEntry {
       val pairs = Dedup.candidatePairs(Dedup.lshBands(sigs, bands = 3, rowsPerBand = 2))
         .localCheckpoint()
       Dedup.jaccardForPairs(docs, pairs)
+        .orderBy("doc_a", "doc_b")
+    }),
+    // asymmetric containment over the same candidate pipeline — the
+    // quote/boilerplate-wrap detector symmetric Jaccard misses
+    "q82_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+      val sigs = Dedup.minhash(docs, k = 6)
+      val pairs = Dedup.candidatePairs(Dedup.lshBands(sigs, bands = 3, rowsPerBand = 2))
+        .localCheckpoint()
+      Dedup.containmentForPairs(docs, pairs)
         .orderBy("doc_a", "doc_b")
     }),
     // the verification-free screening stage: Jaccard ESTIMATED from
@@ -989,6 +1018,9 @@ object SparkEntry {
 
     "q29_ann_lsh" -> annLshOracle,
     "q39_ann_ivf" -> annIvfOracle,
+    "q81_pii_redact" -> piiOracle,
+    "q82_containment" -> containmentOracle,
+    "q83_content_chunks" -> contentChunksOracle,
     "q49_neardup_lsh" -> neardupLshOracle,
     "q48_lsh_candidates" -> lshCandidatesOracle,
     "q75_editdist_neardup" -> editDistNearDupOracle,
@@ -1491,6 +1523,79 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS "rank"
        |FROM r WHERE rnk <= 3
        |ORDER BY query_id, "rank"""".stripMargin
+
+  /** q81 oracle: the identical doc_id-derived PII enrichment, RE2
+    * regexes (same restricted syntax the Spark side uses), counts via
+    * regexp_extract_all and the redaction chain with the 'g' flag
+    * (DuckDB replaces only the first match by default). */
+  private def piiOracle: String = {
+    import graft.ext.TextAnalysis.{EmailRe, Ipv4Re, PhoneRe}
+    s"""WITH e AS (SELECT doc_id,
+       |  text || ' reach user' || CAST(doc_id AS VARCHAR)
+       |    || '@mail.example.com from host 10.'
+       |    || CAST(doc_id % 200 AS VARCHAR) || '.'
+       |    || CAST(doc_id % 250 AS VARCHAR) || '.7 or call +1-555-'
+       |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailRe', '<EMAIL>', 'g'),
+       |    '$Ipv4Re', '<IP>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g')) AS redacted_hash
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
+
+  /** q82 oracle: containment over the q48 candidate pipeline —
+    * `n_shared / least(n_a, n_b)` on distinct shingles. */
+  private def containmentOracle: String =
+    s"""WITH $lshPairsCtes,
+       |dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT doc_a, doc_b, count(*) AS n_shared
+       |  FROM pairs
+       |  JOIN dsh a ON a.doc_id = doc_a
+       |  JOIN dsh b ON b.doc_id = doc_b AND b.sh = a.sh
+       |  GROUP BY doc_a, doc_b)
+       |SELECT doc_a, doc_b, n_shared,
+       |  CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) AS containment
+       |FROM shared
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q83 oracle: content-defined chunking — the same md5-addressed
+    * boundary rule (first nibble of the 3-token window hash = '0'),
+    * final chunk closed at n, chunks hashed over their token span. */
+  private def contentChunksOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, tl AS toks, len(tl) AS n
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tl
+      |        FROM documents)
+      |  WHERE len(tl) > 0),
+      |e0 AS (SELECT doc_id, toks, n,
+      |  [i FOR i IN range(3, n + 1)
+      |     IF substr(md5(array_to_string(toks[i-2:i], ' ')), 1, 1) = '0'] AS ends0
+      |  FROM d),
+      |e1 AS (SELECT doc_id, toks,
+      |  CASE WHEN len(ends0) > 0 AND ends0[-1] = n THEN ends0
+      |       ELSE list_append(ends0, n) END AS ends
+      |  FROM e0),
+      |e2 AS (SELECT doc_id, toks, ends,
+      |  list_prepend(1, [e + 1 FOR e IN ends[1:len(ends)-1]]) AS starts
+      |  FROM e1),
+      |c AS (SELECT doc_id, toks,
+      |  unnest([{'ci': j - 1, 's': starts[j], 'e': ends[j]}
+      |          FOR j IN range(1, len(ends) + 1)]) AS ch
+      |  FROM e2)
+      |SELECT doc_id, CAST(ch.ci AS BIGINT) AS chunk_idx,
+      |  CAST(ch.s AS BIGINT) AS first_pos,
+      |  CAST(ch.e - ch.s + 1 AS BIGINT) AS n_tokens,
+      |  md5(array_to_string(toks[ch.s:ch.e], ' ')) AS chunk_hash
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
   /** q49 oracle: per-bucket near-dup pairs with the same plane family. */
   private def neardupLshOracle: String =

@@ -184,6 +184,20 @@ object Dedup {
         (col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"))
   }
 
+  /** Asymmetric shingle CONTAINMENT for candidate pairs:
+    * `|A∩B| / min(|A|, |B|)` — the near-containment detector symmetric
+    * Jaccard cannot be: a 10-line notice quoted verbatim inside a
+    * 1000-line page has J ≈ 0.01 but containment 1.0. The standard
+    * companion check in crawl dedup (drop/flag the contained doc, keep
+    * the superset). Same verify-stage shape as [[jaccardForPairs]]:
+    * cost ∝ candidate set, never the corpus. */
+  def containmentForPairs(docs: DataFrame, pairs: DataFrame, shingleN: Int = 3,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    jaccardForPairs(docs, pairs, shingleN, idCol, textCol)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
+          .as("containment"))
+
   /** All-pairs n-gram Jaccard restricted to pairs sharing ≥1 shingle
     * (the exact small-scale baseline; use minhash+LSH above at scale).
     *

@@ -105,6 +105,40 @@ object TextAnalysis {
   def scrub(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** PII patterns — the redaction pass every shipped training corpus
+    * runs. Deliberately restricted to the regex subset with identical
+    * semantics in Java's engine and RE2 (DuckDB): character classes,
+    * counted repetition, alternation-free groups; no lookaround, no
+    * backreferences — so detection counts and redacted text reproduce
+    * bit-for-bit cross-engine. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{1,3}[- ]\\d{2,4}([- ]\\d{2,4}){1,3}"
+
+  /** Redact PII in place: emails, then IPv4 literals, then
+    * international-format phone numbers, each replaced by a typed
+    * placeholder. Order matters (an email's host can contain digits
+    * and dots). Narrow per-row regexp_replace chain — zero shuffles,
+    * runs at scan speed over a 100 TB corpus. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-document PII audit: occurrence counts per category plus the
+    * md5 of the redacted text (pins the full redaction output while
+    * keeping the comparator's columns scalar). The filter/report stage
+    * of a redaction pipeline — narrow, no shuffle. */
+  def piiStats(docs: DataFrame,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      md5(redactPii(col(textCol))).as("redacted_hash"))
+
   /** Deterministic hash-based train/test assignment: first md5 nibble of
     * the id string < `trainNibbles` (of 16) → "train". Stable across
     * runs/engines — the property a 100 TB split must have (no RNG, no
@@ -160,6 +194,49 @@ object TextAnalysis {
   // functions.size, locally aliased so `chunk`'s size parameter can't
   // shadow it
   private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
+  /** Content-defined chunking (Rabin-style): a chunk boundary falls
+    * after token `i` when the md5 of the `shingleN`-token window
+    * ending at `i` starts with a nibble below `boundaryNibbles`
+    * (boundary probability `boundaryNibbles`/16 ⇒ expected chunk
+    * length 16/`boundaryNibbles` tokens). Unlike fixed-grid [[chunk]],
+    * boundaries are content-addressed: editing a document only moves
+    * the boundaries inside the edited neighborhood, so unchanged spans
+    * keep their chunk hashes — the property chunk-level dedup needs
+    * (a one-token insertion shifts EVERY fixed-grid chunk but only one
+    * CDC chunk). The final token always closes the last chunk.
+    *
+    * Pure per-row array expressions (boundary scan, split, hash) —
+    * zero shuffles, runs at scan speed; md5-addressed boundaries are
+    * RNG-free and engine-portable. Returns
+    * (idCol, chunk_idx, first_pos, n_tokens, chunk_hash). */
+  def contentChunks(docs: DataFrame, shingleN: Int = 3, boundaryNibbles: Int = 1,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(shingleN >= 1 && boundaryNibbles >= 1 && boundaryNibbles <= 16,
+      "need a positive window and a boundary probability in (0, 1]")
+    val toks = tokens(col(textCol))
+    val n = size_(toks)
+    // chunk END positions (1-based, inclusive): content-addressed
+    // boundaries, plus n to close the final chunk
+    val ends0 = when(n >= shingleN,
+      filter(sequence(lit(shingleN), n), i =>
+        instr(lit("0123456789abcdef"),
+          substring(md5(concat_ws(" ", slice(toks, i - (shingleN - 1), lit(shingleN)))), 1, 1))
+          - 1 < boundaryNibbles))
+      .otherwise(array().cast("array<int>"))
+    val ends = when(n === 0, array().cast("array<int>"))
+      .otherwise(when(size_(ends0) > 0 && element_at(ends0, -1) === n, ends0)
+        .otherwise(concat(ends0, array(n))))
+    val starts = concat(array(lit(1)),
+      transform(slice(ends, lit(1), greatest(size_(ends) - 1, lit(0))), e => e + 1))
+    val chunks = zip_with(starts, ends, (s, e) => struct(
+      s.cast("long").as("first_pos"),
+      (e - s + 1).cast("long").as("n_tokens"),
+      md5(concat_ws(" ", slice(toks, s, e - s + 1))).as("chunk_hash")))
+    docs.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "c")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.first_pos"), col("c.n_tokens"), col("c.chunk_hash"))
+  }
 
   /** Document-length histogram: docs per `width`-char bucket. */
   def lengthHistogram(docs: DataFrame, width: Int = 200, charsCol: String = "n_chars"): DataFrame =

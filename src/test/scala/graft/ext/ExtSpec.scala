@@ -105,6 +105,55 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.filter(_._1 == 2L).map(_._3).toSeq == Seq("a b"))
   }
 
+  test("piiStats/redactPii: emails, IPs and phones counted and replaced; clean text untouched") {
+    val df = Seq(
+      (1L, "mail a.user+tag@sub.example.org or b@x.io, host 192.168.0.1, call +44-20-7946-0958"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiStats(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_emails") == 2)
+    assert(out(0).getAs[Long]("n_ips") == 1)
+    assert(out(0).getAs[Long]("n_phones") == 1)
+    assert(out(1).getAs[Long]("n_emails") == 0 && out(1).getAs[Long]("n_ips") == 0
+      && out(1).getAs[Long]("n_phones") == 0)
+    val red = df.select(TextAnalysis.redactPii(col("text")).as("r"))
+      .orderBy(col("r")).as[String].collect()
+    assert(red.contains("mail <EMAIL> or <EMAIL>, host <IP>, call <PHONE>"))
+    assert(red.contains("no pii here at all"))
+  }
+
+  test("contentChunks: chunks partition the token stream; boundaries are edit-local") {
+    val words = (1 to 400).map(i => s"tok$i")
+    val doc = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val chunks = TextAnalysis.contentChunks(doc)
+      .orderBy("chunk_idx").collect()
+    // partition: token counts sum to n, starts are contiguous
+    assert(chunks.map(_.getAs[Long]("n_tokens")).sum == 400)
+    val startsEnds = chunks.map(r =>
+      (r.getAs[Long]("first_pos"), r.getAs[Long]("n_tokens")))
+    assert(startsEnds.head._1 == 1)
+    startsEnds.sliding(2).foreach {
+      case Array((s1, n1), (s2, _)) => assert(s2 == s1 + n1)
+      case _ =>
+    }
+    // the CDC property: appending text only changes the FINAL chunk's
+    // region — every earlier chunk hash survives (a fixed grid would
+    // keep them too; the interesting half is the prefix edit below)
+    val appended = Seq((1L, (words ++ Seq("zzz", "yyy")).mkString(" "))).toDF("doc_id", "text")
+    val h1 = chunks.map(_.getAs[String]("chunk_hash")).toSeq
+    val h2 = TextAnalysis.contentChunks(appended)
+      .orderBy("chunk_idx").collect().map(_.getAs[String]("chunk_hash")).toSeq
+    assert(h2.take(h1.length - 1) == h1.dropRight(1))
+    // PREPENDING shifts every token position, which re-hashes every
+    // fixed-grid chunk — but CDC boundaries re-synchronize: all
+    // original chunk hashes except the first survive
+    val prepended = Seq((1L, (Seq("aaa", "bbb", "ccc") ++ words).mkString(" ")))
+      .toDF("doc_id", "text")
+    val h3 = TextAnalysis.contentChunks(prepended)
+      .orderBy("chunk_idx").collect().map(_.getAs[String]("chunk_hash")).toSet
+    assert(h1.tail.forall(h3.contains),
+      "content-addressed boundaries must re-synchronize after a prefix edit")
+  }
+
   test("stratifiedSample: deterministic, per-stratum fractions roughly honored") {
     val emb = load("embeddings")
     val s1 = TextAnalysis.stratifiedSample(emb, "label", "vec_id",
@@ -166,6 +215,18 @@ class DedupSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
     assert(capped.length == 499)
     assert(capped.forall(_._1 == 0L))
+  }
+
+  test("containmentForPairs: a fully quoted doc scores 1.0 where Jaccard stays low") {
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = ("x" * 3).split("").mkString(" ") + " " + small + " " +
+      (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val c = Dedup.containmentForPairs(docs, pairs).collect()(0)
+    assert(c.getAs[Double]("containment") == 1.0)
+    val j = Dedup.jaccardForPairs(docs, pairs).collect()(0)
+    assert(j.getAs[Double]("jaccard") < 0.2)
   }
 
   test("exactByContent groups identical content") {
