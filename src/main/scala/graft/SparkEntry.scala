@@ -559,6 +559,26 @@ object SparkEntry {
           (count(col("exact_rank")) === count(lit(1))).as("all_hits_near"))
         .orderBy("query_id")
     }),
+    // product quantization, deterministic codebook: per-(vector,
+    // subspace) code + exact squared reconstruction error — the
+    // compression audit a 64x-smaller PQ corpus ships with
+    "q84_pq_codes" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.pqBuild(emb)
+      Similarity.pqReconstructionError(emb, idx)
+        .select(col("vec_id"), col("m").cast("long").as("m"),
+          col("code").cast("long").as("code"), col("sq_err"))
+        .orderBy("vec_id", "m")
+    }),
+    // PQ asymmetric-distance top-k: the corpus is scored from its
+    // CODES via a broadcast (query, subspace, code) lookup table —
+    // the scan never touches raw floats
+    "q85_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.pqBuild(emb)
+      Similarity.pqAdcTopK(emb, idx, queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 3)
+        .orderBy("query_id", "rank")
+    }),
     "q30_neardup_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0)
       Similarity.nearDupPairs(emb, threshold = -2.0)
@@ -1021,6 +1041,8 @@ object SparkEntry {
     "q81_pii_redact" -> piiOracle,
     "q82_containment" -> containmentOracle,
     "q83_content_chunks" -> contentChunksOracle,
+    "q84_pq_codes" -> pqCodesOracle,
+    "q85_pq_adc" -> pqAdcOracle,
     "q49_neardup_lsh" -> neardupLshOracle,
     "q48_lsh_candidates" -> lshCandidatesOracle,
     "q75_editdist_neardup" -> editDistNearDupOracle,
@@ -1596,6 +1618,66 @@ object SparkEntry {
       |  CAST(ch.e - ch.s + 1 AS BIGINT) AS n_tokens,
       |  md5(array_to_string(toks[ch.s:ch.e], ' ')) AS chunk_hash
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Shared CTE chain for the PQ oracles (q84, q85): per-(vector,
+    * subspace) slices with sign-plane codes (global plane ids
+    * `m·planes + p` over the subspace dims — the exact literals
+    * `Similarity.pqBuild` uses), then grid-quantized per-(m, code)
+    * centroids. m=8 subspaces × 8 dims, 4 planes ⇒ 16 codes each. */
+  private def pqCtes: String = {
+    val (m, planes, d) = (8, 4, 8)
+    val family = Similarity.planeFamily(m * planes, d)
+    val subBranches = (0 until m).map { mi =>
+      val lo = mi * d + 1; val hi = mi * d + d
+      val code = (0 until planes).map { p =>
+        s"CASE WHEN list_dot_product(v[$lo:$hi], [${family(mi * planes + p).mkString(", ")}]) >= 0 THEN ${1 << p} ELSE 0 END"
+      }.mkString("\n      + ")
+      s"SELECT vec_id, $mi AS m, v[$lo:$hi] AS sub,\n      $code AS code FROM e"
+    }.mkString("\n  UNION ALL ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sub AS (
+       |  $subBranches),
+       |cx AS (SELECT m, code, r.i AS pos, sub[r.i] AS x
+       |       FROM sub CROSS JOIN (SELECT unnest(range(1, ${d + 1})) AS i) r),
+       |cm AS (SELECT m, code, pos,
+       |         CAST(SUM(CAST(FLOOR(x * 16777216.0) AS BIGINT)) AS DOUBLE)
+       |           / COUNT(*) / 16777216.0 AS c
+       |       FROM cx GROUP BY m, code, pos),
+       |cent AS (SELECT m, code, list(c ORDER BY pos) AS centroid
+       |         FROM cm GROUP BY m, code)""".stripMargin
+  }
+
+  /** q84 oracle: codes + exact squared reconstruction error per
+    * subspace, the same fixed-order three-dot-product combination. */
+  private def pqCodesOracle: String =
+    s"""WITH $pqCtes
+       |SELECT s.vec_id, CAST(s.m AS BIGINT) AS m, CAST(s.code AS BIGINT) AS code,
+       |  list_dot_product(s.sub, s.sub)
+       |    - 2.0 * list_dot_product(s.sub, c.centroid)
+       |    + list_dot_product(c.centroid, c.centroid) AS sq_err
+       |FROM sub s JOIN cent c ON c.m = s.m AND c.code = s.code
+       |ORDER BY s.vec_id, s.m""".stripMargin
+
+  /** q85 oracle: ADC — per-query (m, code) partial table, decimal-
+    * rounded partials summed exactly, rank over the double cast. */
+  private def pqAdcOracle: String =
+    s"""WITH $pqCtes,
+       |lut AS (SELECT s.vec_id AS query_id, s.m, c.code,
+       |          CAST(round(list_dot_product(s.sub, c.centroid), 9)
+       |            AS DECIMAL(28,9)) AS partial
+       |        FROM sub s JOIN cent c ON c.m = s.m
+       |        WHERE s.vec_id IN (0, 1, 2, 3, 4)),
+       |sc AS (SELECT l.query_id, s2.vec_id AS neighbor_id, SUM(l.partial) AS adc
+       |       FROM sub s2 JOIN lut l ON l.m = s2.m AND l.code = s2.code
+       |       WHERE s2.vec_id <> l.query_id
+       |       GROUP BY l.query_id, s2.vec_id),
+       |r AS (SELECT query_id, neighbor_id, CAST(adc AS DOUBLE) AS adc_score,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY CAST(adc AS DOUBLE) DESC, neighbor_id) AS rnk
+       |      FROM sc)
+       |SELECT query_id, neighbor_id, adc_score, CAST(rnk AS BIGINT) AS "rank"
+       |FROM r WHERE rnk <= 3
+       |ORDER BY query_id, "rank"""".stripMargin
 
   /** q49 oracle: per-bucket near-dup pairs with the same plane family. */
   private def neardupLshOracle: String =

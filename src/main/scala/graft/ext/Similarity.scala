@@ -213,11 +213,25 @@ object Similarity {
   /** Persist an IVF index: the assigned corpus lands PARTITIONED BY
     * cell id, so a query probing `nProbe` of `nLists` cells reads only
     * those directories (partition pruning) — the property that makes
-    * IVF pay at 100 TB. Centroids are a small side table. */
-  def ivfWrite(index: IvfIndex, path: String): Unit = {
-    index.assigned.write.mode("overwrite")
+    * IVF pay at 100 TB. Centroids are a small side table.
+    *
+    * The corpus is clustered on the cell id before the write:
+    * unclustered, every write task emits a sliver into every cell
+    * directory (tasks × cells tiny files — a file-listing and
+    * open-cost tax on every probe). `filesPerCell` > 1 splays each
+    * cell over that many deterministic (content-hashed) subfiles —
+    * raise it when cells outgrow a single task's comfortable output
+    * (at 100 TB each cell holds corpus/nLists bytes). */
+  def ivfWrite(index: IvfIndex, path: String, filesPerCell: Int = 1): Unit = {
+    val a = index.assigned
+    val clustered =
+      if (filesPerCell <= 1) a.repartition(col("__cell"))
+      else a.repartition(col("__cell"),
+        pmod(hash(a.columns.map(col): _*), lit(filesPerCell)))
+    clustered.write.mode("overwrite")
       .partitionBy("__cell").parquet(s"$path/assigned")
-    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    index.centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/centroids")
   }
 
   /** Reload a persisted IVF index. */
@@ -260,6 +274,113 @@ object Similarity {
               nLists: Int, nProbe: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     ivfQuery(ivfBuild(df, nLists, idCol, vecCol), queryIds, k, nProbe, idCol, vecCol)
+
+  /** A product-quantization index: `codes` is the compressed corpus —
+    * one (id, m, code) row per vector per subspace (M small codes
+    * instead of the raw floats: with M=8 subspaces and 16 codes each,
+    * 4 bytes per vector vs 256 — the compression that lets a 100 TB
+    * embedding corpus be scanned from a few TB) — and `centroids` is
+    * the (m, code, centroid) codebook. */
+  final case class PqIndex(codes: DataFrame, centroids: DataFrame)
+
+  /** Per-(subspace, plane) deterministic hyperplane literals: global
+    * plane id `m·planes + p` over the subspace's `d` dims, so a SQL
+    * oracle can inline the identical values via [[planeFamily]]. */
+  private def subPlane(m: Int, p: Int, planes: Int, d: Int): Column =
+    array((0 until d).map(i => lit(planeComponent(m * planes + p, i))): _*)
+
+  /** Build a DETERMINISTIC product-quantization codebook: the vector
+    * splits into `m` subspaces of `dim/m` dims; each subspace gets a
+    * sign-LSH code (`planes` md5-derived hyperplanes ⇒ 2^planes codes)
+    * and a per-(subspace, code) centroid as the 2^24-grid-quantized
+    * mean of member subvectors — the same engine-portable construction
+    * as [[ivfBuildDeterministic]], per subspace. (Production PQ trains
+    * per-subspace KMeans; the deterministic form trades a little
+    * quantization error for a bit-reproducible, SQL-checkable
+    * codebook.) Code assignment is a narrow map; the codebook
+    * aggregation is one (m, code, pos) group-by of bounded size. */
+  def pqBuild(df: DataFrame, m: Int = 8, planes: Int = 4, dim: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding"): PqIndex = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val d = dim / m
+    val subRows = (0 until m).map { mi =>
+      val sub = slice(col(vecCol), mi * d + 1, d)
+      val code = (0 until planes).map { p =>
+        when(dot(sub, subPlane(mi, p, planes, d)) >= 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(mi).as("m"), code.cast("int").as("code"), sub.as("sub"))
+    }
+    val exploded = df.select(col(idCol), explode(array(subRows: _*)).as("s"))
+      .select(col(idCol), col("s.m").as("m"), col("s.code").as("code"),
+        col("s.sub").as("__sub"))
+    val codes = exploded.select(col(idCol), col("m"), col("code"))
+    val q = 16777216.0
+    val cents = exploded
+      .select(col("m"), col("code"), posexplode(col("__sub")).as(Seq("__pos", "__x")))
+      .groupBy(col("m"), col("code"), col("__pos"))
+      .agg((sum(floor(col("__x").cast("double") * q).cast("long")).cast("double")
+        / count(lit(1)) / q).as("__m"))
+      .groupBy(col("m"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+        s => s.getField("__m")).as("centroid"))
+    PqIndex(codes, cents)
+  }
+
+  /** Per-(vector, subspace) quantization audit: the assigned code and
+    * the exact squared reconstruction error of that subspace,
+    * `‖sub − centroid‖² = ⟨sub,sub⟩ − 2⟨sub,cent⟩ + ⟨cent,cent⟩` —
+    * three sequential-fold dot products combined in fixed order, so
+    * the doubles reproduce in any engine. */
+  def pqReconstructionError(df: DataFrame, index: PqIndex,
+                            m: Int = 8, dim: Int = 64,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val d = dim / m
+    val subRows = (0 until m).map { mi =>
+      struct(lit(mi).as("m"), slice(col(vecCol), mi * d + 1, d).as("sub"))
+    }
+    val subs = df.select(col(idCol), explode(array(subRows: _*)).as("s"))
+      .select(col(idCol), col("s.m").as("m"), col("s.sub").as("__sub"))
+    subs.join(index.codes, Seq(idCol, "m"))
+      .join(broadcast(index.centroids), Seq("m", "code"))
+      .select(col(idCol), col("m"), col("code"),
+        (dot(col("__sub"), col("__sub"))
+          - lit(2.0) * dot(col("__sub"), col("centroid"))
+          + dot(col("centroid"), col("centroid"))).as("sq_err"))
+  }
+
+  /** PQ asymmetric-distance (ADC) approximate top-k: each query
+    * precomputes an (m, code) → ⟨q_sub, centroid⟩ lookup table (M·2^planes
+    * rows — broadcast-tiny), and the corpus is scored by JOINING ITS
+    * CODES against the table and summing the M partials per vector:
+    * the scan touches 4-byte codes, never the raw floats — the read
+    * shape that makes PQ pay at 100 TB. Partials are rounded to 9
+    * decimals and summed as DECIMAL, so neither partition order nor
+    * subspace order can change a score or a rank. */
+  def pqAdcTopK(df: DataFrame, index: PqIndex, queryIds: Seq[Long], k: Int,
+                m: Int = 8, dim: Int = 64,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val d = dim / m
+    val subRows = (0 until m).map { mi =>
+      struct(lit(mi).as("m"), slice(col(vecCol), mi * d + 1, d).as("sub"))
+    }
+    val lut = df.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), explode(array(subRows: _*)).as("s"))
+      .select(col("query_id"), col("s.m").as("m"), col("s.sub").as("__qsub"))
+      .join(index.centroids, Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        round(dot(col("__qsub"), col("centroid")), 9)
+          .cast("decimal(28,9)").as("__partial"))
+    val scored = index.codes
+      .join(broadcast(lut), Seq("m", "code"))
+      .filter(col("query_id") =!= col(idCol))
+      .groupBy(col("query_id"), col(idCol).as("neighbor_id"))
+      .agg(sum(col("__partial")).cast("double").as("adc_score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 
   /** Deterministic random-projection dimensionality reduction
     * (Johnson–Lindenstrauss): each output dimension is the dot product

@@ -468,6 +468,34 @@ class SimilaritySpec extends SparkSpec {
     ivf.foreach { case (q, n, s) => assert(exact((q, n)) == s) }
   }
 
+  test("pqBuild: 8 codes per vector in [0,16); identical vectors share codes and ADC scores") {
+    val emb = load("embeddings")
+    val idx = Similarity.pqBuild(emb)
+    val codes = idx.codes.as[(Long, Int, Int)].collect()
+    val n = emb.count()
+    assert(codes.length == n * 8)
+    assert(codes.forall { case (_, m, c) => m >= 0 && m < 8 && c >= 0 && c < 16 })
+    // determinism: a rebuild assigns identical codes
+    val again = Similarity.pqBuild(emb).codes.as[(Long, Int, Int)].collect()
+    assert(codes.sortBy(r => (r._1, r._2)).toSeq == again.sortBy(r => (r._1, r._2)).toSeq)
+    // reconstruction error is non-negative (mathematically ‖·‖²; allow
+    // fp slack) and finite
+    val errs = Similarity.pqReconstructionError(emb, idx)
+      .select("sq_err").as[Double].collect()
+    assert(errs.forall(e => e > -1e-9 && java.lang.Double.isFinite(e)))
+    // ADC: k hits per query, self excluded, scores descending per query
+    val adc = Similarity.pqAdcTopK(emb, idx, Seq(0L, 1L), k = 3)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id", "adc_score")
+      .as[(Long, Long, Double)].collect()
+    assert(adc.length == 6)
+    assert(adc.forall { case (q, nb, _) => q != nb })
+    adc.groupBy(_._1).values.foreach { hits =>
+      val ss = hits.map(_._3).toSeq
+      assert(ss == ss.sorted(Ordering[Double].reverse))
+    }
+  }
+
   test("ivfBuild trains on a bounded deterministic sample") {
     val emb = load("embeddings")
     import org.apache.spark.ml.functions.array_to_vector
