@@ -326,6 +326,20 @@ object Similarity {
     PqIndex(codes, cents)
   }
 
+  /** Persist a PQ index: codes are the corpus-sized (but 64× smaller)
+    * table ADC scans — kept in their natural partitioning; the
+    * codebook is one tiny file. */
+  def pqWrite(index: PqIndex, path: String): Unit = {
+    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+    index.centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/centroids")
+  }
+
+  /** Reload a persisted PQ index. */
+  def pqRead(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex =
+    PqIndex(spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/centroids"))
+
   /** Per-(vector, subspace) quantization audit: the assigned code and
     * the exact squared reconstruction error of that subspace,
     * `‖sub − centroid‖² = ⟨sub,sub⟩ − 2⟨sub,cent⟩ + ⟨cent,cent⟩` —

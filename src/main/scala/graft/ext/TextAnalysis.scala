@@ -206,12 +206,29 @@ object TextAnalysis {
     * (a one-token insertion shifts EVERY fixed-grid chunk but only one
     * CDC chunk). The final token always closes the last chunk.
     *
-    * Pure per-row array expressions (boundary scan, split, hash) —
-    * zero shuffles, runs at scan speed; md5-addressed boundaries are
+    * Computed per row by the native `graft.functions.CdcChunks`
+    * expression — one compiled boundary-scan-and-hash loop inside
+    * whole-stage codegen (the composable `filter(sequence)`/`zip_with`
+    * form, kept below as [[contentChunksComposable]] and pinned
+    * value-identical by test, runs interpreted: a lambda frame and a
+    * joined-string + hex allocation per token position — ~20× slower
+    * at bench scale). Zero shuffles; md5-addressed boundaries are
     * RNG-free and engine-portable. Returns
     * (idCol, chunk_idx, first_pos, n_tokens, chunk_hash). */
   def contentChunks(docs: DataFrame, shingleN: Int = 3, boundaryNibbles: Int = 1,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        posexplode(graft.functions.CdcChunks(tokens(col(textCol)),
+          shingleN, boundaryNibbles)).as(Seq("chunk_idx", "c")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.first_pos"), col("c.n_tokens"), col("c.chunk_hash"))
+
+  /** The composable-builtins construction of [[contentChunks]] — the
+    * reference implementation the native expression is tested against. */
+  private[ext] def contentChunksComposable(docs: DataFrame, shingleN: Int = 3,
+                                           boundaryNibbles: Int = 1,
+                                           idCol: String = "doc_id",
+                                           textCol: String = "text"): DataFrame = {
     require(shingleN >= 1 && boundaryNibbles >= 1 && boundaryNibbles <= 16,
       "need a positive window and a boundary probability in (0, 1]")
     val toks = tokens(col(textCol))

@@ -171,6 +171,14 @@ class PlanSpec extends SparkSpec {
       s"probe scan lacks dynamic partition pruning:\n$p")
   }
 
+  test("q85: ADC scores the corpus from its codes via a broadcast LUT join") {
+    val df = run("q85_pq_adc")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (m, code) lookup table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in plan:\n$p")
+  }
+
   test("q58: IVF probe joins candidates on the cell id; no cartesian product") {
     val df = run("q58_ann_ivf_recall")
     val p = plan(df)

@@ -121,6 +121,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(red.contains("no pii here at all"))
   }
 
+  test("native cdc_chunks is value-identical to the composable construction") {
+    val docs = load("documents").limit(60)
+    val native = TextAnalysis.contentChunks(docs)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val composed = TextAnalysis.contentChunksComposable(docs)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(native.nonEmpty && native == composed)
+  }
+
   test("contentChunks: chunks partition the token stream; boundaries are edit-local") {
     val words = (1 to 400).map(i => s"tok$i")
     val doc = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
@@ -494,6 +503,19 @@ class SimilaritySpec extends SparkSpec {
       val ss = hits.map(_._3).toSeq
       assert(ss == ss.sorted(Ordering[Double].reverse))
     }
+  }
+
+  test("persisted PQ index: read-back ADC results match in-memory") {
+    val emb = load("embeddings")
+    val idx = Similarity.pqBuild(emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    Similarity.pqWrite(idx, dir)
+    val back = Similarity.pqRead(spark, dir)
+    def run(i: Similarity.PqIndex) =
+      Similarity.pqAdcTopK(emb, i, Seq(0L, 1L), k = 3)
+        .select("query_id", "neighbor_id", "adc_score")
+        .as[(Long, Long, Double)].collect().toSet
+    assert(run(back) == run(idx))
   }
 
   test("ivfBuild trains on a bounded deterministic sample") {
