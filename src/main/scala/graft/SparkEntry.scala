@@ -437,6 +437,15 @@ object SparkEntry {
       Dedup.simhashNearDup(docs, maxHamming = 1)
         .orderBy("doc_a", "doc_b")
     }),
+    // production-width 64-bit fingerprints — 16 bits saturates at 65k
+    // distinct values; these two are the crawl-scale forms
+    "q86_simhash64" -> ((s, dir) =>
+      Dedup.simhash64(t(s, dir, "documents")).orderBy("doc_id")),
+    "q87_simhash64_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+      Dedup.simhashNearDup64(docs, maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
   )
 
   private def similarityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1050,6 +1059,8 @@ object SparkEntry {
     "q50_dedup_components" -> dedupComponentsOracle,
     "q60_dedup_corpus" -> dedupCorpusOracle,
     "q52_simhash_neardup" -> simhashNearDupOracle,
+    "q86_simhash64" -> simhash64Sql,
+    "q87_simhash64_neardup" -> simhash64NearDupOracle,
 
     "q51_regex_tokens" ->
       """SELECT doc_id,
@@ -1807,6 +1818,46 @@ object SparkEntry {
   private def simhashSql: String =
     s"""WITH $simhashCtes
        |SELECT doc_id, simhash FROM s ORDER BY doc_id""".stripMargin
+
+  /** CTE chain ending in `s(doc_id, simhash)` for the 64-bit
+    * fingerprint: per-token nibbles n1..n16 (n1 most significant —
+    * md5 hex is big-endian), bit k of the token hash read from nibble
+    * `16 - k/4` at in-nibble position `k % 4` (small non-negative
+    * ints, so FLOOR/% arithmetic is exact — no signed shifts needed),
+    * and bit 63 packed by adding BIGINT min so the result is the same
+    * two's-complement value Spark produces. */
+  private def simhash64Ctes: String = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1) AS n$i"
+    val nibs = (1 to 16).map(nib).mkString(",\n    ")
+    val sums = (0 until 64).map { k =>
+      val j = 16 - k / 4
+      val p2 = 1 << (k % 4)
+      s"SUM(CASE WHEN CAST(FLOOR(n$j / $p2.0) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s$k"
+    }.mkString(",\n    ")
+    val low = (0 until 63).map { k =>
+      s"CASE WHEN s$k >= 0 THEN ${1L << k} ELSE 0 END"
+    }.mkString(" + ")
+    val hi = "CASE WHEN s63 >= 0 THEN -9223372036854775807 - 1 ELSE 0 END"
+    s"""$tokCte,
+       |n AS (SELECT doc_id, $nibs FROM toks),
+       |b AS (SELECT doc_id, $sums FROM n GROUP BY doc_id),
+       |s AS (SELECT doc_id, CAST($low AS BIGINT) + ($hi) AS simhash FROM b)""".stripMargin
+  }
+
+  /** 64-bit SimHash oracle (q86). */
+  private def simhash64Sql: String =
+    s"""WITH $simhash64Ctes
+       |SELECT doc_id, simhash FROM s ORDER BY doc_id""".stripMargin
+
+  /** q87 oracle: exact all-pairs hamming over the 64-bit fingerprints —
+    * the blocked Spark form is provably equivalent (pigeonhole). */
+  private def simhash64NearDupOracle: String =
+    s"""WITH $simhash64Ctes
+       |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
+       |FROM s a JOIN s c ON a.doc_id < c.doc_id
+       |WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q52 oracle: exact all-pairs hamming filter — the blocked Spark
     * form is provably equivalent for maxHamming ≤ 3 (pigeonhole). */

@@ -339,14 +339,31 @@ object Dedup {
     // form and the GROUP BY oracle)
     docs.filter(size(TextAnalysis.tokens(col(textCol))) > 0)
       .select(col(idCol),
-        graft.functions.SimhashPack(TextAnalysis.tokens(col(textCol))).as("simhash"))
+        graft.functions.SimhashPack(TextAnalysis.tokens(col(textCol)), 16).as("simhash"))
   }
+
+  /** 64-bit SimHash — the production width (the 16-bit form has only
+    * 65k distinct fingerprints, so unrelated documents collide once a
+    * corpus passes ~10^5 docs; crawl-scale dedup literature uses
+    * 64-bit fingerprints). Same token hash family (first 16 md5
+    * nibbles, big-endian) and the same native codegen'd vote-pack
+    * kernel; bit 63 set makes the value negative — two's complement,
+    * so `bit_count(xor)` hamming is unaffected in Spark and in any
+    * ANSI engine. */
+  def simhash64(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.filter(size(TextAnalysis.tokens(col(textCol))) > 0)
+      .select(col(idCol),
+        graft.functions.SimhashPack(TextAnalysis.tokens(col(textCol)), 64).as("simhash"))
 
   /** Hamming distance between two simhash values (for near-dup
     * pairing): population count of the XOR — a single codegen'd
-    * builtin. */
+    * builtin. Width-agnostic: two's-complement bit counting makes it
+    * correct for the 64-bit fingerprint's negative values too. */
   def hamming16(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** [[hamming16]] under its production-width name. */
+  def hamming64(a: Column, b: Column): Column = hamming16(a, b)
 
   /** SimHash near-duplicate pairs within `maxHamming` bits, via bit
     * blocking (the classic simhash dedup construction): the 16-bit
@@ -373,17 +390,42 @@ object Dedup {
     * the minimum are dropped), so it stays opt-in. */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 1,
                      idCol: String = "doc_id", textCol: String = "text",
-                     maxBucket: Int = Int.MaxValue): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 16, "need 1..16 blocks over 16 bits")
-    val sh = simhash(docs, idCol, textCol)
+                     maxBucket: Int = Int.MaxValue): DataFrame =
+    blockedNearDup(simhash(docs, idCol, textCol), 16, maxHamming, maxBucket)
+
+  /** [[simhashNearDup]] at the production 64-bit width: pigeonhole
+    * blocks over the [[simhash64]] fingerprint. maxHamming=3 gives 4
+    * blocks × 16 bits — 65k bucket values per block, selective enough
+    * that real-corpus buckets stay tiny (the Manku-Jain-Sarma
+    * table-splitting construction, expressed as one explode +
+    * group-by). Same exactness guarantee (pigeonhole: ≤ maxHamming
+    * differing bits ⇒ some block agrees) and the same opt-in
+    * mega-bucket star guard. */
+  def simhashNearDup64(docs: DataFrame, maxHamming: Int = 3,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       maxBucket: Int = Int.MaxValue): DataFrame =
+    blockedNearDup(simhash64(docs, idCol, textCol), 64, maxHamming, maxBucket)
+
+  /** Shared pigeonhole-blocked near-dup core over a
+    * (id, simhash) frame: split the `fpBits`-bit fingerprint into
+    * `maxHamming + 1` contiguous blocks, bucket by (block index, block
+    * value), expand candidate pairs inside buckets only, then run the
+    * exact hamming filter. Block values are extracted with an unsigned
+    * shift + mask so bit 63 of a 64-bit fingerprint (sign bit) needs
+    * no special casing. */
+  private def blockedNearDup(sh: DataFrame, fpBits: Int, maxHamming: Int,
+                             maxBucket: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < fpBits,
+      s"need 1..$fpBits blocks over $fpBits bits")
+    val idCol = sh.columns.head
     val nBlocks = maxHamming + 1
-    val widths = Array.fill(nBlocks)(16 / nBlocks)
-    for (i <- 0 until 16 % nBlocks) widths(i) += 1
+    val widths = Array.fill(nBlocks)(fpBits / nBlocks)
+    for (i <- 0 until fpBits % nBlocks) widths(i) += 1
     val offsets = widths.scanLeft(0)(_ + _)
     val blockCols = (0 until nBlocks).map { b =>
       struct(lit(b).as("blk"),
-        pmod(floor(col("simhash") / (1L << offsets(b))), lit(1 << widths(b)))
-          .cast("long").as("v"))
+        shiftrightunsigned(col("simhash"), offsets(b))
+          .bitwiseAND(lit((1L << widths(b)) - 1L)).as("v"))
     }
     val blocks = sh
       .select(col(idCol).as("id"), col("simhash"), explode(array(blockCols: _*)).as("bk"))

@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimhashPack].getName, "simhash16"),
       GraftExtensions.simhashBuilder))
     ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimhashPack].getName, "simhash64"),
+      GraftExtensions.simhash64Builder))
+    ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
       GraftExtensions.minhashBuilder))
@@ -37,7 +41,11 @@ object GraftExtensions {
   }
   private val simhashBuilder: Seq[Expression] => Expression = { children =>
     require(children.size == 1, "simhash16 takes exactly 1 argument")
-    SimhashPack(children(0))
+    SimhashPack(children(0), 16)
+  }
+  private val simhash64Builder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "simhash64 takes exactly 1 argument")
+    SimhashPack(children(0), 64)
   }
   // shingle width / signature count arrive as SQL int literals
   private def intLit(e: Expression, what: String): Int = e match {
@@ -64,6 +72,8 @@ object GraftExtensions {
       .createOrReplaceTempFunction("dot_product", builder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("simhash16", simhashBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("simhash64", simhash64Builder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("minhash_sig", minhashBuilder, "built-in")
     spark.sessionState.functionRegistry

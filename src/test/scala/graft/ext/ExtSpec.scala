@@ -389,6 +389,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhash64 matches an independent JVM reference on corpus docs") {
+    val docs = load("documents").limit(100)
+    def ref(text: String): Option[Long] = {
+      val toks = text.split(" ").filter(_.nonEmpty)
+      if (toks.isEmpty) return None
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](64)
+      for (t <- toks) {
+        md.reset()
+        val h = java.nio.ByteBuffer.wrap(md.digest(t.getBytes("UTF-8"))).getLong
+        for (k <- 0 until 64)
+          votes(k) += (if (((h >>> k) & 1L) == 1L) 1 else -1)
+      }
+      Some((0 until 64).foldLeft(0L)((fp, k) =>
+        if (votes(k) >= 0) fp | (1L << k) else fp))
+    }
+    val want = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .flatMap { case (id, tx) => ref(tx).map(id -> _) }.toMap
+    val got = Dedup.simhash64(docs).as[(Long, Long)].collect().toMap
+    assert(got.nonEmpty && got == want)
+    // 64-bit fingerprints use the full width: some corpus doc must set
+    // bit 63 (i.e. come out negative), or the width is not real
+    assert(got.values.exists(_ < 0L))
+  }
+
+  test("simhashNearDup64: blocked result is exact over the corpus (all-pairs reference)") {
+    val docs = load("documents")
+    val blocked = Dedup.simhashNearDup64(docs, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val m = Dedup.simhash64(docs).as[(Long, Long)].collect().toMap
+    val exact = (for {
+      a <- m.keys; b <- m.keys if a < b
+      h = java.lang.Long.bitCount(m(a) ^ m(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(blocked == exact && blocked.nonEmpty)
+  }
+
   test("simhashNearDup: identical docs pair at hamming 0; blocked result is " +
     "exact (matches the all-pairs filter)") {
     val df = Seq(
