@@ -615,6 +615,13 @@ object SparkEntry {
         .orderBy(col("sim").desc, col("id_a"), col("id_b"))
         .limit(20)
     }),
+    // SemDeDup-style embedding-space dedup end to end: sign-bucketed
+    // cosine pairs → connected components → keep min-id representative
+    "q88_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(t(s, dir, "embeddings"),
+          threshold = 0.4, planes = 4, dim = 64)
+        .select("vec_id", "label")
+        .orderBy("vec_id")),
     // k-NN label classification: majority vote of the 5 exact nearest
     // neighbors, ties toward the smallest label
     "q71_knn_classify" -> ((s, dir) =>
@@ -1053,6 +1060,7 @@ object SparkEntry {
     "q84_pq_codes" -> pqCodesOracle,
     "q85_pq_adc" -> pqAdcOracle,
     "q49_neardup_lsh" -> neardupLshOracle,
+    "q88_semantic_dedup" -> semanticDedupOracle,
     "q48_lsh_candidates" -> lshCandidatesOracle,
     "q75_editdist_neardup" -> editDistNearDupOracle,
     "q63_jaccard_estimate" -> jaccardEstimateOracle,
@@ -1700,6 +1708,35 @@ object SparkEntry {
        |      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
        |SELECT id_a, id_b, sim FROM s WHERE sim >= -2.0
        |ORDER BY sim DESC, id_a, id_b LIMIT 20""".stripMargin
+
+  /** q88 oracle: the embedding-space dedup pipeline in SQL — sign
+    * buckets (the identical md5 plane family), in-bucket COSINE
+    * thresholding (dot and norms all in double, same element order as
+    * the native expression), recursive min-label components, keep
+    * representatives and unpaired vectors. */
+  private def semanticDedupOracle: String =
+    s"""WITH RECURSIVE
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+       |b AS (SELECT vec_id, v, ${bucketExprSql(4, 64)} AS bucket FROM e),
+       |pairs AS (
+       |  SELECT a.vec_id AS doc_a, c.vec_id AS doc_b
+       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |  WHERE list_dot_product(a.v, c.v)
+       |        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))
+       |        >= 0.4),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT re.id, e2.dst FROM reach re JOIN edges e2 ON re.r = e2.src),
+       |comp AS (
+       |  SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id)
+       |SELECT e.vec_id, e.label FROM e
+       |LEFT JOIN comp c ON e.vec_id = c.id
+       |WHERE c.id IS NULL OR c.comp = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
 
   /** CTE chain ending in `pairs(doc_a, doc_b)` — the LSH candidate
     * pipeline in SQL: minhash (as in q25), 3 bands × 2 rows banding,

@@ -468,4 +468,32 @@ object Similarity {
       .select(col("id_a"), col("id_b"), dot(col("vec_a"), col("vec_b")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Embedding-space (semantic) deduplication — the SemDeDup shape:
+    * bucket vectors by the deterministic sign-plane family, pair only
+    * within buckets, keep pairs with COSINE ≥ `threshold` (normalized
+    * explicitly, so unnormalized embeddings are safe), resolve
+    * transitive duplicate groups by connected components, and keep the
+    * minimum-id representative per group plus every unpaired vector.
+    * Returns the KEPT rows of `df`.
+    *
+    * Approximate like any LSH method (cross-bucket near-dups are
+    * missed — raise `planes` for selectivity or lower for recall), but
+    * every stage is deterministic and the whole pipeline is
+    * SQL-expressible, so it hash-checks end to end. Scale shape: one
+    * bucket shuffle, in-bucket pair expansion, CC state bounded by the
+    * duplicate-pair count, anti-join build side bounded by the
+    * duplicate count — the same 100 TB contract as the text-side
+    * `Dedup.dedupCorpus`. */
+  def semanticDedup(df: DataFrame, threshold: Double, planes: Int, dim: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = signBuckets(df, planes, dim, idCol, vecCol)
+    val l = b.select(col("bucket"), col(idCol).as("doc_a"), col(vecCol).as("vec_a"))
+    val r = b.select(col("bucket"), col(idCol).as("doc_b"), col(vecCol).as("vec_b"))
+    val pairs = l.join(r, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(cosine(col("vec_a"), col("vec_b")) >= threshold)
+      .select("doc_a", "doc_b")
+    Dedup.dedupCorpus(df, pairs, idCol)
+  }
 }

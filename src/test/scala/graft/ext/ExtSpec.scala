@@ -542,6 +542,16 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup keeps one representative per cosine cluster") {
+    val a = Array.fill(64)(0.1f)
+    val b = a.map(_ * 2.0f)                                   // same direction: cos = 1
+    val c = Array.tabulate(64)(i => if (i % 2 == 0) 0.1f else -0.1f) // orthogonal
+    val df = Seq((1L, a, 0), (2L, b, 0), (3L, c, 1)).toDF("vec_id", "embedding", "label")
+    val kept = Similarity.semanticDedup(df, threshold = 0.99, planes = 4, dim = 64)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("persisted PQ index: read-back ADC results match in-memory") {
     val emb = load("embeddings")
     val idx = Similarity.pqBuild(emb)
