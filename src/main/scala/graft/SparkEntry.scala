@@ -348,6 +348,24 @@ object SparkEntry {
         weights = Map("src0" -> 0.4, "src1" -> 0.2),
         targetTokens = 5000L, defaultWeight = 0.02)
         .orderBy("doc_id")),
+    // per-source cap through the bounded TopK aggregator — the shuffle
+    // carries the cap, not the corpus (a window row_number moves it all)
+    "q89_cap_per_source" -> ((s, dir) =>
+      Corpus.capPerSource(t(s, dir, "documents"), maxDocs = 15, ordCol = col("n_chars"))
+        .orderBy("source", "rnk")),
+    // JSONL interchange round-trip: write the corpus as line-delimited
+    // JSON, read it back with the explicit-schema PERMISSIVE reader —
+    // the hash check proves the format preserves every value
+    "q90_jsonl_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+      graft.sources.CorpusIO.writeJsonl(t(s, dir, "documents"), tmp)
+      graft.sources.CorpusIO.readJsonlClean(s, tmp)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+    // Gopher-style hard accept/reject rules with per-rule flags
+    "q91_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents")).orderBy("doc_id")),
   )
 
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1347,6 +1365,25 @@ object SparkEntry {
         |         substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < thr
         |ORDER BY doc_id""".stripMargin,
 
+    // per-source cap: the TopK-aggregator result equals the window
+    // row_number form by construction (same ord-desc, id-asc order)
+    "q89_cap_per_source" ->
+      """SELECT source, rnk, doc_id, ord FROM (
+        |  SELECT source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) AS BIGINT) AS rnk,
+        |    doc_id, CAST(n_chars AS DOUBLE) AS ord
+        |  FROM documents)
+        |WHERE rnk <= 15
+        |ORDER BY source, rnk""".stripMargin,
+
+    // JSONL round-trip: the read-back rows must equal the source table
+    "q90_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q91_gopher_rules" -> gopherRulesOracle,
+
     // window-count z-score from exact integer moments — the doubles
     // are pure IEEE arithmetic on exact longs, engine-portable
     "q73_window_zscore" ->
@@ -1708,6 +1745,40 @@ object SparkEntry {
        |      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
        |SELECT id_a, id_b, sim FROM s WHERE sim >= -2.0
        |ORDER BY sim DESC, id_a, id_b LIMIT 20""".stripMargin
+
+  /** q91 oracle: the identical count-and-exact-ratio rule arithmetic;
+    * the stopword list is generated from the same Scala constant so the
+    * two sides cannot drift. */
+  private def gopherRulesOracle: String = {
+    val stops = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+       |      AS mean_word_len,
+       |    CAST(len(list_filter(toks, x -> contains(x, '#')
+       |      OR contains(x, '...') OR contains(x, '…'))) AS BIGINT) AS symbols,
+       |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
+       |      AS alphas,
+       |    CAST(len(list_filter(toks, x -> list_contains([$stops], x))) AS BIGINT)
+       |      AS stops
+       |  FROM t WHERE len(toks) > 0)
+       |SELECT doc_id, n_words, mean_word_len,
+       |  n_words >= 50 AND n_words <= 100000 AS r_word_count,
+       |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS r_mean_len,
+       |  CAST(symbols AS DOUBLE) / n_words <= 0.1 AS r_symbol,
+       |  CAST(alphas AS DOUBLE) / n_words >= 0.8 AS r_alpha,
+       |  stops >= 2 AS r_stop,
+       |  (n_words >= 50 AND n_words <= 100000)
+       |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+       |    AND (CAST(symbols AS DOUBLE) / n_words <= 0.1)
+       |    AND (CAST(alphas AS DOUBLE) / n_words >= 0.8)
+       |    AND stops >= 2 AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
 
   /** q88 oracle: the embedding-space dedup pipeline in SQL — sign
     * buckets (the identical md5 plane family), in-bucket COSINE

@@ -272,4 +272,24 @@ object Corpus {
         col("__sum").cast("double").as("sum_logprob"),
         (col("__sum").cast("double") / col("n_bigrams")).as("avg_logprob"))
   }
+
+  /** Per-source document cap — crawl curation's "no domain dominates
+    * the mix" rule: keep at most `maxDocs` documents per `keyCol`,
+    * ranked by `ordCol` descending with min-id tiebreak. Output:
+    * (keyCol, rnk, idCol, ord).
+    *
+    * Runs through the bounded `TopK` Aggregator, NOT
+    * `row_number().over(Window.partitionBy(source))`: the window form
+    * shuffles the ENTIRE corpus to per-source partitions and sorts
+    * each one (and a mega-source — half the crawl from one domain —
+    * lands in a single task), while the Aggregator's map-side partial
+    * keeps ≤ maxDocs rows per source per task, so the shuffle carries
+    * the cap, not the corpus, and skew is bounded by design. */
+  def capPerSource(docs: DataFrame, maxDocs: Int, ordCol: Column,
+                   keyCol: String = "source", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(col(keyCol))
+      .agg(graft.functions.TopK.topK(maxDocs, ordCol.cast("double"), col(idCol)).as("top"))
+      .select(col(keyCol), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col(keyCol), (col("pos") + 1).cast("long").as("rnk"),
+        col("s.id").as(idCol), col("s.ord").as("ord"))
 }

@@ -100,6 +100,46 @@ object TextAnalysis {
         + least(col("avg_token_len") / 8.0, lit(1.0)) * 0.3).as("quality"))
   }
 
+  /** Gopher-style quality rule audit — the rule-based document filter
+    * family (word-count window, mean-word-length window, symbol-to-word
+    * ratio, alphabetic-word ratio, minimum stopword evidence), reported
+    * as one boolean column PER RULE plus the conjunction, so a curation
+    * run can say WHY each document was dropped, not just that it was.
+    * Complements [[qualityScore]] (a soft score to threshold) with the
+    * hard accept/reject rules production corpus filters actually use.
+    *
+    * All arithmetic is counts and exact double ratios of counts —
+    * engine-portable with no rounding. Narrow, one pass, no shuffle;
+    * zero-token documents are dropped (no ratios exist). */
+  def gopherRules(docs: DataFrame,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
+                  minStopwords: Int = 2,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks).cast("long")
+    val meanLen = aggregate(transform(toks, t => length(t)), lit(0L), (a, x) => a + x)
+      .cast("double") / n
+    val symbols = size(filter(toks, t =>
+      t.contains("#") || t.contains("...") || t.contains("…"))).cast("long")
+    val alphaWords = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long")
+    val stops = size(filter(toks, t =>
+      t.isin(stopwords("en"): _*))).cast("long")
+    docs.filter(size(toks) > 0).select(
+      col(idCol),
+      n.as("n_words"),
+      meanLen.as("mean_word_len"),
+      (n >= minWords && n <= maxWords).as("r_word_count"),
+      (meanLen >= minMeanLen && meanLen <= maxMeanLen).as("r_mean_len"),
+      (symbols.cast("double") / n <= maxSymbolRatio).as("r_symbol"),
+      (alphaWords.cast("double") / n >= minAlphaRatio).as("r_alpha"),
+      (stops >= minStopwords).as("r_stop"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_len") && col("r_symbol")
+          && col("r_alpha") && col("r_stop"))
+  }
+
   /** Text normalization for training corpora: lowercase, strip
     * non-alphanumerics, collapse whitespace. Narrow, codegen'd. */
   def scrub(text: Column): Column =

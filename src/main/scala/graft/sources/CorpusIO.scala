@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus ingestion/egress in the interchange formats LLM-corpus
+  * tooling actually ships: JSONL (one JSON object per line — the
+  * de-facto standard for web-crawl and instruction datasets) and CSV.
+  *
+  * Scale rules baked in rather than documented:
+  *  - ALWAYS an explicit schema. Schema inference is a second full
+  *    pass over the input — a 100 TB read becomes two — and a single
+  *    malformed line can silently widen a column to string corpus-wide.
+  *  - PERMISSIVE parsing with a corrupt-record column: crawl-scale
+  *    JSONL always contains broken lines, and a FAILFAST job that dies
+  *    four hours in is worse than a quarantine column. Callers split on
+  *    `_corrupt IS NULL` and route the rest to a reject sink.
+  *  - JSONL is the preferred format: line-delimited text splits on
+  *    newlines, so a 1 GB file still fans out across executors. CSV
+  *    with embedded newlines needs `multiLine`, which makes each file
+  *    one task — reader provided, but keep files small or convert.
+  */
+object CorpusIO {
+
+  /** The documents-table interchange schema (TESTDATA.md shape). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Name of the quarantine column carrying unparseable lines. */
+  val corruptCol = "_corrupt"
+
+  private def withCorrupt(schema: StructType): StructType =
+    if (schema.fieldNames.contains(corruptCol)) schema
+    else schema.add(StructField(corruptCol, StringType))
+
+  /** Read line-delimited JSON with an explicit schema; bad lines land
+    * in `_corrupt` instead of killing the job or poisoning the schema.
+    * Spark caveat: a query whose referenced columns are ONLY `_corrupt`
+    * (e.g. counting rejects) is refused on raw file scans — cache the
+    * parsed frame first, per Spark's documented pattern. */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: StructType = documentsSchema): DataFrame =
+    spark.read
+      .schema(withCorrupt(schema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+
+  /** The clean rows of [[readJsonl]], corrupt quarantine dropped. */
+  def readJsonlClean(spark: SparkSession, path: String,
+                     schema: StructType = documentsSchema): DataFrame =
+    readJsonl(spark, path, schema)
+      .filter(col(corruptCol).isNull)
+      .drop(corruptCol)
+
+  /** Write a corpus as JSONL (one object per line, splittable). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** CSV reader with the same explicit-schema + quarantine contract.
+    * `multiLine` only if values embed newlines — it serializes each
+    * file into one task, so prefer JSONL for anything large. */
+  def readCsv(spark: SparkSession, path: String,
+              schema: StructType = documentsSchema,
+              multiLine: Boolean = false): DataFrame =
+    spark.read
+      .schema(withCorrupt(schema))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .option("multiLine", multiLine.toString)
+      .option("escape", "\"")
+      .csv(path)
+
+  /** Write a corpus as quoted CSV with a header. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("escape", "\"")
+      .csv(path)
+}

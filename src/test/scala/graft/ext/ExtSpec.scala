@@ -745,3 +745,67 @@ class MultimodalSpec extends SparkSpec {
       out(2).isNullAt(out(2).fieldIndex("wav")))
   }
 }
+
+class CorpusIOSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("JSONL round-trip preserves every value; corrupt lines quarantine, not kill") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-io").toString
+    val docs = load("documents").limit(25)
+    graft.sources.CorpusIO.writeJsonl(docs, dir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part-broken.json"),
+      """{"doc_id": 999999, "text": "unterminated""" + "\n")
+    // Spark refuses scans whose referenced columns are ONLY the corrupt
+    // column — cache first (the documented pattern for quarantine counts)
+    val all = graft.sources.CorpusIO.readJsonl(spark, dir).cache()
+    assert(all.filter(col(graft.sources.CorpusIO.corruptCol).isNotNull).count() == 1)
+    val clean = graft.sources.CorpusIO.readJsonlClean(spark, dir)
+    assert(clean.exceptAll(docs).isEmpty && docs.exceptAll(clean).isEmpty)
+  }
+
+  test("CSV round-trip with quoting survives commas, quotes and newlines") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val docs = Seq(
+      (1L, "plain text", "en", "src0", 10L),
+      (2L, "comma, \"quoted\" and\nnewline", "en", "src1", 26L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    graft.sources.CorpusIO.writeCsv(docs, dir)
+    val back = graft.sources.CorpusIO.readCsv(spark, dir, multiLine = true)
+      .filter(col(graft.sources.CorpusIO.corruptCol).isNull)
+      .drop(graft.sources.CorpusIO.corruptCol)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
+  test("capPerSource equals the window row_number form and bounds group size") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = load("documents")
+    val got = Corpus.capPerSource(docs, maxDocs = 7, ordCol = col("n_chars"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").cast("double").desc, col("doc_id"))
+    val want = docs.select(col("source"),
+        row_number().over(w).cast("long").as("rnk"),
+        col("doc_id"), col("n_chars").cast("double").as("ord"))
+      .filter(col("rnk") <= 7)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val maxPer = got.groupBy("source").count().agg(max("count")).head.getLong(0)
+    assert(maxPer <= 7)
+  }
+
+  test("gopherRules: per-rule flags fire independently; keep is the conjunction") {
+    import spark.implicits._
+    val fine = (1 to 60).map(i => s"the and word$i").mkString(" ") // 240 words, has stopwords
+    val docs = Seq(
+      (1L, fine),
+      (2L, "too short to pass the word count rule"),
+      (3L, (1 to 60).map(i => s"alpha$i supercalifragilistic$i expialidocious$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("keep"))
+    assert(!r(2L).getAs[Boolean]("r_word_count") && !r(2L).getAs[Boolean]("keep"))
+    assert(!r(3L).getAs[Boolean]("r_mean_len") && !r(3L).getAs[Boolean]("r_stop")
+      && !r(3L).getAs[Boolean]("keep"))
+  }
+}
