@@ -464,6 +464,25 @@ object SparkEntry {
       Dedup.simhashNearDup64(docs, maxHamming = 3)
         .orderBy("doc_a", "doc_b")
     }),
+    // the README pipeline as ONE lazy plan, hash-checked end to end:
+    // exact dedup → LSH near-dup removal → Gopher rules → PII redaction.
+    // Every stage is a real operator from this library; n_tokens is the
+    // pre-redaction document length
+    "q92_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keepIds = Dedup.exactByContent(docs, "doc_id", Seq("text"))
+        .select(col("keep_id").as("doc_id"))
+      val d1 = docs.join(keepIds, Seq("doc_id"))
+      val pairs = Dedup.candidatePairs(
+        Dedup.lshBands(Dedup.minhash(d1, k = 6), bands = 3, rowsPerBand = 2))
+      val d2 = Dedup.dedupCorpus(d1, pairs)
+      val good = TextAnalysis.gopherRules(d2).filter(col("keep")).select("doc_id")
+      d2.join(good, Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.redactPii(col("text")).as("text"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
   )
 
   private def similarityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1383,6 +1402,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q91_gopher_rules" -> gopherRulesOracle,
+    "q92_curation_pipeline" -> curationPipelineOracle,
 
     // window-count z-score from exact integer moments — the doubles
     // are pure IEEE arithmetic on exact longs, engine-portable
@@ -1745,6 +1765,79 @@ object SparkEntry {
        |      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
        |SELECT id_a, id_b, sim FROM s WHERE sim >= -2.0
        |ORDER BY sim DESC, id_a, id_b LIMIT 20""".stripMargin
+
+  /** q92 oracle: the full curation pipeline — exact dedup (min id per
+    * md5(text)), the q48 LSH candidate chain over the surviving docs,
+    * recursive min-label components, Gopher rules, PII redaction. */
+  private def curationPipelineOracle: String = {
+    import graft.ext.TextAnalysis.{EmailRe, Ipv4Re, PhoneRe}
+    val stops = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+    val mh = (0 until 6).map(i => s"min(substr(md5(sh), ${1 + 5 * i}, 5)) AS mh$i").mkString(",\n    ")
+    val bandSelects = (0 until 3).map { b =>
+      s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS band_key FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE
+       |k1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |d1 AS (SELECT d.* FROM documents d JOIN k1 USING (doc_id)),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, len(tl) - 2),
+       |    i -> array_to_string(tl[i:i+2], ' '))) AS sh
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tl
+       |        FROM d1)),
+       |mh AS (
+       |  SELECT doc_id,
+       |    $mh
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT re.id, e2.dst FROM reach re JOIN edges e2 ON re.r = e2.src),
+       |comp AS (
+       |  SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+       |d2 AS (
+       |  SELECT d1.* FROM d1 LEFT JOIN comp c ON d1.doc_id = c.id
+       |  WHERE c.id IS NULL OR c.comp = d1.doc_id),
+       |t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |      FROM d2),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+       |      AS mean_word_len,
+       |    CAST(len(list_filter(toks, x -> contains(x, '#')
+       |      OR contains(x, '...') OR contains(x, '…'))) AS BIGINT) AS symbols,
+       |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
+       |      AS alphas,
+       |    CAST(len(list_filter(toks, x -> list_contains([$stops], x))) AS BIGINT)
+       |      AS stops
+       |  FROM t WHERE len(toks) > 0),
+       |g AS (
+       |  SELECT doc_id FROM m
+       |  WHERE n_words >= 50 AND n_words <= 100000
+       |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |    AND CAST(symbols AS DOUBLE) / n_words <= 0.1
+       |    AND CAST(alphas AS DOUBLE) / n_words >= 0.8
+       |    AND stops >= 2)
+       |SELECT d2.doc_id, d2.source,
+       |  regexp_replace(regexp_replace(regexp_replace(d2.text,
+       |    '$EmailRe', '<EMAIL>', 'g'),
+       |    '$Ipv4Re', '<IP>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g') AS text,
+       |  CAST(len(list_filter(string_split(d2.text, ' '), x -> x <> '')) AS BIGINT)
+       |    AS n_tokens
+       |FROM d2 JOIN g USING (doc_id)
+       |ORDER BY d2.doc_id""".stripMargin
+  }
 
   /** q91 oracle: the identical count-and-exact-ratio rule arithmetic;
     * the stopword list is generated from the same Scala constant so the

@@ -51,12 +51,18 @@ object CorpusIO {
       .option("columnNameOfCorruptRecord", corruptCol)
       .json(path)
 
-  /** The clean rows of [[readJsonl]], corrupt quarantine dropped. */
+  /** Only the clean rows: DROPMALFORMED discards unparseable lines at
+    * the scan instead of quarantining them. Use when rejects are not
+    * worth keeping — unlike filtering [[readJsonl]] on `_corrupt`,
+    * this form stays valid under aggressive column pruning (a bare
+    * `count()` over the quarantine filter trips Spark's
+    * QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction). */
   def readJsonlClean(spark: SparkSession, path: String,
                      schema: StructType = documentsSchema): DataFrame =
-    readJsonl(spark, path, schema)
-      .filter(col(corruptCol).isNull)
-      .drop(corruptCol)
+    spark.read
+      .schema(schema)
+      .option("mode", "DROPMALFORMED")
+      .json(path)
 
   /** Write a corpus as JSONL (one object per line, splittable). */
   def writeJsonl(df: DataFrame, path: String): Unit =

@@ -762,6 +762,9 @@ class CorpusIOSpec extends SparkSpec {
     assert(all.filter(col(graft.sources.CorpusIO.corruptCol).isNotNull).count() == 1)
     val clean = graft.sources.CorpusIO.readJsonlClean(spark, dir)
     assert(clean.exceptAll(docs).isEmpty && docs.exceptAll(clean).isEmpty)
+    // the bare-count path (no columns referenced) must also work — this
+    // is what a benchmark or row-count audit runs
+    assert(graft.sources.CorpusIO.readJsonlClean(spark, dir).count() == 25)
   }
 
   test("CSV round-trip with quoting survives commas, quotes and newlines") {
