@@ -228,6 +228,27 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(df) <= 3, s"packing shuffle count regressed:\n${plan(df)}")
   }
 
+  test("q89: per-source cap aggregates map-side — no Window, no corpus sort") {
+    val df = run("q89_cap_per_source")
+    val p = plan(df)
+    assert(!p.contains("Window"), s"cap must not run as a window row_number:\n$p")
+    assert(p.contains("partial_topk") || p.contains("ObjectHashAggregate"),
+      s"expected the TopK aggregator's partial aggregation:\n$p")
+  }
+
+  test("q91: gopher rules are a narrow scan — only the final sort shuffles") {
+    val df = run("q91_gopher_rules")
+    assert(shuffles(df) <= 1,
+      s"rule audit must stay narrow:\n${plan(df)}")
+  }
+
+  test("q87: 64-bit near-dup buckets by (block, value) — no sort-merge join, no window") {
+    val df = run("q87_simhash64_neardup")
+    val p = plan(df)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"pair generation must be bucket-local, not a join:\n$p")
+  }
+
   test("plan hygiene sweep: no cartesian/nested-loop joins anywhere except " +
     "the labeled exact baselines") {
     // q30/q27 are the documented quadratic correctness baselines (their
