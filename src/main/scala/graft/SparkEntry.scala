@@ -366,6 +366,11 @@ object SparkEntry {
     // Gopher-style hard accept/reject rules with per-rule flags
     "q91_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(t(s, dir, "documents")).orderBy("doc_id")),
+    // deterministic EXACT-size per-stratum sample (fixed eval sets):
+    // md5-ranked through the bounded TopK aggregator, no window sort
+    "q93_exact_sample" -> ((s, dir) =>
+      TextAnalysis.exactSample(t(s, dir, "documents"), k = 8)
+        .orderBy("source", "rnk")),
   )
 
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1403,6 +1408,7 @@ object SparkEntry {
 
     "q91_gopher_rules" -> gopherRulesOracle,
     "q92_curation_pipeline" -> curationPipelineOracle,
+    "q93_exact_sample" -> exactSampleOracle,
 
     // window-count z-score from exact integer moments — the doubles
     // are pure IEEE arithmetic on exact longs, engine-portable
@@ -1765,6 +1771,27 @@ object SparkEntry {
        |      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
        |SELECT id_a, id_b, sim FROM s WHERE sim >= -2.0
        |ORDER BY sim DESC, id_a, id_b LIMIT 20""".stripMargin
+
+  /** q93 oracle: rank by the identical 13-nibble (52-bit) md5 value —
+    * the window row_number form the TopK aggregator provably equals. */
+  private def exactSampleOracle: String = {
+    val hx = "md5(source || '|' || CAST(doc_id AS VARCHAR))"
+    val v = (1 to 13).map { i =>
+      val w = math.pow(16, 13 - i).toLong
+      s"(strpos('0123456789abcdef', substr($hx, $i, 1)) - 1) * $w"
+    }.mkString("\n    + ")
+    s"""WITH h AS (
+       |  SELECT source, doc_id,
+       |    $v AS v
+       |  FROM documents)
+       |SELECT source, rnk, doc_id FROM (
+       |  SELECT source, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY v, doc_id)
+       |      AS BIGINT) AS rnk
+       |  FROM h)
+       |WHERE rnk <= 8
+       |ORDER BY source, rnk""".stripMargin
+  }
 
   /** q92 oracle: the full curation pipeline — exact dedup (min id per
     * md5(text)), the q48 LSH candidate chain over the surviving docs,

@@ -210,6 +210,27 @@ object TextAnalysis {
     df.filter(v < thr)
   }
 
+  /** Deterministic EXACT-size sample: exactly min(k, |stratum|) rows
+    * per stratum — the fixed-size eval/holdout sets a training run
+    * needs, where [[stratifiedSample]]'s rate-based thresholding gives
+    * only an expected size. Rows are ranked by the 52-bit value of the
+    * first 13 md5 nibbles of (stratum|id) — exact in a double, so the
+    * bounded TopK aggregator reproduces the md5 order with its map-side
+    * partial (shuffle carries k rows per stratum per task, never the
+    * corpus; no window sort). RNG-free: the same rows are sampled on
+    * every run and every engine. Returns (strataCol, rnk, idCol). */
+  def exactSample(df: DataFrame, k: Int, strataCol: String = "source",
+                  idCol: String = "doc_id"): DataFrame = {
+    val hx = md5(concat(col(strataCol).cast("string"), lit("|"), col(idCol).cast("string")))
+    def nibAt(i: Int) = instr(lit("0123456789abcdef"), substring(hx, i, 1)) - 1
+    val v = (1 to 13).foldLeft(lit(0L)) { (acc, i) => acc * 16 + nibAt(i).cast("long") }
+    df.groupBy(col(strataCol))
+      .agg(graft.functions.TopK.topK(k, -v.cast("double"), col(idCol)).as("top"))
+      .select(col(strataCol), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col(strataCol), (col("pos") + 1).cast("long").as("rnk"),
+        col("s.id").as(idCol))
+  }
+
   /** Overlapping token-window chunks — the standard corpus-prep step
     * before embedding or training on long documents. Chunk `k` starts
     * at token `1 + k·stride` and spans up to `size` tokens; the last

@@ -68,6 +68,20 @@ object CorpusIO {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Streaming JSONL ingestion: tail a landing directory as a
+    * Structured Streaming source — the continuous-ingest form of
+    * [[readJsonlClean]] (same explicit schema, same DROPMALFORMED
+    * discard). `maxFilesPerTrigger` bounds micro-batch size so a
+    * backlog of crawl drops doesn't become one giant batch. */
+  def readJsonlStream(spark: SparkSession, path: String,
+                      schema: StructType = documentsSchema,
+                      maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("mode", "DROPMALFORMED")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .json(path)
+
   /** CSV reader with the same explicit-schema + quarantine contract.
     * `multiLine` only if values embed newlines — it serializes each
     * file into one task, so prefer JSONL for anything large. */

@@ -796,6 +796,38 @@ class CorpusIOSpec extends SparkSpec {
     assert(maxPer <= 7)
   }
 
+  test("exactSample: exactly min(k, n) per stratum, equal to the window form, stable") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = load("documents")
+    val got = TextAnalysis.exactSample(docs, k = 6)
+    val sizes = got.groupBy("source").count().select("count").as[Long].collect()
+    assert(sizes.nonEmpty && sizes.forall(_ == 6)) // every sf0.001+ stratum has ≥ 6 docs
+    // window-form reference with the identical 13-nibble md5 ordering
+    val hx = md5(concat(col("source"), lit("|"), col("doc_id").cast("string")))
+    def nibAt(i: Int) = instr(lit("0123456789abcdef"), substring(hx, i, 1)) - 1
+    val v = (1 to 13).foldLeft(lit(0L)) { (acc, i) => acc * 16 + nibAt(i).cast("long") }
+    val w = Window.partitionBy(col("source")).orderBy(v, col("doc_id"))
+    val want = docs.select(col("source"),
+        row_number().over(w).cast("long").as("rnk"), col("doc_id"))
+      .filter(col("rnk") <= 6)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("streaming JSONL ingestion delivers the same rows as the batch reader") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-jsonl").toString
+    val docs = load("documents").limit(30)
+    graft.sources.CorpusIO.writeJsonl(docs, dir)
+    val q = graft.sources.CorpusIO.readJsonlStream(spark, dir)
+      .writeStream.format("memory").queryName("jsonl_ingest")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("jsonl_ingest")
+    assert(got.count() == 30)
+    assert(got.exceptAll(docs).isEmpty && docs.exceptAll(got).isEmpty)
+  }
+
   test("gopherRules: per-rule flags fire independently; keep is the conjunction") {
     import spark.implicits._
     val fine = (1 to 60).map(i => s"the and word$i").mkString(" ") // 240 words, has stopwords
