@@ -170,7 +170,7 @@ object Dedup {
       .distinct()
     val candDocs = docs.join(candIds, Seq(idCol), "left_semi")
     val docShingles = candDocs
-      .select(col(idCol), explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
+      .select(col(idCol), explode(graft.functions.ShingleSet(TextAnalysis.tokens(col(textCol)), shingleN)).as("sh"))
     val sizes = docShingles.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val a = docShingles.toDF("doc_a", "sh")
     val b = docShingles.toDF("doc_b", "sh")
@@ -208,7 +208,7 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, shingleN: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val docShingles = docs
-      .select(col(idCol), explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
+      .select(col(idCol), explode(graft.functions.ShingleSet(TextAnalysis.tokens(col(textCol)), shingleN)).as("sh"))
     val sizes = docShingles.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val shared = docShingles.toDF("doc_a", "sh")
       .join(docShingles.toDF("doc_b", "sh"), "sh")

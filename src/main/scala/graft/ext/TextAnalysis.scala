@@ -352,7 +352,7 @@ object TextAnalysis {
     * per-partition (shingle, count) rows, not the shingle stream. */
   def boilerplateNgrams(docs: DataFrame, shingleN: Int = 3, minDocs: Long = 2,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(explode(array_distinct(Dedup.shingles(col(textCol), shingleN))).as("ngram"))
+    docs.select(explode(graft.functions.ShingleSet(tokens(col(textCol)), shingleN)).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
@@ -378,11 +378,12 @@ object TextAnalysis {
     // scale), at the price of counting two same-doc shingles as one on
     // a hash collision (~2^-64 per pair; both engines hash identically
     // so the oracle cannot diverge)
-    def key(c: Column): Column =
-      if (hashShingles) substring(md5(c), 1, 16) else c
+    // native one-pass distinct-shingle kernel (ShingleSet) — the
+    // composable transform/substring(md5)/array_distinct chain runs
+    // interpreted and is pinned value-identical by test
     val sh = labeled.select(col(idCol), col("split"),
-      explode(array_distinct(transform(Dedup.shingles(col(textCol), shingleN), key(_))))
-        .as("sh"))
+      explode(graft.functions.ShingleSet(tokens(col(textCol)), shingleN,
+        if (hashShingles) 16 else 0)).as("sh"))
     val trainShingles = sh.filter(col("split") === "train").select("sh").distinct()
     sh.filter(col("split") === "test")
       .join(trainShingles, Seq("sh"), "left_semi")

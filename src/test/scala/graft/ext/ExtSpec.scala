@@ -121,6 +121,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(red.contains("no pii here at all"))
   }
 
+  test("native shingle_set is value-identical to the composable constructions") {
+    val docs = load("documents").limit(150)
+    val toks = TextAnalysis.tokens(col("text"))
+    // raw distinct shingles
+    val rawNative = docs.select(col("doc_id"),
+      graft.functions.ShingleSet(toks, 3).as("sh"))
+    val rawComposed = docs.select(col("doc_id"),
+      array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
+    assert(rawNative.exceptAll(rawComposed).isEmpty
+      && rawComposed.exceptAll(rawNative).isEmpty)
+    // hashed 16-hex-prefix keys
+    val keyNative = docs.select(col("doc_id"),
+      graft.functions.ShingleSet(toks, 5, 16).as("sh"))
+    val keyComposed = docs.select(col("doc_id"),
+      array_distinct(transform(Dedup.shingles(col("text"), 5),
+        c => substring(md5(c), 1, 16))).as("sh"))
+    assert(keyNative.exceptAll(keyComposed).isEmpty
+      && keyComposed.exceptAll(keyNative).isEmpty)
+    // short docs: fewer tokens than the window yields an empty set
+    import spark.implicits._
+    val short = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(short.select(graft.functions.ShingleSet(
+      TextAnalysis.tokens(col("text")), 3).as("sh"))
+      .head.getSeq[String](0).isEmpty)
+  }
+
   test("native cdc_chunks is value-identical to the composable construction") {
     val docs = load("documents").limit(60)
     val native = TextAnalysis.contentChunks(docs)
