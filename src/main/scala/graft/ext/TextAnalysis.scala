@@ -16,6 +16,11 @@ object TextAnalysis {
 
   /** Non-empty whitespace tokens of a text column. */
   def tokens(text: Column): Column =
+    graft.functions.WsTokens(text)
+
+  /** The composable construction of [[tokens]] — kept as the tested
+    * reference for the native kernel. */
+  private[ext] def tokensComposable(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
   /** Tokens matched by a BPE-ish word/number/punctuation regex — a

@@ -121,6 +121,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(red.contains("no pii here at all"))
   }
 
+  test("native ws_tokens is value-identical to filter(split) incl. edge cases") {
+    import spark.implicits._
+    val edge = Seq((1L, "a  b   c"), (2L, "  lead and trail  "), (3L, ""),
+      (4L, "    "), (5L, "single"), (6L, "tab\tand\nnewline stay glued"))
+      .toDF("doc_id", "text")
+    val corpus = load("documents").limit(200).select(col("doc_id"), col("text"))
+    for (df <- Seq(edge, corpus)) {
+      val native = df.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      val composed = df.select(col("doc_id"),
+        TextAnalysis.tokensComposable(col("text")).as("t"))
+      assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
+    }
+  }
+
   test("native shingle_set is value-identical to the composable constructions") {
     val docs = load("documents").limit(150)
     val toks = TextAnalysis.tokens(col("text"))
