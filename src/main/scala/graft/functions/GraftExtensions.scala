@@ -31,6 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
       GraftExtensions.repetitionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("ws_tokens"),
+      new ExpressionInfo(classOf[WsTokens].getName, "ws_tokens"),
+      GraftExtensions.wsTokensBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_set"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
+      GraftExtensions.shingleSetBuilder))
   }
 }
 
@@ -61,6 +69,16 @@ object GraftExtensions {
     require(children.size == 2, "repetition_stats(tokens, shingleN)")
     RepetitionStats(children(0), intLit(children(1), "shingleN"))
   }
+  private val wsTokensBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "ws_tokens takes exactly 1 argument")
+    WsTokens(children(0))
+  }
+  private val shingleSetBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2 || children.size == 3,
+      "shingle_set(tokens, n[, hashHexLen])")
+    ShingleSet(children(0), intLit(children(1), "n"),
+      if (children.size == 3) intLit(children(2), "hashHexLen") else 0)
+  }
 
   /** Register into an already-running session (extensions via
     * `withExtensions`/`spark.sql.extensions` only apply to new ones).
@@ -78,6 +96,10 @@ object GraftExtensions {
       .createOrReplaceTempFunction("minhash_sig", minhashBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("repetition_stats", repetitionBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("ws_tokens", wsTokensBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("shingle_set", shingleSetBuilder, "built-in")
     implicit val inEnc: org.apache.spark.sql.Encoder[Array[Float]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
     spark.udf.register("vector_mean",

@@ -104,6 +104,26 @@ class DotProductSpec extends SparkSpec {
     assert(err.getMessage.contains("literal"))
   }
 
+  test("simhash64, ws_tokens and shingle_set are SQL-callable and match the Column API") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val d = Seq((1L, "alpha  beta gamma alpha beta")).toDF("doc_id", "text")
+    d.createOrReplaceTempView("ws_docs")
+    val toks = spark.sql("SELECT ws_tokens(text) AS t FROM ws_docs")
+      .select("t").as[Seq[String]].head()
+    assert(toks == Seq("alpha", "beta", "gamma", "alpha", "beta"))
+    val h64 = spark.sql("SELECT simhash64(ws_tokens(text)) AS h FROM ws_docs")
+      .collect()(0).getLong(0)
+    val api64 = graft.ext.Dedup.simhash64(d).select("simhash").as[Long].head()
+    assert(h64 == api64)
+    val sh = spark.sql("SELECT shingle_set(ws_tokens(text), 3) AS s FROM ws_docs")
+      .select("s").as[Seq[String]].head()
+    assert(sh == Seq("alpha beta gamma", "beta gamma alpha", "gamma alpha beta"))
+    val keyed = spark.sql("SELECT shingle_set(ws_tokens(text), 3, 16) AS s FROM ws_docs")
+      .select("s").as[Seq[String]].head()
+    assert(keyed.forall(_.length == 16) && keyed.size == sh.size)
+  }
+
   test("vector_mean UDAF is SQL-callable and matches the typed Aggregator") {
     GraftExtensions.register(spark)
     load("embeddings").createOrReplaceTempView("emb_vm")
