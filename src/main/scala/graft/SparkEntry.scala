@@ -624,6 +624,16 @@ object SparkEntry {
     // PQ asymmetric-distance top-k: the corpus is scored from its
     // CODES via a broadcast (query, subspace, code) lookup table —
     // the scan never touches raw floats
+    // FAISS-style IVF-PQ: probe nProbe deterministic cells, ADC-score
+    // only the candidate codes — cell-pruned AND codes-only corpus read
+    "q94_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ivf = Similarity.ivfBuildDeterministic(emb, planes = 4, dim = 64)
+      val pq = Similarity.pqBuild(emb)
+      Similarity.ivfPqTopK(emb, ivf, pq,
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 3, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
     "q85_pq_adc" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val idx = Similarity.pqBuild(emb)
@@ -1101,6 +1111,7 @@ object SparkEntry {
     "q83_content_chunks" -> contentChunksOracle,
     "q84_pq_codes" -> pqCodesOracle,
     "q85_pq_adc" -> pqAdcOracle,
+    "q94_ivfpq" -> ivfPqOracle,
     "q49_neardup_lsh" -> neardupLshOracle,
     "q88_semantic_dedup" -> semanticDedupOracle,
     "q48_lsh_candidates" -> lshCandidatesOracle,
@@ -1759,6 +1770,47 @@ object SparkEntry {
        |      FROM sc)
        |SELECT query_id, neighbor_id, adc_score, CAST(rnk AS BIGINT) AS "rank"
        |FROM r WHERE rnk <= 3
+       |ORDER BY query_id, "rank"""".stripMargin
+
+  /** q94 oracle: the IVF probe chain (q39) feeding the ADC scoring
+    * chain (q85) — candidates restricted to each query's 2 best cells,
+    * then decimal-exact ADC over the candidate codes only. */
+  private def ivfPqOracle: String =
+    s"""WITH $pqCtes,
+       |b AS (SELECT vec_id, v, ${bucketExprSql(4, 64)} AS cell FROM e),
+       |ex AS (SELECT cell, r.d, v[r.d] AS x
+       |       FROM b CROSS JOIN (SELECT unnest(range(1, 65)) AS d) r),
+       |ccm AS (SELECT cell, d,
+       |          CAST(SUM(CAST(FLOOR(x * 16777216.0) AS BIGINT)) AS DOUBLE)
+       |            / COUNT(*) / 16777216.0 AS m
+       |        FROM ex GROUP BY cell, d),
+       |ccent AS (SELECT cell, list(m ORDER BY d) AS c FROM ccm GROUP BY cell),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM b
+       |      WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |qc AS (SELECT query_id, cell,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY list_dot_product(qv, c) DESC, cell) AS r
+       |       FROM q CROSS JOIN ccent),
+       |probe AS (SELECT query_id, cell FROM qc WHERE r <= 2),
+       |cand AS (SELECT query_id, c.vec_id AS neighbor_id
+       |         FROM probe JOIN b c USING (cell) WHERE query_id <> c.vec_id),
+       |lut AS (SELECT s.vec_id AS query_id, s.m, c.code,
+       |          CAST(round(list_dot_product(s.sub, c.centroid), 9)
+       |            AS DECIMAL(28,9)) AS partial
+       |        FROM sub s JOIN cent c ON c.m = s.m
+       |        WHERE s.vec_id IN (0, 1, 2, 3, 4)),
+       |sc AS (SELECT ca.query_id, ca.neighbor_id, SUM(l.partial) AS adc
+       |       FROM sub s2
+       |       JOIN cand ca ON ca.neighbor_id = s2.vec_id
+       |       JOIN lut l ON l.query_id = ca.query_id
+       |         AND l.m = s2.m AND l.code = s2.code
+       |       GROUP BY ca.query_id, ca.neighbor_id),
+       |rk AS (SELECT query_id, neighbor_id, CAST(adc AS DOUBLE) AS adc_score,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY CAST(adc AS DOUBLE) DESC, neighbor_id) AS rnk
+       |       FROM sc)
+       |SELECT query_id, neighbor_id, adc_score, CAST(rnk AS BIGINT) AS "rank"
+       |FROM rk WHERE rnk <= 3
        |ORDER BY query_id, "rank"""".stripMargin
 
   /** q49 oracle: per-bucket near-dup pairs with the same plane family. */

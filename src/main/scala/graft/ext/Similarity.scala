@@ -396,6 +396,58 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** FAISS-style IVF-PQ search — the two index structures composed the
+    * way production ANN serves 100 TB: the IVF coarse quantizer
+    * restricts each query to its `nProbe` best cells, and ADC scores
+    * ONLY the PQ codes of vectors in those cells. The corpus read is
+    * therefore cell-pruned AND codes-only — `nProbe/nLists` of a
+    * ~64×-compressed table; raw floats are touched just once per query
+    * for the (m, code) lookup table (M·2^planes rows, broadcast).
+    * Same determinism contract as both parents: decimal-rounded
+    * partials, rank ties toward the smaller id. */
+  def ivfPqTopK(df: DataFrame, ivf: IvfIndex, pq: PqIndex,
+                queryIds: Seq[Long], k: Int, nProbe: Int,
+                m: Int = 8, dim: Int = 64,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // probe-cell selection per query (the ivfQuery first stage)
+    val q = df.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val qCells = q.crossJoin(broadcast(ivf.centroids))
+      .select(col("query_id"), col("__cell"),
+        dot(col("q_vec"), col("__centroid")).as("__cd"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("__cd").desc, col("__cell"))))
+      .filter(col("__r") <= nProbe)
+      .select("query_id", "__cell")
+    // per-query ADC lookup table (the pqAdcTopK first stage)
+    val d = dim / m
+    val subRows = (0 until m).map { mi =>
+      struct(lit(mi).as("m"), slice(col(vecCol), mi * d + 1, d).as("sub"))
+    }
+    val lut = df.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), explode(array(subRows: _*)).as("s"))
+      .select(col("query_id"), col("s.m").as("m"), col("s.sub").as("__qsub"))
+      .join(pq.centroids, Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        round(dot(col("__qsub"), col("centroid")), 9)
+          .cast("decimal(28,9)").as("__partial"))
+    // candidates = vectors in each query's probed cells (self excluded)
+    val cands = ivf.assigned.select(col(idCol).as("neighbor_id"), col("__cell"))
+      .join(broadcast(qCells), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    // ADC over candidate codes only
+    val scored = pq.codes.select(col(idCol).as("neighbor_id"), col("m"), col("code"))
+      .join(cands, Seq("neighbor_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__partial")).cast("double").as("adc_score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic random-projection dimensionality reduction
     * (Johnson–Lindenstrauss): each output dimension is the dot product
     * with one plane from the md5-derived family ([[planeFamily]] — no

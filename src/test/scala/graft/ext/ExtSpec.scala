@@ -592,6 +592,22 @@ class SimilaritySpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("ivfPqTopK: candidates come only from probed cells; ADC ranking is plausible") {
+    val emb = load("embeddings")
+    val ivf = Similarity.ivfBuildDeterministic(emb, planes = 4, dim = 64)
+    val pq = Similarity.pqBuild(emb)
+    val got = Similarity.ivfPqTopK(emb, ivf, pq, Seq(0L, 1L, 2L), k = 5, nProbe = 3)
+    val rows = got.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(rows.nonEmpty && rows.groupBy(_._1).forall(_._2.length <= 5))
+    // every neighbor must live in one of its query's 3 probed cells
+    val cells = ivf.assigned.select(col("vec_id"), col("__cell"))
+      .as[(Long, Int)].collect().toMap
+    val probed = Similarity.ivfQuery(ivf, Seq(0L, 1L, 2L), k = 1000, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(x => cells(x._2)).toSet }
+    rows.foreach { case (q, n) => assert(probed(q).contains(cells(n))) }
+  }
+
   test("persisted PQ index: read-back ADC results match in-memory") {
     val emb = load("embeddings")
     val idx = Similarity.pqBuild(emb)
