@@ -371,6 +371,11 @@ object SparkEntry {
     "q93_exact_sample" -> ((s, dir) =>
       TextAnalysis.exactSample(t(s, dir, "documents"), k = 8)
         .orderBy("source", "rnk")),
+    // heavy hitters with bounded state: MG sketch for candidates, exact
+    // re-count for the emitted set — same rows as the full group-by
+    "q95_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitterTokens(t(s, dir, "documents"), k = 40)
+        .orderBy("token")),
   )
 
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1420,6 +1425,14 @@ object SparkEntry {
     "q91_gopher_rules" -> gopherRulesOracle,
     "q92_curation_pipeline" -> curationPipelineOracle,
     "q93_exact_sample" -> exactSampleOracle,
+    "q95_heavy_hitters" ->
+      s"""WITH $tokCte,
+         |tot AS (SELECT count(*) AS n FROM toks)
+         |SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt
+         |FROM toks CROSS JOIN tot
+         |GROUP BY tok, n
+         |HAVING count(*) * 40 > n
+         |ORDER BY token""".stripMargin,
 
     // window-count z-score from exact integer moments — the doubles
     // are pure IEEE arithmetic on exact longs, engine-portable

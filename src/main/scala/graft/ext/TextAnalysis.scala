@@ -215,6 +215,32 @@ object TextAnalysis {
     df.filter(v < thr)
   }
 
+  /** Heavy-hitter tokens: every token whose count exceeds
+    * `total_tokens / k`, found with BOUNDED state. Pass 1 runs the
+    * Misra–Gries sketch (`functions/HeavyHitters`, capacity 4k) as a
+    * map-side-mergeable Aggregator — the shuffle carries ≤ 4k counters
+    * per partition instead of one row per distinct token (a web
+    * corpus's distinct-token count is dominated by singleton junk the
+    * question throws away). Pass 2 re-counts ONLY the ≤ 4k candidates
+    * exactly (semi-join, bounded group-by) and keeps those above the
+    * threshold, so the emitted set and counts are EXACT — the sketch's
+    * ≤ n/(4k+1) error guarantees no true heavy hitter is missed.
+    * Output (token, cnt), the same rows the exact group-by would give. */
+  def heavyHitterTokens(docs: DataFrame, k: Int,
+                        textCol: String = "text"): DataFrame = {
+    require(k > 1, "need a threshold fraction 1/k below 1")
+    val toks = docs.select(explode(tokens(col(textCol))).as("token"))
+    val cands = toks
+      .agg(graft.functions.HeavyHitters.sketch(4 * k, col("token")).as("c"))
+      .select(explode(col("c")).as("token"))
+    val exact = toks.join(broadcast(cands), Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("__n"))
+    exact.crossJoin(broadcast(total))
+      .filter(col("cnt") * k > col("__n"))
+      .select(col("token"), col("cnt"))
+  }
+
   /** Deterministic EXACT-size sample: exactly min(k, |stratum|) rows
     * per stratum — the fixed-size eval/holdout sets a training run
     * needs, where [[stratifiedSample]]'s rate-based thresholding gives

@@ -852,6 +852,26 @@ class CorpusIOSpec extends SparkSpec {
     assert(maxPer <= 7)
   }
 
+  test("heavyHitterTokens: exact result under skew with far more distinct tokens than sketch state") {
+    import spark.implicits._
+    // 5000 distinct singleton tokens + 3 heavy tokens; k=10, capacity 40
+    // counters — the sketch state is 125× smaller than the vocabulary
+    val heavy = Seq.fill(900)("alpha") ++ Seq.fill(700)("beta") ++ Seq.fill(600)("gamma")
+    val noise = (1 to 5000).map(i => s"junk$i")
+    val docs = scala.util.Random.shuffle(heavy ++ noise).grouped(50)
+      .zipWithIndex.map { case (g, i) => (i.toLong, g.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+      .repartition(8) // force multi-partition partials + a real merge
+    val got = TextAnalysis.heavyHitterTokens(docs, k = 10)
+      .as[(String, Long)].collect().toMap
+    // n = 7200; threshold n/10 = 720 → only alpha (900) qualifies
+    assert(got == Map("alpha" -> 900L))
+    // lower threshold: n/12 = 600 → alpha and beta (gamma == 600 is not >)
+    val got12 = TextAnalysis.heavyHitterTokens(docs, k = 12)
+      .as[(String, Long)].collect().toMap
+    assert(got12 == Map("alpha" -> 900L, "beta" -> 700L))
+  }
+
   test("exactSample: exactly min(k, n) per stratum, equal to the window form, stable") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
