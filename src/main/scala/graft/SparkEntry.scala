@@ -396,6 +396,17 @@ object SparkEntry {
     // candidate pairs → exact Jaccard only for candidates. This is the
     // 100 TB path (pair generation is local to each band bucket); the
     // all-pairs q27 is the labeled exact baseline.
+    // incremental ingest screening: a new batch against the existing
+    // corpus's band index — cross pairs only, batch bands broadcast
+    "q96_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+      val existing = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val eb = Dedup.lshBands(Dedup.minhash(existing, k = 6), bands = 3, rowsPerBand = 2)
+      val pairs = Dedup.incrementalCandidatePairs(eb, batch, bands = 3, rowsPerBand = 2)
+        .localCheckpoint()
+      Dedup.jaccardForPairs(docs, pairs).orderBy("doc_a", "doc_b")
+    }),
     "q48_lsh_candidates" -> ((s, dir) => {
       // the fixture corpus is one parquet split; the signature pass is
       // CPU-bound, so spread it across all cores first (at real scale
@@ -1120,6 +1131,7 @@ object SparkEntry {
     "q49_neardup_lsh" -> neardupLshOracle,
     "q88_semantic_dedup" -> semanticDedupOracle,
     "q48_lsh_candidates" -> lshCandidatesOracle,
+    "q96_incremental_dedup" -> incrementalDedupOracle,
     "q75_editdist_neardup" -> editDistNearDupOracle,
     "q63_jaccard_estimate" -> jaccardEstimateOracle,
     "q50_dedup_components" -> dedupComponentsOracle,
@@ -2043,6 +2055,38 @@ object SparkEntry {
     * then exact Jaccard over distinct shingles for candidates only. */
   private def lshCandidatesOracle: String =
     s"""WITH $lshPairsCtes,
+       |dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT doc_a, doc_b, count(*) AS n_shared
+       |  FROM pairs
+       |  JOIN dsh a ON a.doc_id = doc_a
+       |  JOIN dsh b ON b.doc_id = doc_b AND b.sh = a.sh
+       |  GROUP BY doc_a, doc_b)
+       |SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+       |  CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+       |FROM shared
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q96 oracle: the same band chain, pairs restricted to (existing,
+    * new-batch) sides, then the exact-Jaccard verification chain. */
+  private def incrementalDedupOracle: String =
+    s"""WITH $shingleCte,
+       |mh AS (
+       |  SELECT doc_id,
+       |    ${(0 until 6).map(i => s"min(substr(md5(sh), ${1 + 5 * i}, 5)) AS mh$i").mkString(",\n    ")}
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  ${(0 until 3).map { b =>
+             s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS band_key FROM mh"
+           }.mkString("\n  UNION ALL ")}),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
        |dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
        |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
        |shared AS (

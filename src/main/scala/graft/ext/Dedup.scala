@@ -132,6 +132,34 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental near-dup screening — the production ingest pattern: a
+    * NEW batch (today's crawl) is screened against the EXISTING
+    * corpus's persisted band index, returning only cross pairs
+    * (existing `doc_a`, new `doc_b`); existing↔existing pairs were
+    * resolved when the corpus was built, and new↔new pairs come from
+    * the ordinary [[candidatePairs]] over the batch alone.
+    *
+    * Scale shape: the batch's bands are tiny next to the corpus, so
+    * they BROADCAST into the band join — the 100 TB band index is
+    * never shuffled, each scan task probes the broadcast map. Persist
+    * `existingBands` once ([[lshBands]] output written as parquet) and
+    * append each batch's bands after screening; nothing is ever
+    * re-shingled. Id spaces must be disjoint (enforce upstream). */
+  def incrementalCandidatePairs(existingBands: DataFrame, newDocs: DataFrame,
+                                bands: Int, rowsPerBand: Int, shingleN: Int = 3,
+                                idCol: String = "doc_id",
+                                textCol: String = "text"): DataFrame = {
+    val nb = lshBands(
+      minhash(newDocs, k = bands * rowsPerBand, shingleN, idCol, textCol),
+      bands, rowsPerBand, idCol)
+    existingBands
+      .select(col(idCol).as("doc_a"), col("band"), col("band_key"))
+      .join(broadcast(nb.select(col(idCol).as("doc_b"), col("band"), col("band_key"))),
+        Seq("band", "band_key"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
   /** MinHash Jaccard ESTIMATE for candidate pairs: the fraction of
     * agreeing signature components (the textbook unbiased estimator,
     * E[match fraction] = J). No shingling, no shingle join — the

@@ -429,6 +429,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalCandidatePairs equals the cross-side slice of full candidate generation") {
+    val docs = load("documents")
+    val existing = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val eb = Dedup.lshBands(Dedup.minhash(existing, k = 6), bands = 3, rowsPerBand = 2)
+    val inc = Dedup.incrementalCandidatePairs(eb, batch, bands = 3, rowsPerBand = 2)
+      .as[(Long, Long)].collect().toSet
+    val all = Dedup.candidatePairs(
+        Dedup.lshBands(Dedup.minhash(docs, k = 6), bands = 3, rowsPerBand = 2))
+      .as[(Long, Long)].collect().toSet
+    val cross = all.collect {
+      case (a, b) if a % 10 != 0 && b % 10 == 0 => (a, b)
+      case (a, b) if a % 10 == 0 && b % 10 != 0 => (b, a)
+    }
+    assert(inc == cross && inc.nonEmpty)
+  }
+
   test("simhash64 matches an independent JVM reference on corpus docs") {
     val docs = load("documents").limit(100)
     def ref(text: String): Option[Long] = {
