@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties for the native per-row kernels — each must be
+  * extensionally equal to the composable-builtins construction it
+  * replaced, on arbitrary input including unicode, empties and
+  * pathological spacing. Pure JVM, no SparkSession.
+  */
+object KernelProperties extends Properties("graft.functions.kernels") {
+
+  private val tokenGen: Gen[String] = Gen.frequency(
+    6 -> Gen.alphaNumStr.suchThat(s => s.nonEmpty && !s.contains(' ')),
+    2 -> Gen.oneOf("über", "naïve", "東京", "🎉x", "a.b", "#", "..."),
+    1 -> Gen.const("\t"), // non-space whitespace is token material
+    1 -> Gen.const(" "))
+
+  private val textGen: Gen[String] = for {
+    toks <- Gen.listOf(tokenGen)
+    seps <- Gen.listOfN(toks.length + 1, Gen.chooseNum(0, 3).map(" " * _))
+  } yield seps.zipAll(toks.map(_ + ""), "", "").map { case (s, t) => s + t }.mkString
+
+  private def tokensRef(text: String): Seq[String] =
+    text.split(" ", -1).toSeq.filter(_.nonEmpty)
+
+  property("ws_tokens == split-and-filter on arbitrary spacing and unicode") =
+    forAll(textGen) { text =>
+      val got = WsTokens.compute(UTF8String.fromString(text))
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      got == tokensRef(text)
+    }
+
+  private val toksGen: Gen[List[String]] = Gen.listOf(tokenGen)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def shingleRef(toks: List[String], n: Int, hexLen: Int): Seq[String] = {
+    val sh =
+      if (toks.length < n) Seq.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSeq
+    val keyed = if (hexLen == 0) sh else sh.map(s => md5hex(s).take(hexLen))
+    keyed.distinct
+  }
+
+  property("shingle_set == sliding-window distinct (raw and hashed)") =
+    forAll(toksGen, Gen.choose(1, 5), Gen.oneOf(0, 8, 16)) { (toks, n, hexLen) =>
+      val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      val got = ShingleSet.compute(arr, n, hexLen)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      got == shingleRef(toks, n, hexLen)
+    }
+
+  private def simhashRef(toks: List[String], width: Int): Long = {
+    val votes = new Array[Int](width)
+    for (t <- toks) {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+      var h = 0L
+      for (b <- 0 until width / 8) h = (h << 8) | (d(b) & 0xffL)
+      for (k <- 0 until width)
+        votes(k) += (if (((h >>> k) & 1L) == 1L) 1 else -1)
+    }
+    (0 until width).foldLeft(0L)((fp, k) => if (votes(k) >= 0) fp | (1L << k) else fp)
+  }
+
+  property("simhash kernel matches the digest-vote reference at both widths") =
+    forAll(toksGen, Gen.oneOf(16, 64)) { (toks, width) =>
+      val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      SimhashPack.compute(arr, width) == simhashRef(toks, width)
+    }
+
+  // Misra–Gries recall guarantee: for ANY partitioning of the stream
+  // into partials, every token with count > n/k survives the merged
+  // sketch of capacity 4k.
+  private val streamGen: Gen[List[String]] = for {
+    heavy <- Gen.choose(20, 60)
+    noise <- Gen.listOfN(200, Gen.choose(0, 10000).map(i => s"t$i"))
+  } yield scala.util.Random.shuffle(List.fill(heavy)("HH") ++ noise)
+
+  property("misra-gries: heavy token survives any partitioning") =
+    forAll(streamGen, Gen.choose(2, 8), Gen.choose(1, 7)) { (xs, k, nParts) =>
+      val agg = new HeavyHitters(4 * k)
+      val parts = xs.grouped(math.max(1, xs.length / nParts)).toList
+      val merged = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      val n = xs.length
+      val heavies = xs.groupBy(identity).collect {
+        case (t, occ) if occ.length.toLong * k > n => t
+      }
+      heavies.forall(merged.contains)
+    }
+}
