@@ -301,6 +301,12 @@ object SparkEntry {
     "q64_decontamination" -> ((s, dir) =>
       TextAnalysis.decontaminate(t(s, dir, "documents"), shingleN = 5)
         .orderBy("doc_id")),
+    // the same audit behind a Bloom runtime filter: test shingles are
+    // pre-filtered map-side before the exact semi-join; result is
+    // provably identical (no false negatives) — same oracle family
+    "q97_decontaminate_bloom" -> ((s, dir) =>
+      TextAnalysis.decontaminateBloom(t(s, dir, "documents"), shingleN = 4)
+        .orderBy("doc_id")),
     // BPE-ish token counting: word runs + individual punctuation marks
     "q51_regex_tokens" -> ((s, dir) => {
       val toks = TextAnalysis.regexTokens(col("text"))
@@ -1177,6 +1183,30 @@ object SparkEntry {
         |  SELECT DISTINCT sh FROM sh5 JOIN lab USING (doc_id) WHERE split = 'train')
         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
         |FROM sh5 s JOIN lab USING (doc_id) JOIN tr ON s.sh = tr.sh
+        |WHERE lab.split = 'test'
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // bloom-prefiltered decontamination: the filter is invisible to the
+    // result, so the oracle is the plain exact chain at 4-gram width
+    "q97_decontaminate_bloom" ->
+      """WITH tl AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tl
+        |  FROM documents),
+        |sh4 AS (
+        |  SELECT DISTINCT doc_id, substr(md5(sh), 1, 16) AS sh FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(tl) - 3),
+        |      i -> array_to_string(tl[i:i+3], ' '))) AS sh
+        |    FROM tl)),
+        |lab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13
+        |      THEN 'train' ELSE 'test' END AS split
+        |  FROM documents),
+        |tr AS (
+        |  SELECT DISTINCT sh FROM sh4 JOIN lab USING (doc_id) WHERE split = 'train')
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+        |FROM sh4 s JOIN lab USING (doc_id) JOIN tr ON s.sh = tr.sh
         |WHERE lab.split = 'test'
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 

@@ -422,6 +422,32 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** [[decontaminate]] with a Bloom runtime filter: the train-side
+    * distinct shingle keys build ONE broadcast-sized bit array
+    * (`functions/Bloom`, OR-mergeable partials), and the test side is
+    * pre-filtered map-side by `bloom_might_contain` BEFORE the exact
+    * semi-join — at 100 TB the semi-join's shuffle then carries only
+    * near-hits instead of every test shingle, while the exact join
+    * over the survivors removes the false positives, so the result is
+    * IDENTICAL to [[decontaminate]] (Bloom filters have no false
+    * negatives — q97 hash-checks this against the plain oracle).
+    * The one `Bloom.build` driver action is an index build, the same
+    * action class as fitting the IVF quantizer. */
+  def decontaminateBloom(docs: DataFrame, shingleN: Int = 5, trainNibbles: Int = 13,
+                         numBits: Int = 1 << 20, numHashes: Int = 5,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val labeled = trainTestSplit(docs, idCol, trainNibbles)
+    val sh = labeled.select(col(idCol), col("split"),
+      explode(graft.functions.ShingleSet(tokens(col(textCol)), shingleN, 16)).as("sh"))
+    val trainShingles = sh.filter(col("split") === "train").select("sh").distinct()
+    val bloom = graft.functions.Bloom.build(trainShingles, col("sh"), numBits, numHashes)
+    sh.filter(col("split") === "test")
+      .filter(graft.functions.Bloom.mightContain(bloom, numBits, numHashes, col("sh")))
+      .join(trainShingles, Seq("sh"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set —
     * stable under token reordering/duplication, the hash form of the
     * reference's DDL-normalization idea (SURVEY.md §2.8 X2/X3). */

@@ -869,6 +869,26 @@ class CorpusIOSpec extends SparkSpec {
     assert(maxPer <= 7)
   }
 
+  test("Bloom: zero false negatives; decontaminateBloom equals plain decontaminate") {
+    import spark.implicits._
+    val keys = (1 to 2000).map(i => s"key$i")
+    val df = keys.toDF("k")
+    val bloom = graft.functions.Bloom.build(df, col("k"), numBits = 1 << 16, numHashes = 5)
+    // every inserted key must probe true (no false negatives, ever)
+    val hits = df.filter(graft.functions.Bloom.mightContain(
+      bloom, 1 << 16, 5, col("k"))).count()
+    assert(hits == 2000)
+    // a disjoint probe set mostly misses (false-positive rate sanity)
+    val misses = (1 to 2000).map(i => s"other$i").toDF("k")
+      .filter(graft.functions.Bloom.mightContain(bloom, 1 << 16, 5, col("k"))).count()
+    assert(misses < 200, s"false-positive rate implausibly high: $misses/2000")
+    // the runtime filter must be invisible to the exact result
+    val docs = load("documents")
+    val plain = TextAnalysis.decontaminate(docs, shingleN = 4)
+    val bloomed = TextAnalysis.decontaminateBloom(docs, shingleN = 4)
+    assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty)
+  }
+
   test("heavyHitterTokens: exact result under skew with far more distinct tokens than sketch state") {
     import spark.implicits._
     // 5000 distinct singleton tokens + 3 heavy tokens; k=10, capacity 40
