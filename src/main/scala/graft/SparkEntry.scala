@@ -499,10 +499,14 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val keepIds = Dedup.exactByContent(docs, "doc_id", Seq("text"))
         .select(col("keep_id").as("doc_id"))
-      val d1 = docs.join(keepIds, Seq("doc_id"))
+      // materialize each stage boundary once (a production run persists
+      // them to the lake): d1 feeds three consumers (signatures, CC's
+      // node set, the final join) and d2 feeds two — without the cut,
+      // every consumer re-runs the whole upstream chain
+      val d1 = docs.join(keepIds, Seq("doc_id")).localCheckpoint()
       val pairs = Dedup.candidatePairs(
         Dedup.lshBands(Dedup.minhash(d1, k = 6), bands = 3, rowsPerBand = 2))
-      val d2 = Dedup.dedupCorpus(d1, pairs)
+      val d2 = Dedup.dedupCorpus(d1, pairs).localCheckpoint()
       val good = TextAnalysis.gopherRules(d2).filter(col("keep")).select("doc_id")
       d2.join(good, Seq("doc_id"))
         .select(col("doc_id"), col("source"),
