@@ -382,6 +382,18 @@ object SparkEntry {
     "q95_heavy_hitters" -> ((s, dir) =>
       TextAnalysis.heavyHitterTokens(t(s, dir, "documents"), k = 40)
         .orderBy("token")),
+    // EXACT per-source token budget: greedy md5-priority prefix whose
+    // running total stays within budget (mixtureSample is rate-based)
+    "q98_token_budget" -> ((s, dir) =>
+      Corpus.tokenBudgetSample(t(s, dir, "documents"), budgetTokens = 600)
+        .orderBy("source", "doc_id")),
+    // sentence segmentation on punctuation-enriched text (the fixture
+    // corpus has none — same deterministic-enrichment trick as q81)
+    "q99_sentences" -> ((s, dir) =>
+      TextAnalysis.sentences(
+        t(s, dir, "documents").withColumn("text",
+          concat(col("text"), lit(". Extra tail one! Question two? End."))))
+        .orderBy("doc_id", "sent_id")),
   )
 
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1479,6 +1491,36 @@ object SparkEntry {
          |GROUP BY tok, n
          |HAVING count(*) * 40 > n
          |ORDER BY token""".stripMargin,
+
+    "q98_token_budget" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+        |      AS n_tokens,
+        |    md5(source || '|' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents)
+        |SELECT source, doc_id, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id)
+        |    AS BIGINT) AS cum_tokens
+        |FROM t
+        |QUALIFY cum_tokens <= 600
+        |ORDER BY source, doc_id""".stripMargin,
+
+    "q99_sentences" ->
+      """WITH e AS (
+        |  SELECT doc_id, text || '. Extra tail one! Question two? End.' AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, list_filter(
+        |    list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'), s -> trim(s)),
+        |    s -> s <> '') AS ls
+        |  FROM e),
+        |u AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ls)),
+        |    i -> {'sid': i - 1, 's': ls[i]})) AS x
+        |  FROM l)
+        |SELECT doc_id, CAST(x.sid AS BIGINT) AS sent_id, x.s AS sentence
+        |FROM u ORDER BY doc_id, sent_id""".stripMargin,
 
     // window-count z-score from exact integer moments — the doubles
     // are pure IEEE arithmetic on exact longs, engine-portable

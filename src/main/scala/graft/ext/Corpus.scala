@@ -273,6 +273,31 @@ object Corpus {
         (col("__sum").cast("double") / col("n_bigrams")).as("avg_logprob"))
   }
 
+  /** Deterministic EXACT token-budget sample: per `keyCol` stratum,
+    * take documents in md5-priority order until the NEXT one would
+    * push the running token total past `budgetTokens` — the greedy
+    * prefix that lands as close under an exact per-source budget as
+    * whole documents allow. [[mixtureSample]] hits a budget only in
+    * expectation (rate thresholding); this form is exact, for the
+    * "2B tokens of src0, not 2B ± 5%" contracts data agreements
+    * impose. RNG-free: the same prefix on every run and engine.
+    *
+    * Scale: one narrow token-count pass, then a per-stratum window
+    * cumsum — the sort is stratum-bounded (shuffle partitions by
+    * source), and the output carries the running total so downstream
+    * packing can resume it. */
+  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long,
+                        keyCol: String = "source", idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val n = size(TextAnalysis.tokens(col(textCol))).cast("long")
+    val hx = md5(concat(col(keyCol).cast("string"), lit("|"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__h"), col(idCol))
+    docs.select(col(keyCol), col(idCol), n.as("n_tokens"), hx.as("__h"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col(keyCol), col(idCol), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Per-source document cap — crawl curation's "no domain dominates
     * the mix" rule: keep at most `maxDocs` documents per `keyCol`,
     * ranked by `ordCol` descending with min-id tiebreak. Output:

@@ -262,6 +262,24 @@ object TextAnalysis {
         col("s.id").as(idCol))
   }
 
+  /** Sentence segmentation: maximal runs of non-terminator characters
+    * plus their trailing `[.!?]` run, trimmed, empties dropped —
+    * deliberately the regex subset (`[^.!?]+[.!?]*`, no lookaround)
+    * with identical semantics in Java's engine and RE2, so
+    * segmentation reproduces bit-for-bit cross-engine. The unit of
+    * paragraph/sentence-level dedup and of context-window packing that
+    * must not split mid-sentence. Narrow (one regexp pass + explode),
+    * no shuffle. Returns (idCol, sent_id, sentence). */
+  def sentences(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val parts = filter(
+      transform(regexp_extract_all(col(textCol), lit("[^.!?]+[.!?]*"), lit(0)),
+        s => trim(s)),
+      s => s =!= lit(""))
+    docs.select(col(idCol), posexplode(parts).as(Seq("sent_id", "sentence")))
+      .select(col(idCol), col("sent_id").cast("long").as("sent_id"), col("sentence"))
+  }
+
   /** Overlapping token-window chunks — the standard corpus-prep step
     * before embedding or training on long documents. Chunk `k` starts
     * at token `1 + k·stride` and spans up to `size` tokens; the last

@@ -869,6 +869,38 @@ class CorpusIOSpec extends SparkSpec {
     assert(maxPer <= 7)
   }
 
+  test("tokenBudgetSample: greedy prefix stays within budget, stops at first overflow") {
+    import spark.implicits._
+    val docs = load("documents")
+    val got = Corpus.tokenBudgetSample(docs, budgetTokens = 500)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val bySource = got.groupBy(_._1)
+    bySource.values.foreach { rows =>
+      assert(rows.map(_._3).sum <= 500)              // within budget
+      assert(rows.map(_._4).max == rows.map(_._3).sum) // cum_tokens is the running sum
+    }
+    // determinism: same prefix on a rerun
+    val again = Corpus.tokenBudgetSample(docs, budgetTokens = 500)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.toSet == again.toSet)
+  }
+
+  test("sentences: terminator-run segmentation with trimming, empties dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "One two. Three! Four? Five..."),
+      (2L, "no terminators here"),
+      (3L, "!!!")).toDF("doc_id", "text")
+    val got = TextAnalysis.sentences(df)
+      .as[(Long, Long, String)].collect().groupBy(_._1)
+    assert(got(1L).sortBy(_._2).map(_._3).toSeq ==
+      Seq("One two.", "Three!", "Four?", "Five..."))
+    assert(got(2L).map(_._3).toSeq == Seq("no terminators here"))
+    // a bare terminator run has no non-terminator chars → no sentences
+    assert(!got.contains(3L))
+  }
+
   test("Bloom: zero false negatives; decontaminateBloom equals plain decontaminate") {
     import spark.implicits._
     val keys = (1 to 2000).map(i => s"key$i")
