@@ -394,6 +394,14 @@ object SparkEntry {
         t(s, dir, "documents").withColumn("text",
           concat(col("text"), lit(". Extra tail one! Question two? End."))))
         .orderBy("doc_id", "sent_id")),
+    // boilerplate-sentence removal: the shared enrichment tail occurs
+    // in every doc and must vanish; each doc's own text survives
+    "q100_remove_boilerplate" -> ((s, dir) =>
+      TextAnalysis.removeBoilerplateSentences(
+        t(s, dir, "documents").withColumn("text",
+          concat(col("text"), lit(". Extra tail one! Question two? End."))),
+        minDocs = 3)
+        .orderBy("doc_id")),
   )
 
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1505,6 +1513,30 @@ object SparkEntry {
         |FROM t
         |QUALIFY cum_tokens <= 600
         |ORDER BY source, doc_id""".stripMargin,
+
+    "q100_remove_boilerplate" ->
+      """WITH e AS (
+        |  SELECT doc_id, text || '. Extra tail one! Question two? End.' AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, list_filter(
+        |    list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'), s -> trim(s)),
+        |    s -> s <> '') AS ls
+        |  FROM e),
+        |u AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ls)),
+        |    i -> {'sid': i - 1, 's': ls[i]})) AS x
+        |  FROM l),
+        |sent AS (SELECT doc_id, CAST(x.sid AS BIGINT) AS sid, x.s AS s FROM u),
+        |freq AS (
+        |  SELECT s FROM (SELECT DISTINCT s, doc_id FROM sent)
+        |  GROUP BY s HAVING count(*) >= 3),
+        |kept AS (
+        |  SELECT doc_id, sid, s FROM sent
+        |  WHERE s NOT IN (SELECT s FROM freq))
+        |SELECT doc_id, string_agg(s, ' ' ORDER BY sid) AS clean_text,
+        |  CAST(count(*) AS BIGINT) AS n_kept
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q99_sentences" ->
       """WITH e AS (

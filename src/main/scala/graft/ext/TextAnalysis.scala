@@ -280,6 +280,35 @@ object TextAnalysis {
       .select(col(idCol), col("sent_id").cast("long").as("sent_id"), col("sentence"))
   }
 
+  /** Boilerplate-sentence removal — the nav-bar/footer/cookie-banner
+    * cleaning pass: segment every document ([[sentences]]), find
+    * sentences occurring in ≥ `minDocs` DISTINCT documents (in-doc
+    * repetition counts once), drop those from every document, and
+    * reassemble the survivors in original order. Documents left with
+    * no sentences disappear (nothing but boilerplate). Returns
+    * (idCol, clean_text, n_kept).
+    *
+    * Scale shape: one distinct + one count group-by keyed by sentence
+    * text (map-side partials), an anti-join on the same key, and a
+    * per-document reassembly group-by; reassembly sorts each doc's
+    * sentence list in-row (array_sort), not via a window. */
+  def removeBoilerplateSentences(docs: DataFrame, minDocs: Long = 2,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text"): DataFrame = {
+    val sent = sentences(docs, idCol, textCol)
+    val frequent = sent.select(col("sentence"), col(idCol)).distinct()
+      .groupBy(col("sentence")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minDocs)
+      .select("sentence")
+    sent.join(frequent, Seq("sentence"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        transform(array_sort(collect_list(struct(col("sent_id"), col("sentence")))),
+          s => s.getField("sentence")).as("__ss"),
+        count(lit(1)).as("n_kept"))
+      .select(col(idCol), concat_ws(" ", col("__ss")).as("clean_text"), col("n_kept"))
+  }
+
   /** Overlapping token-window chunks — the standard corpus-prep step
     * before embedding or training on long documents. Chunk `k` starts
     * at token `1 + k·stride` and spans up to `size` tokens; the last

@@ -901,6 +901,21 @@ class CorpusIOSpec extends SparkSpec {
     assert(!got.contains(3L))
   }
 
+  test("removeBoilerplateSentences drops shared sentences, keeps per-doc text in order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Unique alpha. Accept cookies! Own beta."),
+      (2L, "Gamma one. Accept cookies! Gamma two."),
+      (3L, "Delta only. Accept cookies!"),
+      (4L, "Accept cookies!")).toDF("doc_id", "text")
+    val got = TextAnalysis.removeBoilerplateSentences(df, minDocs = 3)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("Unique alpha. Own beta."), 2L))
+    assert(got(2L) == (("Gamma one. Gamma two."), 2L))
+    assert(got(3L) == (("Delta only."), 1L))
+    assert(!got.contains(4L)) // nothing but boilerplate → gone
+  }
+
   test("Bloom: zero false negatives; decontaminateBloom equals plain decontaminate") {
     import spark.implicits._
     val keys = (1 to 2000).map(i => s"key$i")
