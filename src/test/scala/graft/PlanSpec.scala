@@ -249,6 +249,21 @@ class PlanSpec extends SparkSpec {
       s"pair generation must be bucket-local, not a join:\n$p")
   }
 
+  test("q96: incremental screen broadcasts the batch bands, never shuffles the corpus side") {
+    val df = run("q96_incremental_dedup")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"batch bands must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in plan:\n$p")
+  }
+
+  test("q97: bloom prefilter sits in the scan stage before the exact semi-join") {
+    val df = run("q97_decontaminate_bloom")
+    val p = plan(df)
+    assert(p.contains("bloom_might_contain"),
+      s"runtime filter missing from the plan:\n$p")
+    assert(p.contains("LeftSemi"), s"exact verification join missing:\n$p")
+  }
+
   test("plan hygiene sweep: no cartesian/nested-loop joins anywhere except " +
     "the labeled exact baselines") {
     // q30/q27 are the documented quadratic correctness baselines (their
