@@ -331,6 +331,11 @@ object SparkEntry {
     "q70_bigram_lm" -> ((s, dir) =>
       Corpus.bigramLogProb(t(s, dir, "documents"))
         .orderBy("doc_id")),
+    // interpolated trigram LM: smooth backoff across orders, the q70
+    // decimal-exact determinism recipe one order up
+    "q101_trigram_lm" -> ((s, dir) =>
+      Corpus.trigramLogProb(t(s, dir, "documents"))
+        .orderBy("doc_id")),
     // conjunctive search via inverted-index posting intersection —
     // work scales with matched postings, not corpus text
     "q79_phrase_search" -> ((s, dir) =>
@@ -1373,6 +1378,39 @@ object SparkEntry {
         |      FROM bg JOIN m USING (t1, t2) GROUP BY 1)
         |SELECT doc_id, n_bigrams, CAST(sm AS DOUBLE) AS sum_logprob,
         |  CAST(sm AS DOUBLE) / n_bigrams AS avg_logprob
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // tg is MATERIALIZED: DuckDB inlines plain CTEs per reference, and
+    // five inlined unnest trees sent its join planner into a tailspin
+    "q101_trigram_lm" ->
+      """WITH tg AS MATERIALIZED (
+        |  SELECT doc_id, x.t1, x.t2, x.t3 FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |        generate_series(1, len(tl) - 2),
+        |        i -> {'t1': tl[i], 't2': tl[i + 1], 't3': tl[i + 2]})) AS x
+        |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tl
+        |          FROM documents)
+        |    WHERE len(tl) >= 3)),
+        |c123 AS (SELECT t1, t2, t3, count(*) AS c123 FROM tg GROUP BY 1, 2, 3),
+        |c12 AS (SELECT t1, t2, SUM(c123) AS c12 FROM c123 GROUP BY 1, 2),
+        |c23 AS (SELECT t2, t3, count(*) AS c23 FROM tg GROUP BY 1, 2),
+        |c2 AS (SELECT t2, SUM(c23) AS c2 FROM c23 GROUP BY 1),
+        |c3 AS (SELECT t3, count(*) AS c3 FROM tg GROUP BY 1),
+        |n AS (SELECT count(*) AS nn FROM tg),
+        |m AS (
+        |  SELECT t1, t2, t3,
+        |    CAST(round(ln(
+        |      CAST(0.7 AS DOUBLE) * (CAST(c123 AS DOUBLE) / c12)
+        |        + CAST(0.2 AS DOUBLE) * (CAST(c23 AS DOUBLE) / c2)
+        |        + CAST(0.1 AS DOUBLE) * (CAST(c3 AS DOUBLE) / nn)), 9)
+        |      AS DECIMAL(28,9)) AS lp
+        |  FROM c123 JOIN c12 USING (t1, t2)
+        |  JOIN c23 USING (t2, t3) JOIN c2 USING (t2)
+        |  JOIN c3 USING (t3) CROSS JOIN n),
+        |s AS (SELECT doc_id, count(*) AS n_trigrams, SUM(lp) AS sm
+        |      FROM tg JOIN m USING (t1, t2, t3) GROUP BY 1)
+        |SELECT doc_id, n_trigrams, CAST(sm AS DOUBLE) AS sum_logprob,
+        |  CAST(sm AS DOUBLE) / n_trigrams AS avg_logprob
         |FROM s ORDER BY doc_id""".stripMargin,
 
     // 5-NN majority-vote classification over exact cosine neighbors

@@ -273,6 +273,54 @@ object Corpus {
         (col("__sum").cast("double") / col("n_bigrams")).as("avg_logprob"))
   }
 
+  /** Interpolated trigram LM scoring — the higher-order form of
+    * [[bigramLogProb]]: per trigram position,
+    * `p = λ3·c(w1w2w3)/c(w1w2·) + λ2·c(w2w3·)/c(w2··) + λ1·c(w3·)/N`,
+    * all counts taken over the corpus's trigram stream (so every ratio
+    * is exact-integer-over-exact-integer in double), combined
+    * left-to-right, `ln` rounded to 9 decimals, per-document sums as
+    * DECIMAL(28,9) — partition-order-free and engine-reproducible, the
+    * q70 determinism recipe one order up. Interpolation means unseen
+    * combinations back off smoothly instead of -∞ (the reason
+    * production perplexity filters interpolate).
+    * Output (idCol, n_trigrams, sum_logprob, avg_logprob). */
+  def trigramLogProb(docs: DataFrame,
+                     l3: Double = 0.7, l2: Double = 0.2, l1: Double = 0.1,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val triCol = when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        struct(element_at(toks, i).as("t1"),
+          element_at(toks, i + 1).as("t2"),
+          element_at(toks, i + 2).as("t3"))))
+      .otherwise(array().cast("array<struct<t1:string,t2:string,t3:string>>"))
+    val tris = docs.select(col(idCol), explode(triCol).as("tg"))
+      .select(col(idCol), col("tg.t1"), col("tg.t2"), col("tg.t3"))
+    val c123 = tris.groupBy("t1", "t2", "t3").agg(count(lit(1)).as("c123"))
+    val c12 = c123.groupBy("t1", "t2").agg(sum(col("c123")).as("c12"))
+    val c23 = tris.groupBy("t2", "t3").agg(count(lit(1)).as("c23"))
+    val c2 = c23.groupBy("t2").agg(sum(col("c23")).as("c2"))
+    val c3 = tris.groupBy("t3").agg(count(lit(1)).as("c3"))
+    val n = tris.agg(count(lit(1)).as("__n"))
+    // score each DISTINCT trigram once (model-sized joins), then join
+    // the occurrence stream to the model — occurrences outnumber types
+    val model = c123.join(c12, Seq("t1", "t2"))
+      .join(c23, Seq("t2", "t3")).join(c2, Seq("t2"))
+      .join(c3, Seq("t3")).crossJoin(broadcast(n))
+      .select(col("t1"), col("t2"), col("t3"),
+        round(log(
+          lit(l3) * (col("c123").cast("double") / col("c12"))
+            + lit(l2) * (col("c23").cast("double") / col("c2"))
+            + lit(l1) * (col("c3").cast("double") / col("__n"))), 9)
+          .cast("decimal(28,9)").as("logprob"))
+    val scored = tris.join(model, Seq("t1", "t2", "t3"))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("logprob")).as("__sum"))
+      .select(col(idCol), col("n_trigrams"),
+        col("__sum").cast("double").as("sum_logprob"),
+        (col("__sum").cast("double") / col("n_trigrams")).as("avg_logprob"))
+  }
+
   /** Deterministic EXACT token-budget sample: per `keyCol` stratum,
     * take documents in md5-priority order until the NEXT one would
     * push the running token total past `budgetTokens` — the greedy
