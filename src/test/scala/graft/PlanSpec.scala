@@ -274,7 +274,7 @@ class PlanSpec extends SparkSpec {
     // q39/q58's IVF probe selection is a broadcast cross of the query
     // set against the nLists centroids (|Q|·nLists rows — the coarse
     // quantizer's definition, not a data-sized product)
-    // q68/q80/q95's corpus statistics are a ONE-ROW aggregate broadcast
+    // q68/q80/q95/q101's corpus statistics are a ONE-ROW aggregate broadcast
     // cross-joined into the scoring pass (the replacement for a
     // driver-side count()/head() action) — a 1×N join, not a product
     // q94 shares q39/q58's probe-cell selection (|Q|·nLists centroid
@@ -282,7 +282,8 @@ class PlanSpec extends SparkSpec {
     val exactBaselines = Set(
       "q30_neardup_cosine", "q27_jaccard_topk", "q28_cosine_topk",
       "q71_knn_classify", "q58_ann_ivf_recall", "q39_ann_ivf",
-      "q68_tfidf", "q80_bm25", "q94_ivfpq", "q95_heavy_hitters")
+      "q68_tfidf", "q80_bm25", "q94_ivfpq", "q95_heavy_hitters",
+      "q101_trigram_lm")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
       .flatMap { name =>
