@@ -32,6 +32,8 @@ object Main {
     |  copy        --data DIR --target (DIR|jdbc:URL) --tables a,b,c
     |  replay      --dump DIR --url jdbc:URL
     |  other-objects --source-url jdbc:URL --target (DIR|jdbc:URL) [--src-schema S]
+    |  ingest-jsonl --path DIR --target DIR
+    |  export-jsonl --path DIR --target DIR
     |""".stripMargin
 
   /** `--flag value` pairs; repeatable flags accumulate in order. */
@@ -80,6 +82,14 @@ object Main {
         finally t.close()
       case "replay" =>
         ops.Jdbc.replay(spark, one("dump"), one("url"), allowProd)
+      case "ingest-jsonl" =>
+        // corpus landing: JSONL drop directory → parquet table, with
+        // the explicit-schema DROPMALFORMED contract of CorpusIO
+        sources.CorpusIO.readJsonlClean(spark, one("path"))
+          .write.mode("overwrite").parquet(one("target"))
+      case "export-jsonl" =>
+        sources.CorpusIO.writeJsonl(
+          spark.read.parquet(one("path")), one("target"))
       case "other-objects" =>
         val g = new Graft(spark, f("data").headOption.getOrElse("."))
         val t = target(g, one("target"))

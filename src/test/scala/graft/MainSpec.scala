@@ -47,6 +47,18 @@ class MainSpec extends SparkSpec {
     assert(Jdbc.read(spark, url, "orders").count() == expectOrders)
   }
 
+  test("ingest-jsonl/export-jsonl round-trip a corpus through argv") {
+    val jsonl = Files.createTempDirectory("graft-cli-jsonl").toString
+    val pq = Files.createTempDirectory("graft-cli-pq").toString
+    Main.main(Array("export-jsonl", "--path", s"$sf/documents.parquet",
+      "--target", jsonl))
+    Main.main(Array("ingest-jsonl", "--path", jsonl, "--target", pq))
+    val back = spark.read.parquet(pq)
+    val all = load("documents")
+    assert(back.count() == all.count())
+    assert(back.exceptAll(all).isEmpty && all.exceptAll(back).isEmpty)
+  }
+
   test("unknown verb and missing flags fail loudly") {
     intercept[RuntimeException](Main.main(Array("frobnicate", "--x", "y")))
     intercept[RuntimeException](Main.main(Array("copy-tree", "--data", sf)))
