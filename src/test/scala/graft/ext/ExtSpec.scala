@@ -974,6 +974,24 @@ class CorpusIOSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("curation ops compose with streaming ingestion: gopher audit + PII redaction, stream ≡ batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-curate").toString
+    val docs = load("documents").limit(40)
+    graft.sources.CorpusIO.writeJsonl(docs, dir)
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.gopherRules(df.withColumn("text",
+        TextAnalysis.redactPii(col("text"))))
+    val q = curate(graft.sources.CorpusIO.readJsonlStream(spark, dir))
+      .writeStream.format("memory").queryName("stream_curate")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("stream_curate")
+    val want = curate(graft.sources.CorpusIO.readJsonlClean(spark, dir))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming JSONL ingestion delivers the same rows as the batch reader") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-jsonl").toString
     val docs = load("documents").limit(30)
