@@ -79,8 +79,11 @@ object Bench {
     // 3-decimal values keep the single JSON line short enough that a
     // tail capture cannot truncate away the total (r4 lost q01-q15 and
     // the "metric" key to exactly that)
+    // Locale.ROOT: the default-locale formatter writes "57,117" on
+    // comma-decimal locales — invalid JSON in the artifact
     def jnum(v: Double): String =
-      if (v.isNaN || v.isInfinite) "-1" else f"$v%.3f"
+      if (v.isNaN || v.isInfinite) "-1"
+      else "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1)

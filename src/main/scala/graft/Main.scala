@@ -15,6 +15,8 @@ import org.apache.spark.sql.SparkSession
   *                        --root TABLE --ids 1,2,3
   * graft.Main delete-tree (same flags as copy-tree)
   * graft.Main copy        --data DIR --target (DIR|jdbc:URL) --tables a,b,c
+  * graft.Main update      --data DIR --target (DIR|jdbc:URL)
+  *                        --table T --delta PARQUET_DIR --pk COL
   * graft.Main replay      --dump DIR --url jdbc:URL
   * graft.Main other-objects --source-url jdbc:URL --target (DIR|jdbc:URL)
   *                          [--src-schema S]
@@ -30,6 +32,7 @@ object Main {
     |  copy-tree   --data DIR --target (DIR|jdbc:URL) --path P [--path P…] --root T --ids 1,2,3
     |  delete-tree --data DIR --target (DIR|jdbc:URL) --path P [--path P…] --root T --ids 1,2,3
     |  copy        --data DIR --target (DIR|jdbc:URL) --tables a,b,c
+    |  update      --data DIR --target (DIR|jdbc:URL) --table T --delta PARQUET_DIR --pk COL
     |  replay      --dump DIR --url jdbc:URL
     |  other-objects --source-url jdbc:URL --target (DIR|jdbc:URL) [--src-schema S]
     |  ingest-jsonl --path DIR --target DIR
@@ -55,14 +58,24 @@ object Main {
     val (verb, f) = parseFlags(args.toSeq)
     def one(k: String): String =
       f(k).headOption.getOrElse(sys.error(s"missing --$k\n$usageText"))
+    // bad flag VALUES fail through the same usage-text path as missing
+    // flags — a raw NumberFormatException helps nobody at a terminal
+    def parsed[A](flag: String, raw: String)(convert: String => A): A =
+      try convert(raw)
+      catch {
+        case _: IllegalArgumentException =>
+          sys.error(s"bad value '$raw' for --$flag\n$usageText")
+      }
     def ids(k: String): Seq[Long] =
-      f(k).flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map(_.toLong)
+      f(k).flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        .map(v => parsed(k, v)(_.toLong))
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    val allowProd = f("allow-production").headOption.exists(_.toBoolean)
+    val allowProd = f("allow-production").headOption
+      .exists(v => parsed("allow-production", v)(_.toBoolean))
     def graft(): Graft = new Graft(spark, one("data"))
     def target(g: Graft, t: String): Target =
       if (t.startsWith("jdbc:")) g.dbTarget(t, allowProd) else g.fileTarget(t)
@@ -79,6 +92,12 @@ object Main {
       case "copy" =>
         val g = graft(); val t = target(g, one("target"))
         try g.copy(t, f("tables").flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+        finally t.close()
+      case "update" =>
+        // upsert a parquet delta into a table by pk (the reference's
+        // `update` script closure, Main.java:181-191)
+        val g = graft(); val t = target(g, one("target"))
+        try g.update(t, one("table"), spark.read.parquet(one("delta")), one("pk"))
         finally t.close()
       case "replay" =>
         ops.Jdbc.replay(spark, one("dump"), one("url"), allowProd)

@@ -685,6 +685,33 @@ object SparkEntry {
           queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 3, nProbe = 2)
         .orderBy("query_id", "rank")
     }),
+    // IVF-PQ recall contract — the q58 harness over the composed
+    // TRAINED serving path (KMeans coarse quantizer + per-subspace-
+    // KMeans codebook + ADC shortlist + exact refine): k hits per
+    // query, every hit inside the exact top max(80, 10% of corpus)
+    // brute-forced in Spark — the number a user tuning
+    // (nProbe, m, planes, refine) needs. Without the refine stage the
+    // ADC quantization error alone blows the band (observed worst
+    // exact rank 257/500 unrefined vs inside-band refined).
+    "q102_ivfpq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qids = Seq(0L, 1L, 2L, 3L, 4L)
+      val bound = math.max(80L, math.ceil(emb.count() * 0.10).toLong)
+      val ivf = Similarity.ivfBuild(emb, nLists = 8)
+      val pq = Similarity.pqBuildKMeans(emb)
+      val ann = Similarity.ivfPqTopK(emb, ivf, pq, qids, k = 3, nProbe = 2,
+        refine = 32)
+      val exact = Similarity.cosineTopK(
+        emb.filter(col("vec_id").isin(qids: _*)), emb, k = bound.toInt)
+      ann.join(
+          exact.select(col("query_id"), col("neighbor_id"),
+            col("rank").as("exact_rank")),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          (count(col("exact_rank")) === count(lit(1))).as("all_hits_near"))
+        .orderBy("query_id")
+    }),
     "q85_pq_adc" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val idx = Similarity.pqBuild(emb)
@@ -1016,6 +1043,13 @@ object SparkEntry {
     // the IVF contract: k hits per query, all genuine near neighbors
     // (the Spark side brute-forces the exact top max(40, 5%) to check)
     "q58_ann_ivf_recall" ->
+      """SELECT vec_id AS query_id, CAST(3 AS BIGINT) AS n_hits,
+        |  TRUE AS all_hits_near
+        |FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+        |ORDER BY query_id""".stripMargin,
+    // same contract over the composed trained IVF-PQ path (ADC-scored,
+    // so the Spark-side brute-force band is max(80, 10%))
+    "q102_ivfpq_recall" ->
       """SELECT vec_id AS query_id, CAST(3 AS BIGINT) AS n_hits,
         |  TRUE AS all_hits_near
         |FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)

@@ -146,7 +146,14 @@ object Corpus {
            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(terms.nonEmpty, "empty query")
     val q = terms.distinct
-    val toks = TextAnalysis.tokens(col(textCol))
+    // tokenize ONCE per row (`__toks` projection): Catalyst does not
+    // CSE a non-cheap expression across sibling aggregate/select
+    // expressions, so inlining tokens(text) into every per-term count
+    // would re-tokenize each row 2+|q| times in the stats aggregate
+    // and |q|+2 times in the scoring pass
+    val toks = col("__toks")
+    val tokDocs = docs.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
     def tfOf(t: String): Column =
       size(filter(toks, x => x === lit(t))).cast("long")
     val statExprs =
@@ -154,7 +161,7 @@ object Corpus {
         q.zipWithIndex.map { case (t, i) =>
           sum(when(tfOf(t) > 0, 1L).otherwise(0L)).as(s"__df$i")
         }
-    val stats = docs.agg(statExprs.head, statExprs.tail: _*)
+    val stats = tokDocs.agg(statExprs.head, statExprs.tail: _*)
     val len = size(toks).cast("long")
     val avgLen = col("__tot").cast("double") / col("__n")
     val perTerm = q.zipWithIndex.map { case (t, i) =>
@@ -166,7 +173,7 @@ object Corpus {
       when(tf > 0, round(idf * sat, 9).cast("decimal(28,9)"))
         .otherwise(lit(0).cast("decimal(28,9)"))
     }
-    docs.crossJoin(broadcast(stats))
+    tokDocs.crossJoin(broadcast(stats))
       .filter(q.map(t => array_contains(toks, t)).reduce(_ || _))
       .select(col(idCol), perTerm.reduce(_ + _).cast("double").as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
@@ -287,33 +294,50 @@ object Corpus {
   def trigramLogProb(docs: DataFrame,
                      l3: Double = 0.7, l2: Double = 0.2, l1: Double = 0.1,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    val triCol = when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2), i =>
-        struct(element_at(toks, i).as("t1"),
-          element_at(toks, i + 1).as("t2"),
-          element_at(toks, i + 2).as("t3"))))
-      .otherwise(array().cast("array<struct<t1:string,t2:string,t3:string>>"))
-    val tris = docs.select(col(idCol), explode(triCol).as("tg"))
-      .select(col(idCol), col("tg.t1"), col("tg.t2"), col("tg.t3"))
-    val c123 = tris.groupBy("t1", "t2", "t3").agg(count(lit(1)).as("c123"))
-    val c12 = c123.groupBy("t1", "t2").agg(sum(col("c123")).as("c12"))
-    val c23 = tris.groupBy("t2", "t3").agg(count(lit(1)).as("c23"))
-    val c2 = c23.groupBy("t2").agg(sum(col("c23")).as("c2"))
-    val c3 = tris.groupBy("t3").agg(count(lit(1)).as("c3"))
-    val n = tris.agg(count(lit(1)).as("__n"))
-    // score each DISTINCT trigram once (model-sized joins), then join
-    // the occurrence stream to the model — occurrences outnumber types
-    val model = c123.join(c12, Seq("t1", "t2"))
-      .join(c23, Seq("t2", "t3")).join(c2, Seq("t2"))
-      .join(c3, Seq("t3")).crossJoin(broadcast(n))
-      .select(col("t1"), col("t2"), col("t3"),
+    // shape at scale, measured stage by stage on the bench corpus:
+    //  - the occurrence stream is ONE native-kernel pass
+    //    (graft.functions.TokenNgrams — a compiled window loop per
+    //    row; the composable transform/sequence/element_at
+    //    construction was the dominant per-row cost), checkpointed
+    //    once for its two consumers (c123 build + score join);
+    //  - every lower-order count (c12/c23/c2/c3/n) derives from the
+    //    c123 table — the occurrence stream is aggregated exactly
+    //    once, never four times — attached as WINDOW aggregates over
+    //    c123 (one exchange per key instead of groupBy+join = two
+    //    plus a join; on synthetic-ish corpora most trigrams are
+    //    unique, so c123 is nearly occurrence-sized and every join
+    //    leg is corpus-scale);
+    //  - tokens are whitespace-split (never contain a space), so the
+    //    joined trigram STRING is bijective with the token tuple:
+    //    grouping/joining carries ONE string key instead of three,
+    //    and the constituent bigrams/unigrams recover exactly via
+    //    substring_index on the model-sized table;
+    //  - n is a 1-row broadcast aggregate; c123 is checkpointed for
+    //    its two consumers (windows chain + n).
+    val tris = docs.select(col(idCol),
+        explode(graft.functions.TokenNgrams(TextAnalysis.tokens(col(textCol)), 3))
+          .as("tri"))
+      .localCheckpoint()
+    val c123 = tris.groupBy("tri").agg(count(lit(1)).as("c123"))
+      .localCheckpoint()
+    val n = c123.agg(sum(col("c123")).as("__n"))
+    val t12 = substring_index(col("tri"), " ", 2)
+    val t23 = substring_index(col("tri"), " ", -2)
+    val t2 = substring_index(t23, " ", 1)
+    val t3 = substring_index(col("tri"), " ", -1)
+    val model = c123
+      .withColumn("c12", sum(col("c123")).over(Window.partitionBy(t12)))
+      .withColumn("c23", sum(col("c123")).over(Window.partitionBy(t23)))
+      .withColumn("c2", sum(col("c123")).over(Window.partitionBy(t2)))
+      .withColumn("c3", sum(col("c123")).over(Window.partitionBy(t3)))
+      .crossJoin(broadcast(n))
+      .select(col("tri"),
         round(log(
           lit(l3) * (col("c123").cast("double") / col("c12"))
             + lit(l2) * (col("c23").cast("double") / col("c2"))
             + lit(l1) * (col("c3").cast("double") / col("__n"))), 9)
           .cast("decimal(28,9)").as("logprob"))
-    val scored = tris.join(model, Seq("t1", "t2", "t3"))
+    val scored = tris.join(model, Seq("tri"))
     scored.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_trigrams"), sum(col("logprob")).as("__sum"))
       .select(col(idCol), col("n_trigrams"),
@@ -330,18 +354,51 @@ object Corpus {
     * "2B tokens of src0, not 2B ± 5%" contracts data agreements
     * impose. RNG-free: the same prefix on every run and engine.
     *
-    * Scale: one narrow token-count pass, then a per-stratum window
-    * cumsum — the sort is stratum-bounded (shuffle partitions by
-    * source), and the output carries the running total so downstream
-    * packing can resume it. */
+    * Scale — two-pass exact prefix, NO whole-stratum sort: a single
+    * `Window.partitionBy(key)` cumsum would sort every document of a
+    * source in ONE task, and the mega-source (half the crawl from one
+    * domain) is precisely the input this operator exists for. Instead
+    * the md5 priority's first two nibbles split each stratum into 256
+    * order-preserving buckets (the hex prefix IS the sort prefix):
+    * pass 1 aggregates per-(key, bucket) token totals and prefix-sums
+    * them over the ≤256-row-per-key bucket table; buckets whose
+    * preceding total already exceeds the budget are discarded BEFORE
+    * any per-document work; pass 2 windows only the surviving buckets,
+    * partitioned by (key, bucket) — each sort task sees ~1/256 of a
+    * stratum, and entire post-cutoff regions are never sorted at all.
+    * The per-document running total (`__prev` + in-bucket cumsum)
+    * equals the global cumsum exactly: long arithmetic, same order. */
   def tokenBudgetSample(docs: DataFrame, budgetTokens: Long,
                         keyCol: String = "source", idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     val n = size(TextAnalysis.tokens(col(textCol))).cast("long")
     val hx = md5(concat(col(keyCol).cast("string"), lit("|"), col(idCol).cast("string")))
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("__h"), col(idCol))
-    docs.select(col(keyCol), col(idCol), n.as("n_tokens"), hx.as("__h"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    def nibAt(c: Column, i: Int): Column =
+      instr(lit("0123456789abcdef"), substring(c, i, 1)) - 1
+    val base = docs.select(col(keyCol), col(idCol), n.as("n_tokens"), hx.as("__h"))
+      .withColumn("__b", (nibAt(col("__h"), 1) * 16 + nibAt(col("__h"), 2)).cast("int"))
+    // pass 1: per-(key, bucket) totals; running total over the tiny
+    // bucket table (≤256 rows per key — the window input is bounded by
+    // construction, not by data). `__prev` = tokens in all earlier
+    // buckets of the stratum.
+    val wb = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val live = base.groupBy(col(keyCol), col("__b"))
+      .agg(sum(col("n_tokens")).as("__bt"))
+      .withColumn("__prev", coalesce(sum(col("__bt")).over(wb), lit(0L)))
+      // a bucket whose preceding total already exceeds the budget can
+      // contribute no kept doc (cum ≥ __prev > budget; n_tokens ≥ 0 —
+      // ≤, not <: a zero-token doc at exactly __prev == budget is kept)
+      .filter(col("__prev") <= budgetTokens)
+      .select(col(keyCol), col("__b"), col("__prev"))
+    // pass 2: per-document cumsum inside surviving buckets only.
+    // `live` is ≤256 rows/key — tiny for a handful of sources but
+    // key-count-proportional, so the broadcast decision is left to
+    // AQE's runtime size (a million-source corpus shuffle-joins here).
+    val wd = Window.partitionBy(col(keyCol), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+    base.join(live, Seq(keyCol, "__b"))
+      .withColumn("cum_tokens", col("__prev") + sum(col("n_tokens")).over(wd))
       .filter(col("cum_tokens") <= budgetTokens)
       .select(col(keyCol), col(idCol), col("n_tokens"), col("cum_tokens"))
   }

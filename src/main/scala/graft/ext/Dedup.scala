@@ -144,18 +144,27 @@ object Dedup {
     * never shuffled, each scan task probes the broadcast map. Persist
     * `existingBands` once ([[lshBands]] output written as parquet) and
     * append each batch's bands after screening; nothing is ever
-    * re-shingled. Id spaces must be disjoint (enforce upstream). */
+    * re-shingled. Id spaces must be disjoint (enforce upstream).
+    *
+    * The broadcast is a HARD driver/executor memory commitment of
+    * `bands × |batch|` rows: right for the steady-state ingest batch
+    * (a day's crawl vs the accumulated corpus), wrong for a bulk
+    * backfill approaching corpus size. Pass `broadcastBatch = false`
+    * for oversized batches — the join falls back to a shuffle on
+    * (band, band_key), which is exactly [[candidatePairs]]' shuffle
+    * shape and never OOMs. */
   def incrementalCandidatePairs(existingBands: DataFrame, newDocs: DataFrame,
                                 bands: Int, rowsPerBand: Int, shingleN: Int = 3,
                                 idCol: String = "doc_id",
-                                textCol: String = "text"): DataFrame = {
+                                textCol: String = "text",
+                                broadcastBatch: Boolean = true): DataFrame = {
     val nb = lshBands(
       minhash(newDocs, k = bands * rowsPerBand, shingleN, idCol, textCol),
       bands, rowsPerBand, idCol)
+      .select(col(idCol).as("doc_b"), col("band"), col("band_key"))
     existingBands
       .select(col(idCol).as("doc_a"), col("band"), col("band_key"))
-      .join(broadcast(nb.select(col(idCol).as("doc_b"), col("band"), col("band_key"))),
-        Seq("band", "band_key"))
+      .join(if (broadcastBatch) broadcast(nb) else nb, Seq("band", "band_key"))
       .select("doc_a", "doc_b")
       .distinct()
   }

@@ -326,6 +326,107 @@ object Similarity {
     PqIndex(codes, cents)
   }
 
+  /** Build a PQ codebook by per-subspace KMeans — the production
+    * quality path, completing the dual-quantizer pattern PQ shares with
+    * IVF ([[ivfBuild]] trained / [[ivfBuildDeterministic]] auditable):
+    * [[pqBuild]]'s sign-LSH codebook stays the oracle-checkable path,
+    * this one minimizes reconstruction error (learned Voronoi cells fit
+    * the data; fixed halfspace intersections don't), audited by the
+    * same [[pqReconstructionError]] contract.
+    *
+    * Each of the `m` subspaces trains its own `k`-center quantizer on
+    * ONE deterministic bounded sample ([[ivfTrainSample]] — at 100 TB
+    * training must see a representative subset, never the corpus). The
+    * sample is cap-bounded — MODEL-sized by construction — so the
+    * Lloyd iterations run on the driver over the collected sample: the
+    * same one-bounded-collect action class as fitting any quantizer
+    * (cf. the Bloom index build); running m separate distributed ML
+    * fits for the identical arithmetic was measured as ~10 s of pure
+    * job-scheduling overhead. Initialization is k evenly-strided
+    * points of the lexicographically sorted sample — no RNG, so a
+    * rebuild assigns identical codes.
+    *
+    * Code assignment is a single narrow corpus pass: the m·k centers
+    * become literals, so the nearest-center argmin runs inside
+    * whole-stage codegen with no per-subspace corpus scans and no ML
+    * runtime on the hot path. Ties break toward the smaller code id
+    * (struct min on (distance, code)) — deterministic. */
+  def pqBuildKMeans(df: DataFrame, m: Int = 8, k: Int = 16, dim: Int = 64,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    maxTrainRows: Int = 0, maxIter: Int = 15): PqIndex = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val d = dim / m
+    val cap = if (maxTrainRows > 0) maxTrainRows else math.max(10000, 256 * k)
+    val sampled = ivfTrainSample(df.select(col(idCol), col(vecCol)), cap, idCol)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val centers: Seq[(Int, Int, Seq[Double])] = (0 until m).flatMap { mi =>
+      val pts = sampled.map(v => java.util.Arrays.copyOfRange(v, mi * d, mi * d + d))
+      lloyd(pts, k, maxIter).zipWithIndex.map {
+        case (c, ci) => (mi, ci, c.toSeq)
+      }
+    }
+    val bysub = centers.groupBy(_._1)
+    val codeCols = (0 until m).map { mi =>
+      val sub = transform(slice(col(vecCol), mi * d + 1, d), x => x.cast("double"))
+      val best = array_min(array(bysub(mi).map { case (_, ci, c) =>
+        val cLit = array(c.map(lit): _*)
+        struct(
+          aggregate(zip_with(sub, cLit, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x).as("d"),
+          lit(ci).as("code"))
+      }: _*))
+      struct(lit(mi).as("m"), best.getField("code").cast("int").as("code"))
+    }
+    val codes = df.select(col(idCol), explode(array(codeCols: _*)).as("s"))
+      .select(col(idCol), col("s.m").as("m"), col("s.code").as("code"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = centers.toDF("m", "code", "centroid")
+    PqIndex(codes, cents)
+  }
+
+  /** Deterministic Lloyd's iterations over a (bounded, driver-sized)
+    * point set: strided-sorted init, nearest-center assignment with
+    * ties toward the lower index, empty clusters keep their previous
+    * center. */
+  private def lloyd(pts: Array[Array[Double]], k: Int,
+                    iters: Int): Array[Array[Double]] = {
+    require(pts.nonEmpty, "empty training sample")
+    val n = pts.length
+    val dims = pts(0).length
+    val sorted = pts.clone().sortWith { (a, b) =>
+      var i = 0
+      while (i < dims && a(i) == b(i)) i += 1
+      i < dims && a(i) < b(i)
+    }
+    var centers = Array.tabulate(k)(i => sorted(((i.toLong * n) / k).toInt).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Long](k)
+      pts.foreach { p =>
+        var best = 0
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var s = 0.0
+          var j = 0
+          while (j < dims) { val t = p(j) - centers(c)(j); s += t * t; j += 1 }
+          if (s < bd) { bd = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dims) { sums(best)(j) += p(j); j += 1 }
+      }
+      centers = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centers(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centers
+  }
+
   /** Persist a PQ index: codes are the corpus-sized (but 64× smaller)
     * table ADC scans — kept in their natural partitioning; the
     * codebook is one tiny file. */
@@ -404,11 +505,21 @@ object Similarity {
     * ~64×-compressed table; raw floats are touched just once per query
     * for the (m, code) lookup table (M·2^planes rows, broadcast).
     * Same determinism contract as both parents: decimal-rounded
-    * partials, rank ties toward the smaller id. */
+    * partials, rank ties toward the smaller id.
+    *
+    * `refine` > 0 adds the production REFINE stage (the FAISS
+    * refine-flat serving shape): ADC keeps a per-query shortlist of
+    * that many candidates, and the final top-k is their EXACT dot
+    * product — recall then tracks the coarse probe (q58's band), not
+    * the code quantization error, at the cost of one raw-vector fetch
+    * per shortlisted candidate (|Q|·refine rows broadcast into a
+    * single corpus-side join — the compressed scan still did all the
+    * heavy elimination). Output carries `sim` instead of `adc_score`. */
   def ivfPqTopK(df: DataFrame, ivf: IvfIndex, pq: PqIndex,
                 queryIds: Seq[Long], k: Int, nProbe: Int,
                 m: Int = 8, dim: Int = 64,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                refine: Int = 0): DataFrame = {
     // probe-cell selection per query (the ivfQuery first stage)
     val q = df.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
@@ -444,8 +555,25 @@ object Similarity {
       .agg(sum(col("__partial")).cast("double").as("adc_score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    val adcRanked = scored.withColumn("rank", row_number().over(w).cast("long"))
+    if (refine <= 0) adcRanked.filter(col("rank") <= k)
+    else {
+      // exact rerank of the ADC shortlist: the (query, shortlist)
+      // pairs with their query vectors broadcast into ONE corpus-side
+      // join that fetches just the shortlisted raw vectors
+      val shortlist = adcRanked.filter(col("rank") <= refine)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(q, Seq("query_id"))
+      val rescored = df
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+        .join(broadcast(shortlist), Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          dot(col("q_vec"), col("n_vec")).as("sim"))
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      rescored.withColumn("rank", row_number().over(wr).cast("long"))
+        .filter(col("rank") <= k)
+    }
   }
 
   /** Deterministic random-projection dimensionality reduction
@@ -539,12 +667,22 @@ object Similarity {
     * `Dedup.dedupCorpus`. */
   def semanticDedup(df: DataFrame, threshold: Double, planes: Int, dim: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // norms are per-ROW facts: computed ONCE in the bucketed projection
+    // and carried into the pair join. Inlining cosine() in the pair
+    // filter would recompute both vectors' norms per candidate pair —
+    // in a bucket of n members each norm would be evaluated ~n times,
+    // tripling the per-pair flops. The quotient below is the exact
+    // expression cosine() expands to (dot / (norm_a · norm_b)), so the
+    // kept set is bit-identical.
     val b = signBuckets(df, planes, dim, idCol, vecCol)
-    val l = b.select(col("bucket"), col(idCol).as("doc_a"), col(vecCol).as("vec_a"))
-    val r = b.select(col("bucket"), col(idCol).as("doc_b"), col(vecCol).as("vec_b"))
+      .withColumn("__norm", l2Norm(col(vecCol)))
+    val l = b.select(col("bucket"), col(idCol).as("doc_a"),
+      col(vecCol).as("vec_a"), col("__norm").as("__na"))
+    val r = b.select(col("bucket"), col(idCol).as("doc_b"),
+      col(vecCol).as("vec_b"), col("__norm").as("__nb"))
     val pairs = l.join(r, Seq("bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .filter(cosine(col("vec_a"), col("vec_b")) >= threshold)
+      .filter(dot(col("vec_a"), col("vec_b")) / (col("__na") * col("__nb")) >= threshold)
       .select("doc_a", "doc_b")
     Dedup.dedupCorpus(df, pairs, idCol)
   }

@@ -115,14 +115,21 @@ object TextAnalysis {
     *
     * All arithmetic is counts and exact double ratios of counts —
     * engine-portable with no rounding. Narrow, one pass, no shuffle;
-    * zero-token documents are dropped (no ratios exist). */
+    * zero-token documents are dropped (no ratios exist).
+    *
+    * The token array is projected ONCE (`__toks`) and every rule
+    * derives from that column: Catalyst does not CSE a non-cheap
+    * expression across sibling projections, so inlining `tokens(text)`
+    * into each rule re-tokenizes every row 5+ times — the dominant
+    * per-row cost. (CollapseProject keeps a multiply-referenced
+    * non-cheap alias in its own projection, so the boundary holds.) */
   def gopherRules(docs: DataFrame,
                   minWords: Int = 50, maxWords: Int = 100000,
                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
                   maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
                   minStopwords: Int = 2,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
+    val toks = col("__toks")
     val n = size(toks).cast("long")
     val meanLen = aggregate(transform(toks, t => length(t)), lit(0L), (a, x) => a + x)
       .cast("double") / n
@@ -131,7 +138,8 @@ object TextAnalysis {
     val alphaWords = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long")
     val stops = size(filter(toks, t =>
       t.isin(stopwords("en"): _*))).cast("long")
-    docs.filter(size(toks) > 0).select(
+    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(toks) > 0).select(
       col(idCol),
       n.as("n_words"),
       meanLen.as("mean_word_len"),

@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_set"),
       new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
       GraftExtensions.shingleSetBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("token_ngrams"),
+      new ExpressionInfo(classOf[TokenNgrams].getName, "token_ngrams"),
+      GraftExtensions.tokenNgramsBuilder))
   }
 }
 
@@ -79,6 +83,10 @@ object GraftExtensions {
     ShingleSet(children(0), intLit(children(1), "n"),
       if (children.size == 3) intLit(children(2), "hashHexLen") else 0)
   }
+  private val tokenNgramsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "token_ngrams(tokens, n)")
+    TokenNgrams(children(0), intLit(children(1), "n"))
+  }
 
   /** Register into an already-running session (extensions via
     * `withExtensions`/`spark.sql.extensions` only apply to new ones).
@@ -100,6 +108,8 @@ object GraftExtensions {
       .createOrReplaceTempFunction("ws_tokens", wsTokensBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("shingle_set", shingleSetBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("token_ngrams", tokenNgramsBuilder, "built-in")
     implicit val inEnc: org.apache.spark.sql.Encoder[Array[Float]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
     spark.udf.register("vector_mean",

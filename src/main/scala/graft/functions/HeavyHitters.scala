@@ -27,41 +27,50 @@ import org.apache.spark.sql.functions.udaf
   * cross-check pattern as the percentile sketch, q77).
   */
 class HeavyHitters(capacity: Int)
-    extends Aggregator[String, Map[String, Long], Seq[String]] {
+    extends Aggregator[String, scala.collection.mutable.HashMap[String, Long], Seq[String]] {
   require(capacity > 0, s"capacity must be positive, got $capacity")
 
-  def zero: Map[String, Long] = Map.empty
+  private type Buf = scala.collection.mutable.HashMap[String, Long]
+
+  def zero: Buf = scala.collection.mutable.HashMap.empty
 
   /** Classic MG step: count if tracked or room; otherwise decrement
-    * everyone (dropping zeros) — the "cancel one of each" trick. */
-  def reduce(buf: Map[String, Long], tok: String): Map[String, Long] = {
+    * everyone (dropping zeros) — the "cancel one of each" trick.
+    * The Aggregator owns its buffer, so all paths mutate IN PLACE: on
+    * a vocab-heavy corpus (mostly singleton tokens) the decrement path
+    * is the hot loop, and rebuilding an immutable map per untracked
+    * token is O(capacity) allocation per miss. */
+  def reduce(buf: Buf, tok: String): Buf = {
     if (tok == null) buf
     else buf.get(tok) match {
-      case Some(c) => buf.updated(tok, c + 1)
-      case None if buf.size < capacity => buf.updated(tok, 1L)
+      case Some(c) => buf(tok) = c + 1; buf
+      case None if buf.size < capacity => buf(tok) = 1L; buf
       case None =>
-        buf.flatMap { case (t, c) => if (c > 1) Some(t -> (c - 1)) else None }
+        buf.mapValuesInPlace((_, c) => c - 1)
+        buf.filterInPlace((_, c) => c > 0)
+        buf
     }
   }
 
   /** Mergeable-summaries merge: point-wise sum, then subtract the
-    * (capacity+1)-th largest count from everyone and drop ≤ 0. */
-  def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val sum = b.foldLeft(a) { case (m, (t, c)) =>
-      m.updated(t, m.getOrElse(t, 0L) + c)
-    }
-    if (sum.size <= capacity) sum
+    * (capacity+1)-th largest count from everyone and drop ≤ 0.
+    * Same trim semantics as the immutable form, in-place on `a`. */
+  def merge(a: Buf, b: Buf): Buf = {
+    b.foreach { case (t, c) => a(t) = a.getOrElse(t, 0L) + c }
+    if (a.size <= capacity) a
     else {
-      val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
-      sum.flatMap { case (t, c) => if (c > cut) Some(t -> (c - cut)) else None }
+      val cut = a.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+      a.filterInPlace((_, c) => c > cut)
+      a.mapValuesInPlace((_, c) => c - cut)
+      a
     }
   }
 
   /** Deterministic candidate order (estimate desc, token asc). */
-  def finish(buf: Map[String, Long]): Seq[String] =
+  def finish(buf: Buf): Seq[String] =
     buf.toSeq.sortBy { case (t, c) => (-c, t) }.map(_._1)
 
-  def bufferEncoder: Encoder[Map[String, Long]] = Encoders.kryo[Map[String, Long]]
+  def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
   def outputEncoder: Encoder[Seq[String]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
 }

@@ -63,4 +63,41 @@ class MainSpec extends SparkSpec {
     intercept[RuntimeException](Main.main(Array("frobnicate", "--x", "y")))
     intercept[RuntimeException](Main.main(Array("copy-tree", "--data", sf)))
   }
+
+  test("bad flag VALUES fail through the usage text, not a raw conversion error") {
+    val e = intercept[RuntimeException](Main.main(Array("copy-tree",
+      "--data", sf, "--target", "/tmp/x", "--path", "a->b.x",
+      "--root", "a", "--ids", "1,x")))
+    assert(e.getMessage.contains("bad value 'x' for --ids")
+      && e.getMessage.contains("usage:"))
+    val e2 = intercept[RuntimeException](Main.main(Array("replay",
+      "--dump", "/tmp/x", "--url", "jdbc:derby:memory:z",
+      "--allow-production", "maybe")))
+    assert(e2.getMessage.contains("bad value 'maybe' for --allow-production")
+      && e2.getMessage.contains("usage:"))
+  }
+
+  test("update verb upserts a parquet delta into Derby by pk, through argv") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // stand the table up with rows 1..10
+    val db = Files.createTempDirectory("graft-cli-upd").toString
+    val url = s"jdbc:derby:$db/db;create=true"
+    val customer = load("customer").filter(col("c_custkey") <= 10)
+    Jdbc.executeSqlList(url, Seq(Jdbc.ddlFor("customer", customer.schema)))
+    Jdbc.append(customer, url, "customer")
+    // delta: one changed existing row (5) + one new row (9999)
+    val delta = customer.filter(col("c_custkey") === 5)
+      .withColumn("c_name", lit("UPDATED"))
+      .union(customer.filter(col("c_custkey") === 1)
+        .withColumn("c_custkey", lit(9999L)))
+    val deltaDir = Files.createTempDirectory("graft-cli-delta").toString
+    delta.write.mode("overwrite").parquet(deltaDir)
+    Main.main(Array("update", "--data", sf, "--target", url,
+      "--table", "customer", "--delta", deltaDir, "--pk", "c_custkey"))
+    val back = Jdbc.read(spark, url, "customer")
+    assert(back.count() == customer.count() + 1) // one insert, one in-place update
+    assert(back.filter(col("c_custkey") === 5)
+      .select("c_name").collect().head.getString(0) == "UPDATED")
+    assert(back.filter(col("c_custkey") === 9999).count() == 1)
+  }
 }

@@ -242,6 +242,34 @@ class PlanSpec extends SparkSpec {
       s"rule audit must stay narrow:\n${plan(df)}")
   }
 
+  test("q101: trigram occurrence stream is materialized once — the final plan " +
+    "re-reads checkpoints, not the corpus") {
+    val df = run("q101_trigram_lm")
+    val p = plan(df)
+    // tris and c123 are localCheckpoint'ed; every lower-order count
+    // derives from c123, so the executed plan may touch the documents
+    // parquet at most twice (it touches it zero times when both
+    // checkpoints hold) — a regression to per-count corpus passes
+    // shows up as 4+ scans
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"corpus re-scanned $scans times:\n$p")
+  }
+
+  test("q98: token-budget per-document cumsum partitions by (source, bucket) — " +
+    "never a whole-stratum sort") {
+    val df = run("q98_token_budget")
+    val p = plan(df)
+    val winSpecs = """windowspecdefinition\(([^)]+)\)""".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(winSpecs.nonEmpty, s"no window in plan:\n$p")
+    // every window ordered by the md5 priority (the per-document pass)
+    // must also partition on the __b hex-prefix bucket: a mega-source
+    // then costs 256 bounded sorts, not one single-task sort
+    val perDoc = winSpecs.filter(_.contains("__h"))
+    assert(perDoc.nonEmpty && perDoc.forall(_.contains("__b")),
+      s"per-document cumsum not bucket-bounded:\n$p")
+  }
+
   test("q87: 64-bit near-dup buckets by (block, value) — no sort-merge join, no window") {
     val df = run("q87_simhash64_neardup")
     val p = plan(df)
@@ -278,12 +306,13 @@ class PlanSpec extends SparkSpec {
     // cross-joined into the scoring pass (the replacement for a
     // driver-side count()/head() action) — a 1×N join, not a product
     // q94 shares q39/q58's probe-cell selection (|Q|·nLists centroid
-    // cross — the coarse quantizer's definition)
+    // cross — the coarse quantizer's definition); q102 is q58's
+    // harness over IVF-PQ (same brute-force exact side by design)
     val exactBaselines = Set(
       "q30_neardup_cosine", "q27_jaccard_topk", "q28_cosine_topk",
       "q71_knn_classify", "q58_ann_ivf_recall", "q39_ann_ivf",
       "q68_tfidf", "q80_bm25", "q94_ivfpq", "q95_heavy_hitters",
-      "q101_trigram_lm")
+      "q101_trigram_lm", "q102_ivfpq_recall")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
       .flatMap { name =>

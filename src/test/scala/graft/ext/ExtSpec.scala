@@ -609,6 +609,68 @@ class SimilaritySpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("semanticDedup: hoisted-norm pair filter is value-identical to inline cosine") {
+    val emb = load("embeddings")
+    val kept = Similarity.semanticDedup(emb, threshold = 0.4, planes = 4, dim = 64)
+      .select("vec_id").as[Long].collect().toSet
+    // reference: the pre-hoist form, cosine() (dot + both norms)
+    // evaluated inline per candidate pair
+    val b = Similarity.signBuckets(emb, 4, 64)
+    val l = b.select(col("bucket"), col("vec_id").as("doc_a"), col("embedding").as("vec_a"))
+    val r = b.select(col("bucket"), col("vec_id").as("doc_b"), col("embedding").as("vec_b"))
+    val pairs = l.join(r, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(Similarity.cosine(col("vec_a"), col("vec_b")) >= 0.4)
+      .select("doc_a", "doc_b")
+    val want = Dedup.dedupCorpus(emb, pairs, "vec_id")
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == want && kept.nonEmpty)
+  }
+
+  test("pqBuildKMeans: valid deterministic codes; trained codebook reconstruction " +
+    "error beats the sign-plane codebook") {
+    val emb = load("embeddings")
+    val det = Similarity.pqBuild(emb)
+    val trained = Similarity.pqBuildKMeans(emb)
+    val codes = trained.codes.as[(Long, Int, Int)].collect()
+    assert(codes.length == emb.count() * 8)
+    assert(codes.forall { case (_, m, c) => m >= 0 && m < 8 && c >= 0 && c < 16 })
+    // rebuild assigns identical codes (fixed seed, deterministic sample)
+    val again = Similarity.pqBuildKMeans(emb).codes.as[(Long, Int, Int)].collect()
+    assert(codes.sortBy(r => (r._1, r._2)).toSeq == again.sortBy(r => (r._1, r._2)).toSeq)
+    // the point of training: lower mean squared reconstruction error
+    // than the deterministic halfspace codebook at the same bit budget
+    def mse(i: Similarity.PqIndex) = Similarity.pqReconstructionError(emb, i)
+      .agg(avg(col("sq_err"))).as[Double].head()
+    val (dm, tm) = (mse(det), mse(trained))
+    assert(tm <= dm, s"trained mse $tm worse than deterministic $dm")
+  }
+
+  test("ivfPqTopK refine: exact rerank of the ADC shortlist — sims are exact dots, " +
+    "hits come from the shortlist") {
+    val emb = load("embeddings")
+    val ivf = Similarity.ivfBuildDeterministic(emb, planes = 4, dim = 64)
+    val pq = Similarity.pqBuild(emb)
+    val shortlist = Similarity.ivfPqTopK(emb, ivf, pq, Seq(0L, 1L), k = 16, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val refined = Similarity.ivfPqTopK(emb, ivf, pq, Seq(0L, 1L), k = 3, nProbe = 3,
+        refine = 16)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    assert(refined.length == 6)
+    // refined hits are a subset of the ADC top-16 shortlist
+    refined.foreach { case (q, n, _) => assert(shortlist.contains((q, n))) }
+    // and each refined sim is the true dot product of the raw vectors
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    refined.foreach { case (q, n, s) =>
+      val exact = vecs(q).zip(vecs(n)).foldLeft(0.0) {
+        case (acc, (a, b)) => acc + a.toDouble * b.toDouble
+      }
+      assert(math.abs(exact - s) < 1e-9)
+    }
+  }
+
   test("ivfPqTopK: candidates come only from probed cells; ADC ranking is plausible") {
     val emb = load("embeddings")
     val ivf = Similarity.ivfBuildDeterministic(emb, planes = 4, dim = 64)
@@ -884,6 +946,31 @@ class CorpusIOSpec extends SparkSpec {
     val again = Corpus.tokenBudgetSample(docs, budgetTokens = 500)
       .as[(String, Long, Long, Long)].collect()
     assert(got.toSet == again.toSet)
+  }
+
+  test("tokenBudgetSample: two-pass bucketed form equals the whole-stratum window " +
+    "reference, including on a 90%-skewed mega-source") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = load("documents")
+    // the mega-stratum the two-pass form exists for: one source holds
+    // ~90% of the corpus
+    val skewed = docs.withColumn("source",
+      when(col("doc_id") % 10 =!= 0, lit("mega")).otherwise(col("source")))
+    for (df <- Seq(docs, skewed); budget <- Seq(600L, 50000L)) {
+      val got = Corpus.tokenBudgetSample(df, budget)
+      // reference: the single whole-stratum window cumsum (the pre-
+      // two-pass form — exact but single-task per stratum)
+      val n = size(TextAnalysis.tokens(col("text"))).cast("long")
+      val hx = md5(concat(col("source"), lit("|"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))
+      val want = df.select(col("source"), col("doc_id"), n.as("n_tokens"), hx.as("__h"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= budget)
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"two-pass result diverges at budget $budget")
+      assert(got.count() > 0)
+    }
   }
 
   test("sentences: terminator-run segmentation with trimming, empties dropped") {

@@ -122,6 +122,10 @@ class DotProductSpec extends SparkSpec {
     val keyed = spark.sql("SELECT shingle_set(ws_tokens(text), 3, 16) AS s FROM ws_docs")
       .select("s").as[Seq[String]].head()
     assert(keyed.forall(_.length == 16) && keyed.size == sh.size)
+    // token_ngrams keeps duplicates and order (the occurrence stream)
+    val ng = spark.sql("SELECT token_ngrams(ws_tokens(text), 2) AS s FROM ws_docs")
+      .select("s").as[Seq[String]].head()
+    assert(ng == Seq("alpha beta", "beta gamma", "gamma alpha", "alpha beta"))
   }
 
   test("vector_mean UDAF is SQL-callable and matches the typed Aggregator") {

@@ -57,6 +57,18 @@ object KernelProperties extends Properties("graft.functions.kernels") {
       got == shingleRef(toks, n, hexLen)
     }
 
+  property("token_ngrams == sliding windows in order, duplicates kept") =
+    forAll(toksGen, Gen.choose(1, 5)) { (toks, n) =>
+      val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      val got = TokenNgrams.compute(arr, n)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      val want =
+        if (toks.length < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      got == want
+    }
+
   private def simhashRef(toks: List[String], width: Int): Long = {
     val votes = new Array[Int](width)
     for (t <- toks) {

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ext.Dedup
+import graft.sources.CorpusIO
+
+/** The continuous-curation loop end to end: JSONL landing directory →
+  * micro-batch screening against the persisted band index → survivors
+  * appended to the corpus, their bands to the index. The contract: the
+  * stream-accumulated screening equals the one-shot batch form (q96)
+  * on the same inputs, and the corpus sink holds exactly the
+  * un-dropped batch documents. */
+class CurationStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream-accumulated screening ≡ batch incremental screening; " +
+    "corpus sink = batch minus drops") {
+    val docs = load("documents")
+    val existing = docs.filter(col("doc_id") % 10 =!= 0)
+    val batchDocs = docs.filter(col("doc_id") % 10 === 0)
+    val root = Files.createTempDirectory("graft-curate").toString
+    val (landing, index, corpus, pairsDir, ckpt) =
+      (s"$root/landing", s"$root/index", s"$root/corpus", s"$root/pairs", s"$root/ckpt")
+
+    // bootstrap: the accepted corpus's band index, persisted once
+    Dedup.lshBands(Dedup.minhash(existing, k = 6), bands = 3, rowsPerBand = 2)
+      .write.parquet(index)
+    // land the batch as several JSONL files; maxFilesPerTrigger=1
+    // forces MULTIPLE micro-batches, so later batches must screen
+    // against earlier batches' appended bands too
+    CorpusIO.writeJsonl(batchDocs.repartition(3), landing)
+
+    val q = CurationStream.curateStream(
+      CorpusIO.readJsonlStream(spark, landing, maxFilesPerTrigger = 1),
+      index, corpus, ckpt, bands = 3, rowsPerBand = 2,
+      pairsPath = Some(pairsDir))
+    assert(q.awaitTermination(180000), "stream did not drain in time")
+
+    val gotPairs = spark.read.parquet(pairsDir)
+      .as[(Long, Long)].collect().toSet
+    // the batch-mode reference (q96's shape) over the same inputs:
+    // every (existing, batch) cross pair must be found by the stream
+    // regardless of which micro-batch the new doc arrived in
+    val eb = Dedup.lshBands(Dedup.minhash(existing, k = 6), bands = 3, rowsPerBand = 2)
+    val wantCross = Dedup.incrementalCandidatePairs(eb, batchDocs,
+      bands = 3, rowsPerBand = 2).as[(Long, Long)].collect().toSet
+    val existingIds = existing.select("doc_id").as[Long].collect().toSet
+    assert(wantCross.nonEmpty)
+    assert(gotPairs.filter(p => existingIds(p._1)) == wantCross)
+
+    // corpus sink: exactly the batch docs that were never a doc_b of a
+    // screening pair (cross-batch drops included), each exactly once
+    val sunk = spark.read.parquet(corpus).select("doc_id").as[Long].collect()
+    val batchIds = batchDocs.select("doc_id").as[Long].collect().toSet
+    val dropped = gotPairs.map(_._2)
+    assert(sunk.length == sunk.distinct.length, "a survivor landed twice")
+    assert(sunk.toSet == batchIds -- dropped)
+
+    // and the index grew by exactly the survivors' bands: a fresh
+    // batch screening against it sees existing + survivors
+    val idxIds = spark.read.parquet(index)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(idxIds == existingIds ++ (batchIds -- dropped))
+  }
+}
