@@ -20,6 +20,9 @@ import org.apache.spark.sql.SparkSession
   * graft.Main replay      --dump DIR --url jdbc:URL
   * graft.Main other-objects --source-url jdbc:URL --target (DIR|jdbc:URL)
   *                          [--src-schema S]
+  * graft.Main curate-stream --landing DIR --index DIR --corpus DIR
+  *                          --checkpoint DIR [--bands 3 --rows-per-band 2]
+  *                          [--pairs DIR] [--follow true]
   * }}}
   *
   * Writes against a production-looking JDBC URL require
@@ -37,6 +40,8 @@ object Main {
     |  other-objects --source-url jdbc:URL --target (DIR|jdbc:URL) [--src-schema S]
     |  ingest-jsonl --path DIR --target DIR
     |  export-jsonl --path DIR --target DIR
+    |  curate-stream --landing DIR --index DIR --corpus DIR --checkpoint DIR
+    |                [--bands 3 --rows-per-band 2] [--pairs DIR] [--follow true]
     |""".stripMargin
 
   /** `--flag value` pairs; repeatable flags accumulate in order. */
@@ -109,6 +114,24 @@ object Main {
       case "export-jsonl" =>
         sources.CorpusIO.writeJsonl(
           spark.read.parquet(one("path")), one("target"))
+      case "curate-stream" =>
+        // the continuous-curation loop: tail a JSONL landing directory,
+        // screen each micro-batch against the persisted band index,
+        // append survivors (streaming/CurationStream.scala). Default is
+        // drain-and-exit (AvailableNow — cron-friendly); --follow true
+        // runs until killed, resuming from the checkpoint either way
+        val bands = f("bands").headOption.map(v => parsed("bands", v)(_.toInt)).getOrElse(3)
+        val rpb = f("rows-per-band").headOption
+          .map(v => parsed("rows-per-band", v)(_.toInt)).getOrElse(2)
+        val follow = f("follow").headOption.exists(v => parsed("follow", v)(_.toBoolean))
+        val trigger =
+          if (follow) org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds")
+          else org.apache.spark.sql.streaming.Trigger.AvailableNow()
+        val q = streaming.CurationStream.curateStream(
+          sources.CorpusIO.readJsonlStream(spark, one("landing")),
+          one("index"), one("corpus"), one("checkpoint"), bands, rpb,
+          pairsPath = f("pairs").headOption, trigger = trigger)
+        q.awaitTermination()
       case "other-objects" =>
         val g = new Graft(spark, f("data").headOption.getOrElse("."))
         val t = target(g, one("target"))

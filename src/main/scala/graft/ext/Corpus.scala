@@ -248,30 +248,31 @@ object Corpus {
     * Documents with fewer than 2 tokens have no bigrams and are
     * omitted (score undefined).
     *
-    * Two aggregations over the bigram stream (pair counts, prefix
-    * counts) and one join back — the model tables are
-    * vocabulary-sized. Each `ln` is rounded to 9 decimals and summed
-    * as DECIMAL(28,9): the per-document sum is exact and
-    * partition-order-free, so it reproduces bit-for-bit in any engine
-    * whose `ln` is within 1 ulp.
+    * Same execution recipe as [[trigramLogProb]], one order down: the
+    * occurrence stream is one native `token_ngrams` kernel pass,
+    * checkpointed for its two consumers (pair-count build + score
+    * join); the bigram STRING is bijective with the token pair (tokens
+    * are whitespace-split), so shuffles carry one key column; the
+    * prefix count attaches as a window aggregate over the model-sized
+    * pair table (one exchange, no self-join). Each `ln` is rounded to
+    * 9 decimals and summed as DECIMAL(28,9): the per-document sum is
+    * exact and partition-order-free, so it reproduces bit-for-bit in
+    * any engine whose `ln` is within 1 ulp.
     */
   def bigramLogProb(docs: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
     val bigrams = docs.select(col(idCol),
-        explode(zip_with(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-          (a, b) => struct(a.as("t1"), b.as("t2")))).as("bg"))
-      .select(col(idCol), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
-    val pairCounts = bigrams.groupBy(col("t1"), col("t2"))
-      .agg(count(lit(1)).as("c_pair"))
-    val prefixCounts = pairCounts.groupBy(col("t1"))
-      .agg(sum(col("c_pair")).as("c_prefix"))
-    val model = pairCounts.join(prefixCounts, "t1")
-      .withColumn("logprob",
+        explode(graft.functions.TokenNgrams(TextAnalysis.tokens(col(textCol)), 2))
+          .as("bg"))
+      .localCheckpoint()
+    val pairCounts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c_pair"))
+    val model = pairCounts
+      .withColumn("c_prefix", sum(col("c_pair"))
+        .over(Window.partitionBy(substring_index(col("bg"), " ", 1))))
+      .select(col("bg"),
         round(log(col("c_pair").cast("double") / col("c_prefix")), 9)
-          .cast("decimal(28,9)"))
-    bigrams.join(model, Seq("t1", "t2"))
+          .cast("decimal(28,9)").as("logprob"))
+    bigrams.join(model, Seq("bg"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("logprob")).as("__sum"))

@@ -77,6 +77,22 @@ class MainSpec extends SparkSpec {
       && e2.getMessage.contains("usage:"))
   }
 
+  test("curate-stream verb drains a landing directory and exits (AvailableNow)") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-cli-curate").toString
+    val docs = load("documents").limit(100)
+    val existing = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    graft.ext.Dedup.lshBands(graft.ext.Dedup.minhash(existing, k = 6),
+      bands = 3, rowsPerBand = 2).write.parquet(s"$root/index")
+    graft.sources.CorpusIO.writeJsonl(batch, s"$root/landing")
+    Main.main(Array("curate-stream", "--landing", s"$root/landing",
+      "--index", s"$root/index", "--corpus", s"$root/corpus",
+      "--checkpoint", s"$root/ckpt"))
+    val sunk = spark.read.parquet(s"$root/corpus")
+    assert(sunk.count() > 0 && sunk.count() <= batch.count())
+  }
+
   test("update verb upserts a parquet delta into Derby by pk, through argv") {
     import org.apache.spark.sql.functions.{col, lit}
     // stand the table up with rows 1..10
