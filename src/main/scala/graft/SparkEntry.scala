@@ -377,6 +377,14 @@ object SparkEntry {
     // Gopher-style hard accept/reject rules with per-rule flags
     "q91_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(t(s, dir, "documents")).orderBy("doc_id")),
+    // fastText-style linear classifier inference over a hashed token
+    // bag: broadcast-literal weights on a 1/64 binary grid (exact
+    // order-free double sums), md5-nibble bucket hash — model
+    // inference at scan speed, bit-reproducible in the oracle
+    "q103_linear_score" -> ((s, dir) =>
+      TextAnalysis.linearScore(t(s, dir, "documents"),
+          weights = linearScoreWeights, bias = 0.5)
+        .orderBy("doc_id")),
     // deterministic EXACT-size per-stratum sample (fixed eval sets):
     // md5-ranked through the bounded TopK aggregator, no window sort
     "q93_exact_sample" -> ((s, dir) =>
@@ -998,6 +1006,12 @@ object SparkEntry {
   )
 
   // shared oracle-SQL fragments for the token-based queries
+  /** q103's "trained" classifier coefficients: a deterministic spread
+    * of multiples of 1/64 in [-1, 1) — the binary grid that makes
+    * hashed-bag sums exact (order-free) in any engine. */
+  private val linearScoreWeights: Seq[Double] =
+    (0 until 64).map(j => ((j * 37) % 129 - 64) / 64.0)
+
   private val tokCte =
     """toks AS (
       |  SELECT doc_id, tok FROM (
@@ -1561,6 +1575,20 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q91_gopher_rules" -> gopherRulesOracle,
+    // hashed-bag linear scorer: same nibble bucket hash, same literal
+    // weight list; 1/64-grid weights make the SUM order-free exact
+    "q103_linear_score" -> {
+      val w = linearScoreWeights.mkString("[", ", ", "]")
+      val hx = "md5(tok)"
+      def nib(i: Int) = s"(strpos('0123456789abcdef', substr($hx, $i, 1)) - 1)"
+      s"""WITH $tokCte,
+         |h AS (SELECT doc_id,
+         |  (${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % 64 AS bkt
+         |  FROM toks)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  round(SUM(list_extract($w, bkt + 1)) / count(*) + 0.5, 9) AS score
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "q92_curation_pipeline" -> curationPipelineOracle,
     "q93_exact_sample" -> exactSampleOracle,
     "q95_heavy_hitters" ->

@@ -165,8 +165,13 @@ object Similarity {
       array_to_vector(col(vecCol)).as("__features"))
     val cap = if (maxTrainRows > 0) maxTrainRows else math.max(10000, 256 * nLists)
     val trainSet = ivfTrainSample(vecs, cap, idCol)
+    // random init, not kmeans||: the parallel init costs several extra
+    // distributed passes over the sample and a coarse quantizer's cells
+    // converge the same under Lloyd iterations (FAISS trains its IVF
+    // quantizer exactly this way); seed is fixed either way
     val model = new KMeans().setK(nLists).setSeed(42L)
       .setFeaturesCol("__features").setPredictionCol("__cell")
+      .setInitMode("random")
       .setMaxIter(10)
       .fit(trainSet)
     val assigned = model.transform(vecs).drop("__features")

@@ -153,6 +153,36 @@ object TextAnalysis {
           && col("r_alpha") && col("r_stop"))
   }
 
+  /** Linear text-classifier inference — the fastText-style quality/
+    * domain scorer every curation pipeline runs after rule filters:
+    * `score = (Σ_t w[h(t)]) / n + bias` over a hashed bag of tokens
+    * (bucket `h(t)` = 16-bit md5 token hash mod `|weights|` — the same
+    * engine-portable nibble hash as SimHash, so a SQL oracle reproduces
+    * it exactly). The weights are a BROADCAST-LITERAL vector (a trained
+    * model's coefficients); inference is one narrow pass at scan
+    * speed — zero shuffles, the shape model-inference must have at
+    * 100 TB.
+    *
+    * Reproducibility: when every weight is a multiple of 2^-k (quantize
+    * a trained model onto a binary grid — standard for shipping), the
+    * token sum is EXACT in double for any summation order, so scores
+    * are bit-identical across engines and partitionings with a single
+    * final rounding. Zero-token docs are dropped (no mean exists). */
+  def linearScore(docs: DataFrame, weights: Seq[Double], bias: Double = 0.0,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(weights.nonEmpty, "empty weight vector")
+    val b = weights.size
+    val wLit = array(weights.map(lit): _*)
+    val toks = tokens(col(textCol))
+    def bucket(t: Column): Column = pmod(Dedup.hash16(t), lit(b.toLong))
+    val logit = aggregate(toks, lit(0.0),
+      (acc, t) => acc + element_at(wLit, (bucket(t) + 1).cast("int")))
+    docs.filter(size(toks) > 0).select(
+      col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      round(logit / size(toks) + bias, 9).as("score"))
+  }
+
   /** Text normalization for training corpora: lowercase, strip
     * non-alphanumerics, collapse whitespace. Narrow, codegen'd. */
   def scrub(text: Column): Column =

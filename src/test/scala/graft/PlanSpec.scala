@@ -242,6 +242,12 @@ class PlanSpec extends SparkSpec {
       s"rule audit must stay narrow:\n${plan(df)}")
   }
 
+  test("q103: linear classifier inference is a narrow scan — only the final sort shuffles") {
+    val df = run("q103_linear_score")
+    assert(shuffles(df) <= 1,
+      s"model inference must run at scan speed:\n${plan(df)}")
+  }
+
   test("q101: trigram occurrence stream is materialized once — the final plan " +
     "re-reads checkpoints, not the corpus") {
     val df = run("q101_trigram_lm")

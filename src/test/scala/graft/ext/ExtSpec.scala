@@ -1093,6 +1093,27 @@ class CorpusIOSpec extends SparkSpec {
     assert(got.exceptAll(docs).isEmpty && docs.exceptAll(got).isEmpty)
   }
 
+  test("linearScore: hashed-bag mean matches a JVM reference; zero-token docs dropped") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "   "), (3L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val w = Seq(0.25, -0.5, 0.75, -1.0)
+    def bucket(t: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val v = (0 until 4).map(i => Integer.parseInt(hex.substring(i, i + 1), 16))
+      (v(0) * 4096 + v(1) * 256 + v(2) * 16 + v(3)) % 4
+    }
+    def ref(toks: Seq[String]): Double =
+      BigDecimal(toks.map(t => w(bucket(t))).sum / toks.size + 0.1)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.linearScore(docs, w, bias = 0.1)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(1L, 3L)) // whitespace-only doc dropped
+    assert(got(1L) == ((3L, ref(Seq("alpha", "beta", "alpha")))))
+    assert(got(3L) == ((2L, ref(Seq("gamma", "delta")))))
+  }
+
   test("gopherRules: per-rule flags fire independently; keep is the conjunction") {
     import spark.implicits._
     val fine = (1 to 60).map(i => s"the and word$i").mkString(" ") // 240 words, has stopwords
