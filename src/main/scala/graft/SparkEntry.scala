@@ -415,6 +415,14 @@ object SparkEntry {
           concat(col("text"), lit(". Extra tail one! Question two? End."))),
         minDocs = 3)
         .orderBy("doc_id")),
+    // C4-style WITHIN-doc duplicate-sentence removal: the enrichment
+    // tail plants an in-document repeat ("Dup one!" twice) that the
+    // cleaner must collapse to its first occurrence, zero shuffles
+    "q104_dedup_sentences" -> ((s, dir) =>
+      TextAnalysis.dedupSentencesWithinDoc(
+        t(s, dir, "documents").withColumn("text",
+          concat(col("text"), lit(". Dup one! Dup one! Unique tail."))))
+        .orderBy("doc_id")),
   )
 
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1637,6 +1645,31 @@ object SparkEntry {
         |SELECT doc_id, string_agg(s, ' ' ORDER BY sid) AS clean_text,
         |  CAST(count(*) AS BIGINT) AS n_kept
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // within-doc sentence dedup: first occurrence wins, original order
+    // kept; n_total counts pre-dedup sentences
+    "q104_dedup_sentences" ->
+      """WITH e AS (
+        |  SELECT doc_id, text || '. Dup one! Dup one! Unique tail.' AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, list_filter(
+        |    list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'), s -> trim(s)),
+        |    s -> s <> '') AS ls
+        |  FROM e),
+        |u AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ls)),
+        |    i -> {'sid': i - 1, 's': ls[i]})) AS x
+        |  FROM l),
+        |f AS (
+        |  SELECT doc_id, x.sid AS sid, x.s AS s,
+        |    row_number() OVER (PARTITION BY doc_id, x.s ORDER BY x.sid) AS rn
+        |  FROM u)
+        |SELECT doc_id,
+        |  string_agg(s, ' ' ORDER BY sid) FILTER (WHERE rn = 1) AS clean_text,
+        |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+        |  CAST(count(*) AS BIGINT) AS n_total
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q99_sentences" ->
       """WITH e AS (

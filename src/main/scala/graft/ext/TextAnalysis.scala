@@ -347,6 +347,33 @@ object TextAnalysis {
       .select(col(idCol), concat_ws(" ", col("__ss")).as("clean_text"), col("n_kept"))
   }
 
+  /** WITHIN-document duplicate-sentence removal — the C4-style
+    * cleaning rule ([[removeBoilerplateSentences]] drops sentences
+    * shared ACROSS documents; this drops repeats inside one): keep the
+    * first occurrence of each sentence, reassemble in original order.
+    * Templated pages repeat their own nav/footer text several times —
+    * corpus-level frequency can't catch a sentence that is unique to
+    * the document yet duplicated within it.
+    *
+    * Purely per-row array expressions (`array_distinct` keeps first
+    * occurrences in order) — ZERO shuffles, runs at scan speed over
+    * 100 TB, unlike the cross-document form which must aggregate
+    * corpus-wide sentence frequencies. Documents with no sentences
+    * disappear. Returns (idCol, clean_text, n_kept, n_total). */
+  def dedupSentencesWithinDoc(docs: DataFrame, idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    val parts = filter(
+      transform(regexp_extract_all(col(textCol), lit("[^.!?]+[.!?]*"), lit(0)),
+        s => trim(s)),
+      s => s =!= lit(""))
+    docs.select(col(idCol), parts.as("__ps"))
+      .filter(size(col("__ps")) > 0)
+      .select(col(idCol),
+        concat_ws(" ", array_distinct(col("__ps"))).as("clean_text"),
+        size(array_distinct(col("__ps"))).cast("long").as("n_kept"),
+        size(col("__ps")).cast("long").as("n_total"))
+  }
+
   /** Overlapping token-window chunks — the standard corpus-prep step
     * before embedding or training on long documents. Chunk `k` starts
     * at token `1 + k·stride` and spans up to `size` tokens; the last

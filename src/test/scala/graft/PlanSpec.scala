@@ -248,6 +248,12 @@ class PlanSpec extends SparkSpec {
       s"model inference must run at scan speed:\n${plan(df)}")
   }
 
+  test("q104: within-doc sentence dedup is a narrow scan — only the final sort shuffles") {
+    val df = run("q104_dedup_sentences")
+    assert(shuffles(df) <= 1,
+      s"per-row cleaning must not shuffle:\n${plan(df)}")
+  }
+
   test("q101: trigram occurrence stream is materialized once — the final plan " +
     "re-reads checkpoints, not the corpus") {
     val df = run("q101_trigram_lm")

@@ -973,6 +973,19 @@ class CorpusIOSpec extends SparkSpec {
     }
   }
 
+  test("dedupSentencesWithinDoc: first occurrence wins, order kept, sentence-free docs drop") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Keep me. Dup line! Middle one? Dup line! End."),
+      (2L, "No repeats here. Second part."),
+      (3L, "!!!")).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupSentencesWithinDoc(df)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "Keep me. Dup line! Middle one? End.", 4L, 5L)))
+    assert(got(2L) == ((2L, "No repeats here. Second part.", 2L, 2L)))
+    assert(!got.contains(3L)) // bare terminators segment to nothing
+  }
+
   test("sentences: terminator-run segmentation with trimming, empties dropped") {
     import spark.implicits._
     val df = Seq(
