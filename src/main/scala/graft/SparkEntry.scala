@@ -395,6 +395,28 @@ object SparkEntry {
     "q95_heavy_hitters" -> ((s, dir) =>
       TextAnalysis.heavyHitterTokens(t(s, dir, "documents"), k = 40)
         .orderBy("token")),
+    // count-min sketch contract (q38's HLL pattern): the estimate is
+    // engine-specific (xxhash64 family), so the oracle-checkable
+    // columns are the exact counts plus the CM guarantees — est never
+    // below exact, and within an 8·N/width band (8× the expected
+    // single-row collision mass; min over 4 rows sits far inside it)
+    "q107_count_min" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sketch = TextAnalysis.cmsSketch(docs, depth = 4, width = 8192)
+      val toks = docs.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val total = toks.agg(count(lit(1)).as("__n"))
+      val top = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token")).limit(30)
+        .localCheckpoint() // 30 rows; feeds both the probe and the join
+      top.join(TextAnalysis.cmsEstimate(top, sketch, depth = 4, width = 8192),
+          Seq("token"))
+        .crossJoin(broadcast(total))
+        .select(col("token"), col("exact_cnt"),
+          (col("est") >= col("exact_cnt")).as("ge_exact"),
+          (col("est") <= col("exact_cnt")
+            + lit(8.0) * col("__n") / lit(8192)).as("within_band"))
+        .orderBy(col("exact_cnt").desc, col("token"))
+    }),
     // EXACT per-source token budget: greedy md5-priority prefix whose
     // running total stays within budget (mixtureSample is rate-based)
     "q98_token_budget" -> ((s, dir) =>
@@ -423,6 +445,17 @@ object SparkEntry {
         t(s, dir, "documents").withColumn("text",
           concat(col("text"), lit(". Dup one! Dup one! Unique tail."))))
         .orderBy("doc_id")),
+    // distributed exact discrete quantile — two-pass histogram, no
+    // whole-stratum sort (the q47 exact-percentile scale gap closed)
+    "q105_exact_quantile" -> ((s, dir) =>
+      graft.ops.Scale.kthSmallestByKey(
+        t(s, dir, "orders"), "o_totalprice", "o_orderpriority", 0.9)
+        .orderBy("o_orderpriority")),
+    // CCNet-style perplexity filtering: bigram-LM score → exact
+    // per-source tail quantile → keep strictly above the cutoff
+    "q106_perplexity_filter" -> ((s, dir) =>
+      Corpus.perplexityTailFilter(t(s, dir, "documents"), 0.25)
+        .orderBy("source", "doc_id")),
   )
 
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1608,6 +1641,13 @@ object SparkEntry {
          |HAVING count(*) * 40 > n
          |ORDER BY token""".stripMargin,
 
+    "q107_count_min" ->
+      s"""WITH $tokCte
+         |SELECT tok AS token, CAST(count(*) AS BIGINT) AS exact_cnt,
+         |  TRUE AS ge_exact, TRUE AS within_band
+         |FROM toks GROUP BY tok
+         |ORDER BY exact_cnt DESC, token LIMIT 30""".stripMargin,
+
     "q98_token_budget" ->
       """WITH t AS (
         |  SELECT source, doc_id,
@@ -1670,6 +1710,54 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
         |  CAST(count(*) AS BIGINT) AS n_total
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // k-th smallest = value at sorted position ceil(p*n) in the
+    // multiset; with duplicates the VALUE at position k is unique even
+    // though row_number's tie-break among equals is not
+    "q105_exact_quantile" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority, n, CAST(ceil(0.9 * n) AS BIGINT) AS k,
+        |  v AS quantile
+        |FROM r WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // q70's bigram-LM scoring CTE + per-source exact 0.25-quantile
+    // cutoff, keep strictly above — value-thresholded so cutoff ties
+    // drop as a block (matches perplexityTailFilter's semantics)
+    "q106_perplexity_filter" ->
+      """WITH b AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(tl) - 1),
+        |      i -> {'t1': tl[i], 't2': tl[i + 1]})) AS bg
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tl
+        |        FROM documents)),
+        |bg AS (SELECT doc_id, bg.t1 AS t1, bg.t2 AS t2 FROM b),
+        |pc AS (SELECT t1, t2, count(*) AS c_pair FROM bg GROUP BY 1, 2),
+        |pfx AS (SELECT t1, SUM(c_pair) AS c_prefix FROM pc GROUP BY 1),
+        |m AS (SELECT t1, t2,
+        |        CAST(round(ln(CAST(c_pair AS DOUBLE) / c_prefix), 9)
+        |          AS DECIMAL(28,9)) AS lp
+        |      FROM pc JOIN pfx USING (t1)),
+        |s AS (SELECT doc_id, count(*) AS n_bigrams, SUM(lp) AS sm
+        |      FROM bg JOIN m USING (t1, t2) GROUP BY 1),
+        |sc AS (SELECT d.source, s.doc_id, s.n_bigrams,
+        |         CAST(s.sm AS DOUBLE) / s.n_bigrams AS avg_logprob
+        |       FROM s JOIN documents d USING (doc_id)),
+        |r AS (SELECT source, avg_logprob,
+        |        row_number() OVER (PARTITION BY source ORDER BY avg_logprob) AS rn,
+        |        count(*) OVER (PARTITION BY source) AS n
+        |      FROM sc),
+        |c AS (SELECT source, avg_logprob AS cut
+        |      FROM r WHERE rn = CAST(ceil(0.25 * n) AS BIGINT))
+        |SELECT sc.source, sc.doc_id, sc.n_bigrams, sc.avg_logprob
+        |FROM sc JOIN c USING (source)
+        |WHERE sc.avg_logprob > c.cut
+        |ORDER BY sc.source, sc.doc_id""".stripMargin,
 
     "q99_sentences" ->
       """WITH e AS (

@@ -346,6 +346,44 @@ object Corpus {
         (col("__sum").cast("double") / col("n_trigrams")).as("avg_logprob"))
   }
 
+  /** CCNet-style perplexity tail filter: score every document with the
+    * corpus-trained bigram LM ([[bigramLogProb]]), find each source's
+    * exact `tailFrac` quantile of `avg_logprob` (the boundary of the
+    * worst-perplexity tail), and keep only documents STRICTLY above
+    * it. Value-thresholded, so ties at the cutoff are dropped as a
+    * block — deterministic on every engine, no rank tie-break to
+    * reproduce. Documents with fewer than 2 tokens have no bigrams,
+    * hence no score, and are dropped with the tail (no signal ⇒ no
+    * keep, the conservative curation default).
+    *
+    * Scale: the LM scoring is [[bigramLogProb]]'s shape (one
+    * occurrence-stream pass, model-sized LM join); the per-source
+    * cutoff goes through [[graft.ops.Scale.kthSmallestByKey]]'s
+    * two-pass histogram, NOT a whole-stratum window sort, and the
+    * cutoff table joined back is one row per source. Output:
+    * (keyCol, idCol, n_bigrams, avg_logprob) for surviving docs.
+    *
+    * Reference scope: no LM surface in the reference; this is the
+    * standard perplexity-filtering stage of crawl curation (CCNet's
+    * head/middle retention), composed from this engine's own pieces. */
+  def perplexityTailFilter(docs: DataFrame, tailFrac: Double = 0.25,
+                           keyCol: String = "source", idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    require(tailFrac > 0.0 && tailFrac < 1.0,
+      s"tailFrac must be in (0, 1), got $tailFrac")
+    // scored feeds both the cutoff computation and the final filter;
+    // materialize so the LM scoring pipeline runs once
+    val scored = bigramLogProb(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(keyCol)), Seq(idCol))
+      .localCheckpoint()
+    val cut = graft.ops.Scale
+      .kthSmallestByKey(scored, "avg_logprob", keyCol, tailFrac)
+      .select(col(keyCol), col("quantile").as("__cut"))
+    scored.join(cut, Seq(keyCol))
+      .filter(col("avg_logprob") > col("__cut"))
+      .select(col(keyCol), col(idCol), col("n_bigrams"), col("avg_logprob"))
+  }
+
   /** Deterministic EXACT token-budget sample: per `keyCol` stratum,
     * take documents in md5-priority order until the NEXT one would
     * push the running token total past `budgetTokens` — the greedy

@@ -279,6 +279,47 @@ object TextAnalysis {
       .select(col("token"), col("cnt"))
   }
 
+  /** Count-min sketch over the corpus token stream, as a TABLE
+    * `(row, bucket, cnt)` of `depth × width` counters — the
+    * Spark-native sketch layout: building it is ONE keyed group-by
+    * whose map-side partial collapses each scan task to ≤ depth·width
+    * rows (the shuffle carries the sketch, never the distinct-token
+    * set — same contract as the Misra–Gries and Bloom members of this
+    * sketch family), and the finished sketch is a model-sized table a
+    * probe broadcasts. Hash family: `xxhash64(row_index, token)` —
+    * codegen'd, deterministic, the same expression on build and probe
+    * sides by construction. */
+  def cmsSketch(docs: DataFrame, depth: Int = 4, width: Int = 8192,
+                textCol: String = "text"): DataFrame = {
+    require(depth > 0 && width > 0)
+    val rows = explode(sequence(lit(0), lit(depth - 1))).as("__r")
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .select(col("token"), rows)
+      .select(col("__r"),
+        pmod(xxhash64(col("__r"), col("token")), lit(width.toLong)).as("__b"))
+      .groupBy(col("__r"), col("__b")).agg(count(lit(1)).as("__cnt"))
+  }
+
+  /** Point-estimate tokens against a [[cmsSketch]]: `est(t) = min over
+    * rows r of cnt[r][h_r(t)]` — the classic CM upper bound, never
+    * below the true count. `tokenDf` needs a `token` column; the
+    * sketch (≤ depth·width rows) is broadcast, the probe is `depth`
+    * hash lookups per token via one equi-join. Returns (token, est) —
+    * callers join it back rather than this re-evaluating their
+    * DataFrame (which may hide a corpus-scale aggregation). */
+  def cmsEstimate(tokenDf: DataFrame, sketch: DataFrame,
+                  depth: Int = 4, width: Int = 8192): DataFrame = {
+    val rows = explode(sequence(lit(0), lit(depth - 1))).as("__r")
+    tokenDf.select(col("token"), rows)
+      .select(col("token"), col("__r"),
+        pmod(xxhash64(col("__r"), col("token")), lit(width.toLong)).as("__b"))
+      .join(broadcast(sketch), Seq("__r", "__b"), "left")
+      .groupBy(col("token"))
+      // an untouched bucket means count 0 (possible only for tokens
+      // absent from the build corpus)
+      .agg(min(coalesce(col("__cnt"), lit(0L))).as("est"))
+  }
+
   /** Deterministic EXACT-size sample: exactly min(k, |stratum|) rows
     * per stratum — the fixed-size eval/holdout sets a training run
     * needs, where [[stratifiedSample]]'s rate-based thresholding gives

@@ -43,6 +43,90 @@ object Scale {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table) // managed table in the warehouse
 
+  /** Per-key EXACT discrete quantile — the value at sorted position
+    * `k = ceil(p·n)` within each key's multiset — without ever sorting
+    * a whole stratum. Output: (keyCol, n, k, quantile).
+    *
+    * Spark's exact `percentile` aggregate buffers every value of a
+    * group in one aggregator (the q47 path — fine for model-sized
+    * groups, a single-task OOM at 100 TB per-source strata), and a
+    * `row_number().over(Window.partitionBy(key))` rank sorts each
+    * entire stratum in one task. This is the two-pass histogram form
+    * instead (same shape as `Corpus.tokenBudgetSample`):
+    *
+    *  1. per-key min/max/count (cheap map-side-combined aggregate);
+    *  2. each value maps to one of `nBuckets` equi-width buckets —
+    *     `floor((v-mn)/(mx-mn)·nBuckets)` is monotone in v under IEEE
+    *     (subtraction then division/multiplication by a positive
+    *     constant preserve order), so bucket order IS value order;
+    *     a per-(key, bucket) count histogram plus a prefix sum over
+    *     the ≤nBuckets-row-per-key bucket table locates the ONE
+    *     bucket containing position k;
+    *  3. only that boundary bucket's rows are revisited, aggregated
+    *     to per-DISTINCT-value counts (so duplicate-heavy buckets
+    *     stay small), and a cumulative count ordered by value picks
+    *     the smallest value whose cumulative position reaches k.
+    *
+    * Every shuffle is keyed; the only windows run over the bucket
+    * table (≤nBuckets rows/key) and the boundary bucket's distinct
+    * values (~1/nBuckets of a stratum's value diversity). Ties are
+    * exact: position k in the multiset is well-defined and the VALUE
+    * there is deterministic regardless of how equal values tie-break.
+    *
+    * Reference scope: the reference has no quantile surface; this
+    * backs the corpus-curation cutoffs (perplexity filtering,
+    * quality-score thresholds) that need "the exact p-quantile per
+    * source" at crawl scale. */
+  def kthSmallestByKey(df: DataFrame, valueCol: String, keyCol: String,
+                       p: Double, nBuckets: Int = 1024): DataFrame = {
+    require(p > 0.0 && p <= 1.0, s"p must be in (0, 1], got $p")
+    require(nBuckets > 0)
+    require(!Set("n", "k", "quantile").contains(keyCol),
+      s"keyCol '$keyCol' collides with an output column name")
+    import org.apache.spark.sql.expressions.Window
+    // the (key, value) projection feeds three passes (stats, histogram,
+    // boundary revisit); materialize it ONCE so the upstream pipeline —
+    // which may be an expensive computation, not a table scan — is
+    // evaluated a single time (the documented stage-boundary persist
+    // point, same as the LM occurrence stream)
+    val base = df.select(col(keyCol), col(valueCol).cast("double").as("__v"))
+      .localCheckpoint()
+    val stats = base.groupBy(col(keyCol))
+      .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+        count(lit(1)).as("__n"))
+      .withColumn("__k", ceil(lit(p) * col("__n")).cast("long"))
+    // key-join of the data against the model-sized stats table; AQE
+    // broadcasts stats when the key count is small
+    val bucketed = base
+      .join(stats, Seq(keyCol))
+      .withColumn("__b",
+        when(col("__mx") === col("__mn"), lit(0))
+          .otherwise(least(
+            floor((col("__v") - col("__mn")) / (col("__mx") - col("__mn"))
+              * nBuckets),
+            lit(nBuckets - 1)))
+          .cast("int"))
+    val wb = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = bucketed.groupBy(col(keyCol), col("__b"))
+      .agg(count(lit(1)).as("__cb"), max(col("__k")).as("__k"))
+      .withColumn("__prev", coalesce(sum(col("__cb")).over(wb), lit(0L)))
+      .filter(col("__prev") < col("__k") &&
+        col("__prev") + col("__cb") >= col("__k"))
+      .select(col(keyCol), col("__b"), col("__prev"), col("__k"))
+    val wv = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val kth = bucketed.select(col(keyCol), col("__b"), col("__v"))
+      .join(boundary, Seq(keyCol, "__b"))
+      .groupBy(col(keyCol), col("__v"), col("__prev"), col("__k"))
+      .agg(count(lit(1)).as("__cv"))
+      .withColumn("__cum", col("__prev") + sum(col("__cv")).over(wv))
+      .filter(col("__cum") >= col("__k"))
+      .groupBy(col(keyCol)).agg(min(col("__v")).as("quantile"))
+    stats.select(col(keyCol), col("__n").as("n"), col("__k").as("k"))
+      .join(kth, Seq(keyCol))
+  }
+
   /** True when the physical plan of `df` contains no shuffle exchange —
     * the property bucketed co-located joins buy. */
   def isShuffleFree(df: DataFrame): Boolean = {

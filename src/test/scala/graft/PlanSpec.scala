@@ -254,6 +254,35 @@ class PlanSpec extends SparkSpec {
       s"per-row cleaning must not shuffle:\n${plan(df)}")
   }
 
+  test("q105: exact quantile reads the source parquet once — histogram and " +
+    "boundary passes re-read the checkpointed projection") {
+    val df = run("q105_exact_quantile")
+    val p = plan(df)
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans <= 1, s"expected ≤1 parquet scan, the rest from the checkpoint:\n$p")
+  }
+
+  test("q106: perplexity filter runs the LM scoring pipeline once — the final " +
+    "plan joins checkpoints, not a re-derived corpus") {
+    val df = run("q106_perplexity_filter")
+    val p = plan(df)
+    // documents parquet feeds the ONE scored build (token stream + source
+    // attach = up to 2 scans inside bigramLogProb's own checkpointed
+    // stage); the cutoff and final filter read materialized state only
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans <= 1, s"expected the final plan to read checkpoints:\n$p")
+  }
+
+  test("q107: count-min probe broadcasts the sketch; build partial-aggregates") {
+    val df = run("q107_count_min")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"sketch probe must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join in the probe:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"sketch build must map-side combine:\n$p")
+  }
+
   test("q101: trigram occurrence stream is materialized once — the final plan " +
     "re-reads checkpoints, not the corpus") {
     val df = run("q101_trigram_lm")

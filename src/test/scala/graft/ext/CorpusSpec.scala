@@ -139,4 +139,27 @@ class CorpusSpec extends SparkSpec {
     val out = Corpus.bigramLogProb(d).select("doc_id").as[Long].collect()
     assert(out.toSeq == Seq(3L))
   }
+
+  test("perplexityTailFilter: kept = scored docs strictly above the per-source " +
+       "exact tail quantile; unscoreable docs drop") {
+    val d = load("documents")
+    val scored = Corpus.bigramLogProb(d)
+      .join(d.select("doc_id", "source"), Seq("doc_id"))
+      .select($"source", $"doc_id", $"avg_logprob")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val kept = Corpus.perplexityTailFilter(d, tailFrac = 0.25)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // reference: per source, cutoff = value at position ceil(0.25*n)
+    val expect = scored.groupBy(_._1).toSeq.flatMap { case (src, vs) =>
+      val sorted = vs.map(_._3).sorted
+      val cut = sorted(math.ceil(0.25 * sorted.size).toInt - 1)
+      vs.filter(_._3 > cut).map(v => (src, v._2))
+    }.toSet
+    assert(kept == expect && kept.nonEmpty)
+    // the tail really is gone: kept fraction ≤ 0.75 of scored, per source
+    scored.groupBy(_._1).foreach { case (src, vs) =>
+      assert(kept.count(_._1 == src) <= math.floor(0.75 * vs.size).toInt)
+    }
+  }
 }

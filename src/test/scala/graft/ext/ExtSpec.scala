@@ -1056,6 +1056,36 @@ class CorpusIOSpec extends SparkSpec {
     assert(got12 == Map("alpha" -> 900L, "beta" -> 700L))
   }
 
+  test("cmsSketch/cmsEstimate: never below exact; exact when collision-free; " +
+       "multi-partition build merges") {
+    import spark.implicits._
+    val words = Seq.fill(500)("alpha") ++ Seq.fill(300)("beta") ++
+      (1 to 2000).map(i => s"tail$i")
+    val docs = scala.util.Random.shuffle(words).grouped(40)
+      .zipWithIndex.map { case (g, i) => (i.toLong, g.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text").repartition(8)
+    val exact = docs.select(explode(TextAnalysis.tokens($"text")).as("token"))
+      .groupBy("token").count().as[(String, Long)].collect().toMap
+    val probe = exact.keys.toSeq.toDF("token")
+    // narrow sketch: estimates are upper bounds, heavy tokens dominate
+    val narrow = TextAnalysis.cmsEstimate(probe,
+      TextAnalysis.cmsSketch(docs, depth = 4, width = 256),
+      depth = 4, width = 256).as[(String, Long)].collect().toMap
+    assert(exact.forall { case (t, c) => narrow(t) >= c })
+    // wide sketch: 1M buckets over 2002 tokens — collisions are
+    // possible but the MIN over 4 independent rows colliding for the
+    // same token is vanishingly unlikely; equality must hold here
+    val wide = TextAnalysis.cmsEstimate(probe,
+      TextAnalysis.cmsSketch(docs, depth = 4, width = 1 << 20),
+      depth = 4, width = 1 << 20).as[(String, Long)].collect().toMap
+    assert(wide == exact)
+    // a token absent from the corpus estimates 0 under the wide sketch
+    val ghost = TextAnalysis.cmsEstimate(Seq("never-seen").toDF("token"),
+      TextAnalysis.cmsSketch(docs, depth = 4, width = 1 << 20),
+      depth = 4, width = 1 << 20).as[(String, Long)].collect().head._2
+    assert(ghost == 0L)
+  }
+
   test("exactSample: exactly min(k, n) per stratum, equal to the window form, stable") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._

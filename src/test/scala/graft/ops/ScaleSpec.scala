@@ -40,4 +40,43 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  // naive reference: the value at sorted position ceil(p*n) per key
+  private def naiveKth(rows: Seq[(String, Double)], p: Double): Map[String, Double] =
+    rows.groupBy(_._1).map { case (k, vs) =>
+      val sorted = vs.map(_._2).sorted
+      k -> sorted(math.ceil(p * sorted.size).toLong.toInt - 1)
+    }
+
+  test("kthSmallestByKey equals the naive per-key sort, ties and skew included") {
+    // key "mega" holds ~90% of the rows (the stratum the histogram form
+    // exists for); "dup" is duplicate-heavy; "one" is a single row
+    val rows: Seq[(String, Double)] =
+      (1 to 9000).map(i => ("mega", (i % 977).toDouble / 3.0)) ++
+      (1 to 900).map(i => ("dup", (i % 7).toDouble)) ++
+      Seq(("one", 42.0))
+    val df = rows.toDF("key", "v")
+    for (p <- Seq(0.1, 0.25, 0.5, 0.9, 1.0)) {
+      val got = Scale.kthSmallestByKey(df, "v", "key", p)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      assert(got == naiveKth(rows, p), s"p=$p")
+    }
+  }
+
+  test("kthSmallestByKey handles an all-equal stratum (zero value range)") {
+    val df = Seq.fill(100)(("flat", 5.5)).toDF("key", "v")
+    val r = Scale.kthSmallestByKey(df, "v", "key", 0.5).collect().head
+    assert(r.getLong(1) == 100 && r.getLong(2) == 50 && r.getDouble(3) == 5.5)
+  }
+
+  test("kthSmallestByKey boundary window sees one bucket, not the stratum") {
+    // with 4 buckets over values 0..99, the p=0.5 boundary bucket holds
+    // ~25 of 100 distinct values — assert the second-pass input really
+    // is bucket-sized by checking the quantile from a coarse histogram
+    // still lands exactly (the algorithm's invariant, not an estimate)
+    val rows = (1 to 10000).map(i => ("k", (i % 100).toDouble))
+    val got = Scale.kthSmallestByKey(rows.toDF("key", "v"), "v", "key", 0.5, nBuckets = 4)
+      .collect().head.getDouble(3)
+    assert(got == naiveKth(rows, 0.5)("k"))
+  }
 }
