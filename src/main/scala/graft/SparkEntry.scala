@@ -390,6 +390,12 @@ object SparkEntry {
     "q93_exact_sample" -> ((s, dir) =>
       TextAnalysis.exactSample(t(s, dir, "documents"), k = 8)
         .orderBy("source", "rnk")),
+    // weight-proportional deterministic sampling (A-ES priorities from
+    // md5 bits; bounded TopK, no RNG, no window sort)
+    "q108_weighted_sample" -> ((s, dir) =>
+      TextAnalysis.weightedSample(t(s, dir, "documents"), k = 8,
+        col("n_chars"))
+        .orderBy("source", "rnk")),
     // heavy hitters with bounded state: MG sketch for candidates, exact
     // re-count for the emitted set — same rows as the full group-by
     "q95_heavy_hitters" -> ((s, dir) =>
@@ -1632,6 +1638,7 @@ object SparkEntry {
     },
     "q92_curation_pipeline" -> curationPipelineOracle,
     "q93_exact_sample" -> exactSampleOracle,
+    "q108_weighted_sample" -> weightedSampleOracle,
     "q95_heavy_hitters" ->
       s"""WITH $tokCte,
          |tot AS (SELECT count(*) AS n FROM toks)
@@ -2195,6 +2202,33 @@ object SparkEntry {
        |    CAST(row_number() OVER (PARTITION BY source ORDER BY v, doc_id)
        |      AS BIGINT) AS rnk
        |  FROM h)
+       |WHERE rnk <= 8
+       |ORDER BY source, rnk""".stripMargin
+  }
+
+  /** q108 oracle: Efraimidis–Spirakis priorities from the identical
+    * 52-bit md5 uniform, ranked per source — `ORDER BY pri DESC,
+    * doc_id` mirrors the TopK aggregator's tie semantics. */
+  private def weightedSampleOracle: String = {
+    val hx = "md5(source || '|' || CAST(doc_id AS VARCHAR))"
+    val v = (1 to 13).map { i =>
+      val w = math.pow(16, 13 - i).toLong
+      s"(strpos('0123456789abcdef', substr($hx, $i, 1)) - 1) * $w"
+    }.mkString("\n    + ")
+    s"""WITH h AS (
+       |  SELECT source, doc_id, n_chars,
+       |    $v AS v
+       |  FROM documents WHERE n_chars > 0),
+       |p AS (
+       |  SELECT source, doc_id,
+       |    round(ln((CAST(v AS DOUBLE) + 0.5) / 4503599627370496.0)
+       |      / n_chars, 9) AS pri
+       |  FROM h)
+       |SELECT source, rnk, doc_id, pri AS log_priority FROM (
+       |  SELECT source, doc_id, pri,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY pri DESC, doc_id)
+       |      AS BIGINT) AS rnk
+       |  FROM p)
        |WHERE rnk <= 8
        |ORDER BY source, rnk""".stripMargin
   }

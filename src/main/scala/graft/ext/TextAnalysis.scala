@@ -279,6 +279,39 @@ object TextAnalysis {
       .select(col("token"), col("cnt"))
   }
 
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): per stratum, keep the k rows with the largest
+    * log-priority `ln(u)/w`, where `u ∈ (0,1)` derives from the first
+    * 52 md5 bits of (stratum|id) — `(v + 0.5)/2^52` is exactly
+    * representable, never 0 or 1 — and `w` is the row's weight.
+    * Equivalent to sampling k items with inclusion probability
+    * proportional to weight, but RNG-FREE: the same rows on every run
+    * and engine (a retry must not reshuffle the training mix), and
+    * oracle-checkable because the priority is `round(·, 9)` exact.
+    * Rows with non-positive weight are excluded (they have zero
+    * selection mass).
+    *
+    * Scale: the bounded [[graft.functions.TopK]] aggregator — each map
+    * task keeps ≤ k rows per stratum, the shuffle carries the sample,
+    * not the corpus; no window sort (same contract as [[exactSample]],
+    * which is the unweighted special case). Output
+    * (strataCol, rnk, idCol, log_priority). */
+  def weightedSample(df: DataFrame, k: Int, weightCol: Column,
+                     strataCol: String = "source",
+                     idCol: String = "doc_id"): DataFrame = {
+    val hx = md5(concat(col(strataCol).cast("string"), lit("|"), col(idCol).cast("string")))
+    def nibAt(i: Int) = instr(lit("0123456789abcdef"), substring(hx, i, 1)) - 1
+    val v = (1 to 13).foldLeft(lit(0L)) { (acc, i) => acc * 16 + nibAt(i).cast("long") }
+    val u = (v.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val pri = round(log(u) / weightCol.cast("double"), 9)
+    df.filter(weightCol.cast("double") > 0)
+      .groupBy(col(strataCol))
+      .agg(graft.functions.TopK.topK(k, pri, col(idCol)).as("top"))
+      .select(col(strataCol), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col(strataCol), (col("pos") + 1).cast("long").as("rnk"),
+        col("s.id").as(idCol), col("s.ord").as("log_priority"))
+  }
+
   /** Count-min sketch over the corpus token stream, as a TABLE
     * `(row, bucket, cnt)` of `depth × width` counters — the
     * Spark-native sketch layout: building it is ONE keyed group-by

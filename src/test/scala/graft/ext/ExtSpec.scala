@@ -1104,6 +1104,37 @@ class CorpusIOSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("weightedSample: equals the window-form A-ES reference; zero-weight rows excluded") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = load("documents")
+      // zero out some weights: those docs must never be sampled
+      .withColumn("w", when(col("doc_id") % 7 === 0, lit(0L)).otherwise(col("n_chars")))
+    val got = TextAnalysis.weightedSample(docs, k = 6, col("w"))
+    assert(got.filter(col("doc_id") % 7 === 0).isEmpty)
+    // window-form reference with the identical priority formula
+    val hx = md5(concat(col("source"), lit("|"), col("doc_id").cast("string")))
+    def nibAt(i: Int) = instr(lit("0123456789abcdef"), substring(hx, i, 1)) - 1
+    val v = (1 to 13).foldLeft(lit(0L)) { (acc, i) => acc * 16 + nibAt(i).cast("long") }
+    val pri = round(log((v.cast("double") + lit(0.5)) / lit(4503599627370496.0))
+      / col("w"), 9)
+    val w = Window.partitionBy(col("source")).orderBy(pri.desc, col("doc_id"))
+    val want = docs.filter(col("w") > 0).select(col("source"),
+        row_number().over(w).cast("long").as("rnk"), col("doc_id"),
+        pri.as("log_priority"))
+      .filter(col("rnk") <= 6)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the weighting bites: heavy docs are over-represented vs the
+    // unweighted sample (compare against exactSample's md5-rank picks)
+    val unweighted = TextAnalysis.exactSample(docs, k = 6)
+      .join(docs.select("doc_id", "w"), "doc_id")
+      .agg(avg("w")).as[Double].collect().head
+    val weighted = got.join(docs.select("doc_id", "w"), "doc_id")
+      .agg(avg("w")).as[Double].collect().head
+    assert(weighted > unweighted,
+      s"weighted sample mean weight $weighted should exceed unweighted $unweighted")
+  }
+
   test("curation ops compose with streaming ingestion: gopher audit + PII redaction, stream ≡ batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-curate").toString
     val docs = load("documents").limit(40)
