@@ -695,6 +695,20 @@ object SparkEntry {
           queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 3, nProbe = 2)
         .orderBy("query_id", "rank")
     }),
+    // incremental index growth: build on 2/3 of the corpus, append the
+    // rest into the persisted cell partitions, query — the oracle is
+    // the FULL-corpus IVF probe (append ≡ rebuild, exactly)
+    "q109_ivf_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft-q109-ivf").toString
+      Similarity.ivfWrite(Similarity.ivfBuildDeterministic(
+        emb.filter(col("vec_id") % 3 =!= 0), planes = 4, dim = 64), path)
+      Similarity.ivfAppendWrite(path,
+        emb.filter(col("vec_id") % 3 === 0), planes = 4, dim = 64)
+      Similarity.ivfQuery(Similarity.ivfRead(s, path),
+          queryIds = Seq(5L, 6L, 7L, 8L, 9L), k = 3, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
     // IVF quality harness: the KMeans cells are engine-specific, but
     // two properties of the probe are engine-portable and asserted
     // cross-engine — it answers exactly k hits per query, and every
@@ -1252,6 +1266,7 @@ object SparkEntry {
 
     "q29_ann_lsh" -> annLshOracle,
     "q39_ann_ivf" -> annIvfOracle,
+    "q109_ivf_append" -> annIvfOracleFor("5, 6, 7, 8, 9"),
     "q81_pii_redact" -> piiOracle,
     "q82_containment" -> containmentOracle,
     "q83_content_chunks" -> contentChunksOracle,
@@ -1974,7 +1989,13 @@ object SparkEntry {
     * selection by centroid dot product, then scoring restricted to the
     * probed cells. Mirrors ivfBuildDeterministic → ivfQuery exactly;
     * the parquet persist/reload between them is value-preserving. */
-  private def annIvfOracle: String =
+  private def annIvfOracle: String = annIvfOracleFor("0, 1, 2, 3, 4")
+
+  /** Shared by q39 (one-shot build) and q109 (build + persisted
+    * append): the append contract is build(A ∪ B) exactly, so both
+    * oracles are the full-corpus IVF probe, differing only in query
+    * ids. */
+  private def annIvfOracleFor(queryIdList: String): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |b AS (SELECT vec_id, v, ${bucketExprSql(4, 64)} AS cell FROM e),
        |ex AS (SELECT cell, r.d, v[r.d] AS x
@@ -1985,7 +2006,7 @@ object SparkEntry {
        |       FROM ex GROUP BY cell, d),
        |cent AS (SELECT cell, list(m ORDER BY d) AS c FROM cm GROUP BY cell),
        |q AS (SELECT vec_id AS query_id, v AS qv FROM b
-       |      WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |      WHERE vec_id IN ($queryIdList)),
        |qc AS (SELECT query_id, qv, cell,
        |         row_number() OVER (PARTITION BY query_id
        |           ORDER BY list_dot_product(qv, c) DESC, cell) AS r

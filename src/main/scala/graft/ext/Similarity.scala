@@ -203,8 +203,17 @@ object Similarity {
                             vecCol: String = "embedding"): IvfIndex = {
     val assigned = signBuckets(df, planes, dim, idCol, vecCol)
       .withColumn("__cell", col("bucket").cast("int")).drop("bucket")
+    IvfIndex(assigned, deterministicCentroids(assigned, vecCol))
+  }
+
+  /** Per-cell 2^24-grid-quantized mean centroids over an assigned
+    * corpus — a pure exact-integer aggregate of the rows, so the same
+    * rows give the same centroids no matter how they were accumulated
+    * (one build or build + appends). */
+  private def deterministicCentroids(assigned: DataFrame,
+                                     vecCol: String): DataFrame = {
     val q = 16777216.0 // 2^24: full float mantissa — long sums stay exact
-    val cent = assigned
+    assigned
       .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
       .groupBy(col("__cell"), col("__pos"))
       .agg((sum(floor(col("__x").cast("double") * q).cast("long")).cast("double")
@@ -212,7 +221,52 @@ object Similarity {
       .groupBy(col("__cell"))
       .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
         s => s.getField("__m")).as("__centroid"))
-    IvfIndex(assigned, cent)
+  }
+
+  /** Append a batch to a deterministic-quantizer IVF index WITHOUT
+    * touching existing assignments: sign-plane cell assignment is
+    * per-row and corpus-independent, so the batch's cells are exactly
+    * what a full rebuild would give, and the refreshed centroids are
+    * the same exact-integer aggregate — `ivfAppendDeterministic(
+    * build(A), B) ≡ build(A ∪ B)`, bit for bit (the contract the spec
+    * asserts). This is the ANN side of the incremental-ingest story
+    * (`Dedup.incrementalCandidatePairs` for text): the serving index
+    * absorbs tomorrow's crawl without re-reading, re-assigning, or
+    * re-writing today's corpus. */
+  def ivfAppendDeterministic(index: IvfIndex, batch: DataFrame,
+                             planes: Int, dim: Int,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): IvfIndex = {
+    val newAssigned = signBuckets(batch, planes, dim, idCol, vecCol)
+      .withColumn("__cell", col("bucket").cast("int")).drop("bucket")
+    val assigned = index.assigned.unionByName(newAssigned)
+    IvfIndex(assigned, deterministicCentroids(assigned, vecCol))
+  }
+
+  /** Append a batch to a PERSISTED deterministic IVF index: the batch
+    * rows land in their cell partitions via parquet append (existing
+    * cell files are untouched — the write cost is the batch, not the
+    * corpus), then the centroid side table is refreshed. The centroid
+    * refresh re-aggregates the persisted corpus — one narrow pass;
+    * cells' content files are never rewritten. After the call,
+    * [[ivfRead]] sees exactly what [[ivfWrite]] of a full rebuild
+    * would have produced. */
+  def ivfAppendWrite(path: String, batch: DataFrame, planes: Int, dim: Int,
+                     filesPerCell: Int = 1, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit = {
+    val newAssigned = signBuckets(batch, planes, dim, idCol, vecCol)
+      .withColumn("__cell", col("bucket").cast("int")).drop("bucket")
+    val clustered =
+      if (filesPerCell <= 1) newAssigned.repartition(col("__cell"))
+      else newAssigned.repartition(col("__cell"),
+        pmod(hash(newAssigned.columns.map(col): _*), lit(filesPerCell)))
+    clustered.write.mode("append").partitionBy("__cell")
+      .parquet(s"$path/assigned")
+    val spark = batch.sparkSession
+    val all = spark.read.parquet(s"$path/assigned")
+      .withColumn("__cell", col("__cell").cast("int"))
+    deterministicCentroids(all, vecCol).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
   /** Persist an IVF index: the assigned corpus lands PARTITIONED BY

@@ -720,6 +720,55 @@ class SimilaritySpec extends SparkSpec {
     assert(hits.count() == 3)
   }
 
+  test("ivfAppendDeterministic: append equals a rebuild on the union, bit for bit") {
+    val emb = load("embeddings")
+    val a = emb.filter(col("vec_id") % 3 =!= 0)
+    val b = emb.filter(col("vec_id") % 3 === 0)
+    val appended = Similarity.ivfAppendDeterministic(
+      Similarity.ivfBuildDeterministic(a, planes = 4, dim = 64),
+      b, planes = 4, dim = 64)
+    val rebuilt = Similarity.ivfBuildDeterministic(emb, planes = 4, dim = 64)
+    assert(appended.assigned.exceptAll(rebuilt.assigned).isEmpty &&
+      rebuilt.assigned.exceptAll(appended.assigned).isEmpty)
+    assert(appended.centroids.exceptAll(rebuilt.centroids).isEmpty &&
+      rebuilt.centroids.exceptAll(appended.centroids).isEmpty)
+  }
+
+  test("ivfAppendWrite: persisted append reads back identical to a rebuild write; " +
+       "existing cell files untouched") {
+    val emb = load("embeddings")
+    val a = emb.filter(col("vec_id") % 3 =!= 0)
+    val b = emb.filter(col("vec_id") % 3 === 0)
+    val p1 = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    val p2 = java.nio.file.Files.createTempDirectory("graft-ivf-rebuild").toString
+    Similarity.ivfWrite(
+      Similarity.ivfBuildDeterministic(a, planes = 4, dim = 64), p1)
+    // snapshot the base corpus's data files before the append
+    def dataFiles(root: String) = {
+      val base = java.nio.file.Paths.get(root, "assigned")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet"))
+        .map(f => f.toString -> java.nio.file.Files.getLastModifiedTime(f))
+        .toMap
+    }
+    val before = dataFiles(p1)
+    Similarity.ivfAppendWrite(p1, b, planes = 4, dim = 64)
+    val after = dataFiles(p1)
+    assert(before.keySet.subsetOf(after.keySet) &&
+      before.forall { case (f, t) => after(f) == t },
+      "append must add files, never rewrite existing cell data")
+    Similarity.ivfWrite(
+      Similarity.ivfBuildDeterministic(emb, planes = 4, dim = 64), p2)
+    val (i1, i2) = (Similarity.ivfRead(spark, p1), Similarity.ivfRead(spark, p2))
+    val cols = i2.assigned.columns.sorted.toIndexedSeq.map(col)
+    assert(i1.assigned.select(cols: _*).exceptAll(i2.assigned.select(cols: _*)).isEmpty &&
+      i2.assigned.select(cols: _*).exceptAll(i1.assigned.select(cols: _*)).isEmpty)
+    val q1 = Similarity.ivfQuery(i1, Seq(5L, 6L), k = 3, nProbe = 2)
+    val q2 = Similarity.ivfQuery(i2, Seq(5L, 6L), k = 3, nProbe = 2)
+    assert(q1.exceptAll(q2).isEmpty && q2.exceptAll(q1).isEmpty)
+  }
+
   test("deterministic IVF: cells are the sign buckets; hits are real neighbors with exact sims") {
     val emb = load("embeddings")
     val idx = Similarity.ivfBuildDeterministic(emb, planes = 3, dim = 64)
