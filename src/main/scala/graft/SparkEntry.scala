@@ -451,6 +451,18 @@ object SparkEntry {
         t(s, dir, "documents").withColumn("text",
           concat(col("text"), lit(". Dup one! Dup one! Unique tail."))))
         .orderBy("doc_id")),
+    // context-length capping before packing — narrow, zero shuffles
+    "q110_truncate_tokens" -> ((s, dir) =>
+      TextAnalysis.truncateTokens(t(s, dir, "documents"), maxTokens = 50)
+        .orderBy("doc_id")),
+    // RAG-prep chunking: overlapping sentence windows (same enriched
+    // punctuation trick as q99 — the fixture corpus has none)
+    "q111_sentence_windows" -> ((s, dir) =>
+      TextAnalysis.sentenceWindows(
+        t(s, dir, "documents").withColumn("text",
+          concat(col("text"), lit(". Extra tail one! Question two? End."))),
+        windowSize = 2, stride = 1)
+        .orderBy("doc_id", "chunk_id")),
     // distributed exact discrete quantile — two-pass histogram, no
     // whole-stratum sort (the q47 exact-percentile scale gap closed)
     "q105_exact_quantile" -> ((s, dir) =>
@@ -1648,7 +1660,7 @@ object SparkEntry {
          |  (${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % 64 AS bkt
          |  FROM toks)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |  round(SUM(list_extract($w, bkt + 1)) / count(*) + 0.5, 9) AS score
+         |  SUM(list_extract($w, bkt + 1)) / count(*) + 0.5 AS score
          |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "q92_curation_pipeline" -> curationPipelineOracle,
@@ -1732,6 +1744,39 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
         |  CAST(count(*) AS BIGINT) AS n_total
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q110_truncate_tokens" ->
+      """WITH l AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tl
+        |  FROM documents)
+        |SELECT doc_id, array_to_string(tl[1:50], ' ') AS clean_text,
+        |  CAST(least(len(tl), 50) AS BIGINT) AS n_kept,
+        |  CAST(greatest(len(tl) - 50, 0) AS BIGINT) AS n_dropped
+        |FROM l ORDER BY doc_id""".stripMargin,
+
+    // window count 1 + max(0, ceil((n-W)/S)) via the identical
+    // floor((n-W+S-1)/S) arithmetic; DuckDB list slices are 1-based
+    // inclusive and truncate at the end like Spark's slice
+    "q111_sentence_windows" ->
+      """WITH e AS (
+        |  SELECT doc_id, text || '. Extra tail one! Question two? End.' AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, list_filter(
+        |    list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'), s -> trim(s)),
+        |    s -> s <> '') AS ls
+        |  FROM e),
+        |n AS (
+        |  SELECT doc_id, ls,
+        |    1 + greatest(0, CAST(floor(CAST(len(ls) - 2 + 1 - 1 AS DOUBLE) / 1)
+        |      AS INTEGER)) AS nw
+        |  FROM l WHERE len(ls) > 0)
+        |SELECT doc_id, CAST(x.cid AS BIGINT) AS chunk_id, x.txt AS chunk_text
+        |FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(0, nw - 1),
+        |    i -> {'cid': i, 'txt': array_to_string(ls[i * 1 + 1 : i * 1 + 2], ' ')})) AS x
+        |  FROM n)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     // k-th smallest = value at sorted position ceil(p*n) in the
     // multiset; with duplicates the VALUE at position k is unique even

@@ -165,9 +165,11 @@ object TextAnalysis {
     *
     * Reproducibility: when every weight is a multiple of 2^-k (quantize
     * a trained model onto a binary grid — standard for shipping), the
-    * token sum is EXACT in double for any summation order, so scores
-    * are bit-identical across engines and partitionings with a single
-    * final rounding. Zero-token docs are dropped (no mean exists). */
+    * token sum is EXACT in double for any summation order, and the
+    * final divide/add are correctly-rounded IEEE ops — scores are
+    * bit-identical across engines and partitionings with NO rounding
+    * step (see the in-body comment on why rounding would hurt).
+    * Zero-token docs are dropped (no mean exists). */
   def linearScore(docs: DataFrame, weights: Seq[Double], bias: Double = 0.0,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(weights.nonEmpty, "empty weight vector")
@@ -180,7 +182,14 @@ object TextAnalysis {
     docs.filter(size(toks) > 0).select(
       col(idCol),
       size(toks).cast("long").as("n_tokens"),
-      round(logit / size(toks) + bias, 9).as("score"))
+      // NO rounding: binary-grid weights make every partial sum exact
+      // (order-free), and IEEE division/addition are correctly rounded
+      // identically in any engine — the raw double is bit-reproducible.
+      // round(·, 9) would BREAK parity: a dyadic score landing exactly
+      // on a half boundary (logit/2^k) rounds differently across
+      // engines' round() implementations (seen at sf0.1: …3125 went
+      // half-up in Spark, half-even in DuckDB)
+      (logit / size(toks) + bias).as("score"))
   }
 
   /** Text normalization for training corpora: lowercase, strip
@@ -390,6 +399,51 @@ object TextAnalysis {
       s => s =!= lit(""))
     docs.select(col(idCol), posexplode(parts).as(Seq("sent_id", "sentence")))
       .select(col(idCol), col("sent_id").cast("long").as("sent_id"), col("sentence"))
+  }
+
+  /** Truncate each document to its first `maxTokens` whitespace
+    * tokens — context-length capping before packing/training. Pure
+    * per-row array ops, zero shuffles. Output
+    * (idCol, clean_text, n_kept, n_dropped). */
+  def truncateTokens(docs: DataFrame, maxTokens: Int,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0)
+    val toks = tokens(col(textCol))
+    docs.select(col(idCol),
+      concat_ws(" ", slice(toks, 1, maxTokens)).as("clean_text"),
+      least(size(toks), lit(maxTokens)).cast("long").as("n_kept"),
+      greatest(size(toks) - maxTokens, lit(0)).cast("long").as("n_dropped"))
+  }
+
+  /** Overlapping sentence-window chunking — the retrieval-corpus prep
+    * shape (each chunk carries `windowSize` consecutive sentences,
+    * consecutive chunks share `windowSize - stride` of them, so no
+    * fact straddling a boundary is lost to both chunks). Window count
+    * is `1 + max(0, ceil((n - windowSize)/stride))` — the final window
+    * always reaches the document's end, and a short document yields
+    * one (short) window. Pure per-row array ops, zero shuffles.
+    * Output (idCol, chunk_id, chunk_text). */
+  def sentenceWindows(docs: DataFrame, windowSize: Int, stride: Int,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(windowSize > 0 && stride > 0 && stride <= windowSize,
+      s"need 0 < stride <= windowSize, got stride=$stride window=$windowSize")
+    val parts = filter(
+      transform(regexp_extract_all(col(textCol), lit("[^.!?]+[.!?]*"), lit(0)),
+        s => trim(s)),
+      s => s =!= lit(""))
+    val base = docs.select(col(idCol), parts.as("__ls"))
+      .filter(size(col("__ls")) > 0)
+    val nWin = lit(1) + greatest(lit(0),
+      floor((size(col("__ls")) - windowSize + stride - 1)
+        .cast("double") / stride).cast("int"))
+    base.select(col(idCol),
+        posexplode(transform(sequence(lit(0), nWin - 1),
+          i => concat_ws(" ", slice(col("__ls"), i * stride + 1, lit(windowSize)))))
+          .as(Seq("chunk_id", "chunk_text")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_text"))
   }
 
   /** Boilerplate-sentence removal — the nav-bar/footer/cookie-banner

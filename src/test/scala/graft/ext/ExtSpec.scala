@@ -1228,13 +1228,39 @@ class CorpusIOSpec extends SparkSpec {
       (v(0) * 4096 + v(1) * 256 + v(2) * 16 + v(3)) % 4
     }
     def ref(toks: Seq[String]): Double =
-      BigDecimal(toks.map(t => w(bucket(t))).sum / toks.size + 0.1)
-        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      toks.map(t => w(bucket(t))).sum / toks.size + 0.1
     val got = TextAnalysis.linearScore(docs, w, bias = 0.1)
       .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got.keySet == Set(1L, 3L)) // whitespace-only doc dropped
     assert(got(1L) == ((3L, ref(Seq("alpha", "beta", "alpha")))))
     assert(got(3L) == ((2L, ref(Seq("gamma", "delta")))))
+  }
+
+  test("truncateTokens: prefix kept, counts conserved, short docs untouched") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "x y"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.truncateTokens(docs, maxTokens = 3)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("a b c", 3L, 2L)))
+    assert(got(2L) == (("x y", 2L, 0L)))
+    assert(got(3L) == (("", 0L, 0L)))
+  }
+
+  test("sentenceWindows: overlap and tail coverage; short docs give one window") {
+    import spark.implicits._
+    val docs = Seq((1L, "A one. B two. C three. D four."), (2L, "Solo line."))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.sentenceWindows(docs, windowSize = 2, stride = 1)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, "A one. B two."), (1L, 1L, "B two. C three."),
+      (1L, 2L, "C three. D four."), (2L, 0L, "Solo line.")))
+    // stride 2, window 3 over 4 sentences: two windows, last reaches the end
+    val wide = TextAnalysis.sentenceWindows(docs.filter($"doc_id" === 1),
+        windowSize = 3, stride = 2)
+      .as[(Long, Long, String)].collect().toSet
+    assert(wide == Set(
+      (1L, 0L, "A one. B two. C three."), (1L, 1L, "C three. D four.")))
   }
 
   test("gopherRules: per-rule flags fire independently; keep is the conjunction") {
