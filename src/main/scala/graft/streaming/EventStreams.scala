@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.Row
 
 /** Streaming analytics over the `events` table (SURVEY.md §2.11):
@@ -23,13 +23,20 @@ case class UserTotals(n: Long, sum: Double)
 
 object EventStreams {
 
-  /** Normalize the raw events frame: nanos-long `ts` → timestamp. */
+  /** Normalize the raw events frame to an event-time-capable `ts`:
+    * nanos-long (legacy fixture) or TIMESTAMP_NTZ (micros fixture read
+    * under Spark's NTZ inference) → TIMESTAMP. Sessions run in UTC, so
+    * the NTZ wall-clock cast is value-identical to the oracle's. */
   def withEventTime(events: DataFrame): DataFrame =
-    if (events.schema("ts").dataType == LongType)
-      // integer division: ns epoch values exceed 2^53, double arithmetic
-      // would lose microseconds
-      events.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else events
+    events.schema("ts").dataType match {
+      case LongType =>
+        // integer division: ns epoch values exceed 2^53, double
+        // arithmetic would lose microseconds
+        events.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        events.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => events
+    }
 
   def load(spark: SparkSession, dir: String): DataFrame =
     withEventTime(spark.read.parquet(s"$dir/events.parquet"))
