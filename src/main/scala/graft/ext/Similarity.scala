@@ -206,22 +206,45 @@ object Similarity {
     IvfIndex(assigned, deterministicCentroids(assigned, vecCol))
   }
 
+  /** 2^24 grid: full float mantissa — per-component long sums of
+    * `floor(x·2^24)` stay exact for any corpus that fits in a long. */
+  private val CentroidGrid = 16777216.0
+
+  /** Per-(cell, position) exact-integer centroid partials: the grid
+    * long sums and row counts [[centroidsFromPartials]] divides at the
+    * end. Long sums are associative and exact, so partials computed
+    * over disjoint row sets MERGE BY ADDITION into exactly the
+    * partials of the union — the property that makes persisted-index
+    * centroid maintenance O(batch) instead of O(corpus)
+    * ([[ivfAppendWrite]] merges the batch's partials into a persisted
+    * side table rather than re-aggregating the corpus). */
+  private def centroidPartials(assigned: DataFrame,
+                               vecCol: String): DataFrame =
+    assigned
+      .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .groupBy(col("__cell"), col("__pos"))
+      .agg(sum(floor(col("__x").cast("double") * CentroidGrid).cast("long"))
+        .as("__sum"),
+        count(lit(1)).as("__cnt"))
+
+  /** Divide partials into per-cell mean-centroid arrays. The division
+    * happens ONCE, over total sums — so centroids derived from merged
+    * partials are bit-identical to a full re-aggregation. */
+  private def centroidsFromPartials(partials: DataFrame): DataFrame =
+    partials
+      .select(col("__cell"), col("__pos"),
+        (col("__sum").cast("double") / col("__cnt") / CentroidGrid).as("__m"))
+      .groupBy(col("__cell"))
+      .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+        s => s.getField("__m")).as("__centroid"))
+
   /** Per-cell 2^24-grid-quantized mean centroids over an assigned
     * corpus — a pure exact-integer aggregate of the rows, so the same
     * rows give the same centroids no matter how they were accumulated
     * (one build or build + appends). */
   private def deterministicCentroids(assigned: DataFrame,
-                                     vecCol: String): DataFrame = {
-    val q = 16777216.0 // 2^24: full float mantissa — long sums stay exact
-    assigned
-      .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
-      .groupBy(col("__cell"), col("__pos"))
-      .agg((sum(floor(col("__x").cast("double") * q).cast("long")).cast("double")
-        / count(lit(1)) / q).as("__m"))
-      .groupBy(col("__cell"))
-      .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
-        s => s.getField("__m")).as("__centroid"))
-  }
+                                     vecCol: String): DataFrame =
+    centroidsFromPartials(centroidPartials(assigned, vecCol))
 
   /** Append a batch to a deterministic-quantizer IVF index WITHOUT
     * touching existing assignments: sign-plane cell assignment is
@@ -245,10 +268,14 @@ object Similarity {
 
   /** Append a batch to a PERSISTED deterministic IVF index: the batch
     * rows land in their cell partitions via parquet append (existing
-    * cell files are untouched — the write cost is the batch, not the
-    * corpus), then the centroid side table is refreshed. The centroid
-    * refresh re-aggregates the persisted corpus — one narrow pass;
-    * cells' content files are never rewritten. After the call,
+    * cell files are untouched), and the centroid refresh MERGES the
+    * batch's exact-integer partials into the persisted
+    * `path/partials` side table — every step is O(batch); the
+    * pre-existing corpus under `path/assigned` is never read or
+    * rewritten. Because the partials are associative long sums
+    * ([[centroidPartials]]) and the mean division happens once over
+    * the merged totals ([[centroidsFromPartials]]), the refreshed
+    * centroids are bit-identical to a full rebuild's. After the call,
     * [[ivfRead]] sees exactly what [[ivfWrite]] of a full rebuild
     * would have produced. */
   def ivfAppendWrite(path: String, batch: DataFrame, planes: Int, dim: Int,
@@ -263,9 +290,23 @@ object Similarity {
     clustered.write.mode("append").partitionBy("__cell")
       .parquet(s"$path/assigned")
     val spark = batch.sparkSession
-    val all = spark.read.parquet(s"$path/assigned")
-      .withColumn("__cell", col("__cell").cast("int"))
-    deterministicCentroids(all, vecCol).coalesce(1)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/partials")))
+        spark.read.parquet(s"$path/partials")
+      else // index persisted before partials existed: one-time
+        // migration scan of the corpus; every later append is O(batch)
+        centroidPartials(spark.read.parquet(s"$path/assigned")
+          .withColumn("__cell", col("__cell").cast("int")), vecCol)
+    // merged is nLists·dim rows — localCheckpoint materializes it so
+    // the overwrite below doesn't read from the path it replaces
+    val merged = base.unionByName(centroidPartials(newAssigned, vecCol))
+      .groupBy(col("__cell"), col("__pos"))
+      .agg(sum(col("__sum")).as("__sum"), sum(col("__cnt")).as("__cnt"))
+      .localCheckpoint()
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$path/partials")
+    centroidsFromPartials(merged).coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
@@ -280,8 +321,14 @@ object Similarity {
     * open-cost tax on every probe). `filesPerCell` > 1 splays each
     * cell over that many deterministic (content-hashed) subfiles —
     * raise it when cells outgrow a single task's comfortable output
-    * (at 100 TB each cell holds corpus/nLists bytes). */
-  def ivfWrite(index: IvfIndex, path: String, filesPerCell: Int = 1): Unit = {
+    * (at 100 TB each cell holds corpus/nLists bytes).
+    *
+    * Also persists the per-(cell, pos) exact-integer centroid
+    * partials (`path/partials`, nLists·dim rows) so
+    * [[ivfAppendWrite]]'s centroid refresh merges the batch's
+    * partials instead of re-scanning the corpus. */
+  def ivfWrite(index: IvfIndex, path: String, filesPerCell: Int = 1,
+               vecCol: String = "embedding"): Unit = {
     val a = index.assigned
     val clustered =
       if (filesPerCell <= 1) a.repartition(col("__cell"))
@@ -291,6 +338,8 @@ object Similarity {
       .partitionBy("__cell").parquet(s"$path/assigned")
     index.centroids.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/centroids")
+    centroidPartials(a, vecCol).coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/partials")
   }
 
   /** Reload a persisted IVF index. */

@@ -769,6 +769,32 @@ class SimilaritySpec extends SparkSpec {
     assert(q1.exceptAll(q2).isEmpty && q2.exceptAll(q1).isEmpty)
   }
 
+  test("ivfAppendWrite: centroid refresh is O(batch) — never reads pre-existing " +
+       "cell data (append succeeds with the base corpus files corrupted)") {
+    val emb = load("embeddings")
+    val a = emb.filter(col("vec_id") % 3 =!= 0)
+    val b = emb.filter(col("vec_id") % 3 === 0)
+    val p = java.nio.file.Files.createTempDirectory("graft-ivf-obatch").toString
+    Similarity.ivfWrite(
+      Similarity.ivfBuildDeterministic(a, planes = 4, dim = 64), p)
+    // overwrite every pre-existing cell data file with garbage: if the
+    // append's centroid refresh scanned the corpus (instead of merging
+    // the persisted partials), it would die on these
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(p, "assigned"))
+      .iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.write(f,
+        "not a parquet file".getBytes("UTF-8")))
+    Similarity.ivfAppendWrite(p, b, planes = 4, dim = 64)
+    val refreshed = spark.read.parquet(s"$p/centroids")
+    val rebuilt = Similarity.ivfBuildDeterministic(emb, planes = 4, dim = 64)
+      .centroids
+    assert(refreshed.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(refreshed).isEmpty,
+      "merged partials must refresh centroids bit-identical to a rebuild")
+  }
+
   test("deterministic IVF: cells are the sign buckets; hits are real neighbors with exact sims") {
     val emb = load("embeddings")
     val idx = Similarity.ivfBuildDeterministic(emb, planes = 3, dim = 64)
