@@ -157,11 +157,22 @@ object Dedup {
                                 bands: Int, rowsPerBand: Int, shingleN: Int = 3,
                                 idCol: String = "doc_id",
                                 textCol: String = "text",
-                                broadcastBatch: Boolean = true): DataFrame = {
-    val nb = lshBands(
-      minhash(newDocs, k = bands * rowsPerBand, shingleN, idCol, textCol),
-      bands, rowsPerBand, idCol)
-      .select(col(idCol).as("doc_b"), col("band"), col("band_key"))
+                                broadcastBatch: Boolean = true): DataFrame =
+    incrementalCandidatePairsFromBands(existingBands,
+      lshBands(
+        minhash(newDocs, k = bands * rowsPerBand, shingleN, idCol, textCol),
+        bands, rowsPerBand, idCol),
+      idCol, broadcastBatch)
+
+  /** [[incrementalCandidatePairs]] over ALREADY-COMPUTED batch bands —
+    * for callers (the curation stream) that reuse one band build for
+    * within-batch pair generation, the index probe, and the index
+    * append. */
+  def incrementalCandidatePairsFromBands(existingBands: DataFrame,
+                                         newBands: DataFrame,
+                                         idCol: String = "doc_id",
+                                         broadcastBatch: Boolean = true): DataFrame = {
+    val nb = newBands.select(col(idCol).as("doc_b"), col("band"), col("band_key"))
     existingBands
       .select(col(idCol).as("doc_a"), col("band"), col("band_key"))
       .join(if (broadcastBatch) broadcast(nb) else nb, Seq("band", "band_key"))

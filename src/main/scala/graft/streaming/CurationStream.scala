@@ -44,14 +44,18 @@ object CurationStream {
     * practice).
     *
     * In-batch duplicates: `dedupWithinBatch` additionally collapses
-    * byte-identical docs inside the batch (keep smallest id) before
-    * screening — the mandatory exact-dedup pre-stage of the LSH
-    * family, applied at the batch boundary where it is cheap. NEAR-dup
-    * (not byte-identical) pairs within one batch entered together and
-    * are not screened against each other here; when that matters, run
-    * the batch `Dedup.candidatePairs` over the accumulated index as a
-    * periodic compaction (a day's drop rarely near-dups itself without
-    * being byte-identical). */
+    * (a) byte-identical docs (keep smallest id) and (b) NEAR-dup
+    * docs that entered in the same micro-batch — candidate pairs
+    * among the batch's own bands, components collapsed to their
+    * min-id representative (the same `Dedup.dedupCorpus` semantics as
+    * the batch corpus-dedup pipeline). Same-day mirrors in one crawl
+    * drop are caught here, not admitted. Within-batch drops are
+    * audited in the returned pairs as (representative, dropped) rows,
+    * so the pairs sink lists EVERY dropped doc as a `doc_b`.
+    * Remaining greedy gap (inherent to incremental screening): a
+    * transitive chain batch₁→batch₂→index where batch₁ near-dups only
+    * batch₂ (itself index-dropped) keeps batch₁, where a full-corpus
+    * rebuild's connected components would drop it too. */
   def screenBatch(batch: DataFrame, indexPath: String, corpusPath: String,
                   bands: Int, rowsPerBand: Int, shingleN: Int = 3,
                   idCol: String = "doc_id", textCol: String = "text",
@@ -69,9 +73,26 @@ object CurationStream {
           .select(col("keep_id").as(idCol))
         raw.join(keep, Seq(idCol), "left_semi")
       }
+    // the batch's bands, computed ONCE: they feed within-batch pair
+    // generation, the index probe, and the survivors' index append
+    val bBands = Dedup.lshBands(
+        Dedup.minhash(b, bands * rowsPerBand, shingleN, idCol, textCol),
+        bands, rowsPerBand, idCol)
+      .localCheckpoint()
+    // within-batch near-dup collapse: (rep, dropped) per non-singleton
+    // component member; skipped entirely when the batch self-pairs are
+    // empty (the common case — CC's driver loop never starts)
+    val selfPairs =
+      if (dedupWithinBatch) Dedup.candidatePairs(bBands, idCol).localCheckpoint()
+      else Dedup.candidatePairs(bBands.limit(0), idCol)
+    val selfDrops =
+      if (selfPairs.isEmpty) selfPairs.select(col("doc_a"), col("doc_b"))
+      else Dedup.connectedComponents(selfPairs, idCol = idCol)
+        .filter(col("comp") =!= col(idCol))
+        .select(col("comp").as("doc_a"), col(idCol).as("doc_b"))
     val existing = spark.read.parquet(indexPath)
-    val pairs = Dedup.incrementalCandidatePairs(
-        existing, b, bands, rowsPerBand, shingleN, idCol, textCol)
+    val pairs = Dedup.incrementalCandidatePairsFromBands(existing, bBands, idCol)
+      .unionByName(selfDrops)
       .localCheckpoint()
     pairsPath.foreach(p => pairs.write.mode("append").parquet(p))
     val dupIds = pairs.select(col("doc_b").as(idCol)).distinct()
@@ -82,9 +103,7 @@ object CurationStream {
     // re-running the batch after restart is idempotent for screening
     // (same pairs) though the sinks append — dedupe downstream readers
     // on idCol or use a transactional table format in production
-    Dedup.lshBands(
-        Dedup.minhash(survivors, bands * rowsPerBand, shingleN, idCol, textCol),
-        bands, rowsPerBand, idCol)
+    bBands.join(survivors.select(idCol), Seq(idCol), "left_semi")
       .write.mode("append").parquet(indexPath)
     survivors.write.mode("append").parquet(corpusPath)
     pairs

@@ -67,6 +67,52 @@ class CurationStreamSpec extends SparkSpec {
     assert(idxIds == existingIds ++ (batchIds -- dropped))
   }
 
+  test("same-batch NEAR-dup (not byte-identical) docs collapse to one survivor; " +
+    "stream ≡ the batch pipeline on the same drop") {
+    val docs = load("documents")
+    val existing = docs.filter(col("doc_id") < 100)
+    // two near-dups sharing 48 of 49 shingles (J ≈ 0.98 — a same-day
+    // mirror), plus an unrelated doc; all land in ONE micro-batch
+    val base = (0 until 50).map(i => s"tok$i").mkString(" ")
+    val batchDocs = Seq(
+      (1000L, base, "en", "synth", base.length.toLong),
+      (1001L, base + " zzz", "en", "synth", base.length + 4L),
+      (1002L, (0 until 50).map(i => s"other$i").mkString(" "), "en", "synth", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val root = Files.createTempDirectory("graft-curate-self").toString
+    val (landing, index, corpus, pairsDir, ckpt) =
+      (s"$root/landing", s"$root/index", s"$root/corpus", s"$root/pairs", s"$root/ckpt")
+    Dedup.lshBands(Dedup.minhash(existing, k = 6), bands = 3, rowsPerBand = 2)
+      .write.parquet(index)
+    CorpusIO.writeJsonl(batchDocs.coalesce(1), landing)
+
+    val q = CurationStream.curateStream(
+      CorpusIO.readJsonlStream(spark, landing),
+      index, corpus, ckpt, bands = 3, rowsPerBand = 2,
+      pairsPath = Some(pairsDir))
+    assert(q.awaitTermination(180000), "stream did not drain in time")
+
+    val sunk = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(sunk(1000L) && !sunk(1001L),
+      "a same-batch near-dup pair must collapse to its min-id representative")
+    assert(sunk(1002L), "the unrelated doc must survive")
+    // the drop is audited as a (representative, dropped) pair
+    val gotPairs = spark.read.parquet(pairsDir).as[(Long, Long)].collect().toSet
+    assert(gotPairs((1000L, 1001L)))
+
+    // stream result ≡ the batch pipeline on the same drop: within-batch
+    // corpus dedup (CC, min-id rep) then incremental screen vs existing
+    val selfP = Dedup.candidatePairs(
+      Dedup.lshBands(Dedup.minhash(batchDocs, k = 6), bands = 3, rowsPerBand = 2))
+    val d2 = Dedup.dedupCorpus(batchDocs, selfP)
+    val eb = Dedup.lshBands(Dedup.minhash(existing, k = 6), bands = 3, rowsPerBand = 2)
+    val crossDup = Dedup.incrementalCandidatePairs(eb, d2, bands = 3, rowsPerBand = 2)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val want = d2.join(crossDup, Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(sunk == want, "stream survivors must equal the batch pipeline's")
+  }
+
   test("checkpoint resume: delivered batches are never rescreened; new drops are") {
     val docs = load("documents")
     val existing = docs.filter(col("doc_id") % 10 =!= 0)
