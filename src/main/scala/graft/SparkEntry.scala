@@ -463,6 +463,14 @@ object SparkEntry {
           concat(col("text"), lit(". Extra tail one! Question two? End."))),
         windowSize = 2, stride = 1)
         .orderBy("doc_id", "chunk_id")),
+    // exact substring-level cross-document dedup (Lee et al. 2022) at
+    // CDC-chunk granularity: repeated ≥8-token chunks removed from
+    // every occurrence but the canonical first; frequency table keyed
+    // by chunk hash, never text
+    "q112_remove_repeated_spans" -> ((s, dir) =>
+      Dedup.removeRepeatedSpans(t(s, dir, "documents"),
+        minTokens = 8, minDocs = 2)
+        .orderBy("doc_id")),
     // distributed exact discrete quantile — two-pass histogram, no
     // whole-stratum sort (the q47 exact-percentile scale gap closed)
     "q105_exact_quantile" -> ((s, dir) =>
@@ -1777,6 +1785,55 @@ object SparkEntry {
         |    i -> {'cid': i, 'txt': array_to_string(ls[i * 1 + 1 : i * 1 + 2], ' ')})) AS x
         |  FROM n)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // same CDC chain as q83; a chunk occurrence is removed when its
+    // ≥8-token hash spans ≥2 distinct docs and it is not the
+    // (doc_id, first_pos)-minimal canonical occurrence; docs rebuild
+    // from surviving token positions
+    "q112_remove_repeated_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, tl AS toks, len(tl) AS n
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tl
+        |        FROM documents)
+        |  WHERE len(tl) > 0),
+        |e0 AS (SELECT doc_id, toks, n,
+        |  [i FOR i IN range(3, n + 1)
+        |     IF substr(md5(array_to_string(toks[i-2:i], ' ')), 1, 1) = '0'] AS ends0
+        |  FROM d),
+        |e1 AS (SELECT doc_id, toks,
+        |  CASE WHEN len(ends0) > 0 AND ends0[-1] = n THEN ends0
+        |       ELSE list_append(ends0, n) END AS ends
+        |  FROM e0),
+        |e2 AS (SELECT doc_id, toks, ends,
+        |  list_prepend(1, [e + 1 FOR e IN ends[1:len(ends)-1]]) AS starts
+        |  FROM e1),
+        |c AS (SELECT doc_id, toks,
+        |  unnest([{'ci': j - 1, 's': starts[j], 'e': ends[j]}
+        |          FOR j IN range(1, len(ends) + 1)]) AS ch
+        |  FROM e2),
+        |occ AS (SELECT doc_id, ch.s AS first_pos, ch.e - ch.s + 1 AS n_tokens,
+        |    md5(array_to_string(toks[ch.s:ch.e], ' ')) AS chunk_hash
+        |  FROM c WHERE ch.e - ch.s + 1 >= 8),
+        |rep AS (SELECT chunk_hash FROM occ
+        |  GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2),
+        |ranked AS (SELECT o.doc_id, o.first_pos, o.n_tokens,
+        |    row_number() OVER (PARTITION BY o.chunk_hash
+        |                       ORDER BY o.doc_id, o.first_pos) AS rn
+        |  FROM occ o JOIN rep USING (chunk_hash)),
+        |rmspans AS (SELECT doc_id,
+        |    list({'f': first_pos, 'n': n_tokens}) AS rm
+        |  FROM ranked WHERE rn > 1 GROUP BY doc_id),
+        |base AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS tl
+        |  FROM documents)
+        |SELECT b.doc_id,
+        |  CASE WHEN r.rm IS NULL THEN array_to_string(b.tl, ' ')
+        |       ELSE array_to_string([b.tl[i] FOR i IN range(1, len(b.tl) + 1)
+        |         IF len(list_filter(r.rm, s -> i >= s.f AND i < s.f + s.n)) = 0], ' ')
+        |  END AS clean_text,
+        |  CAST(COALESCE(list_sum([s.n FOR s IN r.rm]), 0) AS BIGINT) AS n_removed
+        |FROM base b LEFT JOIN rmspans r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // k-th smallest = value at sorted position ceil(p*n) in the
     // multiset; with duplicates the VALUE at position k is unique even

@@ -507,4 +507,65 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Exact substring-level cross-document deduplication at CDC-chunk
+    * granularity — the "deduplicating training data makes language
+    * models better" operator (Lee et al. 2022, arXiv:2107.06499):
+    * long EXACT token spans repeated across documents (license
+    * blocks, syndicated paragraphs, quoted templates) are removed
+    * from every occurrence but the first, while the surrounding
+    * unique text is kept. Span discovery rides on content-defined
+    * chunking (`TextAnalysis.contentChunks`): chunk boundaries are
+    * content-addressed, so a span shared by two documents yields the
+    * same interior chunks (hence the same md5 chunk hashes) in both,
+    * regardless of position — the suffix-array machinery of the paper
+    * replaced by a hash join.
+    *
+    * A chunk occurrence is removed when its hash (over ≥ `minTokens`
+    * tokens) appears in ≥ `minDocs` DISTINCT documents and the
+    * occurrence is not the canonical first one (minimum
+    * (doc id, first_pos) — "keep first occurrence"). Documents
+    * reassemble from their surviving token positions.
+    *
+    * Scale shape: the frequency table is keyed by the 32-hex chunk
+    * hash, NEVER by text — the shuffle carries (hash, id, pos) rows.
+    * One group-by on the hash, one join back on the hash, one keyed
+    * collapse of removed spans per doc; reassembly is a narrow
+    * per-row mask over token positions (O(tokens · removed spans per
+    * doc), and docs with nothing removed pay an empty-array probe).
+    * Returns (idCol, clean_text, n_removed) — `clean_text` is the
+    * space-rejoined surviving tokens, `n_removed` the count of
+    * removed tokens. */
+  def removeRepeatedSpans(docs: DataFrame, minTokens: Int = 8, minDocs: Long = 2,
+                          shingleN: Int = 3, boundaryNibbles: Int = 1,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val occ = TextAnalysis.contentChunks(docs, shingleN, boundaryNibbles,
+        idCol, textCol)
+      .filter(col("n_tokens") >= minTokens)
+    val repeated = occ.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col(idCol)).as("__nd"),
+        min(struct(col(idCol).as("__d"), col("first_pos").as("__p"))).as("__first"))
+      .filter(col("__nd") >= minDocs)
+    val removedSpans = occ.join(repeated, Seq("chunk_hash"))
+      .filter(!(col(idCol) === col("__first.__d") &&
+        col("first_pos") === col("__first.__p")))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("first_pos"), col("n_tokens"))).as("__rm"))
+    val toks = TextAnalysis.tokens(col(textCol))
+    val rm = coalesce(col("__rm"),
+      array().cast("array<struct<first_pos:bigint,n_tokens:bigint>>"))
+    // NB: sequence(1, 0) yields a DESCENDING [1, 0] — empty docs must
+    // be special-cased (same guard as `shingles`)
+    val keptPos = when(size(toks) === 0, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(1), size(toks)), p =>
+        !exists(rm, s => p >= s.getField("first_pos") &&
+          p < s.getField("first_pos") + s.getField("n_tokens"))))
+    docs.join(removedSpans, Seq(idCol), "left")
+      .select(col(idCol),
+        concat_ws(" ", transform(keptPos, p => element_at(toks, p)))
+          .as("clean_text"),
+        coalesce(aggregate(rm, lit(0L), (acc, s) =>
+          acc + s.getField("n_tokens")), lit(0L)).as("n_removed"))
+  }
 }

@@ -502,6 +502,43 @@ class DedupSpec extends SparkSpec {
     } yield (a, b, h.toLong)).toSet
     assert(blocked == exact)
   }
+
+  test("removeRepeatedSpans: a long exact span shared across docs is removed " +
+    "from every occurrence but the first; unique text survives") {
+    // token family chosen so the span's interior has several CDC
+    // boundaries (md5-deterministic; "lic$i" happens to produce none)
+    val shared = (0 until 80).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"delta $shared epsilon zeta"),
+      (3L, "totally unrelated text here"),
+      (4L, "")).toDF("doc_id", "text")
+    // the fixture must actually share interior CDC chunks, or the test
+    // is vacuous
+    val occ = TextAnalysis.contentChunks(docs).filter(col("n_tokens") >= 4)
+    val byDoc = occ.select("doc_id", "chunk_hash").as[(Long, String)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sharedHashes = byDoc(1L) & byDoc(2L)
+    assert(sharedHashes.nonEmpty, "fixture produced no shared chunks")
+    val out = Dedup.removeRepeatedSpans(docs, minTokens = 4, minDocs = 2)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    val m = out.map(r => r._1 -> r).toMap
+    // doc 1 holds every canonical first occurrence (min doc id)
+    assert(m(1L)._3 == 0L && m(1L)._2 == s"alpha beta $shared gamma")
+    // doc 2 loses exactly its shared-chunk tokens, keeps its unique text
+    val expectedRemoved = occ.filter(col("doc_id") === 2L)
+      .filter(col("chunk_hash").isin(sharedHashes.toSeq: _*))
+      .agg(sum(col("n_tokens"))).as[Long].head()
+    assert(m(2L)._3 == expectedRemoved && expectedRemoved > 0L)
+    val kept2 = m(2L)._2.split(" ").toSet
+    assert(Set("delta", "epsilon", "zeta").subsetOf(kept2))
+    assert(m(2L)._2.split(" ").length.toLong ==
+      docs.filter(col("doc_id") === 2L).select(col("text")).as[String].head()
+        .split(" ").count(_.nonEmpty) - expectedRemoved)
+    // untouched and empty docs pass through (whitespace-normalized)
+    assert(m(3L) == ((3L, "totally unrelated text here", 0L)))
+    assert(m(4L) == ((4L, "", 0L)))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
