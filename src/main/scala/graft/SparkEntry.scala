@@ -471,6 +471,12 @@ object SparkEntry {
       Dedup.removeRepeatedSpans(t(s, dir, "documents"),
         minTokens = 8, minDocs = 2)
         .orderBy("doc_id")),
+    // BPE tokenizer training: 8 highest-frequency pair merges over the
+    // per-character vocab, deterministic lexicographic tie-break —
+    // loop state is the vocab table, never the corpus
+    "q113_bpe_train" -> ((s, dir) =>
+      Corpus.bpeTrain(t(s, dir, "documents"), numMerges = 8)
+        .orderBy("rank")),
     // distributed exact discrete quantile — two-pass histogram, no
     // whole-stratum sort (the q47 exact-percentile scale gap closed)
     "q105_exact_quantile" -> ((s, dir) =>
@@ -1835,6 +1841,8 @@ object SparkEntry {
         |FROM base b LEFT JOIN rmspans r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    "q113_bpe_train" -> bpeTrainOracle(8),
+
     // k-th smallest = value at sorted position ceil(p*n) in the
     // multiset; with duplicates the VALUE at position k is unique even
     // though row_number's tie-break among equals is not
@@ -2195,6 +2203,41 @@ object SparkEntry {
       |  CAST(ch.e - ch.s + 1 AS BIGINT) AS n_tokens,
       |  md5(array_to_string(toks[ch.s:ch.e], ' ')) AS chunk_hash
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** q113 oracle: BPE training unrolled to `numMerges` generated CTE
+    * stages (the pqCtes pattern) — per-stage pair counts, argmax with
+    * the (cnt DESC, l, r) tie-break, and merge application as a
+    * `list_reduce` string fold over a U+001F-joined segmentation (the
+    * same greedy left-to-right rule as `Corpus.applyMerge`; symbols
+    * never contain the separator). */
+  private def bpeTrainOracle(numMerges: Int): String = {
+    val sep = "\u001f"
+    val head =
+      """w AS (SELECT t AS word, count(*) AS freq FROM (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        |  FROM documents) GROUP BY t),
+        |seg0 AS (SELECT word, freq,
+        |  [word[i:i] FOR i IN range(1, length(word) + 1)] AS syms FROM w)""".stripMargin
+    val stages = (0 until numMerges).map { k =>
+      s"""p$k AS (SELECT s.l AS l, s.r AS r, SUM(freq) AS cnt FROM (
+         |  SELECT freq, unnest([{'l': syms[i], 'r': syms[i+1]}
+         |                       FOR i IN range(1, len(syms))]) AS s
+         |  FROM seg$k WHERE len(syms) >= 2) GROUP BY s.l, s.r),
+         |t$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |seg${k + 1} AS (SELECT word, freq,
+         |  string_split(list_reduce(syms, (acc, x) -> CASE
+         |      WHEN x = t.r AND (acc = t.l OR ends_with(acc, '$sep' || t.l))
+         |      THEN substr(acc, 1, length(acc) - length(t.l)) || t.l || x
+         |      ELSE acc || '$sep' || x END), '$sep') AS syms
+         |  FROM seg$k CROSS JOIN t$k t)""".stripMargin
+    }
+    val union = (0 until numMerges).map { k =>
+      s"SELECT CAST(${k + 1} AS BIGINT) AS rank, l AS left_sym, " +
+        s"r AS right_sym, CAST(cnt AS BIGINT) AS pair_count FROM t$k"
+    }.mkString("\nUNION ALL ")
+    (head +: stages).mkString("WITH ", ",\n", "") +
+      s"\nSELECT * FROM (\n$union) ORDER BY rank"
+  }
 
   /** Shared CTE chain for the PQ oracles (q84, q85): per-(vector,
     * subspace) slices with sign-plane codes (global plane ids

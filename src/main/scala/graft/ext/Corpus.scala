@@ -461,4 +461,101 @@ object Corpus {
       .select(col(keyCol), posexplode(col("top")).as(Seq("pos", "s")))
       .select(col(keyCol), (col("pos") + 1).cast("long").as("rnk"),
         col("s.id").as(idCol), col("s.ord").as("ord"))
+
+  /** Apply ONE BPE merge (l, r) → l+r to a symbol-array column:
+    * greedy left-to-right, non-overlapping — the canonical
+    * merge-application rule (a left fold whose freshly merged symbol
+    * `l+r` can never re-match as `l`, so the fold IS the
+    * position-scan). */
+  private def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(s))))
+
+  /** BPE tokenizer training (Sennrich et al. 2016, arXiv:1508.07909):
+    * start from per-character symbols, repeatedly merge the
+    * highest-frequency adjacent symbol pair (ties broken
+    * lexicographically by (left, right) — fully deterministic), and
+    * emit the ordered merges table
+    * (rank, left_sym, right_sym, pair_count) that [[bpeEncode]] (and
+    * any standard BPE tokenizer) replays. Pair frequency counts every
+    * adjacent occurrence weighted by word frequency, the reference
+    * convention. No end-of-word marker (documented divergence from
+    * Sennrich's `</w>`; add one upstream by suffixing tokens if
+    * needed).
+    *
+    * Scale shape: the loop state is the VOCAB table (distinct words ×
+    * symbol arrays), never the corpus — the corpus is scanned once to
+    * build word frequencies, the same driver-loop-over-DataFrames
+    * pattern as `Dedup.connectedComponents`, localCheckpoint cutting
+    * lineage per round. Per round: one narrow pair explode + one
+    * vocab-sized aggregation, then a 1-ROW driver action (the argmax
+    * pair — the same bounded action class as the CC convergence
+    * count). Stops early when no adjacent pairs remain. */
+  def bpeTrain(docs: DataFrame, numMerges: Int,
+               textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"), split(col("word"), "").as("syms"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var exhausted = false
+    var k = 0
+    while (k < numMerges && !exhausted) {
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(
+          transform(sequence(lit(1), size(col("syms")) - 1), i =>
+            struct(element_at(col("syms"), i).as("l"),
+              element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = top.head
+        k += 1
+        merges += ((k.toLong, l, r, cnt))
+        words = words
+          .withColumn("syms", applyMerge(col("syms"), l, r))
+          .localCheckpoint()
+      }
+    }
+    merges.result().toDF("rank", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** Encode a corpus with a LEARNED merges list ([[bpeTrain]] output,
+    * rank order): `encodeTokens`' learned-merges mode. The merges
+    * replay on the DISTINCT-word table (vocab-sized loop state, one
+    * column rewrite per merge, lineage cut every `checkpointEvery`
+    * rounds to bound plan depth), then the token stream joins the
+    * word → pieces map once — the 100 TB corpus is scanned once and
+    * never re-segmented per merge. Returns
+    * (idCol, pos, piece_idx, piece): token `pos` split into its BPE
+    * pieces in order. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+                idCol: String = "doc_id", textCol: String = "text",
+                checkpointEvery: Int = 16): DataFrame = {
+    val toks = docs.select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos0", "word")))
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"), col("word"))
+    var words = toks.select("word").distinct()
+      .withColumn("syms", split(col("word"), ""))
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      words = words.withColumn("syms", applyMerge(col("syms"), l, r))
+      if ((i + 1) % checkpointEvery == 0) words = words.localCheckpoint()
+    }
+    toks.join(words, Seq("word"))
+      .select(col(idCol), col("pos"),
+        posexplode(col("syms")).as(Seq("pidx", "piece")))
+      .select(col(idCol), col("pos"), (col("pidx") + 1).cast("long").as("piece_idx"),
+        col("piece"))
+  }
 }

@@ -162,4 +162,81 @@ class CorpusSpec extends SparkSpec {
       assert(kept.count(_._1 == src) <= math.floor(0.75 * vs.size).toInt)
     }
   }
+
+  // ---- JVM reference BPE (Sennrich): the oracle the distributed
+  // trainer/encoder must reproduce exactly ----
+  private def refPairCounts(vocab: Map[Vector[String], Long]): Map[(String, String), Long] =
+    vocab.toSeq.flatMap { case (syms, f) =>
+      syms.sliding(2).collect { case Vector(a, b) => ((a, b), f) }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+
+  private def refApply(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def refTrain(words: Map[String, Long], n: Int)
+    : (Seq[(Long, String, String, Long)], Map[String, Vector[String]]) = {
+    var vocab = words.map { case (w, f) => w.split("").toVector -> f }
+    var seg = words.keys.map(w => w -> w.split("").toVector).toMap
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (k <- 1 to n) {
+      val counts = refPairCounts(vocab)
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((k.toLong, l, r, c))
+        vocab = vocab.toSeq.map { case (s, f) => refApply(s, l, r) -> f }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        seg = seg.view.mapValues(refApply(_, l, r)).toMap
+      }
+    }
+    (merges.result(), seg)
+  }
+
+  test("bpeTrain matches the JVM reference merge-for-merge; bpeEncode " +
+    "round-trips and segments exactly as the reference") {
+    val d = docs(
+      (1L, "low low low low low lower lower newest newest", "a"),
+      (2L, "newest newest newest newest widest widest widest", "a"),
+      (3L, "low lower newest widest widest", "b"))
+    val wordFreq = d.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    val (wantMerges, wantSeg) = refTrain(wordFreq, 10)
+    val gotMerges = Corpus.bpeTrain(d, numMerges = 10)
+      .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
+    assert(gotMerges == wantMerges)
+
+    val enc = Corpus.bpeEncode(d, gotMerges.map(m => (m._2, m._3)),
+        checkpointEvery = 4)
+      .orderBy("doc_id", "pos", "piece_idx")
+      .as[(Long, Long, Long, String)].collect()
+    // every token's pieces concatenate back to the token, and the
+    // segmentation equals the reference's
+    val byTok = enc.groupBy(e => (e._1, e._2)).view
+      .mapValues(_.sortBy(_._3).map(_._4).toVector).toMap
+    val toks = d.select(col("doc_id"),
+        posexplode(split(col("text"), " "))).as[(Long, Int, String)].collect()
+    assert(toks.nonEmpty)
+    toks.foreach { case (id, p0, w) =>
+      val pieces = byTok((id, p0 + 1L))
+      assert(pieces.mkString("") == w)
+      assert(pieces == wantSeg(w), s"segmentation mismatch for '$w'")
+    }
+    // trained merges actually compress: some multi-char piece exists
+    assert(enc.exists(_._4.length > 1))
+  }
+
+  test("bpeTrain stops early when the vocab is fully merged") {
+    val d = docs((1L, "ab ab ab", "a"))
+    val m = Corpus.bpeTrain(d, numMerges = 10)
+      .as[(Long, String, String, Long)].collect()
+    // "ab" has exactly one mergeable pair; after (a,b) nothing remains
+    assert(m.toSeq == Seq((1L, "a", "b", 3L)))
+  }
 }
