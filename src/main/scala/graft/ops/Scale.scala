@@ -73,6 +73,18 @@ object Scale {
     * exact: position k in the multiset is well-defined and the VALUE
     * there is deterministic regardless of how equal values tie-break.
     *
+    * Boundary semantics: `k = ceil(p·n)` over the stratum's multiset,
+    * so `p = 1` is the stratum max and any `p > 0` yields `k ≥ 1`
+    * (the min for `p ≤ 1/n`).
+    *
+    * Non-finite values FAIL FAST: NaN poisons the equi-width bucket
+    * arithmetic (`floor((v−mn)/(mx−mn)·nBuckets)` maps it to a null
+    * bucket, silently breaking the n-vs-k accounting) and a ±Inf
+    * collapses every finite row into one bucket — both would return a
+    * WRONG quantile rather than a worse plan, so a stratum containing
+    * NaN/±Inf (or a null value) raises at execution time. Filter or
+    * clamp upstream; a quantile over non-finite data is ill-defined.
+    *
     * Reference scope: the reference has no quantile surface; this
     * backs the corpus-curation cutoffs (perplexity filtering,
     * quality-score thresholds) that need "the exact p-quantile per
@@ -93,8 +105,19 @@ object Scale {
       .localCheckpoint()
     val stats = base.groupBy(col(keyCol))
       .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
-        count(lit(1)).as("__n"))
-      .withColumn("__k", ceil(lit(p) * col("__n")).cast("long"))
+        count(lit(1)).as("__n"),
+        sum(when(col("__v").isNull || isnan(col("__v")) ||
+          col("__v") === Double.PositiveInfinity ||
+          col("__v") === Double.NegativeInfinity, 1L).otherwise(0L))
+          .as("__bad"))
+      // the fail-fast lives inside __k (an always-consumed column) so
+      // the optimizer cannot prune it away
+      .withColumn("__k",
+        when(col("__bad") > 0, raise_error(concat(
+          lit("kthSmallestByKey: non-finite or null values in stratum '"),
+          col(keyCol).cast("string"),
+          lit("' — filter or clamp NaN/Inf/null upstream"))).cast("long"))
+          .otherwise(ceil(lit(p) * col("__n")).cast("long")))
     // key-join of the data against the model-sized stats table; AQE
     // broadcasts stats when the key count is small
     val bucketed = base

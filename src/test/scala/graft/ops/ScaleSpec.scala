@@ -69,6 +69,37 @@ class ScaleSpec extends SparkSpec {
     assert(r.getLong(1) == 100 && r.getLong(2) == 50 && r.getDouble(3) == 5.5)
   }
 
+  test("kthSmallestByKey fails fast on NaN/Inf/null instead of returning a " +
+    "wrong quantile; clean strata in the same frame don't mask it") {
+    for (poison <- Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)) {
+      val df = (Seq(("clean", 1.0), ("clean", 2.0), ("clean", 3.0)) ++
+        Seq(("bad", 1.0), ("bad", poison))).toDF("key", "v")
+      val e = intercept[Exception] {
+        Scale.kthSmallestByKey(df, "v", "key", 0.5).collect()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c =>
+        Option(c.getMessage).exists(_.contains("kthSmallestByKey"))),
+        s"expected the fail-fast message for poison=$poison, got: $e")
+    }
+    val withNull = Seq(("bad", Some(1.0)), ("bad", None))
+      .toDF("key", "v")
+    val e = intercept[Exception] {
+      Scale.kthSmallestByKey(withNull, "v", "key", 0.5).collect()
+    }
+    assert(e.toString.contains("kthSmallestByKey") ||
+      Option(e.getCause).exists(_.toString.contains("kthSmallestByKey")))
+  }
+
+  test("kthSmallestByKey single-value stratum and p boundaries") {
+    val df = Seq(("one", 42.0)).toDF("key", "v")
+    for (p <- Seq(0.001, 0.5, 1.0)) {
+      val r = Scale.kthSmallestByKey(df, "v", "key", p).collect().head
+      assert(r.getAs[Double]("quantile") == 42.0 && r.getAs[Long]("k") == 1L)
+    }
+  }
+
   test("kthSmallestByKey boundary window sees one bucket, not the stratum") {
     // with 4 buckets over values 0..99, the p=0.5 boundary bucket holds
     // ~25 of 100 distinct values — assert the second-pass input really
