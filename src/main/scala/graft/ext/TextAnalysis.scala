@@ -171,7 +171,22 @@ object TextAnalysis {
     * step (see the in-body comment on why rounding would hurt).
     * Zero-token docs are dropped (no mean exists). */
   def linearScore(docs: DataFrame, weights: Seq[Double], bias: Double = 0.0,
-                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                  idCol: String = "doc_id", textCol: String = "text",
+                  maxLiteralBuckets: Int = 4096): DataFrame =
+    if (weights.size <= maxLiteralBuckets)
+      linearScoreLiteral(docs, weights, bias, idCol, textCol)
+    else
+      linearScoreJoin(docs, weights, bias, idCol, textCol)
+
+  /** The literal-array form of [[linearScore]] — right for
+    * oracle-sized models (the whole weight vector rides inside one
+    * codegen'd fold; zero shuffles), wrong past a few thousand
+    * buckets where a giant `array(lit…)` blows up codegen /
+    * constant-pool limits. */
+  private[ext] def linearScoreLiteral(docs: DataFrame, weights: Seq[Double],
+                                      bias: Double = 0.0,
+                                      idCol: String = "doc_id",
+                                      textCol: String = "text"): DataFrame = {
     require(weights.nonEmpty, "empty weight vector")
     val b = weights.size
     val wLit = array(weights.map(lit): _*)
@@ -190,6 +205,39 @@ object TextAnalysis {
       // engines' round() implementations (seen at sf0.1: …3125 went
       // half-up in Spark, half-even in DuckDB)
       (logit / size(toks) + bias).as("score"))
+  }
+
+  /** The broadcast-table form of [[linearScore]] — a real fastText
+    * scorer has 10⁵–10⁶ hashed buckets, far past what a literal array
+    * survives. The token bag explodes to (doc, bucket) rows and
+    * broadcast-hash-joins the weights table on the bucket id, then
+    * re-aggregates per document (map-side-combined partial sums, so
+    * the shuffle carries per-task per-doc partials, not the token
+    * stream). VALUE-IDENTICAL to the literal form: binary-grid
+    * weights make the token sum exact in every summation order, so
+    * fold vs partial-aggregate cannot differ (ExtSpec pins the two
+    * forms equal at 100k buckets). */
+  private[ext] def linearScoreJoin(docs: DataFrame, weights: Seq[Double],
+                                   bias: Double = 0.0,
+                                   idCol: String = "doc_id",
+                                   textCol: String = "text"): DataFrame = {
+    require(weights.nonEmpty, "empty weight vector")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val b = weights.size
+    val wTab = weights.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("__bucket", "__w")
+    val toks = tokens(col(textCol))
+    val bag = docs.filter(size(toks) > 0)
+      .select(col(idCol), size(toks).cast("long").as("n_tokens"),
+        explode(toks).as("__t"))
+      .select(col(idCol), col("n_tokens"),
+        pmod(Dedup.hash16(col("__t")), lit(b.toLong)).as("__bucket"))
+    bag.join(broadcast(wTab), Seq("__bucket"))
+      .groupBy(col(idCol), col("n_tokens"))
+      .agg(sum(col("__w")).as("__logit"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__logit") / col("n_tokens") + bias).as("score"))
   }
 
   /** Text normalization for training corpora: lowercase, strip

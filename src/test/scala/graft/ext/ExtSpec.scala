@@ -1299,6 +1299,28 @@ class CorpusIOSpec extends SparkSpec {
     assert(got(3L) == ((2L, ref(Seq("gamma", "delta")))))
   }
 
+  test("linearScore broadcast-join form is bit-identical to the literal form " +
+    "at 100k buckets, and the dispatcher picks it above the threshold") {
+    import spark.implicits._
+    val docs = load("documents")
+    // deterministic binary-grid weights (multiples of 2^-10): token
+    // sums are exact in every summation order, so fold vs partial
+    // aggregation must agree to the last bit
+    val w = (0 until 100000).map(i => ((i * 31 + 7) % 256 - 128) / 1024.0)
+    val lit = TextAnalysis.linearScoreLiteral(docs, w, bias = 0.05)
+      .as[(Long, Long, Double)].collect().toSet
+    val join = TextAnalysis.linearScoreJoin(docs, w, bias = 0.05)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lit == join)
+    assert(lit.nonEmpty)
+    // dispatcher: above the threshold the plan joins (no 100k-element
+    // literal array in the plan text)
+    val dispatched = TextAnalysis.linearScore(docs, w, bias = 0.05)
+    val plan = dispatched.queryExecution.executedPlan.toString
+    assert(plan.contains("Join"), s"expected the join form, got:\n$plan")
+    assert(dispatched.as[(Long, Long, Double)].collect().toSet == lit)
+  }
+
   test("truncateTokens: prefix kept, counts conserved, short docs untouched") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e"), (2L, "x y"), (3L, "")).toDF("doc_id", "text")
