@@ -303,11 +303,15 @@ object Corpus {
     //    once for its two consumers (c123 build + score join);
     //  - every lower-order count (c12/c23/c2/c3/n) derives from the
     //    c123 table — the occurrence stream is aggregated exactly
-    //    once, never four times — attached as WINDOW aggregates over
-    //    c123 (one exchange per key instead of groupBy+join = two
-    //    plus a join; on synthetic-ish corpora most trigrams are
-    //    unique, so c123 is nearly occurrence-sized and every join
-    //    leg is corpus-scale);
+    //    once, never four times — and the derivation is HIERARCHICAL:
+    //    on corpora where most trigrams are unique, c123 is nearly
+    //    occurrence-sized, so only TWO c123-scale exchanges are paid
+    //    (the c12 window and the c23-table join; AQE broadcasts the
+    //    bigram table when it fits, removing the second). c23 comes
+    //    off c123 via a map-side-combined group-by (the shuffle
+    //    carries per-task partials, not rows), and c2/c3 collapse
+    //    from the MODEL-SIZED c23 table — where four flat windows
+    //    each exchanged the full near-occurrence-sized c123;
     //  - tokens are whitespace-split (never contain a space), so the
     //    joined trigram STRING is bijective with the token tuple:
     //    grouping/joining carries ONE string key instead of three,
@@ -324,13 +328,27 @@ object Corpus {
     val n = c123.agg(sum(col("c123")).as("__n"))
     val t12 = substring_index(col("tri"), " ", 2)
     val t23 = substring_index(col("tri"), " ", -2)
-    val t2 = substring_index(t23, " ", 1)
-    val t3 = substring_index(col("tri"), " ", -1)
+    // hierarchical lower-order tables: c23 collapses c123 once (a
+    // map-side-combined group-by, so the shuffle carries per-task
+    // partials), then c2/c3 attach as windows over the MODEL-SIZED
+    // c23 table — never the trigram table again. Two wins at scale
+    // over the previous flat four-windows-over-c123 form: (1) two
+    // near-occurrence-sized exchanges become bigram-model-sized ones;
+    // (2) the flat c2 window partitioned the WHOLE trigram table by
+    // its single middle token — at crawl scale every "<x> the <y>"
+    // trigram lands in one window task (Zipf skew bomb); here the
+    // single-token windows only ever see the collapsed bigram table.
+    // Local price (the q98-style trade): the model assembly gains a
+    // join stage, ~+0.2 s on the sf0.1 bench against corpus-scale
+    // work removed at 100 TB.
+    val c23e = c123.groupBy(t23.as("bg")).agg(sum(col("c123")).as("c23"))
+      .withColumn("c2", sum(col("c23")).over(
+        Window.partitionBy(substring_index(col("bg"), " ", 1))))
+      .withColumn("c3", sum(col("c23")).over(
+        Window.partitionBy(substring_index(col("bg"), " ", -1))))
     val model = c123
       .withColumn("c12", sum(col("c123")).over(Window.partitionBy(t12)))
-      .withColumn("c23", sum(col("c123")).over(Window.partitionBy(t23)))
-      .withColumn("c2", sum(col("c123")).over(Window.partitionBy(t2)))
-      .withColumn("c3", sum(col("c123")).over(Window.partitionBy(t3)))
+      .join(c23e, t23 === col("bg"))
       .crossJoin(broadcast(n))
       .select(col("tri"),
         round(log(
