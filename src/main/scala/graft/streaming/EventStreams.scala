@@ -12,11 +12,16 @@ import org.apache.spark.sql.Row
   * batch (fixture tests, DuckDB oracle) and streaming (readStream)
   * mode — Spark's unified Dataset semantics.
   *
-  * The fixture parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
-  * reader rejects; sessions set
-  * `spark.sql.legacy.parquet.nanosAsLong=true` and [[withEventTime]]
-  * converts to a microsecond timestamp (truncation matches the
-  * oracle's `date_trunc('microseconds', ts)`).
+  * The fixture parquet stores `ts` as TIMESTAMP(NANOS). Two reader
+  * configurations produce two input shapes, both normalized by
+  * [[withEventTime]]: with `spark.sql.legacy.parquet.nanosAsLong=true`
+  * (every session in this repo) the column arrives as a nanos LONG and
+  * is integer-divided to a microsecond timestamp (truncation matches
+  * the oracle's `date_trunc('microseconds', ts)`); a micros-precision
+  * fixture read under Spark's NTZ inference arrives as TIMESTAMP_NTZ
+  * and is cast to TIMESTAMP — which is only value-preserving in a UTC
+  * session, so [[withEventTime]] asserts the session timezone rather
+  * than silently shifting every event time.
   */
 /** Streaming state for [[EventStreams.runningUserTotals]]. */
 case class UserTotals(n: Long, sum: Double)
@@ -25,8 +30,11 @@ object EventStreams {
 
   /** Normalize the raw events frame to an event-time-capable `ts`:
     * nanos-long (legacy fixture) or TIMESTAMP_NTZ (micros fixture read
-    * under Spark's NTZ inference) → TIMESTAMP. Sessions run in UTC, so
-    * the NTZ wall-clock cast is value-identical to the oracle's. */
+    * under Spark's NTZ inference) → TIMESTAMP. The NTZ wall-clock cast
+    * reinterprets the naive timestamp IN THE SESSION TIMEZONE — only
+    * value-identical to the oracle's UTC fixture when the session runs
+    * UTC, so a non-UTC session FAILS LOUDLY here instead of shifting
+    * every event time by the local UTC offset. */
   def withEventTime(events: DataFrame): DataFrame =
     events.schema("ts").dataType match {
       case LongType =>
@@ -34,6 +42,10 @@ object EventStreams {
         // arithmetic would lose microseconds
         events.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
+        val tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"withEventTime: NTZ→TIMESTAMP cast requires spark.sql.session.timeZone=UTC " +
+            s"(got '$tz') — a non-UTC session would silently shift all event times")
         events.withColumn("ts", col("ts").cast(TimestampType))
       case _ => events
     }

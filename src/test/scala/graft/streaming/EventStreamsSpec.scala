@@ -216,4 +216,20 @@ class EventStreamsSpec extends SparkSpec {
     val missing = batch.exceptAll(streamed).collect()
     assert(missing.forall(_.getTimestamp(0).getTime >= maxTs - 20 * 60 * 1000))
   }
+
+  test("withEventTime refuses the NTZ cast in a non-UTC session instead of " +
+    "silently shifting event times") {
+    val ntz = spark.sql("SELECT TIMESTAMP_NTZ'2020-01-01 12:00:00' AS ts")
+    // UTC session (every session in this repo): cast proceeds
+    assert(EventStreams.withEventTime(ntz).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val orig = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e = intercept[IllegalArgumentException] {
+        EventStreams.withEventTime(ntz)
+      }
+      assert(e.getMessage.contains("UTC"))
+    } finally spark.conf.set("spark.sql.session.timeZone", orig)
+  }
 }
