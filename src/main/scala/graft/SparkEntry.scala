@@ -477,6 +477,16 @@ object SparkEntry {
     "q113_bpe_train" -> ((s, dir) =>
       Corpus.bpeTrain(t(s, dir, "documents"), numMerges = 8)
         .orderBy("rank")),
+    // the encode half of the q113 contract: replay the corpus-trained
+    // merges onto a restricted token stream (vocab-sized merge replay,
+    // token stream joined once)
+    "q114_bpe_encode" -> ((s, dir) => {
+      val merges = Corpus.bpeTrain(t(s, dir, "documents"), numMerges = 8)
+        .orderBy("rank").select("left_sym", "right_sym")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      Corpus.bpeEncode(t(s, dir, "documents").filter(col("doc_id") < 50), merges)
+        .orderBy("doc_id", "pos", "piece_idx")
+    }),
     // distributed exact discrete quantile — two-pass histogram, no
     // whole-stratum sort (the q47 exact-percentile scale gap closed)
     "q105_exact_quantile" -> ((s, dir) =>
@@ -1842,6 +1852,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q113_bpe_train" -> bpeTrainOracle(8),
+    "q114_bpe_encode" -> bpeEncodeOracle(8, 50),
 
     // k-th smallest = value at sorted position ceil(p*n) in the
     // multiset; with duplicates the VALUE at position k is unique even
@@ -2210,7 +2221,7 @@ object SparkEntry {
     * `list_reduce` string fold over a U+001F-joined segmentation (the
     * same greedy left-to-right rule as `Corpus.applyMerge`; symbols
     * never contain the separator). */
-  private def bpeTrainOracle(numMerges: Int): String = {
+  private def bpeCtes(numMerges: Int): String = {
     val sep = "\u001f"
     val head =
       """w AS (SELECT t AS word, count(*) AS freq FROM (
@@ -2231,13 +2242,36 @@ object SparkEntry {
          |      ELSE acc || '$sep' || x END), '$sep') AS syms
          |  FROM seg$k CROSS JOIN t$k t)""".stripMargin
     }
+    (head +: stages).mkString(",\n")
+  }
+
+  private def bpeTrainOracle(numMerges: Int): String = {
     val union = (0 until numMerges).map { k =>
       s"SELECT CAST(${k + 1} AS BIGINT) AS rank, l AS left_sym, " +
         s"r AS right_sym, CAST(cnt AS BIGINT) AS pair_count FROM t$k"
     }.mkString("\nUNION ALL ")
-    (head +: stages).mkString("WITH ", ",\n", "") +
-      s"\nSELECT * FROM (\n$union) ORDER BY rank"
+    s"WITH ${bpeCtes(numMerges)}\nSELECT * FROM (\n$union) ORDER BY rank"
   }
+
+  /** q114 oracle: the final segmentation table (seg`numMerges`) keyed
+    * by distinct word, replayed onto the (restricted) token stream —
+    * the encode half of the q113 contract. */
+  private def bpeEncodeOracle(numMerges: Int, maxDocId: Long): String =
+    s"""WITH ${bpeCtes(numMerges)},
+       |tok AS (SELECT doc_id, x.pos AS pos, x.word AS word FROM (
+       |  SELECT doc_id, unnest([{'pos': i, 'word': tl[i]}
+       |                         FOR i IN range(1, len(tl) + 1)]) AS x
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split(text, ' '), t -> t <> '') AS tl
+       |        FROM documents WHERE doc_id < $maxDocId))),
+       |enc AS (SELECT t.doc_id, t.pos, s.syms
+       |        FROM tok t JOIN seg$numMerges s ON s.word = t.word)
+       |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |  CAST(y.j AS BIGINT) AS piece_idx, syms[y.j] AS piece
+       |FROM (SELECT doc_id, pos, syms,
+       |        unnest([{'j': j} FOR j IN range(1, len(syms) + 1)]) AS y
+       |      FROM enc)
+       |ORDER BY doc_id, pos, piece_idx""".stripMargin
 
   /** Shared CTE chain for the PQ oracles (q84, q85): per-(vector,
     * subspace) slices with sign-plane codes (global plane ids
