@@ -218,7 +218,7 @@ object Similarity {
     * centroid maintenance O(batch) instead of O(corpus)
     * ([[ivfAppendWrite]] merges the batch's partials into a persisted
     * side table rather than re-aggregating the corpus). */
-  private def centroidPartials(assigned: DataFrame,
+  private[ext] def centroidPartials(assigned: DataFrame,
                                vecCol: String): DataFrame =
     assigned
       .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
@@ -346,6 +346,80 @@ object Similarity {
   def ivfRead(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
     IvfIndex(spark.read.parquet(s"$path/assigned"),
       spark.read.parquet(s"$path/centroids"))
+
+  /** Assign vectors to their nearest centroid from a centroid TABLE
+    * (squared L2, ties to the lowest cell id — KMeans' own
+    * convention): the quantizer-as-data form that works on a
+    * persisted index with no model object. |B|·nLists broadcast cross
+    * then a per-row argmin — the coarse quantizer's definitional
+    * shape (the ivfQuery probe's whitelisted class). ||x||² is
+    * row-constant, so only `-2x·c + ||c||²` competes. */
+  private def assignToCentroids(batch: DataFrame, centroids: DataFrame,
+                                idCol: String, vecCol: String): DataFrame = {
+    val d2 = dot(col("__centroid"), col("__centroid")) -
+      lit(2.0) * dot(col(vecCol), col("__centroid"))
+    batch.crossJoin(broadcast(centroids))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(d2.asc, col("__cell").asc)))
+      .filter(col("__r") === 1)
+      .drop("__r", "__centroid")
+  }
+
+  /** Append a batch to a TRAINED-quantizer IVF index — FAISS `add()`
+    * semantics: the batch is assigned to the EXISTING centroids and
+    * the centroids are NOT refreshed. A trained quantizer is a model;
+    * silently re-fitting it on every append would invalidate any
+    * recall contract measured against it (and make probe results
+    * depend on ingest order). Re-run [[ivfBuild]] when drift
+    * accumulates — the standard reindex cadence.
+    *
+    * Near-equidistant caveat: assignment here is exact arithmetic
+    * over the centroid table; MLlib's `transform` uses a
+    * norm-precomputed fast distance, so a vector lying within
+    * float-ulp of two cell boundaries could assign differently than
+    * the original build pass would have — harmless for ANN (either
+    * cell is a correct nearest-centroid answer). */
+  def ivfAppendTrained(index: IvfIndex, batch: DataFrame,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): IvfIndex =
+    IvfIndex(
+      index.assigned.unionByName(
+        assignToCentroids(batch, index.centroids, idCol, vecCol)
+          .select(index.assigned.columns.map(col).toIndexedSeq: _*)),
+      index.centroids)
+
+  /** Persisted form of [[ivfAppendTrained]]: batch rows are assigned
+    * against the stored centroid table and appended into their cell
+    * partitions (existing cell files untouched); `centroids` is left
+    * byte-identical. The `partials` side table is still merged with
+    * the batch's exact-integer partials so the
+    * `partials ≡ centroidPartials(assigned)` invariant survives mixed
+    * use — but for a trained index the partials are bookkeeping, not
+    * the quantizer. */
+  def ivfAppendWriteTrained(path: String, batch: DataFrame,
+                            filesPerCell: Int = 1,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    val newAssigned = assignToCentroids(batch, cents, idCol, vecCol)
+    val clustered =
+      if (filesPerCell <= 1) newAssigned.repartition(col("__cell"))
+      else newAssigned.repartition(col("__cell"),
+        pmod(hash(newAssigned.columns.map(col): _*), lit(filesPerCell)))
+    clustered.write.mode("append").partitionBy("__cell")
+      .parquet(s"$path/assigned")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/partials"))) {
+      val merged = spark.read.parquet(s"$path/partials")
+        .unionByName(centroidPartials(newAssigned, vecCol))
+        .groupBy(col("__cell"), col("__pos"))
+        .agg(sum(col("__sum")).as("__sum"), sum(col("__cnt")).as("__cnt"))
+        .localCheckpoint()
+      merged.coalesce(1).write.mode("overwrite").parquet(s"$path/partials")
+    }
+  }
 
   /** Query an IVF index: each query vector is scored only against its
     * `nProbe` nearest cells (by centroid dot product). The classic

@@ -832,6 +832,68 @@ class SimilaritySpec extends SparkSpec {
       "merged partials must refresh centroids bit-identical to a rebuild")
   }
 
+  test("ivfAppendTrained (FAISS add): batch assigns to the nearest existing " +
+    "centroid, centroids frozen; probe spans old and new rows") {
+    val emb = load("embeddings")
+    val a = emb.filter(col("vec_id") % 3 =!= 0)
+    val b = emb.filter(col("vec_id") % 3 === 0)
+    val idx = Similarity.ivfBuild(a, nLists = 4)
+    val app = Similarity.ivfAppendTrained(idx, b)
+    assert(app.centroids.exceptAll(idx.centroids).isEmpty &&
+      idx.centroids.exceptAll(app.centroids).isEmpty, "centroids must not move")
+    assert(app.assigned.count() == emb.count())
+    // JVM reference: argmin of c·c − 2x·c (same left-fold dot order),
+    // ties to the lowest cell id
+    val cents = idx.centroids.select("__cell", "__centroid")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    def fold(xs: Seq[Double]): Double = xs.foldLeft(0.0)(_ + _)
+    val got = app.assigned.filter(col("vec_id") % 3 === 0)
+      .select("vec_id", "__cell").as[(Long, Int)].collect().toMap
+    b.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .foreach { case (id, v) =>
+        val best = cents.map { case (c, ct) =>
+          val cc = ct.foldLeft(0.0)((acc, x) => acc + x * x)
+          val xc = ct.zip(v).foldLeft(0.0) { case (acc, (ci, xi)) =>
+            acc + ci * xi.toDouble }
+          (c, cc - 2.0 * xc)
+        }.minBy { case (c, d) => (d, c) }._1
+        assert(got(id) == best, s"vector $id assigned to ${got(id)}, want $best")
+      }
+    val hits = Similarity.ivfQuery(app, Seq(0L, 3L), k = 3, nProbe = 2)
+    assert(hits.count() == 6)
+  }
+
+  test("ivfAppendWriteTrained: persisted add leaves centroid files and existing " +
+    "cell data untouched; the partials side table stays consistent") {
+    val emb = load("embeddings")
+    val a = emb.filter(col("vec_id") % 3 =!= 0)
+    val b = emb.filter(col("vec_id") % 3 === 0)
+    val p = java.nio.file.Files.createTempDirectory("graft-ivf-add").toString
+    Similarity.ivfWrite(Similarity.ivfBuild(a, nLists = 4), p)
+    def files(sub: String) = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p, sub)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(f => f.toString -> java.nio.file.Files.getLastModifiedTime(f))
+        .toMap
+    }
+    val (centBefore, dataBefore) = (files("centroids"), files("assigned"))
+    Similarity.ivfAppendWriteTrained(p, b)
+    assert(files("centroids") == centBefore, "centroid files must be untouched")
+    val dataAfter = files("assigned")
+    assert(dataBefore.keySet.subsetOf(dataAfter.keySet) &&
+      dataBefore.forall { case (f, t) => dataAfter(f) == t },
+      "add must append cell files, never rewrite")
+    val idx = Similarity.ivfRead(spark, p)
+    assert(idx.assigned.count() == emb.count())
+    // partials ≡ centroidPartials(assigned) even on the trained path
+    val stored = spark.read.parquet(s"$p/partials")
+    val recomputed = Similarity.centroidPartials(
+      idx.assigned.withColumn("__cell", col("__cell").cast("int")), "embedding")
+    assert(stored.exceptAll(recomputed).isEmpty &&
+      recomputed.exceptAll(stored).isEmpty)
+  }
+
   test("deterministic IVF: cells are the sign buckets; hits are real neighbors with exact sims") {
     val emb = load("embeddings")
     val idx = Similarity.ivfBuildDeterministic(emb, planes = 3, dim = 64)
