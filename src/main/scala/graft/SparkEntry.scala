@@ -487,6 +487,15 @@ object SparkEntry {
       Corpus.bpeEncode(t(s, dir, "documents").filter(col("doc_id") < 50), merges)
         .orderBy("doc_id", "pos", "piece_idx")
     }),
+    // quality-classifier TRAINING (the train half of q103's inference):
+    // hashed-bag logistic regression, 3 full-batch GD steps, decimal-
+    // summed products and 9-dp sigmoid rounding — weights reproduce
+    // bit-for-bit in any engine
+    "q115_logreg_train" -> ((s, dir) =>
+      TextAnalysis.logregTrain(t(s, dir, "documents"),
+        label = col("source").startsWith("src1"),
+        buckets = 64, steps = 3, lr = 0.5)
+        .orderBy("bucket")),
     // distributed exact discrete quantile — two-pass histogram, no
     // whole-stratum sort (the q47 exact-percentile scale gap closed)
     "q105_exact_quantile" -> ((s, dir) =>
@@ -1853,6 +1862,7 @@ object SparkEntry {
 
     "q113_bpe_train" -> bpeTrainOracle(8),
     "q114_bpe_encode" -> bpeEncodeOracle(8, 50),
+    "q115_logreg_train" -> logregTrainOracle(64, 3, 0.5),
 
     // k-th smallest = value at sorted position ceil(p*n) in the
     // multiset; with duplicates the VALUE at position k is unique even
@@ -2221,6 +2231,50 @@ object SparkEntry {
     * `list_reduce` string fold over a U+001F-joined segmentation (the
     * same greedy left-to-right rule as `Corpus.applyMerge`; symbols
     * never contain the separator). */
+  /** q115 oracle: the GD loop unrolled to `steps` generated CTE
+    * stages — per-doc decimal-summed margins, 9-dp-rounded sigmoid
+    * residuals, per-bucket decimal-summed gradients, the identical
+    * arithmetic `TextAnalysis.logregTrain` performs. */
+  private def logregTrainOracle(buckets: Int, steps: Int, lr: Double): String = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1)"
+    val head =
+      s"""toks AS (
+         |  SELECT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  WHERE tok <> ''),
+         |lab AS (SELECT doc_id,
+         |    CASE WHEN source LIKE 'src1%' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM documents),
+         |feat AS (
+         |  SELECT t.doc_id, l.y, t.bkt, CAST(count(*) AS DOUBLE) / n.n AS x
+         |  FROM (SELECT doc_id,
+         |          (${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})
+         |            % $buckets AS bkt
+         |        FROM toks) t
+         |  JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id) n
+         |    USING (doc_id)
+         |  JOIN lab l USING (doc_id)
+         |  GROUP BY t.doc_id, l.y, t.bkt, n.n),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n FROM feat),
+         |w0 AS (SELECT unnest(range(0, $buckets)) AS bkt, 0.0 AS w)""".stripMargin
+    val stages = (1 to steps).map { k =>
+      s"""z$k AS (SELECT f.doc_id, f.y,
+         |    CAST(SUM(CAST(round(w.w * f.x, 12) AS DECIMAL(30,12))) AS DOUBLE) AS z
+         |  FROM feat f JOIN w${k - 1} w USING (bkt) GROUP BY f.doc_id, f.y),
+         |r$k AS (SELECT doc_id,
+         |    round(1.0 / (1.0 + exp(-z)), 9) - y AS r FROM z$k),
+         |g$k AS (SELECT f.bkt,
+         |    CAST(SUM(CAST(round(r.r * f.x, 12) AS DECIMAL(30,12))) AS DOUBLE) AS g
+         |  FROM feat f JOIN r$k r USING (doc_id) GROUP BY f.bkt),
+         |w$k AS (SELECT w.bkt,
+         |    w.w - $lr * COALESCE(g.g, 0.0) / nd.n AS w
+         |  FROM w${k - 1} w LEFT JOIN g$k g USING (bkt) CROSS JOIN nd)""".stripMargin
+    }
+    (head +: stages).mkString("WITH ", ",\n", "") +
+      s"\nSELECT CAST(bkt AS BIGINT) AS bucket, round(w, 9) AS weight " +
+      s"FROM w$steps ORDER BY bucket"
+  }
+
   private def bpeCtes(numMerges: Int): String = {
     val sep = "\u001f"
     val head =

@@ -240,6 +240,69 @@ object TextAnalysis {
         (col("__logit") / col("n_tokens") + bias).as("score"))
   }
 
+  /** Hashed-bag logistic-regression TRAINING — the training half of
+    * [[linearScore]]'s inference: full-batch gradient descent
+    * `w ← w − η·(1/N)·Σ_d (σ(w·x_d) − y_d)·x_d` over the same mean-bag
+    * features (`x_b = count_b / n_tokens`, bucket = the portable
+    * 16-bit md5 hash mod `buckets`). Output (bucket, weight) feeds
+    * [[linearScore]] directly — train on yesterday's labels, score
+    * today's crawl.
+    *
+    * Scale shape: the feature table (doc, bucket, x) is built ONCE
+    * (one keyed aggregation over the token stream) and checkpointed;
+    * each GD step is two keyed aggregations against it (per-doc
+    * margin, per-bucket gradient) with the model-sized weight table
+    * broadcast in — the driver-loop-over-DataFrames pattern of
+    * `connectedComponents`/`bpeTrain`. One bounded driver action for
+    * N (a single long).
+    *
+    * Engine-reproducible by the repo's standard recipe: every per-row
+    * product is rounded (12 dp) and summed as DECIMAL so partition
+    * order cannot change a sum; σ is rounded to 9 dp before the
+    * residual so a 1-ulp `exp` divergence between engines' libm
+    * cannot propagate into the weights; every downstream op is a
+    * correctly-rounded IEEE op on identical inputs. Zero-token docs
+    * are dropped (no features), matching [[linearScore]]. */
+  def logregTrain(docs: DataFrame, label: Column, buckets: Int = 64,
+                  steps: Int = 3, lr: Double = 0.5,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(buckets > 0 && steps >= 1 && lr > 0, "need buckets/steps/lr > 0")
+    val spark = docs.sparkSession
+    val toks = tokens(col(textCol))
+    val feat = docs.filter(size(toks) > 0)
+      .select(col(idCol), label.cast("double").as("__y"),
+        size(toks).cast("double").as("__n"), explode(toks).as("__t"))
+      .select(col(idCol), col("__y"), col("__n"),
+        pmod(Dedup.hash16(col("__t")), lit(buckets.toLong)).as("__bkt"))
+      .groupBy(col(idCol), col("__y"), col("__n"), col("__bkt"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col(idCol), col("__y"), col("__bkt"),
+        (col("__c") / col("__n")).as("__x"))
+      .localCheckpoint()
+    val nDocs = feat.select(col(idCol)).distinct().count()
+    var w = spark.range(buckets)
+      .select(col("id").as("__bkt"), lit(0.0).as("__w"))
+      .localCheckpoint()
+    for (_ <- 1 to steps) {
+      val z = feat.join(broadcast(w), Seq("__bkt"))
+        .groupBy(col(idCol), col("__y"))
+        .agg(sum(round(col("__w") * col("__x"), 12).cast("decimal(30,12)"))
+          .cast("double").as("__z"))
+      val r = z.select(col(idCol),
+        (round(lit(1.0) / (lit(1.0) + exp(-col("__z"))), 9) - col("__y")).as("__r"))
+      val g = feat.join(r, Seq(idCol))
+        .groupBy(col("__bkt"))
+        .agg(sum(round(col("__r") * col("__x"), 12).cast("decimal(30,12)"))
+          .cast("double").as("__g"))
+      w = w.join(g, Seq("__bkt"), "left")
+        .select(col("__bkt"),
+          (col("__w") - lit(lr) * coalesce(col("__g"), lit(0.0)) / nDocs).as("__w"))
+        .localCheckpoint()
+    }
+    w.select(col("__bkt").cast("long").as("bucket"),
+      round(col("__w"), 9).as("weight"))
+  }
+
   /** Text normalization for training corpora: lowercase, strip
     * non-alphanumerics, collapse whitespace. Narrow, codegen'd. */
   def scrub(text: Column): Column =

@@ -1361,6 +1361,24 @@ class CorpusIOSpec extends SparkSpec {
     assert(got(3L) == ((2L, ref(Seq("gamma", "delta")))))
   }
 
+  test("logregTrain: trained weights separate the classes and feed linearScore " +
+    "directly (train half of the inference contract)") {
+    import spark.implicits._
+    val docs = load("documents")
+    val isPos = col("source").startsWith("src1")
+    val w = TextAnalysis.logregTrain(docs, isPos, buckets = 64, steps = 5, lr = 1.0)
+      .orderBy("bucket").select("weight").as[Double].collect()
+    assert(w.length == 64 && w.exists(_ != 0.0), "training must move some weight")
+    // the trained weights plug straight into the inference op: on the
+    // training set, positives must score above negatives on average
+    val scored = TextAnalysis.linearScore(docs, w.toSeq)
+      .join(docs.select(col("doc_id"), isPos.as("__pos")), Seq("doc_id"))
+    val means = scored.groupBy(col("__pos")).agg(avg(col("score")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"positives must outscore negatives, got $means")
+  }
+
   test("linearScore broadcast-join form is bit-identical to the literal form " +
     "at 100k buckets, and the dispatcher picks it above the threshold") {
     import spark.implicits._
