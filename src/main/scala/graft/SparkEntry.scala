@@ -960,6 +960,32 @@ object SparkEntry {
           col("png.bit_depth").as("bit_depth"), col("png.color_type").as("color_type"))
         .orderBy("media_id")
     }),
+    // JPEG frame-header parsing: the payload is synthesized with a
+    // VARIABLE-length comment segment before the SOF0, so the parser
+    // must walk the marker-segment chain (pos → pos + 2 + len), not
+    // read fixed offsets — the oracle recomputes the builder formulas
+    "q116_jpeg_meta" -> ((s, dir) => {
+      val w = (col("n_chars") % 640 + 1).cast("long")
+      val h = (col("n_chars") % 480 + 1).cast("long")
+      val comLen = (col("n_chars") % 7 + 1).cast("int") // comment bytes
+      val payload = unhex(concat(
+        lit("FFD8"),                                    // SOI
+        lit("FFFE"), lpad(hex(comLen + 2), 4, "0"),     // COM, var length
+        expr("rpad('', int((n_chars % 7 + 1) * 2), '41')"), // comment body
+        lit("FFDB0005000000"),                          // DQT stub
+        lit("FFC00011" + "08"),                         // SOF0, len 17, prec 8
+        lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+        lit("03" + "010011" + "020011" + "030011"),     // 3 components
+        lit("FFD9")))                                   // EOI
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), payload.as("payload"))
+      Multimodal.containerMeta(media)
+        .select(col("media_id"),
+          col("jpeg.width").as("width"), col("jpeg.height").as("height"),
+          col("jpeg.precision").as("precision"),
+          col("jpeg.n_components").as("n_components"))
+        .orderBy("media_id")
+    }),
     "q35_catalog_tables" -> ((s, dir) => {
       val cat = new SchemaCatalog(s, dir)
       // tableDefs fans the footer reads out in parallel — the serial
@@ -1292,6 +1318,14 @@ object SparkEntry {
         |  CAST(n_chars % 640 + 1 AS INT) AS width,
         |  CAST(n_chars % 480 + 1 AS INT) AS height,
         |  CAST(8 AS INT) AS bit_depth, CAST(2 AS INT) AS color_type
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the builder formulas the JPEG marker-segment scan must invert
+    "q116_jpeg_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(n_chars % 640 + 1 AS INT) AS width,
+        |  CAST(n_chars % 480 + 1 AS INT) AS height,
+        |  CAST(8 AS INT) AS precision, CAST(3 AS INT) AS n_components
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q34_multimodal_features" ->

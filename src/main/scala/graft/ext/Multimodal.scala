@@ -132,6 +132,79 @@ object Multimodal {
     when(isWav, meta)
   }
 
+  /** Byte at COLUMN position `pos` (1-based) as an unsigned long;
+    * null past the end of the payload. */
+  private def byteAt(bin: Column, pos: Column): Column =
+    when(length(bin.substr(pos, lit(1))) === 1,
+      conv(hex(bin.substr(pos, lit(1))), 16, 10).cast("long"))
+
+  /** Big-endian unsigned int of `len` bytes at COLUMN position `pos`;
+    * null when the payload is shorter. */
+  private def beUintAt(bin: Column, pos: Column, len: Int): Column =
+    when(length(bin.substr(pos, lit(len))) === len,
+      conv(hex(bin.substr(pos, lit(len))), 16, 10).cast("long"))
+
+  /** JFIF/JPEG SOF markers carrying frame dimensions (every SOFn
+    * except the non-frame C4/C8/CC). */
+  private val JpegSofMarkers: Seq[Long] =
+    Seq(0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF).map(_.toLong)
+
+  /** Parse JPEG frame metadata (width, height, precision,
+    * n_components) from the SOFn segment. Unlike PNG's fixed-offset
+    * IHDR, JPEG puts the frame header after a VARIABLE number of
+    * variable-length segments (APPn/EXIF blobs, comments,
+    * quantization tables), so this is a genuine marker-segment scan:
+    * a bounded fold (`maxSegments` steps, default 32 — real files
+    * carry a few dozen pre-SOF segments at most) walks
+    * `pos → pos + 2 + len` through the segment chain entirely in
+    * codegen-friendly binary slicing (`substr`/`hex`/`conv` — no
+    * UDF, narrow, zero shuffles). Malformed chains (no 0xFF where a
+    * marker must start, entropy data / EOI before any SOF, truncated
+    * lengths) and non-JPEG payloads yield a null struct, so a mixed
+    * 100 TB media lake scans with one projection and filters by
+    * `jpeg.width IS NOT NULL`. */
+  def jpegMeta(payload: Column, maxSegments: Int = 32): Column = {
+    val isJpeg = hex(substring(payload, 1, 2)) === lit("FFD8")
+    def st(pos: Column, w: Column, h: Column, prec: Column, nc: Column,
+           found: Column, dead: Column): Column =
+      struct(pos.as("pos"), w.as("w"), h.as("h"), prec.as("prec"),
+        nc.as("nc"), found.as("found"), dead.as("dead"))
+    val zero = lit(0L)
+    val init = st(lit(3L), zero, zero, zero, zero, lit(false), lit(false))
+    val state = aggregate(sequence(lit(1), lit(maxSegments)), init, (acc, _) => {
+      val pos = acc.getField("pos")
+      val keep = st(pos, acc.getField("w"), acc.getField("h"),
+        acc.getField("prec"), acc.getField("nc"),
+        acc.getField("found"), acc.getField("dead"))
+      val deadSt = st(pos, zero, zero, zero, zero, lit(false), lit(true))
+      val ff = byteAt(payload, pos)
+      val m = byteAt(payload, pos + 1)
+      val segLen = beUintAt(payload, pos + 2, 2)
+      val w = beUintAt(payload, pos + 7, 2)
+      val h = beUintAt(payload, pos + 5, 2)
+      val prec = byteAt(payload, pos + 4)
+      val nc = byteAt(payload, pos + 9)
+      val sof = st(pos, w, h, prec, nc, lit(true), lit(false))
+      when(acc.getField("found") || acc.getField("dead"), keep)
+        // a marker must start here; entropy data (SOS), EOI, or
+        // length-less restart markers before any SOF = no frame header
+        .when(ff.isNull || ff =!= 255L || m.isNull ||
+          m === 217L || m === 218L || (m >= 208L && m <= 215L), deadSt)
+        .when(m.isin(JpegSofMarkers: _*),
+          when(w.isNull || h.isNull || prec.isNull || nc.isNull, deadSt)
+            .otherwise(sof))
+        .when(segLen.isNull, deadSt)
+        .otherwise(st(pos + 2 + segLen, zero, zero, zero, zero,
+          lit(false), lit(false)))
+    })
+    when(isJpeg && state.getField("found"),
+      struct(state.getField("w").cast("int").as("width"),
+        state.getField("h").cast("int").as("height"),
+        state.getField("prec").cast("int").as("precision"),
+        state.getField("nc").cast("int").as("n_components")))
+  }
+
   /** Scan a media frame, attaching parsed container metadata columns —
     * the real half of "decode": header fields come from the bytes
     * themselves, only pixel/sample decoding remains stubbed. */
@@ -139,5 +212,6 @@ object Multimodal {
     media.select(col("media_id"),
       length(col("payload")).cast("long").as("n_bytes"),
       pngMeta(col("payload")).as("png"),
-      wavMeta(col("payload")).as("wav"))
+      wavMeta(col("payload")).as("wav"),
+      jpegMeta(col("payload")).as("jpeg"))
 }

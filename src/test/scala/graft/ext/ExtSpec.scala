@@ -990,6 +990,34 @@ class SimilaritySpec extends SparkSpec {
 
 class MultimodalSpec extends SparkSpec {
 
+  test("jpegMeta walks the marker-segment chain: JFIF APP0 + EXIF-sized " +
+    "segments skipped, SOF parsed; malformed/non-JPEG payloads yield null") {
+    import spark.implicits._
+    def hexBytes(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // realistic JFIF: SOI, APP0 (16 bytes), big COM, DQT, SOF2
+    // (progressive), EOI — width 0x0280=640, height 0x01E0=480, 3 comps
+    val jfif = hexBytes("FFD8" +
+      "FFE000104A46494600010101006000600000" +
+      "FFFE0020" + "41" * 30 +
+      "FFDB0005000000" +
+      "FFC2001108" + "01E0" + "0280" + "03010011020011030011" +
+      "FFD9")
+    val truncated = hexBytes("FFD8FFE000104A46494600")        // dies mid-APP0
+    val sosFirst = hexBytes("FFD8FFDA0008000000000000")       // entropy before SOF
+    val notJpeg = hexBytes("89504E470D0A1A0A0000000D49484452")
+    val rows = Seq((1L, jfif), (2L, truncated), (3L, sosFirst), (4L, notJpeg))
+      .toDF("media_id", "payload")
+    val got = Multimodal.containerMeta(rows)
+      .select(col("media_id"), col("jpeg.width"), col("jpeg.height"),
+        col("jpeg.precision"), col("jpeg.n_components"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))))
+      .toMap
+    assert(got(1L).contains((640, 480, 8, 3)))
+    assert(got(2L).isEmpty && got(3L).isEmpty && got(4L).isEmpty)
+  }
+
   test("media schema carries binary payload + typed metadata") {
     val media = Multimodal.fromDocuments(load("documents"))
     assert(media.schema("payload").dataType.typeName == "binary")
