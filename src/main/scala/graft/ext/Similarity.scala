@@ -137,7 +137,17 @@ object Similarity {
     * (`__cell`) attached, plus the centroid table
     * `(__cell, __centroid)`. Build once, query many — and persist with
     * [[ivfWrite]] so probed-cell reads become partition-pruned scans. */
-  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame,
+                            quantizer: String = IvfIndex.Trained)
+
+  object IvfIndex {
+    /** Quantizer kinds — persisted as a marker so the append paths
+      * cannot silently mix refresh semantics (a deterministic append
+      * would REPLACE trained centroids with grid means; a trained add
+      * would freeze a quantizer that expects exact refresh). */
+    val Trained = "trained"
+    val Deterministic = "deterministic"
+  }
 
   /** Deterministic bounded training sample for the KMeans quantizer:
     * the `cap` hash-smallest rows (a pseudo-random-but-reproducible
@@ -180,7 +190,7 @@ object Similarity {
     val centDf = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("__cell", "__centroid")
-    IvfIndex(assigned, centDf)
+    IvfIndex(assigned, centDf, IvfIndex.Trained)
   }
 
   /** Build an IVF index with a DETERMINISTIC coarse quantizer: cells
@@ -203,7 +213,8 @@ object Similarity {
                             vecCol: String = "embedding"): IvfIndex = {
     val assigned = signBuckets(df, planes, dim, idCol, vecCol)
       .withColumn("__cell", col("bucket").cast("int")).drop("bucket")
-    IvfIndex(assigned, deterministicCentroids(assigned, vecCol))
+    IvfIndex(assigned, deterministicCentroids(assigned, vecCol),
+      IvfIndex.Deterministic)
   }
 
   /** 2^24 grid: full float mantissa — per-component long sums of
@@ -262,8 +273,11 @@ object Similarity {
                              vecCol: String = "embedding"): IvfIndex = {
     val newAssigned = signBuckets(batch, planes, dim, idCol, vecCol)
       .withColumn("__cell", col("bucket").cast("int")).drop("bucket")
+    require(index.quantizer == IvfIndex.Deterministic,
+      s"ivfAppendDeterministic needs a deterministic-quantizer index, got '${index.quantizer}' — use ivfAppendTrained")
     val assigned = index.assigned.unionByName(newAssigned)
-    IvfIndex(assigned, deterministicCentroids(assigned, vecCol))
+    IvfIndex(assigned, deterministicCentroids(assigned, vecCol),
+      IvfIndex.Deterministic)
   }
 
   /** Append a batch to a PERSISTED deterministic IVF index: the batch
@@ -281,6 +295,12 @@ object Similarity {
   def ivfAppendWrite(path: String, batch: DataFrame, planes: Int, dim: Int,
                      filesPerCell: Int = 1, idCol: String = "vec_id",
                      vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val kind = quantizerKind(spark, path)
+    require(kind == IvfIndex.Deterministic,
+      s"ivfAppendWrite refreshes centroids as exact grid means — calling it on a " +
+        s"'$kind'-quantizer index would replace the trained centroids; " +
+        "use ivfAppendWriteTrained")
     val newAssigned = signBuckets(batch, planes, dim, idCol, vecCol)
       .withColumn("__cell", col("bucket").cast("int")).drop("bucket")
     val clustered =
@@ -289,7 +309,6 @@ object Similarity {
         pmod(hash(newAssigned.columns.map(col): _*), lit(filesPerCell)))
     clustered.write.mode("append").partitionBy("__cell")
       .parquet(s"$path/assigned")
-    val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base =
@@ -340,12 +359,29 @@ object Similarity {
       .parquet(s"$path/centroids")
     centroidPartials(a, vecCol).coalesce(1).write.mode("overwrite")
       .parquet(s"$path/partials")
+    val spark = a.sparkSession
+    import spark.implicits._
+    Seq(index.quantizer).toDF("kind").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/quantizer")
+  }
+
+  /** The persisted quantizer-kind marker; indexes written before the
+    * marker existed read back as deterministic (the only kind the
+    * original append path supported). */
+  private def quantizerKind(spark: org.apache.spark.sql.SparkSession,
+                            path: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/quantizer")))
+      spark.read.parquet(s"$path/quantizer").head().getString(0)
+    else IvfIndex.Deterministic
   }
 
   /** Reload a persisted IVF index. */
   def ivfRead(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
     IvfIndex(spark.read.parquet(s"$path/assigned"),
-      spark.read.parquet(s"$path/centroids"))
+      spark.read.parquet(s"$path/centroids"),
+      quantizerKind(spark, path))
 
   /** Assign vectors to their nearest centroid from a centroid TABLE
     * (squared L2, ties to the lowest cell id — KMeans' own
@@ -381,12 +417,16 @@ object Similarity {
     * cell is a correct nearest-centroid answer). */
   def ivfAppendTrained(index: IvfIndex, batch: DataFrame,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): IvfIndex =
+                       vecCol: String = "embedding"): IvfIndex = {
+    require(index.quantizer == IvfIndex.Trained,
+      s"ivfAppendTrained assigns by centroid argmin — on a '${index.quantizer}'" +
+        "-quantizer index cells are sign buckets; use ivfAppendDeterministic")
     IvfIndex(
       index.assigned.unionByName(
         assignToCentroids(batch, index.centroids, idCol, vecCol)
           .select(index.assigned.columns.map(col).toIndexedSeq: _*)),
-      index.centroids)
+      index.centroids, IvfIndex.Trained)
+  }
 
   /** Persisted form of [[ivfAppendTrained]]: batch rows are assigned
     * against the stored centroid table and appended into their cell
@@ -401,6 +441,9 @@ object Similarity {
                             idCol: String = "vec_id",
                             vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
+    require(quantizerKind(spark, path) == IvfIndex.Trained,
+      "ivfAppendWriteTrained freezes the centroids — on a deterministic-quantizer " +
+        "index that would silently stop the exact refresh; use ivfAppendWrite")
     val cents = spark.read.parquet(s"$path/centroids")
     val newAssigned = assignToCentroids(batch, cents, idCol, vecCol)
     val clustered =

@@ -832,6 +832,28 @@ class SimilaritySpec extends SparkSpec {
       "merged partials must refresh centroids bit-identical to a rebuild")
   }
 
+  test("quantizer-kind guards: mixing append semantics across index kinds is refused") {
+    val emb = load("embeddings")
+    val det = Similarity.ivfBuildDeterministic(emb, planes = 3, dim = 64)
+    val tr = Similarity.ivfBuild(emb, nLists = 4)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAppendTrained(det, emb)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAppendDeterministic(tr, emb, planes = 3, dim = 64)
+    }
+    val p1 = java.nio.file.Files.createTempDirectory("graft-ivf-guard1").toString
+    Similarity.ivfWrite(tr, p1)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAppendWrite(p1, emb, planes = 3, dim = 64)
+    }
+    val p2 = java.nio.file.Files.createTempDirectory("graft-ivf-guard2").toString
+    Similarity.ivfWrite(det, p2)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAppendWriteTrained(p2, emb)
+    }
+  }
+
   test("ivfAppendTrained (FAISS add): batch assigns to the nearest existing " +
     "centroid, centroids frozen; probe spans old and new rows") {
     val emb = load("embeddings")
