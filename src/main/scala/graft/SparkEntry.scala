@@ -487,6 +487,17 @@ object SparkEntry {
       Corpus.bpeEncode(t(s, dir, "documents").filter(col("doc_id") < 50), merges)
         .orderBy("doc_id", "pos", "piece_idx")
     }),
+    // DSIR importance resampling: raw docs re-weighted toward the
+    // src1* target distribution via hashed-bucket log-ratios, sampled
+    // without replacement by the deterministic E-S machinery
+    "q117_dsir_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.dsirSample(
+        raw = docs.filter(!col("source").startsWith("src1")),
+        target = docs.filter(col("source").startsWith("src1")),
+        k = 25, buckets = 256)
+        .orderBy("rnk")
+    }),
     // quality-classifier TRAINING (the train half of q103's inference):
     // hashed-bag logistic regression, 3 full-batch GD steps, decimal-
     // summed products and 9-dp sigmoid rounding — weights reproduce
@@ -1897,6 +1908,7 @@ object SparkEntry {
     "q113_bpe_train" -> bpeTrainOracle(8),
     "q114_bpe_encode" -> bpeEncodeOracle(8, 50),
     "q115_logreg_train" -> logregTrainOracle(64, 3, 0.5),
+    "q117_dsir_sample" -> dsirSampleOracle(25, 256),
 
     // k-th smallest = value at sorted position ceil(p*n) in the
     // multiset; with duplicates the VALUE at position k is unique even
@@ -2265,6 +2277,60 @@ object SparkEntry {
     * `list_reduce` string fold over a U+001F-joined segmentation (the
     * same greedy left-to-right rule as `Corpus.applyMerge`; symbols
     * never contain the separator). */
+  /** q117 oracle: the DSIR pipeline in SQL — hashed-bucket
+    * Laplace-smoothed log-ratios (each `ln` rounded once to 9 dp,
+    * carried as DECIMAL so the per-doc sum is order-free), per-token
+    * average importance, E-S priorities from the q108 md5-uniform
+    * recipe, global top-k. */
+  private def dsirSampleOracle(k: Int, buckets: Int): String = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1)"
+    val bkt = s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % $buckets"
+    val hx = "md5('dsir|' || CAST(doc_id AS VARCHAR))"
+    val v = (1 to 13).map { i =>
+      val w = math.pow(16, 13 - i).toLong
+      s"(strpos('0123456789abcdef', substr($hx, $i, 1)) - 1) * $w"
+    }.mkString("\n    + ")
+    s"""WITH rawtok AS (
+       |  SELECT doc_id, $bkt AS bkt FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents WHERE source NOT LIKE 'src1%') WHERE tok <> ''),
+       |tgttok AS (
+       |  SELECT $bkt AS bkt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS tok
+       |    FROM documents WHERE source LIKE 'src1%') WHERE tok <> ''),
+       |ct AS (SELECT bkt, count(*) AS c FROM tgttok GROUP BY bkt),
+       |cr AS (SELECT bkt, count(*) AS c FROM rawtok GROUP BY bkt),
+       |nt AS (SELECT count(*) AS n FROM tgttok),
+       |nr AS (SELECT count(*) AS n FROM rawtok),
+       |delta AS (
+       |  SELECT s.bkt,
+       |    CAST(round(ln((COALESCE(ct.c, 0) + 1.0) / (nt.n + $buckets.0)), 9)
+       |      AS DECIMAL(28,9))
+       |    - CAST(round(ln((COALESCE(cr.c, 0) + 1.0) / (nr.n + $buckets.0)), 9)
+       |      AS DECIMAL(28,9)) AS d
+       |  FROM (SELECT unnest(range(0, $buckets)) AS bkt) s
+       |  LEFT JOIN ct USING (bkt) LEFT JOIN cr USING (bkt)
+       |  CROSS JOIN nt CROSS JOIN nr),
+       |feat AS (SELECT doc_id, bkt, count(*) AS c FROM rawtok GROUP BY doc_id, bkt),
+       |nlen AS (SELECT doc_id, count(*) AS n FROM rawtok GROUP BY doc_id),
+       |scored AS (
+       |  SELECT f.doc_id, nlen.n AS n_tokens,
+       |    CAST(SUM(f.c * d.d) AS DOUBLE) / nlen.n AS avg_logratio
+       |  FROM feat f JOIN delta d USING (bkt) JOIN nlen USING (doc_id)
+       |  GROUP BY f.doc_id, nlen.n),
+       |pri AS (
+       |  SELECT doc_id, n_tokens, avg_logratio,
+       |    round(ln((CAST($v AS DOUBLE) + 0.5) / 4503599627370496.0)
+       |      / exp(avg_logratio), 9) AS p
+       |  FROM scored)
+       |SELECT rnk, doc_id, n_tokens, avg_logratio, p AS log_priority FROM (
+       |  SELECT doc_id, n_tokens, avg_logratio, p,
+       |    CAST(row_number() OVER (ORDER BY p DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM pri)
+       |WHERE rnk <= $k
+       |ORDER BY rnk""".stripMargin
+  }
+
   /** q115 oracle: the GD loop unrolled to `steps` generated CTE
     * stages — per-doc decimal-summed margins, 9-dp-rounded sigmoid
     * residuals, per-bucket decimal-summed gradients, the identical

@@ -480,6 +480,80 @@ object Corpus {
       .select(col(keyCol), (col("pos") + 1).cast("long").as("rnk"),
         col("s.id").as(idCol), col("s.ord").as("ord"))
 
+  /** DSIR-style importance resampling (Xie et al. 2023,
+    * arXiv:2302.03169): select raw-corpus documents whose hashed
+    * n-gram distribution looks like the TARGET corpus. Per hashed
+    * bucket `b`, a Laplace-smoothed log-ratio
+    * `Δ_b = ln p_target(b) − ln p_raw(b)` is computed over the two
+    * corpora's token streams; a document's importance is its
+    * per-token average `L̄_d = (Σ_b c_db·Δ_b)/n_d`, and `k` documents
+    * are drawn without replacement with weight `exp(L̄_d)` via the
+    * same deterministic Efraimidis–Spirakis machinery as
+    * `TextAnalysis.weightedSample` (md5 uniforms, bounded TopK — the
+    * shuffle carries the sample, not the corpus).
+    *
+    * Scale shape: two token-stream aggregations collapse each corpus
+    * to a `buckets`-row model joined back as a broadcast; per-doc
+    * scoring is one keyed aggregation; selection is a map-side-partial
+    * global top-k. Engine-reproducible: each `ln` is rounded once
+    * (9 dp) and carried as DECIMAL, so the per-doc sum
+    * `Σ c_db·Δ_b` is exact in any summation order.
+    * Output (rnk, idCol, n_tokens, avg_logratio, log_priority). */
+  def dsirSample(raw: DataFrame, target: DataFrame, k: Int, buckets: Int = 256,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0 && buckets > 0, "need k/buckets > 0")
+    val spark = raw.sparkSession
+    val toks = TextAnalysis.tokens(col(textCol))
+    def bucketCounts(df: DataFrame, cName: String) = df
+      .select(explode(toks).as("__t"))
+      .select(pmod(Dedup.hash16(col("__t")), lit(buckets.toLong)).as("__bkt"))
+      .groupBy(col("__bkt")).agg(count(lit(1)).as(cName))
+    val tTot = target.select(explode(toks).as("__t")).agg(count(lit(1)).as("__nt"))
+    val rTot = raw.select(explode(toks).as("__t")).agg(count(lit(1)).as("__nr"))
+    // decimal(12,9), NOT wider: a long x decimal(28,9) product
+    // overflows precision 38 and Spark's allowPrecisionLoss rule
+    // silently cuts the product to scale 6 — the exactness this whole
+    // recipe exists for would be lost. |ln p| < 100 here, so 3
+    // integer digits + 9 scale fit in (12,9), and the c x delta
+    // product stays an exact decimal(34,9).
+    def smoothedLog(c: Column, n: Column): Column =
+      round(log((coalesce(c, lit(0L)) + lit(1.0)) / (n + lit(buckets.toDouble))), 9)
+        .cast("decimal(12,9)")
+    val delta = spark.range(buckets).select(col("id").as("__bkt"))
+      .join(bucketCounts(target, "__ct"), Seq("__bkt"), "left")
+      .join(bucketCounts(raw, "__cr"), Seq("__bkt"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("__bkt"),
+        (smoothedLog(col("__ct"), col("__nt"))
+          - smoothedLog(col("__cr"), col("__nr"))).as("__delta"))
+    val feat = raw
+      .select(col(idCol), size(toks).cast("long").as("n_tokens"),
+        explode(toks).as("__t"))
+      .select(col(idCol), col("n_tokens"),
+        pmod(Dedup.hash16(col("__t")), lit(buckets.toLong)).as("__bkt"))
+      .groupBy(col(idCol), col("n_tokens"), col("__bkt"))
+      .agg(count(lit(1)).as("__c"))
+    val scored = feat.join(broadcast(delta), Seq("__bkt"))
+      .groupBy(col(idCol), col("n_tokens"))
+      .agg(sum(col("__c") * col("__delta")).as("__L"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__L").cast("double") / col("n_tokens")).as("avg_logratio"))
+    val hx = md5(concat(lit("dsir|"), col(idCol).cast("string")))
+    def nibAt(i: Int) = instr(lit("0123456789abcdef"), substring(hx, i, 1)) - 1
+    val v = (1 to 13).foldLeft(lit(0L)) { (acc, i) => acc * 16 + nibAt(i).cast("long") }
+    val u = (v.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val pri = round(log(u) / exp(col("avg_logratio")), 9)
+    val sel = scored
+      .agg(graft.functions.TopK.topK(k, pri, col(idCol)).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "s")))
+      .select((col("pos") + 1).cast("long").as("rnk"),
+        col("s.id").as(idCol), col("s.ord").as("log_priority"))
+    sel.join(scored.select(col(idCol), col("n_tokens"), col("avg_logratio")),
+        Seq(idCol))
+      .select(col("rnk"), col(idCol), col("n_tokens"),
+        col("avg_logratio"), col("log_priority"))
+  }
+
   /** Apply ONE BPE merge (l, r) → l+r to a symbol-array column:
     * greedy left-to-right, non-overlapping — the canonical
     * merge-application rule (a left fold whose freshly merged symbol

@@ -232,6 +232,21 @@ class CorpusSpec extends SparkSpec {
     assert(enc.exists(_._4.length > 1))
   }
 
+  test("dsirSample prefers raw docs that look like the target distribution") {
+    val target = (1 to 20)
+      .map(i => (100L + i, Seq.fill(5)("alpha beta gamma delta").mkString(" "), "t"))
+      .toDF("doc_id", "text", "source")
+    val raw = ((1 to 10)
+      .map(i => (i.toLong, Seq.fill(4)("alpha beta gamma delta epsilon").mkString(" "), "r")) ++
+      (11 to 20)
+        .map(i => (i.toLong, Seq.fill(4)("zeta eta theta iota kappa").mkString(" "), "r")))
+      .toDF("doc_id", "text", "source")
+    val picked = Corpus.dsirSample(raw, target, k = 5, buckets = 64)
+      .select("doc_id").as[Long].collect().toSet
+    assert(picked.size == 5 && picked.forall(_ <= 10L),
+      s"target-like docs must dominate the sample, got $picked")
+  }
+
   test("bpeTrain stops early when the vocab is fully merged") {
     val d = docs((1L, "ab ab ab", "a"))
     val m = Corpus.bpeTrain(d, numMerges = 10)
