@@ -42,6 +42,9 @@ object Main {
     |  export-jsonl --path DIR --target DIR
     |  curate-stream --landing DIR --index DIR --corpus DIR --checkpoint DIR
     |                [--bands 3 --rows-per-band 2] [--pairs DIR] [--follow true]
+    |  bpe-train     --corpus PARQUET_DIR --merges N --target DIR
+    |  train-quality --corpus PARQUET_DIR --label-source-prefix P --target DIR
+    |                [--buckets 64 --steps 3 --lr 0.5]
     |""".stripMargin
 
   /** `--flag value` pairs; repeatable flags accumulate in order. */
@@ -132,6 +135,27 @@ object Main {
           one("index"), one("corpus"), one("checkpoint"), bands, rpb,
           pairsPath = f("pairs").headOption, trigger = trigger)
         q.awaitTermination()
+      case "bpe-train" =>
+        // tokenizer training from the command line: corpus parquet in,
+        // ordered merges table out (ext/Corpus.bpeTrain)
+        val n = parsed("merges", one("merges"))(_.toInt)
+        ext.Corpus.bpeTrain(spark.read.parquet(one("corpus")), numMerges = n)
+          .coalesce(1).write.mode("overwrite").parquet(one("target"))
+      case "train-quality" =>
+        // quality-classifier training: logistic regression on hashed
+        // bags, label = source starts with the given prefix; weights
+        // parquet feeds linearScore (ext/TextAnalysis.logregTrain)
+        val buckets = f("buckets").headOption
+          .map(v => parsed("buckets", v)(_.toInt)).getOrElse(64)
+        val steps = f("steps").headOption
+          .map(v => parsed("steps", v)(_.toInt)).getOrElse(3)
+        val lr = f("lr").headOption
+          .map(v => parsed("lr", v)(_.toDouble)).getOrElse(0.5)
+        ext.TextAnalysis.logregTrain(spark.read.parquet(one("corpus")),
+            label = org.apache.spark.sql.functions.col("source")
+              .startsWith(one("label-source-prefix")),
+            buckets = buckets, steps = steps, lr = lr)
+          .coalesce(1).write.mode("overwrite").parquet(one("target"))
       case "other-objects" =>
         val g = new Graft(spark, f("data").headOption.getOrElse("."))
         val t = target(g, one("target"))

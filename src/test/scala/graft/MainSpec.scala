@@ -59,6 +59,21 @@ class MainSpec extends SparkSpec {
     assert(back.exceptAll(all).isEmpty && all.exceptAll(back).isEmpty)
   }
 
+  test("bpe-train and train-quality verbs write model tables through argv") {
+    val merges = Files.createTempDirectory("graft-cli-bpe").toString
+    Main.main(Array("bpe-train", "--corpus", s"$sf/documents.parquet",
+      "--merges", "4", "--target", merges))
+    val m = spark.read.parquet(merges)
+    assert(m.count() == 4 &&
+      m.columns.toSet == Set("rank", "left_sym", "right_sym", "pair_count"))
+    val weights = Files.createTempDirectory("graft-cli-quality").toString
+    Main.main(Array("train-quality", "--corpus", s"$sf/documents.parquet",
+      "--label-source-prefix", "src1", "--target", weights,
+      "--steps", "2", "--buckets", "32"))
+    val w = spark.read.parquet(weights)
+    assert(w.count() == 32 && w.columns.toSet == Set("bucket", "weight"))
+  }
+
   test("unknown verb and missing flags fail loudly") {
     intercept[RuntimeException](Main.main(Array("frobnicate", "--x", "y")))
     intercept[RuntimeException](Main.main(Array("copy-tree", "--data", sf)))
