@@ -336,6 +336,11 @@ object SparkEntry {
     "q101_trigram_lm" -> ((s, dir) =>
       Corpus.trigramLogProb(t(s, dir, "documents"))
         .orderBy("doc_id")),
+    // Kneser-Ney bigram LM: fixed-discount mass routed to CONTINUATION
+    // probabilities — the production perplexity-filter smoothing
+    "q118_kneser_ney" -> ((s, dir) =>
+      Corpus.kneserNeyLogProb(t(s, dir, "documents"))
+        .orderBy("doc_id")),
     // conjunctive search via inverted-index posting intersection —
     // work scales with matched postings, not corpus text
     "q79_phrase_search" -> ((s, dir) =>
@@ -1574,6 +1579,34 @@ object SparkEntry {
         |        CAST(round(ln(CAST(c_pair AS DOUBLE) / c_prefix), 9)
         |          AS DECIMAL(28,9)) AS lp
         |      FROM pc JOIN pfx USING (t1)),
+        |s AS (SELECT doc_id, count(*) AS n_bigrams, SUM(lp) AS sm
+        |      FROM bg JOIN m USING (t1, t2) GROUP BY 1)
+        |SELECT doc_id, n_bigrams, CAST(sm AS DOUBLE) AS sum_logprob,
+        |  CAST(sm AS DOUBLE) / n_bigrams AS avg_logprob
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // KN probability assembled in the IDENTICAL association as the
+    // Spark column expression (left-assoc products, every count forced
+    // to DOUBLE before the arithmetic — DuckDB would otherwise run
+    // `c - 0.75` in DECIMAL)
+    "q118_kneser_ney" ->
+      """WITH b AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(tl) - 1),
+        |      i -> {'t1': tl[i], 't2': tl[i + 1]})) AS bg
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tl
+        |        FROM documents)),
+        |bg AS (SELECT doc_id, bg.t1 AS t1, bg.t2 AS t2 FROM b),
+        |pc AS (SELECT t1, t2, count(*) AS c_pair FROM bg GROUP BY 1, 2),
+        |cw1 AS (SELECT t1, SUM(c_pair) AS c1, count(*) AS n1p_w1 FROM pc GROUP BY 1),
+        |cw2 AS (SELECT t2, count(*) AS n1p_w2 FROM pc GROUP BY 1),
+        |npp AS (SELECT count(*) AS n FROM pc),
+        |m AS (SELECT t1, t2, CAST(round(ln(
+        |        greatest(CAST(c_pair AS DOUBLE) - 0.75, 0.0) / c1
+        |          + ((0.75 * CAST(n1p_w1 AS DOUBLE)) / c1)
+        |            * (CAST(n1p_w2 AS DOUBLE) / npp.n)
+        |      ), 9) AS DECIMAL(28,9)) AS lp
+        |      FROM pc JOIN cw1 USING (t1) JOIN cw2 USING (t2) CROSS JOIN npp),
         |s AS (SELECT doc_id, count(*) AS n_bigrams, SUM(lp) AS sm
         |      FROM bg JOIN m USING (t1, t2) GROUP BY 1)
         |SELECT doc_id, n_bigrams, CAST(sm AS DOUBLE) AS sum_logprob,

@@ -281,6 +281,59 @@ object Corpus {
         (col("__sum").cast("double") / col("n_bigrams")).as("avg_logprob"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM scoring (Kneser & Ney 1995;
+    * Chen & Goodman 1999's fixed-discount form) — the smoothing
+    * production n-gram perplexity filters actually use, one rung
+    * above [[trigramLogProb]]'s plain interpolation: per bigram
+    * position,
+    * `p(w2|w1) = max(c12−D, 0)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/N1+(··)`
+    * — the discount mass freed from seen bigrams is given to the
+    * CONTINUATION probability (how many distinct contexts a word
+    * completes), the insight that makes KN the standard ("Francisco"
+    * is frequent but only ever follows "San", so its unigram backoff
+    * weight should be tiny).
+    *
+    * Shape at scale — everything derives from the bigram-pair table,
+    * hierarchically (the trigram-LM recipe): one map-side-combined
+    * group-by collapses the occurrence stream to c12; c1 and the two
+    * continuation counts N1+(w1·), N1+(·w2) are window aggregates
+    * over that MODEL-SIZED table (`count(*)` per w1/w2 over distinct
+    * bigram rows IS the distinct-continuation count — no
+    * countDistinct state); N1+(··) is a 1-row broadcast. Determinism:
+    * all counts exact longs, the probability is assembled in double
+    * from exact inputs (correctly-rounded ops, identical cross-
+    * engine), each `ln` rounded once to 9 dp, per-doc sums DECIMAL.
+    * Output (idCol, n_bigrams, sum_logprob, avg_logprob). */
+  def kneserNeyLogProb(docs: DataFrame, discount: Double = 0.75,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    val bigrams = docs.select(col(idCol),
+        explode(graft.functions.TokenNgrams(TextAnalysis.tokens(col(textCol)), 2))
+          .as("bg"))
+      .localCheckpoint()
+    val c12 = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val w1 = substring_index(col("bg"), " ", 1)
+    val w2 = substring_index(col("bg"), " ", -1)
+    val nPlusAll = c12.agg(count(lit(1)).as("__npp"))
+    val model = c12
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy(w1)))
+      .withColumn("n1p_w1", count(lit(1)).over(Window.partitionBy(w1)))
+      .withColumn("n1p_w2", count(lit(1)).over(Window.partitionBy(w2)))
+      .crossJoin(broadcast(nPlusAll))
+      .select(col("bg"),
+        round(log(
+          greatest(col("c12") - discount, lit(0.0)) / col("c1")
+            + lit(discount) * col("n1p_w1") / col("c1")
+            * (col("n1p_w2").cast("double") / col("__npp"))), 9)
+          .cast("decimal(28,9)").as("logprob"))
+    bigrams.join(model, Seq("bg"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("logprob")).as("__sum"))
+      .select(col(idCol), col("n_bigrams"),
+        col("__sum").cast("double").as("sum_logprob"),
+        (col("__sum").cast("double") / col("n_bigrams")).as("avg_logprob"))
+  }
+
   /** Interpolated trigram LM scoring — the higher-order form of
     * [[bigramLogProb]]: per trigram position,
     * `p = λ3·c(w1w2w3)/c(w1w2·) + λ2·c(w2w3·)/c(w2··) + λ1·c(w3·)/N`,

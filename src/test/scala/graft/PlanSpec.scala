@@ -353,15 +353,15 @@ class PlanSpec extends SparkSpec {
     // the estimate-vs-exact comparison (same 1×N class as q68/q101);
     // q109's probe is ivfQuery's |Q|·nLists centroid cross (same coarse
     // quantizer shape already adjudicated for q39/q58/q94); q117's two
-    // corpus token totals are 1-row aggregates broadcast into the
-    // bucket-model smoothing (the q68/q80 class — the replacement for
-    // a driver-side count() action)
+    // corpus token totals and q118's N1+(··) distinct-bigram total are
+    // 1-row aggregates broadcast into model scoring (the q68/q80
+    // class — the replacement for a driver-side count() action)
     val exactBaselines = Set(
       "q30_neardup_cosine", "q27_jaccard_topk", "q28_cosine_topk",
       "q71_knn_classify", "q58_ann_ivf_recall", "q39_ann_ivf",
       "q68_tfidf", "q80_bm25", "q94_ivfpq", "q95_heavy_hitters",
       "q101_trigram_lm", "q102_ivfpq_recall", "q107_count_min",
-      "q109_ivf_append", "q117_dsir_sample")
+      "q109_ivf_append", "q117_dsir_sample", "q118_kneser_ney")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
       .flatMap { name =>

@@ -232,6 +232,51 @@ class CorpusSpec extends SparkSpec {
     assert(enc.exists(_._4.length > 1))
   }
 
+  test("kneserNeyLogProb matches a JVM reference and the KN mass identity " +
+    "(seen + continuation backoff sums to 1 over the vocab)") {
+    val d = docs(
+      (1L, "san francisco is a city san francisco bay", "a"),
+      (2L, "new york is a city new york state", "a"),
+      (3L, "the city by the bay", "b"))
+    val D = 0.75
+    // reference counts over the corpus bigram stream
+    val bgs = d.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .flatMap { case (id, t) =>
+        val ts = t.split(" ").filter(_.nonEmpty)
+        ts.sliding(2).filter(_.length == 2).map(p => (id, (p(0), p(1))))
+      }
+    val c12 = bgs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val c1 = c12.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1pW1 = c12.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1pW2 = c12.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val npp = c12.size.toLong
+    def p(w1: String, w2: String): Double =
+      math.max(c12.getOrElse((w1, w2), 0L) - D, 0.0) / c1(w1) +
+        ((D * n1pW1(w1)) / c1(w1)) * (n1pW2.getOrElse(w2, 0L).toDouble / npp)
+    def refDoc(id: Long): (Long, Double) = {
+      val mine = bgs.filter(_._1 == id).map(_._2)
+      (mine.length.toLong,
+        mine.map { case (a, b) =>
+          BigDecimal(math.log(p(a, b))).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }.sum.toDouble)
+    }
+    val got = Corpus.kneserNeyLogProb(d).orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect()
+    got.foreach { case (id, n, sum, avg) =>
+      val (wantN, wantSum) = refDoc(id)
+      assert(n == wantN && sum == wantSum && avg == sum / n,
+        s"doc $id: got ($n, $sum), want ($wantN, $wantSum)")
+    }
+    // the KN identity: for any seen context w1, sum over the FULL
+    // vocab of p(w2|w1) = 1 (discounted seen mass + continuation mass)
+    val vocab = (c12.keySet.map(_._1) ++ c12.keySet.map(_._2)).toSeq.distinct
+    for (w1 <- Seq("san", "the", "city")) {
+      val mass = vocab.map(w2 => p(w1, w2)).sum
+      assert(math.abs(mass - 1.0) < 1e-9,
+        s"KN mass for '$w1' must sum to 1 over the vocab, got $mass")
+    }
+  }
+
   test("dsirSample prefers raw docs that look like the target distribution") {
     val target = (1 to 20)
       .map(i => (100L + i, Seq.fill(5)("alpha beta gamma delta").mkString(" "), "t"))
