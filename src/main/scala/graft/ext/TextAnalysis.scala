@@ -265,8 +265,10 @@ object TextAnalysis {
     * are dropped (no features), matching [[linearScore]]. */
   def logregTrain(docs: DataFrame, label: Column, buckets: Int = 64,
                   steps: Int = 3, lr: Double = 0.5,
-                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                  idCol: String = "doc_id", textCol: String = "text",
+                  checkpointEvery: Int = 4): DataFrame = {
     require(buckets > 0 && steps >= 1 && lr > 0, "need buckets/steps/lr > 0")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val spark = docs.sparkSession
     val toks = tokens(col(textCol))
     val feat = docs.filter(size(toks) > 0)
@@ -283,7 +285,7 @@ object TextAnalysis {
     var w = spark.range(buckets)
       .select(col("id").as("__bkt"), lit(0.0).as("__w"))
       .localCheckpoint()
-    for (_ <- 1 to steps) {
+    for (step <- 1 to steps) {
       val z = feat.join(broadcast(w), Seq("__bkt"))
         .groupBy(col(idCol), col("__y"))
         .agg(sum(round(col("__w") * col("__x"), 12).cast("decimal(30,12)"))
@@ -297,7 +299,12 @@ object TextAnalysis {
       w = w.join(g, Seq("__bkt"), "left")
         .select(col("__bkt"),
           (col("__w") - lit(lr) * coalesce(col("__g"), lit(0.0)) / nDocs).as("__w"))
-        .localCheckpoint()
+      // the weight table is `buckets` rows — an EAGER checkpoint per
+      // step is pure job overhead, so the lineage cut is periodic:
+      // often enough to bound plan depth over a long training run,
+      // rare enough that a 3-step oracle run pays it once
+      if (step % checkpointEvery == 0 || step == steps)
+        w = w.localCheckpoint()
     }
     w.select(col("__bkt").cast("long").as("bucket"),
       round(col("__w"), 9).as("weight"))
