@@ -503,6 +503,18 @@ object SparkEntry {
         k = 25, buckets = 256)
         .orderBy("rnk")
     }),
+    // Moore-Lewis cross-entropy difference selection toward the SAME
+    // src1* target as q117 — LM likelihood-ratio ranking vs DSIR's
+    // hashed-distribution matching, the two published data-selection
+    // families side by side
+    "q119_moore_lewis" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.mooreLewisSelect(
+        raw = docs.filter(!col("source").startsWith("src1")),
+        inDomain = docs.filter(col("source").startsWith("src1")),
+        k = 30)
+        .orderBy("rnk")
+    }),
     // quality-classifier TRAINING (the train half of q103's inference):
     // hashed-bag logistic regression, 3 full-batch GD steps, decimal-
     // summed products and 9-dp sigmoid rounding — weights reproduce
@@ -596,6 +608,17 @@ object SparkEntry {
         Dedup.lshBands(Dedup.minhash(docs, k = 6), bands = 3, rowsPerBand = 2))
         .localCheckpoint()
       Dedup.connectedComponents(pairs).orderBy("doc_id")
+    }),
+    // leakage-safe split: hash-split by near-dup CLUSTER label so no
+    // near-duplicate pair straddles train/test — per-doc split (q41)
+    // made contamination-proof by the q50 component machinery
+    "q120_cluster_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+      val pairs = Dedup.candidatePairs(
+        Dedup.lshBands(Dedup.minhash(docs, k = 6), bands = 3, rowsPerBand = 2))
+        .localCheckpoint()
+      Dedup.clusterSafeSplit(docs, pairs)
+        .select("doc_id", "comp", "split").orderBy("doc_id")
     }),
     // the pipeline's end product: the corpus with one representative
     // kept per duplicate cluster (anti-join against the non-reps)
@@ -1376,6 +1399,7 @@ object SparkEntry {
     "q63_jaccard_estimate" -> jaccardEstimateOracle,
     "q50_dedup_components" -> dedupComponentsOracle,
     "q60_dedup_corpus" -> dedupCorpusOracle,
+    "q120_cluster_split" -> clusterSplitOracle,
     "q52_simhash_neardup" -> simhashNearDupOracle,
     "q86_simhash64" -> simhash64Sql,
     "q87_simhash64_neardup" -> simhash64NearDupOracle,
@@ -1612,6 +1636,48 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams, CAST(sm AS DOUBLE) AS sum_logprob,
         |  CAST(sm AS DOUBLE) / n_bigrams AS avg_logprob
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Moore-Lewis: per-bigram DECIMAL(12,9) log-prob difference between
+    // the in-domain (src1*) and general (everything else) bigram LMs,
+    // unseen-in-domain floored at ln(1/(N_in+1)); DECIMAL sums, ties at
+    // the top-30 cut broken by doc_id — identical to the TopK
+    // aggregator's ordering
+    "q119_moore_lewis" ->
+      """WITH rb AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(tl) - 1),
+        |      i -> {'t1': tl[i], 't2': tl[i + 1]})) AS bg
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tl
+        |        FROM documents WHERE source NOT LIKE 'src1%')),
+        |rbg AS (SELECT doc_id, bg.t1 AS t1, bg.t2 AS t2 FROM rb),
+        |ib AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(tl) - 1),
+        |      i -> {'t1': tl[i], 't2': tl[i + 1]})) AS bg
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tl
+        |        FROM documents WHERE source LIKE 'src1%')),
+        |ibg AS (SELECT doc_id, bg.t1 AS t1, bg.t2 AS t2 FROM ib),
+        |gpc AS (SELECT t1, t2, count(*) AS c FROM rbg GROUP BY 1, 2),
+        |gpfx AS (SELECT t1, SUM(c) AS cp FROM gpc GROUP BY 1),
+        |gm AS (SELECT t1, t2, CAST(round(ln(CAST(c AS DOUBLE) / cp), 9)
+        |         AS DECIMAL(12,9)) AS glp
+        |       FROM gpc JOIN gpfx USING (t1)),
+        |ipc AS (SELECT t1, t2, count(*) AS c FROM ibg GROUP BY 1, 2),
+        |ipfx AS (SELECT t1, SUM(c) AS cp FROM ipc GROUP BY 1),
+        |im AS (SELECT t1, t2, CAST(round(ln(CAST(c AS DOUBLE) / cp), 9)
+        |         AS DECIMAL(12,9)) AS ilp
+        |       FROM ipc JOIN ipfx USING (t1)),
+        |fl AS (SELECT CAST(round(ln(1.0 / (count(*) + 1)), 9)
+        |         AS DECIMAL(12,9)) AS lpf FROM ibg),
+        |s AS (SELECT doc_id, count(*) AS n_bigrams,
+        |        SUM(coalesce(im.ilp, fl.lpf) - gm.glp) AS sm
+        |      FROM rbg JOIN gm USING (t1, t2) LEFT JOIN im USING (t1, t2)
+        |      CROSS JOIN fl GROUP BY 1),
+        |sc AS (SELECT doc_id, n_bigrams,
+        |         CAST(sm AS DOUBLE) / n_bigrams AS avg_delta FROM s)
+        |SELECT CAST(row_number() OVER (ORDER BY avg_delta DESC, doc_id) AS BIGINT)
+        |    AS rnk, doc_id, n_bigrams, avg_delta
+        |FROM sc ORDER BY avg_delta DESC, doc_id LIMIT 30""".stripMargin,
 
     // tg is MATERIALIZED: DuckDB inlines plain CTEs per reference, and
     // five inlined unnest trees sent its join planner into a tailspin
@@ -2882,6 +2948,26 @@ object SparkEntry {
        |SELECT d.doc_id FROM documents d
        |LEFT JOIN comp c ON d.doc_id = c.id
        |WHERE c.id IS NULL OR c.comp = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** q120 oracle: per-document component label (own id when unpaired)
+    * with the q41 md5-nibble split rule applied to the LABEL — the
+    * cluster-atomic split. */
+  private def clusterSplitOracle: String =
+    s"""WITH RECURSIVE $lshPairsCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+       |comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id)
+       |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp,
+       |  CASE WHEN strpos('0123456789abcdef',
+       |      substr(md5(CAST(coalesce(c.comp, d.doc_id) AS VARCHAR)), 1, 1)) - 1 < 13
+       |    THEN 'train' ELSE 'test' END AS split
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
        |ORDER BY d.doc_id""".stripMargin
 
   /** CTE chain ending in `s(doc_id, simhash)` — the identical 16-bit

@@ -607,6 +607,74 @@ object Corpus {
         col("avg_logratio"), col("log_priority"))
   }
 
+  /** Moore–Lewis cross-entropy difference selection (Moore & Lewis
+    * 2010, "Intelligent selection of language model training data"):
+    * score each raw-corpus document by
+    * `avg over its bigrams of (ln p_in(bg) − ln p_gen(bg))` — how much
+    * better an IN-DOMAIN bigram LM explains the document than the
+    * general-corpus LM trained on `raw` itself — and keep the top `k`.
+    * The model-based sibling of [[dsirSample]]'s hashed-n-gram
+    * importance weights: DSIR matches a bucketed token distribution,
+    * Moore–Lewis ranks by an actual LM likelihood ratio.
+    *
+    * Unseen handling: every raw bigram is in the general model by
+    * construction; a bigram absent from the (much smaller) in-domain
+    * model gets the floor `ln(1/(N_in + 1))` (N_in = total in-domain
+    * bigram occurrences) — a 1-row aggregate broadcast into the
+    * scoring pass, the same replacement-for-a-driver-action shape as
+    * [[tfidf]]'s N.
+    *
+    * Shape at scale: both models are distinct-bigram-sized group-bys
+    * with map-side combine; the scoring joins are occurrence × model
+    * (broadcast-able when the vocabulary is bounded, shuffled hash
+    * joins otherwise); selection is the bounded
+    * [[graft.functions.TopK]] aggregator — the shuffle carries ≤ k
+    * rows per map task, never the scored corpus. Determinism: counts
+    * are exact longs, each `ln` rounded once to 9 dp into DECIMAL,
+    * per-doc sums DECIMAL (order-free), ties at the cut broken by
+    * doc id — identical to `ORDER BY avg_delta DESC, id LIMIT k`.
+    *
+    * Output: (rnk, idCol, n_bigrams, avg_delta), best first. */
+  def mooreLewisSelect(raw: DataFrame, inDomain: DataFrame, k: Int,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0, "need k > 0")
+    def bigrams(df: DataFrame) = df.select(col(idCol),
+      explode(graft.functions.TokenNgrams(TextAnalysis.tokens(col(textCol)), 2)).as("bg"))
+    def model(bgs: DataFrame, lpName: String) = bgs
+      .groupBy(col("bg")).agg(count(lit(1)).as("c_pair"))
+      .withColumn("c_prefix", sum(col("c_pair"))
+        .over(Window.partitionBy(substring_index(col("bg"), " ", 1))))
+      .select(col("bg"),
+        round(log(col("c_pair").cast("double") / col("c_prefix")), 9)
+          .cast("decimal(12,9)").as(lpName))
+    // raw bigrams feed BOTH the general model and the scoring join —
+    // cut the lineage so the explode runs once, not twice
+    val rawBg = bigrams(raw).localCheckpoint()
+    val inBg = bigrams(inDomain).localCheckpoint()
+    val floorRow = inBg
+      .agg(round(log(lit(1.0) / (count(lit(1)) + lit(1)).cast("double")), 9)
+        .cast("decimal(12,9)").as("__lp_floor"))
+    val scored = rawBg
+      .join(model(rawBg, "__lp_gen"), Seq("bg"))
+      .join(model(inBg, "__lp_in"), Seq("bg"), "left")
+      .crossJoin(broadcast(floorRow))
+      // decimal(12,9) − decimal(12,9) → exact decimal(13,9); the sum
+      // stays DECIMAL so partition order cannot change the result
+      .select(col(idCol),
+        (coalesce(col("__lp_in"), col("__lp_floor")) - col("__lp_gen")).as("__d"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__d")).as("__sum"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("__sum").cast("double") / col("n_bigrams")).as("avg_delta"))
+    val sel = scored
+      .agg(graft.functions.TopK.topK(k, col("avg_delta"), col(idCol).cast("long")).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "s")))
+      .select((col("pos") + 1).cast("long").as("rnk"),
+        col("s.id").as(idCol), col("s.ord").as("avg_delta"))
+    sel.join(scored.select(col(idCol), col("n_bigrams")), Seq(idCol))
+      .select(col("rnk"), col(idCol), col("n_bigrams"), col("avg_delta"))
+  }
+
   /** Apply ONE BPE merge (l, r) → l+r to a symbol-array column:
     * greedy left-to-right, non-overlapping — the canonical
     * merge-application rule (a left fold whose freshly merged symbol

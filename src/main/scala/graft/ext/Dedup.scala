@@ -363,6 +363,30 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Leakage-safe train/test split: hash-split by near-duplicate
+    * CLUSTER, not by document, so two near-identical documents can
+    * never straddle the train/test boundary (the contamination path a
+    * plain per-id split leaves open — a test document whose near-dup
+    * sits in train is a leaked answer, the reason eval decontamination
+    * exists at all). Every document gets its component label (its own
+    * id when unpaired), and [[TextAnalysis.trainTestSplit]]'s
+    * deterministic md5-nibble rule is applied to the LABEL — same
+    * stability contract (no RNG, re-runs and engines agree), same
+    * ≈ trainNibbles/16 expected train share, but cluster-atomic.
+    *
+    * Shape at scale: the component map is bounded by the PAIRED
+    * document count (broadcast-able when duplicates are a small
+    * fraction of the corpus); the split itself is a narrow projection.
+    * Output: docs' columns + (comp, split). */
+  def clusterSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       trainNibbles: Int = 13,
+                       idCol: String = "doc_id"): DataFrame = {
+    val comp = connectedComponents(pairs, idCol = idCol)
+    val labeled = docs.join(comp, Seq(idCol), "left")
+      .withColumn("comp", coalesce(col("comp"), col(idCol)))
+    TextAnalysis.trainTestSplit(labeled, "comp", trainNibbles)
+  }
+
   /** Portable 16-bit token hash: value of the first 4 hex nibbles of
     * md5(token), via position lookup — expressible identically in
     * ANSI SQL (no engine-specific hash function). */

@@ -355,13 +355,16 @@ class PlanSpec extends SparkSpec {
     // quantizer shape already adjudicated for q39/q58/q94); q117's two
     // corpus token totals and q118's N1+(··) distinct-bigram total are
     // 1-row aggregates broadcast into model scoring (the q68/q80
-    // class — the replacement for a driver-side count() action)
+    // class — the replacement for a driver-side count() action);
+    // q119's unseen-bigram floor ln(1/(N_in+1)) is the same 1-row
+    // aggregate broadcast cross (q68/q117/q118 class)
     val exactBaselines = Set(
       "q30_neardup_cosine", "q27_jaccard_topk", "q28_cosine_topk",
       "q71_knn_classify", "q58_ann_ivf_recall", "q39_ann_ivf",
       "q68_tfidf", "q80_bm25", "q94_ivfpq", "q95_heavy_hitters",
       "q101_trigram_lm", "q102_ivfpq_recall", "q107_count_min",
-      "q109_ivf_append", "q117_dsir_sample", "q118_kneser_ney")
+      "q109_ivf_append", "q117_dsir_sample", "q118_kneser_ney",
+      "q119_moore_lewis")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
       .flatMap { name =>

@@ -292,6 +292,26 @@ class CorpusSpec extends SparkSpec {
       s"target-like docs must dominate the sample, got $picked")
   }
 
+  test("mooreLewisSelect ranks in-domain-like raw docs first") {
+    val inDomain = (1 to 10)
+      .map(i => (100L + i, Seq.fill(5)("alpha beta gamma delta").mkString(" "), "t"))
+      .toDF("doc_id", "text", "source")
+    val raw = ((1 to 5)
+      .map(i => (i.toLong, Seq.fill(4)("alpha beta gamma delta").mkString(" "), "r")) ++
+      (11 to 15)
+        .map(i => (i.toLong, Seq.fill(4)("zeta eta theta iota").mkString(" "), "r")))
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.mooreLewisSelect(raw, inDomain, k = 10)
+      .orderBy("rnk")
+      .select("doc_id", "avg_delta")
+      .as[(Long, Double)].collect()
+    assert(out.length == 10)
+    // the 5 in-domain-lookalikes must outrank all 5 out-of-domain docs
+    assert(out.take(5).forall(_._1 <= 5L), s"got ${out.toSeq}")
+    // out-of-domain bigrams hit the unseen floor → strictly worse score
+    assert(out(4)._2 > out(5)._2)
+  }
+
   test("bpeTrain stops early when the vocab is fully merged") {
     val d = docs((1L, "ab ab ab", "a"))
     val m = Corpus.bpeTrain(d, numMerges = 10)

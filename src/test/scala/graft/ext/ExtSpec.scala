@@ -396,6 +396,29 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L, 5L, 6L, 7L, 9L, 10L))
   }
 
+  test("clusterSafeSplit: cluster members share one side; singletons split by own id") {
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters {1,2,3} and {7,8}; everything else unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusterSafeSplit(docs, pairs)
+      .select("doc_id", "comp", "split")
+      .as[(Long, Long, String)].collect()
+    assert(out.length == 40)
+    val byId = out.map(r => r._1 -> r).toMap
+    // no near-dup pair straddles train/test — the leakage guarantee
+    Seq((1L, 2L), (2L, 3L), (1L, 3L), (7L, 8L)).foreach { case (a, b) =>
+      assert(byId(a)._3 == byId(b)._3, s"pair ($a,$b) straddles the split")
+    }
+    assert(byId(2L)._2 == 1L && byId(8L)._2 == 7L)
+    // singleton docs carry their own id as the label and match the
+    // per-id split rule exactly
+    val single = TextAnalysis.trainTestSplit(docs.filter(col("doc_id") === 20L), "doc_id")
+      .select("split").as[String].head()
+    assert(byId(20L)._2 == 20L && byId(20L)._3 == single)
+    // both sides are populated at this size
+    assert(out.map(_._3).distinct.sorted.toSeq == Seq("test", "train"))
+  }
+
   test("connectedComponents converges on a long path (diameter > 1 round)") {
     val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val comps = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
