@@ -515,6 +515,27 @@ object SparkEntry {
         k = 30)
         .orderBy("rnk")
     }),
+    // snapshot delta detection: diff a simulated next crawl (drops
+    // every 7th doc, edits every 5th, adds a +1000000-id copy of every
+    // 13th) against the current corpus — the churn set an incremental
+    // pipeline processes instead of the full snapshot
+    "q121_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val next = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      graft.ops.SnapshotDiff.diff(docs, next, "doc_id",
+        Seq("text", "lang", "source", "n_chars"))
+        .orderBy("doc_id")
+    }),
+    // distinct-n corpus diversity per source: distinct/total n-gram
+    // ratios at n=1..3 — the collapsed-source detector
+    "q122_ngram_diversity" -> ((s, dir) =>
+      Corpus.ngramDiversity(t(s, dir, "documents"))
+        .orderBy("source", "n")),
     // quality-classifier TRAINING (the train half of q103's inference):
     // hashed-bag logistic regression, 3 full-batch GD steps, decimal-
     // summed products and 9-dp sigmoid rounding — weights reproduce
@@ -1678,6 +1699,52 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY avg_delta DESC, doc_id) AS BIGINT)
         |    AS rnk, doc_id, n_bigrams, avg_delta
         |FROM sc ORDER BY avg_delta DESC, doc_id LIMIT 30""".stripMargin,
+
+    // snapshot diff: the same simulated next crawl, chr(1)-separated
+    // md5 content hashes, full join, churn rows only
+    "q121_snapshot_diff" ->
+      """WITH nxt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    lang, source, n_chars
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |a AS (SELECT doc_id, md5(concat_ws(chr(1), text, lang, source,
+        |        CAST(n_chars AS VARCHAR))) AS ha FROM documents),
+        |b AS (SELECT doc_id, md5(concat_ws(chr(1), text, lang, source,
+        |        CAST(n_chars AS VARCHAR))) AS hb FROM nxt),
+        |sel AS (
+        |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN hb IS NULL THEN 'removed'
+        |         WHEN ha IS NULL THEN 'added'
+        |         WHEN ha <> hb THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM a FULL JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, status FROM sel
+        |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin,
+
+    // distinct-n diversity: per (source, n) distinct vs total n-grams
+    "q122_ngram_diversity" ->
+      """WITH t AS (
+        |  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS tl
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, 1 AS n, unnest(tl) AS g FROM t
+        |  UNION ALL
+        |  SELECT source, 2 AS n, unnest(list_transform(
+        |    generate_series(1, len(tl) - 1),
+        |    i -> tl[i] || ' ' || tl[i + 1])) AS g FROM t
+        |  UNION ALL
+        |  SELECT source, 3 AS n, unnest(list_transform(
+        |    generate_series(1, len(tl) - 2),
+        |    i -> tl[i] || ' ' || tl[i + 1] || ' ' || tl[i + 2])) AS g FROM t),
+        |c AS (SELECT source, n, g, count(*) AS c FROM g GROUP BY 1, 2, 3)
+        |SELECT source, n, count(*) AS n_distinct,
+        |  CAST(SUM(c) AS BIGINT) AS n_total,
+        |  CAST(count(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS distinct_ratio
+        |FROM c GROUP BY 1, 2 ORDER BY source, n""".stripMargin,
 
     // tg is MATERIALIZED: DuckDB inlines plain CTEs per reference, and
     // five inlined unnest trees sent its join planner into a tailspin

@@ -675,6 +675,36 @@ object Corpus {
       .select(col("rnk"), col(idCol), col("n_bigrams"), col("avg_delta"))
   }
 
+  /** Distinct-n corpus diversity (Li et al. 2016, arXiv:1510.03055's
+    * distinct-1/distinct-2 adapted corpus-side): per group and n-gram
+    * width, the number of DISTINCT n-grams, the total n-gram count,
+    * and their ratio — the standard report for spotting a collapsed /
+    * over-duplicated source before training (a near-zero distinct
+    * ratio at n=2,3 means the source is templated boilerplate).
+    *
+    * Shape at scale: one explode per width (the occurrence stream,
+    * widths unioned), then a two-level aggregation — (group, n, gram)
+    * with map-side combine collapses to distinct-gram rows, and the
+    * second group-by is model-sized. No countDistinct state, no
+    * windows. Output: (groupCol, n, n_distinct, n_total,
+    * distinct_ratio) — exact longs, ratio an exact-inputs double. */
+  def ngramDiversity(docs: DataFrame, ns: Seq[Int] = Seq(1, 2, 3),
+                     groupCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "n-gram widths must be >= 1")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val occurrences = ns.map { n =>
+      docs.select(col(groupCol), lit(n).as("n"),
+        explode(graft.functions.TokenNgrams(toks, n)).as("__g"))
+    }.reduce(_ unionByName _)
+    occurrences
+      .groupBy(col(groupCol), col("n"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol), col("n"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("__c")).as("n_total"))
+      .select(col(groupCol), col("n"), col("n_distinct"), col("n_total"),
+        (col("n_distinct").cast("double") / col("n_total")).as("distinct_ratio"))
+  }
+
   /** Apply ONE BPE merge (l, r) → l+r to a symbol-array column:
     * greedy left-to-right, non-overlapping — the canonical
     * merge-application rule (a left fold whose freshly merged symbol

@@ -312,6 +312,22 @@ class CorpusSpec extends SparkSpec {
     assert(out(4)._2 > out(5)._2)
   }
 
+  test("ngramDiversity: repeated text collapses the distinct ratio, varied text doesn't") {
+    val d = docs(
+      (1L, "spam spam spam spam spam", "dup"),
+      (2L, "spam spam spam spam spam", "dup"),
+      (3L, "one two three four five", "var"))
+    val out = Corpus.ngramDiversity(d, ns = Seq(1, 2))
+      .as[(String, Int, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // dup source: 10 unigram occurrences, 1 distinct; 8 bigrams, 1 distinct
+    assert(out(("dup", 1)) == ((1L, 10L, 0.1)))
+    assert(out(("dup", 2)) == ((1L, 8L, 0.125)))
+    // varied source: everything distinct
+    assert(out(("var", 1)) == ((5L, 5L, 1.0)))
+    assert(out(("var", 2)) == ((4L, 4L, 1.0)))
+  }
+
   test("bpeTrain stops early when the vocab is fully merged") {
     val d = docs((1L, "ab ab ab", "a"))
     val m = Corpus.bpeTrain(d, numMerges = 10)
