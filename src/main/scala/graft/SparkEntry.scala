@@ -732,6 +732,12 @@ object SparkEntry {
         .select(col("label"), col("pos").cast("long").as("pos"), col("m"))
         .orderBy("label", "pos")
     }),
+    // embedding-space data cleaning: cosine of every vector to its OWN
+    // label centroid (exact-integer mean), sub-threshold vectors
+    // flagged as likely mislabeled — the pre-training noise filter
+    "q123_centroid_outliers" -> ((s, dir) =>
+      Similarity.centroidOutliers(t(s, dir, "embeddings"), minCosine = 0.0)
+        .orderBy("vec_id")),
     // corpus vocabulary (tokenizer-training input): token frequency +
     // document frequency, global top-k via TakeOrderedAndProject
     "q62_vocab" -> ((s, dir) =>
@@ -1368,6 +1374,28 @@ object SparkEntry {
         |      FROM embeddings)
         |GROUP BY label, i
         |ORDER BY label, pos""".stripMargin,
+
+    // q46's exact-integer centroid reassembled into an ordered list,
+    // cosine in array order (list_dot_product ≡ the native dot's
+    // left-to-right sum — the q88 precedent)
+    "q123_centroid_outliers" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |m AS (SELECT label, i,
+        |        CAST(SUM(CAST(FLOOR(v * 16777216.0) AS BIGINT)) AS DOUBLE)
+        |          / COUNT(*) / 16777216.0 AS m
+        |      FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |              generate_subscripts(embedding, 1) AS i
+        |            FROM embeddings)
+        |      GROUP BY label, i),
+        |c AS (SELECT label, list(m ORDER BY i) AS cv FROM m GROUP BY label),
+        |s AS (SELECT vec_id, e.label AS label,
+        |        list_dot_product(v, cv)
+        |          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+        |          AS cos_centroid
+        |      FROM e JOIN c ON e.label = c.label)
+        |SELECT vec_id, label, cos_centroid, cos_centroid < 0.0 AS is_outlier
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     // payloads are UTF-8 bytes of ASCII fixture text, so byte value ==
     // code point and the byte histogram is expressible over substr

@@ -85,6 +85,44 @@ object Similarity {
           lit(0.0), (a, x) => greatest(a, x)).as("max_err"))
   }
 
+  /** Label-centroid outlier detection — the embedding-space data
+    * cleaner: for every vector, the cosine to its OWN label's mean
+    * vector; vectors below `minCosine` are flagged as likely
+    * mislabeled/noisy (the filter CLIP-style pipelines run before
+    * contrastive training — a caption whose embedding sits far from
+    * its class center is more often wrong than informative).
+    *
+    * The centroid is the q46 exact-integer mean (per-(label, pos)
+    * `sum(floor(v·2²⁴))` over a count — partition-order-free, so the
+    * same centroid bit-for-bit in any engine), reassembled into an
+    * ordered array and joined back broadcast (the centroid table is
+    * labels × dim, KB-sized at any corpus scale). The cosine itself is
+    * the codegen'd [[dot]] over doubles in array order — one narrow
+    * pass over the vectors, one shuffle total (the centroid group-by).
+    *
+    * Output: (idCol, labelCol, cos_centroid, is_outlier). */
+  def centroidOutliers(emb: DataFrame, minCosine: Double,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       labelCol: String = "label"): DataFrame = {
+    val q = 16777216.0 // 2^24: full float mantissa — integer sums are exact
+    val cent = emb
+      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg((sum(floor(col("v").cast("double") * q).cast("long")).cast("double")
+        / count(lit(1)) / q).as("m"))
+      .groupBy(col(labelCol))
+      // collect_list is partition-order-dependent; the array_sort on
+      // the (pos, m) struct makes the assembled centroid deterministic
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x("m")).as("__cent"))
+    val v = transform(col(vecCol), x => x.cast("double"))
+    emb.select(col(idCol), col(labelCol), v.as("__v"))
+      .join(broadcast(cent), Seq(labelCol))
+      .select(col(idCol), col(labelCol),
+        cosine(col("__v"), col("__cent")).as("cos_centroid"))
+      .withColumn("is_outlier", col("cos_centroid") < minCosine)
+  }
+
   /** Deterministic pseudo-random hyperplane component: plane `p`,
     * dimension `d` → a value in [-7.5, 7.5] derived from md5 — no RNG,
     * identical across runs/executors. */

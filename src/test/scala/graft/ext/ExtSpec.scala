@@ -575,6 +575,21 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 0.6) < 1e-7)
   }
 
+  test("centroidOutliers flags the vector pointing away from its label centroid") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.1f), 0),
+      (2L, Array(1.0f, -0.1f), 0),
+      (3L, Array(0.9f, 0.0f), 0),
+      (4L, Array(-1.0f, 0.0f), 0), // opposed to label-0's center
+      (5L, Array(0.0f, 1.0f), 1),
+      (6L, Array(0.0f, 0.8f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidOutliers(emb, minCosine = 0.0)
+      .select("vec_id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> false, 2L -> false, 3L -> false,
+      4L -> true, 5L -> false, 6L -> false))
+  }
+
   test("cosineTopK: nearest neighbor of a vector's duplicate is that duplicate") {
     val emb = load("embeddings")
     val dup = emb.filter(col("vec_id") === 0).withColumn("vec_id", lit(9999L))
