@@ -738,6 +738,20 @@ object SparkEntry {
     "q123_centroid_outliers" -> ((s, dir) =>
       Similarity.centroidOutliers(t(s, dir, "embeddings"), minCosine = 0.0)
         .orderBy("vec_id")),
+    // DPR-style hard-negative mining: per query, the top-5 most-similar
+    // vectors with a DIFFERENT label (the q28 broadcast scan shape
+    // with a label-exclusion predicate)
+    "q124_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(t(s, dir, "embeddings"),
+        queryIds = (0L until 10L).toSeq, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+          col("sim"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")),
+    // temperature-scaled source mixing weights at alpha = 0.5 — the
+    // multilingual-LM anti-drowning sampler input
+    "q125_temperature_weights" -> ((s, dir) =>
+      Corpus.temperatureWeights(t(s, dir, "documents"))
+        .orderBy("source")),
     // corpus vocabulary (tokenizer-training input): token frequency +
     // document frequency, global top-k via TakeOrderedAndProject
     "q62_vocab" -> ((s, dir) =>
@@ -1396,6 +1410,41 @@ object SparkEntry {
         |      FROM e JOIN c ON e.label = c.label)
         |SELECT vec_id, label, cos_centroid, cos_centroid < 0.0 AS is_outlier
         |FROM s ORDER BY vec_id""".stripMargin,
+
+    // hard negatives: q28's cross-scan with a label-inequality
+    // predicate and full cosine (mining must be magnitude-invariant)
+    "q124_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS ql,
+        |             CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, label AS neg_label,
+        |        CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id, neg_label,
+        |        list_dot_product(qv, cv)
+        |          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+        |          AS sim
+        |      FROM q CROSS JOIN c WHERE ql <> neg_label),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s)
+        |SELECT query_id, neighbor_id, neg_label, sim, rnk FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // temperature weights: sqrt (= n^0.5, correctly rounded in every
+    // IEEE engine, unlike a general pow) rounded into DECIMAL so the
+    // normalizing sum is order-free
+    "q125_temperature_weights" ->
+      """WITH t AS (
+        |  SELECT source, CAST(SUM(len(list_filter(string_split(text, ' '),
+        |    x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |s AS (SELECT source, n_tokens,
+        |        CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 9) AS DECIMAL(28,9)) AS sq
+        |      FROM t),
+        |tot AS (SELECT SUM(sq) AS ts FROM s)
+        |SELECT source, n_tokens,
+        |  round(CAST(sq AS DOUBLE) / CAST(ts AS DOUBLE), 9) AS weight
+        |FROM s CROSS JOIN tot ORDER BY source""".stripMargin,
 
     // payloads are UTF-8 bytes of ASCII fixture text, so byte value ==
     // code point and the byte histogram is expressible over substr

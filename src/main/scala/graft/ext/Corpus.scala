@@ -705,6 +705,34 @@ object Corpus {
         (col("n_distinct").cast("double") / col("n_total")).as("distinct_ratio"))
   }
 
+  /** Temperature-scaled source mixing weights (the multilingual
+    * LM recipe — Devlin et al. 2019 App. A, Conneau et al. 2020 §3:
+    * sample source s with probability ∝ n_s^α) at α = 0.5: big
+    * sources are DOWN-weighted relative to their size, small sources
+    * up-weighted, so one giant crawl cannot drown the tail. α is
+    * fixed at 1/2 deliberately — n^0.5 is `sqrt`, correctly rounded
+    * in every IEEE engine, where a general `pow(x, α)` differs
+    * across libm implementations and would break cross-engine
+    * reproducibility (the repo's exactness recipe).
+    *
+    * Shape at scale: one map-side-combined group-by to per-source
+    * token totals (a model-sized table), sqrt rounded to 9 dp into
+    * DECIMAL so the normalizing sum is partition-order-free, the
+    * 1-row total broadcast back (the q68/tfidf class). Output:
+    * (groupCol, n_tokens, weight), weights summing to ≈1. */
+  def temperatureWeights(docs: DataFrame, groupCol: String = "source",
+                         textCol: String = "text"): DataFrame = {
+    val perSource = docs
+      .select(col(groupCol), size(TextAnalysis.tokens(col(textCol))).cast("long").as("__n"))
+      .groupBy(col(groupCol)).agg(sum(col("__n")).as("n_tokens"))
+      .select(col(groupCol), col("n_tokens"),
+        round(sqrt(col("n_tokens").cast("double")), 9).cast("decimal(28,9)").as("__sq"))
+    val total = perSource.agg(sum(col("__sq")).as("__ts"))
+    perSource.crossJoin(broadcast(total))
+      .select(col(groupCol), col("n_tokens"),
+        round(col("__sq").cast("double") / col("__ts").cast("double"), 9).as("weight"))
+  }
+
   /** Apply ONE BPE merge (l, r) → l+r to a symbol-array column:
     * greedy left-to-right, non-overlapping — the canonical
     * merge-application rule (a left fold whose freshly merged symbol

@@ -54,6 +54,33 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for retrieval/contrastive training
+    * (Karpukhin et al. 2020, DPR): for each query vector, the top-k
+    * most-COSINE-SIMILAR vectors carrying a DIFFERENT label — the
+    * near-misses that teach a bi-encoder its decision boundary, where
+    * random negatives teach it nothing. The query set is the batch
+    * being mined (bounded, broadcast); the label-inequality join is
+    * the same intended broadcast-nested-loop scan as [[cosineTopK]]
+    * (|Q|·N, query side broadcast, corpus side streams) — swap the
+    * corpus side for an [[ivfQuery]] shortlist when N stops fitting a
+    * scan. Output: (query_id, neighbor_id, neg_label, sim, rank). */
+  def hardNegatives(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        col(labelCol).as("__ql"))
+    val c = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      col(labelCol).as("neg_label"))
+    val scored = c.join(broadcast(q), col("__ql") =!= col("neg_label"))
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        cosine(col("__qv"), col("__cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Symmetric int8 quantization of an embedding column — the storage
     * form a 100 TB vector corpus actually ships (4× smaller than
     * float32, dot products in integer SIMD). Per vector: `scale =

@@ -328,6 +328,18 @@ class CorpusSpec extends SparkSpec {
     assert(out(("var", 2)) == ((4L, 4L, 1.0)))
   }
 
+  test("temperatureWeights damps large sources toward the tail; weights sum to ~1") {
+    // 4:1 token imbalance → sqrt damps the ratio to 2:1
+    val d = docs(
+      (1L, Seq.fill(16)("tok").mkString(" "), "big"),
+      (2L, Seq.fill(4)("tok").mkString(" "), "small"))
+    val out = Corpus.temperatureWeights(d)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("big")._1 == 16L && out("small")._1 == 4L)
+    assert(math.abs(out("big")._2 / out("small")._2 - 2.0) < 1e-6)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-6)
+  }
+
   test("bpeTrain stops early when the vocab is fully merged") {
     val d = docs((1L, "ab ab ab", "a"))
     val m = Corpus.bpeTrain(d, numMerges = 10)

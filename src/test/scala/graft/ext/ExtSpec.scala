@@ -590,6 +590,21 @@ class SimilaritySpec extends SparkSpec {
       4L -> true, 5L -> false, 6L -> false))
   }
 
+  test("hardNegatives returns only other-label vectors, most-similar first") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.1f), 0),  // same label: must never appear
+      (3L, Array(0.9f, 0.2f), 1),   // hardest negative for 1
+      (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(-1.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(emb, queryIds = Seq(1L), k = 3)
+      .orderBy("rank")
+      .select("neighbor_id", "neg_label").as[(Long, Int)].collect()
+    assert(out.map(_._1).toSeq == Seq(3L, 4L, 5L))
+    assert(out.forall(_._2 != 0), "a same-label vector leaked into the negatives")
+  }
+
   test("cosineTopK: nearest neighbor of a vector's duplicate is that duplicate") {
     val emb = load("embeddings")
     val dup = emb.filter(col("vec_id") === 0).withColumn("vec_id", lit(9999L))
