@@ -752,6 +752,26 @@ object SparkEntry {
     "q125_temperature_weights" -> ((s, dir) =>
       Corpus.temperatureWeights(t(s, dir, "documents"))
         .orderBy("source")),
+    // PSI drift between the src1* slice and the rest over the q43
+    // length histogram — the data-drift monitor
+    "q126_psi_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.psiDrift(
+        base = docs.filter(!col("source").startsWith("src1")),
+        current = docs.filter(col("source").startsWith("src1")))
+        .orderBy("bucket")
+    }),
+    // pairwise label-centroid cosines: which classes are entangled in
+    // embedding space (q123's companion, label-level)
+    "q127_label_confusion" -> ((s, dir) =>
+      Similarity.labelConfusion(t(s, dir, "embeddings"))
+        .orderBy("label_a", "label_b")),
+    // waterfilling source caps: one exact integer cap over the sorted
+    // per-source token counts spends the 24k budget without letting
+    // any source dominate — no driver loop, model-sized windows
+    "q128_source_caps" -> ((s, dir) =>
+      Corpus.sourceCaps(t(s, dir, "documents"), budgetTokens = 24000L)
+        .orderBy("source")),
     // corpus vocabulary (tokenizer-training input): token frequency +
     // document frequency, global top-k via TakeOrderedAndProject
     "q62_vocab" -> ((s, dir) =>
@@ -1429,6 +1449,66 @@ object SparkEntry {
         |        ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s)
         |SELECT query_id, neighbor_id, neg_label, sim, rnk FROM r WHERE rnk <= 5
         |ORDER BY query_id, rnk""".stripMargin,
+
+    // PSI: Laplace-smoothed shares from exact counts, ln rounded once
+    // to 9 dp (the repo's transcendental recipe)
+    "q126_psi_drift" ->
+      """WITH hb AS (
+        |  SELECT CAST(FLOOR(n_chars / 200.0) AS BIGINT) AS bucket,
+        |    count(*) AS n_base
+        |  FROM documents WHERE source NOT LIKE 'src1%' GROUP BY 1),
+        |hc AS (
+        |  SELECT CAST(FLOOR(n_chars / 200.0) AS BIGINT) AS bucket,
+        |    count(*) AS n_cur
+        |  FROM documents WHERE source LIKE 'src1%' GROUP BY 1),
+        |h AS (SELECT coalesce(hb.bucket, hc.bucket) AS bucket,
+        |        coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+        |      FROM hb FULL JOIN hc ON hb.bucket = hc.bucket),
+        |tot AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc, count(*) AS nb FROM h)
+        |SELECT bucket, n_base, n_cur,
+        |  round((CAST(n_base + 1 AS DOUBLE) / (tb + nb)
+        |         - CAST(n_cur + 1 AS DOUBLE) / (tc + nb))
+        |    * round(ln((CAST(n_base + 1 AS DOUBLE) / (tb + nb))
+        |               / (CAST(n_cur + 1 AS DOUBLE) / (tc + nb))), 9), 9)
+        |    AS contrib
+        |FROM h CROSS JOIN tot ORDER BY bucket""".stripMargin,
+
+    // label-centroid pairwise cosine, q46 centroids, a < b
+    "q127_label_confusion" ->
+      """WITH m AS (SELECT label, i,
+        |        CAST(SUM(CAST(FLOOR(v * 16777216.0) AS BIGINT)) AS DOUBLE)
+        |          / COUNT(*) / 16777216.0 AS m
+        |      FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |              generate_subscripts(embedding, 1) AS i
+        |            FROM embeddings)
+        |      GROUP BY label, i),
+        |c AS (SELECT label, list(m ORDER BY i) AS cv FROM m GROUP BY label)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  list_dot_product(a.cv, b.cv)
+        |    / (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv)))
+        |    AS cos
+        |FROM c a JOIN c b ON a.label < b.label
+        |ORDER BY label_a, label_b""".stripMargin,
+
+    // waterfilling: first binding position over the ascending prefix
+    // sums fixes the cap; double division is exact below 2^53
+    "q128_source_caps" ->
+      """WITH t AS (
+        |  SELECT source, CAST(SUM(len(list_filter(string_split(text, ' '),
+        |    x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT source, n_tokens,
+        |        CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS i,
+        |        SUM(n_tokens) OVER (ORDER BY n_tokens, source) AS prefix,
+        |        COUNT(*) OVER () AS S
+        |      FROM t),
+        |cap AS (SELECT min_by(CAST(FLOOR((24000 - (prefix - n_tokens))
+        |                 / (S - i + 1)) AS BIGINT), i) AS cap
+        |        FROM r
+        |        WHERE prefix - n_tokens + (S - i + 1) * n_tokens >= 24000)
+        |SELECT source, n_tokens,
+        |  least(n_tokens, coalesce(cap, n_tokens)) AS alloc
+        |FROM r CROSS JOIN cap ORDER BY source""".stripMargin,
 
     // temperature weights: sqrt (= n^0.5, correctly rounded in every
     // IEEE engine, unlike a general pow) rounded into DECIMAL so the

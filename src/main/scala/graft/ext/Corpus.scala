@@ -733,6 +733,87 @@ object Corpus {
         round(col("__sq").cast("double") / col("__ts").cast("double"), 9).as("weight"))
   }
 
+  /** Population Stability Index between two corpus slices'
+    * length distributions — the standard drift monitor (credit-risk
+    * lineage, applied to data pipelines: PSI < 0.1 stable, 0.1–0.25
+    * drifting, > 0.25 a different population). Documents bucket by
+    * `floor(n_chars / bucketWidth)` (the q43 histogram), each side's
+    * per-bucket share is Laplace-smoothed `(c+1)/(N+B)` so an empty
+    * bucket cannot produce ±∞, and the per-bucket contribution is
+    * `(p−q)·ln(p/q)` — non-negative, summing to the PSI.
+    *
+    * Shape at scale: two map-side-combined histogram aggregations
+    * collapse both corpora to ≤ B rows each; the totals are a 1-row
+    * aggregate broadcast back into the bucket table (the q68/tfidf
+    * class — the replacement for a driver-side count()). Output:
+    * (bucket, n_base, n_cur, contrib) — exact counts, contrib a
+    * 9-dp-rounded double from exact inputs. */
+  def psiDrift(base: DataFrame, current: DataFrame, bucketWidth: Int = 200,
+               lenCol: String = "n_chars"): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def hist(df: DataFrame, cName: String) = df
+      .select(floor(col(lenCol) / bucketWidth.toDouble).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(cName))
+    val h = hist(base, "n_base").join(hist(current, "n_cur"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = h.agg(sum(col("n_base")).as("__tb"), sum(col("n_cur")).as("__tc"),
+      count(lit(1)).as("__nb"))
+    val p = (col("n_base") + 1).cast("double") / (col("__tb") + col("__nb"))
+    val q = (col("n_cur") + 1).cast("double") / (col("__tc") + col("__nb"))
+    h.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        // the repo's ln recipe: the transcendental is rounded once to
+        // 9 dp (cross-engine ln agrees within 1 ulp; everything else
+        // here is correctly-rounded double arithmetic on exact inputs)
+        round((p - q) * round(log(p / q), 9), 9).as("contrib"))
+  }
+
+  /** Waterfilling per-source token caps: given a total token budget,
+    * find the single cap `c` with `Σ_s min(n_s, c) ≤ budget` maximal —
+    * small sources keep everything, the largest sources are cut to the
+    * same ceiling (the per-source cap rule behind C4/RefinedWeb-style
+    * "no source dominates" curation, made budget-exact). Allocation is
+    * `min(n_s, c)`; when the budget covers the corpus every source
+    * keeps its full count.
+    *
+    * Exact integer algorithm, no driver loop: sort sources by count
+    * ascending over the MODEL-SIZED per-source table, prefix-sum; at
+    * the first position where `prefix_{i−1} + (S−i+1)·n_i ≥ budget`
+    * the cap binds: `c = floor((budget − prefix_{i−1}) / (S−i+1))`.
+    * All windows run over ≤ |sources| rows; the 1-row cap (NULL when
+    * the budget covers the corpus) is broadcast back — the q68 class.
+    * Output: (groupCol, n_tokens, alloc), Σ alloc ≤ budget, exact
+    * longs (the one double division is exact below 2⁵³ tokens). */
+  def sourceCaps(docs: DataFrame, budgetTokens: Long,
+                 groupCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 0, "budget must be non-negative")
+    val perSource = docs
+      .select(col(groupCol), size(TextAnalysis.tokens(col(textCol))).cast("long").as("__n"))
+      .groupBy(col(groupCol)).agg(sum(col("__n")).as("n_tokens"))
+    val w = Window.orderBy(col("n_tokens"), col(groupCol))
+    val ranked = perSource
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__prefix", sum(col("n_tokens")).over(w))
+    val sTot = ranked
+      .agg(max(col("__i")).as("__S"))
+    val cap = ranked.crossJoin(broadcast(sTot))
+      // cap binds at the first i where even giving every remaining
+      // source n_i overshoots the budget
+      .filter(col("__prefix") - col("n_tokens")
+        + (col("__S") - col("__i") + 1) * col("n_tokens") >= budgetTokens)
+      // 1-row aggregate even when nothing binds (min_by of the empty
+      // set is NULL → every source keeps its full count below)
+      .agg(min_by(
+        floor((lit(budgetTokens) - (col("__prefix") - col("n_tokens")))
+          / (col("__S") - col("__i") + 1)).cast("long"),
+        col("__i")).as("__cap"))
+    ranked.crossJoin(broadcast(cap))
+      .select(col(groupCol), col("n_tokens"),
+        least(col("n_tokens"), coalesce(col("__cap"), col("n_tokens"))).as("alloc"))
+  }
+
   /** Apply ONE BPE merge (l, r) → l+r to a symbol-array column:
     * greedy left-to-right, non-overlapping — the canonical
     * merge-application rule (a left fold whose freshly merged symbol

@@ -150,6 +150,37 @@ object Similarity {
       .withColumn("is_outlier", col("cos_centroid") < minCosine)
   }
 
+  /** Label-confusion diagnostics: pairwise cosine between LABEL
+    * CENTROIDS — which classes sit close in embedding space (and will
+    * therefore confuse a classifier / pollute [[hardNegatives]] with
+    * false negatives). The companion report to [[centroidOutliers]]:
+    * that one finds bad VECTORS, this one finds entangled LABELS.
+    *
+    * Everything after the one centroid aggregation is labels² rows —
+    * KB-sized at any corpus scale; the pairing is a broadcast cross of
+    * the centroid table against itself filtered to a < b (the
+    * model-sized q39-class cross, |labels|², never data-sized).
+    * Output: (label_a, label_b, cos) — the q46 exact-integer
+    * centroids, cosine in array order. */
+  def labelConfusion(emb: DataFrame, vecCol: String = "embedding",
+                     labelCol: String = "label"): DataFrame = {
+    val q = 16777216.0
+    val cent = emb
+      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg((sum(floor(col("v").cast("double") * q).cast("long")).cast("double")
+        / count(lit(1)) / q).as("m"))
+      .groupBy(col(labelCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x("m")).as("__cent"))
+    cent.select(col(labelCol).as("label_a"), col("__cent").as("__ca"))
+      .crossJoin(broadcast(cent.select(col(labelCol).as("label_b"),
+        col("__cent").as("__cb"))))
+      .filter(col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        cosine(col("__ca"), col("__cb")).as("cos"))
+  }
+
   /** Deterministic pseudo-random hyperplane component: plane `p`,
     * dimension `d` → a value in [-7.5, 7.5] derived from md5 — no RNG,
     * identical across runs/executors. */

@@ -359,14 +359,17 @@ class PlanSpec extends SparkSpec {
     // q119's unseen-bigram floor ln(1/(N_in+1)) is the same 1-row
     // aggregate broadcast cross (q68/q117/q118 class); q124's
     // label-inequality mining scan is q28/q71's intended broadcast
-    // |Q|·N shape; q125's normalizing total is the q68 1-row cross
+    // |Q|·N shape; q125's normalizing total, q126's histogram totals
+    // and q128's 1-row cap are the q68 1-row cross; q127's centroid
+    // self-pairing is a |labels|² model-sized cross (q39 class)
     val exactBaselines = Set(
       "q30_neardup_cosine", "q27_jaccard_topk", "q28_cosine_topk",
       "q71_knn_classify", "q58_ann_ivf_recall", "q39_ann_ivf",
       "q68_tfidf", "q80_bm25", "q94_ivfpq", "q95_heavy_hitters",
       "q101_trigram_lm", "q102_ivfpq_recall", "q107_count_min",
       "q109_ivf_append", "q117_dsir_sample", "q118_kneser_ney",
-      "q119_moore_lewis", "q124_hard_negatives", "q125_temperature_weights")
+      "q119_moore_lewis", "q124_hard_negatives", "q125_temperature_weights",
+      "q126_psi_drift", "q127_label_confusion", "q128_source_caps")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
       .flatMap { name =>

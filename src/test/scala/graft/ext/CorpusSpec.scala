@@ -340,6 +340,34 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-6)
   }
 
+  test("psiDrift: identical slices give zero contribs; a shifted slice doesn't") {
+    val mk = (ids: Range, len: Long) =>
+      ids.map(i => (i.toLong, "t", "s", len)).toDF("doc_id", "text", "source", "n_chars")
+    val base = mk(1 to 50, 100L).union(mk(51 to 100, 900L))
+    val same = Corpus.psiDrift(base, base).select("contrib").as[Double].collect()
+    assert(same.forall(_ == 0.0))
+    val shifted = mk(1 to 90, 100L).union(mk(91 to 100, 900L))
+    val psi = Corpus.psiDrift(base, shifted).agg(sum(col("contrib")))
+      .as[Double].head()
+    assert(psi > 0.25, s"a 50/50 -> 90/10 shift must read as major drift, got $psi")
+  }
+
+  test("sourceCaps: binding cap spends the budget; slack budget keeps everything") {
+    val d = Seq(
+      (1L, Seq.fill(2)("t").mkString(" "), "tiny"),
+      (2L, Seq.fill(10)("t").mkString(" "), "mid"),
+      (3L, Seq.fill(100)("t").mkString(" "), "big"))
+      .toDF("doc_id", "text", "source")
+    val capped = Corpus.sourceCaps(d, budgetTokens = 30L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // cap = floor((30 - 12) / 1) = 18 binds only the big source
+    assert(capped == Map("tiny" -> (2L, 2L), "mid" -> (10L, 10L), "big" -> (100L, 18L)))
+    assert(capped.values.map(_._2).sum <= 30L)
+    val slack = Corpus.sourceCaps(d, budgetTokens = 1000L)
+      .as[(String, Long, Long)].collect()
+    assert(slack.forall(r => r._2 == r._3), "slack budget must keep every token")
+  }
+
   test("bpeTrain stops early when the vocab is fully merged") {
     val d = docs((1L, "ab ab ab", "a"))
     val m = Corpus.bpeTrain(d, numMerges = 10)

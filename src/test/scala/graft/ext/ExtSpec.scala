@@ -605,6 +605,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_._2 != 0), "a same-label vector leaked into the negatives")
   }
 
+  test("labelConfusion surfaces entangled labels and orthogonal ones") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.2f), 0),
+      (3L, Array(1.0f, 0.1f), 1), (4L, Array(0.9f, 0.0f), 1), // ~ label 0
+      (5L, Array(0.0f, 1.0f), 2), (6L, Array(0.0f, 0.7f), 2)) // orthogonal
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelConfusion(emb)
+      .as[(Int, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out.keySet == Set((0, 1), (0, 2), (1, 2)))
+    assert(out((0, 1)) > 0.99, s"entangled labels must read ~1, got ${out((0, 1))}")
+    assert(out((0, 2)) < 0.2 && out((1, 2)) < 0.2)
+  }
+
   test("cosineTopK: nearest neighbor of a vector's duplicate is that duplicate") {
     val emb = load("embeddings")
     val dup = emb.filter(col("vec_id") === 0).withColumn("vec_id", lit(9999L))
