@@ -752,6 +752,16 @@ object SparkEntry {
     "q125_temperature_weights" -> ((s, dir) =>
       Corpus.temperatureWeights(t(s, dir, "documents"))
         .orderBy("source")),
+    // Flesch reading-ease: vowel-group syllable heuristic, q99
+    // sentence segmentation — the classic readability curation feature
+    "q129_readability" -> ((s, dir) =>
+      TextAnalysis.readability(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+    // PMI collocation mining: high-PMI adjacent pairs are the phrases
+    // worth fusing before tokenizer/embedding training
+    "q130_collocations" -> ((s, dir) =>
+      Corpus.collocations(t(s, dir, "documents"), minCount = 5, topN = 50)
+        .orderBy(col("pmi").desc, col("t1"), col("t2"))),
     // PSI drift between the src1* slice and the rest over the q43
     // length histogram — the data-drift monitor
     "q126_psi_drift" -> ((s, dir) => {
@@ -1449,6 +1459,51 @@ object SparkEntry {
         |        ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s)
         |SELECT query_id, neighbor_id, neg_label, sim, rnk FROM r WHERE rnk <= 5
         |ORDER BY query_id, rnk""".stripMargin,
+
+    // Flesch: identical association (206.835 − a) − b, counts cast to
+    // DOUBLE before each division, one 9-dp round
+    "q129_readability" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tl
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(tl) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(list_transform(
+        |      regexp_extract_all(text, '[^.!?]+[.!?]*'), s -> trim(s)),
+        |      s -> s <> '')) AS BIGINT) AS n_sents,
+        |    CAST(list_sum(list_transform(tl,
+        |      x -> greatest(1, len(regexp_extract_all(lower(x), '[aeiouy]+')))))
+        |      AS BIGINT) AS n_syllables
+        |  FROM t)
+        |SELECT doc_id, n_words, n_sents, n_syllables,
+        |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 9) AS flesch
+        |FROM m WHERE n_words > 0 AND n_sents > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // PMI assembled in DOUBLE in the identical association
+    // (c12·N) / (c1·c2), ln rounded once to 9 dp
+    "q130_collocations" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tl
+        |  FROM documents),
+        |occ AS (SELECT unnest(tl) AS tok FROM t),
+        |uni AS (SELECT tok, count(*) AS c FROM occ GROUP BY 1),
+        |ntot AS (SELECT count(*) AS N FROM occ),
+        |b AS (SELECT unnest(list_transform(
+        |    generate_series(1, len(tl) - 1),
+        |    i -> {'t1': tl[i], 't2': tl[i + 1]})) AS bg FROM t),
+        |pc AS (SELECT bg.t1 AS t1, bg.t2 AS t2, count(*) AS c12
+        |       FROM b GROUP BY 1, 2),
+        |f AS (SELECT t1, t2, c12 FROM pc WHERE c12 >= 5),
+        |s AS (SELECT t1, t2, c12,
+        |        round(ln((CAST(c12 AS DOUBLE) * N)
+        |          / (CAST(u1.c AS DOUBLE) * u2.c)), 9) AS pmi
+        |      FROM f JOIN uni u1 ON u1.tok = f.t1
+        |      JOIN uni u2 ON u2.tok = f.t2 CROSS JOIN ntot)
+        |SELECT t1, t2, c12, pmi FROM s
+        |ORDER BY pmi DESC, t1, t2 LIMIT 50""".stripMargin,
 
     // PSI: Laplace-smoothed shares from exact counts, ln rounded once
     // to 9 dp (the repo's transcendental recipe)

@@ -814,6 +814,43 @@ object Corpus {
         least(col("n_tokens"), coalesce(col("__cap"), col("n_tokens"))).as("alloc"))
   }
 
+  /** PMI collocation mining (the word2vec phrase-detection statistic,
+    * Mikolov et al. 2013 §4): for every adjacent token pair,
+    * `pmi = ln(c12·N / (c1·c2))` over the corpus token stream —
+    * high-PMI pairs ("new york") are phrases worth fusing into single
+    * tokens before embedding/tokenizer training. `minCount` suppresses
+    * the noise floor (rare pairs have wildly inflated PMI); the top-N
+    * cut is `TakeOrderedAndProject`, never a global sort.
+    *
+    * Shape at scale: one bigram aggregation (occurrence stream,
+    * map-side combine) + one vocab-sized unigram aggregation; the
+    * unigram joins are model-sized, N is the 1-row broadcast total
+    * (q68 class). PMI is assembled in double from exact counts in a
+    * fixed association, ln rounded once to 9 dp. Output:
+    * (t1, t2, c12, pmi), top-N by (pmi desc, pair asc). */
+  def collocations(docs: DataFrame, minCount: Long = 5, topN: Int = 50,
+                   textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val occurrences = docs.select(explode(toks).as("__t")).localCheckpoint()
+    val uni = occurrences.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    val nTot = occurrences.agg(count(lit(1)).as("__N"))
+    val pairs = docs
+      .select(explode(graft.functions.TokenNgrams(toks, 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+      .select(substring_index(col("bg"), " ", 1).as("t1"),
+        substring_index(col("bg"), " ", -1).as("t2"), col("c12"))
+    pairs
+      .join(uni.select(col("__t").as("t1"), col("__c").as("__c1")), Seq("t1"))
+      .join(uni.select(col("__t").as("t2"), col("__c").as("__c2")), Seq("t2"))
+      .crossJoin(broadcast(nTot))
+      .select(col("t1"), col("t2"), col("c12"),
+        round(log((col("c12").cast("double") * col("__N"))
+          / (col("__c1").cast("double") * col("__c2"))), 9).as("pmi"))
+      .orderBy(col("pmi").desc, col("t1").asc, col("t2").asc)
+      .limit(topN)
+  }
+
   /** Apply ONE BPE merge (l, r) → l+r to a symbol-array column:
     * greedy left-to-right, non-overlapping — the canonical
     * merge-application rule (a left fold whose freshly merged symbol

@@ -369,7 +369,8 @@ class PlanSpec extends SparkSpec {
       "q101_trigram_lm", "q102_ivfpq_recall", "q107_count_min",
       "q109_ivf_append", "q117_dsir_sample", "q118_kneser_ney",
       "q119_moore_lewis", "q124_hard_negatives", "q125_temperature_weights",
-      "q126_psi_drift", "q127_label_confusion", "q128_source_caps")
+      "q126_psi_drift", "q127_label_confusion", "q128_source_caps",
+      "q130_collocations") // q130: the PMI N total, q68 1-row cross
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
       .flatMap { name =>

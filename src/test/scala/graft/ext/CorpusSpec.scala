@@ -368,6 +368,23 @@ class CorpusSpec extends SparkSpec {
     assert(slack.forall(r => r._2 == r._3), "slack budget must keep every token")
   }
 
+  test("collocations: a glued pair tops free-floating tokens; rare pairs cut") {
+    // "new york" always adjacent (high PMI); "the" pairs with everything
+    val base = "the cat saw the dog near the tree in the park by the road"
+    val d = docs(
+      (1L, s"new york $base new york", "a"),
+      (2L, s"$base new york and new york again", "a"),
+      (3L, s"new york $base", "a"))
+    val out = Corpus.collocations(d, minCount = 5, topN = 10)
+      .select("t1", "t2", "c12", "pmi")
+      .as[(String, String, Long, Double)].collect()
+    assert(out.head._1 == "new" && out.head._2 == "york",
+      s"the glued pair must rank first, got ${out.toSeq}")
+    assert(out.forall(_._3 >= 5L), "minCount must prune rare pairs")
+    // pmi is sorted descending with the declared tie-break
+    assert(out.map(_._4).toSeq == out.map(_._4).sortBy(-_).toSeq)
+  }
+
   test("bpeTrain stops early when the vocab is fully merged") {
     val d = docs((1L, "ab ab ab", "a"))
     val m = Corpus.bpeTrain(d, numMerges = 10)

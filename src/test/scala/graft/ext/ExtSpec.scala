@@ -1518,6 +1518,23 @@ class CorpusIOSpec extends SparkSpec {
     assert(dispatched.as[(Long, Long, Double)].collect().toSet == lit)
   }
 
+  test("readability: simple prose outscores dense polysyllables; empty docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran."),          // short words, short sentences
+      (2L, "Incomprehensibility characterizes bureaucratic obfuscation."),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs)
+      .select("doc_id", "n_words", "n_sents", "n_syllables", "flesch")
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(3L), "a wordless doc has no defined score")
+    assert(out(1L)._2 == 6L && out(1L)._3 == 2L)
+    // vowel-group heuristic: "The"=1 "cat"=1 "sat"=1 ... all monosyllables
+    assert(out(1L)._4 == 6L)
+    assert(out(1L)._5 > 90.0, s"simple prose must score easy, got ${out(1L)._5}")
+    assert(out(2L)._5 < 0.0, s"dense polysyllables must score hard, got ${out(2L)._5}")
+  }
+
   test("truncateTokens: prefix kept, counts conserved, short docs untouched") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e"), (2L, "x y"), (3L, "")).toDF("doc_id", "text")
