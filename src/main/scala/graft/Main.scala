@@ -45,6 +45,9 @@ object Main {
     |  bpe-train     --corpus PARQUET_DIR --merges N --target DIR
     |  train-quality --corpus PARQUET_DIR --label-source-prefix P --target DIR
     |                [--buckets 64 --steps 3 --lr 0.5]
+    |  select-data   --corpus PARQUET_DIR --target-source-prefix P --k N --target DIR
+    |                [--method moore-lewis|dsir]
+    |  snapshot-diff --prev PARQUET_DIR --next PARQUET_DIR --id COL --cols a,b,c --target DIR
     |""".stripMargin
 
   /** `--flag value` pairs; repeatable flags accumulate in order. */
@@ -155,6 +158,34 @@ object Main {
             label = org.apache.spark.sql.functions.col("source")
               .startsWith(one("label-source-prefix")),
             buckets = buckets, steps = steps, lr = lr)
+          .coalesce(1).write.mode("overwrite").parquet(one("target"))
+      case "select-data" =>
+        // targeted data selection from the command line: split the
+        // corpus on the source prefix (in-domain/target vs raw), rank
+        // raw docs toward the target with Moore-Lewis (LM likelihood
+        // ratio) or DSIR (hashed-distribution importance), keep top-k
+        val method = f("method").headOption.getOrElse("moore-lewis")
+        val k = parsed("k", one("k"))(_.toInt)
+        val corpus = spark.read.parquet(one("corpus"))
+        val prefix = one("target-source-prefix")
+        val inDom = corpus.filter(
+          org.apache.spark.sql.functions.col("source").startsWith(prefix))
+        val raw = corpus.filter(
+          !org.apache.spark.sql.functions.col("source").startsWith(prefix))
+        val sel = method match {
+          case "moore-lewis" => ext.Corpus.mooreLewisSelect(raw, inDom, k)
+          case "dsir"        => ext.Corpus.dsirSample(raw, inDom, k)
+          case other => sys.error(s"unknown --method '$other'\n$usageText")
+        }
+        sel.coalesce(1).write.mode("overwrite").parquet(one("target"))
+      case "snapshot-diff" =>
+        // churn set between two corpus snapshots (ops/SnapshotDiff):
+        // added/removed/changed by id, content compared over --cols
+        val cols = f("cols").flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        if (cols.isEmpty) sys.error(s"missing --cols\n$usageText")
+        ops.SnapshotDiff.diff(
+            spark.read.parquet(one("prev")), spark.read.parquet(one("next")),
+            one("id"), cols)
           .coalesce(1).write.mode("overwrite").parquet(one("target"))
       case "other-objects" =>
         val g = new Graft(spark, f("data").headOption.getOrElse("."))

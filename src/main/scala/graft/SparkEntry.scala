@@ -757,6 +757,14 @@ object SparkEntry {
     "q129_readability" -> ((s, dir) =>
       TextAnalysis.readability(t(s, dir, "documents"))
         .orderBy("doc_id")),
+    // per-source quantile calibration of the q22 quality score — one
+    // threshold means the same thing in every source afterwards
+    "q131_calibrate_scores" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.qualityScore(docs)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      Corpus.calibrateScores(scored, "quality").orderBy("doc_id")
+    }),
     // PMI collocation mining: high-PMI adjacent pairs are the phrases
     // worth fusing before tokenizer/embedding training
     "q130_collocations" -> ((s, dir) =>
@@ -1481,6 +1489,32 @@ object SparkEntry {
         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 9) AS flesch
         |FROM m WHERE n_words > 0 AND n_sents > 0
         |ORDER BY doc_id""".stripMargin,
+
+    // calibration: the q22 quality expression, fixed 100-bucket
+    // histogram CDF per source, mid-rank (below + c/2)/n in exact
+    // integer counts
+    "q131_calibrate_scores" ->
+      s"""WITH $tokCte,
+         |stats AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(count(DISTINCT tok) AS DOUBLE) / count(*) AS ttr,
+         |    CAST(SUM(length(tok)) AS DOUBLE) / count(*) AS avg_len
+         |  FROM toks GROUP BY doc_id),
+         |q AS (SELECT d.doc_id, d.source,
+         |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + ttr * 0.3 + least(avg_len / 8.0, 1.0) * 0.3 AS quality
+         |  FROM stats JOIN documents d ON d.doc_id = stats.doc_id),
+         |wb AS (SELECT doc_id, source, quality,
+         |    least(CAST(FLOOR(quality * 100) AS BIGINT), 99) AS b FROM q),
+         |hist AS (SELECT source, b, count(*) AS c FROM wb GROUP BY 1, 2),
+         |cdf AS (SELECT source, b, c,
+         |    SUM(c) OVER (PARTITION BY source ORDER BY b) - c AS below,
+         |    SUM(c) OVER (PARTITION BY source) AS n
+         |  FROM hist)
+         |SELECT wb.doc_id, wb.source, wb.quality,
+         |  (below + 0.5 * c) / n AS calibrated
+         |FROM wb JOIN cdf ON wb.source = cdf.source AND wb.b = cdf.b
+         |ORDER BY doc_id""".stripMargin,
 
     // PMI assembled in DOUBLE in the identical association
     // (c12·N) / (c1·c2), ln rounded once to 9 dp

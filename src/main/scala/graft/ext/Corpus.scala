@@ -851,6 +851,40 @@ object Corpus {
       .limit(topN)
   }
 
+  /** Per-source score calibration via histogram-CDF quantile
+    * normalization: map each document's raw score to its mid-rank
+    * quantile WITHIN ITS SOURCE — `(below + c/2) / n` over a
+    * fixed-bucket histogram. The fix for the classic curation bug
+    * where one global threshold over a heterogeneous corpus keeps
+    * everything from a lenient-scoring source and nothing from a
+    * strict one: after calibration, "top 20% of every source" is the
+    * same predicate everywhere.
+    *
+    * Scores are assumed in [0, 1] (the [[TextAnalysis.qualityScore]]
+    * contract); buckets are `min(floor(s·B), B−1)`. Shape at scale:
+    * one histogram aggregation to a (sources × B)-row table, windows
+    * over THAT (never the corpus), and a broadcast join back on
+    * (source, bucket) — the corpus is touched by exactly one shuffle.
+    * Calibration resolution is 1/B within a bucket (mid-rank); exact
+    * integer counts make the quantile deterministic cross-engine.
+    * Output: (idCol, groupCol, scoreCol, calibrated). */
+  def calibrateScores(scored: DataFrame, scoreCol: String,
+                      groupCol: String = "source", nBuckets: Int = 100,
+                      idCol: String = "doc_id"): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val b = least(floor(col(scoreCol) * nBuckets).cast("long"), lit(nBuckets - 1L))
+    val withB = scored.select(col(idCol), col(groupCol), col(scoreCol), b.as("__b"))
+    val hist = withB.groupBy(col(groupCol), col("__b")).agg(count(lit(1)).as("__c"))
+    val cdf = hist
+      .withColumn("__below",
+        sum(col("__c")).over(Window.partitionBy(col(groupCol)).orderBy(col("__b")))
+          - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(groupCol))))
+    withB.join(broadcast(cdf), Seq(groupCol, "__b"))
+      .select(col(idCol), col(groupCol), col(scoreCol),
+        ((col("__below") + lit(0.5) * col("__c")) / col("__n")).as("calibrated"))
+  }
+
   /** Apply ONE BPE merge (l, r) → l+r to a symbol-array column:
     * greedy left-to-right, non-overlapping — the canonical
     * merge-application rule (a left fold whose freshly merged symbol

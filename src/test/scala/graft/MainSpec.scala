@@ -74,6 +74,24 @@ class MainSpec extends SparkSpec {
     assert(w.count() == 32 && w.columns.toSet == Set("bucket", "weight"))
   }
 
+  test("select-data and snapshot-diff verbs write results through argv") {
+    val sel = Files.createTempDirectory("graft-cli-select").toString
+    Main.main(Array("select-data", "--corpus", s"$sf/documents.parquet",
+      "--target-source-prefix", "src1", "--k", "10", "--target", sel))
+    val s = spark.read.parquet(sel)
+    assert(s.count() == 10 && s.columns.contains("avg_delta"))
+    intercept[RuntimeException](Main.main(Array("select-data",
+      "--corpus", s"$sf/documents.parquet", "--target-source-prefix", "src1",
+      "--k", "5", "--target", sel, "--method", "nope")))
+    val diffDir = Files.createTempDirectory("graft-cli-diff").toString
+    Main.main(Array("snapshot-diff", "--prev", s"$sf/documents.parquet",
+      "--next", s"$sf/documents.parquet", "--id", "doc_id",
+      "--cols", "text,lang", "--target", diffDir))
+    // identical snapshots → empty churn set, schema intact
+    val d = spark.read.parquet(diffDir)
+    assert(d.count() == 0 && d.columns.toSet == Set("doc_id", "status"))
+  }
+
   test("unknown verb and missing flags fail loudly") {
     intercept[RuntimeException](Main.main(Array("frobnicate", "--x", "y")))
     intercept[RuntimeException](Main.main(Array("copy-tree", "--data", sf)))

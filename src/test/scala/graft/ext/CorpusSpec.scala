@@ -385,6 +385,22 @@ class CorpusSpec extends SparkSpec {
     assert(out.map(_._4).toSeq == out.map(_._4).sortBy(-_).toSeq)
   }
 
+  test("calibrateScores: per-source mid-rank quantiles, comparable across sources") {
+    // source a scores cluster low, source b high — calibrated ranks
+    // should be identical source-relative positions
+    val scored = Seq(
+      (1L, "a", 0.10), (2L, "a", 0.20), (3L, "a", 0.30), (4L, "a", 0.40),
+      (5L, "b", 0.60), (6L, "b", 0.70), (7L, "b", 0.80), (8L, "b", 0.90))
+      .toDF("doc_id", "source", "score")
+    val out = Corpus.calibrateScores(scored, "score")
+      .select("doc_id", "calibrated").as[(Long, Double)].collect().toMap
+    // each source: 4 singleton buckets → mid-ranks 1/8, 3/8, 5/8, 7/8
+    val want = Seq(0.125, 0.375, 0.625, 0.875)
+    assert(Seq(1L, 2L, 3L, 4L).map(out) == want)
+    assert(Seq(5L, 6L, 7L, 8L).map(out) == want,
+      "high-scoring source must calibrate to the same in-source ranks")
+  }
+
   test("bpeTrain stops early when the vocab is fully merged") {
     val d = docs((1L, "ab ab ab", "a"))
     val m = Corpus.bpeTrain(d, numMerges = 10)
