@@ -641,6 +641,15 @@ object SparkEntry {
       Dedup.clusterSafeSplit(docs, pairs)
         .select("doc_id", "comp", "split").orderBy("doc_id")
     }),
+    // dedup report card: cluster-size histogram + docs removed per
+    // size class over the q50 component labels
+    "q132_cluster_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+      val pairs = Dedup.candidatePairs(
+        Dedup.lshBands(Dedup.minhash(docs, k = 6), bands = 3, rowsPerBand = 2))
+        .localCheckpoint()
+      Dedup.clusterSizeStats(pairs).orderBy("cluster_size")
+    }),
     // the pipeline's end product: the corpus with one representative
     // kept per duplicate cluster (anti-join against the non-reps)
     "q60_dedup_corpus" -> ((s, dir) => {
@@ -1667,6 +1676,7 @@ object SparkEntry {
     "q50_dedup_components" -> dedupComponentsOracle,
     "q60_dedup_corpus" -> dedupCorpusOracle,
     "q120_cluster_split" -> clusterSplitOracle,
+    "q132_cluster_stats" -> clusterStatsOracle,
     "q52_simhash_neardup" -> simhashNearDupOracle,
     "q86_simhash64" -> simhash64Sql,
     "q87_simhash64_neardup" -> simhash64NearDupOracle,
@@ -3282,6 +3292,23 @@ object SparkEntry {
        |    THEN 'train' ELSE 'test' END AS split
        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** q132 oracle: component sizes → size histogram with the
+    * removed-docs column. */
+  private def clusterStatsOracle: String =
+    s"""WITH RECURSIVE $lshPairsCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+       |comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+       |sizes AS (SELECT comp, count(*) AS sz FROM comp GROUP BY comp)
+       |SELECT sz AS cluster_size, count(*) AS n_clusters,
+       |  (sz - 1) * count(*) AS docs_removed
+       |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin
 
   /** CTE chain ending in `s(doc_id, simhash)` — the identical 16-bit
     * nibble-hash construction. Shared by the q26 and q52 oracles. */

@@ -387,6 +387,25 @@ object Dedup {
     TextAnalysis.trainTestSplit(labeled, "comp", trainNibbles)
   }
 
+  /** Duplicate-cluster size distribution — the dedup run's report
+    * card: how many clusters of each size the pair set produced, and
+    * how many documents each size class removes (`(size−1)·n` — every
+    * cluster keeps one representative). A heavy tail here means a
+    * boilerplate/mirror problem upstream; a spike at one size usually
+    * means a template. Unpaired documents are excluded (size-1
+    * clusters are the corpus minus the paired set).
+    *
+    * Two model-sized aggregations over the component labels (bounded
+    * by the PAIRED document count, not the corpus). Output:
+    * (cluster_size, n_clusters, docs_removed), exact longs. */
+  def clusterSizeStats(pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    connectedComponents(pairs, idCol = idCol)
+      .groupBy(col("comp")).agg(count(lit(1)).as("__size"))
+      .groupBy(col("__size").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("docs_removed"))
+
   /** Portable 16-bit token hash: value of the first 4 hex nibbles of
     * md5(token), via position lookup — expressible identically in
     * ANSI SQL (no engine-specific hash function). */

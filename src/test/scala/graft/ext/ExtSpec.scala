@@ -419,6 +419,14 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_._3).distinct.sorted.toSeq == Seq("test", "train"))
   }
 
+  test("clusterSizeStats histograms component sizes with removal counts") {
+    // {1,2,3} size 3, {7,8} and {9,10} size 2
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (9L, 10L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusterSizeStats(pairs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out == Map(3L -> (1L, 2L), 2L -> (2L, 2L)))
+  }
+
   test("connectedComponents converges on a long path (diameter > 1 round)") {
     val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val comps = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
