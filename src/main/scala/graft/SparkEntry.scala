@@ -641,6 +641,13 @@ object SparkEntry {
       Dedup.clusterSafeSplit(docs, pairs)
         .select("doc_id", "comp", "split").orderBy("doc_id")
     }),
+    // dedup-method quality harness: LSH-band and SimHash candidates
+    // measured against exact all-pairs Jaccard truth at 0.5 (the
+    // audit-slice quadratic harness class, q58's pattern for text)
+    "q133_candidate_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+      Dedup.candidateQuality(docs, threshold = 0.5).orderBy("method")
+    }),
     // dedup report card: cluster-size histogram + docs removed per
     // size class over the q50 component labels
     "q132_cluster_stats" -> ((s, dir) => {
@@ -1677,6 +1684,7 @@ object SparkEntry {
     "q60_dedup_corpus" -> dedupCorpusOracle,
     "q120_cluster_split" -> clusterSplitOracle,
     "q132_cluster_stats" -> clusterStatsOracle,
+    "q133_candidate_quality" -> candidateQualityOracle,
     "q52_simhash_neardup" -> simhashNearDupOracle,
     "q86_simhash64" -> simhash64Sql,
     "q87_simhash64_neardup" -> simhash64NearDupOracle,
@@ -3292,6 +3300,42 @@ object SparkEntry {
        |    THEN 'train' ELSE 'test' END AS split
        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** q133 oracle: both candidate sets and the exact-Jaccard truth set
+    * in one statement — precision/recall from scalar-subquery counts.
+    * Reuses the LSH pair CTEs (whose `sh` stream feeds both minhash
+    * and, DISTINCT'd, the exact truth) and the simhash CTE family. */
+  private def candidateQualityOracle: String =
+    s"""WITH $lshPairsCtes,
+       |$simhashCtes,
+       |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+       |tp0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ns
+       |        FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2),
+       |truth AS (SELECT doc_a, doc_b FROM tp0
+       |          JOIN sizes sa ON sa.doc_id = doc_a
+       |          JOIN sizes sb ON sb.doc_id = doc_b
+       |          WHERE CAST(ns AS DOUBLE) / (sa.n + sb.n - ns) >= 0.5),
+       |sim AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |        FROM s a JOIN s c ON a.doc_id < c.doc_id
+       |        WHERE bit_count(xor(a.simhash, c.simhash)) <= 1),
+       |m1 AS (SELECT 'minhash_lsh' AS method,
+       |        (SELECT count(*) FROM pairs) AS n_candidates,
+       |        (SELECT count(*) FROM truth) AS n_truth,
+       |        (SELECT count(*) FROM pairs p JOIN truth t
+       |           ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b) AS tp),
+       |m2 AS (SELECT 'simhash16' AS method,
+       |        (SELECT count(*) FROM sim) AS n_candidates,
+       |        (SELECT count(*) FROM truth) AS n_truth,
+       |        (SELECT count(*) FROM sim p JOIN truth t
+       |           ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b) AS tp),
+       |u AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+       |SELECT method, CAST(n_candidates AS BIGINT) AS n_candidates,
+       |  CAST(n_truth AS BIGINT) AS n_truth, CAST(tp AS BIGINT) AS tp,
+       |  CAST(tp AS DOUBLE) / n_candidates AS precision,
+       |  CAST(tp AS DOUBLE) / n_truth AS recall
+       |FROM u ORDER BY method""".stripMargin
 
   /** q132 oracle: component sizes → size histogram with the
     * removed-docs column. */

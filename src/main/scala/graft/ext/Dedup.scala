@@ -387,6 +387,43 @@ object Dedup {
     TextAnalysis.trainTestSplit(labeled, "comp", trainNibbles)
   }
 
+  /** Candidate-generation quality harness: precision/recall of the
+    * two bucketed near-dup detectors (MinHash-LSH bands, SimHash
+    * pigeonhole) against EXACT all-pairs Jaccard ground truth at
+    * `threshold` — the measurement that says whether the band/bit
+    * parameters are tuned for the corpus at hand, before a 100 TB run
+    * silently over- or under-collapses it. The exact side is
+    * quadratic BY DESIGN (the q27/q58 harness class): run it on a
+    * bounded audit slice, never the production corpus.
+    *
+    * Output: one row per method —
+    * (method, n_candidates, n_truth, tp, precision, recall), where
+    * precision = tp/candidates (how much verification work is
+    * wasted) and recall = tp/truth (what the buckets miss). Exact
+    * longs; ratios are correctly-rounded doubles of exact counts. */
+  def candidateQuality(docs: DataFrame, threshold: Double = 0.5,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val truth = jaccardPairs(docs, shingleN = 3, idCol, textCol)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    def metrics(cand: DataFrame, name: String) = {
+      val c = cand.select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val nC = c.agg(count(lit(1)).as("n_candidates"))
+      val nTp = c.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("tp"))
+      nC.crossJoin(broadcast(nTp)).crossJoin(broadcast(nT))
+        .select(lit(name).as("method"), col("n_candidates"), col("n_truth"),
+          col("tp"),
+          (col("tp").cast("double") / col("n_candidates")).as("precision"),
+          (col("tp").cast("double") / col("n_truth")).as("recall"))
+    }
+    metrics(candidatePairs(lshBands(minhash(docs, k = 6, idCol = idCol,
+        textCol = textCol), bands = 3, rowsPerBand = 2, idCol), idCol), "minhash_lsh")
+      .unionByName(metrics(
+        simhashNearDup(docs, maxHamming = 1, idCol, textCol), "simhash16"))
+  }
+
   /** Duplicate-cluster size distribution — the dedup run's report
     * card: how many clusters of each size the pair set produced, and
     * how many documents each size class removes (`(size−1)·n` — every

@@ -370,7 +370,10 @@ class PlanSpec extends SparkSpec {
       "q109_ivf_append", "q117_dsir_sample", "q118_kneser_ney",
       "q119_moore_lewis", "q124_hard_negatives", "q125_temperature_weights",
       "q126_psi_drift", "q127_label_confusion", "q128_source_caps",
-      "q130_collocations") // q130: the PMI N total, q68 1-row cross
+      // q130: the PMI N total, q68 1-row cross; q133: the audit-slice
+      // quality harness — exact truth side quadratic BY DESIGN (q58's
+      // class) and 1-row metric crosses
+      "q130_collocations", "q133_candidate_quality")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
       .flatMap { name =>

@@ -419,6 +419,26 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_._3).distinct.sorted.toSeq == Seq("test", "train"))
   }
 
+  test("candidateQuality: perfect detectors on identical docs, no false truth") {
+    // 1 and 2 are byte-identical (every detector must pair them);
+    // the rest are unrelated
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six"),
+      (4L, "totally different content here now"))
+      .toDF("doc_id", "text")
+    val out = Dedup.candidateQuality(docs, threshold = 0.5)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set("minhash_lsh", "simhash16"))
+    // truth = exactly the identical pair; both detectors find it
+    out.values.foreach { m =>
+      assert(m._3 == 1L, s"truth must be the one identical pair, got $m")
+      assert(m._4 == 1L && m._6 == 1.0, s"detector missed the identical pair: $m")
+    }
+  }
+
   test("clusterSizeStats histograms component sizes with removal counts") {
     // {1,2,3} size 3, {7,8} and {9,10} size 2
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (9L, 10L)).toDF("doc_a", "doc_b")
