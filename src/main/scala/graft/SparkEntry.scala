@@ -3317,9 +3317,13 @@ object SparkEntry {
        |          JOIN sizes sa ON sa.doc_id = doc_a
        |          JOIN sizes sb ON sb.doc_id = doc_b
        |          WHERE CAST(ns AS DOUBLE) / (sa.n + sb.n - ns) >= 0.5),
+       |${simhash64CtesNamed("x")},
        |sim AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
        |        FROM s a JOIN s c ON a.doc_id < c.doc_id
        |        WHERE bit_count(xor(a.simhash, c.simhash)) <= 1),
+       |sim64 AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |        FROM xs a JOIN xs c ON a.doc_id < c.doc_id
+       |        WHERE bit_count(xor(a.simhash, c.simhash)) <= 3),
        |m1 AS (SELECT 'minhash_lsh' AS method,
        |        (SELECT count(*) FROM pairs) AS n_candidates,
        |        (SELECT count(*) FROM truth) AS n_truth,
@@ -3330,7 +3334,13 @@ object SparkEntry {
        |        (SELECT count(*) FROM truth) AS n_truth,
        |        (SELECT count(*) FROM sim p JOIN truth t
        |           ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b) AS tp),
-       |u AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+       |m3 AS (SELECT 'simhash64' AS method,
+       |        (SELECT count(*) FROM sim64) AS n_candidates,
+       |        (SELECT count(*) FROM truth) AS n_truth,
+       |        (SELECT count(*) FROM sim64 p JOIN truth t
+       |           ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b) AS tp),
+       |u AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2
+       |      UNION ALL SELECT * FROM m3)
        |SELECT method, CAST(n_candidates AS BIGINT) AS n_candidates,
        |  CAST(n_truth AS BIGINT) AS n_truth, CAST(tp AS BIGINT) AS tp,
        |  CAST(tp AS DOUBLE) / n_candidates AS precision,
@@ -3383,7 +3393,10 @@ object SparkEntry {
     * ints, so FLOOR/% arithmetic is exact — no signed shifts needed),
     * and bit 63 packed by adding BIGINT min so the result is the same
     * two's-complement value Spark produces. */
-  private def simhash64Ctes: String = {
+  /** The 64-bit simhash chain with prefixed CTE names (assumes `toks`
+    * is already defined) — prefixing lets the chain coexist with the
+    * 16-bit family in one statement (q133). */
+  private def simhash64CtesNamed(p: String): String = {
     def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1) AS n$i"
     val nibs = (1 to 16).map(nib).mkString(",\n    ")
     val sums = (0 until 64).map { k =>
@@ -3395,11 +3408,12 @@ object SparkEntry {
       s"CASE WHEN s$k >= 0 THEN ${1L << k} ELSE 0 END"
     }.mkString(" + ")
     val hi = "CASE WHEN s63 >= 0 THEN -9223372036854775807 - 1 ELSE 0 END"
-    s"""$tokCte,
-       |n AS (SELECT doc_id, $nibs FROM toks),
-       |b AS (SELECT doc_id, $sums FROM n GROUP BY doc_id),
-       |s AS (SELECT doc_id, CAST($low AS BIGINT) + ($hi) AS simhash FROM b)""".stripMargin
+    s"""${p}n AS (SELECT doc_id, $nibs FROM toks),
+       |${p}b AS (SELECT doc_id, $sums FROM ${p}n GROUP BY doc_id),
+       |${p}s AS (SELECT doc_id, CAST($low AS BIGINT) + ($hi) AS simhash FROM ${p}b)""".stripMargin
   }
+
+  private def simhash64Ctes: String = s"$tokCte,\n${simhash64CtesNamed("")}"
 
   /** 64-bit SimHash oracle (q86). */
   private def simhash64Sql: String =

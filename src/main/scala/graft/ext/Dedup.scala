@@ -422,6 +422,8 @@ object Dedup {
         textCol = textCol), bands = 3, rowsPerBand = 2, idCol), idCol), "minhash_lsh")
       .unionByName(metrics(
         simhashNearDup(docs, maxHamming = 1, idCol, textCol), "simhash16"))
+      .unionByName(metrics(
+        simhashNearDup64(docs, maxHamming = 3, idCol, textCol), "simhash64"))
   }
 
   /** Duplicate-cluster size distribution — the dedup run's report

@@ -431,8 +431,8 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.candidateQuality(docs, threshold = 0.5)
       .as[(String, Long, Long, Long, Double, Double)].collect()
       .map(r => r._1 -> r).toMap
-    assert(out.keySet == Set("minhash_lsh", "simhash16"))
-    // truth = exactly the identical pair; both detectors find it
+    assert(out.keySet == Set("minhash_lsh", "simhash16", "simhash64"))
+    // truth = exactly the identical pair; every detector finds it
     out.values.foreach { m =>
       assert(m._3 == 1L, s"truth must be the one identical pair, got $m")
       assert(m._4 == 1L && m._6 == 1.0, s"detector missed the identical pair: $m")
