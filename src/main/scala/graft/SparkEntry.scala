@@ -888,6 +888,22 @@ object SparkEntry {
           queryIds = Seq(5L, 6L, 7L, 8L, 9L), k = 3, nProbe = 2)
         .orderBy("query_id", "rank")
     }),
+    // index DELETE lifecycle: persist the full index, tombstone every
+    // vec_id % 7 == 3, compact (affected-cell rewrite + exact partial
+    // subtraction), probe — the oracle is the survivor-corpus probe
+    // (delete ≡ rebuild on survivors, exactly)
+    "q134_ivf_delete" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft-q134-ivf").toString
+      Similarity.ivfWrite(Similarity.ivfBuildDeterministic(
+        emb, planes = 4, dim = 64), path)
+      Similarity.ivfDeleteWrite(path,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"))
+      Similarity.ivfCompactDeletes(s, path)
+      Similarity.ivfQuery(Similarity.ivfRead(s, path),
+          queryIds = Seq(5L, 6L, 7L, 8L, 9L), k = 3, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
     // IVF quality harness: the KMeans cells are engine-specific, but
     // two properties of the probe are engine-portable and asserted
     // cross-engine — it answers exactly k hits per query, and every
@@ -1668,6 +1684,10 @@ object SparkEntry {
     "q29_ann_lsh" -> annLshOracle,
     "q39_ann_ivf" -> annIvfOracle,
     "q109_ivf_append" -> annIvfOracleFor("5, 6, 7, 8, 9"),
+    // delete ≡ rebuild-on-survivors: the oracle is the plain IVF probe
+    // over the filtered corpus (centroids from survivor partials)
+    "q134_ivf_delete" ->
+      annIvfOracleFor("5, 6, 7, 8, 9", " WHERE vec_id % 7 <> 3"),
     "q81_pii_redact" -> piiOracle,
     "q82_containment" -> containmentOracle,
     "q83_content_chunks" -> contentChunksOracle,
@@ -2602,8 +2622,10 @@ object SparkEntry {
     * append): the append contract is build(A ∪ B) exactly, so both
     * oracles are the full-corpus IVF probe, differing only in query
     * ids. */
-  private def annIvfOracleFor(queryIdList: String): String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  private def annIvfOracleFor(queryIdList: String,
+                              corpusWhere: String = ""): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings$corpusWhere),
        |b AS (SELECT vec_id, v, ${bucketExprSql(4, 64)} AS cell FROM e),
        |ex AS (SELECT cell, r.d, v[r.d] AS x
        |       FROM b CROSS JOIN (SELECT unnest(range(1, 65)) AS d) r),

@@ -461,6 +461,76 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/quantizer")
   }
 
+  /** Tombstone-delete vectors from a persisted IVF index: the ids
+    * land in a `path/tombstones` side table — O(batch), no corpus
+    * read, no file rewrite (the FAISS `remove_ids` economics, made
+    * lazy). [[ivfRead]] anti-joins tombstones into every probe, so
+    * deleted vectors stop being served IMMEDIATELY; the physical
+    * rewrite is deferred to [[ivfCompactDeletes]], which touches only
+    * the affected cells. Centroids are left as built until
+    * compaction (FAISS semantics: removal does not retrain the
+    * quantizer). */
+  def ivfDeleteWrite(path: String, ids: DataFrame): Unit =
+    ids.select(col(ids.columns.head)).distinct().coalesce(1)
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Apply accumulated tombstones physically: rewrite ONLY the cell
+    * partitions that contain deleted rows (dynamic partition
+    * overwrite; untouched cells' files are never read or written),
+    * SUBTRACT the deleted rows' exact-integer centroid partials from
+    * the persisted side table, and clear the tombstones. Long sums
+    * are associative, so partials-of-survivors = partials-of-all −
+    * partials-of-deleted EXACTLY — the refreshed centroids are
+    * bit-identical to a full rebuild on the surviving corpus (the
+    * delete mirror of [[ivfAppendWrite]]'s contract; the spec asserts
+    * it). The affected-cell list is collected to the driver — bounded
+    * by nLists, the documented bounded-action class. Work scales with
+    * the affected cells' data plus one id-column semi-join over the
+    * corpus, not with corpus bytes. */
+  def ivfCompactDeletes(spark: org.apache.spark.sql.SparkSession,
+                        path: String, vecCol: String = "embedding"): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (!fs.exists(tPath)) return
+    val tomb = spark.read.parquet(s"$path/tombstones").localCheckpoint()
+    val tCol = tomb.columns.head
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .withColumn("__cell", col("__cell").cast("int"))
+    val dead = assigned.join(tomb, Seq(tCol), "left_semi").localCheckpoint()
+    val affected = dead.select(col("__cell")).distinct()
+      .collect().map(_.getInt(0))
+    if (affected.nonEmpty) {
+      val survivors = assigned
+        .filter(col("__cell").isin(affected.map(Integer.valueOf): _*))
+        .join(tomb, Seq(tCol), "left_anti")
+        .repartition(col("__cell")).localCheckpoint()
+      val liveCells = survivors.select(col("__cell")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__cell").parquet(s"$path/assigned")
+      // a cell whose every row died has no survivors, so dynamic
+      // overwrite never touches its directory — drop it explicitly
+      affected.filterNot(liveCells).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned/__cell=$c"), true)
+      }
+      val base = spark.read.parquet(s"$path/partials")
+      val merged = base
+        .unionByName(centroidPartials(dead, vecCol)
+          .select(col("__cell"), col("__pos"),
+            (-col("__sum")).as("__sum"), (-col("__cnt")).as("__cnt")))
+        .groupBy(col("__cell"), col("__pos"))
+        .agg(sum(col("__sum")).as("__sum"), sum(col("__cnt")).as("__cnt"))
+        .filter(col("__cnt") > 0)
+        .localCheckpoint()
+      merged.coalesce(1).write.mode("overwrite").parquet(s"$path/partials")
+      centroidsFromPartials(merged).coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/centroids")
+    }
+    fs.delete(tPath, true)
+  }
+
   /** The persisted quantizer-kind marker; indexes written before the
     * marker existed read back as deterministic (the only kind the
     * original append path supported). */
@@ -473,11 +543,22 @@ object Similarity {
     else IvfIndex.Deterministic
   }
 
-  /** Reload a persisted IVF index. */
-  def ivfRead(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
-    IvfIndex(spark.read.parquet(s"$path/assigned"),
-      spark.read.parquet(s"$path/centroids"),
+  /** Reload a persisted IVF index. Pending [[ivfDeleteWrite]]
+    * tombstones are anti-joined into the assigned view (a broadcast
+    * anti-join against the small tombstone table), so deleted vectors
+    * never reach a probe even before [[ivfCompactDeletes]] runs. */
+  def ivfRead(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val assigned0 = spark.read.parquet(s"$path/assigned")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val assigned =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones"))) {
+        val tomb = spark.read.parquet(s"$path/tombstones")
+        assigned0.join(broadcast(tomb), Seq(tomb.columns.head), "left_anti")
+      } else assigned0
+    IvfIndex(assigned, spark.read.parquet(s"$path/centroids"),
       quantizerKind(spark, path))
+  }
 
   /** Assign vectors to their nearest centroid from a centroid TABLE
     * (squared L2, ties to the lowest cell id — KMeans' own

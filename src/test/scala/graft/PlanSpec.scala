@@ -372,8 +372,9 @@ class PlanSpec extends SparkSpec {
       "q126_psi_drift", "q127_label_confusion", "q128_source_caps",
       // q130: the PMI N total, q68 1-row cross; q133: the audit-slice
       // quality harness — exact truth side quadratic BY DESIGN (q58's
-      // class) and 1-row metric crosses
-      "q130_collocations", "q133_candidate_quality")
+      // class) and 1-row metric crosses; q134's probe is ivfQuery's
+      // |Q|·nLists centroid cross (the q39/q109 coarse-quantizer shape)
+      "q130_collocations", "q133_candidate_quality", "q134_ivf_delete")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
       .flatMap { name =>

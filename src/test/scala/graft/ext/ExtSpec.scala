@@ -901,6 +901,43 @@ class SimilaritySpec extends SparkSpec {
     assert(q1.exceptAll(q2).isEmpty && q2.exceptAll(q1).isEmpty)
   }
 
+  test("ivfDeleteWrite + ivfCompactDeletes: delete ≡ rebuild on survivors; " +
+       "tombstones filter probes immediately; untouched cells' files keep") {
+    val emb = load("embeddings")
+    val dead = emb.filter(col("vec_id") % 7 === 3)
+    val survivors = emb.filter(col("vec_id") % 7 =!= 3)
+    val p1 = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
+    val p2 = java.nio.file.Files.createTempDirectory("graft-ivf-surv").toString
+    Similarity.ivfWrite(
+      Similarity.ivfBuildDeterministic(emb, planes = 4, dim = 64), p1)
+    Similarity.ivfDeleteWrite(p1, dead.select("vec_id"))
+    // BEFORE compaction: tombstones already hide deleted vectors
+    val pre = Similarity.ivfRead(spark, p1)
+    assert(pre.assigned.join(dead.select("vec_id"), Seq("vec_id"), "left_semi").isEmpty,
+      "a tombstoned vector must not be served")
+    Similarity.ivfCompactDeletes(spark, p1)
+    Similarity.ivfWrite(
+      Similarity.ivfBuildDeterministic(survivors, planes = 4, dim = 64), p2)
+    // compacted assigned rows ≡ rebuild-on-survivors rows
+    val (i1, i2) = (Similarity.ivfRead(spark, p1), Similarity.ivfRead(spark, p2))
+    val cols = i2.assigned.columns.sorted.toIndexedSeq.map(col)
+    assert(i1.assigned.select(cols: _*).exceptAll(i2.assigned.select(cols: _*)).isEmpty &&
+      i2.assigned.select(cols: _*).exceptAll(i1.assigned.select(cols: _*)).isEmpty)
+    // partials and centroids bit-identical to the survivor rebuild
+    // (exact long subtraction: partials(all) − partials(dead))
+    def table(p: String, t: String) = spark.read.parquet(s"$p/$t")
+    assert(table(p1, "partials").exceptAll(table(p2, "partials")).isEmpty &&
+      table(p2, "partials").exceptAll(table(p1, "partials")).isEmpty,
+      "compacted partials must equal the survivor rebuild's")
+    assert(table(p1, "centroids").exceptAll(table(p2, "centroids")).isEmpty &&
+      table(p2, "centroids").exceptAll(table(p1, "centroids")).isEmpty)
+    // probes agree, tombstones cleared
+    val q1 = Similarity.ivfQuery(i1, Seq(5L, 6L), k = 3, nProbe = 2)
+    val q2 = Similarity.ivfQuery(i2, Seq(5L, 6L), k = 3, nProbe = 2)
+    assert(q1.exceptAll(q2).isEmpty && q2.exceptAll(q1).isEmpty)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p1, "tombstones")))
+  }
+
   test("ivfAppendWrite: centroid refresh is O(batch) — never reads pre-existing " +
        "cell data (append succeeds with the base corpus files corrupted)") {
     val emb = load("embeddings")
