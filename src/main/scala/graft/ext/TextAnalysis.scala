@@ -280,6 +280,12 @@ object TextAnalysis {
       .agg(count(lit(1)).as("__c"))
       .select(col(idCol), col("__y"), col("__bkt"),
         (col("__c") / col("__n")).as("__x"))
+      // hash-partition the feature table by doc ONCE: localCheckpoint
+      // preserves the partitioning, so every step's per-doc margin
+      // aggregation and residual join reuse it instead of re-shuffling
+      // the features — 2 exchanges per GD step become the one
+      // bucket-sized gradient shuffle
+      .repartition(col(idCol))
       .localCheckpoint()
     val nDocs = feat.select(col(idCol)).distinct().count()
     var w = spark.range(buckets)
