@@ -773,6 +773,15 @@ object SparkEntry {
     "q129_readability" -> ((s, dir) =>
       TextAnalysis.readability(t(s, dir, "documents"))
         .orderBy("doc_id")),
+    // bucketed Mann-Whitney AUC: does the q22 quality score separate
+    // the src1* slice from the rest — the scorer-evaluation metric
+    "q135_auc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.aucScore(
+        TextAnalysis.qualityScore(docs)
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+        "quality", col("source").startsWith("src1"))
+    }),
     // per-source quantile calibration of the q22 quality score — one
     // threshold means the same thing in every source afterwards
     "q131_calibrate_scores" -> ((s, dir) => {
@@ -1521,6 +1530,35 @@ object SparkEntry {
         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 9) AS flesch
         |FROM m WHERE n_words > 0 AND n_sents > 0
         |ORDER BY doc_id""".stripMargin,
+
+    // AUC: q22 quality scores at 1000-bucket resolution, 2x rank-sum
+    // in exact integers, one double division at the end
+    "q135_auc" ->
+      s"""WITH $tokCte,
+         |stats AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(count(DISTINCT tok) AS DOUBLE) / count(*) AS ttr,
+         |    CAST(SUM(length(tok)) AS DOUBLE) / count(*) AS avg_len
+         |  FROM toks GROUP BY doc_id),
+         |q AS (SELECT d.doc_id,
+         |    CASE WHEN d.source LIKE 'src1%' THEN 1 ELSE 0 END AS y,
+         |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + ttr * 0.3 + least(avg_len / 8.0, 1.0) * 0.3 AS quality
+         |  FROM stats JOIN documents d ON d.doc_id = stats.doc_id),
+         |g AS (SELECT least(CAST(FLOOR(quality * 1000) AS BIGINT), 999) AS b,
+         |        CAST(SUM(y) AS BIGINT) AS np, count(*) AS n
+         |      FROM q GROUP BY 1),
+         |r AS (SELECT np, n,
+         |        SUM(n) OVER (ORDER BY b) - n AS below FROM g),
+         |a AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+         |        CAST(SUM(n - np) AS BIGINT) AS n_neg,
+         |        CAST(SUM(np * (below * 2 + n + 1)) AS BIGINT) AS rp2
+         |      FROM r)
+         |SELECT n_pos, n_neg,
+         |  (CAST(rp2 AS DOUBLE) / 2.0
+         |    - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0)
+         |    / (CAST(n_pos AS DOUBLE) * n_neg) AS auc
+         |FROM a""".stripMargin,
 
     // calibration: the q22 quality expression, fixed 100-bucket
     // histogram CDF per source, mid-rank (below + c/2)/n in exact

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines
@@ -558,6 +559,40 @@ object TextAnalysis {
         round(lit(206.835)
           - lit(1.015) * (col("n_words").cast("double") / col("n_sents"))
           - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 9))
+  }
+
+  /** Bucketed Mann–Whitney AUC of a [0,1] score against a boolean
+    * label — how well a quality/domain scorer separates the classes,
+    * the metric to report next to [[logregTrain]]'s weights. Exact
+    * rank-sum AUC computed at `nBuckets` score resolution with
+    * mid-rank tie handling (ties WITHIN a bucket contribute 1/2, the
+    * standard correction): AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻).
+    *
+    * Shape at scale: one map-side-combined aggregation collapses the
+    * corpus to ≤ nBuckets rows; the rank prefix-sum runs over THAT.
+    * Mid-ranks are exact multiples of 1/2, carried as DECIMAL so the
+    * rank-sum is partition-order-free; the one division is a
+    * correctly-rounded double over exact inputs. Output: one row
+    * (n_pos, n_neg, auc). */
+  def aucScore(scored: DataFrame, scoreCol: String, label: Column,
+               nBuckets: Int = 1000): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val b = least(floor(col(scoreCol) * nBuckets).cast("long"), lit(nBuckets - 1L))
+    val g = scored.select(b.as("__b"), label.cast("long").as("__y"))
+      .groupBy(col("__b"))
+      .agg(sum(col("__y")).as("__np"), count(lit(1)).as("__n"))
+    val ranked = g.withColumn("__below",
+      sum(col("__n")).over(Window.orderBy(col("__b"))) - col("__n"))
+    ranked
+      .agg(sum(col("__np")).as("n_pos"),
+        sum(col("__n") - col("__np")).as("n_neg"),
+        // 2·rank-sum stays integral (midrank = below + (n+1)/2), so
+        // the whole accumulation is exact associative long arithmetic
+        sum(col("__np") * (col("__below") * 2 + col("__n") + 1)).as("__rp2"))
+      .select(col("n_pos"), col("n_neg"),
+        ((col("__rp2").cast("double") / 2.0
+          - col("n_pos").cast("double") * (col("n_pos") + 1) / 2.0)
+          / (col("n_pos").cast("double") * col("n_neg"))).as("auc"))
   }
 
   /** Truncate each document to its first `maxTokens` whitespace

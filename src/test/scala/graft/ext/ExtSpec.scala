@@ -1583,6 +1583,19 @@ class CorpusIOSpec extends SparkSpec {
     assert(dispatched.as[(Long, Long, Double)].collect().toSet == lit)
   }
 
+  test("aucScore: perfect separation 1.0, reversed 0.0, all-ties 0.5") {
+    import spark.implicits._
+    def auc(rows: Seq[(Double, Boolean)]): Double =
+      TextAnalysis.aucScore(rows.toDF("score", "y"), "score", col("y"))
+        .select("auc").as[Double].head()
+    assert(auc(Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))) == 1.0)
+    assert(auc(Seq((0.9, false), (0.8, false), (0.2, true), (0.1, true))) == 0.0)
+    assert(auc(Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false))) == 0.5)
+    // the textbook hand-computable case: pos {0.8, 0.4}, neg {0.6, 0.2}
+    // pairs won: (0.8>0.6), (0.8>0.2), (0.4<0.6 lost), (0.4>0.2) → 3/4
+    assert(auc(Seq((0.8, true), (0.4, true), (0.6, false), (0.2, false))) == 0.75)
+  }
+
   test("readability: simple prose outscores dense polysyllables; empty docs drop") {
     import spark.implicits._
     val docs = Seq(
