@@ -42,6 +42,7 @@ object Main {
     |  export-jsonl --path DIR --target DIR
     |  curate-stream --landing DIR --index DIR --corpus DIR --checkpoint DIR
     |                [--bands 3 --rows-per-band 2] [--pairs DIR] [--follow true]
+    |                [--drift DIR]
     |  bpe-train     --corpus PARQUET_DIR --merges N --target DIR
     |  train-quality --corpus PARQUET_DIR --label-source-prefix P --target DIR
     |                [--buckets 64 --steps 3 --lr 0.5]
@@ -136,7 +137,8 @@ object Main {
         val q = streaming.CurationStream.curateStream(
           sources.CorpusIO.readJsonlStream(spark, one("landing")),
           one("index"), one("corpus"), one("checkpoint"), bands, rpb,
-          pairsPath = f("pairs").headOption, trigger = trigger)
+          pairsPath = f("pairs").headOption, trigger = trigger,
+          driftPath = f("drift").headOption)
         q.awaitTermination()
       case "bpe-train" =>
         // tokenizer training from the command line: corpus parquet in,

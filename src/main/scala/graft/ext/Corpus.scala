@@ -749,12 +749,27 @@ object Corpus {
     * (bucket, n_base, n_cur, contrib) — exact counts, contrib a
     * 9-dp-rounded double from exact inputs. */
   def psiDrift(base: DataFrame, current: DataFrame, bucketWidth: Int = 200,
-               lenCol: String = "n_chars"): DataFrame = {
+               lenCol: String = "n_chars"): DataFrame =
+    psiFromHists(lengthHist(base, bucketWidth, lenCol),
+      lengthHist(current, bucketWidth, lenCol))
+
+  /** The equi-width length histogram [[psiDrift]] compares — exposed
+    * so a monitoring loop can PERSIST it and merge batches by addition
+    * (counts are associative longs), making per-batch drift O(batch)
+    * instead of re-scanning the accumulated corpus. Output:
+    * (bucket, n). */
+  def lengthHist(df: DataFrame, bucketWidth: Int = 200,
+                 lenCol: String = "n_chars"): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    def hist(df: DataFrame, cName: String) = df
-      .select(floor(col(lenCol) / bucketWidth.toDouble).cast("long").as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as(cName))
-    val h = hist(base, "n_base").join(hist(current, "n_cur"), Seq("bucket"), "full_outer")
+    df.select(floor(col(lenCol) / bucketWidth.toDouble).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+  }
+
+  /** [[psiDrift]] over two prebuilt `(bucket, n)` histograms. */
+  def psiFromHists(baseHist: DataFrame, currentHist: DataFrame): DataFrame = {
+    val h = baseHist.select(col("bucket"), col("n").as("n_base"))
+      .join(currentHist.select(col("bucket"), col("n").as("n_cur")),
+        Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))

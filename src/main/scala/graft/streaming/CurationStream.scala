@@ -60,12 +60,39 @@ object CurationStream {
                   bands: Int, rowsPerBand: Int, shingleN: Int = 3,
                   idCol: String = "doc_id", textCol: String = "text",
                   pairsPath: Option[String] = None,
-                  dedupWithinBatch: Boolean = true): DataFrame = {
+                  dedupWithinBatch: Boolean = true,
+                  driftPath: Option[String] = None,
+                  batchId: Long = -1L): DataFrame = {
     val spark = batch.sparkSession
     // materialize the batch once: it feeds exact dedup, screening, the
     // band build and the corpus sink (micro-batch-sized, bounded by
     // maxFilesPerTrigger upstream)
     val raw = batch.localCheckpoint()
+    // drift monitoring (opt-in): compare the INCOMING drop's length
+    // distribution against the accumulated corpus's PERSISTED
+    // histogram — the alarm that today's crawl looks different. The
+    // histograms merge by addition (associative long counts), so each
+    // batch costs O(batch): the corpus is never re-scanned for drift.
+    driftPath.foreach { dp =>
+      val fs = new org.apache.hadoop.fs.Path(dp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val bHist = graft.ext.Corpus.lengthHist(
+          raw.withColumn("__len", length(col(textCol))), lenCol = "__len")
+        .localCheckpoint()
+      val histP = s"$dp/hist"
+      if (fs.exists(new org.apache.hadoop.fs.Path(histP))) {
+        val baseHist = spark.read.parquet(histP)
+        graft.ext.Corpus.psiFromHists(baseHist, bHist)
+          .agg(sum(col("contrib")).as("psi"), sum(col("n_cur")).as("n_docs"))
+          .select(lit(batchId).as("batch_id"), col("psi"), col("n_docs"))
+          .coalesce(1).write.mode("append").parquet(s"$dp/psi")
+        baseHist.unionByName(bHist)
+          .groupBy(col("bucket")).agg(sum(col("n")).as("n"))
+          .localCheckpoint() // materialize before overwriting the source
+          .coalesce(1).write.mode("overwrite").parquet(histP)
+      } else // first drop bootstraps the baseline; no psi row yet
+        bHist.coalesce(1).write.mode("overwrite").parquet(histP)
+    }
     val b =
       if (!dedupWithinBatch) raw
       else {
@@ -120,11 +147,13 @@ object CurationStream {
                    shingleN: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text",
                    pairsPath: Option[String] = None,
-                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   driftPath: Option[String] = None): StreamingQuery =
     landing.writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
         screenBatch(b, indexPath, corpusPath, bands, rowsPerBand, shingleN,
-          idCol, textCol, pairsPath)
+          idCol, textCol, pairsPath, dedupWithinBatch = true,
+          driftPath = driftPath, batchId = batchId)
         ()
       }
       .option("checkpointLocation", checkpointDir)

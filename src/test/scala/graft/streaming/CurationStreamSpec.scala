@@ -67,6 +67,55 @@ class CurationStreamSpec extends SparkSpec {
     assert(idxIds == existingIds ++ (batchIds -- dropped))
   }
 
+  test("drift monitoring: per-batch PSI vs the accumulated histogram, O(batch) state") {
+    import graft.ext.Corpus
+    val docs = load("documents")
+    val d1 = docs.filter(col("doc_id") % 3 === 0)
+    val d2 = docs.filter(col("doc_id") % 3 === 1)
+    val root = Files.createTempDirectory("graft-drift").toString
+    val (landing, index, corpus, ckpt, drift) =
+      (s"$root/landing", s"$root/index", s"$root/corpus", s"$root/ckpt", s"$root/drift")
+    // empty band index bootstrap
+    Dedup.lshBands(Dedup.minhash(docs.limit(0), k = 6), bands = 3, rowsPerBand = 2)
+      .write.parquet(index)
+    // two drops → two micro-batches (one file each)
+    CorpusIO.writeJsonl(d1.coalesce(1), landing)
+    val q1 = CurationStream.curateStream(
+      CorpusIO.readJsonlStream(spark, landing, maxFilesPerTrigger = 1),
+      index, corpus, ckpt, bands = 3, rowsPerBand = 2, driftPath = Some(drift))
+    assert(q1.awaitTermination(180000))
+    CorpusIO.writeJsonl(d2.coalesce(1), s"$root/landing2")
+    // same landing dir contract as the resume test: move the new drop's
+    // part files (".json") into the watched directory
+    new java.io.File(s"$root/landing2").listFiles().filter(_.getName.endsWith(".json"))
+      .foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(landing, "drop2-" + f.getName))
+      }
+    val q2 = CurationStream.curateStream(
+      CorpusIO.readJsonlStream(spark, landing, maxFilesPerTrigger = 1),
+      index, corpus, ckpt, bands = 3, rowsPerBand = 2, driftPath = Some(drift))
+    assert(q2.awaitTermination(180000))
+    // first drop bootstraps (no psi row); second emits exactly one
+    val psi = spark.read.parquet(s"$drift/psi")
+      .select("psi", "n_docs").as[(Double, Long)].collect()
+    assert(psi.length == 1, s"expected one psi row, got ${psi.toSeq}")
+    assert(psi.head._2 == d2.count())
+    // the streamed psi equals the batch computation on the same frames
+    val want = Corpus.psiDrift(
+        d1.withColumn("n_chars", length(col("text"))),
+        d2.withColumn("n_chars", length(col("text"))))
+      .agg(sum(col("contrib"))).as[Double].head()
+    assert(psi.head._1 == want, s"stream psi ${psi.head._1} != batch psi $want")
+    // the persisted histogram is the SUM of both drops' histograms
+    val hist = spark.read.parquet(s"$drift/hist")
+      .as[(Long, Long)].collect().toMap
+    val wantHist = Corpus.lengthHist(
+        d1.unionByName(d2).withColumn("__len", length(col("text"))), lenCol = "__len")
+      .as[(Long, Long)].collect().toMap
+    assert(hist == wantHist)
+  }
+
   test("same-batch NEAR-dup (not byte-identical) docs collapse to one survivor; " +
     "stream ≡ the batch pipeline on the same drop") {
     val docs = load("documents")
