@@ -3403,8 +3403,10 @@ object SparkEntry {
        |      UNION ALL SELECT * FROM m3)
        |SELECT method, CAST(n_candidates AS BIGINT) AS n_candidates,
        |  CAST(n_truth AS BIGINT) AS n_truth, CAST(tp AS BIGINT) AS tp,
-       |  CAST(tp AS DOUBLE) / n_candidates AS precision,
-       |  CAST(tp AS DOUBLE) / n_truth AS recall
+       |  CASE WHEN n_candidates = 0 THEN 1.0
+       |       ELSE CAST(tp AS DOUBLE) / n_candidates END AS precision,
+       |  CASE WHEN n_truth = 0 THEN 1.0
+       |       ELSE CAST(tp AS DOUBLE) / n_truth END AS recall
        |FROM u ORDER BY method""".stripMargin
 
   /** q132 oracle: component sizes → size histogram with the

@@ -846,9 +846,13 @@ object Corpus {
   def collocations(docs: DataFrame, minCount: Long = 5, topN: Int = 50,
                    textCol: String = "text"): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
-    val occurrences = docs.select(explode(toks).as("__t")).localCheckpoint()
-    val uni = occurrences.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
-    val nTot = occurrences.agg(count(lit(1)).as("__N"))
+    // one corpus-wide pass: the unigram aggregate; N is its column sum
+    // (a vocab-sized aggregation, never a second scan or a
+    // materialized occurrence stream)
+    val uni = docs.select(explode(toks).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val nTot = uni.agg(sum(col("__c")).as("__N"))
     val pairs = docs
       .select(explode(graft.functions.TokenNgrams(toks, 2)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c12"))

@@ -415,8 +415,16 @@ object Dedup {
       nC.crossJoin(broadcast(nTp)).crossJoin(broadcast(nT))
         .select(lit(name).as("method"), col("n_candidates"), col("n_truth"),
           col("tp"),
-          (col("tp").cast("double") / col("n_candidates")).as("precision"),
-          (col("tp").cast("double") / col("n_truth")).as("recall"))
+          // empty-set conventions, identical on both engines (Spark's
+          // non-ANSI x/0 is NULL, DuckDB's is inf — neither compares):
+          // no candidates → nothing falsely flagged → precision 1;
+          // empty truth → nothing to find → recall 1
+          when(col("n_candidates") === 0, lit(1.0))
+            .otherwise(col("tp").cast("double") / col("n_candidates"))
+            .as("precision"),
+          when(col("n_truth") === 0, lit(1.0))
+            .otherwise(col("tp").cast("double") / col("n_truth"))
+            .as("recall"))
     }
     metrics(candidatePairs(lshBands(minhash(docs, k = 6, idCol = idCol,
         textCol = textCol), bands = 3, rowsPerBand = 2, idCol), idCol), "minhash_lsh")

@@ -128,20 +128,26 @@ object Similarity {
     * pass over the vectors, one shuffle total (the centroid group-by).
     *
     * Output: (idCol, labelCol, cos_centroid, is_outlier). */
+  /** Per-label exact-integer mean centroids assembled into ordered
+    * arrays — the q46 construction ([[CentroidGrid]] sums keep it
+    * partition-order-free; the array_sort on (pos, m) structs makes
+    * the collect_list assembly deterministic). Shared by
+    * [[centroidOutliers]] and [[labelConfusion]]. */
+  private def labelCentroids(emb: DataFrame, vecCol: String,
+                             labelCol: String): DataFrame =
+    emb
+      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg((sum(floor(col("v").cast("double") * CentroidGrid).cast("long"))
+        .cast("double") / count(lit(1)) / CentroidGrid).as("m"))
+      .groupBy(col(labelCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x("m")).as("__cent"))
+
   def centroidOutliers(emb: DataFrame, minCosine: Double,
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        labelCol: String = "label"): DataFrame = {
-    val q = 16777216.0 // 2^24: full float mantissa — integer sums are exact
-    val cent = emb
-      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
-      .groupBy(col(labelCol), col("pos"))
-      .agg((sum(floor(col("v").cast("double") * q).cast("long")).cast("double")
-        / count(lit(1)) / q).as("m"))
-      .groupBy(col(labelCol))
-      // collect_list is partition-order-dependent; the array_sort on
-      // the (pos, m) struct makes the assembled centroid deterministic
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        x => x("m")).as("__cent"))
+    val cent = labelCentroids(emb, vecCol, labelCol)
     val v = transform(col(vecCol), x => x.cast("double"))
     emb.select(col(idCol), col(labelCol), v.as("__v"))
       .join(broadcast(cent), Seq(labelCol))
@@ -164,15 +170,7 @@ object Similarity {
     * centroids, cosine in array order. */
   def labelConfusion(emb: DataFrame, vecCol: String = "embedding",
                      labelCol: String = "label"): DataFrame = {
-    val q = 16777216.0
-    val cent = emb
-      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
-      .groupBy(col(labelCol), col("pos"))
-      .agg((sum(floor(col("v").cast("double") * q).cast("long")).cast("double")
-        / count(lit(1)) / q).as("m"))
-      .groupBy(col(labelCol))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        x => x("m")).as("__cent"))
+    val cent = labelCentroids(emb, vecCol, labelCol)
     cent.select(col(labelCol).as("label_a"), col("__cent").as("__ca"))
       .crossJoin(broadcast(cent.select(col(labelCol).as("label_b"),
         col("__cent").as("__cb"))))
@@ -462,16 +460,21 @@ object Similarity {
   }
 
   /** Tombstone-delete vectors from a persisted IVF index: the ids
-    * land in a `path/tombstones` side table — O(batch), no corpus
-    * read, no file rewrite (the FAISS `remove_ids` economics, made
-    * lazy). [[ivfRead]] anti-joins tombstones into every probe, so
-    * deleted vectors stop being served IMMEDIATELY; the physical
-    * rewrite is deferred to [[ivfCompactDeletes]], which touches only
-    * the affected cells. Centroids are left as built until
-    * compaction (FAISS semantics: removal does not retrain the
-    * quantizer). */
-  def ivfDeleteWrite(path: String, ids: DataFrame): Unit =
-    ids.select(col(ids.columns.head)).distinct().coalesce(1)
+    * land in a `path/tombstones` side table under the index's id
+    * column name — O(batch), no corpus read, no file rewrite (the
+    * FAISS `remove_ids` economics, made lazy). [[ivfRead]] anti-joins
+    * tombstones into every probe, so deleted vectors stop being
+    * served IMMEDIATELY; the physical rewrite is deferred to
+    * [[ivfCompactDeletes]], which touches only the affected cells.
+    * Centroids are left as built until compaction (FAISS semantics:
+    * removal does not retrain the quantizer).
+    *
+    * `idCol` must be the assigned table's id column — every delete
+    * batch is renamed to it, so mixed callers cannot splinter the
+    * tombstone schema. */
+  def ivfDeleteWrite(path: String, ids: DataFrame,
+                     idCol: String = "vec_id"): Unit =
+    ids.select(col(ids.columns.head).as(idCol)).distinct().coalesce(1)
       .write.mode("append").parquet(s"$path/tombstones")
 
   /** Apply accumulated tombstones physically: rewrite ONLY the cell
@@ -480,54 +483,84 @@ object Similarity {
     * SUBTRACT the deleted rows' exact-integer centroid partials from
     * the persisted side table, and clear the tombstones. Long sums
     * are associative, so partials-of-survivors = partials-of-all −
-    * partials-of-deleted EXACTLY — the refreshed centroids are
-    * bit-identical to a full rebuild on the surviving corpus (the
-    * delete mirror of [[ivfAppendWrite]]'s contract; the spec asserts
-    * it). The affected-cell list is collected to the driver — bounded
-    * by nLists, the documented bounded-action class. Work scales with
-    * the affected cells' data plus one id-column semi-join over the
-    * corpus, not with corpus bytes. */
+    * partials-of-deleted EXACTLY — for a DETERMINISTIC-quantizer
+    * index the refreshed centroids are bit-identical to a full
+    * rebuild on the surviving corpus (the delete mirror of
+    * [[ivfAppendWrite]]'s contract; the spec asserts it). A
+    * TRAINED-quantizer index keeps its centroids untouched — FAISS
+    * `remove_ids` semantics, deletion never retrains the quantizer —
+    * and only the partials invariant is maintained.
+    *
+    * Crash recovery: the normal path is O(affected cells). If a prior
+    * compaction crashed between the assigned rewrite and the partials
+    * write (detected as live tombstones whose rows are all gone), the
+    * rerun rebuilds the partials from the rewritten corpus — a
+    * one-time O(corpus) repair that restores the exact invariant
+    * instead of silently keeping stale centroids. The affected-cell
+    * list is collected to the driver — bounded by nLists, the
+    * documented bounded-action class. */
   def ivfCompactDeletes(spark: org.apache.spark.sql.SparkSession,
                         path: String, vecCol: String = "embedding"): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     if (!fs.exists(tPath)) return
+    val kind = quantizerKind(spark, path)
     val tomb = spark.read.parquet(s"$path/tombstones").localCheckpoint()
     val tCol = tomb.columns.head
     val assigned = spark.read.parquet(s"$path/assigned")
       .withColumn("__cell", col("__cell").cast("int"))
+    require(assigned.columns.contains(tCol),
+      s"tombstone column '$tCol' is not a column of the assigned table " +
+        s"(${assigned.columns.mkString(", ")}) — ivfDeleteWrite was called " +
+        "with the wrong idCol")
+    // migrate a pre-partials index BEFORE any rewrite, so the
+    // subtraction below always has a base to subtract from
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/partials")))
+      centroidPartials(assigned, vecCol).coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/partials")
     val dead = assigned.join(tomb, Seq(tCol), "left_semi").localCheckpoint()
     val affected = dead.select(col("__cell")).distinct()
       .collect().map(_.getInt(0))
-    if (affected.nonEmpty) {
-      val survivors = assigned
-        .filter(col("__cell").isin(affected.map(Integer.valueOf): _*))
-        .join(tomb, Seq(tCol), "left_anti")
-        .repartition(col("__cell")).localCheckpoint()
-      val liveCells = survivors.select(col("__cell")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      survivors.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__cell").parquet(s"$path/assigned")
-      // a cell whose every row died has no survivors, so dynamic
-      // overwrite never touches its directory — drop it explicitly
-      affected.filterNot(liveCells).foreach { c =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned/__cell=$c"), true)
-      }
-      val base = spark.read.parquet(s"$path/partials")
-      val merged = base
-        .unionByName(centroidPartials(dead, vecCol)
+    val refreshed =
+      if (affected.nonEmpty) {
+        val survivors = assigned
+          .filter(col("__cell").isin(affected.map(Integer.valueOf): _*))
+          .join(tomb, Seq(tCol), "left_anti")
+          .repartition(col("__cell")).localCheckpoint()
+        val liveCells = survivors.select(col("__cell")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        // the dead rows' partials are materialized (localCheckpoint
+        // above) before the rewrite consumes their source files
+        val sub = centroidPartials(dead, vecCol)
           .select(col("__cell"), col("__pos"),
-            (-col("__sum")).as("__sum"), (-col("__cnt")).as("__cnt")))
-        .groupBy(col("__cell"), col("__pos"))
-        .agg(sum(col("__sum")).as("__sum"), sum(col("__cnt")).as("__cnt"))
-        .filter(col("__cnt") > 0)
-        .localCheckpoint()
-      merged.coalesce(1).write.mode("overwrite").parquet(s"$path/partials")
-      centroidsFromPartials(merged).coalesce(1)
+            (-col("__sum")).as("__sum"), (-col("__cnt")).as("__cnt"))
+          .localCheckpoint()
+        survivors.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__cell").parquet(s"$path/assigned")
+        // a cell whose every row died has no survivors, so dynamic
+        // overwrite never touches its directory — drop it explicitly
+        affected.filterNot(liveCells).foreach { c =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned/__cell=$c"), true)
+        }
+        spark.read.parquet(s"$path/partials").unionByName(sub)
+          .groupBy(col("__cell"), col("__pos"))
+          .agg(sum(col("__sum")).as("__sum"), sum(col("__cnt")).as("__cnt"))
+          .filter(col("__cnt") > 0)
+          .localCheckpoint()
+      } else {
+        // live tombstones but no matching rows: either ids that never
+        // existed (partials already correct) or a crashed prior
+        // compaction that rewrote assigned without refreshing partials
+        // — rebuilding from the corpus is correct in both cases and
+        // the only way to restore the exact invariant after a crash
+        centroidPartials(assigned, vecCol).localCheckpoint()
+      }
+    refreshed.coalesce(1).write.mode("overwrite").parquet(s"$path/partials")
+    if (kind == IvfIndex.Deterministic)
+      centroidsFromPartials(refreshed).coalesce(1)
         .write.mode("overwrite").parquet(s"$path/centroids")
-    }
     fs.delete(tPath, true)
   }
 

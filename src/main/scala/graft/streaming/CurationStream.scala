@@ -73,25 +73,44 @@ object CurationStream {
     // histogram — the alarm that today's crawl looks different. The
     // histograms merge by addition (associative long counts), so each
     // batch costs O(batch): the corpus is never re-scanned for drift.
+    // Idempotency: foreachBatch is at-least-once, and double-merging a
+    // replayed batch would poison the baseline PERMANENTLY — so every
+    // batch (including the bootstrap, whose psi is null: no baseline
+    // to compare against) writes its psi row FIRST as the processed
+    // marker, and a batchId already present skips the whole block. A
+    // crash between the marker and the histogram merge loses that one
+    // batch's counts from the baseline — a bounded undercount, chosen
+    // over the unbounded double-count the reverse order would allow
+    // (the same non-transactional-appends trade the loop's corpus and
+    // index sinks document). Callers invoking screenBatch directly
+    // must pass distinct batchIds for drift to accumulate.
     driftPath.foreach { dp =>
       val fs = new org.apache.hadoop.fs.Path(dp)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val bHist = graft.ext.Corpus.lengthHist(
-          raw.withColumn("__len", length(col(textCol))), lenCol = "__len")
-        .localCheckpoint()
-      val histP = s"$dp/hist"
-      if (fs.exists(new org.apache.hadoop.fs.Path(histP))) {
-        val baseHist = spark.read.parquet(histP)
-        graft.ext.Corpus.psiFromHists(baseHist, bHist)
-          .agg(sum(col("contrib")).as("psi"), sum(col("n_cur")).as("n_docs"))
-          .select(lit(batchId).as("batch_id"), col("psi"), col("n_docs"))
-          .coalesce(1).write.mode("append").parquet(s"$dp/psi")
-        baseHist.unionByName(bHist)
-          .groupBy(col("bucket")).agg(sum(col("n")).as("n"))
-          .localCheckpoint() // materialize before overwriting the source
-          .coalesce(1).write.mode("overwrite").parquet(histP)
-      } else // first drop bootstraps the baseline; no psi row yet
-        bHist.coalesce(1).write.mode("overwrite").parquet(histP)
+      val psiP = s"$dp/psi"
+      val seen = fs.exists(new org.apache.hadoop.fs.Path(psiP)) &&
+        !spark.read.parquet(psiP).filter(col("batch_id") === batchId).isEmpty
+      if (!seen) {
+        val bHist = graft.ext.Corpus.lengthHist(
+            raw.withColumn("__len", length(col(textCol))), lenCol = "__len")
+          .localCheckpoint()
+        val histP = s"$dp/hist"
+        val hasBase = fs.exists(new org.apache.hadoop.fs.Path(histP))
+        val psiRow =
+          if (hasBase)
+            graft.ext.Corpus.psiFromHists(spark.read.parquet(histP), bHist)
+              .agg(sum(col("contrib")).as("psi"), sum(col("n_cur")).as("n_docs"))
+          else bHist.agg(lit(null).cast("double").as("psi"),
+            sum(col("n")).as("n_docs"))
+        psiRow.select(lit(batchId).as("batch_id"), col("psi"), col("n_docs"))
+          .coalesce(1).write.mode("append").parquet(psiP)
+        val merged =
+          if (hasBase) spark.read.parquet(histP).unionByName(bHist)
+            .groupBy(col("bucket")).agg(sum(col("n")).as("n"))
+            .localCheckpoint() // materialize before overwriting the source
+          else bHist
+        merged.coalesce(1).write.mode("overwrite").parquet(histP)
+      }
     }
     val b =
       if (!dedupWithinBatch) raw

@@ -938,6 +938,38 @@ class SimilaritySpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p1, "tombstones")))
   }
 
+  test("ivfCompactDeletes on a TRAINED index keeps the KMeans centroids frozen " +
+       "and maintains the partials invariant") {
+    val emb = load("embeddings")
+    val p = java.nio.file.Files.createTempDirectory("graft-ivf-del-trained").toString
+    Similarity.ivfWrite(Similarity.ivfBuild(emb, nLists = 4), p)
+    val centBefore = spark.read.parquet(s"$p/centroids").collect().toSet
+    Similarity.ivfDeleteWrite(p, emb.filter(col("vec_id") % 11 === 0).select("vec_id"))
+    Similarity.ivfCompactDeletes(spark, p)
+    // FAISS remove_ids semantics: deletion never retrains the quantizer
+    assert(spark.read.parquet(s"$p/centroids").collect().toSet == centBefore,
+      "compaction must not touch a trained index's centroids")
+    // but the partials invariant tracks the surviving rows exactly
+    val want = spark.read.parquet(s"$p/assigned")
+      .withColumn("__cell", col("__cell").cast("int"))
+    val wantPartials = Similarity.centroidPartials(want, "embedding").collect().toSet
+    assert(spark.read.parquet(s"$p/partials").collect().toSet == wantPartials)
+  }
+
+  test("ivfDeleteWrite renames any id column; compaction rejects a foreign one") {
+    val emb = load("embeddings")
+    val p = java.nio.file.Files.createTempDirectory("graft-ivf-del-col").toString
+    Similarity.ivfWrite(Similarity.ivfBuildDeterministic(
+      emb, planes = 4, dim = 64), p)
+    // a caller with a differently-named id column cannot splinter the
+    // tombstone schema — the write renames to the index's id column
+    Similarity.ivfDeleteWrite(p,
+      emb.filter(col("vec_id") === 1L).select(col("vec_id").as("id")))
+    assert(spark.read.parquet(s"$p/tombstones").columns.toSeq == Seq("vec_id"))
+    assert(Similarity.ivfRead(spark, p).assigned
+      .filter(col("vec_id") === 1L).isEmpty)
+  }
+
   test("ivfAppendWrite: centroid refresh is O(batch) — never reads pre-existing " +
        "cell data (append succeeds with the base corpus files corrupted)") {
     val emb = load("embeddings")

@@ -96,17 +96,20 @@ class CurationStreamSpec extends SparkSpec {
       CorpusIO.readJsonlStream(spark, landing, maxFilesPerTrigger = 1),
       index, corpus, ckpt, bands = 3, rowsPerBand = 2, driftPath = Some(drift))
     assert(q2.awaitTermination(180000))
-    // first drop bootstraps (no psi row); second emits exactly one
+    // every batch writes its marker row: the bootstrap with a null psi
+    // (no baseline yet), the second with the real comparison
     val psi = spark.read.parquet(s"$drift/psi")
-      .select("psi", "n_docs").as[(Double, Long)].collect()
-    assert(psi.length == 1, s"expected one psi row, got ${psi.toSeq}")
-    assert(psi.head._2 == d2.count())
+      .orderBy("batch_id")
+      .select("psi", "n_docs").as[(Option[Double], Long)].collect()
+    assert(psi.length == 2, s"expected two psi rows, got ${psi.toSeq}")
+    assert(psi(0)._1.isEmpty && psi(0)._2 == d1.count())
+    assert(psi(1)._2 == d2.count())
     // the streamed psi equals the batch computation on the same frames
     val want = Corpus.psiDrift(
         d1.withColumn("n_chars", length(col("text"))),
         d2.withColumn("n_chars", length(col("text"))))
       .agg(sum(col("contrib"))).as[Double].head()
-    assert(psi.head._1 == want, s"stream psi ${psi.head._1} != batch psi $want")
+    assert(psi(1)._1.contains(want), s"stream psi ${psi(1)._1} != batch psi $want")
     // the persisted histogram is the SUM of both drops' histograms
     val hist = spark.read.parquet(s"$drift/hist")
       .as[(Long, Long)].collect().toMap
