@@ -46,6 +46,8 @@ object Main {
     |  bpe-train     --corpus PARQUET_DIR --merges N --target DIR
     |  train-quality --corpus PARQUET_DIR --label-source-prefix P --target DIR
     |                [--buckets 64 --steps 3 --lr 0.5]
+    |  prepare-corpus --corpus PARQUET_DIR --target DIR
+    |                [--bands 3 --rows-per-band 2] [--max-docs-per-source N]
     |  select-data   --corpus PARQUET_DIR --target-source-prefix P --k N --target DIR
     |                [--method moore-lewis|dsir]
     |  snapshot-diff --prev PARQUET_DIR --next PARQUET_DIR --id COL --cols a,b,c --target DIR
@@ -161,6 +163,38 @@ object Main {
               .startsWith(one("label-source-prefix")),
             buckets = buckets, steps = steps, lr = lr)
           .coalesce(1).write.mode("overwrite").parquet(one("target"))
+      case "prepare-corpus" =>
+        // the q92 curation pipeline as a product command: LSH near-dup
+        // removal -> Gopher keep-rules -> PII redaction -> optional
+        // per-source cap, one lazy plan into the target, with a stage
+        // funnel written next to it (how many docs each stage cost)
+        import org.apache.spark.sql.functions.{col, lit}
+        val bands = f("bands").headOption.map(v => parsed("bands", v)(_.toInt)).getOrElse(3)
+        val rpb = f("rows-per-band").headOption
+          .map(v => parsed("rows-per-band", v)(_.toInt)).getOrElse(2)
+        val docs = spark.read.parquet(one("corpus")).localCheckpoint()
+        val pairs = ext.Dedup.candidatePairs(ext.Dedup.lshBands(
+          ext.Dedup.minhash(docs, bands * rpb), bands, rpb)).localCheckpoint()
+        val deduped = ext.Dedup.dedupCorpus(docs, pairs).localCheckpoint()
+        val kept = deduped.join(
+            ext.TextAnalysis.gopherRules(deduped).filter(col("keep"))
+              .select("doc_id"), Seq("doc_id"))
+          .withColumn("text", ext.TextAnalysis.redactPii(col("text")))
+        val capped = f("max-docs-per-source").headOption match {
+          case Some(m) => kept.join(
+            ext.Corpus.capPerSource(kept,
+                parsed("max-docs-per-source", m)(_.toInt), col("n_chars"))
+              .select("doc_id"), Seq("doc_id"))
+          case None => kept
+        }
+        val out = capped.localCheckpoint()
+        out.write.mode("overwrite").parquet(one("target"))
+        docs.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_in"))
+          .crossJoin(deduped.agg(
+            org.apache.spark.sql.functions.count(lit(1)).as("n_after_dedup")))
+          .crossJoin(out.agg(
+            org.apache.spark.sql.functions.count(lit(1)).as("n_out")))
+          .coalesce(1).write.mode("overwrite").parquet(one("target") + "_stats")
       case "select-data" =>
         // targeted data selection from the command line: split the
         // corpus on the source prefix (in-domain/target vs raw), rank

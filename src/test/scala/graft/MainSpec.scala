@@ -92,6 +92,23 @@ class MainSpec extends SparkSpec {
     assert(d.count() == 0 && d.columns.toSet == Set("doc_id", "status"))
   }
 
+  test("prepare-corpus verb runs the curation pipeline and writes the stage funnel") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-cli-prepare").toString + "/curated"
+    Main.main(Array("prepare-corpus", "--corpus", s"$sf/documents.parquet",
+      "--target", out, "--max-docs-per-source", "20"))
+    val curated = spark.read.parquet(out)
+    val stats = spark.read.parquet(out + "_stats")
+      .as[(Long, Long, Long)].head()
+    val nIn = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(stats._1 == nIn && stats._2 <= stats._1 && stats._3 <= stats._2)
+    assert(curated.count() == stats._3 && stats._3 > 0)
+    // PII redaction ran: no raw fixture emails survive
+    assert(curated.filter(col("text").rlike(
+      graft.ext.TextAnalysis.EmailRe)).isEmpty)
+  }
+
   test("unknown verb and missing flags fail loudly") {
     intercept[RuntimeException](Main.main(Array("frobnicate", "--x", "y")))
     intercept[RuntimeException](Main.main(Array("copy-tree", "--data", sf)))
