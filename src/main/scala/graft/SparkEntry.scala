@@ -556,6 +556,21 @@ object SparkEntry {
     "q106_perplexity_filter" -> ((s, dir) =>
       Corpus.perplexityTailFilter(t(s, dir, "documents"), 0.25)
         .orderBy("source", "doc_id")),
+    // skip-gram co-occurrence counts: word2vec/GloVe training-data
+    // generation — narrow per-row context expansion, one group-by
+    "q136_skipgram" -> ((s, dir) =>
+      Corpus.skipgramPairs(t(s, dir, "documents"), window = 2)
+        .orderBy("center", "context")),
+    // length-bucketed batching report: padding waste under bucketed vs
+    // global padding — the loader-bucketing audit, all-integer outputs
+    "q137_padding_stats" -> ((s, dir) =>
+      Corpus.paddingStats(t(s, dir, "documents"), maxLen = 128, bucketWidth = 16)
+        .orderBy("bucket")),
+    // per-doc n-gram novelty: share of distinct shingles occurring in
+    // no other document — the redundancy/memorization-risk audit
+    "q138_ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(t(s, dir, "documents"))
+        .orderBy("doc_id")),
   )
 
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1002,6 +1017,12 @@ object SparkEntry {
     // component (checksum) and the worst reconstruction error
     "q66_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(t(s, dir, "embeddings"))
+        .orderBy("vec_id")),
+    // mutual-kNN semantic clustering: bucketed top-k graph, edges kept
+    // only where reciprocated (hub filter), components → cluster label
+    "q139_knn_clusters" -> ((s, dir) =>
+      Similarity.mutualKnnClusters(t(s, dir, "embeddings"),
+        k = 3, planes = 4, dim = 64)
         .orderBy("vec_id")),
     // deterministic hash-stratified sampling: per-label fractions with
     // no RNG — reproducible across runs/engines/partitionings
@@ -1734,6 +1755,7 @@ object SparkEntry {
     "q94_ivfpq" -> ivfPqOracle,
     "q49_neardup_lsh" -> neardupLshOracle,
     "q88_semantic_dedup" -> semanticDedupOracle,
+    "q139_knn_clusters" -> mutualKnnClustersOracle,
     "q48_lsh_candidates" -> lshCandidatesOracle,
     "q96_incremental_dedup" -> incrementalDedupOracle,
     "q75_editdist_neardup" -> editDistNearDupOracle,
@@ -2067,6 +2089,44 @@ object SparkEntry {
         |  CAST(SUM(c) AS BIGINT) AS n_total,
         |  CAST(count(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS distinct_ratio
         |FROM c GROUP BY 1, 2 ORDER BY source, n""".stripMargin,
+
+    // skip-gram pairs: positions i, contexts j within ±2, pair counts
+    "q136_skipgram" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tl
+        |  FROM documents),
+        |p AS (SELECT tl, unnest(generate_series(1, len(tl))) AS i FROM t),
+        |c AS (SELECT tl, i,
+        |    unnest(generate_series(greatest(i - 2, 1), least(i + 2, len(tl)))) AS j
+        |  FROM p)
+        |SELECT tl[i] AS center, tl[j] AS context, count(*) AS cnt
+        |FROM c WHERE j <> i
+        |GROUP BY 1, 2 ORDER BY center, context""".stripMargin,
+
+    // padding report: truncate to 128, bucket by 16, integer overheads
+    "q137_padding_stats" ->
+      """WITH n AS (
+        |  SELECT least(len(list_filter(string_split(text, ' '), x -> x <> '')), 128) AS n
+        |  FROM documents),
+        |b AS (SELECT n, CAST(FLOOR((n - 1) / 16.0) AS BIGINT) AS bucket
+        |      FROM n WHERE n > 0)
+        |SELECT bucket,
+        |  least((bucket + 1) * 16, 128) AS bucket_cap,
+        |  count(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) * least((bucket + 1) * 16, 128) - SUM(n) AS BIGINT) AS pad_bucketed,
+        |  CAST(count(*) * 128 - SUM(n) AS BIGINT) AS pad_global
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // novelty: distinct shingles per doc, df over docs, df=1 share
+    "q138_ngram_novelty" ->
+      s"""WITH $shingleCte,
+         |dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |df AS (SELECT sh, count(*) AS df FROM dsh GROUP BY sh)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+         |FROM dsh JOIN df USING (sh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // tg is MATERIALIZED: DuckDB inlines plain CTEs per reference, and
     // five inlined unnest trees sent its join planner into a tailspin
@@ -3189,6 +3249,41 @@ object SparkEntry {
     * thresholding (dot and norms all in double, same element order as
     * the native expression), recursive min-label components, keep
     * representatives and unpaired vectors. */
+  /** q139 oracle: the mutual-kNN clustering pipeline in SQL — same
+    * sign buckets as q88, per-src top-3 by (sim DESC, dst), edges kept
+    * only where reciprocated, recursive transitive closure, singletons
+    * self-labeled. */
+  private def mutualKnnClustersOracle: String =
+    s"""WITH RECURSIVE
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, ${bucketExprSql(4, 64)} AS bucket FROM e),
+       |scored AS (
+       |  SELECT a.vec_id AS src, c.vec_id AS dst,
+       |    list_dot_product(a.v, c.v)
+       |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+       |g AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rnk
+       |    FROM scored) WHERE rnk <= 3),
+       |m AS (
+       |  SELECT g1.src, g1.dst FROM g g1
+       |  JOIN g g2 ON g1.src = g2.dst AND g1.dst = g2.src
+       |  WHERE g1.src < g1.dst),
+       |edges AS (
+       |  SELECT src, dst FROM m
+       |  UNION SELECT dst, src FROM m),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT re.id, e2.dst FROM reach re JOIN edges e2 ON re.r = e2.src),
+       |comp AS (
+       |  SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id)
+       |SELECT e.vec_id, coalesce(c.comp, e.vec_id) AS cluster
+       |FROM e LEFT JOIN comp c ON e.vec_id = c.id
+       |ORDER BY e.vec_id""".stripMargin
+
   private def semanticDedupOracle: String =
     s"""WITH RECURSIVE
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),

@@ -1000,4 +1000,65 @@ object Corpus {
       .select(col(idCol), col("pos"), (col("pidx") + 1).cast("long").as("piece_idx"),
         col("piece"))
   }
+
+  /** Skip-gram (center, context) pair counts — the training-data
+    * generation pass for word2vec / GloVe-style embedding training
+    * (Mikolov et al. 2013): every token pairs with each neighbor
+    * within `window` positions on either side, and the corpus-wide
+    * co-occurrence counts come out aggregated.
+    *
+    * Scale shape: the pair expansion is a NARROW per-row array walk —
+    * for each position two `slice`s (left/right context) off the
+    * row's own token array, never a positional self-join — so the
+    * only shuffle is the final (center, context) group-by, whose
+    * map-side partials bound each task's output by the co-occurring
+    * vocabulary, not the token stream. Output (center, context, cnt). */
+  def skipgramPairs(docs: DataFrame, window: Int = 2,
+                    textCol: String = "text"): DataFrame = {
+    require(window >= 1, s"skip-gram window must be >= 1, got $window")
+    val tl = col("__tl")
+    val pairs = docs.select(TextAnalysis.tokens(col(textCol)).as("__tl"))
+      .select(explode(flatten(transform(tl, (t, i) => {
+        // i is 0-based; slice() is 1-based. Left context occupies
+        // positions max(1, i+1-window)..i (length min(i, window)),
+        // right context i+2..i+1+window (slice clamps at array end).
+        val left = slice(tl, greatest(i + 1 - window, lit(1)), least(i, lit(window)))
+        val right = slice(tl, i + 2, lit(window))
+        transform(concat(left, right),
+          c => struct(t.as("center"), c.as("context")))
+      }))).as("__p"))
+    pairs.select(col("__p.center").as("center"), col("__p.context").as("context"))
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Length-bucketed batching report — the padding-waste audit that
+    * picks a training loader's bucket boundaries. Sequences are
+    * truncated to `maxLen` first (as the loader would), then bucketed
+    * by `bucketWidth` tokens; per bucket the report carries the doc
+    * and real-token counts plus the padded-token overhead under (a)
+    * bucketed batching — every sequence padded to its bucket's cap —
+    * and (b) naive global padding to `maxLen`. The difference is the
+    * compute the bucketing saves. All-integer outputs (counts and
+    * token sums), so the report is exact in any engine.
+    *
+    * Scale shape: narrow per-row length math, then ONE group-by onto
+    * ≤ maxLen/bucketWidth bucket rows — map-side partials collapse
+    * each task to the bucket table. */
+  def paddingStats(docs: DataFrame, maxLen: Int = 512, bucketWidth: Int = 64,
+                   textCol: String = "text"): DataFrame = {
+    require(maxLen > 0 && bucketWidth > 0 && maxLen % bucketWidth == 0,
+      s"maxLen ($maxLen) must be a positive multiple of bucketWidth ($bucketWidth)")
+    docs.select(least(size(TextAnalysis.tokens(col(textCol))).cast("long"),
+        lit(maxLen.toLong)).as("__n"))
+      .filter(col("__n") > 0)
+      .withColumn("bucket", expr(s"(__n - 1) div ${bucketWidth}L"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+      .withColumn("bucket_cap",
+        least((col("bucket") + 1) * bucketWidth, lit(maxLen.toLong)))
+      .withColumn("pad_bucketed", col("n_docs") * col("bucket_cap") - col("n_tokens"))
+      .withColumn("pad_global", col("n_docs") * maxLen - col("n_tokens"))
+      .select("bucket", "bucket_cap", "n_docs", "n_tokens", "pad_bucketed", "pad_global")
+  }
 }

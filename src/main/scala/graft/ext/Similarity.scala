@@ -1121,4 +1121,61 @@ object Similarity {
       .select("doc_a", "doc_b")
     Dedup.dedupCorpus(df, pairs, idCol)
   }
+
+  /** Bucketed k-NN graph: for each vector, the top-`k`
+    * most-cosine-similar vectors sharing its sign-LSH bucket —
+    * (src, dst, sim, rank). The scale form of an all-pairs k-NN graph:
+    * candidates come from an equi-join on the bucket id (one keyed
+    * shuffle, never the cross product), norms are hoisted into the
+    * bucketed projection ([[semanticDedup]]'s argument), and the
+    * per-src rank window sorts candidate lists bounded by the
+    * vector's own bucket size, not the corpus. Recall < 1 like any
+    * LSH method: neighbors in other buckets are unseen — fewer
+    * `planes` trades selectivity for recall. */
+  def knnGraphLsh(emb: DataFrame, k: Int, planes: Int, dim: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = signBuckets(emb, planes, dim, idCol, vecCol)
+      .withColumn("__norm", l2Norm(col(vecCol)))
+    val l = b.select(col("bucket"), col(idCol).as("src"),
+      col(vecCol).as("__va"), col("__norm").as("__na"))
+    val r = b.select(col("bucket"), col(idCol).as("dst"),
+      col(vecCol).as("__vb"), col("__norm").as("__nb"))
+    val scored = l.join(r, Seq("bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("sim"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Mutual-k-NN semantic clustering — the corpus domain-discovery /
+    * cluster-balanced-sampling operator: vectors `a` and `b` are
+    * linked iff each is in the OTHER's bucketed top-`k`
+    * ([[knnGraphLsh]]); connected components over those mutual edges
+    * label the clusters. Mutuality is the standard density filter — a
+    * hub appearing in thousands of one-way top-k lists links only to
+    * the k it reciprocates, so clusters cannot collapse through hub
+    * vectors. Returns every vector: (idCol, cluster), singletons
+    * labeled by their own id.
+    *
+    * Scale shape: the graph is bucket-bounded ([[knnGraphLsh]]), the
+    * mutuality check is a self-semi-join on the ≤ k·N edge table, and
+    * the component state is bounded by the mutual-edge count — the
+    * same contract as `Dedup.connectedComponents`. */
+  def mutualKnnClusters(emb: DataFrame, k: Int, planes: Int, dim: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val g = knnGraphLsh(emb, k, planes, dim, idCol, vecCol)
+      .select("src", "dst").localCheckpoint()
+    val mutual = g
+      .join(g.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+    val comps = Dedup.connectedComponents(mutual)
+    emb.select(col(idCol))
+      .join(comps.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster"))
+  }
 }

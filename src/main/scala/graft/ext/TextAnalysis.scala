@@ -822,6 +822,32 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Per-document n-gram novelty — the memorization / redundancy-risk
+    * audit: for each document, the fraction of its DISTINCT
+    * `shingleN`-gram shingles that occur in NO other document. A
+    * novelty near 1 marks unique content worth keeping; near 0 marks
+    * a document assembled from corpus-common spans (mirrors, quote
+    * farms, templates) that mostly restates what the corpus already
+    * says. Output (idCol, n_shingles, n_novel, novelty); documents too
+    * short to shingle carry no evidence and are absent.
+    *
+    * Scale shape: distinct shingles per doc come from the one-pass
+    * native ShingleSet kernel; the document-frequency table is keyed
+    * by the shingle (never the text) and joins back to the per-doc
+    * stream on that key — two keyed shuffles total, both
+    * map-side-combined. */
+  def ngramNovelty(docs: DataFrame, shingleN: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dsh = docs.select(col(idCol),
+      explode(graft.functions.ShingleSet(tokens(col(textCol)), shingleN)).as("__sh"))
+    val df = dsh.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+    dsh.join(df, Seq("__sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", col("n_novel").cast("double") / col("n_shingles"))
+  }
+
   /** Train/test decontamination: test-split documents that share at
     * least one `n`-token shingle with ANY train-split document — the
     * benchmark-leakage check every training pipeline runs before

@@ -312,6 +312,40 @@ class CorpusSpec extends SparkSpec {
     assert(out(4)._2 > out(5)._2)
   }
 
+  test("skipgramPairs: window-2 contexts, both sides, repeated tokens accumulate") {
+    val d = docs((1L, "a b c d", "s"))
+    val got = Corpus.skipgramPairs(d, window = 2)
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // i=0(a): b,c; i=1(b): a,c,d; i=2(c): a,b,d; i=3(d): b,c — all cnt 1
+    assert(got.size == 10 && got.values.forall(_ == 1L))
+    assert(got(("a", "b")) == 1L && got(("b", "d")) == 1L && got(("d", "c")) == 1L)
+    assert(!got.contains(("a", "d"))) // distance 3 > window
+
+    val rep = Corpus.skipgramPairs(docs((2L, "a a a", "s")), window = 2)
+      .as[(String, String, Long)].collect()
+    // every position pairs with the other two → (a, a) count 6
+    assert(rep.toSeq == Seq(("a", "a", 6L)))
+  }
+
+  test("paddingStats: truncation to maxLen, bucket caps, exact overheads") {
+    val long600 = Seq.fill(600)("x").mkString(" ")
+    val d = docs(
+      (1L, "a b c", "s"),            // n=3   → bucket 0, cap 64
+      (2L, Seq.fill(64)("t").mkString(" "), "s"),  // n=64 → bucket 0
+      (3L, Seq.fill(65)("t").mkString(" "), "s"),  // n=65 → bucket 1, cap 128
+      (4L, long600, "s"))            // truncated to 512 → bucket 7, cap 512
+    val got = Corpus.paddingStats(d, maxLen = 512, bucketWidth = 64)
+      .orderBy("bucket").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("bucket_cap"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("pad_bucketed"), r.getAs[Long]("pad_global")))
+    assert(got.toSeq == Seq(
+      (0L, 64L, 2L, 67L, 2L * 64 - 67, 2L * 512 - 67),
+      (1L, 128L, 1L, 65L, 128L - 65, 512L - 65),
+      (7L, 512L, 1L, 512L, 0L, 0L)))
+  }
+
   test("ngramDiversity: repeated text collapses the distinct ratio, varied text doesn't") {
     val d = docs(
       (1L, "spam spam spam spam spam", "dup"),

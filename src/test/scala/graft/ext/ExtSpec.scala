@@ -15,6 +15,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("type_token_ratio") == 0.75)
   }
 
+  test("ngramNovelty: shared shingles lower novelty; shingle-less docs absent") {
+    val df = Seq(
+      (1L, "a b c d"),   // shingles {a b c, b c d}
+      (2L, "a b c e"),   // shingles {a b c, b c e}
+      (3L, "z z z z z"), // distinct shingle set collapses to {z z z}
+      (4L, "hi")         // too short to shingle
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty"))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((2L, 1L, 0.5))) // "a b c" shared with doc 2
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((1L, 1L, 1.0)))
+  }
+
   test("boilerplateNgrams counts DISTINCT documents (in-doc repetition counts once)") {
     val df = Seq(
       (1L, "x y z x y z x y z"), // "x y z" three times in ONE doc
@@ -729,6 +746,36 @@ class SimilaritySpec extends SparkSpec {
       val ss = hits.map(_._3).toSeq
       assert(ss == ss.sorted(Ordering[Double].reverse))
     }
+  }
+
+  test("knnGraphLsh: ranks dense from 1, sims non-increasing, k respected") {
+    val emb = load("embeddings")
+    val g = Similarity.knnGraphLsh(emb, k = 3, planes = 4, dim = 64)
+      .select("src", "dst", "sim", "rank")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(g.nonEmpty)
+    g.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.length <= 3)
+      val sims = sorted.map(_._3).toSeq
+      assert(sims == sims.sorted(Ordering[Double].reverse))
+    }
+  }
+
+  test("mutualKnnClusters: direction clusters label by min id; singletons self-labeled") {
+    val a = Array.fill(64)(0.1f)
+    val d = Array.tabulate(64)(i => if (i % 2 == 0) 0.1f else -0.1f)
+    val rows = Seq(
+      (1L, a), (2L, a.map(_ * 2f)), (3L, a.map(_ * 3f)), // one direction: cos 1
+      (10L, d), (11L, d.map(_ * 2f)),                    // orthogonal direction
+      (20L, Array.tabulate(64)(i => if (i < 32) 0.1f else -0.1f)) // alone
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mutualKnnClusters(rows, k = 2, planes = 4, dim = 64)
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)
+    assert(out(10L) == 10L && out(11L) == 10L)
+    assert(out(20L) == 20L)
   }
 
   test("semanticDedup keeps one representative per cosine cluster") {
