@@ -1018,6 +1018,17 @@ object SparkEntry {
     "q66_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(t(s, dir, "embeddings"))
         .orderBy("vec_id")),
+    // embedding-space decontamination: corpus vectors cosine-matching
+    // any eval vector — paraphrase-level leakage q64's n-grams miss;
+    // eval side broadcast, corpus never shuffled
+    "q140_semantic_decon" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+        emb.filter(col("vec_id") % 20 =!= 0),
+        emb.filter(col("vec_id") % 20 === 0),
+        threshold = 0.25, planes = 4, dim = 64)
+        .orderBy("corpus_id")
+    }),
     // mutual-kNN semantic clustering: bucketed top-k graph, edges kept
     // only where reciprocated (hub filter), components → cluster label
     "q139_knn_clusters" -> ((s, dir) =>
@@ -1756,6 +1767,7 @@ object SparkEntry {
     "q49_neardup_lsh" -> neardupLshOracle,
     "q88_semantic_dedup" -> semanticDedupOracle,
     "q139_knn_clusters" -> mutualKnnClustersOracle,
+    "q140_semantic_decon" -> semanticDeconOracle,
     "q48_lsh_candidates" -> lshCandidatesOracle,
     "q96_incremental_dedup" -> incrementalDedupOracle,
     "q75_editdist_neardup" -> editDistNearDupOracle,
@@ -3249,6 +3261,30 @@ object SparkEntry {
     * thresholding (dot and norms all in double, same element order as
     * the native expression), recursive min-label components, keep
     * representatives and unpaired vectors. */
+  /** q140 oracle: semantic decontamination in SQL — same sign buckets,
+    * corpus/eval split on vec_id % 20, threshold 0.4; best match by
+    * exact max(sim) then min eval id at that sim. */
+  private def semanticDeconOracle: String =
+    s"""WITH
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, ${bucketExprSql(4, 64)} AS bucket FROM e),
+       |j AS (
+       |  SELECT * FROM (
+       |    SELECT c.vec_id AS corpus_id, ev.vec_id AS eval_id,
+       |      list_dot_product(c.v, ev.v)
+       |        / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ev.v, ev.v))) AS sim
+       |    FROM b c JOIN b ev ON c.bucket = ev.bucket
+       |    WHERE c.vec_id % 20 <> 0 AND ev.vec_id % 20 = 0)
+       |  WHERE sim >= 0.25),
+       |best AS (
+       |  SELECT corpus_id, max(sim) AS best_sim, count(*) AS n_matches
+       |  FROM j GROUP BY corpus_id)
+       |SELECT corpus_id, min(eval_id) AS eval_id, best_sim, n_matches
+       |FROM j JOIN best USING (corpus_id)
+       |WHERE sim = best_sim
+       |GROUP BY corpus_id, best_sim, n_matches
+       |ORDER BY corpus_id""".stripMargin
+
   /** q139 oracle: the mutual-kNN clustering pipeline in SQL — same
     * sign buckets as q88, per-src top-3 by (sim DESC, dst), edges kept
     * only where reciprocated, recursive transitive closure, singletons

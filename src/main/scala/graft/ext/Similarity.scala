@@ -1122,6 +1122,48 @@ object Similarity {
     Dedup.dedupCorpus(df, pairs, idCol)
   }
 
+  /** Embedding-space decontamination — the semantic analog of the
+    * n-gram leakage check (`TextAnalysis.decontaminate`): corpus
+    * vectors whose cosine similarity to ANY eval-set vector reaches
+    * `threshold` are flagged, paraphrase-level benchmark leakage the
+    * token-overlap check cannot see. Output one row per contaminated
+    * corpus vector: (corpus_id, eval_id of the best match — min eval
+    * id on exact sim ties, best_sim, n_matches).
+    *
+    * Scale shape: the eval set is benchmark-sized, so its bucketed
+    * projection BROADCASTS into the sign-bucket equi-join — the corpus
+    * is scanned once and never shuffled; candidate work is bucket-
+    * bounded. Recall < 1 like any LSH screen (cross-bucket pairs are
+    * unseen) — lower `planes` for recall, raise for selectivity. */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                            threshold: Double, planes: Int, dim: Int,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val cb = signBuckets(corpus, planes, dim, idCol, vecCol)
+      .withColumn("__norm", l2Norm(col(vecCol)))
+      .select(col("bucket"), col(idCol).as("corpus_id"),
+        col(vecCol).as("__vc"), col("__norm").as("__nc"))
+    val eb = signBuckets(evalSet, planes, dim, idCol, vecCol)
+      .withColumn("__norm", l2Norm(col(vecCol)))
+      .select(col("bucket"), col(idCol).as("eval_id"),
+        col(vecCol).as("__ve"), col("__norm").as("__ne"))
+    val hits = cb.join(broadcast(eb), Seq("bucket"))
+      .select(col("corpus_id"), col("eval_id"),
+        (dot(col("__vc"), col("__ve")) / (col("__nc") * col("__ne"))).as("sim"))
+      .filter(col("sim") >= threshold)
+      .localCheckpoint()
+    // best match in two exact steps (max sim, then min eval id among
+    // rows AT that sim) — both engines compute identical doubles from
+    // the same dot/sqrt recipe, so the tie set is identical too
+    val best = hits.groupBy(col("corpus_id"))
+      .agg(max(col("sim")).as("best_sim"), count(lit(1)).as("n_matches"))
+    hits.join(best, Seq("corpus_id"))
+      .filter(col("sim") === col("best_sim"))
+      .groupBy(col("corpus_id"), col("best_sim"), col("n_matches"))
+      .agg(min(col("eval_id")).as("eval_id"))
+      .select("corpus_id", "eval_id", "best_sim", "n_matches")
+  }
+
   /** Bucketed k-NN graph: for each vector, the top-`k`
     * most-cosine-similar vectors sharing its sign-LSH bucket —
     * (src, dst, sim, rank). The scale form of an all-pairs k-NN graph:

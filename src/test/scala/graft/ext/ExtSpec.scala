@@ -748,6 +748,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDecontaminate: flags cosine matches; ties pick min eval id") {
+    val a = Array.fill(64)(0.1f)
+    val d = Array.tabulate(64)(i => if (i % 2 == 0) 0.1f else -0.1f)
+    val corpus = Seq((1L, a), (2L, d)).toDF("vec_id", "embedding")
+    // power-of-two multiples stay exactly proportional in float, so
+    // the two eval sims are bit-identical — a genuine tie
+    val ev = Seq((100L, a.map(_ * 2f)), (101L, a.map(_ * 4f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(corpus, ev,
+      threshold = 0.9, planes = 4, dim = 64).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("corpus_id") == 1L)
+    // 2a and 4a tie at the same exact sim → min eval id, both counted
+    assert(r.getAs[Long]("eval_id") == 100L)
+    assert(r.getAs[Long]("n_matches") == 2L)
+    assert(r.getAs[Double]("best_sim") > 0.999)
+  }
+
   test("knnGraphLsh: ranks dense from 1, sims non-increasing, k respected") {
     val emb = load("embeddings")
     val g = Similarity.knnGraphLsh(emb, k = 3, planes = 4, dim = 64)
