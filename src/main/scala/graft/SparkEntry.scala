@@ -556,6 +556,20 @@ object SparkEntry {
     "q106_perplexity_filter" -> ((s, dir) =>
       Corpus.perplexityTailFilter(t(s, dir, "documents"), 0.25)
         .orderBy("source", "doc_id")),
+    // tokenizer fertility by source under the learned q113 merges:
+    // pieces/word — the tokenizer-fairness audit
+    "q141_tokenizer_fertility" -> ((s, dir) => {
+      val merges = Corpus.bpeTrain(t(s, dir, "documents"), numMerges = 8)
+        .orderBy("rank").select("left_sym", "right_sym")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      Corpus.tokenizerFertility(t(s, dir, "documents"), merges)
+        .orderBy("source")
+    }),
+    // deterministic global shuffle into training shards: md5 shard +
+    // md5-priority rank — reproducible data order, no RNG
+    "q142_shuffle_shards" -> ((s, dir) =>
+      Corpus.shuffleShards(t(s, dir, "documents"), nShards = 8)
+        .orderBy("doc_id")),
     // skip-gram co-occurrence counts: word2vec/GloVe training-data
     // generation — narrow per-row context expansion, one group-by
     "q136_skipgram" -> ((s, dir) =>
@@ -2467,6 +2481,8 @@ object SparkEntry {
 
     "q113_bpe_train" -> bpeTrainOracle(8),
     "q114_bpe_encode" -> bpeEncodeOracle(8, 50),
+    "q141_tokenizer_fertility" -> tokenizerFertilityOracle(8),
+    "q142_shuffle_shards" -> shuffleShardsOracle(8),
     "q115_logreg_train" -> logregTrainOracle(64, 3, 0.5),
     "q117_dsir_sample" -> dsirSampleOracle(25, 256),
 
@@ -2972,6 +2988,45 @@ object SparkEntry {
   /** q114 oracle: the final segmentation table (seg`numMerges`) keyed
     * by distinct word, replayed onto the (restricted) token stream —
     * the encode half of the q113 contract. */
+  /** q141 oracle: the q113 merge chain's final segmentation (seg`n`)
+    * replayed on the full token stream, rolled up per source —
+    * words, pieces, chars, pieces/word. Piece lengths partition each
+    * word exactly, so n_chars is the word-length sum. */
+  private def tokenizerFertilityOracle(numMerges: Int): String =
+    s"""WITH ${bpeCtes(numMerges)},
+       |tok AS (SELECT doc_id, x.word AS word FROM (
+       |  SELECT doc_id, unnest([{'word': tl[i]}
+       |                         FOR i IN range(1, len(tl) + 1)]) AS x
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split(text, ' '), t -> t <> '') AS tl
+       |        FROM documents))),
+       |enc AS (SELECT t.doc_id, len(s.syms) AS np, len(t.word) AS nc
+       |        FROM tok t JOIN seg$numMerges s ON s.word = t.word)
+       |SELECT d.source, count(*) AS n_words,
+       |  CAST(SUM(np) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+       |  CAST(SUM(np) AS DOUBLE) / count(*) AS fertility
+       |FROM enc JOIN documents d USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  /** q142 oracle: md5 shard assignment (hash16 of 'shard|id' mod n) +
+    * md5 'shuffle|id' priority rank within the shard. */
+  private def shuffleShardsOracle(nShards: Int): String = {
+    def nib(h: String, i: Int) =
+      s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)"
+    val sh = "md5('shard|' || CAST(doc_id AS VARCHAR))"
+    val shard = s"(${nib(sh, 1)} * 4096 + ${nib(sh, 2)} * 256 + " +
+      s"${nib(sh, 3)} * 16 + ${nib(sh, 4)}) % $nShards"
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    CAST($shard AS BIGINT) AS shard,
+       |    md5('shuffle|' || CAST(doc_id AS VARCHAR)) AS pri
+       |  FROM documents)
+       |SELECT doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY pri, doc_id) AS BIGINT) AS pos
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   private def bpeEncodeOracle(numMerges: Int, maxDocId: Long): String =
     s"""WITH ${bpeCtes(numMerges)},
        |tok AS (SELECT doc_id, x.pos AS pos, x.word AS word FROM (

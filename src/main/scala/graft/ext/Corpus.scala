@@ -1001,6 +1001,52 @@ object Corpus {
         col("piece"))
   }
 
+  /** Tokenizer fertility audit — pieces per word by source, under a
+    * LEARNED merges list ([[bpeTrain]] output): the tokenizer-fairness
+    * measurement (Petrov et al. 2023) — a tokenizer that fragments one
+    * source/language inflates its training cost and shrinks its
+    * effective context relative to the others. Output per source:
+    * (source, n_words, n_pieces, n_chars, fertility = pieces/word).
+    *
+    * Scale shape: [[bpeEncode]] replays the merges on the
+    * DISTINCT-WORD table and joins the token stream once; the roll-up
+    * here collapses map-side to one row per source. */
+  def tokenizerFertility(docs: DataFrame, merges: Seq[(String, String)],
+                         idCol: String = "doc_id", textCol: String = "text",
+                         sourceCol: String = "source"): DataFrame =
+    bpeEncode(docs, merges, idCol, textCol)
+      .join(docs.select(col(idCol), col(sourceCol)), Seq(idCol))
+      .groupBy(col(sourceCol))
+      .agg(sum(when(col("piece_idx") === 1, 1L).otherwise(0L)).as("n_words"),
+        count(lit(1)).as("n_pieces"),
+        sum(length(col("piece"))).cast("long").as("n_chars"))
+      .withColumn("fertility", col("n_pieces").cast("double") / col("n_words"))
+
+  /** Deterministic global training-order shuffle — the shard writer:
+    * every document gets a shard (md5-uniform over `nShards`) and a
+    * position within it (rank of an independent md5 priority; ties
+    * impossible short of an md5 collision, broken by id anyway).
+    * RNG-free — the permutation is a pure function of document ids,
+    * identical on any cluster, partitioning, or rerun, so a training
+    * run's data order is reproducible and resumable by (shard, pos).
+    *
+    * Scale shape: the per-shard rank IS the shard writer's
+    * sort-within-partition — md5 uniformity bounds every shard at
+    * ~corpus/nShards rows, so pick `nShards` so a shard fits a write
+    * task (the same sizing rule as any sharded materialization; there
+    * is no global sort). */
+  def shuffleShards(docs: DataFrame, nShards: Int,
+                    idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val idStr = col(idCol).cast("string")
+    val keyed = docs.select(col(idCol),
+      pmod(Dedup.hash16(concat(lit("shard|"), idStr)), lit(nShards.toLong)).as("shard"),
+      md5(concat(lit("shuffle|"), idStr)).as("__pri"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__pri"), col(idCol))
+    keyed.withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Skip-gram (center, context) pair counts — the training-data
     * generation pass for word2vec / GloVe-style embedding training
     * (Mikolov et al. 2013): every token pairs with each neighbor

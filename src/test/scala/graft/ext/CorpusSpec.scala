@@ -312,6 +312,31 @@ class CorpusSpec extends SparkSpec {
     assert(out(4)._2 > out(5)._2)
   }
 
+  test("tokenizerFertility: merged words cost fewer pieces; chars conserved") {
+    val d = docs(
+      (1L, "ab ab cd", "s1"), // after (a,b) merge: 1+1+2 pieces
+      (2L, "ab", "s2"))
+    val out = Corpus.tokenizerFertility(d, merges = Seq(("a", "b")))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_pieces"),
+          r.getAs[Long]("n_chars"), r.getAs[Double]("fertility"))).toMap
+    assert(out("s1") == ((3L, 4L, 6L, 4.0 / 3)))
+    assert(out("s2") == ((1L, 1L, 2L, 1.0)))
+  }
+
+  test("shuffleShards: a permutation — dense per-shard positions, deterministic") {
+    val d = docs((0L until 40L).map(i => (i, "x", "s")): _*)
+    val out = Corpus.shuffleShards(d, nShards = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._1).toSet == (0L until 40L).toSet)
+    out.groupBy(_._2).values.foreach { shard =>
+      assert(shard.map(_._3).sorted.toSeq == (1L to shard.length).toSeq)
+    }
+    val again = Corpus.shuffleShards(d.repartition(7), nShards = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("skipgramPairs: window-2 contexts, both sides, repeated tokens accumulate") {
     val d = docs((1L, "a b c d", "s"))
     val got = Corpus.skipgramPairs(d, window = 2)
