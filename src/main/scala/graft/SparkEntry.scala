@@ -556,6 +556,14 @@ object SparkEntry {
     "q106_perplexity_filter" -> ((s, dir) =>
       Corpus.perplexityTailFilter(t(s, dir, "documents"), 0.25)
         .orderBy("source", "doc_id")),
+    // data-constrained repetition schedule: mixture weights demanding
+    // more than one epoch repeat the source; fractional epochs admit
+    // docs by the deterministic 8-bit md5 threshold
+    "q144_epoch_schedule" -> ((s, dir) =>
+      Corpus.epochSchedule(t(s, dir, "documents"),
+        weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+        budgetTokens = 5000L)
+        .orderBy("doc_id", "epoch")),
     // tokenizer fertility by source under the learned q113 merges:
     // pieces/word — the tokenizer-fairness audit
     "q141_tokenizer_fertility" -> ((s, dir) => {
@@ -685,6 +693,18 @@ object SparkEntry {
         Dedup.lshBands(Dedup.minhash(docs, k = 6), bands = 3, rowsPerBand = 2))
         .localCheckpoint()
       Dedup.clusterSizeStats(pairs).orderBy("cluster_size")
+    }),
+    // quality-aware dedup: per duplicate cluster keep the BEST-scored
+    // member (ties to min id), not the arbitrary minimum id — the
+    // RefinedWeb keep-the-cleanest-copy policy
+    "q143_dedup_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+      val pairs = Dedup.candidatePairs(
+        Dedup.lshBands(Dedup.minhash(docs, k = 6), bands = 3, rowsPerBand = 2))
+        .localCheckpoint()
+      val scored = docs.join(TextAnalysis.qualityScore(docs), Seq("doc_id"))
+      Dedup.dedupCorpusBest(scored, pairs, "quality")
+        .select("doc_id", "quality").orderBy("doc_id")
     }),
     // the pipeline's end product: the corpus with one representative
     // kept per duplicate cluster (anti-join against the non-reps)
@@ -1788,6 +1808,7 @@ object SparkEntry {
     "q63_jaccard_estimate" -> jaccardEstimateOracle,
     "q50_dedup_components" -> dedupComponentsOracle,
     "q60_dedup_corpus" -> dedupCorpusOracle,
+    "q143_dedup_best" -> dedupBestOracle,
     "q120_cluster_split" -> clusterSplitOracle,
     "q132_cluster_stats" -> clusterStatsOracle,
     "q133_candidate_quality" -> candidateQualityOracle,
@@ -2483,6 +2504,8 @@ object SparkEntry {
     "q114_bpe_encode" -> bpeEncodeOracle(8, 50),
     "q141_tokenizer_fertility" -> tokenizerFertilityOracle(8),
     "q142_shuffle_shards" -> shuffleShardsOracle(8),
+    "q144_epoch_schedule" -> epochScheduleOracle(
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 5000L),
     "q115_logreg_train" -> logregTrainOracle(64, 3, 0.5),
     "q117_dsir_sample" -> dsirSampleOracle(25, 256),
 
@@ -3009,6 +3032,41 @@ object SparkEntry {
        |FROM enc JOIN documents d USING (doc_id)
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** q144 oracle: per-source epochs = weight·budget/tokens; full
+    * epochs repeat every doc, the fractional epoch admits docs whose
+    * first two md5 nibbles clear the floor(frac·256) threshold —
+    * mixtureSample's 8-bit recipe, upsampling direction. */
+  private def epochScheduleOracle(weights: Map[String, Double],
+                                  budget: Long): String = {
+    val wCase = weights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"WHEN '$s' THEN $w" }
+      .mkString("CASE source ", " ", " ELSE 0.0 END")
+    val hx = "md5('epoch|' || t.source || '|' || CAST(t.doc_id AS VARCHAR))"
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substr($hx, $i, 1)) - 1)"
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |tot AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tok_s
+       |        FROM t GROUP BY source),
+       |sched AS (
+       |  SELECT source,
+       |    CAST(FLOOR(eps) AS BIGINT) AS fullep,
+       |    CAST(FLOOR((eps - FLOOR(eps)) * 256) AS BIGINT) AS thr
+       |  FROM (SELECT source, ($wCase) * $budget.0 / tok_s AS eps FROM tot)),
+       |x AS (
+       |  SELECT t.doc_id, t.source, t.n_tokens,
+       |    fullep + (CASE WHEN ${nib(1)} * 16 + ${nib(2)} < thr
+       |              THEN 1 ELSE 0 END) AS ne
+       |  FROM t JOIN sched USING (source))
+       |SELECT doc_id, source, n_tokens, CAST(ep AS BIGINT) AS epoch
+       |FROM (SELECT doc_id, source, n_tokens,
+       |        unnest(generate_series(1, ne)) AS ep
+       |      FROM x WHERE ne >= 1)
+       |ORDER BY doc_id, epoch""".stripMargin
+  }
+
   /** q142 oracle: md5 shard assignment (hash16 of 'shard|id' mod n) +
     * md5 'shuffle|id' priority rank within the shard. */
   private def shuffleShardsOracle(nShards: Int): String = {
@@ -3511,6 +3569,45 @@ object SparkEntry {
 
   /** q60 oracle: the deduped corpus — drop every component member whose
     * min-reachable label is smaller than its own id. */
+  /** q143 oracle: same closure as q60, but the kept member per cluster
+    * maximizes the q22 quality score (exact max, ties to min id). */
+  private def dedupBestOracle: String =
+    s"""WITH RECURSIVE $lshPairsCtes,
+       |$tokCte,
+       |stats AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    CAST(count(DISTINCT tok) AS DOUBLE) / count(*) AS ttr,
+       |    CAST(SUM(length(tok)) AS DOUBLE) / count(*) AS avg_len
+       |  FROM toks GROUP BY doc_id),
+       |q AS (
+       |  SELECT doc_id,
+       |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+       |      + ttr * 0.3 + least(avg_len / 8.0, 1.0) * 0.3 AS quality
+       |  FROM stats),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+       |comp AS (
+       |  SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+       |best AS (
+       |  SELECT comp.comp, max(q.quality) AS b
+       |  FROM comp JOIN q ON q.doc_id = comp.id GROUP BY comp.comp),
+       |win AS (
+       |  SELECT comp.comp, min(comp.id) AS keep
+       |  FROM comp JOIN q ON q.doc_id = comp.id
+       |  JOIN best ON best.comp = comp.comp
+       |  WHERE q.quality = best.b GROUP BY comp.comp),
+       |losers AS (
+       |  SELECT comp.id FROM comp JOIN win ON win.comp = comp.comp
+       |  WHERE comp.id <> win.keep)
+       |SELECT q.doc_id, q.quality FROM q
+       |WHERE q.doc_id NOT IN (SELECT id FROM losers)
+       |ORDER BY q.doc_id""".stripMargin
+
   private def dedupCorpusOracle: String =
     s"""WITH RECURSIVE $lshPairsCtes,
        |edges AS (

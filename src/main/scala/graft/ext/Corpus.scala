@@ -1001,6 +1001,48 @@ object Corpus {
         col("piece"))
   }
 
+  /** Data-constrained epoch/repetition schedule — [[mixtureSample]]'s
+    * UPSAMPLING sibling (Muennighoff et al. 2023, "Scaling
+    * data-constrained language models"): mixture weights may demand
+    * MORE tokens from a source than it has, so each source runs
+    * `eps = weight·budget/tokens_s` epochs — every document repeats
+    * `floor(eps)` times, and the fractional epoch admits documents by
+    * the same deterministic 8-bit md5 threshold [[mixtureSample]]
+    * uses (1/256 resolution, RNG-free, engine-exact integer compare).
+    * Output one row per (document, epoch): (idCol, source, n_tokens,
+    * epoch) — the expanded training sequence a repeated-data run
+    * actually consumes, reproducible bit-for-bit.
+    *
+    * Scale shape: per-source totals are a model-sized aggregate
+    * broadcast back; the repeat expansion is a narrow per-row
+    * `sequence` explode — no shuffle beyond the totals group-by. */
+  def epochSchedule(docs: DataFrame, weights: Map[String, Double],
+                    budgetTokens: Long, defaultWeight: Double = 0.0,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    sourceCol: String = "source"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    val perDoc = docs.select(col(idCol), col(sourceCol).as("source"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val wCol = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (s, w)) => when(col("source") === s, lit(w)).otherwise(acc)
+    }
+    val sched = perDoc.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tok_s"))
+      .select(col("source"),
+        (wCol * budgetTokens.toDouble / col("tok_s")).as("__eps"))
+      .select(col("source"),
+        floor(col("__eps")).cast("long").as("__full"),
+        floor((col("__eps") - floor(col("__eps"))) * 256).cast("long").as("__thr"))
+    val hx = md5(concat(lit("epoch|"), col("source"), lit("|"), col(idCol).cast("string")))
+    def nibAt(i: Int) = instr(lit("0123456789abcdef"), substring(hx, i, 1)) - 1
+    perDoc.join(broadcast(sched), "source")
+      .withColumn("__ne", col("__full") +
+        when(nibAt(1) * 16 + nibAt(2) < col("__thr"), 1L).otherwise(0L))
+      .filter(col("__ne") >= 1)
+      .select(col(idCol), col("source"), col("n_tokens"),
+        explode(sequence(lit(1L), col("__ne"))).as("epoch"))
+  }
+
   /** Tokenizer fertility audit — pieces per word by source, under a
     * LEARNED merges list ([[bpeTrain]] output): the tokenizer-fairness
     * measurement (Petrov et al. 2023) — a tokenizer that fragments one

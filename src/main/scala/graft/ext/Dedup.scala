@@ -363,6 +363,34 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[dedupCorpus]] with a QUALITY-AWARE representative: per
+    * duplicate cluster keep the member maximizing `scoreCol` (ties to
+    * the smallest id), not the arbitrary minimum id — the
+    * RefinedWeb/FineWeb policy, where dedup is also a chance to keep
+    * the best-scored copy (cleanest mirror, least boilerplate-wrapped
+    * crawl) of each duplicated page. `docs` must carry `scoreCol`.
+    *
+    * Scale shape: identical to [[dedupCorpus]] plus one aggregation
+    * over the PAIRED membership only — the winner table is bounded by
+    * the duplicate count, never corpus-sized, and joins back left-anti
+    * (unpaired docs pass through untouched). The exact max-then-min-id
+    * selection is two integer/double-exact steps, so it hash-checks
+    * cross-engine. */
+  def dedupCorpusBest(docs: DataFrame, pairs: DataFrame, scoreCol: String,
+                      idCol: String = "doc_id"): DataFrame = {
+    val comps = connectedComponents(pairs, idCol = idCol)
+    val members = comps.join(docs.select(col(idCol), col(scoreCol)), Seq(idCol))
+    val bestScore = members.groupBy(col("comp"))
+      .agg(max(col(scoreCol)).as("__best"))
+    val winners = members.join(bestScore, Seq("comp"))
+      .filter(col(scoreCol) === col("__best"))
+      .groupBy(col("comp")).agg(min(col(idCol)).as("__keep"))
+    val losers = comps.join(winners, Seq("comp"))
+      .filter(col(idCol) =!= col("__keep"))
+      .select(idCol)
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Leakage-safe train/test split: hash-split by near-duplicate
     * CLUSTER, not by document, so two near-identical documents can
     * never straddle the train/test boundary (the contamination path a

@@ -312,6 +312,26 @@ class CorpusSpec extends SparkSpec {
     assert(out(4)._2 > out(5)._2)
   }
 
+  test("epochSchedule: full epochs repeat every doc; zero-weight sources absent") {
+    // source a: 2 docs × 2 tokens = 4 tokens; weight 1.0, budget 8 → eps = 2.0
+    // source b: 2 docs, weight 0 → excluded
+    val d = docs((1L, "x y", "a"), (2L, "p q", "a"), (3L, "m n", "b"), (4L, "u v", "b"))
+    val out = Corpus.epochSchedule(d, Map("a" -> 1.0), budgetTokens = 8L)
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.map(_._2).toSet == Set("a"))
+    assert(out.groupBy(_._1).view.mapValues(_.map(_._4).sorted.toSeq).toMap ==
+      Map(1L -> Seq(1L, 2L), 2L -> Seq(1L, 2L)))
+
+    // eps = 0.5 → no full epoch, partial admits ~half by md5 threshold;
+    // rerun is bit-identical
+    val p1 = Corpus.epochSchedule(d, Map("a" -> 1.0), budgetTokens = 2L)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    val p2 = Corpus.epochSchedule(d.repartition(3), Map("a" -> 1.0), budgetTokens = 2L)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(p1.toSeq == p2.toSeq)
+    assert(p1.forall(_._4 == 1L))
+  }
+
   test("tokenizerFertility: merged words cost fewer pieces; chars conserved") {
     val d = docs(
       (1L, "ab ab cd", "s1"), // after (a,b) merge: 1+1+2 pieces

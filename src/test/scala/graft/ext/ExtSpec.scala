@@ -250,6 +250,16 @@ class DedupSpec extends SparkSpec {
     assert(r(1)._2 == Seq.empty)
   }
 
+  test("dedupCorpusBest: keeps the best-scored member per cluster, min id on ties") {
+    val docs = Seq((1L, 0.1), (2L, 0.9), (3L, 0.9), (4L, 0.5))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.dedupCorpusBest(docs, pairs, "score")
+      .select("doc_id").as[Long].collect().toSet
+    // cluster {1,2,3}: max score 0.9 held by 2 and 3 → keep 2; 4 unpaired
+    assert(kept == Set(2L, 4L))
+  }
+
   test("maxBucket guard: ~1k near-identical docs star-expand to bounded pairs; " +
     "transitive dedup unaffected") {
     // one mega-bucket: every doc minhashes identically
