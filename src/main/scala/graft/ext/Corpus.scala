@@ -977,14 +977,18 @@ object Corpus {
     * rank order): `encodeTokens`' learned-merges mode. The merges
     * replay on the DISTINCT-word table (vocab-sized loop state, one
     * column rewrite per merge, lineage cut every `checkpointEvery`
-    * rounds to bound plan depth), then the token stream joins the
-    * word → pieces map once — the 100 TB corpus is scanned once and
-    * never re-segmented per merge. Returns
+    * rounds), then the token stream joins the word → pieces map once —
+    * the 100 TB corpus is scanned once and never re-segmented per
+    * merge. The cut cadence is a measured cliff, not just plan
+    * hygiene: `aggregate` HOF rewrites stacked past ~4 deep evaluate
+    * interpreted with the whole child chain re-run per level (8 deep
+    * measured 20× slower than materializing every 4), so keep
+    * `checkpointEvery` small. Returns
     * (idCol, pos, piece_idx, piece): token `pos` split into its BPE
     * pieces in order. */
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
                 idCol: String = "doc_id", textCol: String = "text",
-                checkpointEvery: Int = 16): DataFrame = {
+                checkpointEvery: Int = 4): DataFrame = {
     val toks = docs.select(col(idCol),
         posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos0", "word")))
       .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"), col("word"))

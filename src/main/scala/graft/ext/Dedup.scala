@@ -315,9 +315,23 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("dcomp")).as("ncomp"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      // pointer halving: also jump each label to its LABEL's label
+      // (comp is always some node's id, so the self-join hits). Min
+      // propagation alone needs diameter-many rounds — a chain-shaped
+      // component (mutual-kNN graphs produce them routinely) of
+      // length > maxIter would fail the convergence require at scale;
+      // with the jump the round count is O(log diameter) for one
+      // extra label-table join per round. Labels still only decrease
+      // and stay within the component, so the fixpoint (= component
+      // min) and the convergence test are unchanged.
+      val next = propagated.join(
+          propagated.select(col("id").as("__cid"), col("comp").as("__ccomp")),
+          col("comp") === col("__cid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("__ccomp"), col("comp"))).as("comp"))
         .coalesce(loopParts).localCheckpoint()
       val s = labelSum(next)
       labels = next

@@ -1151,17 +1151,16 @@ object Similarity {
       .select(col("corpus_id"), col("eval_id"),
         (dot(col("__vc"), col("__ve")) / (col("__nc") * col("__ne"))).as("sim"))
       .filter(col("sim") >= threshold)
-      .localCheckpoint()
-    // best match in two exact steps (max sim, then min eval id among
-    // rows AT that sim) — both engines compute identical doubles from
-    // the same dot/sqrt recipe, so the tie set is identical too
-    val best = hits.groupBy(col("corpus_id"))
-      .agg(max(col("sim")).as("best_sim"), count(lit(1)).as("n_matches"))
-    hits.join(best, Seq("corpus_id"))
-      .filter(col("sim") === col("best_sim"))
-      .groupBy(col("corpus_id"), col("best_sim"), col("n_matches"))
-      .agg(min(col("eval_id")).as("eval_id"))
-      .select("corpus_id", "eval_id", "best_sim", "n_matches")
+    // best match in ONE aggregation: lexicographic struct max picks
+    // the max sim, then (via the negated id) the min eval id among
+    // exact-sim ties — no second pass over the hits, no re-join. Both
+    // engines compute identical doubles from the same dot/sqrt
+    // recipe, so the tie set (and therefore the pick) is identical.
+    hits.groupBy(col("corpus_id"))
+      .agg(max(struct(col("sim").as("s"), (-col("eval_id")).as("ni"))).as("__m"),
+        count(lit(1)).as("n_matches"))
+      .select(col("corpus_id"), (-col("__m.ni")).as("eval_id"),
+        col("__m.s").as("best_sim"), col("n_matches"))
   }
 
   /** Bucketed k-NN graph: for each vector, the top-`k`

@@ -47,6 +47,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q140: semantic decontamination broadcasts the eval side; corpus never shuffle-joined") {
+    val p = plan(run("q140_semantic_decon"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval side must broadcast into the bucket join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-sized shuffle join in the screening stage:\n$p")
+  }
+
   test("q63: estimator joins broadcast the candidate pairs, not the corpus") {
     val p = plan(run("q63_jaccard_estimate"))
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$p")
