@@ -43,6 +43,8 @@ object Main {
     |  curate-stream --landing DIR --index DIR --corpus DIR --checkpoint DIR
     |                [--bands 3 --rows-per-band 2] [--pairs DIR] [--follow true]
     |                [--drift DIR]
+    |  ingest-embeddings --landing DIR --index DIR --checkpoint DIR
+    |                [--planes 4 --dim 64] [--follow true]
     |  bpe-train     --corpus PARQUET_DIR --merges N --target DIR
     |  train-quality --corpus PARQUET_DIR --label-source-prefix P --target DIR
     |                [--buckets 64 --steps 3 --lr 0.5]
@@ -141,6 +143,29 @@ object Main {
           one("index"), one("corpus"), one("checkpoint"), bands, rpb,
           pairsPath = f("pairs").headOption, trigger = trigger,
           driftPath = f("drift").headOption)
+        q.awaitTermination()
+      case "ingest-embeddings" =>
+        // continuous embedding ingestion: tail a parquet landing
+        // directory of (vec_id, embedding) rows into the persisted IVF
+        // index — first batch bootstraps, later batches are O(batch)
+        // appends (streaming/IndexStream.scala). Same trigger contract
+        // as curate-stream: drain-and-exit unless --follow true
+        val planes = f("planes").headOption.map(v => parsed("planes", v)(_.toInt)).getOrElse(4)
+        val dim = f("dim").headOption.map(v => parsed("dim", v)(_.toInt)).getOrElse(64)
+        val follow = f("follow").headOption.exists(v => parsed("follow", v)(_.toBoolean))
+        val trigger =
+          if (follow) org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds")
+          else org.apache.spark.sql.streaming.Trigger.AvailableNow()
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType))))
+        val q = streaming.IndexStream.ingestStream(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(one("landing")),
+          one("index"), one("checkpoint"), planes, dim)
         q.awaitTermination()
       case "bpe-train" =>
         // tokenizer training from the command line: corpus parquet in,

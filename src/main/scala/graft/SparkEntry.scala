@@ -1052,6 +1052,11 @@ object SparkEntry {
     "q66_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(t(s, dir, "embeddings"))
         .orderBy("vec_id")),
+    // per-dimension embedding moments on the exact-integer grid —
+    // the standardization/dead-dim statistics pass, order-free sums
+    "q145_dim_stats" -> ((s, dir) =>
+      Similarity.dimStats(t(s, dir, "embeddings"))
+        .orderBy("dim")),
     // embedding-space decontamination: corpus vectors cosine-matching
     // any eval vector — paraphrase-level leakage q64's n-grams miss;
     // eval side broadcast, corpus never shuffled
@@ -1802,6 +1807,22 @@ object SparkEntry {
     "q88_semantic_dedup" -> semanticDedupOracle,
     "q139_knn_clusters" -> mutualKnnClustersOracle,
     "q140_semantic_decon" -> semanticDeconOracle,
+    // q145: same 2^24 integer-grid moments; mean*mean mirrors the
+    // Spark expression order so the doubles are bit-identical
+    "q145_dim_stats" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT unnest([{'d': i, 'x': v[i]}
+        |                     FOR i IN range(1, len(v) + 1)]) AS s FROM e),
+        |g AS (SELECT s.d - 1 AS dim, count(*) AS n,
+        |        CAST(SUM(CAST(FLOOR(s.x * 16777216.0) AS BIGINT)) AS BIGINT) AS s1,
+        |        CAST(SUM(CAST(FLOOR(s.x * s.x * 16777216.0) AS BIGINT)) AS BIGINT) AS s2
+        |      FROM x GROUP BY 1)
+        |SELECT CAST(dim AS BIGINT) AS dim, n,
+        |  CAST(s1 AS DOUBLE) / n / 16777216.0 AS mean,
+        |  greatest(CAST(s2 AS DOUBLE) / n / 16777216.0
+        |    - (CAST(s1 AS DOUBLE) / n / 16777216.0) * (CAST(s1 AS DOUBLE) / n / 16777216.0),
+        |    0.0) AS variance
+        |FROM g ORDER BY dim""".stripMargin,
     "q48_lsh_candidates" -> lshCandidatesOracle,
     "q96_incremental_dedup" -> incrementalDedupOracle,
     "q75_editdist_neardup" -> editDistNearDupOracle,

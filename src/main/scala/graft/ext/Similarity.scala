@@ -1122,6 +1122,50 @@ object Similarity {
     Dedup.dedupCorpus(df, pairs, idCol)
   }
 
+  /** Per-dimension corpus moments on the 2²⁴ exact-integer grid — the
+    * feature-prep statistics pass before standardization, whitening,
+    * or dead-dimension pruning. Sums are quantized to longs BEFORE
+    * aggregation ([[centroidPartials]]' argument), so the moments are
+    * identical under any partitioning, accumulation order, or engine.
+    * `variance` is the grid moments' E[x²] − mean² clamped at 0 (the
+    * clamp matters only for near-constant dimensions, where the
+    * quantization could otherwise go a hair negative). One narrow
+    * posexplode + ONE dim-keyed aggregation (64–4096 output rows). */
+  def dimStats(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val x = col("__x").cast("double")
+    val m = col("__s1").cast("double") / col("n") / CentroidGrid
+    emb.select(posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(x * CentroidGrid).cast("long")).as("__s1"),
+        sum(floor(x * x * CentroidGrid).cast("long")).as("__s2"))
+      .select(col("dim").cast("long").as("dim"), col("n"),
+        m.as("mean"),
+        greatest(col("__s2").cast("double") / col("n") / CentroidGrid - m * m,
+          lit(0.0)).as("variance"))
+  }
+
+  /** Standardize an embedding column against [[dimStats]] moments:
+    * `z_d = (x_d − mean_d)/sqrt(var_d)`, dead dimensions (variance 0)
+    * pinned to 0 rather than NaN. The stats are a dim-count-sized
+    * 1-row broadcast folded into a narrow per-row transform — the
+    * corpus is scanned once, no shuffle. */
+  def standardizeEmbeddings(emb: DataFrame, stats: DataFrame,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val packed = stats
+      .agg(transform(array_sort(collect_list(
+          struct(col("dim"), col("mean"), col("variance")))),
+        s => struct(s.getField("mean").as("m"), s.getField("variance").as("v")))
+        .as("__stats"))
+    emb.join(broadcast(packed))
+      .select(col(idCol),
+        zip_with(col(vecCol), col("__stats"), (x, s) =>
+          when(s.getField("v") === 0d, lit(0.0))
+            .otherwise((x.cast("double") - s.getField("m"))
+              / sqrt(s.getField("v")))).as(vecCol))
+  }
+
   /** Embedding-space decontamination — the semantic analog of the
     * n-gram leakage check (`TextAnalysis.decontaminate`): corpus
     * vectors whose cosine similarity to ANY eval-set vector reaches

@@ -143,6 +143,19 @@ class MainSpec extends SparkSpec {
     assert(sunk.count() > 0 && sunk.count() <= batch.count())
   }
 
+  test("ingest-embeddings verb folds a landing directory into an IVF index and exits") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-cli-ivf").toString
+    val emb = load("embeddings").limit(200)
+    emb.repartition(2).write.parquet(s"$root/landing")
+    Main.main(Array("ingest-embeddings", "--landing", s"$root/landing",
+      "--index", s"$root/index", "--checkpoint", s"$root/ckpt"))
+    val idx = graft.ext.Similarity.ivfRead(spark, s"$root/index")
+    assert(idx.assigned.count() == emb.count())
+    assert(graft.ext.Similarity.ivfQuery(idx, Seq(0L), k = 3, nProbe = 2)
+      .count() == 3)
+  }
+
   test("update verb upserts a parquet delta into Derby by pk, through argv") {
     import org.apache.spark.sql.functions.{col, lit}
     // stand the table up with rows 1..10

@@ -758,6 +758,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dimStats + standardizeEmbeddings: moments match, z-scores ~N(0,1), dead dims -> 0") {
+    val emb = load("embeddings")
+    val stats = Similarity.dimStats(emb).localCheckpoint()
+    val row0 = stats.filter(col("dim") === 0).head()
+    // cross-check dim 0 against a driver-side computation (1e-6: the
+    // 2^24 grid quantizes each addend, so moments agree to ~1e-7)
+    val xs = emb.select(element_at(col("embedding"), 1).cast("double"))
+      .as[Double].collect()
+    val mean = xs.sum / xs.length
+    assert(math.abs(row0.getAs[Double]("mean") - mean) < 1e-6)
+    assert(math.abs(row0.getAs[Double]("variance") -
+      (xs.map(x => x * x).sum / xs.length - mean * mean)) < 1e-6)
+    // standardized corpus re-measures to mean 0, variance 1
+    val zstats = Similarity.dimStats(
+      Similarity.standardizeEmbeddings(emb, stats)).collect()
+    zstats.foreach { r =>
+      assert(math.abs(r.getAs[Double]("mean")) < 1e-6)
+      assert(math.abs(r.getAs[Double]("variance") - 1.0) < 1e-5)
+    }
+    // dead dimension: constant column standardizes to 0, not NaN
+    val const = Seq((1L, Array(2.5f, 1.0f)), (2L, Array(2.5f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val z = Similarity.standardizeEmbeddings(const, Similarity.dimStats(const))
+      .orderBy("vec_id")
+      .select(element_at(col("embedding"), 1)).as[Double].collect()
+    assert(z.toSeq == Seq(0.0, 0.0))
+  }
+
   test("semanticDecontaminate: flags cosine matches; ties pick min eval id") {
     val a = Array.fill(64)(0.1f)
     val d = Array.tabulate(64)(i => if (i % 2 == 0) 0.1f else -0.1f)
