@@ -564,6 +564,26 @@ object SparkEntry {
         weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
         budgetTokens = 5000L)
         .orderBy("doc_id", "epoch")),
+    // unigram-LM tokenizer family (SentencePiece): seed vocabulary
+    // with 9-dp DECIMAL log-probs over corpus substrings
+    "q146_unigram_vocab" -> ((s, dir) =>
+      Corpus.unigramSeedVocab(t(s, dir, "documents"))
+        .orderBy("piece")),
+    // Viterbi segmentation under the seeded unigram LM — exact
+    // DECIMAL path sums, ties to the longest last piece
+    "q147_unigram_segment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = Corpus.unigramSeedVocab(docs).localCheckpoint()
+      Corpus.unigramSegment(docs.filter(col("doc_id") < 50), vocab)
+        .orderBy("doc_id", "pos", "piece_idx")
+    }),
+    // one EM re-estimation: Viterbi piece counts over the corpus,
+    // re-normalized — the M-step of Kudo's training loop
+    "q148_unigram_reestimate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = Corpus.unigramSeedVocab(docs).localCheckpoint()
+      Corpus.unigramReestimate(docs, vocab).orderBy("piece")
+    }),
     // tokenizer fertility by source under the learned q113 merges:
     // pieces/word — the tokenizer-fairness audit
     "q141_tokenizer_fertility" -> ((s, dir) => {
@@ -2527,6 +2547,9 @@ object SparkEntry {
     "q142_shuffle_shards" -> shuffleShardsOracle(8),
     "q144_epoch_schedule" -> epochScheduleOracle(
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 5000L),
+    "q146_unigram_vocab" -> unigramVocabOracle,
+    "q147_unigram_segment" -> unigramSegmentOracle(50),
+    "q148_unigram_reestimate" -> unigramReestimateOracle,
     "q115_logreg_train" -> logregTrainOracle(64, 3, 0.5),
     "q117_dsir_sample" -> dsirSampleOracle(25, 256),
 
@@ -3053,6 +3076,114 @@ object SparkEntry {
        |FROM enc JOIN documents d USING (doc_id)
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** Shared CTEs for the unigram-tokenizer oracles (q146-q148): the
+    * seed vocabulary — substring frequencies weighted by corpus word
+    * frequency, single chars always kept, top `vocabSize` multi-char
+    * pieces, 9-dp DECIMAL log-probs over the kept total. Ends in
+    * `v(piece, freq, logp)`. */
+  private def unigramVocabCtes(maxPieceLen: Int, vocabSize: Int): String =
+    s"""wrd AS MATERIALIZED (
+       |  SELECT w AS word, count(*) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |    FROM documents) GROUP BY 1),
+       |subs AS MATERIALIZED (
+       |  SELECT s AS piece, CAST(SUM(freq) AS BIGINT) AS freq FROM (
+       |    SELECT freq, substr(word, i, l) AS s
+       |    FROM wrd, unnest(generate_series(1, len(word))) AS t1(i),
+       |         unnest(generate_series(1, least($maxPieceLen, len(word) - i + 1))) AS t2(l))
+       |  GROUP BY 1),
+       |kept AS MATERIALIZED (
+       |  SELECT piece, freq FROM subs WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, freq FROM (
+       |    SELECT piece, freq FROM subs WHERE len(piece) > 1
+       |    ORDER BY freq DESC, piece LIMIT $vocabSize)),
+       |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM kept),
+       |v AS MATERIALIZED (SELECT piece, freq,
+       |        CAST(round(ln(CAST(freq AS DOUBLE) / t), 9) AS DECIMAL(18,9)) AS logp
+       |      FROM kept, tot)""".stripMargin
+
+  /** Viterbi-segmentation CTEs (append after [[unigramVocabCtes]]):
+    * the per-position DP UNROLLED to `maxWordLen` chained CTEs —
+    * DuckDB 1.0's `list_reduce` cannot hold a DP table as its
+    * accumulator, so the oracle materializes dp/backtrace one
+    * position per CTE (the bpeCtes per-merge pattern). Exact DECIMAL
+    * path sums; ties ORDER BY best DESC, start ASC — the same
+    * struct-max rule as the Spark side. Ends in
+    * `seg(word, piece_idx, piece)`. Words longer than `maxWordLen`
+    * would backtrace incompletely — the fixture caps at 8 chars. */
+  private def unigramSegCtes(maxPieceLen: Int, maxWordLen: Int): String = {
+    val dps = (1 to maxWordLen).map { j =>
+      s"""dp$j AS (
+         |  SELECT word, best, frm FROM (
+         |    SELECT c.word, CAST(p.best + c.logp AS DECIMAL(28,9)) AS best, c.i AS frm,
+         |      row_number() OVER (PARTITION BY c.word
+         |        ORDER BY CAST(p.best + c.logp AS DECIMAL(28,9)) DESC, c.i ASC) AS rn
+         |    FROM cand c JOIN dpall${j - 1} p ON p.word = c.word AND p.pos = c.i
+         |    WHERE c.j = $j) WHERE rn = 1),
+         |dpall$j AS MATERIALIZED (
+         |  SELECT * FROM dpall${j - 1}
+         |  UNION ALL SELECT word, $j AS pos, best, frm FROM dp$j),""".stripMargin
+    }.mkString("\n")
+    val bts = (1 to maxWordLen).map { k =>
+      s"""bt$k AS (
+         |  SELECT b.word,
+         |    CASE WHEN b.pos > 0 THEN d.frm ELSE b.pos END AS pos,
+         |    CASE WHEN b.pos > 0 THEN list_prepend(d.frm, b.path) ELSE b.path END AS path
+         |  FROM bt${k - 1} b LEFT JOIN dpall$maxWordLen d
+         |    ON d.word = b.word AND d.pos = b.pos),""".stripMargin
+    }.mkString("\n")
+    s"""cand AS (
+       |  SELECT x.word, x.i, x.j, v.logp FROM (
+       |    SELECT word, i - 1 AS i, i - 1 + l AS j, substr(word, i, l) AS piece
+       |    FROM wrd, unnest(generate_series(1, len(word))) AS t1(i),
+       |         unnest(generate_series(1, least($maxPieceLen, len(word) - i + 1))) AS t2(l)) x
+       |  JOIN v ON v.piece = x.piece),
+       |dpall0 AS MATERIALIZED (SELECT word, 0 AS pos, CAST(0 AS DECIMAL(28,9)) AS best, -1 AS frm FROM wrd),
+       |$dps
+       |bt0 AS (SELECT word, len(word) AS pos, [len(word)] AS path FROM wrd),
+       |$bts
+       |seg AS MATERIALIZED (
+       |  SELECT word, k AS piece_idx,
+       |    substr(word, path[k] + 1, path[k + 1] - path[k]) AS piece
+       |  FROM bt$maxWordLen, unnest(generate_series(1, len(path) - 1)) AS t(k))""".stripMargin
+  }
+
+  /** q146 oracle: the seed vocabulary table itself. */
+  private def unigramVocabOracle: String =
+    s"""WITH ${unigramVocabCtes(4, 20)}
+       |SELECT piece, freq, logp FROM v ORDER BY piece""".stripMargin
+
+  /** q147 oracle: the unrolled Viterbi replayed on the (restricted)
+    * token stream. */
+  private def unigramSegmentOracle(maxDocId: Long): String =
+    s"""WITH ${unigramVocabCtes(4, 20)},
+       |${unigramSegCtes(4, 16)},
+       |tok AS (SELECT doc_id, x.pos AS pos, x.word AS word FROM (
+       |  SELECT doc_id, unnest([{'pos': i, 'word': tl[i]}
+       |                         FOR i IN range(1, len(tl) + 1)]) AS x
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split(text, ' '), t -> t <> '') AS tl
+       |        FROM documents WHERE doc_id < $maxDocId)))
+       |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |  CAST(piece_idx AS BIGINT) AS piece_idx, piece
+       |FROM tok JOIN seg USING (word)
+       |ORDER BY doc_id, pos, piece_idx""".stripMargin
+
+  /** q148 oracle: Viterbi piece counts over the full token stream,
+    * re-normalized to new 9-dp DECIMAL log-probs. */
+  private def unigramReestimateOracle: String =
+    s"""WITH ${unigramVocabCtes(4, 20)},
+       |${unigramSegCtes(4, 16)},
+       |tok AS (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+       |        FROM documents),
+       |cnt AS (SELECT piece, count(*) AS freq
+       |        FROM tok JOIN seg USING (word) GROUP BY 1),
+       |tot2 AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM cnt)
+       |SELECT piece, freq,
+       |  CAST(round(ln(CAST(freq AS DOUBLE) / t), 9) AS DECIMAL(18,9)) AS logp
+       |FROM cnt, tot2 ORDER BY piece""".stripMargin
+
   /** q144 oracle: per-source epochs = weight·budget/tokens; full
     * epochs repeat every doc, the fractional epoch admits docs whose
     * first two md5 nibbles clear the floor(frac·256) threshold —
@@ -3203,7 +3334,7 @@ object SparkEntry {
        |           ORDER BY list_dot_product(qv, c) DESC, cell) AS r
        |       FROM q CROSS JOIN ccent),
        |probe AS (SELECT query_id, cell FROM qc WHERE r <= 2),
-       |cand AS (SELECT query_id, c.vec_id AS neighbor_id
+       |cand AS MATERIALIZED (SELECT query_id, c.vec_id AS neighbor_id
        |         FROM probe JOIN b c USING (cell) WHERE query_id <> c.vec_id),
        |lut AS (SELECT s.vec_id AS query_id, s.m, c.code,
        |          CAST(round(list_dot_product(s.sub, c.centroid), 9)

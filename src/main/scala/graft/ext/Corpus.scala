@@ -1093,6 +1093,137 @@ object Corpus {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Seed vocabulary for a UNIGRAM-LM tokenizer (Kudo 2018,
+    * SentencePiece's model family — the other production tokenizer
+    * next to [[bpeTrain]]'s BPE): all corpus substrings up to
+    * `maxPieceLen` chars are candidate pieces; every single character
+    * is kept unconditionally (the coverage floor Viterbi needs), plus
+    * the `vocabSize` most frequent multi-char pieces (ties
+    * lexicographic). Piece log-probs are `round(ln(freq/total), 9)`
+    * over the KEPT vocab, carried as DECIMAL so downstream path sums
+    * are exact and engine-identical — the same ln recipe as DSIR/PSI.
+    *
+    * Scale shape: substring expansion runs on the DISTINCT-WORD table
+    * (vocab-sized), weighted by corpus word frequency — the corpus is
+    * scanned once for the word counts; the top-N is a bounded
+    * TakeOrdered. Returns (piece, freq, logp). */
+  def unigramSeedVocab(docs: DataFrame, maxPieceLen: Int = 4,
+                       vocabSize: Int = 20,
+                       textCol: String = "text"): DataFrame = {
+    require(maxPieceLen >= 1 && vocabSize >= 0,
+      s"need maxPieceLen >= 1 (got $maxPieceLen), vocabSize >= 0 (got $vocabSize)")
+    val words = docs.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val w = col("word")
+    val pieces = words.select(col("freq"), explode(flatten(
+        transform(sequence(lit(1), length(w)), i =>
+          transform(sequence(lit(1), least(lit(maxPieceLen), length(w) - i + 1)),
+            l => w.substr(i, l))))).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("freq"))
+      .localCheckpoint() // feeds both the char floor and the top-N
+    val kept = pieces.filter(length(col("piece")) === 1)
+      .unionByName(pieces.filter(length(col("piece")) > 1)
+        .orderBy(col("freq").desc, col("piece").asc).limit(vocabSize))
+    val total = kept.agg(sum(col("freq")).as("__t"))
+    kept.join(broadcast(total))
+      .select(col("piece"), col("freq"),
+        round(log(col("freq").cast("double") / col("__t")), 9)
+          .cast("decimal(18,9)").as("logp"))
+  }
+
+  /** Viterbi segmentation of the corpus under a unigram piece LM
+    * ([[unigramSeedVocab]] output) — SentencePiece's inference step:
+    * each token splits into the vocab pieces maximizing the summed
+    * piece log-prob. Path scores are exact DECIMAL sums of the 9-dp
+    * logs (order-free, engine-identical); exact ties prefer the
+    * segmentation whose LAST piece is longest at each boundary (the
+    * min start index), so the result is fully deterministic. Every
+    * character of the corpus must be in the vocab — true by
+    * construction for a vocab seeded from the same corpus.
+    *
+    * Scale shape: the DP runs once per DISTINCT word (vocab-sized
+    * state — [[bpeEncode]]'s contract), candidates per word bounded
+    * by len·maxPieceLen, the whole DP a single depth-1 `aggregate`
+    * over positions; the token stream then joins the word → pieces
+    * map once. Returns (idCol, pos, piece_idx, piece). */
+  def unigramSegment(docs: DataFrame, vocab: DataFrame, maxPieceLen: Int = 4,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dec = "decimal(28,9)"
+    val toks = docs.select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos0", "word")))
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"), col("word"))
+    val w = col("word")
+    // candidate pieces per distinct word: (i 0-based start, j end, logp)
+    val cands = toks.select("word").distinct()
+      .select(w, explode(flatten(
+        transform(sequence(lit(1), length(w)), s =>
+          transform(sequence(lit(1), least(lit(maxPieceLen), length(w) - s + 1)),
+            l => struct((s - 1).as("i"), (s - 1 + l).as("j"),
+              w.substr(s, l).as("piece")))))).as("c"))
+      .select(w, col("c.i").as("i"), col("c.j").as("j"), col("c.piece").as("piece"))
+      .join(vocab.select(col("piece"), col("logp")), "piece")
+    val byWord = cands
+      .groupBy("word")
+      .agg(collect_list(struct(col("i"), col("j"),
+        col("logp").cast(dec).as("logp"))).as("__cands"))
+    // Viterbi: state = dp[0..p] as array of (best, from); step j picks
+    // the max (score, then min start) over candidates ending at j
+    val dp = aggregate(
+      sequence(lit(1), length(w)),
+      array(struct(lit(BigDecimal(0)).cast(dec).as("best"), lit(-1).as("from"))),
+      (acc: Column, j: Column) => {
+        val scored = transform(
+          filter(col("__cands"), c => c.getField("j") === j),
+          c => struct(
+            (element_at(acc, c.getField("i") + 1).getField("best")
+              + c.getField("logp")).cast(dec).as("best"),
+            (-c.getField("i")).as("negi")))
+        val pick = array_max(scored)
+        concat(acc, array(struct(pick.getField("best").as("best"),
+          (-pick.getField("negi")).as("from"))))
+      })
+    // backtrace: walk from[] from n to 0, prepending each boundary
+    val bounds = aggregate(
+      sequence(lit(1), length(w)),
+      array(length(w)),
+      (acc: Column, _: Column) =>
+        when(element_at(acc, 1) > 0,
+          concat(array(element_at(col("__dp"), element_at(acc, 1) + 1)
+            .getField("from")), acc))
+          .otherwise(acc))
+    val segmented = byWord
+      .withColumn("__dp", dp)
+      .withColumn("__bounds", bounds)
+      .select(w, posexplode(transform(
+        sequence(lit(1), size(col("__bounds")) - 1),
+        k => w.substr(element_at(col("__bounds"), k) + 1,
+          element_at(col("__bounds"), k + 1) - element_at(col("__bounds"), k))))
+        .as(Seq("pidx", "piece")))
+      .select(w, (col("pidx") + 1).cast("long").as("piece_idx"), col("piece"))
+    toks.join(segmented, Seq("word"))
+      .select(col(idCol), col("pos"), col("piece_idx"), col("piece"))
+  }
+
+  /** One EM count re-estimation for the unigram LM (the M-step over
+    * [[unigramSegment]]'s Viterbi E-step): piece occurrence counts
+    * along the corpus's Viterbi paths, re-normalized into new
+    * log-probs — iterate segment → reestimate to convergence and
+    * prune the tail to train the vocabulary down, exactly Kudo's
+    * loop. Pieces the Viterbi paths never use drop out (their next
+    * probability is 0). Returns (piece, freq, logp). */
+  def unigramReestimate(docs: DataFrame, vocab: DataFrame, maxPieceLen: Int = 4,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val counts = unigramSegment(docs, vocab, maxPieceLen, idCol, textCol)
+      .groupBy("piece").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    val total = counts.agg(sum(col("freq")).as("__t"))
+    counts.join(broadcast(total))
+      .select(col("piece"), col("freq"),
+        round(log(col("freq").cast("double") / col("__t")), 9)
+          .cast("decimal(18,9)").as("logp"))
+  }
+
   /** Skip-gram (center, context) pair counts — the training-data
     * generation pass for word2vec / GloVe-style embedding training
     * (Mikolov et al. 2013): every token pairs with each neighbor

@@ -382,7 +382,12 @@ class PlanSpec extends SparkSpec {
       // quality harness — exact truth side quadratic BY DESIGN (q58's
       // class) and 1-row metric crosses; q134's probe is ivfQuery's
       // |Q|·nLists centroid cross (the q39/q109 coarse-quantizer shape)
-      "q130_collocations", "q133_candidate_quality", "q134_ivf_delete")
+      "q130_collocations", "q133_candidate_quality", "q134_ivf_delete",
+      // q146-q148: unigramSeedVocab normalizes piece probs against the
+      // ONE-ROW kept-vocab total broadcast into the log (the q68/q101
+      // replacement-for-a-driver-action class); q147/q148 embed the
+      // same vocab build before the (equi-join) Viterbi stages
+      "q146_unigram_vocab", "q147_unigram_segment", "q148_unigram_reestimate")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
       .flatMap { name =>

@@ -312,6 +312,28 @@ class CorpusSpec extends SparkSpec {
     assert(out(4)._2 > out(5)._2)
   }
 
+  test("unigram tokenizer: seed vocab probs, Viterbi picks the max-likelihood split, " +
+    "re-estimation counts the Viterbi pieces") {
+    val d = docs((1L, "aaab aaab b", "s"))
+    val vocab = Corpus.unigramSeedVocab(d, maxPieceLen = 3, vocabSize = 20)
+      .localCheckpoint()
+    val got = vocab.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // substring freqs weighted by corpus word frequency (aaab ×2, b ×1)
+    assert(got == Map("a" -> 6L, "aa" -> 4L, "aaa" -> 2L, "ab" -> 2L,
+      "aab" -> 2L, "b" -> 3L))
+    // Viterbi on "aaab": a + aab (-1.153 - 2.251) beats aa+ab, aaa+b, ...
+    val seg = Corpus.unigramSegment(d, vocab, maxPieceLen = 3)
+      .orderBy("pos", "piece_idx")
+      .as[(Long, Long, Long, String)].collect()
+    assert(seg.filter(_._2 == 1L).map(_._4).toSeq == Seq("a", "aab"))
+    assert(seg.filter(_._2 == 3L).map(_._4).toSeq == Seq("b"))
+    // M-step: Viterbi path counts over the token stream
+    val re = Corpus.unigramReestimate(d, vocab, maxPieceLen = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(re == Map("a" -> 2L, "aab" -> 2L, "b" -> 1L))
+  }
+
   test("epochSchedule: full epochs repeat every doc; zero-weight sources absent") {
     // source a: 2 docs × 2 tokens = 4 tokens; weight 1.0, budget 8 → eps = 2.0
     // source b: 2 docs, weight 0 → excluded
