@@ -1224,6 +1224,27 @@ object Corpus {
           .cast("decimal(18,9)").as("logp"))
   }
 
+  /** The unigram-LM training loop: seed ([[unigramSeedVocab]]), then
+    * `rounds` EM iterations of Viterbi-segment → recount
+    * ([[unigramReestimate]]) — Kudo's algorithm with the simplified
+    * prune rule that pieces unused by any Viterbi path drop out
+    * (their re-estimated count is 0). The vocab table is the loop
+    * state (vocab-sized, lineage cut per round — the
+    * connectedComponents/bpeTrain driver-loop pattern); on a corpus
+    * whose segmentation stabilizes, the loop is a fixpoint and extra
+    * rounds are no-ops. Returns the final (piece, freq, logp). */
+  def unigramTrain(docs: DataFrame, rounds: Int = 2, maxPieceLen: Int = 4,
+                   vocabSize: Int = 20, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    var vocab = unigramSeedVocab(docs, maxPieceLen, vocabSize, textCol)
+      .localCheckpoint()
+    for (_ <- 1 to rounds)
+      vocab = unigramReestimate(docs, vocab, maxPieceLen, idCol, textCol)
+        .localCheckpoint()
+    vocab
+  }
+
   /** Skip-gram (center, context) pair counts — the training-data
     * generation pass for word2vec / GloVe-style embedding training
     * (Mikolov et al. 2013): every token pairs with each neighbor

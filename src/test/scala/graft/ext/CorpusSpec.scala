@@ -334,6 +334,17 @@ class CorpusSpec extends SparkSpec {
     assert(re == Map("a" -> 2L, "aab" -> 2L, "b" -> 1L))
   }
 
+  test("unigramTrain: unused pieces drop out; the EM loop reaches a fixpoint") {
+    val d = docs((1L, "aaab aaab b", "s"))
+    val r1 = Corpus.unigramTrain(d, rounds = 1, maxPieceLen = 3)
+      .orderBy("piece").as[(String, Long, java.math.BigDecimal)].collect().toSeq
+    // round 1 keeps only the Viterbi-path pieces {a, aab, b}
+    assert(r1.map(_._1) == Seq("a", "aab", "b"))
+    val r2 = Corpus.unigramTrain(d, rounds = 2, maxPieceLen = 3)
+      .orderBy("piece").as[(String, Long, java.math.BigDecimal)].collect().toSeq
+    assert(r1 == r2, "segmentation stabilized, so round 2 must be a no-op")
+  }
+
   test("epochSchedule: full epochs repeat every doc; zero-weight sources absent") {
     // source a: 2 docs × 2 tokens = 4 tokens; weight 1.0, budget 8 → eps = 2.0
     // source b: 2 docs, weight 0 → excluded
@@ -393,6 +404,33 @@ class CorpusSpec extends SparkSpec {
       .as[(String, String, Long)].collect()
     // every position pairs with the other two → (a, a) count 6
     assert(rep.toSeq == Seq(("a", "a", 6L)))
+  }
+
+  test("skipgramPairs: pair-count conservation against the closed form on the fixture") {
+    val d = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val w = 2
+    val got = Corpus.skipgramPairs(d, window = w)
+      .agg(sum(col("cnt"))).as[Long].head()
+    // Σ over docs, positions i: |window(i)| = min(i,w) + min(n-1-i,w)
+    val expected = d
+      .select(size(graft.ext.TextAnalysis.tokens(col("text"))).as("n"))
+      .as[Int].collect()
+      .map(n => (0 until n).map(i => math.min(i, w) + math.min(n - 1 - i, w)).sum.toLong)
+      .sum
+    assert(got == expected)
+  }
+
+  test("paddingStats: conservation on the fixture — docs, tokens, bucketed <= global") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Corpus.paddingStats(d, maxLen = 128, bucketWidth = 16).collect()
+    val perDoc = d.select(least(size(graft.ext.TextAnalysis.tokens(col("text"))), lit(128)))
+      .as[Int].collect().filter(_ > 0)
+    assert(out.map(_.getAs[Long]("n_docs")).sum == perDoc.length)
+    assert(out.map(_.getAs[Long]("n_tokens")).sum == perDoc.map(_.toLong).sum)
+    out.foreach { r =>
+      assert(r.getAs[Long]("pad_bucketed") >= 0 &&
+        r.getAs[Long]("pad_bucketed") <= r.getAs[Long]("pad_global"))
+    }
   }
 
   test("paddingStats: truncation to maxLen, bucket caps, exact overheads") {
