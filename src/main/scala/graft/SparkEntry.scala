@@ -1077,6 +1077,11 @@ object SparkEntry {
     "q145_dim_stats" -> ((s, dir) =>
       Similarity.dimStats(t(s, dir, "embeddings"))
         .orderBy("dim")),
+    // covariance matrix on the same grid (upper triangle) — the
+    // PCA/whitening input, d(d+1)/2 model-sized exact output
+    "q149_covariance" -> ((s, dir) =>
+      Similarity.covarianceMatrix(t(s, dir, "embeddings"))
+        .orderBy("p", "q")),
     // embedding-space decontamination: corpus vectors cosine-matching
     // any eval vector — paraphrase-level leakage q64's n-grams miss;
     // eval side broadcast, corpus never shuffled
@@ -2548,6 +2553,23 @@ object SparkEntry {
     "q144_epoch_schedule" -> epochScheduleOracle(
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 5000L),
     "q146_unigram_vocab" -> unigramVocabOracle,
+    // q149: same 2^24 integer-grid sums; the product mirrors Spark's
+    // expression order so the doubles are bit-identical
+    "q149_covariance" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT v[p] * v[q] AS xy, v[p] AS xp, v[q] AS xq, p, q
+        |      FROM e, unnest(generate_series(1, len(v))) AS t1(p),
+        |           unnest(generate_series(p, len(v))) AS t2(q)),
+        |g AS (SELECT p - 1 AS p, q - 1 AS q, count(*) AS n,
+        |        CAST(SUM(CAST(FLOOR(xy * 16777216.0) AS BIGINT)) AS BIGINT) AS sxy,
+        |        CAST(SUM(CAST(FLOOR(xp * 16777216.0) AS BIGINT)) AS BIGINT) AS sxp,
+        |        CAST(SUM(CAST(FLOOR(xq * 16777216.0) AS BIGINT)) AS BIGINT) AS sxq
+        |      FROM x GROUP BY 1, 2)
+        |SELECT CAST(p AS BIGINT) AS p, CAST(q AS BIGINT) AS q,
+        |  CAST(sxy AS DOUBLE) / n / 16777216.0
+        |    - (CAST(sxp AS DOUBLE) / n / 16777216.0)
+        |      * (CAST(sxq AS DOUBLE) / n / 16777216.0) AS cov
+        |FROM g ORDER BY p, q""".stripMargin,
     "q147_unigram_segment" -> unigramSegmentOracle(50),
     "q148_unigram_reestimate" -> unigramReestimateOracle,
     "q115_logreg_train" -> logregTrainOracle(64, 3, 0.5),

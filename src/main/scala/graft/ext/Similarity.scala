@@ -1145,6 +1145,99 @@ object Similarity {
           lit(0.0)).as("variance"))
   }
 
+  /** Exact-integer covariance matrix of the embedding column — the
+    * input to PCA/whitening: the upper triangle (p ≤ q) of
+    * `cov[p,q] = E[x_p·x_q] − mean_p·mean_q`, every sum quantized to
+    * the 2²⁴ grid BEFORE aggregation so the matrix is identical under
+    * any partitioning, accumulation order, or engine ([[dimStats]]'
+    * argument; the diagonal equals its unclamped variance exactly).
+    *
+    * Scale shape: one corpus scan; the pair expansion is a narrow
+    * per-row transform bounded by d(d+1)/2, and the aggregation
+    * map-side-combines onto the MODEL-sized d(d+1)/2-row output. */
+  def covarianceMatrix(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol)
+    def at(i: Column) = element_at(v, i + 1).cast("double")
+    emb.select(explode(flatten(
+        transform(sequence(lit(0), size(v) - 1), p =>
+          transform(sequence(p, size(v) - 1), q =>
+            struct(p.as("p"), q.as("q"), (at(p) * at(q)).as("xy"),
+              at(p).as("xp"), at(q).as("xq")))))).as("c"))
+      .select(col("c.p").as("p"), col("c.q").as("q"),
+        col("c.xy").as("xy"), col("c.xp").as("xp"), col("c.xq").as("xq"))
+      .groupBy("p", "q")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("xy") * CentroidGrid).cast("long")).as("sxy"),
+        sum(floor(col("xp") * CentroidGrid).cast("long")).as("sxp"),
+        sum(floor(col("xq") * CentroidGrid).cast("long")).as("sxq"))
+      .select(col("p").cast("long").as("p"), col("q").cast("long").as("q"),
+        (col("sxy").cast("double") / col("n") / CentroidGrid
+          - (col("sxp").cast("double") / col("n") / CentroidGrid)
+            * (col("sxq").cast("double") / col("n") / CentroidGrid)).as("cov"))
+  }
+
+  /** Top-`k` principal components by power iteration with deflation —
+    * the whitening/compression basis a 100 TB embedding lake fits
+    * once. The eigen-solve runs on the DRIVER over the collected
+    * [[covarianceMatrix]] (d² doubles — the same bounded-action class
+    * as `pqBuildKMeans`' Lloyd's loop; the corpus itself is never
+    * collected). Deterministic: init is the basis vector of the
+    * largest remaining diagonal (ties to lowest dim), a fixed `iters`
+    * multiply-normalize rounds, sign fixed so the largest-|entry|
+    * coordinate is positive (ties to lowest dim). Returns
+    * (component, dim, value, eigenvalue), components orthonormal. */
+  def pcaTopK(emb: DataFrame, k: Int, iters: Int = 50,
+              vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val covRows = covarianceMatrix(emb, vecCol).collect()
+    val d = covRows.map(_.getLong(1)).max.toInt + 1
+    require(k >= 1 && k <= d, s"need 1 <= k <= $d, got $k")
+    val a = Array.ofDim[Double](d, d)
+    covRows.foreach { r =>
+      val (p, q, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+      a(p)(q) = c; a(q)(p) = c
+    }
+    val out = Seq.newBuilder[(Long, Long, Double, Double)]
+    for (comp <- 0 until k) {
+      val seed = (0 until d).maxBy(i => (a(i)(i), -i))
+      var vct = Array.tabulate(d)(i => if (i == seed) 1.0 else 0.0)
+      var lambda = 0.0
+      for (_ <- 1 to iters) {
+        val av = Array.tabulate(d)(i => (0 until d).map(j => a(i)(j) * vct(j)).sum)
+        val nrm = math.sqrt(av.map(x => x * x).sum)
+        if (nrm > 0) vct = av.map(_ / nrm)
+        lambda = nrm
+      }
+      val top = (0 until d).maxBy(i => (math.abs(vct(i)), -i))
+      if (vct(top) < 0) vct = vct.map(-_)
+      lambda = (0 until d).map(i => (0 until d).map(j => vct(i) * a(i)(j) * vct(j)).sum).sum
+      for (i <- 0 until d) out += ((comp.toLong, i.toLong, vct(i), lambda))
+      for (i <- 0 until d; j <- 0 until d) a(i)(j) -= lambda * vct(i) * vct(j)
+    }
+    out.result().toDF("component", "dim", "value", "eigenvalue")
+  }
+
+  /** Project the corpus onto [[pcaTopK]] components: per vector one
+    * row per component, `proj = v · c` — a k-dim reduced
+    * representation. The component table is model-sized and folds in
+    * as a 1-row broadcast; the projection is a narrow per-row k-dot
+    * pass, no shuffle. */
+  def pcaProject(emb: DataFrame, components: DataFrame,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val packed = components.groupBy(col("component"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("value")))),
+        s => s.getField("value")).as("cv"))
+      .agg(array_sort(collect_list(struct(col("component").as("comp"),
+        col("cv").as("cv")))).as("__comps"))
+    emb.join(broadcast(packed))
+      .select(col(idCol), explode(transform(col("__comps"), c =>
+        struct(c.getField("comp").as("component"),
+          dotFold(col(vecCol), c.getField("cv")).as("proj")))).as("pc"))
+      .select(col(idCol), col("pc.component").as("component"),
+        col("pc.proj").as("proj"))
+  }
+
   /** Standardize an embedding column against [[dimStats]] moments:
     * `z_d = (x_d − mean_d)/sqrt(var_d)`, dead dimensions (variance 0)
     * pinned to 0 rather than NaN. The stats are a dim-count-sized

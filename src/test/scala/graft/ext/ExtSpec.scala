@@ -786,6 +786,53 @@ class SimilaritySpec extends SparkSpec {
     assert(z.toSeq == Seq(0.0, 0.0))
   }
 
+  test("covarianceMatrix diagonal equals dimStats variance exactly") {
+    val emb = load("embeddings")
+    val diag = Similarity.covarianceMatrix(emb)
+      .filter(col("p") === col("q"))
+      .select(col("p").as("dim"), col("cov")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Similarity.dimStats(emb).collect().foreach { r =>
+      // dimStats clamps at 0; off the clamp the formulas are identical
+      val v = r.getAs[Double]("variance")
+      if (v > 0) assert(diag(r.getAs[Long]("dim")) == v)
+    }
+  }
+
+  test("pcaTopK: dominant direction recovered, components orthonormal, " +
+    "eigenvalues decreasing; projection variance ≈ eigenvalue") {
+    import scala.math.{cos, sin}
+    // 2 informative dims inside 8: points along (cos t, sin t) of a
+    // fixed direction with +/- spread — first PC must be that line
+    val theta = 0.5
+    val rows = (0 until 400).map { i =>
+      val r = (i % 21 - 10) / 2.0                      // spread along the line
+      val o = (i % 5 - 2) / 20.0                       // small orthogonal noise
+      val x = (r * cos(theta) - o * sin(theta)).toFloat
+      val y = (r * sin(theta) + o * cos(theta)).toFloat
+      (i.toLong, Array(x, y, 0f, 0f, 0f, 0f, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val comps = Similarity.pcaTopK(rows, k = 2).localCheckpoint()
+    val c = comps.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3)))
+    val pc1 = c.filter(_._1 == 0L).sortBy(_._2).map(_._3)
+    val pc2 = c.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    assert(math.abs(math.abs(pc1(0)) - cos(theta)) < 1e-3 &&
+      math.abs(math.abs(pc1(1)) - sin(theta)) < 1e-3,
+      s"pc1 should align with the generating line, got ${pc1.take(2).toSeq}")
+    assert(math.abs(pc1.zip(pc2).map { case (a, b) => a * b }.sum) < 1e-6)
+    assert(math.abs(pc1.map(x => x * x).sum - 1.0) < 1e-9)
+    val l1 = c.filter(_._1 == 0L).head._4
+    val l2 = c.filter(_._1 == 1L).head._4
+    assert(l1 > l2 && l2 >= -1e-9)
+    // variance of PC1 projections equals its eigenvalue
+    val projs = Similarity.pcaProject(rows, comps)
+      .filter(col("component") === 0).select("proj").as[Double].collect()
+    val mean = projs.sum / projs.length
+    val pvar = projs.map(p => (p - mean) * (p - mean)).sum / projs.length
+    assert(math.abs(pvar - l1) < 1e-2, s"proj variance $pvar vs eigenvalue $l1")
+  }
+
   test("semanticDecontaminate: flags cosine matches; ties pick min eval id") {
     val a = Array.fill(64)(0.1f)
     val d = Array.tabulate(64)(i => if (i % 2 == 0) 0.1f else -0.1f)
