@@ -564,6 +564,15 @@ object SparkEntry {
         weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
         budgetTokens = 5000L)
         .orderBy("doc_id", "epoch")),
+    // trained char-trigram language ID: per-language profiles from
+    // the corpus's own labels, Laplace-smoothed decimal-exact argmax
+    // score column excluded: ln() is not bit-specified across engines
+    // (see the charNgramLangId determinism note) — the contract is
+    // the prediction
+    "q150_langid_trained" -> ((s, dir) =>
+      TextAnalysis.charNgramLangId(t(s, dir, "documents"))
+        .select("doc_id", "lang_true", "lang_pred", "correct")
+        .orderBy("doc_id")),
     // unigram-LM tokenizer family (SentencePiece): seed vocabulary
     // with 9-dp DECIMAL log-probs over corpus substrings
     "q146_unigram_vocab" -> ((s, dir) =>
@@ -2572,6 +2581,7 @@ object SparkEntry {
         |FROM g ORDER BY p, q""".stripMargin,
     "q147_unigram_segment" -> unigramSegmentOracle(50),
     "q148_unigram_reestimate" -> unigramReestimateOracle,
+    "q150_langid_trained" -> langIdTrainedOracle,
     "q115_logreg_train" -> logregTrainOracle(64, 3, 0.5),
     "q117_dsir_sample" -> dsirSampleOracle(25, 256),
 
@@ -3205,6 +3215,51 @@ object SparkEntry {
        |SELECT piece, freq,
        |  CAST(round(ln(CAST(freq AS DOUBLE) / t), 9) AS DECIMAL(18,9)) AS logp
        |FROM cnt, tot2 ORDER BY piece""".stripMargin
+
+  /** q150 oracle: the trained char-trigram language classifier — the
+    * same Laplace profiles, 9-dp DECIMAL per-occurrence scores with
+    * the unseen floor, exact-decimal argmax, ties to min language. */
+  private def langIdTrainedOracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang AS lang_true, text FROM documents WHERE len(text) >= 3),
+       |dng AS (
+       |  SELECT doc_id, lang_true, substr(text, i, 3) AS ng
+       |  FROM base, unnest(generate_series(1, len(text) - 2)) AS t(i)),
+       |dk AS MATERIALIZED (
+       |  SELECT doc_id, lang_true, ng, count(*) AS k FROM dng GROUP BY 1, 2, 3),
+       |prof AS MATERIALIZED (
+       |  SELECT lang_true AS lang_cand, ng, CAST(SUM(k) AS BIGINT) AS c
+       |  FROM dk GROUP BY 1, 2),
+       |ltot AS (SELECT lang_cand, CAST(SUM(c) AS BIGINT) AS tot FROM prof GROUP BY 1),
+       |vv AS (SELECT count(*) AS V FROM (SELECT DISTINCT ng FROM prof)),
+       |li AS MATERIALIZED (
+       |  SELECT lang_cand, tot, V,
+       |    CAST(round(ln(1.0 / (tot + V)), 9) AS DECIMAL(18,9)) AS fl
+       |  FROM ltot, vv),
+       |pdt AS (SELECT doc_id, lang_true, CAST(SUM(k) AS BIGINT) AS ktot
+       |        FROM dk GROUP BY 1, 2),
+       |pres AS MATERIALIZED (
+       |  SELECT dk.doc_id, p.lang_cand,
+       |    SUM(CAST(dk.k AS DECIMAL(10,0))
+       |        * CAST(round(ln(CAST(p.c + 1 AS DOUBLE) / (li.tot + li.V)), 9)
+       |               AS DECIMAL(18,9))) AS sp,
+       |    CAST(SUM(dk.k) AS BIGINT) AS kp
+       |  FROM dk JOIN prof p USING (ng) JOIN li USING (lang_cand)
+       |  GROUP BY 1, 2),
+       |sc AS MATERIALIZED (
+       |  SELECT pdt.doc_id, pdt.lang_true, li.lang_cand,
+       |    CAST(coalesce(pres.sp, 0)
+       |      + CAST(pdt.ktot - coalesce(pres.kp, 0) AS DECIMAL(10,0)) * li.fl
+       |      AS DECIMAL(28,9)) AS score
+       |  FROM pdt CROSS JOIN li
+       |  LEFT JOIN pres ON pres.doc_id = pdt.doc_id AND pres.lang_cand = li.lang_cand),
+       |best AS (SELECT doc_id, max(score) AS best_score FROM sc GROUP BY 1)
+       |SELECT doc_id, lang_true, lang_pred,
+       |  lang_pred = lang_true AS correct
+       |FROM (SELECT sc.doc_id, sc.lang_true, min(sc.lang_cand) AS lang_pred
+       |      FROM sc JOIN best USING (doc_id) WHERE sc.score = best.best_score
+       |      GROUP BY 1, 2)
+       |ORDER BY doc_id""".stripMargin
 
   /** q144 oracle: per-source epochs = weight·budget/tokens; full
     * epochs repeat every doc, the fractional epoch admits docs whose

