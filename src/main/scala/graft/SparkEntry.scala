@@ -1091,6 +1091,16 @@ object SparkEntry {
     "q149_covariance" -> ((s, dir) =>
       Similarity.covarianceMatrix(t(s, dir, "embeddings"))
         .orderBy("p", "q")),
+    // per-dimension exact median — the robust-scaling statistic via
+    // the q105 histogram quantile keyed by dimension
+    "q151_dim_median" -> ((s, dir) =>
+      Similarity.dimQuantiles(t(s, dir, "embeddings"), p = 0.5)
+        .orderBy("dim")),
+    // retention cohort matrix over the events table: first-activity
+    // day cohorts × return-day offsets
+    "q152_retention" -> ((s, dir) =>
+      graft.streaming.EventStreams.retentionCohorts(t(s, dir, "events"))
+        .orderBy("cohort", "day_offset")),
     // embedding-space decontamination: corpus vectors cosine-matching
     // any eval vector — paraphrase-level leakage q64's n-grams miss;
     // eval side broadcast, corpus never shuffled
@@ -2582,6 +2592,25 @@ object SparkEntry {
     "q147_unigram_segment" -> unigramSegmentOracle(50),
     "q148_unigram_reestimate" -> unigramReestimateOracle,
     "q150_langid_trained" -> langIdTrainedOracle,
+    // q151: kth order statistic per dim — the q105 window pattern
+    "q151_dim_median" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT i - 1 AS dim, v[i] AS x
+        |      FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+        |r AS (SELECT dim, x, row_number() OVER (PARTITION BY dim ORDER BY x) AS rn,
+        |        count(*) OVER (PARTITION BY dim) AS n FROM x)
+        |SELECT CAST(dim AS BIGINT) AS dim, n,
+        |  CAST(ceil(0.5 * n) AS BIGINT) AS k, x AS quantile
+        |FROM r WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |ORDER BY dim""".stripMargin,
+    // q152: distinct (user, day) activity, min-day cohorts, offsets
+    "q152_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1)
+        |SELECT cohort, CAST(e.day - f.cohort AS BIGINT) AS day_offset,
+        |  count(*) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
     "q115_logreg_train" -> logregTrainOracle(64, 3, 0.5),
     "q117_dsir_sample" -> dsirSampleOracle(25, 256),
 

@@ -1176,6 +1176,21 @@ object Similarity {
             * (col("sxq").cast("double") / col("n") / CentroidGrid)).as("cov"))
   }
 
+  /** Per-dimension exact discrete quantile of the embedding corpus —
+    * the robust-scaling statistic (median / IQR bounds) that
+    * [[dimStats]]' moments cannot give: one posexplode into the
+    * two-pass histogram quantile (`ops.Scale.kthSmallestByKey`) keyed
+    * by dimension. No summation is involved — the kth order statistic
+    * of exact float→double values — so the result is engine-identical
+    * by construction. Output (dim, n, k, quantile). */
+  def dimQuantiles(emb: DataFrame, p: Double,
+                   vecCol: String = "embedding"): DataFrame =
+    graft.ops.Scale.kthSmallestByKey(
+      emb.select(posexplode(col(vecCol)).as(Seq("dim", "__x")))
+        .select(col("dim").cast("long").as("dim"),
+          col("__x").cast("double").as("x")),
+      "x", "dim", p)
+
   /** Top-`k` principal components by power iteration with deflation —
     * the whitening/compression basis a 100 TB embedding lake fits
     * once. The eigen-solve runs on the DRIVER over the collected

@@ -433,4 +433,25 @@ object EventStreams {
       .withColumn("zscore", zExpr)
       .select(col("win_start"), col("event_type"), col("n_events"), col("zscore"))
   }
+
+  /** Retention cohort matrix — the product-analytics staple: users
+    * grouped by FIRST-activity day (the cohort), counted on each
+    * later day they return. Output (cohort, day_offset, n_users);
+    * offset 0 is the cohort's own size.
+    *
+    * Scale shape: the event stream collapses to distinct
+    * (user, active-day) pairs first (keyed shuffle with map-side
+    * partials — the table is bounded by users × days, not events);
+    * first-activity is a user-keyed aggregate joined back on the
+    * user; no countDistinct anywhere. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val e = withEventTime(events)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val first = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    e.join(first, Seq("user_id"))
+      .groupBy(col("cohort"),
+        datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -1,4 +1,5 @@
 package graft.streaming
+// (retention cohort test appended at the bottom of the spec)
 
 import java.sql.Timestamp
 
@@ -215,6 +216,28 @@ class EventStreamsSpec extends SparkSpec {
     val maxTs = ev.agg(max("ts")).head().getTimestamp(0).getTime
     val missing = batch.exceptAll(streamed).collect()
     assert(missing.forall(_.getTimestamp(0).getTime >= maxTs - 20 * 60 * 1000))
+  }
+
+  test("retentionCohorts: offsets from first-activity day; offset 0 = cohort size") {
+    // base at midnight UTC (1700006400 = 2023-11-15 00:00:00Z) so the
+    // hour offsets stay inside their intended day
+    def ts(day: Int, hour: Int) =
+      new Timestamp(1700006400000L + (day * 24L + hour) * 3600000L)
+    val ev = Seq(
+      (1L, ts(0, 1), 1.0), (1L, ts(0, 5), 1.0), // u1 day0 twice (counts once)
+      (1L, ts(2, 1), 1.0),                      // u1 returns day2
+      (2L, ts(0, 3), 1.0),                      // u2 day0 only
+      (3L, ts(1, 2), 1.0), (3L, ts(2, 2), 1.0)) // u3 cohort day1, returns day2
+      .toDF("user_id", "ts", "value")
+    val rows = EventStreams.retentionCohorts(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    val cohorts = rows.keys.map(_._1).toSeq.distinct.sorted
+    assert(cohorts.size == 2)
+    val (d0, d1) = (cohorts(0), cohorts(1))
+    assert(rows((d0, 0L)) == 2L) // u1 + u2
+    assert(rows((d0, 2L)) == 1L) // u1 back on day 2
+    assert(rows((d1, 0L)) == 1L && rows((d1, 1L)) == 1L) // u3
+    assert(rows.values.sum == 5L) // one row per distinct (user, day)
   }
 
   test("withEventTime refuses the NTZ cast in a non-UTC session instead of " +
