@@ -46,6 +46,7 @@ object Main {
     |  ingest-embeddings --landing DIR --index DIR --checkpoint DIR
     |                [--planes 4 --dim 64] [--follow true]
     |  bpe-train     --corpus PARQUET_DIR --merges N --target DIR
+    |  unigram-train --corpus PARQUET_DIR --target DIR [--rounds 2 --vocab-size 20]
     |  train-quality --corpus PARQUET_DIR --label-source-prefix P --target DIR
     |                [--buckets 64 --steps 3 --lr 0.5]
     |  prepare-corpus --corpus PARQUET_DIR --target DIR
@@ -165,13 +166,22 @@ object Main {
         val q = streaming.IndexStream.ingestStream(
           spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1).parquet(one("landing")),
-          one("index"), one("checkpoint"), planes, dim)
+          one("index"), one("checkpoint"), planes, dim, trigger = trigger)
         q.awaitTermination()
       case "bpe-train" =>
         // tokenizer training from the command line: corpus parquet in,
         // ordered merges table out (ext/Corpus.bpeTrain)
         val n = parsed("merges", one("merges"))(_.toInt)
         ext.Corpus.bpeTrain(spark.read.parquet(one("corpus")), numMerges = n)
+          .coalesce(1).write.mode("overwrite").parquet(one("target"))
+      case "unigram-train" =>
+        // the other tokenizer family from the command line: seed +
+        // EM rounds (ext/Corpus.unigramTrain), final vocab out
+        val r = f("rounds").headOption.map(v => parsed("rounds", v)(_.toInt)).getOrElse(2)
+        val vs = f("vocab-size").headOption
+          .map(v => parsed("vocab-size", v)(_.toInt)).getOrElse(20)
+        ext.Corpus.unigramTrain(spark.read.parquet(one("corpus")),
+            rounds = r, vocabSize = vs)
           .coalesce(1).write.mode("overwrite").parquet(one("target"))
       case "train-quality" =>
         // quality-classifier training: logistic regression on hashed

@@ -3296,9 +3296,13 @@ object SparkEntry {
     * mixtureSample's 8-bit recipe, upsampling direction. */
   private def epochScheduleOracle(weights: Map[String, Double],
                                   budget: Long): String = {
+    // CAST to DOUBLE: DuckDB parses bare 0.3 as DECIMAL and would
+    // multiply exactly where Spark's lit(0.3) is already an inexact
+    // binary double — at an exact epoch boundary (eps = 2.0 vs
+    // 1.999…8) floor/thr would differ by a whole epoch
     val wCase = weights.toSeq.sortBy(_._1)
-      .map { case (s, w) => s"WHEN '$s' THEN $w" }
-      .mkString("CASE source ", " ", " ELSE 0.0 END")
+      .map { case (s, w) => s"WHEN '$s' THEN CAST($w AS DOUBLE)" }
+      .mkString("CASE source ", " ", " ELSE CAST(0.0 AS DOUBLE) END")
     val hx = "md5('epoch|' || t.source || '|' || CAST(t.doc_id AS VARCHAR))"
     def nib(i: Int) =
       s"(strpos('0123456789abcdef', substr($hx, $i, 1)) - 1)"
@@ -3312,7 +3316,7 @@ object SparkEntry {
        |  SELECT source,
        |    CAST(FLOOR(eps) AS BIGINT) AS fullep,
        |    CAST(FLOOR((eps - FLOOR(eps)) * 256) AS BIGINT) AS thr
-       |  FROM (SELECT source, ($wCase) * $budget.0 / tok_s AS eps FROM tot)),
+       |  FROM (SELECT source, ($wCase) * CAST($budget AS DOUBLE) / tok_s AS eps FROM tot)),
        |x AS (
        |  SELECT t.doc_id, t.source, t.n_tokens,
        |    fullep + (CASE WHEN ${nib(1)} * 16 + ${nib(2)} < thr
@@ -3633,7 +3637,7 @@ object SparkEntry {
     * the native expression), recursive min-label components, keep
     * representatives and unpaired vectors. */
   /** q140 oracle: semantic decontamination in SQL — same sign buckets,
-    * corpus/eval split on vec_id % 20, threshold 0.4; best match by
+    * corpus/eval split on vec_id % 20, threshold 0.25; best match by
     * exact max(sim) then min eval id at that sim. */
   private def semanticDeconOracle: String =
     s"""WITH

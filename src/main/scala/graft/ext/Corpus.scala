@@ -1191,15 +1191,28 @@ object Corpus {
           concat(array(element_at(col("__dp"), element_at(acc, 1) + 1)
             .getField("from")), acc))
           .otherwise(acc))
+    // fail-fast on coverage gaps: a word no vocab-piece combination
+    // can span (possible under a pruned vocab — unigramTrain drops
+    // unused single chars) leaves a NULL final DP score; without the
+    // guard it would emit null pieces — silent corruption downstream.
+    // The guard lives inside piece_idx (always consumed) so the
+    // optimizer cannot prune it, kthSmallestByKey's pattern.
+    val guard = when(
+      element_at(col("__dp"), size(col("__dp"))).getField("best").isNull,
+      raise_error(concat(
+        lit("unigramSegment: vocab cannot cover word '"), w,
+        lit("' — unigramSeedVocab keeps every corpus character, but a " +
+          "pruned/foreign vocab may not; extend it or drop the word upstream")))
+        .cast("int")).otherwise(lit(1))
     val segmented = byWord
       .withColumn("__dp", dp)
       .withColumn("__bounds", bounds)
-      .select(w, posexplode(transform(
+      .select(w, col("__dp"), posexplode(transform(
         sequence(lit(1), size(col("__bounds")) - 1),
         k => w.substr(element_at(col("__bounds"), k) + 1,
           element_at(col("__bounds"), k + 1) - element_at(col("__bounds"), k))))
         .as(Seq("pidx", "piece")))
-      .select(w, (col("pidx") + 1).cast("long").as("piece_idx"), col("piece"))
+      .select(w, (col("pidx") + guard).cast("long").as("piece_idx"), col("piece"))
     toks.join(segmented, Seq("word"))
       .select(col(idCol), col("pos"), col("piece_idx"), col("piece"))
   }

@@ -315,9 +315,15 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("dcomp")).as("ncomp"))
+      // materialized: the self-join below references this frame TWICE,
+      // and lazy it would re-run the edge-sized nbrMin aggregation in
+      // both branches (ReuseExchange saves the shuffle write, not the
+      // downstream operators) — the label table is node-sized, so the
+      // cut is cheap at any scale
       val propagated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .coalesce(loopParts).localCheckpoint()
       // pointer halving: also jump each label to its LABEL's label
       // (comp is always some node's id, so the self-join hits). Min
       // propagation alone needs diameter-many rounds — a chain-shaped
@@ -326,7 +332,10 @@ object Dedup {
       // with the jump the round count is O(log diameter) for one
       // extra label-table join per round. Labels still only decrease
       // and stay within the component, so the fixpoint (= component
-      // min) and the convergence test are unchanged.
+      // min) and the convergence test are unchanged. (Late rounds
+      // concentrate a big component's rows on its min label — the
+      // halving join's key skew; it is a shuffle join, so AQE's
+      // skew-split applies, and the hot key's payload is 2 longs.)
       val next = propagated.join(
           propagated.select(col("id").as("__cid"), col("comp").as("__ccomp")),
           col("comp") === col("__cid"), "left")

@@ -72,6 +72,11 @@ class MainSpec extends SparkSpec {
       "--steps", "2", "--buckets", "32"))
     val w = spark.read.parquet(weights)
     assert(w.count() == 32 && w.columns.toSet == Set("bucket", "weight"))
+    val uni = Files.createTempDirectory("graft-cli-unigram").toString
+    Main.main(Array("unigram-train", "--corpus", s"$sf/documents.parquet",
+      "--target", uni, "--rounds", "1"))
+    val u = spark.read.parquet(uni)
+    assert(u.count() > 0 && u.columns.toSet == Set("piece", "freq", "logp"))
   }
 
   test("select-data and snapshot-diff verbs write results through argv") {

@@ -334,6 +334,15 @@ class CorpusSpec extends SparkSpec {
     assert(re == Map("a" -> 2L, "aab" -> 2L, "b" -> 1L))
   }
 
+  test("unigramSegment fails loudly on a word the vocab cannot cover") {
+    val d = docs((1L, "cab", "s"))
+    val vocab = Corpus.unigramSeedVocab(docs((2L, "ab ab", "s")), maxPieceLen = 3)
+    val e = intercept[Exception] {
+      Corpus.unigramSegment(d, vocab, maxPieceLen = 3).collect()
+    }
+    assert(e.getMessage.contains("cannot cover"), e.getMessage)
+  }
+
   test("unigramTrain: unused pieces drop out; the EM loop reaches a fixpoint") {
     val d = docs((1L, "aaab aaab b", "s"))
     val r1 = Corpus.unigramTrain(d, rounds = 1, maxPieceLen = 3)
