@@ -1101,6 +1101,20 @@ object SparkEntry {
     "q152_retention" -> ((s, dir) =>
       graft.streaming.EventStreams.retentionCohorts(t(s, dir, "events"))
         .orderBy("cohort", "day_offset")),
+    // RFM segment census: exact tercile cutpoints per dimension via
+    // the q105 histogram order statistic, 27-cell output
+    "q153_rfm_segments" -> ((s, dir) =>
+      graft.streaming.EventStreams.rfmSegments(t(s, dir, "events"))
+        .orderBy("r_bucket", "f_bucket", "m_bucket")),
+    // token-distribution PSI between the src1* slice and the rest —
+    // the vocabulary-drift alarm q126's length histogram can't ring
+    "q154_token_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.tokenDrift(
+        base = docs.filter(!col("source").startsWith("src1")),
+        current = docs.filter(col("source").startsWith("src1")))
+        .orderBy("bucket")
+    }),
     // embedding-space decontamination: corpus vectors cosine-matching
     // any eval vector — paraphrase-level leakage q64's n-grams miss;
     // eval side broadcast, corpus never shuffled
@@ -2603,6 +2617,75 @@ object SparkEntry {
         |  CAST(ceil(0.5 * n) AS BIGINT) AS k, x AS quantile
         |FROM r WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
         |ORDER BY dim""".stripMargin,
+    // q153: per-user RFM, six exact tercile order statistics (q105
+    // window pattern, explicit DOUBLE thirds mirroring Spark's lit),
+    // CASE buckets tie low
+    "q153_rfm_segments" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
+        |anchor AS (SELECT max(day) AS anchor FROM e),
+        |pu AS MATERIALIZED (
+        |  SELECT user_id,
+        |    CAST((SELECT anchor FROM anchor) - max(day) AS BIGINT) AS recency,
+        |    count(*) AS frequency,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+        |  FROM e GROUP BY user_id),
+        |cr AS (SELECT CAST(recency AS DOUBLE) AS v,
+        |         row_number() OVER (ORDER BY recency) AS rn,
+        |         count(*) OVER () AS n FROM pu),
+        |r1 AS (SELECT v FROM cr WHERE rn = CAST(ceil(CAST(1 AS DOUBLE) / 3 * n) AS BIGINT)),
+        |r2 AS (SELECT v FROM cr WHERE rn = CAST(ceil(CAST(2 AS DOUBLE) / 3 * n) AS BIGINT)),
+        |cf AS (SELECT CAST(frequency AS DOUBLE) AS v,
+        |         row_number() OVER (ORDER BY frequency) AS rn,
+        |         count(*) OVER () AS n FROM pu),
+        |f1 AS (SELECT v FROM cf WHERE rn = CAST(ceil(CAST(1 AS DOUBLE) / 3 * n) AS BIGINT)),
+        |f2 AS (SELECT v FROM cf WHERE rn = CAST(ceil(CAST(2 AS DOUBLE) / 3 * n) AS BIGINT)),
+        |cm AS (SELECT monetary AS v,
+        |         row_number() OVER (ORDER BY monetary) AS rn,
+        |         count(*) OVER () AS n FROM pu),
+        |m1 AS (SELECT v FROM cm WHERE rn = CAST(ceil(CAST(1 AS DOUBLE) / 3 * n) AS BIGINT)),
+        |m2 AS (SELECT v FROM cm WHERE rn = CAST(ceil(CAST(2 AS DOUBLE) / 3 * n) AS BIGINT)),
+        |b AS (SELECT
+        |    CAST(CASE WHEN CAST(recency AS DOUBLE) <= (SELECT v FROM r1) THEN 0
+        |              WHEN CAST(recency AS DOUBLE) <= (SELECT v FROM r2) THEN 1
+        |              ELSE 2 END AS BIGINT) AS r_bucket,
+        |    CAST(CASE WHEN CAST(frequency AS DOUBLE) <= (SELECT v FROM f1) THEN 0
+        |              WHEN CAST(frequency AS DOUBLE) <= (SELECT v FROM f2) THEN 1
+        |              ELSE 2 END AS BIGINT) AS f_bucket,
+        |    CAST(CASE WHEN monetary <= (SELECT v FROM m1) THEN 0
+        |              WHEN monetary <= (SELECT v FROM m2) THEN 1
+        |              ELSE 2 END AS BIGINT) AS m_bucket
+        |  FROM pu)
+        |SELECT r_bucket, f_bucket, m_bucket, count(*) AS n_users
+        |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // q154: q126's PSI formula over md5-hash16 token buckets
+    "q154_token_drift" -> {
+      def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1)"
+      val bkt = s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % 256"
+      s"""WITH tb AS (
+         |  SELECT $bkt AS bucket, count(*) AS n_base
+         |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+         |        FROM documents WHERE source NOT LIKE 'src1%')
+         |  GROUP BY 1),
+         |tc AS (
+         |  SELECT $bkt AS bucket, count(*) AS n_cur
+         |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+         |        FROM documents WHERE source LIKE 'src1%')
+         |  GROUP BY 1),
+         |h AS (SELECT coalesce(tb.bucket, tc.bucket) AS bucket,
+         |        coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+         |      FROM tb FULL JOIN tc ON tb.bucket = tc.bucket),
+         |tot AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc, count(*) AS nb FROM h)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(n_base AS BIGINT) AS n_base, CAST(n_cur AS BIGINT) AS n_cur,
+         |  round((CAST(n_base + 1 AS DOUBLE) / (tb + nb)
+         |         - CAST(n_cur + 1 AS DOUBLE) / (tc + nb))
+         |    * round(ln((CAST(n_base + 1 AS DOUBLE) / (tb + nb))
+         |               / (CAST(n_cur + 1 AS DOUBLE) / (tc + nb))), 9), 9)
+         |    AS contrib
+         |FROM h CROSS JOIN tot ORDER BY bucket""".stripMargin
+    },
+
     // q152: distinct (user, day) activity, min-day cohorts, offsets
     "q152_retention" ->
       """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -753,6 +753,26 @@ object Corpus {
     psiFromHists(lengthHist(base, bucketWidth, lenCol),
       lengthHist(current, bucketWidth, lenCol))
 
+  /** Token-DISTRIBUTION drift between two corpus slices — the
+    * vocabulary-level alarm [[psiDrift]]'s length histogram cannot
+    * ring (a topic/language shift can leave lengths identical): each
+    * side's token stream hashes into `buckets` md5 buckets (the DSIR
+    * bucketing) and the same Laplace-smoothed PSI formula compares
+    * the two distributions. Output per bucket (bucket, n_base, n_cur,
+    * contrib) — aggregate `sum(contrib)` for the headline PSI.
+    *
+    * Shape at scale: identical to [[psiDrift]] — two map-side-combined
+    * B-row histograms, 1-row totals broadcast back. */
+  def tokenDrift(base: DataFrame, current: DataFrame, buckets: Int = 256,
+                 textCol: String = "text"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def hist(df: DataFrame) = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .select(pmod(Dedup.hash16(col("__t")), lit(buckets.toLong)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    psiFromHists(hist(base), hist(current))
+  }
+
   /** The equi-width length histogram [[psiDrift]] compares — exposed
     * so a monitoring loop can PERSIST it and merge batches by addition
     * (counts are associative longs), making per-batch drift O(batch)

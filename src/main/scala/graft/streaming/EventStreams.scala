@@ -434,6 +434,52 @@ object EventStreams {
       .select(col("win_start"), col("event_type"), col("n_events"), col("zscore"))
   }
 
+  /** RFM user segmentation — the classic recency / frequency /
+    * monetary census: per user the days since last activity (vs the
+    * corpus's max day), the event count, and the DECIMAL-exact value
+    * sum; each dimension buckets 0/1/2 at its EXACT tercile cutpoints
+    * (the two-pass histogram order statistic — no global sort, no
+    * approximate percentiles), and the output is the ≤27-cell segment
+    * census (r_bucket, f_bucket, m_bucket, n_users).
+    *
+    * Scale shape: one event scan into a user-keyed aggregate; six
+    * tercile cuts run the q105 histogram machinery over the user
+    * table; the 1-row cutpoint table folds back on a constant key
+    * (hash join). Deterministic: the cutpoints are actual data
+    * values, ties bucket low. */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val e = withEventTime(events)
+    val anchor = e.agg(max(to_date(col("ts"))).as("__anchor"))
+      .withColumn("__k", lit(1))
+    val perUser = e.groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(18,4)")).as("__m"))
+      .withColumn("__k", lit(1))
+      .join(broadcast(anchor), Seq("__k"))
+      .select(col("user_id"),
+        datediff(col("__anchor"), col("__last")).cast("long").as("recency"),
+        col("frequency"), col("__m").cast("double").as("monetary"))
+      .localCheckpoint() // feeds six quantile passes + the bucketing
+    val g = perUser.withColumn("__g", lit(1))
+    def cutDf(c: String, p: Double, name: String) =
+      graft.ops.Scale.kthSmallestByKey(g, c, "__g", p)
+        .select(col("quantile").as(name)).withColumn("__k", lit(1))
+    val cuts = Seq(("recency", "r"), ("frequency", "f"), ("monetary", "m"))
+      .flatMap { case (c, n) =>
+        Seq(cutDf(c, 1.0 / 3, s"${n}1"), cutDf(c, 2.0 / 3, s"${n}2")) }
+      .reduce((a, b) => a.join(b, Seq("__k")))
+    def bucket(v: Column, t1: Column, t2: Column) =
+      when(v <= t1, 0L).when(v <= t2, 1L).otherwise(2L)
+    perUser.withColumn("__k", lit(1)).join(broadcast(cuts), Seq("__k"))
+      .select(
+        bucket(col("recency").cast("double"), col("r1"), col("r2")).as("r_bucket"),
+        bucket(col("frequency").cast("double"), col("f1"), col("f2")).as("f_bucket"),
+        bucket(col("monetary"), col("m1"), col("m2")).as("m_bucket"))
+      .groupBy("r_bucket", "f_bucket", "m_bucket")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Retention cohort matrix — the product-analytics staple: users
     * grouped by FIRST-activity day (the cohort), counted on each
     * later day they return. Output (cohort, day_offset, n_users);

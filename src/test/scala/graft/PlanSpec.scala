@@ -387,7 +387,15 @@ class PlanSpec extends SparkSpec {
       // ONE-ROW kept-vocab total broadcast into the log (the q68/q101
       // replacement-for-a-driver-action class); q147/q148 embed the
       // same vocab build before the (equi-join) Viterbi stages
-      "q146_unigram_vocab", "q147_unigram_segment", "q148_unigram_reestimate")
+      "q146_unigram_vocab", "q147_unigram_segment", "q148_unigram_reestimate",
+      // q154: psiFromHists folds its 1-row totals in with the same
+      // q126 cross — the q68 1-row class over token buckets
+      "q154_token_drift",
+      // q153: the six tercile cutpoints and the anchor date are 1-ROW
+      // tables folded into the user table (q68 class); the constant
+      // join key Catalyst constant-folds into the nested-loop form,
+      // but every non-equi side here is a single row
+      "q153_rfm_segments")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
       .flatMap { name =>

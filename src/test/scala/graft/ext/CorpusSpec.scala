@@ -334,6 +334,17 @@ class CorpusSpec extends SparkSpec {
     assert(re == Map("a" -> 2L, "aab" -> 2L, "b" -> 1L))
   }
 
+  test("tokenDrift: identical slices score 0; disjoint vocabularies score > 0") {
+    val a = docs((1L, "alpha beta gamma", "s"), (2L, "beta gamma delta", "s"))
+    val same = Corpus.tokenDrift(a, a)
+      .agg(sum(col("contrib"))).as[Double].head()
+    assert(same == 0.0)
+    val b = docs((3L, "epsilon zeta eta", "s"), (4L, "zeta eta theta", "s"))
+    val diff = Corpus.tokenDrift(a, b)
+      .agg(sum(col("contrib"))).as[Double].head()
+    assert(diff > 0.1, s"disjoint vocabularies must show drift, got $diff")
+  }
+
   test("unigramSegment fails loudly on a word the vocab cannot cover") {
     val d = docs((1L, "cab", "s"))
     val vocab = Corpus.unigramSeedVocab(docs((2L, "ab ab", "s")), maxPieceLen = 3)

@@ -218,6 +218,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(missing.forall(_.getTimestamp(0).getTime >= maxTs - 20 * 60 * 1000))
   }
 
+  test("rfmSegments: three separable users land in their terciles; users conserved") {
+    def ts(day: Int) = new Timestamp(1700006400000L + day * 86400000L)
+    val ev = Seq(
+      (1L, ts(9), 50.0), (1L, ts(9), 50.0), (1L, ts(8), 50.0), // u1: recent, busy, rich
+      (2L, ts(5), 10.0), (2L, ts(4), 10.0),                    // u2: middle
+      (3L, ts(0), 1.0))                                        // u3: stale, light
+      .toDF("user_id", "ts", "value")
+    val got = EventStreams.rfmSegments(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got.values.sum == 3L)
+    // n=3: terciles are the 1st and 2nd order statistics, so each user
+    // is its own bucket per dimension. u1: recency 0 (bucket 0, most
+    // recent), frequency 3 (bucket 2), monetary 150 (bucket 2)
+    assert(got((0L, 2L, 2L)) == 1L)
+    assert(got((1L, 1L, 1L)) == 1L) // u2 middle everywhere
+    assert(got((2L, 0L, 0L)) == 1L) // u3 stale, light, cheap
+  }
+
   test("retentionCohorts: offsets from first-activity day; offset 0 = cohort size") {
     // base at midnight UTC (1700006400 = 2023-11-15 00:00:00Z) so the
     // hour offsets stay inside their intended day
