@@ -42,7 +42,7 @@ object Main {
     |  export-jsonl --path DIR --target DIR
     |  curate-stream --landing DIR --index DIR --corpus DIR --checkpoint DIR
     |                [--bands 3 --rows-per-band 2] [--pairs DIR] [--follow true]
-    |                [--drift DIR]
+    |                [--drift DIR] [--drift-tokens DIR]
     |  ingest-embeddings --landing DIR --index DIR --checkpoint DIR
     |                [--planes 4 --dim 64] [--follow true]
     |  bpe-train     --corpus PARQUET_DIR --merges N --target DIR
@@ -143,7 +143,8 @@ object Main {
           sources.CorpusIO.readJsonlStream(spark, one("landing")),
           one("index"), one("corpus"), one("checkpoint"), bands, rpb,
           pairsPath = f("pairs").headOption, trigger = trigger,
-          driftPath = f("drift").headOption)
+          driftPath = f("drift").headOption,
+          driftTokensPath = f("drift-tokens").headOption)
         q.awaitTermination()
       case "ingest-embeddings" =>
         // continuous embedding ingestion: tail a parquet landing

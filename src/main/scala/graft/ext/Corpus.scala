@@ -764,13 +764,19 @@ object Corpus {
     * Shape at scale: identical to [[psiDrift]] — two map-side-combined
     * B-row histograms, 1-row totals broadcast back. */
   def tokenDrift(base: DataFrame, current: DataFrame, buckets: Int = 256,
-                 textCol: String = "text"): DataFrame = {
+                 textCol: String = "text"): DataFrame =
+    psiFromHists(tokenHist(base, buckets, textCol),
+      tokenHist(current, buckets, textCol))
+
+  /** The hashed-token-bucket histogram [[tokenDrift]] compares —
+    * exposed (like [[lengthHist]]) so a monitoring loop can PERSIST
+    * it and merge batches by addition. Output: (bucket, n). */
+  def tokenHist(df: DataFrame, buckets: Int = 256,
+                textCol: String = "text"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    def hist(df: DataFrame) = df
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("__t"))
       .select(pmod(Dedup.hash16(col("__t")), lit(buckets.toLong)).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-    psiFromHists(hist(base), hist(current))
   }
 
   /** The equi-width length histogram [[psiDrift]] compares — exposed

@@ -1253,6 +1253,38 @@ object Similarity {
         col("pc.proj").as("proj"))
   }
 
+  /** PCA whitening: center on the [[dimStats]] means, project onto
+    * the top-`k` [[pcaTopK]] components, and scale each coordinate by
+    * `1/sqrt(eigenvalue)` — decorrelated unit-variance embedding
+    * coordinates, the preprocessing step OPQ-style quantizers and
+    * several SemDeDup variants assume. Degenerate directions
+    * (eigenvalue ≤ 0 after deflation noise) pin to 0 rather than NaN.
+    * Returns (idCol, vecCol) with a k-double array.
+    *
+    * Scale shape: the mean array and the component/eigenvalue tables
+    * are model-sized 1-row/broadcast folds; the corpus is scanned
+    * once for the stats, once for the covariance, once for the
+    * projection — every per-row step narrow. */
+  def whiten(emb: DataFrame, k: Int, iters: Int = 50,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val mu = dimStats(emb, vecCol)
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+        s => s.getField("mean")).as("__mu"))
+    val centered = emb.join(broadcast(mu))
+      .select(col(idCol),
+        zip_with(col(vecCol), col("__mu"), (x, m) => x.cast("double") - m).as(vecCol))
+    val comps = pcaTopK(emb, k, iters, vecCol).localCheckpoint()
+    val scale = comps.select(col("component"), col("eigenvalue")).distinct()
+    pcaProject(centered, comps, idCol, vecCol)
+      .join(broadcast(scale), Seq("component"))
+      .select(col(idCol), col("component"),
+        when(col("eigenvalue") <= 0, lit(0.0))
+          .otherwise(col("proj") / sqrt(col("eigenvalue"))).as("__z"))
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("component"), col("__z")))),
+        s => s.getField("__z")).as(vecCol))
+  }
+
   /** Standardize an embedding column against [[dimStats]] moments:
     * `z_d = (x_d − mean_d)/sqrt(var_d)`, dead dimensions (variance 0)
     * pinned to 0 rather than NaN. The stats are a dim-count-sized

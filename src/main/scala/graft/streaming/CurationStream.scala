@@ -62,6 +62,7 @@ object CurationStream {
                   pairsPath: Option[String] = None,
                   dedupWithinBatch: Boolean = true,
                   driftPath: Option[String] = None,
+                  driftTokensPath: Option[String] = None,
                   batchId: Long = -1L): DataFrame = {
     val spark = batch.sparkSession
     // materialize the batch once: it feeds exact dedup, screening, the
@@ -85,32 +86,16 @@ object CurationStream {
     // index sinks document). Callers invoking screenBatch directly
     // must pass distinct batchIds for drift to accumulate.
     driftPath.foreach { dp =>
-      val fs = new org.apache.hadoop.fs.Path(dp)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val psiP = s"$dp/psi"
-      val seen = fs.exists(new org.apache.hadoop.fs.Path(psiP)) &&
-        !spark.read.parquet(psiP).filter(col("batch_id") === batchId).isEmpty
-      if (!seen) {
-        val bHist = graft.ext.Corpus.lengthHist(
-            raw.withColumn("__len", length(col(textCol))), lenCol = "__len")
-          .localCheckpoint()
-        val histP = s"$dp/hist"
-        val hasBase = fs.exists(new org.apache.hadoop.fs.Path(histP))
-        val psiRow =
-          if (hasBase)
-            graft.ext.Corpus.psiFromHists(spark.read.parquet(histP), bHist)
-              .agg(sum(col("contrib")).as("psi"), sum(col("n_cur")).as("n_docs"))
-          else bHist.agg(lit(null).cast("double").as("psi"),
-            sum(col("n")).as("n_docs"))
-        psiRow.select(lit(batchId).as("batch_id"), col("psi"), col("n_docs"))
-          .coalesce(1).write.mode("append").parquet(psiP)
-        val merged =
-          if (hasBase) spark.read.parquet(histP).unionByName(bHist)
-            .groupBy(col("bucket")).agg(sum(col("n")).as("n"))
-            .localCheckpoint() // materialize before overwriting the source
-          else bHist
-        merged.coalesce(1).write.mode("overwrite").parquet(histP)
-      }
+      driftTick(dp, batchId,
+        graft.ext.Corpus.lengthHist(
+          raw.withColumn("__len", length(col(textCol))), lenCol = "__len"))
+    }
+    // token-distribution drift (opt-in, same machinery): hashed-token
+    // buckets catch the topic/language shifts a length histogram
+    // cannot — run both monitors side by side under different paths
+    driftTokensPath.foreach { dp =>
+      driftTick(dp, batchId,
+        graft.ext.Corpus.tokenHist(raw, textCol = textCol))
     }
     val b =
       if (!dedupWithinBatch) raw
@@ -155,6 +140,39 @@ object CurationStream {
     pairs
   }
 
+  /** One drift-monitor tick for one micro-batch: write the psi row
+    * (the processed marker — idempotency under at-least-once replay),
+    * then merge the batch histogram into the persisted baseline by
+    * exact addition. Shared by the length and token monitors. */
+  private def driftTick(dp: String, batchId: Long,
+                        batchHist: org.apache.spark.sql.DataFrame): Unit = {
+    val spark = batchHist.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val psiP = s"$dp/psi"
+    val seen = fs.exists(new org.apache.hadoop.fs.Path(psiP)) &&
+      !spark.read.parquet(psiP).filter(col("batch_id") === batchId).isEmpty
+    if (!seen) {
+      val bHist = batchHist.localCheckpoint()
+      val histP = s"$dp/hist"
+      val hasBase = fs.exists(new org.apache.hadoop.fs.Path(histP))
+      val psiRow =
+        if (hasBase)
+          graft.ext.Corpus.psiFromHists(spark.read.parquet(histP), bHist)
+            .agg(sum(col("contrib")).as("psi"), sum(col("n_cur")).as("n_docs"))
+        else bHist.agg(lit(null).cast("double").as("psi"),
+          sum(col("n")).as("n_docs"))
+      psiRow.select(lit(batchId).as("batch_id"), col("psi"), col("n_docs"))
+        .coalesce(1).write.mode("append").parquet(psiP)
+      val merged =
+        if (hasBase) spark.read.parquet(histP).unionByName(bHist)
+          .groupBy(col("bucket")).agg(sum(col("n")).as("n"))
+          .localCheckpoint() // materialize before overwriting the source
+        else bHist
+      merged.coalesce(1).write.mode("overwrite").parquet(histP)
+    }
+  }
+
   /** Wire [[screenBatch]] under a streaming source: every micro-batch
     * of `landing` (use `CorpusIO.readJsonlStream` — its
     * `maxFilesPerTrigger` bounds batch size) is screened against the
@@ -167,12 +185,14 @@ object CurationStream {
                    idCol: String = "doc_id", textCol: String = "text",
                    pairsPath: Option[String] = None,
                    trigger: Trigger = Trigger.AvailableNow(),
-                   driftPath: Option[String] = None): StreamingQuery =
+                   driftPath: Option[String] = None,
+                   driftTokensPath: Option[String] = None): StreamingQuery =
     landing.writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         screenBatch(b, indexPath, corpusPath, bands, rowsPerBand, shingleN,
           idCol, textCol, pairsPath, dedupWithinBatch = true,
-          driftPath = driftPath, batchId = batchId)
+          driftPath = driftPath, driftTokensPath = driftTokensPath,
+          batchId = batchId)
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -851,6 +851,30 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(pvar - l1) < 1e-2, s"proj variance $pvar vs eigenvalue $l1")
   }
 
+  test("whiten: coordinates decorrelated with unit variance and zero mean") {
+    import scala.math.{cos, sin}
+    val theta = 0.5
+    val rows = (0 until 400).map { i =>
+      val r = (i % 21 - 10) / 2.0
+      val o = (i % 5 - 2) / 10.0
+      val x = (1.0 + r * cos(theta) - o * sin(theta)).toFloat // offset mean
+      val y = (2.0 + r * sin(theta) + o * cos(theta)).toFloat
+      (i.toLong, Array(x, y, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val w = Similarity.whiten(rows, k = 2).localCheckpoint()
+    val stats = Similarity.dimStats(w).collect()
+      .map(r => r.getAs[Long]("dim") ->
+        (r.getAs[Double]("mean"), r.getAs[Double]("variance"))).toMap
+    stats.values.foreach { case (m, v) =>
+      assert(math.abs(m) < 1e-4, s"whitened mean $m should be ~0")
+      assert(math.abs(v - 1.0) < 1e-3, s"whitened variance $v should be ~1")
+    }
+    // decorrelated: off-diagonal covariance of the whitened coords ~0
+    val off = Similarity.covarianceMatrix(w)
+      .filter(col("p") =!= col("q")).select("cov").as[Double].collect()
+    off.foreach(c => assert(math.abs(c) < 1e-3, s"off-diag cov $c should be ~0"))
+  }
+
   test("semanticDecontaminate: flags cosine matches; ties pick min eval id") {
     val a = Array.fill(64)(0.1f)
     val d = Array.tabulate(64)(i => if (i % 2 == 0) 0.1f else -0.1f)

@@ -119,6 +119,46 @@ class CurationStreamSpec extends SparkSpec {
     assert(hist == wantHist)
   }
 
+  test("token-level drift monitor: stream psi ≡ batch tokenDrift; hist ≡ merged sum") {
+    import graft.ext.Corpus
+    val docs = load("documents")
+    val d1 = docs.filter(col("doc_id") % 3 === 0)
+    val d2 = docs.filter(col("doc_id") % 3 === 1)
+    val root = Files.createTempDirectory("graft-tokdrift").toString
+    val (landing, index, corpus, ckpt, drift) =
+      (s"$root/landing", s"$root/index", s"$root/corpus", s"$root/ckpt", s"$root/tdrift")
+    Dedup.lshBands(Dedup.minhash(docs.limit(0), k = 6), bands = 3, rowsPerBand = 2)
+      .write.parquet(index)
+    CorpusIO.writeJsonl(d1.coalesce(1), landing)
+    val q1 = CurationStream.curateStream(
+      CorpusIO.readJsonlStream(spark, landing, maxFilesPerTrigger = 1),
+      index, corpus, ckpt, bands = 3, rowsPerBand = 2,
+      driftTokensPath = Some(drift))
+    assert(q1.awaitTermination(180000))
+    CorpusIO.writeJsonl(d2.coalesce(1), s"$root/landing2")
+    new java.io.File(s"$root/landing2").listFiles().filter(_.getName.endsWith(".json"))
+      .foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(landing, "drop2-" + f.getName))
+      }
+    val q2 = CurationStream.curateStream(
+      CorpusIO.readJsonlStream(spark, landing, maxFilesPerTrigger = 1),
+      index, corpus, ckpt, bands = 3, rowsPerBand = 2,
+      driftTokensPath = Some(drift))
+    assert(q2.awaitTermination(180000))
+    val psi = spark.read.parquet(s"$drift/psi")
+      .orderBy("batch_id")
+      .select("psi", "n_docs").as[(Option[Double], Long)].collect()
+    assert(psi.length == 2 && psi(0)._1.isEmpty)
+    val want = Corpus.tokenDrift(d1, d2)
+      .agg(sum(col("contrib"))).as[Double].head()
+    assert(psi(1)._1.contains(want), s"stream psi ${psi(1)._1} != batch psi $want")
+    val hist = spark.read.parquet(s"$drift/hist").as[(Long, Long)].collect().toMap
+    val wantHist = Corpus.tokenHist(d1.unionByName(d2))
+      .as[(Long, Long)].collect().toMap
+    assert(hist == wantHist)
+  }
+
   test("same-batch NEAR-dup (not byte-identical) docs collapse to one survivor; " +
     "stream ≡ the batch pipeline on the same drop") {
     val docs = load("documents")
