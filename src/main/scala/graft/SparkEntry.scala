@@ -296,6 +296,11 @@ object SparkEntry {
       TextAnalysis.boilerplateNgrams(t(s, dir, "documents"), shingleN = 3, minDocs = 5)
         .orderBy(col("n_docs").desc, col("ngram").asc)
         .limit(30)),
+    // source-overlap matrix: pairwise shingle Jaccard between sources
+    // — the mirror-site / re-crawl redundancy map
+    "q155_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(t(s, dir, "documents"))
+        .orderBy("source_a", "source_b")),
     // train/test decontamination: test docs sharing a 5-gram with any
     // train doc (the benchmark-leakage audit)
     "q64_decontamination" -> ((s, dir) =>
@@ -1913,6 +1918,29 @@ object SparkEntry {
 
     // 5-gram train/test leakage: per contaminated test doc, its count
     // of distinct shingles that appear anywhere in the train split
+    // source-pair shingle Jaccard over 16-hex md5 shingle keys
+    "q155_source_overlap" ->
+      """WITH t AS (
+        |  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS tl
+        |  FROM documents),
+        |ss AS (
+        |  SELECT DISTINCT source, substr(md5(sh), 1, 16) AS sh FROM (
+        |    SELECT source, unnest(list_transform(
+        |      generate_series(1, len(tl) - 2),
+        |      i -> array_to_string(tl[i:i+2], ' '))) AS sh
+        |    FROM t)),
+        |sizes AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+        |shared AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        |  FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+        |  CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+        |FROM shared
+        |JOIN sizes sa ON sa.source = source_a
+        |JOIN sizes sb ON sb.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+
     "q64_decontamination" ->
       """WITH tl AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tl

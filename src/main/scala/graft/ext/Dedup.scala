@@ -378,6 +378,42 @@ object Dedup {
     * not their own id — a set bounded by the DUPLICATE count, usually a
     * small fraction of the corpus, so the anti-join's build side stays
     * broadcast-sized even when the corpus is 100 TB. */
+  /** Source-overlap matrix — pairwise shingle Jaccard between
+    * SOURCES: the corpus-redundancy map that surfaces mirror sites,
+    * scraped aggregators, and re-crawled hosts BEFORE doc-level dedup
+    * runs (a high-overlap source pair is a candidate for dropping one
+    * side wholesale). Shingles are md5-hashed to 16 hex chars before
+    * the distinct/join ([[TextAnalysis.decontaminate]]'s key trick —
+    * shuffles carry fixed-size keys, never text). Only pairs sharing
+    * at least one shingle appear (absent pair = zero overlap). Output
+    * (source_a, source_b, n_a, n_b, n_shared, jaccard), a < b.
+    *
+    * Scale shape: one narrow shingle pass → distinct (source, shingle)
+    * keyed shuffle; the pair expansion joins on the SHINGLE key, so
+    * candidate work scales with shared shingles, never |S|²·corpus;
+    * the output is |S|²-bounded. */
+  def sourceOverlap(docs: DataFrame, shingleN: Int = 3,
+                    sourceCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val ss = docs.select(col(sourceCol).as("source"),
+        explode(graft.functions.ShingleSet(
+          TextAnalysis.tokens(col(textCol)), shingleN, 16)).as("sh"))
+      .distinct()
+      .localCheckpoint() // feeds sizes AND both sides of the pair join
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = ss.join(ss.select(col("sh"), col("source").as("source_b")), Seq("sh"))
+      .filter(col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("source").as("source_a"), col("n").as("n_a")), Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n").as("n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        (col("n_shared").cast("double")
+          / (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"))
+  }
+
   def dedupCorpus(docs: DataFrame, pairs: DataFrame,
                   idCol: String = "doc_id"): DataFrame = {
     val losers = connectedComponents(pairs, idCol = idCol)

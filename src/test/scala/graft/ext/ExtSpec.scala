@@ -268,6 +268,20 @@ class DedupSpec extends SparkSpec {
     assert(r(1)._2 == Seq.empty)
   }
 
+  test("sourceOverlap: shared shingles produce the exact pairwise Jaccard") {
+    val df = Seq(
+      (1L, "a b c d", "s1"),  // shingles {abc, bcd}
+      (2L, "a b c e", "s2"),  // {abc, bce} — shares abc with s1
+      (3L, "x y z w", "s3"))  // disjoint
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_shared"), r.getAs[Double]("jaccard"))).toMap
+    assert(got.keySet == Set(("s1", "s2"))) // zero-overlap pairs absent
+    assert(got(("s1", "s2")) == ((2L, 2L, 1L, 1.0 / 3)))
+  }
+
   test("dedupCorpusBest: keeps the best-scored member per cluster, min id on ties") {
     val docs = Seq((1L, 0.1), (2L, 0.9), (3L, 0.9), (4L, 0.5))
       .toDF("doc_id", "score")
