@@ -301,6 +301,25 @@ object SparkEntry {
     "q155_source_overlap" -> ((s, dir) =>
       Dedup.sourceOverlap(t(s, dir, "documents"))
         .orderBy("source_a", "source_b")),
+    // per-source dedup burden: how many of each source's docs the
+    // q60 dedup policy drops — the mirror/aggregator attribution
+    "q156_dedup_burden" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+      val pairs = Dedup.candidatePairs(
+        Dedup.lshBands(Dedup.minhash(docs, k = 6), bands = 3, rowsPerBand = 2))
+        .localCheckpoint()
+      Dedup.dedupBurden(docs, pairs).orderBy("source")
+    }),
+    // precision/recall sweep of the q22 quality score against the
+    // src1* label — the operating-point picker behind q135's AUC
+    "q157_threshold_sweep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.qualityScore(docs)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      TextAnalysis.thresholdSweep(scored, "quality",
+        col("source").startsWith("src1"))
+        .orderBy("bucket")
+    }),
     // train/test decontamination: test docs sharing a 5-gram with any
     // train doc (the benchmark-leakage audit)
     "q64_decontamination" -> ((s, dir) =>
@@ -1893,6 +1912,8 @@ object SparkEntry {
     "q50_dedup_components" -> dedupComponentsOracle,
     "q60_dedup_corpus" -> dedupCorpusOracle,
     "q143_dedup_best" -> dedupBestOracle,
+    "q156_dedup_burden" -> dedupBurdenOracle,
+    "q157_threshold_sweep" -> thresholdSweepOracle,
     "q120_cluster_split" -> clusterSplitOracle,
     "q132_cluster_stats" -> clusterStatsOracle,
     "q133_candidate_quality" -> candidateQualityOracle,
@@ -3980,6 +4001,55 @@ object SparkEntry {
        |SELECT q.doc_id, q.quality FROM q
        |WHERE q.doc_id NOT IN (SELECT id FROM losers)
        |ORDER BY q.doc_id""".stripMargin
+
+  /** q156 oracle: the q60 closure joined back to sources — drop
+    * count = members whose component min is not themselves. */
+  private def dedupBurdenOracle: String =
+    s"""WITH RECURSIVE $lshPairsCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+       |comp AS (
+       |  SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN c.id IS NOT NULL AND c.comp <> d.doc_id
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  CAST(SUM(CASE WHEN c.id IS NOT NULL AND c.comp <> d.doc_id
+       |           THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS drop_rate
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  /** q157 oracle: the q135 quality/label CTE, bucketed at 100, with
+    * descending cumulative tp/fp windows. */
+  private def thresholdSweepOracle: String =
+    s"""WITH $tokCte,
+       |stats AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    CAST(count(DISTINCT tok) AS DOUBLE) / count(*) AS ttr,
+       |    CAST(SUM(length(tok)) AS DOUBLE) / count(*) AS avg_len
+       |  FROM toks GROUP BY doc_id),
+       |q AS (SELECT d.doc_id,
+       |    CASE WHEN d.source LIKE 'src1%' THEN 1 ELSE 0 END AS y,
+       |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+       |      + ttr * 0.3 + least(avg_len / 8.0, 1.0) * 0.3 AS quality
+       |  FROM stats JOIN documents d ON d.doc_id = stats.doc_id),
+       |g AS (SELECT least(CAST(FLOOR(quality * 100) AS BIGINT), 99) AS bucket,
+       |        CAST(SUM(y) AS BIGINT) AS n_pos,
+       |        CAST(SUM(1 - y) AS BIGINT) AS n_neg
+       |      FROM q GROUP BY 1),
+       |c AS (SELECT bucket, n_pos, n_neg,
+       |        CAST(SUM(n_pos) OVER (ORDER BY bucket DESC) AS BIGINT) AS tp,
+       |        CAST(SUM(n_neg) OVER (ORDER BY bucket DESC) AS BIGINT) AS fp,
+       |        CAST(SUM(n_pos) OVER () AS BIGINT) AS p
+       |      FROM g)
+       |SELECT bucket, n_pos, n_neg, tp, fp,
+       |  CAST(tp AS DOUBLE) / (tp + fp) AS prec,
+       |  CAST(tp AS DOUBLE) / p AS recall
+       |FROM c ORDER BY bucket""".stripMargin
 
   private def dedupCorpusOracle: String =
     s"""WITH RECURSIVE $lshPairsCtes,

@@ -422,6 +422,30 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Per-source dedup burden — which sources the duplicate clusters
+    * actually tax: for every source, its doc count, how many of its
+    * docs the [[dedupCorpus]] policy would drop (non-representative
+    * cluster members), and the drop rate. A source with an outlier
+    * rate is a mirror/aggregator candidate ([[sourceOverlap]]'s
+    * doc-level confirmation). Output
+    * (source, n_docs, n_dropped, drop_rate).
+    *
+    * Scale shape: the loser set is bounded by the duplicate count;
+    * the attribution is one left join + a source-keyed roll-up. */
+  def dedupBurden(docs: DataFrame, pairs: DataFrame,
+                  idCol: String = "doc_id",
+                  sourceCol: String = "source"): DataFrame = {
+    val losers = connectedComponents(pairs, idCol = idCol)
+      .filter(col("comp") =!= col(idCol))
+      .select(col(idCol)).withColumn("__d", lit(1L))
+    docs.select(col(idCol), col(sourceCol).as("source"))
+      .join(losers, Seq(idCol), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__d"), lit(0L))).as("n_dropped"))
+      .withColumn("drop_rate", col("n_dropped").cast("double") / col("n_docs"))
+  }
+
   /** [[dedupCorpus]] with a QUALITY-AWARE representative: per
     * duplicate cluster keep the member maximizing `scoreCol` (ties to
     * the smallest id), not the arbitrary minimum id — the

@@ -106,6 +106,36 @@ object TextAnalysis {
         + least(col("avg_token_len") / 8.0, lit(1.0)) * 0.3).as("quality"))
   }
 
+  /** Score-threshold sweep — the operating-point picker behind
+    * [[aucScore]]'s single number: scores in [0, 1] bucket at
+    * `buckets` resolution, and for each bucket's lower edge taken as
+    * the keep-threshold the sweep reports the exact confusion
+    * (tp/fp), precision, and recall of "keep iff score ≥ edge".
+    * All counts are exact longs from one aggregation + a window over
+    * ≤ `buckets` rows; divisions are the only doubles. Output
+    * (bucket, n_pos, n_neg, tp, fp, precision, recall). */
+  def thresholdSweep(scored: DataFrame, scoreCol: String, label: Column,
+                     buckets: Int = 100): DataFrame = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    val b = least(floor(col(scoreCol) * buckets).cast("long"), lit(buckets - 1L))
+    val hist = scored.select(b.as("bucket"), label.cast("long").as("__y"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("__y")).as("n_pos"),
+        sum(lit(1L) - col("__y")).as("n_neg"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totPos = Window.partitionBy()
+    hist
+      .withColumn("tp", sum(col("n_pos")).over(w))
+      .withColumn("fp", sum(col("n_neg")).over(w))
+      // "prec", not "precision": the latter is a type keyword in
+      // several SQL dialects and would trip the oracle's alias
+      .withColumn("prec",
+        col("tp").cast("double") / (col("tp") + col("fp")))
+      .withColumn("recall",
+        col("tp").cast("double") / sum(col("n_pos")).over(totPos))
+  }
+
   /** Trained char-n-gram language ID — the CLD/fastText-lite upgrade
     * of [[languageGuess]]'s stopword heuristic: per-language character
     * `n`-gram profiles are TRAINED from the corpus's own language

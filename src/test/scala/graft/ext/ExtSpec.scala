@@ -268,6 +268,32 @@ class DedupSpec extends SparkSpec {
     assert(r(1)._2 == Seq.empty)
   }
 
+  test("dedupBurden: drops attributed to the right source; unpaired sources at 0") {
+    val docs = Seq((1L, "s1"), (2L, "s1"), (3L, "s2"), (4L, "s2"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dedupBurden(docs, pairs).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_dropped"),
+          r.getAs[Double]("drop_rate"))).toMap
+    assert(got("s1") == ((2L, 1L, 0.5)))
+    assert(got("s2") == ((2L, 0L, 0.0)))
+  }
+
+  test("thresholdSweep: descending cumulative confusion matches hand computation") {
+    val scored = Seq((1L, 0.95, true), (2L, 0.85, true), (3L, 0.75, false),
+      (4L, 0.65, true)).toDF("doc_id", "quality", "y")
+    val got = TextAnalysis.thresholdSweep(scored, "quality", col("y"))
+      .orderBy(col("bucket").desc).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+        r.getAs[Double]("prec"), r.getAs[Double]("recall")))
+    assert(got.toSeq == Seq(
+      (95L, 1L, 0L, 1.0, 1.0 / 3),
+      (85L, 2L, 0L, 1.0, 2.0 / 3),
+      (75L, 2L, 1L, 2.0 / 3, 2.0 / 3),
+      (65L, 3L, 1L, 0.75, 1.0)))
+  }
+
   test("sourceOverlap: shared shingles produce the exact pairwise Jaccard") {
     val df = Seq(
       (1L, "a b c d", "s1"),  // shingles {abc, bcd}
