@@ -376,6 +376,15 @@ object SparkEntry {
     "q80_bm25" -> ((s, dir) =>
       Corpus.bm25(t(s, dir, "documents"),
         terms = Seq("hash", "join", "filter"), topN = 10)),
+    // batch retrieval: top-10 per query for a query SET in one corpus
+    // pass — same scoring recipe as q80, TopK-bounded ranking
+    "q158_bm25_batch" -> ((s, dir) =>
+      Corpus.bm25Batch(t(s, dir, "documents"), queries = Seq(
+        0L -> Seq("hash", "join", "filter"),
+        1L -> Seq("stream", "window"),
+        2L -> Seq("sort", "merge", "dup"),
+        3L -> Seq("vector", "query", "fast")), topN = 10)
+        .orderBy("query_id", "rank")),
     // vocabulary-indexed encoding: frequency-ranked ids, OOV → 0
     "q78_encode_tokens" -> ((s, dir) =>
       Corpus.encodeTokens(t(s, dir, "documents"), vocabSize = 100)
@@ -2380,6 +2389,42 @@ object SparkEntry {
          |SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score
          |FROM s GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // q158: the q80 recipe parameterized by a (query_id, term) VALUES
+    // table, per-query top-10 via QUALIFY (score DESC, doc ASC)
+    "q158_bm25_batch" ->
+      s"""WITH $tokCte,
+         |q(query_id, term) AS (VALUES
+         |  (0, 'hash'), (0, 'join'), (0, 'filter'),
+         |  (1, 'stream'), (1, 'window'),
+         |  (2, 'sort'), (2, 'merge'), (2, 'dup'),
+         |  (3, 'vector'), (3, 'query'), (3, 'fast')),
+         |lens AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+         |      AS len
+         |  FROM documents),
+         |st AS (SELECT count(*) AS n, SUM(len) AS tot FROM lens),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+         |       WHERE tok IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+         |dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT doc_id, tok,
+         |        CAST(round(
+         |          ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |          * ((tf * 2.2)
+         |             / (tf + 1.2 * (0.25 + 0.75 * (len / (CAST(tot AS DOUBLE) / n))))),
+         |          9) AS DECIMAL(28,9)) AS s
+         |      FROM tf JOIN dfx USING (tok) JOIN lens USING (doc_id), st),
+         |qs AS (SELECT q.query_id, s.doc_id, CAST(SUM(s.s) AS DOUBLE) AS score
+         |       FROM s JOIN q ON q.term = s.tok
+         |       GROUP BY 1, 2)
+         |SELECT CAST(query_id AS BIGINT) AS query_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |                          ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, score
+         |FROM qs
+         |QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     // posting-list AND: docs whose distinct-token set covers the phrase
     "q79_phrase_search" ->

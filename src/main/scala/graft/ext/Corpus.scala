@@ -180,6 +180,60 @@ object Corpus {
       .limit(topN)
   }
 
+  /** Batch BM25 retrieval — the serving/RAG-evaluation shape of
+    * [[bm25]]: top-`topN` documents for EVERY query of a query set in
+    * ONE corpus pass, with the identical per-term scoring recipe
+    * (9-dp-rounded idf·saturation terms, DECIMAL-summed, so a query's
+    * scores equal the single-query form term for term).
+    *
+    * Scale shape: the (query, term) table broadcasts; the corpus
+    * tokenizes once and only tokens matching SOME query term survive
+    * into the (doc, term) tf aggregation (map-side combined); df and
+    * corpus stats are model-sized/1-row broadcasts; the per-query
+    * ranking is the bounded TopK aggregator, so the final shuffle
+    * carries ≤ topN·|Q| rows — never the candidate lists. Output
+    * (query_id, rank, idCol, score). */
+  def bm25Batch(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+                topN: Int = 10, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "bm25Batch needs at least one query, each with at least one term")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
+      .toDF("query_id", "term")
+    val tokDocs = docs.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val stats = tokDocs.agg(count(lit(1)).as("__n"),
+        sum(size(col("__toks")).cast("long")).as("__tot"))
+      .withColumn("__k", lit(1))
+    val lens = tokDocs.select(col(idCol), size(col("__toks")).cast("long").as("__len"))
+    val tf = tokDocs.select(col(idCol), explode(col("__toks")).as("term"))
+      .join(broadcast(qt.select("term").distinct()), Seq("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
+    val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val avgLen = col("__tot").cast("double") / col("__n")
+    val idf = log(lit(1.0) +
+      (col("__n").cast("double") - col("__df") + 0.5) / (col("__df") + 0.5))
+    val sat = (col("__tf") * 2.2) /
+      (col("__tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("__len") / avgLen)))
+    val perQueryDoc = tf
+      .join(broadcast(dfTbl), Seq("term"))
+      .join(lens, Seq(idCol))
+      .withColumn("__k", lit(1)).join(broadcast(stats), Seq("__k"))
+      .select(col("term"), col(idCol),
+        round(idf * sat, 9).cast("decimal(28,9)").as("__s"))
+      .join(broadcast(qt), Seq("term"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__s")).as("__score"))
+    perQueryDoc.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topK(topN,
+        col("__score").cast("double"), col(idCol)).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__s")))
+      .select(col("query_id"), (col("__pos") + 1).cast("long").as("rank"),
+        col("__s.id").as(idCol), col("__s.ord").as("score"))
+  }
+
   /** Vocabulary-indexed token encoding — the final corpus-prep step
     * that turns text into the integer sequences training consumes:
     * ids are assigned by corpus frequency rank (1 = most frequent,

@@ -395,7 +395,11 @@ class PlanSpec extends SparkSpec {
       // tables folded into the user table (q68 class); the constant
       // join key Catalyst constant-folds into the nested-loop form,
       // but every non-equi side here is a single row
-      "q153_rfm_segments")
+      "q153_rfm_segments",
+      // q158: bm25Batch folds the 1-ROW corpus stats (N, total len)
+      // into the per-(doc, term) scoring pass — q80's own stats cross,
+      // the q68 replacement-for-a-driver-action class
+      "q158_bm25_batch")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
       .flatMap { name =>

@@ -334,6 +334,22 @@ class CorpusSpec extends SparkSpec {
     assert(re == Map("a" -> 2L, "aab" -> 2L, "b" -> 1L))
   }
 
+  test("bm25Batch: each query's ranking equals the single-query bm25") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val queries = Seq(0L -> Seq("hash", "join", "filter"),
+      1L -> Seq("stream", "window"))
+    val batch = Corpus.bm25Batch(d, queries, topN = 5)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    queries.foreach { case (qid, terms) =>
+      val single = Corpus.bm25(d, terms, topN = 5)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch(qid) == single, s"query $qid diverged from single-query bm25")
+    }
+  }
+
   test("tokenDrift: identical slices score 0; disjoint vocabularies score > 0") {
     val a = docs((1L, "alpha beta gamma", "s"), (2L, "beta gamma delta", "s"))
     val same = Corpus.tokenDrift(a, a)
