@@ -1139,6 +1139,11 @@ object SparkEntry {
     "q153_rfm_segments" -> ((s, dir) =>
       graft.streaming.EventStreams.rfmSegments(t(s, dir, "events"))
         .orderBy("r_bucket", "f_bucket", "m_bucket")),
+    // per-source KL from the corpus token distribution — the
+    // source-distinctiveness ranking (tokenDrift's one-vs-all form)
+    "q159_source_divergence" -> ((s, dir) =>
+      Corpus.sourceDivergence(t(s, dir, "documents"))
+        .orderBy("source")),
     // token-distribution PSI between the src1* slice and the rest —
     // the vocabulary-drift alarm q126's length histogram can't ring
     "q154_token_drift" -> ((s, dir) => {
@@ -2751,6 +2756,37 @@ object SparkEntry {
         |  FROM pu)
         |SELECT r_bucket, f_bucket, m_bucket, count(*) AS n_users
         |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // q159: source × observed-bucket grid, Laplace-smoothed KL with
+    // the contributions rounded once and DECIMAL-summed
+    "q159_source_divergence" -> {
+      def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1)"
+      val bkt = s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % 256"
+      s"""WITH sb AS (
+         |  SELECT source, $bkt AS bucket, count(*) AS n
+         |  FROM (SELECT source,
+         |          unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |ch AS (SELECT bucket, CAST(SUM(n) AS BIGINT) AS nc FROM sb GROUP BY 1),
+         |st AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot_s FROM sb GROUP BY 1),
+         |bc AS (SELECT count(*) AS B, CAST(SUM(nc) AS BIGINT) AS tot_c FROM ch),
+         |grid AS (
+         |  SELECT st.source, st.tot_s, coalesce(sb.n, 0) AS n,
+         |    ch.nc, bc.B, bc.tot_c
+         |  FROM st CROSS JOIN ch CROSS JOIN bc
+         |  LEFT JOIN sb ON sb.source = st.source AND sb.bucket = ch.bucket),
+         |c AS (SELECT source, tot_s,
+         |    CAST(round(
+         |      (CAST(n + 1 AS DOUBLE) / (tot_s + B))
+         |        * round(ln((CAST(n + 1 AS DOUBLE) / (tot_s + B))
+         |                   / (CAST(nc + 1 AS DOUBLE) / (tot_c + B))), 9),
+         |      9) AS DECIMAL(18,9)) AS c
+         |  FROM grid)
+         |SELECT source, min(tot_s) AS n_tokens,
+         |  CAST(SUM(c) AS DOUBLE) AS kl
+         |FROM c GROUP BY source ORDER BY source""".stripMargin
+    },
 
     // q154: q126's PSI formula over md5-hash16 token buckets
     "q154_token_drift" -> {

@@ -822,6 +822,50 @@ object Corpus {
     psiFromHists(tokenHist(base, buckets, textCol),
       tokenHist(current, buckets, textCol))
 
+  /** Per-source KL divergence from the corpus token distribution —
+    * the source-distinctiveness ranking ([[tokenDrift]]'s one-vs-all
+    * form): each source's hashed-token-bucket distribution against
+    * the whole corpus's, `KL(source ‖ corpus)` with Laplace smoothing
+    * over the corpus's OBSERVED buckets. High KL = a topical/
+    * language outlier worth a curation look; near 0 = the source
+    * restates the corpus mixture. Per-bucket contributions are
+    * 9-dp-rounded once and DECIMAL-summed, so the per-source number
+    * is exact and engine-identical. Output (source, n_tokens, kl).
+    *
+    * Scale shape: one corpus scan into the (source, bucket) histogram
+    * (map-side combined, ≤ \|S\|·B rows); the corpus totals and the
+    * source × observed-bucket completion are model-sized joins. */
+  def sourceDivergence(docs: DataFrame, buckets: Int = 256,
+                       sourceCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val sb = docs.select(col(sourceCol).as("source"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .select(col("source"),
+        pmod(Dedup.hash16(col("__t")), lit(buckets.toLong)).as("bucket"))
+      .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds totals, the corpus hist, and scoring
+    val corpusHist = sb.groupBy(col("bucket")).agg(sum(col("n")).as("nc"))
+    val srcTot = sb.groupBy(col("source")).agg(sum(col("n")).as("tot_s"))
+    val bCount = corpusHist.agg(count(lit(1)).as("B"),
+      sum(col("nc")).as("tot_c")).withColumn("__k", lit(1))
+    // complete each source over every OBSERVED corpus bucket (zeros
+    // smoothed), a model-sized |S|·B cross on a constant key
+    val grid = srcTot.withColumn("__k", lit(1))
+      .join(corpusHist.withColumn("__k", lit(1)), Seq("__k"))
+      .join(broadcast(bCount), Seq("__k"))
+      .join(sb, Seq("source", "bucket"), "left")
+      .select(col("source"), col("tot_s"),
+        coalesce(col("n"), lit(0L)).as("n"), col("nc"), col("B"), col("tot_c"))
+    val ps = (col("n") + 1).cast("double") / (col("tot_s") + col("B"))
+    val pc = (col("nc") + 1).cast("double") / (col("tot_c") + col("B"))
+    grid.select(col("source"), col("tot_s"),
+        round(ps * round(log(ps / pc), 9), 9).cast("decimal(18,9)").as("__c"))
+      .groupBy(col("source"))
+      .agg(min(col("tot_s")).as("n_tokens"),
+        sum(col("__c")).cast("double").as("kl"))
+  }
+
   /** The hashed-token-bucket histogram [[tokenDrift]] compares —
     * exposed (like [[lengthHist]]) so a monitoring loop can PERSIST
     * it and merge batches by addition. Output: (bucket, n). */

@@ -399,7 +399,11 @@ class PlanSpec extends SparkSpec {
       // q158: bm25Batch folds the 1-ROW corpus stats (N, total len)
       // into the per-(doc, term) scoring pass — q80's own stats cross,
       // the q68 replacement-for-a-driver-action class
-      "q158_bm25_batch")
+      "q158_bm25_batch",
+      // q159: the source × observed-bucket completion grid is a
+      // MODEL-sized |S|·B cross (q127's class) plus the 1-row
+      // bucket-count/total fold
+      "q159_source_divergence")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
       .flatMap { name =>

@@ -334,6 +334,18 @@ class CorpusSpec extends SparkSpec {
     assert(re == Map("a" -> 2L, "aab" -> 2L, "b" -> 1L))
   }
 
+  test("sourceDivergence: corpus-like sources near 0, an outlier source ranks high") {
+    val d = docs(
+      (1L, "alpha beta gamma delta alpha beta", "s1"),
+      (2L, "alpha beta gamma delta gamma delta", "s2"),
+      (3L, "omega psi chi phi omega psi chi phi", "s3")) // disjoint vocab
+    val got = Corpus.sourceDivergence(d).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("kl")).toMap
+    assert(got("s3") > got("s1") && got("s3") > got("s2"),
+      s"outlier source must dominate: $got")
+    assert(got.values.forall(_ >= -1e-6)) // KL >= 0 up to 9-dp contrib rounding
+  }
+
   test("bm25Batch: each query's ranking equals the single-query bm25") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val queries = Seq(0L -> Seq("hash", "join", "filter"),
