@@ -3374,7 +3374,7 @@ object SparkEntry {
        |    ORDER BY freq DESC, piece LIMIT $vocabSize)),
        |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM kept),
        |v AS MATERIALIZED (SELECT piece, freq,
-       |        CAST(round(ln(CAST(freq AS DOUBLE) / t), 9) AS DECIMAL(18,9)) AS logp
+       |        CAST(round(ln(CAST(freq AS DOUBLE) / t), 9) AS DECIMAL(28,9)) AS logp
        |      FROM kept, tot)""".stripMargin
 
   /** Viterbi-segmentation CTEs (append after [[unigramVocabCtes]]):
@@ -3455,7 +3455,7 @@ object SparkEntry {
        |        FROM tok JOIN seg USING (word) GROUP BY 1),
        |tot2 AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM cnt)
        |SELECT piece, freq,
-       |  CAST(round(ln(CAST(freq AS DOUBLE) / t), 9) AS DECIMAL(18,9)) AS logp
+       |  CAST(round(ln(CAST(freq AS DOUBLE) / t), 9) AS DECIMAL(28,9)) AS logp
        |FROM cnt, tot2 ORDER BY piece""".stripMargin
 
   /** q150 oracle: the trained char-trigram language classifier — the
