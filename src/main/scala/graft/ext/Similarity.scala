@@ -1353,8 +1353,13 @@ object Similarity {
     * candidates come from an equi-join on the bucket id (one keyed
     * shuffle, never the cross product), norms are hoisted into the
     * bucketed projection ([[semanticDedup]]'s argument), and the
-    * per-src rank window sorts candidate lists bounded by the
-    * vector's own bucket size, not the corpus. Recall < 1 like any
+    * per-src ranking runs through the bounded
+    * [[graft.functions.TopK]] Aggregator — map-side partials keep ≤ k
+    * candidates per src, so the post-join shuffle carries ≤ k·N rows
+    * and one hot sign-bucket (a dense embedding cluster — the norm in
+    * near-dup-heavy corpora) cannot become a |bucket|²-row sort task
+    * the way a `row_number` window would. Ties break (sim DESC, dst
+    * ASC), identical to the window form. Recall < 1 like any
     * LSH method: neighbors in other buckets are unseen — fewer
     * `planes` trades selectivity for recall. */
   def knnGraphLsh(emb: DataFrame, k: Int, planes: Int, dim: Int,
@@ -1369,10 +1374,11 @@ object Similarity {
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("sim"))
-    val w = Window.partitionBy(col("src"))
-      .orderBy(col("sim").desc, col("dst").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    scored.groupBy(col("src"))
+      .agg(graft.functions.TopK.topK(k, col("sim"), col("dst").cast("long")).as("__top"))
+      .select(col("src"), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col("src"), col("__t.id").as("dst"), col("__t.ord").as("sim"),
+        (col("__pos") + 1).cast("long").as("rank"))
   }
 
   /** Mutual-k-NN semantic clustering — the corpus domain-discovery /

@@ -949,6 +949,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnGraphLsh: top-k aggregates map-side — no Window over the candidate join") {
+    val emb = load("embeddings")
+    val df = Similarity.knnGraphLsh(emb, k = 3, planes = 4, dim = 64)
+    df.count() // force AQE final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"per-src ranking must not run as a window row_number (one hot " +
+        s"sign-bucket would become a |bucket|^2-row sort task):\n$p")
+    assert(p.contains("partial_topk") || p.contains("ObjectHashAggregate"),
+      s"expected the bounded TopK aggregator's partial aggregation:\n$p")
+  }
+
   test("mutualKnnClusters: direction clusters label by min id; singletons self-labeled") {
     val a = Array.fill(64)(0.1f)
     val d = Array.tabulate(64)(i => if (i % 2 == 0) 0.1f else -0.1f)
