@@ -113,7 +113,9 @@ object TextAnalysis {
     * (tp/fp), precision, and recall of "keep iff score ≥ edge".
     * All counts are exact longs from one aggregation + a window over
     * ≤ `buckets` rows; divisions are the only doubles. Output
-    * (bucket, n_pos, n_neg, tp, fp, precision, recall). */
+    * (bucket, n_pos, n_neg, tp, fp, prec, recall) — `prec`, not
+    * `precision`, because the latter is a type keyword in several SQL
+    * dialects and would trip the oracle's alias. */
   def thresholdSweep(scored: DataFrame, scoreCol: String, label: Column,
                      buckets: Int = 100): DataFrame = {
     require(buckets > 0, s"buckets must be > 0, got $buckets")
@@ -148,13 +150,19 @@ object TextAnalysis {
     * (idCol, lang_true, lang_pred, score, correct) — the confusion
     * audit a labeled corpus runs on its own labeling.
     *
-    * Scale shape: the profile/total/vocab tables are model-sized and
-    * broadcast; the corpus n-gram stream is aggregated once per doc
-    * and joined once against the broadcast profiles — no corpus-sized
-    * shuffle beyond the per-doc group-bys. */
+    * Scale shape: the per-language total/vocab tables are model-sized
+    * and broadcast; the corpus n-gram stream is aggregated once per
+    * doc and joined once against the profiles — BROADCAST when the
+    * profile table is small enough (`maxBroadcastProfileRows`),
+    * plain shuffle join above it (the [[linearScore]] dual-form
+    * precedent: a real multilingual corpus has 10⁶–10⁷ distinct char
+    * trigrams × ~100 languages, far past what an executor can hold
+    * broadcast). The two forms are value-identical — exact decimal
+    * partials sum order-free (ExtSpec pins them equal). */
   def charNgramLangId(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
                       textCol: String = "text",
-                      langCol: String = "lang"): DataFrame = {
+                      langCol: String = "lang",
+                      maxBroadcastProfileRows: Long = 4L << 20): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val t = col(textCol)
     val base = docs.filter(length(t) >= n)
@@ -163,10 +171,73 @@ object TextAnalysis {
           i => t.substr(i, lit(n)))).as("ng"))
       .groupBy(col(idCol), col("lang_true"), col("ng"))
       .agg(count(lit(1)).as("k"))
-      .localCheckpoint() // feeds the profiles AND the scoring pass
+      .localCheckpoint() // feeds the profiles AND the scoring pass —
+                         // cache justified only because BOTH consumers
+                         // run in this one action (the pre-trained
+                         // path, charNgramLangIdWith, skips it)
     val prof = dk.groupBy(col("lang_true").as("lang_cand"), col("ng"))
       .agg(sum(col("k")).as("c"))
       .localCheckpoint()
+    // prof is materialized above, so the row-count probe is free of
+    // any corpus re-scan — the broadcast-vs-shuffle decision needs a
+    // real number, not a guess (linearScore decides on weights.size)
+    scoreUnderProfiles(dk, prof, idCol,
+      broadcastProf = prof.count() <= maxBroadcastProfileRows)
+  }
+
+  /** [[charNgramLangId]] with PRE-TRAINED profiles (lang_cand, ng, c)
+    * — e.g. [[charNgramProfiles]] persisted from a labeled slice and
+    * reused over an unlabeled or much larger corpus. The per-(doc,
+    * n-gram) stream has a single consumer here, so it is NOT
+    * checkpointed — at corpus scale, materializing a table larger
+    * than the corpus to save one re-scan is the wrong trade.
+    * `docs` must still carry `langCol` (the confusion-audit output
+    * keeps lang_true); pass a constant label for unlabeled scoring. */
+  def charNgramLangIdWith(docs: DataFrame, profiles: DataFrame, n: Int = 3,
+                          idCol: String = "doc_id",
+                          textCol: String = "text",
+                          langCol: String = "lang",
+                          maxBroadcastProfileRows: Long = 4L << 20): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val t = col(textCol)
+    val base = docs.filter(length(t) >= n)
+    val dk = base.select(col(idCol), col(langCol).as("lang_true"),
+        explode(transform(sequence(lit(1), length(t) - (n - 1)),
+          i => t.substr(i, lit(n)))).as("ng"))
+      .groupBy(col(idCol), col("lang_true"), col("ng"))
+      .agg(count(lit(1)).as("k"))
+    scoreUnderProfiles(dk, profiles, idCol,
+      broadcastProf = profiles.count() <= maxBroadcastProfileRows,
+      checkpointScores = false)
+  }
+
+  /** Train the per-language char-n-gram profile table (lang_cand, ng,
+    * c) from a labeled corpus — the model half of [[charNgramLangId]],
+    * exposed so profiles can be persisted once and scored many times
+    * ([[charNgramLangIdWith]]). */
+  def charNgramProfiles(docs: DataFrame, n: Int = 3,
+                        textCol: String = "text",
+                        langCol: String = "lang"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val t = col(textCol)
+    docs.filter(length(t) >= n)
+      .select(col(langCol).as("lang_cand"),
+        explode(transform(sequence(lit(1), length(t) - (n - 1)),
+          i => t.substr(i, lit(n)))).as("ng"))
+      .groupBy(col("lang_cand"), col("ng"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** The scoring half shared by the trained and pre-trained language-ID
+    * entry points: Laplace per-occurrence scores with the unseen floor,
+    * exact-decimal argmax, ties to min language. `dk` is the per-(doc,
+    * lang_true, ng) count table; `prof` is (lang_cand, ng, c).
+    * `broadcastProf` picks the profile-join strategy — the per-language
+    * constant tables (|langs| rows) stay broadcast either way. */
+  private def scoreUnderProfiles(dk: DataFrame, prof: DataFrame,
+                                 idCol: String,
+                                 broadcastProf: Boolean,
+                                 checkpointScores: Boolean = true): DataFrame = {
     val ltot = prof.groupBy("lang_cand").agg(sum(col("c")).as("tot"))
       .withColumn("__k", lit(1))
     val vsize = prof.select("ng").distinct().agg(count(lit(1)).as("V"))
@@ -183,7 +254,8 @@ object TextAnalysis {
       .agg(sum(col("k")).as("ktot")).withColumn("__k", lit(1))
     // present-n-gram partial scores: each (doc, ng) row meets every
     // language whose profile holds the n-gram
-    val pres = dk.join(broadcast(prof), Seq("ng"))
+    val profSide = if (broadcastProf) broadcast(prof) else prof
+    val pres = dk.join(profSide, Seq("ng"))
       .join(broadcast(li.drop("__k")), Seq("lang_cand"))
       .groupBy(col(idCol), col("lang_cand"))
       .agg(sum(col("k").cast("decimal(10,0)")
@@ -196,10 +268,15 @@ object TextAnalysis {
         (coalesce(col("sp"), lit(0).cast("decimal(28,9)"))
           + (col("ktot") - coalesce(col("kp"), lit(0L))).cast("decimal(10,0)")
             * col("fl")).cast("decimal(28,9)").as("score"))
-      .localCheckpoint()
-    val best = scores.groupBy(col(idCol))
+    // the argmax self-join reads `scores` twice; in the trained path
+    // it sits on the dk checkpoint so materializing it once is cheap
+    // and saves the join re-run. The pre-trained path keeps FULL scan
+    // lineage instead — a |docs|x|langs| materialization to save one
+    // shuffle-stage reuse is the wrong trade at corpus scale.
+    val scoresM = if (checkpointScores) scores.localCheckpoint() else scores
+    val best = scoresM.groupBy(col(idCol))
       .agg(max(col("score")).as("__best"))
-    scores.join(best, Seq(idCol))
+    scoresM.join(best, Seq(idCol))
       .filter(col("score") === col("__best"))
       .groupBy(col(idCol), col("lang_true"), col("score"))
       .agg(min(col("lang_cand")).as("lang_pred"))
@@ -429,9 +506,27 @@ object TextAnalysis {
   }
 
   /** Text normalization for training corpora: lowercase, strip
-    * non-alphanumerics, collapse whitespace. Narrow, codegen'd. */
+    * non-alphanumerics, collapse whitespace. Narrow, codegen'd.
+    * ASCII-ONLY: the `[^a-z0-9 ]` class ERASES all CJK, Cyrillic and
+    * accented text — right for English-only corpora and the legacy
+    * oracle contract, wrong for anything multilingual. Use
+    * [[scrubUnicode]] for a corpus with non-Latin documents. */
   def scrub(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Unicode-safe [[scrub]] — the multilingual-corpus table stake:
+    * NFC-normalize (composed and decomposed accents unify —
+    * `functions.NfcNormalize`, codegen'd), lowercase, keep letters
+    * `\p{L}` and decimal digits `\p{Nd}` from EVERY script, collapse
+    * whitespace. CJK, Cyrillic, Arabic, accented Latin all survive;
+    * punctuation, symbols, emoji and format controls become spaces.
+    * Same narrow zero-shuffle shape as [[scrub]]; DuckDB expresses
+    * the identical chain (`nfc_normalize` + `regexp_replace`), so the
+    * output is oracle-checked. */
+  def scrubUnicode(text: Column): Column =
+    trim(regexp_replace(regexp_replace(
+      lower(graft.functions.NfcNormalize(text)),
+      "[^\\p{L}\\p{Nd} ]", " "), " +", " "))
 
   /** PII patterns — the redaction pass every shipped training corpus
     * runs. Deliberately restricted to the regex subset with identical
