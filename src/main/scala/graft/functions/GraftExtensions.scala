@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("token_ngrams"),
       new ExpressionInfo(classOf[TokenNgrams].getName, "token_ngrams"),
       GraftExtensions.tokenNgramsBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      GraftExtensions.nfcNormalizeBuilder))
   }
 }
 
@@ -87,6 +91,10 @@ object GraftExtensions {
     require(children.size == 2, "token_ngrams(tokens, n)")
     TokenNgrams(children(0), intLit(children(1), "n"))
   }
+  private val nfcNormalizeBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "nfc_normalize takes exactly 1 argument")
+    NfcNormalize(children(0))
+  }
 
   /** Register into an already-running session (extensions via
     * `withExtensions`/`spark.sql.extensions` only apply to new ones).
@@ -110,6 +118,8 @@ object GraftExtensions {
       .createOrReplaceTempFunction("shingle_set", shingleSetBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("token_ngrams", tokenNgramsBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("nfc_normalize", nfcNormalizeBuilder, "built-in")
     implicit val inEnc: org.apache.spark.sql.Encoder[Array[Float]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
     spark.udf.register("vector_mean",
