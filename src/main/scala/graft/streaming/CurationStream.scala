@@ -55,7 +55,10 @@ object CurationStream {
     * Remaining greedy gap (inherent to incremental screening): a
     * transitive chain batch₁→batch₂→index where batch₁ near-dups only
     * batch₂ (itself index-dropped) keeps batch₁, where a full-corpus
-    * rebuild's connected components would drop it too. */
+    * rebuild's connected components would drop it too. The cure is
+    * periodic [[compact]]: pass `droppedBandsPath` so dropped docs'
+    * bands accumulate, and compaction replays the full component
+    * structure to evict such admissions. */
   def screenBatch(batch: DataFrame, indexPath: String, corpusPath: String,
                   bands: Int, rowsPerBand: Int, shingleN: Int = 3,
                   idCol: String = "doc_id", textCol: String = "text",
@@ -63,7 +66,8 @@ object CurationStream {
                   dedupWithinBatch: Boolean = true,
                   driftPath: Option[String] = None,
                   driftTokensPath: Option[String] = None,
-                  batchId: Long = -1L): DataFrame = {
+                  batchId: Long = -1L,
+                  droppedBandsPath: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
     // materialize the batch once: it feeds exact dedup, screening, the
     // band build and the corpus sink (micro-batch-sized, bounded by
@@ -128,6 +132,18 @@ object CurationStream {
     pairsPath.foreach(p => pairs.write.mode("append").parquet(p))
     val dupIds = pairs.select(col("doc_b").as(idCol)).distinct()
     val survivors = b.join(dupIds, Seq(idCol), "left_anti").localCheckpoint()
+    // band graveyard (opt-in, feeds `compact`): the DROPPED docs'
+    // bands, persisted so a periodic compaction can replay transitive
+    // chains that route through a dropped doc — batch₁→batch₂→index
+    // where batch₂ was index-dropped leaves batch₁ with no index match
+    // today, but its link to batch₂'s graveyard bands convicts it at
+    // compaction time. Exact-dup drops need no graveyard rows: their
+    // bands are identical to the kept twin's, so any chain through
+    // them also runs through the twin. Bounded by the duplicate mass.
+    droppedBandsPath.foreach { gp =>
+      bBands.join(dupIds, Seq(idCol), "left_semi")
+        .write.mode("append").parquet(gp)
+    }
     // append order: bands first, corpus second — a crash between the
     // two over-screens (a future near-dup of an unrecorded survivor is
     // dropped against its bands) rather than letting a duplicate in;
@@ -140,10 +156,50 @@ object CurationStream {
     pairs
   }
 
+  /** The committed baseline-histogram versions under `dp/hist_v`:
+    * (version, path), committed = the writer finished (`_SUCCESS`
+    * present). Versions are the batch ids that merged them, so the
+    * max committed version is always the most complete baseline. */
+  private def histVersions(fs: org.apache.hadoop.fs.FileSystem,
+                           dp: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val base = new org.apache.hadoop.fs.Path(s"$dp/hist_v")
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName.toLongOption.map(_ -> st.getPath))
+      .filter { case (_, p) =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
+      .sortBy(_._1)
+  }
+
+  /** The current drift baseline histogram at monitor dir `dp`, if one
+    * has been committed: the max committed version under `dp/hist_v`.
+    * Public so dashboards/tests read the same baseline the monitor
+    * compares against. */
+  def driftBaseline(spark: org.apache.spark.sql.SparkSession,
+                    dp: String): Option[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(dp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    histVersions(fs, dp).lastOption
+      .map { case (_, p) => spark.read.parquet(p.toString) }
+  }
+
   /** One drift-monitor tick for one micro-batch: write the psi row
     * (the processed marker — idempotency under at-least-once replay),
     * then merge the batch histogram into the persisted baseline by
-    * exact addition. Shared by the length and token monitors. */
+    * exact addition. Shared by the length and token monitors; the
+    * count column is `n_obs` — observations in the monitored unit
+    * (documents for the length monitor, tokens for the token
+    * monitor), deliberately NOT `n_docs`.
+    *
+    * Crash atomicity: the merged baseline is written as a NEW version
+    * `dp/hist_v/<batchId>` and readers take the max version with a
+    * `_SUCCESS` marker — a crash mid-write leaves an uncommitted dir
+    * and the previous baseline intact (the old in-place overwrite
+    * could lose the ENTIRE baseline between delete and rewrite, an
+    * unbounded loss where the documented trade is a one-batch
+    * undercount). Older committed versions are pruned AFTER the new
+    * commit; a crash mid-prune leaves extra versions, never fewer. */
   private def driftTick(dp: String, batchId: Long,
                         batchHist: org.apache.spark.sql.DataFrame): Unit = {
     val spark = batchHist.sparkSession
@@ -154,23 +210,91 @@ object CurationStream {
       !spark.read.parquet(psiP).filter(col("batch_id") === batchId).isEmpty
     if (!seen) {
       val bHist = batchHist.localCheckpoint()
-      val histP = s"$dp/hist"
-      val hasBase = fs.exists(new org.apache.hadoop.fs.Path(histP))
-      val psiRow =
-        if (hasBase)
-          graft.ext.Corpus.psiFromHists(spark.read.parquet(histP), bHist)
-            .agg(sum(col("contrib")).as("psi"), sum(col("n_cur")).as("n_docs"))
-        else bHist.agg(lit(null).cast("double").as("psi"),
-          sum(col("n")).as("n_docs"))
-      psiRow.select(lit(batchId).as("batch_id"), col("psi"), col("n_docs"))
+      val versions = histVersions(fs, dp)
+      val baseline = versions.lastOption
+        .map { case (_, p) => spark.read.parquet(p.toString) }
+      val psiRow = baseline match {
+        case Some(hist) =>
+          graft.ext.Corpus.psiFromHists(hist, bHist)
+            .agg(sum(col("contrib")).as("psi"), sum(col("n_cur")).as("n_obs"))
+        case None => bHist.agg(lit(null).cast("double").as("psi"),
+          sum(col("n")).as("n_obs"))
+      }
+      psiRow.select(lit(batchId).as("batch_id"), col("psi"), col("n_obs"))
         .coalesce(1).write.mode("append").parquet(psiP)
-      val merged =
-        if (hasBase) spark.read.parquet(histP).unionByName(bHist)
+      val merged = baseline match {
+        case Some(hist) => hist.unionByName(bHist)
           .groupBy(col("bucket")).agg(sum(col("n")).as("n"))
-          .localCheckpoint() // materialize before overwriting the source
-        else bHist
-      merged.coalesce(1).write.mode("overwrite").parquet(histP)
+        case None => bHist
+      }
+      // overwrite handles a replayed batch id whose psi marker was
+      // lost: the rewrite is version-local, never the live baseline
+      merged.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dp/hist_v/$batchId")
+      versions.filter(_._1 != batchId)
+        .foreach { case (_, p) => fs.delete(p, true) }
     }
+  }
+
+  /** Periodic full-index compaction — the cure for incremental
+    * screening's transitive-chain gap ([[screenBatch]]'s documented
+    * admission: batch₁→batch₂→index keeps batch₁ when batch₂ was
+    * index-dropped, where a full-corpus rebuild's connected components
+    * would drop it too). Re-runs `Dedup.candidatePairs` over the
+    * WHOLE band universe — the live index plus the dropped-bands
+    * graveyard [[screenBatch]] accumulates — takes connected
+    * components, and removes every corpus doc that is not its
+    * component's representative (min id — with the loop's monotone id
+    * contract the representative is always an already-admitted doc,
+    * so compacted stream output ≡ the batch `dedupCorpus` pipeline on
+    * the union of all drops; CurationStreamSpec pins both).
+    *
+    * Writes compacted state OUT-OF-PLACE under `outDir`
+    * (`index`/`corpus`/`dropped`): the operator swaps directories
+    * after the job commits — in-place overwrite of a 100 TB corpus
+    * behind a localCheckpoint is both an executor-storage commitment
+    * and a crash-loses-everything window (the driftTick argument).
+    * The compacted graveyard gains the newly-evicted docs' bands, so
+    * future chains through THEM still convict.
+    *
+    * Scale shape: one bucket-bounded candidate generation over the
+    * band universe (the q48 shape), CC state bounded by the duplicate
+    * mass, two anti-joins; the corpus is scanned once and never
+    * shuffled. Returns the evicted corpus ids. */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+              indexPath: String, corpusPath: String,
+              droppedBandsPath: String, outDir: String,
+              idCol: String = "doc_id",
+              maxBucket: Int = Int.MaxValue): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(droppedBandsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = spark.read.parquet(indexPath)
+    val dead =
+      if (fs.exists(new org.apache.hadoop.fs.Path(droppedBandsPath)))
+        spark.read.parquet(droppedBandsPath)
+      else live.limit(0)
+    // .distinct(): at-least-once appends can duplicate graveyard rows;
+    // duplicate ids in one bucket would only add self-pairs, but the
+    // dedup keeps the bucket arrays honest
+    val allBands = live.unionByName(dead).distinct()
+    val pairs = Dedup.candidatePairs(allBands, idCol, maxBucket)
+      .localCheckpoint()
+    val losers = Dedup.connectedComponents(pairs, idCol = idCol)
+      .filter(col("comp") =!= col(idCol))
+      .select(col(idCol))
+      .localCheckpoint() // bounded by the duplicate mass
+    val corpus = spark.read.parquet(corpusPath)
+    val evicted = corpus.select(col(idCol))
+      .join(losers, Seq(idCol), "left_semi")
+      .localCheckpoint()
+    corpus.join(losers, Seq(idCol), "left_anti")
+      .write.mode("overwrite").parquet(s"$outDir/corpus")
+    live.join(losers, Seq(idCol), "left_anti")
+      .write.mode("overwrite").parquet(s"$outDir/index")
+    dead.unionByName(live.join(evicted, Seq(idCol), "left_semi"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$outDir/dropped")
+    evicted
   }
 
   /** Wire [[screenBatch]] under a streaming source: every micro-batch
@@ -186,13 +310,14 @@ object CurationStream {
                    pairsPath: Option[String] = None,
                    trigger: Trigger = Trigger.AvailableNow(),
                    driftPath: Option[String] = None,
-                   driftTokensPath: Option[String] = None): StreamingQuery =
+                   driftTokensPath: Option[String] = None,
+                   droppedBandsPath: Option[String] = None): StreamingQuery =
     landing.writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         screenBatch(b, indexPath, corpusPath, bands, rowsPerBand, shingleN,
           idCol, textCol, pairsPath, dedupWithinBatch = true,
           driftPath = driftPath, driftTokensPath = driftTokensPath,
-          batchId = batchId)
+          batchId = batchId, droppedBandsPath = droppedBandsPath)
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -100,7 +100,7 @@ class CurationStreamSpec extends SparkSpec {
     // (no baseline yet), the second with the real comparison
     val psi = spark.read.parquet(s"$drift/psi")
       .orderBy("batch_id")
-      .select("psi", "n_docs").as[(Option[Double], Long)].collect()
+      .select("psi", "n_obs").as[(Option[Double], Long)].collect()
     assert(psi.length == 2, s"expected two psi rows, got ${psi.toSeq}")
     assert(psi(0)._1.isEmpty && psi(0)._2 == d1.count())
     assert(psi(1)._2 == d2.count())
@@ -111,12 +111,25 @@ class CurationStreamSpec extends SparkSpec {
       .agg(sum(col("contrib"))).as[Double].head()
     assert(psi(1)._1.contains(want), s"stream psi ${psi(1)._1} != batch psi $want")
     // the persisted histogram is the SUM of both drops' histograms
-    val hist = spark.read.parquet(s"$drift/hist")
+    val hist = CurationStream.driftBaseline(spark, drift).get
       .as[(Long, Long)].collect().toMap
     val wantHist = Corpus.lengthHist(
         d1.unionByName(d2).withColumn("__len", length(col("text"))), lenCol = "__len")
       .as[(Long, Long)].collect().toMap
     assert(hist == wantHist)
+
+    // crash atomicity: a writer that died mid-write leaves an
+    // UNCOMMITTED version dir (no _SUCCESS) — the baseline must still
+    // read the last committed version, never zero out
+    val dead = new java.io.File(s"$drift/hist_v/999")
+    dead.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dead.getPath, "part-00000.parquet"),
+      Array[Byte](0, 1, 2)) // torn write: garbage, no _SUCCESS marker
+    val after = CurationStream.driftBaseline(spark, drift).get
+      .as[(Long, Long)].collect().toMap
+    assert(after == wantHist,
+      "an uncommitted hist version must not shadow the committed baseline")
   }
 
   test("token-level drift monitor: stream psi ≡ batch tokenDrift; hist ≡ merged sum") {
@@ -148,12 +161,13 @@ class CurationStreamSpec extends SparkSpec {
     assert(q2.awaitTermination(180000))
     val psi = spark.read.parquet(s"$drift/psi")
       .orderBy("batch_id")
-      .select("psi", "n_docs").as[(Option[Double], Long)].collect()
+      .select("psi", "n_obs").as[(Option[Double], Long)].collect()
     assert(psi.length == 2 && psi(0)._1.isEmpty)
     val want = Corpus.tokenDrift(d1, d2)
       .agg(sum(col("contrib"))).as[Double].head()
     assert(psi(1)._1.contains(want), s"stream psi ${psi(1)._1} != batch psi $want")
-    val hist = spark.read.parquet(s"$drift/hist").as[(Long, Long)].collect().toMap
+    val hist = CurationStream.driftBaseline(spark, drift).get
+      .as[(Long, Long)].collect().toMap
     val wantHist = Corpus.tokenHist(d1.unionByName(d2))
       .as[(Long, Long)].collect().toMap
     assert(hist == wantHist)
@@ -248,5 +262,128 @@ class CurationStreamSpec extends SparkSpec {
     val w2 = wave2.select("doc_id").as[Long].collect().toSet
     // every sunk doc came from exactly one wave, and wave 2 contributed
     assert(idSet.subsetOf(w1 ++ w2) && (idSet & w2).nonEmpty)
+  }
+
+  test("compact evicts a transitive-chain admission routed through a dropped doc") {
+    // chain X (indexed) ← Y (batch 1, dropped vs X) ← Z (batch 2):
+    // Z near-dups only Y, so incremental screening admits Z; the
+    // band graveyard + compact must evict it. The fixture is found by
+    // a deterministic search over mutation sizes: minhash is seeded,
+    // so the first (a, b) whose band structure gives EXACTLY the
+    // chain pairs is stable across runs.
+    val base = (0 until 60).map(i => s"w$i")
+    def doc(id: Long, toks: Seq[String]) = {
+      val t = toks.mkString(" ")
+      (id, t, "en", "synth", t.length.toLong)
+    }
+    def fixture(a: Int, b: Int) = {
+      val y = base.indices.map(i => if (i < a) s"y$i" else base(i))
+      val z = y.indices.map(i => if (i >= 60 - b) s"z$i" else y(i))
+      (doc(10L, base), doc(1001L, y), doc(2001L, z))
+    }
+    val found = (for {
+      a <- 5 to 30 by 5; b <- 5 to 30 by 5
+      (x, y, z) = fixture(a, b)
+      pairs = Dedup.candidatePairs(
+        Dedup.lshBands(Dedup.minhash(
+          Seq(x, y, z).toDF("doc_id", "text", "lang", "source", "n_chars"),
+          k = 6), bands = 3, rowsPerBand = 2))
+        .as[(Long, Long)].collect().toSet
+      if pairs == Set((10L, 1001L), (1001L, 2001L))
+    } yield (x, y, z)).headOption
+    assert(found.isDefined, "no mutation size gives the X←Y←Z chain band structure")
+    val (x, y, z) = found.get
+
+    val root = Files.createTempDirectory("graft-compact").toString
+    val (landing, index, corpus, dropped, ckpt, out) =
+      (s"$root/landing", s"$root/index", s"$root/corpus",
+        s"$root/dropped", s"$root/ckpt", s"$root/out")
+    val xDf = Seq(x).toDF("doc_id", "text", "lang", "source", "n_chars")
+    Dedup.lshBands(Dedup.minhash(xDf, k = 6), bands = 3, rowsPerBand = 2)
+      .write.parquet(index)
+    xDf.write.parquet(corpus) // the pre-existing accepted corpus
+
+    def drain(): Unit = {
+      val q = CurationStream.curateStream(
+        CorpusIO.readJsonlStream(spark, landing),
+        index, corpus, ckpt, bands = 3, rowsPerBand = 2,
+        droppedBandsPath = Some(dropped))
+      assert(q.awaitTermination(180000))
+    }
+    CorpusIO.writeJsonl(Seq(y).toDF("doc_id", "text", "lang", "source", "n_chars"), landing)
+    drain() // Y dropped vs X; its bands land in the graveyard
+    val tmp = s"$root/b2"
+    CorpusIO.writeJsonl(Seq(z).toDF("doc_id", "text", "lang", "source", "n_chars"), tmp)
+    import java.nio.file.{Files => JFiles, Paths}
+    JFiles.list(Paths.get(tmp)).forEach { p =>
+      if (p.getFileName.toString.endsWith(".json"))
+        JFiles.move(p, Paths.get(landing, "b2-" + p.getFileName.toString))
+    }
+    drain() // Z screens clean (Y is not in the index) — the greedy gap
+    val streamed = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(streamed == Set(10L, 2001L),
+      s"premise: Y dropped, Z admitted through the gap; got $streamed")
+
+    val evicted = CurationStream.compact(spark, index, corpus, dropped, out)
+      .as[Long].collect().toSet
+    assert(evicted == Set(2001L), s"compact must evict exactly Z, got $evicted")
+    val compacted = spark.read.parquet(s"$out/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(compacted == Set(10L))
+    // the compacted index holds only live docs' bands; the graveyard
+    // gained Z's bands so future chains through Z still convict
+    val idxIds = spark.read.parquet(s"$out/index")
+      .select("doc_id").as[Long].collect().toSet
+    assert(idxIds == Set(10L))
+    val deadIds = spark.read.parquet(s"$out/dropped")
+      .select("doc_id").as[Long].collect().toSet
+    assert(deadIds == Set(1001L, 2001L))
+  }
+
+  test("stream + compact ≡ the batch dedup pipeline on the union of all drops") {
+    val docs = load("documents")
+    // monotone id spaces: existing < wave1 < wave2 (the loop's id
+    // contract, and what makes min-id representatives always live)
+    val existing = docs.filter(col("doc_id") < 300)
+    val wave1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 600)
+      .withColumn("doc_id", col("doc_id") + 10000L)
+    val wave2 = docs.filter(col("doc_id") >= 600 && col("doc_id") < 900)
+      .withColumn("doc_id", col("doc_id") + 20000L)
+    val root = Files.createTempDirectory("graft-compact-eq").toString
+    val (landing, index, corpus, dropped, ckpt, out) =
+      (s"$root/landing", s"$root/index", s"$root/corpus",
+        s"$root/dropped", s"$root/ckpt", s"$root/out")
+    Dedup.lshBands(Dedup.minhash(existing, k = 6), bands = 3, rowsPerBand = 2)
+      .write.parquet(index)
+    existing.write.parquet(corpus)
+    def drain(): Unit = {
+      val q = CurationStream.curateStream(
+        CorpusIO.readJsonlStream(spark, landing),
+        index, corpus, ckpt, bands = 3, rowsPerBand = 2,
+        droppedBandsPath = Some(dropped))
+      assert(q.awaitTermination(180000))
+    }
+    CorpusIO.writeJsonl(wave1.coalesce(1), landing)
+    drain()
+    val tmp = s"$root/w2"
+    CorpusIO.writeJsonl(wave2.coalesce(1), tmp)
+    import java.nio.file.{Files => JFiles, Paths}
+    JFiles.list(Paths.get(tmp)).forEach { p =>
+      if (p.getFileName.toString.endsWith(".json"))
+        JFiles.move(p, Paths.get(landing, "w2-" + p.getFileName.toString))
+    }
+    drain()
+    CurationStream.compact(spark, index, corpus, dropped, out)
+    val got = spark.read.parquet(s"$out/corpus")
+      .select("doc_id").as[Long].collect().toSet
+
+    val union = existing.unionByName(wave1).unionByName(wave2)
+    val want = Dedup.dedupCorpus(union,
+        Dedup.candidatePairs(Dedup.lshBands(
+          Dedup.minhash(union, k = 6), bands = 3, rowsPerBand = 2)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want,
+      s"compacted stream corpus diverges from the full rebuild: " +
+        s"extra=${got -- want} missing=${want -- got}")
   }
 }
