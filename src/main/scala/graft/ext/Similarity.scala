@@ -1152,19 +1152,24 @@ object Similarity {
     * any partitioning, accumulation order, or engine ([[dimStats]]'
     * argument; the diagonal equals its unclamped variance exactly).
     *
-    * Scale shape: one corpus scan; the pair expansion is a narrow
-    * per-row transform bounded by d(d+1)/2, and the aggregation
-    * map-side-combines onto the MODEL-sized d(d+1)/2-row output. */
+    * Scale shape: one corpus scan; the pair expansion is TWO CHAINED
+    * generators — posexplode the vector for `p`, then explode
+    * `sequence(p, d−1)` for `q` — so the per-row buffer is O(d), not
+    * the d(d+1)/2 five-field struct array a single flattened
+    * transform would materialize (~8.4M structs per row at the
+    * documented d=4096 bound — an executor OOM long before the
+    * aggregation sees a row). The d(d+1)/2 pairs still stream through
+    * the same map-side-combined aggregation onto the MODEL-sized
+    * output. */
   def covarianceMatrix(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val v = col(vecCol)
-    def at(i: Column) = element_at(v, i + 1).cast("double")
-    emb.select(explode(flatten(
-        transform(sequence(lit(0), size(v) - 1), p =>
-          transform(sequence(p, size(v) - 1), q =>
-            struct(p.as("p"), q.as("q"), (at(p) * at(q)).as("xy"),
-              at(p).as("xp"), at(q).as("xq")))))).as("c"))
-      .select(col("c.p").as("p"), col("c.q").as("q"),
-        col("c.xy").as("xy"), col("c.xp").as("xp"), col("c.xq").as("xq"))
+    emb.select(v.as("__v"), posexplode(v).as(Seq("p", "__xpf")))
+      .select(col("__v"), col("p"), col("__xpf").cast("double").as("xp"),
+        explode(sequence(col("p"), size(col("__v")) - 1)).as("q"))
+      .select(col("p"), col("q"),
+        (col("xp") * element_at(col("__v"), col("q") + 1).cast("double")).as("xy"),
+        col("xp"),
+        element_at(col("__v"), col("q") + 1).cast("double").as("xq"))
       .groupBy("p", "q")
       .agg(count(lit(1)).as("n"),
         sum(floor(col("xy") * CentroidGrid).cast("long")).as("sxy"),
