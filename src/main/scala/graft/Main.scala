@@ -42,15 +42,18 @@ object Main {
     |  export-jsonl --path DIR --target DIR
     |  curate-stream --landing DIR --index DIR --corpus DIR --checkpoint DIR
     |                [--bands 3 --rows-per-band 2] [--pairs DIR] [--follow true]
-    |                [--drift DIR] [--drift-tokens DIR]
+    |                [--drift DIR] [--drift-tokens DIR] [--dropped-bands DIR]
+    |  compact       --index DIR --corpus DIR --dropped DIR --target DIR
     |  ingest-embeddings --landing DIR --index DIR --checkpoint DIR
     |                [--planes 4 --dim 64] [--follow true]
     |  bpe-train     --corpus PARQUET_DIR --merges N --target DIR
     |  unigram-train --corpus PARQUET_DIR --target DIR [--rounds 2 --vocab-size 20]
+    |                [--prune-to N]
     |  train-quality --corpus PARQUET_DIR --label-source-prefix P --target DIR
     |                [--buckets 64 --steps 3 --lr 0.5]
     |  prepare-corpus --corpus PARQUET_DIR --target DIR
     |                [--bands 3 --rows-per-band 2] [--max-docs-per-source N]
+    |                [--scrub unicode|ascii]
     |  select-data   --corpus PARQUET_DIR --target-source-prefix P --k N --target DIR
     |                [--method moore-lewis|dsir]
     |  snapshot-diff --prev PARQUET_DIR --next PARQUET_DIR --id COL --cols a,b,c --target DIR
@@ -144,8 +147,18 @@ object Main {
           one("index"), one("corpus"), one("checkpoint"), bands, rpb,
           pairsPath = f("pairs").headOption, trigger = trigger,
           driftPath = f("drift").headOption,
-          driftTokensPath = f("drift-tokens").headOption)
+          driftTokensPath = f("drift-tokens").headOption,
+          droppedBandsPath = f("dropped-bands").headOption)
         q.awaitTermination()
+      case "compact" =>
+        // periodic full-index compaction of the curation loop: replay
+        // candidate pairs over the live band index plus the dropped-
+        // bands graveyard, evict transitive-chain admissions, write
+        // compacted index/corpus/dropped under --target (out-of-place;
+        // swap directories after the job commits)
+        val evicted = streaming.CurationStream.compact(spark,
+          one("index"), one("corpus"), one("dropped"), one("target"))
+        println(s"[graft] compact evicted ${evicted.count()} corpus docs")
       case "ingest-embeddings" =>
         // continuous embedding ingestion: tail a parquet landing
         // directory of (vec_id, embedding) rows into the persisted IVF
@@ -181,8 +194,9 @@ object Main {
         val r = f("rounds").headOption.map(v => parsed("rounds", v)(_.toInt)).getOrElse(2)
         val vs = f("vocab-size").headOption
           .map(v => parsed("vocab-size", v)(_.toInt)).getOrElse(20)
+        val pr = f("prune-to").headOption.map(v => parsed("prune-to", v)(_.toInt))
         ext.Corpus.unigramTrain(spark.read.parquet(one("corpus")),
-            rounds = r, vocabSize = vs)
+            rounds = r, vocabSize = vs, pruneTo = pr)
           .coalesce(1).write.mode("overwrite").parquet(one("target"))
       case "train-quality" =>
         // quality-classifier training: logistic regression on hashed
@@ -212,10 +226,21 @@ object Main {
         val pairs = ext.Dedup.candidatePairs(ext.Dedup.lshBands(
           ext.Dedup.minhash(docs, bands * rpb), bands, rpb)).localCheckpoint()
         val deduped = ext.Dedup.dedupCorpus(docs, pairs).localCheckpoint()
+        // --scrub unicode: NFC + all-script letter/digit normalize
+        // (multilingual corpora); --scrub ascii: the legacy [a-z0-9]
+        // scrub (destroys non-Latin text); default: no scrub
+        val scrubbed = f("scrub").headOption match {
+          case Some("unicode") => (c: org.apache.spark.sql.Column) =>
+            ext.TextAnalysis.scrubUnicode(c)
+          case Some("ascii") => (c: org.apache.spark.sql.Column) =>
+            ext.TextAnalysis.scrub(c)
+          case Some(other) => sys.error(s"unknown --scrub '$other' (unicode|ascii)\n$usageText")
+          case None => (c: org.apache.spark.sql.Column) => c
+        }
         val kept = deduped.join(
             ext.TextAnalysis.gopherRules(deduped).filter(col("keep"))
               .select("doc_id"), Seq("doc_id"))
-          .withColumn("text", ext.TextAnalysis.redactPii(col("text")))
+          .withColumn("text", scrubbed(ext.TextAnalysis.redactPii(col("text"))))
         val capped = f("max-docs-per-source").headOption match {
           case Some(m) => kept.join(
             ext.Corpus.capPerSource(kept,

@@ -1144,6 +1144,40 @@ object SparkEntry {
     "q159_source_divergence" -> ((s, dir) =>
       Corpus.sourceDivergence(t(s, dir, "documents"))
         .orderBy("source")),
+    // Unicode-safe normalization: NFC + every script's letters/digits
+    // survive (q40's ASCII scrub erases them)
+    "q160_scrub_unicode" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.scrubUnicode(col("text")).as("clean"))
+        .orderBy("doc_id")),
+    // format-aware payload fingerprint: a FULL synthesized PNG whose
+    // tEXt chunk varies by source but whose IDAT stream is the text
+    // bytes — the fingerprint must hash ONLY the IDAT content, so the
+    // oracle predicts it as md5(text) while the ancillary chunk and
+    // headers drop out
+    "q161_payload_fingerprint" -> ((s, dir) => {
+      val w = (col("n_chars") % 640 + 1).cast("int")
+      val h = (col("n_chars") % 480 + 1).cast("int")
+      val src = col("source").cast("binary")
+      val txt = col("text").cast("binary")
+      def chunk(tagHex: String, data: Column) = concat(
+        unhex(lpad(hex(length(data)), 8, "0")), unhex(lit(tagHex)),
+        data, unhex(lit("00000000"))) // CRC present but unvalidated
+      val payload = concat(
+        unhex(lit("89504E470D0A1A0A")),                  // signature
+        unhex(concat(lit("0000000D49484452"),
+          lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+          lit("080200000000000000"))),                   // IHDR + CRC
+        chunk("74455874", src),                          // tEXt (ancillary)
+        chunk("49444154", txt),                          // IDAT
+        unhex(lit("0000000049454E4400000000")))          // IEND
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), payload.as("payload"))
+      Multimodal.payloadFingerprint(media)
+        .select(col("media_id"), col("n_bytes"), col("format"), col("fingerprint"))
+        .orderBy("media_id")
+    }),
     // token-distribution PSI between the src1* slice and the rest —
     // the vocabulary-drift alarm q126's length histogram can't ring
     "q154_token_drift" -> ((s, dir) => {
@@ -2787,6 +2821,20 @@ object SparkEntry {
          |  CAST(SUM(c) AS DOUBLE) AS kl
          |FROM c GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "q160_scrub_unicode" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+        |    '[^\p{L}\p{Nd} ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the synthesized PNG is sig(8) + IHDR(25) + tEXt(12+|source|) +
+    // IDAT(12+|text|) + IEND(12); only the IDAT stream is hashed
+    "q161_payload_fingerprint" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(69 + length(source) + length(text) AS BIGINT) AS n_bytes,
+        |  'png' AS format, md5(text) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q154: q126's PSI formula over md5-hash16 token buckets
     "q154_token_drift" -> {

@@ -1371,24 +1371,142 @@ object Corpus {
           .cast("decimal(28,9)").as("logp"))
   }
 
+  /** Likelihood-loss vocabulary pruning — SentencePiece's ACTUAL
+    * prune step (Kudo 2018 §3.2), not just drop-unused: each
+    * multi-char piece is charged the corpus-likelihood LOSS its
+    * removal would cost, `loss(p) = freq(p) · (logp(p) − alt(p))`,
+    * where `alt(p)` is the best Viterbi segmentation of p's own
+    * string over the REST of the vocab (the full-span candidate —
+    * the piece itself — excluded from its DP). Low-loss pieces are
+    * those whose spans re-segment almost as well without them; the
+    * bottom of the loss ranking is dropped until `targetMulti`
+    * multi-char pieces remain. Single-char pieces (the coverage
+    * floor) are never dropped; pieces whose string CANNOT re-segment
+    * without them (a char fell out of the vocab) are essential and
+    * rank above every finite loss. Ties (loss, then piece ASC) and
+    * all arithmetic are exact decimals, so the kept set is
+    * engine-identical. Log-probs re-normalize over the kept total
+    * (the [[unigramSeedVocab]] recipe). Returns (piece, freq, logp).
+    *
+    * Scale shape: the DP runs once per VOCAB piece (model-sized, the
+    * [[unigramSegment]] per-distinct-word contract), the ranking is a
+    * bounded TakeOrdered — the corpus is never touched. */
+  def unigramPrune(vocab: DataFrame, targetMulti: Int,
+                   maxPieceLen: Int = 4): DataFrame = {
+    require(targetMulti >= 0, s"targetMulti must be >= 0, got $targetMulti")
+    val dec = "decimal(28,9)"
+    val w = col("word")
+    val chars = vocab.filter(length(col("piece")) === 1)
+    val multi = vocab.filter(length(col("piece")) > 1)
+    val words = multi.select(col("piece").as("word"),
+      col("freq").as("__f"), col("logp").cast(dec).as("__lp"))
+    // candidates over the piece's OWN string, full span excluded
+    val cands = words.select(w, explode(flatten(
+        transform(sequence(lit(1), length(w)), s =>
+          transform(sequence(lit(1), least(lit(maxPieceLen), length(w) - s + 1)),
+            l => struct((s - 1).as("i"), (s - 1 + l).as("j"),
+              w.substr(s, l).as("piece")))))).as("c"))
+      .select(w, col("c.i").as("i"), col("c.j").as("j"), col("c.piece").as("piece"))
+      .filter(!(col("i") === 0 && col("j") === length(w)))
+      .join(vocab.select(col("piece"), col("logp")), "piece")
+    val byWord = cands.groupBy("word")
+      .agg(collect_list(struct(col("i"), col("j"),
+        col("logp").cast(dec).as("logp"))).as("__cands"))
+    val dp = aggregate(
+      sequence(lit(1), length(w)),
+      array(struct(lit(BigDecimal(0)).cast(dec).as("best"), lit(-1).as("from"))),
+      (acc: Column, j: Column) => {
+        val scored = transform(
+          filter(col("__cands"), c => c.getField("j") === j),
+          c => struct(
+            (element_at(acc, c.getField("i") + 1).getField("best")
+              + c.getField("logp")).cast(dec).as("best"),
+            (-c.getField("i")).as("negi")))
+        val pick = array_max(scored)
+        concat(acc, array(struct(pick.getField("best").as("best"),
+          (-pick.getField("negi")).as("from"))))
+      })
+    val alts = byWord
+      .select(w.as("piece"),
+        element_at(dp, length(w) + 1).getField("best").as("__alt"))
+    val scoredMulti = words.withColumnRenamed("word", "piece")
+      .join(alts, Seq("piece"), "left")
+      .select(col("piece"), col("__f").as("freq"),
+        // essential pieces (no alternative segmentation) outrank all
+        col("__alt").isNull.as("__ess"),
+        (col("__lp") - coalesce(col("__alt"), lit(BigDecimal(0)).cast(dec)))
+          .cast(dec).multiply(col("__f")).as("__loss"))
+    val keptMulti = scoredMulti
+      .orderBy(col("__ess").desc, col("__loss").desc, col("piece").asc)
+      .limit(targetMulti)
+      .select(col("piece"), col("freq"))
+    val kept = chars.select(col("piece"), col("freq")).unionByName(keptMulti)
+    val total = kept.agg(sum(col("freq")).as("__t"))
+    kept.join(broadcast(total))
+      .select(col("piece"), col("freq"),
+        round(log(col("freq").cast("double") / col("__t")), 9)
+          .cast("decimal(28,9)").as("logp"))
+  }
+
   /** The unigram-LM training loop: seed ([[unigramSeedVocab]]), then
     * `rounds` EM iterations of Viterbi-segment → recount
     * ([[unigramReestimate]]) — Kudo's algorithm with the simplified
     * prune rule that pieces unused by any Viterbi path drop out
-    * (their re-estimated count is 0). The vocab table is the loop
-    * state (vocab-sized, lineage cut per round — the
+    * (their re-estimated count is 0). With `pruneTo` set, each round
+    * additionally prunes the multi-char vocabulary by likelihood loss
+    * ([[unigramPrune]]) — shrinking at most `pruneShrink` per round
+    * (SentencePiece's keep-top-80% schedule) until the target size is
+    * reached, the coverage floor always intact. The vocab table is
+    * the loop state (vocab-sized, lineage cut per round — the
     * connectedComponents/bpeTrain driver-loop pattern); on a corpus
     * whose segmentation stabilizes, the loop is a fixpoint and extra
     * rounds are no-ops. Returns the final (piece, freq, logp). */
   def unigramTrain(docs: DataFrame, rounds: Int = 2, maxPieceLen: Int = 4,
                    vocabSize: Int = 20, idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text",
+                   pruneTo: Option[Int] = None,
+                   pruneShrink: Double = 0.8): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    require(pruneShrink > 0.0 && pruneShrink <= 1.0,
+      s"pruneShrink must be in (0, 1], got $pruneShrink")
     var vocab = unigramSeedVocab(docs, maxPieceLen, vocabSize, textCol)
       .localCheckpoint()
-    for (_ <- 1 to rounds)
+    // SentencePiece's required-character floor, active only in prune
+    // mode: reestimate drops pieces (including single chars) whose
+    // Viterbi count is 0, but a pruned vocab MUST keep every corpus
+    // character or coverage breaks — dropping several low-loss pieces
+    // at once can strand a span no remaining piece combination spans.
+    // Chars that fell out re-enter at a 1-count smoothing before each
+    // prune, exactly the required_chars handling in Kudo's trainer.
+    // (The default no-prune loop stays byte-identical to the q148
+    // contract: reestimate alone, no floor.)
+    val floorChars = vocab.filter(length(col("piece")) === 1)
+      .select("piece").localCheckpoint()
+    def withCharFloor(v: DataFrame): DataFrame = {
+      val missing = floorChars.join(v, Seq("piece"), "left_anti")
+        .select(col("piece"), lit(1L).as("freq"))
+      val all = v.select(col("piece"), col("freq")).unionByName(missing)
+      val total = all.agg(sum(col("freq")).as("__t"))
+      all.join(broadcast(total))
+        .select(col("piece"), col("freq"),
+          round(log(col("freq").cast("double") / col("__t")), 9)
+            .cast("decimal(28,9)").as("logp"))
+    }
+    for (_ <- 1 to rounds) {
       vocab = unigramReestimate(docs, vocab, maxPieceLen, idCol, textCol)
         .localCheckpoint()
+      pruneTo.foreach { target =>
+        vocab = withCharFloor(vocab).localCheckpoint()
+        // vocab-sized count on the checkpointed table — a bounded
+        // driver action (the bpeTrain argmax class)
+        val multiNow = vocab.filter(length(col("piece")) > 1).count()
+        if (multiNow > target) {
+          val step = math.max(target.toLong,
+            math.floor(multiNow * pruneShrink).toLong).toInt
+          vocab = unigramPrune(vocab, step, maxPieceLen).localCheckpoint()
+        }
+      }
+    }
     vocab
   }
 

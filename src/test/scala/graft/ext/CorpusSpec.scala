@@ -393,6 +393,65 @@ class CorpusSpec extends SparkSpec {
     assert(r1 == r2, "segmentation stabilized, so round 2 must be a no-op")
   }
 
+  test("unigramPrune: minimal-loss pieces drop to target; essentials and chars survive") {
+    val d = docs((1L, "abcd abcd abcd ab cd", "s"))
+    val vocab = Corpus.unigramSeedVocab(d, maxPieceLen = 4, vocabSize = 6)
+    val before = vocab.filter(length(col("piece")) > 1).count()
+    assert(before > 2)
+    val pruned = Corpus.unigramPrune(vocab, targetMulti = 2, maxPieceLen = 4)
+    val pieces = pruned.orderBy("piece")
+      .as[(String, Long, java.math.BigDecimal)].collect().toSeq
+    // coverage floor intact
+    assert(Seq("a", "b", "c", "d").forall(c => pieces.exists(_._1 == c)))
+    assert(pieces.count(_._1.length > 1) == 2)
+    // logp re-normalized over the kept total: sum of exp(logp) ≈ 1
+    val mass = pieces.map(p => math.exp(p._3.doubleValue)).sum
+    assert(math.abs(mass - 1.0) < 1e-6, s"piece mass $mass")
+  }
+
+  test("unigramTrain with pruneTo reaches the target size; corpus likelihood " +
+    "non-decreasing across prune rounds") {
+    val d = docs(
+      (1L, "abcd abcd ab cd abc bcd", "s"),
+      (2L, "abcd abc ab ab cd cd", "s"),
+      (3L, "bcd abcd abcd abc", "s"))
+    def likelihood(vocab: org.apache.spark.sql.DataFrame): BigDecimal = {
+      // max(piece_idx) keeps the coverage guard in the consumed plan
+      val r = Corpus.unigramSegment(d, vocab, maxPieceLen = 4)
+        .join(vocab.select(col("piece"), col("logp")), "piece")
+        .agg(sum(col("logp")), max(col("piece_idx"))).collect()(0)
+      BigDecimal(r.getDecimal(0))
+    }
+    val trained = Corpus.unigramTrain(d, rounds = 3, maxPieceLen = 4,
+      vocabSize = 10, pruneTo = Some(3))
+    assert(trained.filter(length(col("piece")) > 1).count() <= 3)
+    // the pruned vocab still covers (guard inside likelihood) and
+    // scores the corpus
+    assert(likelihood(trained) < 0)
+    // hard-EM monotonicity: after a prune, the next reestimate round
+    // cannot DECREASE corpus likelihood (E-step improves the
+    // segmentation, M-step renormalizes its counts optimally).
+    // p1 mirrors one loop round: reestimate, re-add the char floor
+    // (unigramTrain's required-character handling), prune.
+    val v1 = Corpus.unigramReestimate(d, Corpus.unigramSeedVocab(d, 4, 10))
+    val missing = Corpus.unigramSeedVocab(d, 4, 10)
+      .filter(length(col("piece")) === 1).select("piece")
+      .join(v1, Seq("piece"), "left_anti")
+      .select(col("piece"), lit(1L).as("freq"))
+    val floored = {
+      val all = v1.select(col("piece"), col("freq")).unionByName(missing)
+      val total = all.agg(sum(col("freq")).as("__t"))
+      all.join(broadcast(total))
+        .select(col("piece"), col("freq"),
+          round(log(col("freq").cast("double") / col("__t")), 9)
+            .cast("decimal(28,9)").as("logp"))
+    }
+    val p1 = Corpus.unigramPrune(floored, 3, 4)
+    val v2 = Corpus.unigramReestimate(d, p1)
+    assert(likelihood(v2) >= likelihood(p1) - BigDecimal("1e-6"),
+      s"EM round after prune decreased likelihood: ${likelihood(p1)} -> ${likelihood(v2)}")
+  }
+
   test("epochSchedule: full epochs repeat every doc; zero-weight sources absent") {
     // source a: 2 docs × 2 tokens = 4 tokens; weight 1.0, budget 8 → eps = 2.0
     // source b: 2 docs, weight 0 → excluded

@@ -33,6 +33,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.values.forall(_._2))
   }
 
+  test("charNgramLangId: broadcast and shuffle profile-join forms are bit-equal") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "lang_true", "lang_pred", "score", "correct")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    // threshold 0 forces the shuffle join; the huge default keeps broadcast
+    val bc = canon(TextAnalysis.charNgramLangId(d))
+    val sh = canon(TextAnalysis.charNgramLangId(d, maxBroadcastProfileRows = 0L))
+    assert(bc.length > 0 && bc.sameElements(sh))
+  }
+
+  test("charNgramLangIdWith: pre-trained profiles reproduce the self-trained output") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val prof = TextAnalysis.charNgramProfiles(d)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "lang_true", "lang_pred", "score", "correct")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val self = canon(TextAnalysis.charNgramLangId(d))
+    val pre  = canon(TextAnalysis.charNgramLangIdWith(d, prof))
+    assert(self.sameElements(pre))
+    // and the pre-trained path must not checkpoint the n-gram stream:
+    // its plan should still reach the parquet scan
+    val plan = TextAnalysis.charNgramLangIdWith(d, prof)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Relation") || plan.contains("FileScan"),
+      s"pre-trained scoring should keep scan lineage (no checkpoint):\n$plan")
+  }
+
   test("ngramNovelty: shared shingles lower novelty; shingle-less docs absent") {
     val df = Seq(
       (1L, "a b c d"),   // shingles {a b c, b c d}
@@ -1511,6 +1539,60 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("png")))
     assert(out(2).isNullAt(out(2).fieldIndex("png")) &&
       out(2).isNullAt(out(2).fieldIndex("wav")))
+  }
+
+  test("payloadFingerprint: metadata re-wraps collapse, content changes split") {
+    import spark.implicits._
+    def hexBytes(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] =
+      be(data.length, 4) ++ tag.getBytes ++ data ++ be(0, 4)
+    val ihdr = chunk("IHDR", be(2, 4) ++ be(2, 4) ++ Array[Byte](8, 2, 0, 0, 0))
+    val iend = chunk("IEND", Array.empty[Byte])
+    val pix = "PIXELDATA".getBytes
+    val png1 = sig ++ ihdr ++ chunk("tEXt", "comment-a".getBytes) ++
+      chunk("IDAT", pix) ++ iend
+    val png2 = sig ++ ihdr ++ chunk("tEXt", "entirely different meta".getBytes) ++
+      chunk("tIME", be(2024, 2)) ++ chunk("IDAT", pix) ++ iend
+    val png3 = sig ++ ihdr ++ chunk("IDAT", "OTHERDATA".getBytes) ++ iend
+    // JPEGs: same entropy data behind different COM segments
+    def jpeg(comment: String, entropyHex: String) = hexBytes(
+      "FFD8" + "FFFE" + f"${comment.length + 2}%04X" +
+        comment.getBytes.map(b => f"$b%02X").mkString +
+        "FFDB0005000000" +
+        "FFC00011" + "08" + "0002" + "0002" + "03010011020011030011" +
+        "FFDA0008000000000000" + entropyHex + "FFD9")
+    val j1 = jpeg("v1", "A1B2C3")
+    val j2 = jpeg("a much longer comment string", "A1B2C3")
+    val j3 = jpeg("v1", "D4E5F6")
+    // WAVs: same samples behind different RIFF sizes (re-tag proxy)
+    def wav(riffSize: Int, samples: Array[Byte]) =
+      "RIFF".getBytes ++ le(riffSize, 4) ++ "WAVEfmt ".getBytes ++
+        le(16, 4) ++ le(1, 2) ++ le(2, 2) ++ le(44100, 4) ++
+        le(176400, 4) ++ le(4, 2) ++ le(16, 2) ++
+        "data".getBytes ++ le(samples.length, 4) ++ samples
+    val s1 = wav(100, "samples!".getBytes)
+    val s2 = wav(999, "samples!".getBytes)
+    val s3 = wav(100, "SAMPLES!".getBytes)
+    val rows = Seq(
+      (1L, png1), (2L, png2), (3L, png3),
+      (11L, j1), (12L, j2), (13L, j3),
+      (21L, s1), (22L, s2), (23L, s3),
+      (31L, "free bytes".getBytes))
+      .toDF("media_id", "payload")
+    val got = Multimodal.payloadFingerprint(rows)
+      .select("media_id", "format", "fingerprint")
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L)._1 == "png" && got(11L)._1 == "jpeg" &&
+      got(21L)._1 == "wav" && got(31L)._1 == "other")
+    assert(got(1L)._2 == got(2L)._2, "PNG re-wrap must not change the fingerprint")
+    assert(got(1L)._2 != got(3L)._2, "PNG pixel change must split")
+    assert(got(11L)._2 == got(12L)._2, "JPEG comment change must not split")
+    assert(got(11L)._2 != got(13L)._2, "JPEG entropy change must split")
+    assert(got(21L)._2 == got(22L)._2, "WAV re-tag must not split")
+    assert(got(21L)._2 != got(23L)._2, "WAV sample change must split")
   }
 }
 

@@ -128,6 +128,38 @@ class DotProductSpec extends SparkSpec {
     assert(ng == Seq("alpha beta", "beta gamma", "gamma alpha", "alpha beta"))
   }
 
+  test("nfc_normalize composes decomposed accents; SQL-callable; scrubUnicode keeps every script") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    // 'é' decomposed (e + combining acute) vs precomposed U+00E9
+    val decomposed = "Café"
+    val precomposed = "Café"
+    val d = Seq((1L, decomposed), (2L, precomposed)).toDF("doc_id", "text")
+    val norm = d.select(NfcNormalize(col("text")).as("n")).as[String].collect()
+    assert(norm(0) == norm(1) && norm(0) == precomposed)
+    d.createOrReplaceTempView("nfc_docs")
+    val viaSql = spark.sql("SELECT nfc_normalize(text) AS n FROM nfc_docs WHERE doc_id = 1")
+      .as[String].head()
+    assert(viaSql == precomposed)
+    // scrubUnicode: CJK / Cyrillic / accents survive; punctuation,
+    // emoji and the ASCII-scrub-destroyed scripts normalize cleanly
+    val mixed = Seq(
+      (1L, "Héllo, Wörld!"), (2L, "你好，世界！ 123"),
+      (3L, "Привет — мир?"), (4L, decomposed + "  x")
+    ).toDF("doc_id", "text")
+    val got = mixed
+      .select(col("doc_id"), graft.ext.TextAnalysis.scrubUnicode(col("text")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "héllo wörld")
+    assert(got(2L) == "你好 世界 123")
+    assert(got(3L) == "привет мир")
+    assert(got(4L) == "café x") // NFC unifies before the class filter
+    // the ASCII scrub would have erased all of these scripts
+    val ascii = mixed.filter(col("doc_id") === 2L)
+      .select(graft.ext.TextAnalysis.scrub(col("text")).as("c")).as[String].head()
+    assert(ascii == "123")
+  }
+
   test("vector_mean UDAF is SQL-callable and matches the typed Aggregator") {
     GraftExtensions.register(spark)
     load("embeddings").createOrReplaceTempView("emb_vm")
