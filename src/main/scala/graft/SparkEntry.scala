@@ -1151,6 +1151,37 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.scrubUnicode(col("text")).as("clean"))
         .orderBy("doc_id")),
+    // high-entropy secret scan over the fixture's longest tokens:
+    // division-free n·H score in exact decimals, threshold 2.0 nats
+    // (an 8-char all-distinct token scores ln 8 ≈ 2.079, any repeat
+    // drops below 2.0 — the contract separates exactly there)
+    "q162_secret_scan" -> ((s, dir) =>
+      TextAnalysis.secretScan(t(s, dir, "documents"),
+          minLen = 8, entropyPerChar = 2.0)
+        .orderBy("doc_id", "pos")),
+    // language-ID confidence margin: argmax + runner-up + the exact-
+    // decimal margin >= 50-nat gate (raw margin unhashed, q150's rule)
+    "q163_langid_margin" -> ((s, dir) =>
+      TextAnalysis.langIdMargin(t(s, dir, "documents"),
+          confidenceMargin = 50.0)
+        .orderBy("doc_id")),
+    // unigram-tokenizer inference: Viterbi pieces mapped to dense ids
+    // (piece-ASC ranks) — bpeEncode's twin for the other family
+    "q164_unigram_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = Corpus.unigramSeedVocab(docs).localCheckpoint()
+      Corpus.unigramEncode(docs.filter(col("doc_id") < 50), vocab)
+        .orderBy("doc_id", "pos", "piece_idx")
+    }),
+    // per-dim winsorization at exact [0.05, 0.95] order statistics
+    "q165_winsorize" -> ((s, dir) =>
+      Similarity.winsorizeEmbeddings(t(s, dir, "embeddings"))
+        .orderBy("vec_id", "dim")),
+    // per-source fit under the corpus bigram LM — the domain-mixture
+    // reweighting signal (which sources the corpus models poorly)
+    "q166_source_lm_fit" -> ((s, dir) =>
+      Corpus.sourceBigramFit(t(s, dir, "documents"))
+        .orderBy("source")),
     // format-aware payload fingerprint: a FULL synthesized PNG whose
     // tEXt chunk varies by source but whose IDAT stream is the text
     // bytes — the fingerprint must hash ONLY the IDAT content, so the
@@ -2739,6 +2770,60 @@ object SparkEntry {
     "q147_unigram_segment" -> unigramSegmentOracle(50),
     "q148_unigram_reestimate" -> unigramReestimateOracle,
     "q150_langid_trained" -> langIdTrainedOracle,
+    "q163_langid_margin" -> langIdMarginOracle(50),
+
+    // the q147 Viterbi unroll + dense ids by piece-ASC rank
+    "q164_unigram_encode" ->
+      s"""WITH ${unigramVocabCtes(4, 20)},
+         |${unigramSegCtes(4, 16)},
+         |ids AS (SELECT piece, row_number() OVER (ORDER BY piece) AS piece_id FROM v),
+         |tok AS (SELECT doc_id, x.pos AS pos, x.word AS word FROM (
+         |  SELECT doc_id, unnest([{'pos': i, 'word': tl[i]}
+         |                         FOR i IN range(1, len(tl) + 1)]) AS x
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split(text, ' '), t -> t <> '') AS tl
+         |        FROM documents WHERE doc_id < 50)))
+         |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |  CAST(piece_idx AS BIGINT) AS piece_idx,
+         |  CAST(piece_id AS BIGINT) AS piece_id, piece
+         |FROM tok JOIN seg USING (word) JOIN ids USING (piece)
+         |ORDER BY doc_id, pos, piece_idx""".stripMargin,
+
+    // exact per-dim order statistics at k = ceil(p*n), clip in place
+    "q165_winsorize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, i - 1 AS dim, v[i] AS x
+        |      FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+        |r AS (SELECT dim, x AS q, row_number() OVER (PARTITION BY dim ORDER BY x) AS rn,
+        |        count(*) OVER (PARTITION BY dim) AS n FROM x),
+        |lo AS (SELECT dim, q AS lo FROM r WHERE rn = CAST(ceil(0.05 * n) AS BIGINT)),
+        |hi AS (SELECT dim, q AS hi FROM r WHERE rn = CAST(ceil(0.95 * n) AS BIGINT))
+        |SELECT x.vec_id, CAST(x.dim AS BIGINT) AS dim, x.x AS x,
+        |  CASE WHEN x.x < lo.lo THEN lo.lo
+        |       WHEN x.x > hi.hi THEN hi.hi ELSE x.x END AS x_clipped
+        |FROM x JOIN lo USING (dim) JOIN hi USING (dim)
+        |ORDER BY vec_id, dim""".stripMargin,
+
+    // q70's bigram model rolled up per source; exact decimal sums
+    "q166_source_lm_fit" ->
+      """WITH b AS (
+        |  SELECT source, unnest(list_transform(
+        |      generate_series(1, len(tl) - 1),
+        |      i -> {'t1': tl[i], 't2': tl[i + 1]})) AS bg
+        |  FROM (SELECT source, list_filter(string_split(text, ' '), t -> t <> '') AS tl
+        |        FROM documents)),
+        |bg AS (SELECT source, bg.t1 AS t1, bg.t2 AS t2 FROM b),
+        |pc AS (SELECT t1, t2, count(*) AS c_pair FROM bg GROUP BY 1, 2),
+        |pfx AS (SELECT t1, SUM(c_pair) AS c_prefix FROM pc GROUP BY 1),
+        |m AS (SELECT t1, t2,
+        |        CAST(round(ln(CAST(c_pair AS DOUBLE) / c_prefix), 9)
+        |          AS DECIMAL(28,9)) AS lp
+        |      FROM pc JOIN pfx USING (t1)),
+        |s AS (SELECT source, count(*) AS n_bigrams, SUM(lp) AS sm
+        |      FROM bg JOIN m USING (t1, t2) GROUP BY 1)
+        |SELECT source, n_bigrams, CAST(sm AS DOUBLE) AS sum_logprob,
+        |  CAST(sm AS DOUBLE) / n_bigrams AS avg_logprob
+        |FROM s ORDER BY source""".stripMargin,
     // q151: kth order statistic per dim — the q105 window pattern
     "q151_dim_median" ->
       """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2827,6 +2912,35 @@ object SparkEntry {
         |  trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
         |    '[^\p{L}\p{Nd} ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q162_secret_scan" ->
+      """WITH tok AS (
+        |  SELECT doc_id, x.pos AS pos, x.word AS token FROM (
+        |    SELECT doc_id, unnest([{'pos': i, 'word': tl[i]}
+        |                           FOR i IN range(1, len(tl) + 1)]) AS x
+        |    FROM (SELECT doc_id,
+        |            list_filter(string_split(text, ' '), t -> t <> '') AS tl
+        |          FROM documents))
+        |  WHERE len(x.word) >= 8),
+        |ch AS (
+        |  SELECT doc_id, pos, token, substr(token, i, 1) AS c
+        |  FROM tok, unnest(generate_series(1, len(token))) AS t(i)),
+        |cnt AS (
+        |  SELECT doc_id, pos, token, c, count(*) AS k
+        |  FROM ch GROUP BY 1, 2, 3, 4),
+        |sc AS (
+        |  SELECT doc_id, pos, token,
+        |    CAST(SUM(CAST(k AS DECIMAL(10,0))
+        |      * CAST(round(ln(CAST(len(token) AS DOUBLE) / k), 9)
+        |             AS DECIMAL(18,9))) AS DECIMAL(28,9)) AS score
+        |  FROM cnt GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos, token,
+        |  CAST(len(token) AS BIGINT) AS n, score,
+        |  score > CAST(CAST(2.0 AS DECIMAL(18,9)) * len(token) AS DECIMAL(28,9))
+        |    AS high_entropy,
+        |  regexp_matches(token, '^[0-9a-fA-F]{8,}$') AS looks_hex,
+        |  regexp_matches(token, '^[A-Za-z0-9+/=]{8,}$') AS looks_b64
+        |FROM sc ORDER BY doc_id, pos""".stripMargin,
 
     // the synthesized PNG is sig(8) + IHDR(25) + tEXt(12+|source|) +
     // IDAT(12+|text|) + IEND(12); only the IDAT stream is hashed
@@ -3506,11 +3620,12 @@ object SparkEntry {
        |  CAST(round(ln(CAST(freq AS DOUBLE) / t), 9) AS DECIMAL(28,9)) AS logp
        |FROM cnt, tot2 ORDER BY piece""".stripMargin
 
-  /** q150 oracle: the trained char-trigram language classifier — the
-    * same Laplace profiles, 9-dp DECIMAL per-occurrence scores with
-    * the unseen floor, exact-decimal argmax, ties to min language. */
-  private def langIdTrainedOracle: String =
-    s"""WITH base AS (
+  /** Shared CTEs for the trained language-ID oracles (q150, q163):
+    * Laplace profiles, 9-dp DECIMAL per-occurrence scores with the
+    * unseen floor — ends in `sc(doc_id, lang_true, lang_cand, score)`
+    * and `best(doc_id, best_score)`. */
+  private def langIdScoreCtes: String =
+    s"""base AS (
        |  SELECT doc_id, lang AS lang_true, text FROM documents WHERE len(text) >= 3),
        |dng AS (
        |  SELECT doc_id, lang_true, substr(text, i, 3) AS ng
@@ -3543,13 +3658,44 @@ object SparkEntry {
        |      AS DECIMAL(28,9)) AS score
        |  FROM pdt CROSS JOIN li
        |  LEFT JOIN pres ON pres.doc_id = pdt.doc_id AND pres.lang_cand = li.lang_cand),
-       |best AS (SELECT doc_id, max(score) AS best_score FROM sc GROUP BY 1)
+       |best AS (SELECT doc_id, max(score) AS best_score FROM sc GROUP BY 1)""".stripMargin
+
+  /** q150 oracle: exact-decimal argmax, ties to min language. */
+  private def langIdTrainedOracle: String =
+    s"""WITH $langIdScoreCtes
        |SELECT doc_id, lang_true, lang_pred,
        |  lang_pred = lang_true AS correct
        |FROM (SELECT sc.doc_id, sc.lang_true, min(sc.lang_cand) AS lang_pred
        |      FROM sc JOIN best USING (doc_id) WHERE sc.score = best.best_score
        |      GROUP BY 1, 2)
        |ORDER BY doc_id""".stripMargin
+
+  /** q163 oracle: the confidence-margin gate — runner-up language and
+    * the exact-decimal margin-vs-threshold decision (the raw margin is
+    * deliberately outside the hashed contract, q150's ulp argument). */
+  private def langIdMarginOracle(confidenceMargin: Int): String =
+    s"""WITH $langIdScoreCtes,
+       |predt AS (
+       |  SELECT sc.doc_id, sc.lang_true, min(sc.lang_cand) AS lang_pred,
+       |    min(best.best_score) AS s1
+       |  FROM sc JOIN best USING (doc_id) WHERE sc.score = best.best_score
+       |  GROUP BY 1, 2),
+       |rest AS (
+       |  SELECT sc.doc_id, sc.lang_cand, sc.score, p.s1
+       |  FROM sc JOIN predt p USING (doc_id)
+       |  WHERE sc.lang_cand <> p.lang_pred),
+       |runner AS (SELECT doc_id, max(score) AS s2, min(s1) AS s1 FROM rest GROUP BY 1),
+       |rlang AS (
+       |  SELECT r.doc_id, min(r.lang_cand) AS runner_up
+       |  FROM rest r JOIN runner USING (doc_id) WHERE r.score = runner.s2
+       |  GROUP BY 1)
+       |SELECT p.doc_id, p.lang_true, p.lang_pred, rlang.runner_up,
+       |  coalesce(runner.s1 - runner.s2
+       |             >= CAST($confidenceMargin AS DECIMAL(18,9)), TRUE) AS confident
+       |FROM predt p
+       |LEFT JOIN runner ON runner.doc_id = p.doc_id
+       |LEFT JOIN rlang ON rlang.doc_id = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin
 
   /** q144 oracle: per-source epochs = weight·budget/tokens; full
     * epochs repeat every doc, the fractional epoch admits docs whose

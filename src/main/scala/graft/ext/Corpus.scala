@@ -1351,6 +1351,61 @@ object Corpus {
       .select(col(idCol), col("pos"), col("piece_idx"), col("piece"))
   }
 
+  /** Apply a TRAINED unigram vocab to a corpus — the inference twin of
+    * [[bpeEncode]] for the other tokenizer family: Viterbi-segment
+    * ([[unigramSegment]]) and map every piece to its dense id, ids
+    * assigned by piece ASC so any engine or run derives the same
+    * mapping from the same vocab (no dictionary file needed). The id
+    * window runs on the MODEL-sized vocab table (never the corpus);
+    * the piece→id map then broadcasts into the token stream. Output
+    * (idCol, pos, piece_idx, piece_id, piece). */
+  def unigramEncode(docs: DataFrame, vocab: DataFrame, maxPieceLen: Int = 4,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = vocab.select(col("piece"))
+      .withColumn("piece_id",
+        row_number().over(Window.orderBy(col("piece"))).cast("long"))
+    unigramSegment(docs, vocab, maxPieceLen, idCol, textCol)
+      .join(broadcast(ids), Seq("piece"))
+      .select(col(idCol), col("pos"), col("piece_idx"),
+        col("piece_id"), col("piece"))
+  }
+
+  /** Per-source fit under the corpus bigram LM — the domain-mixture
+    * signal behind DoReMi-style reweighting: sources whose text the
+    * corpus-wide model scores poorly (low average log-prob) are
+    * under-represented domains; sources it models too easily are
+    * boilerplate-heavy. The model is [[bigramLogProb]]'s MLE bigram
+    * table; per-source sums stay exact decimals (order-free), the
+    * average is one correctly-rounded double division of exact inputs
+    * (the q70 contract). Output
+    * (source, n_bigrams, sum_logprob, avg_logprob).
+    *
+    * Scale shape: the occurrence stream collapses once into the
+    * model-sized pair table; the scoring join re-reads the CHECKPOINTED
+    * stream, and the final roll-up is |sources| rows. */
+  def sourceBigramFit(docs: DataFrame, textCol: String = "text",
+                      sourceCol: String = "source"): DataFrame = {
+    val bigrams = docs.select(col(sourceCol).as("source"),
+        explode(graft.functions.TokenNgrams(TextAnalysis.tokens(col(textCol)), 2))
+          .as("bg"))
+      .localCheckpoint() // feeds the model AND the scoring pass
+    val pairCounts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c_pair"))
+    val model = pairCounts
+      .withColumn("c_prefix", sum(col("c_pair"))
+        .over(Window.partitionBy(substring_index(col("bg"), " ", 1))))
+      .select(col("bg"),
+        round(log(col("c_pair").cast("double") / col("c_prefix")), 9)
+          .cast("decimal(28,9)").as("logprob"))
+    bigrams.join(model, Seq("bg"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("logprob")).as("__sum"))
+      .select(col("source"), col("n_bigrams"),
+        col("__sum").cast("double").as("sum_logprob"),
+        (col("__sum").cast("double") / col("n_bigrams")).as("avg_logprob"))
+  }
+
   /** One EM count re-estimation for the unigram LM (the M-step over
     * [[unigramSegment]]'s Viterbi E-step): piece occurrence counts
     * along the corpus's Viterbi paths, re-normalized into new

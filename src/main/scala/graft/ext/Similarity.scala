@@ -1181,6 +1181,39 @@ object Similarity {
             * (col("sxq").cast("double") / col("n") / CentroidGrid)).as("cov"))
   }
 
+  /** Winsorize the embedding corpus: clip every dimension at its
+    * exact [pLo, pHi] corpus order statistics ([[dimQuantiles]]'
+    * machinery) — the robust-scaling companion to [[whiten]]:
+    * heavy-tailed activation dims (a handful of huge outliers are the
+    * norm in transformer embeddings) otherwise dominate covariance,
+    * centroids and quantization ranges. Clipping SELECTS existing
+    * float-exact values (no arithmetic), so the output is
+    * engine-identical by construction. Output exploded
+    * (idCol, dim, x, x_clipped) — reassemble with `collect_list` over
+    * a position sort when an array column is needed downstream.
+    *
+    * Scale shape: the (dim, value) stream is computed once; quantiles
+    * are two bounded histogram passes per cut (`kthSmallestByKey`),
+    * and the 2·d-row cut table broadcasts into the clip projection —
+    * the corpus is never shuffled. */
+  def winsorizeEmbeddings(emb: DataFrame, pLo: Double = 0.05,
+                          pHi: Double = 0.95,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(pLo > 0.0 && pHi <= 1.0 && pLo <= pHi,
+      s"need 0 < pLo <= pHi <= 1, got ($pLo, $pHi)")
+    val x = emb.select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .select(col(idCol), col("dim").cast("long").as("dim"),
+        col("__x").cast("double").as("x"))
+    val lo = graft.ops.Scale.kthSmallestByKey(x, "x", "dim", pLo)
+      .select(col("dim"), col("quantile").as("__lo"))
+    val hi = graft.ops.Scale.kthSmallestByKey(x, "x", "dim", pHi)
+      .select(col("dim"), col("quantile").as("__hi"))
+    x.join(broadcast(lo), Seq("dim")).join(broadcast(hi), Seq("dim"))
+      .select(col(idCol), col("dim"), col("x"),
+        greatest(least(col("x"), col("__hi")), col("__lo")).as("x_clipped"))
+  }
+
   /** Per-dimension exact discrete quantile of the embedding corpus —
     * the robust-scaling statistic (median / IQR bounds) that
     * [[dimStats]]' moments cannot give: one posexplode into the

@@ -228,6 +228,58 @@ object TextAnalysis {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Language-ID confidence margin — the curation gate on top of
+    * [[charNgramLangId]]'s argmax: how far the winning language's
+    * exact-decimal score sits above the runner-up's. Mixed-language
+    * and boilerplate-dominated documents land near zero margin; a
+    * pipeline routes them to review instead of trusting the label.
+    * Output (idCol, lang_true, lang_pred, runner_up, confident):
+    * `confident` compares the margin against `confidenceMargin` nats
+    * over the whole document (exact decimals both sides), and is true
+    * when no competitor language exists. The raw margin is NOT
+    * emitted — like q150's contract, ln's last-ulp wobble across
+    * engines makes the decision, not the 9th decimal, the portable
+    * surface. Same scale shape as [[charNgramLangId]]. */
+  def langIdMargin(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+                   textCol: String = "text", langCol: String = "lang",
+                   confidenceMargin: Double = 50.0,
+                   maxBroadcastProfileRows: Long = 4L << 20): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val t = col(textCol)
+    val base = docs.filter(length(t) >= n)
+    val dk = base.select(col(idCol), col(langCol).as("lang_true"),
+        explode(transform(sequence(lit(1), length(t) - (n - 1)),
+          i => t.substr(i, lit(n)))).as("ng"))
+      .groupBy(col(idCol), col("lang_true"), col("ng"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    val prof = dk.groupBy(col("lang_true").as("lang_cand"), col("ng"))
+      .agg(sum(col("k")).as("c"))
+      .localCheckpoint()
+    val scores = scoresUnderProfiles(dk, prof, idCol,
+      broadcastProf = prof.count() <= maxBroadcastProfileRows,
+      checkpointScores = true)
+    val pred = argmaxScores(scores, idCol)
+    val rest = scores
+      .join(pred.select(col(idCol), col("lang_pred"), col("score").as("__s1")),
+        Seq(idCol))
+      .filter(col("lang_cand") =!= col("lang_pred"))
+    val runner = rest
+      .groupBy(col(idCol), col("__s1"))
+      .agg(max(col("score")).as("__s2"))
+    val runnerLang = rest
+      .join(runner.select(col(idCol), col("__s2")), Seq(idCol))
+      .filter(col("score") === col("__s2"))
+      .groupBy(col(idCol)).agg(min(col("lang_cand")).as("runner_up"))
+    pred.join(runner, Seq(idCol), "left")
+      .join(runnerLang, Seq(idCol), "left")
+      .select(col(idCol), col("lang_true"), col("lang_pred"), col("runner_up"),
+        coalesce(
+          col("__s1") - col("__s2")
+            >= lit(confidenceMargin).cast("decimal(18,9)"),
+          lit(true)).as("confident"))
+  }
+
   /** The scoring half shared by the trained and pre-trained language-ID
     * entry points: Laplace per-occurrence scores with the unseen floor,
     * exact-decimal argmax, ties to min language. `dk` is the per-(doc,
@@ -237,7 +289,16 @@ object TextAnalysis {
   private def scoreUnderProfiles(dk: DataFrame, prof: DataFrame,
                                  idCol: String,
                                  broadcastProf: Boolean,
-                                 checkpointScores: Boolean = true): DataFrame = {
+                                 checkpointScores: Boolean = true): DataFrame =
+    argmaxScores(scoresUnderProfiles(dk, prof, idCol, broadcastProf,
+      checkpointScores), idCol)
+
+  /** The (idCol, lang_true, lang_cand, score) table under `prof` —
+    * shared by the argmax classifiers and the margin gate. */
+  private def scoresUnderProfiles(dk: DataFrame, prof: DataFrame,
+                                  idCol: String,
+                                  broadcastProf: Boolean,
+                                  checkpointScores: Boolean): DataFrame = {
     val ltot = prof.groupBy("lang_cand").agg(sum(col("c")).as("tot"))
       .withColumn("__k", lit(1))
     val vsize = prof.select("ng").distinct().agg(count(lit(1)).as("V"))
@@ -273,7 +334,12 @@ object TextAnalysis {
     // and saves the join re-run. The pre-trained path keeps FULL scan
     // lineage instead — a |docs|x|langs| materialization to save one
     // shuffle-stage reuse is the wrong trade at corpus scale.
-    val scoresM = if (checkpointScores) scores.localCheckpoint() else scores
+    if (checkpointScores) scores.localCheckpoint() else scores
+  }
+
+  /** Exact-decimal argmax over a score table: max score per doc, ties
+    * to the lexicographically smallest language. */
+  private def argmaxScores(scoresM: DataFrame, idCol: String): DataFrame = {
     val best = scoresM.groupBy(col(idCol))
       .agg(max(col("score")).as("__best"))
     scoresM.join(best, Seq(idCol))
@@ -561,6 +627,53 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
       size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
       md5(redactPii(col(textCol))).as("redacted_hash"))
+
+  /** Credential/secret candidate scan — the redaction tier [[piiStats]]'
+    * fixed patterns can't reach: leaked API keys, tokens and hashes are
+    * high-ENTROPY strings, not format-matched ones. Every token of at
+    * least `minLen` chars is scored by its character Shannon entropy in
+    * nats, kept DIVISION-FREE for cross-engine exactness: the emitted
+    * `score` is `Σ_c cnt_c · round(ln(n/cnt_c), 9)` (an exact decimal =
+    * n·H), and the flag compares it against `entropyPerChar · n` — both
+    * sides exact decimals, so the threshold decision is engine-identical
+    * (the DSIR/PSI ln recipe; no double division anywhere). Alongside,
+    * two structural tells with RE2-safe regexes (anchored classes +
+    * counted repetition only): hex-blob and base64-ish runs.
+    *
+    * Scale shape: narrow — per-token char counts come from an O(k²)
+    * in-row fold over the token's own ≤k distinct chars (no char-level
+    * explode, no shuffle); the only movement is whatever the caller
+    * does with the flagged rows. Output
+    * (idCol, pos, token, n, score, high_entropy, looks_hex, looks_b64). */
+  def secretScan(docs: DataFrame, minLen: Int = 16,
+                 entropyPerChar: Double = 3.0,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val dec = "decimal(28,9)"
+    val tok = col("token")
+    val chars = transform(sequence(lit(1), length(tok)), i => tok.substr(i, lit(1)))
+    val n = length(tok)
+    val score = aggregate(
+      array_distinct(chars), lit(BigDecimal(0)).cast(dec),
+      (acc: Column, c: Column) => {
+        val cnt = size(filter(chars, x => x === c))
+        (acc + cnt.cast("decimal(10,0)")
+          * round(log(n.cast("double") / cnt), 9).cast("decimal(18,9)")).cast(dec)
+      })
+    docs
+      .select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos0", "token")))
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"), tok)
+      .filter(length(tok) >= minLen)
+      .select(col(idCol), col("pos"), tok,
+        n.cast("long").as("n"), score.as("score"))
+      .withColumn("high_entropy",
+        col("score") > (lit(entropyPerChar).cast("decimal(18,9)")
+          * col("n")).cast("decimal(28,9)"))
+      .withColumn("looks_hex", tok.rlike(s"^[0-9a-fA-F]{$minLen,}$$"))
+      .withColumn("looks_b64", tok.rlike(s"^[A-Za-z0-9+/=]{$minLen,}$$"))
+  }
 
   /** Deterministic hash-based train/test assignment: first md5 nibble of
     * the id string < `trainNibbles` (of 16) → "train". Stable across

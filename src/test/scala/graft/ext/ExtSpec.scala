@@ -33,6 +33,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.values.forall(_._2))
   }
 
+  test("secretScan: entropy score is n*H exactly; structural tells fire; short tokens absent") {
+    val d = Seq(
+      (1L, "hello aK9xQz2mPw4rT7vB deadbeefcafe1234 QUJDRDEyMzQ1Njc4OTA= aaaaaaaaaaaaaaaa"),
+      (2L, "short toks only")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.secretScan(d, minLen = 16, entropyPerChar = 2.5)
+      .collect().map(r => r.getAs[String]("token") -> r).toMap
+    assert(!out.contains("hello") && !out.contains("short"))
+    // 16 distinct chars: score = 16 * round(ln 16, 9); below the 2.5 bar
+    val mixed = out("aK9xQz2mPw4rT7vB")
+    val ln16 = BigDecimal(math.log(16.0)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    assert(BigDecimal(mixed.getAs[java.math.BigDecimal]("score")) == ln16 * 16)
+    assert(mixed.getAs[Boolean]("high_entropy")) // ln 16 ≈ 2.773 > 2.5
+    val uniform = out("aaaaaaaaaaaaaaaa") // one char: H = 0
+    assert(BigDecimal(uniform.getAs[java.math.BigDecimal]("score")) == 0)
+    assert(!uniform.getAs[Boolean]("high_entropy"))
+    assert(out("deadbeefcafe1234").getAs[Boolean]("looks_hex"))
+    assert(!out("deadbeefcafe1234").getAs[Boolean]("high_entropy")) // 11 distinct
+    assert(out("QUJDRDEyMzQ1Njc4OTA=").getAs[Boolean]("looks_b64"))
+    assert(!out("aK9xQz2mPw4rT7vB").getAs[Boolean]("looks_hex"))
+  }
+
+  test("langIdMargin: separable docs confident, a balanced-mix doc is not; runner-up labeled") {
+    val d = Seq(
+      (1L, "the cat and the dog and the cat and the dog", "en"),
+      (2L, "the dog and the cat and the dog too they and", "en"),
+      (3L, "der hund und die katze und der hund die und", "de"),
+      (4L, "die katze und der hund und die katze der und", "de"),
+      (5L, "der cat und dog die the hund and", "en") // half German tokens
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langIdMargin(d, confidenceMargin = 15.0)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("lang_pred"), r.getAs[String]("runner_up"),
+          r.getAs[Boolean]("confident")))).toMap
+    assert(out.size == 5)
+    // pure docs: own language wins over a real runner-up, confidently
+    assert(out(1L)._1 == "en" && out(3L)._1 == "de")
+    assert(out(1L)._2 == "de" && out(3L)._2 == "en")
+    assert(out(1L)._3 && out(2L)._3 && out(3L)._3 && out(4L)._3)
+    // the balanced-mix doc still argmaxes to a label, but its margin
+    // over the other language is thin — the gate routes it to review
+    assert(!out(5L)._3, s"mixed doc should not clear a 15-nat margin: ${out(5L)}")
+  }
+
   test("charNgramLangId: broadcast and shuffle profile-join forms are bit-equal") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     def canon(df: org.apache.spark.sql.DataFrame) = df
@@ -975,6 +1019,25 @@ class SimilaritySpec extends SparkSpec {
       val sims = sorted.map(_._3).toSeq
       assert(sims == sims.sorted(Ordering[Double].reverse))
     }
+  }
+
+  test("winsorizeEmbeddings clips at the exact order statistics; inliers untouched") {
+    // dim 0: one huge outlier among 20 values; dim 1: constant
+    val rows = (1L to 20L).map { i =>
+      val x0 = if (i == 20) 1000.0f else i.toFloat
+      (i, Array(x0, 5.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.winsorizeEmbeddings(df, pLo = 0.10, pHi = 0.90)
+      .as[(Long, Long, Double, Double)].collect()
+      .groupBy(_._2)
+    // k = ceil(p*20): lo = 2nd smallest = 2.0, hi = 18th = 18.0
+    val d0 = out(0L).map(r => r._1 -> (r._3, r._4)).toMap
+    assert(d0(20L) == ((1000.0, 18.0)), "outlier clipped to the 0.90 cut")
+    assert(d0(1L) == ((1.0, 2.0)), "low tail clipped to the 0.10 cut")
+    assert(d0(10L) == ((10.0, 10.0)), "inlier untouched")
+    // constant dim: quantiles equal the constant, nothing moves
+    assert(out(1L).forall(r => r._3 == 5.0 && r._4 == 5.0))
   }
 
   test("knnGraphLsh: top-k aggregates map-side — no Window over the candidate join") {
