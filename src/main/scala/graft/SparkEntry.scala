@@ -1182,6 +1182,38 @@ object SparkEntry {
     "q166_source_lm_fit" -> ((s, dir) =>
       Corpus.sourceBigramFit(t(s, dir, "documents"))
         .orderBy("source")),
+    // per-source vocabulary census: types, hapax, exact ratios —
+    // the Heaps'-law / OCR-garbage health report
+    "q167_vocab_growth" -> ((s, dir) =>
+      Corpus.vocabularyGrowth(t(s, dir, "documents"))
+        .orderBy("source")),
+    // Good-Turing count-of-counts over the corpus bigram table
+    "q168_count_of_counts" -> ((s, dir) =>
+      Corpus.countOfCounts(t(s, dir, "documents"))
+        .orderBy("c")),
+    // exact-integer lazy PageRank over the LSH candidate graph —
+    // near-dup hub centrality, bit-identical in any engine
+    "q169_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.candidatePairs(
+        Dedup.lshBands(Dedup.minhash(docs, k = 6), bands = 3, rowsPerBand = 2))
+      Dedup.pagerankCentrality(pairs, docs).orderBy("doc_id")
+    }),
+    // shard manifest: per-shard counts + order-free id checksum
+    "q170_shard_manifest" -> ((s, dir) =>
+      Corpus.shardManifest(t(s, dir, "documents"), nShards = 8)
+        .orderBy("shard")),
+    // char-bigram entropy compressibility proxy (n·H exact decimals)
+    "q171_compressibility" -> ((s, dir) =>
+      TextAnalysis.compressibility(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+    // duplicate-cluster source census: mirror vs boilerplate report
+    "q172_cluster_sources" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.candidatePairs(
+        Dedup.lshBands(Dedup.minhash(docs, k = 6), bands = 3, rowsPerBand = 2))
+      Dedup.clusterSourceCensus(docs, pairs).orderBy("comp")
+    }),
     // format-aware payload fingerprint: a FULL synthesized PNG whose
     // tEXt chunk varies by source but whose IDAT stream is the text
     // bytes — the fingerprint must hash ONLY the IDAT content, so the
@@ -2804,6 +2836,61 @@ object SparkEntry {
         |FROM x JOIN lo USING (dim) JOIN hi USING (dim)
         |ORDER BY vec_id, dim""".stripMargin,
 
+    "q167_vocab_growth" ->
+      """WITH w AS (
+        |  SELECT source, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+        |  FROM documents),
+        |c AS (SELECT source, word, count(*) AS c FROM w GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_types,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST(count(*) AS DOUBLE) / SUM(c) AS type_token,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS hapax_ratio
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "q168_count_of_counts" ->
+      """WITH b AS (
+        |  SELECT unnest(list_transform(
+        |      generate_series(1, len(tl) - 1),
+        |      i -> tl[i] || ' ' || tl[i + 1])) AS ng
+        |  FROM (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS tl
+        |        FROM documents)),
+        |pc AS (SELECT ng, count(*) AS c FROM b GROUP BY 1)
+        |SELECT c, count(*) AS n_c FROM pc GROUP BY c ORDER BY c""".stripMargin,
+
+    "q169_pagerank" -> pagerankOracle(5),
+    "q170_shard_manifest" -> shardManifestOracle(8),
+
+    "q171_compressibility" ->
+      """WITH bg AS (
+        |  SELECT doc_id, substr(text, i, 2) AS bg
+        |  FROM documents, unnest(generate_series(1, len(text) - 1)) AS t(i)
+        |  WHERE len(text) >= 2),
+        |c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1)
+        |SELECT c.doc_id, n.n AS n_bigrams,
+        |  CAST(SUM(CAST(c.c AS DECIMAL(10,0))
+        |    * CAST(round(ln(CAST(n.n AS DOUBLE) / c.c), 9) AS DECIMAL(18,9)))
+        |    AS DECIMAL(28,9)) AS score
+        |FROM c JOIN n USING (doc_id)
+        |GROUP BY c.doc_id, n.n ORDER BY doc_id""".stripMargin,
+
+    "q172_cluster_sources" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS id, dst AS r FROM edges
+         |  UNION
+         |  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+         |comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+         |m AS (SELECT comp.comp, d.source FROM comp
+         |      JOIN documents d ON d.doc_id = comp.id),
+         |cs AS (SELECT comp, source, count(*) AS n FROM m GROUP BY 1, 2)
+         |SELECT comp, CAST(SUM(n) AS BIGINT) AS n_docs, count(*) AS n_sources
+         |FROM cs GROUP BY comp ORDER BY comp""".stripMargin,
+
     // q70's bigram model rolled up per source; exact decimal sums
     "q166_source_lm_fit" ->
       """WITH b AS (
@@ -3754,6 +3841,30 @@ object SparkEntry {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** q170 oracle: the q142 shard assignment rolled up with an
+    * order-free id checksum — the 12-hex-digit md5 prefix decoded by
+    * nibble arithmetic, summed as DECIMAL(38,0). */
+  private def shardManifestOracle(nShards: Int): String = {
+    def nib(h: String, i: Int) =
+      s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)"
+    val sh = "md5('shard|' || CAST(doc_id AS VARCHAR))"
+    val shard = s"(${nib(sh, 1)} * 4096 + ${nib(sh, 2)} * 256 + " +
+      s"${nib(sh, 3)} * 16 + ${nib(sh, 4)}) % $nShards"
+    val h = "md5(CAST(doc_id AS VARCHAR))"
+    val checksum = (1 to 12)
+      .map(i => s"CAST(${nib(h, i)} AS HUGEINT) * ${BigInt(16).pow(12 - i)}")
+      .mkString(" + ")
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    CAST($shard AS BIGINT) AS shard,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n,
+       |    ($checksum) AS ch
+       |  FROM documents)
+       |SELECT shard, count(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(ch) AS DECIMAL(38,0)) AS id_checksum
+       |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   private def bpeEncodeOracle(numMerges: Int, maxDocId: Long): String =
     s"""WITH ${bpeCtes(numMerges)},
        |tok AS (SELECT doc_id, x.pos AS pos, x.word AS word FROM (
@@ -4145,6 +4256,35 @@ object SparkEntry {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** q169 oracle: the exact-integer lazy PageRank unrolled — one CTE
+    * block per iteration, pure BIGINT `//` arithmetic (distribute
+    * `mass·85 div 100` across neighbors, retain the rest plus the
+    * division remainders), over the q48 LSH candidate graph. */
+  private def pagerankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""sh$k AS (
+         |  SELECT r.id, r.mass, coalesce(d.deg, 0) AS deg,
+         |    CASE WHEN coalesce(d.deg, 0) > 0 THEN (r.mass * 85) // 100 ELSE 0 END AS dist,
+         |    CASE WHEN coalesce(d.deg, 0) > 0
+         |      THEN ((r.mass * 85) // 100) // d.deg ELSE 0 END AS share
+         |  FROM r${k - 1} r LEFT JOIN deg d ON d.id = r.id),
+         |infl$k AS (SELECT e.dst AS id, SUM(s.share) AS inm
+         |           FROM dir e JOIN sh$k s ON s.id = e.src GROUP BY 1),
+         |r$k AS (
+         |  SELECT s.id,
+         |    s.mass - s.dist + (s.dist - s.share * s.deg) + coalesce(i.inm, 0) AS mass
+         |  FROM sh$k s LEFT JOIN infl$k i ON i.id = s.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $lshPairsCtes,
+       |dir AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |deg AS (SELECT src AS id, count(*) AS deg FROM dir GROUP BY 1),
+       |r0 AS (SELECT doc_id AS id, CAST(1000000000 AS BIGINT) AS mass FROM documents),
+       |$steps
+       |SELECT id AS doc_id, CAST(mass AS BIGINT) AS mass
+       |FROM r$iters ORDER BY doc_id""".stripMargin
   }
 
   /** q75 oracle: exact Levenshtein over the same candidate pairs. */

@@ -95,6 +95,86 @@ object Corpus {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** Per-source vocabulary-growth census — the corpus-health report
+    * behind Heaps'-law checks: token count, type (distinct-word)
+    * count, hapax count (words occurring exactly once IN THAT
+    * source), and the exact type/token and hapax/type ratios. An
+    * outlier hapax ratio is the classic OCR-garbage / mojibake /
+    * boilerplate-explosion signal — broken text mints endless
+    * one-off "words", template text mints almost none.
+    *
+    * Scale shape: ONE map-side-combined group-by collapses the token
+    * stream to (source, word, c) — vocabulary-bounded per source —
+    * then a source-keyed roll-up; `count(*)` over that table IS the
+    * type count and `c = 1` the hapax count, so there is no
+    * countDistinct state anywhere. Ratios are single exact-input
+    * double divisions (the q70 avg contract). Output
+    * (source, n_tokens, n_types, n_hapax, type_token, hapax_ratio). */
+  def vocabularyGrowth(docs: DataFrame, textCol: String = "text",
+                       sourceCol: String = "source"): DataFrame =
+    docs.select(col(sourceCol).as("source"),
+        explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens")).as("type_token"),
+        (col("n_hapax").cast("double") / col("n_types")).as("hapax_ratio"))
+
+  /** Count-of-counts table over the corpus bigram model — the
+    * Good-Turing / Kneser-Ney smoothing-estimation input: for each
+    * raw bigram count c, how many distinct bigrams occur exactly c
+    * times (N_c). Discount estimation (`D = n1/(n1+2·n2)` and
+    * friends) reads the first few rows; the whole table doubles as a
+    * model-health curve (a missing n1 bulge means the corpus was
+    * dedup-scrubbed hard). All-integer — exact in any engine.
+    *
+    * Scale shape: occurrence stream → model-sized pair table → the
+    * ≤ max(c) row count-of-count roll-up; two map-side-combined
+    * shuffles, nothing corpus-sized survives the first. Output
+    * (c, n_c). */
+  def countOfCounts(docs: DataFrame, n: Int = 2,
+                    textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    docs.select(
+        explode(graft.functions.TokenNgrams(TextAnalysis.tokens(col(textCol)), n))
+          .as("ng"))
+      .groupBy(col("ng")).agg(count(lit(1)).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("n_c"))
+  }
+
+  /** Shard manifest with order-free integrity checksums — what a
+    * training run hands the loader next to the shards themselves:
+    * per shard, doc/token counts and an id checksum any reader can
+    * recompute to prove it got every document exactly once. The
+    * checksum is the SUM of a 12-hex-digit md5 prefix per id,
+    * accumulated as DECIMAL(38,0) — associative, order-free, exact,
+    * so no id list is ever collected and a billion-doc shard sums
+    * without overflow (content-level integrity stays with the
+    * per-doc fingerprints; this manifest proves the SET of ids).
+    * Built on [[shuffleShards]]' deterministic assignment. Output
+    * (shard, n_docs, n_tokens, id_checksum).
+    *
+    * Scale shape: the shard assignment is narrow; the manifest is one
+    * map-side-combined roll-up onto nShards rows. */
+  def shardManifest(docs: DataFrame, nShards: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val idHash = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("decimal(38,0)")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val perDoc = docs.select(col(idCol), size(toks).cast("long").as("__n"))
+      .join(shuffleShards(docs, nShards, idCol).select(col(idCol), col("shard")),
+        Seq(idCol))
+    perDoc.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_tokens"),
+        sum(idHash).cast("decimal(38,0)").as("id_checksum"))
+  }
+
   /** Inverted index over the corpus: one posting row per distinct
     * (token, doc) — the search-side structure a document lake
     * materializes once so lookups never rescan text. Partitioned by

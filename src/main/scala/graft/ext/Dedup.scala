@@ -352,6 +352,83 @@ object Dedup {
     labels.select(col("id").as(idCol), col("comp"))
   }
 
+  /** Duplicate-cluster source census — the mirror/aggregator report
+    * at CLUSTER grain ([[dedupBurden]]'s source-grain sibling): for
+    * every connected component of the near-dup graph, its size, how
+    * many distinct sources its members span, and the representative.
+    * A large cluster spanning many sources is a cross-site mirror; a
+    * large single-source cluster is internal boilerplate — the two
+    * need different curation responses. Distinct-source counting is a
+    * two-level exact aggregation (comp, source) → comp, never
+    * countDistinct state. Output (comp, n_docs, n_sources).
+    *
+    * Scale shape: CC state bounded by the pair list; membership joins
+    * the docs table once; both roll-ups are map-side-combined. */
+  def clusterSourceCensus(docs: DataFrame, pairs: DataFrame,
+                          idCol: String = "doc_id",
+                          sourceCol: String = "source"): DataFrame = {
+    val comps = connectedComponents(pairs, idCol = idCol)
+    val members = comps.join(
+      docs.select(col(idCol), col(sourceCol).as("source")), Seq(idCol))
+    members.groupBy(col("comp"), col("source"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("comp"))
+      .agg(sum(col("__n")).as("n_docs"), count(lit(1)).as("n_sources"))
+  }
+
+  /** Exact-integer lazy PageRank over an undirected pair list —
+    * graph centrality for corpus curation: in the near-dup candidate
+    * graph, high-mass nodes are the template/mirror HUBS (the page
+    * every boilerplate variant links to); in a mutual-kNN graph they
+    * are cluster centers worth keeping as representatives. The
+    * variant is LAZY PageRank: per step each node distributes
+    * `(mass·dampNum) div 100` across its neighbors by integer
+    * division and RETAINS the rest (teleport-to-self instead of
+    * uniform teleport) plus the division remainders — so every step
+    * is pure int64 arithmetic, mass is conserved exactly, and the
+    * result is bit-identical in any engine, under any partitioning
+    * (the connectedComponents determinism bar; float PR sums would
+    * be order-dependent). Ranking quality matches standard PR to
+    * within 1/startMass. Isolated nodes keep their full mass.
+    *
+    * Scale shape: state is one (node, mass) table; each of the fixed
+    * `iters` rounds is a degree join + an edge join + one keyed
+    * roll-up, lineage cut per round (the CC driver-loop contract).
+    * Output (idCol, mass). */
+  def pagerankCentrality(pairs: DataFrame, nodes: DataFrame,
+                         iters: Int = 5, dampNum: Int = 85,
+                         startMass: Long = 1000000000L,
+                         idCol: String = "doc_id"): DataFrame = {
+    require(iters >= 0 && dampNum >= 0 && dampNum <= 100 && startMass > 0,
+      s"bad pagerank params (iters=$iters, dampNum=$dampNum, startMass=$startMass)")
+    val dir = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    val deg = dir.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var ranks = nodes.select(col(idCol).as("id")).distinct()
+      .withColumn("mass", lit(startMass))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val st = ranks.join(deg, Seq("id"), "left")
+        .select(col("id"), col("mass"), coalesce(col("deg"), lit(0L)).as("deg"))
+        .withColumn("dist",
+          when(col("deg") > 0, expr(s"(mass * $dampNum) div 100")).otherwise(lit(0L)))
+        .withColumn("share", when(col("deg") > 0, expr("dist div deg")).otherwise(lit(0L)))
+      val inflow = dir
+        .join(st.select(col("id").as("src"), col("share")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("share")).as("in"))
+      ranks = st
+        .join(inflow, Seq("id"), "left")
+        .select(col("id"),
+          (col("mass") - col("dist")                       // retained
+            + (col("dist") - col("share") * col("deg"))    // div remainder
+            + coalesce(col("in"), lit(0L))).as("mass"))
+        .localCheckpoint()
+    }
+    ranks.select(col("id").as(idCol), col("mass"))
+  }
+
   /** Exact edit-distance verification of candidate pairs — the last
     * filter before declaring two documents duplicates when Jaccard is
     * too coarse (small edits inside shared shingles). Levenshtein is

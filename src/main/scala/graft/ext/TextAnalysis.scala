@@ -628,6 +628,37 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
       md5(redactPii(col(textCol))).as("redacted_hash"))
 
+  /** Per-document compressibility proxy — the Gopher-family
+    * "compresses too well" filter without a codec: character-bigram
+    * Shannon entropy, emitted division-free as the exact decimal
+    * `score = Σ_bg cnt·round(ln(n/cnt), 9)` (= n·H nats, the
+    * [[secretScan]] recipe at document scope). Template/boilerplate
+    * pages and stutter-corrupted text repeat the same few character
+    * transitions, so their per-char score collapses; random noise
+    * maxes it. Threshold on `score` vs `k·n` (both exact) or rank by
+    * `score/n` downstream. Output (idCol, n_bigrams, score).
+    *
+    * Scale shape: one (doc, bigram)-keyed map-side-combined count
+    * (bounded per doc by its distinct transitions), the per-doc total
+    * joined back by id, one roll-up. No windows, nothing corpus-wide. */
+  def compressibility(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val cnts = docs.filter(length(t) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), length(t) - 1),
+          i => t.substr(i, lit(2)))).as("bg"))
+      .groupBy(col(idCol), col("bg"))
+      .agg(count(lit(1)).as("c"))
+    val totals = cnts.groupBy(col(idCol)).agg(sum(col("c")).as("n"))
+    cnts.join(totals, Seq(idCol))
+      .groupBy(col(idCol), col("n"))
+      .agg(sum(col("c").cast("decimal(10,0)")
+          * round(log(col("n").cast("double") / col("c")), 9)
+            .cast("decimal(18,9)")).cast("decimal(28,9)").as("score"))
+      .select(col(idCol), col("n").as("n_bigrams"), col("score"))
+  }
+
   /** Credential/secret candidate scan — the redaction tier [[piiStats]]'
     * fixed patterns can't reach: leaked API keys, tokens and hashes are
     * high-ENTROPY strings, not format-matched ones. Every token of at

@@ -382,6 +382,42 @@ class CorpusSpec extends SparkSpec {
     assert(e.getMessage.contains("cannot cover"), e.getMessage)
   }
 
+  test("shardManifest: counts and order-free checksum invariant under partitioning") {
+    val d = docs((1L to 40L).map(i => (i, s"tok$i words here", "s")): _*)
+    val m1 = Corpus.shardManifest(d, nShards = 4)
+      .as[(Long, Long, Long, java.math.BigDecimal)].collect().sortBy(_._1)
+    assert(m1.map(_._2).sum == 40L)
+    assert(m1.map(_._3).sum == 120L) // 3 tokens per doc
+    val m2 = Corpus.shardManifest(d.repartition(13), nShards = 4)
+      .as[(Long, Long, Long, java.math.BigDecimal)].collect().sortBy(_._1)
+    assert(m1.toSeq == m2.toSeq, "manifest must not depend on physical layout")
+    // dropping a doc changes exactly its shard's checksum
+    val m3 = Corpus.shardManifest(d.filter(col("doc_id") =!= 7L), nShards = 4)
+      .as[(Long, Long, Long, java.math.BigDecimal)].collect().sortBy(_._1)
+    assert(m1.map(r => (r._1, r._4)).toSet != m3.map(r => (r._1, r._4)).toSet)
+  }
+
+  test("vocabularyGrowth: exact type/token/hapax census per source") {
+    val d = docs(
+      (1L, "a a b b c", "s1"),   // s1: 5 tokens, 3 types, hapax {c}
+      (2L, "a c c", "s1"),       // joined: 8 tokens, 3 types, hapax {b}? no — b twice in doc1
+      (3L, "x y", "s2"))         // s2: 2 tokens, 2 types, 2 hapax
+    val out = Corpus.vocabularyGrowth(d)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // s1 counts: a=3, b=2, c=3 → 8 tokens, 3 types, 0 hapax
+    assert(out("s1") == (("s1", 8L, 3L, 0L, 3.0 / 8, 0.0)))
+    assert(out("s2") == (("s2", 2L, 2L, 2L, 1.0, 1.0)))
+  }
+
+  test("countOfCounts: Good-Turing N_c table over bigrams") {
+    val d = docs((1L, "a b a b c", "s"), (2L, "a b x", "s"))
+    // bigrams: doc1: (a b),(b a),(a b),(b c); doc2: (a b),(b x)
+    // counts: "a b"=3, "b a"=1, "b c"=1, "b x"=1 → N_1=3, N_3=1
+    val out = Corpus.countOfCounts(d).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 3L -> 1L))
+  }
+
   test("unigramEncode: dense piece-ASC ids, segmentation preserved") {
     val d = docs((1L, "aaab aaab b", "s"))
     val vocab = Corpus.unigramSeedVocab(d, maxPieceLen = 3, vocabSize = 5)

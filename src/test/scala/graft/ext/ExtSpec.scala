@@ -33,6 +33,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.values.forall(_._2))
   }
 
+  test("compressibility: repetitive text collapses, diverse text scores high; exact n*H") {
+    val d = Seq(
+      (1L, "abababababababab"),  // 15 bigrams: ab x8, ba x7
+      (2L, "abcdefghijklmnop"),  // 15 distinct bigrams: H = ln 15
+      (3L, "x")                  // too short — absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.compressibility(d)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), BigDecimal(r.getAs[java.math.BigDecimal]("score")))).toMap
+    assert(!out.contains(3L))
+    assert(out(1L)._1 == 15L && out(2L)._1 == 15L)
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    // doc1: 8*ln(15/8) + 7*ln(15/7); doc2: 15*ln(15)
+    assert(out(1L)._2 == r9(math.log(15.0 / 8)) * 8 + r9(math.log(15.0 / 7)) * 7)
+    assert(out(2L)._2 == r9(math.log(15.0)) * 15)
+    assert(out(1L)._2 < out(2L)._2)
+  }
+
   test("secretScan: entropy score is n*H exactly; structural tells fire; short tokens absent") {
     val d = Seq(
       (1L, "hello aK9xQz2mPw4rT7vB deadbeefcafe1234 QUJDRDEyMzQ1Njc4OTA= aaaaaaaaaaaaaaaa"),
@@ -746,6 +764,33 @@ class DedupSpec extends SparkSpec {
     // untouched and empty docs pass through (whitespace-normalized)
     assert(m(3L) == ((3L, "totally unrelated text here", 0L)))
     assert(m(4L) == ((4L, "", 0L)))
+  }
+  test("clusterSourceCensus: cross-source mirror vs single-source boilerplate") {
+    val docs = Seq(
+      (1L, "a", "s1"), (2L, "a", "s2"), (3L, "a", "s3"), // mirror across 3 sources
+      (10L, "b", "s1"), (11L, "b", "s1"),                // internal boilerplate
+      (20L, "c", "s9"))                                  // unpaired: absent
+    .toDF("doc_id", "text", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val byComp = Dedup.clusterSourceCensus(docs, pairs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byComp == Map(1L -> ((3L, 3L)), 10L -> ((2L, 1L))))
+  }
+
+  test("pagerankCentrality: mass conserved exactly; hub outranks leaves; isolated keeps start") {
+    // star: 1 at the center of 2,3,4; isolated node 9
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
+    val out = Dedup.pagerankCentrality(pairs, nodes, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(out.values.sum == 5L * 1000000000L, "mass must be conserved exactly")
+    assert(out(9L) == 1000000000L, "isolated node keeps its start mass")
+    assert(out(1L) > out(2L), "the hub must out-mass its leaves")
+    assert(out(2L) == out(3L) && out(3L) == out(4L), "symmetric leaves tie exactly")
+    // determinism across partitionings: a repartitioned run is bit-equal
+    val out2 = Dedup.pagerankCentrality(pairs.repartition(7), nodes.repartition(3), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(out == out2)
   }
 }
 
