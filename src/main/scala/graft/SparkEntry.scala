@@ -1214,6 +1214,87 @@ object SparkEntry {
         Dedup.lshBands(Dedup.minhash(docs, k = 6), bands = 3, rowsPerBand = 2))
       Dedup.clusterSourceCensus(docs, pairs).orderBy("comp")
     }),
+    // REAL PCM decode: synthesized canonical 16-bit mono WAVs, stats
+    // recovered sample-by-sample from the bytes; the oracle recomputes
+    // the builder formulas arithmetically
+    "q173_wav_stats" -> ((s, dir) => {
+      def leHex(v: Column, nBytes: Int): Column = concat(
+        (0 until nBytes).map(i =>
+          lpad(hex(pmod(floor(v / math.pow(256, i)).cast("long"), lit(256L))), 2, "0")): _*)
+      val n = (col("doc_id") % 32 + 64).cast("long")         // samples
+      val sr = (col("doc_id") % 3 * 8000 + 16000).cast("long") // rate
+      val dataLen = n * 2
+      val samples = array_join(transform(sequence(lit(0L), n - 1),
+        ii => leHex(pmod(col("doc_id") * 31 + ii * 17, lit(65536L)), 2)), "")
+      val payload = unhex(concat(
+        lit("52494646"), leHex(dataLen + 36L, 4), lit("57415645"),
+        lit("666D7420"), leHex(lit(16L), 4), leHex(lit(1L), 2), leHex(lit(1L), 2),
+        leHex(sr, 4), leHex(sr * 2, 4), leHex(lit(2L), 2), leHex(lit(16L), 2),
+        lit("64617461"), leHex(dataLen, 4), samples))
+      // materialize the synthesized payloads: every byte probe below
+      // would otherwise inline (and recompute) the hex-build tree
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), payload.as("payload"))
+        .localCheckpoint()
+      media.select(col("media_id"),
+          Multimodal.wavAudioStats(col("payload")).as("a"))
+        .select(col("media_id"), col("a.duration_ms"), col("a.n_prefix"),
+          col("a.peak_abs"), col("a.sum_abs"))
+        .orderBy("media_id")
+    }),
+    // REAL pixel decode: 16×16 24-bit BMPs with formula pixels, the
+    // perceptual dHash recovered from the decoded bytes — the oracle
+    // computes the same 64 gradient bits from the formula directly
+    "q174_bmp_dhash" -> ((s, dir) => {
+      def leHex(v: Column, nBytes: Int): Column = concat(
+        (0 until nBytes).map(i =>
+          lpad(hex(pmod(floor(v / math.pow(256, i)).cast("long"), lit(256L))), 2, "0")): _*)
+      // pixel value v(x, y) = (doc_id*7 + x*13 + y*31) % 256, b=g=r=v;
+      // rows stored bottom-up, stride 48 (16·3, already 4-aligned)
+      val rows = array_join(transform(sequence(lit(15L), lit(0L), lit(-1L)), y =>
+        array_join(transform(sequence(lit(0L), lit(15L)), x =>
+          repeat(lpad(hex(pmod(col("doc_id") * 7 + x * 13 + y * 31, lit(256L))), 2, "0"), 3)),
+          "")), "")
+      val payload = unhex(concat(
+        lit("424D"), leHex(lit(822L), 4), lit("00000000"), leHex(lit(54L), 4),
+        leHex(lit(40L), 4), leHex(lit(16L), 4), leHex(lit(16L), 4),
+        leHex(lit(1L), 2), leHex(lit(24L), 2), leHex(lit(0L), 4),
+        leHex(lit(768L), 4), leHex(lit(2835L), 4), leHex(lit(2835L), 4),
+        leHex(lit(0L), 4), leHex(lit(0L), 4), rows))
+      // materialize first: the dHash reads ~400 byte positions and the
+      // hex-build tree inlined into each would explode the plan
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), payload.as("payload"))
+        .localCheckpoint()
+      media.select(col("media_id"),
+          Multimodal.bmpMeta(col("payload")).as("m"),
+          Multimodal.bmpDhash(col("payload")).as("dhash"))
+        .select(col("media_id"), col("m.width").as("width"),
+          col("m.height").as("height"), col("dhash"))
+        .orderBy("media_id")
+    }),
+    // perceptual image near-dup end to end on real pixels: 25
+    // repeating BMP patterns → dHash → pigeonhole-blocked pairs
+    "q175_image_neardup" -> ((s, dir) => {
+      def leHex(v: Column, nBytes: Int): Column = concat(
+        (0 until nBytes).map(i =>
+          lpad(hex(pmod(floor(v / math.pow(256, i)).cast("long"), lit(256L))), 2, "0")): _*)
+      val pat = pmod(col("doc_id"), lit(25L))
+      val rows = array_join(transform(sequence(lit(15L), lit(0L), lit(-1L)), y =>
+        array_join(transform(sequence(lit(0L), lit(15L)), x =>
+          repeat(lpad(hex(pmod(pat * 7 + x * 13 + y * 31, lit(256L))), 2, "0"), 3)),
+          "")), "")
+      val payload = unhex(concat(
+        lit("424D"), leHex(lit(822L), 4), lit("00000000"), leHex(lit(54L), 4),
+        leHex(lit(40L), 4), leHex(lit(16L), 4), leHex(lit(16L), 4),
+        leHex(lit(1L), 2), leHex(lit(24L), 2), leHex(lit(0L), 4),
+        leHex(lit(768L), 4), leHex(lit(2835L), 4), leHex(lit(2835L), 4),
+        leHex(lit(0L), 4), leHex(lit(0L), 4), rows))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), payload.as("payload"))
+        .localCheckpoint()
+      Multimodal.imageNearDupPairs(media).orderBy("doc_a", "doc_b")
+    }),
     // format-aware payload fingerprint: a FULL synthesized PNG whose
     // tEXt chunk varies by source but whose IDAT stream is the text
     // bytes — the fingerprint must hash ONLY the IDAT content, so the
@@ -2861,6 +2942,30 @@ object SparkEntry {
     "q169_pagerank" -> pagerankOracle(5),
     "q170_shard_manifest" -> shardManifestOracle(8),
 
+    // the WAV builder formulas recomputed arithmetically: duration =
+    // dataLen·1000 // byteRate, signed-PCM16 |amplitude| stats over
+    // the 256-sample prefix
+    "q173_wav_stats" ->
+      """WITH p AS (
+        |  SELECT doc_id, (doc_id % 32 + 64) AS n,
+        |    (doc_id % 3 * 8000 + 16000) AS sr
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, ((doc_id * 31 + i * 17) % 65536) AS v
+        |  FROM p, unnest(generate_series(0, least(256, n) - 1)) AS t(i)),
+        |a AS (SELECT doc_id,
+        |        CASE WHEN v >= 32768 THEN 65536 - v ELSE v END AS av FROM s)
+        |SELECT p.doc_id AS media_id,
+        |  CAST((p.n * 2 * 1000) // (p.sr * 2) AS BIGINT) AS duration_ms,
+        |  CAST(least(256, p.n) AS BIGINT) AS n_prefix,
+        |  CAST(max(a.av) AS BIGINT) AS peak_abs,
+        |  CAST(SUM(a.av) AS BIGINT) AS sum_abs
+        |FROM p JOIN a USING (doc_id)
+        |GROUP BY p.doc_id, p.n, p.sr ORDER BY media_id""".stripMargin,
+
+    "q174_bmp_dhash" -> bmpDhashOracle,
+    "q175_image_neardup" -> imageNearDupOracle,
+
     "q171_compressibility" ->
       """WITH bg AS (
         |  SELECT doc_id, substr(text, i, 2) AS bg
@@ -3840,6 +3945,46 @@ object SparkEntry {
        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY pri, doc_id) AS BIGINT) AS pos
        |FROM s ORDER BY doc_id""".stripMargin
   }
+
+  /** q174 oracle: the dHash gradient bits computed straight from the
+    * builder's pixel formula `v(x,y) = (doc_id·7 + x·13 + y·31) % 256`
+    * (b=g=r=v makes luma monotone in v, so bit (j,i) is a plain value
+    * compare). Bit 63's term is the NEGATIVE 2^63 — two's-complement
+    * packing in BIGINT — and terms sum positives-first so no partial
+    * overflows. */
+  private def bmpDhashTerms(idExpr: String): String = {
+    val xs = (0 to 8).map(i => i * 15 / 8)
+    val ys = (0 until 8).map(j => j * 15 / 7)
+    val terms = for (j <- 0 until 8; i <- 0 until 8) yield {
+      val (x1, x2, y) = (xs(i), xs(i + 1), ys(j))
+      val idx = 8 * j + i
+      val weight = if (idx == 63) "-9223372036854775808"
+        else BigInt(2).pow(idx).toString
+      s"""(CASE WHEN (($idExpr)*7 + $x2*13 + $y*31) % 256
+         |       > (($idExpr)*7 + $x1*13 + $y*31) % 256
+         |  THEN CAST($weight AS BIGINT) ELSE 0 END)""".stripMargin
+    }
+    terms.mkString("\n + ")
+  }
+
+  private def bmpDhashOracle: String =
+    s"""SELECT doc_id AS media_id, CAST(16 AS INT) AS width,
+       |  CAST(16 AS INT) AS height,
+       |  (${bmpDhashTerms("doc_id")}) AS dhash
+       |FROM documents ORDER BY media_id""".stripMargin
+
+  /** q175 oracle: formula dHashes (25 repeating pixel patterns), then
+    * EXACT all-pairs hamming — the blocked Spark form is provably
+    * equivalent for maxHamming ≤ 3 (pigeonhole, the q87 argument). */
+  private def imageNearDupOracle: String =
+    s"""WITH hset AS (
+       |  SELECT doc_id, (${bmpDhashTerms("doc_id % 25")}) AS dhash
+       |  FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+       |FROM hset a JOIN hset b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q170 oracle: the q142 shard assignment rolled up with an
     * order-free id checksum — the 12-hex-digit md5 prefix decoded by

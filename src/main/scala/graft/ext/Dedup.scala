@@ -732,6 +732,18 @@ object Dedup {
                        maxBucket: Int = Int.MaxValue): DataFrame =
     blockedNearDup(simhash64(docs, idCol, textCol), 64, maxHamming, maxBucket)
 
+  /** [[simhashNearDup64]]'s pigeonhole machinery over an ARBITRARY
+    * precomputed 64-bit fingerprint frame (id, fingerprint) — the
+    * text-free entry point: image dHashes
+    * (`Multimodal.bmpDhash`), audio chroma hashes, any 64-bit
+    * locality-sensitive fingerprint dedups through the same blocked
+    * construction with the same exactness guarantee. */
+  def hash64NearDupPairs(fp: DataFrame, maxHamming: Int = 3,
+                         maxBucket: Int = Int.MaxValue): DataFrame =
+    blockedNearDup(
+      fp.select(col(fp.columns.head), col(fp.columns(1)).as("simhash")),
+      64, maxHamming, maxBucket)
+
   /** Shared pigeonhole-blocked near-dup core over a
     * (id, simhash) frame: split the `fpBits`-bit fingerprint into
     * `maxHamming + 1` contiguous blocks, bucket by (block index, block

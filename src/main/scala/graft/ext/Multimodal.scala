@@ -288,6 +288,142 @@ object Multimodal {
     when(isWav, payload.substr(lit(45L), dataLen))
   }
 
+  /** BMP metadata (BITMAPFILEHEADER + BITMAPINFOHEADER): width,
+    * height, bits-per-pixel, compression, pixel-array offset — all
+    * little-endian at fixed offsets. Non-BMP payloads yield nulls. */
+  def bmpMeta(payload: Column): Column = {
+    val isBmp = hex(substring(payload, 1, 2)) === lit("424D")
+    when(isBmp, struct(
+      leUint(payload, 19, 4).cast("int").as("width"),
+      leUint(payload, 23, 4).cast("int").as("height"),
+      leUint(payload, 29, 2).cast("int").as("bpp"),
+      leUint(payload, 31, 4).cast("int").as("compression"),
+      leUint(payload, 11, 4).as("pixel_offset")))
+  }
+
+  /** Difference hash (dHash) over REAL decoded pixels — the
+    * perceptual image near-dup tier, computable without any codec
+    * library for 24-bit UNCOMPRESSED BMP (raw BGR bytes at integer
+    * offsets; JPEG/PNG stay behind the declared codec stub). The
+    * classic dHash resizes to 9×8 grayscale and emits the horizontal
+    * gradient sign; this variant samples the 9×8 grid at
+    * nearest-pixel positions (`x_i = ⌊i·(w−1)/8⌋`,
+    * `y_j = ⌊j·(h−1)/7⌋`) — equal hashes for re-encoded copies,
+    * Hamming-near for brightness shifts and small crops, which is
+    * exactly what [[graft.ext.Dedup]]'s pigeonhole simhash machinery
+    * consumes: band the returned long with `simhashNearDup64`'s
+    * block scheme for image near-dup pairs at scale. Integer luma
+    * (299·R + 587·G + 114·B), bottom-up row order per the BMP spec,
+    * bit (j,i) = luma(x_{i+1}, y_j) > luma(x_i, y_j), packed
+    * little-endian (`Σ bit · 2^(8j+i)`). Bounded 216-byte-read
+    * per-row cost — scan speed at any scale. Null for non-BMP,
+    * compressed, non-24-bit, or top-down payloads. */
+  def bmpDhash(payload: Column): Column = {
+    val isBmp = hex(substring(payload, 1, 2)) === lit("424D")
+    val w = leUint(payload, 19, 4)
+    val h = leUint(payload, 23, 4)
+    val bpp = leUint(payload, 29, 2)
+    val comp = leUint(payload, 31, 4)
+    val off = leUint(payload, 11, 4)
+    val stride = ((w * 3 + 3) - pmod(w * 3 + 3, lit(4L)))
+    def luma(xi: Column, yj: Column): Column = {
+      // 1-based position of the BLUE byte of pixel (x, y-from-top)
+      val pos = off + (h - 1L - yj) * stride + xi * 3L + 1L
+      byteAt(payload, pos) * 114L +
+        byteAt(payload, pos + 1) * 587L +
+        byteAt(payload, pos + 2) * 299L
+    }
+    // grid positions and gradient bits as RUNTIME higher-order-function
+    // loops — unrolling the 9×8 grid into 128 literal luma trees (each
+    // dragging the header-parse subtrees along) explodes the plan into
+    // millions of nodes and OOMs the driver; as HOF lambdas the whole
+    // hash is one compact tree evaluated per row
+    val xs = transform(sequence(lit(0L), lit(8L)),
+      i => floor(i * (w - 1L) / lit(8L)).cast("long"))
+    val bitsArr = flatten(transform(sequence(lit(0L), lit(7L)), j => {
+      val y = floor(j * (h - 1L) / lit(7L)).cast("long")
+      transform(sequence(lit(0), lit(7)), i =>
+        when(luma(element_at(xs, i + 2), y) > luma(element_at(xs, i + 1), y),
+          lit(1L)).otherwise(lit(0L)))
+    }))
+    // little-endian pack Σ bit·2^(8j+i) without a 64-term unroll: fold
+    // each 32-bit half MSB-first (acc·2 + bit — never overflows at 32
+    // bits), then assemble with a two's-complement high half
+    def half(startPos: Int): Column = aggregate(
+      reverse(slice(bitsArr, startPos, 32)), lit(0L),
+      (acc, b) => acc * 2L + b)
+    val lo = half(1)
+    val hiU = half(33)
+    val hiS = when(hiU >= 2147483648L, hiU - 4294967296L).otherwise(hiU)
+    when(isBmp && bpp === 24L && comp === 0L && w > 1L && h > 1L,
+      hiS * 4294967296L + lo)
+  }
+
+  /** Perceptual image near-duplicate pairs over a BMP media frame —
+    * the image-side sibling of text simhash dedup, end to end on REAL
+    * pixels: [[bmpDhash]] per payload, then
+    * `Dedup.hash64NearDupPairs`' pigeonhole-blocked candidate
+    * generation and exact hamming filter. Non-BMP/undecodable
+    * payloads are excluded (no hash, no pairs). Output
+    * (doc_a, doc_b, hamming). For JPEG/PNG lakes the same pipeline
+    * applies once a decoder supplies the pixel grid — only the hash
+    * column's producer changes. */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3,
+                        idCol: String = "media_id",
+                        maxBucket: Int = Int.MaxValue): DataFrame =
+    graft.ext.Dedup.hash64NearDupPairs(
+      media.select(col(idCol), bmpDhash(col("payload")).as("dhash"))
+        .filter(col("dhash").isNotNull),
+      maxHamming, maxBucket)
+
+  /** Real audio statistics from canonical PCM WAV bytes — no codec
+    * library needed because PCM IS raw samples: exact duration in
+    * milliseconds from the parsed fmt chunk
+    * (`data_len·1000 div byte_rate` — all integer), plus peak
+    * absolute amplitude and sum of |amplitude| over the first
+    * `maxSamples` 16-bit samples, decoded sample-by-sample with
+    * little-endian binary slicing inside one bounded fold. The
+    * prefix bound keeps the per-row work constant at 100 TB scan
+    * scale (document-level audio QC needs the clipping/silence
+    * signal, not a full decode — lift `maxSamples` when it does).
+    * All-integer outputs, exact in any engine. Non-canonical or
+    * non-16-bit payloads yield a null struct.
+    * Returns struct(duration_ms, n_prefix, peak_abs, sum_abs). */
+  def wavAudioStats(payload: Column, maxSamples: Int = 256): Column = {
+    val isWav = hex(substring(payload, 1, 4)) === lit("52494646") &&
+      hex(substring(payload, 9, 8)) === lit("57415645666D7420") &&
+      hex(substring(payload, 37, 4)) === lit("64617461")
+    val bitsPerSample = leUint(payload, 35, 2)
+    val byteRate = leUint(payload, 29, 4)
+    val dataLen = leUint(payload, 41, 4)
+    // exact integer duration: decimal division + floor (long / long in
+    // Spark SQL is a DOUBLE divide — inexact past 2^53)
+    val durationMs = floor(
+      (dataLen * 1000L).cast("decimal(30,0)") / byteRate.cast("decimal(30,0)"))
+      .cast("long")
+    val n = least(lit(maxSamples.toLong), floor(dataLen / lit(2L)).cast("long"))
+    // signed 16-bit LE sample at index i (0-based): bytes 45+2i, 46+2i
+    def sample(i: Column): Column = {
+      val raw = byteAt(payload, lit(45L) + i * 2) +
+        byteAt(payload, lit(46L) + i * 2) * 256L
+      when(raw >= 32768L, raw - 65536L).otherwise(raw)
+    }
+    val zero = lit(0L)
+    val st = aggregate(sequence(lit(0L), n - 1),
+      struct(zero.as("peak"), zero.as("sum")),
+      (acc, i) => {
+        val a = abs(sample(i))
+        struct(greatest(acc.getField("peak"), a).as("peak"),
+          (acc.getField("sum") + a).as("sum"))
+      })
+    when(isWav && bitsPerSample === 16L && byteRate > 0L && dataLen >= 2L,
+      struct(
+        durationMs.as("duration_ms"),
+        n.as("n_prefix"),
+        st.getField("peak").cast("long").as("peak_abs"),
+        st.getField("sum").cast("long").as("sum_abs")))
+  }
+
   /** Format-aware payload fingerprint — the EXACT-dup tier of image/
     * audio dedup: md5 over the post-header CONTENT bytes (PNG IDAT
     * stream, JPEG entropy data, WAV samples), so byte-level re-wraps

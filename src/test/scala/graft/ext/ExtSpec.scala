@@ -1649,6 +1649,99 @@ class MultimodalSpec extends SparkSpec {
       out(2).isNullAt(out(2).fieldIndex("wav")))
   }
 
+  test("wavAudioStats: exact duration and prefix PCM16 amplitude stats; non-PCM16 null") {
+    import spark.implicits._
+    def wav(sr: Int, samples: Seq[Int]): Array[Byte] =
+      "RIFF".getBytes ++ le(36 + samples.length * 2, 4) ++ "WAVEfmt ".getBytes ++
+        le(16, 4) ++ le(1, 2) ++ le(1, 2) ++ le(sr, 4) ++
+        le(sr * 2, 4) ++ le(2, 2) ++ le(16, 2) ++
+        "data".getBytes ++ le(samples.length * 2, 4) ++
+        samples.flatMap(v => le(v & 0xffff, 2)).toArray
+    // 4 samples at 8 kHz: 8 bytes / 16000 B·s⁻¹ = 0 ms (floor); use
+    // 8000 samples for a real duration: 16000 B / 16000 = 1000 ms
+    val tone = wav(8000, Seq(100, -200, 32767, -32768) ++ Seq.fill(7996)(0))
+    val eight = wav(8000, Seq(-5, 5, -5, 5))
+    val bad = "RIFFnot really a wav".getBytes
+    val rows = Seq((1L, tone), (2L, eight), (3L, bad)).toDF("media_id", "payload")
+    val out = rows.select(col("media_id"),
+        Multimodal.wavAudioStats(col("payload")).as("a"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[org.apache.spark.sql.Row]("a"))).toMap
+    assert(out(3L).isEmpty)
+    val a1 = out(1L).get
+    assert(a1.getAs[Long]("duration_ms") == 1000L)
+    assert(a1.getAs[Long]("n_prefix") == 256L) // capped at maxSamples
+    assert(a1.getAs[Long]("peak_abs") == 32768L)
+    assert(a1.getAs[Long]("sum_abs") == 100L + 200 + 32767 + 32768)
+    val a2 = out(2L).get
+    assert(a2.getAs[Long]("n_prefix") == 4L && a2.getAs[Long]("sum_abs") == 20L)
+  }
+
+  test("bmpDhash: real pixel decode — brightness-shift invariant, pixel change splits") {
+    import spark.implicits._
+    def bmp(v: (Int, Int) => Int, w: Int = 16, h: Int = 16): Array[Byte] = {
+      val stride = (w * 3 + 3) / 4 * 4
+      val px = Array.tabulate(h) { r => // bottom-up rows
+        val y = h - 1 - r
+        (0 until w).flatMap { x =>
+          val p = (v(x, y) & 0xff).toByte; Seq(p, p, p)
+        } ++ Seq.fill(stride - w * 3)(0.toByte)
+      }.flatten
+      "BM".getBytes ++ le(54 + px.length, 4) ++ le(0, 4) ++ le(54, 4) ++
+        le(40, 4) ++ le(w, 4) ++ le(h, 4) ++ le(1, 2) ++ le(24, 2) ++
+        le(0, 4) ++ le(px.length, 4) ++ le(2835, 4) ++ le(2835, 4) ++
+        le(0, 4) ++ le(0, 4) ++ px
+    }
+    def base(x: Int, y: Int) = (x * 13 + y * 7) % 200
+    val img = bmp(base)
+    val brighter = bmp((x, y) => base(x, y) + 40)      // gradient signs unchanged
+    val altered = bmp((x, y) => if (x > 8) 255 - base(x, y) else base(x, y))
+    val rows = Seq((1L, img), (2L, brighter), (3L, altered),
+      (4L, "not an image".getBytes)).toDF("media_id", "payload")
+    val out = rows.select(col("media_id"),
+        Multimodal.bmpDhash(col("payload")).as("d"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(4L).isEmpty)
+    assert(out(1L).isDefined && out(1L) == out(2L),
+      "uniform brightness shift must not change the gradient hash")
+    assert(out(1L) != out(3L), "a real pixel change must split")
+    val m = rows.filter(col("media_id") === 1L)
+      .select(Multimodal.bmpMeta(col("payload")).as("m")).collect()(0)
+      .getAs[org.apache.spark.sql.Row]("m")
+    assert(m.getAs[Int]("width") == 16 && m.getAs[Int]("height") == 16 &&
+      m.getAs[Int]("bpp") == 24)
+  }
+
+  test("imageNearDupPairs: identical and brightness-shifted pixels pair; distinct do not") {
+    import spark.implicits._
+    def bmp2(v: (Int, Int) => Int, w: Int = 16, h: Int = 16): Array[Byte] = {
+      val stride = (w * 3 + 3) / 4 * 4
+      val px = Array.tabulate(h) { r =>
+        val y = h - 1 - r
+        (0 until w).flatMap { x =>
+          val p = (v(x, y) & 0xff).toByte; Seq(p, p, p)
+        } ++ Seq.fill(stride - w * 3)(0.toByte)
+      }.flatten
+      "BM".getBytes ++ le(54 + px.length, 4) ++ le(0, 4) ++ le(54, 4) ++
+        le(40, 4) ++ le(w, 4) ++ le(h, 4) ++ le(1, 2) ++ le(24, 2) ++
+        le(0, 4) ++ le(px.length, 4) ++ le(2835, 4) ++ le(2835, 4) ++
+        le(0, 4) ++ le(0, 4) ++ px
+    }
+    def grad(x: Int, y: Int) = (x * 11 + y * 3) % 190
+    val media = Seq(
+      (1L, bmp2(grad)),
+      (2L, bmp2((x, y) => grad(x, y) + 30)),        // brightness shift: same hash
+      (3L, bmp2((x, y) => ((15 - x) * 11 + y * 3) % 190)), // mirrored: far
+      (4L, "junk".getBytes)
+    ).toDF("media_id", "payload")
+    val pairs = Multimodal.imageNearDupPairs(media)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("payloadFingerprint: metadata re-wraps collapse, content changes split") {
     import spark.implicits._
     def hexBytes(h: String): Array[Byte] =
