@@ -737,12 +737,43 @@ object Dedup {
     * text-free entry point: image dHashes
     * (`Multimodal.bmpDhash`), audio chroma hashes, any 64-bit
     * locality-sensitive fingerprint dedups through the same blocked
-    * construction with the same exactness guarantee. */
+    * construction with the same exactness guarantee.
+    *
+    * Identical fingerprints are collapsed BEFORE banding (the
+    * [[exactByContent]] pre-stage, applied at hash grain): exact-dup
+    * media share a hash, and banding the raw rows would put every
+    * copy of a popular image into the same (block, value) buckets —
+    * a 10⁶-copy meme becomes a 10¹²-pair bucket expansion. Instead
+    * the DISTINCT hashes band (bucket size = genuine hash
+    * collisions, not copy counts), identical-hash groups emit their
+    * hamming-0 pairs directly, and cross-hash matches expand back to
+    * id pairs join-side — output-sized work, same exact pair set. */
   def hash64NearDupPairs(fp: DataFrame, maxHamming: Int = 3,
-                         maxBucket: Int = Int.MaxValue): DataFrame =
-    blockedNearDup(
-      fp.select(col(fp.columns.head), col(fp.columns(1)).as("simhash")),
+                         maxBucket: Int = Int.MaxValue): DataFrame = {
+    val idC = fp.columns.head
+    val f = fp.select(col(idC).as("id"), col(fp.columns(1)).as("simhash"))
+    val groups = f.groupBy(col("simhash"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"),
+        min(col("id")).as("rep"))
+      .localCheckpoint() // feeds within-pairs, banding AND the expand
+    val ids = col("ids")
+    val within = groups.filter(size(ids) > 1)
+      .select(explode(flatten(transform(ids, (a, i) =>
+        transform(slice(ids, i + lit(2), size(ids) - i - 1),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("__p"))
+      .select(col("__p.doc_a"), col("__p.doc_b"), lit(0L).as("hamming"))
+    val hashPairs = blockedNearDup(
+      groups.select(col("rep").as("id"), col("simhash")),
       64, maxHamming, maxBucket)
+    val cross = hashPairs
+      .join(groups.select(col("rep").as("doc_a"), col("ids").as("__ia")), Seq("doc_a"))
+      .join(groups.select(col("rep").as("doc_b"), col("ids").as("__ib")), Seq("doc_b"))
+      .select(col("hamming"), explode(col("__ia")).as("__a"), col("__ib"))
+      .select(col("hamming"), col("__a"), explode(col("__ib")).as("__b"))
+      .select(least(col("__a"), col("__b")).as("doc_a"),
+        greatest(col("__a"), col("__b")).as("doc_b"), col("hamming"))
+    within.unionByName(cross)
+  }
 
   /** Shared pigeonhole-blocked near-dup core over a
     * (id, simhash) frame: split the `fpBits`-bit fingerprint into

@@ -315,49 +315,16 @@ object Multimodal {
     * block scheme for image near-dup pairs at scale. Integer luma
     * (299·R + 587·G + 114·B), bottom-up row order per the BMP spec,
     * bit (j,i) = luma(x_{i+1}, y_j) > luma(x_i, y_j), packed
-    * little-endian (`Σ bit · 2^(8j+i)`). Bounded 216-byte-read
-    * per-row cost — scan speed at any scale. Null for non-BMP,
-    * compressed, non-24-bit, or top-down payloads. */
-  def bmpDhash(payload: Column): Column = {
-    val isBmp = hex(substring(payload, 1, 2)) === lit("424D")
-    val w = leUint(payload, 19, 4)
-    val h = leUint(payload, 23, 4)
-    val bpp = leUint(payload, 29, 2)
-    val comp = leUint(payload, 31, 4)
-    val off = leUint(payload, 11, 4)
-    val stride = ((w * 3 + 3) - pmod(w * 3 + 3, lit(4L)))
-    def luma(xi: Column, yj: Column): Column = {
-      // 1-based position of the BLUE byte of pixel (x, y-from-top)
-      val pos = off + (h - 1L - yj) * stride + xi * 3L + 1L
-      byteAt(payload, pos) * 114L +
-        byteAt(payload, pos + 1) * 587L +
-        byteAt(payload, pos + 2) * 299L
-    }
-    // grid positions and gradient bits as RUNTIME higher-order-function
-    // loops — unrolling the 9×8 grid into 128 literal luma trees (each
-    // dragging the header-parse subtrees along) explodes the plan into
-    // millions of nodes and OOMs the driver; as HOF lambdas the whole
-    // hash is one compact tree evaluated per row
-    val xs = transform(sequence(lit(0L), lit(8L)),
-      i => floor(i * (w - 1L) / lit(8L)).cast("long"))
-    val bitsArr = flatten(transform(sequence(lit(0L), lit(7L)), j => {
-      val y = floor(j * (h - 1L) / lit(7L)).cast("long")
-      transform(sequence(lit(0), lit(7)), i =>
-        when(luma(element_at(xs, i + 2), y) > luma(element_at(xs, i + 1), y),
-          lit(1L)).otherwise(lit(0L)))
-    }))
-    // little-endian pack Σ bit·2^(8j+i) without a 64-term unroll: fold
-    // each 32-bit half MSB-first (acc·2 + bit — never overflows at 32
-    // bits), then assemble with a two's-complement high half
-    def half(startPos: Int): Column = aggregate(
-      reverse(slice(bitsArr, startPos, 32)), lit(0L),
-      (acc, b) => acc * 2L + b)
-    val lo = half(1)
-    val hiU = half(33)
-    val hiS = when(hiU >= 2147483648L, hiU - 4294967296L).otherwise(hiU)
-    when(isBmp && bpp === 24L && comp === 0L && w > 1L && h > 1L,
-      hiS * 4294967296L + lo)
-  }
+    * little-endian (`Σ bit · 2^(8j+i)`).
+    *
+    * Runs as the NATIVE codegen'd kernel
+    * [[graft.functions.BmpDhash]] — a HOF-composed form of the same
+    * arithmetic evaluates interpreted (higher-order functions are
+    * CodegenFallback) at ~50 ms/row, three orders of magnitude off
+    * scan speed. Null for non-BMP, compressed, non-24-bit, or
+    * truncated payloads. */
+  def bmpDhash(payload: Column): Column =
+    graft.functions.BmpDhash(payload)
 
   /** Perceptual image near-duplicate pairs over a BMP media frame —
     * the image-side sibling of text simhash dedup, end to end on REAL
@@ -372,7 +339,17 @@ object Multimodal {
                         idCol: String = "media_id",
                         maxBucket: Int = Int.MaxValue): DataFrame =
     graft.ext.Dedup.hash64NearDupPairs(
+      // materialize the (id, hash) table: the banding stage references
+      // the hash column once per block plus the bucket build, and each
+      // UNmaterialized reference re-runs the full 128-point pixel
+      // decode per row — the hash-table persist is the standard stage
+      // boundary of every fingerprint dedup pipeline here (8 bytes a
+      // row, corpus-count-sized)
+      // checkpoint BEFORE the null filter: pushing isnotnull through
+      // the projection substitutes the full decode tree into the
+      // predicate and Catalyst's constraint propagation grinds on it
       media.select(col(idCol), bmpDhash(col("payload")).as("dhash"))
+        .localCheckpoint()
         .filter(col("dhash").isNotNull),
       maxHamming, maxBucket)
 
