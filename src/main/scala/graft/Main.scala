@@ -43,6 +43,7 @@ object Main {
     |  curate-stream --landing DIR --index DIR --corpus DIR --checkpoint DIR
     |                [--bands 3 --rows-per-band 2] [--pairs DIR] [--follow true]
     |                [--drift DIR] [--drift-tokens DIR] [--dropped-bands DIR]
+    |                [--quality-gate true]
     |  compact       --index DIR --corpus DIR --dropped DIR --target DIR
     |  ingest-embeddings --landing DIR --index DIR --checkpoint DIR
     |                [--planes 4 --dim 64] [--follow true]
@@ -53,7 +54,7 @@ object Main {
     |                [--buckets 64 --steps 3 --lr 0.5]
     |  prepare-corpus --corpus PARQUET_DIR --target DIR
     |                [--bands 3 --rows-per-band 2] [--max-docs-per-source N]
-    |                [--scrub unicode|ascii]
+    |                [--scrub unicode|ascii] [--drop-secrets MINLEN]
     |  select-data   --corpus PARQUET_DIR --target-source-prefix P --k N --target DIR
     |                [--method moore-lewis|dsir]
     |  snapshot-diff --prev PARQUET_DIR --next PARQUET_DIR --id COL --cols a,b,c --target DIR
@@ -148,7 +149,9 @@ object Main {
           pairsPath = f("pairs").headOption, trigger = trigger,
           driftPath = f("drift").headOption,
           driftTokensPath = f("drift-tokens").headOption,
-          droppedBandsPath = f("dropped-bands").headOption)
+          droppedBandsPath = f("dropped-bands").headOption,
+          qualityGate = f("quality-gate").headOption
+            .exists(v => parsed("quality-gate", v)(_.toBoolean)))
         q.awaitTermination()
       case "compact" =>
         // periodic full-index compaction of the curation loop: replay
@@ -237,8 +240,22 @@ object Main {
           case Some(other) => sys.error(s"unknown --scrub '$other' (unicode|ascii)\n$usageText")
           case None => (c: org.apache.spark.sql.Column) => c
         }
-        val kept = deduped.join(
-            ext.TextAnalysis.gopherRules(deduped).filter(col("keep"))
+        // --drop-secrets N: drop any doc carrying a candidate secret
+        // (high-entropy token of >= N chars at 3.0 nats/char, or a
+        // hex/base64 blob) — the leak gate BEFORE redaction publishes
+        // the rest of the doc
+        val secretsSafe = f("drop-secrets").headOption match {
+          case Some(m) =>
+            val minLen = parsed("drop-secrets", m)(_.toInt)
+            deduped.join(
+              ext.TextAnalysis.secretScan(deduped, minLen = minLen)
+                .filter(col("high_entropy") || col("looks_hex") || col("looks_b64"))
+                .select("doc_id").distinct(),
+              Seq("doc_id"), "left_anti")
+          case None => deduped
+        }
+        val kept = secretsSafe.join(
+            ext.TextAnalysis.gopherRules(secretsSafe).filter(col("keep"))
               .select("doc_id"), Seq("doc_id"))
           .withColumn("text", scrubbed(ext.TextAnalysis.redactPii(col("text"))))
         val capped = f("max-docs-per-source").headOption match {

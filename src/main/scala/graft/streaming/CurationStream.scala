@@ -67,12 +67,13 @@ object CurationStream {
                   driftPath: Option[String] = None,
                   driftTokensPath: Option[String] = None,
                   batchId: Long = -1L,
-                  droppedBandsPath: Option[String] = None): DataFrame = {
+                  droppedBandsPath: Option[String] = None,
+                  qualityGate: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
     // materialize the batch once: it feeds exact dedup, screening, the
     // band build and the corpus sink (micro-batch-sized, bounded by
     // maxFilesPerTrigger upstream)
-    val raw = batch.localCheckpoint()
+    val incoming = batch.localCheckpoint()
     // drift monitoring (opt-in): compare the INCOMING drop's length
     // distribution against the accumulated corpus's PERSISTED
     // histogram — the alarm that today's crawl looks different. The
@@ -92,15 +93,26 @@ object CurationStream {
     driftPath.foreach { dp =>
       driftTick(dp, batchId,
         graft.ext.Corpus.lengthHist(
-          raw.withColumn("__len", length(col(textCol))), lenCol = "__len"))
+          incoming.withColumn("__len", length(col(textCol))), lenCol = "__len"))
     }
     // token-distribution drift (opt-in, same machinery): hashed-token
     // buckets catch the topic/language shifts a length histogram
     // cannot — run both monitors side by side under different paths
     driftTokensPath.foreach { dp =>
       driftTick(dp, batchId,
-        graft.ext.Corpus.tokenHist(raw, textCol = textCol))
+        graft.ext.Corpus.tokenHist(incoming, textCol = textCol))
     }
+    // quality gate (opt-in): Gopher rule filter BEFORE any dedup work —
+    // the production order, since the rule audit is a narrow scan while
+    // shingling/banding is the expensive stage, and a rejected doc must
+    // not poison the band index. Drift monitors stay on the RAW drop
+    // (they watch what arrives, not what survives).
+    val raw =
+      if (!qualityGate) incoming
+      else incoming.join(
+        graft.ext.TextAnalysis.gopherRules(incoming, idCol = idCol, textCol = textCol)
+          .filter(col("keep")).select(idCol),
+        Seq(idCol), "left_semi").localCheckpoint()
     val b =
       if (!dedupWithinBatch) raw
       else {
@@ -311,13 +323,15 @@ object CurationStream {
                    trigger: Trigger = Trigger.AvailableNow(),
                    driftPath: Option[String] = None,
                    driftTokensPath: Option[String] = None,
-                   droppedBandsPath: Option[String] = None): StreamingQuery =
+                   droppedBandsPath: Option[String] = None,
+                   qualityGate: Boolean = false): StreamingQuery =
     landing.writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         screenBatch(b, indexPath, corpusPath, bands, rowsPerBand, shingleN,
           idCol, textCol, pairsPath, dedupWithinBatch = true,
           driftPath = driftPath, driftTokensPath = driftTokensPath,
-          batchId = batchId, droppedBandsPath = droppedBandsPath)
+          batchId = batchId, droppedBandsPath = droppedBandsPath,
+          qualityGate = qualityGate)
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -114,6 +114,23 @@ class MainSpec extends SparkSpec {
       graft.ext.TextAnalysis.EmailRe)).isEmpty)
   }
 
+  test("prepare-corpus --scrub unicode and --drop-secrets gate the output") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft-cli-prepare2").toString + "/curated"
+    Main.main(Array("prepare-corpus", "--corpus", s"$sf/documents.parquet",
+      "--target", out, "--scrub", "unicode", "--drop-secrets", "8"))
+    val curated = spark.read.parquet(out)
+    assert(curated.count() > 0)
+    // unicode scrub ran: output is lowercase letters/digits/spaces only
+    assert(curated.filter(!col("text").rlike("^[\\p{Ll}\\p{Nd} ]*$")).isEmpty)
+    // no 8+-char token with >2.0-nat entropy survives (fixture tokens
+    // max out at 8 chars; all-distinct ones score ln 8 > 2.0)
+    val flagged = graft.ext.TextAnalysis.secretScan(curated,
+        minLen = 8, entropyPerChar = 3.0)
+      .filter(col("high_entropy") || col("looks_hex") || col("looks_b64"))
+    assert(flagged.isEmpty)
+  }
+
   test("unknown verb and missing flags fail loudly") {
     intercept[RuntimeException](Main.main(Array("frobnicate", "--x", "y")))
     intercept[RuntimeException](Main.main(Array("copy-tree", "--data", sf)))

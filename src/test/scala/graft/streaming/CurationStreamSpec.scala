@@ -264,6 +264,49 @@ class CurationStreamSpec extends SparkSpec {
     assert(idSet.subsetOf(w1 ++ w2) && (idSet & w2).nonEmpty)
   }
 
+  test("quality gate: stream with gate ≡ gopherRules-then-screen batch composition") {
+    val docs = load("documents")
+    val existing = docs.filter(col("doc_id") < 200)
+    val batchDocs = docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+      // plant rule-violating docs: too short, and symbol soup
+      .unionByName(Seq(
+        (9001L, "tiny", "en", "synth", 4L),
+        (9002L, ("@#$%! " * 60).trim, "en", "synth", 300L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val root = Files.createTempDirectory("graft-qgate").toString
+    val (landing, index, corpus, ckpt) =
+      (s"$root/landing", s"$root/index", s"$root/corpus", s"$root/ckpt")
+    Dedup.lshBands(Dedup.minhash(existing, k = 6), bands = 3, rowsPerBand = 2)
+      .write.parquet(index)
+    CorpusIO.writeJsonl(batchDocs.coalesce(1), landing)
+    val q = CurationStream.curateStream(
+      CorpusIO.readJsonlStream(spark, landing),
+      index, corpus, ckpt, bands = 3, rowsPerBand = 2, qualityGate = true)
+    assert(q.awaitTermination(180000))
+    val sunk = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(!sunk(9001L) && !sunk(9002L), "rule-violating docs must be gated out")
+    // equivalence: batch composition = gopher filter, then the same
+    // exact+near dedup screen against the existing index
+    val gated = batchDocs.join(
+      graft.ext.TextAnalysis.gopherRules(batchDocs).filter(col("keep"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    val keep = Dedup.exactByContent(gated, "doc_id", Seq("text"))
+      .select(col("keep_id").as("doc_id"))
+    val d1 = gated.join(keep, Seq("doc_id"), "left_semi")
+    val selfP = Dedup.candidatePairs(
+      Dedup.lshBands(Dedup.minhash(d1, k = 6), bands = 3, rowsPerBand = 2))
+    val d2 = Dedup.dedupCorpus(d1, selfP)
+    val eb = Dedup.lshBands(Dedup.minhash(existing, k = 6), bands = 3, rowsPerBand = 2)
+    val crossDup = Dedup.incrementalCandidatePairs(eb, d2, bands = 3, rowsPerBand = 2)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val want = d2.join(crossDup, Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(sunk == want, s"extra=${sunk -- want} missing=${want -- sunk}")
+    // the gated docs' bands must NOT have entered the index
+    val idx = spark.read.parquet(index).select("doc_id").as[Long].collect().toSet
+    assert(!idx(9001L) && !idx(9002L))
+  }
+
   test("compact evicts a transitive-chain admission routed through a dropped doc") {
     // chain X (indexed) ← Y (batch 1, dropped vs X) ← Z (batch 2):
     // Z near-dups only Y, so incremental screening admits Z; the
