@@ -1199,6 +1199,28 @@ object SparkEntry {
         Dedup.lshBands(Dedup.minhash(docs, k = 6), bands = 3, rowsPerBand = 2))
       Dedup.pagerankCentrality(pairs, docs).orderBy("doc_id")
     }),
+    // trigram Kneser-Ney: the production perplexity-filter depth,
+    // lower orders derived hierarchically from the trigram types
+    "q176_kn_trigram" -> ((s, dir) =>
+      Corpus.kneserNeyTrigramLogProb(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+    // Luhn-checksummed card scan: every doc gets a synthesized VALID
+    // 16-digit number and its off-by-one INVALID sibling planted in
+    // the text; the scan must extract both and verdict them apart
+    "q177_card_scan" -> ((s, dir) => {
+      val prefix = concat(lit("4"),
+        lpad(pmod(col("doc_id") * 31 + 7, lit(100000000000000L)).cast("string"), 14, "0"))
+      val s15 = aggregate(sequence(lit(1), lit(15)), lit(0L), (acc, i) => {
+        val d = (ascii(prefix.substr(i, lit(1))) - 48).cast("long")
+        val dd = when(pmod(lit(16) - i, lit(2)) === 1, d * 2).otherwise(d)
+        acc + when(dd > 9L, dd - 9L).otherwise(dd)
+      })
+      val check = pmod(lit(10L) - pmod(s15, lit(10L)), lit(10L))
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" "), prefix, check.cast("string"),
+          lit(" "), prefix, pmod(check + 1, lit(10L)).cast("string")).as("text"))
+      TextAnalysis.cardScan(planted).orderBy("doc_id", "candidate")
+    }),
     // shard manifest: per-shard counts + order-free id checksum
     "q170_shard_manifest" -> ((s, dir) =>
       Corpus.shardManifest(t(s, dir, "documents"), nShards = 8)
@@ -2941,6 +2963,69 @@ object SparkEntry {
 
     "q169_pagerank" -> pagerankOracle(5),
     "q170_shard_manifest" -> shardManifestOracle(8),
+
+    "q177_card_scan" ->
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |    '4' || lpad(CAST((doc_id * 31 + 7) % 100000000000000 AS VARCHAR), 14, '0') AS pre
+        |  FROM documents),
+        |pd AS (SELECT doc_id, i, CAST(substr(pre, i, 1) AS INT) AS d
+        |       FROM p, unnest(generate_series(1, 15)) AS t(i)),
+        |s15 AS (SELECT doc_id,
+        |    SUM(CASE WHEN (16 - i) % 2 = 1
+        |        THEN CASE WHEN 2 * d > 9 THEN 2 * d - 9 ELSE 2 * d END
+        |        ELSE d END) AS s
+        |  FROM pd GROUP BY 1),
+        |f AS (SELECT p.doc_id,
+        |    p.text || ' ' || p.pre || CAST((10 - s % 10) % 10 AS VARCHAR)
+        |      || ' ' || p.pre || CAST(((10 - s % 10) % 10 + 1) % 10 AS VARCHAR) AS text2
+        |  FROM p JOIN s15 USING (doc_id)),
+        |cands AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(text2, '\b\d{13,19}\b')) AS candidate
+        |  FROM f),
+        |cd AS (SELECT doc_id, candidate, i, CAST(substr(candidate, i, 1) AS INT) AS d
+        |       FROM cands, unnest(generate_series(1, len(candidate))) AS t(i))
+        |SELECT doc_id, candidate,
+        |  SUM(CASE WHEN (len(candidate) - i) % 2 = 1
+        |      THEN CASE WHEN 2 * d > 9 THEN 2 * d - 9 ELSE 2 * d END
+        |      ELSE d END) % 10 = 0 AS luhn_valid
+        |FROM cd GROUP BY doc_id, candidate ORDER BY doc_id, candidate""".stripMargin,
+
+    // trigram KN mirrored expression-by-expression (left-associative
+    // double assembly, ln rounded once, DECIMAL doc sums)
+    "q176_kn_trigram" ->
+      """WITH tgs AS (
+        |  SELECT doc_id, tl[i] AS w1, tl[i + 1] AS w2, tl[i + 2] AS w3
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tl
+        |        FROM documents),
+        |    unnest(generate_series(1, len(tl) - 2)) AS t(i)),
+        |t AS (SELECT w1, w2, w3, count(*) AS c123 FROM tgs GROUP BY 1, 2, 3),
+        |top AS (
+        |  SELECT *, CAST(SUM(c123) OVER (PARTITION BY w1, w2) AS BIGINT) AS c12,
+        |    COUNT(*) OVER (PARTITION BY w1, w2) AS n1p12
+        |  FROM t),
+        |m AS (SELECT w2, w3, count(*) AS nMid FROM t GROUP BY 1, 2),
+        |mm AS (
+        |  SELECT *, CAST(SUM(nMid) OVER (PARTITION BY w2) AS BIGINT) AS nMidDen,
+        |    COUNT(*) OVER (PARTITION BY w2) AS n1pw2,
+        |    COUNT(*) OVER (PARTITION BY w3) AS n1pw3
+        |  FROM m),
+        |npp AS (SELECT count(*) AS npp FROM m),
+        |pbi AS (
+        |  SELECT w2, w3,
+        |    greatest(nMid - 0.75, 0) / nMidDen
+        |      + 0.75 * n1pw2 / nMidDen * (CAST(n1pw3 AS DOUBLE) / npp) AS pbi
+        |  FROM mm, npp),
+        |model AS (
+        |  SELECT top.w1, top.w2, top.w3,
+        |    CAST(round(ln(greatest(c123 - 0.75, 0) / c12
+        |      + 0.75 * n1p12 / c12 * pbi), 9) AS DECIMAL(28,9)) AS lp
+        |  FROM top JOIN pbi USING (w2, w3)),
+        |s AS (SELECT doc_id, count(*) AS n_trigrams, SUM(lp) AS sm
+        |      FROM tgs JOIN model USING (w1, w2, w3) GROUP BY 1)
+        |SELECT doc_id, n_trigrams, CAST(sm AS DOUBLE) AS sum_logprob,
+        |  CAST(sm AS DOUBLE) / n_trigrams AS avg_logprob
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // the WAV builder formulas recomputed arithmetically: duration =
     // dataLen·1000 // byteRate, signed-PCM16 |amplitude| stats over

@@ -438,6 +438,67 @@ object Corpus {
     * from exact inputs (correctly-rounded ops, identical cross-
     * engine), each `ln` rounded once to 9 dp, per-doc sums DECIMAL.
     * Output (idCol, n_bigrams, sum_logprob, avg_logprob). */
+  /** Interpolated Kneser–Ney at TRIGRAM order — the production
+    * perplexity-filter depth, one rung above [[kneserNeyLogProb]]:
+    * `p(w3|w1w2) = max(c123−D,0)/c12 + D·N1+(w1w2·)/c12 · p_bi(w3|w2)`
+    * where the backoff `p_bi` is the continuation-count KN bigram
+    * (`max(N1+(·w2w3)−D,0)/N1+(·w2·) + D·N1+(w2·)/N1+(·w2·)·pcont(w3)`,
+    * `pcont = N1+(·w3)/N1+(··)`) — every lower-order statistic derived
+    * hierarchically from the trigram TYPE table (Chen & Goodman's
+    * formulation; the q101 derivation convention, so c12 is the
+    * trigram-prefix mass).
+    *
+    * Shape at scale: ONE corpus-scale group-by collapses the trigram
+    * occurrence stream; everything else is window aggregates over the
+    * model-sized type table and its (w2,w3) continuation roll-up —
+    * `count(*)` per partition over TYPE rows IS each distinct-
+    * continuation count, no countDistinct state; N1+(··) is a 1-row
+    * broadcast. Determinism: counts exact longs, probability
+    * assembled left-associatively in double from exact inputs, ln
+    * rounded once to 9 dp, per-doc sums DECIMAL — the q118 contract.
+    * Output (idCol, n_trigrams, sum_logprob, avg_logprob). */
+  def kneserNeyTrigramLogProb(docs: DataFrame, discount: Double = 0.75,
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    val tris = docs.select(col(idCol),
+        explode(graft.functions.TokenNgrams(TextAnalysis.tokens(col(textCol)), 3))
+          .as("tg"))
+      .localCheckpoint()
+    val t = tris.groupBy(col("tg")).agg(count(lit(1)).as("c123"))
+    val w12 = substring_index(col("tg"), " ", 2)
+    val w23 = substring_index(col("tg"), " ", -2)
+    val top = t
+      .withColumn("c12", sum(col("c123")).over(Window.partitionBy(w12)))
+      .withColumn("n1p12", count(lit(1)).over(Window.partitionBy(w12)))
+      .withColumn("mk", w23)
+    val m = t.groupBy(w23.as("mk")).agg(count(lit(1)).as("nMid"))
+    val mw2 = substring_index(col("mk"), " ", 1)
+    val mw3 = substring_index(col("mk"), " ", -1)
+    val npp = m.agg(count(lit(1)).as("__npp"))
+    val pbi = m
+      .withColumn("nMidDen", sum(col("nMid")).over(Window.partitionBy(mw2)))
+      .withColumn("n1pw2", count(lit(1)).over(Window.partitionBy(mw2)))
+      .withColumn("n1pw3", count(lit(1)).over(Window.partitionBy(mw3)))
+      .crossJoin(broadcast(npp))
+      .select(col("mk"),
+        (greatest(col("nMid") - discount, lit(0.0)) / col("nMidDen")
+          + lit(discount) * col("n1pw2") / col("nMidDen")
+          * (col("n1pw3").cast("double") / col("__npp"))).as("pbi"))
+    val model = top.join(pbi, Seq("mk"))
+      .select(col("tg"),
+        round(log(
+          greatest(col("c123") - discount, lit(0.0)) / col("c12")
+            + lit(discount) * col("n1p12") / col("c12") * col("pbi")), 9)
+          .cast("decimal(28,9)").as("logprob"))
+    tris.join(model, Seq("tg"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("logprob")).as("__sum"))
+      .select(col(idCol), col("n_trigrams"),
+        col("__sum").cast("double").as("sum_logprob"),
+        (col("__sum").cast("double") / col("n_trigrams")).as("avg_logprob"))
+  }
+
   def kneserNeyLogProb(docs: DataFrame, discount: Double = 0.75,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")

@@ -391,6 +391,9 @@ class PlanSpec extends SparkSpec {
       // q154: psiFromHists folds its 1-row totals in with the same
       // q126 cross — the q68 1-row class over token buckets
       "q154_token_drift",
+      // q176: the trigram-KN N1+(··) total is q118's 1-ROW broadcast
+      // cross folded into the model-sized continuation table
+      "q176_kn_trigram",
       // q153: the six tercile cutpoints and the anchor date are 1-ROW
       // tables folded into the user table (q68 class); the constant
       // join key Catalyst constant-folds into the nested-loop form,

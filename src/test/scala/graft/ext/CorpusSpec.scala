@@ -277,6 +277,56 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("kneserNeyTrigramLogProb matches a JVM reference; trigram mass sums to 1 per seen context") {
+    val d = docs(
+      (1L, "san francisco is a city san francisco bay area is", "a"),
+      (2L, "new york is a city new york state is a", "a"),
+      (3L, "the city by the bay the city is", "b"))
+    val D = 0.75
+    val tgs = d.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .flatMap { case (id, t) =>
+        val ts = t.split(" ").filter(_.nonEmpty)
+        ts.sliding(3).filter(_.length == 3).map(p => (id, (p(0), p(1), p(2))))
+      }
+    val c123 = tgs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val types = c123.keySet
+    val c12 = types.toSeq.map(k => (k._1, k._2) -> c123(k))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val n1p12 = types.groupBy(k => (k._1, k._2)).view.mapValues(_.size.toLong).toMap
+    val nMid = types.groupBy(k => (k._2, k._3)).view.mapValues(_.size.toLong).toMap
+    val nMidDen = nMid.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1pw2 = nMid.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1pw3 = nMid.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val npp = nMid.size.toLong
+    def pbi(w2: String, w3: String): Double =
+      math.max(nMid.getOrElse((w2, w3), 0L) - D, 0.0) / nMidDen(w2) +
+        ((D * n1pw2(w2)) / nMidDen(w2)) * (n1pw3.getOrElse(w3, 0L).toDouble / npp)
+    def p(w1: String, w2: String, w3: String): Double =
+      math.max(c123.getOrElse((w1, w2, w3), 0L) - D, 0.0) / c12((w1, w2)) +
+        ((D * n1p12((w1, w2))) / c12((w1, w2))) * pbi(w2, w3)
+    val got = Corpus.kneserNeyTrigramLogProb(d).orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect()
+    got.foreach { case (id, n, sum, avg) =>
+      val mine = tgs.filter(_._1 == id).map(_._2)
+      val wantSum = mine.map { case (a, b, c) =>
+        BigDecimal(math.log(p(a, b, c))).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      assert(n == mine.length && sum == wantSum && avg == sum / n,
+        s"doc $id: got ($n, $sum), want (${mine.length}, $wantSum)")
+    }
+    // KN identity at both levels: over the full vocab, p(·|w1w2) and
+    // pbi(·|w2) each sum to 1 for seen contexts
+    val vocab = (types.map(_._1) ++ types.map(_._2) ++ types.map(_._3)).toSeq.distinct
+    for ((w1, w2) <- Seq(("san", "francisco"), ("the", "city"), ("is", "a"))) {
+      val mass = vocab.map(w3 => p(w1, w2, w3)).sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"trigram mass for ($w1,$w2) = $mass")
+    }
+    for (w2 <- Seq("city", "is", "francisco")) {
+      val mass = vocab.map(w3 => pbi(w2, w3)).sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"backoff mass for $w2 = $mass")
+    }
+  }
+
   test("dsirSample prefers raw docs that look like the target distribution") {
     val target = (1 to 20)
       .map(i => (100L + i, Seq.fill(5)("alpha beta gamma delta").mkString(" "), "t"))

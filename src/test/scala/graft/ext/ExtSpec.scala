@@ -51,6 +51,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._2 < out(2L)._2)
   }
 
+  test("cardScan: Luhn separates valid cards from digit noise; runs extracted on word boundaries") {
+    val d = Seq(
+      (1L, "pay with 4532015112830366 thanks"),            // known valid
+      (2L, "ref 4532015112830367 and 1234567890123456"),   // both invalid
+      (3L, "short 123456789012 too-short digits"),         // 12 digits: not a candidate
+      (4L, "glued abc4532015112830366def no boundary")     // no word boundary
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.cardScan(d)
+      .as[(Long, String, Boolean)].collect()
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).toSeq == Seq((1L, "4532015112830366", true)))
+    assert(byDoc(2L).map(c => c._2 -> c._3).toMap ==
+      Map("4532015112830367" -> false, "1234567890123456" -> false))
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L))
+  }
+
   test("secretScan: entropy score is n*H exactly; structural tells fire; short tokens absent") {
     val d = Seq(
       (1L, "hello aK9xQz2mPw4rT7vB deadbeefcafe1234 QUJDRDEyMzQ1Njc4OTA= aaaaaaaaaaaaaaaa"),
