@@ -50,6 +50,7 @@ object Main {
     |  bpe-train     --corpus PARQUET_DIR --merges N --target DIR
     |  unigram-train --corpus PARQUET_DIR --target DIR [--rounds 2 --vocab-size 20]
     |                [--prune-to N]
+    |  encode-corpus --corpus PARQUET_DIR --vocab DIR --method bpe|unigram --target DIR
     |  train-quality --corpus PARQUET_DIR --label-source-prefix P --target DIR
     |                [--buckets 64 --steps 3 --lr 0.5]
     |  prepare-corpus --corpus PARQUET_DIR --target DIR
@@ -201,6 +202,23 @@ object Main {
         ext.Corpus.unigramTrain(spark.read.parquet(one("corpus")),
             rounds = r, vocabSize = vs, pruneTo = pr)
           .coalesce(1).write.mode("overwrite").parquet(one("target"))
+      case "encode-corpus" =>
+        // the inference half of the tokenizer lifecycle: apply a
+        // PERSISTED tokenizer (bpe-train merges / unigram-train vocab)
+        // to a corpus — the merges/vocab tables are model-sized, so
+        // the bpe collect is a bounded driver action
+        val corpus = spark.read.parquet(one("corpus"))
+        val encoded = one("method") match {
+          case "bpe" =>
+            val merges = spark.read.parquet(one("vocab"))
+              .orderBy("rank").select("left_sym", "right_sym")
+              .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+            ext.Corpus.bpeEncode(corpus, merges)
+          case "unigram" =>
+            ext.Corpus.unigramEncode(corpus, spark.read.parquet(one("vocab")))
+          case other => sys.error(s"unknown --method '$other' (bpe|unigram)\n$usageText")
+        }
+        encoded.write.mode("overwrite").parquet(one("target"))
       case "train-quality" =>
         // quality-classifier training: logistic regression on hashed
         // bags, label = source starts with the given prefix; weights

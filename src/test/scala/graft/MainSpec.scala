@@ -131,6 +131,33 @@ class MainSpec extends SparkSpec {
     assert(flagged.isEmpty)
   }
 
+  test("encode-corpus applies persisted tokenizers: bpe and unigram round-trip the library calls") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cli-encode").toString
+    val corpus = s"$sf/documents.parquet"
+    // unigram: train, persist, encode from the CLI, compare to library
+    Main.main(Array("unigram-train", "--corpus", corpus,
+      "--target", s"$root/uv", "--rounds", "1"))
+    Main.main(Array("encode-corpus", "--corpus", corpus,
+      "--vocab", s"$root/uv", "--method", "unigram", "--target", s"$root/uenc"))
+    val uGot = spark.read.parquet(s"$root/uenc").count()
+    val uWant = graft.ext.Corpus.unigramEncode(
+        spark.read.parquet(corpus), spark.read.parquet(s"$root/uv")).count()
+    assert(uGot == uWant && uWant > 0)
+    // bpe: same lifecycle
+    Main.main(Array("bpe-train", "--corpus", corpus,
+      "--merges", "4", "--target", s"$root/bm"))
+    Main.main(Array("encode-corpus", "--corpus", corpus,
+      "--vocab", s"$root/bm", "--method", "bpe", "--target", s"$root/benc"))
+    val merges = spark.read.parquet(s"$root/bm").orderBy("rank")
+      .select("left_sym", "right_sym")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val bWant = graft.ext.Corpus.bpeEncode(spark.read.parquet(corpus), merges).count()
+    assert(spark.read.parquet(s"$root/benc").count() == bWant && bWant > 0)
+    intercept[RuntimeException](Main.main(Array("encode-corpus", "--corpus", corpus,
+      "--vocab", s"$root/bm", "--method", "nope", "--target", s"$root/x")))
+  }
+
   test("unknown verb and missing flags fail loudly") {
     intercept[RuntimeException](Main.main(Array("frobnicate", "--x", "y")))
     intercept[RuntimeException](Main.main(Array("copy-tree", "--data", sf)))
