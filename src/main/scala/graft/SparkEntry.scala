@@ -1177,6 +1177,10 @@ object SparkEntry {
     "q165_winsorize" -> ((s, dir) =>
       Similarity.winsorizeEmbeddings(t(s, dir, "embeddings"))
         .orderBy("vec_id", "dim")),
+    // robust (median/IQR) per-dim standardization — outlier-immune
+    "q178_robust_standardize" -> ((s, dir) =>
+      Similarity.robustStandardize(t(s, dir, "embeddings"))
+        .orderBy("vec_id", "dim")),
     // per-source fit under the corpus bigram LM — the domain-mixture
     // reweighting signal (which sources the corpus models poorly)
     "q166_source_lm_fit" -> ((s, dir) =>
@@ -2923,6 +2927,21 @@ object SparkEntry {
          |  CAST(piece_id AS BIGINT) AS piece_id, piece
          |FROM tok JOIN seg USING (word) JOIN ids USING (piece)
          |ORDER BY doc_id, pos, piece_idx""".stripMargin,
+
+    "q178_robust_standardize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, i - 1 AS dim, v[i] AS x
+        |      FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+        |r AS (SELECT dim, x AS q, row_number() OVER (PARTITION BY dim ORDER BY x) AS rn,
+        |        count(*) OVER (PARTITION BY dim) AS n FROM x),
+        |med AS (SELECT dim, q AS med FROM r WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)),
+        |q1 AS (SELECT dim, q AS q1 FROM r WHERE rn = CAST(ceil(0.25 * n) AS BIGINT)),
+        |q3 AS (SELECT dim, q AS q3 FROM r WHERE rn = CAST(ceil(0.75 * n) AS BIGINT))
+        |SELECT x.vec_id, CAST(x.dim AS BIGINT) AS dim, x.x AS x,
+        |  CASE WHEN q3.q3 = q1.q1 THEN 0.0
+        |       ELSE (x.x - med.med) / (q3.q3 - q1.q1) END AS x_robust
+        |FROM x JOIN med USING (dim) JOIN q1 USING (dim) JOIN q3 USING (dim)
+        |ORDER BY vec_id, dim""".stripMargin,
 
     // exact per-dim order statistics at k = ceil(p*n), clip in place
     "q165_winsorize" ->

@@ -1214,6 +1214,37 @@ object Similarity {
         greatest(least(col("x"), col("__hi")), col("__lo")).as("x_clipped"))
   }
 
+  /** Robust per-dimension standardization — the outlier-immune
+    * alternative to [[standardizeEmbeddings]]' z-score: center on the
+    * exact per-dim MEDIAN and scale by the exact IQR (q3 − q1), both
+    * discrete order statistics ([[dimQuantiles]]), so a handful of
+    * huge activations cannot drag the transform the way they drag a
+    * mean/variance. Constant dims (IQR 0) pin to 0, the
+    * [[dimStats]]/standardize dead-dim convention. Arithmetic is two
+    * correctly-rounded double ops on exact selected values — engine-
+    * identical. Output exploded (idCol, dim, x, x_robust).
+    *
+    * Scale shape: the (dim, value) stream feeds the two bounded
+    * histogram passes per cut; the 3·d-row cut table broadcasts into
+    * the final narrow projection — the corpus never shuffles. */
+  def robustStandardize(emb: DataFrame,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val x = emb.select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .select(col(idCol), col("dim").cast("long").as("dim"),
+        col("__x").cast("double").as("x"))
+    def cut(p: Double, name: String) =
+      graft.ops.Scale.kthSmallestByKey(x, "x", "dim", p)
+        .select(col("dim"), col("quantile").as(name))
+    x.join(broadcast(cut(0.5, "__med")), Seq("dim"))
+      .join(broadcast(cut(0.25, "__q1")), Seq("dim"))
+      .join(broadcast(cut(0.75, "__q3")), Seq("dim"))
+      .select(col(idCol), col("dim"), col("x"),
+        when(col("__q3") === col("__q1"), lit(0.0))
+          .otherwise((col("x") - col("__med")) / (col("__q3") - col("__q1")))
+          .as("x_robust"))
+  }
+
   /** Per-dimension exact discrete quantile of the embedding corpus —
     * the robust-scaling statistic (median / IQR bounds) that
     * [[dimStats]]' moments cannot give: one posexplode into the

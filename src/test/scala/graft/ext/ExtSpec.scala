@@ -1101,6 +1101,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L).forall(r => r._3 == 5.0 && r._4 == 5.0))
   }
 
+  test("robustStandardize: median-centered, IQR-scaled; outliers don't move the transform") {
+    // dim 0: 1..20 plus nothing — median = 10th asc value? k=ceil(.5*20)=10 → 10.0
+    // q1 = 5th = 5.0, q3 = 15th = 15.0, IQR 10; dim 1 constant → pinned 0
+    val rows = (1L to 20L).map(i => (i, Array(i.toFloat, 7.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.robustStandardize(df)
+      .as[(Long, Long, Double, Double)].collect().groupBy(_._2)
+    val d0 = out(0L).map(r => r._1 -> r._4).toMap
+    assert(d0(10L) == 0.0 && d0(20L) == 1.0 && d0(5L) == -0.5)
+    assert(out(1L).forall(_._4 == 0.0))
+    // one huge outlier barely changes anyone else's robust score
+    val spiked = ((1L to 19L).map(i => (i, Array(i.toFloat, 7.0f))) :+
+      (20L, Array(1.0e6f, 7.0f))).toDF("vec_id", "embedding")
+    val s0 = Similarity.robustStandardize(spiked)
+      .filter(col("dim") === 0).as[(Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> r._4).toMap
+    assert(s0(10L) == 0.0 && math.abs(s0(5L) + 0.5) < 1e-9)
+  }
+
   test("knnGraphLsh: top-k aggregates map-side — no Window over the candidate join") {
     val emb = load("embeddings")
     val df = Similarity.knnGraphLsh(emb, k = 3, planes = 4, dim = 64)
