@@ -1321,6 +1321,73 @@ object SparkEntry {
         .localCheckpoint()
       Multimodal.imageNearDupPairs(media).orderBy("doc_a", "doc_b")
     }),
+    // REAL PNG pixel decode: spec-valid PNGs synthesized with zlib
+    // STORED blocks (exact adler32 computed in the fixture) and the
+    // per-row filter type cycling through ALL FIVE PNG filters
+    // (None/Sub/Up/Average/Paeth) — the kernel must inflate AND
+    // invert each filter to recover q174's formula pixels; the oracle
+    // predicts the dHash from the formula directly
+    "q179_png_dhash" -> ((s, dir) => {
+      val id = col("doc_id")
+      def v(x: Column, y: Column): Column =
+        pmod(id * 7 + x * 13 + y * 31, lit(256L))
+      // filtered byte per (x, y) under filter type y % 5; channels are
+      // equal (r=g=b=v) so one value serves all three channel bytes
+      def fb(x: Column, y: Column): Column = {
+        val left = when(x === 0, lit(0L)).otherwise(v(x - 1, y))
+        val up = when(y === 0, lit(0L)).otherwise(v(x, y - 1))
+        val ul = when(x === 0 || y === 0, lit(0L)).otherwise(v(x - 1, y - 1))
+        val p = left + up - ul
+        val (pa, pb, pc) = (abs(p - left), abs(p - up), abs(p - ul))
+        val paeth = when(pa <= pb && pa <= pc, left)
+          .when(pb <= pc, up).otherwise(ul)
+        val pred = when(pmod(y, lit(5L)) === 0, lit(0L))
+          .when(pmod(y, lit(5L)) === 1, left)
+          .when(pmod(y, lit(5L)) === 2, up)
+          .when(pmod(y, lit(5L)) === 3, shiftright(left + up, 1))
+          .otherwise(paeth)
+        pmod(v(x, y) - pred, lit(256L))
+      }
+      // scanline stream: filter byte then 16 RGB pixels, rows top-down
+      val fvals = flatten(transform(sequence(lit(0L), lit(15L)), y =>
+        concat(array(pmod(y, lit(5L))),
+          flatten(transform(sequence(lit(0L), lit(15L)), x => {
+            val f = fb(x, y)
+            array(f, f, f)
+          })))))
+      val ad = aggregate(fvals, struct(lit(1L).as("s1"), lit(0L).as("s2")),
+        (acc, d) => {
+          val s1 = pmod(acc.getField("s1") + d, lit(65521L))
+          struct(s1.as("s1"),
+            pmod(acc.getField("s2") + s1, lit(65521L)).as("s2"))
+        })
+      val adler = ad.getField("s2") * 65536L + ad.getField("s1")
+      val dataHex = array_join(
+        transform(fvals, d => lpad(hex(d), 2, "0")), "")
+      // zlib: 78 01 header, one final STORED block (LEN=784 LE, NLEN),
+      // the 784 raw stream bytes, adler32 BE
+      val payload = unhex(concat(
+        lit("89504E470D0A1A0A"),                        // signature
+        lit("0000000D49484452"),                        // IHDR len+tag
+        lit("0000001000000010"), lit("0802000000"),     // 16×16 8-bit RGB
+        lit("00000000"),                                // IHDR CRC (unvalidated)
+        lit("0000031B49444154"),                        // IDAT len (795)+tag
+        lit("7801"), lit("01"), lit("1003"), lit("EFFC"), dataHex,
+        lpad(hex(adler), 8, "0"),
+        lit("00000000"),                                // IDAT CRC
+        lit("0000000049454E4400000000")))               // IEND
+      // materialize: the decode probes the whole payload and the
+      // hex-build tree inlined per reference would explode the plan
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), payload.as("payload"))
+        .localCheckpoint()
+      media.select(col("media_id"),
+          Multimodal.pngMeta(col("payload")).as("m"),
+          Multimodal.pngDhash(col("payload")).as("dhash"))
+        .select(col("media_id"), col("m.width").as("width"),
+          col("m.height").as("height"), col("dhash"))
+        .orderBy("media_id")
+    }),
     // format-aware payload fingerprint: a FULL synthesized PNG whose
     // tEXt chunk varies by source but whose IDAT stream is the text
     // bytes — the fingerprint must hash ONLY the IDAT content, so the
@@ -3069,6 +3136,16 @@ object SparkEntry {
 
     "q174_bmp_dhash" -> bmpDhashOracle,
     "q175_image_neardup" -> imageNearDupOracle,
+    // q179: the oracle cannot inflate zlib, but the planted pixels
+    // follow q174's formula and PNG/BMP dHash share one definition —
+    // so the SAME formula terms predict the decoded hash; the Spark
+    // side proves signature walk + stored-block inflate + all five
+    // filter inversions recover exactly those pixels
+    "q179_png_dhash" ->
+      s"""SELECT doc_id AS media_id, CAST(16 AS INT) AS width,
+         |  CAST(16 AS INT) AS height,
+         |  (${bmpDhashTerms("doc_id")}) AS dhash
+         |FROM documents ORDER BY media_id""".stripMargin,
 
     "q171_compressibility" ->
       """WITH bg AS (
@@ -3078,9 +3155,9 @@ object SparkEntry {
         |c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
         |n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1)
         |SELECT c.doc_id, n.n AS n_bigrams,
-        |  CAST(SUM(CAST(c.c AS DECIMAL(10,0))
+        |  CAST(CAST(SUM(CAST(c.c AS DECIMAL(10,0))
         |    * CAST(round(ln(CAST(n.n AS DOUBLE) / c.c), 9) AS DECIMAL(18,9)))
-        |    AS DECIMAL(28,9)) AS score
+        |    AS DECIMAL(28,9)) AS DOUBLE) AS score
         |FROM c JOIN n USING (doc_id)
         |GROUP BY c.doc_id, n.n ORDER BY doc_id""".stripMargin,
 
@@ -3231,7 +3308,7 @@ object SparkEntry {
         |             AS DECIMAL(18,9))) AS DECIMAL(28,9)) AS score
         |  FROM cnt GROUP BY 1, 2, 3)
         |SELECT doc_id, CAST(pos AS BIGINT) AS pos, token,
-        |  CAST(len(token) AS BIGINT) AS n, score,
+        |  CAST(len(token) AS BIGINT) AS n, CAST(score AS DOUBLE) AS score,
         |  score > CAST(CAST(2.0 AS DECIMAL(18,9)) * len(token) AS DECIMAL(28,9))
         |    AS high_entropy,
         |  regexp_matches(token, '^[0-9a-fA-F]{8,}$') AS looks_hex,
@@ -3881,10 +3958,12 @@ object SparkEntry {
        |  FROM bt$maxWordLen, unnest(generate_series(1, len(path) - 1)) AS t(k))""".stripMargin
   }
 
-  /** q146 oracle: the seed vocabulary table itself. */
+  /** q146 oracle: the seed vocabulary table itself. logp is DOUBLE in
+    * the hashed contract (decimal internal — driver-hash rule). */
   private def unigramVocabOracle: String =
     s"""WITH ${unigramVocabCtes(4, 20)}
-       |SELECT piece, freq, logp FROM v ORDER BY piece""".stripMargin
+       |SELECT piece, freq, CAST(logp AS DOUBLE) AS logp
+       |FROM v ORDER BY piece""".stripMargin
 
   /** q147 oracle: the unrolled Viterbi replayed on the (restricted)
     * token stream. */
@@ -3913,7 +3992,8 @@ object SparkEntry {
        |        FROM tok JOIN seg USING (word) GROUP BY 1),
        |tot2 AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM cnt)
        |SELECT piece, freq,
-       |  CAST(round(ln(CAST(freq AS DOUBLE) / t), 9) AS DECIMAL(28,9)) AS logp
+       |  CAST(CAST(round(ln(CAST(freq AS DOUBLE) / t), 9)
+       |       AS DECIMAL(28,9)) AS DOUBLE) AS logp
        |FROM cnt, tot2 ORDER BY piece""".stripMargin
 
   /** Shared CTEs for the trained language-ID oracles (q150, q163):
@@ -4110,7 +4190,7 @@ object SparkEntry {
        |    ($checksum) AS ch
        |  FROM documents)
        |SELECT shard, count(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,
-       |  CAST(SUM(ch) AS DECIMAL(38,0)) AS id_checksum
+       |  CAST(CAST(SUM(ch) AS DECIMAL(38,0)) AS VARCHAR) AS id_checksum
        |FROM s GROUP BY shard ORDER BY shard""".stripMargin
   }
 

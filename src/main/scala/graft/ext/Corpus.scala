@@ -172,7 +172,11 @@ object Corpus {
     perDoc.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__n")).as("n_tokens"),
-        sum(idHash).cast("decimal(38,0)").as("id_checksum"))
+        // summed exactly as DECIMAL(38,0), emitted as STRING: 38
+        // digits exceed double exactness, and hashed contracts carry
+        // no decimal columns (driver-hash rule) — decimal→string is
+        // exact and portable in both engines.
+        sum(idHash).cast("decimal(38,0)").cast("string").as("id_checksum"))
   }
 
   /** Inverted index over the corpus: one posting row per distinct
@@ -1400,10 +1404,14 @@ object Corpus {
       .unionByName(pieces.filter(length(col("piece")) > 1)
         .orderBy(col("freq").desc, col("piece").asc).limit(vocabSize))
     val total = kept.agg(sum(col("freq")).as("__t"))
+    // logp is rounded through exact DECIMAL, then emitted as DOUBLE —
+    // hashed contracts carry no decimal columns (driver-hash rule);
+    // consumers ([[unigramSegment]], [[unigramPrune]]) re-cast to
+    // decimal(28,9) on entry, an exact round-trip at <= 15 sig digits.
     kept.join(broadcast(total))
       .select(col("piece"), col("freq"),
         round(log(col("freq").cast("double") / col("__t")), 9)
-          .cast("decimal(28,9)").as("logp"))
+          .cast("decimal(28,9)").cast("double").as("logp"))
   }
 
   /** Viterbi segmentation of the corpus under a unigram piece LM
@@ -1561,10 +1569,12 @@ object Corpus {
       .groupBy("piece").agg(count(lit(1)).as("freq"))
       .localCheckpoint()
     val total = counts.agg(sum(col("freq")).as("__t"))
+    // decimal-rounded then DOUBLE, like [[unigramSeedVocab]] — no
+    // decimal column in the hashed contract.
     counts.join(broadcast(total))
       .select(col("piece"), col("freq"),
         round(log(col("freq").cast("double") / col("__t")), 9)
-          .cast("decimal(28,9)").as("logp"))
+          .cast("decimal(28,9)").cast("double").as("logp"))
   }
 
   /** Likelihood-loss vocabulary pruning — SentencePiece's ACTUAL
@@ -1641,7 +1651,7 @@ object Corpus {
     kept.join(broadcast(total))
       .select(col("piece"), col("freq"),
         round(log(col("freq").cast("double") / col("__t")), 9)
-          .cast("decimal(28,9)").as("logp"))
+          .cast("decimal(28,9)").cast("double").as("logp"))
   }
 
   /** The unigram-LM training loop: seed ([[unigramSeedVocab]]), then
@@ -1686,7 +1696,7 @@ object Corpus {
       all.join(broadcast(total))
         .select(col("piece"), col("freq"),
           round(log(col("freq").cast("double") / col("__t")), 9)
-            .cast("decimal(28,9)").as("logp"))
+            .cast("decimal(28,9)").cast("double").as("logp"))
     }
     for (_ <- 1 to rounds) {
       vocab = unigramReestimate(docs, vocab, maxPieceLen, idCol, textCol)

@@ -326,15 +326,37 @@ object Multimodal {
   def bmpDhash(payload: Column): Column =
     graft.functions.BmpDhash(payload)
 
-  /** Perceptual image near-duplicate pairs over a BMP media frame —
-    * the image-side sibling of text simhash dedup, end to end on REAL
-    * pixels: [[bmpDhash]] per payload, then
+  /** dHash over REAL decoded PNG pixels — closes the codec gap for
+    * the format web corpora are actually made of. The IDAT stream is
+    * zlib (public JVM `Inflater`), scanline defiltering
+    * (None/Sub/Up/Average/Paeth) is byte arithmetic, and the grid /
+    * luma / bit packing are EXACTLY [[bmpDhash]]'s — a PNG and a BMP
+    * of the same pixels hash EQUAL, so both formats near-dup together
+    * through one [[imageNearDupPairs]] pass. 8-bit gray / gray+alpha
+    * / RGB / RGBA, non-interlaced, multi-IDAT; anything else (and any
+    * truncation, zlib error, size mismatch, or > 2^22-pixel image —
+    * the bounded-decode guard) fails closed to null. Runs as the
+    * native codegen'd kernel [[graft.functions.PngDhash]]; JPEG
+    * remains the documented codec stub (DCT entropy decode is a
+    * genuine codec, not byte arithmetic). */
+  def pngDhash(payload: Column): Column =
+    graft.functions.PngDhash(payload)
+
+  /** Format-dispatched perceptual hash: BMP and PNG payloads decode
+    * to the SAME dHash space (identical grid/luma/packing), other
+    * formats null out — one hash column for a mixed media lake. */
+  def imageDhash(payload: Column): Column =
+    coalesce(bmpDhash(payload), pngDhash(payload))
+
+  /** Perceptual image near-duplicate pairs over a mixed BMP/PNG media
+    * frame — the image-side sibling of text simhash dedup, end to end
+    * on REAL pixels: [[imageDhash]] per payload (BMP and PNG share
+    * one hash space, so a BMP re-save of a PNG pairs up), then
     * `Dedup.hash64NearDupPairs`' pigeonhole-blocked candidate
-    * generation and exact hamming filter. Non-BMP/undecodable
-    * payloads are excluded (no hash, no pairs). Output
-    * (doc_a, doc_b, hamming). For JPEG/PNG lakes the same pipeline
-    * applies once a decoder supplies the pixel grid — only the hash
-    * column's producer changes. */
+    * generation and exact hamming filter. Undecodable payloads are
+    * excluded (no hash, no pairs). Output (doc_a, doc_b, hamming).
+    * For JPEG lakes the same pipeline applies once a decoder supplies
+    * the pixel grid — only the hash column's producer changes. */
   def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3,
                         idCol: String = "media_id",
                         maxBucket: Int = Int.MaxValue): DataFrame =
@@ -348,7 +370,7 @@ object Multimodal {
       // checkpoint BEFORE the null filter: pushing isnotnull through
       // the projection substitutes the full decode tree into the
       // predicate and Catalyst's constraint propagation grinds on it
-      media.select(col(idCol), bmpDhash(col("payload")).as("dhash"))
+      media.select(col(idCol), imageDhash(col("payload")).as("dhash"))
         .localCheckpoint()
         .filter(col("dhash").isNotNull),
       maxHamming, maxBucket)

@@ -656,7 +656,11 @@ object TextAnalysis {
       .agg(sum(col("c").cast("decimal(10,0)")
           * round(log(col("n").cast("double") / col("c")), 9)
             .cast("decimal(18,9)")).cast("decimal(28,9)").as("score"))
-      .select(col(idCol), col("n").as("n_bigrams"), col("score"))
+      // exact decimal internally, DOUBLE in the output: hashed
+      // contracts carry no decimal columns (driver-hash rule); n·H
+      // here stays well inside double's 15-sig-digit exact range.
+      .select(col(idCol), col("n").as("n_bigrams"),
+        col("score").cast("double").as("score"))
   }
 
   /** Credential/secret candidate scan — the redaction tier [[piiStats]]'
@@ -704,6 +708,10 @@ object TextAnalysis {
           * col("n")).cast("decimal(28,9)"))
       .withColumn("looks_hex", tok.rlike(s"^[0-9a-fA-F]{$minLen,}$$"))
       .withColumn("looks_b64", tok.rlike(s"^[A-Za-z0-9+/=]{$minLen,}$$"))
+      // the threshold decision above is made on exact decimals; the
+      // emitted score is DOUBLE — hashed contracts carry no decimal
+      // columns (driver-hash rule), and n·H is <= 15 sig digits here.
+      .withColumn("score", col("score").cast("double"))
   }
 
   /** Luhn checksum validity of a digit string — the mod-10 check that

@@ -435,15 +435,17 @@ class CorpusSpec extends SparkSpec {
   test("shardManifest: counts and order-free checksum invariant under partitioning") {
     val d = docs((1L to 40L).map(i => (i, s"tok$i words here", "s")): _*)
     val m1 = Corpus.shardManifest(d, nShards = 4)
-      .as[(Long, Long, Long, java.math.BigDecimal)].collect().sortBy(_._1)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
     assert(m1.map(_._2).sum == 40L)
     assert(m1.map(_._3).sum == 120L) // 3 tokens per doc
+    // checksum is the exact DECIMAL(38,0) sum emitted as digits only
+    assert(m1.forall(r => r._4.nonEmpty && r._4.forall(_.isDigit)))
     val m2 = Corpus.shardManifest(d.repartition(13), nShards = 4)
-      .as[(Long, Long, Long, java.math.BigDecimal)].collect().sortBy(_._1)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
     assert(m1.toSeq == m2.toSeq, "manifest must not depend on physical layout")
     // dropping a doc changes exactly its shard's checksum
     val m3 = Corpus.shardManifest(d.filter(col("doc_id") =!= 7L), nShards = 4)
-      .as[(Long, Long, Long, java.math.BigDecimal)].collect().sortBy(_._1)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
     assert(m1.map(r => (r._1, r._4)).toSet != m3.map(r => (r._1, r._4)).toSet)
   }
 
@@ -505,11 +507,11 @@ class CorpusSpec extends SparkSpec {
   test("unigramTrain: unused pieces drop out; the EM loop reaches a fixpoint") {
     val d = docs((1L, "aaab aaab b", "s"))
     val r1 = Corpus.unigramTrain(d, rounds = 1, maxPieceLen = 3)
-      .orderBy("piece").as[(String, Long, java.math.BigDecimal)].collect().toSeq
+      .orderBy("piece").as[(String, Long, Double)].collect().toSeq
     // round 1 keeps only the Viterbi-path pieces {a, aab, b}
     assert(r1.map(_._1) == Seq("a", "aab", "b"))
     val r2 = Corpus.unigramTrain(d, rounds = 2, maxPieceLen = 3)
-      .orderBy("piece").as[(String, Long, java.math.BigDecimal)].collect().toSeq
+      .orderBy("piece").as[(String, Long, Double)].collect().toSeq
     assert(r1 == r2, "segmentation stabilized, so round 2 must be a no-op")
   }
 
@@ -520,12 +522,12 @@ class CorpusSpec extends SparkSpec {
     assert(before > 2)
     val pruned = Corpus.unigramPrune(vocab, targetMulti = 2, maxPieceLen = 4)
     val pieces = pruned.orderBy("piece")
-      .as[(String, Long, java.math.BigDecimal)].collect().toSeq
+      .as[(String, Long, Double)].collect().toSeq
     // coverage floor intact
     assert(Seq("a", "b", "c", "d").forall(c => pieces.exists(_._1 == c)))
     assert(pieces.count(_._1.length > 1) == 2)
     // logp re-normalized over the kept total: sum of exp(logp) ≈ 1
-    val mass = pieces.map(p => math.exp(p._3.doubleValue)).sum
+    val mass = pieces.map(p => math.exp(p._3)).sum
     assert(math.abs(mass - 1.0) < 1e-6, s"piece mass $mass")
   }
 
@@ -538,7 +540,8 @@ class CorpusSpec extends SparkSpec {
     def likelihood(vocab: org.apache.spark.sql.DataFrame): BigDecimal = {
       // max(piece_idx) keeps the coverage guard in the consumed plan
       val r = Corpus.unigramSegment(d, vocab, maxPieceLen = 4)
-        .join(vocab.select(col("piece"), col("logp")), "piece")
+        .join(vocab.select(col("piece").as("piece"),
+          col("logp").cast("decimal(28,9)").as("logp")), "piece")
         .agg(sum(col("logp")), max(col("piece_idx"))).collect()(0)
       BigDecimal(r.getDecimal(0))
     }

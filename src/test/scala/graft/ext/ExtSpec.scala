@@ -41,13 +41,14 @@ class TextAnalysisSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val out = TextAnalysis.compressibility(d)
       .collect().map(r => r.getAs[Long]("doc_id") ->
-        (r.getAs[Long]("n_bigrams"), BigDecimal(r.getAs[java.math.BigDecimal]("score")))).toMap
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("score"))).toMap
     assert(!out.contains(3L))
     assert(out(1L)._1 == 15L && out(2L)._1 == 15L)
     def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
-    // doc1: 8*ln(15/8) + 7*ln(15/7); doc2: 15*ln(15)
-    assert(out(1L)._2 == r9(math.log(15.0 / 8)) * 8 + r9(math.log(15.0 / 7)) * 7)
-    assert(out(2L)._2 == r9(math.log(15.0)) * 15)
+    // doc1: 8*ln(15/8) + 7*ln(15/7); doc2: 15*ln(15) — the exact
+    // decimal n·H, emitted as its (unique) nearest double
+    assert(out(1L)._2 == (r9(math.log(15.0 / 8)) * 8 + r9(math.log(15.0 / 7)) * 7).toDouble)
+    assert(out(2L)._2 == (r9(math.log(15.0)) * 15).toDouble)
     assert(out(1L)._2 < out(2L)._2)
   }
 
@@ -78,10 +79,10 @@ class TextAnalysisSpec extends SparkSpec {
     // 16 distinct chars: score = 16 * round(ln 16, 9); below the 2.5 bar
     val mixed = out("aK9xQz2mPw4rT7vB")
     val ln16 = BigDecimal(math.log(16.0)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
-    assert(BigDecimal(mixed.getAs[java.math.BigDecimal]("score")) == ln16 * 16)
+    assert(mixed.getAs[Double]("score") == (ln16 * 16).toDouble)
     assert(mixed.getAs[Boolean]("high_entropy")) // ln 16 ≈ 2.773 > 2.5
     val uniform = out("aaaaaaaaaaaaaaaa") // one char: H = 0
-    assert(BigDecimal(uniform.getAs[java.math.BigDecimal]("score")) == 0)
+    assert(uniform.getAs[Double]("score") == 0.0)
     assert(!uniform.getAs[Boolean]("high_entropy"))
     assert(out("deadbeefcafe1234").getAs[Boolean]("looks_hex"))
     assert(!out("deadbeefcafe1234").getAs[Boolean]("high_entropy")) // 11 distinct
@@ -1746,6 +1747,139 @@ class MultimodalSpec extends SparkSpec {
       .getAs[org.apache.spark.sql.Row]("m")
     assert(m.getAs[Int]("width") == 16 && m.getAs[Int]("height") == 16 &&
       m.getAs[Int]("bpp") == 24)
+  }
+
+  /** Real PNG bytes: raw formula pixels filtered per scanline (the
+    * filter type chosen by `filterOf`), REAL zlib compression via
+    * `Deflater` (not stored blocks — the fixture query covers those),
+    * optionally split across two IDAT chunks. */
+  private def pngBytes(v: (Int, Int) => Int, w: Int = 16, h: Int = 16,
+                       colorType: Int = 2, filterOf: Int => Int = _ % 5,
+                       splitIdat: Boolean = false,
+                       interlace: Int = 0): Array[Byte] = {
+    val ch = Map(0 -> 1, 2 -> 3, 4 -> 2, 6 -> 4)(colorType)
+    def rawByte(y: Int, i: Int): Int = {
+      val c = i % ch
+      val isAlpha = (colorType == 4 && c == 1) || (colorType == 6 && c == 3)
+      if (isAlpha) 255 else v(i / ch, y) & 0xff
+    }
+    val stream = (0 until h).flatMap { y =>
+      val ft = filterOf(y)
+      ft.toByte +: (0 until w * ch).map { i =>
+        val raw = rawByte(y, i)
+        val left = if (i >= ch) rawByte(y, i - ch) else 0
+        val up = if (y > 0) rawByte(y - 1, i) else 0
+        val ul = if (i >= ch && y > 0) rawByte(y - 1, i - ch) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) >> 1
+          case _ =>
+            val p = left + up - ul
+            val (pa, pb, pc) = (math.abs(p - left), math.abs(p - up), math.abs(p - ul))
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        ((raw - pred) & 0xff).toByte
+      }
+    }.toArray
+    val d = new java.util.zip.Deflater()
+    d.setInput(stream); d.finish()
+    val buf = new Array[Byte](stream.length + 256)
+    val n = d.deflate(buf); d.end()
+    val zz = buf.take(n)
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] =
+      be(data.length, 4) ++ tag.getBytes ++ data ++ be(0, 4)
+    val ihdr = chunk("IHDR", be(w, 4) ++ be(h, 4) ++
+      Array[Byte](8, colorType.toByte, 0, 0, interlace.toByte))
+    val idats =
+      if (splitIdat) chunk("IDAT", zz.take(zz.length / 2)) ++
+        chunk("IDAT", zz.drop(zz.length / 2))
+      else chunk("IDAT", zz)
+    sig ++ ihdr ++ chunk("tEXt", "ancillary".getBytes) ++ idats ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  test("pngDhash: inflate + all five filter inversions recover the pixels; " +
+    "BMP of the same image hashes EQUAL; malformed payloads fail closed") {
+    import spark.implicits._
+    def bmpOf(v: (Int, Int) => Int, w: Int = 16, h: Int = 16): Array[Byte] = {
+      val stride = (w * 3 + 3) / 4 * 4
+      val px = Array.tabulate(h) { r =>
+        val y = h - 1 - r
+        (0 until w).flatMap { x =>
+          val p = (v(x, y) & 0xff).toByte; Seq(p, p, p)
+        } ++ Seq.fill(stride - w * 3)(0.toByte)
+      }.flatten
+      "BM".getBytes ++ le(54 + px.length, 4) ++ le(0, 4) ++ le(54, 4) ++
+        le(40, 4) ++ le(w, 4) ++ le(h, 4) ++ le(1, 2) ++ le(24, 2) ++
+        le(0, 4) ++ le(px.length, 4) ++ le(2835, 4) ++ le(2835, 4) ++
+        le(0, 4) ++ le(0, 4) ++ px
+    }
+    def base(x: Int, y: Int) = (x * 13 + y * 7) % 200
+    val good = pngBytes(base)                       // filters cycle 0..4
+    val corrupt = {
+      val b = pngBytes(base).clone()
+      // flip a byte inside the compressed IDAT body (after sig+IHDR+tEXt)
+      b(60) = (b(60) ^ 0x5a).toByte; b
+    }
+    val rows = Seq(
+      (1L, good),
+      (2L, pngBytes(base, filterOf = _ => 0)),      // same pixels, no filtering
+      (3L, pngBytes(base, colorType = 0)),          // gray: luma 1000·v == RGB's
+      (4L, pngBytes(base, colorType = 6)),          // RGBA, opaque alpha
+      (5L, pngBytes(base, splitIdat = true)),       // multi-IDAT concatenation
+      (6L, bmpOf(base)),                            // the SAME image as BMP
+      (7L, pngBytes(base, interlace = 1)),          // Adam7: fail closed
+      (8L, good.dropRight(20)),                     // truncated: fail closed
+      (9L, corrupt),                                // zlib error: fail closed
+      (10L, "not an image".getBytes)
+    ).toDF("media_id", "payload").localCheckpoint()
+    val out = rows.select(col("media_id"),
+        Multimodal.imageDhash(col("payload")).as("d"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(1L).isDefined)
+    assert(out(1L) == out(2L), "filter choice must not change decoded pixels")
+    assert(out(1L) == out(3L) && out(1L) == out(4L),
+      "gray/RGBA of the same values share the luma, so the hash")
+    assert(out(1L) == out(5L), "split IDAT must concatenate")
+    assert(out(1L) == out(6L), "PNG and BMP of the same pixels hash EQUAL")
+    assert(out(7L).isEmpty && out(8L).isEmpty && out(9L).isEmpty && out(10L).isEmpty)
+    // pngMeta agrees with the decode path
+    val m = rows.filter(col("media_id") === 1L)
+      .select(Multimodal.pngMeta(col("payload")).as("m")).collect()(0)
+      .getAs[org.apache.spark.sql.Row]("m")
+    assert(m.getAs[Int]("width") == 16 && m.getAs[Int]("height") == 16)
+  }
+
+  test("imageNearDupPairs: a PNG re-save of a BMP pairs cross-format at hamming 0") {
+    import spark.implicits._
+    def g(x: Int, y: Int) = (x * 17 + y * 5) % 210
+    def bmpOf(v: (Int, Int) => Int): Array[Byte] = {
+      val px = Array.tabulate(16) { r =>
+        val y = 15 - r
+        (0 until 16).flatMap { x =>
+          val p = (v(x, y) & 0xff).toByte; Seq(p, p, p)
+        }
+      }.flatten
+      "BM".getBytes ++ le(54 + px.length, 4) ++ le(0, 4) ++ le(54, 4) ++
+        le(40, 4) ++ le(16, 4) ++ le(16, 4) ++ le(1, 2) ++ le(24, 2) ++
+        le(0, 4) ++ le(px.length, 4) ++ le(2835, 4) ++ le(2835, 4) ++
+        le(0, 4) ++ le(0, 4) ++ px
+    }
+    val media = Seq(
+      (1L, bmpOf(g)),
+      (2L, pngBytes(g)),                                  // re-save as PNG
+      (3L, pngBytes((x, y) => ((15 - x) * 17 + y * 5) % 210)), // mirrored: far
+      (4L, "junk".getBytes)
+    ).toDF("media_id", "payload").localCheckpoint()
+    val pairs = Multimodal.imageNearDupPairs(media)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0L)), s"cross-format pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
   test("imageNearDupPairs: identical and brightness-shifted pixels pair; distinct do not") {
