@@ -1388,6 +1388,24 @@ object SparkEntry {
           col("m.height").as("height"), col("dhash"))
         .orderBy("media_id")
     }),
+    // script-aware tokenization on a planted mixed-script corpus: CJK/
+    // Thai codepoints (picked from a fixed 12-char alphabet by doc_id
+    // arithmetic) become per-codepoint tokens — the multilingual vocab
+    // a whitespace tokenizer collapses into one blob per document; the
+    // oracle reproduces the fallback with RE2 script classes
+    "q180_cjk_vocab" -> ((s, dir) => {
+      val abc = Seq("漢", "字", "図", "本", "の", "が",
+        "ア", "ト", "한", "국", "ไ", "ท")
+      val cjk = array(abc.map(lit): _*)
+      def pick(k: Int) =
+        element_at(cjk, (pmod(col("doc_id") * k, lit(12L)) + 1).cast("int"))
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ",
+          substring(col("text"), 1, 30),
+          concat(pick(1), pick(5), pick(7)),
+          concat(lit("mix"), pick(3), lit("ed"))).as("text"))
+      TextAnalysis.vocab(planted, scriptAware = true).orderBy("token")
+    }),
     // format-aware payload fingerprint: a FULL synthesized PNG whose
     // tEXt chunk varies by source but whose IDAT stream is the text
     // bytes — the fingerprint must hash ONLY the IDAT content, so the
@@ -3146,6 +3164,29 @@ object SparkEntry {
          |  CAST(16 AS INT) AS height,
          |  (${bmpDhashTerms("doc_id")}) AS dhash
          |FROM documents ORDER BY media_id""".stripMargin,
+
+    // q180: the per-codepoint no-space-script fallback expressed with
+    // RE2 script classes — each matched codepoint spaced out, then the
+    // usual split; space-script tokens unchanged
+    "q180_cjk_vocab" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 30) || ' ' ||
+        |    l[(doc_id * 1) % 12 + 1] || l[(doc_id * 5) % 12 + 1] ||
+        |    l[(doc_id * 7) % 12 + 1] || ' ' ||
+        |    'mix' || l[(doc_id * 3) % 12 + 1] || 'ed' AS text
+        |  FROM (SELECT doc_id, text,
+        |          ['漢','字','図','本','の','が','ア','ト','한','국','ไ','ท'] AS l
+        |        FROM documents)),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(
+        |    regexp_replace(text,
+        |      '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}\p{Thai}])',
+        |      ' \1 ', 'g'), ' '), t -> t <> '')) AS token
+        |  FROM base)
+        |SELECT token, count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM tok GROUP BY token ORDER BY token""".stripMargin,
 
     "q171_compressibility" ->
       """WITH bg AS (

@@ -24,6 +24,18 @@ object TextAnalysis {
   private[ext] def tokensComposable(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
+  /** Script-aware tokens: [[tokens]]' space splitting PLUS the
+    * per-codepoint fallback for no-space scripts (Han, Kana, Hangul,
+    * Thai, Lao, Khmer, Myanmar) — without it a CJK/Thai document is
+    * ONE token to the whole token family (vocab, BM25, LMs, token
+    * budgets) and CJK prose looks like a high-entropy secret to
+    * [[secretScan]]. On space-script text the output is BYTE-IDENTICAL
+    * to [[tokens]], so the fallback is opt-in per operator with every
+    * existing contract untouched. Native codegen'd kernel
+    * ([[graft.functions.ScriptTokens]]; `script_tokens` in SQL). */
+  def scriptTokens(text: Column): Column =
+    graft.functions.ScriptTokens(text)
+
   /** Tokens matched by a BPE-ish word/number/punctuation regex — a
     * better proxy for subword tokenizers than whitespace splitting. */
   def regexTokens(text: Column): Column =
@@ -38,12 +50,17 @@ object TextAnalysis {
     * nearly every document, concentrating that token's state on one
     * reducer; `exactDocFreq = false` switches to an HLL sketch
     * (`approx_count_distinct`, bounded state per token), the 100 TB
-    * form. */
+    * form. `scriptAware = true` switches to [[scriptTokens]] — the
+    * multilingual form: CJK/Thai text contributes per-codepoint
+    * tokens instead of one document-length blob (identical output on
+    * space-script corpora). */
   def vocab(docs: DataFrame, idCol: String = "doc_id",
-            textCol: String = "text", exactDocFreq: Boolean = true): DataFrame = {
+            textCol: String = "text", exactDocFreq: Boolean = true,
+            scriptAware: Boolean = false): DataFrame = {
     val docFreq = if (exactDocFreq) countDistinct(col(idCol))
                   else approx_count_distinct(col(idCol))
-    docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val toks = if (scriptAware) scriptTokens(col(textCol)) else tokens(col(textCol))
+    docs.select(col(idCol), explode(toks).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("n_occurrences"), docFreq.as("n_docs"))
   }
@@ -679,7 +696,16 @@ object TextAnalysis {
     * in-row fold over the token's own ≤k distinct chars (no char-level
     * explode, no shuffle); the only movement is whatever the caller
     * does with the flagged rows. Output
-    * (idCol, pos, token, n, score, high_entropy, looks_hex, looks_b64). */
+    * (idCol, pos, token, n, score, high_entropy, looks_hex, looks_b64).
+    *
+    * Tokenization is SCRIPT-AWARE ([[scriptTokens]]): a no-space-script
+    * run (Han/Kana/Hangul/Thai…) fragments into 1-codepoint tokens
+    * that never reach `minLen` — without this gate a whitespace
+    * tokenizer hands the scorer entire CJK sentences, whose many
+    * distinct chars score n·H ≈ n·ln n and would be redacted wholesale
+    * as "high-entropy secrets". On space-script text [[scriptTokens]]
+    * ≡ [[tokens]], so the contract is unchanged there; positions are
+    * script-aware token positions. */
   def secretScan(docs: DataFrame, minLen: Int = 16,
                  entropyPerChar: Double = 3.0,
                  idCol: String = "doc_id",
@@ -698,7 +724,7 @@ object TextAnalysis {
       })
     docs
       .select(col(idCol),
-        posexplode(tokens(col(textCol))).as(Seq("pos0", "token")))
+        posexplode(scriptTokens(col(textCol))).as(Seq("pos0", "token")))
       .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"), tok)
       .filter(length(tok) >= minLen)
       .select(col(idCol), col("pos"), tok,

@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WsTokens].getName, "ws_tokens"),
       GraftExtensions.wsTokensBuilder))
     ext.injectFunction((
+      FunctionIdentifier("script_tokens"),
+      new ExpressionInfo(classOf[ScriptTokens].getName, "script_tokens"),
+      GraftExtensions.scriptTokensBuilder))
+    ext.injectFunction((
       FunctionIdentifier("shingle_set"),
       new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
       GraftExtensions.shingleSetBuilder))
@@ -81,6 +85,10 @@ object GraftExtensions {
     require(children.size == 1, "ws_tokens takes exactly 1 argument")
     WsTokens(children(0))
   }
+  private val scriptTokensBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "script_tokens takes exactly 1 argument")
+    ScriptTokens(children(0))
+  }
   private val shingleSetBuilder: Seq[Expression] => Expression = { children =>
     require(children.size == 2 || children.size == 3,
       "shingle_set(tokens, n[, hashHexLen])")
@@ -114,6 +122,8 @@ object GraftExtensions {
       .createOrReplaceTempFunction("repetition_stats", repetitionBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("ws_tokens", wsTokensBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("script_tokens", scriptTokensBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("shingle_set", shingleSetBuilder, "built-in")
     spark.sessionState.functionRegistry

@@ -90,6 +90,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out("aK9xQz2mPw4rT7vB").getAs[Boolean]("looks_hex"))
   }
 
+  test("scriptTokens: per-codepoint fallback for no-space scripts; " +
+    "byte-identical to tokens on space-script text") {
+    val d = Seq(
+      (1L, "abc漢字def ghi"),                 // CJK inside a Latin run
+      (2L, "これはテストです"),               // pure Japanese, no spaces
+      (3L, "sawasdee ไทยmix"),               // Thai + Latin
+      (4L, "한국어 test"),                    // Hangul syllables
+      (5L, "  plain   ascii text  "),        // space-script: must equal tokens
+      (6L, "naïve café résumé")              // accented Latin: NOT split
+    ).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        TextAnalysis.scriptTokens(col("text")).as("st"),
+        TextAnalysis.tokens(col("text")).as("ws"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](1), r.getSeq[String](2))).toMap
+    assert(out(1L)._1 == Seq("abc", "漢", "字", "def", "ghi"))
+    assert(out(2L)._1 == Seq("こ", "れ", "は", "テ", "ス", "ト", "で", "す"))
+    assert(out(3L)._1 == Seq("sawasdee", "ไ", "ท", "ย", "mix"))
+    assert(out(4L)._1 == Seq("한", "국", "어", "test"))
+    assert(out(5L)._1 == out(5L)._2, "space-script text must match tokens")
+    assert(out(6L)._1 == out(6L)._2, "accented Latin must not fragment")
+  }
+
+  test("secretScan: CJK prose fragments below minLen — no no-space-script " +
+    "false secrets; Latin secrets still caught in mixed text") {
+    val d = Seq(
+      // 20 distinct CJK chars: a whitespace tokenizer would score this
+      // one 20-char token at n·ln 20 ≈ 59.9 nats >> 2·20 and redact it
+      (1L, "これは日本語の文章であり秘密ではありません"),
+      (2L, "前置き aK9xQz2mPw4rT7vBaa 後書き") // real secret amid CJK
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.secretScan(d, minLen = 16, entropyPerChar = 2.0)
+      .collect().map(r => r.getAs[String]("token")).toSet
+    assert(!out.exists(_.exists(_ > '฀')),
+      s"no CJK token may reach the scorer: $out")
+    assert(out.contains("aK9xQz2mPw4rT7vBaa"),
+      "the embedded Latin credential must still surface")
+  }
+
   test("langIdMargin: separable docs confident, a balanced-mix doc is not; runner-up labeled") {
     val d = Seq(
       (1L, "the cat and the dog and the cat and the dog", "en"),
