@@ -1406,6 +1406,68 @@ object SparkEntry {
           concat(lit("mix"), pick(3), lit("ed"))).as("text"))
       TextAnalysis.vocab(planted, scriptAware = true).orderBy("token")
     }),
+    // audio near-dup end to end on real PCM: 25 repeating waveforms,
+    // each doc's copy GAIN-SHIFTED by doc_id%3+1 — the sign-of-delta
+    // fingerprint is gain-invariant, so same-pattern docs pair at
+    // hamming 0 while the oracle predicts the bits from the base
+    // waveform formula directly
+    "q181_audio_neardup" -> ((s, dir) => {
+      def leHex(v: Column, nBytes: Int): Column = concat(
+        (0 until nBytes).map(i =>
+          lpad(hex(pmod(floor(v / math.pow(256, i)).cast("long"), lit(256L))), 2, "0")): _*)
+      val pat = pmod(col("doc_id"), lit(25L))
+      val gain = pmod(col("doc_id"), lit(3L)) + 1
+      val n = lit(128L)
+      // base waveform in [-100, 100]; the stored sample is base·gain
+      val samples = array_join(transform(sequence(lit(0L), n - 1), ii =>
+        leHex(pmod((pmod(pat * 31 + ii * 17, lit(201L)) - 100) * gain,
+          lit(65536L)), 2)), "")
+      val dataLen = n * 2
+      val payload = unhex(concat(
+        lit("52494646"), leHex(dataLen + 36L, 4), lit("57415645"),
+        lit("666D7420"), leHex(lit(16L), 4), leHex(lit(1L), 2), leHex(lit(1L), 2),
+        leHex(lit(16000L), 4), leHex(lit(32000L), 4), leHex(lit(2L), 2),
+        leHex(lit(16L), 2), lit("64617461"), leHex(dataLen, 4), samples))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), payload.as("payload"))
+        .localCheckpoint()
+      Multimodal.audioNearDupPairs(media).orderBy("doc_a", "doc_b")
+    }),
+    // REAL JPEG pixel decode via the JDK's bundled codec: 25 pattern
+    // JPEGs encoded DRIVER-SIDE (javax.imageio — deterministic,
+    // headless), block-aligned so the lossy round-trip preserves the
+    // dHash exactly and patterns sit >=12 bits apart; the oracle pins
+    // PAIR STRUCTURE (same-pattern copies at hamming 0), never JPEG
+    // hash values — IDCT rounding is decoder-defined (kernel scaladoc)
+    "q182_jpeg_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val pats = (0 until 25).map { p =>
+        // 9x8 constant 8x8-px blocks; V walks +-12 per bit of the
+        // code C_p: bit k = (p >> (k % 5)) & 1 — distinct p differ in
+        // >=12 grid comparisons, far outside the hamming-3 radius
+        val img = new java.awt.image.BufferedImage(
+          72, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (r <- 0 until 8) {
+          val v = new Array[Int](9)
+          v(0) = 128
+          for (i <- 0 until 8)
+            v(i + 1) = v(i) + (if (((p >> ((8 * r + i) % 5)) & 1) == 1) 12 else -12)
+          for (c <- 0 until 9; y <- r * 8 until r * 8 + 8;
+               x <- c * 8 until math.min(c * 8 + 8, 72))
+            img.setRGB(x, y, (v(c) << 16) | (v(c) << 8) | v(c))
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        (p.toLong, bos.toByteArray)
+      }
+      val patDf = pats.toDF("pat", "payload")
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          pmod(col("doc_id"), lit(25L)).as("pat"))
+        .join(broadcast(patDf), Seq("pat"))
+        .select("media_id", "payload")
+      Multimodal.imageNearDupPairs(media).orderBy("doc_a", "doc_b")
+    }),
     // format-aware payload fingerprint: a FULL synthesized PNG whose
     // tEXt chunk varies by source but whose IDAT stream is the text
     // bytes — the fingerprint must hash ONLY the IDAT content, so the
@@ -3188,6 +3250,30 @@ object SparkEntry {
         |  count(DISTINCT doc_id) AS n_docs
         |FROM tok GROUP BY token ORDER BY token""".stripMargin,
 
+    // q182: the q58-style CONTRACT row — same-bytes JPEG copies share
+    // a decode, so same-pattern docs pair at hamming 0; patterns sit
+    // >=12 bits apart (verified at design time), so no other pair can
+    // enter the hamming-3 radius. Hash values deliberately unhashed.
+    "q182_jpeg_neardup" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id AND a.doc_id % 25 = b.doc_id % 25
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q181: sign-of-delta bits predicted from the base waveform —
+    // gain cancels in the comparison (g>0), exactly the invariance
+    // the fingerprint claims; exact all-pairs hamming like q175
+    "q181_audio_neardup" ->
+      s"""WITH hset AS (
+         |  SELECT doc_id, (${wavFingerprintTerms("doc_id % 25")}) AS fp
+         |  FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         |FROM hset a JOIN hset b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q171_compressibility" ->
       """WITH bg AS (
         |  SELECT doc_id, substr(text, i, 2) AS bg
@@ -4187,6 +4273,25 @@ object SparkEntry {
         else BigInt(2).pow(idx).toString
       s"""(CASE WHEN (($idExpr)*7 + $x2*13 + $y*31) % 256
          |       > (($idExpr)*7 + $x1*13 + $y*31) % 256
+         |  THEN CAST($weight AS BIGINT) ELSE 0 END)""".stripMargin
+    }
+    terms.mkString("\n + ")
+  }
+
+  /** q181 oracle terms: the sign-of-delta fingerprint bits from the
+    * base waveform `((pat·31 + i·17) % 201) − 100` — the −100 and the
+    * per-doc positive gain both cancel in the comparison, so only the
+    * mod-201 values compare. Grid `idx_k = ⌊k·127/64⌋` over n=128
+    * samples; bit 63's term is the NEGATIVE 2^63 (two's-complement
+    * BIGINT packing, the bmpDhashTerms rule). */
+  private def wavFingerprintTerms(patExpr: String): String = {
+    val idx = (0 to 64).map(k => k * 127 / 64)
+    val terms = for (k <- 0 until 64) yield {
+      val (i1, i2) = (idx(k), idx(k + 1))
+      val weight = if (k == 63) "-9223372036854775808"
+        else BigInt(2).pow(k).toString
+      s"""(CASE WHEN (($patExpr)*31 + $i2*17) % 201
+         |       > (($patExpr)*31 + $i1*17) % 201
          |  THEN CAST($weight AS BIGINT) ELSE 0 END)""".stripMargin
     }
     terms.mkString("\n + ")

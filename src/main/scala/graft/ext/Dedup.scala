@@ -406,7 +406,13 @@ object Dedup {
       .localCheckpoint()
     val deg = dir.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    var ranks = nodes.select(col(idCol).as("id")).distinct()
+    // pair endpoints UNION nodes: an edge referencing an id absent
+    // from `nodes` would otherwise route inflow to a row the
+    // ranks-keyed join drops — silently losing mass and breaking the
+    // exact-conservation invariant this operator documents
+    var ranks = nodes.select(col(idCol).as("id"))
+      .unionByName(dir.select(col("src").as("id")))
+      .distinct()
       .withColumn("mass", lit(startMass))
       .localCheckpoint()
     for (_ <- 1 to iters) {
@@ -847,6 +853,23 @@ object Dedup {
     * occurrence is not the canonical first one (minimum
     * (doc id, first_pos) — "keep first occurrence"). Documents
     * reassemble from their surviving token positions.
+    *
+    * **Granularity bound (the contract's deliberate deviation from
+    * the paper's suffix-array exactness):** removal happens at whole
+    * CDC chunks, so a repeated span is caught EXACTLY where it
+    * contains at least one complete content-defined chunk of
+    * ≥ `minTokens` tokens. Three consequences, all by design: (1) a
+    * repeat shorter than `minTokens` can never be removed; (2) a
+    * repeat that straddles chunk boundaries sheds only its complete
+    * interior chunks — the partial head/tail fragments (each shorter
+    * than one chunk interval) survive in the text; (3) a repeat lying
+    * strictly inside one long chunk (no interior boundary) is missed
+    * entirely. Because boundaries are content-addressed, the expected
+    * uncaught fragment per occurrence is O(chunk interval) =
+    * O(16^`boundaryNibbles`) tokens regardless of repeat length — the
+    * bulk of any long repeat is always removed. Exact-span refinement
+    * would need pairwise doc alignment (the paper's suffix array), a
+    * different cost class than this hash join.
     *
     * Scale shape: the frequency table is keyed by the 32-hex chunk
     * hash, NEVER by text — the shuffle carries (hash, id, pos) rows.

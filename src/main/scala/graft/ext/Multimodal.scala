@@ -342,11 +342,26 @@ object Multimodal {
   def pngDhash(payload: Column): Column =
     graft.functions.PngDhash(payload)
 
-  /** Format-dispatched perceptual hash: BMP and PNG payloads decode
-    * to the SAME dHash space (identical grid/luma/packing), other
-    * formats null out — one hash column for a mixed media lake. */
+  /** dHash over REAL decoded JPEG pixels — the JDK's bundled
+    * baseline-JPEG codec (`javax.imageio`, java.desktop,
+    * headless-safe: the same public-JVM-machinery class as
+    * [[pngDhash]]'s `Inflater`). Identical grid/luma/packing to
+    * [[bmpDhash]]/[[pngDhash]], so a JPEG save of the same image
+    * lands hamming-NEAR its lossless source. Decoder honesty: IDCT
+    * rounding is implementation-defined, so JPEG hash VALUES are
+    * deterministic per JRE but not contracted cross-engine — oracle
+    * rows pin pair structure (same-bytes copies at hamming 0), and
+    * re-encode robustness is unit-pinned. SOF dimensions are checked
+    * before pixel decode (the 2^22-pixel bounded-decode guard). */
+  def jpegDhash(payload: Column): Column =
+    graft.functions.JpegDhash(payload)
+
+  /** Format-dispatched perceptual hash: BMP, PNG and JPEG payloads
+    * decode to the SAME dHash space (identical grid/luma/packing),
+    * other formats null out — one hash column for a mixed media
+    * lake, one [[imageNearDupPairs]] pass across all three. */
   def imageDhash(payload: Column): Column =
-    coalesce(bmpDhash(payload), pngDhash(payload))
+    coalesce(bmpDhash(payload), pngDhash(payload), jpegDhash(payload))
 
   /** Perceptual image near-duplicate pairs over a mixed BMP/PNG media
     * frame — the image-side sibling of text simhash dedup, end to end
@@ -415,13 +430,46 @@ object Multimodal {
         struct(greatest(acc.getField("peak"), a).as("peak"),
           (acc.getField("sum") + a).as("sum"))
       })
-    when(isWav && bitsPerSample === 16L && byteRate > 0L && dataLen >= 2L,
+    // the declared data length must FIT the payload: a truncated file
+    // fails closed to a null struct (the BmpDhash convention) instead
+    // of emitting null stats inside a plausible-looking struct
+    when(isWav && bitsPerSample === 16L && byteRate > 0L && dataLen >= 2L &&
+      lit(44L) + dataLen <= length(payload),
       struct(
         durationMs.as("duration_ms"),
         n.as("n_prefix"),
         st.getField("peak").cast("long").as("peak_abs"),
         st.getField("sum").cast("long").as("sum_abs")))
   }
+
+  /** 64-bit sign-of-delta audio fingerprint over the PCM prefix — the
+    * near-dup tier connecting [[wavAudioStats]]' real decode to the
+    * pigeonhole dedup machinery, the way [[bmpDhash]]/[[pngDhash]] did
+    * for images: 65 grid samples over the first `maxSamples`, bit k =
+    * s(idx_{k+1}) > s(idx_k). Invariant under positive gain and DC
+    * offset (what a normalize/re-encode pass applies), split by any
+    * real waveform change. Canonical 16-bit PCM only; truncated
+    * payloads (declared data length past the bytes) fail closed.
+    * Native codegen'd kernel ([[graft.functions.WavFingerprint]]). */
+  def wavFingerprint(payload: Column, maxSamples: Int = 256): Column =
+    graft.functions.WavFingerprint(payload, maxSamples)
+
+  /** Audio near-duplicate pairs over a WAV media frame — re-encoded /
+    * gain-shifted / DC-shifted siblings pair at hamming 0, the
+    * audio-side sibling of [[imageNearDupPairs]]: [[wavFingerprint]]
+    * per payload, then `Dedup.hash64NearDupPairs`' pigeonhole-blocked
+    * candidates and exact hamming filter. Undecodable payloads are
+    * excluded. Output (doc_a, doc_b, hamming). */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 3,
+                        idCol: String = "media_id",
+                        maxBucket: Int = Int.MaxValue): DataFrame =
+    graft.ext.Dedup.hash64NearDupPairs(
+      // same stage boundary as imageNearDupPairs: materialize the
+      // 8-bytes-a-row hash table so banding doesn't re-decode PCM
+      media.select(col(idCol), wavFingerprint(col("payload")).as("fp"))
+        .localCheckpoint()
+        .filter(col("fp").isNotNull),
+      maxHamming, maxBucket)
 
   /** Format-aware payload fingerprint — the EXACT-dup tier of image/
     * audio dedup: md5 over the post-header CONTENT bytes (PNG IDAT

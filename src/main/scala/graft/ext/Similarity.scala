@@ -1433,6 +1433,15 @@ object Similarity {
     * `planes` trades selectivity for recall. */
   def knnGraphLsh(emb: DataFrame, k: Int, planes: Int, dim: Int,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // the bounded TopK aggregator ranks (sim, dst-as-long) pairs; a
+    // non-numeric id would cast to null and be SILENTLY skipped,
+    // returning a partial graph — fail fast instead (rank over a
+    // numeric surrogate joined back if string ids are ever needed)
+    val idType = emb.schema(idCol).dataType
+    require(Seq("tinyint", "smallint", "int", "bigint")
+        .contains(idType.simpleString),
+      s"knnGraphLsh needs an integral id column; '$idCol' is " +
+        s"${idType.simpleString} — rank over a numeric surrogate and join back")
     val b = signBuckets(emb, planes, dim, idCol, vecCol)
       .withColumn("__norm", l2Norm(col(vecCol)))
     val l = b.select(col("bucket"), col(idCol).as("src"),

@@ -821,6 +821,37 @@ class DedupSpec extends SparkSpec {
     assert(m(3L) == ((3L, "totally unrelated text here", 0L)))
     assert(m(4L) == ((4L, "", 0L)))
   }
+  test("removeRepeatedSpans granularity bound: a repeat with no complete " +
+    "interior chunk survives; growing it past a chunk interval gets it caught") {
+    // the contract (scaladoc): removal is whole-CDC-chunk — a repeat
+    // shorter than minTokens, or one contributing no complete chunk of
+    // >= minTokens tokens, is MISSED by design. Prove both directions.
+    // (1) sub-minTokens repeat: can never form a removable chunk
+    val tiny = "shared tiny span here"
+    val d1 = Seq(
+      (1L, s"unique one $tiny trailing text number one"),
+      (2L, s"other words $tiny closing section two")).toDF("doc_id", "text")
+    val out1 = Dedup.removeRepeatedSpans(d1, minTokens = 8, minDocs = 2)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(out1.values.forall(_ == 0L),
+      "a repeat shorter than minTokens must survive (documented bound)")
+    // (2) the same repeat grown to many chunk intervals: interior
+    // chunks now match and the second occurrence loses them
+    val long = (0 until 80).map(i => s"w$i").mkString(" ")
+    val d2 = Seq(
+      (1L, s"unique one $long trailing"),
+      (2L, s"other words $long closing")).toDF("doc_id", "text")
+    val out2 = Dedup.removeRepeatedSpans(d2, minTokens = 8, minDocs = 2)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out2(1L)._3 == 0L, "canonical first occurrence keeps its text")
+    assert(out2(2L)._3 > 0L, "the long repeat's interior chunks must be removed")
+    // (3) the bound is fragment-sized, not repeat-sized: what doc 2
+    // keeps of the repeat is only its head/tail partial chunks —
+    // strictly less than the repeat itself
+    assert(out2(2L)._3 >= 40L,
+      s"the bulk of an 80-token repeat must go, removed=${out2(2L)._3}")
+  }
+
   test("clusterSourceCensus: cross-source mirror vs single-source boilerplate") {
     val docs = Seq(
       (1L, "a", "s1"), (2L, "a", "s2"), (3L, "a", "s3"), // mirror across 3 sources
@@ -847,6 +878,19 @@ class DedupSpec extends SparkSpec {
     val out2 = Dedup.pagerankCentrality(pairs.repartition(7), nodes.repartition(3), iters = 5)
       .as[(Long, Long)].collect().toMap
     assert(out == out2)
+  }
+
+  test("pagerankCentrality: pair endpoints absent from nodes still hold mass " +
+    "— conservation survives an incomplete node list") {
+    // edge 4-5 references ids the node list omits entirely
+    val pairs = Seq((1L, 2L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
+    val out = Dedup.pagerankCentrality(pairs, nodes, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L),
+      "endpoints outside nodes must enter the rank table")
+    assert(out.values.sum == 5L * 1000000000L,
+      "mass must be conserved across the unioned id set")
   }
 }
 
@@ -1170,6 +1214,15 @@ class SimilaritySpec extends SparkSpec {
         s"sign-bucket would become a |bucket|^2-row sort task):\n$p")
     assert(p.contains("partial_topk") || p.contains("ObjectHashAggregate"),
       s"expected the bounded TopK aggregator's partial aggregation:\n$p")
+  }
+
+  test("knnGraphLsh fails fast on a non-integral id column (TopK would " +
+    "silently skip null-cast ids and return a partial graph)") {
+    val emb = load("embeddings").withColumn("vec_id", col("vec_id").cast("string"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnGraphLsh(emb, k = 3, planes = 4, dim = 64)
+    }
+    assert(e.getMessage.contains("integral id column"), e.getMessage)
   }
 
   test("mutualKnnClusters: direction clusters label by min id; singletons self-labeled") {
@@ -1752,6 +1805,79 @@ class MultimodalSpec extends SparkSpec {
     assert(a2.getAs[Long]("n_prefix") == 4L && a2.getAs[Long]("sum_abs") == 20L)
   }
 
+  test("wavAudioStats: truncated payload (declared data_len past the bytes) " +
+    "fails closed to a null struct") {
+    import spark.implicits._
+    def wav(samples: Seq[Int]): Array[Byte] =
+      "RIFF".getBytes ++ le(36 + samples.length * 2, 4) ++ "WAVEfmt ".getBytes ++
+        le(16, 4) ++ le(1, 2) ++ le(1, 2) ++ le(8000, 4) ++
+        le(16000, 4) ++ le(2, 2) ++ le(16, 2) ++
+        "data".getBytes ++ le(samples.length * 2, 4) ++
+        samples.flatMap(v => le(v & 0xffff, 2)).toArray
+    val whole = wav(Seq(1, 2, 3, 4, 5, 6, 7, 8))
+    val truncated = whole.dropRight(6) // header intact, samples missing
+    val rows = Seq((1L, whole), (2L, truncated)).toDF("media_id", "payload")
+    val out = rows.select(col("media_id"),
+        Multimodal.wavAudioStats(col("payload")).as("a"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!out(1L) && out(2L),
+      "truncation must null the whole struct, not individual stats")
+  }
+
+  test("wavFingerprint: gain and DC shifts preserve the bits; waveform " +
+    "change splits; truncated fails closed") {
+    import spark.implicits._
+    def wav(samples: Seq[Int]): Array[Byte] =
+      "RIFF".getBytes ++ le(36 + samples.length * 2, 4) ++ "WAVEfmt ".getBytes ++
+        le(16, 4) ++ le(1, 2) ++ le(1, 2) ++ le(8000, 4) ++
+        le(16000, 4) ++ le(2, 2) ++ le(16, 2) ++
+        "data".getBytes ++ le(samples.length * 2, 4) ++
+        samples.flatMap(v => le(v & 0xffff, 2)).toArray
+    def base(i: Int) = ((i * 37) % 181) - 90
+    val orig = (0 until 128).map(base)
+    val rows = Seq(
+      (1L, wav(orig)),
+      (2L, wav(orig.map(_ * 3))),          // gain ×3
+      (3L, wav(orig.map(_ + 500))),        // DC offset
+      (4L, wav(orig.map(v => -v))),        // inverted: every delta flips
+      (5L, wav(orig).dropRight(10)),       // truncated
+      (6L, "junk".getBytes)
+    ).toDF("media_id", "payload")
+    val out = rows.select(col("media_id"),
+        Multimodal.wavFingerprint(col("payload")).as("fp"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(1L).isDefined)
+    assert(out(1L) == out(2L), "positive gain must not move any bit")
+    assert(out(1L) == out(3L), "DC offset must not move any bit")
+    assert(out(4L).isDefined && out(1L) != out(4L),
+      "inverting the waveform must split")
+    assert(out(5L).isEmpty && out(6L).isEmpty)
+  }
+
+  test("audioNearDupPairs: gain-shifted re-encodes pair at hamming 0; " +
+    "distinct audio does not pair") {
+    import spark.implicits._
+    def wav(samples: Seq[Int]): Array[Byte] =
+      "RIFF".getBytes ++ le(36 + samples.length * 2, 4) ++ "WAVEfmt ".getBytes ++
+        le(16, 4) ++ le(1, 2) ++ le(1, 2) ++ le(8000, 4) ++
+        le(16000, 4) ++ le(2, 2) ++ le(16, 2) ++
+        "data".getBytes ++ le(samples.length * 2, 4) ++
+        samples.flatMap(v => le(v & 0xffff, 2)).toArray
+    def tone(i: Int) = ((i * 29) % 161) - 80
+    val media = Seq(
+      (1L, wav((0 until 128).map(tone))),
+      (2L, wav((0 until 128).map(i => tone(i) * 2 + 7))),   // gain + DC
+      (3L, wav((0 until 128).map(i => tone(127 - i)))),     // reversed: far
+      (4L, "junk".getBytes)
+    ).toDF("media_id", "payload")
+    val pairs = Multimodal.audioNearDupPairs(media)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0L)), s"gain-shifted sibling missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("bmpDhash: real pixel decode — brightness-shift invariant, pixel change splits") {
     import spark.implicits._
     def bmp(v: (Int, Int) => Int, w: Int = 16, h: Int = 16): Array[Byte] = {
@@ -1891,6 +2017,69 @@ class MultimodalSpec extends SparkSpec {
       .select(Multimodal.pngMeta(col("payload")).as("m")).collect()(0)
       .getAs[org.apache.spark.sql.Row]("m")
     assert(m.getAs[Int]("width") == 16 && m.getAs[Int]("height") == 16)
+  }
+
+  /** Gray formula image encoded as JPEG via the JDK codec. */
+  private def jpegBytes(v: (Int, Int) => Int, w: Int = 72, h: Int = 64): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = v(x, y) & 0xff
+      img.setRGB(x, y, (p << 16) | (p << 8) | p)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("jpegDhash: real decode via the JDK codec — block-aligned pixels " +
+    "round-trip to the source's exact dHash; malformed/oversized fail closed") {
+    import spark.implicits._
+    // block-constant pattern: JPEG encodes DC-only blocks ~losslessly
+    def block(x: Int, y: Int) = 128 + ((x / 8) % 2 * 24 - 12) + ((y / 8) % 3 * 8)
+    val good = jpegBytes(block)
+    // re-encode: decode then encode again at the codec's defaults
+    val reenc = {
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(good))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(back, "jpg", bos)
+      bos.toByteArray
+    }
+    // oversized claim: patch the SOF height bytes to 60000 (the
+    // bounded-decode guard must reject BEFORE ImageIO allocates)
+    val huge = {
+      val b = good.clone()
+      var pos = 2
+      var found = -1
+      while (found < 0 && pos + 4 <= b.length) {
+        val m = b(pos + 1) & 0xff
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) found = pos
+        else pos += 2 + (((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff))
+      }
+      assert(found > 0, "fixture jpeg must contain an SOF")
+      b(found + 5) = 0xea.toByte; b(found + 6) = 0x60.toByte // h = 60000
+      b(found + 7) = 0xea.toByte; b(found + 8) = 0x60.toByte // w = 60000
+      b
+    }
+    // the same pixels as a lossless PNG: cross-codec dHash equality
+    val pngSame = pngBytes(block, w = 72, h = 64)
+    val rows = Seq(
+      (1L, good), (2L, reenc), (3L, pngSame),
+      (4L, good.dropRight(40)),  // truncated entropy data
+      (5L, huge),
+      (6L, "not a jpeg".getBytes)
+    ).toDF("media_id", "payload").localCheckpoint()
+    val out = rows.select(col("media_id"),
+        Multimodal.imageDhash(col("payload")).as("d"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(1L).isDefined)
+    assert(out(1L) == out(3L),
+      "block-aligned JPEG must round-trip to the lossless source's dHash")
+    val drift = java.lang.Long.bitCount(out(1L).get ^ out(2L).get)
+    assert(drift <= 3, s"re-encode drift must stay in the near-dup radius: $drift")
+    assert(out(4L).isEmpty && out(5L).isEmpty && out(6L).isEmpty)
   }
 
   test("imageNearDupPairs: a PNG re-save of a BMP pairs cross-format at hamming 0") {
