@@ -1321,66 +1321,60 @@ object SparkEntry {
         .localCheckpoint()
       Multimodal.imageNearDupPairs(media).orderBy("doc_a", "doc_b")
     }),
-    // REAL PNG pixel decode: spec-valid PNGs synthesized with zlib
-    // STORED blocks (exact adler32 computed in the fixture) and the
-    // per-row filter type cycling through ALL FIVE PNG filters
-    // (None/Sub/Up/Average/Paeth) — the kernel must inflate AND
-    // invert each filter to recover q174's formula pixels; the oracle
-    // predicts the dHash from the formula directly
+    // REAL PNG pixel decode: spec-valid PNGs with zlib STORED blocks
+    // (exact adler32) and the per-row filter type cycling through ALL
+    // FIVE PNG filters (None/Sub/Up/Average/Paeth) — the kernel must
+    // inflate AND invert each filter to recover q174's formula
+    // pixels; the oracle predicts the dHash from the formula. The 25
+    // pattern payloads assemble DRIVER-SIDE (a per-row Spark-HOF
+    // build spends 18 s of pure fixture cost at sf0.1; the q182
+    // broadcast-join shape spends none)
     "q179_png_dhash" -> ((s, dir) => {
-      val id = col("doc_id")
-      def v(x: Column, y: Column): Column =
-        pmod(id * 7 + x * 13 + y * 31, lit(256L))
-      // filtered byte per (x, y) under filter type y % 5; channels are
-      // equal (r=g=b=v) so one value serves all three channel bytes
-      def fb(x: Column, y: Column): Column = {
-        val left = when(x === 0, lit(0L)).otherwise(v(x - 1, y))
-        val up = when(y === 0, lit(0L)).otherwise(v(x, y - 1))
-        val ul = when(x === 0 || y === 0, lit(0L)).otherwise(v(x - 1, y - 1))
-        val p = left + up - ul
-        val (pa, pb, pc) = (abs(p - left), abs(p - up), abs(p - ul))
-        val paeth = when(pa <= pb && pa <= pc, left)
-          .when(pb <= pc, up).otherwise(ul)
-        val pred = when(pmod(y, lit(5L)) === 0, lit(0L))
-          .when(pmod(y, lit(5L)) === 1, left)
-          .when(pmod(y, lit(5L)) === 2, up)
-          .when(pmod(y, lit(5L)) === 3, shiftright(left + up, 1))
-          .otherwise(paeth)
-        pmod(v(x, y) - pred, lit(256L))
+      import s.implicits._
+      def buildPng(p: Long): Array[Byte] = {
+        def v(x: Int, y: Int): Int = ((p * 7 + x * 13 + y * 31) % 256).toInt
+        val stream = (0 until 16).flatMap { y =>
+          val ft = y % 5
+          ft.toByte +: (0 until 48).map { i =>
+            val x = i / 3
+            val raw = v(x, y)
+            val left = if (x > 0) v(x - 1, y) else 0
+            val up = if (y > 0) v(x, y - 1) else 0
+            val ul = if (x > 0 && y > 0) v(x - 1, y - 1) else 0
+            val pred = ft match {
+              case 0 => 0
+              case 1 => left
+              case 2 => up
+              case 3 => (left + up) >> 1
+              case _ =>
+                val pp = left + up - ul
+                val (pa, pb, pc) =
+                  (math.abs(pp - left), math.abs(pp - up), math.abs(pp - ul))
+                if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+            }
+            ((raw - pred) & 0xff).toByte
+          }
+        }.toArray
+        var s1 = 1L; var s2 = 0L
+        stream.foreach { d =>
+          s1 = (s1 + (d & 0xff)) % 65521; s2 = (s2 + s1) % 65521
+        }
+        def be(x: Long, n: Int): Array[Byte] =
+          Array.tabulate(n)(i => ((x >> (8 * (n - 1 - i))) & 0xff).toByte)
+        Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+          be(13, 4) ++ "IHDR".getBytes ++ be(16, 4) ++ be(16, 4) ++
+          Array[Byte](8, 2, 0, 0, 0) ++ be(0, 4) ++
+          be(2 + 5 + stream.length + 4, 4) ++ "IDAT".getBytes ++
+          Array[Byte](0x78, 0x01, 0x01) ++                // zlib + stored-final
+          Array[Byte](0x10, 0x03, 0xef.toByte, 0xfc.toByte) ++ // LEN/NLEN LE
+          stream ++ be(s2 * 65536 + s1, 4) ++ be(0, 4) ++
+          be(0, 4) ++ "IEND".getBytes ++ be(0, 4)
       }
-      // scanline stream: filter byte then 16 RGB pixels, rows top-down
-      val fvals = flatten(transform(sequence(lit(0L), lit(15L)), y =>
-        concat(array(pmod(y, lit(5L))),
-          flatten(transform(sequence(lit(0L), lit(15L)), x => {
-            val f = fb(x, y)
-            array(f, f, f)
-          })))))
-      val ad = aggregate(fvals, struct(lit(1L).as("s1"), lit(0L).as("s2")),
-        (acc, d) => {
-          val s1 = pmod(acc.getField("s1") + d, lit(65521L))
-          struct(s1.as("s1"),
-            pmod(acc.getField("s2") + s1, lit(65521L)).as("s2"))
-        })
-      val adler = ad.getField("s2") * 65536L + ad.getField("s1")
-      val dataHex = array_join(
-        transform(fvals, d => lpad(hex(d), 2, "0")), "")
-      // zlib: 78 01 header, one final STORED block (LEN=784 LE, NLEN),
-      // the 784 raw stream bytes, adler32 BE
-      val payload = unhex(concat(
-        lit("89504E470D0A1A0A"),                        // signature
-        lit("0000000D49484452"),                        // IHDR len+tag
-        lit("0000001000000010"), lit("0802000000"),     // 16×16 8-bit RGB
-        lit("00000000"),                                // IHDR CRC (unvalidated)
-        lit("0000031B49444154"),                        // IDAT len (795)+tag
-        lit("7801"), lit("01"), lit("1003"), lit("EFFC"), dataHex,
-        lpad(hex(adler), 8, "0"),
-        lit("00000000"),                                // IDAT CRC
-        lit("0000000049454E4400000000")))               // IEND
-      // materialize: the decode probes the whole payload and the
-      // hex-build tree inlined per reference would explode the plan
+      val patDf = (0L until 25L).map(p => (p, buildPng(p))).toDF("pat", "payload")
       val media = t(s, dir, "documents")
-        .select(col("doc_id").as("media_id"), payload.as("payload"))
-        .localCheckpoint()
+        .select(col("doc_id").as("media_id"),
+          pmod(col("doc_id"), lit(25L)).as("pat"))
+        .join(broadcast(patDf), Seq("pat"))
       media.select(col("media_id"),
           Multimodal.pngMeta(col("payload")).as("m"),
           Multimodal.pngDhash(col("payload")).as("dhash"))
@@ -1468,6 +1462,45 @@ object SparkEntry {
         .select("media_id", "payload")
       Multimodal.imageNearDupPairs(media).orderBy("doc_a", "doc_b")
     }),
+    // HTML -> text extraction on planted markup: style/script blocks
+    // (with content) dropped, tags to spaces, the six core entities
+    // decoded amp-last, whitespace collapsed — the step before every
+    // other text operator on a web crawl
+    "q183_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>T</title><style>body{color:red}</style>" +
+          "</head><body><h1 class=\"hd\">"),
+        substring(col("text"), 1, 20),
+        lit("</h1><p>"), substring(col("text"), 21, 40),
+        lit(" &amp; more &lt;tags&gt;&nbsp;end</p>" +
+          "<script>var x = \"<p>\";</script></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.htmlToText(html).as("clean"))
+        .orderBy("doc_id")
+    }),
+    // URL canonicalization + registrable-host extraction on planted
+    // crawl URLs: mixed-case scheme/host, default ports, trailing
+    // slashes, utm_* params and fragments all normalize away
+    "q184_url_normalize" -> ((s, dir) => {
+      val url = concat(
+        lit("HTTPS://WWW.Site"), pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit(".Example.COM"),
+        when(pmod(col("doc_id"), lit(3L)) === 0, lit(":443")).otherwise(lit("")),
+        lit("/Path/"), col("doc_id").cast("string"),
+        when(pmod(col("doc_id"), lit(2L)) === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&ref=abc&utm_campaign=x#section-2"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.urlNormalize(url).as("url"),
+          TextAnalysis.urlDomain(url).as("domain"))
+        .orderBy("doc_id")
+    }),
+    // DoReMi-flavored mixture budgeting: per-source excess loss under
+    // the corpus bigram LM (q166) → exact integer-weighted token
+    // budgets — worst-fit domains get the most tokens
+    "q185_doremi_budgets" -> ((s, dir) =>
+      Corpus.doremiBudgets(t(s, dir, "documents"), totalBudget = 1000000L)
+        .orderBy("source")),
     // format-aware payload fingerprint: a FULL synthesized PNG whose
     // tEXt chunk varies by source but whose IDAT stream is the text
     // bytes — the fingerprint must hash ONLY the IDAT content, so the
@@ -3224,7 +3257,7 @@ object SparkEntry {
     "q179_png_dhash" ->
       s"""SELECT doc_id AS media_id, CAST(16 AS INT) AS width,
          |  CAST(16 AS INT) AS height,
-         |  (${bmpDhashTerms("doc_id")}) AS dhash
+         |  (${bmpDhashTerms("doc_id % 25")}) AS dhash
          |FROM documents ORDER BY media_id""".stripMargin,
 
     // q180: the per-codepoint no-space-script fallback expressed with
@@ -3249,6 +3282,62 @@ object SparkEntry {
         |SELECT token, count(*) AS n_occurrences,
         |  count(DISTINCT doc_id) AS n_docs
         |FROM tok GROUP BY token ORDER BY token""".stripMargin,
+
+    // q183: the identical RE2 chain replayed (DuckDB regexp_replace
+    // needs the explicit 'g' flag Spark applies by default)
+    "q183_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>T</title><style>body{color:red}</style>' ||
+        |  '</head><body><h1 class="hd">' || substr(text, 1, 20) ||
+        |  '</h1><p>' || substr(text, 21, 40) ||
+        |  ' &amp; more &lt;tags&gt;&nbsp;end</p>' ||
+        |  '<script>var x = "<p>";</script></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html,
+        |  '<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', ' ', 'g') AS t
+        |  FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(t,
+        |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |    '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t
+        |  FROM s2)
+        |SELECT doc_id, trim(regexp_replace(t, ' +', ' ', 'g')) AS clean
+        |FROM s3 ORDER BY doc_id""".stripMargin,
+
+    // q184: the same parse/normalize chain in DuckDB string functions
+    "q184_url_normalize" ->
+      """WITH u AS (SELECT doc_id,
+        |  'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+        |  '/Path/' || CAST(doc_id AS VARCHAR) ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+        |  '?utm_source=feed&ref=abc&utm_campaign=x#section-2' AS url
+        |  FROM documents),
+        |n AS (SELECT doc_id, url, regexp_replace(url, '#[^#]*$', '') AS nf FROM u),
+        |p AS (SELECT doc_id, url,
+        |  lower(regexp_extract(nf, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |  lower(regexp_extract(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS host,
+        |  regexp_extract(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+        |  FROM n),
+        |q AS (SELECT doc_id, url, scheme,
+        |  regexp_replace(host, ':(80|443)$', '') AS hostnp,
+        |  regexp_extract(rest, '^([^?]*)', 1) AS path,
+        |  regexp_extract(rest, '[?](.*)$', 1) AS query
+        |  FROM p),
+        |r AS (SELECT doc_id, url AS orig, scheme, hostnp,
+        |  CASE WHEN regexp_matches(path, '^.+/$')
+        |       THEN regexp_replace(path, '/$', '') ELSE path END AS npath,
+        |  array_to_string(list_filter(string_split(query, '&'),
+        |    x -> NOT regexp_matches(x, '^utm_')), '&') AS kq
+        |  FROM q)
+        |SELECT doc_id,
+        |  scheme || '://' || hostnp || npath ||
+        |    CASE WHEN kq = '' THEN '' ELSE '?' || kq END AS url,
+        |  lower(regexp_extract(orig, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1))
+        |    AS domain
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // q182: the q58-style CONTRACT row — same-bytes JPEG copies share
     // a decode, so same-pattern docs pair at hamming 0; patterns sit
@@ -3324,6 +3413,35 @@ object SparkEntry {
         |SELECT source, n_bigrams, CAST(sm AS DOUBLE) AS sum_logprob,
         |  CAST(sm AS DOUBLE) / n_bigrams AS avg_logprob
         |FROM s ORDER BY source""".stripMargin,
+
+    // q185: the q166 chain extended with the exact integer-weight
+    // budget split (best-fit max is a 1-row cross; weights and
+    // budgets all integer arithmetic)
+    "q185_doremi_budgets" ->
+      """WITH b AS (
+        |  SELECT source, unnest(list_transform(
+        |      generate_series(1, len(tl) - 1),
+        |      i -> {'t1': tl[i], 't2': tl[i + 1]})) AS bg
+        |  FROM (SELECT source, list_filter(string_split(text, ' '), t -> t <> '') AS tl
+        |        FROM documents)),
+        |bg AS (SELECT source, bg.t1 AS t1, bg.t2 AS t2 FROM b),
+        |pc AS (SELECT t1, t2, count(*) AS c_pair FROM bg GROUP BY 1, 2),
+        |pfx AS (SELECT t1, SUM(c_pair) AS c_prefix FROM pc GROUP BY 1),
+        |m AS (SELECT t1, t2,
+        |        CAST(round(ln(CAST(c_pair AS DOUBLE) / c_prefix), 9)
+        |          AS DECIMAL(28,9)) AS lp
+        |      FROM pc JOIN pfx USING (t1)),
+        |s AS (SELECT source, count(*) AS n_bigrams,
+        |        CAST(SUM(lp) AS DOUBLE) / count(*) AS avg_logprob
+        |      FROM bg JOIN m USING (t1, t2) GROUP BY 1),
+        |w AS (SELECT source, n_bigrams, avg_logprob,
+        |        CAST(CAST(round((SELECT max(avg_logprob) FROM s) - avg_logprob, 6)
+        |          AS DECIMAL(18,6)) * 1000000 AS BIGINT) + 1 AS excess_weight
+        |      FROM s)
+        |SELECT source, n_bigrams, avg_logprob, excess_weight,
+        |  CAST((1000000 * excess_weight) //
+        |    (SELECT SUM(excess_weight) FROM w) AS BIGINT) AS budget_tokens
+        |FROM w ORDER BY source""".stripMargin,
     // q151: kth order statistic per dim — the q105 window pattern
     "q151_dim_median" ->
       """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

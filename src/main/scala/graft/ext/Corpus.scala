@@ -1577,6 +1577,46 @@ object Corpus {
           .cast("decimal(28,9)").cast("double").as("logp"))
   }
 
+  /** DoReMi-flavored domain-mixture budgeting — the operator that
+    * CLOSES the loop [[sourceBigramFit]] opens: sources the
+    * corpus-wide LM fits worst (lowest average log-prob) are the
+    * under-represented domains DoReMi (Xie et al. 2023) upweights, so
+    * each source's token budget is proportional to its EXCESS loss
+    * over the best-fitting source (+1 so a uniformly-fit corpus
+    * degrades to a uniform split instead of 0/0). The excess is the
+    * difference of two q166-contract doubles rounded once to 6 dp and
+    * scaled to an exact integer weight; budgets are then exact
+    * integer `div` shares of `totalBudget` (the epochSchedule/caps
+    * recipe) — every output engine-identical. Floor division leaves a
+    * deficit < #sources, deliberately unassigned. Pair with
+    * [[tokenBudgetSample]] to materialize the per-source draws.
+    *
+    * Output (source, n_bigrams, avg_logprob, excess_weight,
+    * budget_tokens). `totalBudget · max(excess_weight)` must stay
+    * under 2^63 — require()d, with excess in nats ≤ ~40 that allows
+    * budgets into the hundreds of billions of tokens.
+    *
+    * Scale shape: [[sourceBigramFit]]'s two corpus passes, then
+    * |sources|-row joins against two broadcast 1-row aggregates. */
+  def doremiBudgets(docs: DataFrame, totalBudget: Long,
+                    textCol: String = "text",
+                    sourceCol: String = "source"): DataFrame = {
+    require(totalBudget > 0 && totalBudget <= (1L << 40),
+      s"totalBudget must be in (0, 2^40], got $totalBudget")
+    val fit = sourceBigramFit(docs, textCol, sourceCol)
+    val best = fit.agg(max(col("avg_logprob")).as("__best"))
+    val weighted = fit.join(broadcast(best))
+      .select(col("source"), col("n_bigrams"), col("avg_logprob"),
+        ((round(col("__best") - col("avg_logprob"), 6).cast("decimal(18,6)")
+          * lit(1000000L)).cast("long") + 1L).as("excess_weight"))
+    val tot = weighted.agg(sum(col("excess_weight")).as("__tw"))
+    weighted.join(broadcast(tot))
+      .select(col("source"), col("n_bigrams"), col("avg_logprob"),
+        col("excess_weight"),
+        expr(s"(${totalBudget}L * excess_weight) div __tw")
+          .as("budget_tokens"))
+  }
+
   /** Likelihood-loss vocabulary pruning — SentencePiece's ACTUAL
     * prune step (Kudo 2018 §3.2), not just drop-unused: each
     * multi-char piece is charged the corpus-likelihood LOSS its

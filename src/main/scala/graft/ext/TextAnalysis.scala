@@ -611,6 +611,62 @@ object TextAnalysis {
       lower(graft.functions.NfcNormalize(text)),
       "[^\\p{L}\\p{Nd} ]", " "), " +", " "))
 
+  /** HTML → text extraction — the step BEFORE every other text
+    * operator on a web crawl (the trafilatura/jusText class, reduced
+    * to its deterministic core): drop `<script>`/`<style>` elements
+    * WITH their content (code and CSS are not prose), strip every
+    * remaining tag to a space (so `<p>a</p><p>b</p>` keeps its word
+    * boundary), decode the six ubiquitous entities (`&lt; &gt;
+    * &quot; &#39; &nbsp; &amp;` — amp LAST, the single-pass
+    * convention: `&amp;lt;` decodes to the literal `&lt;`), collapse
+    * whitespace. RE2-safe patterns only (non-greedy `.*?`, character
+    * classes — no lookaround), so DuckDB replays the identical chain
+    * and the output is oracle-checked. Narrow zero-shuffle
+    * regexp_replace chain — scan speed over a 100 TB crawl. */
+  def htmlToText(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(decoded, " +", " "))
+  }
+
+  /** URL normalization for per-site analysis and dedup keys: scheme
+    * and host lowercased, default ports and fragments dropped,
+    * `utm_*` tracking parameters removed (empty `?` dropped with
+    * them), trailing slash trimmed off non-root paths. The canonical
+    * form per-domain caps, crawl-frontier dedup and source-mix
+    * reports key on. Pure string/array functions — narrow, RE2-safe,
+    * oracle-checked. */
+  def urlNormalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#[^#]*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    val hostNoPort = regexp_replace(host, ":(80|443)$", "")
+    val rest = regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val query = regexp_extract(rest, "[?](.*)$", 1)
+    val keptQ = array_join(filter(split(query, "&"),
+      p => !p.rlike("^utm_")), "&")
+    val normPath = when(path.rlike("^.+/$"),
+        regexp_replace(path, "/$", "")).otherwise(path)
+    when(scheme === "" || host === "", url) // not a URL: pass through
+      .otherwise(concat(scheme, lit("://"), hostNoPort, normPath,
+        when(keptQ === "", lit("")).otherwise(concat(lit("?"), keptQ))))
+  }
+
+  /** Registrable host of a URL (lowercased) — the per-site key for
+    * domain caps ([[graft.ext.Corpus]]'s capPerSource at crawl
+    * grain), domain-mix reports and robots bookkeeping; null for
+    * non-URLs. */
+  def urlDomain(url: Column): Column = {
+    val h = lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)", 1))
+    when(h === "", lit(null).cast("string")).otherwise(h)
+  }
+
   /** PII patterns — the redaction pass every shipped training corpus
     * runs. Deliberately restricted to the regex subset with identical
     * semantics in Java's engine and RE2 (DuckDB): character classes,

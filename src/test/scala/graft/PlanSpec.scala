@@ -406,7 +406,11 @@ class PlanSpec extends SparkSpec {
       // q159: the source × observed-bucket completion grid is a
       // MODEL-sized |S|·B cross (q127's class) plus the 1-row
       // bucket-count/total fold
-      "q159_source_divergence")
+      "q159_source_divergence",
+      // q185: doremiBudgets folds TWO 1-row broadcast aggregates (the
+      // best-fit max, the total weight) into the |sources|-row frame —
+      // the q68 replacement-for-a-driver-action class
+      "q185_doremi_budgets")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
       .flatMap { name =>

@@ -487,6 +487,32 @@ class CorpusSpec extends SparkSpec {
     assert(enc.forall(e => wantIds(e._5) == e._4))
   }
 
+  test("doremiBudgets: worst-fit source gets the largest budget; budgets " +
+    "sum within #sources of the total; uniform corpus splits uniformly") {
+    val d = docs(
+      (1L, "a b a b a b a b", "common"),
+      (2L, "a b a b a b a b", "common"),
+      (3L, "a b a b a b a b", "common2"),
+      (4L, "x q z p a b x q z p", "weird"))
+    val out = Corpus.doremiBudgets(d, totalBudget = 1000000L)
+      .as[(String, Long, Double, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // the odd source's excess loss dominates → largest budget
+    assert(out("weird")._5 > out("common")._5,
+      s"worst-fit domain must be upweighted: $out")
+    // floor shares: the deficit is bounded by the source count
+    val total = out.values.map(_._5).sum
+    assert(total <= 1000000L && 1000000L - total < out.size)
+    // identical-fit sources draw identical budgets
+    assert(out("common")._4 == out("common2")._4 &&
+      out("common")._5 == out("common2")._5)
+    // a uniform corpus degrades to the uniform split (weight floor 1)
+    val u = docs((1L, "a b a b", "s1"), (2L, "a b a b", "s2"))
+    val uo = Corpus.doremiBudgets(u, totalBudget = 1000L)
+      .as[(String, Long, Double, Long, Long)].collect()
+    assert(uo.forall(_._5 == 500L), s"uniform fit must split evenly: ${uo.toSeq}")
+  }
+
   test("sourceBigramFit: the source matching the corpus scores higher than the odd one out") {
     val d = docs(
       (1L, "a b a b a b a b", "common"),

@@ -90,6 +90,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out("aK9xQz2mPw4rT7vB").getAs[Boolean]("looks_hex"))
   }
 
+  test("htmlToText: script/style content dropped, tags become boundaries, " +
+    "entities decode amp-last, whitespace collapses") {
+    val d = Seq(
+      (1L, "<p>Hello</p><p>world</p>"),
+      (2L, "<style>p{x:1}</style>before<script a=\"b\">var s='<p>';</script>after"),
+      (3L, "a &amp;lt; b &lt;c&gt; &quot;d&quot; &#39;e&#39;&nbsp;f"),
+      (4L, "plain text, no markup"),
+      (5L, "<div   class='x'>  spaced   </div>  out ")
+    ).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        TextAnalysis.htmlToText(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "Hello world", "adjacent block tags must keep a boundary")
+    assert(out(2L) == "before after", "script/style content is not prose")
+    // &amp;lt; -> literal "&lt;" (single-pass, amp LAST)
+    assert(out(3L) == "a &lt; b <c> \"d\" 'e' f")
+    assert(out(4L) == "plain text, no markup")
+    assert(out(5L) == "spaced out")
+  }
+
+  test("urlNormalize/urlDomain: case, default ports, fragments, utm params " +
+    "and trailing slashes normalize; non-URLs pass through") {
+    val d = Seq(
+      (1L, "HTTPS://WWW.Example.COM:443/A/B/?utm_source=x&id=7#frag"),
+      (2L, "http://site.org:80/"),
+      (3L, "https://x.io/path?utm_a=1&utm_b=2"),
+      (4L, "ftp://Files.Net:2121/dir/file.txt"),
+      (5L, "not a url at all")
+    ).toDF("doc_id", "u")
+    val out = d.select(col("doc_id"),
+        TextAnalysis.urlNormalize(col("u")).as("n"),
+        TextAnalysis.urlDomain(col("u")).as("dom"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.getString(2)))).toMap
+    assert(out(1L)._1 == "https://www.example.com/A/B?id=7")
+    assert(out(1L)._2.contains("www.example.com"))
+    assert(out(2L)._1 == "http://site.org/", "the root slash must survive")
+    assert(out(3L)._1 == "https://x.io/path", "empty query drops its '?'")
+    assert(out(4L)._1 == "ftp://files.net:2121/dir/file.txt",
+      "non-default ports survive")
+    assert(out(5L)._1 == "not a url at all" && out(5L)._2.isEmpty)
+  }
+
   test("scriptTokens: per-codepoint fallback for no-space scripts; " +
     "byte-identical to tokens on space-script text") {
     val d = Seq(
