@@ -1501,6 +1501,26 @@ object SparkEntry {
     "q185_doremi_budgets" -> ((s, dir) =>
       Corpus.doremiBudgets(t(s, dir, "documents"), totalBudget = 1000000L)
         .orderBy("source")),
+    // WordPiece training: likelihood-scored merges (count(l,r) /
+    // (count(l)·count(r))) over ##-marked symbols — BPE's q113 loop
+    // with the BERT scoring rule; the score double is exact IEEE
+    // division of exact int64 counts, engine-identical
+    "q186_wordpiece_train" -> ((s, dir) =>
+      Corpus.wordpieceTrain(t(s, dir, "documents"), numMerges = 8)
+        .orderBy("rank")),
+    // the encode half: greedy longest-match-first against the trained
+    // vocabulary (alphabet + merged symbols) — BERT's inference rule,
+    // deliberately NOT a replay of the training segmentation; one
+    // native codegen'd pass over the distinct-word table
+    "q187_wordpiece_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Corpus.wordpieceTrain(docs, numMerges = 8)
+        .orderBy("rank").select("left_sym", "right_sym")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      val vocab = Corpus.wordpieceVocab(docs, merges)
+      Corpus.wordpieceEncode(docs.filter(col("doc_id") < 50), vocab)
+        .orderBy("doc_id", "pos", "piece_idx")
+    }),
     // format-aware payload fingerprint: a FULL synthesized PNG whose
     // tEXt chunk varies by source but whose IDAT stream is the text
     // bytes — the fingerprint must hash ONLY the IDAT content, so the
@@ -3442,6 +3462,11 @@ object SparkEntry {
         |  CAST((1000000 * excess_weight) //
         |    (SELECT SUM(excess_weight) FROM w) AS BIGINT) AS budget_tokens
         |FROM w ORDER BY source""".stripMargin,
+
+    // q186/q187: the WordPiece merge chain (likelihood-scored) and its
+    // greedy longest-match encode, both unrolled as chained CTEs
+    "q186_wordpiece_train" -> wpTrainOracle(8),
+    "q187_wordpiece_encode" -> wpEncodeOracle(8, 50, 8),
     // q151: kth order statistic per dim — the q105 window pattern
     "q151_dim_median" ->
       """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -4474,6 +4499,113 @@ object SparkEntry {
        |        unnest([{'j': j} FOR j IN range(1, len(syms) + 1)]) AS y
        |      FROM enc)
        |ORDER BY doc_id, pos, piece_idx""".stripMargin
+
+  /** Shared CTEs for the WordPiece oracles (q186, q187): the q113
+    * merge-chain pattern with `##`-marked initial symbols, per-stage
+    * SYMBOL counts, and the likelihood score `cnt / (c_l · c_r)` —
+    * exact IEEE division of exact int64 counts, bit-identical in both
+    * engines. Each stage ends in `wt$k` (l, r, cnt, score, m = the
+    * joined symbol) and `wseg${k+1}`. */
+  private def wpCtes(numMerges: Int): String = {
+    val sep = "\u001f"
+    val head =
+      """w AS (SELECT t AS word, count(*) AS freq FROM (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        |  FROM documents) GROUP BY t),
+        |wseg0 AS MATERIALIZED (SELECT word, freq,
+        |  [CASE WHEN i = 1 THEN word[i:i] ELSE '##' || word[i:i] END
+        |   FOR i IN range(1, length(word) + 1)] AS syms FROM w)""".stripMargin
+    val stages = (0 until numMerges).map { k =>
+      s"""wsc$k AS MATERIALIZED (SELECT s AS sym, SUM(freq) AS c FROM (
+         |  SELECT freq, unnest(syms) AS s FROM wseg$k) GROUP BY 1),
+         |wp$k AS MATERIALIZED (SELECT s.l AS l, s.r AS r, SUM(freq) AS cnt FROM (
+         |  SELECT freq, unnest([{'l': syms[i], 'r': syms[i+1]}
+         |                       FOR i IN range(1, len(syms))]) AS s
+         |  FROM wseg$k WHERE len(syms) >= 2) GROUP BY s.l, s.r),
+         |wt$k AS MATERIALIZED (SELECT l, r, cnt,
+         |  CAST(cnt AS DOUBLE) / CAST(sl.c * sr.c AS DOUBLE) AS score,
+         |  l || CASE WHEN len(r) > 2 AND starts_with(r, '##')
+         |            THEN substr(r, 3) ELSE r END AS m
+         |  FROM wp$k JOIN wsc$k sl ON sl.sym = wp$k.l
+         |            JOIN wsc$k sr ON sr.sym = wp$k.r
+         |  ORDER BY score DESC, l, r LIMIT 1),
+         |wseg${k + 1} AS MATERIALIZED (SELECT word, freq,
+         |  string_split(list_reduce(syms, (acc, x) -> CASE
+         |      WHEN x = t.r AND (acc = t.l OR ends_with(acc, '$sep' || t.l))
+         |      THEN substr(acc, 1, length(acc) - length(t.l)) || t.m
+         |      ELSE acc || '$sep' || x END), '$sep') AS syms
+         |  FROM wseg$k CROSS JOIN wt$k t)""".stripMargin
+    }
+    (head +: stages).mkString(",\n")
+  }
+
+  private def wpTrainOracle(numMerges: Int): String = {
+    val union = (0 until numMerges).map { k =>
+      s"SELECT CAST(${k + 1} AS BIGINT) AS rank, l AS left_sym, " +
+        s"r AS right_sym, CAST(cnt AS BIGINT) AS pair_count, score FROM wt$k"
+    }.mkString("\nUNION ALL ")
+    s"WITH ${wpCtes(numMerges)}\nSELECT * FROM (\n$union) ORDER BY rank"
+  }
+
+  /** q187 oracle: greedy longest-match-first against the trained
+    * vocabulary (alphabet ∪ merged symbols), UNROLLED to `maxSteps`
+    * chained CTEs (each step consumes ≥1 codepoint; the fixture's
+    * words cap at 8) — the unigramSegCtes per-position pattern. A
+    * word with no match at some position fails whole to `[UNK]`
+    * (can't fire here: the alphabet covers every corpus char). */
+  private def wpEncodeOracle(numMerges: Int, maxDocId: Long,
+                             maxSteps: Int): String = {
+    val mergedUnion = (0 until numMerges)
+      .map(k => s"SELECT m AS piece FROM wt$k").mkString(" UNION ALL ")
+    val voc =
+      s"""voc AS MATERIALIZED (SELECT DISTINCT piece,
+         |  len(piece) > 2 AND starts_with(piece, '##') AS is_cont,
+         |  CASE WHEN len(piece) > 2 AND starts_with(piece, '##')
+         |       THEN substr(piece, 3) ELSE piece END AS body
+         |  FROM (SELECT s AS piece FROM (SELECT unnest(syms) AS s FROM wseg0)
+         |        UNION ALL $mergedUnion)),
+         |tok AS MATERIALIZED (SELECT doc_id, x.pos AS pos, x.word AS word FROM (
+         |  SELECT doc_id, unnest([{'pos': i, 'word': tl[i]}
+         |                         FOR i IN range(1, len(tl) + 1)]) AS x
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split(text, ' '), t -> t <> '') AS tl
+         |        FROM documents WHERE doc_id < $maxDocId))),
+         |g0 AS MATERIALIZED (SELECT DISTINCT word, 1 AS pos,
+         |  CAST([] AS VARCHAR[]) AS pieces, false AS failed FROM tok)""".stripMargin
+    val steps = (1 to maxSteps).map { j =>
+      s"""c$j AS MATERIALIZED (SELECT s.word, s.pos, s.pieces, v.piece, len(v.body) AS bl,
+         |  row_number() OVER (PARTITION BY s.word
+         |    ORDER BY len(v.body) DESC, v.piece) AS rn
+         |  FROM g${j - 1} s JOIN voc v
+         |    ON v.is_cont = (s.pos > 1)
+         |   AND substr(s.word, s.pos, len(v.body)) = v.body
+         |  WHERE NOT s.failed AND s.pos <= len(s.word)),
+         |g$j AS MATERIALIZED (
+         |  SELECT word, pos + bl AS pos, list_append(pieces, piece) AS pieces,
+         |    false AS failed
+         |  FROM c$j WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.word, s.pos, s.pieces, true AS failed
+         |  FROM g${j - 1} s
+         |  WHERE NOT s.failed AND s.pos <= len(s.word)
+         |    AND NOT EXISTS (SELECT 1 FROM c$j c WHERE c.word = s.word)
+         |  UNION ALL
+         |  SELECT word, pos, pieces, failed FROM g${j - 1}
+         |  WHERE failed OR pos > len(word))""".stripMargin
+    }
+    s"""WITH ${wpCtes(numMerges)},
+       |$voc,
+       |${steps.mkString(",\n")},
+       |fin AS (SELECT word,
+       |  CASE WHEN failed THEN ['[UNK]'] ELSE pieces END AS pieces
+       |  FROM g$maxSteps)
+       |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |  CAST(y.j AS BIGINT) AS piece_idx, pieces[y.j] AS piece
+       |FROM (SELECT t.doc_id, t.pos, f.pieces,
+       |        unnest([{'j': j} FOR j IN range(1, len(f.pieces) + 1)]) AS y
+       |      FROM tok t JOIN fin f USING (word))
+       |ORDER BY doc_id, pos, piece_idx""".stripMargin
+  }
 
   /** Shared CTE chain for the PQ oracles (q84, q85): per-(vector,
     * subspace) slices with sign-plane codes (global plane ids

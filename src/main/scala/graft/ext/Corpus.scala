@@ -1242,6 +1242,141 @@ object Corpus {
     merges.result().toDF("rank", "left_sym", "right_sym", "pair_count")
   }
 
+  /** WordPiece merge with `##` continuation marks: the merged symbol
+    * is the left piece plus the right piece minus its mark (`a` +
+    * `##b` → `ab`, `##a` + `##b` → `##ab`). */
+  private def applyWpMerge(syms: Column, l: String, r: String,
+                           merged: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Initial WordPiece symbols of a word: first codepoint plain,
+    * every later codepoint `##`-marked. */
+  private def wpInitSyms(word: Column): Column =
+    transform(split(word, ""), (c, i) =>
+      when(i === 0, c).otherwise(concat(lit("##"), c)))
+
+  /** Join two WordPiece symbols: the right piece sheds its `##` mark
+    * (only when it really is a mark — a bare `##` symbol is a
+    * word-START piece, the len>2 rule the vocabulary index and the
+    * oracle share). */
+  private def wpJoin(l: String, r: String): String =
+    l + (if (r.length > 2 && r.startsWith("##")) r.substring(2) else r)
+
+  /** WordPiece tokenizer training (Wu et al. 2016, arXiv:1609.08144;
+    * Schuster & Nakajima 2012) — BPE's likelihood-scored sibling:
+    * start from `##`-marked per-character symbols (first char plain,
+    * the rest continuation-marked) and repeatedly merge the adjacent
+    * pair maximizing `count(l,r) / (count(l) · count(r))` — the pair
+    * whose merge most increases a unigram LM's corpus likelihood —
+    * instead of BPE's raw pair count. Ties break lexicographically by
+    * (left, right). Emits (rank, left_sym, right_sym, pair_count,
+    * score); the vocabulary [[wordpieceEncode]] consumes is the
+    * initial alphabet plus each merge's joined symbol.
+    *
+    * The score is ENGINE-EXACT as a double: both operands are exact
+    * int64 counts (the product stays well under 2^53 at any corpus
+    * this loop's vocab table fits), and IEEE division is correctly
+    * rounded — so the argmax, unlike a summed-float score, is
+    * bit-reproducible across engines.
+    *
+    * Scale shape: [[bpeTrain]]'s exactly — the loop state is the
+    * DISTINCT-WORD table, the corpus is scanned once; per round one
+    * pair explode + one symbol explode (both vocab-sized aggregations)
+    * and a 1-ROW driver argmax. */
+  def wordpieceTrain(docs: DataFrame, numMerges: Int,
+                     textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"), wpInitSyms(col("word")).as("syms"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long, Double)]
+    var exhausted = false
+    var k = 0
+    while (k < numMerges && !exhausted) {
+      val symCnt = words
+        .select(col("freq"), explode(col("syms")).as("s"))
+        .groupBy(col("s")).agg(sum(col("freq")).as("c"))
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(
+          transform(sequence(lit(1), size(col("syms")) - 1), i =>
+            struct(element_at(col("syms"), i).as("l"),
+              element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .join(symCnt.withColumnRenamed("s", "l").withColumnRenamed("c", "cl"), "l")
+        .join(symCnt.withColumnRenamed("s", "r").withColumnRenamed("c", "cr"), "r")
+        .select(col("l"), col("r"), col("cnt"),
+          (col("cnt").cast("double") / (col("cl") * col("cr")).cast("double"))
+            .as("score"))
+        .orderBy(col("score").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .as[(String, String, Long, Double)]
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt, score) = top.head
+        k += 1
+        merges += ((k.toLong, l, r, cnt, score))
+        words = words
+          .withColumn("syms", applyWpMerge(col("syms"), l, r, wpJoin(l, r)))
+          .localCheckpoint()
+      }
+    }
+    merges.result().toDF("rank", "left_sym", "right_sym", "pair_count", "score")
+  }
+
+  /** The model-sized WordPiece vocabulary a trained merge list
+    * implies: the corpus's initial alphabet (first chars plain,
+    * continuation chars `##`-marked) plus each merge's joined symbol.
+    * One bounded driver collect (alphabet + merges — the q113 merges
+    * class), so callers can hand [[wordpieceEncode]] a plain Seq. */
+  def wordpieceVocab(docs: DataFrame,
+                     merges: Seq[(String, String)],
+                     textCol: String = "text"): Seq[String] = {
+    val alphabet = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .select(explode(wpInitSyms(col("word"))).as("s"))
+      .distinct().collect().map(_.getString(0))
+    (alphabet.toSeq ++ merges.map { case (l, r) => wpJoin(l, r) }).distinct
+  }
+
+  /** Encode a corpus with a WordPiece VOCABULARY ([[wordpieceVocab]]
+    * from [[wordpieceTrain]]'s merges, or any published vocab file):
+    * greedy longest-match-first, `##` continuation pieces, whole-word
+    * `unk` on a miss — BERT's inference rule, deliberately DIFFERENT
+    * from replaying the training merges (train-time segmentation and
+    * max-match disagree on real corpora; this is the shipped
+    * behavior). Same output contract as [[bpeEncode]]:
+    * (idCol, pos, piece_idx, piece).
+    *
+    * Scale shape: the vocab is a reference object inside ONE native
+    * codegen'd expression ([[graft.functions.WordpieceSegment]]) —
+    * no per-merge column rewrites, no joins against a vocab table;
+    * the distinct-word table is segmented in a single narrow pass and
+    * the token stream joined once. */
+  def wordpieceEncode(docs: DataFrame, vocab: Seq[String],
+                      idCol: String = "doc_id", textCol: String = "text",
+                      unk: String = "[UNK]"): DataFrame = {
+    val toks = docs.select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos0", "word")))
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"), col("word"))
+    val words = toks.select("word").distinct()
+      .withColumn("syms",
+        graft.functions.WordpieceSegment(col("word"), vocab, unk))
+    toks.join(words, Seq("word"))
+      .select(col(idCol), col("pos"),
+        posexplode(col("syms")).as(Seq("pidx", "piece")))
+      .select(col(idCol), col("pos"),
+        (col("pidx") + 1).cast("long").as("piece_idx"), col("piece"))
+  }
+
   /** Encode a corpus with a LEARNED merges list ([[bpeTrain]] output,
     * rank order): `encodeTokens`' learned-merges mode. The merges
     * replay on the DISTINCT-word table (vocab-sized loop state, one

@@ -513,6 +513,50 @@ class CorpusSpec extends SparkSpec {
     assert(uo.forall(_._5 == 500L), s"uniform fit must split evenly: ${uo.toSeq}")
   }
 
+  test("wordpieceTrain: likelihood score picks the rare-symbol pair BPE's " +
+    "raw count would skip; merged symbols shed the right mark") {
+    // (a,##b): cnt 5, syms a=5/##b=5 -> score 5/25 = 0.2
+    // (x,##y): cnt 2, syms x=2/##y=2 -> score 2/4  = 0.5  <- WP merges FIRST
+    val d = docs(
+      (1L, "ab ab ab ab ab", "s"),
+      (2L, "xy xy", "s"))
+    val out = Corpus.wordpieceTrain(d, numMerges = 3)
+      .as[(Long, String, String, Long, Double)].collect().sortBy(_._1)
+    assert(out.length == 2, "two merges exhaust the corpus")
+    assert(out(0) == ((1L, "x", "##y", 2L, 0.5)))
+    assert(out(1) == ((2L, "a", "##b", 5L, 0.2)))
+    // vocab = alphabet + joined symbols, ## shed from the right side
+    val vocab = Corpus.wordpieceVocab(d, out.map(m => (m._2, m._3)).toSeq)
+    assert(vocab.toSet == Set("a", "##b", "x", "##y", "xy", "ab"))
+  }
+
+  test("wordpieceEncode: greedy longest-match-first with ## continuations; " +
+    "whole-word UNK on a miss; pieces reassemble the word") {
+    val vocab = Seq("un", "##able", "a", "##b", "##l", "##e", "u", "##n")
+    val d = docs(
+      (1L, "unable", "s"),   // un + ##able (longest match wins at both steps)
+      (2L, "unb", "s"),      // un + ##b
+      (3L, "aa", "s"),       // 'a' start piece but NO ##a -> whole-word UNK
+      (4L, "able un", "s"))  // a + ##b + ##l + ##e; un
+    val out = Corpus.wordpieceEncode(d, vocab)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(r => (r._1, r._2))
+      .map { case (k, v) => k -> v.sortBy(_._3).map(_._4).toSeq }
+    assert(out((1L, 1L)) == Seq("un", "##able"))
+    assert(out((2L, 1L)) == Seq("un", "##b"))
+    assert(out((3L, 1L)) == Seq("[UNK]"))
+    assert(out((4L, 1L)) == Seq("a", "##b", "##l", "##e"))
+    assert(out((4L, 2L)) == Seq("un"))
+    // a bare '##' symbol is a word-START piece (the len>2 rule): the
+    // word '##' segments as # + ###, never via an empty-body match
+    val hash = docs((1L, "##", "s"))
+    val hv = Corpus.wordpieceVocab(hash, Nil)
+    assert(hv.toSet == Set("#", "###"))
+    val hout = Corpus.wordpieceEncode(hash, hv)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._3).map(_._4).toSeq
+    assert(hout == Seq("#", "###"))
+  }
+
   test("sourceBigramFit: the source matching the corpus scores higher than the odd one out") {
     val d = docs(
       (1L, "a b a b a b a b", "common"),
