@@ -1521,6 +1521,24 @@ object SparkEntry {
       Corpus.wordpieceEncode(docs.filter(col("doc_id") < 50), vocab)
         .orderBy("doc_id", "pos", "piece_idx")
     }),
+    // mojibake repair roundtrip (ftfy's core case): plant non-ASCII
+    // decorations, corrupt by reading the UTF-8 bytes as Latin-1
+    // (twice for doc_id%3==0 — double encoding), then repair. The
+    // unwind is exact, so the oracle states rounds and the repaired
+    // text from the CLEAN side — the corruption must vanish entirely
+    "q188_fix_mojibake" -> ((s, dir) => {
+      val variant = element_at(
+        array(lit("ü"), lit("ñ"), lit("ā"), lit("ž")),
+        (pmod(col("doc_id"), lit(4L)) + 1).cast("int"))
+      val clean = concat(substring(col("text"), 1, 40),
+        lit(" café — “q” € "), variant)
+      def corrupt(c: Column) = decode(encode(c, "UTF-8"), "ISO-8859-1")
+      val garbled = when(pmod(col("doc_id"), lit(3L)) === 0,
+        corrupt(corrupt(clean))).otherwise(corrupt(clean))
+      TextAnalysis.mojibakeRepair(
+          t(s, dir, "documents").select(col("doc_id"), garbled.as("text")))
+        .orderBy("doc_id")
+    }),
     // format-aware payload fingerprint: a FULL synthesized PNG whose
     // tEXt chunk varies by source but whose IDAT stream is the text
     // bytes — the fingerprint must hash ONLY the IDAT content, so the
@@ -3467,6 +3485,21 @@ object SparkEntry {
     // greedy longest-match encode, both unrolled as chained CTEs
     "q186_wordpiece_train" -> wpTrainOracle(8),
     "q187_wordpiece_encode" -> wpEncodeOracle(8, 50, 8),
+
+    // q188: the repair must invert the planted corruption exactly, so
+    // the oracle never corrupts at all — it predicts rounds from the
+    // planted schedule and the repaired text as the clean original
+    "q188_fix_mojibake" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || ' café — “q” € ' ||
+        |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'ü' WHEN 1 THEN 'ñ'
+        |         WHEN 2 THEN 'ā' ELSE 'ž' END AS clean
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS rounds,
+        |  clean AS repaired
+        |FROM c ORDER BY doc_id""".stripMargin,
     // q151: kth order statistic per dim — the q105 window pattern
     "q151_dim_median" ->
       """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

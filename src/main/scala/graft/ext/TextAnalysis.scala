@@ -611,6 +611,23 @@ object TextAnalysis {
       lower(graft.functions.NfcNormalize(text)),
       "[^\\p{L}\\p{Nd} ]", " "), " +", " "))
 
+  /** Mojibake repair over a corpus — the ftfy core case every web
+    * crawl hits: UTF-8 text mis-decoded as Windows-1252/Latin-1
+    * somewhere upstream ("café" shipped as "cafÃ©"), sometimes
+    * twice. Emits the repaired text plus the unwind-round count
+    * (0 = clean or unrepairable, 1 = single mojibake, 2 = double-
+    * encoded) for corpus-health roll-ups. The kernel
+    * ([[graft.functions.FixMojibake]], codegen'd) only rewrites when
+    * the CP1252-byte image strictly decodes as UTF-8 AND collapses —
+    * genuine Latin-1/CP1252 prose and all-ASCII text pass through
+    * byte-identical (the ASCII fast path is one scan, no
+    * allocation). Narrow, zero shuffle — crawl-scan speed. */
+  def mojibakeRepair(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.MojibakeRounds(col(textCol)).as("rounds"),
+      graft.functions.FixMojibake(col(textCol)).as("repaired"))
+
   /** HTML → text extraction — the step BEFORE every other text
     * operator on a web crawl (the trafilatura/jusText class, reduced
     * to its deterministic core): drop `<script>`/`<style>` elements

@@ -51,6 +51,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       GraftExtensions.nfcNormalizeBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("fix_mojibake"),
+      new ExpressionInfo(classOf[FixMojibake].getName, "fix_mojibake"),
+      GraftExtensions.fixMojibakeBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("mojibake_rounds"),
+      new ExpressionInfo(classOf[MojibakeRounds].getName, "mojibake_rounds"),
+      GraftExtensions.mojibakeRoundsBuilder))
   }
 }
 
@@ -103,6 +111,14 @@ object GraftExtensions {
     require(children.size == 1, "nfc_normalize takes exactly 1 argument")
     NfcNormalize(children(0))
   }
+  private val fixMojibakeBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "fix_mojibake takes exactly 1 argument")
+    FixMojibake(children(0))
+  }
+  private val mojibakeRoundsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "mojibake_rounds takes exactly 1 argument")
+    MojibakeRounds(children(0))
+  }
 
   /** Register into an already-running session (extensions via
     * `withExtensions`/`spark.sql.extensions` only apply to new ones).
@@ -130,6 +146,10 @@ object GraftExtensions {
       .createOrReplaceTempFunction("token_ngrams", tokenNgramsBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("nfc_normalize", nfcNormalizeBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("fix_mojibake", fixMojibakeBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("mojibake_rounds", mojibakeRoundsBuilder, "built-in")
     implicit val inEnc: org.apache.spark.sql.Encoder[Array[Float]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
     spark.udf.register("vector_mean",

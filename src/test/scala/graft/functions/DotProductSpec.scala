@@ -160,6 +160,47 @@ class DotProductSpec extends SparkSpec {
     assert(ascii == "123")
   }
 
+  test("fix_mojibake unwinds CP1252/Latin-1 mis-decodes; clean text passes through") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    // sloppy-CP1252 mis-decode (ftfy's model): the five bytes CP1252
+    // leaves undefined come through as their C1 control, not U+FFFD —
+    // Java's strict windows-1252 charset would destroy them
+    def garble(s: String): String =
+      s.getBytes("UTF-8").map { b =>
+        val i = b & 0xFF
+        if (i < 0x80 || i >= 0xA0) i.toChar
+        else new String(Array(b), "windows-1252").charAt(0) match {
+          case '�' => i.toChar
+          case c => c
+        }
+      }.mkString
+    val cafe = "café — €"                        // CP1252 specials + accent
+    val once = garble(cafe)                      // "café â€" ...
+    val twice = garble(once)
+    val c1 = garble("māori")                     // UTF-8 C4 81 → Ä + C1 control
+    val rows = Seq(
+      (1L, once), (2L, twice), (3L, c1),
+      (4L, "plain ascii"),                       // fast path: untouched
+      (5L, "naïve Café prose"),                  // genuine Latin-1: untouched
+      (6L, "Ã")                                  // lone lead byte: no valid decode
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.mojibakeRepair(rows)
+      .as[(Long, Int, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ((1, cafe)))
+    assert(got(2L) == ((2, cafe)))               // double-encoding unwound twice
+    assert(got(3L) == ((1, "māori")))            // sloppy-CP1252 C1 roundtrip
+    assert(got(4L) == ((0, "plain ascii")))
+    assert(got(5L) == ((0, "naïve Café prose"))) // é→E9 never valid UTF-8 here
+    assert(got(6L) == ((0, "Ã")))
+    // SQL surface matches the Column API
+    rows.createOrReplaceTempView("moji_docs")
+    val viaSql = spark.sql(
+      "SELECT fix_mojibake(text) AS f, mojibake_rounds(text) AS r " +
+        "FROM moji_docs WHERE doc_id = 2").as[(String, Int)].head()
+    assert(viaSql == ((cafe, 2)))
+  }
+
   test("vector_mean UDAF is SQL-callable and matches the typed Aggregator") {
     GraftExtensions.register(spark)
     load("embeddings").createOrReplaceTempView("emb_vm")
