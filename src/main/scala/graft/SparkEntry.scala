@@ -589,6 +589,12 @@ object SparkEntry {
     "q106_perplexity_filter" -> ((s, dir) =>
       Corpus.perplexityTailFilter(t(s, dir, "documents"), 0.25)
         .orderBy("source", "doc_id")),
+    // CCNet's three-way form of q106: label every scored doc head/
+    // middle/tail at the exact per-source 1/3 and 2/3 logprob cuts —
+    // the buckets downstream mixture weights key on
+    "q191_perplexity_buckets" -> ((s, dir) =>
+      Corpus.perplexityBuckets(t(s, dir, "documents"))
+        .orderBy("source", "doc_id")),
     // data-constrained repetition schedule: mixture weights demanding
     // more than one epoch repeat the source; fractional epochs admit
     // docs by the deterministic 8-bit md5 threshold
@@ -1538,6 +1544,41 @@ object SparkEntry {
       TextAnalysis.mojibakeRepair(
           t(s, dir, "documents").select(col("doc_id"), garbled.as("text")))
         .orderBy("doc_id")
+    }),
+    // script census over planted mixed-script docs: a Latin prefix
+    // plus a tripled pure-script snippet per doc_id%5 — the snippet
+    // outweighs the prefix, so dominant rotates through the scripts
+    "q190_script_census" -> ((s, dir) => {
+      val snippet = element_at(array(
+        lit("漢字漢字漢字漢字漢字漢字"),
+        lit("Русский текст про язык"),
+        lit("النص العربي للاختبار"),
+        lit("ทดสอบภาษาไทยสั้น"),
+        lit("ελληνικό κείμενο εδώ")),
+        (pmod(col("doc_id"), lit(5L)) + 1).cast("int"))
+      val mixed = concat(substring(col("text"), 1, 30), lit(" "),
+        repeat(snippet, 3))
+      TextAnalysis.scriptCensus(
+          t(s, dir, "documents").select(col("doc_id"), mixed.as("text")))
+        .orderBy("doc_id")
+    }),
+    // per-domain reputation: planted URLs key 7 domains; domains 0/1
+    // get a third of their docs replaced by one syndicated string
+    // (within-domain md5 dup groups) -> dup_rate 24/72 > 0.30 drops
+    // them; domain 2 is healthy but oversized (72 > 71) -> cap; the
+    // rest keep. Content-farm gating at domain grain, not doc grain
+    "q189_domain_reputation" -> ((s, dir) => {
+      val dom = pmod(col("doc_id"), lit(7L))
+      val url = concat(lit("https://site"), dom.cast("string"),
+        lit(".example.com/p/"), col("doc_id").cast("string"))
+      val text2 = when(dom < 2 && pmod(col("doc_id"), lit(3L)) === 0,
+          lit("Syndicated press release reposted verbatim across the network."))
+        .otherwise(col("text"))
+      TextAnalysis.domainReputation(
+          t(s, dir, "documents")
+            .select(col("doc_id"), url.as("url"), text2.as("text")),
+          capDocs = 71L)
+        .orderBy("domain")
     }),
     // format-aware payload fingerprint: a FULL synthesized PNG whose
     // tEXt chunk varies by source but whose IDAT stream is the text
@@ -2922,6 +2963,54 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q91_gopher_rules" -> gopherRulesOracle,
+    "q189_domain_reputation" -> domainReputationOracle,
+
+    // q190: same census in RE2 script classes (\p{Han} etc. — RE2's
+    // spelling of Java's \p{IsHan}); counts are exact ints, dominant
+    // is the same first-in-order argmax CASE chain
+    "q190_script_census" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 30) || ' ' || repeat(
+        |      CASE CAST(doc_id % 5 AS INT)
+        |        WHEN 0 THEN '漢字漢字漢字漢字漢字漢字'
+        |        WHEN 1 THEN 'Русский текст про язык'
+        |        WHEN 2 THEN 'النص العربي للاختبار'
+        |        WHEN 3 THEN 'ทดสอบภาษาไทยสั้น'
+        |        ELSE 'ελληνικό κείμενο εδώ' END, 3) AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(regexp_replace(text, '\p{Latin}', '', 'g')) AS BIGINT) AS n_latin,
+        |    CAST(length(text) - length(regexp_replace(text, '\p{Han}', '', 'g')) AS BIGINT) AS n_han,
+        |    CAST(length(text) - length(regexp_replace(text, '\p{Cyrillic}', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |    CAST(length(text) - length(regexp_replace(text, '\p{Arabic}', '', 'g')) AS BIGINT) AS n_arabic,
+        |    CAST(length(text) - length(regexp_replace(text, '\p{Hangul}', '', 'g')) AS BIGINT) AS n_hangul,
+        |    CAST(length(text) - length(regexp_replace(text, '[\p{Hiragana}\p{Katakana}]', '', 'g')) AS BIGINT) AS n_kana,
+        |    CAST(length(text) - length(regexp_replace(text, '\p{Thai}', '', 'g')) AS BIGINT) AS n_thai,
+        |    CAST(length(text) - length(regexp_replace(text, '\p{Greek}', '', 'g')) AS BIGINT) AS n_greek
+        |  FROM d)
+        |SELECT doc_id, n_latin, n_han, n_cyrillic, n_arabic, n_hangul,
+        |  n_kana, n_thai, n_greek,
+        |  CASE
+        |    WHEN n_latin = greatest(n_latin, n_han, n_cyrillic, n_arabic,
+        |      n_hangul, n_kana, n_thai, n_greek) AND n_latin > 0 THEN 'latin'
+        |    WHEN n_han = greatest(n_latin, n_han, n_cyrillic, n_arabic,
+        |      n_hangul, n_kana, n_thai, n_greek) AND n_han > 0 THEN 'han'
+        |    WHEN n_cyrillic = greatest(n_latin, n_han, n_cyrillic, n_arabic,
+        |      n_hangul, n_kana, n_thai, n_greek) AND n_cyrillic > 0 THEN 'cyrillic'
+        |    WHEN n_arabic = greatest(n_latin, n_han, n_cyrillic, n_arabic,
+        |      n_hangul, n_kana, n_thai, n_greek) AND n_arabic > 0 THEN 'arabic'
+        |    WHEN n_hangul = greatest(n_latin, n_han, n_cyrillic, n_arabic,
+        |      n_hangul, n_kana, n_thai, n_greek) AND n_hangul > 0 THEN 'hangul'
+        |    WHEN n_kana = greatest(n_latin, n_han, n_cyrillic, n_arabic,
+        |      n_hangul, n_kana, n_thai, n_greek) AND n_kana > 0 THEN 'kana'
+        |    WHEN n_thai = greatest(n_latin, n_han, n_cyrillic, n_arabic,
+        |      n_hangul, n_kana, n_thai, n_greek) AND n_thai > 0 THEN 'thai'
+        |    WHEN n_greek = greatest(n_latin, n_han, n_cyrillic, n_arabic,
+        |      n_hangul, n_kana, n_thai, n_greek) AND n_greek > 0 THEN 'greek'
+        |    ELSE 'none' END AS dominant
+        |FROM c ORDER BY doc_id""".stripMargin,
     // hashed-bag linear scorer: same nibble bucket hash, same literal
     // weight list; 1/64-grid weights make the SUM order-free exact
     "q103_linear_score" -> {
@@ -3711,6 +3800,42 @@ object SparkEntry {
         |SELECT sc.source, sc.doc_id, sc.n_bigrams, sc.avg_logprob
         |FROM sc JOIN c USING (source)
         |WHERE sc.avg_logprob > c.cut
+        |ORDER BY sc.source, sc.doc_id""".stripMargin,
+
+    // q191: q106's scoring chain with TWO per-source cuts (exact 1/3
+    // and 2/3 order statistics) and value-threshold bucket labels
+    "q191_perplexity_buckets" ->
+      """WITH b AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(tl) - 1),
+        |      i -> {'t1': tl[i], 't2': tl[i + 1]})) AS bg
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tl
+        |        FROM documents)),
+        |bg AS (SELECT doc_id, bg.t1 AS t1, bg.t2 AS t2 FROM b),
+        |pc AS (SELECT t1, t2, count(*) AS c_pair FROM bg GROUP BY 1, 2),
+        |pfx AS (SELECT t1, SUM(c_pair) AS c_prefix FROM pc GROUP BY 1),
+        |m AS (SELECT t1, t2,
+        |        CAST(round(ln(CAST(c_pair AS DOUBLE) / c_prefix), 9)
+        |          AS DECIMAL(28,9)) AS lp
+        |      FROM pc JOIN pfx USING (t1)),
+        |s AS (SELECT doc_id, count(*) AS n_bigrams, SUM(lp) AS sm
+        |      FROM bg JOIN m USING (t1, t2) GROUP BY 1),
+        |sc AS (SELECT d.source, s.doc_id, s.n_bigrams,
+        |         CAST(s.sm AS DOUBLE) / s.n_bigrams AS avg_logprob
+        |       FROM s JOIN documents d USING (doc_id)),
+        |r AS (SELECT source, avg_logprob,
+        |        row_number() OVER (PARTITION BY source ORDER BY avg_logprob) AS rn,
+        |        count(*) OVER (PARTITION BY source) AS n
+        |      FROM sc),
+        |lo AS (SELECT source, avg_logprob AS lo_cut
+        |       FROM r WHERE rn = CAST(ceil((1.0 / 3) * n) AS BIGINT)),
+        |hi AS (SELECT source, avg_logprob AS hi_cut
+        |       FROM r WHERE rn = CAST(ceil((2.0 / 3) * n) AS BIGINT))
+        |SELECT sc.source, sc.doc_id, sc.n_bigrams, sc.avg_logprob,
+        |  CASE WHEN sc.avg_logprob <= lo.lo_cut THEN 'tail'
+        |       WHEN sc.avg_logprob <= hi.hi_cut THEN 'middle'
+        |       ELSE 'head' END AS bucket
+        |FROM sc JOIN lo USING (source) JOIN hi USING (source)
         |ORDER BY sc.source, sc.doc_id""".stripMargin,
 
     "q99_sentences" ->
@@ -4876,6 +5001,49 @@ object SparkEntry {
   /** q91 oracle: the identical count-and-exact-ratio rule arithmetic;
     * the stopword list is generated from the same Scala constant so the
     * two sides cannot drift. */
+  /** q189 oracle: the domain roll-up in SQL — same planted URLs/dup
+    * schedule, gopher-keep conjunction per doc, two-level aggregation,
+    * exact int64→double rates, threshold actions. */
+  private def domainReputationOracle: String = {
+    val stops = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS domain,
+       |    CASE WHEN doc_id % 7 < 2 AND doc_id % 3 = 0
+       |         THEN 'Syndicated press release reposted verbatim across the network.'
+       |         ELSE text END AS text
+       |  FROM documents),
+       |t AS (SELECT domain, md5(text) AS fp,
+       |        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |      FROM d),
+       |k AS (SELECT domain, fp,
+       |  CASE WHEN len(toks) BETWEEN 50 AND 100000
+       |    AND CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+       |        / len(toks) BETWEEN 3.0 AND 10.0
+       |    AND CAST(len(list_filter(toks, x -> contains(x, '#')
+       |        OR contains(x, '...') OR contains(x, '…'))) AS DOUBLE)
+       |        / len(toks) <= 0.1
+       |    AND CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+       |        AS DOUBLE) / len(toks) >= 0.8
+       |    AND len(list_filter(toks, x -> list_contains([$stops], x))) >= 2
+       |    THEN 1 ELSE 0 END AS keep
+       |  FROM t),
+       |g AS (SELECT domain, fp, count(*) AS c, sum(keep) AS k
+       |      FROM k GROUP BY 1, 2),
+       |a AS (SELECT domain,
+       |        CAST(sum(c) AS BIGINT) AS n_docs,
+       |        CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup,
+       |        CAST(sum(k) AS BIGINT) AS n_keep
+       |      FROM g GROUP BY 1)
+       |SELECT domain, n_docs, n_dup, n_keep,
+       |  CAST(n_dup AS DOUBLE) / n_docs AS dup_rate,
+       |  CAST(n_keep AS DOUBLE) / n_docs AS keep_rate,
+       |  CASE WHEN CAST(n_dup AS DOUBLE) / n_docs > 0.30
+       |         OR CAST(n_keep AS DOUBLE) / n_docs < 0.40 THEN 'drop'
+       |       WHEN n_docs > 71 THEN 'cap' ELSE 'keep' END AS action
+       |FROM a ORDER BY domain""".stripMargin
+  }
+
   private def gopherRulesOracle: String = {
     val stops = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
     s"""WITH t AS (

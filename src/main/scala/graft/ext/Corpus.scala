@@ -654,6 +654,37 @@ object Corpus {
       .select(col(keyCol), col(idCol), col("n_bigrams"), col("avg_logprob"))
   }
 
+  /** CCNet's actual three-way split — [[perplexityTailFilter]] keeps
+    * or drops, this LABELS: per-source exact `loFrac`/`hiFrac`
+    * quantiles of the bigram-LM `avg_logprob` cut each source into
+    * `tail` (worst perplexity, ≤ lo cut), `middle`, and `head`
+    * (best, > hi cut) — the buckets CCNet feeds to different
+    * training-mixture weights instead of discarding outright.
+    * Value-thresholded at both cuts (ties bucket together, no rank
+    * tie-break to reproduce); scoreless <2-token docs are absent, the
+    * conservative default. Scale shape = the tail filter's: one LM
+    * scoring pass, two histogram-quantile passes (no whole-stratum
+    * window sort), two one-row-per-source cut joins. */
+  def perplexityBuckets(docs: DataFrame, loFrac: Double = 1.0 / 3,
+                        hiFrac: Double = 2.0 / 3,
+                        keyCol: String = "source", idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(0 < loFrac && loFrac < hiFrac && hiFrac < 1,
+      s"need 0 < loFrac < hiFrac < 1, got ($loFrac, $hiFrac)")
+    val scored = bigramLogProb(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(keyCol)), Seq(idCol))
+      .localCheckpoint()
+    def cutAt(f: Double, name: String) = graft.ops.Scale
+      .kthSmallestByKey(scored, "avg_logprob", keyCol, f)
+      .select(col(keyCol), col("quantile").as(name))
+    scored.join(cutAt(loFrac, "__lo"), Seq(keyCol))
+      .join(cutAt(hiFrac, "__hi"), Seq(keyCol))
+      .select(col(keyCol), col(idCol), col("n_bigrams"), col("avg_logprob"),
+        when(col("avg_logprob") <= col("__lo"), "tail")
+          .when(col("avg_logprob") <= col("__hi"), "middle")
+          .otherwise("head").as("bucket"))
+  }
+
   /** Deterministic EXACT token-budget sample: per `keyCol` stratum,
     * take documents in md5-priority order until the NEXT one would
     * push the running token total past `budgetTokens` — the greedy

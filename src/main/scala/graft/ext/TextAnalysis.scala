@@ -422,6 +422,69 @@ object TextAnalysis {
           && col("r_alpha") && col("r_stop"))
   }
 
+  /** The [[gopherRules]] conjunction as one boolean expression over a
+    * token-array column — false for empty docs (instead of dropping
+    * them, the per-doc report's convention), so aggregating callers
+    * can fold it without a pre-filter. */
+  private def gopherKeepExpr(toks: Column,
+                             minWords: Int = 50, maxWords: Int = 100000,
+                             minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                             maxSymbolRatio: Double = 0.1,
+                             minAlphaRatio: Double = 0.8,
+                             minStopwords: Int = 2): Column = {
+    val n = size(toks).cast("long")
+    val meanLen = aggregate(transform(toks, t => length(t)), lit(0L), (a, x) => a + x)
+      .cast("double") / n
+    val symbols = size(filter(toks, t =>
+      t.contains("#") || t.contains("...") || t.contains("…"))).cast("long")
+    val alphaWords = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long")
+    val stops = size(filter(toks, t => t.isin(stopwords("en"): _*))).cast("long")
+    n >= minWords && n <= maxWords &&
+      meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+      symbols.cast("double") / n <= maxSymbolRatio &&
+      alphaWords.cast("double") / n >= minAlphaRatio &&
+      stops >= minStopwords
+  }
+
+  /** Per-domain reputation roll-up — the crawl-curation stage between
+    * URL canonicalization ([[urlDomain]]) and per-domain caps, the
+    * C4/RefinedWeb-style gate that drops content farms wholesale
+    * instead of doc by doc: group documents by registrable domain and
+    * score each domain on size, exact-duplication burden (within-
+    * domain md5 groups — content farms repost), and rule-based
+    * quality ([[gopherRules]]' conjunction), then decide
+    * `drop` (dup_rate/keep_rate over the line) / `cap` (healthy but
+    * oversized — feed to per-domain caps) / `keep`.
+    *
+    * Exactness: dup_rate/keep_rate are single IEEE divisions of exact
+    * int64 counts — engine-identical, so thresholds compare stably
+    * and the output is fully hashable. Scale shape: one narrow
+    * per-doc pass, then two map-side-combined shuffles (domain+md5,
+    * then domain) — domain-count-bounded output, corpus never joined
+    * or re-shuffled. */
+  def domainReputation(docs: DataFrame, urlCol: String = "url",
+                       idCol: String = "doc_id", textCol: String = "text",
+                       maxDupRate: Double = 0.30, minKeepRate: Double = 0.40,
+                       capDocs: Long = 100L): DataFrame = {
+    val perDoc = docs.select(
+      urlDomain(col(urlCol)).as("domain"),
+      md5(col(textCol)).as("__fp"),
+      when(gopherKeepExpr(tokens(col(textCol))), 1L).otherwise(0L).as("__keep"))
+    val byFp = perDoc.groupBy("domain", "__fp").agg(
+      count(lit(1)).as("__c"), sum("__keep").as("__k"))
+    val dupRate = col("n_dup").cast("double") / col("n_docs")
+    val keepRate = col("n_keep").cast("double") / col("n_docs")
+    byFp.groupBy("domain").agg(
+        sum("__c").as("n_docs"),
+        sum(when(col("__c") > 1, col("__c")).otherwise(0L)).as("n_dup"),
+        sum("__k").as("n_keep"))
+      .select(col("domain"), col("n_docs"), col("n_dup"), col("n_keep"),
+        dupRate.as("dup_rate"), keepRate.as("keep_rate"),
+        when(dupRate > maxDupRate || keepRate < minKeepRate, "drop")
+          .when(col("n_docs") > capDocs, "cap")
+          .otherwise("keep").as("action"))
+  }
+
   /** Linear text-classifier inference — the fastText-style quality/
     * domain scorer every curation pipeline runs after rule filters:
     * `score = (Σ_t w[h(t)]) / n + bias` over a hashed bag of tokens
@@ -627,6 +690,38 @@ object TextAnalysis {
     docs.select(col(idCol),
       graft.functions.MojibakeRounds(col(textCol)).as("rounds"),
       graft.functions.FixMojibake(col(textCol)).as("repaired"))
+
+  /** Per-document script census — the multilingual routing signal
+    * language-ID, tokenizer fallback and per-script pipelines key on:
+    * codepoint counts per major Unicode script (Latin/Han/Cyrillic/
+    * Arabic/Hangul/Kana/Thai/Greek) plus the dominant script
+    * (first-in-order tiebreak, `none` when no scripted letter
+    * appears). Counts are exact integers, so the output hashes
+    * cleanly; the oracle replays the same script classes in RE2.
+    * Narrow codegen'd regexp pass, zero shuffle — scan speed. BMP
+    * scripts only: counts are UTF-16 units on the Spark side, so
+    * supplementary-plane scripts (rare in crawls) are out of the
+    * census contract. */
+  def scriptCensus(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val classes = Seq(
+      "latin" -> "\\p{IsLatin}", "han" -> "\\p{IsHan}",
+      "cyrillic" -> "\\p{IsCyrillic}", "arabic" -> "\\p{IsArabic}",
+      "hangul" -> "\\p{IsHangul}",
+      "kana" -> "[\\p{IsHiragana}\\p{IsKatakana}]",
+      "thai" -> "\\p{IsThai}", "greek" -> "\\p{IsGreek}")
+    val names = classes.map(_._1)
+    val counts = classes.map { case (n, re) =>
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), re, ""))).cast("long").as(s"n_$n")
+    }
+    val top = greatest(names.map(n => col(s"n_$n")): _*)
+    val dominant = classes.foldRight(lit("none")) { case ((n, _), acc) =>
+      when(col(s"n_$n") === top && top > 0, lit(n)).otherwise(acc)
+    }
+    docs.select(col(idCol) +: counts: _*)
+      .withColumn("dominant", dominant)
+  }
 
   /** HTML → text extraction — the step BEFORE every other text
     * operator on a web crawl (the trafilatura/jusText class, reduced

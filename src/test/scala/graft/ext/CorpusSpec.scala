@@ -163,6 +163,34 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("perplexityBuckets: labels partition the scored docs at the exact " +
+       "1/3 and 2/3 cuts; bucket score ranges never overlap") {
+    val d = load("documents")
+    val out = Corpus.perplexityBuckets(d)
+      .select("source", "doc_id", "avg_logprob", "bucket")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(out.nonEmpty && out.map(_._4).toSet == Set("tail", "middle", "head"))
+    // same doc set as the scored universe (labeling, not filtering)
+    val scoredIds = Corpus.bigramLogProb(d).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_._2).toSet == scoredIds)
+    out.groupBy(_._1).foreach { case (src, vs) =>
+      def scores(b: String) = vs.filter(_._4 == b).map(_._3)
+      val (tl, md, hd) = (scores("tail"), scores("middle"), scores("head"))
+      // value-thresholded: strict separation between adjacent buckets
+      if (tl.nonEmpty && md.nonEmpty) assert(tl.max < md.min, src)
+      if (md.nonEmpty && hd.nonEmpty) assert(md.max < hd.min, src)
+      // the exact order-statistic cuts reproduce the labeling
+      val sorted = vs.map(_._3).sorted
+      val lo = sorted(math.ceil(sorted.size / 3.0).toInt - 1)
+      val hi = sorted(math.ceil(2 * sorted.size / 3.0).toInt - 1)
+      vs.foreach { case (_, id, s, b) =>
+        val want = if (s <= lo) "tail" else if (s <= hi) "middle" else "head"
+        assert(b == want, s"$src/$id")
+      }
+    }
+  }
+
   // ---- JVM reference BPE (Sennrich): the oracle the distributed
   // trainer/encoder must reproduce exactly ----
   private def refPairCounts(vocab: Map[Vector[String], Long]): Map[(String, String), Long] =

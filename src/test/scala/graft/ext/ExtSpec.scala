@@ -133,6 +133,56 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L)._1 == "not a url at all" && out(5L)._2.isEmpty)
   }
 
+  test("domainReputation: dup burden and keep rate gate whole domains; " +
+    "cap only fires for healthy oversized ones") {
+    // 120 words of plain prose with stopwords: passes every gopher rule
+    val good = (Seq.fill(40)("the quick dog") ).mkString(" ")
+    def spam(i: Int) = s"### junk $i"      // fails word-count rule; distinct texts
+    val dup = "reposted syndicated body"   // exact within-domain dup group
+    val rows =
+      // farm.com: 3 docs, 2 identical -> dup_rate 2/3 > 0.30 -> drop
+      Seq((1L, "https://Farm.com/a", dup), (2L, "https://farm.com/b", dup),
+          (3L, "https://farm.com/c", good),
+      // junk.net: 2 docs, none keep -> keep_rate 0 < 0.40 -> drop
+          (4L, "https://junk.net/a", spam(1)), (5L, "https://junk.net/b", spam(2)),
+      // big.org: 3 healthy docs > capDocs=2 -> cap
+          (6L, "https://big.org/a", good + " one"), (7L, "https://big.org/b", good + " two"),
+          (8L, "https://big.org/c", good + " three"),
+      // ok.io: 1 healthy doc -> keep; a non-URL groups under null
+          (9L, "https://ok.io/a", good), (10L, "nonsense", good))
+        .toDF("doc_id", "url", "text")
+    val out = TextAnalysis.domainReputation(rows, capDocs = 2L)
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2), r.getString(6))).toMap
+    assert(out(Some("farm.com")) == ((3L, 2L, "drop")))
+    assert(out(Some("junk.net")) == ((2L, 0L, "drop")))
+    assert(out(Some("big.org")) == ((3L, 0L, "cap")))
+    assert(out(Some("ok.io")) == ((1L, 0L, "keep")))
+    assert(out(None) == ((1L, 0L, "keep")), "non-URLs roll up under null domain")
+  }
+
+  test("scriptCensus: per-script counts, first-in-order dominant tiebreak, " +
+    "none for scriptless text") {
+    val d = Seq(
+      (1L, "hello world"),            // pure Latin
+      (2L, "これは漢字です"),           // kana 5 > han 2 -> kana... no: kana これはです=5, han 漢字=2
+      (3L, "abc 漢字漢 x"),            // latin 4 > han 3
+      (4L, "123 !!! ..."),            // digits/punct only -> none
+      (5L, "ab 漢字"),                 // tie 2-2 -> latin wins (first in order)
+      (6L, "")                        // empty -> none
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptCensus(d)
+      .select("doc_id", "dominant", "n_latin", "n_han", "n_kana")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (("latin", 10L, 0L, 0L)))
+    assert(out(2L) == (("kana", 0L, 2L, 5L)))
+    assert(out(3L) == (("latin", 4L, 3L, 0L)))
+    assert(out(4L) == (("none", 0L, 0L, 0L)))
+    assert(out(5L) == (("latin", 2L, 2L, 0L)), "ties break first-in-order")
+    assert(out(6L) == (("none", 0L, 0L, 0L)))
+  }
+
   test("scriptTokens: per-codepoint fallback for no-space scripts; " +
     "byte-identical to tokens on space-script text") {
     val d = Seq(
