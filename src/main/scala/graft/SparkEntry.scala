@@ -1580,6 +1580,26 @@ object SparkEntry {
           capDocs = 71L)
         .orderBy("domain")
     }),
+    // C4 line-level cleaning over synthesized multi-line pages: four
+    // planted lines exercise every line rule (short / good /
+    // javascript / unterminated) and a doc_id%13 rotation trips each
+    // page gate (lorem ipsum, brace, blocklist) on a slice
+    "q192_c4_clean" -> ((s, dir) => {
+      val gate = pmod(col("doc_id"), lit(13L))
+      val page = concat_ws("\n",
+        substring(col("text"), 1, 120),
+        lit("Too short."),
+        lit("This line carries enough words and ends with a period."),
+        lit("This javascript line carries enough words and ends with a period."),
+        lit("This line carries plenty of words but never terminates"),
+        when(gate === 0, lit("Operators love lorem ipsum filler inside their pages."))
+          .when(gate === 1, lit("A brace { sneaks into this otherwise fine sentence."))
+          .when(gate === 2, lit("The casino word trips the page blocklist gate here."))
+          .otherwise(lit("A perfectly ordinary closing sentence finishes the page.")))
+      TextAnalysis.c4Clean(
+          t(s, dir, "documents").select(col("doc_id"), page.as("text")))
+        .orderBy("doc_id")
+    }),
     // format-aware payload fingerprint: a FULL synthesized PNG whose
     // tEXt chunk varies by source but whose IDAT stream is the text
     // bytes — the fingerprint must hash ONLY the IDAT content, so the
@@ -2964,6 +2984,7 @@ object SparkEntry {
 
     "q91_gopher_rules" -> gopherRulesOracle,
     "q189_domain_reputation" -> domainReputationOracle,
+    "q192_c4_clean" -> c4CleanOracle,
 
     // q190: same census in RE2 script classes (\p{Han} etc. — RE2's
     // spelling of Java's \p{IsHan}); counts are exact ints, dominant
@@ -5042,6 +5063,47 @@ object SparkEntry {
        |         OR CAST(n_keep AS DOUBLE) / n_docs < 0.40 THEN 'drop'
        |       WHEN n_docs > 71 THEN 'cap' ELSE 'keep' END AS action
        |FROM a ORDER BY domain""".stripMargin
+  }
+
+  /** q192 oracle: C4's rules replayed rule for rule in DuckDB — same
+    * planted lines and %13 gate rotation, same line predicates
+    * (terminal-punct regex, ≥5 space words, no "javascript"), same
+    * page gates (translate-census ≥3 marks, blocklist token from the
+    * shared Scala constant, brace / lorem ipsum on the original). */
+  private def c4CleanOracle: String = {
+    val bad = TextAnalysis.c4Badwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    substr(text, 1, 120) || chr(10) || 'Too short.' || chr(10) ||
+       |    'This line carries enough words and ends with a period.' || chr(10) ||
+       |    'This javascript line carries enough words and ends with a period.' || chr(10) ||
+       |    'This line carries plenty of words but never terminates' || chr(10) ||
+       |    CASE CAST(doc_id % 13 AS INT)
+       |      WHEN 0 THEN 'Operators love lorem ipsum filler inside their pages.'
+       |      WHEN 1 THEN 'A brace { sneaks into this otherwise fine sentence.'
+       |      WHEN 2 THEN 'The casino word trips the page blocklist gate here.'
+       |      ELSE 'A perfectly ordinary closing sentence finishes the page.' END AS text
+       |  FROM documents),
+       |l AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split(text, chr(10)), ln ->
+       |      regexp_matches(rtrim(ln), '[.!?"]$$')
+       |      AND len(list_filter(string_split(ln, ' '), w -> w <> '')) >= 5
+       |      AND NOT contains(lower(ln), 'javascript')) AS keptl,
+       |    len(string_split(text, chr(10))) AS n_lines
+       |  FROM d),
+       |c AS (
+       |  SELECT doc_id, text, CAST(n_lines AS BIGINT) AS n_lines,
+       |    CAST(len(keptl) AS BIGINT) AS n_lines_kept,
+       |    array_to_string(keptl, chr(10)) AS cleaned
+       |  FROM l)
+       |SELECT doc_id, n_lines, n_lines_kept, cleaned,
+       |  (length(cleaned) - length(translate(cleaned, '.!?', ''))) >= 3
+       |  AND len(list_filter(string_split(text, ' '),
+       |        w -> list_contains([$bad], lower(w)))) = 0
+       |  AND NOT contains(text, '{')
+       |  AND NOT contains(lower(text), 'lorem ipsum') AS kept
+       |FROM c ORDER BY doc_id""".stripMargin
   }
 
   private def gopherRulesOracle: String = {

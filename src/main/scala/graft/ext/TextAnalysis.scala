@@ -485,6 +485,59 @@ object TextAnalysis {
           .otherwise("keep").as("action"))
   }
 
+  /** Page-level word blocklist for [[c4Clean]] — deterministic and
+    * fixed, the operator contract is the gate mechanics, not lexicon
+    * quality (C4 used the public "dirty words" list; any list slots
+    * in via the parameter). */
+  val c4Badwords: Seq[String] = Seq("casino", "viagra", "clickbait")
+
+  /** C4's line-level cleaning (Raffel et al. 2020) — the famous
+    * crawl-cleaning stage BETWEEN html extraction and doc-level
+    * quality rules, at a grain none of the other operators touch:
+    * LINE filters (keep only lines that end in a terminal punctuation
+    * mark, carry at least `minLineWords` words, and don't mention
+    * "javascript"), then PAGE gates over what survives (at least
+    * `minTerminalMarks` sentence-ending marks — C4's "three
+    * sentences" rule on the exact-countable proxy — and none of `{`,
+    * "lorem ipsum", or a blocklisted word anywhere on the ORIGINAL
+    * page, C4's drop-the-page-wholesale convention). Emits a per-doc
+    * report (line counts, cleaned text, kept
+    * flag) rather than filtering, so a curation run can audit what
+    * each rule removed; callers drop `kept = false` and train on
+    * `cleaned`.
+    *
+    * Exactness: counts, string membership, and an exact character
+    * census (`translate`) only — fully hashable, the oracle replays
+    * rule for rule. Scale: narrow codegen'd array/string pass, zero
+    * shuffle, linear in input splits. The corpus-level half of C4
+    * (removing any three-sentence span occurring twice) is
+    * [[removeBoilerplateSentences]] / sentence dedup — compose the
+    * two for the full pipeline. */
+  def c4Clean(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text", minLineWords: Int = 5,
+              minTerminalMarks: Int = 3,
+              badwords: Seq[String] = c4Badwords): DataFrame = {
+    def words(l: Column) = filter(split(l, " "), w => w =!= "")
+    val keptLines = filter(split(col(textCol), "\n"), l =>
+      rtrim(l).rlike("[.!?\"]$") &&
+        size(words(l)) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    val cleaned = col("cleaned")
+    val marks = (length(cleaned) - length(translate(cleaned, ".!?", ""))).cast("long")
+    val pageBad = size(filter(transform(tokens(col(textCol)), t => lower(t)),
+      t => t.isin(badwords: _*))).cast("long")
+    docs.select(
+        col(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"),
+        size(keptLines).cast("long").as("n_lines_kept"),
+        array_join(keptLines, "\n").as("cleaned"),
+        (pageBad === 0L &&
+          !col(textCol).contains("{") &&
+          !lower(col(textCol)).contains("lorem ipsum")).as("__page_ok"))
+      .select(col(idCol), col("n_lines"), col("n_lines_kept"), cleaned,
+        (marks >= minTerminalMarks && col("__page_ok")).as("kept"))
+  }
+
   /** Linear text-classifier inference — the fastText-style quality/
     * domain scorer every curation pipeline runs after rule filters:
     * `score = (Σ_t w[h(t)]) / n + bias` over a hashed bag of tokens

@@ -161,6 +161,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(None) == ((1L, 0L, "keep")), "non-URLs roll up under null domain")
   }
 
+  test("c4Clean: line rules keep only punctuated >=5-word non-js lines; " +
+    "page gates drop brace/lorem/blocklist/thin pages wholesale") {
+    val good = "This sentence carries enough words to pass easily."
+    val rows = Seq(
+      // every line rule: short, unterminated, javascript, good x3
+      (1L, s"Tiny line.\nno terminal punctuation on this one\n" +
+           s"plenty of javascript words ending with a period.\n$good\n$good\n$good"),
+      (2L, s"$good\n$good\n$good\nBut a stray { brace lurks here."),
+      (3L, s"$good\n$good\n$good\nSome Lorem Ipsum filler text appears."),
+      (4L, s"$good\n$good\n$good and one casino token."),
+      (5L, s"$good\nOnly two sentences total here okay.")   // <3 marks -> thin
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Clean(rows).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4)))
+      .toMap
+    assert(out(1L)._1 == 6L && out(1L)._2 == 3L, "3 of 6 lines survive")
+    assert(out(1L)._3 == s"$good\n$good\n$good" && out(1L)._4)
+    assert(!out(2L)._4, "brace anywhere on the page drops it")
+    assert(!out(3L)._4, "lorem ipsum is case-insensitive")
+    assert(!out(4L)._4, "blocklisted token drops the page")
+    assert(!out(5L)._4 && out(5L)._2 == 2L, "fewer than 3 terminal marks")
+  }
+
   test("scriptCensus: per-script counts, first-in-order dominant tiebreak, " +
     "none for scriptless text") {
     val d = Seq(
