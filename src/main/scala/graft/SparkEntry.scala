@@ -1600,6 +1600,27 @@ object SparkEntry {
           t(s, dir, "documents").select(col("doc_id"), page.as("text")))
         .orderBy("doc_id")
     }),
+    // recrawl collapse: 50 canonical URLs x ~10 surface-varied
+    // snapshots (case, trailing slash, utm, fragment); ts = doc_id%100
+    // forces within-group timestamp TIES so the length and id
+    // tie-breaks are exercised on the oracle path, and doc_id%5 swaps
+    // in an unchanged cached body so n_distinct_texts < n_snapshots
+    "q193_url_dedup" -> ((s, dir) => {
+      val url = concat(
+        when(pmod(col("doc_id"), lit(2L)) === 0,
+          lit("HTTPS://Recrawl")).otherwise(lit("https://recrawl")),
+        pmod(col("doc_id"), lit(50L)).cast("string"), lit(".example.com/page"),
+        when(pmod(col("doc_id"), lit(3L)) === 0, lit("/")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4L)) === 0,
+          lit("?utm_source=x")).otherwise(lit("")),
+        lit("#frag"))
+      val text2 = when(pmod(col("doc_id"), lit(5L)) === 0,
+        lit("Unchanged cached snapshot body.")).otherwise(col("text"))
+      TextAnalysis.urlDedup(
+          t(s, dir, "documents").select(col("doc_id"), url.as("url"),
+            pmod(col("doc_id"), lit(100L)).as("ts"), text2.as("text")))
+        .orderBy("url")
+    }),
     // format-aware payload fingerprint: a FULL synthesized PNG whose
     // tEXt chunk varies by source but whose IDAT stream is the text
     // bytes — the fingerprint must hash ONLY the IDAT content, so the
@@ -2985,6 +3006,50 @@ object SparkEntry {
     "q91_gopher_rules" -> gopherRulesOracle,
     "q189_domain_reputation" -> domainReputationOracle,
     "q192_c4_clean" -> c4CleanOracle,
+
+    // q193: q184's canonicalization chain, then the keep-newest pick
+    // as a window (ts DESC, length DESC, id ASC) — equivalent to the
+    // engine's map-side max_by struct ordering — plus group counts
+    "q193_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://Recrawl'
+        |         ELSE 'https://recrawl' END ||
+        |    CAST(doc_id % 50 AS VARCHAR) || '.example.com/page' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x' ELSE '' END ||
+        |    '#frag' AS url,
+        |    doc_id % 100 AS ts,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'Unchanged cached snapshot body.'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |n AS (SELECT doc_id, ts, text, regexp_replace(url, '#[^#]*$', '') AS nf FROM u),
+        |p AS (SELECT doc_id, ts, text,
+        |  lower(regexp_extract(nf, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(lower(regexp_extract(nf,
+        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), ':(80|443)$', '') AS hostnp,
+        |  regexp_extract(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+        |  FROM n),
+        |q AS (SELECT doc_id, ts, text, scheme, hostnp,
+        |  regexp_extract(rest, '^([^?]*)', 1) AS path,
+        |  regexp_extract(rest, '[?](.*)$', 1) AS query FROM p),
+        |c AS (SELECT doc_id, ts, text,
+        |  scheme || '://' || hostnp ||
+        |  CASE WHEN regexp_matches(path, '^.+/$')
+        |       THEN regexp_replace(path, '/$', '') ELSE path END ||
+        |  CASE WHEN coalesce(array_to_string(list_filter(string_split(query, '&'),
+        |         x -> NOT regexp_matches(x, '^utm_')), '&'), '') = '' THEN ''
+        |       ELSE '?' || array_to_string(list_filter(string_split(query, '&'),
+        |         x -> NOT regexp_matches(x, '^utm_')), '&') END AS url
+        |  FROM q),
+        |w AS (SELECT url, doc_id, ts, text,
+        |    row_number() OVER (PARTITION BY url
+        |      ORDER BY ts DESC, length(text) DESC, doc_id ASC) AS rn
+        |  FROM c),
+        |g AS (SELECT url, count(*) AS n_snapshots,
+        |    count(DISTINCT text) AS n_distinct_texts
+        |  FROM c GROUP BY 1)
+        |SELECT w.url, w.doc_id, w.ts, w.text, g.n_snapshots, g.n_distinct_texts
+        |FROM w JOIN g USING (url) WHERE rn = 1 ORDER BY url""".stripMargin,
 
     // q190: same census in RE2 script classes (\p{Han} etc. — RE2's
     // spelling of Java's \p{IsHan}); counts are exact ints, dominant

@@ -832,6 +832,39 @@ object TextAnalysis {
     when(h === "", lit(null).cast("string")).otherwise(h)
   }
 
+  /** Recrawl collapse — keep exactly ONE document per canonical URL
+    * (the Common-Crawl-style snapshot dedup every multi-crawl corpus
+    * runs before any content-level dedup): canonicalize with
+    * [[urlNormalize]], then per URL keep the newest crawl by `tsCol`,
+    * ties broken by longer text then smaller id — fully deterministic.
+    * Also reports `n_snapshots` (crawls collapsed) and
+    * `n_distinct_texts` (recrawl churn — 1 means the page never
+    * changed, the common case that makes this the single biggest
+    * row-count reducer on a multi-snapshot crawl).
+    *
+    * Scale: ONE shuffle on the canonical URL; the `max_by` struct
+    * ordering partial-aggregates map-side (each mapper forwards one
+    * candidate per URL), unlike a `row_number` window which would
+    * materialize and sort every snapshot group. Distinct-text counts
+    * are exact at snapshot-group grain (bounded by crawl count). */
+  def urlDedup(docs: DataFrame, urlCol: String = "url",
+               tsCol: String = "ts", idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    docs.select(urlNormalize(col(urlCol)).as("url"),
+        col(idCol), col(tsCol), col(textCol))
+      .groupBy("url")
+      .agg(
+        max_by(
+          struct(col(idCol).as("doc_id"), col(tsCol).as("ts"),
+            col(textCol).as("text")),
+          struct(col(tsCol).as("ts"), length(col(textCol)).as("len"),
+            (-col(idCol)).as("negid"))).as("__rep"),
+        count(lit(1)).as("n_snapshots"),
+        countDistinct(col(textCol)).as("n_distinct_texts"))
+      .select(col("url"), col("__rep.doc_id").as(idCol),
+        col("__rep.ts").as(tsCol), col("__rep.text").as(textCol),
+        col("n_snapshots"), col("n_distinct_texts"))
+
   /** PII patterns — the redaction pass every shipped training corpus
     * runs. Deliberately restricted to the regex subset with identical
     * semantics in Java's engine and RE2 (DuckDB): character classes,

@@ -161,6 +161,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(None) == ((1L, 0L, "keep")), "non-URLs roll up under null domain")
   }
 
+  test("urlDedup: canonical-URL collapse keeps newest ts, then longest " +
+    "text, then smallest id; churn counts reported") {
+    val rows = Seq(
+      // one canonical URL, four surface forms; ts winner is doc 2
+      (1L, "https://a.com/x?utm_source=f#top", 5L, "old body"),
+      (2L, "HTTPS://A.com/x", 9L, "newest body"),
+      (3L, "https://a.com/x/", 9L, "newest body longer"), // ts tie: longer text loses to.. wins
+      (4L, "https://a.com:443/x", 3L, "oldest"),
+      // ts AND length tie -> smaller id kept
+      (5L, "https://b.org/y", 7L, "same size"),
+      (6L, "https://b.org/y#frag", 7L, "same size")
+    ).toDF("doc_id", "url", "ts", "text")
+    val out = TextAnalysis.urlDedup(rows).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(4), r.getLong(5))).toMap
+    assert(out.size == 2)
+    assert(out("https://a.com/x") == ((3L, 4L, 4L)),
+      "ts 9 tie broken by longer text; 4 snapshots, 4 distinct bodies")
+    assert(out("https://b.org/y") == ((5L, 2L, 1L)),
+      "full tie broken by smaller doc_id; identical bodies counted once")
+  }
+
   test("c4Clean: line rules keep only punctuated >=5-word non-js lines; " +
     "page gates drop brace/lorem/blocklist/thin pages wholesale") {
     val good = "This sentence carries enough words to pass easily."
