@@ -595,6 +595,10 @@ object SparkEntry {
     "q191_perplexity_buckets" -> ((s, dir) =>
       Corpus.perplexityBuckets(t(s, dir, "documents"))
         .orderBy("source", "doc_id")),
+    // T5 span corruption: deterministic md5-placed 2-token spans in
+    // fixed 10-token blocks -> sentinel-numbered (input, target) pairs
+    "q194_span_corrupt" -> ((s, dir) =>
+      Corpus.spanCorrupt(t(s, dir, "documents")).orderBy("doc_id")),
     // data-constrained repetition schedule: mixture weights demanding
     // more than one epoch repeat the source; fractional epochs admit
     // docs by the deterministic 8-bit md5 threshold
@@ -3006,6 +3010,56 @@ object SparkEntry {
     "q91_gopher_rules" -> gopherRulesOracle,
     "q189_domain_reputation" -> domainReputationOracle,
     "q192_c4_clean" -> c4CleanOracle,
+
+    // q194: the span schedule replayed in DuckDB — same md5-nibble
+    // start offsets, same block arithmetic, same sentinel strings;
+    // s(b) is written out inline wherever it appears
+    "q194_span_corrupt" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tl
+        |  FROM documents),
+        |d AS (SELECT doc_id, tl, len(tl) AS n,
+        |        CAST(ceil(len(tl) / 10.0) AS BIGINT) AS nb
+        |      FROM t WHERE len(tl) > 0),
+        |inp AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_filter(list_transform(generate_series(1, n), i ->
+        |      CASE
+        |        WHEN (i-1) % 10 = (strpos('0123456789abcdef',
+        |            substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+        |              CAST((i-1)//10 AS VARCHAR)), 1, 1)) - 1) % 8
+        |          THEN '<extra_id_' || CAST((i-1)//10 AS VARCHAR) || '>'
+        |        WHEN (i-1) % 10 = (strpos('0123456789abcdef',
+        |            substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+        |              CAST((i-1)//10 AS VARCHAR)), 1, 1)) - 1) % 8 + 1
+        |          THEN NULL
+        |        ELSE tl[i] END), x -> x IS NOT NULL), ' ') AS input
+        |  FROM d),
+        |sp AS (
+        |  SELECT doc_id, n, tl,
+        |    list_transform(generate_series(0, nb-1), b ->
+        |      b*10 + (strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+        |          CAST(b AS VARCHAR)), 1, 1)) - 1) % 8) AS p0s
+        |  FROM d),
+        |agg AS (
+        |  SELECT doc_id, n,
+        |    CAST(len(list_filter(p0s, p -> p < n)) AS BIGINT) AS n_spans,
+        |    CAST(coalesce(list_sum(list_transform(p0s, p ->
+        |      CASE WHEN p < n THEN least(2, n - p) ELSE 0 END)), 0) AS BIGINT)
+        |      AS n_masked,
+        |    list_filter(list_transform(generate_series(0, len(p0s)-1), b ->
+        |      CASE WHEN p0s[b+1] < n THEN
+        |        '<extra_id_' || CAST(b AS VARCHAR) || '> ' ||
+        |        array_to_string(list_slice(tl, p0s[b+1]+1,
+        |          least(p0s[b+1]+2, n)), ' ')
+        |      ELSE NULL END), x -> x IS NOT NULL) AS pieces
+        |  FROM sp)
+        |SELECT a.doc_id, CAST(a.n AS BIGINT) AS n_tokens, a.n_spans,
+        |  a.n_masked, i.input,
+        |  array_to_string(list_concat(a.pieces,
+        |    ['<extra_id_' || CAST(a.n_spans AS VARCHAR) || '>']), ' ') AS target
+        |FROM agg a JOIN inp i USING (doc_id) ORDER BY a.doc_id""".stripMargin,
 
     // q193: q184's canonicalization chain, then the keep-newest pick
     // as a window (ts DESC, length DESC, id ASC) — equivalent to the

@@ -95,6 +95,67 @@ object Corpus {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** T5-style span-corruption preprocessing (Raffel et al. 2020; the
+    * UL2 "R-denoiser" shape) — turn each document into the
+    * `(input, target)` pair a denoising pretraining run consumes:
+    * mask short token spans, replace each with an ordered sentinel
+    * `<extra_id_k>` in the input, and emit the masked spans behind
+    * their sentinels (plus the closing sentinel) as the target.
+    *
+    * RNG-free determinism: token positions are cut into fixed
+    * `blockSize` blocks; block `b` of a document masks the two
+    * positions starting at offset `md5(doc_id|b) % (blockSize - 2)` —
+    * ~2/blockSize corruption rate with mean span 2, every full block
+    * carries exactly one span so sentinel numbering is contiguous by
+    * construction (T5's requirement), and the final partial block
+    * degrades to a 1-token span or none. The whole pair is built with
+    * indexed `transform`/`filter`/`slice` HOFs in ONE narrow
+    * zero-shuffle pass — at 100 TB this runs at scan speed, the same
+    * shape as the tokenizer-encode kernels. Zero-token docs are
+    * omitted (no pair exists). */
+  def spanCorrupt(docs: DataFrame, blockSize: Int = 10,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(blockSize >= 4, s"blockSize must be >= 4, got $blockSize")
+    val startRange = blockSize - 2
+    val toks = col("__toks")
+    val n = size(toks).cast("long")
+    val nBlocks = ceil(n.cast("double") / blockSize).cast("long")
+    // md5-nibble span start for block b — the suite's RNG-free idiom
+    def sB(b: Column): Column = pmod(
+      instr(lit("0123456789abcdef"),
+        substring(md5(concat(col(idCol).cast("string"), lit("|"),
+          b.cast("string"))), 1, 1)) - 1,
+      lit(startRange)).cast("long")
+    def sentinel(b: Column) =
+      concat(lit("<extra_id_"), b.cast("string"), lit(">"))
+    val input = array_join(filter(
+      transform(toks, (t, i) => {
+        val b = floor(i.cast("double") / blockSize).cast("long")
+        val off = pmod(i.cast("long"), lit(blockSize.toLong))
+        when(off === sB(b), sentinel(b))
+          .when(off === sB(b) + 1L, lit(null).cast("string"))
+          .otherwise(t)
+      }), x => x.isNotNull), " ")
+    val blockSeq = sequence(lit(0L), nBlocks - 1L)
+    def p0(b: Column) = b * blockSize + sB(b)
+    val nSpans = size(filter(blockSeq, b => p0(b) < n)).cast("long")
+    val nMasked = aggregate(blockSeq, lit(0L), (acc, b) =>
+      acc + when(p0(b) < n, least(lit(2L), n - p0(b))).otherwise(0L))
+    val spanPieces = filter(
+      transform(blockSeq, b =>
+        when(p0(b) < n, concat(sentinel(b), lit(" "),
+          array_join(slice(toks, (p0(b) + 1L).cast("int"),
+            least(lit(2L), n - p0(b)).cast("int")), " ")))
+          .otherwise(lit(null).cast("string"))),
+      x => x.isNotNull)
+    val target = array_join(
+      concat(spanPieces, array(sentinel(nSpans))), " ")
+    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(size(toks) > 0)
+      .select(col(idCol), n.as("n_tokens"), nSpans.as("n_spans"),
+        nMasked.as("n_masked"), input.as("input"), target.as("target"))
+  }
+
   /** Per-source vocabulary-growth census — the corpus-health report
     * behind Heaps'-law checks: token count, type (distinct-word)
     * count, hapax count (words occurring exactly once IN THAT

@@ -163,6 +163,44 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("spanCorrupt: sentinel substitution reconstructs every document; " +
+       "counts and contiguous numbering hold") {
+    val d = load("documents").limit(100)
+    val orig = d.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toVector)
+      .toMap
+    val out = Corpus.spanCorrupt(d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, nTok, nSpans, nMasked) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (input, target) = (r.getString(4), r.getString(5))
+      val toks = orig(id)
+      assert(nTok == toks.size)
+      // parse target: <extra_id_k> span... pairs, closing sentinel last
+      val sentRe = "<extra_id_(\\d+)>".r
+      val parts = target.split(" ").toVector
+      val spanOf = scala.collection.mutable.Map[Long, Vector[String]]()
+      var cur = -1L
+      parts.foreach {
+        case sentRe(k) => cur = k.toLong; spanOf(cur) = Vector()
+        case t => spanOf(cur) = spanOf(cur) :+ t
+      }
+      assert(spanOf.keySet == (0L to nSpans).toSet, s"doc $id numbering")
+      assert(spanOf(nSpans).isEmpty, "closing sentinel carries no tokens")
+      assert(spanOf.values.map(_.size).sum == nMasked)
+      // substitute spans back into the input -> original token stream
+      val rebuilt = input.split(" ").toVector.flatMap {
+        case sentRe(k) => spanOf(k.toLong)
+        case t => Vector(t)
+      }
+      assert(rebuilt == toks, s"doc $id roundtrip")
+      // corruption rate ~2/blockSize: spans only absent past the last
+      // full block
+      assert(nSpans >= (nTok / 10) && nSpans <= nTok / 10 + 1)
+    }
+  }
+
   test("perplexityBuckets: labels partition the scored docs at the exact " +
        "1/3 and 2/3 cuts; bucket score ranges never overlap") {
     val d = load("documents")
