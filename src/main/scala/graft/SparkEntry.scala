@@ -1625,6 +1625,49 @@ object SparkEntry {
             pmod(col("doc_id"), lit(100L)).as("ts"), text2.as("text")))
         .orderBy("url")
     }),
+    // GIF/WebP/TIFF header parsing over a mixed synthesized lake: one
+    // format per doc_id%7 (GIF 89a/87a, WebP VP8X/VP8/VP8L, TIFF
+    // II/MM) — every parser variant exercised; the oracle predicts
+    // dimensions from the builder formulas
+    "q195_gif_webp_tiff" -> ((s, dir) => {
+      val wv = (col("n_chars") % 640 + 1).cast("long")
+      val hv = (col("n_chars") % 480 + 1).cast("long")
+      def leHex(c: Column, nBytes: Int) = concat((0 until nBytes).map(i =>
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(255L)), 2, "0")): _*)
+      def beHex(c: Column, nBytes: Int) = concat((0 until nBytes).map(i =>
+        lpad(hex(shiftright(c, 8 * (nBytes - 1 - i)).bitwiseAND(255L)), 2, "0")): _*)
+      val m = pmod(col("doc_id"), lit(7L))
+      val hexStr =
+        when(m === 0, concat(lit("474946383961"), leHex(wv, 2), leHex(hv, 2), lit("F70000")))
+        .when(m === 1, concat(lit("474946383761"), leHex(wv, 2), leHex(hv, 2), lit("000000")))
+        .when(m === 2, concat(lit("524946462400000057454250"), lit("565038580A000000"),
+          lit("00000000"), leHex(wv - 1, 3), leHex(hv - 1, 3)))
+        .when(m === 3, concat(lit("524946462400000057454250"), lit("565038200A000000"),
+          lit("000000"), lit("9D012A"), leHex(wv, 2), leHex(hv, 2)))
+        .when(m === 4, concat(lit("524946462400000057454250"), lit("5650384C05000000"),
+          lit("2F"), leHex((wv - 1) + ((hv - 1) * 16384L), 4)))
+        .when(m === 5, concat(lit("49492A00"), leHex(lit(8L), 4),
+          leHex(lit(2L), 2),
+          leHex(lit(256L), 2), leHex(lit(3L), 2), leHex(lit(1L), 4), leHex(wv, 2), lit("0000"),
+          leHex(lit(257L), 2), leHex(lit(4L), 2), leHex(lit(1L), 4), leHex(hv, 4),
+          lit("00000000")))
+        .otherwise(concat(lit("4D4D002A"), beHex(lit(8L), 4),
+          beHex(lit(2L), 2),
+          beHex(lit(256L), 2), beHex(lit(3L), 2), beHex(lit(1L), 4), beHex(wv, 2), lit("0000"),
+          beHex(lit(257L), 2), beHex(lit(4L), 2), beHex(lit(1L), 4), beHex(hv, 4),
+          lit("00000000")))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), unhex(hexStr).as("payload"))
+      val mm = Multimodal.containerMeta(media)
+      mm.select(col("media_id"),
+          when(mm("gif").isNotNull, concat(lit("gif"), mm("gif.version")))
+            .when(mm("webp").isNotNull, mm("webp.variant"))
+            .when(mm("tiff").isNotNull,
+              concat(lit("tiff_"), lower(mm("tiff.byte_order")))).as("format"),
+          coalesce(mm("gif.width"), mm("webp.width"), mm("tiff.width")).as("width"),
+          coalesce(mm("gif.height"), mm("webp.height"), mm("tiff.height")).as("height"))
+        .orderBy("media_id")
+    }),
     // format-aware payload fingerprint: a FULL synthesized PNG whose
     // tEXt chunk varies by source but whose IDAT stream is the text
     // bytes — the fingerprint must hash ONLY the IDAT content, so the
@@ -3010,6 +3053,17 @@ object SparkEntry {
     "q91_gopher_rules" -> gopherRulesOracle,
     "q189_domain_reputation" -> domainReputationOracle,
     "q192_c4_clean" -> c4CleanOracle,
+
+    // q195: the builder formulas the three parsers must invert
+    "q195_gif_webp_tiff" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 7 AS INT)
+        |    WHEN 0 THEN 'gif89a' WHEN 1 THEN 'gif87a'
+        |    WHEN 2 THEN 'vp8x' WHEN 3 THEN 'vp8' WHEN 4 THEN 'vp8l'
+        |    WHEN 5 THEN 'tiff_ii' ELSE 'tiff_mm' END AS format,
+        |  CAST(n_chars % 640 + 1 AS INT) AS width,
+        |  CAST(n_chars % 480 + 1 AS INT) AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     // q194: the span schedule replayed in DuckDB — same md5-nibble
     // start offsets, same block arithmetic, same sentinel strings;

@@ -205,15 +205,103 @@ object Multimodal {
         state.getField("nc").cast("int").as("n_components")))
   }
 
+  /** Parse GIF header metadata: `GIF87a`/`GIF89a` signature, then
+    * the logical-screen width/height (little-endian u16 at fixed
+    * offsets 7/9 — GIF89a spec §18). Non-GIF payloads yield nulls. */
+  def gifMeta(payload: Column): Column = {
+    val sig = hex(substring(payload, 1, 6))
+    val isGif = sig === lit("474946383761") || sig === lit("474946383961")
+    when(isGif, struct(
+      leUint(payload, 7, 2).cast("int").as("width"),
+      leUint(payload, 9, 2).cast("int").as("height"),
+      when(sig === lit("474946383761"), "87a").otherwise("89a").as("version")))
+  }
+
+  /** Parse WebP dimensions from the first chunk after `RIFF....WEBP`:
+    * the extended `VP8X` header (24-bit LE canvas minus-one), the
+    * lossy `VP8 ` frame header (9D 01 2A start code, 14-bit LE
+    * dims), or the lossless `VP8L` stream (0x2F signature, width-1
+    * in bits 0-13 and height-1 in bits 14-27 of the LE u32) — the
+    * three on-disk variants of the format. Anything else (or a
+    * malformed variant body) yields a null struct. */
+  def webpMeta(payload: Column): Column = {
+    val isWebp = hex(substring(payload, 1, 4)) === lit("52494646") &&
+      hex(substring(payload, 9, 4)) === lit("57454250")
+    val cc = hex(substring(payload, 13, 4))
+    val vp8x = struct(
+      (leUint(payload, 25, 3) + 1L).cast("int").as("width"),
+      (leUint(payload, 28, 3) + 1L).cast("int").as("height"),
+      lit("vp8x").as("variant"))
+    val vp8 = struct(
+      leUint(payload, 27, 2).bitwiseAND(0x3FFFL).cast("int").as("width"),
+      leUint(payload, 29, 2).bitwiseAND(0x3FFFL).cast("int").as("height"),
+      lit("vp8").as("variant"))
+    val v = leUint(payload, 22, 4)
+    val vp8l = struct(
+      (v.bitwiseAND(0x3FFFL) + 1L).cast("int").as("width"),
+      (shiftright(v, 14).bitwiseAND(0x3FFFL) + 1L).cast("int").as("height"),
+      lit("vp8l").as("variant"))
+    when(isWebp,
+      when(cc === lit("56503858"), vp8x)
+        .when(cc === lit("56503820") &&
+          hex(substring(payload, 24, 3)) === lit("9D012A"), vp8)
+        .when(cc === lit("5650384C") &&
+          hex(substring(payload, 21, 1)) === lit("2F"), vp8l))
+  }
+
+  /** Parse TIFF dimensions by walking the first IFD: `II*\0` / `MM\0*`
+    * byte-order mark, IFD offset from the header, then the entry table
+    * scanned for ImageWidth (256) and ImageLength (257) with
+    * endian-correct SHORT/LONG value reads (TIFF 6.0 §2). The entry
+    * scan is a bounded `transform` over at most `maxEntries`
+    * independent 12-byte records — no sequential fold needed, entries
+    * are position-addressed. Truncated tables and non-TIFF payloads
+    * yield a null struct. */
+  def tiffMeta(payload: Column, maxEntries: Int = 16): Column = {
+    val h4 = hex(substring(payload, 1, 4))
+    val isLe = h4 === lit("49492A00")
+    val isBe = h4 === lit("4D4D002A")
+    def u16at(pos: Column): Column =
+      when(isLe, byteAt(payload, pos) + byteAt(payload, pos + 1) * 256L)
+        .otherwise(byteAt(payload, pos) * 256L + byteAt(payload, pos + 1))
+    def u32at(pos: Column): Column =
+      when(isLe,
+        byteAt(payload, pos) + byteAt(payload, pos + 1) * 256L +
+          byteAt(payload, pos + 2) * 65536L + byteAt(payload, pos + 3) * 16777216L)
+        .otherwise(beUintAt(payload, pos, 4))
+    val ifd = u32at(lit(5L)) + 1L // 1-based position of the entry count
+    val n = u16at(ifd)
+    val entries = transform(
+      sequence(lit(0L), least(n, lit(maxEntries.toLong)) - 1L),
+      e => {
+        val base = ifd + 2L + e * 12L
+        struct(u16at(base).as("tag"),
+          when(u16at(base + 2L) === 3L, u16at(base + 8L))
+            .otherwise(u32at(base + 8L)).as("v"))
+      })
+    def tagVal(t: Long): Column =
+      get(filter(entries, x => x.getField("tag") === t), lit(0)).getField("v")
+    when((isLe || isBe) && n >= 1L, struct(
+      tagVal(256L).cast("int").as("width"),
+      tagVal(257L).cast("int").as("height"),
+      when(isLe, "II").otherwise("MM").as("byte_order")))
+  }
+
   /** Scan a media frame, attaching parsed container metadata columns —
     * the real half of "decode": header fields come from the bytes
-    * themselves, only pixel/sample decoding remains stubbed. */
+    * themselves, only pixel/sample decoding remains stubbed. Covers
+    * the containers web crawls actually carry: PNG, WAV, JPEG, GIF,
+    * WebP, TIFF — one narrow projection over a mixed media lake,
+    * filter by `<fmt>.width IS NOT NULL`. */
   def containerMeta(media: DataFrame): DataFrame =
     media.select(col("media_id"),
       length(col("payload")).cast("long").as("n_bytes"),
       pngMeta(col("payload")).as("png"),
       wavMeta(col("payload")).as("wav"),
-      jpegMeta(col("payload")).as("jpeg"))
+      jpegMeta(col("payload")).as("jpeg"),
+      gifMeta(col("payload")).as("gif"),
+      webpMeta(col("payload")).as("webp"),
+      tiffMeta(col("payload")).as("tiff"))
 
   /** PNG pixel-stream bytes: the CONCATENATED data of every IDAT
     * chunk, walked chunk-by-chunk (`pos → pos + 12 + len`: length,

@@ -1850,6 +1850,43 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L).isEmpty && got(3L).isEmpty && got(4L).isEmpty)
   }
 
+  test("gif/webp/tiff meta: all variants parse; truncated, bad start " +
+    "codes, and empty IFDs yield null structs") {
+    import spark.implicits._
+    def hexBytes(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val rows = Seq(
+      (1L, "474946383961" + "8002" + "E001" + "F70000"),          // GIF89a 640x480
+      (2L, "524946462400000057454250" + "565038580A000000" +
+           "00000000" + "7F0200" + "DF0100"),                      // VP8X 640x480
+      (3L, "524946462400000057454250" + "565038200A000000" +
+           "000000" + "9D012A" + "8002" + "E001"),                  // VP8 640x480
+      (4L, "524946462400000057454250" + "5650384C05000000" +
+           "2F" + "7FC27700"), // VP8L: (639) | (479<<14) = 0x77C27F -> LE 7F C2 77 00
+      (5L, "49492A00" + "08000000" + "0200" +
+           "0001" + "0300" + "01000000" + "80020000" +
+           "0101" + "0400" + "01000000" + "E0010000" + "00000000"), // TIFF II
+      (6L, "524946462400000057454250" + "565038200A000000" +
+           "000000" + "9D012B" + "8002" + "E001"),                  // bad start code
+      (7L, "49492A00" + "08000000" + "0000" + "00000000"),          // empty IFD
+      (8L, "4749463839")                                            // truncated GIF sig
+    ).map { case (id, h) => (id, hexBytes(h)) }.toDF("media_id", "payload")
+    val got = Multimodal.containerMeta(rows)
+      .selectExpr("media_id",
+        "coalesce(gif.width, webp.width, tiff.width) AS w",
+        "coalesce(gif.height, webp.height, tiff.height) AS h",
+        "coalesce(gif.version, webp.variant, tiff.byte_order) AS v")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2), r.getString(3)))))
+      .toMap
+    assert(got(1L).contains((640, 480, "89a")))
+    assert(got(2L).contains((640, 480, "vp8x")))
+    assert(got(3L).contains((640, 480, "vp8")))
+    assert(got(4L).contains((640, 480, "vp8l")))
+    assert(got(5L).contains((640, 480, "II")))
+    assert(got(6L).isEmpty && got(7L).isEmpty && got(8L).isEmpty)
+  }
+
   test("media schema carries binary payload + typed metadata") {
     val media = Multimodal.fromDocuments(load("documents"))
     assert(media.schema("payload").dataType.typeName == "binary")
