@@ -1625,6 +1625,25 @@ object SparkEntry {
             pmod(col("doc_id"), lit(100L)).as("ts"), text2.as("text")))
         .orderBy("url")
     }),
+    // outlink extraction: per-doc HTML plants one absolute, one
+    // root-relative, one protocol-relative link (all kept+resolved)
+    // plus fragment/relative/mailto links (all dropped)
+    "q196_extract_links" -> ((s, dir) => {
+      val url = concat(lit("https://site"),
+        pmod(col("doc_id"), lit(7L)).cast("string"), lit(".example.com/dir/page"))
+      val html = concat(
+        lit("<p>"), substring(col("text"), 1, 40), lit("</p>"),
+        lit("<a href=\"https://ext"), pmod(col("doc_id"), lit(5L)).cast("string"),
+        lit(".com/page?x=1\">a</a>"),
+        lit("<A HREF=\"/local/"), col("doc_id").cast("string"), lit("\">b</A>"),
+        lit("<a href=\"//cdn.shared.net/asset.js\">c</a>"),
+        lit("<a href=\"#frag\">d</a><a href=\"relative.html\">e</a>" +
+          "<a href=\"mailto:x@y.z\">f</a>"))
+      TextAnalysis.extractLinks(
+          t(s, dir, "documents").select(col("doc_id"), url.as("url"),
+            html.as("html")))
+        .orderBy("doc_id", "dst_url")
+    }),
     // GIF/WebP/TIFF header parsing over a mixed synthesized lake: one
     // format per doc_id%7 (GIF 89a/87a, WebP VP8X/VP8/VP8L, TIFF
     // II/MM) — every parser variant exercised; the oracle predicts
@@ -3053,6 +3072,41 @@ object SparkEntry {
     "q91_gopher_rules" -> gopherRulesOracle,
     "q189_domain_reputation" -> domainReputationOracle,
     "q192_c4_clean" -> c4CleanOracle,
+
+    // q196: same href regex, same resolution CASE (absolute /
+    // protocol-relative / root-relative, in that order), same drops
+    "q196_extract_links" ->
+      """WITH d AS (SELECT doc_id,
+        |    'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example.com/dir/page' AS url,
+        |    '<p>' || substr(text, 1, 40) || '</p>' ||
+        |    '<a href="https://ext' || CAST(doc_id % 5 AS VARCHAR) ||
+        |      '.com/page?x=1">a</a>' ||
+        |    '<A HREF="/local/' || CAST(doc_id AS VARCHAR) || '">b</A>' ||
+        |    '<a href="//cdn.shared.net/asset.js">c</a>' ||
+        |    '<a href="#frag">d</a><a href="relative.html">e</a>' ||
+        |    '<a href="mailto:x@y.z">f</a>' AS html
+        |  FROM documents),
+        |e AS (SELECT doc_id, url,
+        |    unnest(regexp_extract_all(html, '[hH][rR][eE][fF]="([^"]*)"', 1)) AS l
+        |  FROM d),
+        |r AS (SELECT doc_id,
+        |    lower(regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS src_domain,
+        |    CASE WHEN regexp_matches(l, '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN l
+        |         WHEN l LIKE '//%' THEN regexp_extract(url,
+        |           '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1) || ':' || l
+        |         WHEN l LIKE '/%' THEN regexp_extract(url,
+        |             '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1) || '://' ||
+        |           regexp_extract(url,
+        |             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) || l
+        |         ELSE NULL END AS dst_url
+        |  FROM e)
+        |SELECT doc_id, src_domain, dst_url,
+        |  lower(regexp_extract(dst_url,
+        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)) AS dst_domain
+        |FROM r WHERE dst_url IS NOT NULL
+        |ORDER BY doc_id, dst_url""".stripMargin,
 
     // q195: the builder formulas the three parsers must invert
     "q195_gif_webp_tiff" ->

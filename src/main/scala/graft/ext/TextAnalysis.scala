@@ -799,6 +799,45 @@ object TextAnalysis {
     trim(regexp_replace(decoded, " +", " "))
   }
 
+  /** Outlink extraction — the web-graph edge builder that connects
+    * the HTML pipeline ([[htmlToText]]) to the graph operators
+    * ([[graft.ext.Dedup.pagerankCentrality]] consumes the edges after
+    * a (src,dst) roll-up): pull every double-quoted `href` from the
+    * page (case-insensitive attribute name), resolve it against the
+    * page's own URL — absolute links pass through, `//cdn…`
+    * protocol-relative links take the base scheme, `/path` root-
+    * relative links take scheme+host — and emit one edge per mention
+    * (multiplicities kept: they're the edge weights). Fragment-only,
+    * `javascript:`/`mailto:` and path-relative links are dropped —
+    * the deterministic core of link resolution, documented rather
+    * than half-implemented. Output is UNnormalized resolved URLs:
+    * pipe `dst_url` through [[urlNormalize]] / [[urlDedup]] to get
+    * canonical graph keys, exactly like any other crawled URL.
+    *
+    * Scale: one narrow regexp pass + explode — no shuffle; the edge
+    * stream is link-count-bounded, and the downstream (src,dst)
+    * roll-up is the only exchange. */
+  def extractLinks(docs: DataFrame, idCol: String = "doc_id",
+                   urlCol: String = "url", htmlCol: String = "html"): DataFrame = {
+    val scheme = regexp_extract(col(urlCol), "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    val host = regexp_extract(col(urlCol), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    val links = regexp_extract_all(col(htmlCol),
+      lit("[hH][rR][eE][fF]=\"([^\"]*)\""), lit(1))
+    val hasBase = col("__scheme") =!= "" && col("__host") =!= ""
+    val resolved = when(col("__l").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), col("__l"))
+      .when(hasBase && col("__l").startsWith("//"),
+        concat(col("__scheme"), lit(":"), col("__l")))
+      .when(hasBase && col("__l").startsWith("/"),
+        concat(col("__scheme"), lit("://"), col("__host"), col("__l")))
+      .otherwise(lit(null).cast("string"))
+    docs.select(col(idCol), scheme.as("__scheme"), host.as("__host"),
+        explode(links).as("__l"))
+      .select(col(idCol), lower(col("__host")).as("src_domain"),
+        resolved.as("dst_url"))
+      .filter(col("dst_url").isNotNull)
+      .withColumn("dst_domain", urlDomain(col("dst_url")))
+  }
+
   /** URL normalization for per-site analysis and dedup keys: scheme
     * and host lowercased, default ports and fragments dropped,
     * `utm_*` tracking parameters removed (empty `?` dropped with

@@ -161,6 +161,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(None) == ((1L, 0L, "keep")), "non-URLs roll up under null domain")
   }
 
+  test("extractLinks: resolves absolute/protocol-relative/root-relative, " +
+    "drops fragment/mailto/path-relative; non-URL base keeps only absolutes") {
+    val rows = Seq(
+      (1L, "https://a.com/dir/p",
+        """<a href="https://b.com/x">1</a><A HREF="/root">2</A>""" +
+        """<a href="//cdn.c.net/y">3</a><a href="#s">4</a>""" +
+        """<a href="rel.html">5</a><a href="mailto:u@v.w">6</a>"""),
+      (2L, "not a url", """<a href="https://d.org/z">7</a><a href="/kept?">8</a>""")
+    ).toDF("doc_id", "url", "html")
+    val out = TextAnalysis.extractLinks(rows).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val d1 = out.filter(_._1 == 1L).map(x => x._3).sorted
+    assert(d1 === Seq("https://a.com/root", "https://b.com/x", "https://cdn.c.net/y"))
+    assert(out.filter(_._1 == 1L).forall(_._2 == "a.com"))
+    assert(out.filter(_._1 == 1L).find(_._3 == "https://cdn.c.net/y").get._4 == "cdn.c.net")
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.map(_._3).toSeq == Seq("https://d.org/z"),
+      "root-relative unresolvable without a base")
+    assert(d2.forall(_._2 == ""), "no base host -> empty src_domain")
+  }
+
   test("urlDedup: canonical-URL collapse keeps newest ts, then longest " +
     "text, then smallest id; churn counts reported") {
     val rows = Seq(
