@@ -1625,6 +1625,35 @@ object SparkEntry {
             pmod(col("doc_id"), lit(100L)).as("ts"), text2.as("text")))
         .orderBy("url")
     }),
+    // robots gate: 7 domains with distinct robots shapes (full
+    // multi-section file / allow-all '*' / no '*' section) x 4 path
+    // classes; '/tmp' prefix must catch '/tmp-file' (prefix, not
+    // directory, semantics) and the gptbot/otherbot sections must not
+    // leak into the wildcard rules
+    "q197_robots_gate" -> ((s, dir) => {
+      def robotsFor(d: Column) =
+        when(d === "3", concat_ws("\n",
+          lit("User-agent: *"), lit("Disallow:")))
+        .when(d === "5", concat_ws("\n",
+          lit("User-agent: gptbot"), lit("Disallow: /")))
+        .otherwise(concat_ws("\n",
+          lit("User-agent: gptbot"), lit("Disallow: /"),
+          lit("User-agent: *"), lit("Disallow: /private/"),
+          lit("Disallow: /tmp"),
+          lit("User-agent: otherbot"), lit("Disallow: /public/")))
+      val robots = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(7L)).cast("string").as("__d")).distinct()
+        .select(concat(lit("site"), col("__d"), lit(".example.com")).as("domain"),
+          robotsFor(col("__d")).as("robots"))
+      val m4 = pmod(col("doc_id"), lit(4L))
+      val url = concat(lit("https://site"),
+        pmod(col("doc_id"), lit(7L)).cast("string"), lit(".example.com"),
+        when(m4 === 0, "/private/x").when(m4 === 1, "/public/y")
+          .when(m4 === 2, "/tmp-file").otherwise("/ok/z"))
+      TextAnalysis.robotsGate(
+          t(s, dir, "documents").select(col("doc_id"), url.as("url")), robots)
+        .orderBy("doc_id")
+    }),
     // outlink extraction: per-doc HTML plants one absolute, one
     // root-relative, one protocol-relative link (all kept+resolved)
     // plus fragment/relative/mailto links (all dropped)
@@ -3072,6 +3101,49 @@ object SparkEntry {
     "q91_gopher_rules" -> gopherRulesOracle,
     "q189_domain_reputation" -> domainReputationOracle,
     "q192_c4_clean" -> c4CleanOracle,
+
+    // q197: the same section-binding parse (last_value IGNORE NULLS
+    // over line position), same wildcard-only prefix semantics
+    "q197_robots_gate" ->
+      """WITH r AS (SELECT DISTINCT CAST(doc_id % 7 AS VARCHAR) AS d FROM documents),
+        |rob AS (SELECT 'site' || d || '.example.com' AS domain,
+        |  CASE WHEN d = '3' THEN 'User-agent: *' || chr(10) || 'Disallow:'
+        |       WHEN d = '5' THEN 'User-agent: gptbot' || chr(10) || 'Disallow: /'
+        |       ELSE 'User-agent: gptbot' || chr(10) || 'Disallow: /' || chr(10) ||
+        |            'User-agent: *' || chr(10) || 'Disallow: /private/' || chr(10) ||
+        |            'Disallow: /tmp' || chr(10) ||
+        |            'User-agent: otherbot' || chr(10) || 'Disallow: /public/'
+        |  END AS robots FROM r),
+        |lines AS (SELECT domain, i AS pos, trim(parts[i]) AS lt FROM
+        |  (SELECT domain, parts, unnest(generate_series(1, len(parts))) AS i
+        |   FROM (SELECT domain, string_split(robots, chr(10)) AS parts FROM rob))),
+        |p AS (SELECT domain, pos,
+        |   CASE WHEN lower(lt) LIKE 'user-agent:%' THEN trim(substr(lt, 12)) END AS ua,
+        |   CASE WHEN lower(lt) LIKE 'disallow:%' THEN trim(substr(lt, 10)) END AS dis
+        |   FROM lines),
+        |g AS (SELECT domain, pos, dis,
+        |   last_value(ua IGNORE NULLS) OVER (PARTITION BY domain ORDER BY pos
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gov
+        |   FROM p),
+        |rules AS (SELECT domain, dis AS prefix FROM g
+        |   WHERE gov = '*' AND dis IS NOT NULL AND dis <> ''),
+        |u AS (SELECT doc_id,
+        |   'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ||
+        |   CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '/private/x'
+        |        WHEN 1 THEN '/public/y' WHEN 2 THEN '/tmp-file'
+        |        ELSE '/ok/z' END AS url
+        |   FROM documents),
+        |uu AS (SELECT doc_id, url,
+        |   lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)) AS domain,
+        |   regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1) AS path
+        |   FROM u)
+        |SELECT uu.doc_id, uu.url, uu.domain,
+        |   coalesce(max(CASE WHEN rules.prefix IS NOT NULL
+        |     AND starts_with(uu.path, rules.prefix) THEN 1 ELSE 0 END), 0) = 0
+        |     AS allowed
+        |FROM uu LEFT JOIN rules USING (domain)
+        |GROUP BY uu.doc_id, uu.url, uu.domain
+        |ORDER BY doc_id""".stripMargin,
 
     // q196: same href regex, same resolution CASE (absolute /
     // protocol-relative / root-relative, in that order), same drops

@@ -904,6 +904,54 @@ object TextAnalysis {
         col("__rep.ts").as(tsCol), col("__rep.text").as(textCol),
         col("n_snapshots"), col("n_distinct_texts"))
 
+  /** robots.txt compliance gate — the crawl-side legitimacy filter: a
+    * URL is `allowed` unless its domain's robots.txt carries a
+    * `Disallow:` prefix for the wildcard `User-agent: *` section that
+    * prefixes the URL's path. The parse is the deterministic core of
+    * RFC 9309: case-insensitive directive names, a Disallow binds to
+    * the most recent User-agent line above it (window `last` with
+    * ignoreNulls over line position — per-robots-file partitions, so
+    * the window state is bounded by file length), empty Disallow =
+    * allow-all, non-`*` sections ignored (single-agent contract),
+    * `Allow:` overrides out of scope. URLs with no robots row, a null
+    * domain, or an unmatched path pass.
+    *
+    * Scale: the rules table is domain-count-bounded → BROADCAST into
+    * the URL stream; the prefix check fans each URL out only by its
+    * own domain's rule count, then folds back with one aggregation —
+    * the corpus is never reshuffled. */
+  def robotsGate(urls: DataFrame, robots: DataFrame,
+                 idCol: String = "doc_id", urlCol: String = "url",
+                 domainCol: String = "domain",
+                 robotsCol: String = "robots"): DataFrame = {
+    val lt = trim(col("line"))
+    val ll = lower(lt)
+    val big = 1 << 20
+    val w = Window.partitionBy("domain").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rules = robots
+      .select(col(domainCol).as("domain"),
+        posexplode(split(col(robotsCol), "\n")).as(Seq("pos", "line")))
+      .select(col("domain"), col("pos"),
+        when(ll.startsWith("user-agent:"),
+          trim(substring(lt, 12, big))).as("__ua"),
+        when(ll.startsWith("disallow:"),
+          trim(substring(lt, 10, big))).as("__dis"))
+      .withColumn("__gov", last(col("__ua"), ignoreNulls = true).over(w))
+      .filter(col("__gov") === "*" && col("__dis").isNotNull && col("__dis") =!= "")
+      .select(col("domain"), col("__dis").as("prefix"))
+    urls
+      .select(col(idCol), col(urlCol), urlDomain(col(urlCol)).as("domain"),
+        regexp_extract(col(urlCol),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1).as("__path"))
+      .join(broadcast(rules), Seq("domain"), "left")
+      .groupBy(col(idCol), col(urlCol), col("domain"))
+      .agg(max(when(col("prefix").isNotNull &&
+          col("__path").startsWith(col("prefix")), 1L).otherwise(0L)).as("__hit"))
+      .select(col(idCol), col(urlCol), col("domain"),
+        (col("__hit") === 0L).as("allowed"))
+  }
+
   /** PII patterns — the redaction pass every shipped training corpus
     * runs. Deliberately restricted to the regex subset with identical
     * semantics in Java's engine and RE2 (DuckDB): character classes,

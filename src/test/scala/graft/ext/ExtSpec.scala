@@ -161,6 +161,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(None) == ((1L, 0L, "keep")), "non-URLs roll up under null domain")
   }
 
+  test("robotsGate: disallow binds to the nearest user-agent above; " +
+    "empty disallow, missing robots, and other sections never block") {
+    val robots = Seq(
+      ("a.com", "User-Agent: gptbot\nDisallow: /\n" +
+                "user-agent: *\nDISALLOW: /secret\nDisallow: /x/\n" +
+                "User-agent: bob\nDisallow: /open"),
+      ("b.org", "User-agent: *\nDisallow:")       // explicit allow-all
+    ).toDF("domain", "robots")
+    val urls = Seq(
+      (1L, "https://a.com/secret-page"),   // '/secret' prefix hits
+      (2L, "https://a.com/x/deep/page"),
+      (3L, "https://a.com/open/fine"),     // bob's rule must not leak
+      (4L, "https://b.org/anything"),
+      (5L, "https://nobots.net/ok"),       // no robots row
+      (6L, "not a url at all")
+    ).toDF("doc_id", "url")
+    val out = TextAnalysis.robotsGate(urls, robots).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> false, 2L -> false, 3L -> true,
+      4L -> true, 5L -> true, 6L -> true))
+  }
+
   test("extractLinks: resolves absolute/protocol-relative/root-relative, " +
     "drops fragment/mailto/path-relative; non-URL base keeps only absolutes") {
     val rows = Seq(
