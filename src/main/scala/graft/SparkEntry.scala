@@ -1625,6 +1625,24 @@ object SparkEntry {
             pmod(col("doc_id"), lit(100L)).as("ts"), text2.as("text")))
         .orderBy("url")
     }),
+    // Gopher repetition signals over planted pages: every doc carries
+    // a duplicated line inside paragraph A; doc_id%3==0 duplicates a
+    // whole paragraph (B==C), so line-, char- and paragraph-grain
+    // fractions all move; top-n fracs ride the natural text
+    "q198_repetition_signals" -> ((s, dir) => {
+      val dup3 = pmod(col("doc_id"), lit(3L)) === 0
+      val paraA = concat_ws("\n", substring(col("text"), 1, 60),
+        lit("Repeated boilerplate line."), lit("Repeated boilerplate line."))
+      val paraB = when(dup3, lit("Syndicated paragraph body."))
+        .otherwise(concat(lit("Unique middle paragraph "),
+          col("doc_id").cast("string"), lit(".")))
+      val paraC = when(dup3, lit("Syndicated paragraph body."))
+        .otherwise(substring(col("text"), 61, 60))
+      val page = concat_ws("\n\n", paraA, paraB, paraC)
+      TextAnalysis.repetitionSignals(
+          t(s, dir, "documents").select(col("doc_id"), page.as("text")))
+        .orderBy("doc_id")
+    }),
     // robots gate: 7 domains with distinct robots shapes (full
     // multi-section file / allow-all '*' / no '*' section) x 4 path
     // classes; '/tmp' prefix must catch '/tmp-file' (prefix, not
@@ -3101,6 +3119,65 @@ object SparkEntry {
     "q91_gopher_rules" -> gopherRulesOracle,
     "q189_domain_reputation" -> domainReputationOracle,
     "q192_c4_clean" -> c4CleanOracle,
+
+    // q198: the same seven signals replayed at all three grains; top-n
+    // picks replay the (count DESC, gram ASC) tie-break as a window
+    "q198_repetition_signals" -> {
+      def topCte(n: Int) = {
+        val upper = s"len(tl) - ${n - 1}"
+        s"""g$n AS (SELECT doc_id, len,
+           |  array_to_string(list_slice(tl, i, i + ${n - 1}), ' ') AS g
+           |  FROM (SELECT doc_id, len, tl,
+           |    unnest(generate_series(1, $upper)) AS i
+           |    FROM tl WHERE len(tl) >= $n)),
+           |c$n AS (SELECT doc_id, len, g, count(*) AS c FROM g$n GROUP BY 1,2,3),
+           |t$n AS (SELECT doc_id,
+           |  CAST(c * length(g) AS DOUBLE) / len AS top${n}_frac
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY c DESC, g ASC) AS rn FROM c$n) WHERE rn = 1)""".stripMargin
+      }
+      s"""WITH d AS (SELECT doc_id,
+         |    substr(text, 1, 60) || chr(10) || 'Repeated boilerplate line.'
+         |    || chr(10) || 'Repeated boilerplate line.'
+         |    || chr(10) || chr(10) ||
+         |    CASE WHEN doc_id % 3 = 0 THEN 'Syndicated paragraph body.'
+         |         ELSE 'Unique middle paragraph ' || CAST(doc_id AS VARCHAR) || '.'
+         |    END || chr(10) || chr(10) ||
+         |    CASE WHEN doc_id % 3 = 0 THEN 'Syndicated paragraph body.'
+         |         ELSE substr(text, 61, 60) END AS text
+         |  FROM documents),
+         |lu AS (SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),
+         |         x -> x <> '')) AS u FROM d),
+         |lc AS (SELECT doc_id, u, count(*) AS c FROM lu GROUP BY 1, 2),
+         |lf AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+         |    CAST(sum(c - 1) AS DOUBLE) / sum(c) AS frac_dup_lines,
+         |    CAST(sum((c - 1) * length(u)) AS DOUBLE) / sum(c * length(u))
+         |      AS frac_chars_dup_lines
+         |  FROM lc GROUP BY 1),
+         |pu AS (SELECT doc_id, unnest(list_filter(
+         |         string_split(text, chr(10) || chr(10)), x -> x <> '')) AS u
+         |       FROM d),
+         |pc AS (SELECT doc_id, u, count(*) AS c FROM pu GROUP BY 1, 2),
+         |pf AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_paras,
+         |    CAST(sum(c - 1) AS DOUBLE) / sum(c) AS frac_dup_paras,
+         |    CAST(sum((c - 1) * length(u)) AS DOUBLE) / sum(c * length(u))
+         |      AS frac_chars_dup_paras
+         |  FROM pc GROUP BY 1),
+         |tl AS (SELECT doc_id, length(text) AS len,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS tl FROM d),
+         |${topCte(2)},
+         |${topCte(3)},
+         |${topCte(4)}
+         |SELECT lf.doc_id, lf.n_lines, lf.frac_dup_lines, lf.frac_chars_dup_lines,
+         |  pf.n_paras, pf.frac_dup_paras, pf.frac_chars_dup_paras,
+         |  coalesce(t2.top2_frac, 0.0) AS top2_frac,
+         |  coalesce(t3.top3_frac, 0.0) AS top3_frac,
+         |  coalesce(t4.top4_frac, 0.0) AS top4_frac
+         |FROM lf JOIN pf USING (doc_id)
+         |LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+         |LEFT JOIN t4 USING (doc_id)
+         |ORDER BY lf.doc_id""".stripMargin
+    },
 
     // q197: the same section-binding parse (last_value IGNORE NULLS
     // over line position), same wildcard-only prefix semantics

@@ -1544,6 +1544,58 @@ object TextAnalysis {
     docs.groupBy(floor(col(charsCol) / width).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** The full Gopher repetition-signal suite (Rae et al. 2021 §A1.1)
+    * at line/paragraph/n-gram grain — [[repetitionScore]] gives the
+    * single top-shingle frequency; this emits the seven signals the
+    * paper actually thresholds: duplicate-line and duplicate-
+    * paragraph fractions (occurrences beyond the first over total),
+    * the character-weighted versions of both, and the fraction of
+    * characters covered by the most frequent 2/3/4-gram (count ×
+    * gram length over doc length; count ties broken by
+    * lexicographically smallest gram). Lines split on newline,
+    * paragraphs on blank line, empties dropped; docs with no
+    * non-empty line are omitted; docs too short for an n-gram get
+    * 0.0 for that signal. Every ratio is one IEEE division of exact
+    * int64 counts — engine-identical, fully hashable.
+    *
+    * Scale: five map-side-combined explode→group passes, each keyed
+    * by (doc, unit) — per-doc state only, no corpus-wide key ever
+    * concentrates; the five doc-grain frames join narrowly on the id.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    def unitFracs(sep: String, pfx: String) =
+      docs.select(col(idCol),
+          explode(filter(split(col(textCol), sep), x => x =!= "")).as("u"))
+        .groupBy(col(idCol), col("u")).agg(count(lit(1)).as("c"))
+        .groupBy(col(idCol)).agg(
+          sum("c").as(s"n_$pfx"),
+          (sum(col("c") - 1).cast("double") / sum(col("c")))
+            .as(s"frac_dup_$pfx"),
+          (sum((col("c") - 1) * length(col("u"))).cast("double") /
+            sum(col("c") * length(col("u")))).as(s"frac_chars_dup_$pfx"))
+    def topN(n: Int) =
+      docs.select(col(idCol), length(col(textCol)).cast("long").as("__len"),
+          explode(graft.functions.TokenNgrams(tokens(col(textCol)), n)).as("g"))
+        .groupBy(col(idCol), col("__len"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col(idCol), col("__len")).agg(
+          min(struct((-col("c")).as("negc"), col("g").as("g"))).as("m"))
+        .select(col(idCol),
+          (((-col("m.negc")) * length(col("m.g")).cast("long")).cast("double") /
+            col("__len")).as(s"top${n}_frac"))
+    val out = unitFracs("\n", "lines")
+      .join(unitFracs("\n\n", "paras"), Seq(idCol))
+      .join(topN(2), Seq(idCol), "left")
+      .join(topN(3), Seq(idCol), "left")
+      .join(topN(4), Seq(idCol), "left")
+    out.select(col(idCol), col("n_lines"), col("frac_dup_lines"),
+      col("frac_chars_dup_lines"), col("n_paras"), col("frac_dup_paras"),
+      col("frac_chars_dup_paras"),
+      coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
+      coalesce(col("top3_frac"), lit(0.0)).as("top3_frac"),
+      coalesce(col("top4_frac"), lit(0.0)).as("top4_frac"))
+  }
+
   /** Repetition score: frequency of the most common `n`-token shingle
     * over the total shingle count — near 1.0 flags boilerplate/looping
     * text (a standard pretraining quality filter). Computed per row by

@@ -161,6 +161,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(None) == ((1L, 0L, "keep")), "non-URLs roll up under null domain")
   }
 
+  test("repetitionSignals: exact dup fractions at line and paragraph " +
+    "grain; top-n char fractions with lexicographic tie-break") {
+    val rows = Seq(
+      (1L, "a b\na b\n\nP\n\nP"),   // dup line + dup paragraph
+      (2L, "x y.")                   // single line, no repetition
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 4L && r1.getDouble(2) == 0.5)      // lines
+    assert(r1.getDouble(3) == 0.5)                             // dup line chars
+    assert(r1.getLong(4) == 3L && r1.getDouble(5) == 1.0 / 3)  // paras
+    assert(r1.getDouble(6) == 1.0 / 9)
+    // tokens are space-split: ["a","b\na","b","P\n\nP"], len(text)=13;
+    // all bigrams unique -> smallest gram "a b\na" (5 chars) wins
+    assert(r1.getDouble(7) == 5.0 / 13)
+    assert(r1.getDouble(8) == 7.0 / 13)
+    assert(r1.getDouble(9) == 12.0 / 13)
+    val r2 = out(2L)
+    assert(r2.getLong(1) == 1L && r2.getDouble(2) == 0.0 && r2.getDouble(5) == 0.0)
+    assert(r2.getDouble(7) == 1.0, "whole doc is its own top bigram")
+    assert(r2.getDouble(8) == 0.0 && r2.getDouble(9) == 0.0, "too short for 3/4-grams")
+  }
+
   test("robotsGate: disallow binds to the nearest user-agent above; " +
     "empty disallow, missing robots, and other sections never block") {
     val robots = Seq(
