@@ -1477,13 +1477,18 @@ object SparkEntry {
     // decoded amp-last, whitespace collapsed — the step before every
     // other text operator on a web crawl
     "q183_html_extract" -> ((s, dir) => {
+      // numeric char refs (decimal, hex, uppercase-X hex, &#160;),
+      // escaped entities that must NOT double-decode (&#38;lt;),
+      // out-of-BMP + surrogate refs that stay literal, and an
+      // UPPERCASE MULTI-LINE script block that must drop with content
       val html = concat(
         lit("<html><head><title>T</title><style>body{color:red}</style>" +
           "</head><body><h1 class=\"hd\">"),
         substring(col("text"), 1, 20),
         lit("</h1><p>"), substring(col("text"), 21, 40),
         lit(" &amp; more &lt;tags&gt;&nbsp;end</p>" +
-          "<script>var x = \"<p>\";</script></body></html>"))
+          "<p>it&#8217;s &#x27;q&#X6F; n&#160;b &#38;lt; &#999999; &#xD800;</p>" +
+          "<SCRIPT>\nvar x = \"<p>\";\n</SCRIPT></body></html>"))
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.htmlToText(html).as("clean"))
         .orderBy("doc_id")
@@ -1691,6 +1696,65 @@ object SparkEntry {
             html.as("html")))
         .orderBy("doc_id", "dst_url")
     }),
+    // full RFC 3986 link resolution: path-relative hrefs (the
+    // majority on real pages) merge against the base directory with
+    // dot-segment removal; ./ ../ ../../../-past-root, ?query-only
+    // and trailing-query forms all planted; javascript://, data:,
+    // mailto: and #fragment links all dropped — the oracle derives
+    // every expected edge arithmetically, independent of the regex
+    // chain
+    "q200_resolve_links" -> ((s, dir) => {
+      val url = concat(lit("https://site"),
+        pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit(".example.com/a/b/page.html"))
+      val html = concat(
+        lit("<p>"), substring(col("text"), 1, 30), lit("</p>"),
+        lit("<a href=\"https://ext"), pmod(col("doc_id"), lit(5L)).cast("string"),
+        lit(".com/page?x=1\">a</a>"),
+        lit("<a href=\"page2.html\">b</a>" +
+          "<a href=\"../up.html\">c</a>" +
+          "<a href=\"./same/x\">d</a>" +
+          "<a href=\"../../../root.html\">e</a>" +
+          "<a href=\"img/pic.png?s=1\">f</a>" +
+          "<a href=\"?page=2\">g</a>" +
+          "<a href=\"//cdn.shared.net/asset.js\">h</a>" +
+          "<a href=\"javascript://evil()\">i</a>" +
+          "<a href=\"data:text/html,x\">j</a>" +
+          "<a href=\"#frag\">k</a><a href=\"mailto:x@y.z\">l</a>"))
+      TextAnalysis.extractLinks(
+          t(s, dir, "documents").select(col("doc_id"), url.as("url"),
+            html.as("html")),
+          resolveRelative = true)
+        .orderBy("doc_id", "dst_url")
+    }),
+    // RFC 9309 longest-match resolution: Disallow:/ + Allow:/public/
+    // must invert (admit the public tree), a longer Disallow must
+    // beat a shorter Allow, and an exact-length tie must fall to
+    // Allow — three robots shapes x five path classes
+    "q201_robots_allow" -> ((s, dir) => {
+      def robotsFor(d: Column) =
+        when(d === "3", concat_ws("\n",
+          lit("User-agent: *"), lit("Allow: /"), lit("Disallow: /tmp")))
+        .when(d === "5", concat_ws("\n",
+          lit("User-agent: *"), lit("Disallow: /dir/"),
+          lit("Allow: /dir/"), lit("Disallow: /x")))
+        .otherwise(concat_ws("\n",
+          lit("User-agent: *"), lit("Disallow: /"),
+          lit("Allow: /public/"), lit("Allow: /pub")))
+      val robots = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(7L)).cast("string").as("__d")).distinct()
+        .select(concat(lit("site"), col("__d"), lit(".example.com")).as("domain"),
+          robotsFor(col("__d")).as("robots"))
+      val m5 = pmod(col("doc_id"), lit(5L))
+      val url = concat(lit("https://site"),
+        pmod(col("doc_id"), lit(7L)).cast("string"), lit(".example.com"),
+        when(m5 === 0, "/public/page").when(m5 === 1, "/private/page")
+          .when(m5 === 2, "/pub-file").when(m5 === 3, "/tmp-file")
+          .otherwise("/dir/x"))
+      TextAnalysis.robotsGate(
+          t(s, dir, "documents").select(col("doc_id"), url.as("url")), robots)
+        .orderBy("doc_id")
+    }),
     // GIF/WebP/TIFF header parsing over a mixed synthesized lake: one
     // format per doc_id%7 (GIF 89a/87a, WebP VP8X/VP8/VP8L, TIFF
     // II/MM) — every parser variant exercised; the oracle predicts
@@ -1724,7 +1788,7 @@ object SparkEntry {
           lit("00000000")))
       val media = t(s, dir, "documents")
         .select(col("doc_id").as("media_id"), unhex(hexStr).as("payload"))
-      val mm = Multimodal.containerMeta(media)
+      val mm = Multimodal.containerMeta(media, Seq("gif", "webp", "tiff"))
       mm.select(col("media_id"),
           when(mm("gif").isNotNull, concat(lit("gif"), mm("gif.version")))
             .when(mm("webp").isNotNull, mm("webp.variant"))
@@ -1732,6 +1796,58 @@ object SparkEntry {
               concat(lit("tiff_"), lower(mm("tiff.byte_order")))).as("format"),
           coalesce(mm("gif.width"), mm("webp.width"), mm("tiff.width")).as("width"),
           coalesce(mm("gif.height"), mm("webp.height"), mm("tiff.height")).as("height"))
+        .orderBy("media_id")
+    }),
+    // MP4/ISO-BMFF box-walk round-trip: real ftyp + a VARIABLE-size
+    // free box (so the walk must follow sizes, not fixed offsets) +
+    // moov{mvhd,trak{tkhd}}, alternating version-0/version-1 field
+    // layouts by doc parity — the oracle recomputes the builder
+    // formulas arithmetically
+    "q199_mp4_meta" -> ((s, dir) => {
+      val tsv = (col("n_chars") % 9000 + 1000).cast("long")
+      val dur = (col("n_chars") * 100 + pmod(col("doc_id"), lit(100L))).cast("long")
+      val wv = (col("n_chars") % 640 + 1).cast("long")
+      val hv = (col("n_chars") % 480 + 1).cast("long")
+      val k = pmod(col("doc_id"), lit(5L))
+      val v1 = pmod(col("doc_id"), lit(2L)) === 1
+      def be(c: Column, n: Int) = lpad(hex(c), 2 * n, "0")
+      val matrix = // unity transform, ISO 14496-12 §8.3.2 default
+        "000100000000000000000000000000000001000000000000000000000000000040000000"
+      val zeros80 = "0" * 160
+      val mvhd = when(!v1,
+          concat(lit("0000006C" + "6D766864" + "00000000" +
+            "00000000" + "00000000"), be(tsv, 4), be(dur, 4), lit(zeros80)))
+        .otherwise(
+          concat(lit("00000078" + "6D766864" + "01000000" + "0" * 32),
+            be(tsv, 4), lit("00000000"), be(dur, 4), lit(zeros80)))
+      val tkhd = when(!v1,
+          concat(lit("0000005C" + "746B6864" + "00000007" +
+            "00000000" + "00000000" + "00000001" + "00000000"), be(dur, 4),
+            lit("0" * 16 + "0" * 16 + matrix),
+            be(wv, 2), lit("0000"), be(hv, 2), lit("0000")))
+        .otherwise(
+          concat(lit("00000068" + "746B6864" + "01000007" +
+            "0" * 16 + "0" * 16 + "00000001" + "00000000" + "00000000"),
+            be(dur, 4), lit("0" * 16 + "0" * 16 + matrix),
+            be(wv, 2), lit("0000"), be(hv, 2), lit("0000")))
+      val trak = concat(when(!v1, lit("00000064")).otherwise(lit("00000070")),
+        lit("7472616B"), tkhd)
+      val moov = concat(when(!v1, lit("000000D8")).otherwise(lit("000000F0")),
+        lit("6D6F6F76"), mvhd, trak)
+      val free = concat(be(k + 8, 4), lit("66726565"),
+        lit("00000000").substr(lit(1), k * 2))
+      val hexStr = concat(lit("00000010" + "66747970" + "69736F6D" + "00000200"),
+        free, moov)
+      // materialize the synthesized payloads: the box walk probes many
+      // byte positions, and Catalyst would inline the whole builder
+      // tree into every probe (the round-8 OOM pitfall)
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), unhex(hexStr).as("payload"))
+        .localCheckpoint()
+      Multimodal.containerMeta(media, Seq("mp4"))
+        .select(col("media_id"), col("n_bytes"), col("mp4.brand").as("brand"),
+          col("mp4.timescale").as("timescale"), col("mp4.duration").as("duration"),
+          col("mp4.width").as("width"), col("mp4.height").as("height"))
         .orderBy("media_id")
     }),
     // format-aware payload fingerprint: a FULL synthesized PNG whose
@@ -1897,7 +2013,7 @@ object SparkEntry {
         lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0802000000")))
       val media = t(s, dir, "documents")
         .select(col("doc_id").as("media_id"), payload.as("payload"))
-      Multimodal.containerMeta(media)
+      Multimodal.containerMeta(media, Seq("png"))
         .select(col("media_id"), col("n_bytes"),
           col("png.width").as("width"), col("png.height").as("height"),
           col("png.bit_depth").as("bit_depth"), col("png.color_type").as("color_type"))
@@ -1922,7 +2038,7 @@ object SparkEntry {
         lit("FFD9")))                                   // EOI
       val media = t(s, dir, "documents")
         .select(col("doc_id").as("media_id"), payload.as("payload"))
-      Multimodal.containerMeta(media)
+      Multimodal.containerMeta(media, Seq("jpeg"))
         .select(col("media_id"),
           col("jpeg.width").as("width"), col("jpeg.height").as("height"),
           col("jpeg.precision").as("precision"),
@@ -3164,7 +3280,8 @@ object SparkEntry {
          |      AS frac_chars_dup_paras
          |  FROM pc GROUP BY 1),
          |tl AS (SELECT doc_id, length(text) AS len,
-         |    list_filter(string_split(text, ' '), x -> x <> '') AS tl FROM d),
+         |    list_filter(regexp_split_to_array(text, '[ \t\n\r]+'),
+         |                x -> x <> '') AS tl FROM d),
          |${topCte(2)},
          |${topCte(3)},
          |${topCte(4)}
@@ -3222,6 +3339,73 @@ object SparkEntry {
         |GROUP BY uu.doc_id, uu.url, uu.domain
         |ORDER BY doc_id""".stripMargin,
 
+    // q200: the expected edge set derived ARITHMETICALLY per doc —
+    // an independent check on the engine's RFC 3986 merge + dot
+    // removal, not a replay of its regex chain
+    "q200_resolve_links" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(doc_id % 7 AS VARCHAR) AS d7, CAST(doc_id % 5 AS VARCHAR) AS m5
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    'site' || d7 || '.example.com' AS sd,
+        |    'https://site' || d7 || '.example.com' AS base, m5 FROM b)
+        |SELECT doc_id, src_domain, dst_url, dst_domain FROM (
+        |  SELECT doc_id, sd AS src_domain,
+        |    'https://ext' || m5 || '.com/page?x=1' AS dst_url,
+        |    'ext' || m5 || '.com' AS dst_domain FROM s
+        |  UNION ALL SELECT doc_id, sd, base || '/a/b/page2.html', sd FROM s
+        |  UNION ALL SELECT doc_id, sd, base || '/a/up.html', sd FROM s
+        |  UNION ALL SELECT doc_id, sd, base || '/a/b/same/x', sd FROM s
+        |  UNION ALL SELECT doc_id, sd, base || '/root.html', sd FROM s
+        |  UNION ALL SELECT doc_id, sd, base || '/a/b/img/pic.png?s=1', sd FROM s
+        |  UNION ALL SELECT doc_id, sd, base || '/a/b/page.html?page=2', sd FROM s
+        |  UNION ALL SELECT doc_id, sd, 'https://cdn.shared.net/asset.js',
+        |    'cdn.shared.net' FROM s)
+        |ORDER BY doc_id, dst_url""".stripMargin,
+
+    // q201: the same section binding as q197, plus Allow capture and
+    // the longest-match integer encoding (strlen-bytes*2 + is_allow)
+    // — max() IS the RFC 9309 resolution
+    "q201_robots_allow" ->
+      """WITH r AS (SELECT DISTINCT CAST(doc_id % 7 AS VARCHAR) AS d FROM documents),
+        |rob AS (SELECT 'site' || d || '.example.com' AS domain,
+        |  CASE WHEN d = '3' THEN 'User-agent: *' || chr(10) || 'Allow: /'
+        |         || chr(10) || 'Disallow: /tmp'
+        |       WHEN d = '5' THEN 'User-agent: *' || chr(10) || 'Disallow: /dir/'
+        |         || chr(10) || 'Allow: /dir/' || chr(10) || 'Disallow: /x'
+        |       ELSE 'User-agent: *' || chr(10) || 'Disallow: /' || chr(10) ||
+        |            'Allow: /public/' || chr(10) || 'Allow: /pub'
+        |  END AS robots FROM r),
+        |lines AS (SELECT domain, i AS pos, trim(parts[i]) AS lt FROM
+        |  (SELECT domain, parts, unnest(generate_series(1, len(parts))) AS i
+        |   FROM (SELECT domain, string_split(robots, chr(10)) AS parts FROM rob))),
+        |p AS (SELECT domain, pos,
+        |   CASE WHEN lower(lt) LIKE 'user-agent:%' THEN trim(substr(lt, 12)) END AS ua,
+        |   CASE WHEN lower(lt) LIKE 'disallow:%' THEN trim(substr(lt, 10)) END AS dis,
+        |   CASE WHEN lower(lt) LIKE 'allow:%' THEN trim(substr(lt, 7)) END AS alw
+        |   FROM lines),
+        |sec AS (SELECT domain, pos, dis, alw,
+        |   last_value(ua IGNORE NULLS) OVER (PARTITION BY domain ORDER BY pos) AS gov
+        |   FROM p),
+        |rules AS (SELECT domain, coalesce(dis, alw) AS prefix,
+        |   CASE WHEN alw IS NOT NULL THEN 1 ELSE 0 END AS ia
+        |   FROM sec WHERE gov = '*' AND coalesce(dis, alw) IS NOT NULL
+        |     AND coalesce(dis, alw) <> ''),
+        |u AS (SELECT doc_id,
+        |   'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS domain,
+        |   CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN '/public/page'
+        |     WHEN 1 THEN '/private/page' WHEN 2 THEN '/pub-file'
+        |     WHEN 3 THEN '/tmp-file' ELSE '/dir/x' END AS path
+        |   FROM documents),
+        |j AS (SELECT u.doc_id,
+        |   'https://' || u.domain || u.path AS url, u.domain,
+        |   max(CASE WHEN starts_with(u.path, rules.prefix)
+        |       THEN strlen(rules.prefix) * 2 + rules.ia END) AS win
+        |   FROM u LEFT JOIN rules ON u.domain = rules.domain
+        |   GROUP BY 1, 2, 3)
+        |SELECT doc_id, url, domain, win IS NULL OR win % 2 = 1 AS allowed
+        |FROM j ORDER BY doc_id""".stripMargin,
+
     // q196: same href regex, same resolution CASE (absolute /
     // protocol-relative / root-relative, in that order), same drops
     "q196_extract_links" ->
@@ -3242,7 +3426,7 @@ object SparkEntry {
         |r AS (SELECT doc_id,
         |    lower(regexp_extract(url,
         |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS src_domain,
-        |    CASE WHEN regexp_matches(l, '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN l
+        |    CASE WHEN regexp_matches(l, '(?i)^(https?|ftp)://') THEN l
         |         WHEN l LIKE '//%' THEN regexp_extract(url,
         |           '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1) || ':' || l
         |         WHEN l LIKE '/%' THEN regexp_extract(url,
@@ -3264,6 +3448,19 @@ object SparkEntry {
         |    WHEN 0 THEN 'gif89a' WHEN 1 THEN 'gif87a'
         |    WHEN 2 THEN 'vp8x' WHEN 3 THEN 'vp8' WHEN 4 THEN 'vp8l'
         |    WHEN 5 THEN 'tiff_ii' ELSE 'tiff_mm' END AS format,
+        |  CAST(n_chars % 640 + 1 AS INT) AS width,
+        |  CAST(n_chars % 480 + 1 AS INT) AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // q199: the mp4 builder formulas the box walk must invert; total
+    // size = 16 ftyp + (8 + doc_id%5) free + 216/240 moov (v0/v1)
+    "q199_mp4_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 264 ELSE 240 END
+        |       + doc_id % 5 AS BIGINT) AS n_bytes,
+        |  'isom' AS brand,
+        |  CAST(n_chars % 9000 + 1000 AS BIGINT) AS timescale,
+        |  CAST(n_chars * 100 + doc_id % 100 AS BIGINT) AS duration,
         |  CAST(n_chars % 640 + 1 AS INT) AS width,
         |  CAST(n_chars % 480 + 1 AS INT) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
@@ -3354,10 +3551,10 @@ object SparkEntry {
         |  FROM q),
         |w AS (SELECT url, doc_id, ts, text,
         |    row_number() OVER (PARTITION BY url
-        |      ORDER BY ts DESC, length(text) DESC, doc_id ASC) AS rn
+        |      ORDER BY ts DESC, strlen(text) DESC, doc_id ASC) AS rn
         |  FROM c),
         |g AS (SELECT url, count(*) AS n_snapshots,
-        |    count(DISTINCT text) AS n_distinct_texts
+        |    count(DISTINCT md5(text)) AS n_distinct_texts
         |  FROM c GROUP BY 1)
         |SELECT w.url, w.doc_id, w.ts, w.text, g.n_snapshots, g.n_distinct_texts
         |FROM w JOIN g USING (url) WHERE rn = 1 ORDER BY url""".stripMargin,
@@ -3808,27 +4005,52 @@ object SparkEntry {
         |FROM tok GROUP BY token ORDER BY token""".stripMargin,
 
     // q183: the identical RE2 chain replayed (DuckDB regexp_replace
-    // needs the explicit 'g' flag Spark applies by default)
-    "q183_html_extract" ->
-      """WITH h AS (SELECT doc_id,
+    // needs the explicit 'g' flag Spark applies by default); the
+    // single-pass entity decode replays as split + per-entity CASE +
+    // ordered string_agg stitch, with chr() standing in for the
+    // engine's UTF-16BE decode (same string for every BMP codepoint)
+    "q183_html_extract" -> {
+      val ent = "&(lt|gt|quot|nbsp|amp);|&#[0-9]{1,7};|&#[xX][0-9a-fA-F]{1,6};"
+      def code(re: String) = s"CAST(${re} AS BIGINT)"
+      val decC = code("regexp_extract(e, '^&#([0-9]+);$', 1)")
+      val hexC = code("'0x' || regexp_extract(e, '^&#[xX]([0-9a-fA-F]+);$', 1)")
+      def bmp(c: String) =
+        s"CASE WHEN $c BETWEEN 1 AND 65535 AND NOT $c BETWEEN 55296 AND 57343 " +
+          s"THEN chr(CAST($c AS INT)) ELSE e END"
+      s"""WITH h AS (SELECT doc_id,
         |  '<html><head><title>T</title><style>body{color:red}</style>' ||
         |  '</head><body><h1 class="hd">' || substr(text, 1, 20) ||
         |  '</h1><p>' || substr(text, 21, 40) ||
         |  ' &amp; more &lt;tags&gt;&nbsp;end</p>' ||
-        |  '<script>var x = "<p>";</script></body></html>' AS html
+        |  '<p>it&#8217;s &#x27;q&#X6F; n&#160;b &#38;lt; &#999999; &#xD800;</p>' ||
+        |  '<SCRIPT>' || chr(10) || 'var x = "<p>";' || chr(10) ||
+        |  '</SCRIPT></body></html>' AS html
         |  FROM documents),
         |s1 AS (SELECT doc_id, regexp_replace(html,
-        |  '<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', ' ', 'g') AS t
+        |  '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', ' ', 'g') AS t
         |  FROM h),
         |s2 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s1),
-        |s3 AS (SELECT doc_id,
-        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |  regexp_replace(regexp_replace(t,
-        |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
-        |    '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t
-        |  FROM s2)
-        |SELECT doc_id, trim(regexp_replace(t, ' +', ' ', 'g')) AS clean
-        |FROM s3 ORDER BY doc_id""".stripMargin,
+        |p AS (SELECT doc_id, t, string_split_regex(t, '$ent') AS parts,
+        |  regexp_extract_all(t, '$ent') AS ents FROM s2),
+        |x AS (SELECT doc_id, i, ents[i] AS e, parts[i + 1] AS tail
+        |  FROM (SELECT doc_id, parts, ents,
+        |    unnest(generate_series(1, len(ents))) AS i FROM p)),
+        |y AS (SELECT doc_id, i, tail,
+        |  CASE WHEN e = '&lt;' THEN '<' WHEN e = '&gt;' THEN '>'
+        |       WHEN e = '&quot;' THEN '"' WHEN e = '&nbsp;' THEN ' '
+        |       WHEN e = '&amp;' THEN '&'
+        |       WHEN regexp_matches(e, '^&#[0-9]') THEN ${bmp(decC)}
+        |       ELSE ${bmp(hexC)} END AS d
+        |  FROM x),
+        |z AS (SELECT doc_id, string_agg(d || tail, '' ORDER BY i) AS rest
+        |  FROM y GROUP BY doc_id)
+        |SELECT p.doc_id, trim(regexp_replace(
+        |  CASE WHEN len(p.ents) = 0 THEN p.t
+        |       ELSE p.parts[1] || coalesce(z.rest, '') END,
+        |  ' +', ' ', 'g')) AS clean
+        |FROM p LEFT JOIN z ON p.doc_id = z.doc_id
+        |ORDER BY p.doc_id""".stripMargin
+    },
 
     // q184: the same parse/normalize chain in DuckDB string functions
     "q184_url_normalize" ->
@@ -5107,7 +5329,11 @@ object SparkEntry {
     * chained CTEs (each step consumes ≥1 codepoint; the fixture's
     * words cap at 8) — the unigramSegCtes per-position pattern. A
     * word with no match at some position fails whole to `[UNK]`
-    * (can't fire here: the alphabet covers every corpus char). */
+    * (can't fire here: the alphabet covers every corpus char). A
+    * word still unfinished after `maxSteps` steps emits the sentinel
+    * `[ORACLE-TRUNCATED]` — it can only differ from the engine's
+    * real pieces, so an undersized `maxSteps` surfaces as a driver
+    * MISMATCH instead of a silently truncated piece list. */
   private def wpEncodeOracle(numMerges: Int, maxDocId: Long,
                              maxSteps: Int): String = {
     val mergedUnion = (0 until numMerges)
@@ -5152,7 +5378,9 @@ object SparkEntry {
        |$voc,
        |${steps.mkString(",\n")},
        |fin AS (SELECT word,
-       |  CASE WHEN failed THEN ['[UNK]'] ELSE pieces END AS pieces
+       |  CASE WHEN failed THEN ['[UNK]']
+       |       WHEN pos <= len(word) THEN ['[ORACLE-TRUNCATED]']
+       |       ELSE pieces END AS pieces
        |  FROM g$maxSteps)
        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
        |  CAST(y.j AS BIGINT) AS piece_idx, pieces[y.j] AS piece

@@ -1819,9 +1819,12 @@ object Corpus {
     * [[tokenBudgetSample]] to materialize the per-source draws.
     *
     * Output (source, n_bigrams, avg_logprob, excess_weight,
-    * budget_tokens). `totalBudget · max(excess_weight)` must stay
-    * under 2^63 — require()d, with excess in nats ≤ ~40 that allows
-    * budgets into the hundreds of billions of tokens.
+    * budget_tokens). The `totalBudget · excess_weight` product runs
+    * in DECIMAL(38,0) — a 2^40 budget times a worst-case weight
+    * (~10^7 at 10 nats excess) tops out near 10^19, which overflows
+    * int64 but sits comfortably in 38 digits — then the exact
+    * integer `div` brings the share back under `totalBudget`, so
+    * `budget_tokens` is always a safe BIGINT.
     *
     * Scale shape: [[sourceBigramFit]]'s two corpus passes, then
     * |sources|-row joins against two broadcast 1-row aggregates. */
@@ -1840,7 +1843,7 @@ object Corpus {
     weighted.join(broadcast(tot))
       .select(col("source"), col("n_bigrams"), col("avg_logprob"),
         col("excess_weight"),
-        expr(s"(${totalBudget}L * excess_weight) div __tw")
+        expr(s"(CAST(${totalBudget} AS DECIMAL(38,0)) * excess_weight) div __tw")
           .as("budget_tokens"))
   }
 

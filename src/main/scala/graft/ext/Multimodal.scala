@@ -287,21 +287,101 @@ object Multimodal {
       when(isLe, "II").otherwise("MM").as("byte_order")))
   }
 
+  /** Parse MP4/ISO-BMFF container metadata without any codec: brand
+    * from the leading `ftyp` box, movie timescale + duration from
+    * `moov`/`mvhd` (version 0 and 1 layouts), and the first track's
+    * pixel dimensions from `trak`/`tkhd` (the 16.16 fixed-point
+    * width/height, integer part). ISO/IEC 14496-12 §4.3, §8.2.2,
+    * §8.3.2. The box tree is walked by ONE bounded pre-order fold
+    * (`maxBoxes` steps) that skips leaf boxes by their size (so the
+    * typically-huge `mdat` costs one step) and DESCENDS into
+    * `moov`/`trak` (pos → pos + 8), recording where the first `mvhd`
+    * and `tkhd` sit — a single fold, not nested per-child scans,
+    * because every nested fold would embed its parent's whole
+    * expression tree at each reference and the plan balloons
+    * (16.8 MiB task binaries measured with the nested form). Same
+    * pos→pos+len binary-slicing class as the JPEG marker scan:
+    * narrow, zero shuffles, no decoding. Non-MP4 payloads (no
+    * leading `ftyp`) yield a null struct; truncated/malformed box
+    * chains and unknown mvhd/tkhd versions yield null fields (size 0
+    * "to end of file" and size 1 "64-bit largesize" stop the walk —
+    * both below the 8-byte minimal header). */
+  def mp4Meta(payload: Column, maxBoxes: Int = 24): Column = {
+    val isMp4 = hex(substring(payload, 5, 4)) === lit("66747970") &&
+      beUint(payload, 1, 4) >= 16L
+    val brand = substring(payload, 9, 4).cast("string")
+    val end = length(payload).cast("long") + 1L
+    val nul = lit(null).cast("long")
+    def st(pos: Column, mvhd: Column, tkhd: Column): Column =
+      struct(pos.as("pos"), mvhd.as("mvhd"), tkhd.as("tkhd"))
+    val walk = aggregate(sequence(lit(1), lit(maxBoxes)),
+      st(lit(1L), nul, nul), (acc, _) => {
+        val pos = acc.getField("pos")
+        val mh = acc.getField("mvhd")
+        val th = acc.getField("tkhd")
+        val sz = beUintAt(payload, pos, 4)
+        val tag = hex(payload.substr(pos + 4, lit(4)))
+        when(mh.isNotNull && th.isNotNull, acc)
+          .when(pos + 7L > end || sz.isNull || sz < 8L, st(end + 1L, mh, th))
+          .when(tag === lit("6D6F6F76") || tag === lit("7472616B"), // moov/trak
+            st(pos + 8L, mh, th))
+          .when(tag === lit("6D766864"), st(pos + sz, coalesce(mh, pos), th))
+          .when(tag === lit("746B6864"), st(pos + sz, mh, coalesce(th, pos)))
+          .otherwise(st(pos + sz, mh, th))
+      })
+    val mvhd = walk.getField("mvhd")
+    val tkhd = walk.getField("tkhd")
+    val mv = byteAt(payload, mvhd + 8L) // mvhd version
+    val timescale = when(mv === 0L, beUintAt(payload, mvhd + 20L, 4))
+      .when(mv === 1L, beUintAt(payload, mvhd + 28L, 4))
+    val duration = when(mv === 0L, beUintAt(payload, mvhd + 24L, 4))
+      .when(mv === 1L,
+        beUintAt(payload, mvhd + 32L, 4) * 4294967296L +
+          beUintAt(payload, mvhd + 36L, 4))
+    val tv = byteAt(payload, tkhd + 8L) // tkhd version
+    val width = when(tv === 0L, beUintAt(payload, tkhd + 84L, 2))
+      .when(tv === 1L, beUintAt(payload, tkhd + 96L, 2))
+    val height = when(tv === 0L, beUintAt(payload, tkhd + 88L, 2))
+      .when(tv === 1L, beUintAt(payload, tkhd + 100L, 2))
+    when(isMp4, struct(
+      brand.as("brand"),
+      timescale.as("timescale"),
+      duration.as("duration"),
+      width.cast("int").as("width"),
+      height.cast("int").as("height")))
+  }
+
   /** Scan a media frame, attaching parsed container metadata columns —
     * the real half of "decode": header fields come from the bytes
     * themselves, only pixel/sample decoding remains stubbed. Covers
     * the containers web crawls actually carry: PNG, WAV, JPEG, GIF,
-    * WebP, TIFF — one narrow projection over a mixed media lake,
-    * filter by `<fmt>.width IS NOT NULL`. */
-  def containerMeta(media: DataFrame): DataFrame =
-    media.select(col("media_id"),
-      length(col("payload")).cast("long").as("n_bytes"),
-      pngMeta(col("payload")).as("png"),
-      wavMeta(col("payload")).as("wav"),
-      jpegMeta(col("payload")).as("jpeg"),
-      gifMeta(col("payload")).as("gif"),
-      webpMeta(col("payload")).as("webp"),
-      tiffMeta(col("payload")).as("tiff"))
+    * WebP, TIFF, MP4 — one narrow projection over a mixed media lake,
+    * filter by `<fmt>.width IS NOT NULL`.
+    *
+    * `formats` restricts which parser expression trees are built at
+    * all: Catalyst does NOT prune the unused struct columns out of a
+    * multi-parser projection (each format's whole tree is evaluated
+    * per row even when the query consumes one field — measured 4× on
+    * the single-format queries, round 9), so a caller that knows its
+    * format must say so. */
+  def containerMeta(media: DataFrame,
+                    formats: Seq[String] = ContainerFormats): DataFrame = {
+    val parsers = Map[String, Column => Column](
+      "png" -> (pngMeta(_)), "wav" -> (wavMeta(_)), "jpeg" -> (jpegMeta(_)),
+      "gif" -> (gifMeta(_)), "webp" -> (webpMeta(_)), "tiff" -> (tiffMeta(_)),
+      "mp4" -> (mp4Meta(_)))
+    val unknown = formats.filterNot(parsers.contains)
+    require(unknown.isEmpty, s"unknown container formats: ${unknown.mkString(",")}")
+    media.select(
+      col("media_id") +:
+        length(col("payload")).cast("long").as("n_bytes") +:
+        formats.map(f => parsers(f)(col("payload")).as(f)): _*)
+  }
+
+  /** Every format [[containerMeta]] can parse, in its default column
+    * order. */
+  val ContainerFormats: Seq[String] =
+    Seq("png", "wav", "jpeg", "gif", "webp", "tiff", "mp4")
 
   /** PNG pixel-stream bytes: the CONCATENATED data of every IDAT
     * chunk, walked chunk-by-chunk (`pos → pos + 12 + len`: length,

@@ -776,27 +776,117 @@ object TextAnalysis {
       .withColumn("dominant", dominant)
   }
 
+  /** The combined single-pass HTML entity pattern: the five ubiquitous
+    * named entities plus decimal/hex numeric character references.
+    * One alternation, matched left-to-right exactly once — so escaped
+    * entities never double-decode (`&amp;#39;` stays `&#39;`,
+    * `&#38;lt;` stays `&lt;`), the property a sequential replace
+    * chain cannot give. */
+  private val EntityPat =
+    "&(lt|gt|quot|nbsp|amp);|&#[0-9]{1,7};|&#[xX][0-9a-fA-F]{1,6};"
+
+  /** Decode HTML character references in ONE left-to-right pass: the
+    * named `&lt; &gt; &quot; &nbsp; &amp;` plus numeric decimal
+    * (`&#8217;`) and hex (`&#x27;`) references for the BMP —
+    * out-of-BMP codepoints, surrogates and NUL keep their literal
+    * entity text (a documented BMP-only contract, like scriptCensus).
+    * Mechanics: split on the entity pattern, map each matched entity,
+    * stitch back — `split` and `regexp_extract_all` agree on match
+    * boundaries and both engines keep trailing empty split parts, so
+    * `parts.length == ents.length + 1` always holds. The numeric char
+    * materializes via `decode(unhex(...), 'UTF-16BE')` on the Spark
+    * side and `chr()` in the DuckDB oracle — identical strings for
+    * every BMP codepoint. Narrow, zero-shuffle, RE2-replayable. */
+  def decodeEntities(text: Column): Column = {
+    val parts = split(text, EntityPat)
+    val ents = regexp_extract_all(text, lit(EntityPat), lit(0))
+    def bmp(code: Column, orig: Column): Column =
+      when(code >= 1L && code <= 65535L &&
+          !(code >= 55296L && code <= 57343L),
+        decode(unhex(lpad(hex(code), 4, "0")), "UTF-16BE"))
+        .otherwise(orig)
+    def dec(e: Column): Column =
+      when(e === "&lt;", lit("<")).when(e === "&gt;", lit(">"))
+        .when(e === "&quot;", lit("\"")).when(e === "&nbsp;", lit(" "))
+        .when(e === "&amp;", lit("&"))
+        .when(e.rlike("^&#[0-9]"),
+          bmp(regexp_extract(e, "^&#([0-9]+);$", 1).cast("long"), e))
+        .otherwise(
+          bmp(conv(regexp_extract(e, "^&#[xX]([0-9a-fA-F]+);$", 1), 16, 10)
+            .cast("long"), e))
+    val rebuilt = concat(element_at(parts, 1),
+      aggregate(sequence(lit(1), size(ents)), lit(""),
+        (acc, i) => concat(acc, dec(element_at(ents, i)),
+          element_at(parts, i + 1))))
+    when(size(ents) === 0, text).otherwise(rebuilt)
+  }
+
   /** HTML → text extraction — the step BEFORE every other text
     * operator on a web crawl (the trafilatura/jusText class, reduced
     * to its deterministic core): drop `<script>`/`<style>` elements
-    * WITH their content (code and CSS are not prose), strip every
+    * WITH their content even when the tag is uppercase or the block
+    * spans lines (`(?is)` inline flags — identical semantics in
+    * Java's engine and RE2; code and CSS are not prose), strip every
     * remaining tag to a space (so `<p>a</p><p>b</p>` keeps its word
-    * boundary), decode the six ubiquitous entities (`&lt; &gt;
-    * &quot; &#39; &nbsp; &amp;` — amp LAST, the single-pass
-    * convention: `&amp;lt;` decodes to the literal `&lt;`), collapse
-    * whitespace. RE2-safe patterns only (non-greedy `.*?`, character
+    * boundary), decode entities in one pass ([[decodeEntities]]:
+    * named + numeric decimal/hex for the BMP), collapse runs of
+    * spaces. RE2-safe patterns only (non-greedy `.*?`, character
     * classes — no lookaround), so DuckDB replays the identical chain
     * and the output is oracle-checked. Narrow zero-shuffle
     * regexp_replace chain — scan speed over a 100 TB crawl. */
   def htmlToText(html: Column): Column = {
     val noBlocks = regexp_replace(html,
-      "<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " ")
+      "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
-    val decoded = Seq(
-      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
-    trim(regexp_replace(decoded, " +", " "))
+    trim(regexp_replace(decodeEntities(noTags), " +", " "))
+  }
+
+  /** RFC 3986 §5.2 reference resolution, the deterministic core in
+    * pure string ops: absolute `http(s)`/`ftp` refs pass through
+    * (the generic any-scheme branch would accept `javascript://…` /
+    * `data://…` pseudo-URLs — an explicit web-scheme whitelist
+    * instead), `//cdn…` protocol-relative refs take the base scheme,
+    * `/path` root-relative refs take scheme+host, `?query` refs keep
+    * the full base path, and PATH-RELATIVE refs (`page2.html`,
+    * `../x` — the majority of real-page hrefs) merge against the
+    * base path's directory (§5.2.3) with dot-segment removal
+    * (§5.2.4) replayed as a bounded iterated replace: `maxDepth`
+    * rounds each of `/./`-collapse and leftmost `/seg/../`-collapse
+    * plus root `/../`-drop — deeper dot chains than `maxDepth` stay
+    * unresolved by contract. Fragment-only refs, any other scheme
+    * (`javascript:`, `mailto:`, `data:`, `tel:`…) and empty refs
+    * yield null. Dot-segment removal applies to the ref's PATH only
+    * — its `?query`/`#fragment` tail is carried verbatim. Every
+    * pattern is RE2-safe (no lookaround), so the DuckDB oracle
+    * replays the chain byte-for-byte. Narrow, zero-shuffle. */
+  def resolveUrl(base: Column, href: Column, maxDepth: Int = 8): Column = {
+    val scheme = regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    val host = regexp_extract(base, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    val basePath = regexp_extract(base,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val hasBase = scheme =!= "" && host =!= ""
+    val baseDir = when(basePath === "", lit("/"))
+      .otherwise(regexp_replace(basePath, "/[^/]*$", "/"))
+    val relPath = regexp_extract(href, "^([^?#]*)", 1)
+    val relTail = when(href.rlike("[?#]"),
+      regexp_extract(href, "([?#].*)$", 1)).otherwise(lit(""))
+    def dedot(p: Column): Column = {
+      val p1 = (1 to maxDepth).foldLeft(p)((c, _) =>
+        regexp_replace(c, "/\\.(?:/|$)", "/"))
+      (1 to maxDepth).foldLeft(p1)((c, _) =>
+        regexp_replace(regexp_replace(c, "^/\\.\\.(?:/|$)", "/"),
+          "/[^/]+/\\.\\.(?:/|$)", "/"))
+    }
+    when(href.rlike("(?i)^(https?|ftp)://"), href)
+      .when(hasBase && href.startsWith("//"), concat(scheme, lit(":"), href))
+      .when(hasBase && href.startsWith("/"),
+        concat(scheme, lit("://"), host, dedot(relPath), relTail))
+      .when(hasBase && href.startsWith("?"),
+        concat(scheme, lit("://"), host, basePath, href))
+      .when(hasBase && href =!= "" && !href.startsWith("#") &&
+          !href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"),
+        concat(scheme, lit("://"), host, dedot(concat(baseDir, relPath)), relTail))
+      .otherwise(lit(null).cast("string"))
   }
 
   /** Outlink extraction — the web-graph edge builder that connects
@@ -804,33 +894,41 @@ object TextAnalysis {
     * ([[graft.ext.Dedup.pagerankCentrality]] consumes the edges after
     * a (src,dst) roll-up): pull every double-quoted `href` from the
     * page (case-insensitive attribute name), resolve it against the
-    * page's own URL — absolute links pass through, `//cdn…`
+    * page's own URL — absolute `http(s)`/`ftp` links pass through
+    * (never `javascript://…`/`data://…` pseudo-URLs), `//cdn…`
     * protocol-relative links take the base scheme, `/path` root-
     * relative links take scheme+host — and emit one edge per mention
-    * (multiplicities kept: they're the edge weights). Fragment-only,
-    * `javascript:`/`mailto:` and path-relative links are dropped —
-    * the deterministic core of link resolution, documented rather
-    * than half-implemented. Output is UNnormalized resolved URLs:
-    * pipe `dst_url` through [[urlNormalize]] / [[urlDedup]] to get
-    * canonical graph keys, exactly like any other crawled URL.
+    * (multiplicities kept: they're the edge weights). Fragment-only
+    * and other-scheme (`javascript:`/`mailto:`/`data:`) links are
+    * dropped. With `resolveRelative`, PATH-relative links
+    * (`page2.html`, `../x` — the majority of edges on a real crawl)
+    * also resolve via the full RFC 3986 merge ([[resolveUrl]]);
+    * without it they are dropped (the historical contract). Output
+    * is UNnormalized resolved URLs: pipe `dst_url` through
+    * [[urlNormalize]] / [[urlDedup]] to get canonical graph keys,
+    * exactly like any other crawled URL.
     *
     * Scale: one narrow regexp pass + explode — no shuffle; the edge
     * stream is link-count-bounded, and the downstream (src,dst)
     * roll-up is the only exchange. */
   def extractLinks(docs: DataFrame, idCol: String = "doc_id",
-                   urlCol: String = "url", htmlCol: String = "html"): DataFrame = {
+                   urlCol: String = "url", htmlCol: String = "html",
+                   resolveRelative: Boolean = false): DataFrame = {
     val scheme = regexp_extract(col(urlCol), "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
     val host = regexp_extract(col(urlCol), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
     val links = regexp_extract_all(col(htmlCol),
       lit("[hH][rR][eE][fF]=\"([^\"]*)\""), lit(1))
     val hasBase = col("__scheme") =!= "" && col("__host") =!= ""
-    val resolved = when(col("__l").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), col("__l"))
-      .when(hasBase && col("__l").startsWith("//"),
-        concat(col("__scheme"), lit(":"), col("__l")))
-      .when(hasBase && col("__l").startsWith("/"),
-        concat(col("__scheme"), lit("://"), col("__host"), col("__l")))
-      .otherwise(lit(null).cast("string"))
-    docs.select(col(idCol), scheme.as("__scheme"), host.as("__host"),
+    val resolved =
+      if (resolveRelative) resolveUrl(col("__url"), col("__l"))
+      else when(col("__l").rlike("(?i)^(https?|ftp)://"), col("__l"))
+        .when(hasBase && col("__l").startsWith("//"),
+          concat(col("__scheme"), lit(":"), col("__l")))
+        .when(hasBase && col("__l").startsWith("/"),
+          concat(col("__scheme"), lit("://"), col("__host"), col("__l")))
+        .otherwise(lit(null).cast("string"))
+    docs.select(col(idCol), col(urlCol).as("__url"),
+        scheme.as("__scheme"), host.as("__host"),
         explode(links).as("__l"))
       .select(col(idCol), lower(col("__host")).as("src_domain"),
         resolved.as("dst_url"))
@@ -885,7 +983,15 @@ object TextAnalysis {
     * ordering partial-aggregates map-side (each mapper forwards one
     * candidate per URL), unlike a `row_number` window which would
     * materialize and sort every snapshot group. Distinct-text counts
-    * are exact at snapshot-group grain (bounded by crawl count). */
+    * are exact at snapshot-group grain (bounded by crawl count) and
+    * counted over `md5(text)` — the distinct state then carries
+    * 16-byte digests instead of full page bodies, halving the
+    * shuffle width (collision odds ~2⁻¹²⁸ per pair; both engines
+    * hash identically so the oracle cannot diverge). The length
+    * tie-break uses `octet_length` — a unit-stable measure (UTF-8
+    * bytes on both engines), where `length` counts UTF-16 units in
+    * Spark but codepoints in DuckDB and diverges on
+    * supplementary-plane text. */
   def urlDedup(docs: DataFrame, urlCol: String = "url",
                tsCol: String = "ts", idCol: String = "doc_id",
                textCol: String = "text"): DataFrame =
@@ -896,25 +1002,31 @@ object TextAnalysis {
         max_by(
           struct(col(idCol).as("doc_id"), col(tsCol).as("ts"),
             col(textCol).as("text")),
-          struct(col(tsCol).as("ts"), length(col(textCol)).as("len"),
+          struct(col(tsCol).as("ts"), octet_length(col(textCol)).as("len"),
             (-col(idCol)).as("negid"))).as("__rep"),
         count(lit(1)).as("n_snapshots"),
-        countDistinct(col(textCol)).as("n_distinct_texts"))
+        countDistinct(md5(col(textCol))).as("n_distinct_texts"))
       .select(col("url"), col("__rep.doc_id").as(idCol),
         col("__rep.ts").as(tsCol), col("__rep.text").as(textCol),
         col("n_snapshots"), col("n_distinct_texts"))
 
-  /** robots.txt compliance gate — the crawl-side legitimacy filter: a
-    * URL is `allowed` unless its domain's robots.txt carries a
-    * `Disallow:` prefix for the wildcard `User-agent: *` section that
-    * prefixes the URL's path. The parse is the deterministic core of
-    * RFC 9309: case-insensitive directive names, a Disallow binds to
-    * the most recent User-agent line above it (window `last` with
-    * ignoreNulls over line position — per-robots-file partitions, so
-    * the window state is bounded by file length), empty Disallow =
-    * allow-all, non-`*` sections ignored (single-agent contract),
-    * `Allow:` overrides out of scope. URLs with no robots row, a null
-    * domain, or an unmatched path pass.
+  /** robots.txt compliance gate — the crawl-side legitimacy filter:
+    * per RFC 9309 §2.2.2, a URL's verdict is decided by the LONGEST
+    * `Allow:`/`Disallow:` prefix (in octets) of the wildcard
+    * `User-agent: *` section that matches the URL's path, with
+    * `Allow` winning exact-length ties — so `Disallow: /` +
+    * `Allow: /public/` admits exactly the public tree. The parse is
+    * the deterministic core of the RFC: case-insensitive directive
+    * names, a rule binds to the most recent User-agent line above it
+    * (window `last` with ignoreNulls over line position —
+    * per-robots-file partitions, so the window state is bounded by
+    * file length), empty rule values ignored (so `Disallow:` alone =
+    * allow-all), non-`*` sections ignored (single-agent contract).
+    * URLs with no robots row, a null domain, or no matching rule
+    * pass. The winning rule is encoded as ONE integer
+    * `octet_length(prefix) * 2 + is_allow` — `max` then IS the
+    * longest-match-allow-wins-ties resolution, and the oracle
+    * replays it as a plain `max(CASE…)`.
     *
     * Scale: the rules table is domain-count-bounded → BROADCAST into
     * the URL stream; the prefix check fans each URL out only by its
@@ -936,10 +1048,15 @@ object TextAnalysis {
         when(ll.startsWith("user-agent:"),
           trim(substring(lt, 12, big))).as("__ua"),
         when(ll.startsWith("disallow:"),
-          trim(substring(lt, 10, big))).as("__dis"))
+          trim(substring(lt, 10, big))).as("__dis"),
+        when(ll.startsWith("allow:"),
+          trim(substring(lt, 7, big))).as("__alw"))
       .withColumn("__gov", last(col("__ua"), ignoreNulls = true).over(w))
-      .filter(col("__gov") === "*" && col("__dis").isNotNull && col("__dis") =!= "")
-      .select(col("domain"), col("__dis").as("prefix"))
+      .filter(col("__gov") === "*" &&
+        coalesce(col("__dis"), col("__alw")).isNotNull &&
+        coalesce(col("__dis"), col("__alw")) =!= "")
+      .select(col("domain"), coalesce(col("__dis"), col("__alw")).as("prefix"),
+        when(col("__alw").isNotNull, 1L).otherwise(0L).as("__ia"))
     urls
       .select(col(idCol), col(urlCol), urlDomain(col(urlCol)).as("domain"),
         regexp_extract(col(urlCol),
@@ -947,9 +1064,11 @@ object TextAnalysis {
       .join(broadcast(rules), Seq("domain"), "left")
       .groupBy(col(idCol), col(urlCol), col("domain"))
       .agg(max(when(col("prefix").isNotNull &&
-          col("__path").startsWith(col("prefix")), 1L).otherwise(0L)).as("__hit"))
+          col("__path").startsWith(col("prefix")),
+        octet_length(col("prefix")).cast("long") * 2L + col("__ia")))
+        .as("__win"))
       .select(col(idCol), col(urlCol), col("domain"),
-        (col("__hit") === 0L).as("allowed"))
+        (col("__win").isNull || pmod(col("__win"), lit(2L)) === 1L).as("allowed"))
   }
 
   /** PII patterns — the redaction pass every shipped training corpus
@@ -1555,7 +1674,12 @@ object TextAnalysis {
     * lexicographically smallest gram). Lines split on newline,
     * paragraphs on blank line, empties dropped; docs with no
     * non-empty line are omitted; docs too short for an n-gram get
-    * 0.0 for that signal. Every ratio is one IEEE division of exact
+    * 0.0 for that signal. N-grams are computed over WHITESPACE-split
+    * words (explicit `[ \t\n\r]+` class — identical under Java regex
+    * and RE2, so the oracle replays it byte-for-byte), per Gopher's
+    * definition of a word; this deliberately differs from the
+    * engine-wide space-only [[tokens]], whose tokens straddle
+    * newlines. Every ratio is one IEEE division of exact
     * int64 counts — engine-identical, fully hashable.
     *
     * Scale: five map-side-combined explode→group passes, each keyed
@@ -1576,7 +1700,8 @@ object TextAnalysis {
             sum(col("c") * length(col("u")))).as(s"frac_chars_dup_$pfx"))
     def topN(n: Int) =
       docs.select(col(idCol), length(col(textCol)).cast("long").as("__len"),
-          explode(graft.functions.TokenNgrams(tokens(col(textCol)), n)).as("g"))
+          explode(graft.functions.TokenNgrams(
+            filter(split(col(textCol), "[ \\t\\n\\r]+"), x => x =!= ""), n)).as("g"))
         .groupBy(col(idCol), col("__len"), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col(idCol), col("__len")).agg(
           min(struct((-col("c")).as("negc"), col("g").as("g"))).as("m"))

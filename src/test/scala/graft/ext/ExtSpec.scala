@@ -174,11 +174,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r1.getDouble(3) == 0.5)                             // dup line chars
     assert(r1.getLong(4) == 3L && r1.getDouble(5) == 1.0 / 3)  // paras
     assert(r1.getDouble(6) == 1.0 / 9)
-    // tokens are space-split: ["a","b\na","b","P\n\nP"], len(text)=13;
-    // all bigrams unique -> smallest gram "a b\na" (5 chars) wins
-    assert(r1.getDouble(7) == 5.0 / 13)
-    assert(r1.getDouble(8) == 7.0 / 13)
-    assert(r1.getDouble(9) == 12.0 / 13)
+    // Gopher words are WHITESPACE-split: ["a","b","a","b","P","P"],
+    // len(text)=13; "a b" occurs twice (2*3/13); 3/4-grams all unique
+    // -> lexicographically smallest gram wins ("a b P" 5 chars,
+    // "a b P P" 7 chars — 'P' sorts before 'a')
+    assert(r1.getDouble(7) == 6.0 / 13)
+    assert(r1.getDouble(8) == 5.0 / 13)
+    assert(r1.getDouble(9) == 7.0 / 13)
     val r2 = out(2L)
     assert(r2.getLong(1) == 1L && r2.getDouble(2) == 0.0 && r2.getDouble(5) == 0.0)
     assert(r2.getDouble(7) == 1.0, "whole doc is its own top bigram")
@@ -205,6 +207,74 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(out == Map(1L -> false, 2L -> false, 3L -> true,
       4L -> true, 5L -> true, 6L -> true))
+  }
+
+  test("htmlToText: numeric character references decode for the BMP; " +
+    "uppercase/multiline blocks drop; escaped entities stay single-pass") {
+    val d = Seq(
+      (1L, "it&#8217;s &#x27;q&#X6F; n&#160;b"),   // dec, hex, upper-X, nbsp
+      (2L, "a &#38;lt; b &amp;#39; c"),            // escapes must NOT double-decode
+      (3L, "keep &#999999; &#xD800; &#0; bad"),    // out-of-BMP, surrogate, NUL
+      (4L, "x<SCRIPT>\nvar s = '<p>';\n</SCRIPT>y<STYLE a=b>\np{}\n</STYLE>z")
+    ).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        TextAnalysis.htmlToText(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "it’s 'qo n b")
+    assert(out(2L) == "a &lt; b &#39; c")
+    assert(out(3L) == "keep &#999999; &#xD800; &#0; bad")
+    assert(out(4L) == "x y z")
+  }
+
+  test("resolveUrl: RFC 3986 merge with dot-segment removal; query-only " +
+    "refs keep the base path; pseudo-scheme hrefs drop") {
+    val base = "https://h.io/a/b/page.html"
+    val cases = Seq(
+      (1L, base, "p2.html"), (2L, base, "../up"), (3L, base, "./x/y"),
+      (4L, base, "../../../deep"), (5L, base, "?q=2"), (6L, base, "c/../d"),
+      (7L, base, "javascript://alert(1)"), (8L, base, "data:text/html,x"),
+      (9L, base, "//cdn.z.net/f.js"), (10L, base, "/rooted/../e"),
+      (11L, "https://h.io", "rel.html"),       // empty base path -> "/"
+      (12L, base, "FTP://files.net/x"), (13L, base, "#only"), (14L, base, ""))
+      .toDF("id", "base", "href")
+    val out = cases.select(col("id"),
+        TextAnalysis.resolveUrl(col("base"), col("href")).as("r"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L).contains("https://h.io/a/b/p2.html"))
+    assert(out(2L).contains("https://h.io/a/up"))
+    assert(out(3L).contains("https://h.io/a/b/x/y"))
+    assert(out(4L).contains("https://h.io/deep"), "ups past root clamp at root")
+    assert(out(5L).contains("https://h.io/a/b/page.html?q=2"))
+    assert(out(6L).contains("https://h.io/a/b/d"))
+    assert(out(7L).isEmpty && out(8L).isEmpty, "pseudo-schemes never pass")
+    assert(out(9L).contains("https://cdn.z.net/f.js"))
+    assert(out(10L).contains("https://h.io/e"), "root-relative paths dedot too")
+    assert(out(11L).contains("https://h.io/rel.html"))
+    assert(out(12L).contains("FTP://files.net/x"), "case-insensitive whitelist")
+    assert(out(13L).isEmpty && out(14L).isEmpty)
+  }
+
+  test("robotsGate: RFC 9309 longest-match — Disallow:/ + Allow:/public/ " +
+    "inverts, longer Disallow beats shorter Allow, exact ties fall to Allow") {
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /\nAllow: /public/\nAllow: /pub"),
+      ("b.org", "User-agent: *\nAllow: /\nDisallow: /tmp"),
+      ("c.net", "User-agent: *\nDisallow: /dir/\nAllow: /dir/"),
+      ("d.io",  "User-agent: gptbot\nAllow: /\nUser-agent: *\nDisallow: /x")
+    ).toDF("domain", "robots")
+    val urls = Seq(
+      (1L, "https://a.com/public/page"),  // Allow(8) beats Disallow(1)
+      (2L, "https://a.com/private/p"),    // only Disallow:/ matches
+      (3L, "https://a.com/pub-file"),     // Allow /pub (4) beats / (1)
+      (4L, "https://b.org/tmp-file"),     // Disallow /tmp (4) beats Allow / (1)
+      (5L, "https://b.org/fine"),
+      (6L, "https://c.net/dir/x"),        // exact-length tie -> Allow
+      (7L, "https://d.io/x/y")            // gptbot Allow must not leak into *
+    ).toDF("doc_id", "url")
+    val out = TextAnalysis.robotsGate(urls, robots).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> false, 5L -> true, 6L -> true, 7L -> false))
   }
 
   test("extractLinks: resolves absolute/protocol-relative/root-relative, " +
@@ -2016,6 +2086,56 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("png")))
     assert(out(2).isNullAt(out(2).fieldIndex("png")) &&
       out(2).isNullAt(out(2).fieldIndex("wav")))
+  }
+
+  test("mp4Meta: box walk recovers brand, mvhd timescale/duration (v0+v1), " +
+    "tkhd pixel dims; truncated boxes and non-mp4 payloads stay null") {
+    import spark.implicits._
+    def box(tag: String, body: Array[Byte]): Array[Byte] =
+      be(body.length + 8, 4) ++ tag.getBytes ++ body
+    val ftyp = box("ftyp", "isom".getBytes ++ be(0x200, 4))
+    def mvhd0(ts: Long, dur: Long) = box("mvhd",
+      Array[Byte](0, 0, 0, 0) ++ be(0, 4) ++ be(0, 4) ++ be(ts, 4) ++
+        be(dur, 4) ++ Array.fill[Byte](80)(0))
+    def mvhd1(ts: Long, dur: Long) = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ be(0, 8) ++ be(0, 8) ++ be(ts, 4) ++
+        be(dur, 8) ++ Array.fill[Byte](80)(0))
+    def tkhd0(w: Long, h: Long) = box("tkhd",
+      Array[Byte](0, 0, 0, 7) ++ be(0, 4) ++ be(0, 4) ++ be(1, 4) ++
+        be(0, 4) ++ be(0, 4) ++ Array.fill[Byte](16)(0) ++
+        Array.fill[Byte](36)(0) ++ be(w, 2) ++ be(0, 2) ++ be(h, 2) ++ be(0, 2))
+    def tkhd1(w: Long, h: Long) = box("tkhd",
+      Array[Byte](1, 0, 0, 7) ++ be(0, 8) ++ be(0, 8) ++ be(1, 4) ++
+        be(0, 4) ++ be(0, 8) ++ Array.fill[Byte](16)(0) ++
+        Array.fill[Byte](36)(0) ++ be(w, 2) ++ be(0, 2) ++ be(h, 2) ++ be(0, 2))
+    val free = box("free", Array.fill[Byte](3)(0))
+    // v0 layouts, plus a free box the walk must step over
+    val f0 = ftyp ++ free ++
+      box("moov", mvhd0(1000, 90000) ++ box("trak", tkhd0(1920, 1080)))
+    // v1 layouts; duration deliberately > 2^32 to exercise the 64-bit read
+    val big = (1L << 32) + 5L
+    val f1 = ftyp ++ box("moov", mvhd1(600, big) ++ box("trak", tkhd1(640, 360)))
+    // moov announced but its children cut off mid-box
+    val trunc = (ftyp ++ box("moov", mvhd0(1000, 90000))).dropRight(90)
+    val media = Seq(
+      (1L, f0), (2L, f1), (3L, trunc), (4L, "not media at all".getBytes))
+      .toDF("media_id", "payload")
+    val out = Multimodal.containerMeta(media, Seq("mp4"))
+      .orderBy("media_id").collect()
+    val m0 = out(0).getAs[org.apache.spark.sql.Row]("mp4")
+    assert(m0.getAs[String]("brand") == "isom")
+    assert(m0.getAs[Long]("timescale") == 1000L && m0.getAs[Long]("duration") == 90000L)
+    assert(m0.getAs[Int]("width") == 1920 && m0.getAs[Int]("height") == 1080)
+    val m1 = out(1).getAs[org.apache.spark.sql.Row]("mp4")
+    assert(m1.getAs[Long]("timescale") == 600L && m1.getAs[Long]("duration") == big)
+    assert(m1.getAs[Int]("width") == 640 && m1.getAs[Int]("height") == 360)
+    val m2 = out(2).getAs[org.apache.spark.sql.Row]("mp4")
+    assert(m2.getAs[String]("brand") == "isom",
+      "ftyp is intact, so the brand still parses")
+    assert(m2.isNullAt(m2.fieldIndex("timescale")) &&
+      m2.isNullAt(m2.fieldIndex("width")),
+      "truncated mvhd/tkhd must yield null fields, not garbage")
+    assert(out(3).isNullAt(out(3).fieldIndex("mp4")))
   }
 
   test("wavAudioStats: exact duration and prefix PCM16 amplitude stats; non-PCM16 null") {
