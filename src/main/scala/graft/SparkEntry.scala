@@ -1727,6 +1727,100 @@ object SparkEntry {
           resolveRelative = true)
         .orderBy("doc_id", "dst_url")
     }),
+    // canonical-aware recrawl collapse: every crawl URL is unique
+    // (?v=doc_id), but docs with doc_id%3!=0 declare rel=canonical
+    // "/page" — those collapse per domain group while the
+    // non-declaring snapshots stay singles; the oracle plants the
+    // post-canonical keys directly and replays the q193 pick
+    "q205_canonical_dedup" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(50L))
+      val hasCanon = pmod(col("doc_id"), lit(3L)) =!= 0
+      val url = concat(lit("https://canon"), m.cast("string"),
+        lit(".example.com/page?v="), col("doc_id").cast("string"))
+      val html = concat(lit("<html><head>"),
+        when(hasCanon, lit("<link rel=\"canonical\" href=\"/page\">"))
+          .otherwise(lit("")),
+        lit("</head><body>"), substring(col("text"), 1, 30),
+        lit("</body></html>"))
+      val text2 = when(pmod(col("doc_id"), lit(5L)) === 0,
+        lit("Stable canonical body.")).otherwise(col("text"))
+      TextAnalysis.canonicalDedup(
+          t(s, dir, "documents").select(col("doc_id"), url.as("url"),
+            html.as("html"), pmod(col("doc_id"), lit(100L)).as("ts"),
+            text2.as("text")))
+        .orderBy("url")
+    }),
+    // corpus-level paragraph dedup: every page carries one
+    // corpus-wide boilerplate paragraph and one group-shared banner
+    // (both must drop everywhere) around document-unique content
+    // (must survive in order); the oracle replays the split + df
+    // count + ordered reassembly
+    "q204_paragraph_dedup" -> ((s, dir) => {
+      val page = concat_ws("\n\n",
+        substring(col("text"), 1, 50),
+        lit("Subscribe to our newsletter."),
+        concat(lit("Shared group banner "),
+          pmod(col("doc_id"), lit(5L)).cast("string"), lit(".")),
+        concat(lit("Unique tail "), col("doc_id").cast("string"), lit(".")))
+      TextAnalysis.paragraphDedup(
+          t(s, dir, "documents").select(col("doc_id"), page.as("text")))
+        .orderBy("doc_id")
+    }),
+    // page-metadata extraction: title with entities + a line break,
+    // meta description in BOTH attribute orders, rel=canonical as
+    // path-relative AND root-relative (resolved through the RFC 3986
+    // merge), charset quoted/unquoted/uppercase — absent fields null;
+    // the oracle derives every field arithmetically
+    "q202_page_meta" -> ((s, dir) => {
+      val m4 = pmod(col("doc_id"), lit(4L))
+      val m5 = pmod(col("doc_id"), lit(5L))
+      val url = concat(lit("https://site"),
+        pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit(".example.com/a/b/page.html"))
+      val title = concat(lit("<TITLE> Doc "), col("doc_id").cast("string"),
+        lit(" &amp;\nfriends </TITLE>"))
+      val desc = when(m4 === 3, lit(""))
+        .when(m4 === 1, concat(lit("<meta content=\"Desc "),
+          col("doc_id").cast("string"), lit(" here\" name=\"description\">")))
+        .otherwise(concat(lit("<meta name=\"description\" content=\"Desc "),
+          col("doc_id").cast("string"), lit(" here\">")))
+      val canon = when(m5 === 4, lit(""))
+        .when(m5 === 2, concat(lit("<link href=\"/c/"),
+          col("doc_id").cast("string"), lit("\" rel=\"canonical\">")))
+        .otherwise(concat(lit("<link rel=\"canonical\" href=\"../canon/"),
+          pmod(col("doc_id"), lit(10L)).cast("string"), lit("\">")))
+      val cs = when(m4 === 0, lit("<meta charset=\"UTF-8\">"))
+        .when(m4 === 1, lit("<META CHARSET=utf-8>")).otherwise(lit(""))
+      val html = concat(lit("<html><head>"), title, desc, canon, cs,
+        lit("</head><body><p>"), substring(col("text"), 1, 40),
+        lit("</p></body></html>"))
+      TextAnalysis.pageMeta(
+          t(s, dir, "documents").select(col("doc_id"), url.as("url"),
+            html.as("html")))
+        .orderBy("doc_id")
+    }),
+    // sitemap parsing: three <url> entries per domain with optional
+    // lastmod/changefreq/priority fields absent in rotation and
+    // whitespace-padded loc values — the oracle derives each row
+    // arithmetically
+    "q203_sitemap_parse" -> ((s, dir) => {
+      val sm = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(7L)).cast("string").as("__d")).distinct()
+        .select(concat(lit("site"), col("__d"), lit(".example.com")).as("domain"),
+          concat(
+            lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
+            lit("<url><loc> https://site"), col("__d"),
+            lit(".example.com/p1 </loc>"),
+            lit("<lastmod>2026-01-0"), col("__d"), lit("</lastmod>"),
+            lit("<changefreq>daily</changefreq>" +
+              "<priority>0.8</priority></url>\n"),
+            lit("<url><loc>https://site"), col("__d"),
+            lit(".example.com/p2</loc><priority>0.5</priority></url>\n"),
+            lit("<url><loc>https://site"), col("__d"),
+            lit(".example.com/p3</loc><lastmod>2026-02-1"), col("__d"),
+            lit("</lastmod></url>\n</urlset>")).as("xml"))
+      TextAnalysis.sitemapParse(sm).orderBy("domain", "pos")
+    }),
     // RFC 9309 longest-match resolution: Disallow:/ + Allow:/public/
     // must invert (admit the public tree), a longer Disallow must
     // beat a shorter Allow, and an exact-length tie must fall to
@@ -3362,6 +3456,91 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id, sd, 'https://cdn.shared.net/asset.js',
         |    'cdn.shared.net' FROM s)
         |ORDER BY doc_id, dst_url""".stripMargin,
+
+    // q205: the post-canonical keys are known arithmetically (and
+    // are already in normal form), so the oracle plants them and
+    // replays only the keep-newest pick
+    "q205_canonical_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |    'https://canon' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    '.example.com/page' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN '?v=' || CAST(doc_id AS VARCHAR) ELSE '' END AS url,
+        |    doc_id % 100 AS ts,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'Stable canonical body.'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |w AS (SELECT url, doc_id, ts, text,
+        |    row_number() OVER (PARTITION BY url
+        |      ORDER BY ts DESC, strlen(text) DESC, doc_id ASC) AS rn
+        |  FROM u),
+        |g AS (SELECT url, count(*) AS n_snapshots,
+        |    count(DISTINCT md5(text)) AS n_distinct_texts
+        |  FROM u GROUP BY 1)
+        |SELECT w.url, w.doc_id, w.ts, w.text, g.n_snapshots, g.n_distinct_texts
+        |FROM w JOIN g USING (url) WHERE rn = 1 ORDER BY url""".stripMargin,
+
+    // q204: the same split + distinct-doc frequency + ordered
+    // string_agg reassembly (string_agg skips the dropped-paragraph
+    // NULLs exactly like collect_list)
+    "q204_paragraph_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    substr(text, 1, 50) || chr(10) || chr(10) ||
+        |    'Subscribe to our newsletter.' || chr(10) || chr(10) ||
+        |    'Shared group banner ' || CAST(doc_id % 5 AS VARCHAR) || '.' ||
+        |    chr(10) || chr(10) ||
+        |    'Unique tail ' || CAST(doc_id AS VARCHAR) || '.' AS text
+        |  FROM documents),
+        |p AS (SELECT doc_id, i AS pos, parts[i] AS para FROM
+        |  (SELECT doc_id, parts, unnest(generate_series(1, len(parts))) AS i
+        |   FROM (SELECT doc_id, list_filter(
+        |     string_split(text, chr(10) || chr(10)), x -> x <> '') AS parts
+        |     FROM d))),
+        |f AS (SELECT md5(para) AS h, count(DISTINCT doc_id) AS df
+        |  FROM p GROUP BY 1),
+        |j AS (SELECT p.doc_id, p.pos, p.para, f.df
+        |  FROM p JOIN f ON md5(p.para) = f.h)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN df < 2 THEN para END,
+        |    chr(10) || chr(10) ORDER BY pos), '') AS cleaned
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q202: every head field derived arithmetically — an independent
+    // check on the extraction + canonical resolution, not a replay
+    "q202_page_meta" ->
+      """SELECT doc_id,
+        |  'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example.com/a/b/page.html' AS url,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) || ' & friends' AS title,
+        |  CASE WHEN doc_id % 4 = 3 THEN NULL
+        |       ELSE 'Desc ' || CAST(doc_id AS VARCHAR) || ' here' END AS description,
+        |  CASE WHEN doc_id % 5 = 4 THEN NULL
+        |       WHEN doc_id % 5 = 2 THEN 'https://site' ||
+        |         CAST(doc_id % 7 AS VARCHAR) || '.example.com/c/' ||
+        |         CAST(doc_id AS VARCHAR)
+        |       ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |         '.example.com/a/canon/' || CAST(doc_id % 10 AS VARCHAR)
+        |  END AS canonical_url,
+        |  CASE WHEN doc_id % 4 IN (0, 1) THEN 'utf-8' ELSE NULL END AS charset
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q203: each frontier row derived arithmetically per domain
+    "q203_sitemap_parse" ->
+      """WITH r AS (SELECT DISTINCT CAST(doc_id % 7 AS VARCHAR) AS d FROM documents),
+        |s AS (SELECT 'site' || d || '.example.com' AS domain, d FROM r)
+        |SELECT domain, pos, loc, lastmod, changefreq, priority FROM (
+        |  SELECT domain, CAST(0 AS BIGINT) AS pos,
+        |    'https://site' || d || '.example.com/p1' AS loc,
+        |    '2026-01-0' || d AS lastmod, 'daily' AS changefreq,
+        |    CAST(0.8 AS DOUBLE) AS priority FROM s
+        |  UNION ALL SELECT domain, CAST(1 AS BIGINT),
+        |    'https://site' || d || '.example.com/p2', NULL, NULL,
+        |    CAST(0.5 AS DOUBLE) FROM s
+        |  UNION ALL SELECT domain, CAST(2 AS BIGINT),
+        |    'https://site' || d || '.example.com/p3', '2026-02-1' || d, NULL,
+        |    CAST(NULL AS DOUBLE) FROM s)
+        |ORDER BY domain, pos""".stripMargin,
 
     // q201: the same section binding as q197, plus Allow capture and
     // the longest-match integer encoding (strlen-bytes*2 + is_allow)

@@ -936,6 +936,96 @@ object TextAnalysis {
       .withColumn("dst_domain", urlDomain(col("dst_url")))
   }
 
+  /** Page-metadata extraction — the `<head>` fields every crawl
+    * pipeline keys on: the first `<title>` (entity-decoded via
+    * [[decodeEntities]], whitespace-collapsed), the meta description
+    * (both attribute orders), `rel=canonical` RESOLVED against the
+    * page's own URL via [[resolveUrl]] — the canonical link is the
+    * publisher-declared dedup key, fed to [[urlDedup]] ahead of any
+    * content-level dedup — and the declared `<meta charset>`
+    * (lowercased). Deterministic core: double-quoted attributes,
+    * first match wins, `(?is)` so tag case and line breaks don't
+    * matter; absent fields are null. One narrow regexp pass, zero
+    * shuffle — head-of-page scan speed on a 100 TB crawl. */
+  def pageMeta(docs: DataFrame, idCol: String = "doc_id",
+               urlCol: String = "url", htmlCol: String = "html"): DataFrame = {
+    val h = col(htmlCol)
+    def nonEmpty(c: Column): Column = when(c =!= "", c)
+    val title = nonEmpty(regexp_extract(h, "(?is)<title[^>]*>(.*?)</title>", 1))
+    val titleClean = trim(regexp_replace(decodeEntities(title),
+      "[ \\t\\n\\r]+", " "))
+    val desc = coalesce(
+      nonEmpty(regexp_extract(h,
+        "(?is)<meta\\s+name=\"description\"\\s+content=\"([^\"]*)\"", 1)),
+      nonEmpty(regexp_extract(h,
+        "(?is)<meta\\s+content=\"([^\"]*)\"\\s+name=\"description\"", 1)))
+    val charset = nonEmpty(lower(regexp_extract(h,
+      "(?i)<meta\\s+charset=\"?([a-zA-Z0-9_-]+)", 1)))
+    docs.select(col(idCol), col(urlCol).as("url"),
+      titleClean.as("title"), desc.as("description"),
+      canonicalUrl(col(urlCol), h).as("canonical_url"),
+      charset.as("charset"))
+  }
+
+  /** The publisher-declared canonical URL of a page: the first
+    * `rel=canonical` link (either attribute order), resolved against
+    * the page's own URL via [[resolveUrl]]; null when absent or
+    * unresolvable. The extraction half of [[pageMeta]], shared with
+    * [[canonicalDedup]]. */
+  def canonicalUrl(url: Column, html: Column): Column = {
+    def nonEmpty(c: Column): Column = when(c =!= "", c)
+    val canonRaw = coalesce(
+      nonEmpty(regexp_extract(html,
+        "(?is)<link\\s+rel=\"canonical\"\\s+href=\"([^\"]*)\"", 1)),
+      nonEmpty(regexp_extract(html,
+        "(?is)<link\\s+href=\"([^\"]*)\"\\s+rel=\"canonical\"", 1)))
+    resolveUrl(url, canonRaw)
+  }
+
+  /** Canonical-aware recrawl collapse — [[urlDedup]] keyed on the
+    * page's own `rel=canonical` declaration when present (resolved,
+    * falling back to the crawl URL otherwise): the dedup real
+    * pipelines run FIRST, because publishers already tell the crawler
+    * that `/page?v=2`, `/page?ref=feed` and `/amp/page` are the same
+    * document — collapsing them here is free row reduction before any
+    * content hashing. Same output contract and same single url-keyed
+    * shuffle as [[urlDedup]]; the canonical extraction is one narrow
+    * regexp pass over the page head. */
+  def canonicalDedup(docs: DataFrame, idCol: String = "doc_id",
+                     urlCol: String = "url", htmlCol: String = "html",
+                     tsCol: String = "ts", textCol: String = "text"): DataFrame =
+    urlDedup(
+      docs.select(
+        coalesce(canonicalUrl(col(urlCol), col(htmlCol)), col(urlCol)).as(urlCol),
+        col(idCol), col(tsCol), col(textCol)),
+      urlCol, tsCol, idCol, textCol)
+
+  /** Sitemap parsing (the sitemaps.org protocol) — the crawl-frontier
+    * feed: explode each `<url>` entry, pull `loc`/`lastmod`/
+    * `changefreq`/`priority` with null for absent optional fields,
+    * and keep entry order as `pos` (frontier scheduling is
+    * order-sensitive). Deterministic core: tag-delimited extraction
+    * with `(?s)` lowercase-exact tags (XML is case-sensitive, unlike
+    * HTML) and whitespace-trimmed values. One regexp pass
+    * + posexplode — narrow, output bounded by frontier size, never a
+    * shuffle. */
+  def sitemapParse(sitemaps: DataFrame, domainCol: String = "domain",
+                   xmlCol: String = "xml"): DataFrame = {
+    def field(e: Column, tag: String): Column = {
+      val v = regexp_extract(e,
+        s"(?s)<$tag>[ \\t\\n\\r]*(.*?)[ \\t\\n\\r]*</$tag>", 1)
+      when(v =!= "", v)
+    }
+    sitemaps.select(col(domainCol).as("domain"),
+        posexplode(regexp_extract_all(col(xmlCol),
+          lit("(?s)<url>(.*?)</url>"), lit(1))).as(Seq("pos", "e")))
+      .select(col("domain"), col("pos").cast("long").as("pos"),
+        field(col("e"), "loc").as("loc"),
+        field(col("e"), "lastmod").as("lastmod"),
+        field(col("e"), "changefreq").as("changefreq"),
+        field(col("e"), "priority").cast("double").as("priority"))
+  }
+
   /** URL normalization for per-site analysis and dedup keys: scheme
     * and host lowercased, default ports and fragments dropped,
     * `utm_*` tracking parameters removed (empty `?` dropped with
@@ -1682,43 +1772,62 @@ object TextAnalysis {
     * newlines. Every ratio is one IEEE division of exact
     * int64 counts — engine-identical, fully hashable.
     *
-    * Scale: five map-side-combined explode→group passes, each keyed
-    * by (doc, unit) — per-doc state only, no corpus-wide key ever
-    * concentrates; the five doc-grain frames join narrowly on the id.
+    * Scale: TWO map-side-combined explode→group passes (down from
+    * five): lines and paragraphs ride one explode under a grain tag,
+    * the three n-gram widths ride another under a width tag — each
+    * keyed by (doc, tag, unit), so per-doc state only, no corpus-wide
+    * key ever concentrates; a conditional-max pivot folds each pass
+    * to doc grain and the two doc-grain frames join narrowly on the
+    * id. A doc with any non-empty line necessarily has a paragraph
+    * too, so both grains are always present together and the pivoted
+    * line/paragraph fields are never null for an emitted doc.
     */
   def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    def unitFracs(sep: String, pfx: String) =
-      docs.select(col(idCol),
-          explode(filter(split(col(textCol), sep), x => x =!= "")).as("u"))
-        .groupBy(col(idCol), col("u")).agg(count(lit(1)).as("c"))
-        .groupBy(col(idCol)).agg(
-          sum("c").as(s"n_$pfx"),
-          (sum(col("c") - 1).cast("double") / sum(col("c")))
-            .as(s"frac_dup_$pfx"),
-          (sum((col("c") - 1) * length(col("u"))).cast("double") /
-            sum(col("c") * length(col("u")))).as(s"frac_chars_dup_$pfx"))
-    def topN(n: Int) =
-      docs.select(col(idCol), length(col(textCol)).cast("long").as("__len"),
-          explode(graft.functions.TokenNgrams(
-            filter(split(col(textCol), "[ \\t\\n\\r]+"), x => x =!= ""), n)).as("g"))
-        .groupBy(col(idCol), col("__len"), col("g")).agg(count(lit(1)).as("c"))
-        .groupBy(col(idCol), col("__len")).agg(
-          min(struct((-col("c")).as("negc"), col("g").as("g"))).as("m"))
-        .select(col(idCol),
-          (((-col("m.negc")) * length(col("m.g")).cast("long")).cast("double") /
-            col("__len")).as(s"top${n}_frac"))
-    val out = unitFracs("\n", "lines")
-      .join(unitFracs("\n\n", "paras"), Seq(idCol))
-      .join(topN(2), Seq(idCol), "left")
-      .join(topN(3), Seq(idCol), "left")
-      .join(topN(4), Seq(idCol), "left")
-    out.select(col(idCol), col("n_lines"), col("frac_dup_lines"),
-      col("frac_chars_dup_lines"), col("n_paras"), col("frac_dup_paras"),
-      col("frac_chars_dup_paras"),
-      coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
-      coalesce(col("top3_frac"), lit(0.0)).as("top3_frac"),
-      coalesce(col("top4_frac"), lit(0.0)).as("top4_frac"))
+    def tagged(sep: String, tag: Int) =
+      transform(filter(split(col(textCol), sep), x => x =!= ""),
+        u => struct(lit(tag).as("t"), u.as("u")))
+    val units = docs.select(col(idCol),
+        explode(concat(tagged("\n", 0), tagged("\n\n", 1))).as("x"))
+      .select(col(idCol), col("x.t").as("t"), col("x.u").as("u"))
+      .groupBy(col(idCol), col("t"), col("u")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("t")).agg(
+        sum("c").as("n"),
+        (sum(col("c") - 1).cast("double") / sum(col("c"))).as("fd"),
+        (sum((col("c") - 1) * length(col("u"))).cast("double") /
+          sum(col("c") * length(col("u")))).as("fc"))
+      .groupBy(col(idCol)).agg(
+        max(when(col("t") === 0, col("n"))).as("n_lines"),
+        max(when(col("t") === 0, col("fd"))).as("frac_dup_lines"),
+        max(when(col("t") === 0, col("fc"))).as("frac_chars_dup_lines"),
+        max(when(col("t") === 1, col("n"))).as("n_paras"),
+        max(when(col("t") === 1, col("fd"))).as("frac_dup_paras"),
+        max(when(col("t") === 1, col("fc"))).as("frac_chars_dup_paras"))
+    val toks = filter(split(col(textCol), "[ \\t\\n\\r]+"), x => x =!= "")
+    val grams = docs.select(col(idCol),
+        length(col(textCol)).cast("long").as("__len"),
+        explode(concat(Seq(2, 3, 4).map(n =>
+          transform(graft.functions.TokenNgrams(toks, n),
+            g => struct(lit(n).as("n"), g.as("g")))): _*)).as("x"))
+      .select(col(idCol), col("__len"), col("x.n").as("n"), col("x.g").as("g"))
+      .groupBy(col(idCol), col("__len"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("__len"), col("n")).agg(
+        min(struct((-col("c")).as("negc"), col("g").as("g"))).as("m"))
+      .select(col(idCol), col("n"),
+        (((-col("m.negc")) * length(col("m.g")).cast("long")).cast("double") /
+          col("__len")).as("f"))
+      .groupBy(col(idCol)).agg(
+        max(when(col("n") === 2, col("f"))).as("top2_frac"),
+        max(when(col("n") === 3, col("f"))).as("top3_frac"),
+        max(when(col("n") === 4, col("f"))).as("top4_frac"))
+    units.join(grams, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"), col("frac_dup_lines"),
+        col("frac_chars_dup_lines"), col("n_paras"), col("frac_dup_paras"),
+        col("frac_chars_dup_paras"),
+        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
+        coalesce(col("top3_frac"), lit(0.0)).as("top3_frac"),
+        coalesce(col("top4_frac"), lit(0.0)).as("top4_frac"))
   }
 
   /** Repetition score: frequency of the most common `n`-token shingle
@@ -1756,6 +1865,43 @@ object TextAnalysis {
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
+
+  /** Corpus-level paragraph dedup — RefinedWeb/C4-style boilerplate
+    * stripping at paragraph grain: a paragraph that appears (exact,
+    * post-split, empties dropped) in at least `minDocs` DISTINCT
+    * documents is navigation/template/legal text and is removed from
+    * every document; each doc reassembles from its surviving
+    * paragraphs in original order. Output (idCol, n_paras,
+    * n_dropped, cleaned) — a doc whose paragraphs all drop survives
+    * with an empty string (the doc-level length filter downstream
+    * decides its fate); docs with no non-empty paragraph are absent
+    * (explode semantics, same contract as [[repetitionSignals]]).
+    *
+    * Scale: paragraphs explode narrowly; document frequency is ONE
+    * md5-keyed shuffle over distinct (doc, hash) pairs — 16-byte
+    * keys, never the text, map-side combined; the keep/drop join
+    * rides the same hash key; reassembly is one doc-keyed shuffle
+    * whose collect_list is bounded by the document's own paragraph
+    * count, made deterministic by array_sort over the carried
+    * position. */
+  def paragraphDedup(docs: DataFrame, minDocs: Long = 2,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val paras = docs.select(col(idCol),
+        posexplode(filter(split(col(textCol), "\n\n"), x => x =!= ""))
+          .as(Seq("pos", "para")))
+      .withColumn("__h", md5(col("para")))
+    val df = paras.select(col(idCol), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+    paras.join(df, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("__df") >= minDocs, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__df") < minDocs,
+            struct(col("pos").as("pos"), col("para").as("para"))))),
+          x => x.getField("para")), "\n\n").as("cleaned"))
+  }
 
   /** Per-document n-gram novelty — the memorization / redundancy-risk
     * audit: for each document, the fraction of its DISTINCT

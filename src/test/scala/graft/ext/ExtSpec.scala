@@ -254,6 +254,85 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(13L).isEmpty && out(14L).isEmpty)
   }
 
+  test("paragraphDedup: corpus-frequent paragraphs drop everywhere, " +
+    "survivors reassemble in order; all-dropped docs keep an empty string") {
+    val boiler = "Subscribe now."
+    val rows = Seq(
+      (1L, s"Alpha one.\n\n$boiler\n\nAlpha two."),
+      (2L, s"$boiler\n\nBeta body."),
+      (3L, boiler),           // every paragraph is boilerplate
+      (4L, "Solo paragraph.") // unique everywhere
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.paragraphDedup(rows).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((3L, 1L, "Alpha one.\n\nAlpha two.")))
+    assert(out(2L) == ((2L, 1L, "Beta body.")))
+    assert(out(3L) == ((1L, 1L, "")))
+    assert(out(4L) == ((1L, 0L, "Solo paragraph.")))
+  }
+
+  test("canonicalDedup: snapshots collapse on the declared canonical; " +
+    "pages without one key on their own URL") {
+    val rows = Seq(
+      (1L, "https://a.com/p?v=1",
+        "<link rel=\"canonical\" href=\"/p\">", 1L, "x"),
+      (2L, "https://a.com/p?v=2",
+        "<link rel=\"canonical\" href=\"/p\">", 2L, "xy"),
+      (3L, "https://a.com/q", "<p>no canonical</p>", 5L, "z")
+    ).toDF("doc_id", "url", "html", "ts", "text")
+    val out = TextAnalysis.canonicalDedup(rows).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(out == Map("https://a.com/p" -> ((2L, 2L)),
+      "https://a.com/q" -> ((3L, 1L))),
+      "newest snapshot represents the canonical group")
+  }
+
+  test("pageMeta: first title entity-decoded and collapsed, description in " +
+    "both attribute orders, canonical resolved, charset lowercased") {
+    val rows = Seq(
+      (1L, "https://a.com/d/p.html",
+        "<head><TITLE> A &amp;\n B </TITLE><title>second</title>" +
+          "<meta name=\"description\" content=\"d one\">" +
+          "<link rel=\"canonical\" href=\"../c.html\">" +
+          "<meta charset=\"UTF-8\"></head>"),
+      (2L, "https://b.org/x",
+        "<meta content=\"d two\" name=\"description\">" +
+          "<link href=\"/only\" rel=\"canonical\"><META CHARSET=latin-1>"),
+      (3L, "https://c.net/y", "<p>no head fields at all</p>")
+    ).toDF("doc_id", "url", "html")
+    val out = TextAnalysis.pageMeta(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getString(2) == "A & B", "first title wins, decoded+collapsed")
+    assert(r1.getString(3) == "d one")
+    assert(r1.getString(4) == "https://a.com/c.html", "canonical resolves ../")
+    assert(r1.getString(5) == "utf-8")
+    val r2 = out(2L)
+    assert(r2.isNullAt(2) && r2.getString(3) == "d two")
+    assert(r2.getString(4) == "https://b.org/only")
+    assert(r2.getString(5) == "latin-1", "unquoted uppercase charset")
+    val r3 = out(3L)
+    assert(r3.isNullAt(2) && r3.isNullAt(3) && r3.isNullAt(4) && r3.isNullAt(5))
+  }
+
+  test("sitemapParse: entries keep order, optional fields null, " +
+    "values whitespace-trimmed, priority parsed as double") {
+    val xml = "<?xml version=\"1.0\"?><urlset>" +
+      "<url><loc>\n https://s.io/1 \n</loc><lastmod>2026-03-01</lastmod>" +
+      "<changefreq>weekly</changefreq><priority>0.9</priority></url>" +
+      "<URL><loc>https://s.io/2</loc></URL>" + // uppercase tag must NOT match
+      "<url><priority>0.1</priority><loc>https://s.io/3</loc></url>" +
+      "</urlset>"
+    val out = TextAnalysis.sitemapParse(Seq(("s.io", xml)).toDF("domain", "xml"))
+      .orderBy("pos").collect()
+    assert(out.length == 2, "tag-exact <url> entries only")
+    assert(out(0).getString(2) == "https://s.io/1" &&
+      out(0).getString(3) == "2026-03-01" &&
+      out(0).getString(4) == "weekly" && out(0).getDouble(5) == 0.9)
+    assert(out(1).getString(2) == "https://s.io/3" &&
+      out(1).isNullAt(3) && out(1).isNullAt(4) && out(1).getDouble(5) == 0.1)
+  }
+
   test("robotsGate: RFC 9309 longest-match — Disallow:/ + Allow:/public/ " +
     "inverts, longer Disallow beats shorter Allow, exact ties fall to Allow") {
     val robots = Seq(
