@@ -1944,6 +1944,118 @@ object SparkEntry {
           col("mp4.width").as("width"), col("mp4.height").as("height"))
         .orderBy("media_id")
     }),
+    // HITS on the arithmetic domain graph (every site links its ext
+    // target and the shared CDN): cdn becomes the top authority,
+    // sites are pure hubs — exact integer path counts after 2 rounds
+    "q210_hits_scores" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def site = concat(lit("site"),
+        pmod(col("doc_id"), lit(7L)).cast("string"))
+      val e1 = d.select(site.as("src"),
+        concat(lit("ext"), pmod(col("doc_id"), lit(5L)).cast("string")).as("dst"))
+      val e2 = d.select(site.as("src"), lit("cdn").as("dst"))
+      Dedup.hitsScores(e1.unionByName(e2)).orderBy("id")
+    }),
+    // FLAC STREAMINFO round-trip: the packed 64-bit field (20-bit
+    // sample rate, 3-bit channels, 5-bit bps, 36-bit total samples)
+    // built as ONE shifted integer, recovered bit-exactly
+    "q208_flac_meta" -> ((s, dir) => {
+      def be(c: Column, n: Int) = lpad(hex(c), 2 * n, "0")
+      val sr = (col("n_chars") % 48000 + 8000).cast("long")
+      val ch1 = pmod(col("doc_id"), lit(8L))
+      val bps1 = when(pmod(col("doc_id"), lit(2L)) === 0, lit(15L))
+        .otherwise(lit(23L))
+      val total = col("n_chars").cast("long") * 1000L
+      val packed = shiftleft(sr, 44) + shiftleft(ch1, 41) +
+        shiftleft(bps1, 36) + total
+      val minbs = (col("n_chars") % 4096 + 16).cast("long")
+      val hexStr = concat(lit("664C6143" + "80" + "000022"),
+        be(minbs, 2), be(minbs, 2), lit("000000" + "000000"),
+        be(packed, 8), lit("0" * 32))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), unhex(hexStr).as("payload"))
+      Multimodal.containerMeta(media, Seq("flac"))
+        .select(col("media_id"), col("n_bytes"),
+          col("flac.min_block").as("min_block"),
+          col("flac.max_block").as("max_block"),
+          col("flac.sample_rate").as("sample_rate"),
+          col("flac.channels").as("channels"),
+          col("flac.bits_per_sample").as("bits_per_sample"),
+          col("flac.total_samples").as("total_samples"))
+        .orderBy("media_id")
+    }),
+    // MP3 frame headers behind a VARIABLE-size ID3v2 tag (synchsafe
+    // size) on even docs — bitrate/samplerate table indices and the
+    // channel mode rotate through every legal value
+    "q209_mp3_meta" -> ((s, dir) => {
+      def be(c: Column, n: Int) = lpad(hex(c), 2 * n, "0")
+      val k = pmod(col("doc_id"), lit(40L))
+      val hasId3 = pmod(col("doc_id"), lit(2L)) === 0
+      val id3 = concat(lit("494433" + "0400" + "00" + "000000"), be(k, 1),
+        lit("0" * 80).substr(lit(1), k * 2))
+      val brIdx = pmod(col("doc_id"), lit(14L)) + 1L
+      val srIdx = pmod(col("doc_id"), lit(3L))
+      val b3 = shiftleft(brIdx, 4) + shiftleft(srIdx, 2)
+      val b4 = shiftleft(pmod(col("doc_id"), lit(4L)), 6)
+      val hexStr = concat(when(hasId3, id3).otherwise(lit("")),
+        lit("FFFB"), be(b3, 1), be(b4, 1), lit("00000000"))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), unhex(hexStr).as("payload"))
+      Multimodal.containerMeta(media, Seq("mp3"))
+        .select(col("media_id"),
+          col("mp3.bitrate_kbps").as("bitrate_kbps"),
+          col("mp3.sample_rate").as("sample_rate"),
+          col("mp3.channel_mode").as("channel_mode"),
+          col("mp3.has_id3").as("has_id3"))
+        .orderBy("media_id")
+    }),
+    // HEIF/AVIF dims: ftyp brand (avif/heic by parity) + meta full-box
+    // descent past a VARIABLE free box to iprp/ipco/ispe — the walk
+    // must honor meta's +12 version/flags offset; oracle arithmetic
+    "q206_heif_meta" -> ((s, dir) => {
+      val wv = (col("n_chars") % 640 + 1).cast("long")
+      val hv = (col("n_chars") % 480 + 1).cast("long")
+      val k = pmod(col("doc_id"), lit(5L))
+      val isAvif = pmod(col("doc_id"), lit(2L)) === 0
+      def be(c: Column, n: Int) = lpad(hex(c), 2 * n, "0")
+      val brandHex = when(isAvif, lit("61766966")).otherwise(lit("68656963"))
+      val ftyp = concat(lit("00000014" + "66747970"), brandHex,
+        lit("00000000" + "6D696631"))
+      val ispe = concat(lit("00000014" + "69737065" + "00000000"),
+        be(wv, 4), be(hv, 4))
+      val ipco = concat(lit("00000024" + "6970636F" +
+        "00000008" + "66726565"), ispe)
+      val iprp = concat(lit("0000002C" + "69707270"), ipco)
+      val free1 = concat(be(k + 8, 4), lit("66726565"),
+        lit("00000000").substr(lit(1), k * 2))
+      val meta = concat(be(k + 64, 4), lit("6D657461" + "00000000"),
+        free1, iprp)
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          unhex(concat(ftyp, meta)).as("payload"))
+        .localCheckpoint()
+      Multimodal.containerMeta(media, Seq("heif"))
+        .select(col("media_id"), col("n_bytes"), col("heif.brand").as("brand"),
+          col("heif.width").as("width"), col("heif.height").as("height"))
+        .orderBy("media_id")
+    }),
+    // mdat-grain MP4 fingerprint: same sample data behind different
+    // free-box padding must fingerprint identically — the oracle
+    // predicts md5(text) while every header byte drops out
+    "q207_mp4_fingerprint" -> ((s, dir) => {
+      val k = pmod(col("doc_id"), lit(5L))
+      def be(c: Column, n: Int) = lpad(hex(c), 2 * n, "0")
+      val free = concat(be(k + 8, 4), lit("66726565"),
+        lit("00000000").substr(lit(1), k * 2))
+      val mdat = concat(be(octet_length(col("text")).cast("long") + 8L, 4),
+        lit("6D646174"), hex(col("text").cast("binary")))
+      val hexStr = concat(lit("00000010" + "66747970" + "69736F6D" + "00000200"),
+        free, mdat)
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), unhex(hexStr).as("payload"))
+        .localCheckpoint()
+      Multimodal.payloadFingerprint(media).orderBy("media_id")
+    }),
     // format-aware payload fingerprint: a FULL synthesized PNG whose
     // tEXt chunk varies by source but whose IDAT stream is the text
     // bytes — the fingerprint must hash ONLY the IDAT content, so the
@@ -3629,6 +3741,76 @@ object SparkEntry {
         |    WHEN 5 THEN 'tiff_ii' ELSE 'tiff_mm' END AS format,
         |  CAST(n_chars % 640 + 1 AS INT) AS width,
         |  CAST(n_chars % 480 + 1 AS INT) AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // q210: two HITS rounds unrolled as CTE pairs (auth from hubs,
+    // hubs from the FRESH auths) — exact integer path counts
+    "q210_hits_scores" -> {
+      val rounds = (1 to 2).map { r =>
+        val p = s"s${r - 1}"
+        s"""a$r AS (SELECT w.dst AS id, CAST(sum(w.w * $p.hub) AS BIGINT) AS a
+           |  FROM w JOIN $p ON $p.id = w.src GROUP BY 1),
+           |sa$r AS (SELECT $p.id, $p.hub, coalesce(a$r.a, 0) AS auth
+           |  FROM $p LEFT JOIN a$r USING (id)),
+           |h$r AS (SELECT w.src AS id, CAST(sum(w.w * sa$r.auth) AS BIGINT) AS h
+           |  FROM w JOIN sa$r ON sa$r.id = w.dst GROUP BY 1),
+           |s$r AS (SELECT sa$r.id, coalesce(h$r.h, 0) AS hub, sa$r.auth
+           |  FROM sa$r LEFT JOIN h$r USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) AS src,
+         |         'ext' || CAST(doc_id % 5 AS VARCHAR) AS dst FROM documents
+         |  UNION ALL
+         |  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR), 'cdn' FROM documents),
+         |w AS (SELECT src, dst, count(*) AS w FROM e GROUP BY 1, 2),
+         |n AS (SELECT DISTINCT src AS id FROM w
+         |      UNION SELECT DISTINCT dst FROM w),
+         |s0 AS (SELECT id, CAST(1 AS BIGINT) AS hub,
+         |       CAST(1 AS BIGINT) AS auth FROM n),
+         |$rounds
+         |SELECT id, hub, auth FROM s2 ORDER BY id""".stripMargin
+    },
+
+    // q208: the flac builder formulas inverted arithmetically
+    "q208_flac_meta" ->
+      """SELECT doc_id AS media_id, CAST(42 AS BIGINT) AS n_bytes,
+        |  CAST(n_chars % 4096 + 16 AS INT) AS min_block,
+        |  CAST(n_chars % 4096 + 16 AS INT) AS max_block,
+        |  CAST(n_chars % 48000 + 8000 AS INT) AS sample_rate,
+        |  CAST(doc_id % 8 + 1 AS INT) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END AS INT)
+        |    AS bits_per_sample,
+        |  CAST(n_chars * 1000 AS BIGINT) AS total_samples
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // q209: MPEG1 Layer III tables replayed as a list index + CASEs
+    "q209_mp3_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+        |    [CAST(doc_id % 14 + 1 AS INT)] AS INT) AS bitrate_kbps,
+        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100
+        |    WHEN 1 THEN 48000 ELSE 32000 END AS INT) AS sample_rate,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'stereo'
+        |    WHEN 1 THEN 'joint' WHEN 2 THEN 'dual' ELSE 'mono'
+        |  END AS channel_mode,
+        |  doc_id % 2 = 0 AS has_id3
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // q206: heif builder formulas; n_bytes = 20 ftyp + (64 + k) meta
+    "q206_heif_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(84 + doc_id % 5 AS BIGINT) AS n_bytes,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'avif' ELSE 'heic' END AS brand,
+        |  CAST(n_chars % 640 + 1 AS INT) AS width,
+        |  CAST(n_chars % 480 + 1 AS INT) AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // q207: header bytes (ftyp 16 + free 8+k) drop out of the hash;
+    // only the mdat payload — the raw text bytes — is fingerprinted
+    "q207_mp4_fingerprint" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(32 + doc_id % 5 + strlen(text) AS BIGINT) AS n_bytes,
+        |  'mp4' AS format, md5(text) AS fingerprint
         |FROM documents ORDER BY media_id""".stripMargin,
 
     // q199: the mp4 builder formulas the box walk must invert; total

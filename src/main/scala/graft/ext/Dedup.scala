@@ -435,6 +435,49 @@ object Dedup {
     ranks.select(col("id").as(idCol), col("mass"))
   }
 
+  /** HITS hub/authority centrality (Kleinberg 1999) on a DIRECTED
+    * edge stream (one row per link — multiplicities become edge
+    * weights) — the complement of [[pagerankCentrality]] for
+    * web-graph curation: authorities are pages many good hubs point
+    * to (worth crawling deeper), hubs are index/link-farm pages
+    * (worth down-weighting as content). `iters` UNnormalized integer
+    * rounds: auth = Σ_in w·hub, then hub = Σ_out w·auth over the
+    * fresh auths — weighted path counts, exact int64 and therefore
+    * engine-identical/hashable; callers needing a [0,1] score divide
+    * by the max once (the q150 raw-score rule: keep the division out
+    * of the hashed contract). Values grow like (total weighted
+    * degree)^(2·iters), so iters is require()d ≤ 3 — the operator
+    * runs on the domain graph (domain-count-bounded), never the
+    * corpus.
+    *
+    * Scale: edges roll up to (src, dst, w) once; each half-round is
+    * one keyed join + one keyed sum over that table — 4·iters
+    * edge-bounded shuffles, localCheckpoint per round keeps the plan
+    * linear. Endpoint-union seeding keeps every referenced node
+    * present (the pagerank mass-guard rule). */
+  def hitsScores(edges: DataFrame, iters: Int = 2,
+                 srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1 && iters <= 3, s"iters must be in [1,3], got $iters")
+    val w = edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .agg(count(lit(1)).as("w")).localCheckpoint()
+    val nodes = w.select(col("src").as("id"))
+      .unionByName(w.select(col("dst").as("id"))).distinct()
+    var scores = nodes.select(col("id"), lit(1L).as("hub"), lit(1L).as("auth"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val auth = w.join(scores.select(col("id").as("src"), col("hub")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("w") * col("hub")).as("a"))
+      val s1 = scores.join(auth, Seq("id"), "left")
+        .select(col("id"), col("hub"), coalesce(col("a"), lit(0L)).as("auth"))
+      val hub = w.join(s1.select(col("id").as("dst"), col("auth")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum(col("w") * col("auth")).as("h"))
+      scores = s1.join(hub, Seq("id"), "left")
+        .select(col("id"), coalesce(col("h"), lit(0L)).as("hub"), col("auth"))
+        .localCheckpoint()
+    }
+    scores
+  }
+
   /** Exact edit-distance verification of candidate pairs — the last
     * filter before declaring two documents duplicates when Jaccard is
     * too coarse (small edits inside shared shingles). Levenshtein is

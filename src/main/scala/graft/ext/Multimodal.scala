@@ -351,12 +351,122 @@ object Multimodal {
       height.cast("int").as("height")))
   }
 
+  /** Parse HEIF/AVIF image dimensions — the `ftyp`-family containers
+    * modern crawls carry for images (iPhone HEIC, AVIF): brand from
+    * the leading `ftyp`, then the `ispe` (image spatial extents)
+    * property from the `meta` → `iprp` → `ipco` box path
+    * (ISO/IEC 23008-12 §6.5.3). Same single bounded pre-order fold
+    * as [[mp4Meta]], with one twist: `meta` is a FULL box, so the
+    * descent lands at +12 (version/flags) while `iprp`/`ipco`
+    * descend at +8; leaf boxes between them (`hdlr`, `pitm`,
+    * `iloc`, `iinf`, `pixi`, codec config…) skip by size. The first
+    * `ispe` wins (the primary item's, in every real encoder's
+    * layout). Non-HEIF payloads (wrong brand) yield a null struct;
+    * truncated chains yield null dims. */
+  def heifMeta(payload: Column, maxBoxes: Int = 24): Column = {
+    val brand = substring(payload, 9, 4).cast("string")
+    val isHeif = hex(substring(payload, 5, 4)) === lit("66747970") &&
+      brand.isin("avif", "heic", "heix", "mif1")
+    val end = length(payload).cast("long") + 1L
+    val nul = lit(null).cast("long")
+    def st(pos: Column, found: Column): Column =
+      struct(pos.as("pos"), found.as("found"))
+    val walk = aggregate(sequence(lit(1), lit(maxBoxes)),
+      st(lit(1L), nul), (acc, _) => {
+        val pos = acc.getField("pos")
+        val f = acc.getField("found")
+        val sz = beUintAt(payload, pos, 4)
+        val tag = hex(payload.substr(pos + 4, lit(4)))
+        when(f.isNotNull, acc)
+          .when(pos + 7L > end || sz.isNull || sz < 8L, st(end + 1L, f))
+          .when(tag === lit("6D657461"), st(pos + 12L, f)) // meta: full box
+          .when(tag === lit("69707270") || tag === lit("6970636F"), // iprp/ipco
+            st(pos + 8L, f))
+          .when(tag === lit("69737065"), st(pos, pos))     // ispe
+          .otherwise(st(pos + sz, f))
+      })
+    val ispe = walk.getField("found")
+    when(isHeif, struct(
+      brand.as("brand"),
+      beUintAt(payload, ispe + 12L, 4).cast("int").as("width"),
+      beUintAt(payload, ispe + 16L, 4).cast("int").as("height")))
+  }
+
+  /** Parse FLAC STREAMINFO metadata by exact bit slicing (flac format
+    * spec): `fLaC` magic, a first metadata block of type STREAMINFO
+    * (length 34 — both checked, so a bare magic with junk behind it
+    * yields a null struct), then min/max block size and the packed
+    * 64-bit field: sample rate (20 bits), channels-1 (3), bits per
+    * sample-1 (5), total samples (36). All shifts are exact integer
+    * arithmetic over single bytes — no float, fully hashable. */
+  def flacMeta(payload: Column): Column = {
+    val isFlac = hex(substring(payload, 1, 4)) === lit("664C6143") &&
+      beUint(payload, 5, 1).bitwiseAND(127L) === 0L && // first block: STREAMINFO
+      beUint(payload, 6, 3) === 34L
+    def b(pos: Int): Column = beUint(payload, pos, 1)
+    val sampleRate = shiftleft(b(19), 12) + shiftleft(b(20), 4) +
+      shiftright(b(21), 4)
+    val channels = shiftright(b(21), 1).bitwiseAND(7L) + 1L
+    val bps = shiftleft(b(21).bitwiseAND(1L), 4) + shiftright(b(22), 4) + 1L
+    val totalSamples = shiftleft(b(22).bitwiseAND(15L), 32) +
+      shiftleft(b(23), 24) + shiftleft(b(24), 16) + shiftleft(b(25), 8) + b(26)
+    when(isFlac, struct(
+      beUint(payload, 9, 2).cast("int").as("min_block"),
+      beUint(payload, 11, 2).cast("int").as("max_block"),
+      sampleRate.cast("int").as("sample_rate"),
+      channels.cast("int").as("channels"),
+      bps.cast("int").as("bits_per_sample"),
+      totalSamples.as("total_samples")))
+  }
+
+  /** MPEG1 Layer III bitrate table, index 1-14 (0 = free-format and
+    * 15 = bad are both rejected). */
+  private val Mp3Bitrates: Seq[Long] =
+    Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** Parse an MP3 (MPEG1 Layer III) frame header, skipping a leading
+    * ID3v2 tag when present (its synchsafe 28-bit size, 7 bits per
+    * byte). Contract: only MPEG1 Layer III frames parse — the
+    * crawl-dominant case — so the bitrate/samplerate tables stay
+    * small; other versions/layers, free-format (bitrate index 0) and
+    * bad indices yield a null struct. Fields: bitrate_kbps,
+    * sample_rate, channel_mode (stereo/joint/dual/mono), has_id3.
+    * Fixed offsets after the computed frame start — narrow byte
+    * arithmetic, no decoding. */
+  def mp3Meta(payload: Column): Column = {
+    val hasId3 = substring(payload, 1, 3).cast("string") === "ID3"
+    val id3Size = shiftleft(beUint(payload, 7, 1), 21) +
+      shiftleft(beUint(payload, 8, 1), 14) +
+      shiftleft(beUint(payload, 9, 1), 7) + beUint(payload, 10, 1)
+    val start = when(hasId3, id3Size + 11L).otherwise(lit(1L))
+    def b(off: Int): Column = byteAt(payload, start + off)
+    val sync = b(0) === 255L && shiftright(b(1), 5) === 7L
+    val isMpeg1L3 = shiftright(b(1), 3).bitwiseAND(3L) === 3L &&
+      shiftright(b(1), 1).bitwiseAND(3L) === 1L
+    val brIdx = shiftright(b(2), 4)
+    val srIdx = shiftright(b(2), 2).bitwiseAND(3L)
+    val bitrate = Mp3Bitrates.zipWithIndex.foldLeft(lit(null).cast("long")) {
+      case (acc, (kbps, i)) => when(brIdx === (i + 1).toLong, lit(kbps)).otherwise(acc)
+    }
+    val sampleRate = when(srIdx === 0L, 44100L).when(srIdx === 1L, 48000L)
+      .when(srIdx === 2L, 32000L)
+    val mode = when(shiftright(b(3), 6) === 0L, "stereo")
+      .when(shiftright(b(3), 6) === 1L, "joint")
+      .when(shiftright(b(3), 6) === 2L, "dual")
+      .otherwise("mono")
+    when(sync && isMpeg1L3 && bitrate.isNotNull && sampleRate.isNotNull, struct(
+      bitrate.cast("int").as("bitrate_kbps"),
+      sampleRate.cast("int").as("sample_rate"),
+      mode.as("channel_mode"),
+      hasId3.as("has_id3")))
+  }
+
   /** Scan a media frame, attaching parsed container metadata columns —
     * the real half of "decode": header fields come from the bytes
     * themselves, only pixel/sample decoding remains stubbed. Covers
     * the containers web crawls actually carry: PNG, WAV, JPEG, GIF,
-    * WebP, TIFF, MP4 — one narrow projection over a mixed media lake,
-    * filter by `<fmt>.width IS NOT NULL`.
+    * WebP, TIFF, MP4, HEIF/AVIF, FLAC, MP3 — one narrow projection over a mixed
+    * media lake, filter by `<fmt>.width IS NOT NULL`.
     *
     * `formats` restricts which parser expression trees are built at
     * all: Catalyst does NOT prune the unused struct columns out of a
@@ -369,7 +479,8 @@ object Multimodal {
     val parsers = Map[String, Column => Column](
       "png" -> (pngMeta(_)), "wav" -> (wavMeta(_)), "jpeg" -> (jpegMeta(_)),
       "gif" -> (gifMeta(_)), "webp" -> (webpMeta(_)), "tiff" -> (tiffMeta(_)),
-      "mp4" -> (mp4Meta(_)))
+      "mp4" -> (mp4Meta(_)), "heif" -> (heifMeta(_)),
+      "flac" -> (flacMeta(_)), "mp3" -> (mp3Meta(_)))
     val unknown = formats.filterNot(parsers.contains)
     require(unknown.isEmpty, s"unknown container formats: ${unknown.mkString(",")}")
     media.select(
@@ -381,7 +492,8 @@ object Multimodal {
   /** Every format [[containerMeta]] can parse, in its default column
     * order. */
   val ContainerFormats: Seq[String] =
-    Seq("png", "wav", "jpeg", "gif", "webp", "tiff", "mp4")
+    Seq("png", "wav", "jpeg", "gif", "webp", "tiff", "mp4", "heif",
+      "flac", "mp3")
 
   /** PNG pixel-stream bytes: the CONCATENATED data of every IDAT
     * chunk, walked chunk-by-chunk (`pos → pos + 12 + len`: length,
@@ -662,13 +774,44 @@ object Multimodal {
     val png = pngContentBytes(p, maxChunks)
     val jpeg = jpegContentBytes(p, maxChunks)
     val wav = wavContentBytes(p)
+    val mp4 = mp4ContentBytes(p, maxChunks)
     val format = when(png.isNotNull, "png")
       .when(jpeg.isNotNull, "jpeg")
       .when(wav.isNotNull, "wav")
+      .when(mp4.isNotNull, "mp4")
       .otherwise("other")
     media.select(col("media_id"),
       length(p).cast("long").as("n_bytes"),
       format.as("format"),
-      md5(coalesce(png, jpeg, wav, p)).as("fingerprint"))
+      md5(coalesce(png, jpeg, wav, mp4, p)).as("fingerprint"))
+  }
+
+  /** MP4 sample-data bytes: the payload of the first top-level `mdat`
+    * box — the part that carries the encoded media, while `ftyp`
+    * brands, `free` padding and `moov` metadata (titles, timestamps,
+    * track ordering — the bytes that differ between "the same video
+    * re-muxed twice") all drop out. One bounded sibling walk, no
+    * descent needed: `mdat` is always top-level. Null for non-MP4
+    * payloads or when no `mdat` appears in `maxBoxes`. */
+  private def mp4ContentBytes(payload: Column, maxBoxes: Int): Column = {
+    val isMp4 = hex(substring(payload, 5, 4)) === lit("66747970")
+    val end = length(payload).cast("long") + 1L
+    val nul = lit(null).cast("long")
+    def st(pos: Column, found: Column): Column =
+      struct(pos.as("pos"), found.as("found"))
+    val walk = aggregate(sequence(lit(1), lit(maxBoxes)),
+      st(lit(1L), nul), (acc, _) => {
+        val pos = acc.getField("pos")
+        val f = acc.getField("found")
+        val sz = beUintAt(payload, pos, 4)
+        val tag = hex(payload.substr(pos + 4, lit(4)))
+        when(f.isNotNull, acc)
+          .when(pos + 7L > end || sz.isNull || sz < 8L, st(end + 1L, f))
+          .when(tag === lit("6D646174"), st(pos, pos)) // mdat
+          .otherwise(st(pos + sz, f))
+      })
+    val m = walk.getField("found")
+    when(isMp4 && m.isNotNull,
+      payload.substr(m + 8L, beUintAt(payload, m, 4) - 8L))
   }
 }

@@ -2217,6 +2217,122 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3).isNullAt(out(3).fieldIndex("mp4")))
   }
 
+  test("heifMeta: ispe dims behind the meta full-box descent; wrong brand " +
+    "and truncated chains stay null") {
+    import spark.implicits._
+    def box(tag: String, body: Array[Byte]): Array[Byte] =
+      be(body.length + 8, 4) ++ tag.getBytes ++ body
+    def ftyp(brand: String) = box("ftyp", brand.getBytes ++ be(0, 4) ++ "mif1".getBytes)
+    val ispe = box("ispe", be(0, 4) ++ be(1024, 4) ++ be(768, 4))
+    val ipco = box("ipco", box("free", Array.fill[Byte](2)(0)) ++ ispe)
+    val iprp = box("iprp", ipco)
+    val hdlr = box("hdlr", Array.fill[Byte](25)(0)) // leaf to step over
+    val meta = box("meta", be(0, 4) ++ hdlr ++ iprp)
+    val good = ftyp("avif") ++ meta
+    val wrongBrand = ftyp("isom") ++ meta       // mp4 brand: not an image
+    val trunc = (ftyp("heic") ++ meta).dropRight(16) // ispe cut off
+    val media = Seq((1L, good), (2L, wrongBrand), (3L, trunc))
+      .toDF("media_id", "payload")
+    val out = Multimodal.containerMeta(media, Seq("heif"))
+      .orderBy("media_id").collect()
+    val m = out(0).getAs[org.apache.spark.sql.Row]("heif")
+    assert(m.getAs[String]("brand") == "avif")
+    assert(m.getAs[Int]("width") == 1024 && m.getAs[Int]("height") == 768)
+    assert(out(1).isNullAt(out(1).fieldIndex("heif")))
+    val t3 = out(2).getAs[org.apache.spark.sql.Row]("heif")
+    assert(t3.getAs[String]("brand") == "heic" &&
+      t3.isNullAt(t3.fieldIndex("width")),
+      "truncated ispe yields null dims, not garbage")
+  }
+
+  test("hitsScores: exact integer hub/authority path counts with fresh-auth " +
+    "half rounds; edge multiplicity weights") {
+    import spark.implicits._
+    // a->b, a->c, b->c: hand-computed 2 rounds
+    // r1: auth b=1, c=2; hub a=3, b=2, c=0
+    // r2: auth b=3, c=5; hub a=8, b=5, c=0
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val out = graft.ext.Dedup.hitsScores(edges, iters = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("a" -> ((8L, 0L)), "b" -> ((5L, 3L)), "c" -> ((0L, 5L))))
+    // doubled edge doubles its weight: a->b x2 after one round gives
+    // auth(b)=2 and hub(a)=2*2=4
+    val weighted = Seq(("a", "b"), ("a", "b")).toDF("src", "dst")
+    val w = graft.ext.Dedup.hitsScores(weighted, iters = 1).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(w == Map("a" -> ((4L, 0L)), "b" -> ((0L, 2L))))
+  }
+
+  test("flacMeta: STREAMINFO bit fields recover exactly; bare magic with " +
+    "junk and non-flac payloads stay null") {
+    import spark.implicits._
+    // 44100 Hz stereo 16-bit, 1e6 samples, block 4096
+    val sr = 44100L; val ch1 = 1L; val bps1 = 15L; val total = 1000000L
+    val packed = (sr << 44) | (ch1 << 41) | (bps1 << 36) | total
+    val good = "fLaC".getBytes ++ Array[Byte](0x80.toByte, 0, 0, 34) ++
+      be(4096, 2) ++ be(4096, 2) ++ be(0, 3) ++ be(0, 3) ++
+      be(packed, 8) ++ Array.fill[Byte](16)(0)
+    val junk = "fLaC".getBytes ++ "not a streaminfo block".getBytes
+    val media = Seq((1L, good), (2L, junk), (3L, "plain".getBytes))
+      .toDF("media_id", "payload")
+    val out = Multimodal.containerMeta(media, Seq("flac"))
+      .orderBy("media_id").collect()
+    val f = out(0).getAs[org.apache.spark.sql.Row]("flac")
+    assert(f.getAs[Int]("min_block") == 4096 && f.getAs[Int]("sample_rate") == 44100)
+    assert(f.getAs[Int]("channels") == 2 && f.getAs[Int]("bits_per_sample") == 16)
+    assert(f.getAs[Long]("total_samples") == 1000000L)
+    assert(out(1).isNullAt(out(1).fieldIndex("flac")),
+      "first block must be a length-34 STREAMINFO")
+    assert(out(2).isNullAt(out(2).fieldIndex("flac")))
+  }
+
+  test("mp3Meta: frame header parses with and without an ID3v2 prefix; " +
+    "free-format, bad index and MPEG2 frames stay null") {
+    import spark.implicits._
+    // MPEG1 L3, bitrate idx 9 (128), 44100, joint stereo
+    val frame = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x40, 0, 0)
+    val id3 = "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 0, 5) ++
+      Array.fill[Byte](5)(0x7f)
+    val freeFmt = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x04, 0x40, 0, 0)
+    val badIdx = Array[Byte](0xFF.toByte, 0xFB.toByte, 0xF4.toByte, 0x40, 0, 0)
+    val mpeg2 = Array[Byte](0xFF.toByte, 0xF3.toByte, 0x94.toByte, 0x40, 0, 0)
+    val media = Seq((1L, frame), (2L, id3 ++ frame), (3L, freeFmt),
+      (4L, badIdx), (5L, mpeg2)).toDF("media_id", "payload")
+    val out = Multimodal.containerMeta(media, Seq("mp3"))
+      .orderBy("media_id").collect()
+    val m1 = out(0).getAs[org.apache.spark.sql.Row]("mp3")
+    assert(m1.getAs[Int]("bitrate_kbps") == 128 &&
+      m1.getAs[Int]("sample_rate") == 44100 &&
+      m1.getAs[String]("channel_mode") == "joint" &&
+      !m1.getAs[Boolean]("has_id3"))
+    val m2 = out(1).getAs[org.apache.spark.sql.Row]("mp3")
+    assert(m2.getAs[Int]("bitrate_kbps") == 128 && m2.getAs[Boolean]("has_id3"),
+      "synchsafe ID3 size must be skipped")
+    assert(out(2).isNullAt(out(2).fieldIndex("mp3")), "free-format rejected")
+    assert(out(3).isNullAt(out(3).fieldIndex("mp3")), "bad bitrate index rejected")
+    assert(out(4).isNullAt(out(4).fieldIndex("mp3")), "MPEG2 out of contract")
+  }
+
+  test("payloadFingerprint: mdat-grain mp4 hashing ignores ftyp/free/moov " +
+    "bytes; same sample data fingerprints identically") {
+    import spark.implicits._
+    def box(tag: String, body: Array[Byte]): Array[Byte] =
+      be(body.length + 8, 4) ++ tag.getBytes ++ body
+    val data = "the same encoded samples".getBytes
+    val a = box("ftyp", "isom".getBytes ++ be(0, 4)) ++ box("mdat", data)
+    val b = box("ftyp", "mp42".getBytes ++ be(7, 4)) ++
+      box("free", Array.fill[Byte](9)(0)) ++ box("mdat", data) ++
+      box("moov", Array.fill[Byte](20)(1))
+    val c = box("ftyp", "isom".getBytes ++ be(0, 4)) ++
+      box("mdat", "different samples".getBytes)
+    val media = Seq((1L, a), (2L, b), (3L, c)).toDF("media_id", "payload")
+    val out = Multimodal.payloadFingerprint(media).orderBy("media_id").collect()
+    assert(out.forall(_.getString(2) == "mp4"))
+    assert(out(0).getString(3) == out(1).getString(3),
+      "header/padding/metadata bytes must not touch the fingerprint")
+    assert(out(0).getString(3) != out(2).getString(3))
+  }
+
   test("wavAudioStats: exact duration and prefix PCM16 amplitude stats; non-PCM16 null") {
     import spark.implicits._
     def wav(sr: Int, samples: Seq[Int]): Array[Byte] =
