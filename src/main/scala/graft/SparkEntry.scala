@@ -1944,6 +1944,52 @@ object SparkEntry {
           col("mp4.width").as("width"), col("mp4.height").as("height"))
         .orderBy("media_id")
     }),
+    // WebVTT cue parsing: header + NOTE blocks skipped, two cues per
+    // doc with formula timestamps (second crosses a minute boundary);
+    // the oracle derives start/end milliseconds arithmetically
+    "q211_vtt_parse" -> ((s, dir) => {
+      val ss = lpad(pmod(col("doc_id"), lit(60L)).cast("string"), 2, "0")
+      val mm = lpad(pmod(col("doc_id"), lit(10L)).cast("string"), 2, "0")
+      val vtt = concat(
+        lit("WEBVTT\n\nNOTE generated fixture\n\n"),
+        lit("00:00:"), ss, lit(".000 --> 00:00:"), ss,
+        lit(".900\nFirst cue for doc "), col("doc_id").cast("string"),
+        lit(".\n\n"),
+        lit("00:"), mm, lit(":10.500 --> 00:"), mm,
+        lit(":12.750\nSecond cue line one.\nLine two."))
+      TextAnalysis.vttParse(
+          t(s, dir, "documents").select(col("doc_id"), vtt.as("vtt")))
+        .orderBy("doc_id", "block_pos")
+    }),
+    // speaker-turn extraction: dotted speaker labels, narrative lines
+    // skipped, utterance word counts — each turn derived arithmetically
+    "q212_dialogue_turns" -> ((s, dir) => {
+      val text = concat_ws("\n",
+        concat(lit("Host: Welcome to episode "), col("doc_id").cast("string"),
+          lit(".")),
+        lit("(applause)"),
+        lit("Dr. Gray: Thanks for having me."),
+        concat(lit("Host: Question "), pmod(col("doc_id"), lit(7L)).cast("string"),
+          lit(" coming up.")))
+      TextAnalysis.dialogueTurns(
+          t(s, dir, "documents").select(col("doc_id"), text.as("text")))
+        .orderBy("doc_id", "turn_pos")
+    }),
+    // markdown structure census over planted pages (header lines, an
+    // unterminated trailing fence on doc_id%3==0, one link) — the
+    // oracle replays the fence-parity trick
+    "q213_markdown_stats" -> ((s, dir) => {
+      val md = concat(
+        lit("# Title\n\nSome intro with a [link](https://x.io/"),
+        col("doc_id").cast("string"), lit(").\n\n"),
+        lit("## Section\n\n```\n"), substring(col("text"), 1, 30),
+        lit("\n```\n\ntail "),
+        when(pmod(col("doc_id"), lit(3L)) === 0,
+          lit("```unterminated code")).otherwise(lit("plain end")))
+      TextAnalysis.markdownStats(
+          t(s, dir, "documents").select(col("doc_id"), md.as("text")))
+        .orderBy("doc_id")
+    }),
     // HITS on the arithmetic domain graph (every site links its ext
     // target and the shared CDN): cdn becomes the top authority,
     // sites are pure hubs — exact integer path counts after 2 rounds
@@ -3742,6 +3788,69 @@ object SparkEntry {
         |  CAST(n_chars % 640 + 1 AS INT) AS width,
         |  CAST(n_chars % 480 + 1 AS INT) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // q211: cue rows derived arithmetically (block 0 = WEBVTT header,
+    // 1 = NOTE, cues at 2 and 3)
+    "q211_vtt_parse" ->
+      """WITH d AS (SELECT doc_id, doc_id % 60 AS ss, doc_id % 10 AS mm
+        |  FROM documents)
+        |SELECT doc_id, block_pos, start_ms, end_ms,
+        |  end_ms - start_ms AS duration_ms, text FROM (
+        |  SELECT doc_id, CAST(2 AS BIGINT) AS block_pos,
+        |    CAST(ss * 1000 AS BIGINT) AS start_ms,
+        |    CAST(ss * 1000 + 900 AS BIGINT) AS end_ms,
+        |    'First cue for doc ' || CAST(doc_id AS VARCHAR) || '.' AS text
+        |  FROM d
+        |  UNION ALL SELECT doc_id, CAST(3 AS BIGINT),
+        |    CAST(mm * 60000 + 10500 AS BIGINT),
+        |    CAST(mm * 60000 + 12750 AS BIGINT),
+        |    'Second cue line one.' || chr(10) || 'Line two.' FROM d)
+        |ORDER BY doc_id, block_pos""".stripMargin,
+
+    // q212: each turn derived arithmetically; the narrative line at
+    // pos 1 never appears
+    "q212_dialogue_turns" ->
+      """SELECT doc_id, turn_pos, speaker, utterance, n_words FROM (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS turn_pos, 'Host' AS speaker,
+        |    'Welcome to episode ' || CAST(doc_id AS VARCHAR) || '.' AS utterance,
+        |    CAST(4 AS BIGINT) AS n_words FROM documents
+        |  UNION ALL SELECT doc_id, CAST(2 AS BIGINT), 'Dr. Gray',
+        |    'Thanks for having me.', CAST(4 AS BIGINT) FROM documents
+        |  UNION ALL SELECT doc_id, CAST(3 AS BIGINT), 'Host',
+        |    'Question ' || CAST(doc_id % 7 AS VARCHAR) || ' coming up.',
+        |    CAST(4 AS BIGINT) FROM documents)
+        |ORDER BY doc_id, turn_pos""".stripMargin,
+
+    // q213: the fence-parity trick replayed (1-based even segments =
+    // the engine's 0-based odd = code)
+    "q213_markdown_stats" ->
+      """WITH d AS (SELECT doc_id,
+        |    '# Title' || chr(10) || chr(10) ||
+        |    'Some intro with a [link](https://x.io/' ||
+        |    CAST(doc_id AS VARCHAR) || ').' || chr(10) || chr(10) ||
+        |    '## Section' || chr(10) || chr(10) || '```' || chr(10) ||
+        |    substr(text, 1, 30) || chr(10) || '```' || chr(10) || chr(10) ||
+        |    'tail ' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '```unterminated code'
+        |         ELSE 'plain end' END AS md
+        |  FROM documents),
+        |p AS (SELECT doc_id, md, string_split(md, '```') AS parts FROM d),
+        |c AS (SELECT doc_id, sum(length(seg)) AS s FROM
+        |  (SELECT doc_id, i, parts[i] AS seg FROM
+        |    (SELECT doc_id, parts, unnest(generate_series(1, len(parts))) AS i
+        |     FROM p)
+        |   WHERE i % 2 = 0) GROUP BY 1)
+        |SELECT p.doc_id,
+        |  CAST(len(list_filter(string_split(md, chr(10)),
+        |    l -> regexp_matches(l, '^#{1,6} '))) AS BIGINT) AS n_headers,
+        |  CAST(len(parts) // 2 AS BIGINT) AS n_code_blocks,
+        |  CAST(len(regexp_extract_all(md,
+        |    '\[[^\]]*\]\([^)]*\)')) AS BIGINT) AS n_links,
+        |  CAST(coalesce(c.s, 0) AS BIGINT) AS code_chars,
+        |  CAST(length(md) AS BIGINT) AS n_chars,
+        |  CAST(coalesce(c.s, 0) AS DOUBLE) / length(md) AS code_fraction
+        |FROM p LEFT JOIN c USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin,
 
     // q210: two HITS rounds unrolled as CTE pairs (auth from hubs,
     // hubs from the FRESH auths) — exact integer path counts

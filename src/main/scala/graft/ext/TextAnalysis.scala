@@ -1026,6 +1026,84 @@ object TextAnalysis {
         field(col("e"), "priority").cast("double").as("priority"))
   }
 
+  /** WebVTT subtitle parsing — the transcript feed of a video
+    * training pipeline: split the file into blank-line-separated
+    * blocks, keep cue blocks (first line `HH:MM:SS.mmm -->
+    * HH:MM:SS.mmm`, the full-hours form; the WEBVTT header, NOTE and
+    * STYLE blocks simply don't match), convert both timestamps to
+    * exact integer milliseconds, and carry the remaining lines as
+    * the cue text. Output (id, block_pos, start_ms, end_ms,
+    * duration_ms, text) — block_pos preserves file order. Narrow
+    * regexp arithmetic, zero shuffle, oracle-replayable. */
+  def vttParse(docs: DataFrame, idCol: String = "doc_id",
+               vttCol: String = "vtt"): DataFrame = {
+    val timing = "^([0-9]{2}):([0-9]{2}):([0-9]{2})\\.([0-9]{3})" +
+      " --> ([0-9]{2}):([0-9]{2}):([0-9]{2})\\.([0-9]{3})"
+    def ms(b: Column, g0: Int): Column =
+      regexp_extract(b, timing, g0).cast("long") * 3600000L +
+        regexp_extract(b, timing, g0 + 1).cast("long") * 60000L +
+        regexp_extract(b, timing, g0 + 2).cast("long") * 1000L +
+        regexp_extract(b, timing, g0 + 3).cast("long")
+    val b = col("block")
+    docs.select(col(idCol),
+        posexplode(split(col(vttCol), "\n\n")).as(Seq("block_pos", "block")))
+      .filter(b.rlike(timing))
+      .select(col(idCol), col("block_pos").cast("long").as("block_pos"),
+        ms(b, 1).as("start_ms"), ms(b, 5).as("end_ms"),
+        (ms(b, 5) - ms(b, 1)).as("duration_ms"),
+        regexp_replace(b, "^[^\n]*\n?", "").as("text"))
+  }
+
+  /** Speaker-turn extraction — the conversational-data prep every
+    * dialogue corpus runs: lines shaped `Speaker: utterance` become
+    * one turn each (line order kept as `turn_pos`), narrative lines
+    * without a speaker tag are skipped. The speaker label is 1-40
+    * chars of letters/digits/space/dot/dash/underscore before the
+    * first colon; the utterance is whitespace-trimmed; `n_words`
+    * counts its space-separated words. Per-speaker roll-ups
+    * (turn counts, word budgets, balance checks) are one groupBy
+    * away. Narrow split + regexp pass, zero shuffle. */
+  def dialogueTurns(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val pat = "^([A-Za-z][A-Za-z0-9 ._-]{0,39}): (.*)$"
+    val l = col("line")
+    docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("turn_pos", "line")))
+      .filter(l.rlike(pat))
+      .select(col(idCol), col("turn_pos").cast("long").as("turn_pos"),
+        regexp_extract(l, pat, 1).as("speaker"),
+        trim(regexp_extract(l, pat, 2)).as("utterance"))
+      .withColumn("n_words",
+        size(filter(split(col("utterance"), " "), x => x =!= "")).cast("long"))
+  }
+
+  /** Markdown structure census — the quality/routing signal for
+    * code-and-docs corpora: ATX header count (`#{1,6} ` lines),
+    * fenced code-block count (``` fence pairs), markdown link count
+    * (`[label](target)`), and the fraction of characters inside
+    * fenced code (split on the fence — odd-indexed segments are
+    * code, the standard parity trick; an unterminated trailing fence
+    * counts to end-of-file, CommonMark's own rule). Exact integer
+    * counts + one IEEE division — hashable; narrow, zero shuffle. */
+  def markdownStats(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val parts = split(t, "```")
+    val codeChars = aggregate(
+      sequence(lit(0), size(parts) - 1), lit(0L),
+      (acc, i) => acc + when(pmod(i, lit(2)) === 1,
+        length(element_at(parts, i + 1)).cast("long")).otherwise(0L))
+    docs.select(col(idCol),
+      size(filter(split(t, "\n"), l => l.rlike("^#{1,6} ")))
+        .cast("long").as("n_headers"),
+      (size(parts) / 2).cast("long").as("n_code_blocks"),
+      size(regexp_extract_all(t, lit("\\[[^\\]]*\\]\\([^)]*\\)"), lit(0)))
+        .cast("long").as("n_links"),
+      codeChars.as("code_chars"),
+      length(t).cast("long").as("n_chars"),
+      (codeChars.cast("double") / length(t)).as("code_fraction"))
+  }
+
   /** URL normalization for per-site analysis and dedup keys: scheme
     * and host lowercased, default ports and fragments dropped,
     * `utm_*` tracking parameters removed (empty `?` dropped with

@@ -254,6 +254,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(13L).isEmpty && out(14L).isEmpty)
   }
 
+  test("vttParse: header/NOTE blocks skipped, timestamps to exact ms, " +
+    "multi-line cue text kept") {
+    val vtt = "WEBVTT\n\nNOTE a comment\n\n" +
+      "00:00:01.000 --> 00:00:04.250\nHello there.\n\n" +
+      "01:02:03.004 --> 01:02:59.999\nTwo\nlines"
+    val out = TextAnalysis.vttParse(Seq((1L, vtt)).toDF("doc_id", "vtt"))
+      .orderBy("block_pos").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(2) == 1000L && out(0).getLong(3) == 4250L &&
+      out(0).getLong(4) == 3250L && out(0).getString(5) == "Hello there.")
+    assert(out(1).getLong(2) == 3723004L && out(1).getLong(3) == 3779999L &&
+      out(1).getString(5) == "Two\nlines")
+  }
+
+  test("dialogueTurns: speaker-tagged lines become turns in order; " +
+    "narrative lines and over-long labels skip") {
+    val text = "Alice: Hi Bob.\n(door opens)\nDr. Gray: Morning, all.\n" +
+      ("x" * 50) + ": not a speaker\nBob:no space after colon\nBob: Bye."
+    val out = TextAnalysis.dialogueTurns(Seq((1L, text)).toDF("doc_id", "text"))
+      .orderBy("turn_pos").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, "Alice", "Hi Bob.", 2L),
+      (2L, "Dr. Gray", "Morning, all.", 2L),
+      (5L, "Bob", "Bye.", 1L)))
+  }
+
+  test("markdownStats: headers, fence pairs (unterminated counts to EOF), " +
+    "links, and the exact code-char fraction") {
+    val md = "# H1\n\nsee [a](http://x) and [b](y)\n\n" +
+      "```\ncode1\n```\nmid\n## H2\n```\ntail code"
+    val out = TextAnalysis.markdownStats(Seq((1L, md)).toDF("doc_id", "text"))
+      .collect()(0)
+    assert(out.getLong(1) == 2L, "two ATX headers")
+    assert(out.getLong(2) == 2L, "one closed + one unterminated block")
+    assert(out.getLong(3) == 2L, "two markdown links")
+    assert(out.getLong(4) == ("\ncode1\n".length + "\ntail code".length).toLong)
+    assert(out.getDouble(6) == out.getLong(4).toDouble / md.length)
+  }
+
   test("paragraphDedup: corpus-frequent paragraphs drop everywhere, " +
     "survivors reassemble in order; all-dropped docs keep an empty string") {
     val boiler = "Subscribe now."
