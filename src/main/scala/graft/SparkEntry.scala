@@ -1944,6 +1944,62 @@ object SparkEntry {
           col("mp4.width").as("width"), col("mp4.height").as("height"))
         .orderBy("media_id")
     }),
+    // UTF-8 validity QA: ASCII text bytes + doc_id%4 stray 0xFF bytes
+    // + a valid 2-byte char on even docs — replacement events and the
+    // strict verdict predicted arithmetically
+    "q214_utf8_stats" -> ((s, dir) => {
+      val k = pmod(col("doc_id"), lit(4L))
+      val even = pmod(col("doc_id"), lit(2L)) === 0
+      val hexStr = concat(hex(col("text").cast("binary")),
+        lit("FFFFFFFF").substr(lit(1), k * 2),
+        when(even, lit("C3A9")).otherwise(lit("")))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), unhex(hexStr).as("payload"))
+      Multimodal.encodingStats(media).orderBy("media_id")
+    }),
+    // Crawl-delay extraction: first wildcard-section value wins,
+    // other-section and absent directives yield no row
+    "q215_crawl_delay" -> ((s, dir) => {
+      def robotsFor(d: Column) =
+        when(d === "5", concat_ws("\n", lit("User-agent: gptbot"),
+          lit("Crawl-delay: 9"), lit("User-agent: *"), lit("Disallow: /x")))
+        .when(d === "6", concat_ws("\n", lit("User-agent: *"),
+          lit("Disallow: /y")))
+        .otherwise(concat_ws("\n", lit("User-agent: *"), lit("Disallow: /x"),
+          concat(lit("Crawl-delay: "), d, lit(".5")),
+          lit("Crawl-delay: 99")))
+      val robots = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(7L)).cast("string").as("__d")).distinct()
+        .select(concat(lit("site"), col("__d"), lit(".example.com")).as("domain"),
+          robotsFor(col("__d")).as("robots"))
+      TextAnalysis.robotsCrawlDelay(robots).orderBy("domain")
+    }),
+    // frontier composition: sitemap entries x robots verdicts x
+    // politeness delays — three operators composed end to end
+    "q216_crawl_frontier" -> ((s, dir) => {
+      val doms = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(7L)).cast("string").as("__d")).distinct()
+      val sm = doms.select(
+        concat(lit("site"), col("__d"), lit(".example.com")).as("domain"),
+        concat(lit("<urlset><url><loc>https://site"), col("__d"),
+          lit(".example.com/p1</loc></url><url><loc>https://site"), col("__d"),
+          lit(".example.com/private/p2</loc></url></urlset>")).as("xml"))
+      val robots = doms.select(
+        concat(lit("site"), col("__d"), lit(".example.com")).as("domain"),
+        when(pmod(col("__d").cast("long"), lit(2L)) === 0,
+          concat_ws("\n", lit("User-agent: *"), lit("Disallow: /private/"),
+            lit("Crawl-delay: 1.5")))
+        .otherwise(concat_ws("\n", lit("User-agent: *"), lit("Disallow:")))
+          .as("robots"))
+      val entries = TextAnalysis.sitemapParse(sm)
+      val gated = TextAnalysis.robotsGate(
+        entries.select(col("pos"), col("loc")), robots,
+        idCol = "pos", urlCol = "loc")
+      gated.join(TextAnalysis.robotsCrawlDelay(robots), Seq("domain"), "left")
+        .select(col("domain"), col("pos"), col("loc"), col("allowed"),
+          col("crawl_delay"))
+        .orderBy("domain", "pos")
+    }),
     // WebVTT cue parsing: header + NOTE blocks skipped, two cues per
     // doc with formula timestamps (second crosses a minute boundary);
     // the oracle derives start/end milliseconds arithmetically
@@ -3788,6 +3844,41 @@ object SparkEntry {
         |  CAST(n_chars % 640 + 1 AS INT) AS width,
         |  CAST(n_chars % 480 + 1 AS INT) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // q214: ASCII text means chars == bytes for the text part; every
+    // stray 0xFF is one replacement event, the C3A9 suffix one char
+    "q214_utf8_stats" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(strlen(text) + doc_id % 4 +
+        |    CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_bytes,
+        |  CAST(length(text) +
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_chars,
+        |  CAST(doc_id % 4 AS BIGINT) AS n_invalid,
+        |  doc_id % 4 = 0 AS is_valid_utf8
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // q215: first wildcard-section crawl-delay per domain; d5 binds
+    // its delay to gptbot (absent), d6 has none (absent)
+    "q215_crawl_delay" ->
+      """WITH r AS (SELECT DISTINCT CAST(doc_id % 7 AS INT) AS d FROM documents)
+        |SELECT 'site' || CAST(d AS VARCHAR) || '.example.com' AS domain,
+        |  CAST(d AS DOUBLE) + 0.5 AS crawl_delay
+        |FROM r WHERE d <= 4 ORDER BY domain""".stripMargin,
+
+    // q216: the composed frontier derived arithmetically per domain
+    "q216_crawl_frontier" ->
+      """WITH r AS (SELECT DISTINCT CAST(doc_id % 7 AS INT) AS di FROM documents),
+        |s AS (SELECT 'site' || CAST(di AS VARCHAR) || '.example.com' AS domain,
+        |  di FROM r)
+        |SELECT domain, pos, loc, allowed, crawl_delay FROM (
+        |  SELECT domain, CAST(0 AS BIGINT) AS pos,
+        |    'https://' || domain || '/p1' AS loc, true AS allowed,
+        |    CASE WHEN di % 2 = 0 THEN CAST(1.5 AS DOUBLE) END AS crawl_delay
+        |  FROM s
+        |  UNION ALL SELECT domain, CAST(1 AS BIGINT),
+        |    'https://' || domain || '/private/p2', di % 2 <> 0,
+        |    CASE WHEN di % 2 = 0 THEN CAST(1.5 AS DOUBLE) END FROM s)
+        |ORDER BY domain, pos""".stripMargin,
 
     // q211: cue rows derived arithmetically (block 0 = WEBVTT header,
     // 1 = NOTE, cues at 2 and 3)

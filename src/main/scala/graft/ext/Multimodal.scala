@@ -786,6 +786,23 @@ object Multimodal {
       md5(coalesce(png, jpeg, wav, mp4, p)).as("fingerprint"))
   }
 
+  /** UTF-8 encoding QA over binary payloads — the gate a crawl
+    * pipeline runs before any text operator touches a fetched body
+    * (mis-declared charsets, truncated fetches, binary-in-text):
+    * the native [[graft.functions.Utf8Stats]] kernel validates RFC
+    * 3629 well-formedness exactly (shortest form, no surrogates,
+    * ≤ U+10FFFF) in one compiled pass and reports decoded-codepoint
+    * and replacement-event counts (Unicode maximal-subpart rule) plus
+    * the strict verdict. Narrow codegen'd scan, zero shuffle. */
+  def encodingStats(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+        graft.functions.Utf8Stats(col("payload")).as("__s"))
+      .select(col("media_id"),
+        col("__s.n_bytes").as("n_bytes"),
+        col("__s.n_chars").as("n_chars"),
+        col("__s.n_invalid").as("n_invalid"),
+        (col("__s.n_invalid") === 0L).as("is_valid_utf8"))
+
   /** MP4 sample-data bytes: the payload of the first top-level `mdat`
     * box — the part that carries the encoded media, while `ftyp`
     * brands, `free` padding and `moov` metadata (titles, timestamps,

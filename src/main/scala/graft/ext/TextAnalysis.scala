@@ -1239,6 +1239,38 @@ object TextAnalysis {
         (col("__win").isNull || pmod(col("__win"), lit(2L)) === 1L).as("allowed"))
   }
 
+  /** Crawl-delay politeness extraction — the third robots.txt
+    * directive a frontier scheduler consumes ([[robotsGate]] resolves
+    * Allow/Disallow): the FIRST `Crawl-delay:` value bound to the
+    * wildcard `User-agent: *` section, seconds as double (fractional
+    * values are common in the wild; non-numeric values ignored).
+    * Domains without one are absent — the scheduler's default
+    * applies. Same bounded per-file window parse as the gate; output
+    * is domain-count-bounded, broadcast-sized. */
+  def robotsCrawlDelay(robots: DataFrame, domainCol: String = "domain",
+                       robotsCol: String = "robots"): DataFrame = {
+    val lt = trim(col("line"))
+    val ll = lower(lt)
+    val big = 1 << 20
+    val w = Window.partitionBy("domain").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    robots
+      .select(col(domainCol).as("domain"),
+        posexplode(split(col(robotsCol), "\n")).as(Seq("pos", "line")))
+      .select(col("domain"), col("pos"),
+        when(ll.startsWith("user-agent:"),
+          trim(substring(lt, 12, big))).as("__ua"),
+        when(ll.startsWith("crawl-delay:"),
+          trim(substring(lt, 13, big))).as("__cd"))
+      .withColumn("__gov", last(col("__ua"), ignoreNulls = true).over(w))
+      .withColumn("__cdv", expr("try_cast(__cd AS double)"))
+      .filter(col("__gov") === "*" && col("__cdv").isNotNull)
+      .groupBy(col("domain"))
+      .agg(min(struct(col("pos").as("pos"),
+        col("__cdv").as("cd"))).as("__m"))
+      .select(col("domain"), col("__m.cd").as("crawl_delay"))
+  }
+
   /** PII patterns — the redaction pass every shipped training corpus
     * runs. Deliberately restricted to the regex subset with identical
     * semantics in Java's engine and RE2 (DuckDB): character classes,

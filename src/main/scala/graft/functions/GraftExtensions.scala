@@ -59,6 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("mojibake_rounds"),
       new ExpressionInfo(classOf[MojibakeRounds].getName, "mojibake_rounds"),
       GraftExtensions.mojibakeRoundsBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("utf8_stats"),
+      new ExpressionInfo(classOf[Utf8Stats].getName, "utf8_stats"),
+      GraftExtensions.utf8StatsBuilder))
   }
 }
 
@@ -118,6 +122,10 @@ object GraftExtensions {
   private val mojibakeRoundsBuilder: Seq[Expression] => Expression = { children =>
     require(children.size == 1, "mojibake_rounds takes exactly 1 argument")
     MojibakeRounds(children(0))
+  }
+  private val utf8StatsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "utf8_stats takes exactly 1 argument")
+    Utf8Stats(children(0))
   }
 
   /** Register into an already-running session (extensions via

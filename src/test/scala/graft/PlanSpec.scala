@@ -47,6 +47,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q197: robots rules broadcast into the URL stream; corpus never " +
+    "shuffle-joined") {
+    val p = plan(run("q197_robots_gate"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"domain-bounded rules must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"URL stream must not reshuffle for the rules join:\n$p")
+  }
+
+  test("q196: outlink extraction stays narrow — the only exchange is the " +
+    "presentation sort") {
+    val df = run("q196_extract_links")
+    assert(shuffles(df) <= 1,
+      s"extract+resolve must not shuffle (got ${shuffles(df)}):\n${plan(df)}")
+  }
+
   test("q140: semantic decontamination broadcasts the eval side; corpus never shuffle-joined") {
     val p = plan(run("q140_semantic_decon"))
     assert(p.contains("BroadcastHashJoin"),

@@ -373,6 +373,19 @@ class TextAnalysisSpec extends SparkSpec {
       out(1).isNullAt(3) && out(1).isNullAt(4) && out(1).getDouble(5) == 0.1)
   }
 
+  test("robotsCrawlDelay: first wildcard-section value wins; other-section, " +
+    "non-numeric and absent directives yield no row") {
+    val robots = Seq(
+      ("a.com", "User-agent: *\nCrawl-delay: 2.5\nCrawl-delay: 99"),
+      ("b.org", "User-agent: gptbot\nCrawl-delay: 9\nUser-agent: *\nDisallow:"),
+      ("c.net", "User-agent: *\nCrawl-delay: soon"),
+      ("d.io", "User-agent: *\nDisallow: /x")
+    ).toDF("domain", "robots")
+    val out = TextAnalysis.robotsCrawlDelay(robots).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("a.com" -> 2.5))
+  }
+
   test("robotsGate: RFC 9309 longest-match — Disallow:/ + Allow:/public/ " +
     "inverts, longer Disallow beats shorter Allow, exact ties fall to Allow") {
     val robots = Seq(
@@ -2301,6 +2314,33 @@ class MultimodalSpec extends SparkSpec {
     val w = graft.ext.Dedup.hitsScores(weighted, iters = 1).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(w == Map("a" -> ((4L, 0L)), "b" -> ((0L, 2L))))
+  }
+
+  test("encodingStats/Utf8Stats: strict RFC 3629 validation — overlongs, " +
+    "surrogates, truncations and strays each one maximal-subpart event") {
+    import spark.implicits._
+    def stats(b: Array[Byte]): (Long, Long, Long) = {
+      val r = graft.functions.Utf8Stats.compute(b)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    assert(stats("plain".getBytes("UTF-8")) == ((5L, 5L, 0L)))
+    assert(stats("é€𝄞".getBytes("UTF-8")) == ((9L, 3L, 0L)),
+      "2-, 3- and 4-byte sequences all count one char")
+    assert(stats(Array(0xC0, 0xAF).map(_.toByte)) == ((2L, 0L, 2L)),
+      "overlong C0 lead: two separate invalid events")
+    assert(stats(Array(0xED, 0xA0, 0x80).map(_.toByte)) == ((3L, 0L, 3L)),
+      "CESU surrogate ED A0 80: lead rejected, strays follow")
+    assert(stats(Array(0xE2, 0x82).map(_.toByte)) == ((2L, 0L, 1L)),
+      "truncated 3-byte seq: ONE event for the maximal subpart")
+    assert(stats(Array(0xF4, 0x90, 0x80, 0x80).map(_.toByte)) == ((4L, 0L, 4L)),
+      "F4 90 is above U+10FFFF: rejected at the first continuation")
+    assert(stats("a".getBytes ++ Array(0xFF.toByte) ++ "b".getBytes) ==
+      ((3L, 2L, 1L)))
+    val media = Seq((1L, "oké".getBytes("UTF-8")),
+      (2L, Array[Byte](0x68, 0xFF.toByte))).toDF("media_id", "payload")
+    val out = Multimodal.encodingStats(media).orderBy("media_id").collect()
+    assert(out(0).getLong(2) == 3L && out(0).getBoolean(4))
+    assert(out(1).getLong(3) == 1L && !out(1).getBoolean(4))
   }
 
   test("flacMeta: STREAMINFO bit fields recover exactly; bare magic with " +
