@@ -49,15 +49,16 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           return Double.NaN
       }
-      // drop any blocks a query pinned (persisted levels): they are
-      // dead once the count returns, and letting them accumulate across
-      // 3 passes × the whole suite turns the tail of the run into GC
-      // pressure that reads as noise. Locally-checkpointed RDDs stay:
-      // they are the iterative loops' final label states (KB-sized,
-      // bounded by the loop), and unpersisting a truncated-lineage RDD
-      // logs a lineage warning on every sweep
+      // drop EVERY block a query pinned — persisted levels AND
+      // locally-checkpointed RDDs: all of them are dead once the count
+      // returns (each query builds its own), and letting them
+      // accumulate across 3 passes × the whole suite turned the run
+      // into uniform ~25-30% inflation once the suite grew past ~200
+      // queries (round 10: fixture-payload localCheckpoints are
+      // MB-sized, not the KB loop states the old keep-checkpoints
+      // rationale assumed). The truncated-lineage unpersist warning is
+      // stderr noise only.
       spark.sparkContext.getPersistentRDDs.values
-        .filterNot(_.isCheckpointed)
         .foreach(_.unpersist(blocking = false))
       (System.nanoTime() - t0) / 1e9
     }

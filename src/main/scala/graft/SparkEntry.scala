@@ -1944,6 +1944,63 @@ object SparkEntry {
           col("mp4.width").as("width"), col("mp4.height").as("height"))
         .orderBy("media_id")
     }),
+    // FLAC audio-grain fingerprint: same audio bytes behind
+    // different-size padding blocks hash identically — metadata
+    // drops out, the oracle predicts md5(text)
+    "q219_flac_fingerprint" -> ((s, dir) => {
+      val k = pmod(col("doc_id"), lit(5L))
+      def be(c: Column, n: Int) = lpad(hex(c), 2 * n, "0")
+      val hexStr = concat(
+        lit("664C6143" + "00" + "000022" + "0" * 68 + "81"),
+        be(k, 3), lit("0000000000").substr(lit(1), k * 2),
+        hex(col("text").cast("binary")))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), unhex(hexStr).as("payload"))
+        .localCheckpoint()
+      Multimodal.payloadFingerprint(media).orderBy("media_id")
+    }),
+    // WARC record parsing: response records (status/content-type
+    // rotating) and warcinfo records (no HTTP block) — headers,
+    // status line and body all derived arithmetically
+    "q217_warc_parse" -> ((s, dir) => {
+      val isInfo = pmod(col("doc_id"), lit(3L)) === 0
+      val uri = concat(lit("https://site"),
+        pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit(".example.com/p"), col("doc_id").cast("string"))
+      val status = when(pmod(col("doc_id"), lit(2L)) === 0,
+        lit("200 OK")).otherwise(lit("404 Not Found"))
+      val ctype = when(pmod(col("doc_id"), lit(2L)) === 0,
+        lit("text/html; charset=UTF-8")).otherwise(lit("text/plain"))
+      val body = concat(lit("<html><body>"), substring(col("text"), 1, 40),
+        lit("</body></html>"))
+      val warc = when(isInfo, concat(
+          lit("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+            "WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "),
+          col("n_chars").cast("string"),
+          lit("\r\n\r\nsoftware: graft-fixture "), col("doc_id").cast("string")))
+        .otherwise(concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), uri,
+          lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "),
+          col("n_chars").cast("string"),
+          lit("\r\n\r\nHTTP/1.1 "), status,
+          lit("\r\nContent-Type: "), ctype,
+          lit("\r\n\r\n"), body))
+      TextAnalysis.warcParse(
+          t(s, dir, "documents").select(col("doc_id"), warc.as("warc")))
+        .orderBy("doc_id")
+    }),
+    // Sitemap: discovery — a GLOBAL robots directive (lives outside
+    // any User-agent section), one row per declared sitemap in order
+    "q218_robots_sitemaps" -> ((s, dir) => {
+      val robots = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(7L)).cast("string").as("__d")).distinct()
+        .select(concat(lit("site"), col("__d"), lit(".example.com")).as("domain"),
+          concat(lit("Sitemap: https://site"), col("__d"),
+            lit(".example.com/sitemap.xml\nUser-agent: *\nDisallow: /x\n" +
+              "sitemap: https://cdn.maps.net/shared"), col("__d"),
+            lit(".xml")).as("robots"))
+      TextAnalysis.robotsSitemaps(robots).orderBy("domain", "pos")
+    }),
     // UTF-8 validity QA: ASCII text bytes + doc_id%4 stray 0xFF bytes
     // + a valid 2-byte char on even docs — replacement events and the
     // strict verdict predicted arithmetically
@@ -3844,6 +3901,46 @@ object SparkEntry {
         |  CAST(n_chars % 640 + 1 AS INT) AS width,
         |  CAST(n_chars % 480 + 1 AS INT) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // q219: headers + padding drop out of the hash; audio bytes are
+    // the raw text bytes
+    "q219_flac_fingerprint" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(46 + doc_id % 5 + strlen(text) AS BIGINT) AS n_bytes,
+        |  'flac' AS format, md5(text) AS fingerprint
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // q217: every parsed field derived arithmetically per record shape
+    "q217_warc_parse" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'warcinfo' ELSE 'response' END
+        |    AS warc_type,
+        |  CASE WHEN doc_id % 3 = 0 THEN NULL
+        |       ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |            '.example.com/p' || CAST(doc_id AS VARCHAR) END AS target_uri,
+        |  '2026-01-01T00:00:00Z' AS warc_date,
+        |  CAST(n_chars AS BIGINT) AS content_length,
+        |  CASE WHEN doc_id % 3 = 0 THEN NULL
+        |       WHEN doc_id % 2 = 0 THEN 200 ELSE 404 END AS http_status,
+        |  CASE WHEN doc_id % 3 = 0 THEN NULL
+        |       WHEN doc_id % 2 = 0 THEN 'text/html; charset=UTF-8'
+        |       ELSE 'text/plain' END AS content_type,
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN 'software: graft-fixture ' || CAST(doc_id AS VARCHAR)
+        |       ELSE '<html><body>' || substr(text, 1, 40) || '</body></html>'
+        |  END AS body
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q218: both sitemap lines per domain, section position ignored
+    "q218_robots_sitemaps" ->
+      """WITH r AS (SELECT DISTINCT CAST(doc_id % 7 AS VARCHAR) AS d FROM documents)
+        |SELECT 'site' || d || '.example.com' AS domain, pos, url AS sitemap_url
+        |FROM (
+        |  SELECT d, CAST(0 AS BIGINT) AS pos,
+        |    'https://site' || d || '.example.com/sitemap.xml' AS url FROM r
+        |  UNION ALL SELECT d, CAST(3 AS BIGINT),
+        |    'https://cdn.maps.net/shared' || d || '.xml' FROM r)
+        |ORDER BY domain, pos""".stripMargin,
 
     // q214: ASCII text means chars == bytes for the text part; every
     // stray 0xFF is one replacement event, the C3A9 suffix one char

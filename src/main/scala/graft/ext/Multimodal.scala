@@ -775,15 +775,60 @@ object Multimodal {
     val jpeg = jpegContentBytes(p, maxChunks)
     val wav = wavContentBytes(p)
     val mp4 = mp4ContentBytes(p, maxChunks)
+    val flac = flacContentBytes(p, maxChunks)
+    val mp3 = mp3ContentBytes(p)
     val format = when(png.isNotNull, "png")
       .when(jpeg.isNotNull, "jpeg")
       .when(wav.isNotNull, "wav")
       .when(mp4.isNotNull, "mp4")
+      .when(flac.isNotNull, "flac")
+      .when(mp3.isNotNull, "mp3") // weakest gate (2-byte sync): probed last
       .otherwise("other")
     media.select(col("media_id"),
       length(p).cast("long").as("n_bytes"),
       format.as("format"),
-      md5(coalesce(png, jpeg, wav, mp4, p)).as("fingerprint"))
+      md5(coalesce(png, jpeg, wav, mp4, flac, mp3, p)).as("fingerprint"))
+  }
+
+  /** FLAC audio-frame bytes: everything after the metadata-block
+    * chain (STREAMINFO, padding, vorbis comments, pictures — the
+    * bytes that differ between "the same recording re-tagged") —
+    * walked block-by-block (`pos → pos + 4 + len`) until the
+    * last-block flag (high bit of the block-type byte). Null for
+    * non-FLAC payloads or truncated chains. */
+  private def flacContentBytes(payload: Column, maxBlocks: Int): Column = {
+    val isFlac = hex(substring(payload, 1, 4)) === lit("664C6143")
+    val nul = lit(null).cast("long")
+    def st(pos: Column, found: Column): Column =
+      struct(pos.as("pos"), found.as("found"))
+    val walk = aggregate(sequence(lit(1), lit(maxBlocks)),
+      st(lit(5L), nul), (acc, _) => {
+        val pos = acc.getField("pos")
+        val f = acc.getField("found")
+        val b = byteAt(payload, pos)
+        val len = beUintAt(payload, pos + 1L, 3)
+        when(f.isNotNull || b.isNull || len.isNull, acc)
+          .when(b >= 128L, st(pos, pos + 4L + len)) // last-block flag
+          .otherwise(st(pos + 4L + len, nul))
+      })
+    val s = walk.getField("found")
+    when(isFlac && s.isNotNull,
+      payload.substr(s, length(payload).cast("long") - s + 1L))
+  }
+
+  /** MP3 frame bytes: the stream after any leading ID3v2 tag — the
+    * tag carries titles/artists/cover art (the bytes that differ
+    * between "the same encode re-tagged"), the frames carry the
+    * audio. Gated on a valid frame sync at the computed start. */
+  private def mp3ContentBytes(payload: Column): Column = {
+    val hasId3 = substring(payload, 1, 3).cast("string") === "ID3"
+    val id3Size = shiftleft(beUint(payload, 7, 1), 21) +
+      shiftleft(beUint(payload, 8, 1), 14) +
+      shiftleft(beUint(payload, 9, 1), 7) + beUint(payload, 10, 1)
+    val start = when(hasId3, id3Size + 11L).otherwise(lit(1L))
+    val sync = byteAt(payload, start) === 255L &&
+      shiftright(byteAt(payload, start + 1L), 5) === 7L
+    when(sync, payload.substr(start, length(payload).cast("long") - start + 1L))
   }
 
   /** UTF-8 encoding QA over binary payloads — the gate a crawl

@@ -1271,6 +1271,61 @@ object TextAnalysis {
       .select(col("domain"), col("__m.cd").as("crawl_delay"))
   }
 
+  /** WARC record parsing — Common Crawl's native container, the very
+    * first step of a web-corpus pipeline: WARC named headers
+    * (`WARC-Type`, `WARC-Target-URI`, `WARC-Date`, `Content-Length`),
+    * and for `response` records the embedded HTTP status line +
+    * `Content-Type` header, with the body carried verbatim after the
+    * second CRLFCRLF. Non-HTTP records (warcinfo, metadata…) treat
+    * their whole block after the WARC headers as the body and leave
+    * the HTTP fields null. Header names match case-insensitively
+    * (RFC-style); a missing header is null; `try_element_at` keeps
+    * truncated records null-safe under ANSI. One narrow
+    * split + regexp pass per record, zero shuffle — WARC ingest is
+    * pure scan work at 100 TB. */
+  def warcParse(docs: DataFrame, idCol: String = "doc_id",
+                warcCol: String = "warc"): DataFrame = {
+    val rec = col(warcCol)
+    def nonEmpty(c: Column): Column = when(c =!= "", c)
+    def whdr(name: String): Column =
+      nonEmpty(regexp_extract(rec, s"(?i)\\r\\n$name: *([^\\r\\n]*)", 1))
+    val parts = split(rec, "\\r\\n\\r\\n", 3)
+    val httpPart = try_element_at(parts, lit(2))
+    val isHttp = httpPart.startsWith("HTTP/")
+    val status = nonEmpty(regexp_extract(httpPart,
+      "^HTTP/[0-9.]+ ([0-9]{3})", 1))
+    val ctype = nonEmpty(regexp_extract(httpPart,
+      "(?i)\\r\\nContent-Type: *([^\\r\\n]*)", 1))
+    docs.select(col(idCol),
+      whdr("WARC-Type").as("warc_type"),
+      whdr("WARC-Target-URI").as("target_uri"),
+      whdr("WARC-Date").as("warc_date"),
+      when(whdr("Content-Length").rlike("^[0-9]+$"),
+        whdr("Content-Length").cast("long")).as("content_length"),
+      when(isHttp, status.cast("int")).as("http_status"),
+      when(isHttp, ctype).as("content_type"),
+      when(isHttp, try_element_at(parts, lit(3)))
+        .otherwise(httpPart).as("body"))
+  }
+
+  /** `Sitemap:` discovery from robots.txt — per RFC 9309 the
+    * directive is GLOBAL (never bound to a User-agent section, unlike
+    * Disallow/Allow/Crawl-delay), so this is a plain line scan: every
+    * sitemap URL with its line position, feeding [[sitemapParse]].
+    * Domain-bounded output. */
+  def robotsSitemaps(robots: DataFrame, domainCol: String = "domain",
+                     robotsCol: String = "robots"): DataFrame = {
+    val lt = trim(col("line"))
+    val v = when(lower(lt).startsWith("sitemap:"),
+      trim(substring(lt, 9, 1 << 20)))
+    robots
+      .select(col(domainCol).as("domain"),
+        posexplode(split(col(robotsCol), "\n")).as(Seq("pos", "line")))
+      .select(col("domain"), col("pos").cast("long").as("pos"),
+        v.as("sitemap_url"))
+      .filter(col("sitemap_url").isNotNull && col("sitemap_url") =!= "")
+  }
+
   /** PII patterns — the redaction pass every shipped training corpus
     * runs. Deliberately restricted to the regex subset with identical
     * semantics in Java's engine and RE2 (DuckDB): character classes,

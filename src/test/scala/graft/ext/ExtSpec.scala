@@ -373,6 +373,46 @@ class TextAnalysisSpec extends SparkSpec {
       out(1).isNullAt(3) && out(1).isNullAt(4) && out(1).getDouble(5) == 0.1)
   }
 
+  test("warcParse: response records yield HTTP fields + body after the " +
+    "second CRLFCRLF; warcinfo and truncated records stay null-safe") {
+    val resp = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://a.com/x\r\nContent-Length: 52\r\n\r\n" +
+      "HTTP/1.1 301 Moved\r\nContent-Type: text/html\r\n\r\n" +
+      "body with\r\n\r\ninternal separator"
+    val info = "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: nope\r\n\r\n" +
+      "software: test"
+    val trunc = "WARC/1.0\r\nWARC-Type: request"
+    val rows = Seq((1L, resp), (2L, info), (3L, trunc)).toDF("doc_id", "warc")
+    val out = TextAnalysis.warcParse(rows).collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getString(1) == "response" && r1.getString(2) == "https://a.com/x")
+    assert(r1.getLong(4) == 52L && r1.getInt(5) == 301 &&
+      r1.getString(6) == "text/html")
+    assert(r1.getString(7) == "body with\r\n\r\ninternal separator",
+      "limit-3 split keeps the body verbatim")
+    val r2 = out(2L)
+    assert(r2.getString(1) == "warcinfo" && r2.isNullAt(5) &&
+      r2.getString(7) == "software: test")
+    assert(r2.isNullAt(4), "non-numeric Content-Length stays null")
+    val r3 = out(3L)
+    assert(r3.getString(1) == "request" && r3.isNullAt(5) && r3.isNullAt(7))
+  }
+
+  test("robotsSitemaps: global directive collected in order regardless of " +
+    "sections; case-insensitive name") {
+    val robots = Seq(
+      ("a.com", "Sitemap: https://a.com/s1.xml\nUser-agent: *\n" +
+        "Disallow: /x\nSITEMAP: https://a.com/s2.xml\nSitemap:"),
+      ("b.org", "User-agent: *\nDisallow:")
+    ).toDF("domain", "robots")
+    val out = TextAnalysis.robotsSitemaps(robots).orderBy("domain", "pos")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      ("a.com", 0L, "https://a.com/s1.xml"),
+      ("a.com", 3L, "https://a.com/s2.xml")),
+      "empty value dropped, b.org absent")
+  }
+
   test("robotsCrawlDelay: first wildcard-section value wins; other-section, " +
     "non-numeric and absent directives yield no row") {
     val robots = Seq(
@@ -2411,6 +2451,30 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).getString(3) == out(1).getString(3),
       "header/padding/metadata bytes must not touch the fingerprint")
     assert(out(0).getString(3) != out(2).getString(3))
+  }
+
+  test("payloadFingerprint: flac hashes past the metadata chain, mp3 past " +
+    "the ID3 tag — retagged audio fingerprints identically") {
+    import spark.implicits._
+    val audio = "same pcm frames here".getBytes
+    def flac(padLen: Int): Array[Byte] =
+      "fLaC".getBytes ++ Array[Byte](0, 0, 0, 34) ++ Array.fill[Byte](34)(0) ++
+        Array(0x81.toByte) ++ be(padLen, 3) ++ Array.fill[Byte](padLen)(0) ++ audio
+    val frames = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x40) ++ audio
+    def mp3(tagLen: Int): Array[Byte] =
+      "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 0, tagLen.toByte) ++
+        Array.fill[Byte](tagLen)(0x41) ++ frames
+    val media = Seq((1L, flac(3)), (2L, flac(9)), (3L, mp3(5)), (4L, mp3(12)),
+      (5L, "fLaC".getBytes ++ Array[Byte](0, 0, 0, 34) ++
+        Array.fill[Byte](34)(0) ++ Array(0x81.toByte) ++ be(0, 3) ++
+        "other pcm".getBytes)).toDF("media_id", "payload")
+    val out = Multimodal.payloadFingerprint(media).orderBy("media_id").collect()
+    assert(out(0).getString(2) == "flac" && out(2).getString(2) == "mp3")
+    assert(out(0).getString(3) == out(1).getString(3),
+      "padding size must not touch the flac fingerprint")
+    assert(out(2).getString(3) == out(3).getString(3),
+      "ID3 tag bytes must not touch the mp3 fingerprint")
+    assert(out(0).getString(3) != out(4).getString(3))
   }
 
   test("wavAudioStats: exact duration and prefix PCM16 amplitude stats; non-PCM16 null") {
