@@ -1944,6 +1944,23 @@ object SparkEntry {
           col("mp4.width").as("width"), col("mp4.height").as("height"))
         .orderBy("media_id")
     }),
+    // HTML table mining: a header row + data rows with entities in
+    // cells, plus a second table on doc_id%4==0 — every cell row
+    // derived arithmetically
+    "q220_html_tables" -> ((s, dir) => {
+      val html = concat(
+        lit("<p>"), substring(col("text"), 1, 20), lit("</p>" +
+          "<TABLE class=\"data\"><tr><th>Name</th><th>Value</th></tr>" +
+          "<tr><td>alpha &amp; co</td><td>"),
+        col("doc_id").cast("string"), lit("</td></tr></TABLE>"),
+        when(pmod(col("doc_id"), lit(4L)) === 0,
+          concat(lit("<table><tr><td> solo "),
+            pmod(col("doc_id"), lit(9L)).cast("string"),
+            lit(" </td></tr></table>"))).otherwise(lit("")))
+      TextAnalysis.htmlTables(
+          t(s, dir, "documents").select(col("doc_id"), html.as("html")))
+        .orderBy("doc_id", "table_idx", "row_idx", "col_idx")
+    }),
     // FLAC audio-grain fingerprint: same audio bytes behind
     // different-size padding blocks hash identically — metadata
     // drops out, the oracle predicts md5(text)
@@ -3901,6 +3918,22 @@ object SparkEntry {
         |  CAST(n_chars % 640 + 1 AS INT) AS width,
         |  CAST(n_chars % 480 + 1 AS INT) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // q220: every cell derived arithmetically; the second table only
+    // on doc_id%4==0
+    "q220_html_tables" ->
+      """SELECT doc_id, table_idx, row_idx, col_idx, is_header, cell FROM (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS table_idx,
+        |    CAST(0 AS BIGINT) AS row_idx, CAST(0 AS BIGINT) AS col_idx,
+        |    true AS is_header, 'Name' AS cell FROM documents
+        |  UNION ALL SELECT doc_id, 0, 0, 1, true, 'Value' FROM documents
+        |  UNION ALL SELECT doc_id, 0, 1, 0, false, 'alpha & co' FROM documents
+        |  UNION ALL SELECT doc_id, 0, 1, 1, false,
+        |    CAST(doc_id AS VARCHAR) FROM documents
+        |  UNION ALL SELECT doc_id, 1, 0, 0, false,
+        |    'solo ' || CAST(doc_id % 9 AS VARCHAR) FROM documents
+        |    WHERE doc_id % 4 = 0)
+        |ORDER BY doc_id, table_idx, row_idx, col_idx""".stripMargin,
 
     // q219: headers + padding drop out of the hash; audio bytes are
     // the raw text bytes

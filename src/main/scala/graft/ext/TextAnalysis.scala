@@ -1104,6 +1104,40 @@ object TextAnalysis {
       (codeChars.cast("double") / length(t)).as("code_fraction"))
   }
 
+  /** HTML table extraction — the structured-data mining step (web
+    * tables are a classic KB/training source): explode each
+    * `<table>`, its `<tr>` rows and `<td>`/`<th>` cells with
+    * position indices at every level, a header flag, and cell text
+    * that is tag-stripped, entity-decoded ([[decodeEntities]]) and
+    * whitespace-collapsed. `(?is)` non-greedy core — this is regexp
+    * extraction, not a DOM: a nested inner table's cells surface
+    * under the OUTER table's first cell and again as their own
+    * top-level match (documented; real miners drop nested-table
+    * pages by the census anyway). Three chained narrow
+    * posexplodes, zero shuffle. */
+  def htmlTables(docs: DataFrame, idCol: String = "doc_id",
+                 htmlCol: String = "html"): DataFrame =
+    docs.select(col(idCol),
+        posexplode(regexp_extract_all(col(htmlCol),
+          lit("(?is)<table[^>]*>(.*?)</table>"), lit(1)))
+          .as(Seq("table_idx", "__t")))
+      .select(col(idCol), col("table_idx"),
+        posexplode(regexp_extract_all(col("__t"),
+          lit("(?is)<tr[^>]*>(.*?)</tr>"), lit(1)))
+          .as(Seq("row_idx", "__r")))
+      .select(col(idCol), col("table_idx"), col("row_idx"),
+        posexplode(regexp_extract_all(col("__r"),
+          lit("(?is)<t[dh][^>]*>.*?</t[dh]>"), lit(0)))
+          .as(Seq("col_idx", "__c")))
+      .select(col(idCol),
+        col("table_idx").cast("long").as("table_idx"),
+        col("row_idx").cast("long").as("row_idx"),
+        col("col_idx").cast("long").as("col_idx"),
+        (lower(substring(col("__c"), 1, 3)) === "<th").as("is_header"),
+        trim(regexp_replace(decodeEntities(
+          regexp_replace(col("__c"), "<[^>]*>", " ")),
+          "[ \\t\\n\\r]+", " ")).as("cell"))
+
   /** URL normalization for per-site analysis and dedup keys: scheme
     * and host lowercased, default ports and fragments dropped,
     * `utm_*` tracking parameters removed (empty `?` dropped with

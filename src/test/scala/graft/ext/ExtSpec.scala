@@ -254,6 +254,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(13L).isEmpty && out(14L).isEmpty)
   }
 
+  test("htmlTables: nested position indices, th header flag, cell text " +
+    "stripped+decoded; pages without tables emit nothing") {
+    val rows = Seq(
+      (1L, "<table><TR><TH scope=\"col\"> A&amp;B </TH></TR>" +
+        "<tr><td><b>bold</b> text</td><td>2</td></tr></table>" +
+        "x<table><tr><td>t2</td></tr></table>"),
+      (2L, "<p>tableless</p>")
+    ).toDF("doc_id", "html")
+    val out = TextAnalysis.htmlTables(rows).orderBy(
+      "table_idx", "row_idx", "col_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getString(5)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 0L, true, "A&B"),
+      (0L, 1L, 0L, false, "bold text"),
+      (0L, 1L, 1L, false, "2"),
+      (1L, 0L, 0L, false, "t2")),
+      "exactly doc 1's four cells — the tableless page contributes none")
+  }
+
   test("vttParse: header/NOTE blocks skipped, timestamps to exact ms, " +
     "multi-line cue text kept") {
     val vtt = "WEBVTT\n\nNOTE a comment\n\n" +
