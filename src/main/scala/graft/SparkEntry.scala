@@ -1944,6 +1944,65 @@ object SparkEntry {
           col("mp4.width").as("width"), col("mp4.height").as("height"))
         .orderBy("media_id")
     }),
+    // feed parsing: RSS for even domains, Atom for odd — item order,
+    // both link forms, missing pubDate on the second entry; every
+    // row derived arithmetically
+    "q221_feed_parse" -> ((s, dir) => {
+      val d = col("__d")
+      val rss = concat(
+        lit("<?xml version=\"1.0\"?><rss><channel>" +
+          "<item><title>Post one on site"), d,
+        lit("</title><link>https://site"), d,
+        lit(".example.com/a1</link><pubDate>Mon, 01 Jan 2026</pubDate></item>" +
+          "<item><title> Post two </title><link>https://site"), d,
+        lit(".example.com/a2</link></item></channel></rss>"))
+      val atom = concat(
+        lit("<?xml version=\"1.0\"?><feed>" +
+          "<entry><title>Entry one on site"), d,
+        lit("</title><link rel=\"alternate\" href=\"https://site"), d,
+        lit(".example.com/e1\"/><updated>2026-01-02</updated></entry>" +
+          "<entry><title> Entry two </title><link href=\"https://site"), d,
+        lit(".example.com/e2\"/></entry></feed>"))
+      val feeds = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(7L)).cast("string").as("__d")).distinct()
+        .select(concat(lit("site"), d, lit(".example.com")).as("domain"),
+          when(pmod(d.cast("long"), lit(2L)) === 0, rss).otherwise(atom).as("xml"))
+      TextAnalysis.feedParse(feeds).orderBy("domain", "pos")
+    }),
+    // Open Graph pairs: both attribute orders, page order kept
+    "q222_og_tags" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><meta property=\"og:title\" content=\"Card "),
+        col("doc_id").cast("string"),
+        lit("\"><meta property=\"og:type\" content=\"article\">"),
+        when(pmod(col("doc_id"), lit(3L)) === 0,
+          concat(lit("<meta content=\"https://img.example.com/i"),
+            pmod(col("doc_id"), lit(9L)).cast("string"),
+            lit(".png\" property=\"og:image\">"))).otherwise(lit("")),
+        lit("<meta name=\"description\" content=\"not og\"></head><body>"),
+        substring(col("text"), 1, 20), lit("</body></html>"))
+      TextAnalysis.ogTags(
+          t(s, dir, "documents").select(col("doc_id"), html.as("html")))
+        .orderBy("doc_id", "pos")
+    }),
+    // reply cleaning: quoted lines, an attribution line and an RFC
+    // 3676 signature block all drop; counts exact
+    "q223_strip_quoted" -> ((s, dir) => {
+      val text = concat_ws("\n",
+        concat(lit("Reply body line one for doc "),
+          col("doc_id").cast("string"), lit(".")),
+        lit("> quoted original line"),
+        lit(">> deeper quote"),
+        lit("On Monday, someone wrote:"),
+        concat(lit("Second body line "),
+          pmod(col("doc_id"), lit(7L)).cast("string"), lit(".")),
+        lit("-- "),
+        lit("Signature Name"),
+        lit("https://sig.example.com"))
+      TextAnalysis.stripQuotedReply(
+          t(s, dir, "documents").select(col("doc_id"), text.as("text")))
+        .orderBy("doc_id")
+    }),
     // HTML table mining: a header row + data rows with entities in
     // cells, plus a second table on doc_id%4==0 — every cell row
     // derived arithmetically
@@ -3918,6 +3977,51 @@ object SparkEntry {
         |  CAST(n_chars % 640 + 1 AS INT) AS width,
         |  CAST(n_chars % 480 + 1 AS INT) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // q221: each feed row derived arithmetically per domain parity
+    "q221_feed_parse" ->
+      """WITH r AS (SELECT DISTINCT CAST(doc_id % 7 AS INT) AS d FROM documents),
+        |s AS (SELECT 'site' || CAST(d AS VARCHAR) || '.example.com' AS domain,
+        |  CAST(d AS VARCHAR) AS ds, d FROM r)
+        |SELECT domain, pos, kind, title, link, published FROM (
+        |  SELECT domain, CAST(0 AS BIGINT) AS pos,
+        |    CASE WHEN d % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+        |    CASE WHEN d % 2 = 0 THEN 'Post one on site' || ds
+        |         ELSE 'Entry one on site' || ds END AS title,
+        |    CASE WHEN d % 2 = 0 THEN 'https://site' || ds || '.example.com/a1'
+        |         ELSE 'https://site' || ds || '.example.com/e1' END AS link,
+        |    CASE WHEN d % 2 = 0 THEN 'Mon, 01 Jan 2026'
+        |         ELSE '2026-01-02' END AS published FROM s
+        |  UNION ALL SELECT domain, CAST(1 AS BIGINT),
+        |    CASE WHEN d % 2 = 0 THEN 'rss' ELSE 'atom' END,
+        |    CASE WHEN d % 2 = 0 THEN 'Post two' ELSE 'Entry two' END,
+        |    CASE WHEN d % 2 = 0 THEN 'https://site' || ds || '.example.com/a2'
+        |         ELSE 'https://site' || ds || '.example.com/e2' END,
+        |    NULL FROM s)
+        |ORDER BY domain, pos""".stripMargin,
+
+    // q222: og pairs derived arithmetically; the non-og meta never
+    // appears
+    "q222_og_tags" ->
+      """SELECT doc_id, pos, og_property, og_content FROM (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS pos, 'title' AS og_property,
+        |    'Card ' || CAST(doc_id AS VARCHAR) AS og_content FROM documents
+        |  UNION ALL SELECT doc_id, CAST(1 AS BIGINT), 'type', 'article'
+        |    FROM documents
+        |  UNION ALL SELECT doc_id, CAST(2 AS BIGINT), 'image',
+        |    'https://img.example.com/i' || CAST(doc_id % 9 AS VARCHAR) || '.png'
+        |    FROM documents WHERE doc_id % 3 = 0)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // q223: the cleaned reply and its exact line-class counts
+    "q223_strip_quoted" ->
+      """SELECT doc_id,
+        |  'Reply body line one for doc ' || CAST(doc_id AS VARCHAR) || '.' ||
+        |    chr(10) || 'Second body line ' || CAST(doc_id % 7 AS VARCHAR) || '.'
+        |    AS cleaned,
+        |  CAST(8 AS BIGINT) AS n_lines, CAST(2 AS BIGINT) AS n_quoted,
+        |  CAST(3 AS BIGINT) AS n_signature
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q220: every cell derived arithmetically; the second table only
     // on doc_id%4==0

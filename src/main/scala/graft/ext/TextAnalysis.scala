@@ -1138,6 +1138,88 @@ object TextAnalysis {
           regexp_replace(col("__c"), "<[^>]*>", " ")),
           "[ \\t\\n\\r]+", " ")).as("cell"))
 
+  /** RSS 2.0 / Atom feed parsing — the incremental-discovery feed of
+    * a crawl (what changed since the last visit, without recrawling
+    * the site): explode `<item>` (RSS) and `<entry>` (Atom) blocks
+    * with a kind tag, pulling title, link (RSS `<link>text</link>`
+    * or Atom `<link href="..."/>`) and the published stamp
+    * (`pubDate`/`updated`). Lowercase-exact tags (XML), `(?s)`
+    * values, whitespace-trimmed, absent fields null; a feed is one
+    * kind, so `pos` is its natural entry order. One regexp pass +
+    * posexplode, feed-bounded. */
+  def feedParse(feeds: DataFrame, domainCol: String = "domain",
+                xmlCol: String = "xml"): DataFrame = {
+    def field(e: Column, tag: String): Column = {
+      val v = regexp_extract(e,
+        s"(?s)<$tag>[ \\t\\n\\r]*(.*?)[ \\t\\n\\r]*</$tag>", 1)
+      when(v =!= "", v)
+    }
+    def tagged(pat: String, kind: String) =
+      transform(regexp_extract_all(col(xmlCol), lit(pat), lit(1)),
+        e => struct(lit(kind).as("k"), e.as("e")))
+    val e = col("x.e")
+    feeds.select(col(domainCol).as("domain"),
+        posexplode(concat(
+          tagged("(?s)<item>(.*?)</item>", "rss"),
+          tagged("(?s)<entry>(.*?)</entry>", "atom"))).as(Seq("pos", "x")))
+      .select(col("domain"), col("pos").cast("long").as("pos"),
+        col("x.k").as("kind"),
+        field(e, "title").as("title"),
+        coalesce(field(e, "link"),
+          when(regexp_extract(e, "(?s)<link[^>]*href=\"([^\"]*)\"", 1) =!= "",
+            regexp_extract(e, "(?s)<link[^>]*href=\"([^\"]*)\"", 1)))
+          .as("link"),
+        coalesce(field(e, "pubDate"), field(e, "updated")).as("published"))
+  }
+
+  /** Open Graph tag extraction — the social-card metadata layer
+    * ([[pageMeta]] covers the classic head fields): every
+    * `<meta property="og:…" content="…">` pair (either attribute
+    * order) as exploded (property, content) rows — property-first
+    * matches in page order, then content-first matches in page order
+    * (two extraction passes; `pos` is that combined order).
+    * Double-quoted deterministic core, `(?is)`. One narrow pass. */
+  def ogTags(docs: DataFrame, idCol: String = "doc_id",
+             htmlCol: String = "html"): DataFrame = {
+    val p1 = "(?is)<meta\\s+property=\"og:[^\"]*\"\\s+content=\"[^\"]*\""
+    val p2 = "(?is)<meta\\s+content=\"[^\"]*\"\\s+property=\"og:[^\"]*\""
+    val m = col("m")
+    docs.select(col(idCol),
+        posexplode(concat(
+          regexp_extract_all(col(htmlCol), lit(p1), lit(0)),
+          regexp_extract_all(col(htmlCol), lit(p2), lit(0))))
+          .as(Seq("pos", "m")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        regexp_extract(m, "(?is)property=\"og:([^\"]*)\"", 1).as("og_property"),
+        regexp_extract(m, "(?is)content=\"([^\"]*)\"", 1).as("og_content"))
+  }
+
+  /** Quoted-reply and signature stripping — the mailing-list/forum
+    * cleaning pass (reply chains quote the whole thread; training on
+    * them over-weights every upthread message): cut everything from
+    * the first `--` signature delimiter line (trimmed match, the
+    * RFC 3676 convention), then drop `>`-quoted lines and
+    * `On … wrote:` attribution lines. Output (idCol, cleaned,
+    * n_lines, n_quoted, n_signature) with exact counts — quoted
+    * counted AFTER the signature cut. `array_position` finds the
+    * delimiter, `slice`/`filter`/`array_join` do the rest — narrow,
+    * zero shuffle, oracle-replayable. */
+  def stripQuotedReply(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val sigIdx = array_position(
+      transform(lines, l => trim(l) === "--"), lit(true))
+    val body = when(sigIdx > 0, slice(lines, lit(1), (sigIdx - 1).cast("int")))
+      .otherwise(lines)
+    val kept = filter(body, l =>
+      !l.startsWith(">") && !l.rlike("^On .* wrote:$"))
+    docs.select(col(idCol),
+      array_join(kept, "\n").as("cleaned"),
+      size(lines).cast("long").as("n_lines"),
+      size(filter(body, l => l.startsWith(">"))).cast("long").as("n_quoted"),
+      (size(lines) - size(body)).cast("long").as("n_signature"))
+  }
+
   /** URL normalization for per-site analysis and dedup keys: scheme
     * and host lowercased, default ports and fragments dropped,
     * `utm_*` tracking parameters removed (empty `?` dropped with

@@ -274,6 +274,48 @@ class TextAnalysisSpec extends SparkSpec {
       "exactly doc 1's four cells — the tableless page contributes none")
   }
 
+  test("feedParse: RSS items and Atom entries with both link forms; " +
+    "values trimmed, absent published null") {
+    val rss = "<rss><channel><item><title> T1 </title>" +
+      "<link>https://f.io/1</link><pubDate>Mon</pubDate></item>" +
+      "<item><title>T2</title><link>https://f.io/2</link></item>" +
+      "</channel></rss>"
+    val atom = "<feed><entry><title>A1</title>" +
+      "<link rel=\"alternate\" href=\"https://g.io/1\"/>" +
+      "<updated>2026-01-01</updated></entry></feed>"
+    val out = TextAnalysis.feedParse(
+        Seq(("f.io", rss), ("g.io", atom)).toDF("domain", "xml"))
+      .orderBy("domain", "pos").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4), Option(r.getString(5))))
+    assert(out.toSeq == Seq(
+      ("f.io", 0L, "rss", "T1", "https://f.io/1", Some("Mon")),
+      ("f.io", 1L, "rss", "T2", "https://f.io/2", None),
+      ("g.io", 0L, "atom", "A1", "https://g.io/1", Some("2026-01-01"))))
+  }
+
+  test("ogTags: both attribute orders captured, non-og metas ignored") {
+    val html = "<meta property=\"og:title\" content=\"T\">" +
+      "<meta name=\"description\" content=\"d\">" +
+      "<meta content=\"article\" property=\"og:type\">"
+    val out = TextAnalysis.ogTags(Seq((1L, html)).toDF("doc_id", "html"))
+      .orderBy("pos").collect()
+      .map(r => (r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(("title", "T"), ("type", "article")))
+  }
+
+  test("stripQuotedReply: signature cut at the first '--' line, quoted and " +
+    "attribution lines dropped, counts exact; no-signature mail intact") {
+    val mail = "Hello there.\n> old\nOn Tue, x wrote:\nBye.\n--\nSig\nMore sig"
+    val plain = "Just two lines.\nNo quoting at all."
+    val out = TextAnalysis.stripQuotedReply(
+        Seq((1L, mail), (2L, plain)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (("Hello there.\nBye.", 7L, 1L, 3L)))
+    assert(out(2L) == ((plain, 2L, 0L, 0L)))
+  }
+
   test("vttParse: header/NOTE blocks skipped, timestamps to exact ms, " +
     "multi-line cue text kept") {
     val vtt = "WEBVTT\n\nNOTE a comment\n\n" +
