@@ -1944,6 +1944,23 @@ object SparkEntry {
           col("mp4.width").as("width"), col("mp4.height").as("height"))
         .orderBy("media_id")
     }),
+    // main-content extraction: a link-dense nav (long enough to pass
+    // minChars — only the link-ratio rule can drop it), the article
+    // paragraph, a too-short block, and a link-heavy footer; the
+    // oracle replays only the text-clean collapse on the kept block
+    "q224_main_content" -> ((s, dir) => {
+      val html = concat(
+        lit("<div class=\"nav\"><a href=\"/\">Homepage link</a> " +
+          "<a href=\"/a\">About our team</a> <a href=\"/c\">Contact form</a>" +
+          "</div><p>"),
+        substring(col("text"), 1, 60),
+        lit("</p><p>Short.</p><div class=\"footer\">" +
+          "<a href=\"/tos\">Terms of service</a> and " +
+          "<a href=\"/priv\">the privacy policy</a></div>"))
+      TextAnalysis.mainContent(
+          t(s, dir, "documents").select(col("doc_id"), html.as("html")))
+        .orderBy("doc_id")
+    }),
     // feed parsing: RSS for even domains, Atom for odd — item order,
     // both link forms, missing pubDate on the second entry; every
     // row derived arithmetically
@@ -3977,6 +3994,15 @@ object SparkEntry {
         |  CAST(n_chars % 640 + 1 AS INT) AS width,
         |  CAST(n_chars % 480 + 1 AS INT) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // q224: block census arithmetic; the kept paragraph replays the
+    // same strip+collapse chain over the planted slice
+    "q224_main_content" ->
+      """SELECT doc_id, CAST(4 AS BIGINT) AS n_blocks,
+        |  CAST(1 AS BIGINT) AS n_kept,
+        |  trim(regexp_replace(regexp_replace(substr(text, 1, 60),
+        |    '<[^>]*>', ' ', 'g'), '[ \t\n\r]+', ' ', 'g')) AS content
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q221: each feed row derived arithmetically per domain parity
     "q221_feed_parse" ->

@@ -1220,6 +1220,43 @@ object TextAnalysis {
       (size(lines) - size(body)).cast("long").as("n_signature"))
   }
 
+  /** Main-content extraction — the jusText/trafilatura-class
+    * boilerplate remover, reduced to its deterministic core: split
+    * the page into blocks at block-level tags (div/p/section/li/
+    * table/headings/nav/aside/footer…), strip and whitespace-collapse
+    * each block's text, measure its LINK DENSITY (characters inside
+    * `<a>` anchors over block characters), and keep blocks that are
+    * long enough (`minChars`) and not link-dominated
+    * (`link_chars * 100 <= txt_chars * maxLinkPct` — an exact
+    * integer comparison, no division). Navigation bars, footers and
+    * tag clouds are short-or-link-dense, article prose is neither —
+    * the two thresholds are the whole heuristic. Output (idCol,
+    * n_blocks, n_kept, content) with kept blocks joined by newline
+    * in page order; compose with [[decodeEntities]]/quality ops
+    * downstream. Narrow HOF pass, zero shuffle. */
+  def mainContent(docs: DataFrame, idCol: String = "doc_id",
+                  htmlCol: String = "html", minChars: Int = 25,
+                  maxLinkPct: Int = 50): DataFrame = {
+    val blockSplit = "(?is)</?(?:div|p|section|article|aside|nav|footer|" +
+      "header|li|ul|ol|table|h[1-6])[^>]*>"
+    def clean(c: Column): Column =
+      trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "),
+        "[ \\t\\n\\r]+", " "))
+    val scored = transform(split(col(htmlCol), blockSplit), b =>
+      struct(clean(b).as("txt"),
+        aggregate(regexp_extract_all(b, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
+          lit(0L), (a, x) => a + length(clean(x))).as("link_chars")))
+    val present = filter(scored, x => x.getField("txt") =!= "")
+    val kept = filter(present, x =>
+      length(x.getField("txt")) >= minChars &&
+        x.getField("link_chars") * 100L <=
+          length(x.getField("txt")).cast("long") * maxLinkPct.toLong)
+    docs.select(col(idCol),
+      size(present).cast("long").as("n_blocks"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(transform(kept, x => x.getField("txt")), "\n").as("content"))
+  }
+
   /** URL normalization for per-site analysis and dedup keys: scheme
     * and host lowercased, default ports and fragments dropped,
     * `utm_*` tracking parameters removed (empty `?` dropped with

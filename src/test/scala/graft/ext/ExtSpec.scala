@@ -274,6 +274,22 @@ class TextAnalysisSpec extends SparkSpec {
       "exactly doc 1's four cells — the tableless page contributes none")
   }
 
+  test("mainContent: link-dense and too-short blocks drop, prose survives " +
+    "in order; exact integer link-ratio rule") {
+    val prose = "This paragraph carries plenty of genuine article prose text."
+    val html = "<div><a href=\"/\">Navigation menu link</a> " +
+      "<a href=\"/b\">Another nav entry</a></div>" +
+      s"<p>$prose</p><p>Tiny.</p>" +
+      s"<h2>A heading long enough to keep around here</h2>" +
+      "<div>Half link: <a href=\"/x\">12345678901234567890123456</a></div>"
+    val out = TextAnalysis.mainContent(Seq((1L, html)).toDF("doc_id", "html"))
+      .collect()(0)
+    assert(out.getLong(1) == 5L && out.getLong(2) == 2L)
+    assert(out.getString(3) ==
+      prose + "\nA heading long enough to keep around here")
+    // the half-link block: txt 38 chars, link 26 -> 2600 > 1900 dropped
+  }
+
   test("feedParse: RSS items and Atom entries with both link forms; " +
     "values trimmed, absent published null") {
     val rss = "<rss><channel><item><title> T1 </title>" +
