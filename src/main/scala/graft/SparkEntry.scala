@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.catalog.SchemaCatalog
-import graft.ext.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{ChatData, CodeCorpus, Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ops.{TreeWalk, Writers}
 import graft.streaming.EventStreams
 
@@ -1959,6 +1959,148 @@ object SparkEntry {
           "<a href=\"/priv\">the privacy policy</a></div>"))
       TextAnalysis.mainContent(
           t(s, dir, "documents").select(col("doc_id"), html.as("html")))
+        .orderBy("doc_id")
+    }),
+    // code-corpus language id over six planted path/shebang shapes:
+    // extension map, env-aware shebang override (incl. over .txt),
+    // well-known filename, extensionless dotfile
+    "q225_code_langid" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(6L))
+      val path = when(m === 0, "src/app.py").when(m === 1, "lib/util.scala")
+        .when(m === 2, "tools/run").when(m === 3, "Makefile")
+        .when(m === 4, ".gitignore").otherwise("notes.txt")
+      val text = when(m === 2, "#!/usr/bin/env python3\nprint(1)\n")
+        .when(m === 5, "#!/bin/bash\necho\n").otherwise("x = 1\n")
+      CodeCorpus.codeLangId(
+          t(s, dir, "documents").select(col("doc_id"), path.as("path"),
+            text.as("text")), idCol = "doc_id")
+        .orderBy("doc_id")
+    }),
+    // license detection: SPDX tag, the MIT/GPL phrase fingerprints,
+    // SPDX-beats-phrase precedence, and a no-license tail slice
+    "q226_license_scan" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(5L))
+      val text = when(m === 0, concat(
+          lit("// SPDX-License-Identifier: Apache-2.0\n"),
+          substring(col("text"), 1, 40)))
+        .when(m === 1, lit("Permission is hereby granted, free of " +
+          "charge, to any person\n"))
+        .when(m === 2, lit("licensed under the GNU General Public " +
+          "License v3\n"))
+        .when(m === 3, lit("# SPDX-License-Identifier: MIT\n" +
+          "GNU General Public License\n"))
+        .otherwise(substring(col("text"), 1, 50))
+      CodeCorpus.licenseScan(
+          t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+          idCol = "doc_id")
+        .orderBy("doc_id")
+    }),
+    // code quality stats over a three-line fixture with per-lang
+    // comment prefixes and a doc_id-sized long third line — every
+    // count is exact integer arithmetic
+    "q227_code_stats" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(4L))
+      val lang = when(m === 0, "python").when(m === 1, "scala")
+        .when(m === 2, "sql").otherwise("text")
+      val line1 = when(m === 0, "# do not edit").when(m === 1, "// header")
+        .when(m === 2, "-- header").otherwise("plain header")
+      val text = concat(line1, lit("\nval x = 1;\n"),
+        call_function("repeat", lit("ab"),
+          (lit(40) + pmod(col("doc_id"), lit(30L))).cast("int")))
+      CodeCorpus.codeStats(
+          t(s, dir, "documents").select(col("doc_id"), text.as("text"),
+            lang.as("lang")), idCol = "doc_id")
+        .orderBy("doc_id")
+    }),
+    // notebook cell extraction: two nbformat cells per doc, JSON
+    // malformed on doc_id%11==0 (fails closed to zero rows)
+    "q228_notebook_cells" -> ((s, dir) => {
+      val good = concat(
+        lit("{\"cells\":[{\"cell_type\":\"markdown\",\"source\":[\"# T"),
+        col("doc_id").cast("string"),
+        lit("\"]},{\"cell_type\":\"code\",\"source\":[\"x=1\\n\",\"y="),
+        pmod(col("doc_id"), lit(9L)).cast("string"),
+        lit("\\n\"]}],\"nbformat\":4}"))
+      val json = when(pmod(col("doc_id"), lit(11L)) === 0, "{nope")
+        .otherwise(good)
+      CodeCorpus.notebookCells(
+          t(s, dir, "documents").select(col("doc_id"), json.as("json")),
+          idCol = "doc_id")
+        .orderBy("doc_id", "cell_idx")
+    }),
+    // chat validation over four planted conversation shapes: valid
+    // with system head, dangling user, broken alternation, blank
+    // content — each flag trips on exactly one shape
+    "q229_chat_validate" -> ((s, dir) => {
+      def msg(role: String, content: Column) =
+        struct(lit(role).as("role"), content.as("content"))
+      val idStr = col("doc_id").cast("string")
+      val m = pmod(col("doc_id"), lit(4L))
+      val msgs = when(m === 0, array(msg("system", lit("S")),
+          msg("user", concat(lit("Q"), idStr)), msg("assistant", lit("A1")),
+          msg("user", lit("F")), msg("assistant", lit("A2"))))
+        .when(m === 1, array(msg("user", concat(lit("Q"), idStr)),
+          msg("assistant", lit("A1")), msg("user", lit("F"))))
+        .when(m === 2, array(msg("user", lit("Q")), msg("user", lit("R")),
+          msg("assistant", concat(lit("A"), idStr))))
+        .otherwise(array(msg("user", lit(" ")), msg("assistant", lit("A"))))
+      ChatData.chatValidate(
+          t(s, dir, "documents").select(col("doc_id"), msgs.as("msgs")),
+          idCol = "doc_id")
+        .orderBy("doc_id")
+    }),
+    // chat rendering: two-message conversation to the role-token
+    // template, rendered string fully arithmetic
+    "q230_chat_render" -> ((s, dir) => {
+      def msg(role: String, content: Column) =
+        struct(lit(role).as("role"), content.as("content"))
+      val msgs = array(
+        msg("user", concat(lit("Q"), col("doc_id").cast("string"))),
+        msg("assistant", concat(lit("A"),
+          pmod(col("doc_id"), lit(5L)).cast("string"))))
+      ChatData.chatRender(
+          t(s, dir, "documents").select(col("doc_id"), msgs.as("msgs")),
+          idCol = "doc_id")
+        .orderBy("doc_id")
+    }),
+    // fill-in-the-middle split over a doc_id-sized text slice; the
+    // oracle replays the exact floor pivots and PSM assembly
+    "q231_fim_split" -> ((s, dir) => {
+      val slice = col("text").substr(lit(1),
+        (lit(40) + pmod(col("doc_id"), lit(20L))).cast("int"))
+      CodeCorpus.fimSplit(
+          t(s, dir, "documents").select(col("doc_id"), slice.as("text")))
+        .orderBy("doc_id")
+    }),
+    // repository packing: 7 arithmetic repos, unique paths, a tight
+    // char budget so the path-order prefix rule is exercised; the
+    // oracle replays the monotone cumulative-sum prefix
+    "q232_repo_pack" -> ((s, dir) => {
+      val repo = concat(lit("repo"), pmod(col("doc_id"), lit(7L)).cast("string"))
+      val path = concat(lit("src/"), col("doc_id").cast("string"), lit(".py"))
+      val text = call_function("repeat", lit("x"),
+        (lit(5) + pmod(col("doc_id"), lit(4L))).cast("int"))
+      CodeCorpus.repoPack(
+          t(s, dir, "documents").select(repo.as("repo"), path.as("path"),
+            text.as("text")), maxChars = 400L)
+        .orderBy("repo")
+    }),
+    // unified-diff stats: one always-present file plus a second on
+    // even docs, +/- line counts sized by doc_id arithmetic
+    "q233_diff_stats" -> ((s, dir) => {
+      val k = pmod(col("doc_id"), lit(4L))
+      val d2 = when(pmod(col("doc_id"), lit(2L)) === 0,
+        lit("diff --git a/y b/y\n--- a/y\n+++ b/y\n@@ -5 +5 @@\n-old\n+new\n"))
+        .otherwise(lit(""))
+      val text = concat(
+        lit("diff --git a/f b/f\n--- a/f\n+++ b/f\n@@ -1 +1 @@\n"),
+        call_function("repeat", lit("+a\n"), (k + 1).cast("int")),
+        call_function("repeat", lit("-d\n"),
+          pmod(col("doc_id"), lit(3L)).cast("int")),
+        lit(" ctx\n"), d2)
+      CodeCorpus.diffStats(
+          t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+          idCol = "doc_id")
         .orderBy("doc_id")
     }),
     // feed parsing: RSS for even domains, Atom for odd — item order,
@@ -4002,6 +4144,140 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS n_kept,
         |  trim(regexp_replace(regexp_replace(substr(text, 1, 60),
         |    '<[^>]*>', ' ', 'g'), '[ \t\n\r]+', ' ', 'g')) AS content
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q225: language id derived per doc_id%6 branch; CASE with no
+    // ELSE yields the NULL ext of the shebang/filename/dotfile rows
+    "q225_code_langid" ->
+      """SELECT doc_id,
+        |  CASE doc_id%6 WHEN 0 THEN 'src/app.py' WHEN 1 THEN 'lib/util.scala'
+        |    WHEN 2 THEN 'tools/run' WHEN 3 THEN 'Makefile'
+        |    WHEN 4 THEN '.gitignore' ELSE 'notes.txt' END AS path,
+        |  CASE doc_id%6 WHEN 0 THEN 'py' WHEN 1 THEN 'scala'
+        |    WHEN 5 THEN 'txt' END AS ext,
+        |  CASE doc_id%6 WHEN 0 THEN 'python' WHEN 1 THEN 'scala'
+        |    WHEN 2 THEN 'python' WHEN 3 THEN 'makefile'
+        |    WHEN 4 THEN 'unknown' ELSE 'shell' END AS lang,
+        |  CASE doc_id%6 WHEN 0 THEN 'ext' WHEN 1 THEN 'ext'
+        |    WHEN 2 THEN 'shebang' WHEN 3 THEN 'filename'
+        |    WHEN 4 THEN 'unknown' ELSE 'shebang' END AS lang_source
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q226: license per doc_id%5 branch; SPDX beats the GPL phrase
+    // on branch 3, branch 4 detects nothing
+    "q226_license_scan" ->
+      """SELECT doc_id,
+        |  CASE doc_id%5 WHEN 0 THEN 'Apache-2.0' WHEN 3 THEN 'MIT' END AS spdx,
+        |  CASE doc_id%5 WHEN 0 THEN 'Apache-2.0' WHEN 1 THEN 'MIT'
+        |    WHEN 2 THEN 'GPL-3.0' WHEN 3 THEN 'MIT' END AS license,
+        |  CASE WHEN doc_id%5 = 4 THEN 'none'
+        |    WHEN doc_id%5 = 2 THEN 'copyleft' ELSE 'permissive' END AS category
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q227: every stat is exact integer arithmetic on the planted
+    // three-line fixture (line1 by lang, 'val x = 1;', 80+2k 'ab's)
+    "q227_code_stats" ->
+      """WITH b AS (SELECT doc_id, doc_id%4 AS m, doc_id%30 AS k FROM documents)
+        |SELECT doc_id, CAST(3 AS BIGINT) AS n_lines,
+        |  CAST(CASE m WHEN 0 THEN 13 WHEN 3 THEN 12 ELSE 9 END
+        |    + 12 + 80 + 2*k AS BIGINT) AS n_chars,
+        |  CAST(CASE m WHEN 0 THEN 9 WHEN 3 THEN 11 ELSE 6 END
+        |    + 5 + 80 + 2*k AS BIGINT) AS n_alnum,
+        |  CAST(80 + 2*k AS BIGINT) AS max_line_len,
+        |  CAST(CASE WHEN k > 20 THEN 1 ELSE 0 END AS BIGINT) AS n_long_lines,
+        |  CAST(CASE WHEN m = 3 THEN 0 ELSE 1 END AS BIGINT) AS n_comment_lines,
+        |  m = 0 AS is_autogen
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // q228: two cells per parseable notebook; the %11 docs are
+    // malformed and contribute zero rows
+    "q228_notebook_cells" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS cell_idx, 'markdown' AS cell_type,
+        |  '# T' || CAST(doc_id AS VARCHAR) AS source,
+        |  CAST(1 AS BIGINT) AS n_lines
+        |FROM documents WHERE doc_id%11 <> 0
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS BIGINT), 'code',
+        |  'x=1' || chr(10) || 'y=' || CAST(doc_id%9 AS VARCHAR) || chr(10),
+        |  CAST(2 AS BIGINT)
+        |FROM documents WHERE doc_id%11 <> 0
+        |ORDER BY doc_id, cell_idx""".stripMargin,
+
+    // q229: flags and char totals per conversation shape; L is the
+    // decimal width of doc_id
+    "q229_chat_validate" ->
+      """WITH b AS (SELECT doc_id, doc_id%4 AS m,
+        |    length(CAST(doc_id AS VARCHAR)) AS L FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE m WHEN 0 THEN 4 WHEN 3 THEN 2 ELSE 3 END AS BIGINT)
+        |    AS n_turns,
+        |  m = 0 AS has_system,
+        |  TRUE AS roles_ok,
+        |  TRUE AS starts_user,
+        |  m <> 1 AS ends_assistant,
+        |  m <> 2 AS alternates,
+        |  m <> 3 AS no_blank,
+        |  CAST(CASE m WHEN 0 THEN 2+L WHEN 1 THEN 2+L WHEN 2 THEN 2
+        |    ELSE 1 END AS BIGINT) AS n_user_chars,
+        |  CAST(CASE m WHEN 0 THEN 4 WHEN 1 THEN 2 WHEN 2 THEN 1+L
+        |    ELSE 1 END AS BIGINT) AS n_assistant_chars,
+        |  m = 0 AS valid
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // q230: the rendered template assembled arithmetically
+    "q230_chat_render" ->
+      """SELECT doc_id, CAST(2 AS BIGINT) AS n_msgs,
+        |  '<|user|>' || chr(10) || 'Q' || CAST(doc_id AS VARCHAR) ||
+        |  '<|end|>' || chr(10) || '<|assistant|>' || chr(10) ||
+        |  'A' || CAST(doc_id%5 AS VARCHAR) || '<|end|>' || chr(10) AS rendered
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q231: exact floor pivots and PSM assembly replayed over the
+    // same slice (// is DuckDB integer division)
+    "q231_fim_split" ->
+      """WITH s AS (SELECT doc_id,
+        |    substr(text, 1, CAST(40 + doc_id%20 AS INT)) AS t FROM documents),
+        |d AS (SELECT doc_id, t, length(t) AS n,
+        |    length(t)*33//100 AS lo, length(t)*66//100 AS hi FROM s)
+        |SELECT doc_id, CAST(lo AS BIGINT) AS n_prefix,
+        |  CAST(hi - lo AS BIGINT) AS n_middle,
+        |  CAST(n - hi AS BIGINT) AS n_suffix,
+        |  '<fim_prefix>' || substr(t, 1, lo) || '<fim_suffix>' ||
+        |    substr(t, hi + 1) || '<fim_middle>' ||
+        |    substr(t, lo + 1, hi - lo) AS fim
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // q232: the monotone cumulative-sum prefix replays the
+    // first-overflow-stops rule (block lengths are positive)
+    "q232_repo_pack" ->
+      """WITH f AS (SELECT 'repo' || CAST(doc_id%7 AS VARCHAR) AS repo,
+        |    'src/' || CAST(doc_id AS VARCHAR) || '.py' AS path,
+        |    repeat('x', CAST(5 + doc_id%4 AS INT)) AS txt FROM documents),
+        |b AS (SELECT repo, path,
+        |    '<file> ' || path || chr(10) || txt || chr(10) AS block FROM f),
+        |c AS (SELECT repo, path, block, sum(length(block))
+        |    OVER (PARTITION BY repo ORDER BY path
+        |          ROWS UNBOUNDED PRECEDING) AS cum FROM b),
+        |k AS (SELECT repo, count(*) AS n_packed, max(cum) AS n_chars,
+        |    string_agg(block, '' ORDER BY path) AS packed
+        |  FROM c WHERE cum <= 400 GROUP BY repo),
+        |t AS (SELECT repo, count(*) AS n_files FROM b GROUP BY repo)
+        |SELECT t.repo, CAST(t.n_files AS BIGINT) AS n_files,
+        |  CAST(coalesce(k.n_packed, 0) AS BIGINT) AS n_packed,
+        |  CAST(coalesce(k.n_chars, 0) AS BIGINT) AS n_chars,
+        |  coalesce(k.packed, '') AS packed
+        |FROM t LEFT JOIN k USING(repo) ORDER BY repo""".stripMargin,
+
+    // q233: counts sized by doc_id arithmetic; the second file block
+    // appears on even docs only
+    "q233_diff_stats" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id%2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_files,
+        |  CAST(CASE WHEN doc_id%2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_hunks,
+        |  CAST(doc_id%4 + 1 + CASE WHEN doc_id%2 = 0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_added,
+        |  CAST(doc_id%3 + CASE WHEN doc_id%2 = 0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_deleted
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q221: each feed row derived arithmetically per domain parity
