@@ -2103,6 +2103,88 @@ object SparkEntry {
           idCol = "doc_id")
         .orderBy("doc_id")
     }),
+    // PDF token census: k page objects + one /Type /Pages tree node
+    // (pinning the [^s] guard), /Encrypt on %7, trailer on even docs
+    "q234_pdf_meta" -> ((s, dir) => {
+      val k = pmod(col("doc_id"), lit(5L)) + 1L
+      val ver = concat(lit("1."),
+        (pmod(col("doc_id"), lit(4L)) + 4L).cast("string"))
+      val pdf = concat(lit("%PDF-"), ver,
+        lit("\n1 0 obj\n<</Type /Pages>>\nendobj\n"),
+        call_function("repeat", lit("2 0 obj\n<</Type /Page>>\nendobj\n"),
+          k.cast("int")),
+        when(pmod(col("doc_id"), lit(7L)) === 0,
+          lit("trailer <</Encrypt 2 0 R>>\n")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2L)) === 0, lit("%%EOF"))
+          .otherwise(lit("")))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          encode(pdf, "UTF-8").as("payload"))
+      Multimodal.containerMeta(media, Seq("pdf"))
+        .select(col("media_id"), col("pdf.version").as("version"),
+          col("pdf.n_objs").as("n_objs"), col("pdf.n_pages").as("n_pages"),
+          col("pdf.encrypted").as("encrypted"),
+          col("pdf.has_eof").as("has_eof"))
+        .orderBy("media_id")
+    }),
+    // ZIP walk over stored entries (docx/xlsx/epub/plain shapes), a
+    // central-directory terminator, doc_id-sized member data
+    "q235_zip_meta" -> ((s, dir) => {
+      def ascHex(str: String) =
+        str.getBytes("ISO-8859-1").map("%02X".format(_)).mkString
+      def leH(c: Column, n: Int) = concat((0 until n).map(i =>
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(255L)), 2, "0")): _*)
+      val k = pmod(col("doc_id"), lit(3L)) + 1L
+      def entry(name: String) = concat(
+        lit("504B0304" + "0A00" + "0000" + "0000" + "00000000" + "00000000"),
+        leH(k, 4), leH(k, 4),
+        lit("%02X00".format(name.length) + "0000" + ascHex(name)),
+        call_function("repeat", lit("44"), k.cast("int")))
+      val m = pmod(col("doc_id"), lit(4L))
+      val hexStr = concat(
+        when(m === 0, entry("word/document.xml"))
+          .when(m === 1, entry("xl/workbook.xml"))
+          .when(m === 2, concat(entry("mimetype"),
+            entry("META-INF/container.xml")))
+          .otherwise(entry("a.txt")),
+        lit("504B0102"))
+      // materialize: the header walk probes many byte positions (the
+      // round-8 OOM pitfall)
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), unhex(hexStr).as("payload"))
+        .localCheckpoint()
+      Multimodal.containerMeta(media, Seq("zip"))
+        .select(col("media_id"), col("zip.n_entries").as("n_entries"),
+          col("zip.complete").as("complete"),
+          col("zip.first_name").as("first_name"),
+          col("zip.total_usize").as("total_usize"),
+          col("zip.kind").as("kind"))
+        .orderBy("media_id")
+    }),
+    // gzip member header: FNAME on even docs, FTEXT on %3, mtime =
+    // doc_id, trailing junk standing in for the deflate stream
+    "q236_gzip_meta" -> ((s, dir) => {
+      def leH(c: Column, n: Int) = concat((0 until n).map(i =>
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(255L)), 2, "0")): _*)
+      val hasName = pmod(col("doc_id"), lit(2L)) === 0
+      val isText = pmod(col("doc_id"), lit(3L)) === 0
+      val flg = when(hasName, lit(8L)).otherwise(lit(0L)) +
+        when(isText, lit(1L)).otherwise(lit(0L))
+      val fnameHex = when(hasName, concat(
+        hex(concat(lit("f"), pmod(col("doc_id"), lit(9L)).cast("string"),
+          lit(".txt"))), lit("00"))).otherwise(lit(""))
+      val hexStr = concat(lit("1F8B" + "08"), lpad(hex(flg), 2, "0"),
+        leH(col("doc_id"), 4), lit("00"),
+        lpad(hex(pmod(col("doc_id"), lit(13L))), 2, "0"),
+        fnameHex, lit("ABCD"))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), unhex(hexStr).as("payload"))
+      Multimodal.containerMeta(media, Seq("gzip"))
+        .select(col("media_id"), col("gzip.method").as("method"),
+          col("gzip.mtime").as("mtime"), col("gzip.os").as("os"),
+          col("gzip.is_text").as("is_text"), col("gzip.fname").as("fname"))
+        .orderBy("media_id")
+    }),
     // feed parsing: RSS for even domains, Atom for odd — item order,
     // both link forms, missing pubDate on the second entry; every
     // row derived arithmetically
@@ -4279,6 +4361,41 @@ object SparkEntry {
         |  CAST(doc_id%3 + CASE WHEN doc_id%2 = 0 THEN 1 ELSE 0 END
         |    AS BIGINT) AS n_deleted
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q234: pure doc_id arithmetic (k+1 objects, k pages)
+    "q234_pdf_meta" ->
+      """SELECT doc_id AS media_id,
+        |  '1.' || CAST(doc_id%4 + 4 AS VARCHAR) AS version,
+        |  CAST(doc_id%5 + 2 AS BIGINT) AS n_objs,
+        |  CAST(doc_id%5 + 1 AS BIGINT) AS n_pages,
+        |  doc_id%7 = 0 AS encrypted,
+        |  doc_id%2 = 0 AS has_eof
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // q235: entry census per shape; epub carries two members
+    "q235_zip_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(CASE WHEN doc_id%4 = 2 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_entries,
+        |  TRUE AS complete,
+        |  CASE doc_id%4 WHEN 0 THEN 'word/document.xml'
+        |    WHEN 1 THEN 'xl/workbook.xml' WHEN 2 THEN 'mimetype'
+        |    ELSE 'a.txt' END AS first_name,
+        |  CAST((doc_id%3 + 1) * (CASE WHEN doc_id%4 = 2 THEN 2 ELSE 1 END)
+        |    AS BIGINT) AS total_usize,
+        |  CASE doc_id%4 WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx'
+        |    WHEN 2 THEN 'epub' ELSE 'zip' END AS kind
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // q236: header fields replayed arithmetically
+    "q236_gzip_meta" ->
+      """SELECT doc_id AS media_id, CAST(8 AS INT) AS method,
+        |  CAST(doc_id AS BIGINT) AS mtime,
+        |  CAST(doc_id%13 AS INT) AS os,
+        |  doc_id%3 = 0 AS is_text,
+        |  CASE WHEN doc_id%2 = 0
+        |    THEN 'f' || CAST(doc_id%9 AS VARCHAR) || '.txt' END AS fname
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     // q221: each feed row derived arithmetically per domain parity
     "q221_feed_parse" ->

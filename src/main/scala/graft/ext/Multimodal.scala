@@ -461,12 +461,139 @@ object Multimodal {
       hasId3.as("has_id3")))
   }
 
+  /** Little-endian unsigned int of `len` bytes at COLUMN position
+    * `pos`; null when the payload is shorter. */
+  private def leUintAt(bin: Column, pos: Column, len: Int): Column =
+    when(length(bin.substr(pos, lit(len))) === len,
+      (0 until len).map(i =>
+        conv(hex(bin.substr(pos + i, lit(1))), 16, 10).cast("long") *
+          (1L << (8 * i))).reduce(_ + _))
+
+  /** PDF document census — the crawl-payload PDF tier without a PDF
+    * library: `%PDF-x.y` version from the header, then token counts
+    * over the latin1-decoded head (`decode(..., ISO-8859-1)` maps
+    * every byte 1:1 to a char, so binary streams pass through the
+    * regexes unharmed): `endobj` object count, `/Type /Page` page
+    * count (the `[^s]` guard excludes `/Pages` tree nodes),
+    * `/Encrypt` flag, `%%EOF` trailer presence. A token CENSUS, not
+    * an xref-walking parser — counts can over-read tokens that occur
+    * inside unfiltered content streams (documented heuristic; real
+    * page extraction needs a codec and lives behind the frameSample
+    * stub convention). Bounded to `headBytes`; non-PDF payloads
+    * yield a null struct. */
+  def pdfMeta(payload: Column, headBytes: Int = 1 << 20): Column = {
+    val isPdf = hex(substring(payload, 1, 5)) === lit("255044462D")
+    val txt = decode(substring(payload, 1, headBytes), "ISO-8859-1")
+    val version0 = regexp_extract(txt, "^%PDF-([0-9]\\.[0-9])", 1)
+    val meta = struct(
+      when(version0 === "", lit(null: String)).otherwise(version0)
+        .as("version"),
+      size(regexp_extract_all(txt, lit("endobj"), lit(0))).cast("long")
+        .as("n_objs"),
+      size(regexp_extract_all(txt, lit("/Type[ ]?/Page([^s]|$)"), lit(0)))
+        .cast("long").as("n_pages"),
+      txt.contains("/Encrypt").as("encrypted"),
+      txt.contains("%%EOF").as("has_eof"))
+    when(isPdf, meta)
+  }
+
+  /** ZIP archive walk + document-kind detection — the OOXML/epub/jar
+    * tier: sequential local-file-header walk (`PK\x03\x04`:
+    * `pos → pos + 30 + namelen + extralen + csize`) in ONE bounded
+    * fold (`maxEntries` steps), collecting entry count, name list,
+    * and total uncompressed size until the central directory
+    * (`PK\x01\x02`) terminates the chain (`complete` = it was
+    * reached). Entries using data descriptors (flag bit 3 — csize
+    * unknown in the local header) stop the walk with
+    * `complete = false` rather than guessing. `kind` classifies by
+    * the well-known member names: `word/`→docx, `xl/`→xlsx,
+    * `ppt/`→pptx, `META-INF/container.xml`→epub,
+    * `META-INF/MANIFEST.MF`→jar, bare `[Content_Types].xml`→ooxml,
+    * else zip. Non-ZIP payloads (no leading local header — including
+    * empty archives, which start at the end-of-central-directory
+    * record) yield a null struct. */
+  def zipMeta(payload: Column, maxEntries: Int = 32): Column = {
+    val isZip = hex(substring(payload, 1, 4)) === lit("504B0304")
+    val end = length(payload).cast("long") + 1L
+    def st(pos: Column, n: Column, names: Column, usize: Column,
+           done: Column, bad: Column): Column =
+      struct(pos.as("pos"), n.as("n"), names.as("names"),
+        usize.as("usize"), done.as("done"), bad.as("bad"))
+    val walk = aggregate(sequence(lit(1), lit(maxEntries + 1)),
+      st(lit(1L), lit(0L), lit("\n"), lit(0L), lit(false), lit(false)),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val magic = hex(payload.substr(pos, lit(4)))
+        val flags = leUintAt(payload, pos + 6L, 2)
+        val csize = leUintAt(payload, pos + 18L, 4)
+        val usz = leUintAt(payload, pos + 22L, 4)
+        val nl = leUintAt(payload, pos + 26L, 2)
+        val el = leUintAt(payload, pos + 28L, 2)
+        val name = decode(payload.substr(pos + 30L, least(nl, lit(255L))),
+          "ISO-8859-1")
+        when(acc.getField("done") || acc.getField("bad"), acc)
+          .when(magic === lit("504B0102"),
+            st(pos, acc.getField("n"), acc.getField("names"),
+              acc.getField("usize"), lit(true), lit(false)))
+          .when(magic =!= lit("504B0304") || nl.isNull ||
+            flags.bitwiseAND(8L) =!= 0L,
+            st(pos, acc.getField("n"), acc.getField("names"),
+              acc.getField("usize"), lit(false), lit(true)))
+          .otherwise(st(pos + 30L + nl + el + csize,
+            acc.getField("n") + 1L,
+            concat(acc.getField("names"), name, lit("\n")),
+            acc.getField("usize") + usz, lit(false), lit(false)))
+      })
+    val names = walk.getField("names")
+    val kind = when(names.contains("\nword/"), "docx")
+      .when(names.contains("\nxl/"), "xlsx")
+      .when(names.contains("\nppt/"), "pptx")
+      .when(names.contains("\nMETA-INF/container.xml"), "epub")
+      .when(names.contains("\nMETA-INF/MANIFEST.MF"), "jar")
+      .when(names.contains("\n[Content_Types].xml"), "ooxml")
+      .otherwise("zip")
+    val first = element_at(split(names, "\n"), 2)
+    when(isZip, struct(
+      walk.getField("n").as("n_entries"),
+      walk.getField("done").as("complete"),
+      when(first === "", lit(null: String)).otherwise(first)
+        .as("first_name"),
+      walk.getField("usize").as("total_usize"),
+      kind.as("kind")))
+  }
+
+  /** gzip member header (RFC 1952) — the compression wrapper around
+    * most crawl payloads: magic `\x1f\x8b`, compression method,
+    * little-endian MTIME, OS byte, the FTEXT flag, and the optional
+    * FNAME original filename (null-terminated latin1 after the
+    * 10-byte header and any FEXTRA field; read bounded to 256
+    * bytes). Fixed-offset slicing, zero shuffle; non-gzip payloads
+    * yield a null struct. */
+  def gzipMeta(payload: Column): Column = {
+    val isGz = hex(substring(payload, 1, 2)) === lit("1F8B")
+    val flg = beUint(payload, 4, 1)
+    val xlen = when(flg.bitwiseAND(4L) =!= 0L, leUint(payload, 11, 2) + 2L)
+      .otherwise(lit(0L))
+    val namePos = lit(11L) + xlen
+    val fname = when(flg.bitwiseAND(8L) =!= 0L,
+      substring_index(
+        decode(payload.substr(namePos, lit(256L)), "ISO-8859-1"),
+        " ", 1))
+    when(isGz, struct(
+      beUint(payload, 3, 1).cast("int").as("method"),
+      leUint(payload, 5, 4).as("mtime"),
+      beUint(payload, 10, 1).cast("int").as("os"),
+      (flg.bitwiseAND(1L) =!= 0L).as("is_text"),
+      fname.as("fname")))
+  }
+
   /** Scan a media frame, attaching parsed container metadata columns —
     * the real half of "decode": header fields come from the bytes
     * themselves, only pixel/sample decoding remains stubbed. Covers
     * the containers web crawls actually carry: PNG, WAV, JPEG, GIF,
-    * WebP, TIFF, MP4, HEIF/AVIF, FLAC, MP3 — one narrow projection over a mixed
-    * media lake, filter by `<fmt>.width IS NOT NULL`.
+    * WebP, TIFF, MP4, HEIF/AVIF, FLAC, MP3, PDF, ZIP/OOXML, gzip —
+    * one narrow projection over a mixed media lake, filter by
+    * `<fmt>.width IS NOT NULL`.
     *
     * `formats` restricts which parser expression trees are built at
     * all: Catalyst does NOT prune the unused struct columns out of a
@@ -480,7 +607,9 @@ object Multimodal {
       "png" -> (pngMeta(_)), "wav" -> (wavMeta(_)), "jpeg" -> (jpegMeta(_)),
       "gif" -> (gifMeta(_)), "webp" -> (webpMeta(_)), "tiff" -> (tiffMeta(_)),
       "mp4" -> (mp4Meta(_)), "heif" -> (heifMeta(_)),
-      "flac" -> (flacMeta(_)), "mp3" -> (mp3Meta(_)))
+      "flac" -> (flacMeta(_)), "mp3" -> (mp3Meta(_)),
+      "pdf" -> (pdfMeta(_)), "zip" -> (zipMeta(_)),
+      "gzip" -> (gzipMeta(_)))
     val unknown = formats.filterNot(parsers.contains)
     require(unknown.isEmpty, s"unknown container formats: ${unknown.mkString(",")}")
     media.select(
@@ -493,7 +622,7 @@ object Multimodal {
     * order. */
   val ContainerFormats: Seq[String] =
     Seq("png", "wav", "jpeg", "gif", "webp", "tiff", "mp4", "heif",
-      "flac", "mp3")
+      "flac", "mp3", "pdf", "zip", "gzip")
 
   /** PNG pixel-stream bytes: the CONCATENATED data of every IDAT
     * chunk, walked chunk-by-chunk (`pos → pos + 12 + len`: length,

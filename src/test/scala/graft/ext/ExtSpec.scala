@@ -2208,6 +2208,77 @@ class SimilaritySpec extends SparkSpec {
 }
 
 class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pdfMeta: version/object/page census, /Pages excluded, /Encrypt " +
+    "and %%EOF flags; non-PDF null") {
+    val pdf = "%PDF-1.7\n1 0 obj\n<</Type /Pages /Kids[2 0 R]>>\nendobj\n" +
+      "2 0 obj\n<</Type /Page>>\nendobj\n3 0 obj\n<</Type/Page>>\nendobj\n" +
+      "trailer\n%%EOF"
+    val d = Seq((1L, pdf.getBytes("ISO-8859-1")),
+      (2L, "not a pdf".getBytes("ISO-8859-1"))).toDF("media_id", "payload")
+    val out = d.select(col("media_id"),
+      Multimodal.pdfMeta(col("payload")).as("m")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val m = out(1L).getStruct(1)
+    assert(m.getString(0) == "1.7")
+    assert(m.getLong(1) == 3L)  // endobj count
+    assert(m.getLong(2) == 2L)  // /Type /Page + /Type/Page, not /Pages
+    assert(!m.getBoolean(3) && m.getBoolean(4))
+    assert(out(2L).isNullAt(1))
+  }
+
+  test("zipMeta: stored-entry walk to the central directory; data " +
+    "descriptor stops incomplete; empty archive (EOCD start) is null") {
+    def le(v: Int, n: Int) =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+    def entry(name: String, data: String, flags: Int = 0): Array[Byte] =
+      Array[Byte](0x50, 0x4B, 3, 4) ++ le(20, 2) ++ le(flags, 2) ++
+        le(0, 2) ++ le(0, 4) ++ le(0, 4) ++ le(data.length, 4) ++
+        le(data.length, 4) ++ le(name.length, 2) ++ le(0, 2) ++
+        name.getBytes("ISO-8859-1") ++ data.getBytes("ISO-8859-1")
+    val cd = Array[Byte](0x50, 0x4B, 1, 2)
+    val good = entry("word/document.xml", "HELLO") ++
+      entry("word/styles.xml", "abc") ++ cd
+    val dd = entry("a.txt", "x", flags = 8) ++ cd
+    val eocd = Array[Byte](0x50, 0x4B, 5, 6) ++ new Array[Byte](18)
+    val d = Seq((1L, good), (2L, dd), (3L, eocd)).toDF("media_id", "payload")
+    val out = d.select(col("media_id"),
+      Multimodal.zipMeta(col("payload")).as("m")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val m = out(1L).getStruct(1)
+    assert(m.getLong(0) == 2L && m.getBoolean(1))
+    assert(m.getString(2) == "word/document.xml")
+    assert(m.getLong(3) == 8L && m.getString(4) == "docx")
+    val d2 = out(2L).getStruct(1)
+    assert(d2.getLong(0) == 0L && !d2.getBoolean(1)) // descriptor: stop
+    assert(out(3L).isNullAt(1))
+  }
+
+  test("gzipMeta: FEXTRA skipped before FNAME, flags decoded, " +
+    "no-FNAME null; non-gzip null") {
+    def le(v: Long, n: Int) =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+    def hdr(flg: Int, os: Int) =
+      Array[Byte](0x1F.toByte, 0x8B.toByte, 8, flg.toByte) ++
+        le(123456789L, 4) ++ Array[Byte](0, os.toByte)
+    // FEXTRA(4) + FNAME(8) + FTEXT(1): xlen=3 extra, then name + NUL
+    val withAll = hdr(13, 3) ++ le(3, 2) ++ Array[Byte](9, 9, 9) ++
+      "hello.txt".getBytes("ISO-8859-1") ++ Array[Byte](0) ++
+      Array[Byte](0x42, 0x42)
+    val bare = hdr(0, 255) ++ Array[Byte](0x42)
+    val d = Seq((1L, withAll), (2L, bare),
+      (3L, "zz".getBytes("ISO-8859-1"))).toDF("media_id", "payload")
+    val out = d.select(col("media_id"),
+      Multimodal.gzipMeta(col("payload")).as("m")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val m = out(1L).getStruct(1)
+    assert(m.getInt(0) == 8 && m.getLong(1) == 123456789L && m.getInt(2) == 3)
+    assert(m.getBoolean(3) && m.getString(4) == "hello.txt")
+    val b = out(2L).getStruct(1)
+    assert(b.getInt(2) == 255 && !b.getBoolean(3) && b.isNullAt(4))
+    assert(out(3L).isNullAt(1))
+  }
 
   test("jpegMeta walks the marker-segment chain: JFIF APP0 + EXIF-sized " +
     "segments skipped, SOF parsed; malformed/non-JPEG payloads yield null") {
