@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.catalog.SchemaCatalog
-import graft.ext.{ChatData, CodeCorpus, Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{ChatData, CodeCorpus, Corpus, Dedup, Multimodal, PrefData, Similarity, TextAnalysis}
 import graft.ops.{TreeWalk, Writers}
 import graft.streaming.EventStreams
 
@@ -2184,6 +2184,71 @@ object SparkEntry {
           col("gzip.mtime").as("mtime"), col("gzip.os").as("os"),
           col("gzip.is_text").as("is_text"), col("gzip.fname").as("fname"))
         .orderBy("media_id")
+    }),
+    // preference-pair validation: four planted shapes — valid with
+    // chosen longer, identical pair, blank rejected, valid with
+    // rejected longer; lengths are fixture constants
+    "q237_pref_validate" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(4L))
+      val prompt = concat(lit("P"), col("doc_id").cast("string"))
+      val chosen = when(m === 0, substring(col("text"), 1, 30))
+        .when(m === 1, substring(col("text"), 1, 25))
+        .when(m === 2, substring(col("text"), 1, 10))
+        .otherwise(substring(col("text"), 1, 15))
+      val rejected = when(m === 0, substring(col("text"), 1, 20))
+        .when(m === 1, substring(col("text"), 1, 25))
+        .when(m === 2, lit("  "))
+        .otherwise(substring(col("text"), 1, 40))
+      PrefData.prefValidate(
+          t(s, dir, "documents").select(col("doc_id").as("pair_id"),
+            prompt.as("prompt"), chosen.as("chosen"),
+            rejected.as("rejected")))
+        .orderBy("pair_id")
+    }),
+    // arena win rates over an arithmetic comparison table (three
+    // models in a rotating a/b pairing, %5-bucketed outcomes); the
+    // oracle replays the same aggregation in SQL
+    "q238_win_rate" -> ((s, dir) => {
+      val r = pmod(col("doc_id"), lit(3L))
+      val comps = t(s, dir, "documents").select(
+        concat(lit("m"), r.cast("string")).as("model_a"),
+        concat(lit("m"), pmod(r + 1L, lit(3L)).cast("string")).as("model_b"),
+        when(pmod(col("doc_id"), lit(5L)) < 2, "a")
+          .when(pmod(col("doc_id"), lit(5L)) < 4, "b")
+          .otherwise("tie").as("winner"))
+      PrefData.winRate(comps).orderBy("model")
+    }),
+    // Fleiss' kappa over a 3-rater table: two raters always agree,
+    // the third only on even items — exact integer moments, kappa
+    // one double expression at the end
+    "q239_fleiss_kappa" -> ((s, dir) => {
+      val ratings = t(s, dir, "documents")
+        .select(col("doc_id"), explode(sequence(lit(0), lit(2))).as("j"))
+        .select(col("doc_id").as("item_id"),
+          concat(lit("a"), col("j").cast("string")).as("annotator"),
+          concat(lit("L"), when(col("j") < 2,
+              pmod(col("doc_id"), lit(3L)))
+            .otherwise(when(pmod(col("doc_id"), lit(2L)) === 0,
+              pmod(col("doc_id"), lit(3L)))
+              .otherwise(pmod(col("doc_id") + 1L, lit(3L))))
+            .cast("string")).as("label"))
+      PrefData.fleissKappa(ratings)
+    }),
+    // table-to-markdown over the q220 table shapes: header separator
+    // after the th row, the solo table renders bare
+    "q240_table_markdown" -> ((s, dir) => {
+      val html = concat(
+        lit("<p>"), substring(col("text"), 1, 20), lit("</p>" +
+          "<TABLE class=\"data\"><tr><th>Name</th><th>Value</th></tr>" +
+          "<tr><td>alpha &amp; co</td><td>"),
+        col("doc_id").cast("string"), lit("</td></tr></TABLE>"),
+        when(pmod(col("doc_id"), lit(4L)) === 0,
+          concat(lit("<table><tr><td> solo "),
+            pmod(col("doc_id"), lit(9L)).cast("string"),
+            lit(" </td></tr></table>"))).otherwise(lit("")))
+      TextAnalysis.tableToMarkdown(TextAnalysis.htmlTables(
+          t(s, dir, "documents").select(col("doc_id"), html.as("html"))))
+        .orderBy("doc_id", "table_idx")
     }),
     // feed parsing: RSS for even domains, Atom for odd — item order,
     // both link forms, missing pubDate on the second entry; every
@@ -4396,6 +4461,89 @@ object SparkEntry {
         |  CASE WHEN doc_id%2 = 0
         |    THEN 'f' || CAST(doc_id%9 AS VARCHAR) || '.txt' END AS fname
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // q237: fixture-constant lengths per shape
+    "q237_pref_validate" ->
+      """WITH b AS (SELECT doc_id, doc_id%4 AS m FROM documents)
+        |SELECT doc_id AS pair_id,
+        |  m <> 2 AS non_blank,
+        |  m <> 1 AS distinct_pair,
+        |  CAST(CASE m WHEN 0 THEN 30 WHEN 1 THEN 25 WHEN 2 THEN 10
+        |    ELSE 15 END AS BIGINT) AS n_chosen_chars,
+        |  CAST(CASE m WHEN 0 THEN 20 WHEN 1 THEN 25 WHEN 2 THEN 2
+        |    ELSE 40 END AS BIGINT) AS n_rejected_chars,
+        |  m IN (0, 2) AS chosen_longer,
+        |  m IN (0, 3) AS valid
+        |FROM b ORDER BY pair_id""".stripMargin,
+
+    // q238: the same per-model census derived by SQL aggregation
+    "q238_win_rate" ->
+      """WITH c AS (SELECT 'm' || CAST(doc_id%3 AS VARCHAR) AS model_a,
+        |    'm' || CAST((doc_id%3 + 1)%3 AS VARCHAR) AS model_b,
+        |    CASE WHEN doc_id%5 < 2 THEN 'a' WHEN doc_id%5 < 4 THEN 'b'
+        |      ELSE 'tie' END AS winner FROM documents),
+        |s AS (
+        |  SELECT model_a AS model,
+        |    CASE winner WHEN 'a' THEN 'win' WHEN 'b' THEN 'loss'
+        |      ELSE 'tie' END AS outcome FROM c
+        |  UNION ALL
+        |  SELECT model_b,
+        |    CASE winner WHEN 'b' THEN 'win' WHEN 'a' THEN 'loss'
+        |      ELSE 'tie' END FROM c)
+        |SELECT model,
+        |  CAST(count(*) FILTER (outcome = 'win') AS BIGINT) AS n_wins,
+        |  CAST(count(*) FILTER (outcome = 'loss') AS BIGINT) AS n_losses,
+        |  CAST(count(*) FILTER (outcome = 'tie') AS BIGINT) AS n_ties,
+        |  CAST(count(*) AS BIGINT) AS n_comps,
+        |  CAST(count(*) FILTER (outcome = 'win') AS DOUBLE) /
+        |    CAST(count(*) FILTER (outcome IN ('win','loss')) AS DOUBLE)
+        |    AS win_frac
+        |FROM s GROUP BY model ORDER BY model""".stripMargin,
+
+    // q239: the same exact integer moments derived in SQL; kappa is
+    // the identical double expression over them
+    "q239_fleiss_kappa" ->
+      """WITH r AS (SELECT doc_id AS item_id, j,
+        |    CASE WHEN j < 2 THEN doc_id%3
+        |      WHEN doc_id%2 = 0 THEN doc_id%3
+        |      ELSE (doc_id + 1)%3 END AS lab
+        |  FROM documents, (SELECT unnest(generate_series(0, 2)) AS j)),
+        |cell AS (SELECT item_id, lab, count(*) AS nij
+        |  FROM r GROUP BY 1, 2),
+        |pi AS (SELECT item_id, sum(nij) AS n, sum(nij*nij) AS sq
+        |  FROM cell GROUP BY 1),
+        |m AS (SELECT lab, sum(nij) AS mj FROM cell GROUP BY 1),
+        |agg AS (SELECT count(*) AS n_items, sum(sq) AS sumsq FROM pi),
+        |pe AS (SELECT sum(CAST(mj AS HUGEINT) * mj) AS pe_num FROM m)
+        |SELECT CAST(n_items AS BIGINT) AS n_items,
+        |  CAST(3 AS BIGINT) AS n_raters,
+        |  CAST(0 AS BIGINT) AS n_excluded,
+        |  CAST(sumsq - n_items*3 AS BIGINT) AS po_num,
+        |  CAST(n_items*3*2 AS BIGINT) AS po_den,
+        |  CAST(pe_num AS VARCHAR) AS pe_num,
+        |  CAST(CAST(n_items*3 AS HUGEINT) * (n_items*3) AS VARCHAR)
+        |    AS pe_den,
+        |  (CAST(sumsq - n_items*3 AS DOUBLE) / CAST(n_items*3*2 AS DOUBLE)
+        |    - CAST(pe_num AS DOUBLE) /
+        |      CAST(CAST(n_items*3 AS HUGEINT) * (n_items*3) AS DOUBLE)) /
+        |  (1.0 - CAST(pe_num AS DOUBLE) /
+        |      CAST(CAST(n_items*3 AS HUGEINT) * (n_items*3) AS DOUBLE))
+        |    AS kappa
+        |FROM agg, pe""".stripMargin,
+
+    // q240: both markdown strings assembled arithmetically
+    "q240_table_markdown" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS table_idx,
+        |  CAST(2 AS BIGINT) AS n_rows, CAST(2 AS BIGINT) AS n_cols,
+        |  '| Name | Value |' || chr(10) || '| --- | --- |' || chr(10) ||
+        |    '| alpha & co | ' || CAST(doc_id AS VARCHAR) || ' |' AS markdown
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+        |  CAST(1 AS BIGINT),
+        |  '| solo ' || CAST(doc_id%9 AS VARCHAR) || ' |'
+        |FROM documents WHERE doc_id%4 = 0
+        |ORDER BY doc_id, table_idx""".stripMargin,
 
     // q221: each feed row derived arithmetically per domain parity
     "q221_feed_parse" ->

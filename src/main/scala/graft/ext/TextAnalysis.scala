@@ -1138,6 +1138,51 @@ object TextAnalysis {
           regexp_replace(col("__c"), "<[^>]*>", " ")),
           "[ \\t\\n\\r]+", " ")).as("cell"))
 
+  /** Render extracted table cells ([[htmlTables]]' output shape:
+    * doc/table/row/col indices, header flag, clean cell text) to
+    * GitHub-flavored Markdown — the table-to-text form web-table
+    * mining pipelines feed to models: cells pipe-escaped and joined
+    * `| a | b |` in column order, a `| --- |` separator after the
+    * first row when it is a header row, rows joined by newline in
+    * row order. Output (doc_id, table_idx, n_rows, n_cols,
+    * markdown). Two keyed shuffles (row grain, then table grain);
+    * per-table state is that table's cells only. */
+  def tableToMarkdown(cells: DataFrame): DataFrame = {
+    val rowLines = cells
+      .groupBy(col("doc_id"), col("table_idx"), col("row_idx"))
+      .agg(
+        array_sort(collect_list(struct(col("col_idx"),
+          regexp_replace(col("cell"), "\\|", "\\\\|").as("cell"))))
+          .as("__cs"),
+        max(col("is_header")).as("__hdr"))
+      .select(col("doc_id"), col("table_idx"), col("row_idx"),
+        concat(lit("| "), array_join(
+          transform(col("__cs"), c => c.getField("cell")), " | "),
+          lit(" |")).as("__line"),
+        size(col("__cs")).cast("long").as("__nc"), col("__hdr"))
+    rowLines.groupBy(col("doc_id"), col("table_idx"))
+      .agg(array_sort(collect_list(struct(col("row_idx"),
+        col("__line").as("line"), col("__nc").as("nc"),
+        col("__hdr").as("hdr")))).as("__rs"))
+      .select(col("doc_id"), col("table_idx"),
+        size(col("__rs")).cast("long").as("n_rows"),
+        array_max(transform(col("__rs"), r => r.getField("nc")))
+          .as("n_cols"),
+        {
+          val rs = col("__rs")
+          val first = element_at(rs, 1)
+          val lines = transform(rs, r => r.getField("line"))
+          val sep = concat(lit("| "), array_join(
+            transform(sequence(lit(1), first.getField("nc")),
+              _ => lit("---")), " | "), lit(" |"))
+          val tail = when(size(rs) > 1, concat(lit("\n"), array_join(
+            slice(lines, lit(2), size(rs) - 1), "\n"))).otherwise(lit(""))
+          when(first.getField("hdr"),
+            concat(first.getField("line"), lit("\n"), sep, tail))
+            .otherwise(array_join(lines, "\n")).as("markdown")
+        })
+  }
+
   /** RSS 2.0 / Atom feed parsing — the incremental-discovery feed of
     * a crawl (what changed since the last visit, without recrawling
     * the site): explode `<item>` (RSS) and `<entry>` (Atom) blocks

@@ -426,7 +426,13 @@ class PlanSpec extends SparkSpec {
       // q185: doremiBudgets folds TWO 1-row broadcast aggregates (the
       // best-fit max, the total weight) into the |sources|-row frame —
       // the q68 replacement-for-a-driver-action class
-      "q185_doremi_budgets")
+      "q185_doremi_budgets",
+      // q239: fleissKappa folds THREE 1-row broadcast aggregates (the
+      // modal rater count, the excluded-item count, the label-marginal
+      // pe sum) into the one-row kappa frame — the q68/q185
+      // replacement-for-a-driver-action class; every cross side is a
+      // single row
+      "q239_fleiss_kappa")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
       .flatMap { name =>
