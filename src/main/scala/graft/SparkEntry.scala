@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.catalog.SchemaCatalog
-import graft.ext.{ChatData, CodeCorpus, Corpus, Dedup, Multimodal, PrefData, Similarity, TextAnalysis}
+import graft.ext.{ChatData, CodeCorpus, Corpus, Dedup, Eval, Multimodal, PrefData, Similarity, TextAnalysis}
 import graft.ops.{TreeWalk, Writers}
 import graft.streaming.EventStreams
 
@@ -2249,6 +2249,80 @@ object SparkEntry {
       TextAnalysis.tableToMarkdown(TextAnalysis.htmlTables(
           t(s, dir, "documents").select(col("doc_id"), html.as("html"))))
         .orderBy("doc_id", "table_idx")
+    }),
+    // RAG chunking over the real document text (size 50, overlap
+    // 10); the oracle replays the ceil arithmetic with
+    // generate_series
+    "q241_chunk_text" -> ((s, dir) => {
+      TextAnalysis.chunkText(t(s, dir, "documents"), size = 50,
+          overlap = 10)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+    // SQuAD-style EM/F1 on four planted shapes: article + punct
+    // normalization, multiset-overlap F1, best-of-refs
+    "q242_eval_scores" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(4L))
+      val pred = when(m === 0, "The answer is 42").when(m === 1, "Paris.")
+        .when(m === 2, "alpha beta").otherwise("x x y")
+      val refs = when(m === 0, array(lit("answer 42"), lit("nope")))
+        .when(m === 1, array(lit("the paris")))
+        .when(m === 2, array(lit("gamma delta")))
+        .otherwise(array(lit("x x"), lit("x z z")))
+      Eval.evalScores(
+          t(s, dir, "documents").select(col("doc_id").as("pred_id"),
+            pred.as("pred"), refs.as("refs")))
+        .orderBy("pred_id")
+    }),
+    // robots meta directives: both attribute orders, token match,
+    // tagless and "all" pages fully indexable
+    "q243_robots_meta" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(4L))
+      val html = concat(lit("<html><head>"),
+        when(m === 0, lit("<meta name=\"robots\" " +
+          "content=\"noindex, nofollow\">"))
+          .when(m === 1, lit("<meta content=\"NOARCHIVE\" " +
+            "name=\"robots\">"))
+          .when(m === 2, lit(""))
+          .otherwise(lit("<meta name=\"robots\" content=\"all\">")),
+        lit("</head><body>"), substring(col("text"), 1, 30),
+        lit("</body></html>"))
+      TextAnalysis.robotsMeta(
+          t(s, dir, "documents").select(col("doc_id"), html.as("html")))
+        .orderBy("doc_id")
+    }),
+    // int8 scalar quantization over arithmetic 8-dim vectors
+    // (range 21 per vector): floor codes are tie-free and
+    // engine-identical
+    "q244_sq8_quantize" -> ((s, dir) => {
+      val vec = transform(sequence(lit(0), lit(7)), i =>
+        (pmod(col("doc_id"), lit(5L)) + i * 3L).cast("double"))
+      val out = Similarity.sq8Quantize(
+        t(s, dir, "documents").select(col("doc_id").as("emb_id"),
+          vec.as("vec")))
+      out.select(col("emb_id"),
+          concat_ws(",", col("codes")).as("codes_str"),
+          col("q_min"), col("q_max"), col("max_abs_err"))
+        .orderBy("emb_id")
+    }),
+    // margin-based bitext mining over planted direction vectors:
+    // per-direction pure targets (cos 1) beat the mixed distractors
+    // (cos <= 0.8); decisions hashed, margins internal
+    "q245_bitext_mine" -> ((s, dir) => {
+      import s.implicits._
+      val d4 = pmod(col("doc_id"), lit(4L)).cast("int")
+      val scale = (pmod(col("doc_id"), lit(3L)) + 1L).cast("double")
+      val src = t(s, dir, "documents").select(col("doc_id").as("src_id"),
+        transform(sequence(lit(0), lit(3)), i =>
+          when(i === d4, scale).otherwise(lit(0.0))).as("embedding"))
+      val tgt = (0 until 4).flatMap { d =>
+        def vec(f: Int => Double) = (0 until 4).map(f)
+        Seq((d.toLong, vec(i => if (i == d) 1.0 else 0.0)),
+          (4L + d, vec(i => if (i == d) 0.6
+            else if (i == (d + 1) % 4) 0.8 else 0.0)))
+      }.toDF("tgt_id", "embedding")
+      Similarity.bitextMine(src, tgt, planes = 3, dim = 4, k = 4,
+          threshold = 1.02)
+        .orderBy("src_id")
     }),
     // feed parsing: RSS for even domains, Atom for odd — item order,
     // both link forms, missing pubDate on the second entry; every
@@ -4545,6 +4619,56 @@ object SparkEntry {
         |FROM documents WHERE doc_id%4 = 0
         |ORDER BY doc_id, table_idx""".stripMargin,
 
+    // q241: ceil arithmetic replayed with generate_series
+    "q241_chunk_text" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |c AS (SELECT doc_id, text,
+        |    unnest(generate_series(0, CASE WHEN n <= 50 THEN 0
+        |      ELSE CAST(ceil((n - 50)/40.0) AS BIGINT) END)) AS i
+        |  FROM d WHERE n > 0)
+        |SELECT doc_id, i AS chunk_idx, i*40 + 1 AS chunk_start,
+        |  CAST(length(substr(text, CAST(i*40 + 1 AS INT), 50)) AS BIGINT)
+        |    AS n_chunk_chars,
+        |  substr(text, CAST(i*40 + 1 AS INT), 50) AS chunk
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // q242: fixture-constant scores (multiset overlap pinned by the
+    // x-x-y branch)
+    "q242_eval_scores" ->
+      """SELECT doc_id AS pred_id,
+        |  doc_id%4 = 1 AS em,
+        |  CASE doc_id%4 WHEN 0 THEN 0.8 WHEN 1 THEN 1.0 WHEN 2 THEN 0.0
+        |    ELSE 0.8 END AS best_f1,
+        |  CAST(CASE doc_id%4 WHEN 0 THEN 3 WHEN 1 THEN 1 WHEN 2 THEN 2
+        |    ELSE 3 END AS BIGINT) AS n_pred_tokens
+        |FROM documents ORDER BY pred_id""".stripMargin,
+
+    // q243: directives per branch; content keeps original case
+    "q243_robots_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id%4 WHEN 0 THEN 'noindex, nofollow'
+        |    WHEN 1 THEN 'NOARCHIVE' WHEN 3 THEN 'all' END AS robots_content,
+        |  doc_id%4 = 0 AS noindex,
+        |  doc_id%4 = 0 AS nofollow,
+        |  doc_id%4 = 1 AS noarchive
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q244: codes and range replayed arithmetically (floor is
+    // tie-free)
+    "q244_sq8_quantize" ->
+      """SELECT doc_id AS emb_id,
+        |  array_to_string(list_transform(generate_series(0, 7),
+        |    i -> CAST(CAST(floor(i*3*255.0/21) AS INT) AS VARCHAR)), ',')
+        |    AS codes_str,
+        |  CAST(doc_id%5 AS DOUBLE) AS q_min,
+        |  CAST(doc_id%5 + 21 AS DOUBLE) AS q_max,
+        |  21.0/255.0 AS max_abs_err
+        |FROM documents ORDER BY emb_id""".stripMargin,
+
+    // q245: buckets, cosines and margins replayed with the inlined
+    // plane family; only the decisions are hashed
+    "q245_bitext_mine" -> bitextMineOracle,
+
     // q221: each feed row derived arithmetically per domain parity
     "q221_feed_parse" ->
       """WITH r AS (SELECT DISTINCT CAST(doc_id % 7 AS INT) AS d FROM documents),
@@ -6004,6 +6128,45 @@ object SparkEntry {
        |SELECT vec_id, CAST(pr.dim AS BIGINT) AS dim, pr.value AS value
        |FROM u ORDER BY vec_id, dim""".stripMargin
   }
+
+
+  /** q245 oracle: the identical bucket/cosine/margin pipeline in SQL
+    * with the inlined plane family; DECISIONS only (best target,
+    * candidate count, accept flag) reach the hashed contract. */
+  private def bitextMineOracle: String =
+    s"""WITH src AS (SELECT doc_id AS src_id,
+       |    [CASE WHEN doc_id%4 = 0 THEN CAST(doc_id%3 + 1 AS DOUBLE) ELSE 0.0 END,
+       |     CASE WHEN doc_id%4 = 1 THEN CAST(doc_id%3 + 1 AS DOUBLE) ELSE 0.0 END,
+       |     CASE WHEN doc_id%4 = 2 THEN CAST(doc_id%3 + 1 AS DOUBLE) ELSE 0.0 END,
+       |     CASE WHEN doc_id%4 = 3 THEN CAST(doc_id%3 + 1 AS DOUBLE) ELSE 0.0 END] AS v
+       |  FROM documents),
+       |tgt AS (SELECT * FROM (VALUES
+       |    (0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+       |    (2, [0.0, 0.0, 1.0, 0.0]), (3, [0.0, 0.0, 0.0, 1.0]),
+       |    (4, [0.6, 0.8, 0.0, 0.0]), (5, [0.0, 0.6, 0.8, 0.0]),
+       |    (6, [0.0, 0.0, 0.6, 0.8]), (7, [0.8, 0.0, 0.0, 0.6]))
+       |  t(tgt_id, v)),
+       |sb AS (SELECT src_id, v, ${bucketExprSql(3, 4)} AS bucket FROM src),
+       |tb AS (SELECT tgt_id, v, ${bucketExprSql(3, 4)} AS bucket FROM tgt),
+       |cand AS (SELECT src_id, tgt_id,
+       |    list_dot_product(sb.v, tb.v) /
+       |      (sqrt(list_dot_product(sb.v, sb.v)) *
+       |       sqrt(list_dot_product(tb.v, tb.v))) AS sim
+       |  FROM sb JOIN tb USING (bucket)),
+       |r AS (SELECT *,
+       |    row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id) AS rs,
+       |    row_number() OVER (PARTITION BY tgt_id ORDER BY sim DESC, src_id) AS rt
+       |  FROM cand),
+       |ds AS (SELECT src_id, avg(sim) AS dsv FROM r WHERE rs <= 4 GROUP BY 1),
+       |dt AS (SELECT tgt_id, avg(sim) AS dtv FROM r WHERE rt <= 4 GROUP BY 1),
+       |m AS (SELECT r.src_id, r.tgt_id, r.sim / ((dsv + dtv)/2.0) AS margin,
+       |    count(*) OVER (PARTITION BY r.src_id) AS nc
+       |  FROM r JOIN ds USING (src_id) JOIN dt USING (tgt_id)),
+       |best AS (SELECT *, row_number() OVER (PARTITION BY src_id
+       |    ORDER BY margin DESC, tgt_id) AS rb FROM m)
+       |SELECT src_id, CAST(tgt_id AS BIGINT) AS best_tgt_id,
+       |  CAST(nc AS BIGINT) AS n_cands, margin >= 1.02 AS accepted
+       |FROM best WHERE rb = 1 ORDER BY src_id""".stripMargin
 
   /** q29 oracle: bucket both sides with the inlined plane family, score
     * same-bucket candidates, rank — the exact SQL mirror of annTopK. */

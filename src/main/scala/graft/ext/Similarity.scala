@@ -227,6 +227,58 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Margin-based bitext mining (the LASER/CCMatrix criterion):
+    * candidate translation pairs from SHARED sign-LSH buckets (both
+    * sides bucketed with the same deterministic plane family —
+    * cross-lingual encoders map translations nearby, so bucket
+    * collision is the recall knob), cosine-scored, then the margin
+    * criterion `cos(x,y) / ((avgTopK(x) + avgTopK(y))/2)` de-biases
+    * hubness (a vector globally close to everything must beat its
+    * own neighborhood, not just a flat threshold). Output is ONE row
+    * per source — its best target by margin (ties break on target
+    * id), the bucket-bounded candidate count, and the `accepted`
+    * decision — DECISIONS, not raw margins, keep the hashed contract
+    * float-wobble-free (the q150/q163 rule); margins live only
+    * inside the ranking. Never all-pairs: the candidate set is
+    * bucket-bounded exactly like [[annTopK]]; two keyed window
+    * passes (src grain, tgt grain), no global sort. */
+  def bitextMine(src: DataFrame, tgt: DataFrame, planes: Int, dim: Int,
+                 k: Int = 4, threshold: Double = 1.05,
+                 srcIdCol: String = "src_id", tgtIdCol: String = "tgt_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val sb = signBuckets(src, planes, dim, srcIdCol, vecCol)
+      .select(col(srcIdCol), col(vecCol).as("__sv"), col("bucket"))
+    val tb = signBuckets(tgt, planes, dim, tgtIdCol, vecCol)
+      .select(col(tgtIdCol), col(vecCol).as("__tv"), col("bucket"))
+    val cand = sb.join(tb, "bucket")
+      .select(col(srcIdCol), col(tgtIdCol),
+        cosine(col("__sv"), col("__tv")).as("__sim"))
+    val wS = Window.partitionBy(col(srcIdCol))
+      .orderBy(col("__sim").desc, col(tgtIdCol).asc)
+    val wT = Window.partitionBy(col(tgtIdCol))
+      .orderBy(col("__sim").desc, col(srcIdCol).asc)
+    val ranked = cand.withColumn("__rs", row_number().over(wS))
+      .withColumn("__rt", row_number().over(wT))
+    val denS = ranked.filter(col("__rs") <= k)
+      .groupBy(srcIdCol).agg(avg("__sim").as("__ds"))
+    val denT = ranked.filter(col("__rt") <= k)
+      .groupBy(tgtIdCol).agg(avg("__sim").as("__dt"))
+    val margins = ranked
+      .join(denS, Seq(srcIdCol)).join(denT, Seq(tgtIdCol))
+      .withColumn("__margin",
+        col("__sim") / ((col("__ds") + col("__dt")) / 2.0))
+    val wBest = Window.partitionBy(col(srcIdCol))
+      .orderBy(col("__margin").desc, col(tgtIdCol).asc)
+    margins
+      .withColumn("__nc", count(lit(1)).over(
+        Window.partitionBy(col(srcIdCol))))
+      .withColumn("__rb", row_number().over(wBest))
+      .filter(col("__rb") === 1)
+      .select(col(srcIdCol), col(tgtIdCol).as("best_tgt_id"),
+        col("__nc").as("n_cands"),
+        (col("__margin") >= threshold).as("accepted"))
+  }
+
   /** A built IVF index: the corpus with its coarse-quantizer cell id
     * (`__cell`) attached, plus the centroid table
     * `(__cell, __centroid)`. Build once, query many — and persist with
@@ -1486,5 +1538,27 @@ object Similarity {
     emb.select(col(idCol))
       .join(comps.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster"))
+  }
+
+  /** Int8 scalar quantization (the FAISS SQ8 serving format — 4×
+    * smaller than float32 with per-vector range coding):
+    * `code = floor((x − min)·255/(max − min))` clamped to 255 (only
+    * the max element hits the clamp), constant vectors code to all
+    * zeros. floor, not round: floor is tie-free, so the codes are
+    * bit-identical on every engine. Emits the exact code array plus
+    * the (min, max) dequantization range and the worst absolute
+    * reconstruction error bound `(max−min)/255`. Narrow, zero
+    * shuffle. */
+  def sq8Quantize(emb: DataFrame, idCol: String = "emb_id",
+                  vecCol: String = "vec"): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val mn = array_min(v)
+    val mx = array_max(v)
+    val codes = when(mx === mn, transform(v, _ => lit(0)))
+      .otherwise(transform(v, x => least(
+        floor((x - mn) * 255.0 / (mx - mn)).cast("int"), lit(255))))
+    emb.select(col(idCol), codes.as("codes"), mn.as("q_min"), mx.as("q_max"),
+      when(mx === mn, lit(0.0)).otherwise((mx - mn) / 255.0)
+        .as("max_abs_err"))
   }
 }

@@ -1183,6 +1183,63 @@ object TextAnalysis {
         })
   }
 
+  /** Fixed-size chunking with overlap — the RAG/retrieval prep step:
+    * windows of `size` chars starting every `size − overlap` chars,
+    * the last chunk shorter but never empty; empty documents emit
+    * ZERO chunks. Output (idCol, chunk_idx, chunk_start — 1-based,
+    * n_chunk_chars, chunk). Pure integer arithmetic + one
+    * posexplode; the `(n − size + stride − 1)/stride` ceil stays
+    * exact in doubles far beyond any document length. Narrow, zero
+    * shuffle. */
+  def chunkText(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", size: Int = 512,
+                overlap: Int = 64): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    val n = length(col(textCol)).cast("long")
+    val nChunks = when(n === 0L, lit(0L))
+      .when(n <= size.toLong, lit(1L))
+      .otherwise(lit(1L) +
+        floor((n - size.toLong + (stride - 1).toLong) / lit(stride)))
+    // guard: sequence(0, -1) DESCENDS in Spark — empty docs must map
+    // to an empty index array, not [0, -1]
+    val idxs = when(nChunks === 0L,
+      array().cast("array<bigint>"))
+      .otherwise(sequence(lit(0L), nChunks - 1L))
+    docs.select(col(idCol), col(textCol).as("__t"),
+        posexplode(idxs).as(Seq("chunk_idx", "__i")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("__i") * stride.toLong + 1L).as("chunk_start"),
+        length(col("__t").substr((col("__i") * stride.toLong + 1L).cast("int"),
+          lit(size))).cast("long").as("n_chunk_chars"),
+        col("__t").substr((col("__i") * stride.toLong + 1L).cast("int"),
+          lit(size)).as("chunk"))
+  }
+
+  /** Robots meta directives — the in-page half of the crawl-politeness
+    * contract ([[robotsGate]] is the robots.txt half): the first
+    * `<meta name="robots" content="...">` in either attribute order,
+    * case-insensitive, and its noindex / nofollow / noarchive flags
+    * (comma-separated token match, whitespace-tolerant). Pages
+    * without the tag are fully indexable (all flags false, content
+    * null). One regexp pass, zero shuffle. */
+  def robotsMeta(docs: DataFrame, idCol: String = "doc_id",
+                 htmlCol: String = "html"): DataFrame = {
+    val c1 = regexp_extract(col(htmlCol),
+      "(?is)<meta[^>]*name[ \\t]*=[ \\t]*\"robots\"[^>]*" +
+        "content[ \\t]*=[ \\t]*\"([^\"]*)\"", 1)
+    val c2 = regexp_extract(col(htmlCol),
+      "(?is)<meta[^>]*content[ \\t]*=[ \\t]*\"([^\"]*)\"[^>]*" +
+        "name[ \\t]*=[ \\t]*\"robots\"", 1)
+    val content = when(c1 =!= "", c1).when(c2 =!= "", c2)
+    def flag(tok: String): Column = coalesce(
+      exists(split(lower(content), ","), t => trim(t) === tok), lit(false))
+    docs.select(col(idCol), content.as("robots_content"),
+      flag("noindex").as("noindex"), flag("nofollow").as("nofollow"),
+      flag("noarchive").as("noarchive"))
+  }
+
   /** RSS 2.0 / Atom feed parsing — the incremental-discovery feed of
     * a crawl (what changed since the last visit, without recrawling
     * the site): explode `<item>` (RSS) and `<entry>` (Atom) blocks
