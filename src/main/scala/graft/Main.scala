@@ -59,6 +59,11 @@ object Main {
     |  select-data   --corpus PARQUET_DIR --target-source-prefix P --k N --target DIR
     |                [--method moore-lewis|dsir]
     |  snapshot-diff --prev PARQUET_DIR --next PARQUET_DIR --id COL --cols a,b,c --target DIR
+    |  prepare-code  --files PARQUET_DIR --target DIR
+    |  chunk-corpus  --corpus PARQUET_DIR --target DIR [--size 512 --overlap 64]
+    |  score-eval    --preds PARQUET_DIR --target DIR
+    |  mine-bitext   --src PARQUET_DIR --tgt PARQUET_DIR --target DIR
+    |                [--planes 4 --dim 64 --k 4 --threshold 1.05]
     |""".stripMargin
 
   /** `--flag value` pairs; repeatable flags accumulate in order. */
@@ -319,6 +324,34 @@ object Main {
             spark.read.parquet(one("prev")), spark.read.parquet(one("next")),
             one("id"), cols)
           .coalesce(1).write.mode("overwrite").parquet(one("target"))
+      case "prepare-code" =>
+        // code-corpus prep: language id + license + quality stats
+        // joined on the file id — one pass each, no corpus reshuffle
+        val files = spark.read.parquet(one("files"))
+        val lang = ext.CodeCorpus.codeLangId(files)
+        val out = lang
+          .join(ext.CodeCorpus.licenseScan(files), "file_id")
+          .join(ext.CodeCorpus.codeStats(
+            files.join(lang.select("file_id", "lang"), "file_id")), "file_id")
+        out.write.mode("overwrite").parquet(one("target"))
+      case "chunk-corpus" =>
+        val size = f("size").headOption.map(_.toInt).getOrElse(512)
+        val ov = f("overlap").headOption.map(_.toInt).getOrElse(64)
+        ext.TextAnalysis.chunkText(spark.read.parquet(one("corpus")),
+            size = size, overlap = ov)
+          .write.mode("overwrite").parquet(one("target"))
+      case "score-eval" =>
+        ext.Eval.evalScores(spark.read.parquet(one("preds")))
+          .write.mode("overwrite").parquet(one("target"))
+      case "mine-bitext" =>
+        val planes = f("planes").headOption.map(_.toInt).getOrElse(4)
+        val dim = f("dim").headOption.map(_.toInt).getOrElse(64)
+        val k = f("k").headOption.map(_.toInt).getOrElse(4)
+        val th = f("threshold").headOption.map(_.toDouble).getOrElse(1.05)
+        ext.Similarity.bitextMine(spark.read.parquet(one("src")),
+            spark.read.parquet(one("tgt")), planes = planes, dim = dim,
+            k = k, threshold = th)
+          .write.mode("overwrite").parquet(one("target"))
       case "other-objects" =>
         val g = new Graft(spark, f("data").headOption.getOrElse("."))
         val t = target(g, one("target"))

@@ -158,6 +158,45 @@ class MainSpec extends SparkSpec {
       "--vocab", s"$root/bm", "--method", "nope", "--target", s"$root/x")))
   }
 
+  test("prepare-code, chunk-corpus, score-eval and mine-bitext verbs " +
+    "write results through argv") {
+    import spark.implicits._
+    val filesDir = Files.createTempDirectory("graft-cli-code-in").toString
+    Seq((1L, "src/app.py", "# c\nx = 1\n"),
+      (2L, "notes.txt", "#!/bin/bash\necho\n"))
+      .toDF("file_id", "path", "text").write.mode("overwrite").parquet(filesDir)
+    val codeOut = Files.createTempDirectory("graft-cli-code").toString
+    Main.main(Array("prepare-code", "--files", filesDir, "--target", codeOut))
+    val c = spark.read.parquet(codeOut)
+    assert(c.count() == 2 && c.columns.contains("lang") &&
+      c.columns.contains("category") && c.columns.contains("n_comment_lines"))
+
+    val chunkOut = Files.createTempDirectory("graft-cli-chunk").toString
+    Main.main(Array("chunk-corpus", "--corpus", s"$sf/documents.parquet",
+      "--target", chunkOut, "--size", "40", "--overlap", "8"))
+    assert(spark.read.parquet(chunkOut).columns.contains("chunk"))
+
+    val predsDir = Files.createTempDirectory("graft-cli-preds-in").toString
+    Seq((1L, "Paris.", Seq("the paris")))
+      .toDF("pred_id", "pred", "refs").write.mode("overwrite").parquet(predsDir)
+    val evalOut = Files.createTempDirectory("graft-cli-eval").toString
+    Main.main(Array("score-eval", "--preds", predsDir, "--target", evalOut))
+    val e = spark.read.parquet(evalOut).collect()(0)
+    assert(e.getAs[Boolean]("em") && e.getAs[Double]("best_f1") == 1.0)
+
+    val srcDir = Files.createTempDirectory("graft-cli-bt-src").toString
+    val tgtDir = Files.createTempDirectory("graft-cli-bt-tgt").toString
+    Seq((10L, Seq(2.0, 0.0))).toDF("src_id", "embedding")
+      .write.mode("overwrite").parquet(srcDir)
+    Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.6, 0.8)))
+      .toDF("tgt_id", "embedding").write.mode("overwrite").parquet(tgtDir)
+    val btOut = Files.createTempDirectory("graft-cli-bt").toString
+    Main.main(Array("mine-bitext", "--src", srcDir, "--tgt", tgtDir,
+      "--target", btOut, "--planes", "2", "--dim", "2"))
+    val b = spark.read.parquet(btOut).collect()(0)
+    assert(b.getAs[Long]("best_tgt_id") == 0L)
+  }
+
   test("unknown verb and missing flags fail loudly") {
     intercept[RuntimeException](Main.main(Array("frobnicate", "--x", "y")))
     intercept[RuntimeException](Main.main(Array("copy-tree", "--data", sf)))

@@ -357,6 +357,44 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"exact verification join missing:\n$p")
   }
 
+  test("q225/q227: code-corpus language id and stats stay narrow — the " +
+    "only exchange is the presentation sort") {
+    for (q <- Seq("q225_code_langid", "q227_code_stats")) {
+      val df = run(q)
+      assert(shuffles(df) <= 1, s"$q must not shuffle beyond the sort:\n${plan(df)}")
+    }
+  }
+
+  test("q232: repo packing shuffles ONCE on the repo key (plus the " +
+    "presentation sort) — files never reshuffle") {
+    val df = run("q232_repo_pack")
+    assert(shuffles(df) <= 2,
+      s"repoPack is one repo-keyed exchange + sort:\n${plan(df)}")
+    assert(!plan(df).contains("SortMergeJoin"))
+  }
+
+  test("q240: table-to-markdown is two keyed aggregations — row grain " +
+    "then table grain — never a join") {
+    val df = run("q240_table_markdown")
+    val p = plan(df)
+    assert(!p.contains("Join"), s"no join belongs in the render:\n$p")
+  }
+
+  test("q245: bitext candidates come from an equi bucket join — no " +
+    "cartesian shapes, windows partitioned") {
+    val df = run("q245_bitext_mine")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"bucket join must stay equi:\n$p")
+  }
+
+  test("q241: chunking is a narrow explode — the only exchange is the " +
+    "presentation sort") {
+    val df = run("q241_chunk_text")
+    assert(shuffles(df) <= 1, s"chunkText must not shuffle:\n${plan(df)}")
+  }
+
   test("plan hygiene sweep: no cartesian/nested-loop joins anywhere except " +
     "the labeled exact baselines") {
     // q30/q27 are the documented quadratic correctness baselines (their
