@@ -2324,6 +2324,47 @@ object SparkEntry {
           threshold = 1.02)
         .orderBy("src_id")
     }),
+    // magic-byte sniffing over ten planted payload families — the
+    // dispatcher decision per doc, ftyp split by brand, RIFF by form
+    "q246_sniff_format" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(10L))
+      val hexStr = when(m === 0, "89504E470D0A1A0A")
+        .when(m === 1, "FFD8FFE000104A46")
+        .when(m === 2, "474946383961AAAA")
+        .when(m === 3, "52494646240000005741564520")
+        .when(m === 4, "0000001C667479706176696631") // ftyp avif1->heif? brand 'avif'
+        .when(m === 5, "000000186674797069736F6D")   // ftyp isom -> mp4
+        .when(m === 6, "255044462D312E37")
+        .when(m === 7, "1F8B0800")
+        .when(m === 8, "504152310000")
+        .otherwise(hex(concat(lit("the plain text head "),
+          substring(col("text"), 1, 8))))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), unhex(hexStr).as("payload"))
+      media.select(col("media_id"),
+          Multimodal.sniffFormat(col("payload")).as("format"))
+        .orderBy("media_id")
+    }),
+    // SVG root metadata: width/height with unit suffixes, a
+    // viewBox-only document, a non-SVG page
+    "q247_svg_meta" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(3L))
+      val wv = (col("n_chars") % 640 + 1).cast("string")
+      val hv = (col("n_chars") % 480 + 1).cast("string")
+      val text = when(m === 0, concat(lit("<svg width=\""), wv,
+          lit("px\" height=\""), hv, lit("\"><rect/></svg>")))
+        .when(m === 1, concat(lit("<?xml version=\"1.0\"?><svg viewBox=\"0 0 "),
+          wv, lit(" "), hv, lit("\"></svg>")))
+        .otherwise(concat(lit("<html>"), substring(col("text"), 1, 20),
+          lit("</html>")))
+      val mm = t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.svgMeta(text).as("svg"))
+      mm.select(col("doc_id"), col("svg.width").as("width"),
+          col("svg.height").as("height"),
+          col("svg.view_box.vb_width").as("vb_width"),
+          col("svg.view_box.vb_height").as("vb_height"))
+        .orderBy("doc_id")
+    }),
     // feed parsing: RSS for even domains, Atom for odd — item order,
     // both link forms, missing pubDate on the second entry; every
     // row derived arithmetically
@@ -4668,6 +4709,29 @@ object SparkEntry {
     // q245: buckets, cosines and margins replayed with the inlined
     // plane family; only the decisions are hashed
     "q245_bitext_mine" -> bitextMineOracle,
+
+    // q246: the dispatcher label per planted magic
+    "q246_sniff_format" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id%10 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |    WHEN 2 THEN 'gif' WHEN 3 THEN 'wav' WHEN 4 THEN 'heif'
+        |    WHEN 5 THEN 'mp4' WHEN 6 THEN 'pdf' WHEN 7 THEN 'gzip'
+        |    WHEN 8 THEN 'parquet' ELSE 'unknown' END AS format
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // q247: dims from the n_chars arithmetic; the viewBox branch
+    // carries no width/height, the html branch no struct at all
+    "q247_svg_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id%3 = 0
+        |    THEN CAST(n_chars%640 + 1 AS DOUBLE) END AS width,
+        |  CASE WHEN doc_id%3 = 0
+        |    THEN CAST(n_chars%480 + 1 AS DOUBLE) END AS height,
+        |  CASE WHEN doc_id%3 = 1
+        |    THEN CAST(n_chars%640 + 1 AS DOUBLE) END AS vb_width,
+        |  CASE WHEN doc_id%3 = 1
+        |    THEN CAST(n_chars%480 + 1 AS DOUBLE) END AS vb_height
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q221: each feed row derived arithmetically per domain parity
     "q221_feed_parse" ->

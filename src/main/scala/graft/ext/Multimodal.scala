@@ -587,6 +587,82 @@ object Multimodal {
       fname.as("fname")))
   }
 
+  /** Magic-byte format sniffing — the dispatcher in front of
+    * [[containerMeta]] on a mixed media lake: ONE prefix scan labels
+    * each payload with the container family it will parse as, so the
+    * expensive per-format parser trees run only over their own
+    * partitions (`sniff → repartition-by-format → containerMeta(that
+    * format)` is the 100 TB shape; round 9 measured that Catalyst
+    * does NOT prune unused parser trees). Distinguishes the ftyp
+    * family by brand (mp4 vs heif/avif) and RIFF by its form tag
+    * (wav vs webp); data-lake magics (parquet/orc/avro/sqlite) and
+    * compression wrappers (gzip/zstd/xz/bzip2/7z) included; unknown
+    * payloads label "unknown". Zero shuffle. */
+  def sniffFormat(payload: Column): Column = {
+    def pfx(hexStr: String): Column =
+      hex(substring(payload, 1, hexStr.length / 2)) === lit(hexStr)
+    val riffForm = hex(substring(payload, 9, 4))
+    val ftypBrand = substring(payload, 9, 4).cast("string")
+    when(pfx("89504E47"), "png")
+      .when(pfx("FFD8FF"), "jpeg")
+      .when(pfx("474946383761") || pfx("474946383961"), "gif")
+      .when(pfx("52494646") && riffForm === "57415645", "wav")
+      .when(pfx("52494646") && riffForm === "57454250", "webp")
+      .when(pfx("49492A00") || pfx("4D4D002A"), "tiff")
+      .when(pfx("664C6143"), "flac")
+      .when(pfx("494433") || pfx("FFFB") || pfx("FFFA"), "mp3")
+      .when(hex(substring(payload, 5, 4)) === "66747970",
+        when(ftypBrand.isin("avif", "heic", "heix", "mif1"), "heif")
+          .otherwise("mp4"))
+      .when(pfx("255044462D"), "pdf")
+      .when(pfx("504B0304"), "zip")
+      .when(pfx("504B0506"), "zip_empty")
+      .when(pfx("1F8B"), "gzip")
+      .when(pfx("50415231"), "parquet")
+      .when(pfx("4F5243"), "orc")
+      .when(pfx("4F626A01"), "avro")
+      .when(pfx("53514C697465"), "sqlite")
+      .when(pfx("377ABCAF271C"), "7z")
+      .when(pfx("FD377A585A00"), "xz")
+      .when(pfx("425A68"), "bzip2")
+      .when(pfx("28B52FFD"), "zstd")
+      .when(substring(payload, 1, 5).cast("string") === "WARC/", "warc")
+      .otherwise("unknown")
+  }
+
+  /** SVG document metadata — the vector-image tier of a crawl (no
+    * pixels to decode; the root tag IS the metadata): explicit
+    * width/height attributes (unit suffixes like `px`/`%` tolerated —
+    * the leading number is taken) and the four viewBox floats from
+    * the root `<svg>` tag, split on whitespace/commas per the SVG
+    * spec. Absent attributes stay null (real SVGs often carry only a
+    * viewBox); double-quoted attributes (the serializer norm), text
+    * without an `<svg` root yields a null struct. One regexp pass,
+    * zero shuffle. */
+  def svgMeta(text: Column): Column = {
+    val isSvg = text.rlike("(?is)<svg[ \\t\\n\\r>]")
+    val root = regexp_extract(text, "(?is)<svg\\b([^>]*)>", 1)
+    def attr(name: String): Column = {
+      val v = regexp_extract(root,
+        "(?i)\\b" + name + "[ \\t]*=[ \\t]*\"([^\"]*)\"", 1)
+      when(v =!= "", v)
+    }
+    def leadNum(c: Column): Column = {
+      val v = regexp_extract(c, "^[ \\t]*(-?[0-9][0-9.]*)", 1)
+      when(v =!= "", v.cast("double"))
+    }
+    val vb = split(trim(attr("viewBox")), "[ \\t\\n\\r,]+")
+    val meta = struct(
+      leadNum(attr("width")).as("width"),
+      leadNum(attr("height")).as("height"),
+      when(size(vb) === 4,
+        struct(leadNum(element_at(vb, 1)).as("min_x"),
+          leadNum(element_at(vb, 2)).as("min_y"),
+          leadNum(element_at(vb, 3)).as("vb_width"),
+          leadNum(element_at(vb, 4)).as("vb_height"))).as("view_box"))
+    when(isSvg, meta)
+  }
+
   /** Scan a media frame, attaching parsed container metadata columns —
     * the real half of "decode": header fields come from the bytes
     * themselves, only pixel/sample decoding remains stubbed. Covers

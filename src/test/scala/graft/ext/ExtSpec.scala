@@ -2210,6 +2210,43 @@ class SimilaritySpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("sniffFormat: ftyp split by brand, RIFF by form tag, data-lake " +
+    "magics, unknown fallback") {
+    def b(hx: String) = hx.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val d = Seq(
+      (1L, b("0000001C6674797068656963")),            // ftyp heic
+      (2L, b("000000186674797069736F32")),            // ftyp iso2 -> mp4
+      (3L, b("52494646AAAAAAAA57454250")),            // RIFF WEBP
+      (4L, b("4F626A0102")),                          // avro
+      (5L, "WARC/1.1 junk".getBytes("ISO-8859-1")),
+      (6L, b("DEADBEEF"))
+    ).toDF("media_id", "payload")
+    val out = d.select(col("media_id"),
+      Multimodal.sniffFormat(col("payload")).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "heif", 2L -> "mp4", 3L -> "webp",
+      4L -> "avro", 5L -> "warc", 6L -> "unknown"))
+  }
+
+  test("svgMeta: unit suffixes stripped, viewBox-only documents, " +
+    "comma-separated viewBox, non-SVG null struct") {
+    val d = Seq(
+      (1L, "<svg width=\"120px\" height=\"80\"></svg>"),
+      (2L, "<?xml?><svg viewBox=\"0,0,640,480\"/>"),
+      (3L, "<p>plain</p>")
+    ).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+      Multimodal.svgMeta(col("text")).as("m")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val m1 = out(1L).getStruct(1)
+    assert(m1.getDouble(0) == 120.0 && m1.getDouble(1) == 80.0 &&
+      m1.isNullAt(2))
+    val m2 = out(2L).getStruct(1)
+    assert(m2.isNullAt(0) && m2.getStruct(2).getDouble(2) == 640.0 &&
+      m2.getStruct(2).getDouble(3) == 480.0)
+    assert(out(3L).isNullAt(1))
+  }
+
   test("pdfMeta: version/object/page census, /Pages excluded, /Encrypt " +
     "and %%EOF flags; non-PDF null") {
     val pdf = "%PDF-1.7\n1 0 obj\n<</Type /Pages /Kids[2 0 R]>>\nendobj\n" +
