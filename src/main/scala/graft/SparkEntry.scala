@@ -2365,6 +2365,32 @@ object SparkEntry {
           col("svg.view_box.vb_height").as("vb_height"))
         .orderBy("doc_id")
     }),
+    // invisible-char census: doc_id-sized zero-width run, a bidi
+    // control on %3, a Cyrillic-а spoof word on even docs
+    "q248_invisible_chars" -> ((s, dir) => {
+      val k = pmod(col("doc_id"), lit(4L))
+      val text = concat(
+        call_function("repeat", lit("\u200B"), k.cast("int")),
+        lit("plain "),
+        when(pmod(col("doc_id"), lit(2L)) === 0, lit("p\u0430ypal "))
+          .otherwise(lit("paypal ")),
+        when(pmod(col("doc_id"), lit(3L)) === 0, lit("\u202Ehidden"))
+          .otherwise(lit("tail")))
+      TextAnalysis.invisibleChars(
+          t(s, dir, "documents").select(col("doc_id"), text.as("text")))
+        .orderBy("doc_id")
+    }),
+    // homoglyph dedup keys: the spoofed brand collapses onto ASCII,
+    // Cyrillic caps in the table map both cases, clean text unchanged
+    "q249_homoglyph" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(3L))
+      val text = when(m === 0, lit("pаypаl login"))
+        .when(m === 1, lit("ВАТ МЕН"))
+        .otherwise(lit("clean text"))
+      TextAnalysis.homoglyphNormalize(
+          t(s, dir, "documents").select(col("doc_id"), text.as("text")))
+        .orderBy("doc_id")
+    }),
     // feed parsing: RSS for even domains, Atom for odd — item order,
     // both link forms, missing pubDate on the second entry; every
     // row derived arithmetically
@@ -4731,6 +4757,28 @@ object SparkEntry {
         |    THEN CAST(n_chars%640 + 1 AS DOUBLE) END AS vb_width,
         |  CASE WHEN doc_id%3 = 1
         |    THEN CAST(n_chars%480 + 1 AS DOUBLE) END AS vb_height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q248: counts by construction
+    "q248_invisible_chars" ->
+      """SELECT doc_id,
+        |  CAST(doc_id%4 AS BIGINT) AS n_zero_width,
+        |  CAST(CASE WHEN doc_id%3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_bidi_controls,
+        |  CAST(CASE WHEN doc_id%2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_mixed_script_words,
+        |  doc_id%4 > 0 OR doc_id%3 = 0 OR doc_id%2 = 0 AS suspicious
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q249: normalized keys written as plain ASCII; mapped counts by
+    // construction
+    "q249_homoglyph" ->
+      """SELECT doc_id,
+        |  CASE doc_id%3 WHEN 0 THEN 'paypal login' WHEN 1 THEN 'BAT MEH'
+        |    ELSE 'clean text' END AS normalized,
+        |  CAST(CASE doc_id%3 WHEN 0 THEN 2 WHEN 1 THEN 6 ELSE 0 END
+        |    AS BIGINT) AS n_mapped,
+        |  doc_id%3 <> 2 AS changed
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q221: each feed row derived arithmetically per domain parity

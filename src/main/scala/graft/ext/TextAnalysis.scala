@@ -1240,6 +1240,57 @@ object TextAnalysis {
       flag("noarchive").as("noarchive"))
   }
 
+  /** Invisible-character and bidi-control census — the SEO-cloaking /
+    * spoofing hygiene signal a crawl pipeline gates on: zero-width
+    * characters (ZWSP/ZWNJ/ZWJ/WJ/BOM — invisible dedup-key poison),
+    * bidi control characters (LRM/RLM, the LRE..RLO embedding block,
+    * the LRI..PDI isolate block — the Trojan-Source vector), and
+    * words mixing Cyrillic with Latin letters (the confusable-spoof
+    * shape: "pаypal" with a Cyrillic а). Exact integer counts via
+    * replace-diff and an in-row token scan; narrow, zero shuffle. */
+  def invisibleChars(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def cnt(cls: String): Column =
+      (length(t) - length(regexp_replace(t, cls, ""))).cast("long")
+    val zw = "[\\x{200B}\\x{200C}\\x{200D}\\x{2060}\\x{FEFF}]"
+    val bidi = "[\\x{200E}\\x{200F}\\x{202A}-\\x{202E}\\x{2066}-\\x{2069}]"
+    val mixed = size(filter(split(t, " "), w =>
+      w.rlike("[\\x{0400}-\\x{04FF}]") && w.rlike("[A-Za-z]")))
+      .cast("long")
+    docs.select(col(idCol),
+      cnt(zw).as("n_zero_width"),
+      cnt(bidi).as("n_bidi_controls"),
+      mixed.as("n_mixed_script_words"),
+      (cnt(zw) > 0 || cnt(bidi) > 0 || mixed > 0).as("suspicious"))
+  }
+
+  /** Homoglyph normalization for dedup/spoof-detection keys: the 22
+    * highest-frequency Cyrillic letters that render identically to
+    * Latin in most fonts map to their Latin lookalikes (both cases
+    * where the glyphs coincide), via one per-char `translate` — so
+    * "pаypal.com" and "paypal.com" collapse to one key. This is the
+    * DEDUP-KEY form, not a linguistic conversion: genuine Cyrillic
+    * prose should be routed by script census first, not fed here.
+    * Output (idCol, normalized, n_mapped, changed); narrow, zero
+    * shuffle. */
+  def homoglyphNormalize(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val from = "аеорсхуіј" +
+      "АВЕКМНОРСТ" +
+      "ХІЈ"
+    val to = "aeopcxyij" + "ABEKMHOPCTXIJ"
+    val norm = translate(col(textCol), from, to)
+    val mapped = (length(col(textCol)) -
+      length(regexp_replace(col(textCol),
+        "[\\x{0430}\\x{0435}\\x{043E}\\x{0440}\\x{0441}\\x{0445}" +
+        "\\x{0443}\\x{0456}\\x{0458}\\x{0410}\\x{0412}\\x{0415}" +
+        "\\x{041A}\\x{041C}\\x{041D}\\x{041E}\\x{0420}\\x{0421}" +
+        "\\x{0422}\\x{0425}\\x{0406}\\x{0408}]", ""))).cast("long")
+    docs.select(col(idCol), norm.as("normalized"),
+      mapped.as("n_mapped"), (mapped > 0L).as("changed"))
+  }
+
   /** RSS 2.0 / Atom feed parsing — the incremental-discovery feed of
     * a crawl (what changed since the last visit, without recrawling
     * the site): explode `<item>` (RSS) and `<entry>` (Atom) blocks

@@ -274,6 +274,38 @@ class TextAnalysisSpec extends SparkSpec {
       "exactly doc 1's four cells — the tableless page contributes none")
   }
 
+  test("invisibleChars: zero-width and bidi counted exactly, " +
+    "mixed-script words token-level, clean text unsuspicious") {
+    val d = Seq(
+      (1L, "pa\u200Byp\u200Cal \u202Ereversed p\u0430ypal ok"),
+      (2L, "perfectly clean ascii prose")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.invisibleChars(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_zero_width") == 2L)
+    assert(r1.getAs[Long]("n_bidi_controls") == 1L)
+    assert(r1.getAs[Long]("n_mixed_script_words") == 1L)
+    assert(r1.getAs[Boolean]("suspicious"))
+    assert(!out(2L).getAs[Boolean]("suspicious") &&
+      out(2L).getAs[Long]("n_zero_width") == 0L)
+  }
+
+  test("homoglyphNormalize: spoofed brand collapses to ASCII, both " +
+    "cases map, non-confusable Cyrillic survives untouched") {
+    val d = Seq(
+      (1L, "p\u0430yp\u0430l"),       // Cyrillic а twice
+      (2L, "\u0412\u0410\u0422"),    // ВАТ -> BAT
+      (3L, "\u0434\u0436")            // дж: no Latin lookalike
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.homoglyphNormalize(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "paypal" && out(1L).getLong(2) == 2L)
+    assert(out(2L).getString(1) == "BAT" && out(2L).getAs[Boolean]("changed"))
+    assert(out(3L).getString(1) == "\u0434\u0436" &&
+      !out(3L).getAs[Boolean]("changed"))
+  }
+
   test("mainContent: link-dense and too-short blocks drop, prose survives " +
     "in order; exact integer link-ratio rule") {
     val prose = "This paragraph carries plenty of genuine article prose text."
