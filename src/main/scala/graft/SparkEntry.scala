@@ -2391,6 +2391,33 @@ object SparkEntry {
           t(s, dir, "documents").select(col("doc_id"), text.as("text")))
         .orderBy("doc_id")
     }),
+    // CSV dialect sniffing over four planted shapes: comma+header,
+    // semicolon numeric (no header), tab, and plain prose (nothing
+    // consistent)
+    "q250_csv_sniff" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(4L))
+      val idf = (pmod(col("doc_id"), lit(90L)) + 1L).cast("string")
+      val text = when(m === 0, concat(lit("name,age,city\nann,"), idf,
+          lit(",berlin\nbob,41,rome")))
+        .when(m === 1, concat(lit("1;2;"), idf, lit("\n4;5;6")))
+        .when(m === 2, lit("a\tb\nc\td"))
+        .otherwise(lit("plain text line\nanother line here"))
+      TextAnalysis.csvSniff(
+          t(s, dir, "documents").select(col("doc_id"), text.as("text")))
+        .orderBy("doc_id")
+    }),
+    // JSON key census: two always-keys, a third on even docs, the
+    // %11 docs malformed and contributing nothing
+    "q251_json_keys" -> ((s, dir) => {
+      val json = when(pmod(col("doc_id"), lit(11L)) === 0, "{oops")
+        .otherwise(concat(lit("{\"a\":1,\"b\":\"x\""),
+          when(pmod(col("doc_id"), lit(2L)) === 0, lit(",\"c\":[1]"))
+            .otherwise(lit("")),
+          lit("}")))
+      TextAnalysis.jsonKeyCensus(
+          t(s, dir, "documents").select(json.as("json")))
+        .orderBy("key")
+    }),
     // feed parsing: RSS for even domains, Atom for odd — item order,
     // both link forms, missing pubDate on the second entry; every
     // row derived arithmetically
@@ -4780,6 +4807,28 @@ object SparkEntry {
         |    AS BIGINT) AS n_mapped,
         |  doc_id%3 <> 2 AS changed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q250: dialect per shape; prose detects nothing
+    "q250_csv_sniff" ->
+      """SELECT doc_id,
+        |  CASE doc_id%4 WHEN 0 THEN ',' WHEN 1 THEN ';'
+        |    WHEN 2 THEN chr(9) END AS delimiter,
+        |  CAST(CASE doc_id%4 WHEN 0 THEN 3 WHEN 1 THEN 3
+        |    WHEN 2 THEN 2 END AS BIGINT) AS n_cols,
+        |  doc_id%4 = 0 AS has_header,
+        |  CAST(CASE doc_id%4 WHEN 0 THEN 3 ELSE 2 END AS BIGINT)
+        |    AS n_lines_sampled
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q251: key counts by construction (parseable docs only)
+    "q251_json_keys" ->
+      """WITH p AS (SELECT doc_id FROM documents WHERE doc_id%11 <> 0)
+        |SELECT 'a' AS key, CAST(count(*) AS BIGINT) AS n_docs FROM p
+        |UNION ALL
+        |SELECT 'b', CAST(count(*) AS BIGINT) FROM p
+        |UNION ALL
+        |SELECT 'c', CAST(count(*) AS BIGINT) FROM p WHERE doc_id%2 = 0
+        |ORDER BY key""".stripMargin,
 
     // q221: each feed row derived arithmetically per domain parity
     "q221_feed_parse" ->

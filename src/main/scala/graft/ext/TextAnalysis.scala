@@ -1291,6 +1291,65 @@ object TextAnalysis {
       mapped.as("n_mapped"), (mapped > 0L).as("changed"))
   }
 
+  /** CSV dialect sniffing — the ingestion-time dialect guess for a
+    * lake of unlabeled delimited files, reduced to its deterministic
+    * core: over the first `maxLines` non-empty lines, a candidate
+    * delimiter (comma, semicolon, tab, pipe) is CONSISTENT when every
+    * sampled line splits into the same column count > 1; the winner
+    * is the consistent delimiter with the highest column count (ties
+    * break in the fixed candidate order). Header detection (the
+    * classic csv.Sniffer heuristic): the first line carries no
+    * purely-numeric field while the second carries at least one —
+    * evaluated under the winning delimiter. Output (idCol,
+    * delimiter — null when nothing is consistent, n_cols,
+    * has_header, n_lines_sampled); one narrow HOF pass, zero
+    * shuffle. Quoted-field dialects are out of scope (documented —
+    * quote-aware splitting needs a stateful scan, not a regex). */
+  def csvSniff(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", maxLines: Int = 20): DataFrame = {
+    val lines = slice(filter(split(col(textCol), "\n"), l => l =!= ""),
+      lit(1), lit(maxLines))
+    val l1 = coalesce(try_element_at(lines, lit(1)), lit(""))
+    val l2 = try_element_at(lines, lit(2))
+    val numeric = "^-?[0-9]+(\\.[0-9]+)?$"
+    val cands = Seq("," -> ",", ";" -> ";", "\t" -> "\t", "|" -> "\\|")
+    val scored = cands.map { case (name, re) =>
+      val counts = transform(lines, l => size(split(l, re, -1)))
+      val first = try_element_at(counts, lit(1))
+      val ok = first.isNotNull && first > 1 &&
+        forall(counts, x => x === first)
+      val hdr = l2.isNotNull &&
+        !exists(split(l1, re, -1), f => trim(f).rlike(numeric)) &&
+        coalesce(exists(split(l2, re, -1), f => trim(f).rlike(numeric)),
+          lit(false))
+      (name, when(ok, first), hdr)
+    }
+    val (bd, bc, bh) = scored.foldLeft(
+      (lit(null: String), lit(null).cast("int"), lit(false))) {
+      case ((d, c, h), (name, nc, hdr)) =>
+        val better = nc.isNotNull && (c.isNull || nc > c)
+        (when(better, lit(name)).otherwise(d),
+          when(better, nc).otherwise(c),
+          when(better, hdr).otherwise(h))
+    }
+    docs.select(col(idCol), bd.as("delimiter"),
+      bc.cast("long").as("n_cols"), bh.as("has_header"),
+      size(lines).cast("long").as("n_lines_sampled"))
+  }
+
+  /** Top-level JSON key census over a JSONL corpus — the
+    * schema-discovery pass before an explicit-schema ingest: every
+    * parseable object contributes its top-level keys once, ONE
+    * map-side-combined count per key (state bounded by the key
+    * vocabulary, never the corpus); malformed rows contribute
+    * nothing (fail-closed, the CorpusIO DROPMALFORMED convention).
+    * Output (key, n_docs). */
+  def jsonKeyCensus(docs: DataFrame, jsonCol: String = "json"): DataFrame = {
+    docs.select(explode(coalesce(json_object_keys(col(jsonCol)),
+        array().cast("array<string>"))).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("n_docs"))
+  }
+
   /** RSS 2.0 / Atom feed parsing — the incremental-discovery feed of
     * a crawl (what changed since the last visit, without recrawling
     * the site): explode `<item>` (RSS) and `<entry>` (Atom) blocks

@@ -274,6 +274,35 @@ class TextAnalysisSpec extends SparkSpec {
       "exactly doc 1's four cells — the tableless page contributes none")
   }
 
+  test("csvSniff: consistency beats candidate order, header heuristic, " +
+    "quoteless prose detects nothing, single line no header") {
+    val d = Seq(
+      (1L, "a,b,c\n1,2,3\n4,5,6"),          // comma, header
+      (2L, "x|y\n1|2"),                      // pipe (escaped regex)
+      (3L, "just words\nmore words"),        // nothing consistent
+      (4L, "a;b;c"),                          // single line: no header
+      (5L, "w,x;y\n1,2;3")                   // both , and ; consistent:
+    ).toDF("doc_id", "text")                  // ; gives 2=2, , gives 2=2 ->
+    val out = TextAnalysis.csvSniff(d).collect() // tie -> comma (order)
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "," && out(1L).getLong(2) == 3L &&
+      out(1L).getAs[Boolean]("has_header"))
+    assert(out(2L).getString(1) == "|" && out(2L).getLong(2) == 2L)
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(2))
+    assert(out(4L).getString(1) == ";" && !out(4L).getAs[Boolean]("has_header"))
+    assert(out(5L).getString(1) == ",")
+    assert(out(1L).getAs[Long]("n_lines_sampled") == 3L)
+  }
+
+  test("jsonKeyCensus: keys counted per parseable object, malformed " +
+    "and non-object rows contribute nothing") {
+    val d = Seq("{\"a\":1,\"b\":2}", "{\"a\":3}", "{nope", "[1,2]")
+      .toDF("json")
+    val out = TextAnalysis.jsonKeyCensus(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("invisibleChars: zero-width and bidi counted exactly, " +
     "mixed-script words token-level, clean text unsuspicious") {
     val d = Seq(
