@@ -2418,6 +2418,55 @@ object SparkEntry {
           t(s, dir, "documents").select(json.as("json")))
         .orderBy("key")
     }),
+    // web-to-RAG composition: mainContent boilerplate removal feeds
+    // chunkText — the two operators end to end on the q224 page
+    // shape; the oracle replays clean-then-window over the same slice
+    "q252_rag_pipeline" -> ((s, dir) => {
+      val html = concat(
+        lit("<div class=\"nav\"><a href=\"/\">Homepage link</a> " +
+          "<a href=\"/a\">About our team</a> <a href=\"/c\">Contact form</a>" +
+          "</div><p>"),
+        substring(col("text"), 1, 60),
+        lit("</p><div class=\"footer\">" +
+          "<a href=\"/tos\">Terms of service</a> and " +
+          "<a href=\"/priv\">the privacy policy</a></div>"))
+      val content = TextAnalysis.mainContent(
+        t(s, dir, "documents").select(col("doc_id"), html.as("html")))
+      TextAnalysis.chunkText(
+          content.select(col("doc_id"), col("content").as("text")),
+          size = 25, overlap = 5)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+    // code-corpus composition: language id routes comment prefixes
+    // into codeStats, the license gate keeps permissive files, and
+    // fimSplit renders the survivors — four operators end to end
+    "q253_code_pipeline" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(3L))
+      val path = when(m === 0, "src/app.py").when(m === 1, "lib/u.scala")
+        .otherwise("doc.txt")
+      val body = when(m === 0,
+          lit("# SPDX-License-Identifier: MIT\nx = 1\n"))
+        .when(m === 1,
+          lit("// SPDX-License-Identifier: GPL-3.0\nval y = 2\n"))
+        .otherwise(lit("plain notes\n"))
+      val text = concat(body, substring(col("text"), 1, 20))
+      val files = t(s, dir, "documents").select(col("doc_id").as("file_id"),
+        path.as("path"), text.as("text"))
+      val lang = CodeCorpus.codeLangId(files)
+      val lic = CodeCorpus.licenseScan(files)
+      val stats = CodeCorpus.codeStats(
+        files.join(lang.select("file_id", "lang"), "file_id"))
+      val kept = files.join(lic, "file_id")
+        .filter(col("category") === "permissive")
+        .join(stats.select("file_id", "n_comment_lines"), "file_id")
+      CodeCorpus.fimSplit(kept.select(col("file_id"),
+            col("text"), col("n_comment_lines")),
+          idCol = "file_id")
+        .join(kept.select("file_id", "n_comment_lines"), "file_id")
+        .select(col("file_id"), col("n_comment_lines"), col("n_prefix"),
+          col("n_middle"), col("n_suffix"))
+        .orderBy("file_id")
+    }),
     // feed parsing: RSS for even domains, Atom for odd — item order,
     // both link forms, missing pubDate on the second entry; every
     // row derived arithmetically
@@ -4829,6 +4878,31 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'c', CAST(count(*) AS BIGINT) FROM p WHERE doc_id%2 = 0
         |ORDER BY key""".stripMargin,
+
+    // q252: clean-then-window replayed over the same slice
+    "q252_rag_pipeline" ->
+      """WITH c AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(substr(text, 1, 60),
+        |      '<[^>]*>', ' ', 'g'), '[ \t\n\r]+', ' ', 'g')) AS t
+        |  FROM documents),
+        |d AS (SELECT doc_id, t, length(t) AS n FROM c),
+        |u AS (SELECT doc_id, t,
+        |    unnest(generate_series(0, CASE WHEN n <= 25 THEN 0
+        |      ELSE CAST(ceil((n - 25)/20.0) AS BIGINT) END)) AS i
+        |  FROM d WHERE n > 0)
+        |SELECT doc_id, i AS chunk_idx, i*20 + 1 AS chunk_start,
+        |  CAST(length(substr(t, CAST(i*20 + 1 AS INT), 25)) AS BIGINT)
+        |    AS n_chunk_chars,
+        |  substr(t, CAST(i*20 + 1 AS INT), 25) AS chunk
+        |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // q253: only the MIT branch survives the license gate; every
+    // number is fixture arithmetic (57-char text, 33/66 pivots)
+    "q253_code_pipeline" ->
+      """SELECT doc_id AS file_id, CAST(1 AS BIGINT) AS n_comment_lines,
+        |  CAST(18 AS BIGINT) AS n_prefix, CAST(19 AS BIGINT) AS n_middle,
+        |  CAST(20 AS BIGINT) AS n_suffix
+        |FROM documents WHERE doc_id%3 = 0 ORDER BY file_id""".stripMargin,
 
     // q221: each feed row derived arithmetically per domain parity
     "q221_feed_parse" ->
