@@ -2467,6 +2467,17 @@ object SparkEntry {
           col("n_middle"), col("n_suffix"))
         .orderBy("file_id")
     }),
+    // quote-aware CSV parsing: an embedded-comma field and a ""
+    // escape per row — the regex-inexpressible RFC 4180 cases
+    "q254_csv_parse" -> ((s, dir) => {
+      val text = concat(lit("id,name,notes\n"),
+        col("doc_id").cast("string"),
+        lit(",\"Smith, John\",\"said \"\"hi\"\"\""))
+      TextAnalysis.csvParse(
+          t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+          delimiter = ",")
+        .orderBy("doc_id", "line_idx", "col_idx")
+    }),
     // feed parsing: RSS for even domains, Atom for odd — item order,
     // both link forms, missing pubDate on the second entry; every
     // row derived arithmetically
@@ -4903,6 +4914,20 @@ object SparkEntry {
         |  CAST(18 AS BIGINT) AS n_prefix, CAST(19 AS BIGINT) AS n_middle,
         |  CAST(20 AS BIGINT) AS n_suffix
         |FROM documents WHERE doc_id%3 = 0 ORDER BY file_id""".stripMargin,
+
+    // q254: six fields per doc, written as literals (the quoted
+    // values unescaped by construction)
+    "q254_csv_parse" ->
+      """SELECT doc_id, line_idx, col_idx, field FROM (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS line_idx,
+        |    CAST(0 AS BIGINT) AS col_idx, 'id' AS field FROM documents
+        |  UNION ALL SELECT doc_id, 0, 1, 'name' FROM documents
+        |  UNION ALL SELECT doc_id, 0, 2, 'notes' FROM documents
+        |  UNION ALL SELECT doc_id, 1, 0, CAST(doc_id AS VARCHAR)
+        |    FROM documents
+        |  UNION ALL SELECT doc_id, 1, 1, 'Smith, John' FROM documents
+        |  UNION ALL SELECT doc_id, 1, 2, 'said "hi"' FROM documents)
+        |ORDER BY doc_id, line_idx, col_idx""".stripMargin,
 
     // q221: each feed row derived arithmetically per domain parity
     "q221_feed_parse" ->

@@ -1292,36 +1292,38 @@ object TextAnalysis {
   }
 
   /** CSV dialect sniffing — the ingestion-time dialect guess for a
-    * lake of unlabeled delimited files, reduced to its deterministic
-    * core: over the first `maxLines` non-empty lines, a candidate
-    * delimiter (comma, semicolon, tab, pipe) is CONSISTENT when every
-    * sampled line splits into the same column count > 1; the winner
-    * is the consistent delimiter with the highest column count (ties
-    * break in the fixed candidate order). Header detection (the
-    * classic csv.Sniffer heuristic): the first line carries no
-    * purely-numeric field while the second carries at least one —
-    * evaluated under the winning delimiter. Output (idCol,
-    * delimiter — null when nothing is consistent, n_cols,
-    * has_header, n_lines_sampled); one narrow HOF pass, zero
-    * shuffle. Quoted-field dialects are out of scope (documented —
-    * quote-aware splitting needs a stateful scan, not a regex). */
+    * lake of unlabeled delimited files: over the first `maxLines`
+    * non-empty lines, a candidate delimiter (comma, semicolon, tab,
+    * pipe) is CONSISTENT when every sampled line splits into the
+    * same field count > 1; the winner is the consistent delimiter
+    * with the highest field count (ties break in the fixed candidate
+    * order). Fields are counted by the native RFC 4180 kernel
+    * (`functions.CsvFields`), so QUOTED fields with embedded
+    * delimiters count correctly — a regex split cannot express the
+    * quote state machine. Header detection (the classic csv.Sniffer
+    * heuristic): the first line carries no purely-numeric field
+    * while the second carries at least one — evaluated under the
+    * winning delimiter. Output (idCol, delimiter — null when nothing
+    * is consistent, n_cols, has_header, n_lines_sampled); one narrow
+    * codegen'd pass, zero shuffle. */
   def csvSniff(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text", maxLines: Int = 20): DataFrame = {
+    import graft.functions.CsvFields
     val lines = slice(filter(split(col(textCol), "\n"), l => l =!= ""),
       lit(1), lit(maxLines))
     val l1 = coalesce(try_element_at(lines, lit(1)), lit(""))
     val l2 = try_element_at(lines, lit(2))
     val numeric = "^-?[0-9]+(\\.[0-9]+)?$"
-    val cands = Seq("," -> ",", ";" -> ";", "\t" -> "\t", "|" -> "\\|")
-    val scored = cands.map { case (name, re) =>
-      val counts = transform(lines, l => size(split(l, re, -1)))
+    val cands = Seq(",", ";", "\t", "|")
+    val scored = cands.map { name =>
+      val counts = transform(lines, l => size(CsvFields(l, lit(name))))
       val first = try_element_at(counts, lit(1))
       val ok = first.isNotNull && first > 1 &&
         forall(counts, x => x === first)
       val hdr = l2.isNotNull &&
-        !exists(split(l1, re, -1), f => trim(f).rlike(numeric)) &&
-        coalesce(exists(split(l2, re, -1), f => trim(f).rlike(numeric)),
-          lit(false))
+        !exists(CsvFields(l1, lit(name)), f => trim(f).rlike(numeric)) &&
+        coalesce(exists(CsvFields(l2, lit(name)),
+          f => trim(f).rlike(numeric)), lit(false))
       (name, when(ok, first), hdr)
     }
     val (bd, bc, bh) = scored.foldLeft(
@@ -1335,6 +1337,28 @@ object TextAnalysis {
     docs.select(col(idCol), bd.as("delimiter"),
       bc.cast("long").as("n_cols"), bh.as("has_header"),
       size(lines).cast("long").as("n_lines_sampled"))
+  }
+
+  /** RFC 4180 CSV parsing to positioned fields: lines explode with
+    * their index, each line splits through the quote-aware
+    * `functions.CsvFields` kernel, fields explode with their column
+    * index — the text-lake ingest for delimited files the schemaless
+    * census tiers feed on. Pair with [[csvSniff]] for the delimiter.
+    * Output (idCol, line_idx, col_idx, field); two narrow
+    * posexplodes, zero shuffle. */
+  def csvParse(docs: DataFrame, delimiter: String,
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    import graft.functions.CsvFields
+    docs
+      .select(col(idCol), posexplode(
+        filter(split(col(textCol), "\n"), l => l =!= ""))
+        .as(Seq("line_idx", "__l")))
+      .select(col(idCol), col("line_idx").cast("long").as("line_idx"),
+        posexplode(CsvFields(col("__l"), lit(delimiter)))
+          .as(Seq("col_idx", "field")))
+      .select(col(idCol), col("line_idx"),
+        col("col_idx").cast("long").as("col_idx"), col("field"))
   }
 
   /** Top-level JSON key census over a JSONL corpus — the

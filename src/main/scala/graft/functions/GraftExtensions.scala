@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
       GraftExtensions.repetitionBuilder))
     ext.injectFunction((
+      FunctionIdentifier("csv_fields"),
+      new ExpressionInfo(classOf[CsvFields].getName, "csv_fields"),
+      GraftExtensions.csvFieldsBuilder))
+    ext.injectFunction((
       FunctionIdentifier("ws_tokens"),
       new ExpressionInfo(classOf[WsTokens].getName, "ws_tokens"),
       GraftExtensions.wsTokensBuilder))
@@ -93,6 +97,10 @@ object GraftExtensions {
     require(children.size == 2, "repetition_stats(tokens, shingleN)")
     RepetitionStats(children(0), intLit(children(1), "shingleN"))
   }
+  private val csvFieldsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "csv_fields takes exactly 2 arguments")
+    CsvFields(children(0), children(1))
+  }
   private val wsTokensBuilder: Seq[Expression] => Expression = { children =>
     require(children.size == 1, "ws_tokens takes exactly 1 argument")
     WsTokens(children(0))
@@ -144,6 +152,8 @@ object GraftExtensions {
       .createOrReplaceTempFunction("minhash_sig", minhashBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("repetition_stats", repetitionBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("csv_fields", csvFieldsBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("ws_tokens", wsTokensBuilder, "built-in")
     spark.sessionState.functionRegistry

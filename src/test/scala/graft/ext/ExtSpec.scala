@@ -274,6 +274,36 @@ class TextAnalysisSpec extends SparkSpec {
       "exactly doc 1's four cells — the tableless page contributes none")
   }
 
+  test("csvFields kernel: quoted commas, double-quote escape, quotes " +
+    "only special at field start, unterminated fail-open, empties kept; " +
+    "SQL registration") {
+    import graft.functions.CsvFields
+    def fields(line: String, d: String = ","): Seq[String] =
+      Seq(line).toDF("l").select(CsvFields(col("l"), lit(d)).as("f"))
+        .collect()(0).getSeq[String](0)
+    assert(fields("a,\"b,c\",d") == Seq("a", "b,c", "d"))
+    assert(fields("\"he said \"\"hi\"\"\",x") == Seq("he said \"hi\"", "x"))
+    assert(fields("a\"b,c") == Seq("a\"b", "c"))      // non-leading literal
+    assert(fields("a,\"unterminated") == Seq("a", "unterminated"))
+    assert(fields(",a,,") == Seq("", "a", "", ""))
+    assert(fields("x|\"y|z\"", "|") == Seq("x", "y|z"))
+    graft.functions.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT csv_fields('a,\"b,c\"', ',') AS f").collect()(0).getSeq[String](0)
+    assert(viaSql == Seq("a", "b,c"))
+  }
+
+  test("csvSniff counts quoted fields correctly (the regex-split trap)") {
+    // embedded commas inside quotes: a regex split would see 4 and 3
+    // columns (inconsistent); the kernel sees 3 everywhere
+    val d = Seq((1L,
+      "id,name,city\n1,\"Smith, John\",berlin\n2,plain,rome")).toDF(
+      "doc_id", "text")
+    val out = TextAnalysis.csvSniff(d).collect()(0)
+    assert(out.getString(1) == "," && out.getLong(2) == 3L &&
+      out.getAs[Boolean]("has_header"))
+  }
+
   test("csvSniff: consistency beats candidate order, header heuristic, " +
     "quoteless prose detects nothing, single line no header") {
     val d = Seq(
