@@ -5124,7 +5124,9 @@ object SparkEntry {
         |    '\[[^\]]*\]\([^)]*\)')) AS BIGINT) AS n_links,
         |  CAST(coalesce(c.s, 0) AS BIGINT) AS code_chars,
         |  CAST(length(md) AS BIGINT) AS n_chars,
-        |  CAST(coalesce(c.s, 0) AS DOUBLE) / length(md) AS code_fraction
+        |  CASE WHEN length(md) > 0
+        |    THEN CAST(coalesce(c.s, 0) AS DOUBLE) / length(md)
+        |  END AS code_fraction
         |FROM p LEFT JOIN c USING (doc_id)
         |ORDER BY p.doc_id""".stripMargin,
 

@@ -229,9 +229,10 @@ object CodeCorpus {
     require(0 <= loPct && loPct <= hiPct && hiPct <= 100,
       s"need 0 <= loPct <= hiPct <= 100, got $loPct/$hiPct")
     val n = length(col(textCol))
-    // ints stay < 2^38 so the double division is exact; floor = trunc
-    val lo = floor(n * loPct / lit(100)).cast("int")
-    val hi = floor(n * hiPct / lit(100)).cast("int")
+    // widen to long BEFORE the multiply (a 2 GiB doc times 66 overflows
+    // int32); the product stays < 2^38 so the division is exact
+    val lo = floor(n.cast("long") * loPct / lit(100)).cast("int")
+    val hi = floor(n.cast("long") * hiPct / lit(100)).cast("int")
     docs.select(col(idCol),
       lo.cast("long").as("n_prefix"),
       (hi - lo).cast("long").as("n_middle"),

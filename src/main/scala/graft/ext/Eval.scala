@@ -25,8 +25,8 @@ object Eval {
                  predCol: String = "pred",
                  refsCol: String = "refs"): DataFrame = {
     def norm(c: Column): Column =
-      trim(regexp_replace(regexp_replace(lower(c),
-        "[^a-z0-9]+", " "), "\\b(a|an|the)\\b", " "))
+      trim(regexp_replace(regexp_replace(regexp_replace(lower(c),
+        "[^a-z0-9]+", " "), "\\b(a|an|the)\\b", " "), " +", " "))
     def toks(c: Column): Column =
       filter(split(norm(c), "[ ]+"), t => t =!= "")
     val p = toks(col(predCol))

@@ -161,9 +161,10 @@ object TextAnalysis {
     * labels, each document is scored under every language's
     * Laplace-smoothed profile (`ln((c+1)/(tot_l+V))` per occurrence,
     * unseen n-grams at the `ln(1/(tot_l+V))` floor), and the argmax
-    * language wins (exact-decimal scores — each ln rounded once to
-    * 9 dp, products and sums exact, so the winner is engine-identical;
-    * ties to the lexicographically smallest language). Output
+    * language wins (exact integer nano-nat scores — each ln rounded
+    * once to 9 dp then held as a LONG count of 1e-9 nats, products
+    * and sums exact, so the winner is engine-identical; ties to the
+    * lexicographically smallest language). Output
     * (idCol, lang_true, lang_pred, score, correct) — the confusion
     * audit a labeled corpus runs on its own labeling.
     *
@@ -174,7 +175,7 @@ object TextAnalysis {
     * plain shuffle join above it (the [[linearScore]] dual-form
     * precedent: a real multilingual corpus has 10⁶–10⁷ distinct char
     * trigrams × ~100 languages, far past what an executor can hold
-    * broadcast). The two forms are value-identical — exact decimal
+    * broadcast). The two forms are value-identical — exact integer
     * partials sum order-free (ExtSpec pins them equal). */
   def charNgramLangId(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
                       textCol: String = "text",
@@ -183,22 +184,28 @@ object TextAnalysis {
     require(n >= 1, s"n must be >= 1, got $n")
     val t = col(textCol)
     val base = docs.filter(length(t) >= n)
-    val dk = base.select(col(idCol), col(langCol).as("lang_true"),
-        explode(transform(sequence(lit(1), length(t) - (n - 1)),
-          i => t.substr(i, lit(n)))).as("ng"))
-      .groupBy(col(idCol), col("lang_true"), col("ng"))
-      .agg(count(lit(1)).as("k"))
-      .localCheckpoint() // feeds the profiles AND the scoring pass —
-                         // cache justified only because BOTH consumers
-                         // run in this one action (the pre-trained
-                         // path, charNgramLangIdWith, skips it)
+    // ONE census row per document (the n-gram→count map), pinned once:
+    // it feeds the profile build, the per-doc totals and the scoring
+    // pass, all of which explode or fold it in memory — an order of
+    // magnitude smaller pin than the exploded (doc, ng, k) stream
+    // (the pre-trained path, charNgramLangIdWith, skips the pin)
+    val census = base.select(col(idCol), col(langCol).as("lang_true"),
+        graft.functions.CharNgramCounts(t, n).as("__cn"),
+        // the per-doc total is len-(n-1) by construction — record it
+        // here so the totals pass needs neither a re-census nor a
+        // shuffle
+        (length(t) - (n - 1)).cast("long").as("ktot"))
+      .localCheckpoint()
+    val dk = census.select(col(idCol), col("lang_true"),
+      explode(col("__cn")).as(Seq("ng", "k")))
+    val pdt = census.select(col(idCol), col("lang_true"), col("ktot"))
     val prof = dk.groupBy(col("lang_true").as("lang_cand"), col("ng"))
       .agg(sum(col("k")).as("c"))
       .localCheckpoint()
     // prof is materialized above, so the row-count probe is free of
     // any corpus re-scan — the broadcast-vs-shuffle decision needs a
     // real number, not a guess (linearScore decides on weights.size)
-    scoreUnderProfiles(dk, prof, idCol,
+    scoreUnderProfiles(dk, pdt, prof, idCol,
       broadcastProf = prof.count() <= maxBroadcastProfileRows)
   }
 
@@ -218,12 +225,14 @@ object TextAnalysis {
     require(n >= 1, s"n must be >= 1, got $n")
     val t = col(textCol)
     val base = docs.filter(length(t) >= n)
+    val cn = graft.functions.CharNgramCounts(t, n)
     val dk = base.select(col(idCol), col(langCol).as("lang_true"),
-        explode(transform(sequence(lit(1), length(t) - (n - 1)),
-          i => t.substr(i, lit(n)))).as("ng"))
-      .groupBy(col(idCol), col("lang_true"), col("ng"))
-      .agg(count(lit(1)).as("k"))
-    scoreUnderProfiles(dk, profiles, idCol,
+        explode(cn).as(Seq("ng", "k")))
+    // totals come straight from the text length — the n-gram count of
+    // a doc is len-(n-1) by construction; zero shuffle, zero re-census
+    val pdt = base.select(col(idCol), col(langCol).as("lang_true"),
+      (length(t) - (n - 1)).cast("long").as("ktot"))
+    scoreUnderProfiles(dk, pdt, profiles, idCol,
       broadcastProf = profiles.count() <= maxBroadcastProfileRows,
       checkpointScores = false)
   }
@@ -239,20 +248,19 @@ object TextAnalysis {
     val t = col(textCol)
     docs.filter(length(t) >= n)
       .select(col(langCol).as("lang_cand"),
-        explode(transform(sequence(lit(1), length(t) - (n - 1)),
-          i => t.substr(i, lit(n)))).as("ng"))
+        explode(graft.functions.CharNgramCounts(t, n)).as(Seq("ng", "k")))
       .groupBy(col("lang_cand"), col("ng"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("k")).as("c"))
   }
 
   /** Language-ID confidence margin — the curation gate on top of
     * [[charNgramLangId]]'s argmax: how far the winning language's
-    * exact-decimal score sits above the runner-up's. Mixed-language
+    * exact nano-nat score sits above the runner-up's. Mixed-language
     * and boilerplate-dominated documents land near zero margin; a
     * pipeline routes them to review instead of trusting the label.
     * Output (idCol, lang_true, lang_pred, runner_up, confident):
     * `confident` compares the margin against `confidenceMargin` nats
-    * over the whole document (exact decimals both sides), and is true
+    * over the whole document (exact integers both sides), and is true
     * when no competitor language exists. The raw margin is NOT
     * emitted — like q150's contract, ln's last-ulp wobble across
     * engines makes the decision, not the 9th decimal, the portable
@@ -264,16 +272,18 @@ object TextAnalysis {
     require(n >= 1, s"n must be >= 1, got $n")
     val t = col(textCol)
     val base = docs.filter(length(t) >= n)
-    val dk = base.select(col(idCol), col(langCol).as("lang_true"),
-        explode(transform(sequence(lit(1), length(t) - (n - 1)),
-          i => t.substr(i, lit(n)))).as("ng"))
-      .groupBy(col(idCol), col("lang_true"), col("ng"))
-      .agg(count(lit(1)).as("k"))
+    // map-level census pin + recorded totals — charNgramLangId's shape
+    val census = base.select(col(idCol), col(langCol).as("lang_true"),
+        graft.functions.CharNgramCounts(t, n).as("__cn"),
+        (length(t) - (n - 1)).cast("long").as("ktot"))
       .localCheckpoint()
+    val dk = census.select(col(idCol), col("lang_true"),
+      explode(col("__cn")).as(Seq("ng", "k")))
+    val pdt = census.select(col(idCol), col("lang_true"), col("ktot"))
     val prof = dk.groupBy(col("lang_true").as("lang_cand"), col("ng"))
       .agg(sum(col("k")).as("c"))
       .localCheckpoint()
-    val scores = scoresUnderProfiles(dk, prof, idCol,
+    val scores = scoresUnderProfiles(dk, pdt, prof, idCol,
       broadcastProf = prof.count() <= maxBroadcastProfileRows,
       checkpointScores = true)
     val pred = argmaxScores(scores, idCol)
@@ -292,27 +302,46 @@ object TextAnalysis {
       .join(runnerLang, Seq(idCol), "left")
       .select(col(idCol), col("lang_true"), col("lang_pred"), col("runner_up"),
         coalesce(
+          // both sides exact nano-nat longs: the margin gate decision
+          // is engine-identical (the threshold itself is rounded once
+          // to nano-nat precision, exact for any sane margin)
           col("__s1") - col("__s2")
-            >= lit(confidenceMargin).cast("decimal(18,9)"),
+            >= lit(math.round(confidenceMargin * 1e9)),
           lit(true)).as("confident"))
   }
 
   /** The scoring half shared by the trained and pre-trained language-ID
     * entry points: Laplace per-occurrence scores with the unseen floor,
-    * exact-decimal argmax, ties to min language. `dk` is the per-(doc,
+    * exact nano-nat argmax, ties to min language. `dk` is the per-(doc,
     * lang_true, ng) count table; `prof` is (lang_cand, ng, c).
     * `broadcastProf` picks the profile-join strategy — the per-language
     * constant tables (|langs| rows) stay broadcast either way. */
-  private def scoreUnderProfiles(dk: DataFrame, prof: DataFrame,
+  private def scoreUnderProfiles(dk: DataFrame, pdt: DataFrame,
+                                 prof: DataFrame,
                                  idCol: String,
                                  broadcastProf: Boolean,
                                  checkpointScores: Boolean = true): DataFrame =
-    argmaxScores(scoresUnderProfiles(dk, prof, idCol, broadcastProf,
+    argmaxScores(scoresUnderProfiles(dk, pdt, prof, idCol, broadcastProf,
       checkpointScores), idCol)
 
+  /** The 9-dp per-occurrence ln score as an exact LONG count of
+    * nano-nats. `round(ln·, 9)` is a 9-dp decimal by construction, so
+    * scaling by 1e9 lands within 5e-6 of an integer (|ln| ≤ ~40 ⇒
+    * |m| ≤ 4e10, double rel-error 2e-16 ⇒ abs error ≤ 1e-5) — the
+    * final round recovers it exactly. Long arithmetic on these IS the
+    * old decimal(28,9) arithmetic, just in a primitive the hash
+    * aggregate can codegen: sums and comparisons are bit-identical
+    * decisions, ~5× cheaper per row than BigDecimal. */
+  private def lnNano(x: Column): Column =
+    round(round(log(x), 9) * 1e9).cast("long")
+
   /** The (idCol, lang_true, lang_cand, score) table under `prof` —
-    * shared by the argmax classifiers and the margin gate. */
-  private def scoresUnderProfiles(dk: DataFrame, prof: DataFrame,
+    * shared by the argmax classifiers and the margin gate. `score` is
+    * exact integer NANO-NATS ([[lnNano]]); magnitudes stay below
+    * ktot·4e10, so documents up to ~2·10⁸ n-grams fit a long with
+    * ANSI overflow as the loud failure mode past that. */
+  private def scoresUnderProfiles(dk: DataFrame, pdtIn: DataFrame,
+                                  prof: DataFrame,
                                   idCol: String,
                                   broadcastProf: Boolean,
                                   checkpointScores: Boolean): DataFrame = {
@@ -325,27 +354,28 @@ object TextAnalysis {
     // a nested-loop cross)
     val li = ltot.join(broadcast(vsize), Seq("__k"))
       .select(col("lang_cand"), col("tot"), col("V"),
-        round(log(lit(1.0) / (col("tot") + col("V")).cast("double")), 9)
-          .cast("decimal(18,9)").as("fl"))
+        lnNano(lit(1.0) / (col("tot") + col("V")).cast("double")).as("fl"))
       .withColumn("__k", lit(1))
-    val pdt = dk.groupBy(col(idCol), col("lang_true"))
-      .agg(sum(col("k")).as("ktot")).withColumn("__k", lit(1))
+    // per-doc totals arrive precomputed (len-(n-1), recorded at census
+    // build) — the callers saved a corpus-wide shuffle by not deriving
+    // them from the exploded stream
+    val pdt = pdtIn.withColumn("__k", lit(1))
     // present-n-gram partial scores: each (doc, ng) row meets every
     // language whose profile holds the n-gram
     val profSide = if (broadcastProf) broadcast(prof) else prof
     val pres = dk.join(profSide, Seq("ng"))
       .join(broadcast(li.drop("__k")), Seq("lang_cand"))
       .groupBy(col(idCol), col("lang_cand"))
-      .agg(sum(col("k").cast("decimal(10,0)")
-          * round(log((col("c") + 1).cast("double") / (col("tot") + col("V")).cast("double")), 9)
-            .cast("decimal(18,9)")).as("sp"),
+      .agg(sum(col("k")
+          * lnNano((col("c") + 1).cast("double")
+            / (col("tot") + col("V")).cast("double"))).as("sp"),
         sum(col("k")).as("kp"))
     val scores = pdt.join(broadcast(li), Seq("__k"))
       .join(pres, Seq(idCol, "lang_cand"), "left")
       .select(col(idCol), col("lang_true"), col("lang_cand"),
-        (coalesce(col("sp"), lit(0).cast("decimal(28,9)"))
-          + (col("ktot") - coalesce(col("kp"), lit(0L))).cast("decimal(10,0)")
-            * col("fl")).cast("decimal(28,9)").as("score"))
+        (coalesce(col("sp"), lit(0L))
+          + (col("ktot") - coalesce(col("kp"), lit(0L))) * col("fl"))
+          .as("score"))
     // the argmax self-join reads `scores` twice; in the trained path
     // it sits on the dk checkpoint so materializing it once is cheap
     // and saves the join re-run. The pre-trained path keeps FULL scan
@@ -366,7 +396,7 @@ object TextAnalysis {
       .select(col(idCol), col("lang_true"), col("lang_pred"), col("score"),
         (col("lang_pred") === col("lang_true")).as("correct"))
   }
-  // NOTE on cross-engine determinism: within ONE engine the decimal
+  // NOTE on cross-engine determinism: within ONE engine the nano-nat
   // scores are exact and the argmax fully deterministic. ACROSS
   // engines, ln() is correctly-rounded-ish but not bit-specified, so
   // round(ln·,9) can differ by one 9-dp ulp on boundary inputs —
@@ -1101,7 +1131,8 @@ object TextAnalysis {
         .cast("long").as("n_links"),
       codeChars.as("code_chars"),
       length(t).cast("long").as("n_chars"),
-      (codeChars.cast("double") / length(t)).as("code_fraction"))
+      when(length(t) > 0, codeChars.cast("double") / length(t))
+        .as("code_fraction"))
   }
 
   /** HTML table extraction — the structured-data mining step (web
@@ -1759,29 +1790,35 @@ object TextAnalysis {
     * maxes it. Threshold on `score` vs `k·n` (both exact) or rank by
     * `score/n` downstream. Output (idCol, n_bigrams, score).
     *
-    * Scale shape: one (doc, bigram)-keyed map-side-combined count
-    * (bounded per doc by its distinct transitions), the per-doc total
-    * joined back by id, one roll-up. No windows, nothing corpus-wide. */
+    * Scale shape: fully narrow — the native [[graft.functions.CharNgramCounts]]
+    * census yields the per-doc (bigram, count) map in one compiled
+    * pass and the entropy folds in-row over its entries. No shuffle,
+    * no windows, nothing corpus-wide. */
   def compressibility(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val cnts = docs.filter(length(t) >= 2)
-      .select(col(idCol),
-        explode(transform(sequence(lit(1), length(t) - 1),
-          i => t.substr(i, lit(2)))).as("bg"))
-      .groupBy(col(idCol), col("bg"))
-      .agg(count(lit(1)).as("c"))
-    val totals = cnts.groupBy(col(idCol)).agg(sum(col("c")).as("n"))
-    cnts.join(totals, Seq(idCol))
-      .groupBy(col(idCol), col("n"))
-      .agg(sum(col("c").cast("decimal(10,0)")
-          * round(log(col("n").cast("double") / col("c")), 9)
-            .cast("decimal(18,9)")).cast("decimal(28,9)").as("score"))
+    val dec = "decimal(28,9)"
+    // the native census pre-aggregates the bigram counts per document,
+    // so the total is just len-1 and the entropy folds IN-ROW over the
+    // (bigram, count) entries: zero shuffles where the composable form
+    // paid two groupBys and a join. Decimal addition is exact, so the
+    // in-row fold order and the old shuffle-sum agree bit for bit.
+    val n = (length(t) - 1).cast("long")
+    val score = aggregate(
+      map_entries(graft.functions.CharNgramCounts(t, 2)),
+      lit(BigDecimal(0)).cast(dec),
+      (acc: Column, e: Column) => {
+        val c = e.getField("value")
+        (acc + c.cast("decimal(10,0)")
+          * round(log(n.cast("double") / c), 9).cast("decimal(18,9)"))
+          .cast(dec)
+      })
+    docs.filter(length(t) >= 2)
       // exact decimal internally, DOUBLE in the output: hashed
       // contracts carry no decimal columns (driver-hash rule); n·H
       // here stays well inside double's 15-sig-digit exact range.
-      .select(col(idCol), col("n").as("n_bigrams"),
-        col("score").cast("double").as("score"))
+      .select(col(idCol), n.as("n_bigrams"),
+        score.cast("double").as("score"))
   }
 
   /** Credential/secret candidate scan — the redaction tier [[piiStats]]'

@@ -13,7 +13,8 @@ class EvalSpec extends SparkSpec {
       (2L, "Paris.", Seq("the paris")),
       (3L, "x x y", Seq("x x", "x z z")),   // multiset: ov=2 not 1
       (4L, "", Seq("")),                    // both empty -> 1/1
-      (5L, "a the an", Seq("something"))    // all articles -> empty pred
+      (5L, "a the an", Seq("something")),   // all articles -> empty pred
+      (6L, "kick the ball", Seq("kick ball")) // mid-answer article: EM
     ).toDF("pred_id", "pred", "refs")
     val out = Eval.evalScores(d).collect().map(r => r.getLong(0) -> r).toMap
     assert(!out(1L).getAs[Boolean]("em") &&
@@ -26,6 +27,10 @@ class EvalSpec extends SparkSpec {
       out(4L).getAs[Double]("best_f1") == 1.0)
     assert(out(5L).getAs[Long]("n_pred_tokens") == 0L &&
       out(5L).getAs[Double]("best_f1") == 0.0)
+    // the article's substituted space must COLLAPSE before comparison
+    // (official scorer's white_space_fix), so this is an exact match
+    assert(out(6L).getAs[Boolean]("em") &&
+      out(6L).getAs[Double]("best_f1") == 1.0)
   }
 
   test("chunkText: overlap windows, short-doc single chunk, empty doc " +

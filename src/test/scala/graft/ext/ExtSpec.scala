@@ -461,6 +461,11 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getLong(3) == 2L, "two markdown links")
     assert(out.getLong(4) == ("\ncode1\n".length + "\ntail code".length).toLong)
     assert(out.getDouble(6) == out.getLong(4).toDouble / md.length)
+    // empty doc: every count 0 and code_fraction null, never NaN
+    val empty = TextAnalysis.markdownStats(
+      Seq((2L, "")).toDF("doc_id", "text")).collect()(0)
+    assert(empty.getLong(4) == 0L && empty.getLong(5) == 0L)
+    assert(empty.isNullAt(6), "empty doc must yield null code_fraction")
   }
 
   test("paragraphDedup: corpus-frequent paragraphs drop everywhere, " +

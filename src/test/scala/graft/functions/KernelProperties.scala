@@ -69,6 +69,29 @@ object KernelProperties extends Properties("graft.functions.kernels") {
       got == want
     }
 
+  // n-gram reference over CODE POINTS (substr's unit): an astral char
+  // is one position, unlike UTF-16's surrogate pair
+  private def charNgramRef(text: String, n: Int): Map[String, Long] = {
+    val cps = text.codePoints().toArray
+    if (cps.length < n) Map.empty
+    else cps.sliding(n).map(w => new String(w, 0, w.length)).toSeq
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+  }
+
+  private val rawTextGen: Gen[String] = Gen.frequency(
+    5 -> Gen.asciiPrintableStr,
+    3 -> textGen,
+    2 -> Gen.oneOf("日本語テキスト", "aéa𝄞é𝄞a", "𝄞𝄞", "é", "", "ababab"))
+
+  property("char_ngram_counts == substr-explode census over code points") =
+    forAll(rawTextGen, Gen.choose(1, 4)) { (text, n) =>
+      val m = CharNgramCounts.compute(UTF8String.fromString(text), n)
+      val keys = m.keyArray
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+      val vals = m.valueArray.toLongArray()
+      keys.map(_.toString).zip(vals).toMap == charNgramRef(text, n)
+    }
+
   private def simhashRef(toks: List[String], width: Int): Long = {
     val votes = new Array[Int](width)
     for (t <- toks) {
