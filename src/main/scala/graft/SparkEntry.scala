@@ -2478,6 +2478,39 @@ object SparkEntry {
           delimiter = ",")
         .orderBy("doc_id", "line_idx", "col_idx")
     }),
+    // gzip-wrapped WARC records (the Common Crawl shape): each record
+    // is a stored-deflate-block RFC 1952 member built from hex
+    // expressions (CRC32 via the engine's crc32), one in five with a
+    // corrupt magic — those must fail closed to an all-null parse row
+    "q255_warc_gzip" -> ((s, dir) => {
+      def leHex(c: Column, nBytes: Int) = concat((0 until nBytes).map(i =>
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(255L)), 2, "0")): _*)
+      val uri = concat(lit("https://site"),
+        pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit(".example.com/p"), col("doc_id").cast("string"))
+      val warc = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), uri,
+        lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "),
+        col("n_chars").cast("string"),
+        lit("\r\n\r\nHTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>"),
+        substring(col("text"), 1, 40), lit("</html>"))
+      val wb = warc.cast("binary")
+      val len = length(wb).cast("long")
+      val magic = when(pmod(col("doc_id"), lit(5L)) === 0,
+        lit("DEAD08000000000000FF")) // corrupt member: wrong magic
+        .otherwise(lit("1F8B08000000000000FF"))
+      // 10-byte header + one stored deflate block (01, LEN, ~LEN) +
+      // payload + CRC32/ISIZE trailer — a fully valid member with no
+      // compressor needed engine-side
+      val gz = concat(unhex(magic), unhex(concat(lit("01"),
+          leHex(len, 2), leHex(lit(65535L) - len, 2))),
+        wb, unhex(concat(leHex(crc32(wb), 4), leHex(len, 4))))
+      // checkpoint the synthesized binary: the builder tree must not
+      // be re-inlined into the parser's probes (fixture-payload rule)
+      val fixture = t(s, dir, "documents")
+        .select(col("doc_id"), gz.as("warc_gz")).localCheckpoint()
+      TextAnalysis.warcParseGzip(fixture).orderBy("doc_id")
+    }),
     // feed parsing: RSS for even domains, Atom for odd — item order,
     // both link forms, missing pubDate on the second entry; every
     // row derived arithmetically
@@ -4928,6 +4961,28 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id, 1, 1, 'Smith, John' FROM documents
         |  UNION ALL SELECT doc_id, 1, 2, 'said "hi"' FROM documents)
         |ORDER BY doc_id, line_idx, col_idx""".stripMargin,
+
+    // q255: expected rows derived from the same arithmetic as the
+    // fixture builder — the gzip wrap must be lossless, so the
+    // corrupt-magic rows (all-null) are the only divergence
+    "q255_warc_gzip" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 'response' END
+        |    AS warc_type,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL
+        |       ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |            '.example.com/p' || CAST(doc_id AS VARCHAR) END
+        |    AS target_uri,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL
+        |       ELSE '2026-01-01T00:00:00Z' END AS warc_date,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL
+        |       ELSE CAST(n_chars AS BIGINT) END AS content_length,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 200 END AS http_status,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 'text/html' END
+        |    AS content_type,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL
+        |       ELSE '<html>' || substr(text, 1, 40) || '</html>' END AS body
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q221: each feed row derived arithmetically per domain parity
     "q221_feed_parse" ->

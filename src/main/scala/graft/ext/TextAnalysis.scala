@@ -1728,6 +1728,24 @@ object TextAnalysis {
         .otherwise(httpPart).as("body"))
   }
 
+  /** [[warcParse]] over gzip-compressed records — the shape Common
+    * Crawl actually ships (one RFC 1952 member per record): the
+    * bounded [[graft.functions.GunzipPayload]] kernel inflates each
+    * member (CRC-checked, `maxOut`-capped, fail-closed null), the
+    * bytes decode as UTF-8, and the text parser runs unchanged.
+    * Malformed/bomb members surface as all-null parse rows — the
+    * record stays visible for audit instead of vanishing. The decoded
+    * text is aliased in its own projection so the parser's several
+    * header probes share ONE inflate per row (CollapseProject keeps a
+    * multiply-referenced non-cheap alias in place, the gopherRules
+    * boundary). Narrow per-row work, zero shuffle. */
+  def warcParseGzip(docs: DataFrame, idCol: String = "doc_id",
+                    gzCol: String = "warc_gz",
+                    maxOut: Int = 1 << 24): DataFrame =
+    warcParse(docs.select(col(idCol),
+      decode(graft.functions.GunzipPayload(col(gzCol), maxOut), "UTF-8")
+        .as("__warc")), idCol, "__warc")
+
   /** `Sitemap:` discovery from robots.txt — per RFC 9309 the
     * directive is GLOBAL (never bound to a User-agent section, unlike
     * Disallow/Allow/Crawl-delay), so this is a plain line scan: every

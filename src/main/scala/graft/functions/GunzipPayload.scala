@@ -1,0 +1,136 @@
+package graft.functions
+
+import java.util.zip.{CRC32, DataFormatException, Inflater}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Bounded gzip member decompression (RFC 1952) — the kernel that
+  * makes the WARC tier reach the actual archive format: Common Crawl
+  * ships one gzip member per record, so `gunzip → warcParse` is the
+  * first real step of a crawl pipeline. (The reference engine copies
+  * rows, not crawls; this is part of the §2.11 pipeline surface.)
+  *
+  * Parses the full RFC 1952 framing in one pass: magic `1F 8B`,
+  * DEFLATE method byte, FLG-driven optional fields skipped in order
+  * (FEXTRA with its LE length, null-terminated FNAME and FCOMMENT,
+  * 2-byte FHCRC), then the raw-DEFLATE stream via
+  * `java.util.zip.Inflater(nowrap)` — the public JVM machinery
+  * [[PngDhash]] already leans on — and finally the mandatory 8-byte
+  * trailer: the member is accepted only if the CRC32 of the inflated
+  * bytes and ISIZE (length mod 2³²) both match.
+  *
+  * FAIL-CLOSED NULL on every malformed shape: wrong magic, non-DEFLATE
+  * method, header truncated mid-field, corrupt DEFLATE data, stream
+  * truncated before the trailer, CRC/ISIZE mismatch — and on any
+  * member inflating past `maxOut` bytes (the decompression-bomb
+  * guard: a 100 TB scan must bound worst-case memory per row, and a
+  * silently truncated document would poison every downstream text
+  * operator, so over-cap is rejected, not clipped). Only the FIRST
+  * member of a multi-member concatenation is read — per-record crawl
+  * payloads are single members; walk offsets upstream for the rest.
+  *
+  * Per-row bounded work, zero shuffle, codegen'd via the static
+  * kernel. */
+case class GunzipPayload(child: Expression, maxOut: Int)
+    extends UnaryExpression {
+  require(maxOut > 0, "output cap must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gunzip_payload expects binary input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = BinaryType
+
+  // a malformed member yields null even though the input is non-null
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    GunzipPayload.compute(a.asInstanceOf[Array[Byte]], maxOut)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.GunzipPayload.compute($c, $maxOut);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "gunzip_payload"
+}
+
+object GunzipPayload {
+
+  /** The per-row kernel — public static so generated code can call it.
+    * Returns null for every malformed/over-cap shape (fail closed). */
+  def compute(bytes: Array[Byte], maxOut: Int): Array[Byte] = {
+    val n = bytes.length
+    // 10-byte header + >=2-byte deflate + 8-byte trailer
+    if (n < 20) return null
+    if (bytes(0) != 0x1f.toByte || bytes(1) != 0x8b.toByte ||
+      bytes(2) != 8.toByte) return null
+    val flg = bytes(3) & 0xff
+    var pos = 10
+    if ((flg & 4) != 0) { // FEXTRA: LE length + payload
+      if (pos + 2 > n) return null
+      pos += 2 + ((bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8))
+    }
+    if ((flg & 8) != 0) { // FNAME: null-terminated
+      while (pos < n && bytes(pos) != 0) pos += 1
+      pos += 1
+    }
+    if ((flg & 16) != 0) { // FCOMMENT: null-terminated
+      while (pos < n && bytes(pos) != 0) pos += 1
+      pos += 1
+    }
+    if ((flg & 2) != 0) pos += 2 // FHCRC
+    // at least 2 bytes of deflate + the 8-byte trailer must remain
+    // (also catches optional-field skips that ran past the buffer)
+    if (pos < 0 || pos + 10 > n) return null
+    val inf = new Inflater(true)
+    try {
+      inf.setInput(bytes, pos, n - pos)
+      var out = new Array[Byte](math.min(maxOut, math.max(64, (n - pos) * 4)))
+      var total = 0
+      while (!inf.finished()) {
+        if (total == out.length) {
+          if (out.length >= maxOut) return null // decompression bomb
+          out = java.util.Arrays.copyOf(out,
+            math.min(maxOut, out.length * 2))
+        }
+        val got = inf.inflate(out, total, out.length - total)
+        if (got == 0 && !inf.finished()) return null // truncated/needs dict
+        total += got
+        if (total > maxOut) return null
+      }
+      // mandatory trailer: CRC32 then ISIZE, both LE, right after the
+      // deflate stream
+      val tpos = pos + inf.getBytesRead.toInt
+      if (tpos + 8 > n) return null
+      def le32(p: Int): Long =
+        (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+          ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+      val crc = new CRC32()
+      crc.update(out, 0, total)
+      if (crc.getValue != le32(tpos)) return null
+      if ((total.toLong & 0xffffffffL) != le32(tpos + 4)) return null
+      java.util.Arrays.copyOf(out, total)
+    } catch {
+      case _: DataFormatException => null
+      case _: ArrayIndexOutOfBoundsException => null
+    } finally inf.end()
+  }
+
+  import org.apache.spark.sql.graftshim.ColumnShim
+
+  /** Column-level entry point; `maxOut` defaults to 16 MiB — generous
+    * for crawl records (Common Crawl caps bodies around 1 MiB) while
+    * bounding worst-case row memory. */
+  def apply(payload: Column, maxOut: Int = 1 << 24): Column =
+    ColumnShim.column(GunzipPayload(ColumnShim.expression(payload), maxOut))
+}
