@@ -2511,6 +2511,48 @@ object SparkEntry {
         .select(col("doc_id"), gz.as("warc_gz")).localCheckpoint()
       TextAnalysis.warcParseGzip(fixture).orderBy("doc_id")
     }),
+    // docx text extraction: a two-member ZIP ([Content_Types].xml
+    // then word/document.xml) built from hex expressions — member 2
+    // stored for even ids, raw-DEFLATE (stored-block framing) for
+    // odd, and a data-descriptor flag on one row in seven, which
+    // must fail closed to null
+    "q256_docx_text" -> ((s, dir) => {
+      def leHex(c: Column, nBytes: Int) = concat((0 until nBytes).map(i =>
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(255L)), 2, "0")): _*)
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><w:document><w:body>" +
+          "<w:p><w:r><w:t>Title "),
+        col("doc_id").cast("string"),
+        lit("</w:t></w:r></w:p><w:p><w:r><w:t xml:space=\"preserve\">"),
+        substring(col("text"), 1, 30),
+        lit(" &amp; more</w:t></w:r></w:p></w:body></w:document>"))
+      val xb = xml.cast("binary")
+      val xlen = length(xb).cast("long")
+      val ct = lit("<Types/>").cast("binary")
+      val m1 = concat(unhex(concat(lit("504B030414000000000000000000"),
+          leHex(crc32(ct), 4), leHex(lit(8L), 4), leHex(lit(8L), 4),
+          lit("13000000"))),
+        lit("[Content_Types].xml").cast("binary"), ct)
+      val isDD = pmod(col("doc_id"), lit(7L)) === 0
+      val isStored = pmod(col("doc_id"), lit(2L)) === 0
+      val flagsHex = when(isDD, lit("0800")).otherwise(lit("0000"))
+      val methodHex = when(isStored, lit("0000")).otherwise(lit("0800"))
+      val csize = when(isStored, xlen).otherwise(xlen + 5L)
+      val data = when(isStored, xb).otherwise(concat(
+        unhex(concat(lit("01"), leHex(xlen, 2),
+          leHex(lit(65535L) - xlen, 2))), xb))
+      val m2 = concat(unhex(concat(lit("504B03041400"), flagsHex,
+          methodHex, lit("00000000"), leHex(crc32(xb), 4),
+          leHex(csize, 4), leHex(xlen, 4), lit("11000000"))),
+        lit("word/document.xml").cast("binary"), data)
+      // checkpoint the synthesized archive (fixture-payload rule)
+      val fixture = t(s, dir, "documents")
+        .select(col("doc_id"), concat(m1, m2).as("payload"))
+        .localCheckpoint()
+      fixture.select(col("doc_id"),
+          Multimodal.docxText(col("payload")).as("docx_text"))
+        .orderBy("doc_id")
+    }),
     // feed parsing: RSS for even domains, Atom for odd — item order,
     // both link forms, missing pubDate on the second entry; every
     // row derived arithmetically
@@ -4982,6 +5024,17 @@ object SparkEntry {
         |    AS content_type,
         |  CASE WHEN doc_id % 5 = 0 THEN NULL
         |       ELSE '<html>' || substr(text, 1, 40) || '</html>' END AS body
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q256: the cleaned text derived from the same columns the XML
+    // builder used — paragraph newlines, entity decoded, the
+    // data-descriptor rows null
+    "q256_docx_text" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE 'Title ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |            substr(text, 1, 30) || ' & more' || chr(10) END
+        |    AS docx_text
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q221: each feed row derived arithmetically per domain parity

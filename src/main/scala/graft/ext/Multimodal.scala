@@ -562,6 +562,29 @@ object Multimodal {
       kind.as("kind")))
   }
 
+  /** DOCX main-document text — the top document-corpus source behind
+    * [[zipMeta]]'s `kind = docx` label, extracted without a library:
+    * [[graft.functions.ZipEntryBytes]] walks the local headers to
+    * `word/document.xml` (stored members sliced, DEFLATE members
+    * inflated raw — both bounded by `maxBytes`, data-descriptor
+    * entries fail closed exactly like the zipMeta walk), then the
+    * WordprocessingML cleans the htmlToText way: paragraph closes
+    * (`</w:p>`) become newlines and explicit tabs (`<w:tab/>`)
+    * become tabs BEFORE tags strip (all document text lives inside
+    * `<w:t>` elements, so stripping keeps exactly the text runs),
+    * and the XML character references decode in
+    * [[TextAnalysis.decodeEntities]]' one-pass chain. Non-ZIP
+    * payloads, archives without the member, and malformed members
+    * all yield null. Narrow per-row work, zero shuffle. */
+  def docxText(payload: Column, maxBytes: Int = 1 << 24): Column = {
+    val xml = decode(
+      graft.functions.ZipEntryBytes(payload, "word/document.xml", maxBytes),
+      "UTF-8")
+    val para = regexp_replace(regexp_replace(xml,
+      "</w:p>", "\n"), "<w:tab[^>]*/>", "\t")
+    TextAnalysis.decodeEntities(regexp_replace(para, "<[^>]+>", ""))
+  }
+
   /** gzip member header (RFC 1952) — the compression wrapper around
     * most crawl payloads: magic `\x1f\x8b`, compression method,
     * little-endian MTIME, OS byte, the FTEXT flag, and the optional

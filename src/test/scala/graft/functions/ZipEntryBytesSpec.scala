@@ -1,0 +1,98 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, Deflater, ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.SparkSpec
+import graft.ext.Multimodal
+
+class ZipEntryBytesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  /** Real STORED-entry zip via the JDK writer (stored entries carry
+    * sizes in the local header — no data descriptor). */
+  private def storedZip(entries: (String, Array[Byte])*): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    z.setMethod(ZipOutputStream.STORED)
+    for ((name, data) <- entries) {
+      val e = new ZipEntry(name)
+      e.setSize(data.length); e.setCompressedSize(data.length)
+      val crc = new CRC32(); crc.update(data); e.setCrc(crc.getValue)
+      z.putNextEntry(e); z.write(data); z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  /** Hand-framed DEFLATE member (real Deflater stream, sizes in the
+    * local header — the shape OOXML writers emit). */
+  private def deflateZip(name: String, data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(data); d.finish()
+    val cbuf = new Array[Byte](data.length * 2 + 64)
+    val clen = d.deflate(cbuf); d.end()
+    val crc = new CRC32(); crc.update(data)
+    val bos = new ByteArrayOutputStream()
+    def le(v: Long, n: Int): Unit =
+      (0 until n).foreach(i => bos.write(((v >> (8 * i)) & 0xff).toInt))
+    bos.write(Array(0x50, 0x4b, 3, 4, 0x14, 0, 0, 0, 8, 0).map(_.toByte))
+    le(0, 4) // time+date
+    le(crc.getValue, 4); le(clen, 4); le(data.length, 4)
+    le(name.length, 2); le(0, 2)
+    bos.write(name.getBytes("UTF-8")); bos.write(cbuf, 0, clen)
+    bos.toByteArray
+  }
+
+  test("zip_entry_bytes: stored members found by exact name; missing entry null") {
+    val z = storedZip(
+      "[Content_Types].xml" -> "<Types/>".getBytes,
+      "word/document.xml" -> "<w:t>hi</w:t>".getBytes)
+    assert(new String(ZipEntryBytes.compute(z, u("word/document.xml"),
+      1 << 20, 64)) == "<w:t>hi</w:t>")
+    assert(new String(ZipEntryBytes.compute(z, u("[Content_Types].xml"),
+      1 << 20, 64)) == "<Types/>")
+    assert(ZipEntryBytes.compute(z, u("word/other.xml"), 1 << 20, 64) == null)
+  }
+
+  test("zip_entry_bytes: real-Deflater member inflates; usize cap and corrupt stream fail closed") {
+    val text = "body text " * 500
+    val z = deflateZip("word/document.xml", text.getBytes("UTF-8"))
+    assert(new String(ZipEntryBytes.compute(z, u("word/document.xml"),
+      1 << 20, 64), "UTF-8") == text)
+    // declared usize above the cap: rejected, not clipped
+    assert(ZipEntryBytes.compute(z, u("word/document.xml"), 100, 64) == null)
+    // corrupt a deflate byte mid-stream
+    val bad = z.clone(); bad(z.length - 20) = (bad(z.length - 20) ^ 0x7f).toByte
+    assert(ZipEntryBytes.compute(bad, u("word/document.xml"),
+      1 << 20, 64) == null)
+    // JDK streaming DEFLATED entries use data descriptors — documented
+    // fail-closed refusal (csize unknown in the local header)
+    val bos = new ByteArrayOutputStream(); val zo = new ZipOutputStream(bos)
+    zo.putNextEntry(new ZipEntry("word/document.xml"))
+    zo.write("x".getBytes); zo.closeEntry(); zo.close()
+    assert(ZipEntryBytes.compute(bos.toByteArray, u("word/document.xml"),
+      1 << 20, 64) == null)
+    // junk payload
+    assert(ZipEntryBytes.compute("not a zip".getBytes, u("a"), 64, 64) == null)
+  }
+
+  test("docxText: tags stripped, paragraphs/tabs kept, entities decoded; null payload null") {
+    val xml = "<?xml version=\"1.0\"?><w:document><w:body>" +
+      "<w:p><w:r><w:t>One &amp; two</w:t></w:r></w:p>" +
+      "<w:p><w:r><w:t>a</w:t></w:r><w:r><w:tab/><w:t>b</w:t></w:r></w:p>" +
+      "</w:body></w:document>"
+    val z = storedZip("word/document.xml" -> xml.getBytes("UTF-8"))
+    val df = Seq((1L, z), (2L, null: Array[Byte])).toDF("id", "payload")
+    val out = df.select(col("id"),
+      Multimodal.docxText(col("payload")).as("t")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    assert(out(1L) == "One & two\na\tb\n")
+    assert(out(2L) == null)
+  }
+}
