@@ -1821,6 +1821,27 @@ object SparkEntry {
             lit("</lastmod></url>\n</urlset>")).as("xml"))
       TextAnalysis.sitemapParse(sm).orderBy("domain", "pos")
     }),
+    // sitemap INDEX files (sitemapindex/sitemap/loc) for even
+    // domains, plain urlsets for odd — the kind column routes index
+    // rows back to the fetch frontier instead of losing them
+    "q257_sitemap_index" -> ((s, dir) => {
+      val d = col("__d")
+      val idx = concat(
+        lit("<?xml version=\"1.0\"?>\n<sitemapindex>\n" +
+          "<sitemap><loc> https://site"), d,
+        lit(".example.com/sitemap-a.xml </loc><lastmod>2026-03-0"), d,
+        lit("</lastmod></sitemap>\n<sitemap><loc>https://cdn.maps.net/big"),
+        d, lit(".xml</loc></sitemap>\n</sitemapindex>"))
+      val urlset = concat(
+        lit("<?xml version=\"1.0\"?>\n<urlset>\n<url><loc>https://site"), d,
+        lit(".example.com/only</loc></url>\n</urlset>"))
+      val sm = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(7L)).cast("string").as("__d")).distinct()
+        .select(concat(lit("site"), d, lit(".example.com")).as("domain"),
+          when(pmod(d.cast("long"), lit(2L)) === 0, idx).otherwise(urlset)
+            .as("xml"))
+      TextAnalysis.sitemapParse(sm).orderBy("domain", "pos")
+    }),
     // RFC 9309 longest-match resolution: Disallow:/ + Allow:/public/
     // must invert (admit the public tree), a longer Disallow must
     // beat a shorter Allow, and an exact-length tie must fall to
@@ -4485,7 +4506,8 @@ object SparkEntry {
     "q203_sitemap_parse" ->
       """WITH r AS (SELECT DISTINCT CAST(doc_id % 7 AS VARCHAR) AS d FROM documents),
         |s AS (SELECT 'site' || d || '.example.com' AS domain, d FROM r)
-        |SELECT domain, pos, loc, lastmod, changefreq, priority FROM (
+        |SELECT domain, pos, 'url' AS kind, loc, lastmod, changefreq,
+        |  priority FROM (
         |  SELECT domain, CAST(0 AS BIGINT) AS pos,
         |    'https://site' || d || '.example.com/p1' AS loc,
         |    '2026-01-0' || d AS lastmod, 'daily' AS changefreq,
@@ -4496,6 +4518,25 @@ object SparkEntry {
         |  UNION ALL SELECT domain, CAST(2 AS BIGINT),
         |    'https://site' || d || '.example.com/p3', '2026-02-1' || d, NULL,
         |    CAST(NULL AS DOUBLE) FROM s)
+        |ORDER BY domain, pos""".stripMargin,
+
+    // q257: index rows carry lastmod but never changefreq/priority;
+    // the url branch replays q203's shape with kind='url'
+    "q257_sitemap_index" ->
+      """WITH r AS (SELECT DISTINCT CAST(doc_id % 7 AS INT) AS d FROM documents),
+        |s AS (SELECT 'site' || CAST(d AS VARCHAR) || '.example.com' AS domain,
+        |  CAST(d AS VARCHAR) AS ds, d FROM r)
+        |SELECT domain, pos, kind, loc, lastmod, changefreq, priority FROM (
+        |  SELECT domain, CAST(0 AS BIGINT) AS pos, 'sitemap' AS kind,
+        |    'https://site' || ds || '.example.com/sitemap-a.xml' AS loc,
+        |    '2026-03-0' || ds AS lastmod, CAST(NULL AS VARCHAR) AS changefreq,
+        |    CAST(NULL AS DOUBLE) AS priority FROM s WHERE d % 2 = 0
+        |  UNION ALL SELECT domain, CAST(1 AS BIGINT), 'sitemap',
+        |    'https://cdn.maps.net/big' || ds || '.xml', NULL, NULL, NULL
+        |    FROM s WHERE d % 2 = 0
+        |  UNION ALL SELECT domain, CAST(0 AS BIGINT), 'url',
+        |    'https://site' || ds || '.example.com/only', NULL, NULL, NULL
+        |    FROM s WHERE d % 2 = 1)
         |ORDER BY domain, pos""".stripMargin,
 
     // q201: the same section binding as q197, plus Allow capture and

@@ -1031,14 +1031,20 @@ object TextAnalysis {
       urlCol, tsCol, idCol, textCol)
 
   /** Sitemap parsing (the sitemaps.org protocol) — the crawl-frontier
-    * feed: explode each `<url>` entry, pull `loc`/`lastmod`/
-    * `changefreq`/`priority` with null for absent optional fields,
-    * and keep entry order as `pos` (frontier scheduling is
-    * order-sensitive). Deterministic core: tag-delimited extraction
+    * feed: explode each `<url>` entry AND each `<sitemap>` entry (the
+    * `<sitemapindex>` form large sites ship — an index file used to
+    * parse to zero rows, a silent frontier loss), pull `loc`/
+    * `lastmod`/`changefreq`/`priority` with null for absent optional
+    * fields, keep entry order as `pos` (frontier scheduling is
+    * order-sensitive), and label each row `kind` = `url` | `sitemap`
+    * so the frontier knows which rows are pages and which are MORE
+    * sitemaps to fetch. Deterministic core: tag-delimited extraction
     * with `(?s)` lowercase-exact tags (XML is case-sensitive, unlike
-    * HTML) and whitespace-trimmed values. One regexp pass
-    * + posexplode — narrow, output bounded by frontier size, never a
-    * shuffle. */
+    * HTML), alternation instead of a backreference (RE2-replayable)
+    * and whitespace-trimmed values; `changefreq`/`priority` are
+    * url-entry fields and stay null on index rows per the protocol.
+    * One regexp pass + posexplode — narrow, output bounded by
+    * frontier size, never a shuffle. */
   def sitemapParse(sitemaps: DataFrame, domainCol: String = "domain",
                    xmlCol: String = "xml"): DataFrame = {
     def field(e: Column, tag: String): Column = {
@@ -1048,8 +1054,11 @@ object TextAnalysis {
     }
     sitemaps.select(col(domainCol).as("domain"),
         posexplode(regexp_extract_all(col(xmlCol),
-          lit("(?s)<url>(.*?)</url>"), lit(1))).as(Seq("pos", "e")))
+          lit("(?s)<url>.*?</url>|<sitemap>.*?</sitemap>"), lit(0)))
+          .as(Seq("pos", "e")))
       .select(col("domain"), col("pos").cast("long").as("pos"),
+        when(col("e").startsWith("<sitemap>"), lit("sitemap"))
+          .otherwise(lit("url")).as("kind"),
         field(col("e"), "loc").as("loc"),
         field(col("e"), "lastmod").as("lastmod"),
         field(col("e"), "changefreq").as("changefreq"),

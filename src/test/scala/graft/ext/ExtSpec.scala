@@ -540,11 +540,24 @@ class TextAnalysisSpec extends SparkSpec {
     val out = TextAnalysis.sitemapParse(Seq(("s.io", xml)).toDF("domain", "xml"))
       .orderBy("pos").collect()
     assert(out.length == 2, "tag-exact <url> entries only")
-    assert(out(0).getString(2) == "https://s.io/1" &&
-      out(0).getString(3) == "2026-03-01" &&
-      out(0).getString(4) == "weekly" && out(0).getDouble(5) == 0.9)
-    assert(out(1).getString(2) == "https://s.io/3" &&
-      out(1).isNullAt(3) && out(1).isNullAt(4) && out(1).getDouble(5) == 0.1)
+    assert(out.forall(_.getString(2) == "url"))
+    assert(out(0).getString(3) == "https://s.io/1" &&
+      out(0).getString(4) == "2026-03-01" &&
+      out(0).getString(5) == "weekly" && out(0).getDouble(6) == 0.9)
+    assert(out(1).getString(3) == "https://s.io/3" &&
+      out(1).isNullAt(4) && out(1).isNullAt(5) && out(1).getDouble(6) == 0.1)
+    // a sitemapindex file yields kind='sitemap' rows instead of zero
+    val idx = "<sitemapindex>" +
+      "<sitemap><loc>https://s.io/a.xml</loc>" +
+      "<lastmod>2026-04-01</lastmod></sitemap>" +
+      "<sitemap><loc> https://s.io/b.xml </loc></sitemap></sitemapindex>"
+    val iout = TextAnalysis.sitemapParse(
+      Seq(("s.io", idx)).toDF("domain", "xml")).orderBy("pos").collect()
+    assert(iout.length == 2 && iout.forall(_.getString(2) == "sitemap"))
+    assert(iout(0).getString(3) == "https://s.io/a.xml" &&
+      iout(0).getString(4) == "2026-04-01")
+    assert(iout(1).getString(3) == "https://s.io/b.xml" &&
+      iout(1).isNullAt(4) && iout(1).isNullAt(5) && iout(1).isNullAt(6))
   }
 
   test("warcParse: response records yield HTTP fields + body after the " +
