@@ -2439,6 +2439,20 @@ object SparkEntry {
           t(s, dir, "documents").select(json.as("json")))
         .orderBy("key")
     }),
+    // nested JSON path census at depth 2: dotted paths with per-path
+    // type counts; meta.deep stays 'object' (children past the
+    // bound), meta.deep.x is absent, the %11 docs malformed
+    "q258_json_paths" -> ((s, dir) => {
+      val json = when(pmod(col("doc_id"), lit(11L)) === 0, lit("{oops"))
+        .when(pmod(col("doc_id"), lit(2L)) === 0,
+          lit("{\"a\":1,\"meta\":{\"lang\":\"en\",\"tags\":[1,2]," +
+            "\"deep\":{\"x\":true}},\"b\":null}"))
+        .otherwise(lit("{\"a\":\"s\",\"flag\":false," +
+          "\"meta\":{\"lang\":null}}"))
+      TextAnalysis.jsonPathCensus(
+          t(s, dir, "documents").select(json.as("json")), maxDepth = 2)
+        .orderBy("path")
+    }),
     // web-to-RAG composition: mainContent boilerplate removal feeds
     // chunkText — the two operators end to end on the q224 page
     // shape; the oracle replays clean-then-window over the same slice
@@ -5005,6 +5019,26 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'c', CAST(count(*) AS BIGINT) FROM p WHERE doc_id%2 = 0
         |ORDER BY key""".stripMargin,
+
+    // q258: path/type counts by construction — e = valid even docs,
+    // o = valid odd docs; every branch cast to BIGINT up front
+    "q258_json_paths" ->
+      """WITH d AS (SELECT doc_id % 11 = 0 AS bad, doc_id % 2 = 0 AS ev
+        |  FROM documents),
+        |c AS (SELECT count(*) FILTER (NOT bad AND ev) AS e,
+        |             count(*) FILTER (NOT bad AND NOT ev) AS o FROM d)
+        |SELECT path, n_total, n_object, n_array, n_string, n_number,
+        |  n_bool, n_null FROM (
+        |  SELECT 'a' AS path, e+o AS n_total, CAST(0 AS BIGINT) AS n_object,
+        |    CAST(0 AS BIGINT) AS n_array, o AS n_string, e AS n_number,
+        |    CAST(0 AS BIGINT) AS n_bool, CAST(0 AS BIGINT) AS n_null FROM c
+        |  UNION ALL SELECT 'b', e, 0, 0, 0, 0, 0, e FROM c
+        |  UNION ALL SELECT 'flag', o, 0, 0, 0, 0, o, 0 FROM c
+        |  UNION ALL SELECT 'meta', e+o, e+o, 0, 0, 0, 0, 0 FROM c
+        |  UNION ALL SELECT 'meta.deep', e, e, 0, 0, 0, 0, 0 FROM c
+        |  UNION ALL SELECT 'meta.lang', e+o, 0, 0, e, 0, 0, o FROM c
+        |  UNION ALL SELECT 'meta.tags', e, 0, e, 0, 0, 0, 0 FROM c)
+        |ORDER BY path""".stripMargin,
 
     // q252: clean-then-window replayed over the same slice
     "q252_rag_pipeline" ->

@@ -1414,6 +1414,31 @@ object TextAnalysis {
       .groupBy("key").agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Nested JSON path census — [[jsonKeyCensus]] taken to the depth
+    * real JSONL lakes actually have: every dotted key path down to
+    * `maxDepth` levels with a per-path TYPE census
+    * (object/array/string/number/bool/null occurrence counts), the
+    * numbers an explicit-schema reader is written from (`meta.lang:
+    * 98% string, 2% null → nullable string column`). Powered by the
+    * one-pass [[graft.functions.JsonPathTypes]] kernel — malformed
+    * rows fail closed and contribute nothing, arrays are leaf-typed
+    * (element schemas are the reader's job), objects past the depth
+    * bound still count as `object` at their own path. ONE
+    * map-side-combined aggregation keyed by path — state bounded by
+    * the path vocabulary, never the corpus. Output (path, n_total,
+    * n_object, n_array, n_string, n_number, n_bool, n_null). */
+  def jsonPathCensus(docs: DataFrame, jsonCol: String = "json",
+                     maxDepth: Int = 3): DataFrame = {
+    def cnt(t: String): Column =
+      sum(when(col("jtype") === t, 1L).otherwise(0L)).as(s"n_$t")
+    docs.select(explode(
+        graft.functions.JsonPathTypes(col(jsonCol), maxDepth)).as("e"))
+      .select(col("e.path").as("path"), col("e.jtype").as("jtype"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_total"), cnt("object"), cnt("array"),
+        cnt("string"), cnt("number"), cnt("bool"), cnt("null"))
+  }
+
   /** RSS 2.0 / Atom feed parsing — the incremental-discovery feed of
     * a crawl (what changed since the last visit, without recrawling
     * the site): explode `<item>` (RSS) and `<entry>` (Atom) blocks

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ext.TextAnalysis
+
+class JsonPathTypesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def paths(json: String, depth: Int): Seq[(String, String)] =
+    Seq(Tuple1(json)).toDF("json")
+      .select(explode(JsonPathTypes(col("json"), depth)).as("e"))
+      .select("e.path", "e.jtype").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  test("json_path_types: dotted paths, leaf-typed arrays, depth bound keeps the object label") {
+    val j = """{"a":1,"meta":{"lang":"en","tags":[{"k":1},2],""" +
+      """"deep":{"x":true}},"b":null,"s":"t","f":false}"""
+    val got = paths(j, 2).toSet
+    assert(got == Set(
+      "a" -> "number", "meta" -> "object", "meta.lang" -> "string",
+      "meta.tags" -> "array", "meta.deep" -> "object",
+      "b" -> "null", "s" -> "string", "f" -> "bool"))
+    // depth 1: top-level only; nested objects still labeled object
+    assert(paths(j, 1).toSet == Set("a" -> "number", "meta" -> "object",
+      "b" -> "null", "s" -> "string", "f" -> "bool"))
+    // array interiors are never enumerated — no meta.tags.k at any depth
+    assert(!paths(j, 5).exists(_._1.contains("tags.")))
+    // duplicate keys: one row each
+    assert(paths("""{"k":1,"k":"x"}""", 2)
+      == Seq("k" -> "number", "k" -> "string"))
+  }
+
+  test("json_path_types fails closed on malformed; valid non-objects yield no rows") {
+    val df = Seq(
+      (1L, "{oops"), (2L, """{"a":}"""), (3L, """{"a":1} extra"""),
+      (4L, """{"a":"unterminated}"""), (5L, """{"a":01e}"""),
+      (6L, """{"a":"bad\escape"}"""), (7L, ""), (8L, "[1,2]"), (9L, "42"),
+      (10L, """{"ok":1}""")).toDF("id", "json")
+    val out = df.select(col("id"),
+      JsonPathTypes(col("json"), 3).as("p")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Any](1)))
+      .toMap
+    for (bad <- Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+      assert(out(bad) == null, s"row $bad must fail closed")
+    assert(out(8L) != null && out(8L).isEmpty, "valid array: empty")
+    assert(out(9L) != null && out(9L).isEmpty, "valid scalar: empty")
+    assert(out(10L).length == 1)
+  }
+
+  test("jsonPathCensus: per-path type counts aggregate over the corpus") {
+    val df = Seq(
+      """{"a":1,"m":{"x":"s"}}""",
+      """{"a":"t","m":{"x":null}}""",
+      "{broken").toDF("json")
+    val out = TextAnalysis.jsonPathCensus(df, maxDepth = 2)
+      .orderBy("path").collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1).map(_.asInstanceOf[Long]))
+      .toMap
+    // columns: n_total, n_object, n_array, n_string, n_number, n_bool, n_null
+    assert(out("a") == Seq(2L, 0L, 0L, 1L, 1L, 0L, 0L))
+    assert(out("m") == Seq(2L, 2L, 0L, 0L, 0L, 0L, 0L))
+    assert(out("m.x") == Seq(2L, 0L, 0L, 1L, 0L, 0L, 1L))
+    assert(out.size == 3)
+  }
+}
