@@ -2427,6 +2427,51 @@ object SparkEntry {
           t(s, dir, "documents").select(col("doc_id"), text.as("text")))
         .orderBy("doc_id")
     }),
+    // CSV typed column census under the SNIFFED dialect (the full
+    // sniff -> census loop): semicolon files every third doc,
+    // headerless files every fourth — int/double/date/bool columns
+    // with planted empties, classified per column
+    "q259_csv_type_census" -> ((s, dir) => {
+      val delim = when(pmod(col("doc_id"), lit(3L)) === 0, lit(";"))
+        .otherwise(lit(","))
+      val h = concat(lit("id"), delim, lit("amount"), delim, lit("when"),
+        delim, lit("ok"))
+      val l1 = concat(col("doc_id").cast("string"), delim, lit("3.5"),
+        delim, lit("2026-01-02"), delim, lit("true"))
+      val l2 = concat(lit("7"), delim, lit("4"), delim,
+        lit("2026-02-03"), delim, lit("false"))
+      val l3 = concat(delim, lit("5.5"), delim, delim, lit("TRUE"))
+      val text = when(pmod(col("doc_id"), lit(4L)) === 1,
+        concat_ws("\n", l1, l2, l3))
+        .otherwise(concat_ws("\n", h, l1, l2, l3))
+      val files = t(s, dir, "documents").select(col("doc_id"), text.as("text"))
+      val sniffed = TextAnalysis.csvSniff(files)
+        .select(col("doc_id"), col("delimiter"), col("has_header"))
+      TextAnalysis.csvTypeCensus(files.join(sniffed, Seq("doc_id")))
+        .orderBy("doc_id", "col_idx")
+    }),
+    // the census collapsed to one Spark-DDL schema string per file —
+    // the artifact the ingestion loop exists to produce
+    "q260_csv_schema" -> ((s, dir) => {
+      val delim = when(pmod(col("doc_id"), lit(3L)) === 0, lit(";"))
+        .otherwise(lit(","))
+      val h = concat(lit("id"), delim, lit("amount"), delim, lit("when"),
+        delim, lit("ok"))
+      val l1 = concat(col("doc_id").cast("string"), delim, lit("3.5"),
+        delim, lit("2026-01-02"), delim, lit("true"))
+      val l2 = concat(lit("7"), delim, lit("4"), delim,
+        lit("2026-02-03"), delim, lit("false"))
+      val l3 = concat(delim, lit("5.5"), delim, delim, lit("TRUE"))
+      val text = when(pmod(col("doc_id"), lit(4L)) === 1,
+        concat_ws("\n", l1, l2, l3))
+        .otherwise(concat_ws("\n", h, l1, l2, l3))
+      val files = t(s, dir, "documents").select(col("doc_id"), text.as("text"))
+      val sniffed = TextAnalysis.csvSniff(files)
+        .select(col("doc_id"), col("delimiter"), col("has_header"))
+      TextAnalysis.csvInferSchema(
+          TextAnalysis.csvTypeCensus(files.join(sniffed, Seq("doc_id"))))
+        .orderBy("doc_id")
+    }),
     // JSON key census: two always-keys, a third on even docs, the
     // %11 docs malformed and contributing nothing
     "q251_json_keys" -> ((s, dir) => {
@@ -5008,6 +5053,33 @@ object SparkEntry {
         |  doc_id%4 = 0 AS has_header,
         |  CAST(CASE doc_id%4 WHEN 0 THEN 3 ELSE 2 END AS BIGINT)
         |    AS n_lines_sampled
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q259: one fixed 4-column profile per doc; headerless docs
+    // (doc_id%4=1) lose the names, nothing else changes
+    "q259_csv_type_census" ->
+      """WITH cols(col_idx, cname, n_int, n_double, n_bool, n_date,
+        |  n_empty, t) AS (VALUES
+        |  (0, 'id', 2, 0, 0, 0, 1, 'bigint'),
+        |  (1, 'amount', 1, 2, 0, 0, 0, 'double'),
+        |  (2, 'when', 0, 0, 0, 2, 1, 'date'),
+        |  (3, 'ok', 0, 0, 3, 0, 0, 'boolean'))
+        |SELECT doc_id, CAST(col_idx AS BIGINT) AS col_idx,
+        |  CASE WHEN doc_id % 4 = 1 THEN NULL ELSE cname END AS col_name,
+        |  CAST(3 AS BIGINT) AS n_values, CAST(n_int AS BIGINT) AS n_int,
+        |  CAST(n_double AS BIGINT) AS n_double,
+        |  CAST(n_bool AS BIGINT) AS n_bool,
+        |  CAST(n_date AS BIGINT) AS n_date,
+        |  CAST(n_empty AS BIGINT) AS n_empty,
+        |  t AS inferred_type
+        |FROM documents, cols ORDER BY doc_id, col_idx""".stripMargin,
+
+    // q260: the two schema strings by header parity
+    "q260_csv_schema" ->
+      """SELECT doc_id, CASE WHEN doc_id % 4 = 1
+        |  THEN 'c0 bigint, c1 double, c2 date, c3 boolean'
+        |  ELSE 'id bigint, amount double, when date, ok boolean' END
+        |  AS "schema"
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q251: key counts by construction (parseable docs only)

@@ -1401,6 +1401,91 @@ object TextAnalysis {
         col("col_idx").cast("long").as("col_idx"), col("field"))
   }
 
+  /** Per-column type census under a sniffed dialect — the step that
+    * turns a [[csvSniff]]ed lake file into an explicit schema: every
+    * DATA field (the header line excluded when `headerCol` says the
+    * file has one) classifies into exactly one of
+    * empty/int/double/bool/date/str (priority order; `double` means
+    * numeric-but-not-integer, RE2-safe anchored patterns only), the
+    * counts roll up per (file, column), and `inferred_type` applies
+    * the standard promotion — all-int ⇒ bigint, int+double ⇒ double,
+    * all-bool ⇒ boolean, all-date ⇒ date, anything else (or all
+    * empty) ⇒ string, with empties tolerated as nulls-to-be.
+    * `col_name` comes from the header when present (null otherwise —
+    * [[csvInferSchema]] falls back to `c<idx>`). `delimCol`/
+    * `headerCol` are per-file COLUMNS (feed [[csvSniff]]'s output
+    * straight in — dialects differ per file in a real lake).
+    *
+    * Scale shape: two narrow posexplodes through the RFC 4180 kernel,
+    * then ONE (file, column)-keyed map-side-combined aggregation —
+    * state bounded by files × columns, never by cell count. Output
+    * (idCol, col_idx, col_name, n_values, n_int, n_double, n_bool,
+    * n_date, n_empty, inferred_type). */
+  def csvTypeCensus(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    delimCol: String = "delimiter",
+                    headerCol: String = "has_header"): DataFrame = {
+    import graft.functions.CsvFields
+    val lines = filter(split(col(textCol), "\n"), l => l =!= "")
+    val hdr = when(col(headerCol), try_element_at(lines, lit(1)))
+    val data = when(col(headerCol),
+      slice(lines, lit(2), greatest(size(lines) - 1, lit(0))))
+      .otherwise(lines)
+    val base = docs.select(col(idCol), col(delimCol).as("__dl"),
+      hdr.as("__hdr"), data.as("__data"))
+    val headers = base.select(col(idCol),
+        posexplode(CsvFields(col("__hdr"), col("__dl")))
+          .as(Seq("col_idx", "col_name")))
+      .select(col(idCol), col("col_idx").cast("long").as("col_idx"),
+        col("col_name"))
+    val f = trim(col("__f"))
+    val cls = when(col("__f") === "", "empty")
+      .when(f.rlike("^-?[0-9]+$"), "int")
+      .when(f.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"), "double")
+      .when(f.rlike("(?i)^(true|false)$"), "bool")
+      .when(f.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"), "date")
+      .otherwise("str")
+    def cnt(t: String): Column =
+      sum(when(col("__cls") === t, 1L).otherwise(0L)).as(s"n_$t")
+    val census = base
+      .select(col(idCol), col("__dl"), explode(col("__data")).as("__l"))
+      .select(col(idCol),
+        posexplode(CsvFields(col("__l"), col("__dl")))
+          .as(Seq("col_idx", "__f")))
+      .select(col(idCol), col("col_idx").cast("long").as("col_idx"),
+        cls.as("__cls"))
+      .groupBy(col(idCol), col("col_idx"))
+      .agg(count(lit(1)).as("n_values"), cnt("int"), cnt("double"),
+        cnt("bool"), cnt("date"), cnt("empty"))
+    val nonEmpty = col("n_values") - col("n_empty")
+    census.join(headers, Seq(idCol, "col_idx"), "left")
+      .select(col(idCol), col("col_idx"), col("col_name"),
+        col("n_values"), col("n_int"), col("n_double"), col("n_bool"),
+        col("n_date"), col("n_empty"),
+        when(nonEmpty === 0L, "string")
+          .when(col("n_int") === nonEmpty, "bigint")
+          .when(col("n_int") + col("n_double") === nonEmpty, "double")
+          .when(col("n_bool") === nonEmpty, "boolean")
+          .when(col("n_date") === nonEmpty, "date")
+          .otherwise("string").as("inferred_type"))
+  }
+
+  /** Collapse a [[csvTypeCensus]] into ONE Spark-DDL schema string
+    * per file (`"id bigint, amount double, when date"` —
+    * `StructType.fromDDL`-parseable for identifier-safe names;
+    * headerless columns fall back to `c<idx>`): the artifact the
+    * sniff → parse → census loop exists to produce, handed to an
+    * explicit-schema reader. One file-keyed aggregation over the
+    * already file×column-bounded census. */
+  def csvInferSchema(census: DataFrame, idCol: String = "doc_id"): DataFrame =
+    census.groupBy(col(idCol)).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("col_idx").as("i"),
+          concat(coalesce(col("col_name"),
+            concat(lit("c"), col("col_idx"))), lit(" "),
+            col("inferred_type")).as("s")))),
+        x => x.getField("s")), ", ").as("schema"))
+
   /** Top-level JSON key census over a JSONL corpus — the
     * schema-discovery pass before an explicit-schema ingest: every
     * parseable object contributes its top-level keys once, ONE

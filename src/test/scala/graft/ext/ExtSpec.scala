@@ -324,6 +324,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L).getAs[Long]("n_lines_sampled") == 3L)
   }
 
+  test("csvTypeCensus: promotion ladder, mixed columns fall to string, " +
+    "all-empty columns string, per-file dialects, headerless names null") {
+    val d = Seq(
+      // header file: int col, int+double col, mixed col, empty col
+      (1L, "n,v,m,e\n1,2,x,\n3,4.5,9,", ",", true),
+      // headerless semicolon file: bool and date columns
+      (2L, "true;2026-01-01\nFALSE;2026-02-02", ";", false)
+    ).toDF("doc_id", "text", "delimiter", "has_header")
+    val out = TextAnalysis.csvTypeCensus(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    def typ(id: Long, c: Long) = out((id, c)).getAs[String]("inferred_type")
+    assert(typ(1L, 0L) == "bigint" && typ(1L, 1L) == "double")
+    assert(typ(1L, 2L) == "string", "int+str mixes to string")
+    assert(typ(1L, 3L) == "string", "all-empty falls to string")
+    assert(out((1L, 0L)).getAs[String]("col_name") == "n")
+    assert(out((1L, 3L)).getAs[Long]("n_empty") == 2L)
+    assert(typ(2L, 0L) == "boolean" && typ(2L, 1L) == "date")
+    assert(out((2L, 0L)).isNullAt(2), "headerless: no col_name")
+    // and the DDL collapse, with c<idx> fallbacks
+    val schemas = TextAnalysis.csvInferSchema(TextAnalysis.csvTypeCensus(d))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(schemas(1L) == "n bigint, v double, m string, e string")
+    assert(schemas(2L) == "c0 boolean, c1 date")
+    // the schema string round-trips through Spark's DDL parser
+    val st = org.apache.spark.sql.types.StructType.fromDDL(schemas(1L))
+    assert(st.fieldNames.toSeq == Seq("n", "v", "m", "e"))
+  }
+
   test("jsonKeyCensus: keys counted per parseable object, malformed " +
     "and non-object rows contribute nothing") {
     val d = Seq("{\"a\":1,\"b\":2}", "{\"a\":3}", "{nope", "[1,2]")
