@@ -249,6 +249,12 @@ object Dedup {
   /** All-pairs n-gram Jaccard restricted to pairs sharing ≥1 shingle
     * (the exact small-scale baseline; use minhash+LSH above at scale).
     *
+    * QUARANTINED QUADRATIC BASELINE: exists ONLY as the ground-truth
+    * generator for the LSH paths (q48/q49) and the audit-slice
+    * harness ([[candidateQuality]]) — never compose it into a
+    * pipeline entry (PlanSpec's quarantine guard pins the call
+    * sites).
+    *
     * Single-pass shape: the shingle self-join *is* the intersection
     * count — `|A∩B| = #shingles where both docs appear` — so n_shared
     * falls out of one groupBy on the joined pairs; no second pass over

@@ -1110,7 +1110,12 @@ object Similarity {
   }
 
   /** Brute-force near-duplicate pairs by cosine ≥ threshold (exact,
-    * quadratic — the correctness baseline for the LSH path). */
+    * quadratic — the correctness baseline for the LSH path).
+    *
+    * QUARANTINED QUADRATIC BASELINE: exists ONLY as the ground-truth
+    * side of the LSH twin ([[nearDupPairsLsh]], q49) — never compose
+    * it into a pipeline entry (PlanSpec's quarantine guard pins the
+    * call sites). */
   def nearDupPairs(df: DataFrame, threshold: Double,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))

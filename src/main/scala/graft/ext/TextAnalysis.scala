@@ -1416,9 +1416,14 @@ object TextAnalysis {
     * `headerCol` are per-file COLUMNS (feed [[csvSniff]]'s output
     * straight in — dialects differ per file in a real lake).
     *
-    * Scale shape: two narrow posexplodes through the RFC 4180 kernel,
-    * then ONE (file, column)-keyed map-side-combined aggregation —
-    * state bounded by files × columns, never by cell count. Output
+    * Scale shape: ONE scan — lines and fields posexplode through the
+    * RFC 4180 kernel with the header row kept IN the stream (tagged,
+    * not a second branch: a separate header pass would re-run the
+    * whole upstream sniff lineage), then one (file, column)-keyed
+    * map-side-combined aggregation pulls the name out of the header
+    * tag and the counts out of the data rows — state bounded by
+    * files × columns, never by cell count. A header-only file yields
+    * named columns with zero values (inferred string). Output
     * (idCol, col_idx, col_name, n_values, n_int, n_double, n_bool,
     * n_date, n_empty, inferred_type). */
   def csvTypeCensus(docs: DataFrame, idCol: String = "doc_id",
@@ -1427,19 +1432,10 @@ object TextAnalysis {
                     headerCol: String = "has_header"): DataFrame = {
     import graft.functions.CsvFields
     val lines = filter(split(col(textCol), "\n"), l => l =!= "")
-    val hdr = when(col(headerCol), try_element_at(lines, lit(1)))
-    val data = when(col(headerCol),
-      slice(lines, lit(2), greatest(size(lines) - 1, lit(0))))
-      .otherwise(lines)
-    val base = docs.select(col(idCol), col(delimCol).as("__dl"),
-      hdr.as("__hdr"), data.as("__data"))
-    val headers = base.select(col(idCol),
-        posexplode(CsvFields(col("__hdr"), col("__dl")))
-          .as(Seq("col_idx", "col_name")))
-      .select(col(idCol), col("col_idx").cast("long").as("col_idx"),
-        col("col_name"))
     val f = trim(col("__f"))
-    val cls = when(col("__f") === "", "empty")
+    val isHdr = col("__h") && col("__li") === 0
+    val cls = when(isHdr, "header")
+      .when(col("__f") === "", "empty")
       .when(f.rlike("^-?[0-9]+$"), "int")
       .when(f.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"), "double")
       .when(f.rlike("(?i)^(true|false)$"), "bool")
@@ -1447,18 +1443,21 @@ object TextAnalysis {
       .otherwise("str")
     def cnt(t: String): Column =
       sum(when(col("__cls") === t, 1L).otherwise(0L)).as(s"n_$t")
-    val census = base
-      .select(col(idCol), col("__dl"), explode(col("__data")).as("__l"))
-      .select(col(idCol),
+    val census = docs
+      .select(col(idCol), col(delimCol).as("__dl"),
+        col(headerCol).as("__h"), posexplode(lines).as(Seq("__li", "__l")))
+      .select(col(idCol), col("__h"), col("__li"),
         posexplode(CsvFields(col("__l"), col("__dl")))
           .as(Seq("col_idx", "__f")))
       .select(col(idCol), col("col_idx").cast("long").as("col_idx"),
-        cls.as("__cls"))
+        cls.as("__cls"), when(isHdr, col("__f")).as("__hname"))
       .groupBy(col(idCol), col("col_idx"))
-      .agg(count(lit(1)).as("n_values"), cnt("int"), cnt("double"),
-        cnt("bool"), cnt("date"), cnt("empty"))
+      .agg(max(col("__hname")).as("col_name"),
+        sum(when(col("__cls") =!= "header", 1L).otherwise(0L))
+          .as("n_values"),
+        cnt("int"), cnt("double"), cnt("bool"), cnt("date"), cnt("empty"))
     val nonEmpty = col("n_values") - col("n_empty")
-    census.join(headers, Seq(idCol, "col_idx"), "left")
+    census
       .select(col(idCol), col("col_idx"), col("col_name"),
         col("n_values"), col("n_int"), col("n_double"), col("n_bool"),
         col("n_date"), col("n_empty"),

@@ -483,4 +483,34 @@ class PlanSpec extends SparkSpec {
       }
     assert(offenders.isEmpty, s"pathological join shapes in: $offenders")
   }
+
+  test("quarantine guard: the quadratic truth baselines never gain call sites") {
+    // jaccardPairs / nearDupPairs are labeled all-pairs TRUTH
+    // generators (q27/q30, plus candidateQuality's audit slice).
+    // Their contract says they must never be composed into a pipeline
+    // entry — this pins the complete call-site map of src/main, so a
+    // new composition fails loudly here before it can ship quadratic.
+    def callSites(name: String): Map[String, Int] = {
+      val root = java.nio.file.Paths.get("src/main/scala/graft")
+      val re = ("(?<!def )\\b" + name + "\\(").r
+      val it = java.nio.file.Files.walk(root).iterator()
+      val out = scala.collection.mutable.Map.empty[String, Int]
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.toString.endsWith(".scala")) {
+          val n = re.findAllIn(new String(
+            java.nio.file.Files.readAllBytes(p), "UTF-8")).length
+          if (n > 0) out(p.getFileName.toString) = n
+        }
+      }
+      out.toMap
+    }
+    assert(callSites("jaccardPairs") == Map(
+      "SparkEntry.scala" -> 1, // q27's truth row
+      "Dedup.scala" -> 1),     // candidateQuality's audit slice
+      "jaccardPairs gained a call site — quadratic composition?")
+    assert(callSites("nearDupPairs") == Map(
+      "SparkEntry.scala" -> 1), // q30's truth row
+      "nearDupPairs gained a call site — quadratic composition?")
+  }
 }
