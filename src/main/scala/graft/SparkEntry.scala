@@ -2591,6 +2591,42 @@ object SparkEntry {
         .select(col("doc_id"), gz.as("warc_gz")).localCheckpoint()
       TextAnalysis.warcParseGzip(fixture).orderBy("doc_id")
     }),
+    // a whole .warc.gz archive per doc: THREE concatenated stored-
+    // block gzip members, each one WARC record; every ninth doc
+    // corrupts its SECOND member's magic — the whole archive must
+    // fail closed (doc absent), never partial rows
+    "q261_warc_gz_file" -> ((s, dir) => {
+      def leHex(c: Column, nBytes: Int) = concat((0 until nBytes).map(i =>
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(255L)), 2, "0")): _*)
+      def member(r: Int): Column = {
+        val warc = concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+            "https://site"),
+          pmod(col("doc_id"), lit(7L)).cast("string"),
+          lit(".example.com/p"), col("doc_id").cast("string"),
+          lit(s"r$r\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
+            "Content-Length: "),
+          col("n_chars").cast("string"),
+          lit("\r\n\r\nHTTP/1.1 200 OK\r\nContent-Type: text/html" +
+            "\r\n\r\n<html>"),
+          substring(col("text"), 1, 20), lit(s"r$r</html>"))
+        val wb = warc.cast("binary")
+        val len = length(wb).cast("long")
+        val magic = if (r == 1)
+          when(pmod(col("doc_id"), lit(9L)) === 0,
+            lit("DEAD08000000000000FF"))
+            .otherwise(lit("1F8B08000000000000FF"))
+        else lit("1F8B08000000000000FF")
+        concat(unhex(magic), unhex(concat(lit("01"),
+            leHex(len, 2), leHex(lit(65535L) - len, 2))),
+          wb, unhex(concat(leHex(crc32(wb), 4), leHex(len, 4))))
+      }
+      val fixture = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(member(0), member(1), member(2)).as("warc_gz"))
+        .localCheckpoint()
+      TextAnalysis.warcParseGzFile(fixture).orderBy("doc_id", "rec_idx")
+    }),
     // docx text extraction: a two-member ZIP ([Content_Types].xml
     // then word/document.xml) built from hex expressions — member 2
     // stored for even ids, raw-DEFLATE (stored-block framing) for
@@ -5172,6 +5208,24 @@ object SparkEntry {
         |  CASE WHEN doc_id % 5 = 0 THEN NULL
         |       ELSE '<html>' || substr(text, 1, 40) || '</html>' END AS body
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q261: three records per surviving archive, derived from the
+    // same arithmetic as the builder; corrupted archives contribute
+    // NO rows (whole-archive fail-closed)
+    "q261_warc_gz_file" ->
+      """WITH r(rec_idx) AS (VALUES (0), (1), (2))
+        |SELECT doc_id, CAST(rec_idx AS BIGINT) AS rec_idx,
+        |  'response' AS warc_type,
+        |  'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example.com/p' || CAST(doc_id AS VARCHAR) || 'r' ||
+        |    CAST(rec_idx AS VARCHAR) AS target_uri,
+        |  '2026-01-01T00:00:00Z' AS warc_date,
+        |  CAST(n_chars AS BIGINT) AS content_length,
+        |  200 AS http_status, 'text/html' AS content_type,
+        |  '<html>' || substr(text, 1, 20) || 'r' ||
+        |    CAST(rec_idx AS VARCHAR) || '</html>' AS body
+        |FROM documents, r WHERE doc_id % 9 <> 0
+        |ORDER BY doc_id, rec_idx""".stripMargin,
 
     // q256: the cleaned text derived from the same columns the XML
     // builder used — paragraph newlines, entity decoded, the

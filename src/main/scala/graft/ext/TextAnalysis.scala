@@ -1822,7 +1822,8 @@ object TextAnalysis {
     * split + regexp pass per record, zero shuffle — WARC ingest is
     * pure scan work at 100 TB. */
   def warcParse(docs: DataFrame, idCol: String = "doc_id",
-                warcCol: String = "warc"): DataFrame = {
+                warcCol: String = "warc",
+                carryCols: Seq[String] = Nil): DataFrame = {
     val rec = col(warcCol)
     def nonEmpty(c: Column): Column = when(c =!= "", c)
     def whdr(name: String): Column =
@@ -1834,7 +1835,7 @@ object TextAnalysis {
       "^HTTP/[0-9.]+ ([0-9]{3})", 1))
     val ctype = nonEmpty(regexp_extract(httpPart,
       "(?i)\\r\\nContent-Type: *([^\\r\\n]*)", 1))
-    docs.select(col(idCol),
+    docs.select((col(idCol) +: carryCols.map(col)) ++ Seq(
       whdr("WARC-Type").as("warc_type"),
       whdr("WARC-Target-URI").as("target_uri"),
       whdr("WARC-Date").as("warc_date"),
@@ -1843,7 +1844,28 @@ object TextAnalysis {
       when(isHttp, status.cast("int")).as("http_status"),
       when(isHttp, ctype).as("content_type"),
       when(isHttp, try_element_at(parts, lit(3)))
-        .otherwise(httpPart).as("body"))
+        .otherwise(httpPart).as("body")): _*)
+  }
+
+  /** A whole `.warc.gz` ARCHIVE parsed to records — the file shape
+    * Common Crawl actually distributes (one gzip member per record,
+    * concatenated): [[graft.functions.GunzipMembers]] walks and
+    * CRC-verifies every member (whole-archive fail-closed null — a
+    * corrupt archive surfaces as an absent file, not silent partial
+    * rows), each record decodes as UTF-8 and parses through
+    * [[warcParse]] carrying its in-archive `rec_idx`. At cluster
+    * scale each task takes one archive (or one member range) — the
+    * per-record work is this same narrow pipeline. */
+  def warcParseGzFile(docs: DataFrame, idCol: String = "doc_id",
+                      gzCol: String = "warc_gz",
+                      maxMembers: Int = 1 << 16,
+                      maxOut: Int = 1 << 24): DataFrame = {
+    val recs = docs.select(col(idCol),
+        posexplode(graft.functions.GunzipMembers(col(gzCol), maxMembers,
+          maxOut)).as(Seq("rec_idx", "__b")))
+      .select(col(idCol), col("rec_idx").cast("long").as("rec_idx"),
+        decode(col("__b"), "UTF-8").as("__warc"))
+    warcParse(recs, idCol, "__warc", carryCols = Seq("rec_idx"))
   }
 
   /** [[warcParse]] over gzip-compressed records — the shape Common

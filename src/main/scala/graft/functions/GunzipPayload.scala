@@ -6,6 +6,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** Bounded gzip member decompression (RFC 1952) — the kernel that
@@ -64,18 +65,99 @@ case class GunzipPayload(child: Expression, maxOut: Int)
   override def prettyName: String = "gunzip_payload"
 }
 
+/** Concatenated gzip MEMBERS decompressed in one pass — the actual
+  * on-disk shape of a Common Crawl `.warc.gz`: one RFC 1952 member
+  * per record, back to back, so a record-splitting reader hands this
+  * kernel the archive bytes and gets the record list. Each member
+  * goes through [[GunzipPayload]]'s full framing parse (optional-
+  * field skipping, CRC32+ISIZE verification, per-member output cap);
+  * the walk is additionally bounded by `maxMembers`.
+  *
+  * FAIL-CLOSED NULL for the WHOLE row if ANY member is malformed,
+  * any cap trips, or trailing non-gzip bytes follow the last member —
+  * a half-readable archive is a corrupt archive, and partial salvage
+  * belongs to an explicit recovery pass, not a silent default.
+  * Returns `array<binary>`, one element per member, in order. */
+case class GunzipMembers(child: Expression, maxMembers: Int, maxOut: Int)
+    extends UnaryExpression {
+  require(maxMembers > 0, "member walk bound must be positive")
+  require(maxOut > 0, "output cap must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gunzip_members expects binary input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    GunzipPayload.computeMembers(a.asInstanceOf[Array[Byte]], maxMembers,
+      maxOut)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.GunzipPayload.computeMembers($c, $maxMembers, $maxOut);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "gunzip_members"
+}
+
+object GunzipMembers {
+  import org.apache.spark.sql.graftshim.ColumnShim
+
+  /** Column-level entry point; caps default to 65536 members of
+    * ≤16 MiB each. */
+  def apply(payload: Column, maxMembers: Int = 1 << 16,
+            maxOut: Int = 1 << 24): Column =
+    ColumnShim.column(
+      GunzipMembers(ColumnShim.expression(payload), maxMembers, maxOut))
+}
+
 object GunzipPayload {
 
   /** The per-row kernel — public static so generated code can call it.
     * Returns null for every malformed/over-cap shape (fail closed). */
   def compute(bytes: Array[Byte], maxOut: Int): Array[Byte] = {
+    val r = computeAt(bytes, 0, maxOut)
+    // the single-member form also refuses trailing bytes: a payload
+    // with a second member should go through GunzipMembers explicitly
+    if (r == null || r._2 != bytes.length) null else r._1
+  }
+
+  /** Walk every concatenated member via [[computeAt]] — public static
+    * so generated code can call it. Null if any member fails, a cap
+    * trips, or trailing bytes remain. */
+  def computeMembers(bytes: Array[Byte], maxMembers: Int,
+                     maxOut: Int): GenericArrayData = {
+    val out = new java.util.ArrayList[Any]
+    var pos = 0
+    while (pos < bytes.length) {
+      if (out.size() >= maxMembers) return null
+      val r = computeAt(bytes, pos, maxOut)
+      if (r == null) return null
+      out.add(r._1)
+      pos = r._2
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** One member starting at `start`: (inflated bytes, offset just past
+    * the trailer), or null on any malformed shape. */
+  private def computeAt(bytes: Array[Byte], start: Int,
+                        maxOut: Int): (Array[Byte], Int) = {
     val n = bytes.length
     // 10-byte header + >=2-byte deflate + 8-byte trailer
-    if (n < 20) return null
-    if (bytes(0) != 0x1f.toByte || bytes(1) != 0x8b.toByte ||
-      bytes(2) != 8.toByte) return null
-    val flg = bytes(3) & 0xff
-    var pos = 10
+    if (start < 0 || start + 20 > n) return null
+    if (bytes(start) != 0x1f.toByte || bytes(start + 1) != 0x8b.toByte ||
+      bytes(start + 2) != 8.toByte) return null
+    val flg = bytes(start + 3) & 0xff
+    var pos = start + 10
     if ((flg & 4) != 0) { // FEXTRA: LE length + payload
       if (pos + 2 > n) return null
       pos += 2 + ((bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8))
@@ -119,7 +201,7 @@ object GunzipPayload {
       crc.update(out, 0, total)
       if (crc.getValue != le32(tpos)) return null
       if ((total.toLong & 0xffffffffL) != le32(tpos + 4)) return null
-      java.util.Arrays.copyOf(out, total)
+      (java.util.Arrays.copyOf(out, total), tpos + 8)
     } catch {
       case _: DataFormatException => null
       case _: ArrayIndexOutOfBoundsException => null

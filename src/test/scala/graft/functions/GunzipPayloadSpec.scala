@@ -73,5 +73,33 @@ class GunzipPayloadSpec extends SparkSpec {
     val nullRow = Seq((1L, null: Array[Byte])).toDF("id", "gz")
       .select(GunzipPayload(col("gz")).as("p")).collect()(0)
     assert(nullRow.isNullAt(0))
+    // the single-member form refuses trailing bytes (use GunzipMembers)
+    assert(GunzipPayload.compute(ok ++ ok, 1 << 20) == null)
+  }
+
+  test("gunzip_members: concatenated archive walks in order; any bad member, " +
+    "trailing garbage or member-count cap fails the whole row") {
+    val parts = Seq("first record", "second", "third one here")
+    val archive = parts.flatMap(p => gzip(p.getBytes("UTF-8"))).toArray
+    val got = GunzipPayload.computeMembers(archive, 16, 1 << 20)
+    assert(got != null && got.numElements() == 3)
+    val texts = (0 until 3).map(i => new String(got.getBinary(i), "UTF-8"))
+    assert(texts == parts)
+    // member-count cap
+    assert(GunzipPayload.computeMembers(archive, 2, 1 << 20) == null)
+    // corrupt the middle member's magic (member 2 starts right after
+    // member 1 — same compressor, same length)
+    val off = gzip(parts(0).getBytes("UTF-8")).length
+    val bad = archive.clone(); bad(off) = 0x42
+    assert(GunzipPayload.computeMembers(bad, 16, 1 << 20) == null)
+    // trailing garbage after the last member
+    assert(GunzipPayload.computeMembers(archive ++ Array[Byte](1, 2), 16,
+      1 << 20) == null)
+    // column form over a stored-block archive
+    val sb = (storedGzip("x1".getBytes) ++ storedGzip("y22".getBytes))
+    val row = Seq((1L, sb)).toDF("id", "gz")
+      .select(GunzipMembers(col("gz")).as("ms")).collect()(0)
+    assert(row.getSeq[Array[Byte]](0).map(new String(_)).toSeq
+      == Seq("x1", "y22"))
   }
 }
