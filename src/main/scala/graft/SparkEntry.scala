@@ -2591,6 +2591,35 @@ object SparkEntry {
         .select(col("doc_id"), gz.as("warc_gz")).localCheckpoint()
       TextAnalysis.warcParseGzip(fixture).orderBy("doc_id")
     }),
+    // simple-PDF text extraction: uncompressed content streams (the
+    // valid no-/Filter form — units cover FlateDecode with a real
+    // Deflater), Tj + TJ-array + ' show ops, BT blocks and streams
+    // joined per the documented contract; every 13th doc is not a
+    // PDF and yields the null struct
+    "q262_pdf_text" -> ((s, dir) => {
+      val s1 = concat(
+        lit("BT /F1 12 Tf 72 720 Td (Hello doc "),
+        col("doc_id").cast("string"),
+        lit(") Tj T* [(A) -120 (B)] TJ ET"))
+      val s2 = lit("BT (Part) Tj (two) ' ET")
+      def obj(n: Int, body: Column): Column = concat(
+        lit(s"$n 0 obj << /Length 99 >>\nstream\n"), body,
+        lit("\nendstream\nendobj\n"))
+      val pdf = concat(lit("%PDF-1.4\n"), obj(1, s1),
+        when(pmod(col("doc_id"), lit(2L)) === 0, obj(2, s2))
+          .otherwise(lit("")),
+        lit("%%EOF"))
+      val payload = when(pmod(col("doc_id"), lit(13L)) === 0,
+        lit("plain text, not a pdf")).otherwise(pdf).cast("binary")
+      val fixture = t(s, dir, "documents")
+        .select(col("doc_id"), payload.as("payload")).localCheckpoint()
+      fixture.select(col("doc_id"),
+          Multimodal.pdfText(col("payload")).as("__p"))
+        .select(col("doc_id"), col("__p.text").as("pdf_text"),
+          col("__p.n_streams").as("n_streams"),
+          col("__p.n_decoded").as("n_decoded"))
+        .orderBy("doc_id")
+    }),
     // a whole .warc.gz archive per doc: THREE concatenated stored-
     // block gzip members, each one WARC record; every ninth doc
     // corrupts its SECOND member's magic — the whole archive must
@@ -5207,6 +5236,23 @@ object SparkEntry {
         |    AS content_type,
         |  CASE WHEN doc_id % 5 = 0 THEN NULL
         |       ELSE '<html>' || substr(text, 1, 40) || '</html>' END AS body
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q262: the joining contract replayed arithmetically — Tj + TJ
+    // concat with the in-block space, stream join with newline
+    "q262_pdf_text" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       WHEN doc_id % 2 = 0 THEN 'Hello doc ' ||
+        |         CAST(doc_id AS VARCHAR) || ' AB' || chr(10) || 'Part two'
+        |       ELSE 'Hello doc ' || CAST(doc_id AS VARCHAR) || ' AB' END
+        |    AS pdf_text,
+        |  CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_streams,
+        |  CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_decoded
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q261: three records per surviving archive, derived from the

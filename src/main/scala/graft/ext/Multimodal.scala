@@ -497,6 +497,20 @@ object Multimodal {
     when(isPdf, meta)
   }
 
+  /** Simple-PDF text extraction — the parser [[pdfMeta]]'s census is
+    * not: content streams decoded (FlateDecode via Inflater,
+    * unfiltered verbatim), `BT…ET` show operators (`Tj`/`TJ`/`'`/`"`)
+    * parsed with full literal-string/hex-string/octal-escape
+    * handling by the native [[graft.functions.PdfTextExtract]]
+    * kernel. Latin1 tier: ASCII/WinAnsi text extracts exactly,
+    * CID/CMap fonts surface as raw code bytes (documented bound).
+    * Output struct (text, n_streams, n_decoded) — gate on
+    * `n_decoded < n_streams` for skipped/undecodable streams;
+    * non-PDF payloads null. */
+  def pdfText(payload: Column, maxStreams: Int = 4096,
+              maxBytes: Int = 1 << 24): Column =
+    graft.functions.PdfTextExtract(payload, maxStreams, maxBytes)
+
   /** ZIP archive walk + document-kind detection — the OOXML/epub/jar
     * tier: sequential local-file-header walk (`PK\x03\x04`:
     * `pos → pos + 30 + namelen + extralen + csize`) in ONE bounded
