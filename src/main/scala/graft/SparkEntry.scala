@@ -2591,6 +2591,36 @@ object SparkEntry {
         .select(col("doc_id"), gz.as("warc_gz")).localCheckpoint()
       TextAnalysis.warcParseGzip(fixture).orderBy("doc_id")
     }),
+    // xlsx shared strings: plain, rich-run (runs concatenate) and
+    // entity-bearing entries; every 7th archive names the member
+    // differently — no rows (member-not-found fail-closed)
+    "q263_xlsx_strings" -> ((s, dir) => {
+      def leHex(c: Column, nBytes: Int) = concat((0 until nBytes).map(i =>
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(255L)), 2, "0")): _*)
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><sst><si><t>Plain "),
+        col("doc_id").cast("string"),
+        lit("</t></si><si><r><rPr/><t>Rich </t></r><r><t>run</t></r>" +
+          "</si><si><t xml:space=\"preserve\">AT&amp;T value</t></si>" +
+          "</sst>"))
+      val xb = xml.cast("binary")
+      val xlen = length(xb).cast("long")
+      val name = when(pmod(col("doc_id"), lit(7L)) === 0,
+        lit("xl/other_strings.xml")).otherwise(lit("xl/sharedStrings.xml"))
+      val isStored = pmod(col("doc_id"), lit(2L)) === 0
+      val methodHex = when(isStored, lit("0000")).otherwise(lit("0800"))
+      val csize = when(isStored, xlen).otherwise(xlen + 5L)
+      val data = when(isStored, xb).otherwise(concat(
+        unhex(concat(lit("01"), leHex(xlen, 2),
+          leHex(lit(65535L) - xlen, 2))), xb))
+      val zip = concat(unhex(concat(lit("504B030414000000"), methodHex,
+          lit("00000000"), leHex(crc32(xb), 4), leHex(csize, 4),
+          leHex(xlen, 4), lit("14000000"))),
+        name.cast("binary"), data)
+      val fixture = t(s, dir, "documents")
+        .select(col("doc_id"), zip.as("payload")).localCheckpoint()
+      Multimodal.xlsxSharedStrings(fixture).orderBy("doc_id", "si_idx")
+    }),
     // simple-PDF text extraction: uncompressed content streams (the
     // valid no-/Filter form — units cover FlateDecode with a real
     // Deflater), Tj + TJ-array + ' show ops, BT blocks and streams
@@ -5237,6 +5267,15 @@ object SparkEntry {
         |  CASE WHEN doc_id % 5 = 0 THEN NULL
         |       ELSE '<html>' || substr(text, 1, 40) || '</html>' END AS body
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q263: three entries per surviving archive, derived from the
+    // builder's arithmetic; runs concatenate, entities decode
+    "q263_xlsx_strings" ->
+      """SELECT doc_id, CAST(si_idx AS BIGINT) AS si_idx,
+        |  CASE si_idx WHEN 0 THEN 'Plain ' || CAST(doc_id AS VARCHAR)
+        |    WHEN 1 THEN 'Rich run' ELSE 'AT&T value' END AS text
+        |FROM documents, (VALUES (0), (1), (2)) AS s(si_idx)
+        |WHERE doc_id % 7 <> 0 ORDER BY doc_id, si_idx""".stripMargin,
 
     // q262: the joining contract replayed arithmetically — Tj + TJ
     // concat with the in-block space, stream join with newline

@@ -599,6 +599,31 @@ object Multimodal {
     TextAnalysis.decodeEntities(regexp_replace(para, "<[^>]+>", ""))
   }
 
+  /** XLSX shared-strings extraction — the text content of a
+    * spreadsheet corpus (cell values referencing the shared table ARE
+    * the document text): [[graft.functions.ZipEntryBytes]] pulls
+    * `xl/sharedStrings.xml`, each `<si>` entry explodes with its
+    * index (cell references are by this index), and the entry's text
+    * is the concatenation of its `<t>` runs (plain entries have one,
+    * rich-text entries one per `<r>` run — concatenation is exactly
+    * how Excel renders them), entities decoded in
+    * [[TextAnalysis.decodeEntities]]' one-pass chain. Archives
+    * without the member (or malformed members) contribute no rows.
+    * Output (idCol, si_idx, text); narrow explode, zero shuffle. */
+  def xlsxSharedStrings(docs: DataFrame, idCol: String = "doc_id",
+                        payloadCol: String = "payload",
+                        maxBytes: Int = 1 << 24): DataFrame = {
+    val xml = decode(graft.functions.ZipEntryBytes(col(payloadCol),
+      "xl/sharedStrings.xml", maxBytes), "UTF-8")
+    docs.select(col(idCol),
+        posexplode(regexp_extract_all(xml,
+          lit("(?s)<si>(.*?)</si>"), lit(1))).as(Seq("si_idx", "__si")))
+      .select(col(idCol), col("si_idx").cast("long").as("si_idx"),
+        TextAnalysis.decodeEntities(array_join(
+          regexp_extract_all(col("__si"),
+            lit("(?s)<t[^>]*>(.*?)</t>"), lit(1)), "")).as("text"))
+  }
+
   /** gzip member header (RFC 1952) — the compression wrapper around
     * most crawl payloads: magic `\x1f\x8b`, compression method,
     * little-endian MTIME, OS byte, the FTEXT flag, and the optional

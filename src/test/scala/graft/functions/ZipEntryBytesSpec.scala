@@ -81,6 +81,23 @@ class ZipEntryBytesSpec extends SparkSpec {
     assert(ZipEntryBytes.compute("not a zip".getBytes, u("a"), 64, 64) == null)
   }
 
+  test("xlsxSharedStrings: plain and rich-run entries indexed in order, " +
+    "runs concatenated, entities decoded; missing member yields no rows") {
+    val sst = "<?xml version=\"1.0\"?><sst>" +
+      "<si><t>one</t></si>" +
+      "<si><r><rPr/><t>two </t></r><r><t>parts</t></r></si>" +
+      "<si><t xml:space=\"preserve\"> pre &lt;x&gt;</t></si></sst>"
+    val good = storedZip("xl/sharedStrings.xml" -> sst.getBytes("UTF-8"))
+    val other = storedZip("xl/styles.xml" -> "<x/>".getBytes)
+    val out = Multimodal.xlsxSharedStrings(
+        Seq((1L, good), (2L, other)).toDF("doc_id", "payload"))
+      .orderBy("doc_id", "si_idx").collect()
+    assert(out.length == 3 && out.forall(_.getLong(0) == 1L))
+    assert(out.map(_.getString(2)).toSeq ==
+      Seq("one", "two parts", " pre <x>"))
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("docxText: tags stripped, paragraphs/tabs kept, entities decoded; null payload null") {
     val xml = "<?xml version=\"1.0\"?><w:document><w:body>" +
       "<w:p><w:r><w:t>One &amp; two</w:t></w:r></w:p>" +
