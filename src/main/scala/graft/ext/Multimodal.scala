@@ -599,6 +599,56 @@ object Multimodal {
     TextAnalysis.decodeEntities(regexp_replace(para, "<[^>]+>", ""))
   }
 
+  /** TAR archive listing — release tarballs are how code corpora
+    * arrive: [[graft.functions.TarEntries]] walks the checksummed
+    * ustar headers and each entry explodes with its index, name,
+    * DATA offset, size and typeflag (`0` file, `5` dir, `2` symlink,
+    * `L`/`x` long-name extensions verbatim). Corrupt archives (bad
+    * checksum, malformed octal, truncated data) contribute NO rows —
+    * whole-archive fail-closed, the GunzipMembers contract. Narrow
+    * explode, zero shuffle. */
+  def tarList(docs: DataFrame, idCol: String = "doc_id",
+              payloadCol: String = "payload",
+              maxEntries: Int = 1 << 16): DataFrame =
+    docs.select(col(idCol),
+        posexplode(graft.functions.TarEntries(col(payloadCol), maxEntries))
+          .as(Seq("entry_idx", "__e")))
+      .select(col(idCol), col("entry_idx").cast("long").as("entry_idx"),
+        col("__e.name").as("name"), col("__e.offset").as("offset"),
+        col("__e.size").as("size"), col("__e.typeflag").as("typeflag"))
+
+  /** One named REGULAR file's text from a tar — tar stores bytes
+    * uncompressed, so after the walk locates `(offset, size)` the
+    * extraction is a plain per-row `substr` slice, decoded UTF-8.
+    * Archives without the member (or non-file entries of that name,
+    * or corrupt archives) contribute no rows. */
+  def tarMemberText(docs: DataFrame, member: String,
+                    idCol: String = "doc_id",
+                    payloadCol: String = "payload",
+                    maxEntries: Int = 1 << 16): DataFrame =
+    docs.select(col(idCol), col(payloadCol).as("__p"),
+        explode(graft.functions.TarEntries(col(payloadCol), maxEntries))
+          .as("__e"))
+      .filter(col("__e.name") === member && col("__e.typeflag") === "0")
+      .select(col(idCol),
+        decode(col("__p").substr(col("__e.offset") + 1, col("__e.size")),
+          "UTF-8").as("text"))
+
+  /** PPTX slide text — the deck sibling of [[docxText]]: the named
+    * slide's DrawingML cleans the same way (paragraph closes
+    * `</a:p>` become newlines before tags strip; all visible text
+    * lives in `<a:t>` runs, which concatenate in order), entities
+    * decoded in one pass. Slides are numbered members
+    * (`ppt/slides/slideN.xml`) — call per slide index; archives
+    * without that slide yield null. */
+  def pptxSlideText(payload: Column, slide: Int = 1,
+                    maxBytes: Int = 1 << 24): Column = {
+    val xml = decode(graft.functions.ZipEntryBytes(payload,
+      s"ppt/slides/slide$slide.xml", maxBytes), "UTF-8")
+    TextAnalysis.decodeEntities(regexp_replace(
+      regexp_replace(xml, "</a:p>", "\n"), "<[^>]+>", ""))
+  }
+
   /** XLSX shared-strings extraction — the text content of a
     * spreadsheet corpus (cell values referencing the shared table ARE
     * the document text): [[graft.functions.ZipEntryBytes]] pulls

@@ -98,6 +98,21 @@ class ZipEntryBytesSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("pptxSlideText: a:p paragraphs become lines, a:t runs concatenate, " +
+    "entities decode; missing slide null; slide index addressable") {
+    val slide = "<p:sld><a:p><a:r><a:t>One </a:t></a:r>" +
+      "<a:r><a:t>run</a:t></a:r></a:p><a:p><a:r><a:t>&lt;2&gt;</a:t>" +
+      "</a:r></a:p></p:sld>"
+    val z = storedZip("ppt/slides/slide2.xml" -> slide.getBytes("UTF-8"))
+    val df = Seq((1L, z)).toDF("id", "payload")
+    val got = df.select(
+      Multimodal.pptxSlideText(col("payload"), slide = 2).as("t"),
+      Multimodal.pptxSlideText(col("payload"), slide = 1).as("missing"))
+      .collect()(0)
+    assert(got.getString(0) == "One run\n<2>\n")
+    assert(got.isNullAt(1))
+  }
+
   test("docxText: tags stripped, paragraphs/tabs kept, entities decoded; null payload null") {
     val xml = "<?xml version=\"1.0\"?><w:document><w:body>" +
       "<w:p><w:r><w:t>One &amp; two</w:t></w:r></w:p>" +
