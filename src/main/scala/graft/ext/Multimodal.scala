@@ -599,6 +599,20 @@ object Multimodal {
     TextAnalysis.decodeEntities(regexp_replace(para, "<[^>]+>", ""))
   }
 
+  /** ID3v2 text tags exploded per media row — the metadata text of an
+    * audio corpus ([[graft.functions.Id3TextFrames]]: v2.3/v2.4 frame
+    * walk, all four text encodings honored, non-text frames skipped,
+    * corrupt tags fail closed to zero rows). Output (idCol, pos,
+    * frame_id, text) in frame order. */
+  def id3Tags(docs: DataFrame, idCol: String = "media_id",
+              payloadCol: String = "payload",
+              maxFrames: Int = 256): DataFrame =
+    docs.select(col(idCol),
+        posexplode(graft.functions.Id3TextFrames(col(payloadCol),
+          maxFrames)).as(Seq("pos", "__f")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("__f.frame_id").as("frame_id"), col("__f.text").as("text"))
+
   /** TAR archive listing — release tarballs are how code corpora
     * arrive: [[graft.functions.TarEntries]] walks the checksummed
     * ustar headers and each entry explodes with its index, name,
@@ -616,6 +630,22 @@ object Multimodal {
       .select(col(idCol), col("entry_idx").cast("long").as("entry_idx"),
         col("__e.name").as("name"), col("__e.offset").as("offset"),
         col("__e.size").as("size"), col("__e.typeflag").as("typeflag"))
+
+  /** [[tarList]] over a gzip-compressed tarball — `.tar.gz`, the
+    * shape source releases actually ship: one bounded
+    * [[graft.functions.GunzipPayload]] inflate (CRC-verified,
+    * capped, fail-closed) feeds the checksummed ustar walk. The
+    * inflated archive is aliased in its own projection so the walk's
+    * single kernel call shares one inflate per row. Corrupt gzip OR
+    * corrupt tar ⇒ no rows. */
+  def tarGzList(docs: DataFrame, idCol: String = "doc_id",
+                payloadCol: String = "payload",
+                maxOut: Int = 1 << 26,
+                maxEntries: Int = 1 << 16): DataFrame =
+    tarList(docs.select(col(idCol),
+        graft.functions.GunzipPayload(col(payloadCol), maxOut)
+          .as("__tar")),
+      idCol, "__tar", maxEntries)
 
   /** One named REGULAR file's text from a tar — tar stores bytes
     * uncompressed, so after the walk locates `(offset, size)` the

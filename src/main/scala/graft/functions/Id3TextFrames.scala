@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ID3v2 text-frame extraction — the metadata TEXT of an audio
+  * corpus (`mp3Meta` stops at the header census; titles/artists/albums
+  * are what a training pipeline actually wants): parse the `ID3`
+  * header (v2.3 or v2.4, syncsafe tag size), walk the frames (v2.3
+  * plain big-endian frame sizes, v2.4 syncsafe — per spec), and yield
+  * every `T***` text frame (TXXX's user-defined pairs included as
+  * their raw description+value bytes) as `(frame_id, text)` with the
+  * encoding byte honored: 0 latin1, 1 UTF-16 with BOM, 2 UTF-16BE,
+  * 3 UTF-8; trailing NUL terminators stripped.
+  *
+  * Fail-closed null for: no `ID3` magic, unsupported major version,
+  * a frame running past the tag, or a malformed size; the walk stops
+  * cleanly at padding (NUL frame id) and is bounded by `maxFrames`.
+  * Non-text frames (APIC art, COMM…) are skipped, not fatal.
+  * Per-row bounded work, zero shuffle, codegen'd. */
+case class Id3TextFrames(child: Expression, maxFrames: Int)
+    extends UnaryExpression {
+  require(maxFrames > 0, "frame walk bound must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"id3_text_frames expects binary input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("frame_id", StringType, nullable = false),
+    StructField("text", StringType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    Id3TextFrames.compute(a.asInstanceOf[Array[Byte]], maxFrames)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Id3TextFrames.compute($c, $maxFrames);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "id3_text_frames"
+}
+
+object Id3TextFrames {
+
+  /** The per-row kernel — public static so generated code can call it. */
+  def compute(bytes: Array[Byte], maxFrames: Int): GenericArrayData = {
+    val n = bytes.length
+    if (n < 10 || bytes(0) != 'I' || bytes(1) != 'D' || bytes(2) != '3')
+      return null
+    val major = bytes(3) & 0xff
+    if (major != 3 && major != 4) return null
+    def syncsafe(p: Int): Int =
+      ((bytes(p) & 0x7f) << 21) | ((bytes(p + 1) & 0x7f) << 14) |
+        ((bytes(p + 2) & 0x7f) << 7) | (bytes(p + 3) & 0x7f)
+    def be32(p: Int): Long =
+      ((bytes(p) & 0xffL) << 24) | ((bytes(p + 1) & 0xffL) << 16) |
+        ((bytes(p + 2) & 0xffL) << 8) | (bytes(p + 3) & 0xffL)
+    val tagSize = syncsafe(6)
+    val tagEnd = math.min(10 + tagSize, n)
+    val out = new java.util.ArrayList[Any]
+    var pos = 10
+    var steps = 0
+    while (pos + 10 <= tagEnd && steps < maxFrames) {
+      steps += 1
+      if (bytes(pos) == 0) // padding starts: clean end
+        return new GenericArrayData(out.toArray)
+      val id = new String(bytes, pos, 4,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      if (!id.forall(c => (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')))
+        return null
+      val fsize = if (major == 4) syncsafe(pos + 4).toLong else be32(pos + 4)
+      if (fsize < 0 || pos + 10 + fsize > tagEnd) return null
+      if (id.startsWith("T") && fsize >= 1) {
+        val enc = bytes(pos + 10) & 0xff
+        val dataOff = pos + 11
+        val dataLen = (fsize - 1).toInt
+        val cs = enc match {
+          case 0 => java.nio.charset.StandardCharsets.ISO_8859_1
+          case 1 => java.nio.charset.StandardCharsets.UTF_16 // BOM-led
+          case 2 => java.nio.charset.StandardCharsets.UTF_16BE
+          case 3 => java.nio.charset.StandardCharsets.UTF_8
+          case _ => null
+        }
+        if (cs != null) {
+          var text = new String(bytes, dataOff, dataLen, cs)
+          // strip trailing NUL terminator(s)
+          while (text.nonEmpty && text.charAt(text.length - 1) == 0)
+            text = text.substring(0, text.length - 1)
+          out.add(new GenericInternalRow(Array[Any](
+            UTF8String.fromString(id), UTF8String.fromString(text))))
+        }
+      }
+      pos += 10 + fsize.toInt
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  import org.apache.spark.sql.graftshim.ColumnShim
+
+  /** Column-level entry point; the walk bound defaults to 256. */
+  def apply(payload: Column, maxFrames: Int = 256): Column =
+    ColumnShim.column(
+      Id3TextFrames(ColumnShim.expression(payload), maxFrames))
+}

@@ -1,0 +1,84 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ext.Multimodal
+
+class Id3TextFramesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(id: String, data: Array[Byte], v4: Boolean): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bos.write(id.getBytes("ISO-8859-1"))
+    val s = data.length
+    if (v4) bos.write(Array((s >> 21) & 127, (s >> 14) & 127,
+      (s >> 7) & 127, s & 127).map(_.toByte))
+    else bos.write(Array(s >>> 24, (s >> 16) & 255, (s >> 8) & 255,
+      s & 255).map(_.toByte))
+    bos.write(Array(0, 0).map(_.toByte))
+    bos.write(data)
+    bos.toByteArray
+  }
+
+  private def tag(major: Int, frames: Array[Byte]*): Array[Byte] = {
+    val body = frames.flatten.toArray
+    val bos = new ByteArrayOutputStream()
+    bos.write("ID3".getBytes); bos.write(major); bos.write(0); bos.write(0)
+    val s = body.length
+    bos.write(Array((s >> 21) & 127, (s >> 14) & 127, (s >> 7) & 127,
+      s & 127).map(_.toByte))
+    bos.write(body)
+    bos.toByteArray
+  }
+
+  private def textData(enc: Int, s: String): Array[Byte] = {
+    val cs = enc match {
+      case 0 => "ISO-8859-1"; case 1 => "UTF-16"; case 2 => "UTF-16BE"
+      case 3 => "UTF-8"
+    }
+    Array(enc.toByte) ++ s.getBytes(cs)
+  }
+
+  test("id3: v2.3 and v2.4 sizes, all four encodings, NUL terminator strip, " +
+    "non-text frames skipped, padding ends the walk") {
+    val t3 = tag(3,
+      frame("TIT2", textData(0, "Café latin1"), v4 = false),
+      frame("COMM", Array[Byte](0, 1, 2, 3), v4 = false),
+      frame("TPE1", textData(3, "utf8 é") :+ 0.toByte, v4 = false))
+    val r3 = Id3TextFrames.compute(t3, 64)
+    assert(r3.numElements() == 2)
+    def row(a: org.apache.spark.sql.catalyst.util.GenericArrayData, i: Int) = {
+      val s = a.getStruct(i, 2)
+      (s.getUTF8String(0).toString, s.getUTF8String(1).toString)
+    }
+    assert(row(r3, 0) == ("TIT2", "Café latin1"))
+    assert(row(r3, 1) == ("TPE1", "utf8 é"))
+    val t4 = tag(4,
+      frame("TIT2", textData(1, "utf16 bom ü"), v4 = true),
+      frame("TALB", textData(2, "be à"), v4 = true))
+    val r4 = Id3TextFrames.compute(t4, 64)
+    assert(row(r4, 0) == ("TIT2", "utf16 bom ü"))
+    assert(row(r4, 1) == ("TALB", "be à"))
+    // padding after the frames ends the walk cleanly
+    val padded = tag(3, frame("TIT2", textData(0, "x"), v4 = false)
+      ++ new Array[Byte](20))
+    assert(Id3TextFrames.compute(padded, 64).numElements() == 1)
+  }
+
+  test("id3 fails closed: no magic, bad version, oversized frame; operator explodes in order") {
+    assert(Id3TextFrames.compute("MP3junk".getBytes, 8) == null)
+    assert(Id3TextFrames.compute(tag(2,
+      frame("TIT2", textData(0, "x"), v4 = false)), 8) == null)
+    val over = tag(3, frame("TIT2", textData(0, "x"), v4 = false))
+    over(14) = 0x7f // frame size now runs past the tag
+    assert(Id3TextFrames.compute(over, 8) == null)
+    val df = Seq((7L, tag(3,
+      frame("TIT2", textData(0, "a"), v4 = false),
+      frame("TPE1", textData(0, "b"), v4 = false)))).toDF("media_id", "payload")
+    val rows = Multimodal.id3Tags(df).orderBy("pos").collect()
+    assert(rows.map(r => (r.getLong(1), r.getString(2), r.getString(3))).toSeq
+      == Seq((0L, "TIT2", "a"), (1L, "TPE1", "b")))
+  }
+}
