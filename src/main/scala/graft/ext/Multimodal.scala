@@ -599,6 +599,14 @@ object Multimodal {
     TextAnalysis.decodeEntities(regexp_replace(para, "<[^>]+>", ""))
   }
 
+  /** JPEG EXIF IFD0 fields — orientation (whether a dHash needs
+    * rotating), make/model/datetime (provenance splits) via the
+    * native [[graft.functions.JpegExif]] marker-chain + TIFF-IFD
+    * walk; both byte orders honored, absent tags null fields,
+    * missing/malformed EXIF a null struct. */
+  def jpegExif(payload: Column): Column =
+    graft.functions.JpegExif(payload)
+
   /** ID3v2 text tags exploded per media row — the metadata text of an
     * audio corpus ([[graft.functions.Id3TextFrames]]: v2.3/v2.4 frame
     * walk, all four text encodings honored, non-text frames skipped,

@@ -1093,6 +1093,35 @@ object TextAnalysis {
         regexp_replace(b, "^[^\n]*\n?", "").as("text"))
   }
 
+  /** SRT subtitle parsing — [[vttParse]]'s older sibling (the format
+    * most scraped subtitle dumps actually use): blank-line-separated
+    * blocks shaped `index \n HH:MM:SS,mmm --> HH:MM:SS,mmm \n text…`
+    * (COMMA millisecond separator, unlike VTT's dot), the declared
+    * cue index kept alongside the block position (real files skip and
+    * repeat indices — both surface), timestamps as exact integer
+    * milliseconds, remaining lines as the cue text. Non-cue blocks
+    * (BOM headers, ads without a timing line) simply don't match.
+    * Narrow regexp arithmetic, zero shuffle, oracle-replayable. */
+  def srtParse(docs: DataFrame, idCol: String = "doc_id",
+               srtCol: String = "srt"): DataFrame = {
+    val pat = "^([0-9]+)\r?\n([0-9]{2}):([0-9]{2}):([0-9]{2}),([0-9]{3})" +
+      " --> ([0-9]{2}):([0-9]{2}):([0-9]{2}),([0-9]{3})"
+    def ms(b: Column, g0: Int): Column =
+      regexp_extract(b, pat, g0).cast("long") * 3600000L +
+        regexp_extract(b, pat, g0 + 1).cast("long") * 60000L +
+        regexp_extract(b, pat, g0 + 2).cast("long") * 1000L +
+        regexp_extract(b, pat, g0 + 3).cast("long")
+    val b = col("block")
+    docs.select(col(idCol),
+        posexplode(split(col(srtCol), "\n\n")).as(Seq("block_pos", "block")))
+      .filter(b.rlike(pat))
+      .select(col(idCol), col("block_pos").cast("long").as("block_pos"),
+        regexp_extract(b, pat, 1).cast("long").as("cue_idx"),
+        ms(b, 2).as("start_ms"), ms(b, 6).as("end_ms"),
+        (ms(b, 6) - ms(b, 2)).as("duration_ms"),
+        regexp_replace(b, "^[^\n]*\n[^\n]*\n?", "").as("text"))
+  }
+
   /** Speaker-turn extraction — the conversational-data prep every
     * dialogue corpus runs: lines shaped `Speaker: utterance` become
     * one turn each (line order kept as `turn_pos`), narrative lines
