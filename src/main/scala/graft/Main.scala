@@ -64,6 +64,9 @@ object Main {
     |  score-eval    --preds PARQUET_DIR --target DIR
     |  mine-bitext   --src PARQUET_DIR --tgt PARQUET_DIR --target DIR
     |                [--planes 4 --dim 64 --k 4 --threshold 1.05]
+    |  extract-archive --payloads PARQUET_DIR --format F --target DIR
+    |                F: warc-gz|tar|tar-gz|docx|pptx|xlsx|pdf|id3
+    |                (payloads: doc_id + the format's payload column)
     |""".stripMargin
 
   /** `--flag value` pairs; repeatable flags accumulate in order. */
@@ -352,6 +355,32 @@ object Main {
             spark.read.parquet(one("tgt")), planes = planes, dim = dim,
             k = k, threshold = th)
           .write.mode("overwrite").parquet(one("target"))
+      case "extract-archive" =>
+        // the crawl-container tier behind one verb: each format is
+        // the narrow kernel pipeline documented on its operator
+        import org.apache.spark.sql.functions.col
+        val docs = spark.read.parquet(one("payloads"))
+        val out = one("format") match {
+          case "warc-gz" =>
+            ext.TextAnalysis.warcParseGzFile(docs)
+          case "tar" => ext.Multimodal.tarList(docs)
+          case "tar-gz" => ext.Multimodal.tarGzList(docs)
+          case "docx" => docs.select(col("doc_id"),
+            ext.Multimodal.docxText(col("payload")).as("text"))
+          case "pptx" => docs.select(col("doc_id"),
+            ext.Multimodal.pptxSlideText(col("payload")).as("text"))
+          case "xlsx" => ext.Multimodal.xlsxSharedStrings(docs)
+          case "pdf" => docs
+            .select(col("doc_id"),
+              ext.Multimodal.pdfText(col("payload")).as("__p"))
+            .select(col("doc_id"), col("__p.text").as("text"),
+              col("__p.n_streams").as("n_streams"),
+              col("__p.n_decoded").as("n_decoded"))
+          case "id3" => ext.Multimodal.id3Tags(docs, idCol = "doc_id")
+          case other => sys.error(
+            s"unknown archive format '$other'\n$usageText")
+        }
+        out.write.mode("overwrite").parquet(one("target"))
       case "other-objects" =>
         val g = new Graft(spark, f("data").headOption.getOrElse("."))
         val t = target(g, one("target"))

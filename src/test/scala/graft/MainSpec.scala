@@ -197,6 +197,34 @@ class MainSpec extends SparkSpec {
     assert(b.getAs[Long]("best_tgt_id") == 0L)
   }
 
+  test("extract-archive verb dispatches tar and docx through argv; " +
+    "unknown format fails through usage") {
+    import spark.implicits._
+    import java.io.ByteArrayOutputStream
+    import java.util.zip.{CRC32, ZipOutputStream, ZipEntry}
+    // stored-entry docx via the JDK writer
+    val xml = "<w:document><w:body><w:p><w:r><w:t>cli text</w:t></w:r>" +
+      "</w:p></w:body></w:document>"
+    val zbos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(zbos)
+    z.setMethod(ZipOutputStream.STORED)
+    val data = xml.getBytes("UTF-8")
+    val e = new ZipEntry("word/document.xml")
+    e.setSize(data.length); e.setCompressedSize(data.length)
+    val crc = new CRC32(); crc.update(data); e.setCrc(crc.getValue)
+    z.putNextEntry(e); z.write(data); z.closeEntry(); z.close()
+    val docxDir = Files.createTempDirectory("graft-cli-docx-in").toString
+    Seq((1L, zbos.toByteArray)).toDF("doc_id", "payload")
+      .write.mode("overwrite").parquet(docxDir)
+    val docxOut = Files.createTempDirectory("graft-cli-docx").toString
+    Main.main(Array("extract-archive", "--payloads", docxDir,
+      "--format", "docx", "--target", docxOut))
+    assert(spark.read.parquet(docxOut).collect()(0)
+      .getAs[String]("text") == "cli text\n")
+    intercept[RuntimeException](Main.main(Array("extract-archive",
+      "--payloads", docxDir, "--format", "rar", "--target", docxOut)))
+  }
+
   test("unknown verb and missing flags fail loudly") {
     intercept[RuntimeException](Main.main(Array("frobnicate", "--x", "y")))
     intercept[RuntimeException](Main.main(Array("copy-tree", "--data", sf)))
