@@ -64,6 +64,7 @@ object Main {
     |  score-eval    --preds PARQUET_DIR --target DIR
     |  mine-bitext   --src PARQUET_DIR --tgt PARQUET_DIR --target DIR
     |                [--planes 4 --dim 64 --k 4 --threshold 1.05]
+    |  ingest-warc   --landing DIR --corpus DIR --checkpoint DIR [--follow true]
     |  extract-archive --payloads PARQUET_DIR --format F --target DIR
     |                F: warc-gz|tar|tar-gz|docx|pptx|xlsx|pdf|id3
     |                (payloads: doc_id + the format's payload column)
@@ -162,6 +163,25 @@ object Main {
           qualityGate = f("quality-gate").headOption
             .exists(v => parsed("quality-gate", v)(_.toBoolean)))
         q.awaitTermination()
+      case "ingest-warc" =>
+        // streaming .warc.gz ingest: tail a parquet landing directory
+        // of (doc_id, warc_gz) archives, explode CRC-verified records,
+        // gate on HTTP 200, append extracted page text to the corpus
+        // (streaming/CurationStream.warcGzIngestStream). Same trigger
+        // contract as curate-stream
+        val follow = f("follow").headOption.exists(v => parsed("follow", v)(_.toBoolean))
+        val trigger =
+          if (follow) org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds")
+          else org.apache.spark.sql.streaming.Trigger.AvailableNow()
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("warc_gz",
+            org.apache.spark.sql.types.BinaryType)))
+        streaming.CurationStream.warcGzIngestStream(
+            spark.readStream.schema(schema).parquet(one("landing")),
+            one("corpus"), one("checkpoint"), trigger)
+          .awaitTermination()
       case "compact" =>
         // periodic full-index compaction of the curation loop: replay
         // candidate pairs over the live band index plus the dropped-

@@ -315,6 +315,33 @@ object CurationStream {
     * index accumulated by all prior batches, stream- and
     * restart-ordered by the Structured Streaming checkpoint at
     * `checkpointDir`. */
+  /** Streaming `.warc.gz` ingest — the crawl-drop front end of the
+    * curation loop: a landing directory of archive payloads
+    * (doc_id, warc_gz) is tailed as a stream, each archive explodes
+    * to records through the bounded CRC-verified kernel pipeline
+    * ([[graft.ext.TextAnalysis.warcParseGzFile]] — corrupt archives
+    * vanish whole, the audit row stays in the landing table), the
+    * HTTP-200 gate keeps real pages, and the extracted text appends
+    * to `corpusPath` as (doc_id, rec_idx, url, text). Every
+    * transform is narrow and stream-safe, so this is a PLAIN
+    * streaming sink — no foreachBatch state: the checkpoint holds
+    * source offsets only, exactly-once into the parquet sink. The
+    * appended corpus feeds [[curateStream]]'s dedup loop next. */
+  def warcGzIngestStream(landing: DataFrame, corpusPath: String,
+                         checkpointDir: String,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    graft.ext.TextAnalysis.warcParseGzFile(landing)
+      .filter(col("http_status") === 200)
+      .select(col("doc_id"), col("rec_idx"),
+        col("target_uri").as("url"),
+        graft.ext.TextAnalysis.htmlToText(col("body")).as("text"))
+      .writeStream
+      .format("parquet")
+      .option("path", corpusPath)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   def curateStream(landing: DataFrame, indexPath: String, corpusPath: String,
                    checkpointDir: String, bands: Int, rowsPerBand: Int,
                    shingleN: Int = 3,
