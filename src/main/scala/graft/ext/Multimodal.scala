@@ -687,6 +687,39 @@ object Multimodal {
       regexp_replace(xml, "</a:p>", "\n"), "<[^>]+>", ""))
   }
 
+  /** EPUB package metadata — the book-corpus tier behind [[zipMeta]]'s
+    * `epub` label, resolved the way the spec says (and a fixed member
+    * name cannot): `META-INF/container.xml` NAMES the OPF package
+    * member per book, so the second extraction runs through the
+    * per-row-name kernel ([[graft.functions.ZipEntryBytesAt]]);
+    * Dublin Core `dc:title`/`dc:creator`/`dc:language` then come out
+    * of the OPF with entities decoded. Each extraction is aliased in
+    * its own projection (one walk per row per member — the
+    * CollapseProject boundary). Books without a container/OPF yield
+    * null fields. Output (idCol, opf_path, title, creator,
+    * language). */
+  def epubMeta(docs: DataFrame, idCol: String = "doc_id",
+               payloadCol: String = "payload",
+               maxBytes: Int = 1 << 24): DataFrame = {
+    def dc(tag: String): Column = {
+      val v = regexp_extract(col("__opf"),
+        s"(?s)<dc:$tag[^>]*>[ \\t\\n\\r]*(.*?)[ \\t\\n\\r]*</dc:$tag>", 1)
+      when(v =!= "", TextAnalysis.decodeEntities(v)).as(tag)
+    }
+    docs.select(col(idCol), col(payloadCol).as("__p"))
+      .select(col(idCol), col("__p"),
+        regexp_extract(decode(graft.functions.ZipEntryBytes(col("__p"),
+            "META-INF/container.xml", maxBytes), "UTF-8"),
+          "(?s)<rootfile[^>]*full-path=\"([^\"]*)\"", 1).as("__opfp"))
+      .select(col(idCol), col("__opfp"),
+        decode(graft.functions.ZipEntryBytesAt(col("__p"),
+          when(col("__opfp") =!= "", col("__opfp")), maxBytes), "UTF-8")
+          .as("__opf"))
+      .select(col(idCol),
+        when(col("__opfp") =!= "", col("__opfp")).as("opf_path"),
+        dc("title"), dc("creator"), dc("language"))
+  }
+
   /** XLSX shared-strings extraction — the text content of a
     * spreadsheet corpus (cell values referencing the shared table ARE
     * the document text): [[graft.functions.ZipEntryBytes]] pulls

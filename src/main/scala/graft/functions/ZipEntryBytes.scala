@@ -60,6 +60,55 @@ case class ZipEntryBytes(child: Expression, entryName: String, maxOut: Int,
   override def prettyName: String = "zip_entry_bytes"
 }
 
+/** [[ZipEntryBytes]] with a PER-ROW member name — the form indirect
+  * container formats need: EPUB's `META-INF/container.xml` names the
+  * OPF member, so the second extraction's target is data, not a
+  * constant. Same walk, same fail-closed contract; a null name is a
+  * null result. */
+case class ZipEntryBytesAt(left: Expression, right: Expression,
+                           maxOut: Int, maxEntries: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(maxOut > 0, "output cap must be positive")
+  require(maxEntries > 0, "entry walk bound must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: BinaryType, _: StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"zip_entry_bytes_at expects (binary, string), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = BinaryType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(p: Any, name: Any): Any =
+    ZipEntryBytes.compute(p.asInstanceOf[Array[Byte]],
+      name.asInstanceOf[UTF8String], maxOut, maxEntries)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, nm) => s"""
+      ${ev.value} = graft.functions.ZipEntryBytes.compute($p, $nm, $maxOut, $maxEntries);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "zip_entry_bytes_at"
+}
+
+object ZipEntryBytesAt {
+  import org.apache.spark.sql.graftshim.ColumnShim
+
+  /** Column-level entry point with a per-row member name. */
+  def apply(payload: Column, entryName: Column,
+            maxOut: Int = 1 << 24, maxEntries: Int = 1024): Column =
+    ColumnShim.column(ZipEntryBytesAt(ColumnShim.expression(payload),
+      ColumnShim.expression(entryName), maxOut, maxEntries))
+}
+
 object ZipEntryBytes {
 
   /** The per-row kernel — public static so generated code can call it.

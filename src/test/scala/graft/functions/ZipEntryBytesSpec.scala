@@ -98,6 +98,37 @@ class ZipEntryBytesSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("epubMeta: container.xml NAMES the OPF (per-row member name), " +
+    "Dublin Core decoded; missing container nulls the row") {
+    val container = "<?xml version=\"1.0\"?><container><rootfiles>" +
+      "<rootfile full-path=\"ops/pkg.opf\" media-type=\"x\"/>" +
+      "</rootfiles></container>"
+    val opf = "<package><metadata><dc:title>T &amp; t</dc:title>" +
+      "<dc:creator>Ann</dc:creator><dc:language>fr</dc:language>" +
+      "</metadata></package>"
+    val good = storedZip("mimetype" -> "application/epub+zip".getBytes,
+      "META-INF/container.xml" -> container.getBytes("UTF-8"),
+      "ops/pkg.opf" -> opf.getBytes("UTF-8"))
+    val noC = storedZip("mimetype" -> "application/epub+zip".getBytes,
+      "ops/pkg.opf" -> opf.getBytes("UTF-8"))
+    val out = Multimodal.epubMeta(
+        Seq((1L, good), (2L, noC)).toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "ops/pkg.opf" &&
+      out(1L).getString(2) == "T & t" &&
+      out(1L).getString(3) == "Ann" && out(1L).getString(4) == "fr")
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(2))
+    // the dynamic kernel agrees with the static one on a known name
+    val d = Seq((1L, good)).toDF("id", "p")
+    val both = d.select(
+      ZipEntryBytes(col("p"), "ops/pkg.opf").cast("string").as("a"),
+      ZipEntryBytesAt(col("p"), lit("ops/pkg.opf")).cast("string").as("b"),
+      ZipEntryBytesAt(col("p"), lit(null).cast("string")).as("c"))
+      .collect()(0)
+    assert(both.getString(0) == both.getString(1))
+    assert(both.isNullAt(2), "null name is a null result")
+  }
+
   test("pptxSlideText: a:p paragraphs become lines, a:t runs concatenate, " +
     "entities decode; missing slide null; slide index addressable") {
     val slide = "<p:sld><a:p><a:r><a:t>One </a:t></a:r>" +
