@@ -687,6 +687,14 @@ object Multimodal {
       regexp_replace(xml, "</a:p>", "\n"), "<[^>]+>", ""))
   }
 
+  /** Avro OCF embedded schema — the lake format that CARRIES its
+    * schema: the `avro.schema` JSON from the file-metadata map
+    * ([[graft.functions.AvroSchemaJson]], full Avro binary map
+    * encoding, fail-closed), ready for an explicit-schema Avro read.
+    * `sniff → avro_schema → read` needs no library probe pass. */
+  def avroSchema(payload: Column, maxLen: Int = 1 << 20): Column =
+    graft.functions.AvroSchemaJson(payload, maxLen)
+
   /** EPUB package metadata — the book-corpus tier behind [[zipMeta]]'s
     * `epub` label, resolved the way the spec says (and a fixed member
     * name cannot): `META-INF/container.xml` NAMES the OPF package
