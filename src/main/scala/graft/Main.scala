@@ -66,7 +66,7 @@ object Main {
     |                [--planes 4 --dim 64 --k 4 --threshold 1.05]
     |  ingest-warc   --landing DIR --corpus DIR --checkpoint DIR [--follow true]
     |  extract-archive --payloads PARQUET_DIR --format F --target DIR
-    |                F: warc-gz|tar|tar-gz|docx|pptx|xlsx|pdf|id3
+    |                F: warc-gz|tar|tar-gz|docx|pptx|xlsx|pdf|id3|epub|avro-schema
     |                (payloads: doc_id + the format's payload column)
     |""".stripMargin
 
@@ -397,6 +397,9 @@ object Main {
               col("__p.n_streams").as("n_streams"),
               col("__p.n_decoded").as("n_decoded"))
           case "id3" => ext.Multimodal.id3Tags(docs, idCol = "doc_id")
+          case "epub" => ext.Multimodal.epubMeta(docs)
+          case "avro-schema" => docs.select(col("doc_id"),
+            ext.Multimodal.avroSchema(col("payload")).as("avro_schema"))
           case other => sys.error(
             s"unknown archive format '$other'\n$usageText")
         }
