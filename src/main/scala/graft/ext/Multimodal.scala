@@ -687,6 +687,35 @@ object Multimodal {
       regexp_replace(xml, "</a:p>", "\n"), "<[^>]+>", ""))
   }
 
+  /** Sniff-dispatched document text — the front door of a mixed
+    * document lake: ONE pass labels each payload
+    * ([[sniffFormat]], aliased so the label evaluates once) and the
+    * per-format text tier runs behind a row-lazy when-chain — `pdf` →
+    * [[pdfText]], `zip` → [[docxText]] (the dominant zip document
+    * kind; route xlsx/pptx/epub explicitly when the lake is labeled),
+    * `gzip` → bounded [[graft.functions.GunzipPayload]] + UTF-8,
+    * everything unrecognized → UTF-8 as plain text. Codegen
+    * short-circuits the non-matching branches per row, so each
+    * payload pays only its own parser (the containerMeta(formats)
+    * lesson, solved per row instead of per call). At cluster scale
+    * prefer `sniff → repartition-by-format → the specific tier` —
+    * this dispatcher is the single-pass form for mixed small lakes
+    * and the tail of partitioned ones. Output (idCol, format,
+    * text — null when the matched tier fails closed). */
+  def documentText(docs: DataFrame, idCol: String = "doc_id",
+                   payloadCol: String = "payload",
+                   maxBytes: Int = 1 << 24): DataFrame =
+    docs.select(col(idCol), col(payloadCol).as("__p"),
+        sniffFormat(col(payloadCol)).as("format"))
+      .select(col(idCol), col("format"),
+        when(col("format") === "pdf",
+          pdfText(col("__p"), maxBytes = maxBytes).getField("text"))
+          .when(col("format") === "zip", docxText(col("__p"), maxBytes))
+          .when(col("format") === "gzip",
+            decode(graft.functions.GunzipPayload(col("__p"), maxBytes),
+              "UTF-8"))
+          .otherwise(decode(col("__p"), "UTF-8")).as("text"))
+
   /** Avro OCF embedded schema — the lake format that CARRIES its
     * schema: the `avro.schema` JSON from the file-metadata map
     * ([[graft.functions.AvroSchemaJson]], full Avro binary map
