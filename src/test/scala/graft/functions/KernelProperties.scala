@@ -110,6 +110,53 @@ object KernelProperties extends Properties("graft.functions.kernels") {
       SimhashPack.compute(arr, width) == simhashRef(toks, width)
     }
 
+  private val bytesGen: Gen[Array[Byte]] =
+    Gen.choose(0, 4096).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte)).map(_.toArray))
+
+  private def gzipBytes(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(data); g.close()
+    bos.toByteArray
+  }
+
+  property("gunzip kernel round-trips arbitrary bytes through GZIPOutputStream") =
+    forAll(bytesGen) { data =>
+      java.util.Arrays.equals(
+        GunzipPayload.compute(gzipBytes(data), 1 << 20), data)
+    }
+
+  property("gunzip_members round-trips arbitrary member lists in order") =
+    forAll(Gen.choose(1, 5).flatMap(k => Gen.listOfN(k, bytesGen))) { parts =>
+      val archive = parts.flatMap(gzipBytes).toArray
+      val got = GunzipPayload.computeMembers(archive, 16, 1 << 20)
+      got != null && got.numElements() == parts.length &&
+        parts.indices.forall(i =>
+          java.util.Arrays.equals(got.getBinary(i), parts(i)))
+    }
+
+  property("zip kernel round-trips arbitrary bytes through a real Deflater member") =
+    forAll(bytesGen, Gen.alphaNumStr.suchThat(_.nonEmpty)) { (data, name) =>
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(data); d.finish()
+      val cbuf = new Array[Byte](data.length * 2 + 64)
+      val clen = d.deflate(cbuf); d.end()
+      val crc = new java.util.zip.CRC32(); crc.update(data)
+      val bos = new java.io.ByteArrayOutputStream()
+      def le(v: Long, k: Int): Unit =
+        (0 until k).foreach(i => bos.write(((v >> (8 * i)) & 0xff).toInt))
+      bos.write(Array(0x50, 0x4b, 3, 4, 0x14, 0, 0, 0, 8, 0).map(_.toByte))
+      le(0, 4); le(crc.getValue, 4); le(clen, 4); le(data.length, 4)
+      le(name.length, 2); le(0, 2)
+      bos.write(name.getBytes("UTF-8")); bos.write(cbuf, 0, clen)
+      val got = ZipEntryBytes.compute(bos.toByteArray,
+        UTF8String.fromString(name), 1 << 20, 64)
+      (data.isEmpty && got != null && got.isEmpty) ||
+        java.util.Arrays.equals(got, data)
+    }
+
   // Misra–Gries recall guarantee: for ANY partitioning of the stream
   // into partials, every token with count > n/k survives the merged
   // sketch of capacity 4k.
