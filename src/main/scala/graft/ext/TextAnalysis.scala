@@ -1378,7 +1378,9 @@ object TextAnalysis {
   def csvSniff(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text", maxLines: Int = 20): DataFrame = {
     import graft.functions.CsvFields
-    val lines = slice(filter(split(col(textCol), "\n"), l => l =!= ""),
+    // RFC 4180 lines are CRLF-delimited; split on either ending so a
+    // real Windows-written lake file doesn't drag \r into its fields
+    val lines = slice(filter(split(col(textCol), "\r?\n"), l => l =!= ""),
       lit(1), lit(maxLines))
     val l1 = coalesce(try_element_at(lines, lit(1)), lit(""))
     val l2 = try_element_at(lines, lit(2))
@@ -1421,7 +1423,8 @@ object TextAnalysis {
     import graft.functions.CsvFields
     docs
       .select(col(idCol), posexplode(
-        filter(split(col(textCol), "\n"), l => l =!= ""))
+        // CRLF-tolerant per RFC 4180, like csvSniff
+        filter(split(col(textCol), "\r?\n"), l => l =!= ""))
         .as(Seq("line_idx", "__l")))
       .select(col(idCol), col("line_idx").cast("long").as("line_idx"),
         posexplode(CsvFields(col("__l"), lit(delimiter)))
@@ -1460,7 +1463,8 @@ object TextAnalysis {
                     delimCol: String = "delimiter",
                     headerCol: String = "has_header"): DataFrame = {
     import graft.functions.CsvFields
-    val lines = filter(split(col(textCol), "\n"), l => l =!= "")
+    // CRLF-tolerant, like csvSniff/csvParse
+    val lines = filter(split(col(textCol), "\r?\n"), l => l =!= "")
     val f = trim(col("__f"))
     val isHdr = col("__h") && col("__li") === 0
     val cls = when(isHdr, "header")

@@ -16,10 +16,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * `(name, offset, size, typeflag)` where `offset` points at the
   * entry's DATA — tar stores bytes uncompressed, so extraction is a
   * plain `substr(payload, offset+1, size)` on the caller's side, no
-  * second kernel needed. GNU/ustar long-name extensions (`L`/`x`
-  * typeflags) surface as their own entries with their literal
-  * typeflag — callers filter on `typeflag = '0'` for regular files
-  * (`5` directories, `2` symlinks keep their flags too).
+  * second kernel needed. GNU long-name records (`L` typeflag) are
+  * RESOLVED the way GNU tar writes them: the record's data is the
+  * NEXT entry's full name (NUL-stripped), the `L` record itself never
+  * surfaces — deep source trees exceed the 100-char name field
+  * routinely. PAX `x`/`g` extension headers still surface verbatim
+  * with their typeflag (callers filter on `typeflag = '0'` for
+  * regular files; `5` directories, `2` symlinks keep their flags).
   *
   * Integrity: every header's checksum field is VERIFIED (sum of
   * header bytes with the checksum field read as spaces — the ustar
@@ -70,6 +73,7 @@ object TarEntries {
     val out = new java.util.ArrayList[Any]
     var pos = 0
     var steps = 0
+    var pendingLongName: String = null
     while (pos + 512 <= n) {
       // terminator: an all-zero block ends the archive (checked
       // before the walk bound — the terminator is not an entry)
@@ -103,9 +107,21 @@ object TarEntries {
         case 0 => "0" // old tars use NUL for regular files
         case b => String.valueOf(b.toChar)
       }
-      out.add(new GenericInternalRow(Array[Any](
-        UTF8String.fromString(name), dataStart.toLong, size,
-        UTF8String.fromString(tf))))
+      if (tf == "L") {
+        // GNU long-name record: its data names the NEXT entry
+        if (size > (1 << 16)) return null
+        var len = size.toInt
+        while (len > 0 && bytes(dataStart + len - 1) == 0) len -= 1
+        pendingLongName = new String(bytes, dataStart, len,
+          java.nio.charset.StandardCharsets.UTF_8)
+      } else {
+        val effName =
+          if (pendingLongName != null) pendingLongName else name
+        pendingLongName = null
+        out.add(new GenericInternalRow(Array[Any](
+          UTF8String.fromString(effName), dataStart.toLong, size,
+          UTF8String.fromString(tf))))
+      }
       pos = dataStart + (((size + 511) / 512) * 512).toInt
     }
     // ran off the end without a full terminator block: accept a clean

@@ -322,6 +322,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L).getString(1) == ";" && !out(4L).getAs[Boolean]("has_header"))
     assert(out(5L).getString(1) == ",")
     assert(out(1L).getAs[Long]("n_lines_sampled") == 3L)
+    // CRLF files (the RFC 4180 default) must not drag \r into fields
+    val crlf = Seq((9L, "a,b\r\n1,2\r\n3,4\r\n")).toDF("doc_id", "text")
+    val sn = TextAnalysis.csvSniff(crlf).collect()(0)
+    assert(sn.getString(1) == "," && sn.getLong(2) == 2L &&
+      sn.getAs[Boolean]("has_header"))
+    val fields = TextAnalysis.csvParse(crlf, ",").collect()
+      .map(_.getString(3)).toSet
+    assert(fields == Set("a", "b", "1", "2", "3", "4"),
+      s"no \\r residue: $fields")
   }
 
   test("csvTypeCensus: promotion ladder, mixed columns fall to string, " +
