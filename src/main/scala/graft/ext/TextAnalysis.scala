@@ -1084,8 +1084,11 @@ object TextAnalysis {
         regexp_extract(b, timing, g0 + 2).cast("long") * 1000L +
         regexp_extract(b, timing, g0 + 3).cast("long")
     val b = col("block")
+    // subtitle dumps are frequently CRLF — normalize once up front so
+    // the block split and the cue text both come out \n-clean
     docs.select(col(idCol),
-        posexplode(split(col(vttCol), "\n\n")).as(Seq("block_pos", "block")))
+        posexplode(split(regexp_replace(col(vttCol), "\r\n", "\n"),
+          "\n\n")).as(Seq("block_pos", "block")))
       .filter(b.rlike(timing))
       .select(col(idCol), col("block_pos").cast("long").as("block_pos"),
         ms(b, 1).as("start_ms"), ms(b, 5).as("end_ms"),
@@ -1112,8 +1115,10 @@ object TextAnalysis {
         regexp_extract(b, pat, g0 + 2).cast("long") * 1000L +
         regexp_extract(b, pat, g0 + 3).cast("long")
     val b = col("block")
+    // CRLF-normalized like vttParse (SRT dumps are mostly Windows)
     docs.select(col(idCol),
-        posexplode(split(col(srtCol), "\n\n")).as(Seq("block_pos", "block")))
+        posexplode(split(regexp_replace(col(srtCol), "\r\n", "\n"),
+          "\n\n")).as(Seq("block_pos", "block")))
       .filter(b.rlike(pat))
       .select(col(idCol), col("block_pos").cast("long").as("block_pos"),
         regexp_extract(b, pat, 1).cast("long").as("cue_idx"),

@@ -491,6 +491,20 @@ class TextAnalysisSpec extends SparkSpec {
       out(0).getLong(4) == 3250L && out(0).getString(5) == "Hello there.")
     assert(out(1).getLong(2) == 3723004L && out(1).getLong(3) == 3779999L &&
       out(1).getString(5) == "Two\nlines")
+    // CRLF dump: blocks still split, cue text comes out \n-clean
+    val crlf = vtt.replace("\n", "\r\n")
+    val c = TextAnalysis.vttParse(Seq((2L, crlf)).toDF("doc_id", "vtt"))
+      .orderBy("block_pos").collect()
+    assert(c.length == 2 && c(1).getString(5) == "Two\nlines")
+    // and the SRT sibling: comma millis, declared index, CRLF-safe
+    val srt = "1\r\n00:00:01,500 --> 00:00:02,000\r\nFirst\r\nsecond\r\n\r\n" +
+      "7\r\n00:01:00,000 --> 00:01:01,250\r\nNext"
+    val s = TextAnalysis.srtParse(Seq((1L, srt)).toDF("doc_id", "srt"))
+      .orderBy("block_pos").collect()
+    assert(s.length == 2)
+    assert(s(0).getLong(2) == 1L && s(0).getLong(3) == 1500L &&
+      s(0).getLong(4) == 2000L && s(0).getString(6) == "First\nsecond")
+    assert(s(1).getLong(2) == 7L && s(1).getLong(3) == 60000L)
   }
 
   test("dialogueTurns: speaker-tagged lines become turns in order; " +
