@@ -655,6 +655,26 @@ object Multimodal {
           .as("__tar")),
       idCol, "__tar", maxEntries)
 
+  /** EVERY regular file's text from a tar — the code-corpus onboard
+    * step ([[tarMemberText]] pulls one known member; a repository
+    * tarball wants them all): entries explode, regular files keep
+    * their resolved names, and each slices its own bytes from the
+    * payload (`substr(offset+1, size)` — tar is uncompressed).
+    * Output (idCol, name, size, text); pipe straight into
+    * `CodeCorpus.codeLangId`/`licenseScan`/`codeStats`. Narrow
+    * explode, zero shuffle. */
+  def tarFileTexts(docs: DataFrame, idCol: String = "doc_id",
+                   payloadCol: String = "payload",
+                   maxEntries: Int = 1 << 16): DataFrame =
+    docs.select(col(idCol), col(payloadCol).as("__p"),
+        explode(graft.functions.TarEntries(col(payloadCol), maxEntries))
+          .as("__e"))
+      .filter(col("__e.typeflag") === "0")
+      .select(col(idCol), col("__e.name").as("name"),
+        col("__e.size").as("size"),
+        decode(col("__p").substr(col("__e.offset") + 1, col("__e.size")),
+          "UTF-8").as("text"))
+
   /** One named REGULAR file's text from a tar — tar stores bytes
     * uncompressed, so after the walk locates `(offset, size)` the
     * extraction is a plain per-row `substr` slice, decoded UTF-8.

@@ -16,11 +16,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `(name, offset, size, typeflag)` where `offset` points at the
   * entry's DATA — tar stores bytes uncompressed, so extraction is a
   * plain `substr(payload, offset+1, size)` on the caller's side, no
-  * second kernel needed. GNU long-name records (`L` typeflag) are
-  * RESOLVED the way GNU tar writes them: the record's data is the
-  * NEXT entry's full name (NUL-stripped), the `L` record itself never
-  * surfaces — deep source trees exceed the 100-char name field
-  * routinely. PAX `x`/`g` extension headers still surface verbatim
+  * second kernel needed. Long names resolve BOTH ways tars spell
+  * them: GNU `L` records (data = the NEXT entry's name,
+  * NUL-stripped) and POSIX PAX `x` headers (`len key=value\n`
+  * records, the `path=` key overriding the next entry's name; other
+  * keys ignored, malformed records fail the archive) — neither
+  * record surfaces itself. Global `g` headers still surface verbatim
   * with their typeflag (callers filter on `typeflag = '0'` for
   * regular files; `5` directories, `2` symlinks keep their flags).
   *
@@ -114,6 +115,29 @@ object TarEntries {
         while (len > 0 && bytes(dataStart + len - 1) == 0) len -= 1
         pendingLongName = new String(bytes, dataStart, len,
           java.nio.charset.StandardCharsets.UTF_8)
+      } else if (tf == "x") {
+        // PAX extended header: "len key=value\n" records; a path=
+        // record overrides the NEXT entry's name (the POSIX way
+        // modern tars spell long names). Other keys are ignored;
+        // malformed records fail the archive closed.
+        if (size > (1 << 16)) return null
+        val data = new String(bytes, dataStart, size.toInt,
+          java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        while (i < data.length) {
+          val sp = data.indexOf(' ', i)
+          if (sp < 0) return null
+          val recLen =
+            try data.substring(i, sp).toInt
+            catch { case _: NumberFormatException => return null }
+          if (recLen <= 0 || i + recLen > data.length ||
+            data.charAt(i + recLen - 1) != '\n') return null
+          val eq = data.indexOf('=', sp + 1)
+          if (eq < 0 || eq >= i + recLen) return null
+          if (data.substring(sp + 1, eq) == "path")
+            pendingLongName = data.substring(eq + 1, i + recLen - 1)
+          i += recLen
+        }
       } else {
         val effName =
           if (pendingLongName != null) pendingLongName else name
