@@ -118,25 +118,32 @@ object TarEntries {
       } else if (tf == "x") {
         // PAX extended header: "len key=value\n" records; a path=
         // record overrides the NEXT entry's name (the POSIX way
-        // modern tars spell long names). Other keys are ignored;
-        // malformed records fail the archive closed.
+        // modern tars spell long names). Record lengths count BYTES
+        // (values are UTF-8), so the walk stays on the byte array.
+        // Other keys are ignored; malformed records fail the archive.
         if (size > (1 << 16)) return null
-        val data = new String(bytes, dataStart, size.toInt,
-          java.nio.charset.StandardCharsets.UTF_8)
-        var i = 0
-        while (i < data.length) {
-          val sp = data.indexOf(' ', i)
-          if (sp < 0) return null
-          val recLen =
-            try data.substring(i, sp).toInt
-            catch { case _: NumberFormatException => return null }
-          if (recLen <= 0 || i + recLen > data.length ||
-            data.charAt(i + recLen - 1) != '\n') return null
-          val eq = data.indexOf('=', sp + 1)
-          if (eq < 0 || eq >= i + recLen) return null
-          if (data.substring(sp + 1, eq) == "path")
-            pendingLongName = data.substring(eq + 1, i + recLen - 1)
-          i += recLen
+        val end = dataStart + size.toInt
+        var i = dataStart
+        while (i < end) {
+          var recLen = 0
+          var digits = 0
+          while (i < end && bytes(i) >= '0' && bytes(i) <= '9') {
+            recLen = recLen * 10 + (bytes(i) - '0'); i += 1; digits += 1
+          }
+          if (digits == 0 || i >= end || bytes(i) != ' ') return null
+          val recStart = i - digits
+          val recEnd = recStart + recLen
+          if (recLen <= 0 || recEnd > end || bytes(recEnd - 1) != '\n')
+            return null
+          var eq = i + 1
+          while (eq < recEnd && bytes(eq) != '=') eq += 1
+          if (eq >= recEnd) return null
+          val key = new String(bytes, i + 1, eq - i - 1,
+            java.nio.charset.StandardCharsets.UTF_8)
+          if (key == "path")
+            pendingLongName = new String(bytes, eq + 1, recEnd - 1 - (eq + 1),
+              java.nio.charset.StandardCharsets.UTF_8)
+          i = recEnd
         }
       } else {
         val effName =
