@@ -120,11 +120,14 @@ object JsonPathTypes {
     def parseNumber(): Unit = {
       val start = i
       if (i < n && str.charAt(i) == '-') i += 1
+      val intStart = i
       var digits = 0
       while (i < n && str.charAt(i) >= '0' && str.charAt(i) <= '9') {
         i += 1; digits += 1
       }
       if (digits == 0) throw Bad
+      // JSON forbids leading zeros ("01"): strict means strict
+      if (digits > 1 && str.charAt(intStart) == '0') throw Bad
       if (i < n && str.charAt(i) == '.') {
         i += 1
         var f = 0

@@ -36,12 +36,12 @@ class JsonPathTypesSpec extends SparkSpec {
       (1L, "{oops"), (2L, """{"a":}"""), (3L, """{"a":1} extra"""),
       (4L, """{"a":"unterminated}"""), (5L, """{"a":01e}"""),
       (6L, """{"a":"bad\escape"}"""), (7L, ""), (8L, "[1,2]"), (9L, "42"),
-      (10L, """{"ok":1}""")).toDF("id", "json")
+      (10L, """{"ok":1}"""), (11L, """{"a":01}""")).toDF("id", "json")
     val out = df.select(col("id"),
       JsonPathTypes(col("json"), 3).as("p")).collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Any](1)))
       .toMap
-    for (bad <- Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    for (bad <- Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 11L))
       assert(out(bad) == null, s"row $bad must fail closed")
     assert(out(8L) != null && out(8L).isEmpty, "valid array: empty")
     assert(out(9L) != null && out(9L).isEmpty, "valid scalar: empty")
