@@ -1385,13 +1385,18 @@ object TextAnalysis {
     import graft.functions.CsvFields
     // RFC 4180 lines are CRLF-delimited; split on either ending so a
     // real Windows-written lake file doesn't drag \r into its fields
-    val lines = slice(filter(split(col(textCol), "\r?\n"), l => l =!= ""),
-      lit(1), lit(maxLines))
+    val linesExpr = slice(filter(split(col(textCol), "\r?\n"),
+      l => l =!= ""), lit(1), lit(maxLines))
+    val lines = col("__lines")
     val l1 = coalesce(try_element_at(lines, lit(1)), lit(""))
     val l2 = try_element_at(lines, lit(2))
     val numeric = "^-?[0-9]+(\\.[0-9]+)?$"
     val cands = Seq(",", ";", "\t", "|")
-    val scored = cands.map { name =>
+    // ONE struct per candidate, computed once behind an alias
+    // boundary: the old form inlined every candidate's kernel chain
+    // into each of the three output trees (delimiter, n_cols,
+    // has_header evaluated it all 3x per row)
+    val scoredArr = array(cands.map { name =>
       val counts = transform(lines, l => size(CsvFields(l, lit(name))))
       val first = try_element_at(counts, lit(1))
       val ok = first.isNotNull && first > 1 &&
@@ -1400,19 +1405,23 @@ object TextAnalysis {
         !exists(CsvFields(l1, lit(name)), f => trim(f).rlike(numeric)) &&
         coalesce(exists(CsvFields(l2, lit(name)),
           f => trim(f).rlike(numeric)), lit(false))
-      (name, when(ok, first), hdr)
-    }
-    val (bd, bc, bh) = scored.foldLeft(
-      (lit(null: String), lit(null).cast("int"), lit(false))) {
-      case ((d, c, h), (name, nc, hdr)) =>
-        val better = nc.isNotNull && (c.isNull || nc > c)
-        (when(better, lit(name)).otherwise(d),
-          when(better, nc).otherwise(c),
-          when(better, hdr).otherwise(h))
-    }
-    docs.select(col(idCol), bd.as("delimiter"),
-      bc.cast("long").as("n_cols"), bh.as("has_header"),
-      size(lines).cast("long").as("n_lines_sampled"))
+      struct(lit(name).as("d"), when(ok, first).as("nc"), hdr.as("hdr"))
+    }: _*)
+    // max-columns winner with fixed-order ties: strict > keeps the
+    // earlier candidate on equal counts, exactly the old fold
+    val bestExpr = aggregate(col("__s"),
+      struct(lit(null).cast("string").as("d"),
+        lit(null).cast("int").as("nc"), lit(false).as("hdr")),
+      (acc, x) => when(x.getField("nc").isNotNull &&
+        (acc.getField("nc").isNull ||
+          x.getField("nc") > acc.getField("nc")), x).otherwise(acc))
+    docs.select(col(idCol), linesExpr.as("__lines"))
+      .select(col(idCol), lines, scoredArr.as("__s"))
+      .select(col(idCol), lines, bestExpr.as("__b"))
+      .select(col(idCol), col("__b.d").as("delimiter"),
+        col("__b.nc").cast("long").as("n_cols"),
+        col("__b.hdr").as("has_header"),
+        size(lines).cast("long").as("n_lines_sampled"))
   }
 
   /** RFC 4180 CSV parsing to positioned fields: lines explode with
