@@ -77,11 +77,18 @@ case class GunzipPayload(child: Expression, maxOut: Int)
   * any cap trips, or trailing non-gzip bytes follow the last member —
   * a half-readable archive is a corrupt archive, and partial salvage
   * belongs to an explicit recovery pass, not a silent default.
-  * Returns `array<binary>`, one element per member, in order. */
-case class GunzipMembers(child: Expression, maxMembers: Int, maxOut: Int)
+  * Besides the per-member `maxOut`, the AGGREGATE inflated output is
+  * capped at `maxTotalOut`: without it, many small members each under
+  * `maxOut` (a concatenated-bomb archive) could accumulate an
+  * unbounded result list and OOM the executor before any per-member
+  * cap tripped. Returns `array<binary>`, one element per member, in
+  * order. */
+case class GunzipMembers(child: Expression, maxMembers: Int, maxOut: Int,
+                         maxTotalOut: Long)
     extends UnaryExpression {
   require(maxMembers > 0, "member walk bound must be positive")
   require(maxOut > 0, "output cap must be positive")
+  require(maxTotalOut > 0, "total output cap must be positive")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case _: BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -95,11 +102,11 @@ case class GunzipMembers(child: Expression, maxMembers: Int, maxOut: Int)
 
   override def nullSafeEval(a: Any): Any =
     GunzipPayload.computeMembers(a.asInstanceOf[Array[Byte]], maxMembers,
-      maxOut)
+      maxOut, maxTotalOut)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.functions.GunzipPayload.computeMembers($c, $maxMembers, $maxOut);
+      ${ev.value} = graft.functions.GunzipPayload.computeMembers($c, $maxMembers, $maxOut, ${maxTotalOut}L);
       if (${ev.value} == null) { ${ev.isNull} = true; }""")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -112,11 +119,13 @@ object GunzipMembers {
   import org.apache.spark.sql.graftshim.ColumnShim
 
   /** Column-level entry point; caps default to 65536 members of
-    * ≤16 MiB each. */
+    * ≤16 MiB each, with the aggregate inflated output additionally
+    * bounded at 256 MiB per row. */
   def apply(payload: Column, maxMembers: Int = 1 << 16,
-            maxOut: Int = 1 << 24): Column =
+            maxOut: Int = 1 << 24, maxTotalOut: Long = 1L << 28): Column =
     ColumnShim.column(
-      GunzipMembers(ColumnShim.expression(payload), maxMembers, maxOut))
+      GunzipMembers(ColumnShim.expression(payload), maxMembers, maxOut,
+        maxTotalOut))
 }
 
 object GunzipPayload {
@@ -132,15 +141,19 @@ object GunzipPayload {
 
   /** Walk every concatenated member via [[computeAt]] — public static
     * so generated code can call it. Null if any member fails, a cap
-    * trips, or trailing bytes remain. */
+    * trips (per-member, member count, or aggregate output), or
+    * trailing bytes remain. */
   def computeMembers(bytes: Array[Byte], maxMembers: Int,
-                     maxOut: Int): GenericArrayData = {
+                     maxOut: Int, maxTotalOut: Long): GenericArrayData = {
     val out = new java.util.ArrayList[Any]
     var pos = 0
+    var total = 0L
     while (pos < bytes.length) {
       if (out.size() >= maxMembers) return null
       val r = computeAt(bytes, pos, maxOut)
       if (r == null) return null
+      total += r._1.length
+      if (total > maxTotalOut) return null // concatenated-bomb guard
       out.add(r._1)
       pos = r._2
     }

@@ -19,6 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * encoding byte honored: 0 latin1, 1 UTF-16 with BOM, 2 UTF-16BE,
   * 3 UTF-8; trailing NUL terminators stripped.
   *
+  * Tag-level unsynchronisation (header flag 0x80 — common for v2.3
+  * from older encoders) is REVERSED before the frame walk (every
+  * `FF 00` in the tag body collapses back to `FF`), so unsynced tags
+  * parse exactly instead of garbling silently.
+  *
   * Fail-closed null for: no `ID3` magic, unsupported major version,
   * a frame running past the tag, or a malformed size; the walk stops
   * cleanly at padding (NUL frame id) and is bounded by `maxFrames`.
@@ -58,12 +63,36 @@ case class Id3TextFrames(child: Expression, maxFrames: Int)
 object Id3TextFrames {
 
   /** The per-row kernel — public static so generated code can call it. */
-  def compute(bytes: Array[Byte], maxFrames: Int): GenericArrayData = {
-    val n = bytes.length
-    if (n < 10 || bytes(0) != 'I' || bytes(1) != 'D' || bytes(2) != '3')
-      return null
-    val major = bytes(3) & 0xff
+  def compute(bytes0: Array[Byte], maxFrames: Int): GenericArrayData = {
+    if (bytes0.length < 10 || bytes0(0) != 'I' || bytes0(1) != 'D' ||
+      bytes0(2) != '3') return null
+    val major = bytes0(3) & 0xff
     if (major != 3 && major != 4) return null
+    val flags = bytes0(5) & 0xff
+    // tag-level unsynchronisation (common in v2.3 from older encoders):
+    // 0xFF 0x00 pairs had a 0x00 inserted after every 0xFF in the tag
+    // body — reverse it before the frame walk, or v2.3 frame sizes and
+    // text bytes come out silently garbled
+    val bytes =
+      if ((flags & 0x80) == 0) bytes0
+      else {
+        val tagEnd0 = math.min(10 + (((bytes0(6) & 0x7f) << 21) |
+          ((bytes0(7) & 0x7f) << 14) | ((bytes0(8) & 0x7f) << 7) |
+          (bytes0(9) & 0x7f)), bytes0.length)
+        val b = new java.io.ByteArrayOutputStream(bytes0.length)
+        b.write(bytes0, 0, 10)
+        var i = 10
+        while (i < tagEnd0) {
+          b.write(bytes0(i))
+          if (bytes0(i) == 0xff.toByte && i + 1 < tagEnd0 &&
+            bytes0(i + 1) == 0) i += 2
+          else i += 1
+        }
+        // the de-unsynced body is shorter; the syncsafe size field
+        // still describes the WIRE length — clamp via actual length
+        b.toByteArray
+      }
+    val n = bytes.length
     def syncsafe(p: Int): Int =
       ((bytes(p) & 0x7f) << 21) | ((bytes(p + 1) & 0x7f) << 14) |
         ((bytes(p + 2) & 0x7f) << 7) | (bytes(p + 3) & 0x7f)

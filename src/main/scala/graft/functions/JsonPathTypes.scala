@@ -68,6 +68,10 @@ object JsonPathTypes {
 
   private object Bad extends Exception with scala.util.control.NoStackTrace
 
+  /** Hard bound on parse-tree depth (objects + arrays combined). JSON
+    * this deep is adversarial, not data; rows past it are malformed. */
+  val HardDepthCap = 1000
+
   /** The per-row kernel — public static so generated code can call it.
     * Null = malformed; empty = valid but no key paths. */
   def compute(s: UTF8String, maxDepth: Int): GenericArrayData = {
@@ -148,8 +152,12 @@ object JsonPathTypes {
       if (start == i) throw Bad
     }
     // parses any value; `record` is off inside arrays; `depth` is the
-    // key depth of this value's own children
+    // key depth of this value's own children. Descent is hard-capped at
+    // HardDepthCap regardless of maxDepth (maxDepth only stops
+    // *recording*): an adversarial row of repeated '[' / '{"a":' must
+    // fail closed as malformed, never blow the task stack.
     def parseValue(prefix: String, depth: Int, record: Boolean): String = {
+      if (depth > HardDepthCap) throw Bad
       ws()
       if (i >= n) throw Bad
       str.charAt(i) match {

@@ -111,9 +111,10 @@ object PdfTextExtract {
         var dEnd = end
         if (dEnd > dataStart && doc.charAt(dEnd - 1) == '\n') dEnd -= 1
         if (dEnd > dataStart && doc.charAt(dEnd - 1) == '\r') dEnd -= 1
-        // the dict governing this stream: between the last "<<" before
-        // the keyword and the keyword
-        val dictStart = doc.lastIndexOf("<<", sk)
+        // the dict governing this stream: backwards balanced <</>> scan
+        // finds the OUTER opener — a plain lastIndexOf("<<") would stop
+        // at a nested dict (/DecodeParms << … >>) and miss /FlateDecode
+        val dictStart = dictStartBefore(doc, sk)
         val dict = if (dictStart >= 0) doc.substring(dictStart, sk) else ""
         val flate = dict.contains("/FlateDecode")
         val data = doc.substring(dataStart, dEnd)
@@ -141,6 +142,29 @@ object PdfTextExtract {
     // the n_streams/n_decoded pair shows the truncation
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(out.toString), nStreams, nDecoded))
+  }
+
+  /** Start index of the stream dict governing the keyword at `sk`:
+    * the first `>>` scanning backwards is the governing dict's closer;
+    * balancing `>>`/`<<` pairs from there finds ITS opener, so nested
+    * dictionaries (e.g. `/DecodeParms << … >>` after `/Filter`)
+    * resolve to the OUTER opener, not the innermost `<<`. A `<<` hit
+    * at depth 0 (unterminated dict) is the opener directly. -1 if
+    * none found. */
+  private def dictStartBefore(doc: String, sk: Int): Int = {
+    var i = sk - 2
+    var depth = 0
+    while (i >= 0) {
+      val c = doc.charAt(i)
+      if (c == '>' && doc.charAt(i + 1) == '>') { depth += 1; i -= 2 }
+      else if (c == '<' && doc.charAt(i + 1) == '<') {
+        if (depth == 0) return i
+        depth -= 1
+        if (depth == 0) return i
+        i -= 2
+      } else i -= 1
+    }
+    -1
   }
 
   /** zlib inflate with the [[GunzipPayload]] cap discipline. */

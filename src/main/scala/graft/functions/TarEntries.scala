@@ -16,12 +16,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * `(name, offset, size, typeflag)` where `offset` points at the
   * entry's DATA — tar stores bytes uncompressed, so extraction is a
   * plain `substr(payload, offset+1, size)` on the caller's side, no
-  * second kernel needed. Long names resolve BOTH ways tars spell
+  * second kernel needed. Long names resolve ALL THREE ways tars spell
   * them: GNU `L` records (data = the NEXT entry's name,
-  * NUL-stripped) and POSIX PAX `x` headers (`len key=value\n`
+  * NUL-stripped), POSIX PAX `x` headers (`len key=value\n`
   * records, the `path=` key overriding the next entry's name; other
   * keys ignored, malformed records fail the archive) — neither
-  * record surfaces itself. Global `g` headers still surface verbatim
+  * record surfaces itself — and the plain-ustar split-path form
+  * (bsdtar/python-tarfile ustar mode: `prefix(155) + '/' + name`),
+  * honored only when the ustar magic is present. Global `g` headers still surface verbatim
   * with their typeflag (callers filter on `typeflag = '0'` for
   * regular files; `5` directories, `2` symlinks keep their flags).
   *
@@ -146,8 +148,20 @@ object TarEntries {
           i = recEnd
         }
       } else {
+        // POSIX ustar's third long-name spelling: bsdtar/libarchive and
+        // python tarfile in ustar mode split 100-255 char paths as
+        // prefix(155)+name(100), joined with '/'. Only honored when the
+        // ustar magic at 257 is present (old v7 tars reuse those bytes);
+        // an explicit GNU-L/PAX pendingLongName still overrides.
+        val ustarName =
+          if (bytes(pos + 257) == 'u' && bytes(pos + 258) == 's' &&
+            bytes(pos + 259) == 't' && bytes(pos + 260) == 'a' &&
+            bytes(pos + 261) == 'r') {
+            val prefix = cString(bytes, pos + 345, 155)
+            if (prefix.isEmpty) name else prefix + "/" + name
+          } else name
         val effName =
-          if (pendingLongName != null) pendingLongName else name
+          if (pendingLongName != null) pendingLongName else ustarName
         pendingLongName = null
         out.add(new GenericInternalRow(Array[Any](
           UTF8String.fromString(effName), dataStart.toLong, size,

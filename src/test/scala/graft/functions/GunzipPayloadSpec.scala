@@ -81,25 +81,37 @@ class GunzipPayloadSpec extends SparkSpec {
     "trailing garbage or member-count cap fails the whole row") {
     val parts = Seq("first record", "second", "third one here")
     val archive = parts.flatMap(p => gzip(p.getBytes("UTF-8"))).toArray
-    val got = GunzipPayload.computeMembers(archive, 16, 1 << 20)
+    val got = GunzipPayload.computeMembers(archive, 16, 1 << 20, 1L << 28)
     assert(got != null && got.numElements() == 3)
     val texts = (0 until 3).map(i => new String(got.getBinary(i), "UTF-8"))
     assert(texts == parts)
     // member-count cap
-    assert(GunzipPayload.computeMembers(archive, 2, 1 << 20) == null)
+    assert(GunzipPayload.computeMembers(archive, 2, 1 << 20, 1L << 28) == null)
     // corrupt the middle member's magic (member 2 starts right after
     // member 1 — same compressor, same length)
     val off = gzip(parts(0).getBytes("UTF-8")).length
     val bad = archive.clone(); bad(off) = 0x42
-    assert(GunzipPayload.computeMembers(bad, 16, 1 << 20) == null)
+    assert(GunzipPayload.computeMembers(bad, 16, 1 << 20, 1L << 28) == null)
     // trailing garbage after the last member
     assert(GunzipPayload.computeMembers(archive ++ Array[Byte](1, 2), 16,
-      1 << 20) == null)
+      1 << 20, 1L << 28) == null)
     // column form over a stored-block archive
     val sb = (storedGzip("x1".getBytes) ++ storedGzip("y22".getBytes))
     val row = Seq((1L, sb)).toDF("id", "gz")
       .select(GunzipMembers(col("gz")).as("ms")).collect()(0)
     assert(row.getSeq[Array[Byte]](0).map(new String(_)).toSeq
       == Seq("x1", "y22"))
+  }
+
+  test("gunzip_members: aggregate output cap trips on a concatenated bomb " +
+    "whose members each pass the per-member cap") {
+    // 8 members of 1000 bytes each: per-member cap 4096 never trips,
+    // but the 8000-byte aggregate crosses a 4 KiB total cap
+    val member = gzip(("z" * 1000).getBytes)
+    val archive = Array.fill(8)(member).flatten
+    assert(GunzipPayload.computeMembers(archive, 16, 4096, 4096L) == null)
+    // same archive under a roomy total cap reads clean
+    val ok = GunzipPayload.computeMembers(archive, 16, 4096, 1L << 20)
+    assert(ok != null && ok.numElements() == 8)
   }
 }

@@ -67,6 +67,40 @@ class Id3TextFramesSpec extends SparkSpec {
     assert(Id3TextFrames.compute(padded, 64).numElements() == 1)
   }
 
+  test("id3: tag-level unsynchronisation (flag 0x80) is reversed before the walk") {
+    // text whose latin1 bytes contain 0xFF ('ÿ'): the unsynced wire
+    // form inserts 0x00 after every 0xFF in the tag body
+    val plain = tag(3, frame("TIT2", textData(0, "ÿaÿb"), v4 = false),
+      frame("TPE1", textData(0, "zÿ"), v4 = false))
+    val body = plain.drop(10)
+    val unsynced = new ByteArrayOutputStream()
+    body.foreach { b =>
+      unsynced.write(b)
+      if (b == 0xff.toByte) unsynced.write(0)
+    }
+    val wire = unsynced.toByteArray
+    val s = wire.length
+    val hdr = new ByteArrayOutputStream()
+    hdr.write("ID3".getBytes); hdr.write(3); hdr.write(0)
+    hdr.write(0x80) // unsynchronisation flag
+    hdr.write(Array((s >> 21) & 127, (s >> 14) & 127, (s >> 7) & 127,
+      s & 127).map(_.toByte))
+    hdr.write(wire)
+    val r = Id3TextFrames.compute(hdr.toByteArray, 64)
+    assert(r != null && r.numElements() == 2)
+    val t0 = r.getStruct(0, 2)
+    val t1 = r.getStruct(1, 2)
+    assert(t0.getUTF8String(1).toString == "ÿaÿb")
+    assert(t1.getUTF8String(1).toString == "zÿ")
+    // without the flag the same wire bytes would misparse — prove the
+    // flag is what gates the reversal (flag 0 + unsynced body: TIT2's
+    // size now points mid-data, so the walk fails or yields junk ids)
+    val noFlag = hdr.toByteArray.clone(); noFlag(5) = 0
+    val r2 = Id3TextFrames.compute(noFlag, 64)
+    assert(r2 == null || (0 until r2.numElements()).forall { i =>
+      r2.getStruct(i, 2).getUTF8String(1).toString != "ÿaÿb" })
+  }
+
   test("id3 fails closed: no magic, bad version, oversized frame; operator explodes in order") {
     assert(Id3TextFrames.compute("MP3junk".getBytes, 8) == null)
     assert(Id3TextFrames.compute(tag(2,

@@ -48,6 +48,28 @@ class JsonPathTypesSpec extends SparkSpec {
     assert(out(10L).length == 1)
   }
 
+  test("json_path_types: adversarial nesting fails closed at the hard depth " +
+    "cap instead of blowing the task stack") {
+    // ~100KB of '[' — descent past HardDepthCap must yield null, not
+    // StackOverflowError (maxDepth only bounds RECORDING, not descent)
+    val deepArr = "[" * 100000
+    val deepObj = "{\"a\":" * 100000
+    assert(JsonPathTypes.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(deepArr), 3) == null)
+    assert(JsonPathTypes.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(deepObj), 3) == null)
+    // a VALID object just under the cap still parses
+    val d = 500
+    val ok = "{\"a\":" * d + "1" + "}" * d
+    assert(JsonPathTypes.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(ok), 3) != null)
+    // and one past the cap fails closed even when syntactically valid
+    val d2 = JsonPathTypes.HardDepthCap + 1
+    val over = "{\"a\":" * d2 + "1" + "}" * d2
+    assert(JsonPathTypes.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(over), 3) == null)
+  }
+
   test("jsonPathCensus: per-path type counts aggregate over the corpus") {
     val df = Seq(
       """{"a":1,"m":{"x":"s"}}""",

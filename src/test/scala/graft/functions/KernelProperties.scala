@@ -130,7 +130,7 @@ object KernelProperties extends Properties("graft.functions.kernels") {
   property("gunzip_members round-trips arbitrary member lists in order") =
     forAll(Gen.choose(1, 5).flatMap(k => Gen.listOfN(k, bytesGen))) { parts =>
       val archive = parts.flatMap(gzipBytes).toArray
-      val got = GunzipPayload.computeMembers(archive, 16, 1 << 20)
+      val got = GunzipPayload.computeMembers(archive, 16, 1 << 20, 1L << 28)
       got != null && got.numElements() == parts.length &&
         parts.indices.forall(i =>
           java.util.Arrays.equals(got.getBinary(i), parts(i)))

@@ -66,4 +66,19 @@ class PdfTextSpec extends SparkSpec {
       .select(Multimodal.pdfText(col("p")).getField("text").as("t"))
     assert(df.collect()(0).getString(0) == "col api")
   }
+
+  test("pdf_text: /FlateDecode found past a nested dict (/DecodeParms << >>)") {
+    // a stream dict whose LAST '<<' before the keyword is a nested
+    // dictionary AFTER /Filter — lastIndexOf would miss /FlateDecode
+    val data = zlib("BT (nested dict) Tj ET".getBytes("ISO-8859-1"))
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("%PDF-1.4\n".getBytes)
+    bos.write((s"1 0 obj << /Length ${data.length} /Filter /FlateDecode" +
+      " /DecodeParms << /Predictor 1 >> >>\nstream\n").getBytes)
+    bos.write(data)
+    bos.write("\nendstream\nendobj\n%%EOF".getBytes)
+    val (t, ns, nd) = extract(bos.toByteArray)
+    assert(ns == 1 && nd == 1)
+    assert(t == "nested dict")
+  }
 }
