@@ -639,6 +639,27 @@ object Multimodal {
         col("__e.name").as("name"), col("__e.offset").as("offset"),
         col("__e.size").as("size"), col("__e.typeflag").as("typeflag"))
 
+  /** ZIP archive listing — the [[tarList]] sibling for the OOXML/
+    * epub/jar tier: [[graft.functions.ZipEntries]] resolves every
+    * entry via the CENTRAL DIRECTORY when an EOCD exists (exact
+    * `(name, method, csize, usize, data offset)` even for the
+    * data-descriptor archives streaming writers produce) and falls
+    * back to the sequential local-header walk for truncated
+    * CD-less payloads. Corrupt CDs, ZIP64 markers and junk payloads
+    * contribute NO rows — whole-archive fail-closed, the
+    * GunzipMembers contract. Narrow explode, zero shuffle. */
+  def zipList(docs: DataFrame, idCol: String = "doc_id",
+              payloadCol: String = "payload",
+              maxEntries: Int = 4096): DataFrame =
+    docs.select(col(idCol),
+        posexplode(graft.functions.ZipEntries(col(payloadCol), maxEntries))
+          .as(Seq("entry_idx", "__e")))
+      .select(col(idCol), col("entry_idx").cast("long").as("entry_idx"),
+        col("__e.name").as("name"),
+        col("__e.method").as("method"),
+        col("__e.csize").as("csize"), col("__e.usize").as("usize"),
+        col("__e.offset").as("offset"))
+
   /** [[tarList]] over a gzip-compressed tarball — `.tar.gz`, the
     * shape source releases actually ship: one bounded
     * [[graft.functions.GunzipPayload]] inflate (CRC-verified,

@@ -10,21 +10,33 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** ZIP member content extraction — the step [[graft.ext.Multimodal]]'s
-  * `zipMeta` walk stops short of: walk the local file headers
-  * (`PK\x03\x04`, the same `pos → pos+30+namelen+extralen+csize`
-  * chain) until the entry named `entryName`, then yield its bytes —
-  * stored members (method 0) sliced directly, DEFLATE members
-  * (method 8) inflated with `Inflater(nowrap)`. This is what turns a
-  * crawled OOXML payload into text: `word/document.xml` is one
-  * extraction away from the document corpus.
+  * `zipMeta` walk stops short of: resolve the entry named `entryName`
+  * and yield its bytes — stored members (method 0) sliced directly,
+  * DEFLATE members (method 8) inflated with `Inflater(nowrap)`. This
+  * is what turns a crawled OOXML payload into text:
+  * `word/document.xml` is one extraction away from the document
+  * corpus.
   *
-  * FAIL-CLOSED NULL on: non-ZIP payload, malformed/truncated header,
-  * any data-descriptor entry encountered before the target (flag bit
-  * 3 — csize unknown in the local header, same refusal as zipMeta),
+  * PRIMARY resolution is the central directory: locate the
+  * end-of-central-directory record (`PK\x05\x06`, scanned backwards
+  * past any trailing comment), walk the CD (`PK\x01\x02`) for exact
+  * `(name, method, csize, usize, local-header offset)` per entry,
+  * then slice/inflate at the offset's local header. This reads the
+  * data-descriptor archives streaming writers produce (Java
+  * `ZipOutputStream`, Python `zipfile` in stream mode set flag bit 3
+  * and leave local csize/usize zero — only the descriptor and the CD
+  * carry them). FALLBACK for truncated archives with no EOCD: the
+  * sequential local-file-header walk
+  * (`pos → pos+30+namelen+extralen+csize`), which still refuses
+  * data-descriptor entries (csize unknown without a CD).
+  *
+  * FAIL-CLOSED NULL on: non-ZIP payload, malformed/truncated
+  * header, corrupt CD when an EOCD is present (a claimed CD is never
+  * second-guessed by the fallback walk), ZIP64 marker values,
   * unknown compression method, corrupt DEFLATE data, a declared or
   * actual uncompressed size past `maxOut` (bomb guard — rejected,
   * never clipped), inflate output diverging from the declared usize,
-  * and entry-not-found. The walk is bounded to `maxEntries` local
+  * and entry-not-found. Both walks are bounded to `maxEntries`
   * headers. Per-row bounded work, zero shuffle, codegen'd. */
 case class ZipEntryBytes(child: Expression, entryName: String, maxOut: Int,
                          maxEntries: Int)
@@ -109,34 +121,204 @@ object ZipEntryBytesAt {
       ColumnShim.expression(entryName), maxOut, maxEntries))
 }
 
+/** ZIP entry LISTING — the [[TarEntries]] shape for zip archives:
+  * `(name, method, csize, usize, offset)` per entry with `offset`
+  * pointing at the entry's data. Central-directory primary (exact
+  * sizes even for data-descriptor entries from streaming writers),
+  * local-header walk fallback when no EOCD exists (where flag-bit-3
+  * entries still fail closed). Corrupt CD, ZIP64 markers, junk
+  * payloads → null (whole-archive fail-closed). */
+case class ZipEntries(child: Expression, maxEntries: Int)
+    extends UnaryExpression {
+  require(maxEntries > 0, "entry walk bound must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"zip_entries expects binary input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("method", IntegerType, nullable = false),
+    StructField("csize", LongType, nullable = false),
+    StructField("usize", LongType, nullable = false),
+    StructField("offset", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    ZipEntryBytes.computeEntries(a.asInstanceOf[Array[Byte]], maxEntries)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ZipEntryBytes.computeEntries($c, $maxEntries);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "zip_entries"
+}
+
+object ZipEntries {
+  import org.apache.spark.sql.graftshim.ColumnShim
+
+  /** Column-level entry point; the walk bound defaults to 4096. */
+  def apply(payload: Column, maxEntries: Int = 4096): Column =
+    ColumnShim.column(ZipEntries(ColumnShim.expression(payload), maxEntries))
+}
+
 object ZipEntryBytes {
+
+  private def le16(bytes: Array[Byte], p: Int): Int =
+    (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+  private def le32(bytes: Array[Byte], p: Int): Long =
+    (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+      ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+
+  /** Offset of the end-of-central-directory record, or -1. Scans
+    * backwards from the end (EOCD is 22 bytes + a comment of up to
+    * 65535), accepting the first `PK\x05\x06` whose comment length
+    * reaches exactly the end of the payload — the standard
+    * disambiguation against signature bytes inside member data. */
+  def findEocd(bytes: Array[Byte]): Int = {
+    val n = bytes.length
+    var p = n - 22
+    val floor = math.max(0, n - 22 - 65535)
+    while (p >= floor) {
+      if (bytes(p) == 0x50 && bytes(p + 1) == 0x4b && bytes(p + 2) == 5 &&
+        bytes(p + 3) == 6 && p + 22 + le16(bytes, p + 20) == n) return p
+      p -= 1
+    }
+    -1
+  }
+
+  /** Slice (method 0) or inflate (method 8) one member's data given
+    * CD/local-header facts; null on any malformed shape or cap trip. */
+  private def extractData(bytes: Array[Byte], dataStart: Int, method: Int,
+                          csize: Long, usize: Long,
+                          maxOut: Int): Array[Byte] = {
+    val n = bytes.length
+    if (usize > maxOut) return null // declared bomb
+    if (dataStart < 0 || dataStart.toLong + csize > n) return null
+    if (method == 0) {
+      if (csize != usize) return null
+      return java.util.Arrays.copyOfRange(bytes, dataStart,
+        dataStart + csize.toInt)
+    }
+    if (method != 8) return null
+    if (usize == 0) return Array.empty[Byte] // empty member
+    val inf = new Inflater(true)
+    try {
+      inf.setInput(bytes, dataStart, csize.toInt)
+      val out = new Array[Byte](usize.toInt)
+      var total = 0
+      while (total < out.length && !inf.finished()) {
+        val got = inf.inflate(out, total, out.length - total)
+        if (got == 0 && !inf.finished()) return null // truncated
+        total += got
+      }
+      // the member must inflate to EXACTLY the declared size
+      if (total != usize || !inf.finished()) return null
+      out
+    } catch {
+      case _: DataFormatException => null
+      case _: ArrayIndexOutOfBoundsException => null
+    } finally inf.end()
+  }
+
+  /** Data offset behind a CD entry's local-header pointer: re-reads
+    * the LOCAL name/extra lengths (they may differ from the CD's) and
+    * sanity-checks the signature. -1 on any malformed shape. */
+  private def localDataStart(bytes: Array[Byte], lho: Long): Int = {
+    if (lho < 0 || lho + 30 > bytes.length) return -1
+    val p = lho.toInt
+    if (le32(bytes, p) != 0x04034b50L) return -1
+    p + 30 + le16(bytes, p + 26) + le16(bytes, p + 28)
+  }
 
   /** The per-row kernel — public static so generated code can call it.
     * `entryName` arrives as UTF8String so the comparison is raw-bytes
     * against the stored name (ZIP names are byte strings; OOXML
-    * writers emit ASCII/UTF-8). */
+    * writers emit ASCII/UTF-8). CD-primary, local-walk fallback. */
   def compute(bytes: Array[Byte], entryName: UTF8String, maxOut: Int,
               maxEntries: Int): Array[Byte] = {
+    val eocd = findEocd(bytes)
+    if (eocd >= 0) computeViaCd(bytes, eocd, entryName, maxOut, maxEntries)
+    else computeLocalWalk(bytes, entryName, maxOut, maxEntries)
+  }
+
+  /** Central-directory resolution: exact sizes/method/offset per entry
+    * straight from the CD — the only place streaming writers put them. */
+  private def computeViaCd(bytes: Array[Byte], eocd: Int,
+                           entryName: UTF8String, maxOut: Int,
+                           maxEntries: Int): Array[Byte] = {
+    val target = entryName.getBytes
+    val count = le16(bytes, eocd + 10)
+    val cdSize = le32(bytes, eocd + 12)
+    val cdOff = le32(bytes, eocd + 16)
+    // ZIP64 marker values and a CD that does not sit before its EOCD
+    // are out of this tier's contract: fail closed, never guess
+    if (count == 0xffff || cdOff == 0xffffffffL) return null
+    if (count > maxEntries) return null
+    if (cdOff + cdSize > eocd) return null
+    var pos = cdOff.toInt
+    var k = 0
+    while (k < count) {
+      k += 1
+      if (pos + 46 > eocd) return null
+      if (le32(bytes, pos) != 0x02014b50L) return null // corrupt CD
+      val method = le16(bytes, pos + 10)
+      val csize = le32(bytes, pos + 20)
+      val usize = le32(bytes, pos + 24)
+      val nlen = le16(bytes, pos + 28)
+      val elen = le16(bytes, pos + 30)
+      val clen = le16(bytes, pos + 32)
+      val lho = le32(bytes, pos + 42)
+      if (pos + 46 + nlen > eocd) return null
+      val isTarget = nlen == target.length && {
+        var i = 0
+        var eq = true
+        while (eq && i < nlen) {
+          if (bytes(pos + 46 + i) != target(i)) eq = false
+          i += 1
+        }
+        eq
+      }
+      if (isTarget) {
+        if (csize == 0xffffffffL || usize == 0xffffffffL) return null // ZIP64
+        val dataStart = localDataStart(bytes, lho)
+        if (dataStart < 0) return null
+        return extractData(bytes, dataStart, method, csize, usize, maxOut)
+      }
+      pos += 46 + nlen + elen + clen
+    }
+    null // entry not found
+  }
+
+  /** Sequential local-header fallback for truncated archives with no
+    * EOCD; data-descriptor entries (flag bit 3) still fail closed
+    * here — without a CD their csize is unknowable. */
+  private def computeLocalWalk(bytes: Array[Byte], entryName: UTF8String,
+                               maxOut: Int, maxEntries: Int): Array[Byte] = {
     val n = bytes.length
     val target = entryName.getBytes
-    def le16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
-    def le32(p: Int): Long =
-      (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
-        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
     var pos = 0
     var steps = 0
     while (steps < maxEntries) {
       steps += 1
       if (pos < 0 || pos + 4 > n) return null
-      val sig = le32(pos)
+      val sig = le32(bytes, pos)
       if (sig != 0x04034b50L) return null // central dir / EOCD / junk: not found
       if (pos + 30 > n) return null
-      val flags = le16(pos + 6)
-      val method = le16(pos + 8)
-      val csize = le32(pos + 18)
-      val usize = le32(pos + 22)
-      val nlen = le16(pos + 26)
-      val elen = le16(pos + 28)
+      val flags = le16(bytes, pos + 6)
+      val method = le16(bytes, pos + 8)
+      val csize = le32(bytes, pos + 18)
+      val usize = le32(bytes, pos + 22)
+      val nlen = le16(bytes, pos + 26)
+      val elen = le16(bytes, pos + 28)
       if ((flags & 8) != 0) return null // data descriptor: csize unknown
       val dataStart = pos + 30 + nlen + elen
       if (dataStart.toLong + csize > n) return null
@@ -149,33 +331,86 @@ object ZipEntryBytes {
         }
         eq
       }
-      if (isTarget) {
-        if (usize > maxOut) return null // declared bomb
-        if (method == 0) {
-          if (csize != usize) return null
-          return java.util.Arrays.copyOfRange(bytes, dataStart,
-            dataStart + csize.toInt)
-        }
-        if (method != 8) return null
-        if (usize == 0) return Array.empty[Byte] // empty member
-        val inf = new Inflater(true)
-        try {
-          inf.setInput(bytes, dataStart, csize.toInt)
-          val out = new Array[Byte](usize.toInt)
-          var total = 0
-          while (total < out.length && !inf.finished()) {
-            val got = inf.inflate(out, total, out.length - total)
-            if (got == 0 && !inf.finished()) return null // truncated
-            total += got
-          }
-          // the member must inflate to EXACTLY the declared size
-          if (total != usize || !inf.finished()) return null
-          return out
-        } catch {
-          case _: DataFormatException => return null
-          case _: ArrayIndexOutOfBoundsException => return null
-        } finally inf.end()
+      if (isTarget)
+        return extractData(bytes, dataStart, method, csize, usize, maxOut)
+      pos = dataStart + csize.toInt
+    }
+    null // walk bound exhausted
+  }
+
+  /** CD-primary entry LISTING kernel body — array of
+    * `(name, method, csize, usize, offset)` with `offset` pointing at
+    * the entry's DATA (the [[TarEntries]] shape: extraction is a
+    * `substr`/inflate away). Null on corrupt CD / ZIP64 / junk; for
+    * EOCD-less archives falls back to the local walk, where a
+    * data-descriptor entry fails closed. */
+  def computeEntries(bytes: Array[Byte],
+                     maxEntries: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    if (bytes.length == 0) return null
+    val out = new java.util.ArrayList[Any]
+    def row(nameOff: Int, nameLen: Int, method: Int, csize: Long,
+            usize: Long, dataStart: Int): Unit =
+      out.add(new GenericInternalRow(Array[Any](
+        UTF8String.fromBytes(bytes, nameOff, nameLen),
+        method, csize, usize, dataStart.toLong)))
+    val eocd = findEocd(bytes)
+    if (eocd >= 0) {
+      val count = le16(bytes, eocd + 10)
+      val cdSize = le32(bytes, eocd + 12)
+      val cdOff = le32(bytes, eocd + 16)
+      if (count == 0xffff || cdOff == 0xffffffffL) return null
+      if (count > maxEntries) return null
+      if (cdOff + cdSize > eocd) return null
+      var pos = cdOff.toInt
+      var k = 0
+      while (k < count) {
+        k += 1
+        if (pos + 46 > eocd) return null
+        if (le32(bytes, pos) != 0x02014b50L) return null
+        val method = le16(bytes, pos + 10)
+        val csize = le32(bytes, pos + 20)
+        val usize = le32(bytes, pos + 24)
+        val nlen = le16(bytes, pos + 28)
+        val elen = le16(bytes, pos + 30)
+        val clen = le16(bytes, pos + 32)
+        val lho = le32(bytes, pos + 42)
+        if (pos + 46 + nlen > eocd) return null
+        if (csize == 0xffffffffL || usize == 0xffffffffL) return null
+        val dataStart = localDataStart(bytes, lho)
+        if (dataStart < 0) return null
+        row(pos + 46, nlen, method, csize, usize, dataStart)
+        pos += 46 + nlen + elen + clen
       }
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        out.toArray)
+    }
+    // no EOCD: sequential local walk; CD/EOCD signatures end it cleanly
+    val n = bytes.length
+    var pos = 0
+    var steps = 0
+    while (steps < maxEntries) {
+      steps += 1
+      if (pos + 4 > n)
+        return if (pos == n)
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+        else null
+      val sig = le32(bytes, pos)
+      if (sig == 0x02014b50L || sig == 0x06054b50L)
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          out.toArray)
+      if (sig != 0x04034b50L) return null
+      if (pos + 30 > n) return null
+      val flags = le16(bytes, pos + 6)
+      val method = le16(bytes, pos + 8)
+      val csize = le32(bytes, pos + 18)
+      val usize = le32(bytes, pos + 22)
+      val nlen = le16(bytes, pos + 26)
+      val elen = le16(bytes, pos + 28)
+      if ((flags & 8) != 0) return null // data descriptor without a CD
+      val dataStart = pos + 30 + nlen + elen
+      if (dataStart.toLong + csize > n) return null
+      row(pos + 30, nlen, method, csize, usize, dataStart)
       pos = dataStart + csize.toInt
     }
     null // walk bound exhausted

@@ -70,15 +70,84 @@ class ZipEntryBytesSpec extends SparkSpec {
     val bad = z.clone(); bad(z.length - 20) = (bad(z.length - 20) ^ 0x7f).toByte
     assert(ZipEntryBytes.compute(bad, u("word/document.xml"),
       1 << 20, 64) == null)
-    // JDK streaming DEFLATED entries use data descriptors — documented
-    // fail-closed refusal (csize unknown in the local header)
+    // JDK streaming DEFLATED entries use data descriptors — resolved
+    // via the central directory (exact sizes live there, not in the
+    // local header)
     val bos = new ByteArrayOutputStream(); val zo = new ZipOutputStream(bos)
     zo.putNextEntry(new ZipEntry("word/document.xml"))
-    zo.write("x".getBytes); zo.closeEntry(); zo.close()
-    assert(ZipEntryBytes.compute(bos.toByteArray, u("word/document.xml"),
-      1 << 20, 64) == null)
+    zo.write("streamed body".getBytes); zo.closeEntry(); zo.close()
+    assert(new String(ZipEntryBytes.compute(bos.toByteArray,
+      u("word/document.xml"), 1 << 20, 64)) == "streamed body")
     // junk payload
     assert(ZipEntryBytes.compute("not a zip".getBytes, u("a"), 64, 64) == null)
+  }
+
+  test("zip central directory: corrupt CD and doctored EOCD fail closed; " +
+    "a zip comment does not fool the EOCD scan") {
+    def ddZip(entries: (String, String)*): Array[Byte] = {
+      val b = new ByteArrayOutputStream(); val z = new ZipOutputStream(b)
+      for ((n, d) <- entries) {
+        z.putNextEntry(new ZipEntry(n)); z.write(d.getBytes); z.closeEntry()
+      }
+      z.close(); b.toByteArray
+    }
+    val z = ddZip("a.txt" -> "alpha", "b/c.txt" -> ("bravo " * 100))
+    assert(new String(ZipEntryBytes.compute(z, u("b/c.txt"), 1 << 20, 64))
+      == "bravo " * 100)
+    // a trailing zip comment moves the EOCD off the tail — still found
+    val zc = {
+      val b = new ByteArrayOutputStream(); val zo2 = new ZipOutputStream(b)
+      zo2.setComment("archive comment here")
+      zo2.putNextEntry(new ZipEntry("a.txt")); zo2.write("alpha".getBytes)
+      zo2.closeEntry(); zo2.close(); b.toByteArray
+    }
+    assert(new String(ZipEntryBytes.compute(zc, u("a.txt"), 1 << 20, 64))
+      == "alpha")
+    // corrupt a CD entry signature: whole archive fails closed (the
+    // fallback walk never second-guesses a claimed CD)
+    val eocd = ZipEntryBytes.findEocd(z)
+    assert(eocd >= 0)
+    val cdOff = ((z(eocd + 16) & 0xff) | ((z(eocd + 17) & 0xff) << 8) |
+      ((z(eocd + 18) & 0xff) << 16) | ((z(eocd + 19) & 0xff) << 24))
+    val badCd = z.clone(); badCd(cdOff) = 0x42
+    assert(ZipEntryBytes.compute(badCd, u("a.txt"), 1 << 20, 64) == null)
+    // truncating the EOCD mid-record leaves no valid EOCD: the
+    // fallback walk sees data-descriptor locals and fails closed
+    val trunc = z.take(z.length - 10)
+    assert(ZipEntryBytes.compute(trunc, u("a.txt"), 1 << 20, 64) == null)
+    // doctored CD count past the walk bound fails closed
+    val hugeCount = z.clone()
+    hugeCount(eocd + 10) = 0xff.toByte; hugeCount(eocd + 11) = 0x7f
+    assert(ZipEntryBytes.compute(hugeCount, u("a.txt"), 1 << 20, 64) == null)
+    // ZIP64 marker values fail closed
+    val z64 = z.clone()
+    (16 until 20).foreach(i => z64(eocd + i) = 0xff.toByte)
+    assert(ZipEntryBytes.compute(z64, u("a.txt"), 1 << 20, 64) == null)
+  }
+
+  test("zipList: CD-primary listing with exact sizes for data-descriptor " +
+    "entries; CD-less payloads fall back; junk contributes no rows") {
+    val bos2 = new ByteArrayOutputStream()
+    val zo2 = new ZipOutputStream(bos2)
+    zo2.putNextEntry(new ZipEntry("one.txt")); zo2.write("first".getBytes)
+    zo2.closeEntry()
+    zo2.putNextEntry(new ZipEntry("two.txt"))
+    zo2.write(("second " * 50).getBytes); zo2.closeEntry(); zo2.close()
+    val dd = bos2.toByteArray
+    val noCd = deflateZip("only.xml", "<x>no cd</x>".getBytes)
+    val df = Seq((1L, dd), (2L, noCd), (3L, "junk!".getBytes))
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.zipList(df).orderBy("doc_id", "entry_idx").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "one.txt"), (1L, "two.txt"), (2L, "only.xml")))
+    // usize is exact even though the local headers carried zeros
+    assert(rows(0).getLong(5) == 5L)
+    assert(rows(1).getLong(5) == ("second " * 50).length.toLong)
+    assert(rows(2).getLong(5) == "<x>no cd</x>".length.toLong)
+    // offsets point at data: the stored-or-deflate slice round-trips
+    // through ZipEntryBytes for the named entry
+    assert(new String(ZipEntryBytes.compute(dd, u("one.txt"), 1 << 20, 64))
+      == "first")
   }
 
   test("xlsxSharedStrings: plain and rich-run entries indexed in order, " +
