@@ -798,6 +798,66 @@ object Multimodal {
         dc("title"), dc("creator"), dc("language"))
   }
 
+  /** EPUB chapter TEXT in spine order — the step [[epubMeta]] stops
+    * short of (Dublin Core names the book; the corpus wants the
+    * words): `META-INF/container.xml` names the OPF, the OPF's
+    * `<spine>` lists chapter `idref`s in READING ORDER, each resolves
+    * through the `<manifest>` to its `href` (both attribute orders
+    * handled), hrefs resolve relative to the OPF's own directory, and
+    * each chapter's XHTML extracts per-row-named
+    * ([[graft.functions.ZipEntryBytesAt]] — CD-primary, so streamed
+    * epubs read too) and cleans through [[TextAnalysis.htmlToText]].
+    * Chapters whose member is missing/corrupt keep their spine row
+    * with NULL text (fail closed, position preserved); books without
+    * a container/OPF contribute no rows. Output
+    * (idCol, chapter_idx, href, text); narrow explodes, zero
+    * shuffle. */
+  def epubChapters(docs: DataFrame, idCol: String = "doc_id",
+                   payloadCol: String = "payload",
+                   maxBytes: Int = 1 << 24): DataFrame = {
+    val withOpf = docs.select(col(idCol), col(payloadCol).as("__p"),
+        regexp_extract(decode(graft.functions.ZipEntryBytes(col("__p"),
+            "META-INF/container.xml", maxBytes), "UTF-8"),
+          "(?s)<rootfile[^>]*full-path=\"([^\"]*)\"", 1).as("__opfp"))
+      .filter(col("__opfp") =!= "")
+      .select(col(idCol), col("__p"), col("__opfp"),
+        decode(graft.functions.ZipEntryBytesAt(col("__p"), col("__opfp"),
+          maxBytes), "UTF-8").as("__opf"))
+      .filter(col("__opf").isNotNull)
+    // the OPF's directory prefixes relative hrefs ("ops/pkg.opf" +
+    // "ch1.xhtml" => "ops/ch1.xhtml"; a root-level OPF adds nothing)
+    val opfDir = when(col("__opfp").contains("/"),
+      concat(regexp_extract(col("__opfp"), "^(.*/)[^/]*$", 1)))
+      .otherwise(lit(""))
+    // the manifest as an (id, href) array built ONCE per book —
+    // spine rows then resolve with an array filter, no per-row regex
+    // the cast names the lambda's struct fields (aliases inside HOF
+    // lambdas come out col1/col2)
+    val items = transform(
+      regexp_extract_all(col("__opf"), lit("(?s)<item [^>]*>"), lit(0)),
+      tag => struct(
+        regexp_extract(tag, "id=\"([^\"]*)\"", 1).as("id"),
+        regexp_extract(tag, "href=\"([^\"]*)\"", 1).as("href")))
+      .cast("array<struct<id:string,href:string>>")
+    val spine = withOpf.select(col(idCol), col("__p"),
+        items.as("__items"), opfDir.as("__dir"),
+        posexplode(regexp_extract_all(col("__opf"),
+          lit("(?s)<itemref[^>]*idref=\"([^\"]*)\""), lit(1)))
+          .as(Seq("chapter_idx", "__idref")))
+    val matches = filter(col("__items"),
+      it => it.getField("id") === col("__idref"))
+    val href = when(size(matches) > 0,
+      matches.getItem(0).getField("href"))
+    spine.select(col(idCol),
+        col("chapter_idx").cast("long").as("chapter_idx"),
+        href.as("href"), col("__p"), col("__dir"))
+      .select(col(idCol), col("chapter_idx"), col("href"),
+        when(col("href").isNotNull, TextAnalysis.htmlToText(
+          decode(graft.functions.ZipEntryBytesAt(col("__p"),
+            concat(col("__dir"), col("href")), maxBytes), "UTF-8")))
+          .as("text"))
+  }
+
   /** XLSX shared-strings extraction — the text content of a
     * spreadsheet corpus (cell values referencing the shared table ARE
     * the document text): [[graft.functions.ZipEntryBytes]] pulls
@@ -821,6 +881,73 @@ object Multimodal {
         TextAnalysis.decodeEntities(array_join(
           regexp_extract_all(col("__si"),
             lit("(?s)<t[^>]*>(.*?)</t>"), lit(1)), "")).as("text"))
+  }
+
+  /** XLSX sheet-cell GRID extraction — the spreadsheet sibling of
+    * [[TextAnalysis.htmlTables]] ([[xlsxSharedStrings]] yields a bag
+    * of strings; real spreadsheet mining needs row/column structure):
+    * every `xl/worksheets/sheetN.xml` member (found via the
+    * [[graft.functions.ZipEntries]] CD-primary listing, so streamed
+    * workbooks resolve too) explodes its valued `<c>` cells into
+    * `(sheet, row, col, value)` — the `r="AA2"` reference split into
+    * base-26 column arithmetic (A=1, Z=26, AA=27) and the row
+    * number; `t="s"` cells resolve through the doc's OWN
+    * shared-strings array (built once per sheet row, indexed with
+    * `try_element_at` — no join, no shuffle), `t="inlineStr"` cells
+    * concatenate their `<is>` runs, and plain numeric/formula cells
+    * keep their `<v>` text verbatim. Entities decode in
+    * [[TextAnalysis.decodeEntities]]' one-pass chain. Self-closing
+    * empty cells contribute no rows; workbooks without sheets (or
+    * corrupt archives) contribute none. Output
+    * (idCol, sheet, row, col, value); narrow explodes over
+    * doc-bounded state, zero shuffle. */
+  def xlsxCells(docs: DataFrame, idCol: String = "doc_id",
+                payloadCol: String = "payload",
+                maxBytes: Int = 1 << 24,
+                maxEntries: Int = 4096): DataFrame = {
+    val sheets = docs.select(col(idCol), col(payloadCol).as("__p"),
+        explode(graft.functions.ZipEntries(col(payloadCol), maxEntries))
+          .as("__e"))
+      .filter(col("__e.name").rlike("^xl/worksheets/sheet[0-9]+\\.xml$"))
+      .select(col(idCol),
+        regexp_extract(col("__e.name"), "sheet([0-9]+)\\.xml$", 1)
+          .cast("long").as("sheet"),
+        decode(graft.functions.ZipEntryBytesAt(col("__p"),
+          col("__e.name"), maxBytes), "UTF-8").as("__xml"),
+        transform(regexp_extract_all(
+            decode(graft.functions.ZipEntryBytes(col("__p"),
+              "xl/sharedStrings.xml", maxBytes), "UTF-8"),
+            lit("(?s)<si>(.*?)</si>"), lit(1)),
+          si => TextAnalysis.decodeEntities(array_join(
+            regexp_extract_all(si, lit("(?s)<t[^>]*>(.*?)</t>"), lit(1)),
+            ""))).as("__sst"))
+    val cells = sheets.select(col(idCol), col("sheet"), col("__sst"),
+        // [^/]> excludes self-closing empty cells (<c r="D2"/>), which
+        // would otherwise swallow the following cell non-greedily
+        explode(regexp_extract_all(col("__xml"),
+          lit("(?s)<c [^>]*[^/]>.*?</c>"), lit(0))).as("__c"))
+      .select(col(idCol), col("sheet"), col("__sst"), col("__c"),
+        regexp_extract(col("__c"), "r=\"([A-Z]+)([0-9]+)\"", 1)
+          .as("__letters"),
+        regexp_extract(col("__c"), "r=\"([A-Z]+)([0-9]+)\"", 2)
+          .as("__rownum"),
+        regexp_extract(col("__c"), "t=\"([A-Za-z]+)\"", 1).as("__t"),
+        regexp_extract(col("__c"), "(?s)<v>(.*?)</v>", 1).as("__v"))
+      .filter(col("__letters") =!= "")
+    cells.select(col(idCol), col("sheet"),
+        col("__rownum").cast("long").as("row"),
+        aggregate(sequence(lit(1), length(col("__letters"))), lit(0L),
+          (acc, i) => acc * 26L +
+            (ascii(col("__letters").substr(i.cast("int"), lit(1))) - 64L))
+          .as("col"),
+        when(col("__t") === "s",
+          try_element_at(col("__sst"), expr("try_cast(__v AS int)") + 1))
+          .when(col("__t") === "inlineStr",
+            TextAnalysis.decodeEntities(array_join(
+              regexp_extract_all(col("__c"),
+                lit("(?s)<t[^>]*>(.*?)</t>"), lit(1)), "")))
+          .otherwise(TextAnalysis.decodeEntities(col("__v")))
+          .as("value"))
   }
 
   /** gzip member header (RFC 1952) — the compression wrapper around

@@ -167,6 +167,41 @@ class ZipEntryBytesSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("xlsxCells: cell grid with shared/inline/numeric values; base-26 " +
+    "column letters pinned (A=1, Z=26, AA=27, AB=28, ZZ=702); empty " +
+    "self-closing cells skipped; multi-sheet via the CD listing") {
+    val sst = "<sst><si><t>shared one</t></si>" +
+      "<si><r><t>ri</t></r><r><t>ch</t></r></si></sst>"
+    val s1 = "<worksheet><sheetData>" +
+      "<row r=\"1\"><c r=\"A1\" t=\"s\"><v>0</v></c>" +
+      "<c r=\"Z1\"><v>26</v></c><c r=\"AA1\" t=\"s\"><v>1</v></c></row>" +
+      "<row r=\"9\"><c r=\"AB9\"><v>28</v></c><c r=\"D9\"/>" +
+      "<c r=\"ZZ9\" t=\"inlineStr\"><is><t>in &amp; line</t></is></c></row>" +
+      "</sheetData></worksheet>"
+    val s2 = "<worksheet><sheetData><row r=\"2\">" +
+      "<c r=\"B2\"><v>7</v></c></row></sheetData></worksheet>"
+    val z = storedZip(
+      "xl/sharedStrings.xml" -> sst.getBytes("UTF-8"),
+      "xl/worksheets/sheet1.xml" -> s1.getBytes("UTF-8"),
+      "xl/worksheets/sheet2.xml" -> s2.getBytes("UTF-8"),
+      "xl/styles.xml" -> "<x/>".getBytes)
+    val rows = Multimodal.xlsxCells(Seq((1L, z)).toDF("doc_id", "payload"))
+      .orderBy("sheet", "row", "col").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.toSeq == Seq(
+      (1L, 1L, 1L, "shared one"), (1L, 1L, 26L, "26"),
+      (1L, 1L, 27L, "rich"), (1L, 9L, 28L, "28"),
+      (1L, 9L, 702L, "in & line"), (2L, 2L, 2L, "7")))
+    // out-of-range shared index and junk payloads are nulls / no rows
+    val bad = storedZip("xl/worksheets/sheet1.xml" ->
+      "<worksheet><c r=\"A1\" t=\"s\"><v>99</v></c></worksheet>".getBytes)
+    val b = Multimodal.xlsxCells(Seq((1L, bad)).toDF("doc_id", "payload"))
+      .collect()
+    assert(b.length == 1 && b(0).isNullAt(4))
+    assert(Multimodal.xlsxCells(Seq((1L, "junk".getBytes))
+      .toDF("doc_id", "payload")).count() == 0)
+  }
+
   test("epubMeta: container.xml NAMES the OPF (per-row member name), " +
     "Dublin Core decoded; missing container nulls the row") {
     val container = "<?xml version=\"1.0\"?><container><rootfiles>" +
@@ -196,6 +231,37 @@ class ZipEntryBytesSpec extends SparkSpec {
       .collect()(0)
     assert(both.getString(0) == both.getString(1))
     assert(both.isNullAt(2), "null name is a null result")
+  }
+
+  test("epubChapters: spine order (not manifest order), hrefs relative to " +
+    "the OPF dir, both attribute orders; missing chapter keeps a null row") {
+    val container = "<container><rootfiles>" +
+      "<rootfile full-path=\"ops/pkg.opf\" media-type=\"x\"/>" +
+      "</rootfiles></container>"
+    // manifest lists ch2 first; spine orders ch1 -> ch2 -> ghost
+    val opf = "<package><manifest>" +
+      "<item href=\"ch2.xhtml\" id=\"c2\" media-type=\"x\"/>" +
+      "<item id=\"c1\" href=\"ch1.xhtml\" media-type=\"x\"/>" +
+      "<item id=\"g\" href=\"gone.xhtml\"/>" +
+      "</manifest><spine><itemref idref=\"c1\"/>" +
+      "<itemref idref=\"c2\"/><itemref idref=\"g\"/></spine></package>"
+    val ch1 = "<html><body><p>First chapter &amp; text.</p></body></html>"
+    val ch2 = "<html><body><p>Second one.</p></body></html>"
+    val book = storedZip(
+      "mimetype" -> "application/epub+zip".getBytes,
+      "META-INF/container.xml" -> container.getBytes("UTF-8"),
+      "ops/pkg.opf" -> opf.getBytes("UTF-8"),
+      "ops/ch1.xhtml" -> ch1.getBytes("UTF-8"),
+      "ops/ch2.xhtml" -> ch2.getBytes("UTF-8"))
+    val rows = Multimodal.epubChapters(
+        Seq((1L, book), (2L, "junk".getBytes)).toDF("doc_id", "payload"))
+      .orderBy("doc_id", "chapter_idx").collect()
+    assert(rows.length == 3 && rows.forall(_.getLong(0) == 1L))
+    assert(rows.map(r => (r.getLong(1), r.getString(2))).toSeq ==
+      Seq((0L, "ch1.xhtml"), (1L, "ch2.xhtml"), (2L, "gone.xhtml")))
+    assert(rows(0).getString(3) == "First chapter & text.")
+    assert(rows(1).getString(3) == "Second one.")
+    assert(rows(2).isNullAt(3), "missing member fails closed to null text")
   }
 
   test("pptxSlideText: a:p paragraphs become lines, a:t runs concatenate, " +
