@@ -728,30 +728,103 @@ object Multimodal {
       regexp_replace(xml, "</a:p>", "\n"), "<[^>]+>", ""))
   }
 
+  /** XLSX document TEXT as one Column — the spreadsheet tier's entry
+    * in the [[documentText]] dispatcher ([[xlsxCells]] keeps the
+    * grid; a text dispatcher wants the words): the shared-strings
+    * entries in table order, one per line, runs concatenated and
+    * entities decoded. Workbooks without the member yield null. */
+  def xlsxText(payload: Column, maxBytes: Int = 1 << 24): Column = {
+    val sst = decode(graft.functions.ZipEntryBytes(payload,
+      "xl/sharedStrings.xml", maxBytes), "UTF-8")
+    array_join(transform(
+      regexp_extract_all(sst, lit("(?s)<si>(.*?)</si>"), lit(1)),
+      si => TextAnalysis.decodeEntities(array_join(
+        regexp_extract_all(si, lit("(?s)<t[^>]*>(.*?)</t>"), lit(1)), ""))),
+      "\n")
+  }
+
+  /** EPUB book TEXT as one Column — [[epubChapters]] flattened for
+    * the [[documentText]] dispatcher: container → OPF → spine order,
+    * each chapter extracted per-row-named and cleaned through
+    * [[TextAnalysis.htmlToText]], readable chapters joined by blank
+    * lines (missing ones skipped — the dispatcher's text is
+    * best-effort; use [[epubChapters]] when per-chapter fail-closure
+    * matters). Expression-tree form: the OPF text is re-derived per
+    * reference inside one projection (no cross-alias CSE), which is
+    * book-bounded work — acceptable for a per-row dispatcher, not
+    * for a corpus-wide epub pass (that is [[epubChapters]]). */
+  def epubText(payload: Column, maxBytes: Int = 1 << 24): Column = {
+    val opfp = regexp_extract(decode(graft.functions.ZipEntryBytes(payload,
+      "META-INF/container.xml", maxBytes), "UTF-8"),
+      "(?s)<rootfile[^>]*full-path=\"([^\"]*)\"", 1)
+    val opf = decode(graft.functions.ZipEntryBytesAt(payload,
+      when(opfp =!= "", opfp), maxBytes), "UTF-8")
+    val dir = when(opfp.contains("/"),
+      regexp_extract(opfp, "^(.*/)[^/]*$", 1)).otherwise(lit(""))
+    val items = transform(
+      regexp_extract_all(opf, lit("(?s)<item [^>]*>"), lit(0)),
+      tag => struct(
+        regexp_extract(tag, "id=\"([^\"]*)\"", 1).as("id"),
+        regexp_extract(tag, "href=\"([^\"]*)\"", 1).as("href")))
+      .cast("array<struct<id:string,href:string>>")
+    val idrefs = regexp_extract_all(opf,
+      lit("(?s)<itemref[^>]*idref=\"([^\"]*)\""), lit(1))
+    val texts = transform(idrefs, idref => {
+      val m = filter(items, it => it.getField("id") === idref)
+      when(size(m) > 0, TextAnalysis.htmlToText(
+        decode(graft.functions.ZipEntryBytesAt(payload,
+          concat(dir, m.getItem(0).getField("href")), maxBytes), "UTF-8")))
+    })
+    when(opf.isNotNull,
+      array_join(filter(texts, t => t.isNotNull), "\n\n"))
+  }
+
   /** Sniff-dispatched document text — the front door of a mixed
     * document lake: ONE pass labels each payload
-    * ([[sniffFormat]], aliased so the label evaluates once) and the
-    * per-format text tier runs behind a row-lazy when-chain — `pdf` →
-    * [[pdfText]], `zip` → [[docxText]] (the dominant zip document
-    * kind; route xlsx/pptx/epub explicitly when the lake is labeled),
-    * `gzip` → bounded [[graft.functions.GunzipPayload]] + UTF-8,
-    * everything unrecognized → UTF-8 as plain text. Codegen
-    * short-circuits the non-matching branches per row, so each
-    * payload pays only its own parser (the containerMeta(formats)
-    * lesson, solved per row instead of per call). At cluster scale
-    * prefer `sniff → repartition-by-format → the specific tier` —
-    * this dispatcher is the single-pass form for mixed small lakes
-    * and the tail of partitioned ones. Output (idCol, format,
-    * text — null when the matched tier fails closed). */
+    * ([[sniffFormat]], aliased so the label evaluates once); `zip`
+    * payloads get a second aliased pass resolving their DOCUMENT KIND
+    * from member names (the zipMeta rule: `word/`→docx, `xl/`→xlsx,
+    * `ppt/`→pptx, `META-INF/container.xml`→epub — via the CD-primary
+    * [[graft.functions.ZipEntries]] listing, so streamed OOXML
+    * resolves too); then the per-format text tier runs behind a
+    * row-lazy when-chain — `pdf` → [[pdfText]], `docx` →
+    * [[docxText]], `xlsx` → [[xlsxText]], `pptx` →
+    * [[pptxSlideText]] (slide 1), `epub` → [[epubText]], other zips
+    * → [[docxText]] (fails closed to null), `gzip` → bounded
+    * [[graft.functions.GunzipPayload]] + UTF-8, everything
+    * unrecognized → UTF-8 as plain text. Codegen short-circuits the
+    * non-matching branches per row, so each payload pays only its
+    * own parser (the containerMeta(formats) lesson, solved per row
+    * instead of per call). At cluster scale prefer `sniff →
+    * repartition-by-format → the specific tier` — this dispatcher is
+    * the single-pass form for mixed small lakes and the tail of
+    * partitioned ones. Output (idCol, format — the sniffed container
+    * family, text — null when the matched tier fails closed). */
   def documentText(docs: DataFrame, idCol: String = "doc_id",
                    payloadCol: String = "payload",
                    maxBytes: Int = 1 << 24): DataFrame =
     docs.select(col(idCol), col(payloadCol).as("__p"),
         sniffFormat(col(payloadCol)).as("format"))
+      .select(col(idCol), col("format"), col("__p"),
+        // member-name blob, evaluated once per zip row behind its own
+        // alias; "\n"-framed so prefix rules anchor on entry starts
+        when(col("format") === "zip", concat(lit("\n"), array_join(
+          transform(coalesce(
+            graft.functions.ZipEntries(col("__p"), 4096),
+            array().cast("array<struct<name:string,method:int," +
+              "csize:bigint,usize:bigint,offset:bigint>>")),
+            e => e.getField("name")), "\n"), lit("\n"))).as("__names"))
       .select(col(idCol), col("format"),
         when(col("format") === "pdf",
           pdfText(col("__p"), maxBytes = maxBytes).getField("text"))
-          .when(col("format") === "zip", docxText(col("__p"), maxBytes))
+          .when(col("format") === "zip",
+            when(col("__names").contains("\nxl/"),
+              xlsxText(col("__p"), maxBytes))
+              .when(col("__names").contains("\nppt/"),
+                pptxSlideText(col("__p"), maxBytes = maxBytes))
+              .when(col("__names").contains("\nMETA-INF/container.xml"),
+                epubText(col("__p"), maxBytes))
+              .otherwise(docxText(col("__p"), maxBytes)))
           .when(col("format") === "gzip",
             decode(graft.functions.GunzipPayload(col("__p"), maxBytes),
               "UTF-8"))

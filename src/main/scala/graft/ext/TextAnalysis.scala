@@ -871,6 +871,51 @@ object TextAnalysis {
     trim(regexp_replace(decodeEntities(noTags), " +", " "))
   }
 
+  /** MediaWiki markup cleaner — the post-XML pass for the standard
+    * Wikipedia pretraining corpus (dump extraction yields wikitext,
+    * not prose). Deterministic single-pass chain of simple regexes
+    * (no backreferences/lookbehind), in dependency order:
+    *
+    *  1. `<ref>…</ref>` citations and self-closing `<ref …/>` drop
+    *     (first — refs contain templates);
+    *  2. `{{templates}}` and `{|wiki tables|}` drop via ITERATED
+    *     INNERMOST-FIRST replacement, `maxNest` rounds — one nesting
+    *     level per round, so structures nested deeper than `maxNest`
+    *     leave their outer braces unresolved BY CONTRACT (bounded
+    *     work beats unbounded recursion on adversarial dumps; pinned
+    *     both ways in the unit, the removeRepeatedSpans style);
+    *  3. `[[target|label]]` → label (last pipe segment — File/Image
+    *     links keep their caption), `[[target]]` → target;
+    *  4. `[http://… label]` → label, bare `[http://…]` drops;
+    *  5. `== headings ==` keep their title text;
+    *  6. `''`/`'''` emphasis apostrophes drop (2–5 run);
+    *  7. leading `* # : ;` list/indent markers drop per line;
+    *
+    * then space/tab runs collapse and the result trims — newlines
+    * survive (paragraph structure is signal downstream). Narrow
+    * zero-shuffle scan. */
+  def wikitextClean(text: Column, maxNest: Int = 4): Column = {
+    val noRef = regexp_replace(text,
+      "(?is)<ref[^>]*/>|<ref[^>]*>.*?</ref>", "")
+    var cur = noRef
+    var i = 0
+    while (i < maxNest) {
+      cur = regexp_replace(cur, "(?s)\\{\\{[^{}]*\\}\\}", "")
+      cur = regexp_replace(cur, "(?s)\\{\\|[^{}]*\\|\\}", "")
+      i += 1
+    }
+    val piped = regexp_replace(cur,
+      "\\[\\[[^\\[\\]]*\\|([^\\[\\]|]*)\\]\\]", "$1")
+    val plain = regexp_replace(piped, "\\[\\[([^\\[\\]|]*)\\]\\]", "$1")
+    val extLabeled = regexp_replace(plain,
+      "\\[https?://[^ \\]]+ ([^\\]]*)\\]", "$1")
+    val extBare = regexp_replace(extLabeled, "\\[https?://[^\\]]*\\]", "")
+    val heads = regexp_replace(extBare, "(?m)^=+ *(.*?) *=+ *$", "$1")
+    val emph = regexp_replace(heads, "'{2,5}", "")
+    val lists = regexp_replace(emph, "(?m)^[*#:;]+ *", "")
+    trim(regexp_replace(lists, "[ \\t]+", " "))
+  }
+
   /** RFC 3986 §5.2 reference resolution, the deterministic core in
     * pure string ops: absolute `http(s)`/`ftp` refs pass through
     * (the generic any-scheme branch would accept `javascript://…` /
@@ -1568,6 +1613,79 @@ object TextAnalysis {
       .groupBy("path")
       .agg(count(lit(1)).as("n_total"), cnt("object"), cnt("array"),
         cnt("string"), cnt("number"), cnt("bool"), cnt("null"))
+  }
+
+  /** Collapse a [[jsonPathCensus]] into ONE Spark-DDL struct string
+    * for the corpus — the JSONL half of the sniff → census →
+    * explicit-read loop ([[csvInferSchema]] is the CSV half):
+    *
+    *  - each path's KIND is the majority of its type census, ties
+    *    resolved widest-first (string > number > bool > array >
+    *    object — the CSV promotion-ladder discipline: when in doubt,
+    *    the type that loses no data);
+    *  - leaves map `string→string`, `number→double`, `bool→boolean`,
+    *    `array→array<string>` (element types are not in the census —
+    *    the reader widens explicitly), all-null paths → `string`;
+    *  - OBJECT paths fold bottom-up into `struct<name:type,…>` with
+    *    fields in name order; objects whose children the census never
+    *    enumerated (the `maxDepth` bound) become `map<string,string>`
+    *    — the honest type for an object of unknown keys;
+    *  - a top-level field is `NOT NULL` only when its census saw no
+    *    nulls AND it appeared in every parsed document (presence =
+    *    the top-level maximum `n_total`); nested nullability is not
+    *    expressible in `struct<>` DDL and stays nullable.
+    *
+    * `StructType.fromDDL`-parseable for identifier-safe names
+    * (round-trip pinned in the unit). The fold is `maxDepth` tiny
+    * aggregations over the path-vocabulary-bounded census — never
+    * the corpus. Output: one row, one `schema` string. */
+  def jsonInferSchema(census: DataFrame, maxDepth: Int = 3): DataFrame = {
+    val mx = greatest(col("n_string"), col("n_number"), col("n_bool"),
+      col("n_array"), col("n_object"))
+    val kind = when(col("n_total") === col("n_null"), lit("null"))
+      .when(col("n_string") === mx, lit("string"))
+      .when(col("n_number") === mx, lit("number"))
+      .when(col("n_bool") === mx, lit("bool"))
+      .when(col("n_array") === mx, lit("array"))
+      .otherwise(lit("object"))
+    var cur = census.select(col("path"),
+      size(split(col("path"), "\\.")).as("depth"),
+      kind.as("kind"), col("n_total"), col("n_null"))
+      .withColumn("dtype",
+        when(col("kind") === "string", "string")
+          .when(col("kind") === "number", "double")
+          .when(col("kind") === "bool", "boolean")
+          .when(col("kind") === "array", "array<string>")
+          .when(col("kind") === "null", "string")
+          .otherwise(lit(null).cast("string")))
+    var lvl = maxDepth
+    while (lvl >= 2) {
+      val kids = cur.filter(col("depth") === lvl)
+        .select(regexp_extract(col("path"), "^(.*)\\.[^.]*$", 1)
+          .as("__ppath"),
+          regexp_extract(col("path"), "([^.]*)$", 1).as("__fname"),
+          coalesce(col("dtype"), lit("map<string,string>")).as("__ftype"))
+        .groupBy("__ppath").agg(
+          concat(lit("struct<"), array_join(transform(
+            array_sort(collect_list(struct(col("__fname").as("n"),
+              col("__ftype").as("t")))),
+            x => concat(x.getField("n"), lit(":"), x.getField("t"))),
+            ","), lit(">")).as("__stype"))
+      cur = cur.join(kids, cur("path") === kids("__ppath"), "left")
+        .select(cur("path"), cur("depth"), cur("kind"), cur("n_total"),
+          cur("n_null"), coalesce(cur("dtype"), col("__stype")).as("dtype"))
+      lvl -= 1
+    }
+    cur.filter(col("depth") === 1)
+      .select(col("path"), col("n_total"), col("n_null"),
+        coalesce(col("dtype"), lit("map<string,string>")).as("dtype"))
+      .groupBy().agg(max(col("n_total")).as("__mx"),
+        collect_list(struct(col("path").as("p"), col("dtype").as("t"),
+          col("n_total").as("nt"), col("n_null").as("nn"))).as("__fs"))
+      .select(array_join(transform(array_sort(col("__fs")),
+        f => concat(f.getField("p"), lit(" "), f.getField("t"),
+          when(f.getField("nn") === 0L && f.getField("nt") === col("__mx"),
+            lit(" NOT NULL")).otherwise(lit("")))), ", ").as("schema"))
   }
 
   /** RSS 2.0 / Atom feed parsing — the incremental-discovery feed of

@@ -90,6 +90,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out("aK9xQz2mPw4rT7vB").getAs[Boolean]("looks_hex"))
   }
 
+  test("wikitextClean: refs, templates, tables, links, headings, emphasis, " +
+    "list markers; nesting bound pinned both ways") {
+    val d = Seq(
+      (1L, "'''Bold''' and ''italic'' text."),
+      (2L, "See [[Target]] and [[Page|the label]] and " +
+        "[[File:x.png|thumb|caption text]]."),
+      (3L, "Cited<ref name=\"a\">{{cite web|url=x}}</ref> and " +
+        "self-closed<ref name=\"b\"/> done."),
+      (4L, "A {{tmpl|k={{inner|v}}}} B"),
+      (5L, "== Head ==\n* one\n# two\n: indent\nTail"),
+      (6L, "Row {| class=\"w\"\n|-\n| c1 || c2\n|} after"),
+      (7L, "Ext [http://e.com/x label here] and bare [http://e.com/y]."),
+      // nesting bound: depth 4 resolves, depth 5 leaves outer braces
+      (8L, "D4 {{a|{{b|{{c|{{d}}}}}}}} ok"),
+      (9L, "D5 {{a|{{b|{{c|{{d|{{e}}}}}}}}}} left")
+    ).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        TextAnalysis.wikitextClean(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "Bold and italic text.")
+    assert(out(2L) == "See Target and the label and caption text.")
+    assert(out(3L) == "Cited and self-closed done.")
+    assert(out(4L) == "A B")
+    assert(out(5L) == "Head\none\ntwo\nindent\nTail")
+    assert(out(6L) == "Row after")
+    assert(out(7L) == "Ext label here and bare .")
+    assert(out(8L) == "D4 ok")
+    assert(out(9L) == "D5 {{a|}} left",
+      "depth-5 nesting leaves the outermost template unresolved by contract")
+  }
+
   test("htmlToText: script/style content dropped, tags become boundaries, " +
     "entities decode amp-last, whitespace collapses") {
     val d = Seq(

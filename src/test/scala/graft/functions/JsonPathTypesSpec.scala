@@ -70,6 +70,34 @@ class JsonPathTypesSpec extends SparkSpec {
       org.apache.spark.unsafe.types.UTF8String.fromString(over), 3) == null)
   }
 
+  test("jsonInferSchema: census collapses to one DDL string — majority " +
+    "types, bottom-up struct fold, depth-bounded objects as maps, " +
+    "NOT NULL only for never-null universal fields; fromDDL round-trips") {
+    val df = Seq(
+      """{"a":1,"b":"x","flag":true,"tags":[1],"meta":{"lang":"en","deep":{"z":1}}}""",
+      """{"a":2,"b":null,"flag":false,"tags":[],"meta":{"lang":"fr","deep":{"z":2}}}""",
+      "{broken").toDF("json")
+    val census = TextAnalysis.jsonPathCensus(df, maxDepth = 2)
+    val schema = TextAnalysis.jsonInferSchema(census, maxDepth = 2)
+      .collect()(0).getString(0)
+    assert(schema ==
+      "a double NOT NULL, b string, flag boolean NOT NULL, " +
+        "meta struct<deep:map<string,string>,lang:string> NOT NULL, " +
+        "tags array<string> NOT NULL")
+    // the artifact is an explicit-reader schema: it must parse
+    val st = org.apache.spark.sql.types.StructType.fromDDL(schema)
+    assert(st.fieldNames.toSeq == Seq("a", "b", "flag", "meta", "tags"))
+    assert(!st("a").nullable && st("b").nullable)
+    assert(st("meta").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    // majority rule: a path that is string in 2 docs, number in 1
+    val mixed = Seq("""{"v":"s"}""", """{"v":"t"}""", """{"v":3}""")
+      .toDF("json")
+    val ms = TextAnalysis.jsonInferSchema(
+      TextAnalysis.jsonPathCensus(mixed, maxDepth = 2), 2)
+      .collect()(0).getString(0)
+    assert(ms == "v string NOT NULL")
+  }
+
   test("jsonPathCensus: per-path type counts aggregate over the corpus") {
     val df = Seq(
       """{"a":1,"m":{"x":"s"}}""",
