@@ -828,6 +828,8 @@ object Multimodal {
           .when(col("format") === "gzip",
             decode(graft.functions.GunzipPayload(col("__p"), maxBytes),
               "UTF-8"))
+          .when(col("format") === "bzip2",
+            decode(graft.functions.Bunzip2(col("__p"), maxBytes), "UTF-8"))
           .otherwise(decode(col("__p"), "UTF-8")).as("text"))
 
   /** Avro OCF embedded schema — the lake format that CARRIES its

@@ -1615,6 +1615,35 @@ object TextAnalysis {
         cnt("string"), cnt("number"), cnt("bool"), cnt("null"))
   }
 
+  /** MediaWiki dump PAGE extraction — the step between a Wikipedia
+    * export XML and [[wikitextClean]]: every `<page>` block explodes
+    * with its dump order, `title` and `text` entity-decoded (dumps
+    * XML-escape the wikitext), the namespace number, the page's own
+    * `<id>` (the first id — revision ids come later in the block),
+    * and the `<redirect title>` target when the page is one (the
+    * filter rule for a text corpus: `ns = 0 AND redirect IS NULL`).
+    * Pages missing a field yield null there, not a dropped row.
+    * Output (idCol, pos, title, ns, page_id, redirect, text); one
+    * regexp pass + posexplode, zero shuffle. */
+  def wikiDumpPages(docs: DataFrame, idCol: String = "doc_id",
+                    xmlCol: String = "xml"): DataFrame = {
+    val p = col("__pg")
+    def opt(c: Column): Column = when(c =!= "", c)
+    docs.select(col(idCol),
+        posexplode(regexp_extract_all(col(xmlCol),
+          lit("(?s)<page>(.*?)</page>"), lit(1))).as(Seq("pos", "__pg")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        opt(decodeEntities(regexp_extract(p,
+          "(?s)<title>(.*?)</title>", 1))).as("title"),
+        opt(regexp_extract(p, "<ns>([0-9]+)</ns>", 1)).cast("int").as("ns"),
+        opt(regexp_extract(p, "<id>([0-9]+)</id>", 1)).cast("long")
+          .as("page_id"),
+        opt(decodeEntities(regexp_extract(p,
+          "<redirect title=\"([^\"]*)\"", 1))).as("redirect"),
+        opt(decodeEntities(regexp_extract(p,
+          "(?s)<text[^>]*>(.*?)</text>", 1))).as("text"))
+  }
+
   /** Collapse a [[jsonPathCensus]] into ONE Spark-DDL struct string
     * for the corpus — the JSONL half of the sniff → census →
     * explicit-read loop ([[csvInferSchema]] is the CSV half):

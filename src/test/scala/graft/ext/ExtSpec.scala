@@ -90,6 +90,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out("aK9xQz2mPw4rT7vB").getAs[Boolean]("looks_hex"))
   }
 
+  test("wikiDumpPages: page explode with dump order, entity-decoded " +
+    "title/text, the page's own id (not the revision's), redirect target") {
+    val xml = "<mediawiki><page><title>A &amp; B</title><ns>0</ns>" +
+      "<id>42</id><revision><id>900</id>" +
+      "<text xml:space=\"preserve\">Body &lt;tag&gt; here</text>" +
+      "</revision></page>" +
+      "<page><title>R</title><ns>0</ns><id>43</id>" +
+      "<redirect title=\"A &amp; B\"/><revision><id>901</id>" +
+      "<text>#REDIRECT [[A &amp; B]]</text></revision></page>" +
+      "<page><title>NoNs</title><id>44</id><revision><id>902</id>" +
+      "</revision></page></mediawiki>"
+    val rows = TextAnalysis.wikiDumpPages(
+        Seq((1L, xml)).toDF("doc_id", "xml"))
+      .orderBy("pos").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getString(2) == "A & B" && rows(0).getInt(3) == 0 &&
+      rows(0).getLong(4) == 42L && rows(0).isNullAt(5) &&
+      rows(0).getString(6) == "Body <tag> here")
+    assert(rows(1).getString(2) == "R" && rows(1).getLong(4) == 43L &&
+      rows(1).getString(5) == "A & B")
+    // missing ns and text: null fields, row kept; id still the first id
+    assert(rows(2).getString(2) == "NoNs" && rows(2).isNullAt(3) &&
+      rows(2).getLong(4) == 44L && rows(2).isNullAt(6))
+  }
+
   test("wikitextClean: refs, templates, tables, links, headings, emphasis, " +
     "list markers; nesting bound pinned both ways") {
     val d = Seq(
