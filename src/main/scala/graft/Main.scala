@@ -66,7 +66,9 @@ object Main {
     |                [--planes 4 --dim 64 --k 4 --threshold 1.05]
     |  ingest-warc   --landing DIR --corpus DIR --checkpoint DIR [--follow true]
     |  extract-archive --payloads PARQUET_DIR --format F --target DIR
-    |                F: warc-gz|tar|tar-gz|docx|pptx|xlsx|pdf|id3|epub|avro-schema
+    |                F: warc-gz|tar|tar-gz|docx|pptx|xlsx|xlsx-cells|zip-list
+    |                   |pdf|id3|epub|epub-chapters|avro-schema|bz2
+    |                   |wiki-pages|wiki-corpus
     |                (payloads: doc_id + the format's payload column)
     |""".stripMargin
 
@@ -390,6 +392,20 @@ object Main {
           case "pptx" => docs.select(col("doc_id"),
             ext.Multimodal.pptxSlideText(col("payload")).as("text"))
           case "xlsx" => ext.Multimodal.xlsxSharedStrings(docs)
+          case "xlsx-cells" => ext.Multimodal.xlsxCells(docs)
+          case "zip-list" => ext.Multimodal.zipList(docs)
+          case "epub-chapters" => ext.Multimodal.epubChapters(docs)
+          case "bz2" => docs.select(col("doc_id"),
+            functions.Bunzip2(col("payload")).as("data"))
+          case "wiki-pages" => ext.TextAnalysis.wikiDumpPages(
+            docs.select(col("doc_id"),
+              col("payload").cast("string").as("xml")))
+          case "wiki-corpus" => ext.TextAnalysis.wikiDumpPages(
+              docs.select(col("doc_id"),
+                col("payload").cast("string").as("xml")))
+            .filter(col("ns") === 0 && col("redirect").isNull)
+            .select(col("doc_id"), col("page_id"), col("title"),
+              ext.TextAnalysis.wikitextClean(col("text")).as("text"))
           case "pdf" => docs
             .select(col("doc_id"),
               ext.Multimodal.pdfText(col("payload")).as("__p"))

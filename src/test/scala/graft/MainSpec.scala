@@ -223,6 +223,24 @@ class MainSpec extends SparkSpec {
       .getAs[String]("text") == "cli text\n")
     intercept[RuntimeException](Main.main(Array("extract-archive",
       "--payloads", docxDir, "--format", "rar", "--target", docxOut)))
+    // round-12 verbs: zip-list over the same archive; wiki-corpus
+    val zlOut = Files.createTempDirectory("graft-cli-zl").toString
+    Main.main(Array("extract-archive", "--payloads", docxDir,
+      "--format", "zip-list", "--target", zlOut))
+    assert(spark.read.parquet(zlOut).collect()(0)
+      .getAs[String]("name") == "word/document.xml")
+    val wikiDir = Files.createTempDirectory("graft-cli-wiki-in").toString
+    val wxml = "<mediawiki><page><title>T</title><ns>0</ns><id>1</id>" +
+      "<revision><id>9</id><text>'''T''' body</text></revision></page>" +
+      "</mediawiki>"
+    Seq((1L, wxml.getBytes("UTF-8"))).toDF("doc_id", "payload")
+      .write.mode("overwrite").parquet(wikiDir)
+    val wikiOut = Files.createTempDirectory("graft-cli-wiki").toString
+    Main.main(Array("extract-archive", "--payloads", wikiDir,
+      "--format", "wiki-corpus", "--target", wikiOut))
+    val w = spark.read.parquet(wikiOut).collect()(0)
+    assert(w.getAs[String]("title") == "T" &&
+      w.getAs[String]("text") == "T body")
   }
 
   test("unknown verb and missing flags fail loudly") {

@@ -45,6 +45,31 @@ class Bunzip2Spec extends SparkSpec {
       == "block filler 7 " * 9000)
   }
 
+  test("bunzip2 -> wikiDumpPages -> wikitextClean: a real compressed " +
+    "dump reads end to end") {
+    val dumpBz = // stock bzip2 of a 2-page MediaWiki export
+      "425A683931415926535955A566B10000239F805983F31F2E20560A3FEFDFCE30" +
+        "00CD58251498400687A83D4D01EA3F540C9A6804AA3F529EA69A7A2640D34D31" +
+        "000001EA09534A7EA434F28D0D34D000304D19034D54533544ED071A3990C970" +
+        "9A48868637A05F512513B6107BF5BE578A0EBA29940241D1692905F04020A615" +
+        "112038A0D0DBD8A099DAF1D2DC5A369202B8CD3C75216A98C5AF837E74A02A59" +
+        "C9BD442A2965E1536D6D6190211E1E4BDE99EC4E6561D43E8F05973842C2332B" +
+        "583CBA5748F782182C35B8299EE911B5A99A2B430CC3790240F63DD35B6C30A8" +
+        "1B82F8E27A50C24806D1159304646828573B69FE2EE48A70A120AB4ACD62"
+    val df = Seq((1L, un(dumpBz))).toDF("doc_id", "bz")
+      .select(col("doc_id"), Bunzip2(col("bz")).cast("string").as("xml"))
+    val pages = graft.ext.TextAnalysis.wikiDumpPages(df)
+    val kept = pages
+      .filter(col("ns") === 0 && col("redirect").isNull)
+      .select(col("title"),
+        graft.ext.TextAnalysis.wikitextClean(col("text")).as("clean"))
+      .collect()
+    assert(kept.length == 1)
+    assert(kept(0).getString(0) == "Pi")
+    assert(kept(0).getString(1) == "Pi is a constant.")
+    assert(pages.count() == 2)
+  }
+
   test("bunzip2 fails closed: bad magic, corrupt data, truncation, " +
     "doctored CRC, over-cap; Column API") {
     val ok = un(helloBz)
