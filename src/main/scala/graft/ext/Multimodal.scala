@@ -660,6 +660,29 @@ object Multimodal {
         col("__e.csize").as("csize"), col("__e.usize").as("usize"),
         col("__e.offset").as("offset"))
 
+  /** EVERY member's text from a ZIP — the [[tarFileTexts]] sibling
+    * for zip-shaped corpora (source archives, jar/ooxml bundles):
+    * entries explode via the CD-primary listing, directories (names
+    * ending `/`) drop, and each member extracts per-row-named
+    * ([[graft.functions.ZipEntryBytesAt]] — stored sliced, DEFLATE
+    * inflated, data-descriptor entries resolved through the CD) and
+    * decodes UTF-8. Corrupt archives contribute no rows; a member
+    * whose extraction fails closed keeps its row with null text.
+    * Output (idCol, name, usize, text); narrow explode, zero
+    * shuffle. */
+  def zipFileTexts(docs: DataFrame, idCol: String = "doc_id",
+                   payloadCol: String = "payload",
+                   maxBytes: Int = 1 << 24,
+                   maxEntries: Int = 4096): DataFrame =
+    docs.select(col(idCol), col(payloadCol).as("__p"),
+        explode(graft.functions.ZipEntries(col(payloadCol), maxEntries))
+          .as("__e"))
+      .filter(!col("__e.name").endsWith("/"))
+      .select(col(idCol), col("__e.name").as("name"),
+        col("__e.usize").as("usize"),
+        decode(graft.functions.ZipEntryBytesAt(col("__p"),
+          col("__e.name"), maxBytes), "UTF-8").as("text"))
+
   /** [[tarList]] over a gzip-compressed tarball — `.tar.gz`, the
     * shape source releases actually ship: one bounded
     * [[graft.functions.GunzipPayload]] inflate (CRC-verified,

@@ -167,6 +167,23 @@ class ZipEntryBytesSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("zipFileTexts: every member's text, directories dropped, DD " +
+    "archives resolved via the CD; junk contributes no rows") {
+    val bos = new ByteArrayOutputStream()
+    val zo = new ZipOutputStream(bos) // streaming: DD entries + CD
+    zo.putNextEntry(new ZipEntry("src/")); zo.closeEntry()
+    zo.putNextEntry(new ZipEntry("src/a.py")); zo.write("print(1)".getBytes)
+    zo.closeEntry()
+    zo.putNextEntry(new ZipEntry("README")); zo.write("readme!".getBytes)
+    zo.closeEntry(); zo.close()
+    val rows = Multimodal.zipFileTexts(
+        Seq((1L, bos.toByteArray), (2L, "junk".getBytes))
+          .toDF("doc_id", "payload"))
+      .orderBy("name").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getString(3)))
+      .toSeq == Seq((1L, "README", "readme!"), (1L, "src/a.py", "print(1)")))
+  }
+
   test("xlsxCells: cell grid with shared/inline/numeric values; base-26 " +
     "column letters pinned (A=1, Z=26, AA=27, AB=28, ZZ=702); empty " +
     "self-closing cells skipped; multi-sheet via the CD listing") {
