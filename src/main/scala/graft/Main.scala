@@ -68,7 +68,7 @@ object Main {
     |  extract-archive --payloads PARQUET_DIR --format F --target DIR
     |                F: warc-gz|tar|tar-gz|docx|pptx|xlsx|xlsx-cells|zip-list
     |                   |pdf|id3|epub|epub-chapters|avro-schema|bz2
-    |                   |wiki-pages|wiki-corpus
+    |                   |wiki-pages|wiki-corpus|parquet-meta
     |                (payloads: doc_id + the format's payload column)
     |""".stripMargin
 
@@ -416,6 +416,14 @@ object Main {
           case "epub" => ext.Multimodal.epubMeta(docs)
           case "avro-schema" => docs.select(col("doc_id"),
             ext.Multimodal.avroSchema(col("payload")).as("avro_schema"))
+          case "parquet-meta" => docs
+            .select(col("doc_id"),
+              ext.Multimodal.parquetMeta(col("payload")).as("__m"))
+            .select(col("doc_id"), col("__m.version").as("version"),
+              col("__m.num_rows").as("num_rows"),
+              col("__m.n_row_groups").as("n_row_groups"),
+              col("__m.created_by").as("created_by"),
+              col("__m.columns").as("columns"))
           case other => sys.error(
             s"unknown archive format '$other'\n$usageText")
         }

@@ -855,6 +855,16 @@ object Multimodal {
             decode(graft.functions.Bunzip2(col("__p"), maxBytes), "UTF-8"))
           .otherwise(decode(col("__p"), "UTF-8")).as("text"))
 
+  /** Parquet footer metadata — the lake-discovery tier for the
+    * format lakes are made of ([[avroSchema]]'s parquet sibling):
+    * version, EXACT row count, row-group count, writer string and
+    * the schema tree's leaf columns (dotted paths, physical types,
+    * repetition) straight from the Thrift compact-protocol footer
+    * via [[graft.functions.ParquetFooterMeta]] — no table read, no
+    * library probe. `sniff → parquet_meta → explicit read`. */
+  def parquetMeta(payload: Column, maxColumns: Int = 4096): Column =
+    graft.functions.ParquetFooterMeta(payload, maxColumns)
+
   /** Avro OCF embedded schema — the lake format that CARRIES its
     * schema: the `avro.schema` JSON from the file-metadata map
     * ([[graft.functions.AvroSchemaJson]], full Avro binary map
