@@ -68,7 +68,7 @@ object Main {
     |  extract-archive --payloads PARQUET_DIR --format F --target DIR
     |                F: warc-gz|tar|tar-gz|docx|pptx|xlsx|xlsx-cells|zip-list
     |                   |pdf|id3|epub|epub-chapters|avro-schema|bz2
-    |                   |wiki-pages|wiki-corpus|parquet-meta
+    |                   |wiki-pages|wiki-corpus|parquet-meta|orc-meta
     |                (payloads: doc_id + the format's payload column)
     |""".stripMargin
 
@@ -416,6 +416,14 @@ object Main {
           case "epub" => ext.Multimodal.epubMeta(docs)
           case "avro-schema" => docs.select(col("doc_id"),
             ext.Multimodal.avroSchema(col("payload")).as("avro_schema"))
+          case "orc-meta" => docs
+            .select(col("doc_id"),
+              ext.Multimodal.orcMeta(col("payload")).as("__m"))
+            .select(col("doc_id"),
+              col("__m.compression").as("compression"),
+              col("__m.num_rows").as("num_rows"),
+              col("__m.n_stripes").as("n_stripes"),
+              col("__m.columns").as("columns"))
           case "parquet-meta" => docs
             .select(col("doc_id"),
               ext.Multimodal.parquetMeta(col("payload")).as("__m"))

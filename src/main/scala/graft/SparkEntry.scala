@@ -151,6 +151,37 @@ object SparkEntry {
     "72717565742D6370702D6172726F772076657273696F6E2031362E312E30" +
     "194C1C00001C00001C00001C000000B304000050415231"
 
+  /** q287 fixture: pyarrow (ORC_CPP) orc files pinned as
+    * constants - cross-writer coverage for the tail kernel (the
+    * unit suite covers the Java orc-core writer via Spark). Both
+    * hold (id int64, name string) x 5 rows in one stripe; one
+    * uncompressed, one zlib. */
+  private val orcPlainHex: String =
+    "4F52430A061204080550000A120A020000120C0805120608001008181450" +
+    "000A150A03000000120E080522080A0161120165180E5000C00400024204" +
+    "6640616262636464650A060806100018080A060806100118140A06080610" +
+    "0218170A060801100118040A060802100218040A06080110021807120408" +
+    "0010001204080210001204080210001A03474D540A240A04080550000A0C" +
+    "0805120608001008181450000A0E080522080A0161120165180E50000803" +
+    "1089011A0A08031033180F204728052216080C120201021A0269641A046E" +
+    "616D65200028003000220808042000280030002208080720002800300030" +
+    "053A04080550003A0C0805120608001008181450003A0E080522080A0161" +
+    "120165180E500040904E48016205322E302E30086F100018808004220200" +
+    "0C2826300682F403034F524317"
+
+  private val orcZlibHex: String =
+    "4F52431100000A061204080550002B00000A130A03000000120C08051206" +
+    "0800100818145000300000E312E762650001213E0E56250E2EC64421C654" +
+    "09BE000600090000C0040002090000420466400F00006162626364646564" +
+    "0000E362E360136090E0E602D18C1212609A49421A483302F9EC409A09C8" +
+    "07D18C409A4B8885834180014832C148296677DF10004D00000A240A0408" +
+    "0550000A0C0805120608001008181450000A0E080522080A016112016518" +
+    "0E5000C80000E36016E86694E2E26016B093905030D5605512E3E0116262" +
+    "649262CA4C9162C94BCC4D5560D060306050E2E06081B3D8212C03562B16" +
+    "0ED600062B1E0E5621360E06010E0911208F8F835589838B315188315582" +
+    "2F80C161829F076312AB919E819E010008671001188080042202000C2829" +
+    "300682F403034F524317"
+
   /** q277/q285 fixture piece: hex of a data-descriptor zip (a.txt +
     * dir/b.bin, both `k` bytes of 'D', stored, zeroed local sizes,
     * PK\x07\x08 descriptors, central directory + EOCD with the exact
@@ -2902,6 +2933,29 @@ object SparkEntry {
             transform(col("__m.columns"), c => concat_ws(":",
               c.getField("path"), c.getField("ptype"),
               c.getField("repetition"))), ";")).as("cols_ddl"))
+        .orderBy("doc_id")
+    }),
+    // orc tail census over pinned pyarrow files: codec, exact rows,
+    // stripes, top-level columns from the protobuf footer (zlib
+    // chunk-inflated); %3==2 docs break the head magic — null
+    "q287_orc_meta" -> ((s, dir) => {
+      val corrupt = "58" + orcPlainHex.drop(2) // head magic broken
+      val m = pmod(col("doc_id"), lit(3L))
+      val hexStr = when(m === 0, lit(orcPlainHex))
+        .when(m === 1, lit(orcZlibHex)).otherwise(lit(corrupt))
+      val meta = Multimodal.orcMeta(unhex(hexStr))
+      t(s, dir, "documents")
+        .select(col("doc_id"), meta.as("__m"))
+        .select(col("doc_id"),
+          col("__m.compression").as("compression"),
+          col("__m.num_rows").as("num_rows"),
+          col("__m.n_stripes").as("n_stripes"),
+          when(col("__m").isNotNull, size(col("__m.columns")))
+            .as("n_cols"),
+          when(col("__m").isNotNull, array_join(
+            transform(col("__m.columns"), c => concat_ws(":",
+              c.getField("name"), c.getField("otype"))), ";"))
+            .as("cols_ddl"))
         .orderBy("doc_id")
     }),
     // xlsx cell grid: shared (t="s"), inline and numeric cells with
@@ -6379,6 +6433,20 @@ object SparkEntry {
         |    WHEN 1 THEN 'k:int32:optional;meta.lang:byte_array:optional;'
         |      || 'meta.score:double:optional;opt:byte_array:optional'
         |    ELSE NULL END AS cols_ddl
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q287: the tail facts replayed as constants (pyarrow wrote the
+    // files; every value known by construction), corrupt null
+    "q287_orc_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'none' WHEN 1 THEN 'zlib'
+        |    ELSE NULL END AS compression,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 5 END AS BIGINT)
+        |    AS num_rows,
+        |  CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 1 END AS n_stripes,
+        |  CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 2 END AS n_cols,
+        |  CASE WHEN doc_id % 3 = 2 THEN NULL
+        |    ELSE 'id:long;name:string' END AS cols_ddl
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q267: identical rows to q264 — the gzip wrap must be lossless

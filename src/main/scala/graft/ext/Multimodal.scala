@@ -865,6 +865,16 @@ object Multimodal {
   def parquetMeta(payload: Column, maxColumns: Int = 4096): Column =
     graft.functions.ParquetFooterMeta(payload, maxColumns)
 
+  /** ORC tail metadata — the third leg of the lake-census trio:
+    * compression codec, writer version, exact row count, stripe
+    * count, content length and the root struct's top-level columns
+    * with ORC type-kind names, via the protobuf postscript/footer
+    * walk in [[graft.functions.OrcFooterMeta]] (NONE and ZLIB
+    * footers decode; codecs the JDK lacks yield postscript facts
+    * with null footer fields). */
+  def orcMeta(payload: Column, maxFooter: Int = 1 << 24): Column =
+    graft.functions.OrcFooterMeta(payload, maxFooter)
+
   /** Avro OCF embedded schema — the lake format that CARRIES its
     * schema: the `avro.schema` JSON from the file-metadata map
     * ([[graft.functions.AvroSchemaJson]], full Avro binary map
