@@ -2958,6 +2958,57 @@ object SparkEntry {
             .as("cols_ddl"))
         .orderBy("doc_id")
     }),
+    // CDXJ crawl index: two well-formed entries (status/length/offset
+    // through try_cast) and a json-less junk line that keeps its row
+    // with null fields
+    "q288_cdxj_parse" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val text = concat(
+        lit("com,example)/p"), id, lit(" 20260101000000 " +
+          "{\"url\":\"https://example.com/p"), id,
+        lit("\",\"mime\":\"text/html\",\"status\":\"200\"," +
+          "\"digest\":\"sha1:AB"), pmod(col("doc_id"), lit(16L))
+          .cast("string"),
+        lit("\",\"length\":\"1234\",\"offset\":\""),
+        (col("doc_id") * 100L).cast("string"),
+        lit("\",\"filename\":\"crawl-00.warc.gz\"}\n" +
+          "org,site)/x 20260102000000 {\"url\":\"https://site.org/x\"," +
+          "\"status\":\"404\",\"mime\":\"text/plain\",\"length\":\"9\"," +
+          "\"offset\":\"77\",\"filename\":\"crawl-01.warc.gz\"}\n" +
+          "badline-no-json"))
+      TextAnalysis.cdxjParse(
+          t(s, dir, "documents").select(col("doc_id"), text.as("text")))
+        .orderBy("doc_id", "pos")
+    }),
+    // sqlite header census: page size (raw 1 => 65536), page count,
+    // encoding, user version, library version — fixed-offset slices;
+    // every 5th doc breaks the magic and the struct nulls
+    "q289_sqlite_meta" -> ((s, dir) => {
+      def be32(c: Column) = lpad(hex(c), 8, "0")
+      val pageHex = when(pmod(col("doc_id"), lit(2L)) === 0, lit("1000"))
+        .otherwise(lit("0001"))
+      val hexStr = concat(
+        when(pmod(col("doc_id"), lit(5L)) === 0, lit("43"))
+          .otherwise(lit("53")),
+        lit("514C69746520666F726D6174203300"),
+        pageHex, lit("010100402020"), be32(col("doc_id")),
+        be32(pmod(col("doc_id"), lit(50L)) + 1L),
+        lit("0" * 48),
+        be32(pmod(col("doc_id"), lit(3L)) + 1L),
+        be32(pmod(col("doc_id"), lit(7L))),
+        lit("0" * 64),
+        lit("002E7689"))
+      val meta = Multimodal.sqliteMeta(unhex(hexStr))
+      t(s, dir, "documents")
+        .select(col("doc_id"), meta.as("__m"))
+        .select(col("doc_id"),
+          col("__m.page_size").as("page_size"),
+          col("__m.n_pages").as("n_pages"),
+          col("__m.encoding").as("encoding"),
+          col("__m.user_version").as("user_version"),
+          col("__m.sqlite_version").as("sqlite_version"))
+        .orderBy("doc_id")
+    }),
     // xlsx cell grid: shared (t="s"), inline and numeric cells with
     // base-26 column refs (AA2 => col 27); doc_id%4==0 adds a second
     // sheet; every 9th doc lacks the sheet member entirely — no rows
@@ -6447,6 +6498,45 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 2 END AS n_cols,
         |  CASE WHEN doc_id % 3 = 2 THEN NULL
         |    ELSE 'id:long;name:string' END AS cols_ddl
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q288: index rows replayed arithmetically; the junk line keeps
+    // its row with null fields
+    "q288_cdxj_parse" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i
+        |  FROM documents)
+        |SELECT doc_id, pos, surt, ts, url, status, mime, digest,
+        |  length, "offset", filename FROM (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+        |    'com,example)/p' || i AS surt, '20260101000000' AS ts,
+        |    'https://example.com/p' || i AS url, CAST(200 AS INT)
+        |      AS status, 'text/html' AS mime,
+        |    'sha1:AB' || CAST(doc_id % 16 AS VARCHAR) AS digest,
+        |    CAST(1234 AS BIGINT) AS length,
+        |    CAST(doc_id * 100 AS BIGINT) AS "offset",
+        |    'crawl-00.warc.gz' AS filename FROM d
+        |  UNION ALL SELECT doc_id, 1, 'org,site)/x', '20260102000000',
+        |    'https://site.org/x', 404, 'text/plain', NULL, 9, 77,
+        |    'crawl-01.warc.gz' FROM d
+        |  UNION ALL SELECT doc_id, 2, NULL, NULL, NULL, NULL, NULL,
+        |    NULL, NULL, NULL, NULL FROM d)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // q289: header facts replayed arithmetically; %5 docs null
+    "q289_sqlite_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL
+        |    WHEN doc_id % 2 = 0 THEN 4096 ELSE 65536 END AS page_size,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN NULL
+        |    ELSE doc_id % 50 + 1 END AS BIGINT) AS n_pages,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL
+        |    WHEN doc_id % 3 = 0 THEN 'utf8'
+        |    WHEN doc_id % 3 = 1 THEN 'utf16le'
+        |    ELSE 'utf16be' END AS encoding,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL
+        |    ELSE CAST(doc_id % 7 AS INT) END AS user_version,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL
+        |    ELSE 3045001 END AS sqlite_version
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q267: identical rows to q264 — the gzip wrap must be lossless

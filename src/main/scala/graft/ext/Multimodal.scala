@@ -865,6 +865,30 @@ object Multimodal {
   def parquetMeta(payload: Column, maxColumns: Int = 4096): Column =
     graft.functions.ParquetFooterMeta(payload, maxColumns)
 
+  /** SQLite database-header metadata — the long tail of data lakes
+    * is full of `.db`/`.sqlite` files, and the 100-byte header is a
+    * census in itself (SQLite file format, all big-endian fixed
+    * offsets): page size (the stored value 1 means 65536), page
+    * count, text encoding, user version and the writing library's
+    * version number. Fixed-offset slicing on the payload, zero
+    * shuffle; payloads without the `SQLite format 3\0` magic or
+    * shorter than the header yield a null struct. */
+  def sqliteMeta(payload: Column): Column = {
+    val isDb = hex(substring(payload, 1, 16)) ===
+      lit("53514C69746520666F726D6174203300") &&
+      length(payload) >= 100
+    val rawPage = beUint(payload, 17, 2)
+    val pageSize = when(rawPage === 1L, lit(65536L)).otherwise(rawPage)
+    val enc = beUint(payload, 57, 4)
+    when(isDb, struct(
+      pageSize.cast("int").as("page_size"),
+      beUint(payload, 29, 4).as("n_pages"),
+      when(enc === 1L, "utf8").when(enc === 2L, "utf16le")
+        .when(enc === 3L, "utf16be").otherwise("unknown").as("encoding"),
+      beUint(payload, 61, 4).cast("int").as("user_version"),
+      beUint(payload, 97, 4).cast("int").as("sqlite_version")))
+  }
+
   /** ORC tail metadata — the third leg of the lake-census trio:
     * compression codec, writer version, exact row count, stripe
     * count, content length and the root struct's top-level columns

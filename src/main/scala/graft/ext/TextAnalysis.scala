@@ -1615,6 +1615,46 @@ object TextAnalysis {
         cnt("string"), cnt("number"), cnt("bool"), cnt("null"))
   }
 
+  /** CDXJ crawl-index parsing — the lookup side of the WARC tier
+    * (Common Crawl publishes a CDXJ index per crawl; range-fetching
+    * a record means reading its `(filename, offset, length)` from
+    * here, never scanning archives): each line is
+    * `SURT timestamp {json}` — the SURT key and 14-digit timestamp
+    * split off positionally, the JSON block's standard fields pulled
+    * with `get_json_object` and the numeric ones through `try_cast`
+    * (CDXJ stores them as strings). Lines without a JSON block or
+    * with unparseable JSON yield null fields, not dropped rows (the
+    * index censuses its own malformation rate). Output (idCol, pos,
+    * surt, ts, url, status, mime, digest, length, offset, filename);
+    * one narrow explode over the line split, zero shuffle. */
+  def cdxjParse(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val line = col("__line")
+    val json = regexp_extract(line, "^[^ ]+ [0-9]+ (\\{.*\\})$", 1)
+    def js(field: String): Column =
+      get_json_object(col("__json"), "$." + field)
+    docs.select(col(idCol),
+        posexplode(filter(split(col(textCol), "\n"),
+          l => trim(l) =!= "")).as(Seq("pos", "__line")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        regexp_extract(line, "^([^ ]+) ", 1).as("surt"),
+        regexp_extract(line, "^[^ ]+ ([0-9]+) ", 1).as("ts"),
+        when(json =!= "", json).as("__json"))
+      .select(col(idCol), col("pos"),
+        when(col("surt") =!= "", col("surt")).as("surt"),
+        when(col("ts") =!= "", col("ts")).as("ts"),
+        js("url").as("url"),
+        expr("try_cast(get_json_object(__json, '$.status') AS int)")
+          .as("status"),
+        js("mime").as("mime"),
+        js("digest").as("digest"),
+        expr("try_cast(get_json_object(__json, '$.length') AS bigint)")
+          .as("length"),
+        expr("try_cast(get_json_object(__json, '$.offset') AS bigint)")
+          .as("offset"),
+        js("filename").as("filename"))
+  }
+
   /** MediaWiki dump PAGE extraction — the step between a Wikipedia
     * export XML and [[wikitextClean]]: every `<page>` block explodes
     * with its dump order, `title` and `text` entity-decoded (dumps

@@ -90,6 +90,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out("aK9xQz2mPw4rT7vB").getAs[Boolean]("looks_hex"))
   }
 
+  test("cdxjParse: surt/ts split, json fields, numeric try_cast, junk " +
+    "lines keep null-field rows, blank lines dropped") {
+    val text = "com,ex)/a 20260101120000 {\"url\":\"https://ex.com/a\"," +
+      "\"status\":\"200\",\"mime\":\"text/html\",\"length\":\"10\"," +
+      "\"offset\":\"0\",\"filename\":\"f.warc.gz\"}\n\n" +
+      "com,ex)/b 20260101120001 {\"url\":\"https://ex.com/b\"," +
+      "\"status\":\"redirect\"}\n" +
+      "no-json-here"
+    val rows = TextAnalysis.cdxjParse(Seq((1L, text)).toDF("doc_id", "text"))
+      .orderBy("pos").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getString(2) == "com,ex)/a" &&
+      rows(0).getString(3) == "20260101120000" &&
+      rows(0).getInt(5) == 200 && rows(0).getLong(8) == 10L)
+    // non-numeric status: try_cast null, url still present
+    assert(rows(1).getString(4) == "https://ex.com/b" && rows(1).isNullAt(5))
+    assert(rows(2).isNullAt(2) && rows(2).isNullAt(4))
+  }
+
+  test("sqliteMeta: header facts at fixed offsets; raw page size 1 means " +
+    "65536; non-sqlite payloads null") {
+    def hdr(pageHex: String, encBe32: String): Array[Byte] = {
+      val h = "53514C69746520666F726D6174203300" + pageHex +
+        "010100402020" + "00000000" + "0000002A" + "0" * 48 +
+        encBe32 + "00000005" + "0" * 64 + "002E7689"
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    }
+    val rows = Seq(
+      (1L, hdr("1000", "00000001")),
+      (2L, hdr("0001", "00000002")),
+      (3L, "not a database".getBytes)).toDF("doc_id", "payload")
+      .select(col("doc_id"),
+        graft.ext.Multimodal.sqliteMeta(col("payload")).as("m"))
+      .orderBy("doc_id").collect()
+    val m1 = rows(0).getStruct(1)
+    assert(m1.getInt(0) == 4096 && m1.getLong(1) == 42L &&
+      m1.getString(2) == "utf8" && m1.getInt(3) == 5 &&
+      m1.getInt(4) == 3045001)
+    assert(rows(1).getStruct(1).getInt(0) == 65536)
+    assert(rows(1).getStruct(1).getString(2) == "utf16le")
+    assert(rows(2).isNullAt(1))
+  }
+
   test("wikiDumpPages: page explode with dump order, entity-decoded " +
     "title/text, the page's own id (not the revision's), redirect target") {
     val xml = "<mediawiki><page><title>A &amp; B</title><ns>0</ns>" +
