@@ -182,6 +182,34 @@ object SparkEntry {
     "2F80C161829F076312AB919E819E010008671001188080042202000C2829" +
     "300682F403034F524317"
 
+  private val orcSnappyHex: String =
+    "4F52431100000A061204080550002B00000A130A03000000120C08051206" +
+    "08001008181450003300000A170A050000000000120E080522080A016112" +
+    "0165180E5000090000C0040002090000420466400F000061626263646465" +
+    "860000471C0A0608061000180B05080801181805084002181C0A06080110" +
+    "0118070A060802100205086C011002180A12040800100012040802100012" +
+    "04080210001A03474D544D00000A240A04080550000A0C08051206080010" +
+    "08181450000A0E080522080A0161120165180E5000D000006FB00803109D" +
+    "011A0A0803103F1818204628052216080C120201021A0269641A046E616D" +
+    "6520002800300022080804150A0007090AC430053A04080550003A0C0805" +
+    "120608001008181450003A0E080522080A0161120165180E500040904E48" +
+    "016205322E302E30086B1002188080042202000C2829300682F403034F52" +
+    "4317"
+
+  private val orcLz4Hex: String =
+    "4F52431100000A061204080550002B00000A130A03000000120C08051206" +
+    "08001008181450003300000A170A050000000000120E080522080A016112" +
+    "0165180E5000090000C0040002090000420466400F000061626263646465" +
+    "8F00000A0608061000180B0A060806100118180A0608061002181C0A0608" +
+    "01100118070A060802100218070A0608011002180A120408001000120408" +
+    "0210001204080210001A03474D544D00000A240A04080550000A0C080512" +
+    "0608001008181450000A0E080522080A0161120165180E5000DF00000803" +
+    "10A1011A0A0803103F1818204A28052216080C120201021A0269641A046E" +
+    "616D65200028003000220808042000280030002208080720002800300030" +
+    "053A04080550003A0C0805120608001008181450003A0E080522080A0161" +
+    "120165180E500040904E48016205322E302E300872100418808004220200" +
+    "0C2829300682F403034F524317"
+
   /** q277/q285 fixture piece: hex of a data-descriptor zip (a.txt +
     * dir/b.bin, both `k` bytes of 'D', stored, zeroed local sizes,
     * PK\x07\x08 descriptors, central directory + EOCD with the exact
@@ -2936,13 +2964,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     // orc tail census over pinned pyarrow files: codec, exact rows,
-    // stripes, top-level columns from the protobuf footer (zlib
-    // chunk-inflated); %3==2 docs break the head magic — null
+    // stripes, top-level columns from the protobuf footer — all four
+    // decodable codecs (none, zlib-deflate, snappy and lz4 raw
+    // blocks); %5==4 docs break the head magic — null
     "q287_orc_meta" -> ((s, dir) => {
       val corrupt = "58" + orcPlainHex.drop(2) // head magic broken
-      val m = pmod(col("doc_id"), lit(3L))
+      val m = pmod(col("doc_id"), lit(5L))
       val hexStr = when(m === 0, lit(orcPlainHex))
-        .when(m === 1, lit(orcZlibHex)).otherwise(lit(corrupt))
+        .when(m === 1, lit(orcZlibHex))
+        .when(m === 2, lit(orcSnappyHex))
+        .when(m === 3, lit(orcLz4Hex)).otherwise(lit(corrupt))
       val meta = Multimodal.orcMeta(unhex(hexStr))
       t(s, dir, "documents")
         .select(col("doc_id"), meta.as("__m"))
@@ -6490,13 +6521,14 @@ object SparkEntry {
     // files; every value known by construction), corrupt null
     "q287_orc_meta" ->
       """SELECT doc_id,
-        |  CASE doc_id % 3 WHEN 0 THEN 'none' WHEN 1 THEN 'zlib'
+        |  CASE doc_id % 5 WHEN 0 THEN 'none' WHEN 1 THEN 'zlib'
+        |    WHEN 2 THEN 'snappy' WHEN 3 THEN 'lz4'
         |    ELSE NULL END AS compression,
-        |  CAST(CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 5 END AS BIGINT)
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 5 END AS BIGINT)
         |    AS num_rows,
-        |  CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 1 END AS n_stripes,
-        |  CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 2 END AS n_cols,
-        |  CASE WHEN doc_id % 3 = 2 THEN NULL
+        |  CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 1 END AS n_stripes,
+        |  CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 2 END AS n_cols,
+        |  CASE WHEN doc_id % 5 = 4 THEN NULL
         |    ELSE 'id:long;name:string' END AS cols_ddl
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -893,8 +893,8 @@ object Multimodal {
     * compression codec, writer version, exact row count, stripe
     * count, content length and the root struct's top-level columns
     * with ORC type-kind names, via the protobuf postscript/footer
-    * walk in [[graft.functions.OrcFooterMeta]] (NONE and ZLIB
-    * footers decode; codecs the JDK lacks yield postscript facts
+    * walk in [[graft.functions.OrcFooterMeta]] (NONE/ZLIB/SNAPPY/LZ4
+    * footers decode; the remaining codecs yield postscript facts
     * with null footer fields). */
   def orcMeta(payload: Column, maxFooter: Int = 1 << 24): Column =
     graft.functions.OrcFooterMeta(payload, maxFooter)

@@ -20,15 +20,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * the protobuf wire format from the public spec (varints, packed
   * repeated fields, length-delimited messages, generic unknown-field
   * skip) and the ORC chunked-compression framing (3-byte LE chunk
-  * headers, isOriginal bit) for NONE and ZLIB (raw-DEFLATE via the
-  * JDK Inflater) footers.
+  * headers, isOriginal bit) for NONE, ZLIB (raw-DEFLATE via the JDK
+  * Inflater), SNAPPY and LZ4 footers (one [[BlockCodecs]] raw block
+  * per chunk).
   *
   * Output struct: `(compression, writer_version, num_rows, n_stripes,
   * content_length, columns array<(name, otype)>)` — `columns` is the
   * root struct's TOP-LEVEL fields with their ORC type-kind names.
-  * Footers compressed with codecs the JDK lacks (snappy/lzo/lz4/zstd)
-  * yield the postscript facts with NULL footer fields — the census
-  * still learns the codec; the refusal is explicit, not a guess.
+  * Footers under the remaining codecs (lzo/zstd) yield the postscript
+  * facts with NULL footer fields — the census still learns the codec;
+  * the refusal is explicit, not a guess.
   *
   * FAIL-CLOSED NULL (whole struct) on: missing head magic, a
   * postscript that does not end in "ORC", footer window out of
@@ -130,9 +131,11 @@ object OrcFooterMeta {
 
   /** ORC chunked stream → raw bytes (NONE handled by the caller):
     * 3-byte LE header `h`, isOriginal = h&1, chunkLen = h>>>1;
-    * non-original chunks are raw DEFLATE. */
+    * non-original chunks decode per the postscript codec — raw
+    * DEFLATE (zlib), or one Snappy/LZ4 raw block per chunk via
+    * [[BlockCodecs]]. */
   private def inflateChunks(bytes: Array[Byte], start: Int, end: Int,
-                            maxOut: Int): Array[Byte] = {
+                            maxOut: Int, codec: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(math.min(maxOut, 1 << 16))
     var pos = start
     while (pos < end) {
@@ -146,7 +149,7 @@ object OrcFooterMeta {
       if (orig) {
         if (out.size() + clen > maxOut) throw Bad
         out.write(bytes, pos, clen)
-      } else {
+      } else if (codec == 1) {
         val inf = new Inflater(true)
         try {
           inf.setInput(bytes, pos, clen)
@@ -160,6 +163,15 @@ object OrcFooterMeta {
         } catch {
           case _: DataFormatException => throw Bad
         } finally inf.end()
+      } else {
+        val block =
+          if (codec == 2) BlockCodecs.snappy(bytes, pos, clen,
+            maxOut - out.size())
+          else if (codec == 4) BlockCodecs.lz4(bytes, pos, clen,
+            maxOut - out.size())
+          else throw Bad
+        if (block == null) throw Bad
+        out.write(block, 0, block.length)
       }
       pos += clen
     }
@@ -205,9 +217,10 @@ object OrcFooterMeta {
         case 0 =>
           if (footerLen > maxFooter) return null
           java.util.Arrays.copyOfRange(bytes, fStart.toInt, fEnd)
-        case 1 => inflateChunks(bytes, fStart.toInt, fEnd, maxFooter)
-        case 2 | 3 | 4 | 5 =>
-          // codec the JDK lacks: postscript facts, null footer fields
+        case 1 | 2 | 4 => // zlib / snappy / lz4
+          inflateChunks(bytes, fStart.toInt, fEnd, maxFooter, compression)
+        case 3 | 5 =>
+          // lzo/zstd: no decoder here — postscript facts, null footer
           return row(wv, null, null, null, null)
         case _ => return null
       }

@@ -15,9 +15,37 @@ class OrcFooterSpec extends SparkSpec {
     Files.readAllBytes(part.toPath)
   }
 
-  test("orc_meta reads Spark's OWN orc output, zlib and uncompressed: " +
-    "exact rows, stripes, top-level columns") {
-    for (codec <- Seq("zlib", "none")) {
+  test("BlockCodecs: hand-encoded snappy and lz4 raw blocks round-trip; " +
+    "malformed offsets/truncation fail closed") {
+    // snappy: varint len 11, literal "hello " (tag len 6 -> (6-1)<<2),
+    // copy1 len 5 offset 6 (tag 01, len-4=1 -> bits 4-2, offset 6)
+    val sn = Array[Byte](11, ((6 - 1) << 2).toByte,
+      'h', 'e', 'l', 'l', 'o', ' ',
+      ((1 << 2) | 1).toByte, 6)
+    assert(new String(BlockCodecs.snappy(sn, 0, sn.length, 1 << 10))
+      == "hello hello")
+    // declared length mismatch fails closed
+    val bad = sn.clone(); bad(0) = 12
+    assert(BlockCodecs.snappy(bad, 0, bad.length, 1 << 10) == null)
+    // offset past the produced output fails closed
+    val far = sn.clone(); far(8) = 99
+    assert(BlockCodecs.snappy(far, 0, far.length, 1 << 10) == null)
+    assert(BlockCodecs.snappy(sn, 0, sn.length - 1, 1 << 10) == null)
+    // lz4: token lit=6 match=5-4=1 -> 0x61, literals, offset le16=6,
+    // then final literal-only token for "!" (0x10)
+    val lz = Array[Byte](0x61, 'h', 'e', 'l', 'l', 'o', ' ',
+      6, 0, 0x10, '!')
+    assert(new String(BlockCodecs.lz4(lz, 0, lz.length, 1 << 10))
+      == "hello hello!")
+    // zero offset and truncation fail closed
+    val z = lz.clone(); z(7) = 0
+    assert(BlockCodecs.lz4(z, 0, z.length, 1 << 10) == null)
+    assert(BlockCodecs.lz4(lz, 0, 8, 1 << 10) == null)
+  }
+
+  test("orc_meta reads Spark's OWN orc output under zlib, none, snappy " +
+    "and lz4: exact rows, stripes, top-level columns") {
+    for (codec <- Seq("zlib", "none", "snappy", "lz4")) {
       val bytes = onePartBytes { dir =>
         spark.range(0, 2000).selectExpr(
             "id", "cast(id as string) as name", "cast(id as double) as x")
