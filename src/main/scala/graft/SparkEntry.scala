@@ -3182,8 +3182,9 @@ object SparkEntry {
     // bzip2 decompression against PINNED reference streams (stock-
     // bzip2 output embedded as constants — the kernel is graded
     // against the real format): simple text, repeated text, long
-    // runs, the empty stream; %5==4 docs flip a payload byte and the
-    // CRC must refuse
+    // runs, the empty stream, two CONCATENATED streams (the
+    // pbzip2/multistream shape) decoding back-to-back; %6==5 docs
+    // flip a payload byte and the CRC must refuse
     "q284_bunzip2" -> ((s, dir) => {
       val hello = "425A68393141592653591F4E70BA0000031980400010001664D09" +
         "020003100D0014C034696A185D1DC8F13A0F0BB9229C28480FA7385D0"
@@ -3197,9 +3198,10 @@ object SparkEntry {
       val corrupt = hello.substring(0, 40) +
         "%02X".format(Integer.parseInt(hello.substring(40, 42), 16) ^ 0x55) +
         hello.substring(42)
-      val m = pmod(col("doc_id"), lit(5L))
+      val m = pmod(col("doc_id"), lit(6L))
       val hexStr = when(m === 0, lit(hello)).when(m === 1, lit(wiki))
         .when(m === 2, lit(runs)).when(m === 3, lit(empty))
+        .when(m === 4, lit(hello + wiki)) // concatenated streams (pbzip2)
         .otherwise(lit(corrupt))
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -6467,14 +6469,16 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q284: the plaintexts the pinned streams compress — known
-    // constants, the corrupt branch null
+    // constants; concatenated streams (pbzip2/multistream shape)
+    // decode back-to-back; the corrupt branch null
     "q284_bunzip2" ->
       """SELECT doc_id,
-        |  CASE doc_id % 5
+        |  CASE doc_id % 6
         |    WHEN 0 THEN 'hello bzip2 world'
         |    WHEN 1 THEN repeat('wiki dump text ', 40)
         |    WHEN 2 THEN repeat('a', 300) || 'end'
         |    WHEN 3 THEN ''
+        |    WHEN 4 THEN 'hello bzip2 world' || repeat('wiki dump text ', 40)
         |    ELSE NULL END AS bz_text
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -2087,16 +2087,21 @@ object TextAnalysis {
     * CRC-verifies every member (whole-archive fail-closed null — a
     * corrupt archive surfaces as an absent file, not silent partial
     * rows), each record decodes as UTF-8 and parses through
-    * [[warcParse]] carrying its in-archive `rec_idx`. At cluster
+    * [[warcParse]] carrying its in-archive `rec_idx`. The aggregate
+    * inflated cap `maxTotalOut` defaults to 8 GiB here (not the
+    * kernel's generic 256 MiB) because real Common Crawl archives
+    * legitimately inflate to several GiB; lower it for hostile
+    * lakes, raise it for fatter archives. At cluster
     * scale each task takes one archive (or one member range) — the
     * per-record work is this same narrow pipeline. */
   def warcParseGzFile(docs: DataFrame, idCol: String = "doc_id",
                       gzCol: String = "warc_gz",
                       maxMembers: Int = 1 << 16,
-                      maxOut: Int = 1 << 24): DataFrame = {
+                      maxOut: Int = 1 << 24,
+                      maxTotalOut: Long = 1L << 33): DataFrame = {
     val recs = docs.select(col(idCol),
         posexplode(graft.functions.GunzipMembers(col(gzCol), maxMembers,
-          maxOut)).as(Seq("rec_idx", "__b")))
+          maxOut, maxTotalOut)).as(Seq("rec_idx", "__b")))
       .select(col(idCol), col("rec_idx").cast("long").as("rec_idx"),
         decode(col("__b"), "UTF-8").as("__warc"))
     warcParse(recs, idCol, "__warc", carryCols = Seq("rec_idx"))

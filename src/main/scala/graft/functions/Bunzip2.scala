@@ -24,12 +24,21 @@ import org.apache.spark.sql.types._
   * verified — per-block and the combined stream CRC (bzip2's
   * MSB-first CRC32 variant, not zlib's).
   *
+  * CONCATENATED streams are accepted and decode back-to-back — after
+  * an end-of-stream record and its zero bit-padding to the byte
+  * boundary, a following `BZh[1-9]` header starts a fresh stream
+  * (its own level and stream CRC), exactly as stock `bunzip2`
+  * behaves. That is the shape pbzip2/lbzip2 emit and Wikipedia's
+  * pages-articles-multistream dumps are made of, and it mirrors
+  * [[GunzipPayload]]'s concatenated-member handling.
+  *
   * FAIL-CLOSED NULL on every malformed shape: wrong magic, randomized
   * blocks, selector/length/origPtr out of range, Huffman overrun,
   * output past `maxOut` (decompression-bomb guard — rejected, never
-  * clipped), truncated stream, CRC mismatch, trailing garbage after
-  * the end-of-stream record. Per-row bounded work, zero shuffle,
-  * codegen'd. */
+  * clipped; the cap is AGGREGATE across concatenated streams),
+  * truncated stream, CRC mismatch, nonzero padding or non-`BZh`
+  * trailing bytes after an end-of-stream record. Per-row bounded
+  * work, zero shuffle, codegen'd. */
 case class Bunzip2(child: Expression, maxOut: Int)
     extends UnaryExpression {
   require(maxOut > 0, "output cap must be positive")
@@ -102,17 +111,12 @@ object Bunzip2 {
       while (k < n) { v = (v << 1) | take(1); k += 1 }
       v
     }
-    def exhaustedToByte: Boolean = {
-      // after the EOS record only zero-padding to the byte boundary
-      // (and nothing else) may remain
-      var p = pos
-      while (p < nBits) {
-        if (p >= ((pos + 7) & ~7)) return false // a whole extra byte
-        if (((bytes(p >>> 3) >> (7 - (p & 7))) & 1) != 0) return false
-        p += 1
-      }
-      true
-    }
+    /** After an EOS record: the padding bits to the byte boundary
+      * must be zero (anything else is trailing garbage, not a
+      * concatenated stream). */
+    def alignToByteZeroPadded(): Unit =
+      while ((pos & 7) != 0) if (take(1) != 0) throw Bad
+    def remainingBits: Int = nBits - pos
   }
 
   private final val GroupSize = 50
@@ -125,13 +129,15 @@ object Bunzip2 {
   def compute(bytes: Array[Byte], maxOut: Int): Array[Byte] = {
     try {
       if (bytes.length < 10) return null
-      if (bytes(0) != 'B' || bytes(1) != 'Z' || bytes(2) != 'h') return null
-      val level = bytes(3) - '0'
+      val in = new Bits(bytes)
+      val out = new java.io.ByteArrayOutputStream(math.min(maxOut, 1 << 16))
+      var moreStreams = true
+      while (moreStreams) {
+      val hdr = in.take(32)
+      if ((hdr >>> 8) != (('B' << 16) | ('Z' << 8) | 'h')) return null
+      val level = (hdr & 0xff) - '0'
       if (level < 1 || level > 9) return null
       val blockMax = level * 100000
-      val in = new Bits(bytes)
-      in.take(32) // skip the 4 header bytes already validated
-      val out = new java.io.ByteArrayOutputStream(math.min(maxOut, 1 << 16))
       var streamCrc = 0
       var sawEos = false
       while (!sawEos) {
@@ -361,7 +367,12 @@ object Bunzip2 {
           streamCrc = ((streamCrc << 1) | (streamCrc >>> 31)) ^ blockCrc
         }
       }
-      if (!in.exhaustedToByte) return null // trailing garbage
+      // zero padding to the byte boundary, then either clean EOF or a
+      // concatenated follow-on stream's BZh header (pbzip2/multistream)
+      in.alignToByteZeroPadded()
+      if (in.remainingBits == 0) moreStreams = false
+      else if (in.remainingBits < 32) return null // trailing garbage
+      }
       out.toByteArray
     } catch {
       case Bad => null

@@ -20,9 +20,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * 3 UTF-8; trailing NUL terminators stripped.
   *
   * Tag-level unsynchronisation (header flag 0x80 — common for v2.3
-  * from older encoders) is REVERSED before the frame walk (every
-  * `FF 00` in the tag body collapses back to `FF`), so unsynced tags
-  * parse exactly instead of garbling silently.
+  * from older encoders) is REVERSED before the frame walk for v2.3
+  * ONLY (every `FF 00` in the tag body collapses back to `FF`), so
+  * unsynced v2.3 tags parse exactly instead of garbling silently.
+  * v2.4 is different BY SPEC: its syncsafe frame sizes describe the
+  * stored (still-unsynced) data, so a tag-wide collapse would
+  * misalign any frame whose data contains `FF` bytes (a UTF-16 BOM
+  * `FF FE` is enough) — instead the reversal runs PER FRAME, after
+  * the size is read, when either the tag flag or the frame's own
+  * unsync format flag (0x02) is set; a v2.4 data-length-indicator
+  * prefix (format flag 0x01) is skipped before text decoding.
   *
   * Fail-closed null for: no `ID3` magic, unsupported major version,
   * a frame running past the tag, or a malformed size; the walk stops
@@ -72,9 +79,10 @@ object Id3TextFrames {
     // tag-level unsynchronisation (common in v2.3 from older encoders):
     // 0xFF 0x00 pairs had a 0x00 inserted after every 0xFF in the tag
     // body — reverse it before the frame walk, or v2.3 frame sizes and
-    // text bytes come out silently garbled
+    // text bytes come out silently garbled. v2.4 frame sizes describe
+    // the STORED data, so the reversal there happens per frame below.
     val bytes =
-      if ((flags & 0x80) == 0) bytes0
+      if ((flags & 0x80) == 0 || major == 4) bytes0
       else {
         val tagEnd0 = math.min(10 + (((bytes0(6) & 0x7f) << 21) |
           ((bytes0(7) & 0x7f) << 14) | ((bytes0(8) & 0x7f) << 7) |
@@ -115,9 +123,29 @@ object Id3TextFrames {
       val fsize = if (major == 4) syncsafe(pos + 4).toLong else be32(pos + 4)
       if (fsize < 0 || pos + 10 + fsize > tagEnd) return null
       if (id.startsWith("T") && fsize >= 1) {
-        val enc = bytes(pos + 10) & 0xff
-        val dataOff = pos + 11
-        val dataLen = (fsize - 1).toInt
+        // v2.4: reverse unsynchronisation PER FRAME (tag flag means
+        // "every frame is unsynced"; frames can also opt in alone via
+        // format flag 0x02), then skip the 4-byte data-length
+        // indicator when format flag 0x01 announces one
+        val fmtFlags = if (major == 4) bytes(pos + 9) & 0xff else 0
+        var data: Array[Byte] =
+          java.util.Arrays.copyOfRange(bytes, pos + 10, pos + 10 + fsize.toInt)
+        if (major == 4 && ((flags & 0x80) != 0 || (fmtFlags & 0x02) != 0)) {
+          val b = new java.io.ByteArrayOutputStream(data.length)
+          var i = 0
+          while (i < data.length) {
+            b.write(data(i))
+            if (data(i) == 0xff.toByte && i + 1 < data.length &&
+              data(i + 1) == 0) i += 2
+            else i += 1
+          }
+          data = b.toByteArray
+        }
+        if (major == 4 && (fmtFlags & 0x01) != 0) {
+          if (data.length < 4) return null
+          data = java.util.Arrays.copyOfRange(data, 4, data.length)
+        }
+        val enc = if (data.length >= 1) data(0) & 0xff else -1
         val cs = enc match {
           case 0 => java.nio.charset.StandardCharsets.ISO_8859_1
           case 1 => java.nio.charset.StandardCharsets.UTF_16 // BOM-led
@@ -126,7 +154,7 @@ object Id3TextFrames {
           case _ => null
         }
         if (cs != null) {
-          var text = new String(bytes, dataOff, dataLen, cs)
+          var text = new String(data, 1, data.length - 1, cs)
           // strip trailing NUL terminator(s)
           while (text.nonEmpty && text.charAt(text.length - 1) == 0)
             text = text.substring(0, text.length - 1)

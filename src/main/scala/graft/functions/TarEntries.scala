@@ -150,13 +150,18 @@ object TarEntries {
       } else {
         // POSIX ustar's third long-name spelling: bsdtar/libarchive and
         // python tarfile in ustar mode split 100-255 char paths as
-        // prefix(155)+name(100), joined with '/'. Only honored when the
-        // ustar magic at 257 is present (old v7 tars reuse those bytes);
-        // an explicit GNU-L/PAX pendingLongName still overrides.
+        // prefix(155)+name(100), joined with '/'. Only honored under
+        // the EXACT POSIX magic+version "ustar\0" + "00" at 257..262:
+        // GNU tar's "ustar  " magic shares the first five bytes but
+        // reuses the prefix region for atime/ctime in oldgnu
+        // incremental archives — joining those octal strings as a path
+        // prefix would fabricate names. An explicit GNU-L/PAX
+        // pendingLongName still overrides.
         val ustarName =
           if (bytes(pos + 257) == 'u' && bytes(pos + 258) == 's' &&
             bytes(pos + 259) == 't' && bytes(pos + 260) == 'a' &&
-            bytes(pos + 261) == 'r') {
+            bytes(pos + 261) == 'r' && bytes(pos + 262) == 0 &&
+            bytes(pos + 263) == '0' && bytes(pos + 264) == '0') {
             val prefix = cString(bytes, pos + 345, 155)
             if (prefix.isEmpty) name else prefix + "/" + name
           } else name

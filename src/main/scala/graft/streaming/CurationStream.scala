@@ -329,8 +329,9 @@ object CurationStream {
     * appended corpus feeds [[curateStream]]'s dedup loop next. */
   def warcGzIngestStream(landing: DataFrame, corpusPath: String,
                          checkpointDir: String,
-                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    graft.ext.TextAnalysis.warcParseGzFile(landing)
+                         trigger: Trigger = Trigger.AvailableNow(),
+                         maxTotalOut: Long = 1L << 33): StreamingQuery =
+    graft.ext.TextAnalysis.warcParseGzFile(landing, maxTotalOut = maxTotalOut)
       .filter(col("http_status") === 200)
       .select(col("doc_id"), col("rec_idx"),
         col("target_uri").as("url"),

@@ -45,6 +45,29 @@ class Bunzip2Spec extends SparkSpec {
       == "block filler 7 " * 9000)
   }
 
+  test("bunzip2: concatenated streams (pbzip2/lbzip2 and Wikipedia " +
+    "multistream shape) decode back-to-back, levels may differ, the " +
+    "output cap is aggregate, and a truncated second stream still " +
+    "fails the whole payload closed") {
+    assert(new String(Bunzip2.compute(un(helloBz + wikiBz), 1 << 20), "UTF-8")
+      == "hello bzip2 world" + "wiki dump text " * 40)
+    // empty stream sandwiched between real ones
+    assert(new String(
+      Bunzip2.compute(un(helloBz + emptyBz + runsBz), 1 << 20), "UTF-8")
+      == "hello bzip2 world" + "a" * 300 + "end")
+    // mixed levels: level-1 two-block file then a level-9 stream
+    assert(new String(Bunzip2.compute(un(twoBlockBz + helloBz), 1 << 24),
+      "UTF-8") == "block filler 7 " * 9000 + "hello bzip2 world")
+    // aggregate cap: each stream alone fits (17 and 303 bytes), the
+    // 320-byte concatenation does not
+    assert(Bunzip2.compute(un(helloBz + runsBz), 310) == null)
+    // a truncated/corrupt second stream nulls the WHOLE payload
+    assert(Bunzip2.compute(un(helloBz + wikiBz).dropRight(3), 1 << 20) == null)
+    val both = un(helloBz + wikiBz)
+    both(both.length - 2) = (both(both.length - 2) ^ 1).toByte
+    assert(Bunzip2.compute(both, 1 << 20) == null)
+  }
+
   test("bunzip2 -> wikiDumpPages -> wikitextClean: a real compressed " +
     "dump reads end to end") {
     val dumpBz = // stock bzip2 of a 2-page MediaWiki export

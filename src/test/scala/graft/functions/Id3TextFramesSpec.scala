@@ -101,6 +101,59 @@ class Id3TextFramesSpec extends SparkSpec {
       r2.getStruct(i, 2).getUTF8String(1).toString != "ÿaÿb" })
   }
 
+  test("id3 v2.4: unsynchronisation is PER FRAME (sizes describe the " +
+    "stored data) — tag flag, frame format flag 0x02, and the " +
+    "data-length-indicator prefix (0x01) all honored") {
+    def unsync(b: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      b.foreach { x => bos.write(x); if (x == 0xff.toByte) bos.write(0) }
+      bos.toByteArray
+    }
+    def frame4(id: String, data: Array[Byte], fmtFlags: Int): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      bos.write(id.getBytes("ISO-8859-1"))
+      val s = data.length // v2.4: syncsafe size of the STORED data
+      bos.write(Array((s >> 21) & 127, (s >> 14) & 127, (s >> 7) & 127,
+        s & 127).map(_.toByte))
+      bos.write(0); bos.write(fmtFlags)
+      bos.write(data)
+      bos.toByteArray
+    }
+    def syncsafe4(v: Int): Array[Byte] = Array((v >> 21) & 127,
+      (v >> 14) & 127, (v >> 7) & 127, v & 127).map(_.toByte)
+    def row(a: org.apache.spark.sql.catalyst.util.GenericArrayData, i: Int) = {
+      val s = a.getStruct(i, 2)
+      (s.getUTF8String(0).toString, s.getUTF8String(1).toString)
+    }
+    // tag-level flag: every frame's DATA is unsynced, sizes are stored
+    // sizes — a UTF-16 BOM (FF FE) makes the old tag-wide collapse
+    // misalign; the per-frame reversal keeps the second frame intact
+    val d1 = unsync(textData(1, "utf16 ü"))
+    val body1 = frame4("TIT2", d1, 0) ++ frame4("TALB", textData(0, "next"), 0)
+    val bos = new ByteArrayOutputStream()
+    bos.write("ID3".getBytes); bos.write(4); bos.write(0); bos.write(0x80)
+    bos.write(syncsafe4(body1.length)); bos.write(body1)
+    val r1 = Id3TextFrames.compute(bos.toByteArray, 64)
+    assert(r1 != null && r1.numElements() == 2)
+    assert(row(r1, 0) == ("TIT2", "utf16 ü"))
+    assert(row(r1, 1) == ("TALB", "next"))
+    // frame-level opt-in (format flag 0x02) with no tag flag
+    val t2 = tag(4, frame4("TPE1", unsync(textData(1, "ÿsolo")), 0x02),
+      frame4("TIT2", textData(0, "after"), 0))
+    val r2 = Id3TextFrames.compute(t2, 64)
+    assert(r2 != null && r2.numElements() == 2)
+    assert(row(r2, 0) == ("TPE1", "ÿsolo"))
+    assert(row(r2, 1) == ("TIT2", "after"))
+    // data-length indicator (0x01) + unsync (0x02): a 4-byte syncsafe
+    // original-length prefix precedes the unsynced data
+    val plain3 = textData(1, "both ÿ")
+    val d3 = syncsafe4(plain3.length) ++ unsync(plain3)
+    val t3 = tag(4, frame4("TCON", d3, 0x03))
+    val r3 = Id3TextFrames.compute(t3, 64)
+    assert(r3 != null && r3.numElements() == 1)
+    assert(row(r3, 0) == ("TCON", "both ÿ"))
+  }
+
   test("id3 fails closed: no magic, bad version, oversized frame; operator explodes in order") {
     assert(Id3TextFrames.compute("MP3junk".getBytes, 8) == null)
     assert(Id3TextFrames.compute(tag(2,

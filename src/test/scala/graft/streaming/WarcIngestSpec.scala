@@ -61,4 +61,17 @@ class WarcIngestSpec extends SparkSpec {
       Set((1L, 0L), (1L, 2L), (2L, 0L)), "404 gated, corrupt gone")
     assert(got.exists(_(3) == "alpha one"))
   }
+
+  test("warcParseGzFile exposes the aggregate inflate cap (maxTotalOut): " +
+    "an archive past the cap vanishes whole; the 8 GiB default admits " +
+    "multi-member archives the kernel's generic 256 MiB would refuse") {
+    val big = rec(9, 0, "200 OK", "<p>" + "w" * 5000 + "</p>")
+    val df = Seq((9L, gz(big) ++ gz(big))).toDF("doc_id", "warc_gz")
+    assert(TextAnalysis.warcParseGzFile(df).count() == 2)
+    // cap below one member's inflated size: whole archive fails closed
+    assert(TextAnalysis.warcParseGzFile(df, maxTotalOut = 4096).count() == 0)
+    // cap admitting one member but not both: still whole-archive null
+    // (fail closed, never silent partial rows)
+    assert(TextAnalysis.warcParseGzFile(df, maxTotalOut = 6000).count() == 0)
+  }
 }
