@@ -22,12 +22,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * skip) and the ORC chunked-compression framing (3-byte LE chunk
   * headers, isOriginal bit) for NONE, ZLIB (raw-DEFLATE via the JDK
   * Inflater), SNAPPY and LZ4 footers (one [[BlockCodecs]] raw block
-  * per chunk).
+  * per chunk), and ZSTD footers (one [[ZstdPayload]] frame per chunk
+  * — the modern writer default).
   *
   * Output struct: `(compression, writer_version, num_rows, n_stripes,
   * content_length, columns array<(name, otype)>)` — `columns` is the
   * root struct's TOP-LEVEL fields with their ORC type-kind names.
-  * Footers under the remaining codecs (lzo/zstd) yield the postscript
+  * Footers under the one remaining codec (lzo) yield the postscript
   * facts with NULL footer fields — the census still learns the codec;
   * the refusal is explicit, not a guess.
   *
@@ -169,6 +170,9 @@ object OrcFooterMeta {
             maxOut - out.size())
           else if (codec == 4) BlockCodecs.lz4(bytes, pos, clen,
             maxOut - out.size())
+          else if (codec == 5) ZstdPayload.compute(
+            java.util.Arrays.copyOfRange(bytes, pos, pos + clen),
+            math.max(1, maxOut - out.size()))
           else throw Bad
         if (block == null) throw Bad
         out.write(block, 0, block.length)
@@ -217,10 +221,10 @@ object OrcFooterMeta {
         case 0 =>
           if (footerLen > maxFooter) return null
           java.util.Arrays.copyOfRange(bytes, fStart.toInt, fEnd)
-        case 1 | 2 | 4 => // zlib / snappy / lz4
+        case 1 | 2 | 4 | 5 => // zlib / snappy / lz4 / zstd
           inflateChunks(bytes, fStart.toInt, fEnd, maxFooter, compression)
-        case 3 | 5 =>
-          // lzo/zstd: no decoder here — postscript facts, null footer
+        case 3 =>
+          // lzo: no decoder here — postscript facts, null footer
           return row(wv, null, null, null, null)
         case _ => return null
       }

@@ -82,6 +82,35 @@ object CorpusIO {
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .json(path)
 
+  /** Read `.jsonl.zst` — the de-facto interchange shape public LLM
+    * corpora actually ship (one zstd frame per shard file, JSONL
+    * inside). Spark's JSON scan cannot split or even read zstd
+    * without native libraries, so this path is explicit about the
+    * real distribution unit: `binaryFile` scan (one task per shard —
+    * the format is not splittable, and corpora ship thousands of
+    * shards, so parallelism comes from file count exactly as it does
+    * on a real cluster) → the bounded fail-closed
+    * [[graft.functions.ZstdPayload]] kernel → line split →
+    * `from_json` under the same explicit-schema + `_corrupt`
+    * quarantine contract as [[readJsonl]]. A corrupt or truncated
+    * archive vanishes WHOLE (the kernel nulls it), never as silent
+    * partial rows; a malformed line inside a healthy archive lands in
+    * `_corrupt`. Decode-only: writing zstd would need an encoder —
+    * egress stays [[writeJsonl]]. */
+  def readJsonlZst(spark: SparkSession, path: String,
+                   schema: StructType = documentsSchema,
+                   maxOut: Int = 1 << 28): DataFrame = {
+    val full = withCorrupt(schema)
+    spark.read.format("binaryFile").load(path)
+      .select(graft.functions.ZstdPayload(col("content"), maxOut).as("__b"))
+      .select(explode(split(decode(col("__b"), "UTF-8"), "\n")).as("__line"))
+      .filter(col("__line") =!= "")
+      .select(from_json(col("__line"), full, Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> corruptCol)).as("__r"))
+      .select(col("__r.*"))
+  }
+
   /** CSV reader with the same explicit-schema + quarantine contract.
     * `multiLine` only if values embed newlines — it serializes each
     * file into one task, so prefer JSONL for anything large. */

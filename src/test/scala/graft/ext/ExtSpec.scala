@@ -3379,6 +3379,42 @@ class CorpusIOSpec extends SparkSpec {
     assert(graft.sources.CorpusIO.readJsonlClean(spark, dir).count() == 25)
   }
 
+  test("jsonl.zst shards read under the quarantine contract: good rows " +
+    "parse, a malformed line lands in _corrupt, a bit-flipped archive " +
+    "vanishes WHOLE") {
+    import spark.implicits._
+    def un(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // stock zstd-1.5.7 shards (pinned): A = 3 good JSONL rows,
+    // C = 1 good row + 1 junk line
+    val shardA = un("28B52FFD24D86D030062461518903B07ABB9C5C66B6EB505D9" +
+      "5D627706A923E79CFDFD7C0240B416C2CC36BE4EAA286A08C33A763A692F0B80" +
+      "88C833515F2BE0D5D93ACF6F8B0D335787FBBC0135B9FA424EFA96449FEF67FB" +
+      "6AE5DD5134768702082030E3F4CD1C9158B8B81C135A02C6B51CCA56CD2A6693" +
+      "43")
+    val shardC = un("28B52FFD245C6D0200C2451211907D6301066E50FAD0DDB1E4" +
+      "7BBABE96192046E3D6B89CF5B99DD2ABF3EA9A055B90AFD43454E4873F0A3F79" +
+      "85E89DF5C3D3F5E49934F1C3E3491DCE276FB3B21F06F9E40A9AE97500B6FB5F" +
+      "A4")
+    val dir = java.nio.file.Files.createTempDirectory("graft-jzst-unit")
+    java.nio.file.Files.write(dir.resolve("a.jsonl.zst"), shardA)
+    val bad = shardA.clone()
+    bad(bad.length - 3) = (bad(bad.length - 3) ^ 1).toByte
+    java.nio.file.Files.write(dir.resolve("b.jsonl.zst"), bad)
+    java.nio.file.Files.write(dir.resolve("c.jsonl.zst"), shardC)
+    val got = graft.sources.CorpusIO.readJsonlZst(spark, dir.toString)
+      .cache()
+    assert(got.count() == 5, "3 + 1 good rows + 1 quarantined")
+    assert(got.filter(
+      col(graft.sources.CorpusIO.corruptCol).isNotNull).count() == 1)
+    val rows = got.filter(col("doc_id").isNotNull)
+      .select("doc_id", "text", "lang").orderBy("doc_id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(rows == Seq((1L, "alpha one", "en"), (2L, "beta two", "de"),
+      (3L, "gamma three", "en"), (9L, "ok row", "fr")))
+    got.unpersist()
+  }
+
   test("CSV round-trip with quoting survives commas, quotes and newlines") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString

@@ -43,9 +43,9 @@ class OrcFooterSpec extends SparkSpec {
     assert(BlockCodecs.lz4(lz, 0, 8, 1 << 10) == null)
   }
 
-  test("orc_meta reads Spark's OWN orc output under zlib, none, snappy " +
-    "and lz4: exact rows, stripes, top-level columns") {
-    for (codec <- Seq("zlib", "none", "snappy", "lz4")) {
+  test("orc_meta reads Spark's OWN orc output under zlib, none, snappy, " +
+    "lz4 and zstd: exact rows, stripes, top-level columns") {
+    for (codec <- Seq("zlib", "none", "snappy", "lz4", "zstd")) {
       val bytes = onePartBytes { dir =>
         spark.range(0, 2000).selectExpr(
             "id", "cast(id as string) as name", "cast(id as double) as x")
@@ -68,16 +68,16 @@ class OrcFooterSpec extends SparkSpec {
     }
   }
 
-  test("orc_meta: unsupported codec yields postscript facts with null " +
-    "footer fields; corrupt tails fail closed; Column API + sniff") {
-    val zstd = onePartBytes { dir =>
+  test("orc_meta: unsupported codec (lzo) yields postscript facts with " +
+    "null footer fields; corrupt tails fail closed; Column API + sniff") {
+    val lzo = onePartBytes { dir =>
       spark.range(0, 10).coalesce(1).write.mode("overwrite")
-        .option("compression", "zstd").orc(dir)
+        .option("compression", "lzo").orc(dir)
     }
-    val rz = OrcFooterMeta.compute(zstd, 1 << 24)
-    assert(rz != null && rz.getUTF8String(0).toString == "zstd")
+    val rz = OrcFooterMeta.compute(lzo, 1 << 24)
+    assert(rz != null && rz.getUTF8String(0).toString == "lzo")
     assert(rz.isNullAt(2) && rz.isNullAt(5),
-      "codec the JDK lacks: explicit refusal, not a guess")
+      "codec without a decoder here: explicit refusal, not a guess")
     val ok = onePartBytes { dir =>
       spark.range(0, 10).coalesce(1).write.mode("overwrite")
         .option("compression", "none").orc(dir)
