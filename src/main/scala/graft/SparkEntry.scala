@@ -153,9 +153,9 @@ object SparkEntry {
 
   /** q287 fixture: pyarrow (ORC_CPP) orc files pinned as
     * constants - cross-writer coverage for the tail kernel (the
-    * unit suite covers the Java orc-core writer via Spark). Both
-    * hold (id int64, name string) x 5 rows in one stripe; one
-    * uncompressed, one zlib. */
+    * unit suite covers the Java orc-core writer via Spark). All
+    * hold (id int64, name string) x 5 rows in one stripe, one per
+    * codec: uncompressed, zlib, snappy, lz4, zstd. */
   private val orcPlainHex: String =
     "4F52430A061204080550000A120A020000120C0805120608001008181450" +
     "000A150A03000000120E080522080A0161120165180E5000C00400024204" +
@@ -195,6 +195,20 @@ object SparkEntry {
     "120608001008181450003A0E080522080A0161120165180E500040904E48" +
     "016205322E302E30086B1002188080042202000C2829300682F403034F52" +
     "4317"
+
+  private val orcZstdHex: String =
+    "4F52431100000A061204080550002B00000A130A03000000120C08051206" +
+    "0802100A181E50003300000A170A050000000000120E080522080A016112" +
+    "016518125000090000C004020209000042046E4013000061616261626364" +
+    "64658F00000A0608061000180B0A060806100118180A0608061002181C0A" +
+    "060801100118070A060802100218070A0608011002180C12040800100012" +
+    "04080210001204080210001A03474D544D00000A240A04080550000A0C08" +
+    "0512060802100A181E50000A0E080522080A016112016518125000DF0000" +
+    "080310A3011A0A0803103F181A204A28052216080C120201021A0269641A" +
+    "046E616D6520002800300022080804200028003000220808072000280030" +
+    "0030053A04080550003A0C080512060802100A181E50003A0E080522080A" +
+    "01611201651812500040904E48016205322E302E30087210051880800422" +
+    "02000C2829300682F403034F524317"
 
   private val orcLz4Hex: String =
     "4F52431100000A061204080550002B00000A130A03000000120C08051206" +
@@ -2969,11 +2983,12 @@ object SparkEntry {
     // blocks); %5==4 docs break the head magic — null
     "q287_orc_meta" -> ((s, dir) => {
       val corrupt = "58" + orcPlainHex.drop(2) // head magic broken
-      val m = pmod(col("doc_id"), lit(5L))
+      val m = pmod(col("doc_id"), lit(6L))
       val hexStr = when(m === 0, lit(orcPlainHex))
         .when(m === 1, lit(orcZlibHex))
         .when(m === 2, lit(orcSnappyHex))
-        .when(m === 3, lit(orcLz4Hex)).otherwise(lit(corrupt))
+        .when(m === 3, lit(orcLz4Hex))
+        .when(m === 4, lit(orcZstdHex)).otherwise(lit(corrupt))
       val meta = Multimodal.orcMeta(unhex(hexStr))
       t(s, dir, "documents")
         .select(col("doc_id"), meta.as("__m"))
@@ -3209,6 +3224,63 @@ object SparkEntry {
             .as("bz_text"))
         .orderBy("doc_id")
     }),
+    // zstd decompression against PINNED reference streams (stock
+    // zstd-1.5.7 output embedded as constants — the kernel is graded
+    // against the real format): raw block, predefined-FSE sequences,
+    // an empty frame, concatenated frames, a skippable-frame
+    // sandwich; %7==6 docs flip the checksum byte and must refuse
+    "q290_zstd" -> ((s, dir) => {
+      val hello = "28b52ffd241081000068656c6c6f207a73746420776f726c64" +
+        "7f816860"
+      val wiki = "28b52ffd645801b500007877696b692064756d7020746578742" +
+        "0010046a49a751720de86"
+      val runs = "28b52ffd642f005d00002061656e640100282a10027542211f"
+      val empty = "28b52ffd240001000099e9d851"
+      val skip = "502a4d180500000064656164ff" // skippable frame, 5 junk
+      // corrupt: hello's checksum low byte flipped
+      val corrupt = hello.dropRight(2) +
+        "%02x".format(Integer.parseInt(hello.takeRight(2), 16) ^ 1)
+      val m = pmod(col("doc_id"), lit(7L))
+      val hexStr = when(m === 0, lit(hello)).when(m === 1, lit(wiki))
+        .when(m === 2, lit(runs)).when(m === 3, lit(empty))
+        .when(m === 4, lit(hello + wiki)) // concatenated frames
+        .when(m === 5, lit(hello + skip + runs)) // skippable sandwich
+        .otherwise(lit(corrupt))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          decode(graft.functions.ZstdPayload(unhex(hexStr), 1 << 20),
+            "UTF-8").as("z_text"))
+        .orderBy("doc_id")
+    }),
+    // the .jsonl.zst corpus front door: pinned CLI-written shards in
+    // a scratch landing dir — a healthy 3-row shard, a bit-flipped
+    // shard that must vanish WHOLE, and a shard whose malformed line
+    // lands in the _corrupt quarantine while its good row survives
+    "q291_jsonl_zst" -> ((s, dir) => {
+      val shardA = "28B52FFD24D86D030062461518903B07ABB9C5C66B6EB505D9" +
+        "5D627706A923E79CFDFD7C0240B416C2CC36BE4EAA286A08C33A763A692F" +
+        "0B8088C833515F2BE0D5D93ACF6F8B0D335787FBBC0135B9FA424EFA9644" +
+        "9FEF67FB6AE5DD5134768702082030E3F4CD1C9158B8B81C135A02C6B51C" +
+        "CA56CD2A669343"
+      val shardC = "28B52FFD245C6D0200C2451211907D6301066E50FAD0DDB1E4" +
+        "7BBABE96192046E3D6B89CF5B99DD2ABF3EA9A055B90AFD43454E4873F0A" +
+        "3F7985E89DF5C3D3F5E49934F1C3E3491DCE276FB3B21F06F9E40A9AE975" +
+        "00B6FB5FA4"
+      def un(h: String): Array[Byte] =
+        h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      val tmp = java.nio.file.Files.createTempDirectory("graft-jzst")
+      java.nio.file.Files.write(tmp.resolve("a.jsonl.zst"), un(shardA))
+      val bad = un(shardA)
+      bad(bad.length - 3) = (bad(bad.length - 3) ^ 1).toByte
+      java.nio.file.Files.write(tmp.resolve("b.jsonl.zst"), bad)
+      java.nio.file.Files.write(tmp.resolve("c.jsonl.zst"), un(shardC))
+      graft.sources.CorpusIO.readJsonlZst(s, tmp.toString)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"),
+          col(graft.sources.CorpusIO.corruptCol).isNotNull
+            .as("quarantined"))
+        .orderBy(coalesce(col("doc_id"), lit(-1L)))
+    }),
     // ustar tarball walk: dir + two files with verified checksums
     // (engine-built headers — checksum = constant fixed-field sum +
     // short char-sum folds); every 8th doc corrupts a checksum and
@@ -3298,10 +3370,18 @@ object SparkEntry {
         member("ops/c1.xhtml",
           concat(lit("<html><body><p>Book "), id,
             lit(" chapter.</p></body></html>"))))
-      val m = pmod(col("doc_id"), lit(7L))
+      // round 13: unknown-kind zips route through the all-members
+      // text (jars/source archives read instead of nulling)
+      val srcZip = concat(
+        member("src/main.py",
+          concat(lit("print('doc "), id, lit("')"))),
+        member("README.md",
+          concat(lit("# Project "), id)))
+      val m = pmod(col("doc_id"), lit(8L))
       val payload = when(m === 0, pdf.cast("binary"))
         .when(m === 1, docx).when(m === 2, gz)
         .when(m === 4, xlsx).when(m === 5, pptx).when(m === 6, epub)
+        .when(m === 7, srcZip)
         .otherwise(raw)
       val fixture = t(s, dir, "documents")
         .select(col("doc_id"), payload.as("payload")).localCheckpoint()
@@ -6252,13 +6332,14 @@ object SparkEntry {
 
     // q275: each branch's text from its own tier's contract (pdf
     // show-op joining, docx paragraph newline, xlsx line-per-string,
-    // pptx paragraph newline, epub htmlToText, gzip/raw passthrough)
+    // pptx paragraph newline, epub htmlToText, gzip/raw passthrough,
+    // unknown-kind zip = member texts joined by blank lines)
     "q275_document_text" ->
       """SELECT doc_id,
-        |  CASE doc_id % 7 WHEN 0 THEN 'pdf' WHEN 2 THEN 'gzip'
+        |  CASE doc_id % 8 WHEN 0 THEN 'pdf' WHEN 2 THEN 'gzip'
         |    WHEN 3 THEN 'unknown'
         |    ELSE 'zip' END AS format,
-        |  CASE doc_id % 7
+        |  CASE doc_id % 8
         |    WHEN 0 THEN 'Doc ' || CAST(doc_id AS VARCHAR) || ' pdf'
         |    WHEN 1 THEN 'Doc ' || CAST(doc_id AS VARCHAR) || ' docx'
         |      || chr(10)
@@ -6268,6 +6349,9 @@ object SparkEntry {
         |    WHEN 5 THEN 'Deck ' || CAST(doc_id AS VARCHAR) || ' slide'
         |      || chr(10)
         |    WHEN 6 THEN 'Book ' || CAST(doc_id AS VARCHAR) || ' chapter.'
+        |    WHEN 7 THEN 'print(''doc ' || CAST(doc_id AS VARCHAR) ||
+        |      ''')' || chr(10) || chr(10) || '# Project ' ||
+        |      CAST(doc_id AS VARCHAR)
         |    ELSE 'Doc ' || CAST(doc_id AS VARCHAR) || ' raw text' END
         |    AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -6482,6 +6566,39 @@ object SparkEntry {
         |    ELSE NULL END AS bz_text
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // q290: the plaintexts the pinned zstd streams compress — known
+    // constants; concatenated frames and skippable frames decode per
+    // the multi-frame contract; the corrupt branch null
+    "q290_zstd" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 7
+        |    WHEN 0 THEN 'hello zstd world'
+        |    WHEN 1 THEN repeat('wiki dump text ', 40)
+        |    WHEN 2 THEN repeat('a', 300) || 'end'
+        |    WHEN 3 THEN ''
+        |    WHEN 4 THEN 'hello zstd world' || repeat('wiki dump text ', 40)
+        |    WHEN 5 THEN 'hello zstd world' || repeat('a', 300) || 'end'
+        |    ELSE NULL END AS z_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q291: the shard rows replayed as constants — the bit-flipped
+    // shard contributes nothing, the malformed line quarantines
+    "q291_jsonl_zst" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS BIGINT), TRUE),
+        |  (CAST(1 AS BIGINT), 'alpha one', 'en', 'web',
+        |   CAST(9 AS BIGINT), FALSE),
+        |  (CAST(2 AS BIGINT), 'beta two', 'de', 'web',
+        |   CAST(8 AS BIGINT), FALSE),
+        |  (CAST(3 AS BIGINT), 'gamma three', 'en', 'book',
+        |   CAST(11 AS BIGINT), FALSE),
+        |  (CAST(9 AS BIGINT), 'ok row', 'fr', 'web',
+        |   CAST(6 AS BIGINT), FALSE))
+        |  AS t(doc_id, text, lang, source, n_chars, quarantined)
+        |ORDER BY coalesce(doc_id, -1)""".stripMargin,
+
     // q285: member texts replayed arithmetically; the docs/ directory
     // entry never surfaces
     "q285_zip_texts" ->
@@ -6525,14 +6642,14 @@ object SparkEntry {
     // files; every value known by construction), corrupt null
     "q287_orc_meta" ->
       """SELECT doc_id,
-        |  CASE doc_id % 5 WHEN 0 THEN 'none' WHEN 1 THEN 'zlib'
-        |    WHEN 2 THEN 'snappy' WHEN 3 THEN 'lz4'
+        |  CASE doc_id % 6 WHEN 0 THEN 'none' WHEN 1 THEN 'zlib'
+        |    WHEN 2 THEN 'snappy' WHEN 3 THEN 'lz4' WHEN 4 THEN 'zstd'
         |    ELSE NULL END AS compression,
-        |  CAST(CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 5 END AS BIGINT)
+        |  CAST(CASE WHEN doc_id % 6 = 5 THEN NULL ELSE 5 END AS BIGINT)
         |    AS num_rows,
-        |  CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 1 END AS n_stripes,
-        |  CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 2 END AS n_cols,
-        |  CASE WHEN doc_id % 5 = 4 THEN NULL
+        |  CASE WHEN doc_id % 6 = 5 THEN NULL ELSE 1 END AS n_stripes,
+        |  CASE WHEN doc_id % 6 = 5 THEN NULL ELSE 2 END AS n_cols,
+        |  CASE WHEN doc_id % 6 = 5 THEN NULL
         |    ELSE 'id:long;name:string' END AS cols_ddl
         |FROM documents ORDER BY doc_id""".stripMargin,
 

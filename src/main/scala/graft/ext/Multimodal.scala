@@ -590,10 +590,15 @@ object Multimodal {
     * [[TextAnalysis.decodeEntities]]' one-pass chain. Non-ZIP
     * payloads, archives without the member, and malformed members
     * all yield null. Narrow per-row work, zero shuffle. */
-  def docxText(payload: Column, maxBytes: Int = 1 << 24): Column = {
-    val xml = decode(
+  def docxText(payload: Column, maxBytes: Int = 1 << 24): Column =
+    docxXmlText(decode(
       graft.functions.ZipEntryBytes(payload, "word/document.xml", maxBytes),
-      "UTF-8")
+      "UTF-8"))
+
+  /** The WordprocessingML→text transform alone (member already
+    * extracted) — shared by [[docxText]] and the resolve-once
+    * [[documentText]] dispatcher. */
+  private[ext] def docxXmlText(xml: Column): Column = {
     val para = regexp_replace(regexp_replace(xml,
       "</w:p>", "\n"), "<w:tab[^>]*/>", "\t")
     TextAnalysis.decodeEntities(regexp_replace(para, "<[^>]+>", ""))
@@ -663,13 +668,14 @@ object Multimodal {
   /** EVERY member's text from a ZIP — the [[tarFileTexts]] sibling
     * for zip-shaped corpora (source archives, jar/ooxml bundles):
     * entries explode via the CD-primary listing, directories (names
-    * ending `/`) drop, and each member extracts per-row-named
-    * ([[graft.functions.ZipEntryBytesAt]] — stored sliced, DEFLATE
-    * inflated, data-descriptor entries resolved through the CD) and
-    * decodes UTF-8. Corrupt archives contribute no rows; a member
-    * whose extraction fails closed keeps its row with null text.
-    * Output (idCol, name, usize, text); narrow explode, zero
-    * shuffle. */
+    * ending `/`) drop, and each member extracts AT ITS COORDINATES
+    * ([[graft.functions.ZipMemberData]] over the exploded entry —
+    * stored sliced, DEFLATE inflated, data-descriptor entries carry
+    * CD sizes; ONE archive resolution per row, no per-member EOCD
+    * re-scans) and decodes UTF-8. Corrupt archives contribute no
+    * rows; a member whose extraction fails closed keeps its row with
+    * null text. Output (idCol, name, usize, text); narrow explode,
+    * zero shuffle. */
   def zipFileTexts(docs: DataFrame, idCol: String = "doc_id",
                    payloadCol: String = "payload",
                    maxBytes: Int = 1 << 24,
@@ -680,8 +686,8 @@ object Multimodal {
       .filter(!col("__e.name").endsWith("/"))
       .select(col(idCol), col("__e.name").as("name"),
         col("__e.usize").as("usize"),
-        decode(graft.functions.ZipEntryBytesAt(col("__p"),
-          col("__e.name"), maxBytes), "UTF-8").as("text"))
+        decode(graft.functions.ZipMemberData(col("__p"),
+          col("__e"), maxBytes), "UTF-8").as("text"))
 
   /** [[tarList]] over a gzip-compressed tarball — `.tar.gz`, the
     * shape source releases actually ship: one bounded
@@ -744,27 +750,33 @@ object Multimodal {
     * (`ppt/slides/slideN.xml`) — call per slide index; archives
     * without that slide yield null. */
   def pptxSlideText(payload: Column, slide: Int = 1,
-                    maxBytes: Int = 1 << 24): Column = {
-    val xml = decode(graft.functions.ZipEntryBytes(payload,
-      s"ppt/slides/slide$slide.xml", maxBytes), "UTF-8")
+                    maxBytes: Int = 1 << 24): Column =
+    slideXmlText(decode(graft.functions.ZipEntryBytes(payload,
+      s"ppt/slides/slide$slide.xml", maxBytes), "UTF-8"))
+
+  /** The DrawingML→text transform alone — shared by [[pptxSlideText]]
+    * and the resolve-once [[documentText]] dispatcher. */
+  private[ext] def slideXmlText(xml: Column): Column =
     TextAnalysis.decodeEntities(regexp_replace(
       regexp_replace(xml, "</a:p>", "\n"), "<[^>]+>", ""))
-  }
 
   /** XLSX document TEXT as one Column — the spreadsheet tier's entry
     * in the [[documentText]] dispatcher ([[xlsxCells]] keeps the
     * grid; a text dispatcher wants the words): the shared-strings
     * entries in table order, one per line, runs concatenated and
     * entities decoded. Workbooks without the member yield null. */
-  def xlsxText(payload: Column, maxBytes: Int = 1 << 24): Column = {
-    val sst = decode(graft.functions.ZipEntryBytes(payload,
-      "xl/sharedStrings.xml", maxBytes), "UTF-8")
+  def xlsxText(payload: Column, maxBytes: Int = 1 << 24): Column =
+    sharedStringsText(decode(graft.functions.ZipEntryBytes(payload,
+      "xl/sharedStrings.xml", maxBytes), "UTF-8"))
+
+  /** The shared-strings→text transform alone — shared by [[xlsxText]]
+    * and the resolve-once [[documentText]] dispatcher. */
+  private[ext] def sharedStringsText(sst: Column): Column =
     array_join(transform(
       regexp_extract_all(sst, lit("(?s)<si>(.*?)</si>"), lit(1)),
       si => TextAnalysis.decodeEntities(array_join(
         regexp_extract_all(si, lit("(?s)<t[^>]*>(.*?)</t>"), lit(1)), ""))),
       "\n")
-  }
 
   /** EPUB book TEXT as one Column — [[epubChapters]] flattened for
     * the [[documentText]] dispatcher: container → OPF → spine order,
@@ -805,17 +817,22 @@ object Multimodal {
   /** Sniff-dispatched document text — the front door of a mixed
     * document lake: ONE pass labels each payload
     * ([[sniffFormat]], aliased so the label evaluates once); `zip`
-    * payloads get a second aliased pass resolving their DOCUMENT KIND
-    * from member names (the zipMeta rule: `word/`→docx, `xl/`→xlsx,
-    * `ppt/`→pptx, `META-INF/container.xml`→epub — via the CD-primary
-    * [[graft.functions.ZipEntries]] listing, so streamed OOXML
-    * resolves too); then the per-format text tier runs behind a
-    * row-lazy when-chain — `pdf` → [[pdfText]], `docx` →
-    * [[docxText]], `xlsx` → [[xlsxText]], `pptx` →
-    * [[pptxSlideText]] (slide 1), `epub` → [[epubText]], other zips
-    * → [[docxText]] (fails closed to null), `gzip` → bounded
-    * [[graft.functions.GunzipPayload]] + UTF-8, everything
-    * unrecognized → UTF-8 as plain text. Codegen short-circuits the
+    * payloads resolve their archive structure EXACTLY ONCE (the
+    * CD-primary [[graft.functions.ZipEntries]] listing behind its
+    * own alias, so streamed OOXML resolves too) — the DOCUMENT-KIND
+    * routing blob and every member extraction read that one listing,
+    * extractions by COORDINATES ([[graft.functions.ZipMemberData]])
+    * with no per-member EOCD re-scans. Kind rules: `xl/`→xlsx
+    * shared-strings text, `ppt/`→pptx slide 1,
+    * `META-INF/container.xml`→epub chapters in spine order,
+    * `word/`→docx; any OTHER zip (jars, source archives) yields its
+    * concatenated non-directory member texts — a mixed lake's plain
+    * zips read instead of nulling. Remaining tiers: `pdf` →
+    * [[pdfText]], `gzip` → bounded
+    * [[graft.functions.GunzipPayload]] + UTF-8, `bzip2` →
+    * [[graft.functions.Bunzip2]], `zstd` →
+    * [[graft.functions.ZstdPayload]] (all bounded, fail-closed),
+    * everything unrecognized → UTF-8 as plain text. Codegen short-circuits the
     * non-matching branches per row, so each payload pays only its
     * own parser (the containerMeta(formats) lesson, solved per row
     * instead of per call). At cluster scale prefer `sniff →
@@ -825,35 +842,84 @@ object Multimodal {
     * family, text — null when the matched tier fails closed). */
   def documentText(docs: DataFrame, idCol: String = "doc_id",
                    payloadCol: String = "payload",
-                   maxBytes: Int = 1 << 24): DataFrame =
+                   maxBytes: Int = 1 << 24): DataFrame = {
+    // ONE archive resolution per zip row: the CD/local walk runs once
+    // behind the __e alias; the kind-routing name blob AND every
+    // member extraction below read coordinates from it
+    // ([[graft.functions.ZipMemberData]]) — no per-member EOCD scans
+    def mem(name: Column): Column =
+      graft.functions.ZipMemberData(col("__p"),
+        try_element_at(filter(col("__e"),
+          x => x.getField("name") === name), lit(1)), maxBytes)
+    def memText(name: Column): Column = decode(mem(name), "UTF-8")
+    // epub: container → OPF → spine, all via the shared listing
+    val opfp = regexp_extract(memText(lit("META-INF/container.xml")),
+      "(?s)<rootfile[^>]*full-path=\"([^\"]*)\"", 1)
+    val opf = memText(when(opfp =!= "", opfp))
+    val dir = when(opfp.contains("/"),
+      regexp_extract(opfp, "^(.*/)[^/]*$", 1)).otherwise(lit(""))
+    val items = transform(
+      regexp_extract_all(opf, lit("(?s)<item [^>]*>"), lit(0)),
+      tag => struct(
+        regexp_extract(tag, "id=\"([^\"]*)\"", 1).as("id"),
+        regexp_extract(tag, "href=\"([^\"]*)\"", 1).as("href")))
+      .cast("array<struct<id:string,href:string>>")
+    val idrefs = regexp_extract_all(opf,
+      lit("(?s)<itemref[^>]*idref=\"([^\"]*)\""), lit(1))
+    val chapterTexts = transform(idrefs, idref => {
+      val m = filter(items, it => it.getField("id") === idref)
+      when(size(m) > 0, TextAnalysis.htmlToText(
+        memText(concat(dir, m.getItem(0).getField("href")))))
+    })
+    val epubTier = when(opf.isNotNull,
+      array_join(filter(chapterTexts, t => t.isNotNull), "\n\n"))
+    // unknown-kind zips (jars, source archives): every non-directory
+    // member's text, the zipFileTexts shape collapsed to one column —
+    // a mixed lake's plain zips yield their text instead of nulling
+    val allMembers = when(size(col("__e")) > 0, array_join(
+      filter(
+        transform(
+          filter(col("__e"), e => !e.getField("name").endsWith("/")),
+          e => decode(graft.functions.ZipMemberData(col("__p"), e,
+            maxBytes), "UTF-8")),
+        t => t.isNotNull),
+      "\n\n"))
     docs.select(col(idCol), col(payloadCol).as("__p"),
         sniffFormat(col(payloadCol)).as("format"))
       .select(col(idCol), col("format"), col("__p"),
-        // member-name blob, evaluated once per zip row behind its own
-        // alias; "\n"-framed so prefix rules anchor on entry starts
+        when(col("format") === "zip", coalesce(
+          graft.functions.ZipEntries(col("__p"), 4096),
+          array().cast("array<struct<name:string,method:int," +
+            "csize:bigint,usize:bigint,offset:bigint>>"))).as("__e"))
+      .select(col(idCol), col("format"), col("__p"), col("__e"),
+        // member-name blob derived from the SAME listing; "\n"-framed
+        // so prefix rules anchor on entry starts
         when(col("format") === "zip", concat(lit("\n"), array_join(
-          transform(coalesce(
-            graft.functions.ZipEntries(col("__p"), 4096),
-            array().cast("array<struct<name:string,method:int," +
-              "csize:bigint,usize:bigint,offset:bigint>>")),
-            e => e.getField("name")), "\n"), lit("\n"))).as("__names"))
+          transform(col("__e"), e => e.getField("name")), "\n"),
+          lit("\n"))).as("__names"))
       .select(col(idCol), col("format"),
         when(col("format") === "pdf",
           pdfText(col("__p"), maxBytes = maxBytes).getField("text"))
           .when(col("format") === "zip",
             when(col("__names").contains("\nxl/"),
-              xlsxText(col("__p"), maxBytes))
+              sharedStringsText(memText(lit("xl/sharedStrings.xml"))))
               .when(col("__names").contains("\nppt/"),
-                pptxSlideText(col("__p"), maxBytes = maxBytes))
+                slideXmlText(memText(lit("ppt/slides/slide1.xml"))))
               .when(col("__names").contains("\nMETA-INF/container.xml"),
-                epubText(col("__p"), maxBytes))
-              .otherwise(docxText(col("__p"), maxBytes)))
+                epubTier)
+              .when(col("__names").contains("\nword/"),
+                docxXmlText(memText(lit("word/document.xml"))))
+              .otherwise(allMembers))
           .when(col("format") === "gzip",
             decode(graft.functions.GunzipPayload(col("__p"), maxBytes),
               "UTF-8"))
           .when(col("format") === "bzip2",
             decode(graft.functions.Bunzip2(col("__p"), maxBytes), "UTF-8"))
+          .when(col("format") === "zstd",
+            decode(graft.functions.ZstdPayload(col("__p"), maxBytes),
+              "UTF-8"))
           .otherwise(decode(col("__p"), "UTF-8")).as("text"))
+  }
 
   /** Parquet footer metadata — the lake-discovery tier for the
     * format lakes are made of ([[avroSchema]]'s parquet sibling):
@@ -946,9 +1012,11 @@ object Multimodal {
     * `<spine>` lists chapter `idref`s in READING ORDER, each resolves
     * through the `<manifest>` to its `href` (both attribute orders
     * handled), hrefs resolve relative to the OPF's own directory, and
-    * each chapter's XHTML extracts per-row-named
-    * ([[graft.functions.ZipEntryBytesAt]] — CD-primary, so streamed
-    * epubs read too) and cleans through [[TextAnalysis.htmlToText]].
+    * each chapter's XHTML extracts AT COORDINATES from the book's one
+    * shared [[graft.functions.ZipEntries]] listing
+    * ([[graft.functions.ZipMemberData]] — CD-primary, so streamed
+    * epubs read too; no per-chapter EOCD re-scans) and cleans through
+    * [[TextAnalysis.htmlToText]].
     * Chapters whose member is missing/corrupt keep their spine row
     * with NULL text (fail closed, position preserved); books without
     * a container/OPF contribute no rows. Output
@@ -957,14 +1025,20 @@ object Multimodal {
   def epubChapters(docs: DataFrame, idCol: String = "doc_id",
                    payloadCol: String = "payload",
                    maxBytes: Int = 1 << 24): DataFrame = {
+    // ONE archive resolution per book (the __es alias): container,
+    // OPF and every chapter extract at coordinates from it
+    def memText(name: Column): Column =
+      decode(graft.functions.ZipMemberData(col("__p"),
+        try_element_at(filter(col("__es"),
+          x => x.getField("name") === name), lit(1)), maxBytes), "UTF-8")
     val withOpf = docs.select(col(idCol), col(payloadCol).as("__p"),
-        regexp_extract(decode(graft.functions.ZipEntryBytes(col("__p"),
-            "META-INF/container.xml", maxBytes), "UTF-8"),
+        graft.functions.ZipEntries(col(payloadCol), 4096).as("__es"))
+      .select(col(idCol), col("__p"), col("__es"),
+        regexp_extract(memText(lit("META-INF/container.xml")),
           "(?s)<rootfile[^>]*full-path=\"([^\"]*)\"", 1).as("__opfp"))
       .filter(col("__opfp") =!= "")
-      .select(col(idCol), col("__p"), col("__opfp"),
-        decode(graft.functions.ZipEntryBytesAt(col("__p"), col("__opfp"),
-          maxBytes), "UTF-8").as("__opf"))
+      .select(col(idCol), col("__p"), col("__es"), col("__opfp"),
+        memText(col("__opfp")).as("__opf"))
       .filter(col("__opf").isNotNull)
     // the OPF's directory prefixes relative hrefs ("ops/pkg.opf" +
     // "ch1.xhtml" => "ops/ch1.xhtml"; a root-level OPF adds nothing)
@@ -981,7 +1055,7 @@ object Multimodal {
         regexp_extract(tag, "id=\"([^\"]*)\"", 1).as("id"),
         regexp_extract(tag, "href=\"([^\"]*)\"", 1).as("href")))
       .cast("array<struct<id:string,href:string>>")
-    val spine = withOpf.select(col(idCol), col("__p"),
+    val spine = withOpf.select(col(idCol), col("__p"), col("__es"),
         items.as("__items"), opfDir.as("__dir"),
         posexplode(regexp_extract_all(col("__opf"),
           lit("(?s)<itemref[^>]*idref=\"([^\"]*)\""), lit(1)))
@@ -992,12 +1066,10 @@ object Multimodal {
       matches.getItem(0).getField("href"))
     spine.select(col(idCol),
         col("chapter_idx").cast("long").as("chapter_idx"),
-        href.as("href"), col("__p"), col("__dir"))
+        href.as("href"), col("__p"), col("__es"), col("__dir"))
       .select(col(idCol), col("chapter_idx"), col("href"),
         when(col("href").isNotNull, TextAnalysis.htmlToText(
-          decode(graft.functions.ZipEntryBytesAt(col("__p"),
-            concat(col("__dir"), col("href")), maxBytes), "UTF-8")))
-          .as("text"))
+          memText(concat(col("__dir"), col("href"))))).as("text"))
   }
 
   /** XLSX shared-strings extraction — the text content of a
@@ -1047,18 +1119,23 @@ object Multimodal {
                 payloadCol: String = "payload",
                 maxBytes: Int = 1 << 24,
                 maxEntries: Int = 4096): DataFrame = {
+    // ONE archive resolution per workbook (the __es alias); sheet xml
+    // and the shared-strings member both extract at coordinates
     val sheets = docs.select(col(idCol), col(payloadCol).as("__p"),
-        explode(graft.functions.ZipEntries(col(payloadCol), maxEntries))
-          .as("__e"))
+        graft.functions.ZipEntries(col(payloadCol), maxEntries).as("__es"))
+      .select(col(idCol), col("__p"), col("__es"),
+        explode(col("__es")).as("__e"))
       .filter(col("__e.name").rlike("^xl/worksheets/sheet[0-9]+\\.xml$"))
       .select(col(idCol),
         regexp_extract(col("__e.name"), "sheet([0-9]+)\\.xml$", 1)
           .cast("long").as("sheet"),
-        decode(graft.functions.ZipEntryBytesAt(col("__p"),
-          col("__e.name"), maxBytes), "UTF-8").as("__xml"),
+        decode(graft.functions.ZipMemberData(col("__p"),
+          col("__e"), maxBytes), "UTF-8").as("__xml"),
         transform(regexp_extract_all(
-            decode(graft.functions.ZipEntryBytes(col("__p"),
-              "xl/sharedStrings.xml", maxBytes), "UTF-8"),
+            decode(graft.functions.ZipMemberData(col("__p"),
+              try_element_at(filter(col("__es"), x =>
+                x.getField("name") === "xl/sharedStrings.xml"), lit(1)),
+              maxBytes), "UTF-8"),
             lit("(?s)<si>(.*?)</si>"), lit(1)),
           si => TextAnalysis.decodeEntities(array_join(
             regexp_extract_all(si, lit("(?s)<t[^>]*>(.*?)</t>"), lit(1)),

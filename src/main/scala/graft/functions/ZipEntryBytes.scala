@@ -170,6 +170,65 @@ object ZipEntries {
     ColumnShim.column(ZipEntries(ColumnShim.expression(payload), maxEntries))
 }
 
+/** Member extraction BY COORDINATES — the second half of the
+  * resolve-once contract: [[ZipEntries]] already walked the archive
+  * and knows every entry's `(method, csize, usize, offset)`; this
+  * expression slices/inflates straight at those coordinates with NO
+  * second EOCD scan or CD walk. Compositions that resolve the archive
+  * once behind an alias and extract N members ([[graft.ext.Multimodal]]
+  * `documentText`/`zipFileTexts`/`xlsxCells`) pay ONE resolution per
+  * row instead of N+1 — the by-name kernels remain for standalone
+  * single-member pulls.
+  *
+  * `entry` is one element of the [[ZipEntries]] array (or
+  * `try_element_at` over a filtered lookup — a missing member arrives
+  * as a null struct and yields null). Same fail-closed extraction
+  * contract as [[ZipEntryBytes]]: bad method, corrupt DEFLATE, size
+  * disagreement, over-cap, out-of-bounds slice → null. */
+case class ZipMemberData(left: Expression, right: Expression, maxOut: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(maxOut > 0, "output cap must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: BinaryType, s: StructType)
+        if s.fieldNames.sameElements(
+          Array("name", "method", "csize", "usize", "offset")) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"zip_member_data expects (binary, zip-entry struct), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = BinaryType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(p: Any, e: Any): Any =
+    ZipEntryBytes.extractAt(p.asInstanceOf[Array[Byte]],
+      e.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow], maxOut)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, e) => s"""
+      ${ev.value} = graft.functions.ZipEntryBytes.extractAt($p, $e, $maxOut);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "zip_member_data"
+}
+
+object ZipMemberData {
+  import org.apache.spark.sql.graftshim.ColumnShim
+
+  /** Column-level entry point over a [[ZipEntries]] element. */
+  def apply(payload: Column, entry: Column, maxOut: Int = 1 << 24): Column =
+    ColumnShim.column(ZipMemberData(ColumnShim.expression(payload),
+      ColumnShim.expression(entry), maxOut))
+}
+
 object ZipEntryBytes {
 
   private def le16(bytes: Array[Byte], p: Int): Int =
@@ -193,6 +252,21 @@ object ZipEntryBytes {
       p -= 1
     }
     -1
+  }
+
+  /** [[ZipMemberData]]'s kernel body: extraction at coordinates read
+    * from one [[ZipEntries]] element (fields name/method/csize/usize/
+    * offset in listing order) — public static so generated code can
+    * call it. */
+  def extractAt(bytes: Array[Byte],
+                entry: org.apache.spark.sql.catalyst.InternalRow,
+                maxOut: Int): Array[Byte] = {
+    if (entry.isNullAt(1) || entry.isNullAt(2) || entry.isNullAt(3) ||
+      entry.isNullAt(4)) return null
+    val offset = entry.getLong(4)
+    if (offset < 0 || offset > bytes.length) return null
+    extractData(bytes, offset.toInt, entry.getInt(1), entry.getLong(2),
+      entry.getLong(3), maxOut)
   }
 
   /** Slice (method 0) or inflate (method 8) one member's data given
