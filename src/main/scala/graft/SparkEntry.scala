@@ -151,6 +151,84 @@ object SparkEntry {
     "72717565742D6370702D6172726F772076657273696F6E2031362E312E30" +
     "194C1C00001C00001C00001C000000B304000050415231"
 
+  /** q292 fixture: pyarrow (parquet-cpp-arrow 16.1.0) parquet with
+    * TWO row groups (row_group_size=4 over 7 rows), snappy codec,
+    * three columns (id int64 with one null, name string with one
+    * null, score double) - every per-chunk statistic known by
+    * construction. */
+  private val pqStatsHex: String =
+    "504152311504154015384C15081500120000200401000901000209074000" +
+    "030000000000000004000000000000001500151415182C15081510150615" +
+    "061C18080400000000000000180801000000000000001600280804000000" +
+    "00000000180801000000000000000000000A240200000008010203E40026" +
+    "EE011C1504193500061019180269641502160816EA0116E601265C26081C" +
+    "180804000000000000001808010000000000000016002808040000000000" +
+    "00001808010000000000000000192C150415001502001500151015020000" +
+    "001504153415384C150615001200001A6405000000616C70686104000000" +
+    "626574610500000064656C74611500151415182C15081510150615061C36" +
+    "02280564656C74611805616C7068610000000A2402000000030B02032400" +
+    "26D8041C150C19350006101918046E616D651502160816AA0116B20126FA" +
+    "0326A6031C3602280564656C74611805616C70686100192C150415001502" +
+    "0015001510150200000015041530152C4C15061500120000180000050104" +
+    "F83F0507280002C00000000000000E401500151415182C15081510150615" +
+    "061C18080000000000000E40180800000000000002C01602280800000000" +
+    "00000E40180800000000000002C00000000A240200000003070203240026" +
+    "BE071C150A193500061019180573636F72651502160816DA0116DA0126AC" +
+    "0626E4051C18080000000000000E40180800000000000002C01602280800" +
+    "00000000000E40180800000000000002C000192C15041500150200150015" +
+    "1015020000001504152015244C15041500120000103C0600000000000000" +
+    "07000000000000001500151215162C15061510150615061C180807000000" +
+    "000000001808060000000000000016022808070000000000000018080600" +
+    "000000000000000000092002000000030601030226D00A1C150419350006" +
+    "1019180269641502160616C80116D00126C0092680091C18080700000000" +
+    "000000180806000000000000001602280807000000000000001808060000" +
+    "000000000000192C150415001502001500151015020000001504152C1530" +
+    "4C15061500120000165403000000657073040000007A6574610300000065" +
+    "74611500151415182C15061510150615061C360028047A65746118036570" +
+    "730000000A240200000006010203240026B00D1C150C1935000610191804" +
+    "6E616D6515021606169C0116A40126D80C268C0C1C360028047A65746118" +
+    "0365707300192C1504150015020015001510150200000015041530152C4C" +
+    "15061500120000180000050104E03F050728002240000000000000F0BF15" +
+    "00151415182C15061510150615061C180800000000000022401808000000" +
+    "000000F0BF1600280800000000000022401808000000000000F0BF000000" +
+    "0A24020000000601020324002690101C150A193500061019180573636F72" +
+    "651502160616DA0116DA0126FE0E26B60E1C180800000000000022401808" +
+    "000000000000F0BF1600280800000000000022401808000000000000F0BF" +
+    "00192C150415001502001500151015020000001504194C35001806736368" +
+    "656D61150600150425021802696400150C250218046E616D6525004C1C00" +
+    "0000150A2502180573636F726500160E192C193C26EE011C150419350006" +
+    "1019180269641502160816EA0116E601265C26081C180804000000000000" +
+    "001808010000000000000016002808040000000000000018080100000000" +
+    "00000000192C1504150015020015001510150200000026D8041C150C1935" +
+    "0006101918046E616D651502160816AA0116B20126FA0326A6031C360228" +
+    "0564656C74611805616C70686100192C1504150015020015001510150200" +
+    "000026BE071C150A193500061019180573636F72651502160816DA0116DA" +
+    "0126AC0626E4051C18080000000000000E40180800000000000002C01602" +
+    "28080000000000000E40180800000000000002C000192C15041500150200" +
+    "15001510150200000016EE041608260816F204140000193C26D00A1C1504" +
+    "193500061019180269641502160616C80116D00126C0092680091C180807" +
+    "000000000000001808060000000000000016022808070000000000000018" +
+    "08060000000000000000192C1504150015020015001510150200000026B0" +
+    "0D1C150C19350006101918046E616D6515021606169C0116A40126D80C26" +
+    "8C0C1C360028047A657461180365707300192C1504150015020015001510" +
+    "15020000002690101C150A193500061019180573636F72651502160616DA" +
+    "0116DA0126FE0E26B60E1C180800000000000022401808000000000000F0" +
+    "BF1600280800000000000022401808000000000000F0BF00192C15041500" +
+    "15020015001510150200000016BE04160626800916CE04140200191C180C" +
+    "4152524F573A736368656D6118B8022F2F2F2F2F2B414141414151414141" +
+    "414141414B41417741426741464141674143674141414141424241414D41" +
+    "414141434141494141414142414149414141414241414141414D41414142" +
+    "34414141414F414141414151414141436B2F2F2F2F414141424178414141" +
+    "414163414141414241414141414141414141464141414163324E76636D55" +
+    "4142674149414159414267414141414141416744552F2F2F2F4141414242" +
+    "524141414141634141414142414141414141414141414541414141626D46" +
+    "745A51414141414145414151414241414141424141464141494141594142" +
+    "77414D414141414541415141414141414141424168414141414163414141" +
+    "414241414141414141414141434141414161575141414167414441414941" +
+    "416341434141414141414141414641414141414141414141413D3D001820" +
+    "706172717565742D6370702D6172726F772076657273696F6E2031362E31" +
+    "2E30193C1C00001C00001C000000D903000050415231"
+
   /** q287 fixture: pyarrow (ORC_CPP) orc files pinned as
     * constants - cross-writer coverage for the tail kernel (the
     * unit suite covers the Java orc-core writer via Spark). All
@@ -3003,6 +3081,32 @@ object SparkEntry {
               c.getField("name"), c.getField("otype"))), ";"))
             .as("cols_ddl"))
         .orderBy("doc_id")
+    }),
+    // parquet column-chunk statistics from the pinned pyarrow file:
+    // per (row group x column) rows/bytes/value counts and the
+    // Statistics null_count/min/max decoded per physical type; %4==3
+    // docs break the head magic and keep one all-null row
+    // (posexplode_outer) so the oracle proves fail-closure
+    "q292_parquet_stats" -> ((s, dir) => {
+      val corrupt = "58" + pqStatsHex.drop(2)
+      val hexStr = when(pmod(col("doc_id"), lit(4L)) === 3, lit(corrupt))
+        .otherwise(lit(pqStatsHex))
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode_outer(
+          Multimodal.parquetStats(unhex(hexStr))).as(Seq("pos", "__c")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("__c.row_group").as("row_group"),
+          col("__c.rg_rows").as("rg_rows"),
+          col("__c.rg_bytes").as("rg_bytes"),
+          col("__c.path").as("path"), col("__c.ptype").as("ptype"),
+          col("__c.codec").as("codec"),
+          col("__c.num_values").as("num_values"),
+          col("__c.compressed_bytes").as("compressed_bytes"),
+          col("__c.uncompressed_bytes").as("uncompressed_bytes"),
+          col("__c.null_count").as("null_count"),
+          col("__c.min_value").as("min_value"),
+          col("__c.max_value").as("max_value"))
+        .orderBy(col("doc_id"), coalesce(col("pos"), lit(-1L)))
     }),
     // CDXJ crawl index: two well-formed entries (status/length/offset
     // through try_cast) and a json-less junk line that keeps its row
@@ -6637,6 +6741,42 @@ object SparkEntry {
         |      || 'meta.score:double:optional;opt:byte_array:optional'
         |    ELSE NULL END AS cols_ddl
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q292: every per-chunk statistic replayed as constants (pyarrow
+    // wrote the file; stats known by construction); corrupt docs keep
+    // one all-null row
+    "q292_parquet_stats" ->
+      """WITH chunks AS (SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 0, CAST(4 AS BIGINT), CAST(311 AS BIGINT),
+        |   'id', 'int64', 'snappy', CAST(4 AS BIGINT),
+        |   CAST(115 AS BIGINT), CAST(117 AS BIGINT), CAST(0 AS BIGINT),
+        |   '1', '4'),
+        |  (1, 0, 4, 311, 'name', 'byte_array', 'snappy', 4, 89, 85, 1,
+        |   'alpha', 'delta'),
+        |  (2, 0, 4, 311, 'score', 'double', 'snappy', 4, 109, 109, 1,
+        |   '-2.25', '3.75'),
+        |  (3, 1, 3, 287, 'id', 'int64', 'snappy', 3, 104, 100, 1,
+        |   '6', '7'),
+        |  (4, 1, 3, 287, 'name', 'byte_array', 'snappy', 3, 82, 78, 0,
+        |   'eps', 'zeta'),
+        |  (5, 1, 3, 287, 'score', 'double', 'snappy', 3, 109, 109, 0,
+        |   '-1.0', '9.0'))
+        |  AS t(pos, row_group, rg_rows, rg_bytes, path, ptype, codec,
+        |       num_values, compressed_bytes, uncompressed_bytes,
+        |       null_count, min_value, max_value))
+        |SELECT * FROM (
+        |  SELECT d.doc_id, c.* FROM documents d CROSS JOIN chunks c
+        |    WHERE d.doc_id % 4 <> 3
+        |  UNION ALL
+        |  SELECT doc_id, CAST(NULL AS BIGINT), CAST(NULL AS INT),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS VARCHAR)
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |ORDER BY doc_id, coalesce(pos, -1)""".stripMargin,
 
     // q287: the tail facts replayed as constants (pyarrow wrote the
     // files; every value known by construction), corrupt null

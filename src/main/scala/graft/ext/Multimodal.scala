@@ -931,6 +931,14 @@ object Multimodal {
   def parquetMeta(payload: Column, maxColumns: Int = 4096): Column =
     graft.functions.ParquetFooterMeta(payload, maxColumns)
 
+  /** Parquet column-chunk statistics — the pruning/skew/NULL-rate
+    * census [[parquetMeta]] stops short of: per (row group × column)
+    * rows/bytes/value counts and the Statistics null_count/min/max
+    * decoded per physical type, straight from the same Thrift footer
+    * ([[graft.functions.ParquetColumnStats]]) — no table read. */
+  def parquetStats(payload: Column, maxChunks: Int = 16384): Column =
+    graft.functions.ParquetColumnStats(payload, maxChunks)
+
   /** SQLite database-header metadata — the long tail of data lakes
     * is full of `.db`/`.sqlite` files, and the 100-byte header is a
     * census in itself (SQLite file format, all big-endian fixed

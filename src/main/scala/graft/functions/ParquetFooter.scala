@@ -72,24 +72,24 @@ case class ParquetFooterMeta(child: Expression, maxColumns: Int)
 
 object ParquetFooterMeta {
 
-  private object Bad extends Exception with scala.util.control.NoStackTrace
+  private[functions] object Bad extends Exception with scala.util.control.NoStackTrace
 
   // thrift compact wire types
-  private final val TStop = 0
-  private final val TTrue = 1
-  private final val TFalse = 2
-  private final val TByte = 3
-  private final val TI16 = 4
-  private final val TI32 = 5
-  private final val TI64 = 6
-  private final val TDouble = 7
-  private final val TBinary = 8
-  private final val TList = 9
-  private final val TSet = 10
-  private final val TMap = 11
-  private final val TStruct = 12
+  private[functions] final val TStop = 0
+  private[functions] final val TTrue = 1
+  private[functions] final val TFalse = 2
+  private[functions] final val TByte = 3
+  private[functions] final val TI16 = 4
+  private[functions] final val TI32 = 5
+  private[functions] final val TI64 = 6
+  private[functions] final val TDouble = 7
+  private[functions] final val TBinary = 8
+  private[functions] final val TList = 9
+  private[functions] final val TSet = 10
+  private[functions] final val TMap = 11
+  private[functions] final val TStruct = 12
 
-  private final class Reader(bytes: Array[Byte], var pos: Int,
+  private[functions] final class Reader(bytes: Array[Byte], var pos: Int,
                              val end: Int) {
     def u8(): Int = {
       if (pos >= end) throw Bad
@@ -122,10 +122,18 @@ object ParquetFooterMeta {
       pos += len.toInt
       s
     }
+    /** Length-prefixed binary, copied out (Statistics min/max blobs). */
+    def blob(): Array[Byte] = {
+      val len = varint()
+      if (len < 0 || pos + len > end) throw Bad
+      val out = java.util.Arrays.copyOfRange(bytes, pos, pos + len.toInt)
+      pos += len.toInt
+      out
+    }
   }
 
   /** Generic compact-protocol value skip (forward compatibility). */
-  private def skipValue(r: Reader, tpe: Int, depth: Int): Unit = {
+  private[functions] def skipValue(r: Reader, tpe: Int, depth: Int): Unit = {
     if (depth > 32) throw Bad
     tpe match {
       case TTrue | TFalse => () // value lives in the field header
@@ -180,7 +188,7 @@ object ParquetFooterMeta {
   }
 
   /** One list header → (elemType, count). */
-  private def listHeader(r: Reader): (Int, Int) = {
+  private[functions] def listHeader(r: Reader): (Int, Int) = {
     val h = r.u8()
     var n = (h >> 4) & 0x0f
     if (n == 15) n = r.varint().toInt
@@ -188,7 +196,7 @@ object ParquetFooterMeta {
     (h & 0x0f, n)
   }
 
-  private def typeName(t: Int): String = t match {
+  private[functions] def typeName(t: Int): String = t match {
     case 0 => "boolean"
     case 1 => "int32"
     case 2 => "int64"
@@ -333,4 +341,310 @@ object ParquetFooterMeta {
   def apply(payload: Column, maxColumns: Int = 4096): Column =
     ColumnShim.column(
       ParquetFooterMeta(ColumnShim.expression(payload), maxColumns))
+}
+
+/** Parquet COLUMN-CHUNK statistics — the numbers a lake-pruning
+  * audit, skew census or NULL-rate report reads without touching
+  * data ([[ParquetFooterMeta]] stops at file facts; the same Thrift
+  * compact footer also carries per-row-group and per-column-chunk
+  * detail): for every (row group × column chunk) — row-group rows
+  * and byte size, the chunk's dotted path, physical type, codec,
+  * value count, compressed/uncompressed bytes, and the Statistics
+  * struct's `null_count` / `min_value` / `max_value` (the v2 fields,
+  * falling back to the deprecated min/max when a legacy writer only
+  * wrote those). Min/max decode per the column's physical type —
+  * INT32/INT64 as integers, FLOAT/DOUBLE via IEEE bits,
+  * BYTE_ARRAY as UTF-8, BOOLEAN as true/false, anything else
+  * (INT96, FIXED_LEN_BYTE_ARRAY) as lowercase hex so no value is
+  * guessed.
+  *
+  * Output: `array<struct<row_group, rg_rows, rg_bytes, path, ptype,
+  * codec, num_values, compressed_bytes, uncompressed_bytes,
+  * null_count, min_value, max_value>>` — one row per chunk in file
+  * order, ready to explode. Absent statistics leave their three
+  * fields null (a census must distinguish "no stats" from zero).
+  *
+  * FAIL-CLOSED NULL on the same surface as [[ParquetFooterMeta]]:
+  * bad magic, footer window out of bounds, malformed thrift; the
+  * chunk walk is bounded by `maxChunks`. Per-row bounded work, zero
+  * shuffle, codegen'd. */
+case class ParquetColumnStats(child: Expression, maxChunks: Int)
+    extends UnaryExpression {
+  require(maxChunks > 0, "chunk walk bound must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"parquet_column_stats expects binary input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("row_group", IntegerType, nullable = false),
+    StructField("rg_rows", LongType, nullable = false),
+    StructField("rg_bytes", LongType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("ptype", StringType, nullable = false),
+    StructField("codec", StringType, nullable = false),
+    StructField("num_values", LongType, nullable = false),
+    StructField("compressed_bytes", LongType, nullable = false),
+    StructField("uncompressed_bytes", LongType, nullable = false),
+    StructField("null_count", LongType, nullable = true),
+    StructField("min_value", StringType, nullable = true),
+    StructField("max_value", StringType, nullable = true))),
+    containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    ParquetColumnStats.compute(a.asInstanceOf[Array[Byte]], maxChunks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ParquetColumnStats.compute($c, $maxChunks);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "parquet_column_stats"
+}
+
+object ParquetColumnStats {
+  import ParquetFooterMeta._
+
+  private def codecName(c: Int): String = c match {
+    case 0 => "uncompressed"
+    case 1 => "snappy"
+    case 2 => "gzip"
+    case 3 => "lzo"
+    case 4 => "brotli"
+    case 5 => "lz4"
+    case 6 => "zstd"
+    case 7 => "lz4_raw"
+    case _ => "unknown"
+  }
+
+  private def le32(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) | ((b(p + 2) & 0xff) << 16) |
+      ((b(p + 3) & 0xff) << 24)
+  private def le64(b: Array[Byte], p: Int): Long = {
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | (b(p + i) & 0xffL); i -= 1 }
+    v
+  }
+
+  /** Decode a Statistics min/max blob per the chunk's physical type;
+    * unknown/odd shapes render as lowercase hex, never a guess. */
+  private def decodeStat(ptype: Int, b: Array[Byte]): String = {
+    def hexOf: String = b.map("%02x".format(_)).mkString
+    ptype match {
+      case 0 => if (b.length == 1) (b(0) != 0).toString else hexOf
+      case 1 => if (b.length == 4) le32(b, 0).toString else hexOf
+      case 2 => if (b.length == 8) le64(b, 0).toString else hexOf
+      case 4 => if (b.length == 4)
+        java.lang.Float.intBitsToFloat(le32(b, 0)).toString else hexOf
+      case 5 => if (b.length == 8)
+        java.lang.Double.longBitsToDouble(le64(b, 0)).toString else hexOf
+      case 6 => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      case _ => hexOf
+    }
+  }
+
+  /** Statistics struct → (nullCount, minBlob, maxBlob) — v2
+    * min_value/max_value (fields 6/5) preferred, deprecated min/max
+    * (2/1) the fallback. */
+  private def statistics(r: Reader): (java.lang.Long, Array[Byte], Array[Byte]) = {
+    var nullCount: java.lang.Long = null
+    var minV: Array[Byte] = null
+    var maxV: Array[Byte] = null
+    var minOld: Array[Byte] = null
+    var maxOld: Array[Byte] = null
+    var lastFid = 0
+    var done = false
+    while (!done) {
+      val h = r.u8()
+      if (h == TStop) done = true
+      else {
+        val t = h & 0x0f
+        val delta = (h >> 4) & 0x0f
+        lastFid = if (delta == 0) r.zigzag().toInt else lastFid + delta
+        lastFid match {
+          case 1 if t == TBinary => maxOld = r.blob()
+          case 2 if t == TBinary => minOld = r.blob()
+          case 3 if t == TI64 => nullCount = java.lang.Long.valueOf(r.zigzag())
+          case 5 if t == TBinary => maxV = r.blob()
+          case 6 if t == TBinary => minV = r.blob()
+          case _ => skipValue(r, t, 0)
+        }
+      }
+    }
+    (nullCount, if (minV != null) minV else minOld,
+      if (maxV != null) maxV else maxOld)
+  }
+
+  /** ColumnMetaData struct → the chunk facts. */
+  private def columnMeta(r: Reader): (Int, String, Int, Long, Long, Long,
+      java.lang.Long, Array[Byte], Array[Byte]) = {
+    var ptype = -1
+    var codec = -1
+    var path: String = null
+    var numValues = 0L
+    var cBytes = 0L
+    var uBytes = 0L
+    var nullCount: java.lang.Long = null
+    var minB: Array[Byte] = null
+    var maxB: Array[Byte] = null
+    var lastFid = 0
+    var done = false
+    while (!done) {
+      val h = r.u8()
+      if (h == TStop) done = true
+      else {
+        val t = h & 0x0f
+        val delta = (h >> 4) & 0x0f
+        lastFid = if (delta == 0) r.zigzag().toInt else lastFid + delta
+        lastFid match {
+          case 1 if t == TI32 => ptype = r.zigzag().toInt
+          case 3 if t == TList =>
+            val (et, cnt) = listHeader(r)
+            if (et != TBinary || cnt < 0 || cnt > 64) throw Bad
+            val sb = new StringBuilder
+            var i = 0
+            while (i < cnt) {
+              if (i > 0) sb.append('.')
+              sb.append(r.string())
+              i += 1
+            }
+            path = sb.toString
+          case 4 if t == TI32 => codec = r.zigzag().toInt
+          case 5 if t == TI64 => numValues = r.zigzag()
+          case 6 if t == TI64 => uBytes = r.zigzag()
+          case 7 if t == TI64 => cBytes = r.zigzag()
+          case 12 if t == TStruct =>
+            val (nc, mn, mx) = statistics(r)
+            nullCount = nc; minB = mn; maxB = mx
+          case _ => skipValue(r, t, 0)
+        }
+      }
+    }
+    if (path == null) throw Bad
+    (ptype, path, codec, numValues, cBytes, uBytes, nullCount, minB, maxB)
+  }
+
+  /** The per-row kernel — public static so generated code can call it. */
+  def compute(bytes: Array[Byte], maxChunks: Int): GenericArrayData = {
+    try {
+      val n = bytes.length
+      if (n < 12) return null
+      if (bytes(0) != 'P' || bytes(1) != 'A' || bytes(2) != 'R' ||
+        bytes(3) != '1') return null
+      if (bytes(n - 4) != 'P' || bytes(n - 3) != 'A' ||
+        bytes(n - 2) != 'R' || bytes(n - 1) != '1') return null
+      val flen = (bytes(n - 8) & 0xff) | ((bytes(n - 7) & 0xff) << 8) |
+        ((bytes(n - 6) & 0xff) << 16) | ((bytes(n - 5) & 0xff) << 24)
+      if (flen <= 0 || n - 8 - flen < 4) return null
+      val r = new Reader(bytes, n - 8 - flen, n - 8)
+      val out = new java.util.ArrayList[Any]
+      var lastFid = 0
+      var done = false
+      while (!done) {
+        val h = r.u8()
+        if (h == TStop) done = true
+        else {
+          val t = h & 0x0f
+          val delta = (h >> 4) & 0x0f
+          lastFid = if (delta == 0) r.zigzag().toInt else lastFid + delta
+          if (lastFid == 4 && t == TList) {
+            val (et, nRg) = listHeader(r)
+            if (et != TStruct || nRg < 0) throw Bad
+            var rg = 0
+            while (rg < nRg) {
+              // RowGroup: 1 columns, 2 total_byte_size, 3 num_rows
+              var rgRows = 0L
+              var rgBytes = 0L
+              val chunks = new java.util.ArrayList[Array[Any]]
+              var fid = 0
+              var rgDone = false
+              while (!rgDone) {
+                val hh = r.u8()
+                if (hh == TStop) rgDone = true
+                else {
+                  val tt = hh & 0x0f
+                  val dd = (hh >> 4) & 0x0f
+                  fid = if (dd == 0) r.zigzag().toInt else fid + dd
+                  fid match {
+                    case 1 if tt == TList =>
+                      val (cet, nCc) = listHeader(r)
+                      if (cet != TStruct || nCc < 0) throw Bad
+                      if (out.size() + chunks.size() + nCc > maxChunks)
+                        throw Bad
+                      var c = 0
+                      while (c < nCc) {
+                        // ColumnChunk: 3 = meta_data struct
+                        var cmSeen = false
+                        var cfid = 0
+                        var ccDone = false
+                        while (!ccDone) {
+                          val ch = r.u8()
+                          if (ch == TStop) ccDone = true
+                          else {
+                            val ct = ch & 0x0f
+                            val cd = (ch >> 4) & 0x0f
+                            cfid = if (cd == 0) r.zigzag().toInt
+                              else cfid + cd
+                            if (cfid == 3 && ct == TStruct) {
+                              val (pt, path, cdc, nv, cb, ub, nc, mn, mx) =
+                                columnMeta(r)
+                              chunks.add(Array[Any](
+                                path, typeName(pt), codecName(cdc),
+                                nv, cb, ub,
+                                if (nc == null) null else nc.longValue(),
+                                if (mn == null) null
+                                else UTF8String.fromString(decodeStat(pt, mn)),
+                                if (mx == null) null
+                                else UTF8String.fromString(decodeStat(pt, mx))))
+                              cmSeen = true
+                            } else skipValue(r, ct, 0)
+                          }
+                        }
+                        if (!cmSeen) throw Bad
+                        c += 1
+                      }
+                    case 2 if tt == TI64 => rgBytes = r.zigzag()
+                    case 3 if tt == TI64 => rgRows = r.zigzag()
+                    case _ => skipValue(r, tt, 0)
+                  }
+                }
+              }
+              var c = 0
+              while (c < chunks.size()) {
+                val a = chunks.get(c)
+                out.add(new GenericInternalRow(Array[Any](
+                  rg, rgRows, rgBytes,
+                  UTF8String.fromString(a(0).asInstanceOf[String]),
+                  UTF8String.fromString(a(1).asInstanceOf[String]),
+                  UTF8String.fromString(a(2).asInstanceOf[String]),
+                  a(3), a(4), a(5), a(6), a(7), a(8))))
+                c += 1
+              }
+              rg += 1
+            }
+          } else skipValue(r, t, 0)
+        }
+      }
+      new GenericArrayData(out.toArray)
+    } catch {
+      case Bad => null
+      case _: ArrayIndexOutOfBoundsException => null
+    }
+  }
+
+  import org.apache.spark.sql.graftshim.ColumnShim
+
+  /** Column-level entry point; the chunk walk bound defaults to
+    * 16384 (row groups × columns). */
+  def apply(payload: Column, maxChunks: Int = 16384): Column =
+    ColumnShim.column(
+      ParquetColumnStats(ColumnShim.expression(payload), maxChunks))
 }

@@ -89,6 +89,71 @@ class ParquetFooterSpec extends SparkSpec {
     assert(ParquetFooterMeta.compute("PAR1junkPAR1".getBytes, 4096) == null)
   }
 
+  test("parquet_column_stats reads Spark's OWN parquet-mr output: " +
+    "per-chunk value counts and min/max/null_count decoded per type") {
+    val bytes = onePartBytes { dir =>
+      spark.range(0, 1000).selectExpr(
+          "id",
+          "case when id % 10 = 0 then null " +
+            "else cast(id as string) end as s",
+          "cast(id as double)/4 as d")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+    val r = ParquetColumnStats.compute(bytes, 16384)
+    assert(r != null && r.numElements() == 3, "3 chunks in 1 row group")
+    val rows = (0 until r.numElements()).map { i =>
+      val c = r.getStruct(i, 12)
+      (c.getInt(0), c.getLong(1), c.getUTF8String(3).toString,
+        c.getUTF8String(4).toString,
+        if (c.isNullAt(9)) -1L else c.getLong(9),
+        if (c.isNullAt(10)) null else c.getUTF8String(10).toString,
+        if (c.isNullAt(11)) null else c.getUTF8String(11).toString)
+    }
+    assert(rows(0) == ((0, 1000L, "id", "int64", 0L, "0", "999")))
+    // string min/max are lexicographic over the non-null values
+    assert(rows(1) == ((0, 1000L, "s", "byte_array", 100L, "1", "999")))
+    assert(rows(2) == ((0, 1000L, "d", "double", 0L, "0.0", "249.75")))
+    // num_values counts ALL values of the chunk (nulls included)
+    assert((0 until 3).forall(i => r.getStruct(i, 12).getLong(6) == 1000L))
+  }
+
+  test("parquet_column_stats reads the pinned pyarrow file (2 row " +
+    "groups, snappy): every stat known by construction; fail-closed " +
+    "shares parquet_meta's surface") {
+    val in = getClass.getResourceAsStream("/parquet/stats.parquet")
+    assert(in != null)
+    val bytes = try in.readAllBytes() finally in.close()
+    val r = ParquetColumnStats.compute(bytes, 16384)
+    assert(r != null && r.numElements() == 6)
+    val rows = (0 until 6).map { i =>
+      val c = r.getStruct(i, 12)
+      (c.getInt(0), c.getLong(1), c.getUTF8String(3).toString,
+        c.getUTF8String(4).toString, c.getUTF8String(5).toString,
+        c.getLong(6), c.getLong(9),
+        c.getUTF8String(10).toString, c.getUTF8String(11).toString)
+    }
+    assert(rows(0) == ((0, 4L, "id", "int64", "snappy", 4L, 0L, "1", "4")))
+    assert(rows(1) ==
+      ((0, 4L, "name", "byte_array", "snappy", 4L, 1L, "alpha", "delta")))
+    assert(rows(2) ==
+      ((0, 4L, "score", "double", "snappy", 4L, 1L, "-2.25", "3.75")))
+    assert(rows(3) == ((1, 3L, "id", "int64", "snappy", 3L, 1L, "6", "7")))
+    assert(rows(4) ==
+      ((1, 3L, "name", "byte_array", "snappy", 3L, 0L, "eps", "zeta")))
+    assert(rows(5) ==
+      ((1, 3L, "score", "double", "snappy", 3L, 0L, "-1.0", "9.0")))
+    // rg byte sizes as pyarrow reports them
+    assert(r.getStruct(0, 12).getLong(2) == 311L)
+    assert(r.getStruct(3, 12).getLong(2) == 287L)
+    // fail-closed: doctored tail / truncation / junk
+    val noTail = bytes.clone(); noTail(bytes.length - 1) = 'X'
+    assert(ParquetColumnStats.compute(noTail, 16384) == null)
+    assert(ParquetColumnStats.compute(bytes.take(30), 16384) == null)
+    assert(ParquetColumnStats.compute("PAR1junkPAR1".getBytes, 16384) == null)
+    // chunk bound: 6 chunks under a bound of 4 must refuse, not clip
+    assert(ParquetColumnStats.compute(bytes, 4) == null)
+  }
+
   test("parquet_meta reads pyarrow (parquet-cpp) output pinned as " +
     "constants: cross-writer coverage") {
       val pqA =
