@@ -3082,6 +3082,47 @@ object SparkEntry {
             .as("cols_ddl"))
         .orderBy("doc_id")
     }),
+    // the email/mbox tier composed end to end: per-doc mbox with a
+    // multipart/alternative message (quoted-printable text/plain
+    // preferred over html, mboxrd '>From ' unquoting proven by a line
+    // that would otherwise be reply-stripped) and a base64 message
+    // with an RFC 2047 B-encoded subject; every 5th mbox carries
+    // non-message preamble junk that contributes nothing
+    "q293_mbox_corpus" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val subjB64 = base64(concat(lit("Bü "),
+        pmod(col("doc_id"), lit(7L)).cast("string")).cast("binary"))
+      val bodyB64 = base64(concat(lit("plain body "), id).cast("binary"))
+      val mboxText = concat(
+        when(pmod(col("doc_id"), lit(5L)) === 0,
+          lit("list archive preamble\n")).otherwise(lit("")),
+        lit("From alice@example.com Thu Jan  1 00:00:00 2026\n" +
+          "Subject: Re: topic "), id, lit("\n" +
+          "From: Alice <alice@x.io>\n" +
+          "Date: Thu, 01 Jan 2026 00:00:00 +0000\n" +
+          "Content-Type: multipart/alternative; boundary=\"b1\"\n\n" +
+          "--b1\n" +
+          "Content-Type: text/plain; charset=utf-8\n" +
+          "Content-Transfer-Encoding: quoted-printable\n\n" +
+          "Hello doc =3D "), id, lit("\n" +
+          "> quoted line\n" +
+          ">From here\n" +
+          "bye\n" +
+          "--b1\n" +
+          "Content-Type: text/html\n\n" +
+          "<p>html alt</p>\n" +
+          "--b1--\n" +
+          "From bob@example.com Thu Jan  2 00:00:00 2026\n" +
+          "Subject: =?UTF-8?B?"), subjB64, lit("?=\n" +
+          "From: Bob <bob@y.io>\n" +
+          "Date: Fri, 02 Jan 2026 00:00:00 +0000\n" +
+          "Content-Type: text/plain\n" +
+          "Content-Transfer-Encoding: base64\n\n"),
+        bodyB64, lit("\n"))
+      TextAnalysis.mboxToCorpus(t(s, dir, "documents")
+          .select(col("doc_id"), mboxText.as("text")))
+        .orderBy("doc_id", "msg_idx")
+    }),
     // parquet column-chunk statistics from the pinned pyarrow file:
     // per (row group x column) rows/bytes/value counts and the
     // Statistics null_count/min/max decoded per physical type; %4==3
@@ -6741,6 +6782,27 @@ object SparkEntry {
         |      || 'meta.score:double:optional;opt:byte_array:optional'
         |    ELSE NULL END AS cols_ddl
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q293: both messages' rows derived arithmetically — the QP/
+    // base64/2047 decodes and the reply-strip all replayed as
+    // constants; preamble junk contributes nothing
+    "q293_mbox_corpus" ->
+      """SELECT * FROM (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS msg_idx,
+        |    'Re: topic ' || CAST(doc_id AS VARCHAR) AS subject,
+        |    'Alice <alice@x.io>' AS from_addr,
+        |    'Thu, 01 Jan 2026 00:00:00 +0000' AS date_raw,
+        |    'Hello doc = ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |      'From here' || chr(10) || 'bye' AS cleaned,
+        |    CAST(4 AS BIGINT) AS n_lines, CAST(1 AS BIGINT) AS n_quoted,
+        |    CAST(0 AS BIGINT) AS n_signature
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'Bü ' || CAST(doc_id % 7 AS VARCHAR),
+        |    'Bob <bob@y.io>', 'Fri, 02 Jan 2026 00:00:00 +0000',
+        |    'plain body ' || CAST(doc_id AS VARCHAR), 1, 0, 0
+        |  FROM documents)
+        |ORDER BY doc_id, msg_idx""".stripMargin,
 
     // q292: every per-chunk statistic replayed as constants (pyarrow
     // wrote the file; stats known by construction); corrupt docs keep

@@ -1824,7 +1824,8 @@ object TextAnalysis {
     * delimiter, `slice`/`filter`/`array_join` do the rest — narrow,
     * zero shuffle, oracle-replayable. */
   def stripQuotedReply(docs: DataFrame, idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text",
+                       carryCols: Seq[String] = Seq.empty): DataFrame = {
     val lines = split(col(textCol), "\n")
     val sigIdx = array_position(
       transform(lines, l => trim(l) === "--"), lit(true))
@@ -1832,11 +1833,11 @@ object TextAnalysis {
       .otherwise(lines)
     val kept = filter(body, l =>
       !l.startsWith(">") && !l.rlike("^On .* wrote:$"))
-    docs.select(col(idCol),
+    docs.select((col(idCol) +: carryCols.map(col)) ++ Seq(
       array_join(kept, "\n").as("cleaned"),
       size(lines).cast("long").as("n_lines"),
       size(filter(body, l => l.startsWith(">"))).cast("long").as("n_quoted"),
-      (size(lines) - size(body)).cast("long").as("n_signature"))
+      (size(lines) - size(body)).cast("long").as("n_signature")): _*)
   }
 
   /** Main-content extraction — the jusText/trafilatura-class
@@ -3005,6 +3006,197 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_contaminated"))
   }
+
+  // =================================================================
+  // email / mbox tier — mailing-list and newsgroup archives are a
+  // standard corpus source; this is the MIME feeder stripQuotedReply
+  // was waiting for
+  // =================================================================
+
+  /** mbox archive → messages: records split on the `From ` envelope
+    * lines that START messages (RFC 4155), each message yielding its
+    * envelope (sender + asctime date as the writer stamped it) and
+    * the raw RFC 5322 text with mboxrd `>From ` quoting UNDONE (one
+    * `>` stripped from every `^>+From ` body line — the reversible
+    * quoting convention; mboxo archives written without quoting can
+    * split on an unquoted body `From `, an ambiguity inherent to the
+    * format itself). Text before the first envelope line is not a
+    * message and contributes no rows. Output (idCol, msg_idx,
+    * envelope, raw); narrow explode, zero shuffle. */
+  def mboxMessages(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        posexplode(filter(split(col(textCol), "(?m)(?=^From )"),
+          m => m.startsWith("From "))).as(Seq("msg_idx", "__m")))
+      .select(col(idCol), col("msg_idx").cast("long").as("msg_idx"),
+        regexp_extract(col("__m"), "^From ([^\r\n]*)", 1).as("envelope"),
+        regexp_replace(
+          regexp_replace(col("__m"), "^From [^\n]*\n?", ""),
+          "(?m)^>(>*From )", "$1").as("raw"))
+
+  /** RFC 2047 encoded-word header decoding — real Subject/From
+    * headers arrive as `=?charset?B|Q?data?=` tokens: B tokens are
+    * base64, Q tokens quoted-printable with `_` as space; UTF-8 and
+    * ISO-8859-1/latin1 charsets decode (the two that cover real
+    * archives), anything else falls back to UTF-8 bytes. A token
+    * whose base64 is malformed stays verbatim (lenient, like real
+    * mail clients). The RFC's adjacent-encoded-words space-eliding
+    * nicety is not applied. */
+  def decodeMimeHeader(header: Column): Column = {
+    val tokRe = "=\\?[A-Za-z0-9_-]+\\?[BbQq]\\?[^?]*\\?="
+    val segs = split(header, tokRe)
+    val toks = regexp_extract_all(header, lit("(" + tokRe + ")"), lit(1))
+    def decodeTok(t: Column): Column = {
+      val cs = lower(regexp_extract(t, "^=\\?([A-Za-z0-9_-]+)\\?", 1))
+      val enc = lower(regexp_extract(t,
+        "^=\\?[A-Za-z0-9_-]+\\?([BbQq])\\?", 1))
+      val dat = regexp_extract(t, "\\?[BbQq]\\?([^?]*)\\?=$", 1)
+      val b64 = regexp_replace(dat, "[^A-Za-z0-9+/=]", "")
+      val bin = when(enc === "b", when(b64.rlike(
+          "^([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"),
+          unbase64(b64)))
+        .otherwise(graft.functions.QpDecode(
+          regexp_replace(dat, "_", " ")))
+      val dec = when(cs === "iso-8859-1" || cs === "latin1",
+        decode(bin, "ISO-8859-1")).otherwise(decode(bin, "UTF-8"))
+      coalesce(dec, t) // malformed token: keep verbatim
+    }
+    array_join(zip_with(segs,
+      concat(transform(toks, decodeTok(_)), array(lit(""))),
+      (s, t) => concat(s, coalesce(t, lit("")))), "")
+  }
+
+  /** RFC 5322 message parse — headers unfolded (continuation lines
+    * rejoined), the census fields extracted: subject/from/to (RFC
+    * 2047 encoded-words decoded), date, message-id, the Content-Type
+    * split into mime type + charset + multipart boundary (quoted and
+    * unquoted forms), the transfer encoding, and the raw body (after
+    * the first blank line; a message with no blank line is all
+    * headers per the RFC). Absent headers are null, never guessed.
+    * Output (idCol, carry..., subject, from_addr, to_addr, date_raw,
+    * message_id, mime_type, charset, boundary, cte, body). */
+  def emailParse(docs: DataFrame, idCol: String = "doc_id",
+                 rawCol: String = "raw",
+                 carryCols: Seq[String] = Seq.empty): DataFrame = {
+    def nonEmpty(c: Column): Column = when(c =!= "", c)
+    val headerRaw = regexp_extract(col(rawCol), "(?s)^(.*?)\r?\n\r?\n.*", 1)
+    val hdrBlock = when(headerRaw === "", col(rawCol)).otherwise(headerRaw)
+    docs.select((col(idCol) +: carryCols.map(col)) :+
+        regexp_replace(hdrBlock, "\r?\n[ \t]+", " ").as("__h") :+
+        when(headerRaw === "", lit("")).otherwise(
+          regexp_replace(col(rawCol), "(?s)^.*?\r?\n\r?\n", "")).as("body"): _*)
+      .select((col(idCol) +: carryCols.map(col)) ++ {
+        def h(name: String): Column = nonEmpty(regexp_extract(col("__h"),
+          "(?im)^" + name + ": *([^\r\n]*)", 1))
+        val ct = h("Content-Type")
+        val bq = regexp_extract(ct, "(?i)boundary=\"([^\"]*)\"", 1)
+        val bu = regexp_extract(ct, "(?i)boundary=([^\";\\s]+)", 1)
+        Seq(
+          when(h("Subject").isNotNull,
+            decodeMimeHeader(h("Subject"))).as("subject"),
+          when(h("From").isNotNull,
+            decodeMimeHeader(h("From"))).as("from_addr"),
+          when(h("To").isNotNull, decodeMimeHeader(h("To"))).as("to_addr"),
+          h("Date").as("date_raw"),
+          h("Message-ID").as("message_id"),
+          nonEmpty(lower(trim(regexp_extract(ct, "^([^;]+)", 1))))
+            .as("mime_type"),
+          nonEmpty(lower(regexp_extract(ct,
+            "(?i)charset=\"?([A-Za-z0-9_-]+)", 1))).as("charset"),
+          nonEmpty(when(bq =!= "", bq).otherwise(bu)).as("boundary"),
+          nonEmpty(lower(trim(coalesce(
+            h("Content-Transfer-Encoding"), lit(""))))).as("cte"),
+          col("body"))
+      }: _*)
+  }
+
+  /** One part's transfer decoding: base64 (well-formed or the part
+    * fails closed to null) and quoted-printable through the
+    * [[graft.functions.QpDecode]] kernel, bytes decoded per the
+    * declared charset (UTF-8 default, ISO-8859-1/latin1 honored);
+    * 7bit/8bit/binary/absent pass through. */
+  private def transferDecode(bodyTxt: Column, cte: Column,
+                             charset: Column): Column = {
+    def cs(bin: Column): Column =
+      when(charset === "iso-8859-1" || charset === "latin1",
+        decode(bin, "ISO-8859-1")).otherwise(decode(bin, "UTF-8"))
+    val b64 = regexp_replace(bodyTxt, "[^A-Za-z0-9+/=]", "")
+    when(cte === "base64", when(b64.rlike(
+        "^([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"),
+        cs(unbase64(b64))))
+      .when(cte === "quoted-printable",
+        cs(graft.functions.QpDecode(bodyTxt)))
+      .otherwise(bodyTxt)
+  }
+
+  /** [[emailParse]] output → the message's TEXT: single-part bodies
+    * transfer-decode directly (text/html through [[htmlToText]]);
+    * multipart bodies split on their boundary (regex-quoted —
+    * boundaries may carry regex metacharacters), each part's OWN
+    * headers read for type/charset/encoding, and the text/plain part
+    * is preferred over text/html (the multipart/alternative rule;
+    * for multipart/mixed this keeps the message text and drops
+    * attachments, exactly what a corpus wants). One nesting level —
+    * a nested multipart part contributes its raw text; document-type
+    * attachments belong to the documentText tier. Adds `text`
+    * (null when every decode fails closed). */
+  def emailText(parsed: DataFrame): DataFrame = {
+    val isMulti = col("mime_type").startsWith("multipart/") &&
+      col("boundary").isNotNull
+    val rawParts = call_function("split", col("body"),
+      concat(lit("\\Q--"), col("boundary"), lit("\\E")))
+    // element 1 is the preamble; terminator chunks start with "--"
+    val partArr = filter(
+      slice(rawParts, lit(2), greatest(size(rawParts) - 1, lit(0))),
+      p => !p.startsWith("--"))
+    val info = transform(partArr, p => {
+      val phdr = regexp_extract(p, "(?s)^\r?\n?(.*?)\r?\n\r?\n.*", 1)
+      val uh = regexp_replace(phdr, "\r?\n[ \t]+", " ")
+      val pct = regexp_extract(uh, "(?im)^Content-Type: *([^\r\n]*)", 1)
+      struct(
+        lower(trim(regexp_extract(pct, "^([^;]+)", 1))).as("ptype"),
+        lower(trim(regexp_extract(uh,
+          "(?im)^Content-Transfer-Encoding: *([^;\r\n]*)", 1))).as("pcte"),
+        lower(regexp_extract(pct, "(?i)charset=\"?([A-Za-z0-9_-]+)", 1))
+          .as("pcs"),
+        regexp_replace(regexp_extract(p, "(?s)\r?\n\r?\n(.*)$", 1),
+          "\r?\n$", "").as("pbody"))
+    }).cast("array<struct<ptype:string,pcte:string,pcs:string," +
+      "pbody:string>>")
+    def firstOf(tpe: String): Column =
+      try_element_at(filter(col("__parts"),
+        i => i.getField("ptype") === tpe), lit(1))
+    def partText(part: Column, html: Boolean): Column = {
+      val dec = transferDecode(part.getField("pbody"),
+        part.getField("pcte"), part.getField("pcs"))
+      if (html) htmlToText(dec) else dec
+    }
+    val plain = firstOf("text/plain")
+    val htmlP = firstOf("text/html")
+    val multiText = when(plain.isNotNull, partText(plain, html = false))
+      .when(htmlP.isNotNull, partText(htmlP, html = true))
+    val singleDec = transferDecode(col("body"), col("cte"), col("charset"))
+    val singleText = when(col("mime_type") === "text/html",
+      htmlToText(singleDec)).otherwise(singleDec)
+    parsed
+      .withColumn("__parts", when(isMulti, info))
+      .withColumn("text",
+        when(col("__parts").isNotNull, multiText).otherwise(singleText))
+      .drop("__parts")
+  }
+
+  /** The whole tier composed — mbox archive in, reply-stripped corpus
+    * text out: [[mboxMessages]] → [[emailParse]] → [[emailText]] →
+    * [[stripQuotedReply]], subject/sender/date carried per message.
+    * Output (idCol, msg_idx, subject, from_addr, date_raw, cleaned,
+    * n_lines, n_quoted, n_signature). */
+  def mboxToCorpus(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    stripQuotedReply(
+      emailText(emailParse(mboxMessages(docs, idCol, textCol), idCol,
+        "raw", carryCols = Seq("msg_idx"))),
+      idCol, "text",
+      carryCols = Seq("msg_idx", "subject", "from_addr", "date_raw"))
 
   /** Content fingerprint: md5 over the sorted distinct token set —
     * stable under token reordering/duplication, the hash form of the
