@@ -3082,6 +3082,84 @@ object SparkEntry {
             .as("cols_ddl"))
         .orderBy("doc_id")
     }),
+    // CFB/OLE2 census: an engine-built compound file per doc (header
+    // + FAT + directory + one stream sector, the MS-CFB v3 layout) —
+    // .doc-shaped on m0 (WordDocument stream), .xls-shaped on m1
+    // (Workbook), m2 breaks the signature and keeps one null audit
+    // row; sizes vary per doc so the oracle derives them
+    "q294_cfb_meta" -> ((s, dir) => {
+      def leHex(c: Column, nBytes: Int) = concat((0 until nBytes).map(i =>
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(255L)), 2, "0")): _*)
+      val id = col("doc_id").cast("string")
+      val hdrHex = "D0CF11E0A1B11AE1" + "00" * 16 + "3E00" + "0300" +
+        "FEFF" + "0900" + "0600" + "00" * 6 + "00000000" + "01000000" +
+        "01000000" + "00000000" + "00100000" + "FEFFFFFF" + "00000000" +
+        "FEFFFFFF" + "00000000" + "00000000" + "FF" * 432
+      val fatHex = "FDFFFFFF" + "FEFFFFFF" + "FEFFFFFF" + "FF" * 500
+      val rootName = "52006F006F007400200045006E007400720079000000000000000000000000" +
+        "00000000000000000000000000000000000000000000000000000000000000" +
+        "0000"
+      val wordName = "57006F007200640044006F00630075006D0065006E00740000000000000000" +
+        "00000000000000000000000000000000000000000000000000000000000000" +
+        "0000"
+      val bookName = "57006F0072006B0062006F006F006B00000000000000000000000000000000" +
+        "00000000000000000000000000000000000000000000000000000000000000" +
+        "0000"
+      val summName = "0500530075006D006D0061007200790049006E0066006F0072006D00610074" +
+        "0069006F006E00000000000000000000000000000000000000000000000000" +
+        "0000"
+      // a 128-byte directory entry: name(64) nameLen(2) type(1)
+      // color(1) left(4) right(4) child(4) clsid(16) state(4)
+      // times(16) start(4) size(8)
+      def dirent(nameHex: String, nameLen: Int, otype: Int,
+                 childHex: String, startHex: String,
+                 sizeHex: Column): Column = concat(
+        lit(nameHex +
+          "%02X%02X".format(nameLen & 0xff, (nameLen >> 8) & 0xff) +
+          "%02X".format(otype) + "01" +
+          "FFFFFFFF" + "FFFFFFFF" + childHex + "00" * 16 + "00" * 4 +
+          "00" * 16 + startHex),
+        sizeHex)
+      val docData = concat(lit("legacy word text "), id).cast("binary")
+      val xlsData = concat(lit("excel cells "), id).cast("binary")
+      val m = pmod(col("doc_id"), lit(3L))
+      val data = when(m === 0, docData).otherwise(xlsData)
+      val dlen = length(data).cast("long")
+      val streamName = when(m === 0, lit(wordName)).otherwise(lit(bookName))
+      val dirHex = concat(
+        dirent(rootName, 22, 5, "01000000", "00000000",
+          lit("00" * 8)),
+        when(m === 0,
+          dirent(wordName, 26, 2, "FFFFFFFF", "02000000",
+            concat(leHex(dlen, 4), lit("00000000"))))
+          .otherwise(
+            dirent(bookName, 18, 2, "FFFFFFFF", "02000000",
+              concat(leHex(dlen, 4), lit("00000000")))),
+        dirent(summName, 40, 2, "FFFFFFFF", "FEFFFFFF", lit("00" * 8)),
+        lit("00" * 128))
+      val sigHex = when(m === 2, lit("58CF11E0A1B11AE1"))
+        .otherwise(lit("D0CF11E0A1B11AE1"))
+      val payload = concat(
+        unhex(concat(sigHex, lit(hdrHex.drop(16) + fatHex))),
+        unhex(dirHex), data,
+        unhex(call_function("repeat", lit("00"),
+          (lit(512L) - dlen).cast("int"))))
+      val fixture = t(s, dir, "documents")
+        .select(col("doc_id"), payload.as("payload")).localCheckpoint()
+      val meta = Multimodal.cfbMeta(col("payload"))
+      fixture
+        .select(col("doc_id"), meta.as("__m"))
+        .select(col("doc_id"), Multimodal.cfbKind(col("__m")).as("kind"),
+          col("__m.major").as("major"),
+          col("__m.sector_size").as("sector_size"),
+          posexplode_outer(col("__m.entries")).as(Seq("entry_idx", "__e")))
+        .select(col("doc_id"), col("kind"), col("major"),
+          col("sector_size"), col("entry_idx").cast("long").as("entry_idx"),
+          col("__e.name").as("name"), col("__e.otype").as("otype"),
+          col("__e.start_sector").as("start_sector"),
+          col("__e.size").as("size"))
+        .orderBy(col("doc_id"), coalesce(col("entry_idx"), lit(-1L)))
+    }),
     // the email/mbox tier composed end to end: per-doc mbox with a
     // multipart/alternative message (quoted-printable text/plain
     // preferred over html, mboxrd '>From ' unquoting proven by a line
@@ -3292,7 +3370,8 @@ object SparkEntry {
         lit("\nText {{a|{{b}}}} mid [http://ex.com/"), id,
         lit(" link "), id,
         lit("] tail.\n{| class=\"w\"\n|-\n| c1 || c2\n|}\nTail "), id,
-        lit("."))
+        lit(".\nKeep <nowiki>{{l|"), k,
+        lit("}}</nowiki> and<!-- {{bad}} {| poison --> visible."))
       t(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.wikitextClean(wiki).as("clean"))
@@ -6653,7 +6732,9 @@ object SparkEntry {
         |  FROM documents)
         |ORDER BY doc_id, chapter_idx""".stripMargin,
 
-    // q280: the cleaned text reconstructed line by line
+    // q280: the cleaned text reconstructed line by line — the last
+    // line proves comments vanish (braces inside cannot poison the
+    // template loop) and nowiki bodies stay LITERAL wiki markup
     "q280_wikitext_clean" ->
       """SELECT doc_id,
         |  'Intro to label ' || CAST(doc_id AS VARCHAR) ||
@@ -6662,7 +6743,9 @@ object SparkEntry {
         |  'item ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
         |  'Text mid link ' || CAST(doc_id AS VARCHAR) || ' tail.' ||
         |  chr(10) || chr(10) ||
-        |  'Tail ' || CAST(doc_id AS VARCHAR) || '.' AS clean
+        |  'Tail ' || CAST(doc_id AS VARCHAR) || '.' || chr(10) ||
+        |  'Keep {{l|' || CAST(doc_id % 5 AS VARCHAR) ||
+        |  '}} and visible.' AS clean
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q281: the collapsed DDL derived independently from the fixture
@@ -6782,6 +6865,34 @@ object SparkEntry {
         |      || 'meta.score:double:optional;opt:byte_array:optional'
         |    ELSE NULL END AS cols_ddl
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q294: the directory replayed arithmetically (every field of the
+    // engine-built compound file is fixed by construction except the
+    // stream size, derived from the text length); corrupt docs keep
+    // one all-null audit row
+    "q294_cfb_meta" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+        |  doc_id % 3 AS m FROM documents)
+        |SELECT * FROM (
+        |  SELECT doc_id, CASE m WHEN 0 THEN 'doc' ELSE 'xls' END AS kind,
+        |    CAST(3 AS INT) AS major, CAST(512 AS INT) AS sector_size,
+        |    CAST(0 AS BIGINT) AS entry_idx, 'Root Entry' AS name,
+        |    'root' AS otype, CAST(0 AS BIGINT) AS start_sector,
+        |    CAST(0 AS BIGINT) AS size FROM d WHERE m <> 2
+        |  UNION ALL
+        |  SELECT doc_id, CASE m WHEN 0 THEN 'doc' ELSE 'xls' END, 3, 512,
+        |    1, CASE m WHEN 0 THEN 'WordDocument' ELSE 'Workbook' END,
+        |    'stream', 2,
+        |    CASE m WHEN 0 THEN 17 + strlen(i) ELSE 12 + strlen(i) END
+        |    FROM d WHERE m <> 2
+        |  UNION ALL
+        |  SELECT doc_id, CASE m WHEN 0 THEN 'doc' ELSE 'xls' END, 3, 512,
+        |    2, chr(5) || 'SummaryInformation', 'stream', 4294967294, 0
+        |    FROM d WHERE m <> 2
+        |  UNION ALL
+        |  SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+        |    FROM d WHERE m = 2)
+        |ORDER BY doc_id, coalesce(entry_idx, -1)""".stripMargin,
 
     // q293: both messages' rows derived arithmetically — the QP/
     // base64/2047 decodes and the reply-strip all replayed as

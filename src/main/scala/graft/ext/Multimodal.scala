@@ -918,6 +918,9 @@ object Multimodal {
           .when(col("format") === "zstd",
             decode(graft.functions.ZstdPayload(col("__p"), maxBytes),
               "UTF-8"))
+          // legacy Office containers: an EXPLICIT null beats decoding
+          // binary sectors as UTF-8 junk; census them via cfbMeta
+          .when(col("format") === "cfb", lit(null).cast("string"))
           .otherwise(decode(col("__p"), "UTF-8")).as("text"))
   }
 
@@ -930,6 +933,30 @@ object Multimodal {
     * library probe. `sniff → parquet_meta → explicit read`. */
   def parquetMeta(payload: Column, maxColumns: Int = 4096): Column =
     graft.functions.ParquetFooterMeta(payload, maxColumns)
+
+  /** CFB/OLE2 compound-file census — legacy Office (`.doc`/`.xls`/
+    * `.ppt`), MSI and the rest of the Windows-era lake tail:
+    * header facts + the directory walked into stream/storage
+    * entries via [[graft.functions.CfbDirectory]] (header DIFAT +
+    * chained DIFAT → FAT → directory chain, names UTF-16LE).
+    * Corrupt/non-CFB payloads yield a null struct. */
+  def cfbMeta(payload: Column, maxSectors: Int = 1 << 16): Column =
+    graft.functions.CfbDirectory(payload, maxSectors)
+
+  /** The legacy-Office KIND of a [[cfbMeta]] struct, from its
+    * directory stream names (the public file-format markers):
+    * `WordDocument`→doc, `Workbook`/`Book`→xls,
+    * `PowerPoint Document`→ppt, anything else a generic `cfb`;
+    * null struct → null. */
+  def cfbKind(meta: Column): Column = {
+    val names = transform(meta.getField("entries"), e => e.getField("name"))
+    when(meta.isNull, lit(null).cast("string"))
+      .when(array_contains(names, "WordDocument"), "doc")
+      .when(array_contains(names, "Workbook") ||
+        array_contains(names, "Book"), "xls")
+      .when(array_contains(names, "PowerPoint Document"), "ppt")
+      .otherwise("cfb")
+  }
 
   /** Parquet column-chunk statistics — the pruning/skew/NULL-rate
     * census [[parquetMeta]] stops short of: per (row group × column)
@@ -1237,6 +1264,7 @@ object Multimodal {
       .when(pfx("4F5243"), "orc")
       .when(pfx("4F626A01"), "avro")
       .when(pfx("53514C697465"), "sqlite")
+      .when(pfx("D0CF11E0A1B11AE1"), "cfb")
       .when(pfx("377ABCAF271C"), "7z")
       .when(pfx("FD377A585A00"), "xz")
       .when(pfx("425A68"), "bzip2")

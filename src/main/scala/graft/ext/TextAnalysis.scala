@@ -876,8 +876,16 @@ object TextAnalysis {
     * not prose). Deterministic single-pass chain of simple regexes
     * (no backreferences/lookbehind), in dependency order:
     *
+    *  0. HTML comments (`&lt;!-- … --&gt;`, ubiquitous in real dumps
+    *     and routinely carrying braces that would poison the
+    *     innermost-first template loop) drop FIRST; `<nowiki>` spans
+    *     (the spec's markup-escape) have their bodies MASKED behind a
+    *     sentinel before the chain and re-substituted verbatim after
+    *     it — the body stays literal text even when it is itself
+    *     wiki markup (`<nowiki>{{not a template}}</nowiki>` keeps its
+    *     braces); self-closing `<nowiki/>` just drops;
     *  1. `<ref>…</ref>` citations and self-closing `<ref …/>` drop
-    *     (first — refs contain templates);
+    *     (next — refs contain templates);
     *  2. `{{templates}}` and `{|wiki tables|}` drop via ITERATED
     *     INNERMOST-FIRST replacement, `maxNest` rounds — one nesting
     *     level per round, so structures nested deeper than `maxNest`
@@ -895,25 +903,46 @@ object TextAnalysis {
     * survive (paragraph structure is signal downstream). Narrow
     * zero-shuffle scan. */
   def wikitextClean(text: Column, maxNest: Int = 4): Column = {
-    val noRef = regexp_replace(text,
-      "(?is)<ref[^>]*/>|<ref[^>]*>.*?</ref>", "")
+    // the sentinel masking nowiki bodies; pre-stripped from the input
+    // so adversarial text cannot forge a substitution point
+    val sent = 1.toChar.toString
+    val noComment = regexp_replace(
+      regexp_replace(text, sent, ""), "(?s)<!--.*?-->", "")
+    val nowikiBodies = regexp_extract_all(noComment,
+      lit("(?is)<nowiki[^>]*>(.*?)</nowiki>"), lit(1))
+    val masked = regexp_replace(
+      regexp_replace(noComment, "(?is)<nowiki[^>]*/>", ""),
+      "(?is)<nowiki[^>]*>.*?</nowiki>", sent)
+    // every DELETING pattern excludes the sentinel, so a masked
+    // nowiki body can never vanish with the span that contains it —
+    // the re-substitution below stays aligned by construction (a
+    // template/ref wrapping a nowiki keeps its outer markup
+    // unresolved, the bounded-contract maxNest style)
+    val noRef = regexp_replace(masked,
+      s"(?is)<ref[^>]*/>|<ref[^>]*>[^$sent]*?</ref>", "")
     var cur = noRef
     var i = 0
     while (i < maxNest) {
-      cur = regexp_replace(cur, "(?s)\\{\\{[^{}]*\\}\\}", "")
-      cur = regexp_replace(cur, "(?s)\\{\\|[^{}]*\\|\\}", "")
+      cur = regexp_replace(cur, s"(?s)\\{\\{[^{}$sent]*\\}\\}", "")
+      cur = regexp_replace(cur, s"(?s)\\{\\|[^{}$sent]*\\|\\}", "")
       i += 1
     }
     val piped = regexp_replace(cur,
-      "\\[\\[[^\\[\\]]*\\|([^\\[\\]|]*)\\]\\]", "$1")
+      s"\\[\\[[^\\[\\]$sent]*\\|([^\\[\\]|]*)\\]\\]", "$1")
     val plain = regexp_replace(piped, "\\[\\[([^\\[\\]|]*)\\]\\]", "$1")
     val extLabeled = regexp_replace(plain,
       "\\[https?://[^ \\]]+ ([^\\]]*)\\]", "$1")
-    val extBare = regexp_replace(extLabeled, "\\[https?://[^\\]]*\\]", "")
+    val extBare = regexp_replace(extLabeled,
+      s"\\[https?://[^\\]$sent]*\\]", "")
     val heads = regexp_replace(extBare, "(?m)^=+ *(.*?) *=+ *$", "$1")
     val emph = regexp_replace(heads, "'{2,5}", "")
     val lists = regexp_replace(emph, "(?m)^[*#:;]+ *", "")
-    trim(regexp_replace(lists, "[ \\t]+", " "))
+    val cleaned = trim(regexp_replace(lists, "[ \\t]+", " "))
+    // re-substitute the literal nowiki bodies at their sentinels
+    when(size(nowikiBodies) === 0, cleaned).otherwise(
+      array_join(zip_with(split(cleaned, sent),
+        concat(nowikiBodies, array(lit(""))),
+        (s, b) => concat(s, coalesce(b, lit("")))), ""))
   }
 
   /** RFC 3986 §5.2 reference resolution, the deterministic core in

@@ -172,7 +172,18 @@ class TextAnalysisSpec extends SparkSpec {
       (7L, "Ext [http://e.com/x label here] and bare [http://e.com/y]."),
       // nesting bound: depth 4 resolves, depth 5 leaves outer braces
       (8L, "D4 {{a|{{b|{{c|{{d}}}}}}}} ok"),
-      (9L, "D5 {{a|{{b|{{c|{{d|{{e}}}}}}}}}} left")
+      (9L, "D5 {{a|{{b|{{c|{{d|{{e}}}}}}}}}} left"),
+      // comments vanish FIRST — braces inside cannot poison the
+      // template loop (this unbalanced {{ would otherwise pin {{x}})
+      (10L, "A<!-- {{unbalanced {| junk -->B {{x}} C"),
+      (11L, "multi<!-- line\ncomment -->survives"),
+      // nowiki bodies stay LITERAL even when they are wiki markup;
+      // self-closing <nowiki/> just drops
+      (12L, "Keep <nowiki>{{tmpl|arg}}</nowiki> and <nowiki>''raw''" +
+        "</nowiki> done<nowiki/>."),
+      // a template WRAPPING a nowiki keeps its outer markup
+      // unresolved rather than deleting the literal body
+      (13L, "T {{outer|<nowiki>|pipe|</nowiki>}} end")
     ).toDF("doc_id", "text")
     val out = d.select(col("doc_id"),
         TextAnalysis.wikitextClean(col("text")).as("c"))
@@ -187,6 +198,11 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(8L) == "D4 ok")
     assert(out(9L) == "D5 {{a|}} left",
       "depth-5 nesting leaves the outermost template unresolved by contract")
+    assert(out(10L) == "AB C", "comment braces must not pin {{x}}")
+    assert(out(11L) == "multisurvives")
+    assert(out(12L) == "Keep {{tmpl|arg}} and ''raw'' done.")
+    assert(out(13L) == "T {{outer||pipe|}} end",
+      "a span wrapping a literal body stays unresolved, never deleted")
   }
 
   test("htmlToText: script/style content dropped, tags become boundaries, " +
