@@ -3082,6 +3082,42 @@ object SparkEntry {
             .as("cols_ddl"))
         .orderBy("doc_id")
     }),
+    // xz decompression against PINNED reference streams (stock xz
+    // CLI output embedded as constants): crc64 single-block, a
+    // two-block stream with declared sizes, concatenated streams,
+    // the zero-block empty stream; %6==5 docs flip a payload byte
+    // and a check must refuse
+    "q295_xz" -> ((s, dir) => {
+      val hello = "fd377a585a000004e6d6b44604c0141021011c00000000000000000088" +
+        "b0670801000f68656c6c6f207a73746420776f726c64002edac54b4bc5" +
+        "6ebf00013010bc9377e21fb6f37d010000000004595a"
+      val wiki = "fd377a585a000004e6d6b44604c022d80421011c000000000000000059" +
+        "403d82e00257001a5d003b9a49b20601a21c0a62a3eeafb0a5ffe33d4f" +
+        "b914734cfb0000000000520007283a836d5c00013ed804000000cf11c2" +
+        "cbb1c467fb020000000004595a"
+      val runs2b = "fd377a585a000004e6d6b44603c00e800121011c000000008393521ee0" +
+        "007f00065d0030eed600000000000082ff44dfd04f60a203c00e800121" +
+        "011c000000008393521ee0007f00065d0030eed600000000000082ff44" +
+        "dfd04f60a203c0122f21011c0000000000d48f4e34e0002e000a5d0030" +
+        "ee2e653719526800000000000bc4dddce81880cf00032680012680012a" +
+        "2f000061aca87914173b30030000000004595a"
+      val empty = "fd377a585a000004e6d6b446000000001cdf44211fb6f37d0100000000" +
+        "04595a"
+      // corrupt: one payload byte of wiki flipped (offset 40)
+      val corrupt = wiki.substring(0, 80) +
+        "%02x".format(Integer.parseInt(wiki.substring(80, 82), 16) ^ 0x55) +
+        wiki.substring(82)
+      val m = pmod(col("doc_id"), lit(6L))
+      val hexStr = when(m === 0, lit(hello)).when(m === 1, lit(wiki))
+        .when(m === 2, lit(runs2b)).when(m === 3, lit(empty))
+        .when(m === 4, lit(hello + runs2b)) // concatenated streams
+        .otherwise(lit(corrupt))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          decode(graft.functions.XzPayload(unhex(hexStr), 1 << 20),
+            "UTF-8").as("xz_text"))
+        .orderBy("doc_id")
+    }),
     // CFB/OLE2 census: an engine-built compound file per doc (header
     // + FAT + directory + one stream sector, the MS-CFB v3 layout) —
     // .doc-shaped on m0 (WordDocument stream), .xls-shaped on m1
@@ -6864,6 +6900,20 @@ object SparkEntry {
         |    WHEN 1 THEN 'k:int32:optional;meta.lang:byte_array:optional;'
         |      || 'meta.score:double:optional;opt:byte_array:optional'
         |    ELSE NULL END AS cols_ddl
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q295: the plaintexts the pinned xz streams compress — known
+    // constants; concatenated + multi-block streams decode; the
+    // corrupt branch null
+    "q295_xz" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'hello zstd world'
+        |    WHEN 1 THEN repeat('wiki dump text ', 40)
+        |    WHEN 2 THEN repeat('a', 300) || 'end'
+        |    WHEN 3 THEN ''
+        |    WHEN 4 THEN 'hello zstd world' || repeat('a', 300) || 'end'
+        |    ELSE NULL END AS xz_text
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q294: the directory replayed arithmetically (every field of the

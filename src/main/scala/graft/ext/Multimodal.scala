@@ -705,6 +705,21 @@ object Multimodal {
           .as("__tar")),
       idCol, "__tar", maxEntries)
 
+  /** [[tarList]] over an xz-compressed tarball — `.tar.xz`, the
+    * other shape source releases ship: one bounded
+    * [[graft.functions.XzPayload]] decode (checks verified, capped,
+    * fail-closed) feeds the checksummed ustar walk, aliased so the
+    * walk shares ONE decode per row. Corrupt xz OR corrupt tar ⇒ no
+    * rows. */
+  def tarXzList(docs: DataFrame, idCol: String = "doc_id",
+                payloadCol: String = "payload",
+                maxOut: Int = 1 << 26,
+                maxEntries: Int = 1 << 16): DataFrame =
+    tarList(docs.select(col(idCol),
+        graft.functions.XzPayload(col(payloadCol), maxOut)
+          .as("__tar")),
+      idCol, "__tar", maxEntries)
+
   /** EVERY regular file's text from a tar — the code-corpus onboard
     * step ([[tarMemberText]] pulls one known member; a repository
     * tarball wants them all): entries explode, regular files keep
@@ -831,7 +846,9 @@ object Multimodal {
     * [[pdfText]], `gzip` → bounded
     * [[graft.functions.GunzipPayload]] + UTF-8, `bzip2` →
     * [[graft.functions.Bunzip2]], `zstd` →
-    * [[graft.functions.ZstdPayload]] (all bounded, fail-closed),
+    * [[graft.functions.ZstdPayload]], `xz` →
+    * [[graft.functions.XzPayload]] (all bounded, fail-closed),
+    * `cfb` → an explicit null (legacy Office sectors are not UTF-8),
     * everything unrecognized → UTF-8 as plain text. Codegen short-circuits the
     * non-matching branches per row, so each payload pays only its
     * own parser (the containerMeta(formats) lesson, solved per row
@@ -917,6 +934,9 @@ object Multimodal {
             decode(graft.functions.Bunzip2(col("__p"), maxBytes), "UTF-8"))
           .when(col("format") === "zstd",
             decode(graft.functions.ZstdPayload(col("__p"), maxBytes),
+              "UTF-8"))
+          .when(col("format") === "xz",
+            decode(graft.functions.XzPayload(col("__p"), maxBytes),
               "UTF-8"))
           // legacy Office containers: an EXPLICIT null beats decoding
           // binary sectors as UTF-8 junk; census them via cfbMeta
