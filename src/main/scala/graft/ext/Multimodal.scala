@@ -1195,33 +1195,43 @@ object Multimodal {
           si => TextAnalysis.decodeEntities(array_join(
             regexp_extract_all(si, lit("(?s)<t[^>]*>(.*?)</t>"), lit(1)),
             ""))).as("__sst"))
-    val cells = sheets.select(col(idCol), col("sheet"), col("__sst"),
-        // [^/]> excludes self-closing empty cells (<c r="D2"/>), which
-        // would otherwise swallow the following cell non-greedily
-        explode(regexp_extract_all(col("__xml"),
-          lit("(?s)<c [^>]*[^/]>.*?</c>"), lit(0))).as("__c"))
-      .select(col(idCol), col("sheet"), col("__sst"), col("__c"),
-        regexp_extract(col("__c"), "r=\"([A-Z]+)([0-9]+)\"", 1)
-          .as("__letters"),
-        regexp_extract(col("__c"), "r=\"([A-Z]+)([0-9]+)\"", 2)
-          .as("__rownum"),
-        regexp_extract(col("__c"), "t=\"([A-Za-z]+)\"", 1).as("__t"),
-        regexp_extract(col("__c"), "(?s)<v>(.*?)</v>", 1).as("__v"))
-      .filter(col("__letters") =!= "")
-    cells.select(col(idCol), col("sheet"),
-        col("__rownum").cast("long").as("row"),
-        aggregate(sequence(lit(1), length(col("__letters"))), lit(0L),
+    // resolve every cell against the shared-strings pool BEFORE
+    // widening to one-row-per-cell: the per-sheet transform below
+    // references __sst once per sheet ROW, so the pool array never
+    // rides the per-cell explode (the scale-clean form — a
+    // million-cell workbook with a fat string pool copies the pool
+    // per sheet, not per cell)
+    // [^/]> excludes self-closing empty cells (<c r="D2"/>), which
+    // would otherwise swallow the following cell non-greedily
+    val resolved = sheets.select(col(idCol), col("sheet"),
+      filter(transform(
+        regexp_extract_all(col("__xml"),
+          lit("(?s)<c [^>]*[^/]>.*?</c>"), lit(0)),
+        c => {
+          val t = regexp_extract(c, "t=\"([A-Za-z]+)\"", 1)
+          val v = regexp_extract(c, "(?s)<v>(.*?)</v>", 1)
+          struct(
+            regexp_extract(c, "r=\"([A-Z]+)([0-9]+)\"", 1).as("letters"),
+            regexp_extract(c, "r=\"([A-Z]+)([0-9]+)\"", 2).as("rownum"),
+            when(t === "s",
+              try_element_at(col("__sst"), v.try_cast("int") + 1))
+              .when(t === "inlineStr",
+                TextAnalysis.decodeEntities(array_join(
+                  regexp_extract_all(c,
+                    lit("(?s)<t[^>]*>(.*?)</t>"), lit(1)), "")))
+              .otherwise(TextAnalysis.decodeEntities(v)).as("value"))
+        }).cast("array<struct<letters:string,rownum:string," +
+          "value:string>>"),
+        s => s.getField("letters") =!= "").as("__cells"))
+    resolved.select(col(idCol), col("sheet"),
+        explode(col("__cells")).as("__c"))
+      .select(col(idCol), col("sheet"),
+        col("__c.rownum").cast("long").as("row"),
+        aggregate(sequence(lit(1), length(col("__c.letters"))), lit(0L),
           (acc, i) => acc * 26L +
-            (ascii(col("__letters").substr(i.cast("int"), lit(1))) - 64L))
+            (ascii(col("__c.letters").substr(i.cast("int"), lit(1))) - 64L))
           .as("col"),
-        when(col("__t") === "s",
-          try_element_at(col("__sst"), expr("try_cast(__v AS int)") + 1))
-          .when(col("__t") === "inlineStr",
-            TextAnalysis.decodeEntities(array_join(
-              regexp_extract_all(col("__c"),
-                lit("(?s)<t[^>]*>(.*?)</t>"), lit(1)), "")))
-          .otherwise(TextAnalysis.decodeEntities(col("__v")))
-          .as("value"))
+        col("__c.value").as("value"))
   }
 
   /** gzip member header (RFC 1952) — the compression wrapper around
