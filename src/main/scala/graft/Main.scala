@@ -66,10 +66,13 @@ object Main {
     |                [--planes 4 --dim 64 --k 4 --threshold 1.05]
     |  ingest-warc   --landing DIR --corpus DIR --checkpoint DIR [--follow true]
     |  extract-archive --payloads PARQUET_DIR --format F --target DIR
-    |                F: warc-gz|tar|tar-gz|docx|pptx|xlsx|xlsx-cells|zip-list
-    |                   |pdf|id3|epub|epub-chapters|avro-schema|bz2
-    |                   |wiki-pages|wiki-corpus|parquet-meta|orc-meta
+    |                F: warc-gz|tar|tar-gz|tar-xz|docx|pptx|xlsx|xlsx-cells
+    |                   |zip-list|pdf|id3|epub|epub-chapters|avro-schema
+    |                   |bz2|zstd|xz|mbox|cfb-meta|wiki-pages|wiki-corpus
+    |                   |parquet-meta|parquet-stats|orc-meta
     |                (payloads: doc_id + the format's payload column)
+    |  ingest-jsonl-zst --path DIR --target DIR
+    |                (.jsonl.zst shards via the bounded zstd kernel)
     |""".stripMargin
 
   /** `--flag value` pairs; repeatable flags accumulate in order. */
@@ -138,6 +141,11 @@ object Main {
         // corpus landing: JSONL drop directory → parquet table, with
         // the explicit-schema DROPMALFORMED contract of CorpusIO
         sources.CorpusIO.readJsonlClean(spark, one("path"))
+          .write.mode("overwrite").parquet(one("target"))
+      case "ingest-jsonl-zst" =>
+        // the .jsonl.zst interchange shape, decoded by the bounded
+        // fail-closed kernel; malformed lines keep their quarantine
+        sources.CorpusIO.readJsonlZst(spark, one("path"))
           .write.mode("overwrite").parquet(one("target"))
       case "export-jsonl" =>
         sources.CorpusIO.writeJsonl(
@@ -397,6 +405,27 @@ object Main {
           case "epub-chapters" => ext.Multimodal.epubChapters(docs)
           case "bz2" => docs.select(col("doc_id"),
             functions.Bunzip2(col("payload")).as("data"))
+          case "zstd" => docs.select(col("doc_id"),
+            functions.ZstdPayload(col("payload")).as("data"))
+          case "xz" => docs.select(col("doc_id"),
+            functions.XzPayload(col("payload")).as("data"))
+          case "tar-xz" => ext.Multimodal.tarXzList(docs)
+          case "cfb-meta" => docs
+            .select(col("doc_id"),
+              ext.Multimodal.cfbMeta(col("payload")).as("__m"))
+            .select(col("doc_id"),
+              ext.Multimodal.cfbKind(col("__m")).as("kind"),
+              col("__m.major").as("major"),
+              col("__m.sector_size").as("sector_size"),
+              col("__m.entries").as("entries"))
+          case "mbox" => ext.TextAnalysis.mboxToCorpus(
+            docs.select(col("doc_id"),
+              col("payload").cast("string").as("text")))
+          case "parquet-stats" => docs
+            .select(col("doc_id"), org.apache.spark.sql.functions
+              .explode(ext.Multimodal.parquetStats(col("payload")))
+              .as("c"))
+            .select(col("doc_id"), col("c.*"))
           case "wiki-pages" => ext.TextAnalysis.wikiDumpPages(
             docs.select(col("doc_id"),
               col("payload").cast("string").as("xml")))

@@ -241,6 +241,28 @@ class MainSpec extends SparkSpec {
     val w = spark.read.parquet(wikiOut).collect()(0)
     assert(w.getAs[String]("title") == "T" &&
       w.getAs[String]("text") == "T body")
+    // round-13 verbs: zstd + mbox over pinned/synthesized payloads
+    val zIn = Files.createTempDirectory("graft-cli-zstd-in").toString
+    val helloZ = ("28b52ffd241081000068656c6c6f207a73746420776f726c64" +
+      "7f816860").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    Seq((1L, helloZ)).toDF("doc_id", "payload")
+      .write.mode("overwrite").parquet(zIn)
+    val zOut = Files.createTempDirectory("graft-cli-zstd").toString
+    Main.main(Array("extract-archive", "--payloads", zIn,
+      "--format", "zstd", "--target", zOut))
+    assert(new String(spark.read.parquet(zOut).collect()(0)
+      .getAs[Array[Byte]]("data"), "UTF-8") == "hello zstd world")
+    val mIn = Files.createTempDirectory("graft-cli-mbox-in").toString
+    val mbox = "From a@x Thu Jan  1 00:00:00 2026\nSubject: s\n" +
+      "Content-Type: text/plain\n\nbody line\n"
+    Seq((1L, mbox.getBytes("UTF-8"))).toDF("doc_id", "payload")
+      .write.mode("overwrite").parquet(mIn)
+    val mOut = Files.createTempDirectory("graft-cli-mbox").toString
+    Main.main(Array("extract-archive", "--payloads", mIn,
+      "--format", "mbox", "--target", mOut))
+    val mr = spark.read.parquet(mOut).collect()(0)
+    assert(mr.getAs[String]("subject") == "s" &&
+      mr.getAs[String]("cleaned") == "body line\n")
   }
 
   test("unknown verb and missing flags fail loudly") {
