@@ -3118,6 +3118,150 @@ object SparkEntry {
             "UTF-8").as("xz_text"))
         .orderBy("doc_id")
     }),
+    // legacy .doc text through the piece-table tier: a spec-exact
+    // Word97 compound file (mini-stream WordDocument + 0Table Clx,
+    // one cp1252 and one UTF-16 piece); m1 flips the FIB fEncrypted
+    // bit (refusal), m2 breaks the CFB signature — both null
+    "q296_doc_text" -> ((s, dir) => {
+      val doc = "d0cf11e0a1b11ae1000000000000000000000000000000003e000300fe" +
+        "ff09000600000000000000000000000100000001000000000000000010" +
+        "00000200000001000000feffffff0000000000000000ffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "fffffffffffffffffffffffffffffffffffffffdfffffffefffffffeff" +
+        "ffff0400000005000000feffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffff52006f006f007400200045006e00740072007900" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "00000000000000000000000000000016000501ffffffffffffffff0100" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "00000000000000000003000000400400000000000057006f0072006400" +
+        "44006f00630075006d0065006e00740000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000001a00" +
+        "0201ffffffffffffffffffffffff000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000040000" +
+        "0000000030005400610062006c00650000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "000000000000000000000e000201ffffffffffffffffffffffff000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000010000000210000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000001" +
+        "0000000200000003000000040000000500000006000000070000000800" +
+        "0000090000000a0000000b0000000c0000000d0000000e0000000f0000" +
+        "00fefffffffeffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffff" +
+        "ffffffffffffffffffffffffffffffffffffeca5c10000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000038000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000210000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "00000000000000004c656761637920576f726420746578742e20436166" +
+        "e92072e973756de92e0d55006e00690063006f00640065002000700069" +
+        "00650063006500200014202000fc006e00ef0063006f00640065002e00" +
+        "0d00000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "000000000000000000000000000000000000000000000000000000021c" +
+        "000000000000001f00000038000000000000040040000000001f020000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000000000000000000000000000" +
+        "0000000000000000000000000000000000"
+      // FIB flags high byte sits at file offset 2059 (container
+      // sector 3 -> 2048, + 0x0B)
+      val encrypted = doc.substring(0, 4118) +
+        "%02x".format(Integer.parseInt(doc.substring(4118, 4120), 16) | 1) +
+        doc.substring(4120)
+      val corrupt = "58" + doc.drop(2)
+      val m = pmod(col("doc_id"), lit(3L))
+      val hexStr = when(m === 0, lit(doc))
+        .when(m === 1, lit(encrypted)).otherwise(lit(corrupt))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.DocTextExtract(unhex(hexStr), 1 << 24)
+            .as("doc_text"))
+        .orderBy("doc_id")
+    }),
     // CFB/OLE2 census: an engine-built compound file per doc (header
     // + FAT + directory + one stream sector, the MS-CFB v3 layout) —
     // .doc-shaped on m0 (WordDocument stream), .xls-shaped on m1
@@ -6914,6 +7058,16 @@ object SparkEntry {
         |    WHEN 3 THEN ''
         |    WHEN 4 THEN 'hello zstd world' || repeat('a', 300) || 'end'
         |    ELSE NULL END AS xz_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q296: the piece texts replayed as constants (the fixture is
+    // static by construction); encrypted + corrupt branches null
+    "q296_doc_text" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN 'Legacy Word text. Café résumé.' || chr(10) ||
+        |      'Unicode piece — ünïcode.' || chr(10)
+        |    ELSE NULL END AS doc_text
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q294: the directory replayed arithmetically (every field of the

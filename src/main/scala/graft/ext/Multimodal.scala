@@ -848,7 +848,9 @@ object Multimodal {
     * [[graft.functions.Bunzip2]], `zstd` →
     * [[graft.functions.ZstdPayload]], `xz` →
     * [[graft.functions.XzPayload]] (all bounded, fail-closed),
-    * `cfb` → an explicit null (legacy Office sectors are not UTF-8),
+    * `cfb` → the legacy Word piece-table tier
+    * ([[graft.functions.DocTextExtract]]; non-Word compound files
+    * null explicitly — sectors are not UTF-8),
     * everything unrecognized → UTF-8 as plain text. Codegen short-circuits the
     * non-matching branches per row, so each payload pays only its
     * own parser (the containerMeta(formats) lesson, solved per row
@@ -938,9 +940,11 @@ object Multimodal {
           .when(col("format") === "xz",
             decode(graft.functions.XzPayload(col("__p"), maxBytes),
               "UTF-8"))
-          // legacy Office containers: an EXPLICIT null beats decoding
-          // binary sectors as UTF-8 junk; census them via cfbMeta
-          .when(col("format") === "cfb", lit(null).cast("string"))
+          // legacy Office containers: Word documents extract through
+          // the piece-table tier; any other CFB yields an EXPLICIT
+          // null (never UTF-8 junk) — census via cfbMeta
+          .when(col("format") === "cfb",
+            graft.functions.DocTextExtract(col("__p"), maxBytes))
           .otherwise(decode(col("__p"), "UTF-8")).as("text"))
   }
 

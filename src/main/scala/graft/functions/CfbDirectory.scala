@@ -70,16 +70,16 @@ case class CfbDirectory(child: Expression, maxSectors: Int)
 
 object CfbDirectory {
 
-  private object Bad extends Exception with scala.util.control.NoStackTrace
+  private[functions] object Bad extends Exception with scala.util.control.NoStackTrace
 
   private final val Free = 0xFFFFFFFFL
   private final val EndOfChain = 0xFFFFFFFEL
   private final val FatSect = 0xFFFFFFFDL
   private final val DifSect = 0xFFFFFFFCL
 
-  private def le16(b: Array[Byte], p: Int): Int =
+  private[functions] def le16(b: Array[Byte], p: Int): Int =
     (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
-  private def le32(b: Array[Byte], p: Int): Long =
+  private[functions] def le32(b: Array[Byte], p: Int): Long =
     (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
       ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
   private def le64(b: Array[Byte], p: Int): Long = {
@@ -96,94 +96,206 @@ object CfbDirectory {
     case _ => "unknown"
   }
 
+  private[functions] final case class CfbEntry(name: String, otype: Int,
+                                               start: Long, size: Long)
+  private[functions] final class Parsed(val major: Int, val secSize: Int,
+                                        val nFat: Int, val fat: Array[Long],
+                                        val miniCutoff: Long,
+                                        val firstMiniFat: Long,
+                                        val entries: java.util.ArrayList[CfbEntry],
+                                        val bytes: Array[Byte],
+                                        val maxSectors: Int) {
+    def sectorOff(sid: Long): Int = {
+      if (sid < 0 || 512 + (sid + 1) * secSize > bytes.length) throw Bad
+      (512 + sid * secSize).toInt
+    }
+    /** Follow a FAT chain, concatenating full sectors, truncated to
+      * `size`; bounded and bomb-capped. */
+    def fatChain(start: Long, size: Long, maxOut: Int): Array[Byte] = {
+      if (size < 0 || size > maxOut) throw Bad
+      val out = new Array[Byte](size.toInt)
+      var got = 0
+      var s = start
+      var steps = 0
+      while (got < size) {
+        if (s == EndOfChain || s == Free) throw Bad // chain too short
+        steps += 1
+        if (steps > maxSectors) throw Bad
+        val off = sectorOff(s)
+        val take = math.min(secSize.toLong, size - got).toInt
+        System.arraycopy(bytes, off, out, got, take)
+        got += take
+        if (s >= fat.length) throw Bad
+        s = fat(s.toInt)
+      }
+      out
+    }
+    /** One stream's bytes: FAT chain for big streams, the root
+      * mini-stream + miniFAT for streams under the cutoff. */
+    def stream(name: String, maxOut: Int): Array[Byte] = {
+      var e: CfbEntry = null
+      var i = 0
+      while (i < entries.size()) {
+        val c = entries.get(i)
+        if (c.otype == 2 && c.name == name) { e = c; i = entries.size() }
+        i += 1
+      }
+      if (e == null) return null
+      if (e.size >= miniCutoff) return fatChain(e.start, e.size, maxOut)
+      // mini stream: the root entry's FAT chain is the container
+      var root: CfbEntry = null
+      i = 0
+      while (i < entries.size()) {
+        val c = entries.get(i)
+        if (c.otype == 5) { root = c; i = entries.size() }
+        i += 1
+      }
+      if (root == null) throw Bad
+      if (root.size > maxOut) throw Bad
+      val container = fatChain(root.start, root.size, maxOut)
+      // the miniFAT itself is a FAT chain of sectors
+      val miniPerSec = secSize / 4
+      val miniFat = new java.util.ArrayList[Long]
+      var mf = firstMiniFat
+      var steps = 0
+      while (mf != EndOfChain && mf != Free) {
+        steps += 1
+        if (steps > maxSectors) throw Bad
+        val off = sectorOff(mf)
+        var j = 0
+        while (j < miniPerSec) {
+          miniFat.add(le32(bytes, off + 4 * j))
+          j += 1
+        }
+        if (mf >= fat.length) throw Bad
+        mf = fat(mf.toInt)
+      }
+      if (e.size > maxOut) throw Bad
+      val out = new Array[Byte](e.size.toInt)
+      var got = 0
+      var ms = e.start
+      steps = 0
+      while (got < e.size) {
+        if (ms == EndOfChain || ms == Free) throw Bad
+        steps += 1
+        if (steps > maxSectors) throw Bad
+        val off = ms * 64L
+        if (off < 0 || off + 64 > container.length) throw Bad
+        val take = math.min(64L, e.size - got).toInt
+        System.arraycopy(container, off.toInt, out, got, take)
+        got += take
+        if (ms >= miniFat.size()) throw Bad
+        ms = miniFat.get(ms.toInt)
+      }
+      out
+    }
+  }
+
+  /** Shared header/FAT/directory parse behind [[compute]] and the
+    * stream-extraction tier; throws Bad / returns null on every
+    * malformed shape. */
+  private[functions] def parse(bytes: Array[Byte],
+                               maxSectors: Int): Parsed = {
+    val n = bytes.length
+    if (n < 512 + 4) throw Bad
+    if (le64(bytes, 0) != 0xE11AB1A1E011CFD0L) throw Bad // signature
+    if (le16(bytes, 28) != 0xFFFE) throw Bad // little-endian mark
+    val major = le16(bytes, 26)
+    val shift = le16(bytes, 30)
+    // the spec pins the shift to the version
+    if (!((major == 3 && shift == 9) || (major == 4 && shift == 12)))
+      throw Bad
+    val secSize = 1 << shift
+    val perSec = secSize / 4
+    def sectorOff(sid: Long): Int = {
+      if (sid < 0 || 512 + (sid + 1) * secSize > n) throw Bad
+      (512 + sid * secSize).toInt
+    }
+    val numFat = le32(bytes, 44)
+    if (numFat < 0 || numFat > maxSectors) throw Bad
+    // FAT sector list: header DIFAT (109 slots) then chained DIFAT
+    val fatSectors = new java.util.ArrayList[Long]
+    var i = 0
+    while (i < 109 && fatSectors.size() < numFat) {
+      val v = le32(bytes, 76 + 4 * i)
+      if (v != Free) fatSectors.add(v)
+      i += 1
+    }
+    var difat = le32(bytes, 68)
+    var difatSteps = 0
+    while (difat != EndOfChain && difat != Free &&
+      fatSectors.size() < numFat) {
+      difatSteps += 1
+      if (difatSteps > maxSectors) throw Bad
+      val off = sectorOff(difat)
+      var j = 0
+      while (j < perSec - 1 && fatSectors.size() < numFat) {
+        val v = le32(bytes, off + 4 * j)
+        if (v != Free) fatSectors.add(v)
+        j += 1
+      }
+      difat = le32(bytes, off + 4 * (perSec - 1))
+    }
+    if (fatSectors.size() < numFat) throw Bad
+    // assemble the FAT
+    val fat = new Array[Long](fatSectors.size() * perSec)
+    i = 0
+    while (i < fatSectors.size()) {
+      val off = sectorOff(fatSectors.get(i))
+      var j = 0
+      while (j < perSec) {
+        fat(i * perSec + j) = le32(bytes, off + 4 * j)
+        j += 1
+      }
+      i += 1
+    }
+    // directory chain
+    val entries = new java.util.ArrayList[CfbEntry]
+    var dir = le32(bytes, 48)
+    var steps = 0
+    while (dir != EndOfChain && dir != Free) {
+      steps += 1
+      if (steps > maxSectors) throw Bad
+      val off = sectorOff(dir)
+      var e = 0
+      while (e < secSize / 128) {
+        val p = off + e * 128
+        val otype = bytes(p + 66) & 0xff
+        if (otype != 0) {
+          val nameLen = le16(bytes, p + 64)
+          if (nameLen < 2 || nameLen > 64 || (nameLen & 1) != 0) throw Bad
+          val name = new String(bytes, p, nameLen - 2,
+            java.nio.charset.StandardCharsets.UTF_16LE)
+          val start = le32(bytes, p + 116)
+          val size0 = le64(bytes, p + 120)
+          // v3 writers leave garbage in the high half per the spec
+          val size = if (major == 3) size0 & 0xFFFFFFFFL else size0
+          entries.add(CfbEntry(name, otype, start, size))
+        }
+        e += 1
+      }
+      if (dir >= fat.length) throw Bad
+      dir = fat(dir.toInt)
+    }
+    new Parsed(major, secSize, fatSectors.size(), fat,
+      le32(bytes, 56), le32(bytes, 60), entries, bytes, maxSectors)
+  }
+
   /** The per-row kernel — public static so generated code can call it. */
   def compute(bytes: Array[Byte], maxSectors: Int): InternalRow = {
     try {
-      val n = bytes.length
-      if (n < 512 + 4) return null
-      if (le64(bytes, 0) != 0xE11AB1A1E011CFD0L) return null // signature
-      if (le16(bytes, 28) != 0xFFFE) return null // little-endian mark
-      val major = le16(bytes, 26)
-      val shift = le16(bytes, 30)
-      // the spec pins the shift to the version
-      if (!((major == 3 && shift == 9) || (major == 4 && shift == 12)))
-        return null
-      val secSize = 1 << shift
-      val perSec = secSize / 4
-      def sectorOff(sid: Long): Int = {
-        if (sid < 0 || 512 + (sid + 1) * secSize > n) throw Bad
-        (512 + sid * secSize).toInt
-      }
-      val numFat = le32(bytes, 44)
-      if (numFat < 0 || numFat > maxSectors) return null
-      // FAT sector list: header DIFAT (109 slots) then chained DIFAT
-      val fatSectors = new java.util.ArrayList[Long]
-      var i = 0
-      while (i < 109 && fatSectors.size() < numFat) {
-        val v = le32(bytes, 76 + 4 * i)
-        if (v != Free) fatSectors.add(v)
-        i += 1
-      }
-      var difat = le32(bytes, 68)
-      var difatSteps = 0
-      while (difat != EndOfChain && difat != Free &&
-        fatSectors.size() < numFat) {
-        difatSteps += 1
-        if (difatSteps > maxSectors) throw Bad
-        val off = sectorOff(difat)
-        var j = 0
-        while (j < perSec - 1 && fatSectors.size() < numFat) {
-          val v = le32(bytes, off + 4 * j)
-          if (v != Free) fatSectors.add(v)
-          j += 1
-        }
-        difat = le32(bytes, off + 4 * (perSec - 1))
-      }
-      if (fatSectors.size() < numFat) throw Bad
-      // assemble the FAT
-      val fat = new Array[Long](fatSectors.size() * perSec)
-      i = 0
-      while (i < fatSectors.size()) {
-        val off = sectorOff(fatSectors.get(i))
-        var j = 0
-        while (j < perSec) {
-          fat(i * perSec + j) = le32(bytes, off + 4 * j)
-          j += 1
-        }
-        i += 1
-      }
-      // directory chain
+      val p = parse(bytes, maxSectors)
       val out = new java.util.ArrayList[Any]
-      var dir = le32(bytes, 48)
-      var steps = 0
-      while (dir != EndOfChain && dir != Free) {
-        steps += 1
-        if (steps > maxSectors) throw Bad
-        val off = sectorOff(dir)
-        var e = 0
-        while (e < secSize / 128) {
-          val p = off + e * 128
-          val otype = bytes(p + 66) & 0xff
-          if (otype != 0) {
-            val nameLen = le16(bytes, p + 64)
-            if (nameLen < 2 || nameLen > 64 || (nameLen & 1) != 0) throw Bad
-            val name = new String(bytes, p, nameLen - 2,
-              java.nio.charset.StandardCharsets.UTF_16LE)
-            val start = le32(bytes, p + 116)
-            val size0 = le64(bytes, p + 120)
-            // v3 writers leave garbage in the high half per the spec
-            val size = if (major == 3) size0 & 0xFFFFFFFFL else size0
-            out.add(new GenericInternalRow(Array[Any](
-              UTF8String.fromString(name),
-              UTF8String.fromString(otypeName(otype)), start, size)))
-          }
-          e += 1
-        }
-        if (dir >= fat.length) throw Bad
-        dir = fat(dir.toInt)
+      var i = 0
+      while (i < p.entries.size()) {
+        val e = p.entries.get(i)
+        out.add(new GenericInternalRow(Array[Any](
+          UTF8String.fromString(e.name),
+          UTF8String.fromString(otypeName(e.otype)), e.start, e.size)))
+        i += 1
       }
-      new GenericInternalRow(Array[Any](major, secSize,
-        fatSectors.size(), new GenericArrayData(out.toArray)))
+      new GenericInternalRow(Array[Any](p.major, p.secSize, p.nFat,
+        new GenericArrayData(out.toArray)))
     } catch {
       case Bad => null
       case _: ArrayIndexOutOfBoundsException => null

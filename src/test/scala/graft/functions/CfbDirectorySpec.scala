@@ -52,6 +52,50 @@ class CfbDirectorySpec extends SparkSpec {
     assert(rows(2).getString(1) == "unknown" && rows(2).isNullAt(2))
   }
 
+  test("doc_text: Word 97 piece-table extraction — cp1252 and UTF-16 " +
+    "pieces in CP order, mini-stream AND FAT WordDocument layouts, " +
+    "0Table and 1Table flags, control-char normalization") {
+    val expected =
+      "Legacy Word text. Café résumé.\nUnicode piece — ünïcode.\n"
+    // small.doc: WordDocument lives in the MINI stream (miniFAT walk)
+    val small = res("/cfb/small.doc")
+    val gotS = DocTextExtract.compute(small, 1 << 24)
+    assert(gotS != null && gotS.toString == expected)
+    // big.doc: FAT-resident WordDocument, table stream named 1Table
+    val big = res("/cfb/big.doc")
+    val gotB = DocTextExtract.compute(big, 1 << 24)
+    assert(gotB != null && gotB.toString == expected)
+    // an xls-shaped CFB has no WordDocument: null, never a guess
+    assert(DocTextExtract.compute(res("/cfb/xls.cfb"), 1 << 24) == null)
+    // encrypted flag refuses
+    val enc = small.clone()
+    // WordDocument is mini sector 0 => container sector holds FIB at
+    // its start; find the A5EC magic and set fEncrypted
+    var fib = -1
+    var i = 512
+    while (fib < 0 && i < enc.length - 1) {
+      if ((enc(i) & 0xff) == 0xEC && (enc(i + 1) & 0xff) == 0xA5) fib = i
+      i += 1
+    }
+    assert(fib > 0)
+    enc(fib + 0x0A) = (enc(fib + 0x0A) | 0x01).toByte // low byte of flags...
+    // fEncrypted is bit 8 of the 16-bit field: set the HIGH byte
+    val enc2 = small.clone()
+    enc2(fib + 0x0B) = (enc2(fib + 0x0B) | 0x01).toByte
+    assert(DocTextExtract.compute(enc2, 1 << 24) == null,
+      "encrypted documents refuse")
+    // truncation fails closed at every structural cut
+    for (cut <- Seq(512, 1024, small.length / 2))
+      assert(DocTextExtract.compute(small.take(cut), 1 << 24) == null)
+    // documentText routes cfb WordDocument payloads through doc_text
+    import spark.implicits._
+    val dt = graft.ext.Multimodal.documentText(
+      Seq((1L, small), (2L, res("/cfb/xls.cfb")))
+        .toDF("doc_id", "payload")).orderBy("doc_id").collect()
+    assert(dt(0).getString(1) == "cfb" && dt(0).getString(2) == expected)
+    assert(dt(1).getString(1) == "cfb" && dt(1).isNullAt(2))
+  }
+
   test("cfb_directory fails closed: signature, byte-order mark, " +
     "version/shift disagreement, truncation, chain bound; " +
     "documentText refuses cfb instead of UTF-8 junk") {
