@@ -3118,6 +3118,25 @@ object SparkEntry {
             "UTF-8").as("xz_text"))
         .orderBy("doc_id")
     }),
+    // RTF text: engine-built per-doc documents exercising control
+    // words, a dropped {\*\generator} destination, cp1252 hex and
+    // unicode escapes; %4==3 docs are unbalanced and must refuse
+    "q297_rtf_text" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val rtfDoc = concat(
+        lit("{\\rtf1\\ansi\\deff0 {\\fonttbl{\\f0 Times;}}" +
+          "{\\*\\generator graft;}\\f0\\fs24 Doc \\b "), id,
+        lit("\\b0  body caf\\'e9 \\u8364?"),
+        pmod(col("doc_id"), lit(9L)).cast("string"),
+        lit(".\\par Tail "), id, lit(".\\par}"))
+      val payload = when(pmod(col("doc_id"), lit(4L)) === 3,
+        concat(lit("{\\rtf1 broken "), id)).otherwise(rtfDoc)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.RtfText(payload.cast("binary"), 1 << 20)
+            .as("rtf_text"))
+        .orderBy("doc_id")
+    }),
     // legacy .doc text through the piece-table tier: a spec-exact
     // Word97 compound file (mini-stream WordDocument + 0Table Clx,
     // one cp1252 and one UTF-16 piece); m1 flips the FIB fEncrypted
@@ -7058,6 +7077,18 @@ object SparkEntry {
         |    WHEN 3 THEN ''
         |    WHEN 4 THEN 'hello zstd world' || repeat('a', 300) || 'end'
         |    ELSE NULL END AS xz_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q297: the rendered text derived arithmetically (delimiter-space
+    // swallows, hex/unicode escapes, destination drop all replayed as
+    // constants); unbalanced docs null
+    "q297_rtf_text" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 3 THEN NULL
+        |    ELSE 'Doc ' || CAST(doc_id AS VARCHAR) || ' body café €' ||
+        |      CAST(doc_id % 9 AS VARCHAR) || '.' || chr(10) ||
+        |      'Tail ' || CAST(doc_id AS VARCHAR) || '.' || chr(10)
+        |    END AS rtf_text
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q296: the piece texts replayed as constants (the fixture is

@@ -945,6 +945,8 @@ object Multimodal {
           // null (never UTF-8 junk) — census via cfbMeta
           .when(col("format") === "cfb",
             graft.functions.DocTextExtract(col("__p"), maxBytes))
+          .when(col("format") === "rtf",
+            graft.functions.RtfText(col("__p"), maxBytes))
           .otherwise(decode(col("__p"), "UTF-8")).as("text"))
   }
 
@@ -1299,6 +1301,7 @@ object Multimodal {
       .when(pfx("4F626A01"), "avro")
       .when(pfx("53514C697465"), "sqlite")
       .when(pfx("D0CF11E0A1B11AE1"), "cfb")
+      .when(pfx("7B5C727466"), "rtf")
       .when(pfx("377ABCAF271C"), "7z")
       .when(pfx("FD377A585A00"), "xz")
       .when(pfx("425A68"), "bzip2")
