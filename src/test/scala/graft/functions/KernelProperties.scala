@@ -177,4 +177,50 @@ object KernelProperties extends Properties("graft.functions.kernels") {
       }
       heavies.forall(merged.contains)
     }
+
+  /** Reference RFC 2045 quoted-printable ENCODER for the round-trip:
+    * every byte that is not a printable-ASCII-but-'=' goes out as
+    * =XX; soft breaks every ~60 columns exercise the unfold path. */
+  private def qpEncodeRef(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder
+    var col = 0
+    bytes.foreach { b =>
+      val v = b & 0xff
+      val tok =
+        if (v == '=' || v < 0x20 || v > 0x7e) f"=$v%02X" else v.toChar.toString
+      if (col + tok.length > 60) { sb.append("=\r\n"); col = 0 }
+      sb.append(tok)
+      col += tok.length
+    }
+    sb.toString
+  }
+
+  private val byteArrGen: Gen[Array[Byte]] =
+    Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray)
+
+  property("qp_decode inverts a spec-faithful encoder on arbitrary bytes " +
+    "(hex escapes + soft breaks)") =
+    forAll(byteArrGen) { bytes =>
+      val enc = qpEncodeRef(bytes)
+      java.util.Arrays.equals(
+        QpDecode.compute(UTF8String.fromString(enc)), bytes)
+    }
+
+  property("rtf_text round-trips arbitrary latin1 text through a " +
+    "spec-faithful writer (escaped specials, hex escapes, par marks)") =
+    forAll(Gen.listOf(Gen.chooseNum(0x20, 0xFF).map(_.toChar))) { chars =>
+      val text = chars.mkString
+      val body = text.flatMap {
+        case '\\' => "\\\\"
+        case '{' => "\\{"
+        case '}' => "\\}"
+        case c if c > 0x7e =>
+          // latin1 chars round-trip through their cp1252-safe range
+          if (c >= 0xA0) f"\\'${c.toInt}%02x" else f"\\u${c.toInt}?"
+        case c => c.toString
+      }
+      val rtf = "{\\rtf1\\ansi " + body + "\\par}"
+      val got = RtfText.compute(rtf.getBytes("ISO-8859-1"), 1 << 20)
+      got != null && got.toString == text + "\n"
+    }
 }
