@@ -66,7 +66,7 @@ object Main {
     |                [--planes 4 --dim 64 --k 4 --threshold 1.05]
     |  ingest-warc   --landing DIR --corpus DIR --checkpoint DIR [--follow true]
     |  extract-archive --payloads PARQUET_DIR --format F --target DIR
-    |                F: warc-gz|tar|tar-gz|tar-xz|docx|pptx|xlsx|xlsx-cells
+    |                F: warc-gz|tar|tar-gz|tar-xz|docx|pptx|xlsx|xlsx-cells|xls-cells
     |                   |zip-list|pdf|id3|epub|epub-chapters|avro-schema
     |                   |bz2|zstd|xz|mbox|cfb-meta|wiki-pages|wiki-corpus
     |                   |parquet-meta|parquet-stats|orc-meta
@@ -401,6 +401,7 @@ object Main {
             ext.Multimodal.pptxSlideText(col("payload")).as("text"))
           case "xlsx" => ext.Multimodal.xlsxSharedStrings(docs)
           case "xlsx-cells" => ext.Multimodal.xlsxCells(docs)
+          case "xls-cells" => ext.Multimodal.xlsCells(docs)
           case "zip-list" => ext.Multimodal.zipList(docs)
           case "epub-chapters" => ext.Multimodal.epubChapters(docs)
           case "bz2" => docs.select(col("doc_id"),

@@ -3647,6 +3647,81 @@ object SparkEntry {
             .as("bz_text"))
         .orderBy("doc_id")
     }),
+    // legacy .xls (BIFF8) cell grid — engine-built spec-exact
+    // workbooks (tools/make_xls_fixture.py, mini-stream CFB layout):
+    // m0 carries every cell-record kind over two sheets (LabelSst,
+    // inline Label, Number, RK int/x100/double, MulRk, BoolErr,
+    // Formula number/string/bool/empty), m1 splits an SST string
+    // across a CONTINUE record with a wide-flag restart, m2 corrupts
+    // the CFB signature and keeps one all-null audit row
+    "q298_xls_cells" -> ((s, dir) => {
+      val wbA =
+        "d0cf11e0a1b11ae1000000000000000000000000000000003e000300feff0900060000000000000000000000" +
+        "010000000100000000000000001000000200000001000000feffffff0000000000000000" +
+        "ff" * 432 +
+        "fdfffffffefffffffefffffffe" +
+        "ff" * 499 +
+        "52006f006f007400200045006e007400720079" +
+        "00" * 45 +
+        "16000501ffffffffffffffff01" +
+        "00" * 39 +
+        "03000000000200000000000057006f0072006b0062006f006f006b" +
+        "00" * 49 +
+        "12000201ffffffffffffffffffffffff" +
+        "00" * 40 +
+        "b401" +
+        "00" * 262 +
+        "010000000200000003000000040000000500000006000000fe" +
+        "ff" * 487 +
+        "0908100000060500bb0dcc070000000000000000fc002e00030000000300000005000068656c6c6f07000177" +
+        "00f60072006c006400200013270400080100726963680000000085000a006600000000000200533185000a00" +
+        "8e0100000000020053320a0000000908100000061000bb0dcc070000000000000000fd000a00000000000f00" +
+        "00000000fd000a00000001000f000100000003020e00010000000f000000000000000a407e020a0001000100" +
+        "0f00aa0000007e020a00010002000f00ef0100007e020a00010003000f0000000440bd001800020000000f00" +
+        "060000000f000a0000000f000e000000020005020800030000000f00010005020800030001000f0007010600" +
+        "1600040000000f000000000000001e40000000000000000006001600040001000f00000000000000ffff0000" +
+        "00000000000007020500020000667806001600040002000f00010001000000ffff0000000000000000060016" +
+        "00040003000f00030000000000ffff000000000000000004020f00050000000f00060000696e6c696e650a00" +
+        "00000908100000061000bb0dcc070000000000000000fd000a00000000000f00020000000a" +
+        "00" * 79
+      val wbB =
+        "d0cf11e0a1b11ae1000000000000000000000000000000003e000300feff0900060000000000000000000000" +
+        "010000000100000000000000001000000200000001000000feffffff0000000000000000" +
+        "ff" * 432 +
+        "fdfffffffefffffffefffffffe" +
+        "ff" * 499 +
+        "52006f006f007400200045006e007400720079" +
+        "00" * 45 +
+        "16000501ffffffffffffffff01" +
+        "00" * 39 +
+        "03000000000200000000000057006f0072006b0062006f006f006b" +
+        "00" * 49 +
+        "12000201ffffffffffffffffffffffff" +
+        "00" * 40 +
+        "85" +
+        "00" * 263 +
+        "0100000002000000fe" +
+        "ff" * 503 +
+        "0908100000060500bb0dcc070000000000000000fc000f0002000000020000000a0000616161613c00140001" +
+        "1104120413041404150416040400007461696c85000a00510000000000020053310a00000009081000000610" +
+        "00bb0dcc070000000000000000fd000a00000000000f0000000000fd000a00000001000f00010000000a" +
+        "00" * 382
+      val corrupt = "58" + wbA.drop(2)
+      val m = pmod(col("doc_id"), lit(3L))
+      val hexStr = when(m === 0, lit(wbA)).when(m === 1, lit(wbB))
+        .otherwise(lit(corrupt))
+      val cellTpe = "struct<sheet:bigint,row:bigint,col:bigint,value:string>"
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.XlsCells(unhex(hexStr)).as("__cs"))
+        .select(col("doc_id"),
+          explode(coalesce(col("__cs").cast(s"array<$cellTpe>"),
+            array(lit(null).cast(cellTpe)))).as("__c"))
+        .select(col("doc_id"), col("__c.sheet").as("sheet"),
+          col("__c.row").as("row"), col("__c.col").as("col"),
+          col("__c.value").as("value"))
+        .orderBy("doc_id", "sheet", "row", "col")
+    }),
     // zstd decompression against PINNED reference streams (stock
     // zstd-1.5.7 output embedded as constants — the kernel is graded
     // against the real format): raw block, predefined-FSE sequences,
@@ -6992,6 +7067,28 @@ object SparkEntry {
         |    WHEN 4 THEN 'hello bzip2 world' || repeat('wiki dump text ', 40)
         |    ELSE NULL END AS bz_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q298: the engine-built workbooks' cells replayed as literals —
+    // every value fixed by construction (RK packings, formula cached
+    // results, the CONTINUE-split SST string); corrupt docs keep one
+    // all-null audit row
+    "q298_xls_cells" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 AS m FROM documents),
+        |cells(m, sheet, r, c, v) AS (SELECT * FROM (VALUES
+        |  (0,1,1,1,'hello'),(0,1,1,2,'wörld ✓'),(0,1,2,1,'3.25'),
+        |  (0,1,2,2,'42'),(0,1,2,3,'1.23'),(0,1,2,4,'2.5'),
+        |  (0,1,3,1,'1'),(0,1,3,2,'2'),(0,1,3,3,'3'),
+        |  (0,1,4,1,'TRUE'),(0,1,4,2,'#DIV/0!'),
+        |  (0,1,5,1,'7.5'),(0,1,5,2,'fx'),(0,1,5,3,'TRUE'),(0,1,5,4,''),
+        |  (0,1,6,1,'inline'),(0,2,1,1,'rich'),
+        |  (1,1,1,1,'aaaaБВГДЕЖ'),(1,1,1,2,'tail')) t)
+        |SELECT doc_id, CAST(sheet AS BIGINT) AS sheet,
+        |  CAST(r AS BIGINT) AS "row", CAST(c AS BIGINT) AS col,
+        |  v AS value
+        |FROM d JOIN cells ON cells.m = d.m
+        |UNION ALL
+        |SELECT doc_id, NULL, NULL, NULL, NULL FROM d WHERE m = 2
+        |ORDER BY doc_id, sheet, "row", col""".stripMargin,
 
     // q290: the plaintexts the pinned zstd streams compress — known
     // constants; concatenated frames and skippable frames decode per

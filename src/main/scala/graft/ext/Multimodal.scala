@@ -941,10 +941,17 @@ object Multimodal {
             decode(graft.functions.XzPayload(col("__p"), maxBytes),
               "UTF-8"))
           // legacy Office containers: Word documents extract through
-          // the piece-table tier; any other CFB yields an EXPLICIT
-          // null (never UTF-8 junk) — census via cfbMeta
+          // the piece-table tier, Excel workbooks through the BIFF8
+          // cell grid (values joined in walk order — the doc tier's
+          // refusal is one wasted bounded CFB parse); any other CFB
+          // yields an EXPLICIT null (never UTF-8 junk) — census via
+          // cfbMeta
           .when(col("format") === "cfb",
-            graft.functions.DocTextExtract(col("__p"), maxBytes))
+            coalesce(
+              graft.functions.DocTextExtract(col("__p"), maxBytes),
+              array_join(transform(
+                graft.functions.XlsCells(col("__p"), maxBytes),
+                c => c.getField("value")), "\n")))
           .when(col("format") === "rtf",
             graft.functions.RtfText(col("__p"), maxBytes))
           .otherwise(decode(col("__p"), "UTF-8")).as("text"))
@@ -1239,6 +1246,24 @@ object Multimodal {
           .as("col"),
         col("__c.value").as("value"))
   }
+
+  /** Legacy `.xls` (BIFF8) cell grid — [[xlsxCells]]' shape for the
+    * Excel 97–2003 binary tier: one row per non-blank cell,
+    * `(sheet, row, col, value)` all 1-based, via the
+    * [[graft.functions.XlsCells]] kernel (CFB stream walk → BIFF
+    * records → SST/RK/formula-cached values). One bounded kernel
+    * call per workbook, the per-cell widening a plain explode;
+    * corrupt/non-BIFF8 payloads contribute no rows (the kernel's
+    * fail-closed null). Zero shuffle. */
+  def xlsCells(docs: DataFrame, idCol: String = "doc_id",
+               payloadCol: String = "payload",
+               maxBytes: Int = 1 << 24, maxCells: Int = 1 << 22): DataFrame =
+    docs.select(col(idCol),
+        explode(graft.functions.XlsCells(col(payloadCol), maxBytes,
+          maxCells)).as("__c"))
+      .select(col(idCol), col("__c.sheet").as("sheet"),
+        col("__c.row").as("row"), col("__c.col").as("col"),
+        col("__c.value").as("value"))
 
   /** gzip member header (RFC 1952) — the compression wrapper around
     * most crawl payloads: magic `\x1f\x8b`, compression method,
