@@ -73,6 +73,9 @@ object Main {
     |                (payloads: doc_id + the format's payload column)
     |  ingest-jsonl-zst --path DIR --target DIR
     |                (.jsonl.zst shards via the bounded zstd kernel)
+    |  delta-snapshot --table DIR --target DIR   (live-file census)
+    |  delta-history  --table DIR --target DIR   (per-commit audit)
+    |  delta-meta     --table DIR --target DIR   (schema/protocol/size)
     |""".stripMargin
 
   /** `--flag value` pairs; repeatable flags accumulate in order. */
@@ -146,6 +149,17 @@ object Main {
         // the .jsonl.zst interchange shape, decoded by the bounded
         // fail-closed kernel; malformed lines keep their quarantine
         sources.CorpusIO.readJsonlZst(spark, one("path"))
+          .write.mode("overwrite").parquet(one("target"))
+      case "delta-snapshot" =>
+        // the Delta log's live-file census — log-proportional work,
+        // no data file opened
+        sources.DeltaLog.snapshot(spark, one("table"))
+          .write.mode("overwrite").parquet(one("target"))
+      case "delta-history" =>
+        sources.DeltaLog.history(spark, one("table"))
+          .write.mode("overwrite").parquet(one("target"))
+      case "delta-meta" =>
+        sources.DeltaLog.tableMeta(spark, one("table"))
           .write.mode("overwrite").parquet(one("target"))
       case "export-jsonl" =>
         sources.CorpusIO.writeJsonl(

@@ -3647,6 +3647,59 @@ object SparkEntry {
             .as("bz_text"))
         .orderBy("doc_id")
     }),
+    // Delta-lake log census — a protocol-exact _delta_log synthesized
+    // in a scratch table dir (no data file ever exists: the census
+    // reads ONLY the log): v0 adds two partitioned files, v1 removes
+    // one and adds another, v2 rewrites a path (same-version
+    // remove+add resolves to the add). Live set = adds minus later
+    // removes, one shuffle keyed by path.
+    "q299_delta_snapshot" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-delta")
+      val log = java.nio.file.Files.createDirectories(
+        tmp.resolve("_delta_log"))
+      def commit(v: Long, lines: Seq[String]): Unit =
+        java.nio.file.Files.write(log.resolve(f"$v%020d.json"),
+          lines.mkString("", "\n", "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      commit(0, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        """{"metaData":{"id":"t1","name":"docs","schemaString":"{\"type\":\"struct\"}","partitionColumns":["lang"],"createdTime":1}}""",
+        """{"add":{"path":"lang=en/a.parquet","partitionValues":{"lang":"en"},"size":100,"modificationTime":10,"dataChange":true}}""",
+        """{"add":{"path":"lang=de/b.parquet","partitionValues":{"lang":"de"},"size":200,"modificationTime":11,"dataChange":true}}"""))
+      commit(1, Seq(
+        """{"remove":{"path":"lang=de/b.parquet","deletionTimestamp":20,"dataChange":true}}""",
+        """{"add":{"path":"lang=de/c.parquet","partitionValues":{"lang":"de"},"size":300,"modificationTime":21,"dataChange":true}}"""))
+      commit(2, Seq(
+        """{"remove":{"path":"lang=en/a.parquet","deletionTimestamp":30,"dataChange":true}}""",
+        """{"add":{"path":"lang=en/a.parquet","partitionValues":{"lang":"en"},"size":150,"modificationTime":31,"dataChange":true}}"""))
+      graft.sources.DeltaLog.snapshot(s, tmp.toString)
+        .select(col("path"), col("size"), col("modification_time"),
+          col("partition_values")("lang").as("lang"),
+          col("added_version"))
+        .orderBy("path")
+    }),
+    // the same log's per-commit growth audit
+    "q300_delta_history" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-deltah")
+      val log = java.nio.file.Files.createDirectories(
+        tmp.resolve("_delta_log"))
+      def commit(v: Long, lines: Seq[String]): Unit =
+        java.nio.file.Files.write(log.resolve(f"$v%020d.json"),
+          lines.mkString("", "\n", "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      commit(0, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        """{"metaData":{"id":"t1","name":"docs","schemaString":"{\"type\":\"struct\"}","partitionColumns":["lang"],"createdTime":1}}""",
+        """{"add":{"path":"lang=en/a.parquet","partitionValues":{"lang":"en"},"size":100,"modificationTime":10,"dataChange":true}}""",
+        """{"add":{"path":"lang=de/b.parquet","partitionValues":{"lang":"de"},"size":200,"modificationTime":11,"dataChange":true}}"""))
+      commit(1, Seq(
+        """{"remove":{"path":"lang=de/b.parquet","deletionTimestamp":20,"dataChange":true}}""",
+        """{"add":{"path":"lang=de/c.parquet","partitionValues":{"lang":"de"},"size":300,"modificationTime":21,"dataChange":true}}"""))
+      commit(2, Seq(
+        """{"remove":{"path":"lang=en/a.parquet","deletionTimestamp":30,"dataChange":true}}""",
+        """{"add":{"path":"lang=en/a.parquet","partitionValues":{"lang":"en"},"size":150,"modificationTime":31,"dataChange":true}}"""))
+      graft.sources.DeltaLog.history(s, tmp.toString)
+    }),
     // legacy .xls (BIFF8) cell grid — engine-built spec-exact
     // workbooks (tools/make_xls_fixture.py, mini-stream CFB layout):
     // m0 carries every cell-record kind over two sheets (LabelSst,
@@ -7067,6 +7120,28 @@ object SparkEntry {
         |    WHEN 4 THEN 'hello bzip2 world' || repeat('wiki dump text ', 40)
         |    ELSE NULL END AS bz_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q299/q300: the synthesized log's replay replayed — live set and
+    // per-commit audit fixed by construction
+    "q299_delta_snapshot" ->
+      """SELECT * FROM (VALUES
+        |  ('lang=de/c.parquet', CAST(300 AS BIGINT), CAST(21 AS BIGINT),
+        |   'de', CAST(1 AS BIGINT)),
+        |  ('lang=en/a.parquet', CAST(150 AS BIGINT), CAST(31 AS BIGINT),
+        |   'en', CAST(2 AS BIGINT)))
+        |AS t(path, size, modification_time, lang, added_version)
+        |ORDER BY path""".stripMargin,
+
+    "q300_delta_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(300 AS BIGINT),
+        |   CAST(0 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(300 AS BIGINT),
+        |   CAST(1 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(150 AS BIGINT),
+        |   CAST(1 AS BIGINT)))
+        |AS t(version, n_added, bytes_added, n_removed)
+        |ORDER BY version""".stripMargin,
 
     // q298: the engine-built workbooks' cells replayed as literals —
     // every value fixed by construction (RK packings, formula cached

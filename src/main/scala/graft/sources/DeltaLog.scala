@@ -1,0 +1,187 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Delta-Lake transaction-log census — the lake-discovery tier for
+  * the most common open table format layered over parquet (the log
+  * protocol is public: `_delta_log/` holds zero-padded
+  * `<version>.json` commit files of newline-delimited actions, plus
+  * periodic `<version>.checkpoint.parquet` files collapsing
+  * everything up to that version, advertised by `_last_checkpoint`).
+  *
+  * What this gives a 100 TB pipeline WITHOUT opening a single data
+  * file: the live-file set (the table's true size and partition
+  * census — parquet paths listed under the table dir can include
+  * gigabytes of tombstoned files a naive `spark.read.parquet` of the
+  * directory would wrongly include), schema/partition-column
+  * discovery, and table-growth auditing per commit.
+  *
+  * Scale shape: work is proportional to the LOG, never the data —
+  * the checkpoint parquet is a normal distributed scan, the JSON
+  * tail reads with an EXPLICIT action schema (no inference pass),
+  * and the replay is one shuffle keyed by file path (the log's
+  * cardinality, i.e. file count — millions at most). Checkpointed
+  * logs skip every commit file at or before the checkpoint version.
+  *
+  * Replay rule: per path, the action with the highest version wins;
+  * an add and remove of the same path in the SAME version resolves
+  * to the add (a rewriting commit re-adds the path it removes).
+  */
+object DeltaLog {
+
+  /** The action fields the census reads (a strict subset of the
+    * public protocol's action schema — unknown fields ignored). */
+  val actionSchema: StructType = StructType(Seq(
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
+      StructField("dataChange", BooleanType)))),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("name", StringType),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))),
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType))))))
+
+  private final case class LogFiles(jsons: Seq[String],
+                                    checkpoint: Option[(String, Long)])
+
+  /** List the log: the `_last_checkpoint` pointer (if any) plus every
+    * commit json AFTER the checkpoint version. Driver-side listing of
+    * ONE directory — bounded by log retention, not table size. */
+  private def listLog(spark: SparkSession, tableDir: String): LogFiles = {
+    val logDir = new Path(tableDir, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(logDir))
+      throw new IllegalArgumentException(
+        s"not a Delta table: no _delta_log under $tableDir")
+    val ckptVersion: Option[Long] = {
+      val lc = new Path(logDir, "_last_checkpoint")
+      if (!fs.exists(lc)) None
+      else {
+        val in = fs.open(lc)
+        val txt = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+      }
+    }
+    val names = fs.listStatus(logDir).map(_.getPath.getName)
+    val jsonV = names.flatMap { n =>
+      if (n.length == 25 && n.endsWith(".json") &&
+        n.take(20).forall(_.isDigit)) Some(n.take(20).toLong) else None
+    }.sorted
+    val ckpt = ckptVersion.map { v =>
+      (new Path(logDir, f"$v%020d.checkpoint.parquet").toString, v)
+    }
+    val tail = jsonV.filter(v => ckpt.forall(v > _._2))
+    LogFiles(tail.map(v => new Path(logDir, f"$v%020d.json").toString).toSeq,
+      ckpt)
+  }
+
+  /** Every action in the current log window, with its `version`:
+    * checkpoint rows carry the checkpoint version (their collapsed
+    * origin versions are gone by design — replay order among them is
+    * already resolved), json rows their commit version. */
+  def actions(spark: SparkSession, tableDir: String): DataFrame = {
+    val log = listLog(spark, tableDir)
+    val fromJson = if (log.jsons.isEmpty) None
+    else Some(spark.read.schema(actionSchema).json(log.jsons: _*)
+      .withColumn("version",
+        regexp_extract(input_file_name(), "(\\d+)\\.json$", 1)
+          .cast("long")))
+    // conform the checkpoint to the census's action schema field by
+    // field: real checkpoints carry extra columns (stats, tags,
+    // commitInfo) and may lack others — absent actions/fields read as
+    // null, never a failed struct cast
+    val fromCkpt = log.checkpoint.map { case (path, v) =>
+      val ck = spark.read.parquet(path)
+      val cols = actionSchema.fields.map { af =>
+        val st = af.dataType.asInstanceOf[StructType]
+        if (!ck.columns.contains(af.name)) lit(null).cast(st).as(af.name)
+        else {
+          val inner = ck.schema(af.name).dataType.asInstanceOf[StructType]
+          when(col(af.name).isNotNull, struct(st.fields.map { sf =>
+            (if (inner.fieldNames.contains(sf.name))
+              col(af.name + "." + sf.name).cast(sf.dataType)
+            else lit(null).cast(sf.dataType)).as(sf.name)
+          }: _*)).as(af.name)
+        }
+      }
+      ck.select(cols: _*).withColumn("version", lit(v))
+    }
+    (fromJson, fromCkpt) match {
+      case (Some(j), Some(c)) => c.unionByName(j)
+      case (Some(j), None) => j
+      case (None, Some(c)) => c
+      case (None, None) => throw new IllegalArgumentException(
+        s"empty _delta_log under $tableDir")
+    }
+  }
+
+  /** The LIVE file set: one row per data file in the current table
+    * version — `(path, size, modification_time, partition_values,
+    * added_version)`. One shuffle keyed by path. */
+  def snapshot(spark: SparkSession, tableDir: String): DataFrame = {
+    val acts = actions(spark, tableDir)
+      .filter(col("add").isNotNull || col("remove").isNotNull)
+      .select(coalesce(col("add.path"), col("remove.path")).as("path"),
+        col("add").isNotNull.as("is_add"),
+        col("add.size").as("size"),
+        col("add.modificationTime").as("modification_time"),
+        col("add.partitionValues").as("partition_values"),
+        col("version"))
+    val w = Window.partitionBy("path")
+      .orderBy(col("version").desc, col("is_add").desc)
+    acts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("is_add"))
+      .select(col("path"), col("size"), col("modification_time"),
+        col("partition_values"), col("version").as("added_version"))
+  }
+
+  /** Table-level facts: latest metaData + protocol + version + live
+    * census (file count, total bytes). One row. */
+  def tableMeta(spark: SparkSession, tableDir: String): DataFrame = {
+    val acts = actions(spark, tableDir)
+    val meta = acts.filter(col("metaData").isNotNull)
+      .orderBy(col("version").desc).limit(1)
+      .select(col("metaData.id").as("table_id"),
+        col("metaData.name").as("name"),
+        col("metaData.schemaString").as("schema_string"),
+        col("metaData.partitionColumns").as("partition_columns"))
+    val proto = acts.filter(col("protocol").isNotNull)
+      .orderBy(col("version").desc).limit(1)
+      .select(col("protocol.minReaderVersion").as("min_reader_version"),
+        col("protocol.minWriterVersion").as("min_writer_version"))
+    val vers = acts.agg(max(col("version")).as("version"))
+    val live = snapshot(spark, tableDir)
+      .agg(count(lit(1)).as("n_files"),
+        coalesce(sum(col("size")), lit(0L)).as("total_bytes"))
+    meta.crossJoin(proto).crossJoin(vers).crossJoin(live)
+  }
+
+  /** Per-commit growth audit off the json tail: files/bytes added and
+    * removed at each version (checkpointed history collapses into the
+    * checkpoint version's row). */
+  def history(spark: SparkSession, tableDir: String): DataFrame =
+    actions(spark, tableDir)
+      .groupBy(col("version"))
+      .agg(
+        count(col("add.path")).as("n_added"),
+        coalesce(sum(col("add.size")), lit(0L)).as("bytes_added"),
+        count(col("remove.path")).as("n_removed"))
+      .orderBy("version")
+}

@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Delta-log census over synthesized protocol-exact logs: JSON-only
+  * replay (adds, removes, a same-version rewrite), the checkpoint +
+  * tail path (extra stats column conformed away, commits at or before
+  * the checkpoint version skipped), and the not-a-delta-table
+  * refusal. No data file ever exists — the census touches only the
+  * log by construction. */
+class DeltaLogSpec extends SparkSpec {
+
+  private def writeCommit(log: Path, v: Long, lines: Seq[String]): Unit =
+    Files.write(log.resolve(f"$v%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+
+  private val v0 = Seq(
+    """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+    """{"metaData":{"id":"t1","name":"docs","schemaString":"{\"type\":\"struct\"}","partitionColumns":["lang"],"createdTime":1}}""",
+    """{"add":{"path":"lang=en/a.parquet","partitionValues":{"lang":"en"},"size":100,"modificationTime":10,"dataChange":true}}""",
+    """{"add":{"path":"lang=de/b.parquet","partitionValues":{"lang":"de"},"size":200,"modificationTime":11,"dataChange":true}}""")
+  private val v1 = Seq(
+    """{"remove":{"path":"lang=de/b.parquet","deletionTimestamp":20,"dataChange":true}}""",
+    """{"add":{"path":"lang=de/c.parquet","partitionValues":{"lang":"de"},"size":300,"modificationTime":21,"dataChange":true}}""")
+  private val v2 = Seq(
+    """{"remove":{"path":"lang=en/a.parquet","deletionTimestamp":30,"dataChange":true}}""",
+    """{"add":{"path":"lang=en/a.parquet","partitionValues":{"lang":"en"},"size":150,"modificationTime":31,"dataChange":true}}""",
+    """{"metaData":{"id":"t1","name":"docs2","schemaString":"{\"type\":\"struct2\"}","partitionColumns":["lang"],"createdTime":1}}""")
+
+  private def jsonTable(): String = {
+    val dir = Files.createTempDirectory("graft-delta")
+    val log = Files.createDirectories(dir.resolve("_delta_log"))
+    writeCommit(log, 0, v0); writeCommit(log, 1, v1); writeCommit(log, 2, v2)
+    dir.toString
+  }
+
+  test("delta snapshot: adds minus later removes; a same-version " +
+    "remove+add of one path resolves to the add (rewrite)") {
+    val t = jsonTable()
+    val live = DeltaLog.snapshot(spark, t)
+      .select(col("path"), col("size"), col("modification_time"),
+        col("partition_values")("lang").as("lang"), col("added_version"))
+      .orderBy("path").collect()
+    assert(live.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getString(3), r.getLong(4))).toSeq == Seq(
+      ("lang=de/c.parquet", 300L, 21L, "de", 1L),
+      ("lang=en/a.parquet", 150L, 31L, "en", 2L)))
+  }
+
+  test("delta tableMeta and history: latest metaData wins, live " +
+    "census sums only live bytes, per-commit add/remove audit") {
+    val t = jsonTable()
+    val m = DeltaLog.tableMeta(spark, t).collect()(0)
+    assert(m.getAs[String]("name") == "docs2")
+    assert(m.getAs[String]("schema_string") == """{"type":"struct2"}""")
+    assert(m.getAs[scala.collection.Seq[String]]("partition_columns")
+      .toSeq == Seq("lang"))
+    assert(m.getAs[Int]("min_reader_version") == 1)
+    assert(m.getAs[Long]("version") == 2L)
+    assert(m.getAs[Long]("n_files") == 2L)
+    assert(m.getAs[Long]("total_bytes") == 450L)
+    val h = DeltaLog.history(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(h.toSeq == Seq((0L, 2L, 300L, 0L), (1L, 1L, 300L, 1L),
+      (2L, 1L, 150L, 1L)))
+  }
+
+  test("delta checkpoint path: tail commits after the checkpoint " +
+    "version replay over it; extra checkpoint columns conform away; " +
+    "commits at or before the checkpoint are SKIPPED") {
+    val dir = Files.createTempDirectory("graft-delta-ck")
+    val log = Files.createDirectories(dir.resolve("_delta_log"))
+    // the v0+v1 state collapsed into a checkpoint at version 1 the
+    // way Delta writes it: RECONCILED — the removed file appears only
+    // as its tombstone (never next to its superseded add), plus the
+    // real-world extra stats column
+    val collapsed = Files.createTempFile("ck", ".json")
+    Files.write(collapsed, Seq(v0(0), v0(1), v0(2), v1(1),
+      """{"remove":{"path":"lang=de/b.parquet","deletionTimestamp":20,"dataChange":true}}""")
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    spark.read.schema(DeltaLog.actionSchema)
+      .json(collapsed.toString)
+      .withColumn("stats", lit("""{"numRecords":1}"""))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(log.resolve(f"${1L}%020d.checkpoint.parquet").toString)
+    Files.write(log.resolve("_last_checkpoint"),
+      """{"version":1,"size":7}""".getBytes(StandardCharsets.UTF_8))
+    // a poisoned commit AT the checkpoint version proves the skip
+    writeCommit(log, 1, Seq("""{"add":{"path":"POISON","size":1}}"""))
+    writeCommit(log, 2, v2)
+    val live = DeltaLog.snapshot(spark, dir.toString)
+      .orderBy("path").collect()
+    assert(live.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(
+      ("lang=de/c.parquet", 300L), ("lang=en/a.parquet", 150L)))
+    val m = DeltaLog.tableMeta(spark, dir.toString).collect()(0)
+    assert(m.getAs[String]("name") == "docs2" &&
+      m.getAs[Long]("total_bytes") == 450L)
+  }
+
+  test("delta census refuses non-tables: no _delta_log, empty log") {
+    val plain = Files.createTempDirectory("graft-notdelta")
+    intercept[IllegalArgumentException] {
+      DeltaLog.snapshot(spark, plain.toString)
+    }
+    Files.createDirectories(plain.resolve("_delta_log"))
+    intercept[IllegalArgumentException] {
+      DeltaLog.snapshot(spark, plain.toString)
+    }
+  }
+}
