@@ -67,6 +67,7 @@ object Main {
     |  ingest-warc   --landing DIR --corpus DIR --checkpoint DIR [--follow true]
     |  extract-archive --payloads PARQUET_DIR --format F --target DIR
     |                F: warc-gz|tar|tar-gz|tar-xz|docx|pptx|xlsx|xlsx-cells|xls-cells
+    |                   |doc|ppt|rtf
     |                   |zip-list|pdf|id3|epub|epub-chapters|avro-schema
     |                   |bz2|zstd|xz|mbox|cfb-meta|wiki-pages|wiki-corpus
     |                   |parquet-meta|parquet-stats|orc-meta
@@ -416,6 +417,12 @@ object Main {
           case "xlsx" => ext.Multimodal.xlsxSharedStrings(docs)
           case "xlsx-cells" => ext.Multimodal.xlsxCells(docs)
           case "xls-cells" => ext.Multimodal.xlsCells(docs)
+          case "doc" => docs.select(col("doc_id"),
+            functions.DocTextExtract(col("payload")).as("text"))
+          case "ppt" => docs.select(col("doc_id"),
+            functions.PptText(col("payload")).as("text"))
+          case "rtf" => docs.select(col("doc_id"),
+            functions.RtfText(col("payload")).as("text"))
           case "zip-list" => ext.Multimodal.zipList(docs)
           case "epub-chapters" => ext.Multimodal.epubChapters(docs)
           case "bz2" => docs.select(col("doc_id"),

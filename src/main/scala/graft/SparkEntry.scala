@@ -3647,6 +3647,48 @@ object SparkEntry {
             .as("bz_text"))
         .orderBy("doc_id")
     }),
+    // legacy .ppt (PowerPoint 97) text — engine-built spec-exact deck
+    // (tools/make_ppt_fixture.py): containers recurse, TextCharsAtom
+    // and TextBytesAtom collect in stream order, CR/VT normalize; m1
+    // poisons a container length, m2 the CFB signature — both null
+    "q301_ppt_text" -> ((s, dir) => {
+      val deck =
+        "d0cf11e0a1b11ae1000000000000000000000000000000003e000300feff0900060000000000000000000000" +
+        "010000000100000000000000001000000200000001000000feffffff0000000000000000" +
+        "ff" * 432 +
+        "fdfffffffefffffffefffffffe" +
+        "ff" * 499 +
+        "52006f006f007400200045006e007400720079" +
+        "00" * 45 +
+        "16000501ffffffffffffffff01" +
+        "00" * 39 +
+        "03000000000200000000000050006f0077006500720050006f0069006e007400200044006f00630075006d00" +
+        "65006e0074" +
+        "00" * 27 +
+        "28000201ffffffffffffffffffffffff" +
+        "00" * 40 +
+        "a0" +
+        "00" * 263 +
+        "0100000002000000fe" +
+        "ff" * 503 +
+        "0f00e8038e0000000f00f00f7e0000000000a00f4a00000055006e00690063006f0064006500200073006c00" +
+        "690064006500200014202000fc006e00ef0063006f0064006500200013270d007300650063006f006e006400" +
+        "20006c0069006e0065000100e9030800000000000000000000000000a80f140000004279746573207469746c" +
+        "650b7375627469746c650000ba0f0000000000007217020000000102" +
+        "00" * 352
+      // the Document container's length byte sits at stream offset 4
+      // = file offset 512*4 + 4
+      val badLen = deck.substring(0, (512 * 4 + 4) * 2) + "7f" +
+        deck.substring((512 * 4 + 4) * 2 + 2)
+      val corrupt = "58" + deck.drop(2)
+      val m = pmod(col("doc_id"), lit(3L))
+      val hexStr = when(m === 0, lit(deck)).when(m === 1, lit(badLen))
+        .otherwise(lit(corrupt))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.PptText(unhex(hexStr), 1 << 24).as("ppt_text"))
+        .orderBy("doc_id")
+    }),
     // Delta-lake log census — a protocol-exact _delta_log synthesized
     // in a scratch table dir (no data file ever exists: the census
     // reads ONLY the log): v0 adds two partitioned files, v1 removes
@@ -7119,6 +7161,17 @@ object SparkEntry {
         |    WHEN 3 THEN ''
         |    WHEN 4 THEN 'hello bzip2 world' || repeat('wiki dump text ', 40)
         |    ELSE NULL END AS bz_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q301: the deck's text atoms replayed as constants — both
+    // poisoned branches null
+    "q301_ppt_text" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN 'Unicode slide — ünïcode ✓' || chr(10) ||
+        |      'second line' || chr(10) || 'Bytes title' || chr(10) ||
+        |      'subtitle' || chr(10)
+        |    ELSE NULL END AS ppt_text
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q299/q300: the synthesized log's replay replayed — live set and

@@ -942,16 +942,17 @@ object Multimodal {
               "UTF-8"))
           // legacy Office containers: Word documents extract through
           // the piece-table tier, Excel workbooks through the BIFF8
-          // cell grid (values joined in walk order — the doc tier's
-          // refusal is one wasted bounded CFB parse); any other CFB
-          // yields an EXPLICIT null (never UTF-8 junk) — census via
-          // cfbMeta
+          // cell grid (values joined in walk order), PowerPoint decks
+          // through the text-atom walk — each refusal before a match
+          // is one wasted bounded CFB parse; any other CFB yields an
+          // EXPLICIT null (never UTF-8 junk) — census via cfbMeta
           .when(col("format") === "cfb",
             coalesce(
               graft.functions.DocTextExtract(col("__p"), maxBytes),
               array_join(transform(
                 graft.functions.XlsCells(col("__p"), maxBytes),
-                c => c.getField("value")), "\n")))
+                c => c.getField("value")), "\n"),
+              graft.functions.PptText(col("__p"), maxBytes)))
           .when(col("format") === "rtf",
             graft.functions.RtfText(col("__p"), maxBytes))
           .otherwise(decode(col("__p"), "UTF-8")).as("text"))
