@@ -3647,6 +3647,33 @@ object SparkEntry {
             .as("bz_text"))
         .orderBy("doc_id")
     }),
+    // avro OCF block census — exact record/block/byte counts off the
+    // block framing (count+size+sync per block), no datum decoded:
+    // m0 a two-block deflate container, m1 a no-codec single block
+    // (codec defaults to the spec's "null"), m2 corrupts the final
+    // sync marker and keeps a null audit row
+    "q302_avro_blocks" -> ((s, dir) => {
+      val a = "4f626a0104146176726f2e636f6465630e6465666c617465166176" +
+        "726f2e736368656d610a22696e742200030a11181f262d343b424950575e" +
+        "656c060801020304030a11181f262d343b424950575e656c040209030a11" +
+        "181f262d343b424950575e656c"
+      val b = "4f626a0102166176726f2e736368656d610a22696e742200030a11" +
+        "181f262d343b424950575e656c0e040000030a11181f262d343b42495057" +
+        "5e656c"
+      val badSync = a.dropRight(2) +
+        "%02x".format(Integer.parseInt(a.takeRight(2), 16) ^ 1)
+      val m = pmod(col("doc_id"), lit(3L))
+      val hexStr = when(m === 0, lit(a)).when(m === 1, lit(b))
+        .otherwise(lit(badSync))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.AvroBlocks(unhex(hexStr)).as("__b"))
+        .select(col("doc_id"), col("__b.codec").as("codec"),
+          col("__b.n_blocks").as("n_blocks"),
+          col("__b.n_records").as("n_records"),
+          col("__b.data_bytes").as("data_bytes"))
+        .orderBy("doc_id")
+    }),
     // legacy .ppt (PowerPoint 97) text — engine-built spec-exact deck
     // (tools/make_ppt_fixture.py): containers recurse, TextCharsAtom
     // and TextBytesAtom collect in stream order, CR/VT normalize; m1
@@ -7161,6 +7188,20 @@ object SparkEntry {
         |    WHEN 3 THEN ''
         |    WHEN 4 THEN 'hello bzip2 world' || repeat('wiki dump text ', 40)
         |    ELSE NULL END AS bz_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q302: the pinned containers' framing replayed as constants;
+    // the corrupt-sync branch keeps a null audit row
+    "q302_avro_blocks" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'deflate' WHEN 1 THEN 'null'
+        |    ELSE NULL END AS codec,
+        |  CASE doc_id % 3 WHEN 0 THEN CAST(2 AS BIGINT)
+        |    WHEN 1 THEN 1 ELSE NULL END AS n_blocks,
+        |  CASE doc_id % 3 WHEN 0 THEN CAST(5 AS BIGINT)
+        |    WHEN 1 THEN 7 ELSE NULL END AS n_records,
+        |  CASE doc_id % 3 WHEN 0 THEN CAST(5 AS BIGINT)
+        |    WHEN 1 THEN 2 ELSE NULL END AS data_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q301: the deck's text atoms replayed as constants — both

@@ -1042,6 +1042,14 @@ object Multimodal {
   def avroSchema(payload: Column, maxLen: Int = 1 << 20): Column =
     graft.functions.AvroSchemaJson(payload, maxLen)
 
+  /** Avro OCF block census — the EXACT row count, block count and
+    * payload bytes straight off the block framing (count + size +
+    * sync per block), no datum decoded, any codec
+    * ([[graft.functions.AvroBlocks]]): avro's counterpart of
+    * [[parquetMeta]]'s `num_rows`. */
+  def avroBlocks(payload: Column, maxBlocks: Int = 1 << 20): Column =
+    graft.functions.AvroBlocks(payload, maxBlocks)
+
   /** EPUB package metadata — the book-corpus tier behind [[zipMeta]]'s
     * `epub` label, resolved the way the spec says (and a fixed member
     * name cannot): `META-INF/container.xml` NAMES the OPF package
