@@ -69,6 +69,7 @@ object Main {
     |                F: warc-gz|tar|tar-gz|tar-xz|docx|pptx|xlsx|xlsx-cells|xls-cells
     |                   |doc|ppt|rtf
     |                   |zip-list|pdf|id3|epub|epub-chapters|avro-schema
+    |                   |avro-blocks|avro-records
     |                   |bz2|zstd|xz|mbox|cfb-meta|wiki-pages|wiki-corpus
     |                   |parquet-meta|parquet-stats|orc-meta
     |                (payloads: doc_id + the format's payload column)
@@ -77,6 +78,8 @@ object Main {
     |  delta-snapshot --table DIR --target DIR   (live-file census)
     |  delta-history  --table DIR --target DIR   (per-commit audit)
     |  delta-meta     --table DIR --target DIR   (schema/protocol/size)
+    |  iceberg-snapshot --table DIR --target DIR  (live data files)
+    |  iceberg-meta   --table DIR --target DIR    (uuid/version/row total)
     |""".stripMargin
 
   /** `--flag value` pairs; repeatable flags accumulate in order. */
@@ -161,6 +164,14 @@ object Main {
           .write.mode("overwrite").parquet(one("target"))
       case "delta-meta" =>
         sources.DeltaLog.tableMeta(spark, one("table"))
+          .write.mode("overwrite").parquet(one("target"))
+      case "iceberg-snapshot" =>
+        // the current snapshot's live data files via the engine's own
+        // avro kernel — no data file opened
+        sources.IcebergTable.snapshot(spark, one("table"))
+          .write.mode("overwrite").parquet(one("target"))
+      case "iceberg-meta" =>
+        sources.IcebergTable.tableMeta(spark, one("table"))
           .write.mode("overwrite").parquet(one("target"))
       case "export-jsonl" =>
         sources.CorpusIO.writeJsonl(
@@ -467,6 +478,16 @@ object Main {
           case "epub" => ext.Multimodal.epubMeta(docs)
           case "avro-schema" => docs.select(col("doc_id"),
             ext.Multimodal.avroSchema(col("payload")).as("avro_schema"))
+          case "avro-blocks" => docs
+            .select(col("doc_id"),
+              ext.Multimodal.avroBlocks(col("payload")).as("__b"))
+            .select(col("doc_id"), col("__b.codec").as("codec"),
+              col("__b.n_blocks").as("n_blocks"),
+              col("__b.n_records").as("n_records"),
+              col("__b.data_bytes").as("data_bytes"))
+          case "avro-records" => docs.select(col("doc_id"),
+            org.apache.spark.sql.functions.explode(
+              functions.AvroRecordsJson(col("payload"))).as("rec"))
           case "orc-meta" => docs
             .select(col("doc_id"),
               ext.Multimodal.orcMeta(col("payload")).as("__m"))

@@ -3647,6 +3647,85 @@ object SparkEntry {
             .as("bz_text"))
         .orderBy("doc_id")
     }),
+    // avro DATUM decoding — a pinned null-codec container whose
+    // record schema exercises union + array branches; each record
+    // renders as one JSON object (the ingestion form); corrupt docs
+    // keep one null audit row
+    "q303_avro_records" -> ((s, dir) => {
+      val a = "4f626a0102166176726f2e736368656d61be027b2274797065223a" +
+        "227265636f7264222c226e616d65223a2272222c226669656c6473223a5b" +
+        "7b226e616d65223a226964222c2274797065223a226c6f6e67227d2c7b22" +
+        "6e616d65223a22746167222c2274797065223a5b226e756c6c222c227374" +
+        "72696e67225d7d2c7b226e616d65223a227873222c2274797065223a7b22" +
+        "74797065223a226172726179222c226974656d73223a22696e74227d7d5d" +
+        "7d00030a11181f262d343b424950575e656c04160202026104020400"+
+        "040000030a11181f262d343b424950575e656c"
+      val corrupt = a.dropRight(2) +
+        "%02x".format(Integer.parseInt(a.takeRight(2), 16) ^ 1)
+      val m = pmod(col("doc_id"), lit(2L))
+      val hexStr = when(m === 0, lit(a)).otherwise(lit(corrupt))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(coalesce(
+            graft.functions.AvroRecordsJson(unhex(hexStr))
+              .cast("array<string>"),
+            array(lit(null).cast("string")))).as("rec"))
+        .orderBy("doc_id", "rec")
+    }),
+    // Iceberg snapshot census — a spec-layout table synthesized in a
+    // scratch dir (pinned hand-framed manifest-list + manifest avro,
+    // metadata JSON + version-hint): live files = non-deleted entries
+    // minus v2 delete files, decoded by the engine's own avro kernel;
+    // record counts are metadata-only numbers
+    "q304_iceberg_snapshot" -> ((s, dir) => {
+      val manifest = "4f626a0102166176726f2e736368656d6188067b2274797" +
+        "065223a227265636f7264222c226e616d65223a226d616e69666573745f6" +
+        "56e747279222c226669656c6473223a5b7b226e616d65223a22737461747" +
+        "573222c2274797065223a22696e74227d2c7b226e616d65223a22736e617" +
+        "073686f745f6964222c2274797065223a5b226e756c6c222c226c6f6e672" +
+        "25d7d2c7b226e616d65223a22646174615f66696c65222c2274797065223" +
+        "a7b2274797065223a227265636f7264222c226e616d65223a227232222c2" +
+        "26669656c6473223a5b7b226e616d65223a22636f6e74656e74222c22747" +
+        "97065223a22696e74227d2c7b226e616d65223a2266696c655f706174682" +
+        "22c2274797065223a22737472696e67227d2c7b226e616d65223a2266696" +
+        "c655f666f726d6174222c2274797065223a22737472696e67227d2c7b226" +
+        "e616d65223a227265636f72645f636f756e74222c2274797065223a226c6" +
+        "f6e67227d2c7b226e616d65223a2266696c655f73697a655f696e5f62797" +
+        "46573222c2274797065223a226c6f6e67227d5d7d7d5d7d00030a11181f2" +
+        "62d343b424950575e656c08840202020e001c646174612f612e706172717" +
+        "565740e50415251554554c801d00f02020e001c646174612f622e7061727" +
+        "17565740e504152515545549003a01f04020e0022646174612f676f6e652" +
+        "e706172717565740e5041525155455412b40102020e0228646174612f646" +
+        "56c657465732e706172717565740e504152515545540850030a11181f262" +
+        "d343b424950575e656c"
+      val mlist = "4f626a0102166176726f2e736368656d61b4037b227479706" +
+        "5223a227265636f7264222c226e616d65223a226d616e69666573745f666" +
+        "96c65222c226669656c6473223a5b7b226e616d65223a226d616e6966657" +
+        "3745f70617468222c2274797065223a22737472696e67227d2c7b226e616" +
+        "d65223a226d616e69666573745f6c656e677468222c2274797065223a226" +
+        "c6f6e67227d2c7b226e616d65223a22706172746974696f6e5f737065635" +
+        "f6964222c2274797065223a22696e74227d2c7b226e616d65223a2261646" +
+        "465645f736e617073686f745f6964222c2274797065223a226c6f6e67227" +
+        "d5d7d00030a11181f262d343b424950575e656c022a206d6574616461746" +
+        "12f6d312e6176726ffa08000e030a11181f262d343b424950575e656c"
+      def un(h: String): Array[Byte] =
+        h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      val tmp = java.nio.file.Files.createTempDirectory("graft-iceberg")
+      val meta = java.nio.file.Files.createDirectories(
+        tmp.resolve("metadata"))
+      java.nio.file.Files.write(meta.resolve("m1.avro"), un(manifest))
+      java.nio.file.Files.write(meta.resolve("snap-7.avro"), un(mlist))
+      java.nio.file.Files.write(meta.resolve("v2.metadata.json"),
+        ("""{"format-version":2,"table-uuid":"0000-test",""" +
+          """"location":"x","current-snapshot-id":7,"snapshots":[""" +
+          """{"snapshot-id":7,"timestamp-ms":2,""" +
+          """"manifest-list":"metadata/snap-7.avro"}]}""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(meta.resolve("version-hint.text"),
+        "2".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      graft.sources.IcebergTable.snapshot(s, tmp.toString)
+        .orderBy("file_path")
+    }),
     // avro OCF block census — exact record/block/byte counts off the
     // block framing (count+size+sync per block), no datum decoded:
     // m0 a two-block deflate container, m1 a no-codec single block
@@ -7189,6 +7268,31 @@ object SparkEntry {
         |    WHEN 4 THEN 'hello bzip2 world' || repeat('wiki dump text ', 40)
         |    ELSE NULL END AS bz_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q303: the two records' JSON renderings replayed as constants;
+    // corrupt docs keep one null audit row
+    "q303_avro_records" ->
+      """SELECT doc_id, rec FROM (
+        |  SELECT doc_id,
+        |    '{"id":1,"tag":"a","xs":[1,2]}' AS rec FROM documents
+        |    WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, '{"id":2,"tag":null,"xs":[]}' FROM documents
+        |    WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, NULL FROM documents WHERE doc_id % 2 = 1)
+        |ORDER BY doc_id, rec""".stripMargin,
+
+    // q304: the synthesized table's live files replayed — deleted
+    // entries and the v2 delete file excluded by construction
+    "q304_iceberg_snapshot" ->
+      """SELECT * FROM (VALUES
+        |  ('data/a.parquet', 'PARQUET', CAST(100 AS BIGINT),
+        |   CAST(1000 AS BIGINT)),
+        |  ('data/b.parquet', 'PARQUET', CAST(200 AS BIGINT),
+        |   CAST(2000 AS BIGINT)))
+        |AS t(file_path, file_format, record_count, file_size_in_bytes)
+        |ORDER BY file_path""".stripMargin,
 
     // q302: the pinned containers' framing replayed as constants;
     // the corrupt-sync branch keeps a null audit row
