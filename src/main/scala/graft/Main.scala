@@ -70,9 +70,10 @@ object Main {
     |                   |doc|ppt|rtf
     |                   |zip-list|pdf|id3|epub|epub-chapters|avro-schema
     |                   |avro-blocks|avro-records
-    |                   |bz2|zstd|xz|mbox|cfb-meta|wiki-pages|wiki-corpus
+    |                   |bz2|zstd|xz|lz4|sz|mbox|cfb-meta|wiki-pages|wiki-corpus
     |                   |parquet-meta|parquet-stats|orc-meta
     |                (payloads: doc_id + the format's payload column)
+    |  ingest-avro  --path DIR --target DIR [--ddl "a BIGINT, b STRING"]
     |  ingest-jsonl-zst --path DIR --target DIR
     |                (.jsonl.zst shards via the bounded zstd kernel)
     |  delta-snapshot --table DIR --target DIR   (live-file census)
@@ -148,6 +149,12 @@ object Main {
         // corpus landing: JSONL drop directory → parquet table, with
         // the explicit-schema DROPMALFORMED contract of CorpusIO
         sources.CorpusIO.readJsonlClean(spark, one("path"))
+          .write.mode("overwrite").parquet(one("target"))
+      case "ingest-avro" =>
+        // .avro corpus shards via the engine's own datum decoder; the
+        // schema comes from the shard's own header unless --ddl given
+        sources.CorpusIO.readAvro(spark, one("path"),
+          ddl = f("ddl").headOption.orNull)
           .write.mode("overwrite").parquet(one("target"))
       case "ingest-jsonl-zst" =>
         // the .jsonl.zst interchange shape, decoded by the bounded
@@ -442,6 +449,10 @@ object Main {
             functions.ZstdPayload(col("payload")).as("data"))
           case "xz" => docs.select(col("doc_id"),
             functions.XzPayload(col("payload")).as("data"))
+          case "lz4" => docs.select(col("doc_id"),
+            functions.Lz4FramePayload(col("payload")).as("data"))
+          case "sz" => docs.select(col("doc_id"),
+            functions.SnappyFramePayload(col("payload")).as("data"))
           case "tar-xz" => ext.Multimodal.tarXzList(docs)
           case "cfb-meta" => docs
             .select(col("doc_id"),

@@ -3647,6 +3647,45 @@ object SparkEntry {
             .as("bz_text"))
         .orderBy("doc_id")
     }),
+    // .lz4 frame decoding — engine-framed spec-exact streams: m0 a
+    // raw block + a block-DEPENDENT compressed block whose match
+    // reaches back into block 1, m1 a skippable-frame prefix + a
+    // frame with a VERIFIED xxh32 content checksum, m2 flips the
+    // checksum byte and must refuse
+    "q305_lz4" -> ((s, dir) => {
+      val m0 = "04224d184040c00f00008068656c6c6f206c7a34206672616d65" +
+        "050000000b0f00105a00000000"
+      val m1 = "502a4d18040000006265656604224d1844405e0f000080636865" +
+        "636b73756d6d6564206c7a34000000003c7bf0fd"
+      val corrupt = m1.dropRight(2) +
+        "%02x".format(Integer.parseInt(m1.takeRight(2), 16) ^ 1)
+      val m = pmod(col("doc_id"), lit(3L))
+      val hexStr = when(m === 0, lit(m0)).when(m === 1, lit(m1))
+        .otherwise(lit(corrupt))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          decode(graft.functions.Lz4FramePayload(unhex(hexStr), 1 << 20),
+            "UTF-8").as("lz4_text"))
+        .orderBy("doc_id")
+    }),
+    // snappy framing format — engine-framed stream with two
+    // uncompressed chunks (each chunk's MASKED CRC32C verified) and a
+    // padding chunk between; m1 flips a CRC byte and must refuse
+    "q306_snappy_frame" -> ((s, dir) => {
+      val m0 = "ff060000734e61507059011600006ae05300736e61707079206" +
+        "672616d65642074657874fe020000000001090000790e9328207461696c"
+      // flip a byte INSIDE the first chunk's CRC field
+      val corrupt = m0.substring(0, 30) +
+        "%02x".format(Integer.parseInt(m0.substring(30, 32), 16) ^ 1) +
+        m0.substring(32)
+      val m = pmod(col("doc_id"), lit(2L))
+      val hexStr = when(m === 0, lit(m0)).otherwise(lit(corrupt))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          decode(graft.functions.SnappyFramePayload(unhex(hexStr), 1 << 20),
+            "UTF-8").as("sz_text"))
+        .orderBy("doc_id")
+    }),
     // avro DATUM decoding — a pinned null-codec container whose
     // record schema exercises union + array branches; each record
     // renders as one JSON object (the ingestion form); corrupt docs
@@ -7267,6 +7306,22 @@ object SparkEntry {
         |    WHEN 3 THEN ''
         |    WHEN 4 THEN 'hello bzip2 world' || repeat('wiki dump text ', 40)
         |    ELSE NULL END AS bz_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q305/q306: the framed plaintexts replayed as constants; the
+    // corrupt branches null
+    "q305_lz4" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'hello lz4 frame' || 'hello lz4 frame' || 'Z'
+        |    WHEN 1 THEN 'checksummed lz4'
+        |    ELSE NULL END AS lz4_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q306_snappy_frame" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 2 WHEN 0 THEN 'snappy framed text tail'
+        |    ELSE NULL END AS sz_text
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q303: the two records' JSON renderings replayed as constants;

@@ -871,26 +871,26 @@ object Multimodal {
         try_element_at(filter(col("__e"),
           x => x.getField("name") === name), lit(1)), maxBytes)
     def memText(name: Column): Column = decode(mem(name), "UTF-8")
-    // epub: container → OPF → spine, all via the shared listing
-    val opfp = regexp_extract(memText(lit("META-INF/container.xml")),
-      "(?s)<rootfile[^>]*full-path=\"([^\"]*)\"", 1)
-    val opf = memText(when(opfp =!= "", opfp))
-    val dir = when(opfp.contains("/"),
-      regexp_extract(opfp, "^(.*/)[^/]*$", 1)).otherwise(lit(""))
-    val items = transform(
-      regexp_extract_all(opf, lit("(?s)<item [^>]*>"), lit(0)),
-      tag => struct(
-        regexp_extract(tag, "id=\"([^\"]*)\"", 1).as("id"),
-        regexp_extract(tag, "href=\"([^\"]*)\"", 1).as("href")))
-      .cast("array<struct<id:string,href:string>>")
-    val idrefs = regexp_extract_all(opf,
-      lit("(?s)<itemref[^>]*idref=\"([^\"]*)\""), lit(1))
-    val chapterTexts = transform(idrefs, idref => {
-      val m = filter(items, it => it.getField("id") === idref)
+    // epub: container → OPF → spine, all via the shared listing.
+    // The OPF derivation chain is MATERIALIZED as columns below
+    // (__opf/__dir/__items/__idrefs) instead of inlined per
+    // reference: Catalyst's CollapseProject re-inlines a produced
+    // column only when it is cheap or referenced once, so every
+    // tree here is referenced at least twice by its consumers —
+    // keeping the per-row derivation single and the compiled
+    // dispatcher expression SMALL (the inlined form's codegen
+    // constant dominated this query's wall time at small SF)
+    val chapterTexts = transform(col("__idrefs"), idref => {
+      val m = filter(col("__items"), it => it.getField("id") === idref)
       when(size(m) > 0, TextAnalysis.htmlToText(
-        memText(concat(dir, m.getItem(0).getField("href")))))
+        memText(concat(col("__dir"), m.getItem(0).getField("href")))))
     })
-    val epubTier = when(opf.isNotNull,
+    // the size(...)>=0 guards are reference FENCES: a second cheap
+    // consumer reference that stops CollapseProject from pushing the
+    // __items/__idrefs derivations inside the per-chapter lambda
+    val epubTier = when(col("__opf").isNotNull &&
+      size(col("__items")) >= 0 && size(col("__idrefs")) >= 0 &&
+      length(col("__dir")) >= 0,
       array_join(filter(chapterTexts, t => t.isNotNull), "\n\n"))
     // unknown-kind zips (jars, source archives): every non-directory
     // member's text, the zipFileTexts shape collapsed to one column —
@@ -915,7 +915,27 @@ object Multimodal {
         // so prefix rules anchor on entry starts
         when(col("format") === "zip", concat(lit("\n"), array_join(
           transform(col("__e"), e => e.getField("name")), "\n"),
-          lit("\n"))).as("__names"))
+          lit("\n"))).as("__names"),
+        regexp_extract(memText(lit("META-INF/container.xml")),
+          "(?s)<rootfile[^>]*full-path=\"([^\"]*)\"", 1).as("__opfp"))
+      .select(col(idCol), col("format"), col("__p"), col("__e"),
+        col("__names"),
+        memText(when(col("__opfp") =!= "", col("__opfp"))).as("__opf"),
+        when(col("__opfp").contains("/"),
+          regexp_extract(col("__opfp"), "^(.*/)[^/]*$", 1))
+          .otherwise(lit("")).as("__dir"))
+      .select(col(idCol), col("format"), col("__p"), col("__e"),
+        col("__names"), col("__opf"), col("__dir"),
+        transform(
+          regexp_extract_all(col("__opf"), lit("(?s)<item [^>]*>"),
+            lit(0)),
+          tag => struct(
+            regexp_extract(tag, "id=\"([^\"]*)\"", 1).as("id"),
+            regexp_extract(tag, "href=\"([^\"]*)\"", 1).as("href")))
+          .cast("array<struct<id:string,href:string>>").as("__items"),
+        regexp_extract_all(col("__opf"),
+          lit("(?s)<itemref[^>]*idref=\"([^\"]*)\""), lit(1))
+          .as("__idrefs"))
       .select(col(idCol), col("format"),
         when(col("format") === "pdf",
           pdfText(col("__p"), maxBytes = maxBytes).getField("text"))
@@ -939,6 +959,12 @@ object Multimodal {
               "UTF-8"))
           .when(col("format") === "xz",
             decode(graft.functions.XzPayload(col("__p"), maxBytes),
+              "UTF-8"))
+          .when(col("format") === "lz4",
+            decode(graft.functions.Lz4FramePayload(col("__p"), maxBytes),
+              "UTF-8"))
+          .when(col("format") === "snappy",
+            decode(graft.functions.SnappyFramePayload(col("__p"), maxBytes),
               "UTF-8"))
           // legacy Office containers: Word documents extract through
           // the piece-table tier, Excel workbooks through the BIFF8
@@ -1214,9 +1240,9 @@ object Multimodal {
                 x.getField("name") === "xl/sharedStrings.xml"), lit(1)),
               maxBytes), "UTF-8"),
             lit("(?s)<si>(.*?)</si>"), lit(1)),
-          si => TextAnalysis.decodeEntities(array_join(
+          si => array_join(
             regexp_extract_all(si, lit("(?s)<t[^>]*>(.*?)</t>"), lit(1)),
-            ""))).as("__sst"))
+            "")).as("__sst"))
     // resolve every cell against the shared-strings pool BEFORE
     // widening to one-row-per-cell: the per-sheet transform below
     // references __sst once per sheet ROW, so the pool array never
@@ -1226,7 +1252,13 @@ object Multimodal {
     // [^/]> excludes self-closing empty cells (<c r="D2"/>), which
     // would otherwise swallow the following cell non-greedily
     val resolved = sheets.select(col(idCol), col("sheet"),
-      filter(transform(
+      // size(__sst)>=0 is a reference FENCE: with only the single
+      // in-lambda reference, CollapseProject would re-inline the
+      // whole shared-strings derivation INSIDE the per-cell lambda
+      // (re-parsing the pool once per cell — the exact copy this
+      // resolve-before-explode shape exists to avoid); a second
+      // consumer reference makes the producer non-collapsible
+      when(size(col("__sst")) >= 0, filter(transform(
         regexp_extract_all(col("__xml"),
           lit("(?s)<c [^>]*[^/]>.*?</c>"), lit(0)),
         c => {
@@ -1235,16 +1267,19 @@ object Multimodal {
           struct(
             regexp_extract(c, "r=\"([A-Z]+)([0-9]+)\"", 1).as("letters"),
             regexp_extract(c, "r=\"([A-Z]+)([0-9]+)\"", 2).as("rownum"),
+            // values stay ENTITY-RAW through the explode; the one
+            // decodeEntities pass sits after it (a single inlined
+            // copy of that large tree instead of three — its codegen
+            // size dominated this query's constant)
             when(t === "s",
               try_element_at(col("__sst"), v.try_cast("int") + 1))
               .when(t === "inlineStr",
-                TextAnalysis.decodeEntities(array_join(
-                  regexp_extract_all(c,
-                    lit("(?s)<t[^>]*>(.*?)</t>"), lit(1)), "")))
-              .otherwise(TextAnalysis.decodeEntities(v)).as("value"))
+                array_join(regexp_extract_all(c,
+                  lit("(?s)<t[^>]*>(.*?)</t>"), lit(1)), ""))
+              .otherwise(v).as("value"))
         }).cast("array<struct<letters:string,rownum:string," +
           "value:string>>"),
-        s => s.getField("letters") =!= "").as("__cells"))
+        s => s.getField("letters") =!= "")).as("__cells"))
     resolved.select(col(idCol), col("sheet"),
         explode(col("__cells")).as("__c"))
       .select(col(idCol), col("sheet"),
@@ -1253,7 +1288,7 @@ object Multimodal {
           (acc, i) => acc * 26L +
             (ascii(col("__c.letters").substr(i.cast("int"), lit(1))) - 64L))
           .as("col"),
-        col("__c.value").as("value"))
+        TextAnalysis.decodeEntities(col("__c.value")).as("value"))
   }
 
   /** Legacy `.xls` (BIFF8) cell grid — [[xlsxCells]]' shape for the
@@ -1340,6 +1375,8 @@ object Multimodal {
       .when(pfx("FD377A585A00"), "xz")
       .when(pfx("425A68"), "bzip2")
       .when(pfx("28B52FFD"), "zstd")
+      .when(pfx("04224D18"), "lz4")
+      .when(pfx("FF060000734E61507059"), "snappy")
       .when(substring(payload, 1, 5).cast("string") === "WARC/", "warc")
       .otherwise("unknown")
   }

@@ -608,6 +608,78 @@ object AvroRecordsJson {
     }
   }
 
+  /** Spark DDL for parsing THIS kernel's JSON output with `from_json`
+    * — the other half of the `.avro` ingestion path: avro `int` →
+    * `INT`, `long` → `BIGINT`, `bytes`/`fixed` → `STRING` (the JSON
+    * rendering is the latin1-escaped string form), `enum` → `STRING`,
+    * `["null", X]` → nullable X, records → `STRUCT<…>`. Fallbacks,
+    * documented: a multi-branch non-null union and a RECURSIVE record
+    * reference both map to `STRING` (DDL cannot express either — the
+    * JSON text stays available to a second from_json). Returns null
+    * on a schema that does not parse. */
+  def sparkDdl(schemaJson: String): String = {
+    val named = new java.util.HashMap[String, Sch]
+    def ddlOf(sch: Sch, seen: java.util.HashSet[Sch]): String = sch match {
+      case SNull => "STRING" // a pure-null field: always-null string
+      case SBool => "BOOLEAN"
+      case SInt => "INT"
+      case SLong => "BIGINT"
+      case SFloat => "FLOAT"
+      case SDouble => "DOUBLE"
+      case SBytes | SString | _: SFixed | _: SEnum => "STRING"
+      case SArray(items) => s"ARRAY<${ddlOf(items, seen)}>"
+      case SMap(values) => s"MAP<STRING, ${ddlOf(values, seen)}>"
+      case SUnion(branches) =>
+        val nonNull = branches.filter(_ != SNull)
+        if (nonNull.length == 1) ddlOf(nonNull(0), seen)
+        else "STRING" // heterogeneous union: keep the JSON text
+      case rec: SRecord =>
+        if (seen.contains(rec)) "STRING" // recursion: DDL cannot say it
+        else {
+          seen.add(rec)
+          val fs = new java.lang.StringBuilder
+          var i = 0
+          while (i < rec.fields.size()) {
+            if (i > 0) fs.append(", ")
+            val (fn, ft) = rec.fields.get(i)
+            fs.append('`').append(fn.replace("`", "``")).append("`: ")
+              .append(ddlOf(ft, seen))
+            i += 1
+          }
+          seen.remove(rec)
+          s"STRUCT<$fs>"
+        }
+      case SRef(name) =>
+        // a non-recursive REUSE (two fields of one record type)
+        // resolves through the registry; true recursion → STRING
+        val r = named.get(name)
+        if (r == null || seen.contains(r)) "STRING" else ddlOf(r, seen)
+    }
+    try {
+      val sch = schemaOf(parseJson(schemaJson), named, "")
+      sch match {
+        case rec: SRecord =>
+          // top level unwrapped: field list, the from_json schema form
+          val seen = new java.util.HashSet[Sch]
+          seen.add(rec)
+          val fs = new java.lang.StringBuilder
+          var i = 0
+          while (i < rec.fields.size()) {
+            if (i > 0) fs.append(", ")
+            val (fn, ft) = rec.fields.get(i)
+            fs.append('`').append(fn.replace("`", "``")).append("` ")
+              .append(ddlOf(ft, seen))
+            i += 1
+          }
+          fs.toString
+        case other => ddlOf(other, new java.util.HashSet[Sch])
+      }
+    } catch {
+      case Bad => null
+      case _: NumberFormatException => null
+    }
+  }
+
   import org.apache.spark.sql.graftshim.ColumnShim
 
   /** Column-level entry point; 1M records / 64 MiB output default. */

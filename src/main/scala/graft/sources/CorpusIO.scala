@@ -111,6 +111,56 @@ object CorpusIO {
       .select(col("__r.*"))
   }
 
+  /** `.avro` corpus ingestion with ZERO library probe: a binaryFile
+    * scan (one task per shard — parallelism from file count, exactly
+    * as on a real cluster) feeds the engine's own
+    * [[graft.functions.AvroRecordsJson]] datum decoder (all six spec
+    * codecs), whose per-record JSON parses under `from_json`. The
+    * Spark schema comes from `ddl` when given; otherwise ONE shard's
+    * avro header is read driver-side (a bounded header read, not an
+    * inference pass over the data) and its embedded schema converts
+    * via [[graft.functions.AvroRecordsJson.sparkDdl]] — avro files
+    * CARRY their schema, so "inference" here is exact, not sampled.
+    * Corrupt shards vanish whole (the kernel's fail-closed null);
+    * per-record parse problems quarantine in `_corrupt`. */
+  def readAvro(spark: SparkSession, path: String,
+               ddl: String = null,
+               maxRecords: Int = 1 << 20,
+               maxOut: Int = 1 << 26): DataFrame = {
+    val resolvedDdl =
+      if (ddl != null) ddl
+      else {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val first = {
+          val st = fs.getFileStatus(p)
+          if (st.isFile) p
+          else fs.listStatus(p).filter(_.isFile).map(_.getPath)
+            .filter(_.getName.endsWith(".avro")).sortBy(_.getName)
+            .headOption.getOrElse(throw new IllegalArgumentException(
+              s"no .avro shard under $path to derive the schema from"))
+        }
+        val in = fs.open(first)
+        // the OCF header is KB-sized; 1 MiB covers any real schema
+        val head = try in.readNBytes(1 << 20) finally in.close()
+        val schemaJson = graft.functions.AvroSchemaJson.compute(head, 1 << 20)
+        if (schemaJson == null) throw new IllegalArgumentException(
+          s"$first carries no readable avro schema")
+        val d = graft.functions.AvroRecordsJson.sparkDdl(schemaJson.toString)
+        if (d == null) throw new IllegalArgumentException(
+          s"avro schema of $first does not convert to a Spark schema")
+        d
+      }
+    val schema = StructType.fromDDL(resolvedDdl)
+    spark.read.format("binaryFile").load(path)
+      .select(explode(graft.functions.AvroRecordsJson(col("content"),
+        maxRecords, maxOut)).as("__j"))
+      .select(from_json(col("__j"), withCorrupt(schema), Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> corruptCol)).as("__r"))
+      .select(col("__r.*"))
+  }
+
   /** CSV reader with the same explicit-schema + quarantine contract.
     * `multiLine` only if values embed newlines — it serializes each
     * file into one task, so prefer JSONL for anything large. */

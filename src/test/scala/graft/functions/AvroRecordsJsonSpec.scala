@@ -130,6 +130,47 @@ class AvroRecordsJsonSpec extends SparkSpec {
       rows(0).getSeq[Long](3) == Seq(1L, 2L))
   }
 
+  test("CorpusIO.readAvro: the Spark schema derives from the shard's " +
+    "OWN header (exact, not sampled); a corrupt shard vanishes whole; " +
+    "sparkDdl maps unions/bytes/recursion as documented") {
+    val schema = SchemaBuilder.record("doc").fields()
+      .requiredLong("doc_id").requiredString("text")
+      .optionalString("lang").endRecord()
+    def shard(from: Int, to: Int): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, bos)
+      (from to to).foreach { i =>
+        val r = new GenericData.Record(schema)
+        r.put("doc_id", i.toLong); r.put("text", "t" + i)
+        r.put("lang", if (i % 2 == 0) "en" else null)
+        w.append(r)
+      }
+      w.close()
+      bos.toByteArray
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro")
+    java.nio.file.Files.write(dir.resolve("a.avro"), shard(1, 3))
+    val bad = shard(4, 6)
+    bad(bad.length - 5) = (bad(bad.length - 5) ^ 1).toByte
+    java.nio.file.Files.write(dir.resolve("b.avro"), bad)
+    val got = graft.sources.CorpusIO.readAvro(spark, dir.toString)
+      .orderBy("doc_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1),
+      Option(r.getString(2)))).toSeq == Seq(
+      (1L, "t1", None), (2L, "t2", Some("en")), (3L, "t3", None)))
+    // sparkDdl contracts: nullable union unwraps, bytes→STRING,
+    // recursion→STRING
+    assert(AvroRecordsJson.sparkDdl(
+      """{"type":"record","name":"n","fields":[
+        |{"name":"a","type":["null","long"]},
+        |{"name":"b","type":"bytes"},
+        |{"name":"c","type":["null","n"]}]}""".stripMargin)
+      == "`a` BIGINT, `b` STRING, `c` STRING")
+    assert(AvroRecordsJson.sparkDdl("""{"bad json""") == null)
+  }
+
   test("avro_records fails closed: schema junk, unsupported codec, " +
     "corrupt block data, record-count bomb, datum overrun") {
     val (_, bytes) = rich()
