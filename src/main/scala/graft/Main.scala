@@ -71,7 +71,7 @@ object Main {
     |                   |zip-list|pdf|id3|epub|epub-chapters|avro-schema
     |                   |avro-blocks|avro-records
     |                   |bz2|zstd|xz|lz4|sz|mbox|cfb-meta|wiki-pages|wiki-corpus
-    |                   |parquet-meta|parquet-stats|orc-meta
+    |                   |parquet-meta|parquet-stats|orc-meta|orc-stripes
     |                (payloads: doc_id + the format's payload column)
     |  ingest-avro  --path DIR --target DIR [--ddl "a BIGINT, b STRING"]
     |  ingest-jsonl-zst --path DIR --target DIR
@@ -81,6 +81,9 @@ object Main {
     |  delta-meta     --table DIR --target DIR   (schema/protocol/size)
     |  iceberg-snapshot --table DIR --target DIR  (live data files)
     |  iceberg-meta   --table DIR --target DIR    (uuid/version/row total)
+    |  hudi-timeline  --table DIR --target DIR    (instant states)
+    |  hudi-commits   --table DIR --target DIR    (per-file write stats)
+    |  hudi-meta      --table DIR --target DIR    (properties + census)
     |""".stripMargin
 
   /** `--flag value` pairs; repeatable flags accumulate in order. */
@@ -179,6 +182,15 @@ object Main {
           .write.mode("overwrite").parquet(one("target"))
       case "iceberg-meta" =>
         sources.IcebergTable.tableMeta(spark, one("table"))
+          .write.mode("overwrite").parquet(one("target"))
+      case "hudi-timeline" =>
+        sources.HudiTimeline.timeline(spark, one("table"))
+          .write.mode("overwrite").parquet(one("target"))
+      case "hudi-commits" =>
+        sources.HudiTimeline.commitStats(spark, one("table"))
+          .write.mode("overwrite").parquet(one("target"))
+      case "hudi-meta" =>
+        sources.HudiTimeline.tableMeta(spark, one("table"))
           .write.mode("overwrite").parquet(one("target"))
       case "export-jsonl" =>
         sources.CorpusIO.writeJsonl(
@@ -499,6 +511,11 @@ object Main {
           case "avro-records" => docs.select(col("doc_id"),
             org.apache.spark.sql.functions.explode(
               functions.AvroRecordsJson(col("payload"))).as("rec"))
+          case "orc-stripes" => docs
+            .select(col("doc_id"), org.apache.spark.sql.functions
+              .posexplode(ext.Multimodal.orcStripes(col("payload")))
+              .as(Seq("stripe_idx", "s")))
+            .select(col("doc_id"), col("stripe_idx"), col("s.*"))
           case "orc-meta" => docs
             .select(col("doc_id"),
               ext.Multimodal.orcMeta(col("payload")).as("__m"))

@@ -3647,6 +3647,55 @@ object SparkEntry {
             .as("bz_text"))
         .orderBy("doc_id")
     }),
+    // ORC per-stripe census — the same pinned pyarrow files as q287,
+    // now at stripe grain (offset/index/data/footer lengths + EXACT
+    // rows per stripe, the split-planner numbers); corrupt docs keep
+    // one null audit row
+    "q308_orc_stripes" -> ((s, dir) => {
+      val corrupt = "58" + orcPlainHex.drop(2)
+      val m = pmod(col("doc_id"), lit(3L))
+      val hexStr = when(m === 0, lit(orcPlainHex))
+        .when(m === 1, lit(orcZstdHex)).otherwise(lit(corrupt))
+      val tpe = "struct<offset:bigint,index_length:bigint," +
+        "data_length:bigint,footer_length:bigint,number_of_rows:bigint>"
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.OrcStripeStats(unhex(hexStr)).as("__st"))
+        .select(col("doc_id"),
+          posexplode(coalesce(col("__st").cast(s"array<$tpe>"),
+            array(lit(null).cast(tpe)))).as(Seq("stripe_idx", "__s")))
+        .select(col("doc_id"), col("stripe_idx").cast("long").as("stripe_idx"),
+          col("__s.offset").as("offset"),
+          col("__s.index_length").as("index_length"),
+          col("__s.data_length").as("data_length"),
+          col("__s.number_of_rows").as("number_of_rows"))
+        .orderBy("doc_id", "stripe_idx")
+    }),
+    // Hudi timeline census — a layout-exact .hoodie dir synthesized
+    // in a scratch table dir: completed commit-class instants carry
+    // write-stats JSON, pending states ride the file-name contract;
+    // per-file rows/bytes come out without opening a data file
+    "q307_hudi_commits" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-hudi")
+      val h = java.nio.file.Files.createDirectories(tmp.resolve(".hoodie"))
+      def commitJson(ts: String): String =
+        s"""{"partitionToWriteStats":{
+           |"lang=en":[{"fileId":"f1-$ts","path":"lang=en/f1-$ts.parquet",
+           |"numWrites":100,"numDeletes":0,"numUpdateWrites":0,
+           |"totalWriteBytes":1000,"fileSizeInBytes":1000}],
+           |"lang=de":[{"fileId":"f2-$ts","path":"lang=de/f2-$ts.parquet",
+           |"numWrites":50,"numDeletes":5,"numUpdateWrites":2,
+           |"totalWriteBytes":500,"fileSizeInBytes":500}]},
+           |"operationType":"UPSERT"}""".stripMargin
+      java.nio.file.Files.write(h.resolve("001.commit"),
+        commitJson("001").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(h.resolve("002.deltacommit"),
+        commitJson("002").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(h.resolve("003.commit.requested"),
+        Array.emptyByteArray)
+      graft.sources.HudiTimeline.commitStats(s, tmp.toString)
+        .orderBy("instant_ts", "partition")
+    }),
     // .lz4 frame decoding — engine-framed spec-exact streams: m0 a
     // raw block + a block-DEPENDENT compressed block whose match
     // reaches back into block 1, m1 a skippable-frame prefix + a
@@ -7307,6 +7356,41 @@ object SparkEntry {
         |    WHEN 4 THEN 'hello bzip2 world' || repeat('wiki dump text ', 40)
         |    ELSE NULL END AS bz_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q308: the pinned files' single stripes replayed as constants;
+    // the corrupt branch keeps one null audit row
+    "q308_orc_stripes" ->
+      """SELECT doc_id,
+        |  CAST(0 AS BIGINT) AS stripe_idx,
+        |  CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(3 AS BIGINT)
+        |    ELSE NULL END AS offset,
+        |  CASE doc_id % 3 WHEN 0 THEN CAST(51 AS BIGINT)
+        |    WHEN 1 THEN 63 ELSE NULL END AS index_length,
+        |  CASE doc_id % 3 WHEN 0 THEN CAST(15 AS BIGINT)
+        |    WHEN 1 THEN 26 ELSE NULL END AS data_length,
+        |  CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(5 AS BIGINT)
+        |    ELSE NULL END AS number_of_rows
+        |FROM documents ORDER BY doc_id, stripe_idx""".stripMargin,
+
+    // q307: the synthesized timeline's write stats replayed — only
+    // completed commit-class instants contribute
+    "q307_hudi_commits" ->
+      """SELECT * FROM (VALUES
+        |  ('001', 'commit', 'lang=de', 'f2-001',
+        |   'lang=de/f2-001.parquet', CAST(50 AS BIGINT),
+        |   CAST(5 AS BIGINT), CAST(500 AS BIGINT), CAST(500 AS BIGINT)),
+        |  ('001', 'commit', 'lang=en', 'f1-001',
+        |   'lang=en/f1-001.parquet', CAST(100 AS BIGINT),
+        |   CAST(0 AS BIGINT), CAST(1000 AS BIGINT), CAST(1000 AS BIGINT)),
+        |  ('002', 'deltacommit', 'lang=de', 'f2-002',
+        |   'lang=de/f2-002.parquet', CAST(50 AS BIGINT),
+        |   CAST(5 AS BIGINT), CAST(500 AS BIGINT), CAST(500 AS BIGINT)),
+        |  ('002', 'deltacommit', 'lang=en', 'f1-002',
+        |   'lang=en/f1-002.parquet', CAST(100 AS BIGINT),
+        |   CAST(0 AS BIGINT), CAST(1000 AS BIGINT), CAST(1000 AS BIGINT)))
+        |AS t(instant_ts, action, partition, file_id, path, num_writes,
+        |     num_deletes, total_write_bytes, file_size_in_bytes)
+        |ORDER BY instant_ts, partition""".stripMargin,
 
     // q305/q306: the framed plaintexts replayed as constants; the
     // corrupt branches null

@@ -1060,6 +1060,13 @@ object Multimodal {
   def orcMeta(payload: Column, maxFooter: Int = 1 << 24): Column =
     graft.functions.OrcFooterMeta(payload, maxFooter)
 
+  /** ORC per-stripe census — offset/index/data/footer lengths and
+    * EXACT rows per stripe off the footer's StripeInformation
+    * messages ([[graft.functions.OrcStripeStats]]): the split-planner
+    * and skew-audit numbers, no stripe data touched. */
+  def orcStripes(payload: Column, maxFooter: Int = 1 << 24): Column =
+    graft.functions.OrcStripeStats(payload, maxFooter)
+
   /** Avro OCF embedded schema — the lake format that CARRIES its
     * schema: the `avro.schema` JSON from the file-metadata map
     * ([[graft.functions.AvroSchemaJson]], full Avro binary map
@@ -1252,13 +1259,15 @@ object Multimodal {
     // [^/]> excludes self-closing empty cells (<c r="D2"/>), which
     // would otherwise swallow the following cell non-greedily
     val resolved = sheets.select(col(idCol), col("sheet"),
-      // size(__sst)>=0 is a reference FENCE: with only the single
-      // in-lambda reference, CollapseProject would re-inline the
-      // whole shared-strings derivation INSIDE the per-cell lambda
-      // (re-parsing the pool once per cell — the exact copy this
-      // resolve-before-explode shape exists to avoid); a second
-      // consumer reference makes the producer non-collapsible
-      when(size(col("__sst")) >= 0, filter(transform(
+      // coalesce(size(__sst),-1)>=-1 is an always-TRUE (null-safe —
+      // a workbook without sharedStrings has a null pool) reference
+      // FENCE: with only the single in-lambda reference,
+      // CollapseProject would re-inline the whole shared-strings
+      // derivation INSIDE the per-cell lambda (re-parsing the pool
+      // once per cell — the exact copy this resolve-before-explode
+      // shape exists to avoid); a second consumer reference makes
+      // the producer non-collapsible
+      when(coalesce(size(col("__sst")), lit(-1)) >= -1, filter(transform(
         regexp_extract_all(col("__xml"),
           lit("(?s)<c [^>]*[^/]>.*?</c>"), lit(0)),
         c => {

@@ -75,9 +75,9 @@ case class OrcFooterMeta(child: Expression, maxFooter: Int)
 
 object OrcFooterMeta {
 
-  private object Bad extends Exception with scala.util.control.NoStackTrace
+  private[functions] object Bad extends Exception with scala.util.control.NoStackTrace
 
-  private final class Pb(bytes: Array[Byte], var pos: Int, val end: Int) {
+  private[functions] final class Pb(bytes: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
     def varint(): Long = {
       var v = 0L
@@ -115,7 +115,7 @@ object OrcFooterMeta {
       new String(bytes, s, e - s, java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  private def compressionName(c: Int): String = c match {
+  private[functions] def compressionName(c: Int): String = c match {
     case 0 => "none"
     case 1 => "zlib"
     case 2 => "snappy"
@@ -135,7 +135,7 @@ object OrcFooterMeta {
     * non-original chunks decode per the postscript codec — raw
     * DEFLATE (zlib), or one Snappy/LZ4 raw block per chunk via
     * [[BlockCodecs]]. */
-  private def inflateChunks(bytes: Array[Byte], start: Int, end: Int,
+  private[functions] def inflateChunks(bytes: Array[Byte], start: Int, end: Int,
                             maxOut: Int, codec: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(math.min(maxOut, 1 << 16))
     var pos = start

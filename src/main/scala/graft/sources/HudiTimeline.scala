@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Apache Hudi table census — the third leg of the open-table-format
+  * tier next to [[DeltaLog]] and [[IcebergTable]] (the timeline
+  * layout is public): `.hoodie/` holds `hoodie.properties` (a Java
+  * properties file of table facts) and the TIMELINE — one file per
+  * instant named `<ts>.<action>[.<state>]`, where a bare
+  * `<ts>.<action>` is COMPLETED and `.requested`/`.inflight`
+  * suffixes are the pending states; completed commit-class instants
+  * (`commit`, `deltacommit`, `replacecommit`) carry a JSON
+  * `HoodieCommitMetadata` document whose `partitionToWriteStats`
+  * lists every file written with its row and byte counts.
+  *
+  * What a pipeline gets without opening a data file: the instant
+  * timeline (ingestion cadence, pending-operation audit), per-commit
+  * per-file write statistics (rows written/deleted, bytes), and the
+  * table's name/type/version facts.
+  *
+  * Scale shape: the timeline listing is ONE driver-side directory
+  * list (bounded by retained instants, not data); commit metadata
+  * documents read as a distributed multiLine JSON scan with an
+  * EXPLICIT schema — work proportional to the timeline. */
+object HudiTimeline {
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def hoodieDir(spark: SparkSession, tableDir: String): Path = {
+    val d = new Path(tableDir, ".hoodie")
+    if (!fs(spark, d).exists(d))
+      throw new IllegalArgumentException(
+        s"not a Hudi table: no .hoodie under $tableDir")
+    d
+  }
+
+  /** The instant timeline: `(instant_ts, action, state)` in timestamp
+    * order. `state` is completed/inflight/requested per the file-name
+    * contract. */
+  def timeline(spark: SparkSession, tableDir: String): DataFrame = {
+    val d = hoodieDir(spark, tableDir)
+    val names = fs(spark, d).listStatus(d).map(_.getPath.getName)
+      .filter(n => n.head.isDigit && n.contains("."))
+    import spark.implicits._
+    val rows = names.toSeq.map { n =>
+      val parts = n.split("\\.")
+      val state = parts.last match {
+        case "requested" | "inflight" => parts.last
+        case _ => "completed"
+      }
+      val action =
+        if (state == "completed") parts.drop(1).mkString(".")
+        else parts.drop(1).dropRight(1).mkString(".")
+      (parts(0), action, state)
+    }
+    rows.toDF("instant_ts", "action", "state")
+      .orderBy("instant_ts", "action", "state")
+  }
+
+  private val writeStat = StructType(Seq(
+    StructField("fileId", StringType),
+    StructField("path", StringType),
+    StructField("numWrites", LongType),
+    StructField("numDeletes", LongType),
+    StructField("numUpdateWrites", LongType),
+    StructField("totalWriteBytes", LongType),
+    StructField("fileSizeInBytes", LongType)))
+
+  private val commitSchema = StructType(Seq(
+    StructField("partitionToWriteStats",
+      MapType(StringType, ArrayType(writeStat))),
+    StructField("operationType", StringType)))
+
+  /** Per-file write statistics of every COMPLETED commit-class
+    * instant: `(instant_ts, action, partition, file_id, path,
+    * num_writes, num_deletes, total_write_bytes, file_size_in_bytes)`.
+    * Distributed multiLine JSON scan over the commit documents. */
+  def commitStats(spark: SparkSession, tableDir: String): DataFrame = {
+    val d = hoodieDir(spark, tableDir)
+    val commits = fs(spark, d).listStatus(d).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.headOption.exists(_.isDigit) &&
+          (n.endsWith(".commit") || n.endsWith(".deltacommit") ||
+            n.endsWith(".replacecommit"))
+      }
+    if (commits.isEmpty)
+      throw new IllegalArgumentException(
+        s"no completed commit instants under $tableDir")
+    spark.read.option("multiLine", "true").schema(commitSchema)
+      .json(commits.map(_.toString).toSeq: _*)
+      .withColumn("__f", input_file_name())
+      .select(
+        regexp_extract(col("__f"), "/(\\d+)\\.[a-z]+$", 1).as("instant_ts"),
+        regexp_extract(col("__f"), "\\.([a-z]+)$", 1).as("action"),
+        explode(col("partitionToWriteStats")).as(Seq("partition", "__ws")))
+      .select(col("instant_ts"), col("action"), col("partition"),
+        explode(col("__ws")).as("__w"))
+      .select(col("instant_ts"), col("action"), col("partition"),
+        col("__w.fileId").as("file_id"), col("__w.path").as("path"),
+        col("__w.numWrites").as("num_writes"),
+        col("__w.numDeletes").as("num_deletes"),
+        col("__w.totalWriteBytes").as("total_write_bytes"),
+        col("__w.fileSizeInBytes").as("file_size_in_bytes"))
+  }
+
+  /** One row of table facts from `hoodie.properties` + timeline
+    * census: name, table type, timeline counts by class. */
+  def tableMeta(spark: SparkSession, tableDir: String): DataFrame = {
+    val d = hoodieDir(spark, tableDir)
+    val propsPath = new Path(d, "hoodie.properties")
+    val props = new java.util.Properties
+    if (fs(spark, d).exists(propsPath)) {
+      val in = fs(spark, propsPath).open(propsPath)
+      try props.load(in) finally in.close()
+    }
+    val tl = timeline(spark, tableDir)
+    import spark.implicits._
+    val facts = Seq((
+      Option(props.getProperty("hoodie.table.name")).orNull,
+      Option(props.getProperty("hoodie.table.type")).orNull,
+      Option(props.getProperty("hoodie.table.version")).orNull))
+      .toDF("name", "table_type", "table_version")
+    facts.crossJoin(tl.agg(
+      count(lit(1)).as("n_instants"),
+      count(when(col("state") === "completed", 1)).as("n_completed"),
+      count(when(col("state") =!= "completed", 1)).as("n_pending"),
+      max(when(col("state") === "completed", col("instant_ts")))
+        .as("latest_completed")))
+  }
+}

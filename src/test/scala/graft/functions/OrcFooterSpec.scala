@@ -65,6 +65,24 @@ class OrcFooterSpec extends SparkSpec {
       }
       assert(got == Seq("id" -> "long", "name" -> "string",
         "x" -> "double"), s"columns under $codec")
+      // per-stripe census agrees with the file-level facts: stripe
+      // rows sum to num_rows, offsets ascend, lengths positive
+      val st = OrcStripeStats.compute(bytes, 1 << 24)
+      assert(st != null, s"stripes under $codec")
+      assert(st.numElements() == r.getInt(3))
+      var rowSum = 0L
+      var lastOff = -1L
+      (0 until st.numElements()).foreach { i =>
+        val s = st.getStruct(i, 5)
+        assert(s.getLong(0) > lastOff)
+        lastOff = s.getLong(0)
+        assert(s.getLong(2) > 0 && s.getLong(3) > 0)
+        rowSum += s.getLong(4)
+      }
+      assert(rowSum == 2000L, s"stripe rows under $codec")
+      // truncation fails closed
+      assert(OrcStripeStats.compute(bytes.take(bytes.length / 2),
+        1 << 24) == null)
     }
   }
 
