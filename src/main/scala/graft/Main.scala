@@ -66,10 +66,10 @@ object Main {
     |                [--planes 4 --dim 64 --k 4 --threshold 1.05]
     |  ingest-warc   --landing DIR --corpus DIR --checkpoint DIR [--follow true]
     |  extract-archive --payloads PARQUET_DIR --format F --target DIR
-    |                F: warc-gz|tar|tar-gz|tar-xz|docx|pptx|xlsx|xlsx-cells|xls-cells
+    |                F: warc-gz|tar|tar-gz|tar-xz|tar-zst|tar-bz2|tar-lz4|tar-sz|docx|pptx|xlsx|xlsx-cells|xls-cells
     |                   |doc|ppt|rtf
     |                   |zip-list|pdf|id3|epub|epub-chapters|avro-schema
-    |                   |avro-blocks|avro-records
+    |                   |avro-blocks|avro-records|bson
     |                   |bz2|zstd|xz|lz4|sz|mbox|cfb-meta|wiki-pages|wiki-corpus
     |                   |parquet-meta|parquet-stats|orc-meta|orc-stripes
     |                (payloads: doc_id + the format's payload column)
@@ -466,6 +466,10 @@ object Main {
           case "sz" => docs.select(col("doc_id"),
             functions.SnappyFramePayload(col("payload")).as("data"))
           case "tar-xz" => ext.Multimodal.tarXzList(docs)
+          case "tar-zst" => ext.Multimodal.tarZstList(docs)
+          case "tar-bz2" => ext.Multimodal.tarBz2List(docs)
+          case "tar-lz4" => ext.Multimodal.tarLz4List(docs)
+          case "tar-sz" => ext.Multimodal.tarSzList(docs)
           case "cfb-meta" => docs
             .select(col("doc_id"),
               ext.Multimodal.cfbMeta(col("payload")).as("__m"))
@@ -511,6 +515,9 @@ object Main {
           case "avro-records" => docs.select(col("doc_id"),
             org.apache.spark.sql.functions.explode(
               functions.AvroRecordsJson(col("payload"))).as("rec"))
+          case "bson" => docs.select(col("doc_id"),
+            org.apache.spark.sql.functions.explode(
+              functions.BsonRecords(col("payload"))).as("rec"))
           case "orc-stripes" => docs
             .select(col("doc_id"), org.apache.spark.sql.functions
               .posexplode(ext.Multimodal.orcStripes(col("payload")))

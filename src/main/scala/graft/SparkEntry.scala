@@ -3647,6 +3647,26 @@ object SparkEntry {
             .as("bz_text"))
         .orderBy("doc_id")
     }),
+    // BSON dump decoding — a pinned mongodump-shaped payload of two
+    // back-to-back documents (int32, string incl. UTF-8 + an
+    // ampersand, ObjectId, nested doc, array-with-double); corrupt
+    // docs keep one null audit row
+    "q309_bson" -> ((s, dir) => {
+      val dump = "2500000010610001000000027400020000007800076964000102" +
+        "030405060708090a0b0c00440000001061000200000002740007000000c3" +
+        "bc2026207900037375620010000000127a0003000000000000000004617272" +
+        "0010000000013000000000000000f83f0000"
+      val corrupt = dump.dropRight(4) + "0100"
+      val m = pmod(col("doc_id"), lit(2L))
+      val hexStr = when(m === 0, lit(dump)).otherwise(lit(corrupt))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(coalesce(
+            graft.functions.BsonRecords(unhex(hexStr))
+              .cast("array<string>"),
+            array(lit(null).cast("string")))).as("rec"))
+        .orderBy("doc_id", "rec")
+    }),
     // ORC per-stripe census — the same pinned pyarrow files as q287,
     // now at stripe grain (offset/index/data/footer lengths + EXACT
     // rows per stripe, the split-planner numbers); corrupt docs keep
@@ -7356,6 +7376,20 @@ object SparkEntry {
         |    WHEN 4 THEN 'hello bzip2 world' || repeat('wiki dump text ', 40)
         |    ELSE NULL END AS bz_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q309: the two documents' JSON renderings replayed as constants
+    "q309_bson" ->
+      """SELECT doc_id, rec FROM (
+        |  SELECT doc_id,
+        |    '{"a":1,"t":"x","id":"0102030405060708090a0b0c"}' AS rec
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    '{"a":2,"t":"ü & y","sub":{"z":3},"arr":[1.5]}'
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, NULL FROM documents WHERE doc_id % 2 = 1)
+        |ORDER BY doc_id, rec""".stripMargin,
 
     // q308: the pinned files' single stripes replayed as constants;
     // the corrupt branch keeps one null audit row

@@ -720,6 +720,50 @@ object Multimodal {
           .as("__tar")),
       idCol, "__tar", maxEntries)
 
+  /** [[tarList]] over the remaining wrapper matrix — `.tar.zst`
+    * (the modern default), `.tar.bz2` (the long tail of releases),
+    * `.tar.lz4` and `.tar.sz`: one bounded from-format
+    * decompression feeding the same header walk; corrupt archives
+    * contribute no rows (the kernels' fail-closed nulls). */
+  def tarZstList(docs: DataFrame, idCol: String = "doc_id",
+                 payloadCol: String = "payload",
+                 maxOut: Int = 1 << 26,
+                 maxEntries: Int = 1 << 16): DataFrame =
+    tarList(docs.select(col(idCol),
+        graft.functions.ZstdPayload(col(payloadCol), maxOut)
+          .as("__tar")),
+      idCol, "__tar", maxEntries)
+
+  /** See [[tarZstList]]. */
+  def tarBz2List(docs: DataFrame, idCol: String = "doc_id",
+                 payloadCol: String = "payload",
+                 maxOut: Int = 1 << 26,
+                 maxEntries: Int = 1 << 16): DataFrame =
+    tarList(docs.select(col(idCol),
+        graft.functions.Bunzip2(col(payloadCol), maxOut)
+          .as("__tar")),
+      idCol, "__tar", maxEntries)
+
+  /** See [[tarZstList]]. */
+  def tarLz4List(docs: DataFrame, idCol: String = "doc_id",
+                 payloadCol: String = "payload",
+                 maxOut: Int = 1 << 26,
+                 maxEntries: Int = 1 << 16): DataFrame =
+    tarList(docs.select(col(idCol),
+        graft.functions.Lz4FramePayload(col(payloadCol), maxOut)
+          .as("__tar")),
+      idCol, "__tar", maxEntries)
+
+  /** See [[tarZstList]]. */
+  def tarSzList(docs: DataFrame, idCol: String = "doc_id",
+                payloadCol: String = "payload",
+                maxOut: Int = 1 << 26,
+                maxEntries: Int = 1 << 16): DataFrame =
+    tarList(docs.select(col(idCol),
+        graft.functions.SnappyFramePayload(col(payloadCol), maxOut)
+          .as("__tar")),
+      idCol, "__tar", maxEntries)
+
   /** EVERY regular file's text from a tar — the code-corpus onboard
     * step ([[tarMemberText]] pulls one known member; a repository
     * tarball wants them all): entries explode, regular files keep
