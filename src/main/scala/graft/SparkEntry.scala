@@ -3647,6 +3647,22 @@ object SparkEntry {
             .as("bz_text"))
         .orderBy("doc_id")
     }),
+    // MessagePack stream decoding — a pinned dump of two back-to-back
+    // maps (UTF-8 string, nested array with nil); corrupt docs keep
+    // one null audit row
+    "q310_msgpack" -> ((s, dir) => {
+      val dump = "82a16101a174a17883a16102a174a2c3bca278739201c0"
+      val corrupt = dump.dropRight(2) // truncation: stream must tile
+      val m = pmod(col("doc_id"), lit(2L))
+      val hexStr = when(m === 0, lit(dump)).otherwise(lit(corrupt))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(coalesce(
+            graft.functions.MsgpackRecords(unhex(hexStr))
+              .cast("array<string>"),
+            array(lit(null).cast("string")))).as("rec"))
+        .orderBy("doc_id", "rec")
+    }),
     // BSON dump decoding — a pinned mongodump-shaped payload of two
     // back-to-back documents (int32, string incl. UTF-8 + an
     // ampersand, ObjectId, nested doc, array-with-double); corrupt
@@ -7376,6 +7392,18 @@ object SparkEntry {
         |    WHEN 4 THEN 'hello bzip2 world' || repeat('wiki dump text ', 40)
         |    ELSE NULL END AS bz_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q310: the two values' JSON renderings replayed as constants
+    "q310_msgpack" ->
+      """SELECT doc_id, rec FROM (
+        |  SELECT doc_id, '{"a":1,"t":"x"}' AS rec FROM documents
+        |  WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, '{"a":2,"t":"ü","xs":[1,null]}' FROM documents
+        |  WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, NULL FROM documents WHERE doc_id % 2 = 1)
+        |ORDER BY doc_id, rec""".stripMargin,
 
     // q309: the two documents' JSON renderings replayed as constants
     "q309_bson" ->
