@@ -3647,6 +3647,28 @@ object SparkEntry {
             .as("bz_text"))
         .orderBy("doc_id")
     }),
+    // generic protobuf wire census — schema discovery for unknown
+    // .pb payloads: a pinned wire-exact message with repeats, a
+    // nested descent, the string-vs-bytes heuristic; the corrupt
+    // branch (deprecated group wire) keeps one null audit row
+    "q311_proto_fields" -> ((s, dir) => {
+      val msg = "0896011207" + "74657374696e67" +
+        "1a0b0801111111111111111111" + "2522222222" + "2a02ff00" + "0807"
+      val corrupt = "0b" + msg // field 1 wire 3: a group, refused
+      val m = pmod(col("doc_id"), lit(2L))
+      val hexStr = when(m === 0, lit(msg)).otherwise(lit(corrupt))
+      val tpe = "struct<path:string,kind:string,count:bigint," +
+        "total_bytes:bigint>"
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(coalesce(
+            graft.functions.ProtoFields(unhex(hexStr)).cast(s"array<$tpe>"),
+            array(lit(null).cast(tpe)))).as("__f"))
+        .select(col("doc_id"), col("__f.path").as("path"),
+          col("__f.kind").as("kind"), col("__f.count").as("count"),
+          col("__f.total_bytes").as("total_bytes"))
+        .orderBy("doc_id", "path", "kind")
+    }),
     // MessagePack stream decoding — a pinned dump of two back-to-back
     // maps (UTF-8 string, nested array with nil); corrupt docs keep
     // one null audit row
@@ -7392,6 +7414,23 @@ object SparkEntry {
         |    WHEN 4 THEN 'hello bzip2 world' || repeat('wiki dump text ', 40)
         |    ELSE NULL END AS bz_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q311: the census rows replayed as constants; the group-wire
+    // branch keeps one null audit row
+    "q311_proto_fields" ->
+      """SELECT doc_id, path, kind,
+        |  CAST(count AS BIGINT) AS count,
+        |  CAST(total_bytes AS BIGINT) AS total_bytes
+        |FROM documents, (VALUES
+        |  ('1', 'varint', 2, 0), ('2', 'string', 1, 7),
+        |  ('3', 'message', 1, 11), ('3.1', 'varint', 1, 0),
+        |  ('3.2', 'fixed64', 1, 0), ('4', 'fixed32', 1, 0),
+        |  ('5', 'bytes', 1, 2)) AS t(path, kind, count, total_bytes)
+        |WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, NULL, NULL, NULL, NULL FROM documents
+        |WHERE doc_id % 2 = 1
+        |ORDER BY doc_id, path, kind""".stripMargin,
 
     // q310: the two values' JSON renderings replayed as constants
     "q310_msgpack" ->
