@@ -71,7 +71,7 @@ object Main {
     |                   |zip-list|pdf|id3|epub|epub-chapters|avro-schema
     |                   |avro-blocks|avro-records|bson|msgpack|proto-fields
     |                   |bz2|zstd|xz|lz4|sz|mbox|cfb-meta|wiki-pages|wiki-corpus
-    |                   |parquet-meta|parquet-stats|orc-meta|orc-stripes
+    |                   |parquet-meta|parquet-stats|orc-meta|orc-stripes|orc-column-stats
     |                (payloads: doc_id + the format's payload column)
     |  ingest-avro  --path DIR --target DIR [--ddl "a BIGINT, b STRING"]
     |  ingest-jsonl-zst --path DIR --target DIR
@@ -525,6 +525,11 @@ object Main {
             org.apache.spark.sql.functions.explode(
               functions.ProtoFields(col("payload"))).as("f"))
             .select(col("doc_id"), col("f.*"))
+          case "orc-column-stats" => docs
+            .select(col("doc_id"), org.apache.spark.sql.functions
+              .explode(functions.OrcColumnStats(col("payload")))
+              .as("c"))
+            .select(col("doc_id"), col("c.*"))
           case "orc-stripes" => docs
             .select(col("doc_id"), org.apache.spark.sql.functions
               .posexplode(ext.Multimodal.orcStripes(col("payload")))

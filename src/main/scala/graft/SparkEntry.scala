@@ -3647,6 +3647,33 @@ object SparkEntry {
             .as("bz_text"))
         .orderBy("doc_id")
     }),
+    // ORC file-level column statistics — the pinned pyarrow files'
+    // per-column value counts / hasNull / typed min-max off the
+    // footer's ColumnStatistics; corrupt docs keep one null audit row
+    "q312_orc_column_stats" -> ((s, dir) => {
+      val corrupt = "58" + orcPlainHex.drop(2)
+      val m = pmod(col("doc_id"), lit(3L))
+      val hexStr = when(m === 0, lit(orcPlainHex))
+        .when(m === 1, lit(orcZlibHex)).otherwise(lit(corrupt))
+      val tpe = "struct<column:int,n_values:bigint,has_null:boolean," +
+        "int_min:bigint,int_max:bigint,int_sum:bigint," +
+        "double_min:double,double_max:double,str_min:string," +
+        "str_max:string>"
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(coalesce(
+            graft.functions.OrcColumnStats(unhex(hexStr))
+              .cast(s"array<$tpe>"),
+            array(lit(null).cast(tpe)))).as("__c"))
+        .select(col("doc_id"), col("__c.column").as("column"),
+          col("__c.n_values").as("n_values"),
+          col("__c.has_null").as("has_null"),
+          col("__c.int_min").as("int_min"),
+          col("__c.int_max").as("int_max"),
+          col("__c.str_min").as("str_min"),
+          col("__c.str_max").as("str_max"))
+        .orderBy("doc_id", "column")
+    }),
     // generic protobuf wire census — schema discovery for unknown
     // .pb payloads: a pinned wire-exact message with repeats, a
     // nested descent, the string-vs-bytes heuristic; the corrupt
@@ -7414,6 +7441,26 @@ object SparkEntry {
         |    WHEN 4 THEN 'hello bzip2 world' || repeat('wiki dump text ', 40)
         |    ELSE NULL END AS bz_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q312: both pinned files carry the SAME logical data (codecs
+    // differ), so their stats rows coincide; corrupt docs keep one
+    // null audit row
+    "q312_orc_column_stats" ->
+      """SELECT doc_id, CAST(col AS INT) AS "column",
+        |  CAST(n_values AS BIGINT) AS n_values, has_null,
+        |  CAST(int_min AS BIGINT) AS int_min,
+        |  CAST(int_max AS BIGINT) AS int_max, str_min, str_max
+        |FROM documents, (VALUES
+        |  (0, 5, false, NULL, NULL, NULL, NULL),
+        |  (1, 5, false, 0, 4, NULL, NULL),
+        |  (2, 5, false, NULL, NULL, 'a', 'e'))
+        |  AS t(col, n_values, has_null, int_min, int_max, str_min,
+        |       str_max)
+        |WHERE doc_id % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+        |FROM documents WHERE doc_id % 3 = 2
+        |ORDER BY doc_id, "column"""".stripMargin,
 
     // q311: the census rows replayed as constants; the group-wire
     // branch keeps one null audit row

@@ -83,6 +83,20 @@ class OrcFooterSpec extends SparkSpec {
       // truncation fails closed
       assert(OrcStripeStats.compute(bytes.take(bytes.length / 2),
         1 << 24) == null)
+      // file-level column stats: type-tree ids 0..3, exact ranges
+      val cs = OrcColumnStats.compute(bytes, 1 << 24)
+      assert(cs != null && cs.numElements() == 4, s"col stats $codec")
+      val idCol = cs.getStruct(1, 10)
+      assert(idCol.getLong(1) == 2000L && !idCol.getBoolean(2))
+      assert(idCol.getLong(3) == 0L && idCol.getLong(4) == 1999L &&
+        idCol.getLong(5) == 1999000L, s"int stats $codec")
+      val nameCol = cs.getStruct(2, 10)
+      assert(nameCol.getUTF8String(8).toString == "0" &&
+        nameCol.getUTF8String(9).toString == "999", s"str stats $codec")
+      val xCol = cs.getStruct(3, 10)
+      assert(xCol.getDouble(6) == 0.0 && xCol.getDouble(7) == 1999.0,
+        s"double stats $codec")
+      assert(OrcColumnStats.compute(bytes.take(16), 1 << 24) == null)
     }
   }
 
