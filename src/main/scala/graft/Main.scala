@@ -69,7 +69,7 @@ object Main {
     |                F: warc-gz|tar|tar-gz|tar-xz|tar-zst|tar-bz2|tar-lz4|tar-sz|docx|pptx|xlsx|xlsx-cells|xls-cells
     |                   |doc|ppt|rtf
     |                   |zip-list|pdf|id3|epub|epub-chapters|avro-schema
-    |                   |avro-blocks|avro-records|bson|msgpack|proto-fields
+    |                   |avro-blocks|avro-records|bson|msgpack|cbor|proto-fields
     |                   |bz2|zstd|xz|lz4|sz|mbox|cfb-meta|wiki-pages|wiki-corpus
     |                   |parquet-meta|parquet-stats|orc-meta|orc-stripes|orc-column-stats
     |                (payloads: doc_id + the format's payload column)
@@ -521,6 +521,9 @@ object Main {
           case "msgpack" => docs.select(col("doc_id"),
             org.apache.spark.sql.functions.explode(
               functions.MsgpackRecords(col("payload"))).as("rec"))
+          case "cbor" => docs.select(col("doc_id"),
+            org.apache.spark.sql.functions.explode(
+              functions.CborRecords(col("payload"))).as("rec"))
           case "proto-fields" => docs.select(col("doc_id"),
             org.apache.spark.sql.functions.explode(
               functions.ProtoFields(col("payload"))).as("f"))

@@ -3647,6 +3647,26 @@ object SparkEntry {
             .as("bz_text"))
         .orderBy("doc_id")
     }),
+    // CBOR sequence decoding — a pinned RFC 8949 sequence: a definite
+    // map, an indefinite-everything map (text chunks, nested
+    // indefinite array), a tagged epoch int unwrapped; corrupt docs
+    // (stray break) keep one null audit row
+    "q313_cbor" -> ((s, dir) => {
+      // {"a":1,"b":[2,3]} ++ indef {"tx":[4,5],"k":"ab"} ++ tag1(int)
+      val seqHex = "a26161016162820203" +
+        "bf" + "627478" + "9f0405ff" + "616b" + "7f626162ff" + "ff" +
+        "c11a514b67b0"
+      val corrupt = "ff" + seqHex
+      val m = pmod(col("doc_id"), lit(2L))
+      val hexStr = when(m === 0, lit(seqHex)).otherwise(lit(corrupt))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(coalesce(
+            graft.functions.CborRecords(unhex(hexStr))
+              .cast("array<string>"),
+            array(lit(null).cast("string")))).as("rec"))
+        .orderBy("doc_id", "rec")
+    }),
     // ORC file-level column statistics — the pinned pyarrow files'
     // per-column value counts / hasNull / typed min-max off the
     // footer's ColumnStatistics; corrupt docs keep one null audit row
@@ -7441,6 +7461,20 @@ object SparkEntry {
         |    WHEN 4 THEN 'hello bzip2 world' || repeat('wiki dump text ', 40)
         |    ELSE NULL END AS bz_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q313: the three items' renderings replayed as constants
+    "q313_cbor" ->
+      """SELECT doc_id, rec FROM (
+        |  SELECT doc_id, '{"a":1,"b":[2,3]}' AS rec FROM documents
+        |  WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, '{"tx":[4,5],"k":"ab"}' FROM documents
+        |  WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, '1363896240' FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, NULL FROM documents WHERE doc_id % 2 = 1)
+        |ORDER BY doc_id, rec""".stripMargin,
 
     // q312: both pinned files carry the SAME logical data (codecs
     // differ), so their stats rows coincide; corrupt docs keep one
