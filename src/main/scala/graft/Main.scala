@@ -71,7 +71,7 @@ object Main {
     |                   |zip-list|pdf|id3|epub|epub-chapters|avro-schema
     |                   |avro-blocks|avro-records|bson|msgpack|cbor|proto-fields
     |                   |bz2|zstd|xz|lz4|sz|mbox|cfb-meta|wiki-pages|wiki-corpus
-    |                   |parquet-meta|parquet-stats|orc-meta|orc-stripes|orc-column-stats
+    |                   |parquet-meta|parquet-stats|orc-meta|orc-stripes|orc-column-stats|arrow-meta
     |                (payloads: doc_id + the format's payload column)
     |  ingest-avro  --path DIR --target DIR [--ddl "a BIGINT, b STRING"]
     |  ingest-jsonl-zst --path DIR --target DIR
@@ -545,6 +545,14 @@ object Main {
               col("__m.compression").as("compression"),
               col("__m.num_rows").as("num_rows"),
               col("__m.n_stripes").as("n_stripes"),
+              col("__m.columns").as("columns"))
+          case "arrow-meta" => docs
+            .select(col("doc_id"),
+              ext.Multimodal.arrowMeta(col("payload")).as("__m"))
+            .select(col("doc_id"), col("__m.version").as("version"),
+              col("__m.n_dictionaries").as("n_dictionaries"),
+              col("__m.n_record_batches").as("n_record_batches"),
+              col("__m.total_body_bytes").as("total_body_bytes"),
               col("__m.columns").as("columns"))
           case "parquet-meta" => docs
             .select(col("doc_id"),

@@ -3647,6 +3647,53 @@ object SparkEntry {
             .as("bz_text"))
         .orderBy("doc_id")
     }),
+    // Arrow IPC file footer census — the pinned pyarrow feather-v2
+    // file (two record batches, three columns) walked through the
+    // footer flatbuffer; corrupt docs keep one null audit row
+    "q314_arrow_meta" -> ((s, dir) => {
+      val arrow =
+        "4152524f57310000ffffffffd80000001000000000000a000c000600050008000a000000000104000c000000" +
+        "0800080000000400080000000400000003000000740000003400000004000000a8ffffff0000010310000000" +
+        "1800000004000000000000000100000078000600080006000600000000000200d4ffffff0000010510000000" +
+        "1c0000000400000000000000040000006e616d65000000000400040004000000100014000800060007000c00" +
+        "000010001000000000000102100000001c0000000400000000000000020000006964000008000c0008000700" +
+        "080000000000000140000000fffffffff800000014000000000000000c0016000600050008000c000c000000" +
+        "0003040018000000480000000000000000000a0018000c00040008000a0000008c0000001000000002000000" +
+        "000000000000000007" +
+        "00" * 27 +
+        "18000000000000001800000000000000000000000000000018000000000000000c0000000000000028000000" +
+        "0000000003000000000000003000000000000000000000000000000030000000000000001800000000000000" +
+        "0000000003000000020000000000000000000000000000000200000000000000000000000000000002000000" +
+        "0000000000000000000000000100000000000000020000000000000003000000000000000000000001000000" +
+        "02000000000000006162630000000000000000000000f83f00000000000004400000000000000c40ffffffff" +
+        "f800000014000000000000000c0016000600050008000c000c00000000030400180000002000000000000000" +
+        "00000a0018000c00040008000a0000008c0000001000000001000000000000000000000007" +
+        "00" * 27 +
+        "0800000000000000080000000000000000000000000000000800000000000000080000000000000010000000" +
+        "0000000001000000000000001800000000000000000000000000000018000000000000000800000000000000" +
+        "0000000003000000010000000000000000000000000000000100000000000000000000000000000001000000" +
+        "0000000000000000000000000300000000000000000000000100000063000000000000000000000000000c40" +
+        "ffffffff00000000100000000c001400060008000c0010000c000000000004004c0000003c00000004000000" +
+        "02000000e8000000000000000001000000000000480000000000000030020000000000000001000000000000" +
+        "2000000000000000000000000800080000000400080000000400000003000000740000003400000004000000" +
+        "a8ffffff00000103100000001800000004000000000000000100000078000600080006000600000000000200" +
+        "d4ffffff00000105100000001c0000000400000000000000040000006e616d65000000000400040004000000" +
+        "100014000800060007000c00000010001000000000000102100000001c000000040000000000000002000000" +
+        "6964000008000c0008000700080000000000000140000000180100004152524f5731"
+      val corrupt = "58" + arrow.drop(2)
+      val m = pmod(col("doc_id"), lit(2L))
+      val hexStr = when(m === 0, lit(arrow)).otherwise(lit(corrupt))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.ArrowFooterMeta(unhex(hexStr)).as("__m"))
+        .select(col("doc_id"), col("__m.version").as("version"),
+          col("__m.n_dictionaries").as("n_dictionaries"),
+          col("__m.n_record_batches").as("n_record_batches"),
+          col("__m.total_body_bytes").as("total_body_bytes"),
+          when(col("__m").isNotNull,
+            array_join(col("__m.columns"), ";")).as("cols"))
+        .orderBy("doc_id")
+    }),
     // CBOR sequence decoding — a pinned RFC 8949 sequence: a definite
     // map, an indefinite-everything map (text chunks, nested
     // indefinite array), a tagged epoch int unwrapped; corrupt docs
@@ -7460,6 +7507,19 @@ object SparkEntry {
         |    WHEN 3 THEN ''
         |    WHEN 4 THEN 'hello bzip2 world' || repeat('wiki dump text ', 40)
         |    ELSE NULL END AS bz_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q314: the footer facts replayed as constants; corrupt docs null
+    "q314_arrow_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(4 AS INT) END AS version,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(0 AS INT) END
+        |    AS n_dictionaries,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(2 AS INT) END
+        |    AS n_record_batches,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(104 AS BIGINT) END
+        |    AS total_body_bytes,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'id;name;x' END AS cols
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q313: the three items' renderings replayed as constants

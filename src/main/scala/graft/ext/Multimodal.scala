@@ -1104,6 +1104,13 @@ object Multimodal {
   def orcMeta(payload: Column, maxFooter: Int = 1 << 24): Column =
     graft.functions.OrcFooterMeta(payload, maxFooter)
 
+  /** Arrow IPC file (feather v2) footer census — version, the
+    * dictionary/record-batch block lists and column names off the
+    * footer flatbuffer ([[graft.functions.ArrowFooterMeta]]), no
+    * batch data touched. */
+  def arrowMeta(payload: Column, maxColumns: Int = 4096): Column =
+    graft.functions.ArrowFooterMeta(payload, maxColumns)
+
   /** ORC per-stripe census — offset/index/data/footer lengths and
     * EXACT rows per stripe off the footer's StripeInformation
     * messages ([[graft.functions.OrcStripeStats]]): the split-planner
@@ -1421,6 +1428,7 @@ object Multimodal {
       .when(pfx("50415231"), "parquet")
       .when(pfx("4F5243"), "orc")
       .when(pfx("4F626A01"), "avro")
+      .when(pfx("4152524F57310000"), "arrow")
       .when(pfx("53514C697465"), "sqlite")
       .when(pfx("D0CF11E0A1B11AE1"), "cfb")
       .when(pfx("7B5C727466"), "rtf")
