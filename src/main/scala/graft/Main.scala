@@ -79,6 +79,8 @@ object Main {
     |  delta-snapshot --table DIR --target DIR   (live-file census)
     |  delta-history  --table DIR --target DIR   (per-commit audit)
     |  delta-meta     --table DIR --target DIR   (schema/protocol/size)
+    |  delta-tail     --table DIR --target DIR --checkpoint DIR
+    |                 [--follow true]           (streaming commit tail)
     |  iceberg-snapshot --table DIR --target DIR  (live data files)
     |  iceberg-meta   --table DIR --target DIR    (uuid/version/row total)
     |  hudi-timeline  --table DIR --target DIR    (instant states)
@@ -172,6 +174,20 @@ object Main {
       case "delta-history" =>
         sources.DeltaLog.history(spark, one("table"))
           .write.mode("overwrite").parquet(one("target"))
+      case "delta-tail" =>
+        // live commit tail: every new commit becomes a micro-batch of
+        // newly added files appended to the target
+        val q = sources.DeltaLog.commitStream(spark, one("table"))
+          .filter(org.apache.spark.sql.functions.col("add").isNotNull)
+          .select(org.apache.spark.sql.functions.col("version"),
+            org.apache.spark.sql.functions.col("add.path").as("path"),
+            org.apache.spark.sql.functions.col("add.size").as("size"))
+          .writeStream.format("parquet")
+          .option("path", one("target"))
+          .option("checkpointLocation", one("checkpoint"))
+          .outputMode("append").start()
+        if (f("follow").headOption.exists(_.toBoolean)) q.awaitTermination()
+        else { q.processAllAvailable(); q.stop() }
       case "delta-meta" =>
         sources.DeltaLog.tableMeta(spark, one("table"))
           .write.mode("overwrite").parquet(one("target"))

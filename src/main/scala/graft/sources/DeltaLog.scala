@@ -173,6 +173,28 @@ object DeltaLog {
     meta.crossJoin(proto).crossJoin(vers).crossJoin(live)
   }
 
+  /** STREAMING commit tail — the live counterpart of [[history]]: a
+    * Structured Streaming file source over the `_delta_log` JSON
+    * glob, so every commit another writer lands becomes a micro-batch of its
+    * actions (with `version` from the file name). The natural feed
+    * for a table-growth monitor or an incremental-ingest trigger:
+    * `commitStream(...).filter($"add".isNotNull)` is the stream of
+    * newly added files. Explicit action schema (never inference),
+    * work per trigger proportional to NEW commits only — the file
+    * source's own checkpointing makes the tail exactly-once. */
+  def commitStream(spark: SparkSession, tableDir: String): DataFrame = {
+    val logDir = new Path(tableDir, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(logDir))
+      throw new IllegalArgumentException(
+        s"not a Delta table: no _delta_log under $tableDir")
+    spark.readStream.schema(actionSchema)
+      .json(new Path(logDir, "*.json").toString)
+      .withColumn("version",
+        regexp_extract(input_file_name(), "(\\d+)\\.json$", 1)
+          .cast("long"))
+  }
+
   /** Per-commit growth audit off the json tail: files/bytes added and
     * removed at each version (checkpointed history collapses into the
     * checkpoint version's row). */

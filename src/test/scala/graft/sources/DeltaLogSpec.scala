@@ -101,6 +101,34 @@ class DeltaLogSpec extends SparkSpec {
       m.getAs[Long]("total_bytes") == 450L)
   }
 
+  test("delta commitStream tails the log: commits landed AFTER the " +
+    "stream starts arrive as micro-batches, version attached") {
+    val dir = Files.createTempDirectory("graft-delta-stream")
+    val log = Files.createDirectories(dir.resolve("_delta_log"))
+    writeCommit(log, 0, v0)
+    val q = DeltaLog.commitStream(spark, dir.toString)
+      .filter(col("add").isNotNull)
+      .select(col("version"), col("add.path").as("path"),
+        col("add.size").as("size"))
+      .writeStream.format("memory").queryName("delta_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("delta_tail").collect()
+      assert(first.map(_.getString(1)).toSet ==
+        Set("lang=en/a.parquet", "lang=de/b.parquet"))
+      // a writer lands v1 while the stream runs
+      writeCommit(log, 1, v1)
+      q.processAllAvailable()
+      val rows = spark.table("delta_tail")
+        .orderBy("version", "path").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(rows.toSeq == Seq(
+        (0L, "lang=de/b.parquet", 200L), (0L, "lang=en/a.parquet", 100L),
+        (1L, "lang=de/c.parquet", 300L)))
+    } finally q.stop()
+  }
+
   test("delta census refuses non-tables: no _delta_log, empty log") {
     val plain = Files.createTempDirectory("graft-notdelta")
     intercept[IllegalArgumentException] {
