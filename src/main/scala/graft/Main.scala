@@ -67,7 +67,7 @@ object Main {
     |  ingest-warc   --landing DIR --corpus DIR --checkpoint DIR [--follow true]
     |  extract-archive --payloads PARQUET_DIR --format F --target DIR
     |                F: warc-gz|tar|tar-gz|tar-xz|tar-zst|tar-bz2|tar-lz4|tar-sz|docx|pptx|xlsx|xlsx-cells|xls-cells
-    |                   |doc|ppt|rtf
+    |                   |doc|ppt|rtf|odf
     |                   |zip-list|pdf|id3|epub|epub-chapters|avro-schema
     |                   |avro-blocks|avro-records|bson|msgpack|cbor|proto-fields
     |                   |bz2|zstd|xz|lz4|sz|mbox|cfb-meta|wiki-pages|wiki-corpus
@@ -456,6 +456,9 @@ object Main {
             ext.TextAnalysis.warcParseGzFile(docs)
           case "tar" => ext.Multimodal.tarList(docs)
           case "tar-gz" => ext.Multimodal.tarGzList(docs)
+          case "odf" => docs.select(col("doc_id"),
+            ext.Multimodal.odfText(col("payload")).as("text"),
+            ext.Multimodal.odfKind(col("payload")).as("kind"))
           case "docx" => docs.select(col("doc_id"),
             ext.Multimodal.docxText(col("payload")).as("text"))
           case "pptx" => docs.select(col("doc_id"),

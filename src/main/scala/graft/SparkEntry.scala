@@ -3647,6 +3647,57 @@ object SparkEntry {
             .as("bz_text"))
         .orderBy("doc_id")
     }),
+    // OpenDocument text — pinned stored-zip ODF packages (odt with a
+    // heading, a nested span, an entity; ods with table cells); the
+    // corrupt branch (broken zip magic) keeps a null audit row
+    "q315_odf_text" -> ((s, dir) => {
+      val odt =
+        "504b0304140000000000c021105d5ec6320c2700000027000000080000006d696d65747970656170706c6963" +
+        "6174696f6e2f766e642e6f617369732e6f70656e646f63756d656e742e74657874504b0304140000000000c0" +
+        "21105ded37c98b0b0000000b000000150000004d4554412d494e462f6d616e69666573742e786d6c3c6d616e" +
+        "69666573742f3e504b0304140000000000c021105d58f4dc4735010000350100000b000000636f6e74656e74" +
+        "2e786d6c3c3f786d6c2076657273696f6e3d22312e30223f3e3c6f66666963653a646f63756d656e742d636f" +
+        "6e74656e743e3c6f66666963653a626f64793e3c6f66666963653a746578743e3c746578743a682074657874" +
+        "3a6f75746c696e652d6c6576656c3d2231223e54697472652026616d703b20706c75733c2f746578743a683e" +
+        "3c746578743a703e4669727374207061722077697468203c746578743a7370616e20746578743a7374796c65" +
+        "2d6e616d653d225431223e6e657374656420c3bc3c2f746578743a7370616e3e2072756e2e3c2f746578743a" +
+        "703e3c746578743a702f3e3c746578743a703e5365636f6e64207061722e3c2f746578743a703e3c2f6f6666" +
+        "6963653a746578743e3c2f6f66666963653a626f64793e3c2f6f66666963653a646f63756d656e742d636f6e" +
+        "74656e743e504b01021403140000000000c021105d5ec6320c27000000270000000800000000000000000000" +
+        "008001000000006d696d6574797065504b01021403140000000000c021105ded37c98b0b0000000b00000015" +
+        "000000000000000000000080014d0000004d4554412d494e462f6d616e69666573742e786d6c504b01021403" +
+        "140000000000c021105d58f4dc4735010000350100000b000000000000000000000080018b000000636f6e74" +
+        "656e742e786d6c504b05060000000003000300b2000000e90100000000"
+      val ods =
+        "504b0304140000000000c021105d856c398a2e0000002e000000080000006d696d65747970656170706c6963" +
+        "6174696f6e2f766e642e6f617369732e6f70656e646f63756d656e742e7370726561647368656574504b0304" +
+        "140000000000c021105ded37c98b0b0000000b000000150000004d4554412d494e462f6d616e69666573742e" +
+        "786d6c3c6d616e69666573742f3e504b0304140000000000c021105dbe541d3f61010000610100000b000000" +
+        "636f6e74656e742e786d6c3c3f786d6c2076657273696f6e3d22312e30223f3e3c6f66666963653a646f6375" +
+        "6d656e742d636f6e74656e743e3c6f66666963653a626f64793e3c6f66666963653a73707265616473686565" +
+        "743e3c7461626c653a7461626c65207461626c653a6e616d653d225331223e3c7461626c653a7461626c652d" +
+        "726f773e3c7461626c653a7461626c652d63656c6c3e3c746578743a703e63656c6c2041313c2f746578743a" +
+        "703e3c2f7461626c653a7461626c652d63656c6c3e3c7461626c653a7461626c652d63656c6c206f66666963" +
+        "653a76616c75653d223432223e3c746578743a703e34323c2f746578743a703e3c2f7461626c653a7461626c" +
+        "652d63656c6c3e3c2f7461626c653a7461626c652d726f773e3c2f7461626c653a7461626c653e3c2f6f6666" +
+        "6963653a73707265616473686565743e3c2f6f66666963653a626f64793e3c2f6f66666963653a646f63756d" +
+        "656e742d636f6e74656e743e504b01021403140000000000c021105d856c398a2e0000002e00000008000000" +
+        "00000000000000008001000000006d696d6574797065504b01021403140000000000c021105ded37c98b0b00" +
+        "00000b0000001500000000000000000000008001540000004d4554412d494e462f6d616e69666573742e786d" +
+        "6c504b01021403140000000000c021105dbe541d3f61010000610100000b0000000000000000000000800192" +
+        "000000636f6e74656e742e786d6c504b05060000000003000300b20000001c0200000000"
+      // corrupt: head magic broken AND the EOCD tail cut — the CD
+      // walk refuses and the local-header fallback finds no magic
+      val corrupt = ("58" + odt.drop(2)).dropRight(8)
+      val m = pmod(col("doc_id"), lit(3L))
+      val hexStr = when(m === 0, lit(odt)).when(m === 1, lit(ods))
+        .otherwise(lit(corrupt))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.odfText(unhex(hexStr)).as("odf_text"),
+          Multimodal.odfKind(unhex(hexStr)).as("odf_kind"))
+        .orderBy("doc_id")
+    }),
     // Arrow IPC file footer census — the pinned pyarrow feather-v2
     // file (two record batches, three columns) walked through the
     // footer flatbuffer; corrupt docs keep one null audit row
@@ -7507,6 +7558,19 @@ object SparkEntry {
         |    WHEN 3 THEN ''
         |    WHEN 4 THEN 'hello bzip2 world' || repeat('wiki dump text ', 40)
         |    ELSE NULL END AS bz_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q315: the extracted texts replayed as constants; corrupt null
+    "q315_odf_text" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'Titre & plus' || chr(10) ||
+        |      'First par with nested ü run.' || chr(10) ||
+        |      'Second par.' || chr(10)
+        |    WHEN 1 THEN 'cell A1' || chr(10) || '42' || chr(10)
+        |    ELSE NULL END AS odf_text,
+        |  CASE doc_id % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'spreadsheet'
+        |    ELSE NULL END AS odf_kind
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q314: the footer facts replayed as constants; corrupt docs null

@@ -604,6 +604,36 @@ object Multimodal {
     TextAnalysis.decodeEntities(regexp_replace(para, "<[^>]+>", ""))
   }
 
+  /** OpenDocument text (`.odt`/`.ods`/`.odp` — the LibreOffice tier;
+    * the ODF package is a zip whose `mimetype` member names the kind
+    * and whose `content.xml` carries the document): `text:p`
+    * paragraph and `text:h` heading ends become newlines, every
+    * other tag (spans, styles, table machinery) strips, entities
+    * decode. One member extraction, one regexp pass — the docx
+    * recipe for the other office suite. Non-ODF zips and corrupt
+    * payloads null. */
+  def odfText(payload: Column, maxBytes: Int = 1 << 24): Column =
+    odfXmlText(decode(
+      graft.functions.ZipEntryBytes(payload, "content.xml", maxBytes),
+      "UTF-8"))
+
+  /** The ODF-content→text transform alone (member already
+    * extracted) — shared by [[odfText]] and the resolve-once
+    * [[documentText]] dispatcher. */
+  private[ext] def odfXmlText(xml: Column): Column = {
+    val para = regexp_replace(xml, "</text:[ph]>", "\n")
+    TextAnalysis.decodeEntities(regexp_replace(para, "<[^>]+>", ""))
+  }
+
+  /** The ODF KIND off the package's `mimetype` member — text /
+    * spreadsheet / presentation; null for non-ODF payloads. */
+  def odfKind(payload: Column): Column = {
+    val mt = decode(graft.functions.ZipEntryBytes(payload, "mimetype",
+      256), "UTF-8")
+    when(mt.startsWith("application/vnd.oasis.opendocument."),
+      regexp_extract(mt, "opendocument\\.([a-z-]+)", 1))
+  }
+
   /** JPEG EXIF IFD0 fields — orientation (whether a dHash needs
     * rotating), make/model/datetime (provenance splits) via the
     * native [[graft.functions.JpegExif]] marker-chain + TIFF-IFD
@@ -990,6 +1020,11 @@ object Multimodal {
                 slideXmlText(memText(lit("ppt/slides/slide1.xml"))))
               .when(col("__names").contains("\nMETA-INF/container.xml"),
                 epubTier)
+              // ODF packages (odt/ods/odp): mimetype + content.xml —
+              // checked AFTER epub, whose packages also carry mimetype
+              .when(col("__names").contains("\nmimetype\n") &&
+                col("__names").contains("\ncontent.xml\n"),
+                odfXmlText(memText(lit("content.xml"))))
               .when(col("__names").contains("\nword/"),
                 docxXmlText(memText(lit("word/document.xml"))))
               .otherwise(allMembers))

@@ -310,4 +310,43 @@ class ZipEntryBytesSpec extends SparkSpec {
     assert(out(1L) == "One & two\na\tb\n")
     assert(out(2L) == null)
   }
+
+  test("odfText: ODF paragraphs/headings become lines, spans strip, " +
+    "entities decode; odfKind off the mimetype member; documentText " +
+    "routes ODF after epub") {
+    val content =
+      """<?xml version="1.0"?><office:document-content>""" +
+      """<office:body><office:text>""" +
+      """<text:h text:outline-level="1">Titre &amp; plus</text:h>""" +
+      """<text:p>First par with <text:span text:style-name="T1">""" +
+      """nested ü</text:span> run.</text:p><text:p/>""" +
+      """<text:p>Second par.</text:p>""" +
+      """</office:text></office:body></office:document-content>"""
+    val odt = storedZip(
+      "mimetype" -> "application/vnd.oasis.opendocument.text".getBytes,
+      "META-INF/manifest.xml" -> "<manifest/>".getBytes,
+      "content.xml" -> content.getBytes("UTF-8"))
+    val ods = storedZip(
+      "mimetype" -> "application/vnd.oasis.opendocument.spreadsheet".getBytes,
+      "content.xml" -> ("<office:document-content><table:table>" +
+        "<table:table-cell><text:p>cell A1</text:p></table:table-cell>" +
+        "<table:table-cell><text:p>42</text:p></table:table-cell>" +
+        "</table:table></office:document-content>").getBytes("UTF-8"))
+    val rows = Seq((1L, odt), (2L, ods), (3L, "junk".getBytes))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"),
+        Multimodal.odfText(col("payload")).as("text"),
+        Multimodal.odfKind(col("payload")).as("kind"))
+      .orderBy("doc_id").collect()
+    assert(rows(0).getString(1) ==
+      "Titre & plus\nFirst par with nested ü run.\nSecond par.\n")
+    assert(rows(0).getString(2) == "text")
+    assert(rows(1).getString(1) == "cell A1\n42\n")
+    assert(rows(1).getString(2) == "spreadsheet")
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+    val dt = Multimodal.documentText(
+      Seq((1L, odt)).toDF("doc_id", "payload")).collect()(0)
+    assert(dt.getString(1) == "zip" &&
+      dt.getString(2).startsWith("Titre & plus\n"))
+  }
 }
