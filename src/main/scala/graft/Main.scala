@@ -74,6 +74,7 @@ object Main {
     |                   |parquet-meta|parquet-stats|orc-meta|orc-stripes|orc-column-stats|arrow-meta
     |                (payloads: doc_id + the format's payload column)
     |  ingest-avro  --path DIR --target DIR [--ddl "a BIGINT, b STRING"]
+    |  ingest-bson/-msgpack/-cbor --path DIR --ddl "a BIGINT, t STRING" --target DIR
     |  ingest-jsonl-zst --path DIR --target DIR
     |                (.jsonl.zst shards via the bounded zstd kernel)
     |  delta-snapshot --table DIR --target DIR   (live-file census)
@@ -160,6 +161,15 @@ object Main {
         // schema comes from the shard's own header unless --ddl given
         sources.CorpusIO.readAvro(spark, one("path"),
           ddl = f("ddl").headOption.orNull)
+          .write.mode("overwrite").parquet(one("target"))
+      case "ingest-bson" =>
+        sources.CorpusIO.readBson(spark, one("path"), one("ddl"))
+          .write.mode("overwrite").parquet(one("target"))
+      case "ingest-msgpack" =>
+        sources.CorpusIO.readMsgpack(spark, one("path"), one("ddl"))
+          .write.mode("overwrite").parquet(one("target"))
+      case "ingest-cbor" =>
+        sources.CorpusIO.readCbor(spark, one("path"), one("ddl"))
           .write.mode("overwrite").parquet(one("target"))
       case "ingest-jsonl-zst" =>
         // the .jsonl.zst interchange shape, decoded by the bounded

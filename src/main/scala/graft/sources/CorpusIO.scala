@@ -161,6 +161,47 @@ object CorpusIO {
       .select(col("__r.*"))
   }
 
+  /** BSON / MessagePack / CBOR dump ingestion — the same shape as
+    * [[readAvro]] for the self-describing binaries that do NOT carry
+    * a schema: a binaryFile scan per shard feeds the engine's decode
+    * kernel, each record's JSON parses under `from_json` with the
+    * caller's EXPLICIT `ddl` (derive one with the engine's
+    * `jsonInferSchema` over a sample if needed — deliberately not
+    * automatic here: these formats have no authoritative schema to
+    * read, so the caller owns the contract). Corrupt shards vanish
+    * whole; per-record parse problems quarantine in `_corrupt`. */
+  def readBson(spark: SparkSession, path: String, ddl: String,
+               maxRecords: Int = 1 << 20,
+               maxOut: Int = 1 << 26): DataFrame =
+    readDecoded(spark, path, ddl)(
+      graft.functions.BsonRecords(_, maxRecords, maxOut))
+
+  /** See [[readBson]]. */
+  def readMsgpack(spark: SparkSession, path: String, ddl: String,
+                  maxRecords: Int = 1 << 20,
+                  maxOut: Int = 1 << 26): DataFrame =
+    readDecoded(spark, path, ddl)(
+      graft.functions.MsgpackRecords(_, maxRecords, maxOut))
+
+  /** See [[readBson]]. */
+  def readCbor(spark: SparkSession, path: String, ddl: String,
+               maxRecords: Int = 1 << 20,
+               maxOut: Int = 1 << 26): DataFrame =
+    readDecoded(spark, path, ddl)(
+      graft.functions.CborRecords(_, maxRecords, maxOut))
+
+  private def readDecoded(spark: SparkSession, path: String, ddl: String)
+                         (decode: org.apache.spark.sql.Column =>
+                           org.apache.spark.sql.Column): DataFrame = {
+    val schema = StructType.fromDDL(ddl)
+    spark.read.format("binaryFile").load(path)
+      .select(explode(decode(col("content"))).as("__j"))
+      .select(from_json(col("__j"), withCorrupt(schema), Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> corruptCol)).as("__r"))
+      .select(col("__r.*"))
+  }
+
   /** CSV reader with the same explicit-schema + quarantine contract.
     * `multiLine` only if values embed newlines — it serializes each
     * file into one task, so prefer JSONL for anything large. */

@@ -82,6 +82,33 @@ class BsonRecordsSpec extends SparkSpec {
       Seq((1, "x"), (2, "y")))
   }
 
+  test("CorpusIO.readBson/readMsgpack/readCbor: shard-level ingestion " +
+    "with the explicit-ddl + quarantine contract; corrupt shards " +
+    "vanish whole") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nosql")
+    val bsonShard = doc(elem(0x10, "a", le32(1)), elem(0x02, "t", bstr("x")))
+    java.nio.file.Files.write(dir.resolve("a.bson"), bsonShard)
+    java.nio.file.Files.write(dir.resolve("b.bson"),
+      bsonShard.dropRight(1)) // corrupt: vanishes whole
+    val got = graft.sources.CorpusIO.readBson(spark,
+      dir.toString + "/*.bson", "a INT, t STRING").collect()
+    assert(got.length == 1 && got(0).getInt(0) == 1 &&
+      got(0).getString(1) == "x")
+    val mp = java.nio.file.Files.createTempDirectory("graft-mp")
+    java.nio.file.Files.write(mp.resolve("a.msgpack"),
+      Array[Byte]((0x80 | 1).toByte, (0xa0 | 1).toByte, 'a'.toByte, 5))
+    val gm = graft.sources.CorpusIO.readMsgpack(spark,
+      mp.toString, "a INT").collect()
+    assert(gm.length == 1 && gm(0).getInt(0) == 5)
+    val cb = java.nio.file.Files.createTempDirectory("graft-cb")
+    // a1 61 61 02 = {"a": 2}
+    java.nio.file.Files.write(cb.resolve("a.cbor"),
+      Array[Byte](0xa1.toByte, 0x61, 'a'.toByte, 0x02))
+    val gc = graft.sources.CorpusIO.readCbor(spark,
+      cb.toString, "a INT").collect()
+    assert(gc.length == 1 && gc(0).getInt(0) == 2)
+  }
+
   test("bson_records fails closed: bad terminator, length overruns, " +
     "deprecated types refused, truncation at every cut, caps") {
     val ok = doc(elem(0x10, "a", le32(1)))
