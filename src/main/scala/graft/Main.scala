@@ -68,7 +68,7 @@ object Main {
     |  extract-archive --payloads PARQUET_DIR --format F --target DIR
     |                F: warc-gz|tar|tar-gz|tar-xz|tar-zst|tar-bz2|tar-lz4|tar-sz|docx|pptx|xlsx|xlsx-cells|xls-cells
     |                   |doc|ppt|rtf|odf
-    |                   |zip-list|pdf|id3|epub|epub-chapters|avro-schema
+    |                   |zip-list|7z-list|pdf|id3|epub|epub-chapters|avro-schema
     |                   |avro-blocks|avro-records|bson|msgpack|cbor|proto-fields
     |                   |bz2|zstd|xz|lz4|sz|mbox|cfb-meta|wiki-pages|wiki-corpus
     |                   |parquet-meta|parquet-stats|orc-meta|orc-stripes|orc-column-stats|arrow-meta
@@ -483,6 +483,7 @@ object Main {
           case "rtf" => docs.select(col("doc_id"),
             functions.RtfText(col("payload")).as("text"))
           case "zip-list" => ext.Multimodal.zipList(docs)
+          case "7z-list" => ext.Multimodal.sevenZipList(docs)
           case "epub-chapters" => ext.Multimodal.epubChapters(docs)
           case "bz2" => docs.select(col("doc_id"),
             functions.Bunzip2(col("payload")).as("data"))

@@ -3647,6 +3647,34 @@ object SparkEntry {
             .as("bz_text"))
         .orderBy("doc_id")
     }),
+    // 7z archive listing — a pinned commons-compress archive (dir +
+    // two files); m1 flips the next-header CRC and must refuse with
+    // one null audit row
+    "q316_7z_list" -> ((s, dir) => {
+      val sz = "377abcaf271c000265c6166e2a000000000000006a0000000000" +
+        "00005acb4dcc0100117072696e74282768656c6c6f20377a27290a000100" +
+        "0f726561646d65207465787420626f64790001040600020916140a019dd7" +
+        "fedb4942a7c600070b0200012121011601212101160c12100a0106091137" +
+        "abba22830008000005030e0180112f0073007200630000007300720063002f" +
+        "006d00610069006e002e0070007900000052004500410044004d0045000000" +
+        "0000"
+      // byte 28 = low byte of the next-header CRC
+      val corrupt = sz.substring(0, 56) +
+        "%02x".format(Integer.parseInt(sz.substring(56, 58), 16) ^ 1) +
+        sz.substring(58)
+      val m = pmod(col("doc_id"), lit(2L))
+      val hexStr = when(m === 0, lit(sz)).otherwise(lit(corrupt))
+      val tpe = "struct<name:string,size:bigint,is_dir:boolean>"
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(coalesce(
+            graft.functions.SevenZipList(unhex(hexStr))
+              .cast(s"array<$tpe>"),
+            array(lit(null).cast(tpe)))).as("__e"))
+        .select(col("doc_id"), col("__e.name").as("name"),
+          col("__e.size").as("size"), col("__e.is_dir").as("is_dir"))
+        .orderBy("doc_id", "name")
+    }),
     // OpenDocument text — pinned stored-zip ODF packages (odt with a
     // heading, a nested span, an entity; ods with table cells); the
     // corrupt branch (broken zip magic) keeps a null audit row
@@ -7559,6 +7587,19 @@ object SparkEntry {
         |    WHEN 4 THEN 'hello bzip2 world' || repeat('wiki dump text ', 40)
         |    ELSE NULL END AS bz_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q316: the listing replayed as constants; CRC-flip docs keep one
+    // null audit row
+    "q316_7z_list" ->
+      """SELECT doc_id, name, CAST(size AS BIGINT) AS size, is_dir
+        |FROM documents, (VALUES
+        |  ('README', 16, false), ('src', 0, true),
+        |  ('src/main.py', 18, false)) AS t(name, size, is_dir)
+        |WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, NULL, NULL, NULL FROM documents
+        |WHERE doc_id % 2 = 1
+        |ORDER BY doc_id, name""".stripMargin,
 
     // q315: the extracted texts replayed as constants; corrupt null
     "q315_odf_text" ->

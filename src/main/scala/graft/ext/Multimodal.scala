@@ -1139,6 +1139,20 @@ object Multimodal {
   def orcMeta(payload: Column, maxFooter: Int = 1 << 24): Column =
     graft.functions.OrcFooterMeta(payload, maxFooter)
 
+  /** 7z archive listing — names, sizes, directory flags off the
+    * (possibly LZMA-compressed) header via
+    * [[graft.functions.SevenZipList]]; one row per entry, corrupt
+    * archives contribute no rows. */
+  def sevenZipList(docs: DataFrame, idCol: String = "doc_id",
+                   payloadCol: String = "payload",
+                   maxEntries: Int = 1 << 16): DataFrame =
+    docs.select(col(idCol),
+        posexplode(graft.functions.SevenZipList(col(payloadCol),
+          maxEntries)).as(Seq("entry_idx", "__e")))
+      .select(col(idCol), col("entry_idx").cast("long").as("entry_idx"),
+        col("__e.name").as("name"), col("__e.size").as("size"),
+        col("__e.is_dir").as("is_dir"))
+
   /** Arrow IPC file (feather v2) footer census — version, the
     * dictionary/record-batch block lists and column names off the
     * footer flatbuffer ([[graft.functions.ArrowFooterMeta]]), no

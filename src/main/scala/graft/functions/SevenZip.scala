@@ -1,0 +1,526 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 7-Zip archive LISTING — the last common source-release container
+  * (the 7z format doc ships with the public SDK): the 32-byte
+  * signature header locates the NEXT HEADER, which is either a plain
+  * property-ID tree (`kHeader`) or — the 7z CLI's default — an
+  * LZMA/LZMA2-compressed one (`kEncodedHeader`), decompressed here by
+  * the engine's own LZMA machinery (shared with the xz kernel; COPY,
+  * BZIP2 and DEFLATE header folders decode too). Out of the header
+  * tree come the archive's files: names (UTF-16LE), per-file sizes
+  * (substream sizes, or the folder unpack size when a folder carries
+  * one stream), and the directory/empty-file distinction
+  * (`kEmptyStream` without `kEmptyFile` = directory, per the spec).
+  *
+  * LISTING tier by contract: member CONTENT stays compressed inside
+  * multi-coder folders whose full decode chain (BCJ filters, bind
+  * pairs) is out of scope here — the census a lake audit needs (what
+  * is inside, how big) never touches the payload.
+  *
+  * Output: array of `(name, size, is_dir)` in archive order.
+  *
+  * FAIL-CLOSED NULL on: bad signature, a next-header CRC32 mismatch
+  * (VERIFIED), malformed numbers, an encoded header whose folder
+  * uses an unsupported coder, trees that do not close with `kEnd`,
+  * more than `maxEntries` files, output past `maxHeader`. Per-row
+  * bounded work, zero shuffle, codegen'd. */
+case class SevenZipList(child: Expression, maxEntries: Int, maxHeader: Int)
+    extends UnaryExpression {
+  require(maxEntries > 0 && maxHeader > 0, "bounds must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sevenzip_list expects binary input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("is_dir", BooleanType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    SevenZipList.compute(a.asInstanceOf[Array[Byte]], maxEntries, maxHeader)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.SevenZipList.compute($c, $maxEntries, $maxHeader);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "sevenzip_list"
+}
+
+object SevenZipList {
+
+  private object Bad extends Exception with scala.util.control.NoStackTrace
+
+  private final class Cur(val b: Array[Byte], var pos: Int, val end: Int) {
+    def u8(): Int = {
+      if (pos >= end) throw Bad
+      val v = b(pos) & 0xff
+      pos += 1
+      v
+    }
+    def take(n: Long): Int = {
+      if (n < 0 || pos + n > end) throw Bad
+      val at = pos
+      pos += n.toInt
+      at
+    }
+    /** The spec's variable-length REAL_UINT64. */
+    def num(): Long = {
+      val first = u8()
+      var mask = 0x80
+      var value = 0L
+      var i = 0
+      while (i < 8) {
+        if ((first & mask) == 0) {
+          return value | ((first & (mask - 1)).toLong << (8 * i))
+        }
+        value |= (u8().toLong << (8 * i))
+        mask >>= 1
+        i += 1
+      }
+      value
+    }
+    def hasMore: Boolean = pos < end
+  }
+
+  private final val KEnd = 0x00
+  private final val KHeader = 0x01
+  private final val KMainStreamsInfo = 0x04
+  private final val KFilesInfo = 0x05
+  private final val KPackInfo = 0x06
+  private final val KUnPackInfo = 0x07
+  private final val KSubStreamsInfo = 0x08
+  private final val KSize = 0x09
+  private final val KCrc = 0x0A
+  private final val KFolder = 0x0B
+  private final val KCodersUnPackSize = 0x0C
+  private final val KNumUnPackStream = 0x0D
+  private final val KEmptyStream = 0x0E
+  private final val KEmptyFile = 0x0F
+  private final val KName = 0x11
+  private final val KEncodedHeader = 0x17
+
+  private final case class Coder(id: Array[Byte], numIn: Int, numOut: Int,
+                                 props: Array[Byte])
+  private final class Folder {
+    val coders = new scala.collection.mutable.ArrayBuffer[Coder]
+    var unpackSizes: Array[Long] = Array.empty
+    /** The folder's final output size = the out-stream no bind pair
+      * consumes; single-coder folders (the header case) have one. */
+    var bindOutConsumed: Array[Boolean] = Array.empty
+    def mainUnpackSize: Long = {
+      var i = unpackSizes.length - 1
+      while (i >= 0) {
+        if (i >= bindOutConsumed.length || !bindOutConsumed(i))
+          return unpackSizes(i)
+        i -= 1
+      }
+      throw Bad
+    }
+  }
+
+  private final class StreamsInfo {
+    var packPos = 0L
+    var packSizes: Array[Long] = Array.empty
+    val folders = new scala.collection.mutable.ArrayBuffer[Folder]
+    var numUnpackStreams: Array[Int] = Array.empty // per folder, default 1
+    var subSizes: Array[Long] = Array.empty // resolved per substream
+  }
+
+  /** Skip a (id, size, data)* property block list up to its kEnd. */
+  private def skipBlocks(c: Cur): Unit = {
+    var id = c.num()
+    while (id != KEnd) {
+      val sz = c.num()
+      c.take(sz)
+      id = c.num()
+    }
+  }
+
+  private def parseStreamsInfo(c: Cur, maxEntries: Int): StreamsInfo = {
+    val si = new StreamsInfo
+    var id = c.num()
+    while (id != KEnd) {
+      id match {
+        case KPackInfo =>
+          si.packPos = c.num()
+          val nPack = c.num()
+          if (nPack < 0 || nPack > maxEntries) throw Bad
+          var pid = c.num()
+          while (pid != KEnd) {
+            pid match {
+              case KSize =>
+                si.packSizes = Array.fill(nPack.toInt)(c.num())
+              case KCrc =>
+                // digests: allDefined byte then CRCs — skip structurally
+                skipCrcs(c, nPack.toInt)
+              case _ => throw Bad
+            }
+            pid = c.num()
+          }
+        case KUnPackInfo =>
+          var uid = c.num()
+          while (uid != KEnd) {
+            uid match {
+              case KFolder =>
+                val nFolders = c.num()
+                if (nFolders < 0 || nFolders > maxEntries) throw Bad
+                val external = c.u8()
+                if (external != 0) throw Bad // external folder defs: refuse
+                var f = 0
+                while (f < nFolders) {
+                  si.folders += parseFolder(c)
+                  f += 1
+                }
+              case KCodersUnPackSize =>
+                for (f <- si.folders) {
+                  val nOut = f.coders.map(_.numOut).sum
+                  f.unpackSizes = Array.fill(nOut)(c.num())
+                }
+              case KCrc =>
+                skipCrcs(c, si.folders.length)
+              case _ => throw Bad
+            }
+            uid = c.num()
+          }
+        case KSubStreamsInfo =>
+          si.numUnpackStreams = Array.fill(si.folders.length)(1)
+          var sid = c.num()
+          var sizesSeen = false
+          while (sid != KEnd) {
+            sid match {
+              case KNumUnPackStream =>
+                var f = 0
+                while (f < si.folders.length) {
+                  val cnt = c.num()
+                  if (cnt < 0 || cnt > maxEntries) throw Bad
+                  si.numUnpackStreams(f) = cnt.toInt
+                  f += 1
+                }
+              case KSize =>
+                sizesSeen = true
+                val sizes = new scala.collection.mutable.ArrayBuffer[Long]
+                var f = 0
+                while (f < si.folders.length) {
+                  val cnt = si.numUnpackStreams(f)
+                  var acc = 0L
+                  var k = 0
+                  while (k < cnt - 1) {
+                    val s = c.num()
+                    sizes += s
+                    acc += s
+                    k += 1
+                  }
+                  if (cnt > 0) sizes += si.folders(f).mainUnpackSize - acc
+                  f += 1
+                }
+                si.subSizes = sizes.toArray
+              case KCrc =>
+                val total = si.numUnpackStreams.sum
+                skipCrcs(c, total)
+              case _ => throw Bad
+            }
+            sid = c.num()
+          }
+          if (!sizesSeen)
+            si.subSizes = si.folders.map(_.mainUnpackSize).toArray
+        case _ => throw Bad
+      }
+      id = c.num()
+    }
+    if (si.numUnpackStreams.isEmpty) {
+      si.numUnpackStreams = Array.fill(si.folders.length)(1)
+      if (si.subSizes.isEmpty)
+        si.subSizes = si.folders.map(_.mainUnpackSize).toArray
+    }
+    si
+  }
+
+  private def skipCrcs(c: Cur, n: Int): Unit = {
+    val allDefined = c.u8()
+    val defined =
+      if (allDefined != 0) n
+      else {
+        // bit vector of n bits
+        val at = c.take((n + 7) / 8)
+        var cnt = 0
+        var i = 0
+        while (i < n) {
+          if ((c.b(at + (i >> 3)) & (0x80 >> (i & 7))) != 0) cnt += 1
+          i += 1
+        }
+        cnt
+      }
+    c.take(4L * defined)
+  }
+
+  private def parseFolder(c: Cur): Folder = {
+    val f = new Folder
+    val nCoders = c.num()
+    if (nCoders <= 0 || nCoders > 64) throw Bad
+    var i = 0L
+    var totalIn = 0
+    var totalOut = 0
+    while (i < nCoders) {
+      val flags = c.u8()
+      val idSize = flags & 0x0f
+      val at = c.take(idSize)
+      val id = java.util.Arrays.copyOfRange(c.b, at, at + idSize)
+      var nIn = 1
+      var nOut = 1
+      if ((flags & 0x10) != 0) { nIn = c.num().toInt; nOut = c.num().toInt }
+      val props =
+        if ((flags & 0x20) != 0) {
+          val psz = c.num()
+          val pat = c.take(psz)
+          java.util.Arrays.copyOfRange(c.b, pat, pat + psz.toInt)
+        } else Array.emptyByteArray
+      if (nIn <= 0 || nOut <= 0 || nIn > 64 || nOut > 64) throw Bad
+      totalIn += nIn
+      totalOut += nOut
+      f.coders += Coder(id, nIn, nOut, props)
+      i += 1
+    }
+    val nBindPairs = totalOut - 1
+    f.bindOutConsumed = new Array[Boolean](totalOut)
+    var bp = 0
+    while (bp < nBindPairs) {
+      c.num() // inIndex
+      val outIndex = c.num()
+      if (outIndex < 0 || outIndex >= totalOut) throw Bad
+      f.bindOutConsumed(outIndex.toInt) = true
+      bp += 1
+    }
+    val nPacked = totalIn - nBindPairs
+    if (nPacked > 1) {
+      var k = 0
+      while (k < nPacked) { c.num(); k += 1 }
+    }
+    f
+  }
+
+  /** Decompress a single-coder folder's payload (the header case). */
+  private def decodeFolder(bytes: Array[Byte], baseOff: Long,
+                           si: StreamsInfo, maxHeader: Int): Array[Byte] = {
+    if (si.folders.length != 1 || si.packSizes.length != 1) throw Bad
+    val f = si.folders(0)
+    if (f.coders.length != 1) throw Bad
+    val coder = f.coders(0)
+    val start = 32L + si.packPos + baseOff
+    val packLen = si.packSizes(0)
+    if (start < 0 || packLen < 0 || start + packLen > bytes.length) throw Bad
+    val unpack = f.mainUnpackSize
+    if (unpack < 0 || unpack > maxHeader) throw Bad
+    val idHex = coder.id.map(b => f"${b & 0xff}%02x").mkString
+    idHex match {
+      case "00" => // COPY
+        if (packLen != unpack) throw Bad
+        java.util.Arrays.copyOfRange(bytes, start.toInt,
+          (start + packLen).toInt)
+      case "030101" => // LZMA1: props = 1 byte lclppb + 4 bytes dictSize
+        if (coder.props.length < 1) throw Bad
+        val out = XzPayload.lzma1(bytes, start.toInt, packLen.toInt,
+          unpack.toInt, coder.props(0) & 0xff, maxHeader)
+        if (out == null || out.length != unpack) throw Bad
+        out
+      case "21" => // LZMA2: props = 1 byte dictSize code
+        val out = XzPayload.lzma2Raw(bytes, start.toInt,
+          (start + packLen).toInt, maxHeader)
+        if (out == null || out.length != unpack) throw Bad
+        out
+      case "040202" => // BZIP2
+        val out = Bunzip2.compute(java.util.Arrays.copyOfRange(bytes,
+          start.toInt, (start + packLen).toInt), maxHeader)
+        if (out == null || out.length != unpack) throw Bad
+        out
+      case "040108" => // DEFLATE (raw)
+        val inf = new java.util.zip.Inflater(true)
+        try {
+          inf.setInput(bytes, start.toInt, packLen.toInt)
+          val out = new Array[Byte](unpack.toInt)
+          var total = 0
+          while (total < unpack && !inf.finished()) {
+            val got = inf.inflate(out, total, out.length - total)
+            if (got == 0 && !inf.finished()) throw Bad
+            total += got
+          }
+          if (total != unpack) throw Bad
+          out
+        } catch {
+          case _: java.util.zip.DataFormatException => throw Bad
+        } finally inf.end()
+      case _ => throw Bad // multi-coder/filtered headers: refuse
+    }
+  }
+
+  private final case class FilesInfo(names: Array[String],
+                                     emptyStream: Array[Boolean],
+                                     emptyFile: Array[Boolean])
+
+  private def parseFilesInfo(c: Cur, maxEntries: Int): FilesInfo = {
+    val nFiles = c.num()
+    if (nFiles < 0 || nFiles > maxEntries) throw Bad
+    var names: Array[String] = Array.empty
+    var emptyStream = new Array[Boolean](nFiles.toInt)
+    var emptyFile = new Array[Boolean](nFiles.toInt)
+    var id = c.num()
+    while (id != KEnd) {
+      val size = c.num()
+      val blockEnd = c.pos + size
+      if (size < 0 || blockEnd > c.end) throw Bad
+      id match {
+        case KEmptyStream =>
+          if ((nFiles + 7) / 8 > size) throw Bad
+          var i = 0
+          val at = c.pos
+          while (i < nFiles) {
+            emptyStream(i) = (c.b(at + (i >> 3)) & (0x80 >> (i & 7))) != 0
+            i += 1
+          }
+        case KEmptyFile =>
+          // bit vector over the EMPTY-STREAM files only
+          val nEmpty = emptyStream.count(identity)
+          val at = c.pos
+          var e = 0
+          var i = 0
+          while (i < nFiles) {
+            if (emptyStream(i)) {
+              if ((c.b(at + (e >> 3)) & (0x80 >> (e & 7))) != 0)
+                emptyFile(i) = true
+              e += 1
+            }
+            i += 1
+          }
+          if ((nEmpty + 7) / 8 > size) throw Bad
+        case KName =>
+          val external = c.b(c.pos) & 0xff
+          if (external != 0) throw Bad
+          // UTF-16LE, NUL-terminated each, from pos+1 to blockEnd
+          val sb = new scala.collection.mutable.ArrayBuffer[String]
+          var p = c.pos + 1
+          var s = p
+          while (p + 2 <= blockEnd.toInt && sb.length < nFiles) {
+            if (c.b(p) == 0 && c.b(p + 1) == 0) {
+              sb += new String(c.b, s, p - s,
+                java.nio.charset.StandardCharsets.UTF_16LE)
+              s = p + 2
+            }
+            p += 2
+          }
+          if (sb.length != nFiles) throw Bad
+          names = sb.toArray
+        case _ => () // mtimes, attributes, dummies: skipped
+      }
+      c.pos = blockEnd.toInt
+      id = c.num()
+    }
+    if (names.length != nFiles) throw Bad
+    FilesInfo(names, emptyStream, emptyFile)
+  }
+
+  /** The per-row kernel — public static so generated code can call it. */
+  def compute(bytes: Array[Byte], maxEntries: Int,
+              maxHeader: Int): GenericArrayData = {
+    try {
+      val n = bytes.length
+      if (n < 32) return null
+      if (bytes(0) != '7' || bytes(1) != 'z' || (bytes(2) & 0xff) != 0xBC ||
+        (bytes(3) & 0xff) != 0xAF || (bytes(4) & 0xff) != 0x27 ||
+        (bytes(5) & 0xff) != 0x1C) return null
+      def le64(p: Int): Long = {
+        var v = 0L
+        var i = 7
+        while (i >= 0) { v = (v << 8) | (bytes(p + i) & 0xffL); i -= 1 }
+        v
+      }
+      def le32(p: Int): Long = {
+        var v = 0L
+        var i = 3
+        while (i >= 0) { v = (v << 8) | (bytes(p + i) & 0xffL); i -= 1 }
+        v
+      }
+      val nextOff = le64(12)
+      val nextSize = le64(20)
+      val nextCrc = le32(28)
+      val hdrStart = 32L + nextOff
+      if (nextSize < 0 || hdrStart < 32 || hdrStart + nextSize > n)
+        return null
+      // next-header CRC verified, never skipped
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, hdrStart.toInt, nextSize.toInt)
+      if ((crc.getValue & 0xFFFFFFFFL) != nextCrc) return null
+      var hc = new Cur(bytes, hdrStart.toInt, (hdrStart + nextSize).toInt)
+      var id = hc.num()
+      if (id == KEncodedHeader) {
+        val si = parseStreamsInfo(hc, maxEntries)
+        val header = decodeFolder(bytes, 0L, si, maxHeader)
+        hc = new Cur(header, 0, header.length)
+        id = hc.num()
+      }
+      if (id != KHeader) throw Bad
+      var files: FilesInfo = null
+      var main: StreamsInfo = null
+      id = hc.num()
+      while (id != KEnd) {
+        id match {
+          case KMainStreamsInfo => main = parseStreamsInfo(hc, maxEntries)
+          case KFilesInfo => files = parseFilesInfo(hc, maxEntries)
+          case 0x02 | 0x03 => skipBlocks(hc) // archive props / extra
+          case _ => throw Bad
+        }
+        id = hc.num()
+      }
+      if (files == null) throw Bad
+      val out = new java.util.ArrayList[Any]
+      var sub = 0
+      var i = 0
+      while (i < files.names.length) {
+        val empty = files.emptyStream(i)
+        val isDir = empty && !files.emptyFile(i)
+        val size: Long =
+          if (empty) 0L
+          else {
+            if (main == null || sub >= main.subSizes.length) throw Bad
+            val s = main.subSizes(sub)
+            sub += 1
+            s
+          }
+        out.add(new GenericInternalRow(Array[Any](
+          UTF8String.fromString(files.names(i)), size,
+          java.lang.Boolean.valueOf(isDir))))
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    } catch {
+      case Bad => null
+      case _: ArrayIndexOutOfBoundsException => null
+      case _: NegativeArraySizeException => null
+    }
+  }
+
+  import org.apache.spark.sql.graftshim.ColumnShim
+
+  /** Column-level entry point; 64k entries, 16 MiB header. */
+  def apply(payload: Column, maxEntries: Int = 1 << 16,
+            maxHeader: Int = 1 << 24): Column =
+    ColumnShim.column(
+      SevenZipList(ColumnShim.expression(payload), maxEntries, maxHeader))
+}

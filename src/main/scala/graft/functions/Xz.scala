@@ -289,7 +289,7 @@ object XzPayload {
     * before it). */
   private def lzmaChunk(bytes: Array[Byte], off: Int, packSize: Int,
                         unpackSize: Int, out: Out, dictBase: Int,
-                        m: Lzma): Unit = {
+                        m: Lzma, exact: Boolean = true): Unit = {
     val rc = new RangeDec(bytes, off, off + packSize)
     val target = out.len + unpackSize
     val pbMask = (1 << m.pb) - 1
@@ -392,12 +392,56 @@ object XzPayload {
     // the chunk must consume its packed bytes exactly AND leave the
     // range coder in the finished state (code == 0) — the liblzma
     // end-of-chunk check that catches tampered trailing bytes the
-    // decoding path never branches on
-    if (rc.pos != off + packSize || rc.code != 0) throw Bad
+    // decoding path never branches on. RAW LZMA1 callers (7z headers)
+    // relax it: their encoders' final flush legitimately leaves
+    // normalization slack the decoder never reads.
+    if (exact && (rc.pos != off + packSize || rc.code != 0)) throw Bad
+    if (!exact && rc.pos > off + packSize) throw Bad
   }
 
   /** One LZMA2 stream: chunks until the 0x00 terminator. Returns the
     * position after the terminator. */
+  /** Raw LZMA1 decode for OTHER containers (the 7z header tier):
+    * `props` is the classic 1-byte lc/lp/pb encoding, the stream's
+    * packed bytes are `[off, off+packSize)` and exactly `unpackSize`
+    * bytes come out. The 7z restriction to lc+lp ≤ 4 carries over
+    * (the shared probability-array layout assumes it — 7z's default
+    * lc3 lp0 pb2 fits). Fail-closed null on any malformed shape. */
+  private[functions] def lzma1(bytes: Array[Byte], off: Int, packSize: Int,
+                               unpackSize: Int, props: Int,
+                               maxOut: Int): Array[Byte] = {
+    try {
+      if (unpackSize < 0 || unpackSize > maxOut) return null
+      if (off < 0 || packSize < 0 || off + packSize > bytes.length)
+        return null
+      val out = new Out(maxOut)
+      val m = new Lzma
+      m.setProps(props)
+      m.resetState()
+      lzmaChunk(bytes, off, packSize, unpackSize, out, 0, m,
+        exact = false)
+      java.util.Arrays.copyOf(out.buf, out.len)
+    } catch {
+      case Bad => null
+      case _: ArrayIndexOutOfBoundsException => null
+    }
+  }
+
+  /** Raw LZMA2 chunk-stream decode for OTHER containers (7z folders
+    * use it without the xz framing). Fail-closed null. */
+  private[functions] def lzma2Raw(bytes: Array[Byte], off: Int, end: Int,
+                                  maxOut: Int): Array[Byte] = {
+    try {
+      if (off < 0 || end > bytes.length || off > end) return null
+      val out = new Out(maxOut)
+      lzma2(bytes, off, end, out)
+      java.util.Arrays.copyOf(out.buf, out.len)
+    } catch {
+      case Bad => null
+      case _: ArrayIndexOutOfBoundsException => null
+    }
+  }
+
   private def lzma2(bytes: Array[Byte], start: Int, end: Int,
                     out: Out): Int = {
     var pos = start
