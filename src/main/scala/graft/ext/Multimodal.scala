@@ -944,7 +944,7 @@ object Multimodal {
       graft.functions.ZipMemberData(col("__p"),
         try_element_at(filter(col("__e"),
           x => x.getField("name") === name), lit(1)), maxBytes)
-    def memText(name: Column): Column = decode(mem(name), "UTF-8")
+    def memText(name: Column): Column = graft.functions.Utf8Text(mem(name))
     // epub: container → OPF → spine, all via the shared listing.
     // The OPF derivation chain is MATERIALIZED as columns below
     // (__opf/__dir/__items/__idrefs) instead of inlined per
@@ -973,8 +973,8 @@ object Multimodal {
       filter(
         transform(
           filter(col("__e"), e => !e.getField("name").endsWith("/")),
-          e => decode(graft.functions.ZipMemberData(col("__p"), e,
-            maxBytes), "UTF-8")),
+          e => graft.functions.Utf8Text(
+            graft.functions.ZipMemberData(col("__p"), e, maxBytes))),
         t => t.isNotNull),
       "\n\n"))
     docs.select(col(idCol), col(payloadCol).as("__p"),
@@ -1028,23 +1028,18 @@ object Multimodal {
               .when(col("__names").contains("\nword/"),
                 docxXmlText(memText(lit("word/document.xml"))))
               .otherwise(allMembers))
-          .when(col("format") === "gzip",
-            decode(graft.functions.GunzipPayload(col("__p"), maxBytes),
-              "UTF-8"))
-          .when(col("format") === "bzip2",
-            decode(graft.functions.Bunzip2(col("__p"), maxBytes), "UTF-8"))
-          .when(col("format") === "zstd",
-            decode(graft.functions.ZstdPayload(col("__p"), maxBytes),
-              "UTF-8"))
-          .when(col("format") === "xz",
-            decode(graft.functions.XzPayload(col("__p"), maxBytes),
-              "UTF-8"))
-          .when(col("format") === "lz4",
-            decode(graft.functions.Lz4FramePayload(col("__p"), maxBytes),
-              "UTF-8"))
-          .when(col("format") === "snappy",
-            decode(graft.functions.SnappyFramePayload(col("__p"), maxBytes),
-              "UTF-8"))
+          .when(col("format") === "gzip", graft.functions.Utf8Text(
+            graft.functions.GunzipPayload(col("__p"), maxBytes)))
+          .when(col("format") === "bzip2", graft.functions.Utf8Text(
+            graft.functions.Bunzip2(col("__p"), maxBytes)))
+          .when(col("format") === "zstd", graft.functions.Utf8Text(
+            graft.functions.ZstdPayload(col("__p"), maxBytes)))
+          .when(col("format") === "xz", graft.functions.Utf8Text(
+            graft.functions.XzPayload(col("__p"), maxBytes)))
+          .when(col("format") === "lz4", graft.functions.Utf8Text(
+            graft.functions.Lz4FramePayload(col("__p"), maxBytes)))
+          .when(col("format") === "snappy", graft.functions.Utf8Text(
+            graft.functions.SnappyFramePayload(col("__p"), maxBytes)))
           // legacy Office containers: Word documents extract through
           // the piece-table tier, Excel workbooks through the BIFF8
           // cell grid (values joined in walk order), PowerPoint decks
@@ -1060,7 +1055,9 @@ object Multimodal {
               graft.functions.PptText(col("__p"), maxBytes)))
           .when(col("format") === "rtf",
             graft.functions.RtfText(col("__p"), maxBytes))
-          .otherwise(decode(col("__p"), "UTF-8")).as("text"))
+          // binary junk in a mixed lake NULLS here instead of
+          // killing the scan (decode(...,'UTF-8') throws on malformed)
+          .otherwise(graft.functions.Utf8Text(col("__p"))).as("text"))
   }
 
   /** Parquet footer metadata — the lake-discovery tier for the
