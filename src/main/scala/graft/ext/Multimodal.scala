@@ -591,9 +591,8 @@ object Multimodal {
     * payloads, archives without the member, and malformed members
     * all yield null. Narrow per-row work, zero shuffle. */
   def docxText(payload: Column, maxBytes: Int = 1 << 24): Column =
-    docxXmlText(decode(
-      graft.functions.ZipEntryBytes(payload, "word/document.xml", maxBytes),
-      "UTF-8"))
+    docxXmlText(graft.functions.Utf8Text(
+      graft.functions.ZipEntryBytes(payload, "word/document.xml", maxBytes)))
 
   /** The WordprocessingML→text transform alone (member already
     * extracted) — shared by [[docxText]] and the resolve-once
@@ -613,9 +612,8 @@ object Multimodal {
     * recipe for the other office suite. Non-ODF zips and corrupt
     * payloads null. */
   def odfText(payload: Column, maxBytes: Int = 1 << 24): Column =
-    odfXmlText(decode(
-      graft.functions.ZipEntryBytes(payload, "content.xml", maxBytes),
-      "UTF-8"))
+    odfXmlText(graft.functions.Utf8Text(
+      graft.functions.ZipEntryBytes(payload, "content.xml", maxBytes)))
 
   /** The ODF-content→text transform alone (member already
     * extracted) — shared by [[odfText]] and the resolve-once
@@ -628,8 +626,8 @@ object Multimodal {
   /** The ODF KIND off the package's `mimetype` member — text /
     * spreadsheet / presentation; null for non-ODF payloads. */
   def odfKind(payload: Column): Column = {
-    val mt = decode(graft.functions.ZipEntryBytes(payload, "mimetype",
-      256), "UTF-8")
+    val mt = graft.functions.Utf8Text(graft.functions.ZipEntryBytes(payload, "mimetype",
+      256))
     when(mt.startsWith("application/vnd.oasis.opendocument."),
       regexp_extract(mt, "opendocument\\.([a-z-]+)", 1))
   }
@@ -716,8 +714,8 @@ object Multimodal {
       .filter(!col("__e.name").endsWith("/"))
       .select(col(idCol), col("__e.name").as("name"),
         col("__e.usize").as("usize"),
-        decode(graft.functions.ZipMemberData(col("__p"),
-          col("__e"), maxBytes), "UTF-8").as("text"))
+        graft.functions.Utf8Text(graft.functions.ZipMemberData(col("__p"),
+          col("__e"), maxBytes)).as("text"))
 
   /** [[tarList]] over a gzip-compressed tarball — `.tar.gz`, the
     * shape source releases actually ship: one bounded
@@ -811,8 +809,7 @@ object Multimodal {
       .filter(col("__e.typeflag") === "0")
       .select(col(idCol), col("__e.name").as("name"),
         col("__e.size").as("size"),
-        decode(col("__p").substr(col("__e.offset") + 1, col("__e.size")),
-          "UTF-8").as("text"))
+        graft.functions.Utf8Text(col("__p").substr(col("__e.offset") + 1, col("__e.size"))).as("text"))
 
   /** One named REGULAR file's text from a tar — tar stores bytes
     * uncompressed, so after the walk locates `(offset, size)` the
@@ -828,8 +825,7 @@ object Multimodal {
           .as("__e"))
       .filter(col("__e.name") === member && col("__e.typeflag") === "0")
       .select(col(idCol),
-        decode(col("__p").substr(col("__e.offset") + 1, col("__e.size")),
-          "UTF-8").as("text"))
+        graft.functions.Utf8Text(col("__p").substr(col("__e.offset") + 1, col("__e.size"))).as("text"))
 
   /** PPTX slide text — the deck sibling of [[docxText]]: the named
     * slide's DrawingML cleans the same way (paragraph closes
@@ -840,8 +836,8 @@ object Multimodal {
     * without that slide yield null. */
   def pptxSlideText(payload: Column, slide: Int = 1,
                     maxBytes: Int = 1 << 24): Column =
-    slideXmlText(decode(graft.functions.ZipEntryBytes(payload,
-      s"ppt/slides/slide$slide.xml", maxBytes), "UTF-8"))
+    slideXmlText(graft.functions.Utf8Text(graft.functions.ZipEntryBytes(payload,
+      s"ppt/slides/slide$slide.xml", maxBytes)))
 
   /** The DrawingML→text transform alone — shared by [[pptxSlideText]]
     * and the resolve-once [[documentText]] dispatcher. */
@@ -855,8 +851,8 @@ object Multimodal {
     * entries in table order, one per line, runs concatenated and
     * entities decoded. Workbooks without the member yield null. */
   def xlsxText(payload: Column, maxBytes: Int = 1 << 24): Column =
-    sharedStringsText(decode(graft.functions.ZipEntryBytes(payload,
-      "xl/sharedStrings.xml", maxBytes), "UTF-8"))
+    sharedStringsText(graft.functions.Utf8Text(graft.functions.ZipEntryBytes(payload,
+      "xl/sharedStrings.xml", maxBytes)))
 
   /** The shared-strings→text transform alone — shared by [[xlsxText]]
     * and the resolve-once [[documentText]] dispatcher. */
@@ -878,11 +874,11 @@ object Multimodal {
     * book-bounded work — acceptable for a per-row dispatcher, not
     * for a corpus-wide epub pass (that is [[epubChapters]]). */
   def epubText(payload: Column, maxBytes: Int = 1 << 24): Column = {
-    val opfp = regexp_extract(decode(graft.functions.ZipEntryBytes(payload,
-      "META-INF/container.xml", maxBytes), "UTF-8"),
+    val opfp = regexp_extract(graft.functions.Utf8Text(graft.functions.ZipEntryBytes(payload,
+      "META-INF/container.xml", maxBytes)),
       "(?s)<rootfile[^>]*full-path=\"([^\"]*)\"", 1)
-    val opf = decode(graft.functions.ZipEntryBytesAt(payload,
-      when(opfp =!= "", opfp), maxBytes), "UTF-8")
+    val opf = graft.functions.Utf8Text(graft.functions.ZipEntryBytesAt(payload,
+      when(opfp =!= "", opfp), maxBytes))
     val dir = when(opfp.contains("/"),
       regexp_extract(opfp, "^(.*/)[^/]*$", 1)).otherwise(lit(""))
     val items = transform(
@@ -896,8 +892,8 @@ object Multimodal {
     val texts = transform(idrefs, idref => {
       val m = filter(items, it => it.getField("id") === idref)
       when(size(m) > 0, TextAnalysis.htmlToText(
-        decode(graft.functions.ZipEntryBytesAt(payload,
-          concat(dir, m.getItem(0).getField("href")), maxBytes), "UTF-8")))
+        graft.functions.Utf8Text(graft.functions.ZipEntryBytesAt(payload,
+          concat(dir, m.getItem(0).getField("href")), maxBytes))))
     })
     when(opf.isNotNull,
       array_join(filter(texts, t => t.isNotNull), "\n\n"))
@@ -1201,12 +1197,12 @@ object Multimodal {
     }
     docs.select(col(idCol), col(payloadCol).as("__p"))
       .select(col(idCol), col("__p"),
-        regexp_extract(decode(graft.functions.ZipEntryBytes(col("__p"),
-            "META-INF/container.xml", maxBytes), "UTF-8"),
+        regexp_extract(graft.functions.Utf8Text(graft.functions.ZipEntryBytes(col("__p"),
+            "META-INF/container.xml", maxBytes)),
           "(?s)<rootfile[^>]*full-path=\"([^\"]*)\"", 1).as("__opfp"))
       .select(col(idCol), col("__opfp"),
-        decode(graft.functions.ZipEntryBytesAt(col("__p"),
-          when(col("__opfp") =!= "", col("__opfp")), maxBytes), "UTF-8")
+        graft.functions.Utf8Text(graft.functions.ZipEntryBytesAt(col("__p"),
+          when(col("__opfp") =!= "", col("__opfp")), maxBytes))
           .as("__opf"))
       .select(col(idCol),
         when(col("__opfp") =!= "", col("__opfp")).as("opf_path"),
@@ -1235,9 +1231,9 @@ object Multimodal {
     // ONE archive resolution per book (the __es alias): container,
     // OPF and every chapter extract at coordinates from it
     def memText(name: Column): Column =
-      decode(graft.functions.ZipMemberData(col("__p"),
+      graft.functions.Utf8Text(graft.functions.ZipMemberData(col("__p"),
         try_element_at(filter(col("__es"),
-          x => x.getField("name") === name), lit(1)), maxBytes), "UTF-8")
+          x => x.getField("name") === name), lit(1)), maxBytes))
     val withOpf = docs.select(col(idCol), col(payloadCol).as("__p"),
         graft.functions.ZipEntries(col(payloadCol), 4096).as("__es"))
       .select(col(idCol), col("__p"), col("__es"),
@@ -1293,8 +1289,8 @@ object Multimodal {
   def xlsxSharedStrings(docs: DataFrame, idCol: String = "doc_id",
                         payloadCol: String = "payload",
                         maxBytes: Int = 1 << 24): DataFrame = {
-    val xml = decode(graft.functions.ZipEntryBytes(col(payloadCol),
-      "xl/sharedStrings.xml", maxBytes), "UTF-8")
+    val xml = graft.functions.Utf8Text(graft.functions.ZipEntryBytes(col(payloadCol),
+      "xl/sharedStrings.xml", maxBytes))
     docs.select(col(idCol),
         posexplode(regexp_extract_all(xml,
           lit("(?s)<si>(.*?)</si>"), lit(1))).as(Seq("si_idx", "__si")))
@@ -1336,13 +1332,13 @@ object Multimodal {
       .select(col(idCol),
         regexp_extract(col("__e.name"), "sheet([0-9]+)\\.xml$", 1)
           .cast("long").as("sheet"),
-        decode(graft.functions.ZipMemberData(col("__p"),
-          col("__e"), maxBytes), "UTF-8").as("__xml"),
+        graft.functions.Utf8Text(graft.functions.ZipMemberData(col("__p"),
+          col("__e"), maxBytes)).as("__xml"),
         transform(regexp_extract_all(
-            decode(graft.functions.ZipMemberData(col("__p"),
+            graft.functions.Utf8Text(graft.functions.ZipMemberData(col("__p"),
               try_element_at(filter(col("__es"), x =>
                 x.getField("name") === "xl/sharedStrings.xml"), lit(1)),
-              maxBytes), "UTF-8"),
+              maxBytes)),
             lit("(?s)<si>(.*?)</si>"), lit(1)),
           si => array_join(
             regexp_extract_all(si, lit("(?s)<t[^>]*>(.*?)</t>"), lit(1)),

@@ -2133,7 +2133,10 @@ object TextAnalysis {
         posexplode(graft.functions.GunzipMembers(col(gzCol), maxMembers,
           maxOut, maxTotalOut)).as(Seq("rec_idx", "__b")))
       .select(col(idCol), col("rec_idx").cast("long").as("rec_idx"),
-        decode(col("__b"), "UTF-8").as("__warc"))
+        // binary record bodies (images in a real crawl) degrade to
+        // latin1 instead of throwing — headers stay parseable
+        coalesce(graft.functions.Utf8Text(col("__b")),
+          decode(col("__b"), "ISO-8859-1")).as("__warc"))
     warcParse(recs, idCol, "__warc", carryCols = Seq("rec_idx"))
   }
 
@@ -2152,8 +2155,11 @@ object TextAnalysis {
                     gzCol: String = "warc_gz",
                     maxOut: Int = 1 << 24): DataFrame =
     warcParse(docs.select(col(idCol),
-      decode(graft.functions.GunzipPayload(col(gzCol), maxOut), "UTF-8")
-        .as("__warc")), idCol, "__warc")
+      coalesce(
+        graft.functions.Utf8Text(
+          graft.functions.GunzipPayload(col(gzCol), maxOut)),
+        decode(graft.functions.GunzipPayload(col(gzCol), maxOut),
+          "ISO-8859-1")).as("__warc")), idCol, "__warc")
 
   /** `Sitemap:` discovery from robots.txt — per RFC 9309 the
     * directive is GLOBAL (never bound to a User-agent section, unlike
@@ -3087,7 +3093,8 @@ object TextAnalysis {
         .otherwise(graft.functions.QpDecode(
           regexp_replace(dat, "_", " ")))
       val dec = when(cs === "iso-8859-1" || cs === "latin1",
-        decode(bin, "ISO-8859-1")).otherwise(decode(bin, "UTF-8"))
+        decode(bin, "ISO-8859-1")).otherwise(coalesce(
+        graft.functions.Utf8Text(bin), decode(bin, "ISO-8859-1")))
       coalesce(dec, t) // malformed token: keep verbatim
     }
     array_join(zip_with(segs,
@@ -3148,7 +3155,8 @@ object TextAnalysis {
                              charset: Column): Column = {
     def cs(bin: Column): Column =
       when(charset === "iso-8859-1" || charset === "latin1",
-        decode(bin, "ISO-8859-1")).otherwise(decode(bin, "UTF-8"))
+        decode(bin, "ISO-8859-1")).otherwise(coalesce(
+        graft.functions.Utf8Text(bin), decode(bin, "ISO-8859-1")))
     val b64 = regexp_replace(bodyTxt, "[^A-Za-z0-9+/=]", "")
     when(cte === "base64", when(b64.rlike(
         "^([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"),

@@ -103,7 +103,8 @@ object CorpusIO {
     val full = withCorrupt(schema)
     spark.read.format("binaryFile").load(path)
       .select(graft.functions.ZstdPayload(col("content"), maxOut).as("__b"))
-      .select(explode(split(decode(col("__b"), "UTF-8"), "\n")).as("__line"))
+      .select(explode(split(graft.functions.Utf8Text(col("__b")),
+        "\n")).as("__line"))
       .filter(col("__line") =!= "")
       .select(from_json(col("__line"), full, Map(
         "mode" -> "PERMISSIVE",
