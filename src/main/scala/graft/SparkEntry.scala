@@ -356,9 +356,9 @@ object SparkEntry {
     * checksum — the kernel must drop the whole archive. */
   private def tarFixture(s: SparkSession, dir: String,
                          gz: Boolean = false): DataFrame = {
-    val fixedSum = ("0000644 " + "0000000 " + "0000000 " +
-      "00000000000 " + "        " + "ustar 00").map(_.toInt).sum.toLong
-    def pad(c: Column, n: Int) = rpad(c, n, " ")
+    val fixedSum = ("0000644\u0000" + "0000000\u0000" + "0000000\u0000" +
+      "00000000000 " + "        " + "ustar\u000000").map(_.toInt).sum.toLong
+    def pad(c: Column, n: Int) = rpad(c, n, "\u0000")
     def octal11(size: Column) =
       concat(lpad(conv(size.cast("string"), 10, 8), 11, "0"), lit(" "))
     def charSum(c: Column): Column =
@@ -370,15 +370,15 @@ object SparkEntry {
       val chkVal = lit(fixedSum + name.map(_.toInt).sum + tf.toInt) +
         charSum(so) + chkAdd
       val chk = concat(lpad(conv(chkVal.cast("string"), 10, 8), 6, "0"),
-        lit("  "))
+        lit("\u0000 "))
       concat(pad(lit(name), 100),
-        lit("0000644 "), lit("0000000 "), lit("0000000 "),
+        lit("0000644\u0000"), lit("0000000\u0000"), lit("0000000\u0000"),
         so, lit("00000000000 "), chk, lit(tf.toString),
-        pad(lit(""), 100), lit("ustar 00"), pad(lit(""), 247))
+        pad(lit(""), 100), lit("ustar\u000000"), pad(lit(""), 247))
     }
     def padTo512(c: Column): Column = {
       val tot = (floor((length(c) + 511) / 512) * 512).cast("int")
-      call_function("rpad", c, tot, lit(" "))
+      call_function("rpad", c, tot, lit("\u0000"))
     }
     val f1 = concat(lit("print('doc "), col("doc_id").cast("string"),
       lit("')\n"))
@@ -391,7 +391,7 @@ object SparkEntry {
       padTo512(f1),
       hdr("README.md", length(f2).cast("long"), '0', lit(0L)),
       padTo512(f2),
-      lit(" " * 1024)).cast("binary")
+      lit("\u0000" * 1024)).cast("binary")
     // gz: wrap the whole tarball in one stored-block RFC 1952 member
     // (the q255 recipe) — the .tar.gz release shape
     def leHex(c: Column, nBytes: Int) = concat((0 until nBytes).map(i =>

@@ -489,7 +489,7 @@ object AvroRecordsJson {
             if (total == out.length) {
               if (out.length >= maxOut) throw Bad
               out = java.util.Arrays.copyOf(out,
-                math.min(maxOut, out.length * 2))
+                math.min(maxOut.toLong, out.length.toLong * 2).toInt)
             }
             val got = inf.inflate(out, total, out.length - total)
             if (got == 0 && !inf.finished()) throw Bad

@@ -81,11 +81,14 @@ object FrameCodecs {
       var out = new Array[Byte](8192)
       var o = 0
       def ensure(m: Int): Unit = {
-        if (o + m > maxOut) throw Bad
-        if (o + m > out.length) {
-          var cap = out.length
-          while (cap < o + m) cap *= 2
-          out = java.util.Arrays.copyOf(out, math.min(cap, maxOut))
+        // long arithmetic: o + m can exceed Int.MaxValue/2 when callers
+        // raise maxOut past 1 GiB, and the doubling loop must not wrap
+        val need = o.toLong + m
+        if (need > maxOut) throw Bad
+        if (need > out.length) {
+          var cap = out.length.toLong
+          while (cap < need) cap <<= 1
+          out = java.util.Arrays.copyOf(out, math.min(cap, maxOut.toLong).toInt)
         }
       }
       if (n < 7) throw Bad
@@ -262,6 +265,10 @@ object FrameCodecs {
               throw Bad
             bos.write(bytes, p + 4, len - 4)
           case 0xfe => () // padding
+          case 0xff => // repeated stream identifier: validate then skip
+            if (len != 6 || bytes(p) != 's' || bytes(p + 1) != 'N' ||
+              bytes(p + 2) != 'a' || bytes(p + 3) != 'P' ||
+              bytes(p + 4) != 'p' || bytes(p + 5) != 'Y') throw Bad
           case x if x >= 0x80 && x <= 0xfd => () // skippable
           case _ => throw Bad // unskippable reserved chunk
         }

@@ -225,11 +225,18 @@ object SevenZipList {
                   var k = 0
                   while (k < cnt - 1) {
                     val s = c.num()
+                    if (s < 0) throw Bad
                     sizes += s
                     acc += s
                     k += 1
                   }
-                  if (cnt > 0) sizes += si.folders(f).mainUnpackSize - acc
+                  if (cnt > 0) {
+                    // declared sub-sizes must not exceed the folder's
+                    // unpack size — a negative residual is a lie
+                    val last = si.folders(f).mainUnpackSize - acc
+                    if (last < 0) throw Bad
+                    sizes += last
+                  }
                   f += 1
                 }
                 si.subSizes = sizes.toArray

@@ -12,6 +12,12 @@ import org.apache.spark.sql.types._
   * `<version>.json` commit files of newline-delimited actions, plus
   * periodic `<version>.checkpoint.parquet` files collapsing
   * everything up to that version, advertised by `_last_checkpoint`).
+  * Classic single-file AND multi-part
+  * (`<v>.checkpoint.<part>.<numParts>.parquet`, the `parts` field of
+  * `_last_checkpoint`) checkpoints are read; v2 UUID-named
+  * sidecar-based checkpoints are refused with an explicit error —
+  * their file actions can live in sidecar files this reader does not
+  * follow, and silently dropping them would corrupt the census.
   *
   * What this gives a 100 TB pipeline WITHOUT opening a single data
   * file: the live-file set (the table's true size and partition
@@ -58,7 +64,7 @@ object DeltaLog {
       StructField("minWriterVersion", IntegerType))))))
 
   private final case class LogFiles(jsons: Seq[String],
-                                    checkpoint: Option[(String, Long)])
+                                    checkpoint: Option[(Seq[String], Long)])
 
   /** List the log: the `_last_checkpoint` pointer (if any) plus every
     * commit json AFTER the checkpoint version. Driver-side listing of
@@ -69,14 +75,18 @@ object DeltaLog {
     if (!fs.exists(logDir))
       throw new IllegalArgumentException(
         s"not a Delta table: no _delta_log under $tableDir")
-    val ckptVersion: Option[Long] = {
+    val ckptPointer: Option[(Long, Option[Int])] = {
       val lc = new Path(logDir, "_last_checkpoint")
       if (!fs.exists(lc)) None
       else {
         val in = fs.open(lc)
         val txt = try new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-        """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+        """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map { m =>
+          val parts = """"parts"\s*:\s*(\d+)""".r
+            .findFirstMatchIn(txt).map(_.group(1).toInt)
+          (m.group(1).toLong, parts)
+        }
       }
     }
     val names = fs.listStatus(logDir).map(_.getPath.getName)
@@ -84,8 +94,39 @@ object DeltaLog {
       if (n.length == 25 && n.endsWith(".json") &&
         n.take(20).forall(_.isDigit)) Some(n.take(20).toLong) else None
     }.sorted
-    val ckpt = ckptVersion.map { v =>
-      (new Path(logDir, f"$v%020d.checkpoint.parquet").toString, v)
+    // Resolve the checkpoint pointer to concrete parquet files:
+    //   classic    <v>.checkpoint.parquet                      (1 file)
+    //   multi-part <v>.checkpoint.<part>.<numParts>.parquet    (P files)
+    //   v2 (UUID-named, sidecar-based) — refused with an explicit
+    //   error: its file actions may live in sidecars this reader does
+    //   not follow, so reading the top-level file alone would silently
+    //   drop data files.
+    val ckpt = ckptPointer.map { case (v, partsOpt) =>
+      partsOpt match {
+        case Some(p) =>
+          val files = (1 to p).map(i =>
+            new Path(logDir, f"$v%020d.checkpoint.$i%010d.$p%010d.parquet"))
+          val missing = files.filterNot(fs.exists)
+          if (missing.nonEmpty) throw new IllegalArgumentException(
+            s"multi-part checkpoint v$v is missing ${missing.size} of $p " +
+              s"parts under $logDir (first missing: ${missing.head.getName})")
+          (files.map(_.toString), v)
+        case None =>
+          val classic = new Path(logDir, f"$v%020d.checkpoint.parquet")
+          if (fs.exists(classic)) (Seq(classic.toString), v)
+          else {
+            val prefix = f"$v%020d.checkpoint."
+            val candidates = names.filter(n =>
+              n.startsWith(prefix) && (n.endsWith(".parquet") || n.endsWith(".json")))
+            if (candidates.nonEmpty) throw new IllegalArgumentException(
+              s"unsupported checkpoint layout for v$v under $logDir: found " +
+                s"${candidates.sorted.mkString(", ")} — v2 (UUID-named, " +
+                "sidecar-based) checkpoints are not supported by this reader")
+            else throw new IllegalArgumentException(
+              s"_last_checkpoint points at v$v but ${classic.getName} " +
+                s"does not exist under $logDir")
+          }
+      }
     }
     val tail = jsonV.filter(v => ckpt.forall(v > _._2))
     LogFiles(tail.map(v => new Path(logDir, f"$v%020d.json").toString).toSeq,
@@ -107,8 +148,8 @@ object DeltaLog {
     // field: real checkpoints carry extra columns (stats, tags,
     // commitInfo) and may lack others — absent actions/fields read as
     // null, never a failed struct cast
-    val fromCkpt = log.checkpoint.map { case (path, v) =>
-      val ck = spark.read.parquet(path)
+    val fromCkpt = log.checkpoint.map { case (paths, v) =>
+      val ck = spark.read.parquet(paths: _*)
       val cols = actionSchema.fields.map { af =>
         val st = af.dataType.asInstanceOf[StructType]
         if (!ck.columns.contains(af.name)) lit(null).cast(st).as(af.name)

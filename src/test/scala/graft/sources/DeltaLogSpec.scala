@@ -101,6 +101,52 @@ class DeltaLogSpec extends SparkSpec {
       m.getAs[Long]("total_bytes") == 450L)
   }
 
+  test("delta multi-part checkpoint: the parts field resolves every " +
+    "part file; a missing part and a v2 UUID layout both refuse with " +
+    "explicit errors") {
+    val dir = Files.createTempDirectory("graft-delta-mp")
+    val log = Files.createDirectories(dir.resolve("_delta_log"))
+    // the v0+v1 reconciled state split across two checkpoint parts
+    def writePart(lines: Seq[String], part: Int, of: Int): Unit = {
+      val f = Files.createTempFile("ckp", ".json")
+      Files.write(f, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      spark.read.schema(DeltaLog.actionSchema).json(f.toString)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(log.resolve(
+          f"${1L}%020d.checkpoint.$part%010d.$of%010d.parquet").toString)
+    }
+    writePart(Seq(v0(0), v0(1), v0(2)), 1, 2)
+    writePart(Seq(v1(1),
+      """{"remove":{"path":"lang=de/b.parquet","deletionTimestamp":20,"dataChange":true}}"""),
+      2, 2)
+    Files.write(log.resolve("_last_checkpoint"),
+      """{"version":1,"size":7,"parts":2}""".getBytes(StandardCharsets.UTF_8))
+    writeCommit(log, 1, Seq("""{"add":{"path":"POISON","size":1}}"""))
+    writeCommit(log, 2, v2)
+    val live = DeltaLog.snapshot(spark, dir.toString)
+      .orderBy("path").collect()
+    assert(live.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(
+      ("lang=de/c.parquet", 300L), ("lang=en/a.parquet", 150L)))
+    // a missing part refuses with the part named
+    Files.write(log.resolve("_last_checkpoint"),
+      """{"version":1,"size":7,"parts":3}""".getBytes(StandardCharsets.UTF_8))
+    val e1 = intercept[IllegalArgumentException](
+      DeltaLog.snapshot(spark, dir.toString).collect())
+    assert(e1.getMessage.contains("multi-part checkpoint"))
+    // a v2 UUID-named checkpoint (no classic file, no parts) refuses
+    val dir2 = Files.createTempDirectory("graft-delta-v2")
+    val log2 = Files.createDirectories(dir2.resolve("_delta_log"))
+    writeCommit(log2, 0, v0)
+    Files.write(log2.resolve(
+      f"${0L}%020d.checkpoint.80a083e8-7026.parquet"),
+      Array[Byte](0x50, 0x41, 0x52, 0x31))
+    Files.write(log2.resolve("_last_checkpoint"),
+      """{"version":0,"size":4}""".getBytes(StandardCharsets.UTF_8))
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLog.snapshot(spark, dir2.toString).collect())
+    assert(e2.getMessage.contains("v2"))
+  }
+
   test("delta commitStream tails the log: commits landed AFTER the " +
     "stream starts arrive as micro-batches, version attached") {
     val dir = Files.createTempDirectory("graft-delta-stream")
