@@ -1323,7 +1323,18 @@ object Multimodal {
                 maxBytes: Int = 1 << 24,
                 maxEntries: Int = 4096): DataFrame = {
     // ONE archive resolution per workbook (the __es alias); sheet xml
-    // and the shared-strings member both extract at coordinates
+    // and the shared-strings member both extract at coordinates, and
+    // the whole per-cell pipeline (reference split, base-26 column,
+    // SST resolution, entity decode) is ONE native kernel call —
+    // [[graft.functions.XlsxSheetCells]] replaced the former
+    // per-cell Catalyst transform tree whose codegen constant
+    // dominated this path at every scale factor
+    val sst = coalesce(
+      graft.functions.ZipMemberData(col("__p"),
+        try_element_at(filter(col("__es"), x =>
+          x.getField("name") === "xl/sharedStrings.xml"), lit(1)),
+        maxBytes),
+      lit(Array.empty[Byte]))
     val sheets = docs.select(col(idCol), col(payloadCol).as("__p"),
         graft.functions.ZipEntries(col(payloadCol), maxEntries).as("__es"))
       .select(col(idCol), col("__p"), col("__es"),
@@ -1332,65 +1343,14 @@ object Multimodal {
       .select(col(idCol),
         regexp_extract(col("__e.name"), "sheet([0-9]+)\\.xml$", 1)
           .cast("long").as("sheet"),
-        graft.functions.Utf8Text(graft.functions.ZipMemberData(col("__p"),
-          col("__e"), maxBytes)).as("__xml"),
-        transform(regexp_extract_all(
-            graft.functions.Utf8Text(graft.functions.ZipMemberData(col("__p"),
-              try_element_at(filter(col("__es"), x =>
-                x.getField("name") === "xl/sharedStrings.xml"), lit(1)),
-              maxBytes)),
-            lit("(?s)<si>(.*?)</si>"), lit(1)),
-          si => array_join(
-            regexp_extract_all(si, lit("(?s)<t[^>]*>(.*?)</t>"), lit(1)),
-            "")).as("__sst"))
-    // resolve every cell against the shared-strings pool BEFORE
-    // widening to one-row-per-cell: the per-sheet transform below
-    // references __sst once per sheet ROW, so the pool array never
-    // rides the per-cell explode (the scale-clean form — a
-    // million-cell workbook with a fat string pool copies the pool
-    // per sheet, not per cell)
-    // [^/]> excludes self-closing empty cells (<c r="D2"/>), which
-    // would otherwise swallow the following cell non-greedily
-    val resolved = sheets.select(col(idCol), col("sheet"),
-      // coalesce(size(__sst),-1)>=-1 is an always-TRUE (null-safe —
-      // a workbook without sharedStrings has a null pool) reference
-      // FENCE: with only the single in-lambda reference,
-      // CollapseProject would re-inline the whole shared-strings
-      // derivation INSIDE the per-cell lambda (re-parsing the pool
-      // once per cell — the exact copy this resolve-before-explode
-      // shape exists to avoid); a second consumer reference makes
-      // the producer non-collapsible
-      when(coalesce(size(col("__sst")), lit(-1)) >= -1, filter(transform(
-        regexp_extract_all(col("__xml"),
-          lit("(?s)<c [^>]*[^/]>.*?</c>"), lit(0)),
-        c => {
-          val t = regexp_extract(c, "t=\"([A-Za-z]+)\"", 1)
-          val v = regexp_extract(c, "(?s)<v>(.*?)</v>", 1)
-          struct(
-            regexp_extract(c, "r=\"([A-Z]+)([0-9]+)\"", 1).as("letters"),
-            regexp_extract(c, "r=\"([A-Z]+)([0-9]+)\"", 2).as("rownum"),
-            // values stay ENTITY-RAW through the explode; the one
-            // decodeEntities pass sits after it (a single inlined
-            // copy of that large tree instead of three — its codegen
-            // size dominated this query's constant)
-            when(t === "s",
-              try_element_at(col("__sst"), v.try_cast("int") + 1))
-              .when(t === "inlineStr",
-                array_join(regexp_extract_all(c,
-                  lit("(?s)<t[^>]*>(.*?)</t>"), lit(1)), ""))
-              .otherwise(v).as("value"))
-        }).cast("array<struct<letters:string,rownum:string," +
-          "value:string>>"),
-        s => s.getField("letters") =!= "")).as("__cells"))
-    resolved.select(col(idCol), col("sheet"),
+        graft.functions.XlsxSheetCells(
+          graft.functions.ZipMemberData(col("__p"), col("__e"), maxBytes),
+          sst).as("__cells"))
+    sheets.select(col(idCol), col("sheet"),
         explode(col("__cells")).as("__c"))
       .select(col(idCol), col("sheet"),
-        col("__c.rownum").cast("long").as("row"),
-        aggregate(sequence(lit(1), length(col("__c.letters"))), lit(0L),
-          (acc, i) => acc * 26L +
-            (ascii(col("__c.letters").substr(i.cast("int"), lit(1))) - 64L))
-          .as("col"),
-        TextAnalysis.decodeEntities(col("__c.value")).as("value"))
+        col("__c.row").as("row"), col("__c.col").as("col"),
+        col("__c.value").as("value"))
   }
 
   /** Legacy `.xls` (BIFF8) cell grid — [[xlsxCells]]' shape for the
@@ -1427,7 +1387,7 @@ object Multimodal {
     val fname = when(flg.bitwiseAND(8L) =!= 0L,
       substring_index(
         decode(payload.substr(namePos, lit(256L)), "ISO-8859-1"),
-        " ", 1))
+        "\u0000", 1))
     when(isGz, struct(
       beUint(payload, 3, 1).cast("int").as("method"),
       leUint(payload, 5, 4).as("mtime"),
