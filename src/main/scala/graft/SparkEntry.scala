@@ -3650,6 +3650,167 @@ object SparkEntry {
     // 7z archive listing — a pinned commons-compress archive (dir +
     // two files); m1 flips the next-header CRC and must refuse with
     // one null audit row
+    // docx AUX members: body + header/footnotes through docxFullText
+    // in archive order; every 3rd doc body-only (aux absent -> body
+    // unchanged), every 5th corrupt -> null
+    "q321_docx_aux" -> ((s, dir) => {
+      def leHex(c: Column, nBytes: Int) = concat((0 until nBytes).map(i =>
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(255L)), 2, "0")): _*)
+      def member(name: String, body: Column) = {
+        val bb = body.cast("binary")
+        val bl = length(bb).cast("long")
+        concat(unhex(concat(lit("504B0304140000000000" + "00000000"),
+          leHex(crc32(bb), 4), leHex(bl, 4), leHex(bl, 4),
+          lit("%02X000000".format(name.length)))),
+          lit(name).cast("binary"), bb)
+      }
+      val id = col("doc_id").cast("string")
+      val docXml = concat(lit("<w:document><w:body><w:p><w:r><w:t>Body "),
+        id, lit(" &amp; text</w:t></w:r></w:p></w:body></w:document>"))
+      val hdrXml = concat(lit("<w:hdr><w:p><w:r><w:t>Head "),
+        pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit("</w:t></w:r></w:p></w:hdr>"))
+      val fnXml = lit("<w:footnotes><w:p><w:r><w:t>note A</w:t>" +
+        "</w:r></w:p></w:footnotes>")
+      val hasAux = pmod(col("doc_id"), lit(3L)) =!= 0
+      val corrupt = pmod(col("doc_id"), lit(5L)) === 0
+      val payload = when(corrupt, lit("junk".getBytes("UTF-8")))
+        .otherwise(concat(member("word/document.xml", docXml),
+          when(hasAux, concat(member("word/header1.xml", hdrXml),
+            member("word/footnotes.xml", fnXml)))
+            .otherwise(lit(Array.empty[Byte]))))
+      val fixture = t(s, dir, "documents")
+        .select(col("doc_id"), payload.as("payload")).localCheckpoint()
+      fixture.select(col("doc_id"),
+          Multimodal.docxFullText(col("payload")).as("text"))
+        .orderBy("doc_id")
+    }),
+    // GIF perceptual dHash via the imageDhash dispatcher: two pinned
+    // hand-LZW 16x16 grayscale GIFs (tools/make_gif_fixture.py, the
+    // expected hashes computed INDEPENDENTLY in python); every 3rd
+    // doc is junk -> null
+    "q320_gif_dhash" -> ((s, dir) => {
+      val head = "47494638396110001000f70000"
+      val palette = (0 until 256).map(i => "%02x".format(i) * 3).mkString
+      val tailA = "2c00000000100010000008ff000134d070824610275bd0d411f488532a5bc30e5008e16207922a62def049646914ac5e021c6c405143c8132e69ec0c82d449d52d62092a8878c12389953170fa28ba442a96af011038a4b031044a1735770845f2b40a5731051746c0e8a1e40a99387e16612a25eb1781081e54dc2012c5cb1a3c85247d6295cbd8020c2562f85882a58c9c3f8c32999a05ac80840f2c701491f2854d1e439340b5d2758c410613337e30c962660ea0469a4ed10a66600288163a8c4c01d346cf214aa15ced02d040c3091a419a6839432790a34da86a093b4021848b1d48a88471b307512551af780570b001450d214fb6a0a923e811a754b68621a820e2058f2456c4bc24e193c8d22858bd043ce090c2c610285dd2d81904a993aa5bc412581801a387922b640404003b"
+      val tailB = "2c00000000100010000008ff003ff0c86267122c0e39accc81d42a838d297044fce092c792800f3cb2d899048b430e2b734a08f9c2275301113fb8e4b124e0038f2c76501411f38713821242bef0c95440c40f2e7956202923e8d3021445c4fce184a084902f7c5c2c41534894831548ca08fab4004511317f62385983a85404174bd01412e56005923282684471b3081585184ed6202a15c1c51234856e5089e368d5051a51dc2c42452186933588745ca113c995861b54e2385a75814614378b7a68b9430940071d57e84472a5e10695388e8074d1736900881e5aee5002d041c7153a918680e9a3c9c008205df45c1a00a287963b948c8c01d42981892160fa6832300248173d9792982419048a410a236300754a606208983e9a98a43134ea018b246606816290c2c818409d0404003b"
+      val m = pmod(col("doc_id"), lit(3L))
+      val hexStr = when(m === 0, lit(head + palette + tailA))
+        .when(m === 1, lit(head + palette + tailB))
+        .otherwise(hex(lit("junk")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.imageDhash(unhex(hexStr)).as("dhash"))
+        .orderBy("doc_id")
+    }),
+    // MP3 duration: engine-built MPEG1-L3 payloads — Xing exact
+    // counts, CBR floor arithmetic, VBRI at the FhG offset; every
+    // 4th doc is junk -> null audit fields
+    "q319_mp3_duration" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(4L))
+      // 128 kbps 44.1 kHz stereo first frame = FFFB9000
+      val xingFrames = lit(1000L) + pmod(col("doc_id"), lit(50L))
+      val xing = concat(lit("FFFB9000"), lit("00" * 32), hex(lit("Xing")),
+        lit("00000001"), lpad(hex(xingFrames), 8, "0"))
+      // CBR: frame_size 417; 417*(1+id%8)+13 payload bytes after the
+      // 4-byte header -> exactly 1+id%8 whole frames
+      val cbrK = lit(1L) + pmod(col("doc_id"), lit(8L))
+      val cbr = concat(lit("FFFB9000"),
+        call_function("repeat", lit("00"), (cbrK * 417L + 13L).cast("int")))
+      val vbriFrames = pmod(col("doc_id"), lit(100L))
+      val vbri = concat(lit("FFFB9000"), lit("00" * 32), hex(lit("VBRI")),
+        lit("00" * 10), lpad(hex(vbriFrames), 8, "0"))
+      val hexStr = when(m === 0, xing).when(m === 1, cbr)
+        .when(m === 2, vbri).otherwise(hex(lit("junk")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.mp3Duration(unhex(hexStr)).as("__d"))
+        .select(col("doc_id"), col("__d.frames").as("frames"),
+          col("__d.duration_ms").as("duration_ms"),
+          col("__d.method").as("method"))
+        .orderBy("doc_id")
+    }),
+    // ODS cell GRID: engine-built stored-zip packages whose
+    // content.xml exercises typed + text values, column/row repeats,
+    // covered cells and an empty table in the sheet numbering; every
+    // 4th doc is junk -> one null audit row
+    "q318_ods_cells" -> ((s, dir) => {
+      def leHex(c: Column, nBytes: Int) = concat((0 until nBytes).map(i =>
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(255L)), 2, "0")): _*)
+      def member(name: String, body: Column) = {
+        val bb = body.cast("binary")
+        val bl = length(bb).cast("long")
+        concat(unhex(concat(lit("504B0304140000000000" + "00000000"),
+          leHex(crc32(bb), 4), leHex(bl, 4), leHex(bl, 4),
+          lit("%02X000000".format(name.length)))),
+          lit(name).cast("binary"), bb)
+      }
+      val id = col("doc_id").cast("string")
+      val content = concat(
+        lit("<office:document-content><office:body><office:spreadsheet>" +
+          "<table:table table:name=\"S1\"><table:table-row>" +
+          "<table:table-cell office:value-type=\"string\"><text:p>alpha "),
+        id,
+        lit("</text:p></table:table-cell>" +
+          "<table:table-cell table:number-columns-repeated=\"2\" " +
+          "office:value=\"7\"><text:p>7</text:p></table:table-cell>" +
+          "<table:table-cell/>" +
+          "<table:table-cell><text:p>end &amp; " +
+          "<text:span>fin</text:span></text:p></table:table-cell>" +
+          "</table:table-row>" +
+          "<table:table-row table:number-rows-repeated=\"2\">" +
+          "<table:covered-table-cell/><table:table-cell office:value=\""),
+        pmod(col("doc_id"), lit(9L)).cast("string"),
+        lit("\"/></table:table-row></table:table>" +
+          "<table:table/>" +
+          "<table:table><table:table-row><table:table-cell>" +
+          "<text:p>s2</text:p></table:table-cell></table:table-row>" +
+          "</table:table>" +
+          "</office:spreadsheet></office:body></office:document-content>"))
+      val payload = when(pmod(col("doc_id"), lit(4L)) === 3,
+        lit("junk".getBytes("UTF-8")))
+        .otherwise(member("content.xml", content))
+      val fixture = t(s, dir, "documents")
+        .select(col("doc_id"), payload.as("payload")).localCheckpoint()
+      val tpe = "struct<sheet:bigint,row:bigint,col:bigint,value:string>"
+      fixture.select(col("doc_id"),
+          explode(coalesce(
+            graft.functions.OdsCells(graft.functions.ZipEntryBytes(
+              col("payload"), "content.xml", 1 << 24)).cast(s"array<$tpe>"),
+            array(lit(null).cast(tpe)))).as("__c"))
+        .select(col("doc_id"), col("__c.sheet").as("sheet"),
+          col("__c.row").as("row"), col("__c.col").as("col"),
+          col("__c.value").as("value"))
+        .orderBy("doc_id", "sheet", "row", "col")
+    }),
+    // 7z member EXTRACTION over the same pinned archive as q316: the
+    // LZMA2 folders decode through the engine's own machinery, member
+    // text surfaces; the CRC-flip branch keeps one null audit row
+    "q317_7z_members" -> ((s, dir) => {
+      val sz = "377abcaf271c000265c6166e2a000000000000006a0000000000" +
+        "00005acb4dcc0100117072696e74282768656c6c6f20377a27290a000100" +
+        "0f726561646d65207465787420626f64790001040600020916140a019dd7" +
+        "fedb4942a7c600070b0200012121011601212101160c12100a0106091137" +
+        "abba22830008000005030e0180112f0073007200630000007300720063002f" +
+        "006d00610069006e002e0070007900000052004500410044004d0045000000" +
+        "0000"
+      val corrupt = sz.substring(0, 56) +
+        "%02x".format(Integer.parseInt(sz.substring(56, 58), 16) ^ 1) +
+        sz.substring(58)
+      val m = pmod(col("doc_id"), lit(2L))
+      val hexStr = when(m === 0, lit(sz)).otherwise(lit(corrupt))
+      val tpe = "struct<name:string,size:bigint,is_dir:boolean,data:binary>"
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(coalesce(
+            graft.functions.SevenZipMembers(unhex(hexStr))
+              .cast(s"array<$tpe>"),
+            array(lit(null).cast(tpe)))).as("__e"))
+        .select(col("doc_id"), col("__e.name").as("name"),
+          col("__e.size").as("size"), col("__e.is_dir").as("is_dir"),
+          graft.functions.Utf8Text(col("__e.data")).as("text"))
+        .orderBy("doc_id", "name")
+    }),
     "q316_7z_list" -> ((s, dir) => {
       val sz = "377abcaf271c000265c6166e2a000000000000006a0000000000" +
         "00005acb4dcc0100117072696e74282768656c6c6f20377a27290a000100" +
@@ -7587,6 +7748,82 @@ object SparkEntry {
         |    WHEN 4 THEN 'hello bzip2 world' || repeat('wiki dump text ', 40)
         |    ELSE NULL END AS bz_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q321: body + aux texts replayed arithmetically; %3 docs body
+    // only, %5 docs corrupt -> null
+    "q321_docx_aux" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL
+        |    WHEN doc_id % 3 = 0 THEN
+        |      'Body ' || CAST(doc_id AS VARCHAR) || ' & text' || chr(10)
+        |    ELSE
+        |      'Body ' || CAST(doc_id AS VARCHAR) || ' & text' || chr(10)
+        |      || chr(10) || 'Head ' || CAST(doc_id % 7 AS VARCHAR)
+        |      || chr(10) || chr(10) || 'note A' || chr(10)
+        |  END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q320: hashes replayed as the python-computed constants
+    "q320_gif_dhash" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN CAST(-1157460564566376449 AS BIGINT)
+        |    WHEN 1 THEN CAST(-2604246222170760265 AS BIGINT)
+        |  END AS dhash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q319: frames replayed arithmetically, duration = the same
+    // integer floor the kernel computes (1152 samples/frame, 44.1k)
+    "q319_mp3_duration" ->
+      """WITH f AS (SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 1000 + doc_id % 50
+        |    WHEN 1 THEN 1 + doc_id % 8
+        |    WHEN 2 THEN doc_id % 100 END AS fr,
+        |  CASE doc_id % 4 WHEN 0 THEN 'xing' WHEN 1 THEN 'cbr'
+        |    WHEN 2 THEN 'vbri' END AS method
+        |  FROM documents)
+        |SELECT doc_id, CAST(fr AS BIGINT) AS frames,
+        |  CAST((fr * 1152 * 1000) // 44100 AS BIGINT) AS duration_ms,
+        |  method
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // q318: the grid replayed arithmetically — typed office:value
+    // beats cell text, repeats expand, the covered cell and the empty
+    // table shift col/sheet numbering, junk docs one null audit row
+    "q318_ods_cells" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 4 <> 3)
+        |SELECT doc_id, sheet, "row", col, value FROM (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS sheet,
+        |    CAST(1 AS BIGINT) AS "row", CAST(1 AS BIGINT) AS col,
+        |    'alpha ' || CAST(doc_id AS VARCHAR) AS value FROM d
+        |  UNION ALL SELECT doc_id, 1, 1, 2, '7' FROM d
+        |  UNION ALL SELECT doc_id, 1, 1, 3, '7' FROM d
+        |  UNION ALL SELECT doc_id, 1, 1, 5, 'end & fin' FROM d
+        |  UNION ALL SELECT doc_id, 1, 2, 2,
+        |    CAST(doc_id % 9 AS VARCHAR) FROM d
+        |  UNION ALL SELECT doc_id, 1, 3, 2,
+        |    CAST(doc_id % 9 AS VARCHAR) FROM d
+        |  UNION ALL SELECT doc_id, 3, 1, 1, 's2' FROM d
+        |  UNION ALL SELECT doc_id, NULL, NULL, NULL, NULL
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |ORDER BY doc_id, sheet, "row", col""".stripMargin,
+
+    // q317: listing + extracted member text replayed as constants;
+    // directories carry null text, the CRC-flip branch one null row
+    "q317_7z_members" ->
+      """SELECT doc_id, name, CAST(size AS BIGINT) AS size, is_dir,
+        |  t.text AS text
+        |FROM documents, (VALUES
+        |  ('README', 16, false, 'readme text body'),
+        |  ('src', 0, true, NULL),
+        |  ('src/main.py', 18, false,
+        |   'print(''hello 7z'')' || chr(10))) AS t(name, size, is_dir, text)
+        |WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, NULL, NULL, NULL, NULL FROM documents
+        |WHERE doc_id % 2 = 1
+        |ORDER BY doc_id, name""".stripMargin,
 
     // q316: the listing replayed as constants; CRC-flip docs keep one
     // null audit row

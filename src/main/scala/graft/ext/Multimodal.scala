@@ -461,6 +461,15 @@ object Multimodal {
       hasId3.as("has_id3")))
   }
 
+  /** MP3 duration — exact frame counts off a Xing/Info or VBRI
+    * header, CBR arithmetic otherwise, via the native
+    * [[graft.functions.Mp3Duration]] kernel (ID3v2 skipped, MPEG1
+    * Layer III per the [[mp3Meta]] contract). Struct
+    * (frames, duration_ms, method); null when no first frame
+    * parses. */
+  def mp3Duration(payload: Column): Column =
+    graft.functions.Mp3Duration(payload)
+
   /** Little-endian unsigned int of `len` bytes at COLUMN position
     * `pos`; null when the payload is shorter. */
   private def leUintAt(bin: Column, pos: Column, len: Int): Column =
@@ -593,6 +602,30 @@ object Multimodal {
   def docxText(payload: Column, maxBytes: Int = 1 << 24): Column =
     docxXmlText(graft.functions.Utf8Text(
       graft.functions.ZipEntryBytes(payload, "word/document.xml", maxBytes)))
+
+  /** [[docxText]] plus the AUXILIARY text members real documents
+    * carry outside the body — `word/header*.xml`, `word/footer*.xml`,
+    * `word/footnotes.xml`, `word/endnotes.xml` — each through the
+    * same tag-strip + entity-decode transform, appended after the
+    * body in ARCHIVE order, newline-separated. A separate entry
+    * point (not a default-flip) so [[docxText]]'s body-only contract
+    * stays stable. One [[graft.functions.ZipEntries]] listing, aux
+    * members extracted by coordinates; documents without aux members
+    * return exactly the body; a missing/corrupt body stays null. */
+  def docxFullText(payload: Column, maxBytes: Int = 1 << 24): Column = {
+    val body = docxText(payload, maxBytes)
+    val aux = filter(graft.functions.ZipEntries(payload, 4096),
+      e => e.getField("name").rlike(
+        "^word/(header[0-9]*|footer[0-9]*|footnotes|endnotes)\\.xml$"))
+    val texts = filter(transform(aux, e =>
+      docxXmlText(graft.functions.Utf8Text(
+        graft.functions.ZipMemberData(payload, e, maxBytes)))),
+      t => t.isNotNull)
+    when(body.isNotNull,
+      when(size(texts) > 0,
+        concat(body, lit("\n"), array_join(texts, "\n")))
+        .otherwise(body))
+  }
 
   /** The WordprocessingML→text transform alone (member already
     * extracted) — shared by [[docxText]] and the resolve-once
@@ -1036,6 +1069,14 @@ object Multimodal {
             graft.functions.Lz4FramePayload(col("__p"), maxBytes)))
           .when(col("format") === "snappy", graft.functions.Utf8Text(
             graft.functions.SnappyFramePayload(col("__p"), maxBytes)))
+          // 7z: the FIRST member whose single-coder folder decodes
+          // to valid UTF-8 (the source-release README shape);
+          // multi-coder folders and corrupt archives null
+          .when(col("format") === "7z",
+            try_element_at(filter(transform(
+              graft.functions.SevenZipMembers(col("__p"), 4096, maxBytes),
+              m => graft.functions.Utf8Text(m.getField("data"))),
+              t => t.isNotNull), lit(1)))
           // legacy Office containers: Word documents extract through
           // the piece-table tier, Excel workbooks through the BIFF8
           // cell grid (values joined in walk order), PowerPoint decks
@@ -1145,6 +1186,25 @@ object Multimodal {
       .select(col(idCol), col("entry_idx").cast("long").as("entry_idx"),
         col("__e.name").as("name"), col("__e.size").as("size"),
         col("__e.is_dir").as("is_dir"))
+
+  /** 7z member EXTRACTION — [[sevenZipList]] plus each member's
+    * decompressed bytes via [[graft.functions.SevenZipMembers]]:
+    * single-coder COPY/LZMA/LZMA2/BZIP2/DEFLATE folders decode (the
+    * source-release shape), substream CRCs verified; multi-coder/
+    * filtered folders keep their rows with `data` null (the
+    * documented listing-tier refusal), directories null, corrupt
+    * archives contribute no rows. One bounded kernel call per
+    * archive (solid folders decode once), zero shuffle. */
+  def sevenZipMembers(docs: DataFrame, idCol: String = "doc_id",
+                      payloadCol: String = "payload",
+                      maxEntries: Int = 1 << 16,
+                      maxOut: Int = 1 << 26): DataFrame =
+    docs.select(col(idCol),
+        posexplode(graft.functions.SevenZipMembers(col(payloadCol),
+          maxEntries, maxOut)).as(Seq("entry_idx", "__e")))
+      .select(col(idCol), col("entry_idx").cast("long").as("entry_idx"),
+        col("__e.name").as("name"), col("__e.size").as("size"),
+        col("__e.is_dir").as("is_dir"), col("__e.data").as("data"))
 
   /** Arrow IPC file (feather v2) footer census — version, the
     * dictionary/record-batch block lists and column names off the
@@ -1367,6 +1427,25 @@ object Multimodal {
     docs.select(col(idCol),
         explode(graft.functions.XlsCells(col(payloadCol), maxBytes,
           maxCells)).as("__c"))
+      .select(col(idCol), col("__c.sheet").as("sheet"),
+        col("__c.row").as("row"), col("__c.col").as("col"),
+        col("__c.value").as("value"))
+
+  /** OpenDocument spreadsheet cell grid — [[xlsxCells]]/[[xlsCells]]'
+    * shape for the LibreOffice `.ods` tier via the native
+    * [[graft.functions.OdsCells]] kernel over the package's
+    * `content.xml` (repeat expansion, covered-cell skips,
+    * `office:value`/text values, entity decode). One bounded kernel
+    * call per workbook; corrupt packages or missing members
+    * contribute no rows. Zero shuffle. */
+  def odfCells(docs: DataFrame, idCol: String = "doc_id",
+               payloadCol: String = "payload",
+               maxBytes: Int = 1 << 24,
+               maxCells: Int = 1 << 22): DataFrame =
+    docs.select(col(idCol),
+        explode(graft.functions.OdsCells(
+          graft.functions.ZipEntryBytes(col(payloadCol), "content.xml",
+            maxBytes), maxCells)).as("__c"))
       .select(col(idCol), col("__c.sheet").as("sheet"),
         col("__c.row").as("row"), col("__c.col").as("col"),
         col("__c.value").as("value"))
@@ -1655,12 +1734,27 @@ object Multimodal {
   def jpegDhash(payload: Column): Column =
     graft.functions.JpegDhash(payload)
 
-  /** Format-dispatched perceptual hash: BMP, PNG and JPEG payloads
-    * decode to the SAME dHash space (identical grid/luma/packing),
-    * other formats null out — one hash column for a mixed media
-    * lake, one [[imageNearDupPairs]] pass across all three. */
+  /** dHash over REAL decoded GIF pixels — the fourth ubiquitous web
+    * image format joins the family: the first image descriptor's
+    * data decodes through the engine's own public-spec LZW
+    * (variable-width codes, sub-block framing, interlace honored),
+    * colors resolve through the local-else-global table, and the
+    * grid/luma/packing are EXACTLY [[bmpDhash]]'s — a GIF, PNG and
+    * BMP of the same pixels hash EQUAL. Animation frames after the
+    * first are ignored by contract. Native codegen'd kernel
+    * [[graft.functions.GifDhash]]; fail-closed null on truncation,
+    * bad codes, missing color tables, > 2^22 pixels. */
+  def gifDhash(payload: Column): Column =
+    graft.functions.GifDhash(payload)
+
+  /** Format-dispatched perceptual hash: BMP, PNG, JPEG and GIF
+    * payloads decode to the SAME dHash space (identical
+    * grid/luma/packing), other formats null out — one hash column
+    * for a mixed media lake, one [[imageNearDupPairs]] pass across
+    * all four. */
   def imageDhash(payload: Column): Column =
-    coalesce(bmpDhash(payload), pngDhash(payload), jpegDhash(payload))
+    coalesce(bmpDhash(payload), pngDhash(payload), jpegDhash(payload),
+      gifDhash(payload))
 
   /** Perceptual image near-duplicate pairs over a mixed BMP/PNG media
     * frame — the image-side sibling of text simhash dedup, end to end

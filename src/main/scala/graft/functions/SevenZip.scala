@@ -123,6 +123,10 @@ object SevenZipList {
   private final class Folder {
     val coders = new scala.collection.mutable.ArrayBuffer[Coder]
     var unpackSizes: Array[Long] = Array.empty
+    /** Packed input streams this folder consumes (totalIn − bind
+      * pairs) — the member-extraction path advances the global
+      * pack-stream index by this even for folders it refuses. */
+    var numPackedStreams: Int = 1
     /** The folder's final output size = the out-stream no bind pair
       * consumes; single-coder folders (the header case) have one. */
     var bindOutConsumed: Array[Boolean] = Array.empty
@@ -143,6 +147,10 @@ object SevenZipList {
     val folders = new scala.collection.mutable.ArrayBuffer[Folder]
     var numUnpackStreams: Array[Int] = Array.empty // per folder, default 1
     var subSizes: Array[Long] = Array.empty // resolved per substream
+    // substream CRC32s (kSubStreamsInfo kCrc) — verified by the
+    // member-extraction path when defined; empty when absent
+    var subCrcDefined: Array[Boolean] = Array.empty
+    var subCrcs: Array[Long] = Array.empty
   }
 
   /** Skip a (id, size, data)* property block list up to its kEnd. */
@@ -242,7 +250,9 @@ object SevenZipList {
                 si.subSizes = sizes.toArray
               case KCrc =>
                 val total = si.numUnpackStreams.sum
-                skipCrcs(c, total)
+                val (defd, crcs) = readCrcs(c, total)
+                si.subCrcDefined = defd
+                si.subCrcs = crcs
               case _ => throw Bad
             }
             sid = c.num()
@@ -261,22 +271,34 @@ object SevenZipList {
     si
   }
 
-  private def skipCrcs(c: Cur, n: Int): Unit = {
+  private def skipCrcs(c: Cur, n: Int): Unit = { readCrcs(c, n); () }
+
+  /** The digests structure: allDefined byte (else an n-bit vector),
+    * then one LE32 CRC per defined stream. Returns per-stream
+    * (defined, crc — 0 where undefined). */
+  private def readCrcs(c: Cur, n: Int): (Array[Boolean], Array[Long]) = {
     val allDefined = c.u8()
-    val defined =
-      if (allDefined != 0) n
-      else {
-        // bit vector of n bits
-        val at = c.take((n + 7) / 8)
-        var cnt = 0
-        var i = 0
-        while (i < n) {
-          if ((c.b(at + (i >> 3)) & (0x80 >> (i & 7))) != 0) cnt += 1
-          i += 1
-        }
-        cnt
+    val defined = new Array[Boolean](n)
+    if (allDefined != 0) java.util.Arrays.fill(defined, true)
+    else {
+      val at = c.take((n + 7) / 8)
+      var i = 0
+      while (i < n) {
+        defined(i) = (c.b(at + (i >> 3)) & (0x80 >> (i & 7))) != 0
+        i += 1
       }
-    c.take(4L * defined)
+    }
+    val crcs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (defined(i)) {
+        val at = c.take(4)
+        crcs(i) = (c.b(at) & 0xffL) | ((c.b(at + 1) & 0xffL) << 8) |
+          ((c.b(at + 2) & 0xffL) << 16) | ((c.b(at + 3) & 0xffL) << 24)
+      }
+      i += 1
+    }
+    (defined, crcs)
   }
 
   private def parseFolder(c: Cur): Folder = {
@@ -317,6 +339,8 @@ object SevenZipList {
       bp += 1
     }
     val nPacked = totalIn - nBindPairs
+    if (nPacked < 1) throw Bad
+    f.numPackedStreams = nPacked
     if (nPacked > 1) {
       var k = 0
       while (k < nPacked) { c.num(); k += 1 }
@@ -330,12 +354,20 @@ object SevenZipList {
     if (si.folders.length != 1 || si.packSizes.length != 1) throw Bad
     val f = si.folders(0)
     if (f.coders.length != 1) throw Bad
-    val coder = f.coders(0)
     val start = 32L + si.packPos + baseOff
-    val packLen = si.packSizes(0)
+    decodeCoder(bytes, start, si.packSizes(0), f.mainUnpackSize,
+      f.coders(0), maxHeader)
+  }
+
+  /** One coder's decompression — COPY/LZMA1/LZMA2/BZIP2/DEFLATE, the
+    * same set the encoded-header path supports; anything else
+    * (BCJ filters, PPMd, AES) throws. Output length VERIFIED against
+    * the declared unpack size. */
+  private def decodeCoder(bytes: Array[Byte], start: Long, packLen: Long,
+                          unpack: Long, coder: Coder,
+                          maxOut: Int): Array[Byte] = {
     if (start < 0 || packLen < 0 || start + packLen > bytes.length) throw Bad
-    val unpack = f.mainUnpackSize
-    if (unpack < 0 || unpack > maxHeader) throw Bad
+    if (unpack < 0 || unpack > maxOut) throw Bad
     val idHex = coder.id.map(b => f"${b & 0xff}%02x").mkString
     idHex match {
       case "00" => // COPY
@@ -345,17 +377,17 @@ object SevenZipList {
       case "030101" => // LZMA1: props = 1 byte lclppb + 4 bytes dictSize
         if (coder.props.length < 1) throw Bad
         val out = XzPayload.lzma1(bytes, start.toInt, packLen.toInt,
-          unpack.toInt, coder.props(0) & 0xff, maxHeader)
+          unpack.toInt, coder.props(0) & 0xff, maxOut)
         if (out == null || out.length != unpack) throw Bad
         out
       case "21" => // LZMA2: props = 1 byte dictSize code
         val out = XzPayload.lzma2Raw(bytes, start.toInt,
-          (start + packLen).toInt, maxHeader)
+          (start + packLen).toInt, maxOut)
         if (out == null || out.length != unpack) throw Bad
         out
       case "040202" => // BZIP2
         val out = Bunzip2.compute(java.util.Arrays.copyOfRange(bytes,
-          start.toInt, (start + packLen).toInt), maxHeader)
+          start.toInt, (start + packLen).toInt), maxOut)
         if (out == null || out.length != unpack) throw Bad
         out
       case "040108" => // DEFLATE (raw)
@@ -443,59 +475,68 @@ object SevenZipList {
     FilesInfo(names, emptyStream, emptyFile)
   }
 
+  /** Signature → next-header walk (CRC VERIFIED, encoded headers
+    * decoded) → (files, main streams info — null when the archive
+    * has no packed data). Throws [[Bad]] on anything malformed. */
+  private def parseArchive(bytes: Array[Byte], maxEntries: Int,
+                           maxHeader: Int): (FilesInfo, StreamsInfo) = {
+    val n = bytes.length
+    if (n < 32) throw Bad
+    if (bytes(0) != '7' || bytes(1) != 'z' || (bytes(2) & 0xff) != 0xBC ||
+      (bytes(3) & 0xff) != 0xAF || (bytes(4) & 0xff) != 0x27 ||
+      (bytes(5) & 0xff) != 0x1C) throw Bad
+    def le64(p: Int): Long = {
+      var v = 0L
+      var i = 7
+      while (i >= 0) { v = (v << 8) | (bytes(p + i) & 0xffL); i -= 1 }
+      v
+    }
+    def le32(p: Int): Long = {
+      var v = 0L
+      var i = 3
+      while (i >= 0) { v = (v << 8) | (bytes(p + i) & 0xffL); i -= 1 }
+      v
+    }
+    val nextOff = le64(12)
+    val nextSize = le64(20)
+    val nextCrc = le32(28)
+    val hdrStart = 32L + nextOff
+    if (nextSize < 0 || hdrStart < 32 || hdrStart + nextSize > n)
+      throw Bad
+    // next-header CRC verified, never skipped
+    val crc = new java.util.zip.CRC32()
+    crc.update(bytes, hdrStart.toInt, nextSize.toInt)
+    if ((crc.getValue & 0xFFFFFFFFL) != nextCrc) throw Bad
+    var hc = new Cur(bytes, hdrStart.toInt, (hdrStart + nextSize).toInt)
+    var id = hc.num()
+    if (id == KEncodedHeader) {
+      val si = parseStreamsInfo(hc, maxEntries)
+      val header = decodeFolder(bytes, 0L, si, maxHeader)
+      hc = new Cur(header, 0, header.length)
+      id = hc.num()
+    }
+    if (id != KHeader) throw Bad
+    var files: FilesInfo = null
+    var main: StreamsInfo = null
+    id = hc.num()
+    while (id != KEnd) {
+      id match {
+        case KMainStreamsInfo => main = parseStreamsInfo(hc, maxEntries)
+        case KFilesInfo => files = parseFilesInfo(hc, maxEntries)
+        case 0x02 | 0x03 => skipBlocks(hc) // archive props / extra
+        case _ => throw Bad
+      }
+      id = hc.num()
+    }
+    if (files == null) throw Bad
+    (files, main)
+  }
+
   /** The per-row kernel — public static so generated code can call it. */
   def compute(bytes: Array[Byte], maxEntries: Int,
               maxHeader: Int): GenericArrayData = {
     try {
-      val n = bytes.length
-      if (n < 32) return null
-      if (bytes(0) != '7' || bytes(1) != 'z' || (bytes(2) & 0xff) != 0xBC ||
-        (bytes(3) & 0xff) != 0xAF || (bytes(4) & 0xff) != 0x27 ||
-        (bytes(5) & 0xff) != 0x1C) return null
-      def le64(p: Int): Long = {
-        var v = 0L
-        var i = 7
-        while (i >= 0) { v = (v << 8) | (bytes(p + i) & 0xffL); i -= 1 }
-        v
-      }
-      def le32(p: Int): Long = {
-        var v = 0L
-        var i = 3
-        while (i >= 0) { v = (v << 8) | (bytes(p + i) & 0xffL); i -= 1 }
-        v
-      }
-      val nextOff = le64(12)
-      val nextSize = le64(20)
-      val nextCrc = le32(28)
-      val hdrStart = 32L + nextOff
-      if (nextSize < 0 || hdrStart < 32 || hdrStart + nextSize > n)
-        return null
-      // next-header CRC verified, never skipped
-      val crc = new java.util.zip.CRC32()
-      crc.update(bytes, hdrStart.toInt, nextSize.toInt)
-      if ((crc.getValue & 0xFFFFFFFFL) != nextCrc) return null
-      var hc = new Cur(bytes, hdrStart.toInt, (hdrStart + nextSize).toInt)
-      var id = hc.num()
-      if (id == KEncodedHeader) {
-        val si = parseStreamsInfo(hc, maxEntries)
-        val header = decodeFolder(bytes, 0L, si, maxHeader)
-        hc = new Cur(header, 0, header.length)
-        id = hc.num()
-      }
-      if (id != KHeader) throw Bad
-      var files: FilesInfo = null
-      var main: StreamsInfo = null
-      id = hc.num()
-      while (id != KEnd) {
-        id match {
-          case KMainStreamsInfo => main = parseStreamsInfo(hc, maxEntries)
-          case KFilesInfo => files = parseFilesInfo(hc, maxEntries)
-          case 0x02 | 0x03 => skipBlocks(hc) // archive props / extra
-          case _ => throw Bad
-        }
-        id = hc.num()
-      }
-      if (files == null) throw Bad
+      val (files, main) = parseArchive(bytes, maxEntries, maxHeader)
       val out = new java.util.ArrayList[Any]
       var sub = 0
       var i = 0
@@ -523,6 +564,116 @@ object SevenZipList {
     }
   }
 
+  /** The member-EXTRACTION kernel behind [[SevenZipMembers]] — the
+    * listing plus each member's decompressed bytes where the folder
+    * is a single supported coder. Per folder: locate its packed
+    * span (cumulative pack sizes; refused folders still advance the
+    * index), decode ONCE via the header path's coder set, slice the
+    * folder output into substreams (solid archives), VERIFY each
+    * substream CRC when the header defines one. `data` is null —
+    * with the row kept — for directories, members of multi-coder/
+    * BCJ/unsupported folders, CRC mismatches, and folders past the
+    * aggregate `maxOut` bomb cap; empty FILES carry empty bytes. */
+  def computeMembers(bytes: Array[Byte], maxEntries: Int,
+                     maxOut: Int): GenericArrayData = {
+    try {
+      val (files, main) = parseArchive(bytes, maxEntries, maxOut)
+      val nFolders = if (main == null) 0 else main.folders.length
+      // folder → first pack-stream index and first substream index
+      val packIdx = new Array[Int](nFolders)
+      val firstSub = new Array[Int](nFolders)
+      var pi = 0
+      var fs = 0
+      var f = 0
+      while (f < nFolders) {
+        packIdx(f) = pi
+        firstSub(f) = fs
+        pi += main.folders(f).numPackedStreams
+        fs += (if (f < main.numUnpackStreams.length)
+          main.numUnpackStreams(f) else 1)
+        f += 1
+      }
+      val folderData = new Array[Array[Byte]](nFolders)
+      val folderFailed = new Array[Boolean](nFolders)
+      var budget = maxOut.toLong
+      def folderBytes(fi: Int): Array[Byte] = {
+        if (folderData(fi) == null && !folderFailed(fi)) {
+          val fo = main.folders(fi)
+          try {
+            if (fo.coders.length != 1 || fo.numPackedStreams != 1)
+              throw Bad // multi-coder/filtered folders: documented refusal
+            val p = packIdx(fi)
+            if (p >= main.packSizes.length) throw Bad
+            var off = 32L + main.packPos
+            var k = 0
+            while (k < p) { off += main.packSizes(k); k += 1 }
+            val unpack = fo.mainUnpackSize
+            if (unpack > budget) throw Bad // aggregate bomb cap
+            folderData(fi) =
+              decodeCoder(bytes, off, main.packSizes(p), unpack,
+                fo.coders(0), maxOut)
+            budget -= unpack
+          } catch {
+            case Bad => folderFailed(fi) = true
+            case _: ArrayIndexOutOfBoundsException => folderFailed(fi) = true
+            case _: NegativeArraySizeException => folderFailed(fi) = true
+          }
+        }
+        folderData(fi)
+      }
+      // substream → folder (via firstSub spans) and offset inside it
+      def subFolder(sub: Int): Int = {
+        var fi = nFolders - 1
+        while (fi >= 0 && firstSub(fi) > sub) fi -= 1
+        if (fi < 0) throw Bad
+        fi
+      }
+      val out = new java.util.ArrayList[Any]
+      var sub = 0
+      var i = 0
+      while (i < files.names.length) {
+        val empty = files.emptyStream(i)
+        val isDir = empty && !files.emptyFile(i)
+        var size = 0L
+        var data: Array[Byte] = if (isDir) null else Array.emptyByteArray
+        if (!empty) {
+          if (main == null || sub >= main.subSizes.length) throw Bad
+          size = main.subSizes(sub)
+          val fi = subFolder(sub)
+          val fb = folderBytes(fi)
+          data = null
+          if (fb != null) {
+            var off = 0L
+            var k = firstSub(fi)
+            while (k < sub) { off += main.subSizes(k); k += 1 }
+            if (off >= 0 && size >= 0 && off + size <= fb.length) {
+              val slice = java.util.Arrays.copyOfRange(fb, off.toInt,
+                (off + size).toInt)
+              val ok =
+                if (sub < main.subCrcDefined.length &&
+                  main.subCrcDefined(sub)) {
+                  val c = new java.util.zip.CRC32()
+                  c.update(slice, 0, slice.length)
+                  (c.getValue & 0xFFFFFFFFL) == main.subCrcs(sub)
+                } else true
+              if (ok) data = slice
+            }
+          }
+          sub += 1
+        }
+        out.add(new GenericInternalRow(Array[Any](
+          UTF8String.fromString(files.names(i)), size,
+          java.lang.Boolean.valueOf(isDir), data)))
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    } catch {
+      case Bad => null
+      case _: ArrayIndexOutOfBoundsException => null
+      case _: NegativeArraySizeException => null
+    }
+  }
+
   import org.apache.spark.sql.graftshim.ColumnShim
 
   /** Column-level entry point; 64k entries, 16 MiB header. */
@@ -530,4 +681,67 @@ object SevenZipList {
             maxHeader: Int = 1 << 24): Column =
     ColumnShim.column(
       SevenZipList(ColumnShim.expression(payload), maxEntries, maxHeader))
+}
+
+/** 7-Zip member EXTRACTION — [[SevenZipList]]'s sibling carrying each
+  * member's decompressed bytes: the zip tier extracts
+  * ([[ZipEntryBytes]]) and tar extracts (`tarMemberText`), so the
+  * third source-release container does too for the common case —
+  * single-coder folders under COPY/LZMA/LZMA2/BZIP2/DEFLATE (what
+  * `7z`, commons-compress and py7zr emit for source archives).
+  * Multi-coder folders (BCJ filter chains, bind pairs), encrypted or
+  * PPMd folders keep the LISTING-tier refusal: their rows stay with
+  * `data` NULL, never silently wrong bytes. Substream CRC32s are
+  * VERIFIED when the header defines them; a solid folder decodes
+  * ONCE and slices per member; an aggregate `maxOut` cap bounds the
+  * decoded bytes per archive (bomb guard).
+  *
+  * Output: array of `(name, size, is_dir, data)` in archive order —
+  * `data` null for directories and every refusal above, empty for
+  * zero-byte files.
+  *
+  * FAIL-CLOSED NULL (whole row) on everything [[SevenZipList]]
+  * refuses. Per-row bounded work, zero shuffle, codegen'd. */
+case class SevenZipMembers(child: Expression, maxEntries: Int, maxOut: Int)
+    extends UnaryExpression {
+  require(maxEntries > 0 && maxOut > 0, "bounds must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sevenzip_members expects binary input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("is_dir", BooleanType, nullable = false),
+    StructField("data", BinaryType, nullable = true))),
+    containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    SevenZipList.computeMembers(a.asInstanceOf[Array[Byte]], maxEntries,
+      maxOut)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.SevenZipList.computeMembers($c, $maxEntries, $maxOut);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "sevenzip_members"
+}
+
+object SevenZipMembers {
+  import org.apache.spark.sql.graftshim.ColumnShim
+
+  /** Column-level entry point; 64k entries, 64 MiB aggregate decode. */
+  def apply(payload: Column, maxEntries: Int = 1 << 16,
+            maxOut: Int = 1 << 26): Column =
+    ColumnShim.column(
+      SevenZipMembers(ColumnShim.expression(payload), maxEntries, maxOut))
 }

@@ -152,4 +152,28 @@ object IcebergTable {
         coalesce(sum(col("record_count")), lit(0L)).as("total_records"))
     m.crossJoin(live)
   }
+
+  /** Structured-streaming tail of the METADATA LOG — [[DeltaLog]]'s
+    * `commitStream` sibling for the Iceberg layout: every
+    * metadata-JSON document written after the stream starts
+    * arrives as a micro-batch row carrying the snapshot facts
+    * plus a `version` parsed from the file name (both public naming
+    * shapes: `v<N>.metadata.json` and the `<NNNNN>-<uuid>` form).
+    * The commit census for a table-growth monitor:
+    * `metadataStream(...).select($"version",
+    * $"`current-snapshot-id`")` is the stream of snapshot flips.
+    * Explicit schema (never inference); work per trigger is
+    * proportional to NEW metadata documents only — the file source's
+    * own checkpointing makes the tail exactly-once. */
+  def metadataStream(spark: SparkSession, tableDir: String): DataFrame = {
+    val metaDir = new Path(tableDir, "metadata")
+    if (!fs(spark, metaDir).exists(metaDir))
+      throw new IllegalArgumentException(
+        s"not an Iceberg table: no metadata dir under $tableDir")
+    spark.readStream.option("multiLine", "true").schema(metadataSchema)
+      .json(new Path(metaDir, "*.metadata.json").toString)
+      .withColumn("version",
+        regexp_extract(input_file_name(),
+          "v?0*([0-9]+)[^/]*\\.metadata\\.json$", 1).cast("long"))
+  }
 }

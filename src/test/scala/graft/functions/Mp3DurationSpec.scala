@@ -1,0 +1,93 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Mp3Duration]] battery over synthetic MPEG1 Layer III payloads:
+  * Xing exact counts (stereo and mono side-info offsets), VBRI, the
+  * CBR estimate, ID3v2 skip incl. the footer flag, and the
+  * fail-closed refusals. */
+class Mp3DurationSpec extends AnyFunSuite {
+
+  /** 4-byte MPEG1 L3 header: 128 kbps (idx 9), 44.1 kHz, given mode. */
+  private def hdr(mono: Boolean): Array[Byte] =
+    Array(0xff.toByte, 0xfb.toByte, 0x90.toByte,
+      (if (mono) 0xc0 else 0x00).toByte)
+
+  private def be32(v: Long): Array[Byte] =
+    Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+
+  private def xingMp3(frames: Long, mono: Boolean,
+                      id3: Option[Array[Byte]] = None): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    id3.foreach(bos.write)
+    bos.write(hdr(mono))
+    bos.write(new Array[Byte](if (mono) 17 else 32)) // side info
+    bos.write("Xing".getBytes("US-ASCII"))
+    bos.write(be32(1L)) // flags: FRAMES
+    bos.write(be32(frames))
+    bos.toByteArray
+  }
+
+  private def id3Tag(size: Int, footer: Boolean): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bos.write("ID3".getBytes("US-ASCII"))
+    bos.write(4); bos.write(0)
+    bos.write(if (footer) 0x10 else 0)
+    bos.write((size >> 21) & 0x7f); bos.write((size >> 14) & 0x7f)
+    bos.write((size >> 7) & 0x7f); bos.write(size & 0x7f)
+    bos.write(new Array[Byte](size + (if (footer) 10 else 0)))
+    bos.toByteArray
+  }
+
+  private def got(b: Array[Byte]): Option[(Long, Long, String)] =
+    Option(Mp3Duration.compute(b)).map(r =>
+      (r.getLong(0), r.getLong(1), r.getUTF8String(2).toString))
+
+  test("Xing frame counts: stereo 32-byte and mono 17-byte side-info " +
+    "offsets, duration = frames*1152/44100") {
+    assert(got(xingMp3(100, mono = false)) ==
+      Some((100L, 100L * 1152 * 1000 / 44100, "xing")))
+    assert(got(xingMp3(2500, mono = true)) ==
+      Some((2500L, 2500L * 1152 * 1000 / 44100, "xing")))
+  }
+
+  test("ID3v2 skip: plain and footer-flagged tags both land on the " +
+    "first frame; a truncated tag refuses") {
+    assert(got(id3Tag(64, footer = false) ++ xingMp3(7, mono = false))
+      .exists(_._1 == 7L))
+    assert(got(id3Tag(64, footer = true) ++ xingMp3(7, mono = false))
+      .exists(_._1 == 7L))
+    assert(got(id3Tag(64, footer = false).take(30)).isEmpty)
+  }
+
+  test("VBRI at the fixed 32-byte offset") {
+    val bos = new ByteArrayOutputStream()
+    bos.write(hdr(mono = false))
+    bos.write(new Array[Byte](32))
+    bos.write("VBRI".getBytes("US-ASCII"))
+    bos.write(new Array[Byte](10)) // ver/delay/quality/bytes
+    bos.write(be32(300))
+    assert(got(bos.toByteArray) ==
+      Some((300L, 300L * 1152 * 1000 / 44100, "vbri")))
+  }
+
+  test("CBR estimate: floor(payload/frame_size) at 128kbps/44.1kHz " +
+    "(417 bytes per frame)") {
+    val b = hdr(mono = false) ++ new Array[Byte](417 * 10 - 4 + 100)
+    assert(got(b) == Some((10L, 10L * 1152 * 1000 / 44100, "cbr")))
+  }
+
+  test("fail-closed: MPEG2, Layer II, free-format bitrate, reserved " +
+    "sample rate, truncation") {
+    def withB2(v: Int) = { val h = hdr(false); h(1) = v.toByte; h ++ new Array[Byte](500) }
+    assert(got(withB2(0xf3)).isEmpty, "MPEG2")
+    assert(got(withB2(0xfd)).isEmpty, "Layer II")
+    val free = hdr(false); free(2) = 0x00
+    assert(got(free ++ new Array[Byte](500)).isEmpty, "free-format")
+    val badSr = hdr(false); badSr(2) = 0x9c.toByte
+    assert(got(badSr ++ new Array[Byte](500)).isEmpty, "reserved rate")
+    assert(got(Array[Byte](0xff.toByte, 0xfb.toByte)).isEmpty, "short")
+  }
+}

@@ -146,4 +146,144 @@ class SevenZipSpec extends SparkSpec {
       assert(entries(a.take(cut)) == null, s"cut $cut")
     assert(entries("1234567".getBytes) == null)
   }
+
+  private def members(b: Array[Byte], maxOut: Int = 1 << 26)
+      : Seq[(String, Long, Boolean, Option[Array[Byte]])] = {
+    val r = SevenZipList.computeMembers(b, 1 << 16, maxOut)
+    if (r == null) null
+    else (0 until r.numElements()).map { i =>
+      val e = r.getStruct(i, 4)
+      (e.getUTF8String(0).toString, e.getLong(1), e.getBoolean(2),
+        if (e.isNullAt(3)) None else Some(e.getBinary(3)))
+    }
+  }
+
+  test("7z member extraction: real commons-compress archives under " +
+    "all five codecs decode their contents; dirs null, empty files empty") {
+    for (m <- Seq(SevenZMethod.LZMA2, SevenZMethod.LZMA, SevenZMethod.COPY,
+      SevenZMethod.BZIP2, SevenZMethod.DEFLATE)) {
+      val got = members(buildArchive(m))
+      assert(got != null, s"method $m")
+      val byName = got.map(e => e._1 -> e).toMap
+      assert(byName("docs")._3 && byName("docs")._4.isEmpty, s"$m dir")
+      assert(byName("docs/a.txt")._4.map(new String(_, "UTF-8"))
+        .contains("hello seven zip"), s"$m a.txt")
+      assert(byName("b.bin")._4.exists(_.sameElements(
+        Array.fill(100)(7.toByte))), s"$m b.bin")
+      assert(byName("empty.txt")._4.exists(_.isEmpty), s"$m empty")
+    }
+  }
+
+  /** Hand-assembled SOLID archive: ONE COPY folder holding all the
+    * member bytes, substream sizes + CRCs in kSubStreamsInfo — the
+    * shape the 7z CLI writes for -ms=on. */
+  private def solidCopyArchive(slices: Seq[(String, Array[Byte])])
+      : Array[Byte] = {
+    def num(v: Long): Array[Byte] = {
+      require(v >= 0 && v < 0x80, "single-byte num only in this builder")
+      Array(v.toByte)
+    }
+    val payload = slices.flatMap(_._2).toArray
+    val crcs = slices.map { case (_, d) =>
+      val c = new java.util.zip.CRC32(); c.update(d); c.getValue & 0xFFFFFFFFL
+    }
+    val nameBlock = {
+      val bos = new ByteArrayOutputStream()
+      bos.write(0) // external=0
+      for ((n, _) <- slices)
+        bos.write((n + "\u0000").getBytes(java.nio.charset.StandardCharsets.UTF_16LE))
+      bos.toByteArray
+    }
+    val tree = new ByteArrayOutputStream()
+    tree.write(0x01) // kHeader
+    tree.write(0x04) // kMainStreamsInfo
+    tree.write(0x06) // kPackInfo
+    tree.write(num(0)); tree.write(num(1)) // packPos, nPack
+    tree.write(0x09); tree.write(num(payload.length)) // kSize
+    tree.write(0x00)
+    tree.write(0x07) // kUnPackInfo
+    tree.write(0x0B); tree.write(num(1)); tree.write(0x00) // kFolder, ext
+    tree.write(num(1)) // 1 coder
+    tree.write(0x01); tree.write(0x00) // flags: idSize 1; id = COPY
+    tree.write(0x0C); tree.write(num(payload.length)) // unpack size
+    tree.write(0x00)
+    tree.write(0x08) // kSubStreamsInfo
+    tree.write(0x0D); tree.write(num(slices.length)) // kNumUnPackStream
+    tree.write(0x09) // kSize: all but the last
+    for ((_, d) <- slices.dropRight(1)) tree.write(num(d.length))
+    tree.write(0x0A); tree.write(1) // kCrc, allDefined
+    for (c <- crcs)
+      (0 until 4).foreach(i => tree.write(((c >> (8 * i)) & 0xff).toInt))
+    tree.write(0x00)
+    tree.write(0x00) // end kMainStreamsInfo
+    tree.write(0x05) // kFilesInfo
+    tree.write(num(slices.length))
+    tree.write(0x11); tree.write(num(nameBlock.length)) // kName
+    tree.write(nameBlock)
+    tree.write(0x00)
+    tree.write(0x00) // end kHeader
+    val t = tree.toByteArray
+    val out = new ByteArrayOutputStream()
+    out.write(Array[Byte](0x37, 0x7A, 0xBC.toByte, 0xAF.toByte, 0x27, 0x1C,
+      0, 4, 0, 0, 0, 0))
+    (0 until 8).foreach(i =>
+      out.write(((payload.length.toLong >> (8 * i)) & 0xff).toInt))
+    (0 until 8).foreach(i =>
+      out.write(((t.length.toLong >> (8 * i)) & 0xff).toInt))
+    val crc = new java.util.zip.CRC32(); crc.update(t)
+    (0 until 4).foreach(i => out.write(((crc.getValue >> (8 * i)) & 0xff).toInt))
+    out.write(payload)
+    out.write(t)
+    out.toByteArray
+  }
+
+  test("7z member extraction: a SOLID folder slices substreams by " +
+    "size with CRCs VERIFIED; a payload flip nulls only the hit " +
+    "member; an aggregate cap refuses data but keeps the listing") {
+    val a = solidCopyArchive(Seq(
+      "a.txt" -> "AAAA".getBytes("UTF-8"),
+      "b.txt" -> "BBBBB".getBytes("UTF-8")))
+    val got = members(a)
+    assert(got != null, "solid archive refused")
+    assert(got.map(e => (e._1, e._2, e._3)) ==
+      Seq(("a.txt", 4L, false), ("b.txt", 5L, false)))
+    assert(got(0)._4.map(new String(_, "UTF-8")).contains("AAAA"))
+    assert(got(1)._4.map(new String(_, "UTF-8")).contains("BBBBB"))
+    // flip one byte inside b.txt's slice: its CRC refuses, a.txt keeps
+    val flip = a.clone()
+    flip(32 + 4 + 2) = 'X'.toByte
+    val g2 = members(flip)
+    assert(g2(0)._4.isDefined && g2(1)._4.isEmpty)
+    // flip inside a.txt: only a.txt nulls
+    val flip2 = a.clone()
+    flip2(32 + 1) = 'X'.toByte
+    val g3 = members(flip2)
+    assert(g3(0)._4.isEmpty && g3(1)._4.isDefined)
+    // a cap below the folder unpack size: listing intact, data refused
+    val g4 = members(a, maxOut = 4)
+    assert(g4 != null && g4.map(_._2) == Seq(4L, 5L) &&
+      g4.forall(_._4.isEmpty))
+  }
+
+  test("7z member extraction fails closed on everything the listing " +
+    "refuses; multi-coder folders keep rows with null data") {
+    val a = buildArchive(SevenZMethod.LZMA2)
+    val badCrc = a.clone(); badCrc(28) = (badCrc(28) ^ 1).toByte
+    assert(members(badCrc) == null)
+    assert(members("junk".getBytes) == null)
+  }
+
+  test("documentText routes 7z: the first member whose folder " +
+    "decodes to UTF-8 text surfaces; a CRC flip nulls") {
+    import spark.implicits._
+    val a = buildArchive(SevenZMethod.LZMA2)
+    val badCrc = a.clone(); badCrc(28) = (badCrc(28) ^ 1).toByte
+    val dt = graft.ext.Multimodal.documentText(
+      Seq((1L, a), (2L, badCrc)).toDF("doc_id", "payload"))
+      .orderBy("doc_id").collect()
+    assert(dt(0).getString(1) == "7z" &&
+      dt(0).getString(2) == "hello seven zip")
+    assert(dt(1).getString(1) == "7z" && dt(1).isNullAt(2))
+  }
 }
+

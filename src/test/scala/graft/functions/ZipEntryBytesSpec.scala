@@ -219,6 +219,28 @@ class ZipEntryBytesSpec extends SparkSpec {
       .toDF("doc_id", "payload")).count() == 0)
   }
 
+  test("odfCells: the ods grid over a stored package — typed value, " +
+    "text value, repeat; junk packages contribute no rows") {
+    val content = "<office:document-content><office:body>" +
+      "<office:spreadsheet><table:table><table:table-row>" +
+      "<table:table-cell office:value=\"42\"><text:p>42</text:p>" +
+      "</table:table-cell>" +
+      "<table:table-cell table:number-columns-repeated=\"2\">" +
+      "<text:p>t &amp; u</text:p></table:table-cell>" +
+      "</table:table-row></table:table></office:spreadsheet>" +
+      "</office:body></office:document-content>"
+    val z = storedZip(
+      "mimetype" -> "application/vnd.oasis.opendocument.spreadsheet".getBytes,
+      "content.xml" -> content.getBytes("UTF-8"))
+    val rows = Multimodal.odfCells(Seq((1L, z)).toDF("doc_id", "payload"))
+      .orderBy("col").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.toSeq == Seq((1L, 1L, 1L, "42"), (1L, 1L, 2L, "t & u"),
+      (1L, 1L, 3L, "t & u")))
+    assert(Multimodal.odfCells(Seq((1L, "junk".getBytes))
+      .toDF("doc_id", "payload")).count() == 0)
+  }
+
   test("epubMeta: container.xml NAMES the OPF (per-row member name), " +
     "Dublin Core decoded; missing container nulls the row") {
     val container = "<?xml version=\"1.0\"?><container><rootfiles>" +

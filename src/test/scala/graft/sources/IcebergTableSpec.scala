@@ -128,6 +128,36 @@ class IcebergTableSpec extends SparkSpec {
     }
   }
 
+  test("iceberg metadataStream tails the metadata log: documents " +
+    "landed AFTER the stream starts arrive as micro-batches with the " +
+    "version parsed from BOTH public naming shapes") {
+    import org.apache.spark.sql.functions.col
+    val dir = buildTable(withHint = true)
+    val meta = dir.resolve("metadata")
+    val q = IcebergTable.metadataStream(spark, dir.toString)
+      .select(col("version"), col("`current-snapshot-id`").as("snap"))
+      .writeStream.format("memory").queryName("iceberg_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("iceberg_tail").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(first == Set((1L, 3L), (2L, 7L)))
+      // a writer flips the snapshot while the stream runs — the
+      // Spark-writer naming shape (zero-padded + uuid)
+      Files.write(meta.resolve("00003-0a1b2c3d.metadata.json"),
+        new String(Files.readAllBytes(meta.resolve("v2.metadata.json")),
+          StandardCharsets.UTF_8)
+          .replace("\"current-snapshot-id\":7",
+            "\"current-snapshot-id\":9")
+          .getBytes(StandardCharsets.UTF_8))
+      q.processAllAvailable()
+      val rows = spark.table("iceberg_tail").orderBy("version").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((1L, 3L), (2L, 7L), (3L, 9L)))
+    } finally q.stop()
+  }
+
   test("iceberg census refuses non-tables") {
     val plain = Files.createTempDirectory("graft-noticeberg")
     intercept[IllegalArgumentException] {

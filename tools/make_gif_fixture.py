@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Pinned GIF fixtures for q320_gif_dhash.
+
+Builds two deterministic grayscale GIFs (hand LZW, root-only codes)
+plus computes their expected dHash INDEPENDENTLY of the Scala kernel
+(same public contract: 9x8 nearest grid, luma 299R+587G+114B,
+bit (j,i) = right>left, packed sum bit<<(8j+i)).
+
+Run: python3 tools/make_gif_fixture.py
+Paste the printed hex + hash constants into SparkEntry's q320.
+"""
+import sys
+
+
+def lzw_roots(pixels, min_code):
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = nbits = 0
+    code_size = min_code + 1
+
+    def put(c):
+        nonlocal acc, nbits
+        acc |= c << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    nxt = end + 1
+    first = True
+    for p in pixels:
+        put(p)
+        if not first and nxt < 4096:
+            nxt += 1
+            if nxt == (1 << code_size) and code_size < 12:
+                code_size += 1
+        first = False
+    put(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_of(v, w, h):
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])
+    for i in range(256):
+        out += bytes([i, i, i])
+    out += bytes([0x2C]) + b"\0\0\0\0"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\0"
+    pixels = [v(x, y) & 0xFF for y in range(h) for x in range(w)]
+    out.append(8)
+    code = lzw_roots(pixels, 8)
+    for off in range(0, len(code), 255):
+        chunk = code[off:off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
+def dhash(v, w, h):
+    xs = [i * (w - 1) // 8 for i in range(9)]
+    bits = 0
+    for j in range(8):
+        y = j * (h - 1) // 7
+        def luma(x):
+            g = v(x, y) & 0xFF
+            return g * 299 + g * 587 + g * 114
+        for i in range(8):
+            if luma(xs[i + 1]) > luma(xs[i]):
+                bits |= 1 << (8 * j + i)
+    # Scala Long is signed 64-bit
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def main():
+    a = lambda x, y: (x * 13 + y * 7) % 200
+    b = lambda x, y: (x * 29 + y * 3 + 31) % 177
+    ga, gb = gif_of(a, 16, 16), gif_of(b, 16, 16)
+    print("gifA hex:")
+    print(ga.hex())
+    print("gifB hex:")
+    print(gb.hex())
+    print("hashA =", dhash(a, 16, 16))
+    print("hashB =", dhash(b, 16, 16))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
