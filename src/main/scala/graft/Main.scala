@@ -67,11 +67,12 @@ object Main {
     |  ingest-warc   --landing DIR --corpus DIR --checkpoint DIR [--follow true]
     |  extract-archive --payloads PARQUET_DIR --format F --target DIR
     |                F: warc-gz|tar|tar-gz|tar-xz|tar-zst|tar-bz2|tar-lz4|tar-sz|docx|pptx|xlsx|xlsx-cells|xls-cells
-    |                   |doc|ppt|rtf|odf
-    |                   |zip-list|7z-list|pdf|id3|epub|epub-chapters|avro-schema
+    |                   |doc|ppt|rtf|odf|ods-cells|docx-full
+    |                   |zip-list|7z-list|7z-members|pdf|id3|epub|epub-chapters|avro-schema
     |                   |avro-blocks|avro-records|bson|msgpack|cbor|proto-fields
     |                   |bz2|zstd|xz|lz4|sz|mbox|cfb-meta|wiki-pages|wiki-corpus
     |                   |parquet-meta|parquet-stats|orc-meta|orc-stripes|orc-column-stats|arrow-meta
+    |                   |mp3-duration|image-dhash
     |                (payloads: doc_id + the format's payload column)
     |  ingest-avro  --path DIR --target DIR [--ddl "a BIGINT, b STRING"]
     |  ingest-bson/-msgpack/-cbor --path DIR --ddl "a BIGINT, t STRING" --target DIR
@@ -84,7 +85,11 @@ object Main {
     |                 [--follow true]           (streaming commit tail)
     |  iceberg-snapshot --table DIR --target DIR  (live data files)
     |  iceberg-meta   --table DIR --target DIR    (uuid/version/row total)
+    |  iceberg-tail   --table DIR --target DIR --checkpoint DIR
+    |                 [--follow true]           (streaming metadata tail)
     |  hudi-timeline  --table DIR --target DIR    (instant states)
+    |  hudi-tail      --table DIR --target DIR --checkpoint DIR
+    |                 [--follow true]           (streaming commit tail)
     |  hudi-commits   --table DIR --target DIR    (per-file write stats)
     |  hudi-meta      --table DIR --target DIR    (properties + census)
     |""".stripMargin
@@ -201,6 +206,21 @@ object Main {
       case "delta-meta" =>
         sources.DeltaLog.tableMeta(spark, one("table"))
           .write.mode("overwrite").parquet(one("target"))
+      case "iceberg-tail" =>
+        // live metadata tail: every new metadata document becomes a
+        // micro-batch row of snapshot facts appended to the target
+        val q = sources.IcebergTable.metadataStream(spark, one("table"))
+          .select(org.apache.spark.sql.functions.col("version"),
+            org.apache.spark.sql.functions.col("`current-snapshot-id`")
+              .as("current_snapshot_id"),
+            org.apache.spark.sql.functions.col("`format-version`")
+              .as("format_version"))
+          .writeStream.format("parquet")
+          .option("path", one("target"))
+          .option("checkpointLocation", one("checkpoint"))
+          .outputMode("append").start()
+        if (f("follow").headOption.exists(_.toBoolean)) q.awaitTermination()
+        else { q.processAllAvailable(); q.stop() }
       case "iceberg-snapshot" =>
         // the current snapshot's live data files via the engine's own
         // avro kernel — no data file opened
@@ -209,6 +229,16 @@ object Main {
       case "iceberg-meta" =>
         sources.IcebergTable.tableMeta(spark, one("table"))
           .write.mode("overwrite").parquet(one("target"))
+      case "hudi-tail" =>
+        // live instant tail: each completed commit's write stats
+        // append to the target as a micro-batch
+        val q = sources.HudiTimeline.commitStream(spark, one("table"))
+          .writeStream.format("parquet")
+          .option("path", one("target"))
+          .option("checkpointLocation", one("checkpoint"))
+          .outputMode("append").start()
+        if (f("follow").headOption.exists(_.toBoolean)) q.awaitTermination()
+        else { q.processAllAvailable(); q.stop() }
       case "hudi-timeline" =>
         sources.HudiTimeline.timeline(spark, one("table"))
           .write.mode("overwrite").parquet(one("target"))
@@ -484,6 +514,17 @@ object Main {
             functions.RtfText(col("payload")).as("text"))
           case "zip-list" => ext.Multimodal.zipList(docs)
           case "7z-list" => ext.Multimodal.sevenZipList(docs)
+          case "7z-members" => ext.Multimodal.sevenZipMembers(docs)
+          case "ods-cells" => ext.Multimodal.odfCells(docs)
+          case "mp3-duration" => docs.select(col("doc_id"),
+            ext.Multimodal.mp3Duration(col("payload")).as("__d"))
+            .select(col("doc_id"), col("__d.frames").as("frames"),
+              col("__d.duration_ms").as("duration_ms"),
+              col("__d.method").as("method"))
+          case "docx-full" => docs.select(col("doc_id"),
+            ext.Multimodal.docxFullText(col("payload")).as("text"))
+          case "image-dhash" => docs.select(col("doc_id"),
+            ext.Multimodal.imageDhash(col("payload")).as("dhash"))
           case "epub-chapters" => ext.Multimodal.epubChapters(docs)
           case "bz2" => docs.select(col("doc_id"),
             functions.Bunzip2(col("payload")).as("data"))

@@ -132,4 +132,36 @@ object HudiTimeline {
       max(when(col("state") === "completed", col("instant_ts")))
         .as("latest_completed")))
   }
+
+  /** Structured-streaming tail of COMPLETED commit-class instants —
+    * the [[DeltaLog]] `commitStream` / [[IcebergTable]]
+    * `metadataStream` sibling completing the trio: every
+    * `<ts>.commit` / `.deltacommit` / `.replacecommit` document
+    * landing after the stream starts arrives as a micro-batch of its
+    * per-file write stats, `(instant_ts, action, partition, file_id,
+    * path, num_writes, num_deletes, total_write_bytes,
+    * file_size_in_bytes)` — the ingestion-cadence monitor shape.
+    * Explicit schema; work per trigger proportional to NEW instants;
+    * the file source's checkpointing makes the tail exactly-once.
+    * (Pending `.requested`/`.inflight` markers do not match the
+    * completed-instant glob, so the stream never double-fires an
+    * instant.) */
+  def commitStream(spark: SparkSession, tableDir: String): DataFrame = {
+    val d = hoodieDir(spark, tableDir)
+    spark.readStream.option("multiLine", "true").schema(commitSchema)
+      .json(new Path(d, "*.{commit,deltacommit,replacecommit}").toString)
+      .withColumn("__f", input_file_name())
+      .select(
+        regexp_extract(col("__f"), "/(\\d+)\\.[a-z]+$", 1).as("instant_ts"),
+        regexp_extract(col("__f"), "\\.([a-z]+)$", 1).as("action"),
+        explode(col("partitionToWriteStats")).as(Seq("partition", "__ws")))
+      .select(col("instant_ts"), col("action"), col("partition"),
+        explode(col("__ws")).as("__w"))
+      .select(col("instant_ts"), col("action"), col("partition"),
+        col("__w.fileId").as("file_id"), col("__w.path").as("path"),
+        col("__w.numWrites").as("num_writes"),
+        col("__w.numDeletes").as("num_deletes"),
+        col("__w.totalWriteBytes").as("total_write_bytes"),
+        col("__w.fileSizeInBytes").as("file_size_in_bytes"))
+  }
 }

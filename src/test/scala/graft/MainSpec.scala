@@ -265,6 +265,67 @@ class MainSpec extends SparkSpec {
       mr.getAs[String]("cleaned") == "body line\n")
   }
 
+  test("round-14 verbs: ods-cells, mp3-duration, 7z-members through argv") {
+    import spark.implicits._
+    import java.io.ByteArrayOutputStream
+    import java.util.zip.{CRC32, ZipOutputStream, ZipEntry}
+    // ods-cells over a stored-entry package
+    val content = "<office:document-content><office:body>" +
+      "<office:spreadsheet><table:table><table:table-row>" +
+      "<table:table-cell office:value=\"5\"/><table:table-cell>" +
+      "<text:p>cli</text:p></table:table-cell></table:table-row>" +
+      "</table:table></office:spreadsheet></office:body>" +
+      "</office:document-content>"
+    val zbos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(zbos)
+    z.setMethod(ZipOutputStream.STORED)
+    val data = content.getBytes("UTF-8")
+    val e = new ZipEntry("content.xml")
+    e.setSize(data.length); e.setCompressedSize(data.length)
+    val crc = new CRC32(); crc.update(data); e.setCrc(crc.getValue)
+    z.putNextEntry(e); z.write(data); z.closeEntry(); z.close()
+    val odsIn = Files.createTempDirectory("graft-cli-ods-in").toString
+    Seq((1L, zbos.toByteArray)).toDF("doc_id", "payload")
+      .write.mode("overwrite").parquet(odsIn)
+    val odsOut = Files.createTempDirectory("graft-cli-ods").toString
+    Main.main(Array("extract-archive", "--payloads", odsIn,
+      "--format", "ods-cells", "--target", odsOut))
+    val odsRows = spark.read.parquet(odsOut).orderBy("col").collect()
+      .map(r => (r.getLong(3), r.getString(4)))
+    assert(odsRows.toSeq == Seq((1L, "5"), (2L, "cli")))
+    // mp3-duration over a Xing payload
+    val mp3 = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0) ++
+      new Array[Byte](32) ++ "Xing".getBytes ++
+      Array[Byte](0, 0, 0, 1, 0, 0, 0, 50)
+    val mpIn = Files.createTempDirectory("graft-cli-mp3-in").toString
+    Seq((1L, mp3)).toDF("doc_id", "payload")
+      .write.mode("overwrite").parquet(mpIn)
+    val mpOut = Files.createTempDirectory("graft-cli-mp3").toString
+    Main.main(Array("extract-archive", "--payloads", mpIn,
+      "--format", "mp3-duration", "--target", mpOut))
+    val mr = spark.read.parquet(mpOut).collect()(0)
+    assert(mr.getAs[Long]("frames") == 50L &&
+      mr.getAs[String]("method") == "xing")
+    // 7z-members over a real commons-compress archive
+    import org.apache.commons.compress.archivers.sevenz.{SevenZArchiveEntry, SevenZOutputFile}
+    val szf = Files.createTempFile("graft-cli", ".7z").toFile
+    val sz = new SevenZOutputFile(szf)
+    val se = new SevenZArchiveEntry
+    se.setName("a.txt")
+    sz.putArchiveEntry(se)
+    sz.write("seven".getBytes("UTF-8"))
+    sz.closeArchiveEntry(); sz.close()
+    val szIn = Files.createTempDirectory("graft-cli-7z-in").toString
+    Seq((1L, Files.readAllBytes(szf.toPath)))
+      .toDF("doc_id", "payload").write.mode("overwrite").parquet(szIn)
+    val szOut = Files.createTempDirectory("graft-cli-7z").toString
+    Main.main(Array("extract-archive", "--payloads", szIn,
+      "--format", "7z-members", "--target", szOut))
+    val sr = spark.read.parquet(szOut).collect()(0)
+    assert(sr.getAs[String]("name") == "a.txt" &&
+      new String(sr.getAs[Array[Byte]]("data"), "UTF-8") == "seven")
+  }
+
   test("unknown verb and missing flags fail loudly") {
     intercept[RuntimeException](Main.main(Array("frobnicate", "--x", "y")))
     intercept[RuntimeException](Main.main(Array("copy-tree", "--data", sf)))

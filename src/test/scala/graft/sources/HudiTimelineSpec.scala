@@ -78,6 +78,37 @@ class HudiTimelineSpec extends SparkSpec {
     assert(m.getAs[String]("latest_completed") == "002")
   }
 
+  test("hudi commitStream tails completed instants: commits landed " +
+    "AFTER the stream starts arrive; pending markers never fire") {
+    import org.apache.spark.sql.functions.col
+    val dir = buildTable()
+    val h = dir.resolve(".hoodie")
+    val q = HudiTimeline.commitStream(spark, dir.toString)
+      .select(col("instant_ts"), col("action"), col("file_id"),
+        col("num_writes"))
+      .writeStream.format("memory").queryName("hudi_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("hudi_tail").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(first == Set(("001", "commit"), ("002", "deltacommit")))
+      // a writer completes instant 003 while the stream runs; a new
+      // pending marker for 004 must NOT fire
+      Files.write(h.resolve("003.commit"),
+        commitJson("003").getBytes(StandardCharsets.UTF_8))
+      Files.write(h.resolve("004.commit.requested"), Array.emptyByteArray)
+      q.processAllAvailable()
+      val rows = spark.table("hudi_tail")
+        .orderBy("instant_ts", "file_id").collect()
+        .map(r => (r.getString(0), r.getString(2), r.getLong(3)))
+      assert(rows.toSeq == Seq(
+        ("001", "f1-001", 100L), ("001", "f2-001", 50L),
+        ("002", "f1-002", 100L), ("002", "f2-002", 50L),
+        ("003", "f1-003", 100L), ("003", "f2-003", 50L)))
+    } finally q.stop()
+  }
+
   test("hudi census refuses non-tables") {
     val plain = Files.createTempDirectory("graft-nothudi")
     intercept[IllegalArgumentException] {
