@@ -3694,9 +3694,16 @@ object SparkEntry {
       val palette = (0 until 256).map(i => "%02x".format(i) * 3).mkString
       val tailA = "2c00000000100010000008ff000134d070824610275bd0d411f488532a5bc30e5008e16207922a62def049646914ac5e021c6c405143c8132e69ec0c82d449d52d62092a8878c12389953170fa28ba442a96af011038a4b031044a1735770845f2b40a5731051746c0e8a1e40a99387e16612a25eb1781081e54dc2012c5cb1a3c85247d6295cbd8020c2562f85882a58c9c3f8c32999a05ac80840f2c701491f2854d1e439340b5d2758c410613337e30c962660ea0469a4ed10a66600288163a8c4c01d346cf214aa15ced02d040c3091a419a6839432790a34da86a093b4021848b1d48a88471b307512551af780570b001450d214fb6a0a923e811a754b68621a820e2058f2456c4bc24e193c8d22858bd043ce090c2c610285dd2d81904a993aa5bc412581801a387922b640404003b"
       val tailB = "2c00000000100010000008ff003ff0c86267122c0e39accc81d42a838d297044fce092c792800f3cb2d899048b430e2b734a08f9c2275301113fb8e4b124e0038f2c76501411f38713821242bef0c95440c40f2e7956202923e8d3021445c4fce184a084902f7c5c2c41534894831548ca08fab4004511317f62385983a85404174bd01412e56005923282684471b3081585184ed6202a15c1c51234856e5089e368d5051a51dc2c42452186933588745ca113c995861b54e2385a75814614378b7a68b9430940071d57e84472a5e10695388e8074d1736900881e5aee5002d041c7153a918680e9a3c9c008205df45c1a00a287963b948c8c01d42981892160fa6832300248173d9792982419048a410a236300754a606208983e9a98a43134ea018b246606816290c2c818409d0404003b"
-      val m = pmod(col("doc_id"), lit(3L))
+      // the PALETTE PNG of pattern A (color type 3, PLTE = the same
+      // 256-gray table): its hash must EQUAL the gifA hash — the
+      // cross-format contract oracle-visible
+      val pngPre = "89504e470d0a1a0a0000000d49484452000000100000001008" +
+        "03000000282d0f5300000300504c5445"
+      val pngPost = "e2b05d7d000000f449444154789c6360e095523771f48bce286dea9fb372db61067611453d6b8fd0a4fc9ace698b37ec6562e093d63075f28fc92c6b9e3077d5f6239c0ca24afa369e61c905b55dd3976cdcc72cc020a369e61c109b55de3271deea1d47b9c419940d6cbdc2530aebba672cddb49f45508e41cbdc25302ebba275d2fc353b8f714ba83218da7947a416d5f7cc5cb6f900ab90bc0e83856b507c4e65dbe4056b771de791543366b0f7894c2b6ee89db57ccb413661055d2b06b7e084dcaaf6290bd7ed86b899c1372abda4b16ff68aad87206e660849ccabee98ba68fd1e46889b19e0bee280b89901ee2b7e889b19e0be1283b819009d1d61a93989a2770000000049454e44ae426082"
+      val m = pmod(col("doc_id"), lit(4L))
       val hexStr = when(m === 0, lit(head + palette + tailA))
         .when(m === 1, lit(head + palette + tailB))
+        .when(m === 2, lit(pngPre + palette + pngPost))
         .otherwise(hex(lit("junk")))
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -7763,12 +7770,14 @@ object SparkEntry {
         |  END AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // q320: hashes replayed as the python-computed constants
+    // q320: hashes replayed as the python-computed constants; the
+    // palette-PNG branch (m2) equals the gifA hash BY CONTRACT
     "q320_gif_dhash" ->
       """SELECT doc_id,
-        |  CASE doc_id % 3
+        |  CASE doc_id % 4
         |    WHEN 0 THEN CAST(-1157460564566376449 AS BIGINT)
         |    WHEN 1 THEN CAST(-2604246222170760265 AS BIGINT)
+        |    WHEN 2 THEN CAST(-1157460564566376449 AS BIGINT)
         |  END AS dhash
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -1711,7 +1711,9 @@ object Multimodal {
     * luma / bit packing are EXACTLY [[bmpDhash]]'s — a PNG and a BMP
     * of the same pixels hash EQUAL, so both formats near-dup together
     * through one [[imageNearDupPairs]] pass. 8-bit gray / gray+alpha
-    * / RGB / RGBA, non-interlaced, multi-IDAT; anything else (and any
+    * / RGB / RGBA / palette (color type 3, PLTE-resolved — the
+    * indexed web-graphics shape), non-interlaced, multi-IDAT;
+    * anything else (and any
     * truncation, zlib error, size mismatch, or > 2^22-pixel image —
     * the bounded-decode guard) fails closed to null. Runs as the
     * native codegen'd kernel [[graft.functions.PngDhash]]; JPEG

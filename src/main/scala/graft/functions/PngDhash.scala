@@ -17,16 +17,19 @@ import org.apache.spark.sql.types._
   * BMP of the same pixels hash EQUAL and the two formats near-dup
   * together through one `Dedup.hash64NearDupPairs` pass.
   *
-  * Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 4
-  * (gray+alpha), 6 (RGBA), non-interlaced, IDAT split across any
-  * number of chunks. Luma is integer `299·R + 587·G + 114·B` (gray:
-  * `1000·g`), rows TOP-DOWN per the PNG spec (BMP's kernel flips its
-  * bottom-up storage to the same orientation). Chunk CRCs are NOT
-  * validated — integrity checking belongs to the exact-dup
-  * fingerprint tier, not the perceptual one.
+  * Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3
+  * (palette — indices resolve through PLTE to plain RGB, the
+  * indexed web-graphics shape GIF shares), 4 (gray+alpha), 6
+  * (RGBA), non-interlaced, IDAT split across any number of chunks.
+  * Luma is integer `299·R + 587·G + 114·B` (gray: `1000·g`), rows
+  * TOP-DOWN per the PNG spec (BMP's kernel flips its bottom-up
+  * storage to the same orientation). Chunk CRCs are NOT validated —
+  * integrity checking belongs to the exact-dup fingerprint tier,
+  * not the perceptual one.
   *
-  * Fails closed (null) for: non-PNG signatures, palette (3) /
-  * 16-bit / interlaced images, truncated chunks or pixel data, zlib
+  * Fails closed (null) for: non-PNG signatures, sub-8-bit palettes /
+  * 16-bit / interlaced images, a type-3 image without (or indexing
+  * past) its PLTE, truncated chunks or pixel data, zlib
   * errors, inflated size mismatching `h·(1 + w·channels)`, unknown
   * filter bytes, degenerate dimensions, and images above `MaxPixels`
   * (2^22) — the per-row decode allocation is bounded at ~17 MB so a
@@ -92,13 +95,16 @@ object PngDhash {
     val ch = colorType match {
       case 0 => 1
       case 2 => 3
+      case 3 => 1 // palette: one index byte per pixel, PLTE-resolved
       case 4 => 2
       case 6 => 4
-      case _ => return null // palette (3) needs PLTE handling
+      case _ => return null
     }
     if (w < 2L || h < 2L || w * h > MaxPixels) return null
-    // chunk walk: concatenate every IDAT's data
+    // chunk walk: concatenate every IDAT's data; capture PLTE (which
+    // the spec requires BEFORE the first IDAT for color type 3)
     val idat = new java.io.ByteArrayOutputStream()
+    var plte: Array[Byte] = null
     var pos = 33L // after the IHDR chunk (8 + 4 + 4 + 13 + 4)
     var sawEnd = false
     while (!sawEnd) {
@@ -110,9 +116,15 @@ object PngDhash {
       else {
         if (tag == 0x49444154L) // IDAT
           idat.write(b, pos.toInt + 8, len.toInt)
+        else if (tag == 0x504C5445L) { // PLTE: 1..256 RGB triples
+          if (len == 0 || len % 3 != 0 || len > 768) return null
+          plte = java.util.Arrays.copyOfRange(b, pos.toInt + 8,
+            (pos + 8 + len).toInt)
+        }
         pos += 12 + len
       }
     }
+    if (colorType == 3 && plte == null) return null
     val compressed = idat.toByteArray
     if (compressed.isEmpty) return null
     val stride = (w * ch).toInt
@@ -167,6 +179,21 @@ object PngDhash {
         x += 1
       }
       y += 1
+    }
+    if (colorType == 3) {
+      // resolve indices through the palette to plain RGB — an index
+      // past the palette is a spec violation, refused
+      val rgb = new Array[Byte](raw.length * 3)
+      var p = 0
+      while (p < raw.length) {
+        val idx = raw(p) & 0xff
+        if (idx * 3 + 2 >= plte.length) return null
+        rgb(p * 3) = plte(idx * 3)
+        rgb(p * 3 + 1) = plte(idx * 3 + 1)
+        rgb(p * 3 + 2) = plte(idx * 3 + 2)
+        p += 1
+      }
+      return (rgb, w.toInt, h.toInt, 3)
     }
     (raw, w.toInt, h.toInt, ch)
   }

@@ -127,6 +127,26 @@ class GifDhashSpec extends AnyFunSuite {
     assert(got == BmpDhash.compute(bmpOf(base, 16, 16)))
   }
 
+  test("palette cross-format: the JDK's indexed PNG (color type 3, " +
+    "PLTE-resolved) and GIF of the same pixels hash EQUAL to the BMP") {
+    val cm = new java.awt.image.IndexColorModel(8, 256,
+      Array.tabulate(256)(_.toByte), Array.tabulate(256)(_.toByte),
+      Array.tabulate(256)(_.toByte))
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.getRaster.setSample(x, y, 0, base(x, y))
+    val want = BmpDhash.compute(bmpOf(base, 16, 16))
+    for (fmt <- Seq("png", "gif")) {
+      val bos = new ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), fmt)
+      val got =
+        if (fmt == "png") PngDhash.compute(bos.toByteArray)
+        else GifDhash.compute(bos.toByteArray)
+      assert(got == want, s"$fmt hash mismatch")
+    }
+  }
+
   test("fail-closed: signature, truncation at every tier, missing " +
     "color table, oversized dimensions, junk") {
     val good = gifOf(base, 16, 16)

@@ -77,6 +77,25 @@ def dhash(v, w, h):
     return bits - (1 << 64) if bits >= (1 << 63) else bits
 
 
+def png3_of(v, w, h):
+    """Color-type-3 (palette) PNG of the same gray pattern — the
+    cross-format branch: its dHash must equal the GIF/BMP hash."""
+    import zlib, struct
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data +
+                struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    plte = bytes(i for i in range(256) for _ in range(3))
+    raw = b"".join(
+        b"\0" + bytes((v(x, y) & 0xFF) for x in range(w))
+        for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+            chunk(b"PLTE", plte) + chunk(b"IDAT", zlib.compress(raw)) +
+            chunk(b"IEND", b""))
+
+
 def main():
     a = lambda x, y: (x * 13 + y * 7) % 200
     b = lambda x, y: (x * 29 + y * 3 + 31) % 177
@@ -85,6 +104,8 @@ def main():
     print(ga.hex())
     print("gifB hex:")
     print(gb.hex())
+    print("png3A hex:")
+    print(png3_of(a, 16, 16).hex())
     print("hashA =", dhash(a, 16, 16))
     print("hashB =", dhash(b, 16, 16))
 
