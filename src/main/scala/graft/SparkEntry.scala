@@ -3685,6 +3685,62 @@ object SparkEntry {
           Multimodal.docxFullText(col("payload")).as("text"))
         .orderBy("doc_id")
     }),
+    // GIF animation census: a pinned 2-frame NETSCAPE-looped GIF vs
+    // the static q320 image; junk docs null
+    "q322_gif_frames" -> ((s, dir) => {
+      val palette = (0 until 256).map(i => "%02x".format(i) * 3).mkString
+      val aniHead = "47494638396104000400f70000"
+      val aniTail = "21ff0b4e45545343415045322e30030103000021f904000a0000002c0000000004000400000815000134d070e20085102e1c6c4051a38288173c02020021f90400190000002c0000000004000400000815000338d880024105112f1e704861c3c208183d0202003b"
+      val staHead = "47494638396110001000f70000"
+      val staTail = "2c00000000100010000008ff000134d070824610275bd0d411f488532a5bc30e5008e16207922a62def049646914ac5e021c6c405143c8132e69ec0c82d449d52d62092a8878c12389953170fa28ba442a96af011038a4b031044a1735770845f2b40a5731051746c0e8a1e40a99387e16612a25eb1781081e54dc2012c5cb1a3c85247d6295cbd8020c2562f85882a58c9c3f8c32999a05ac80840f2c701491f2854d1e439340b5d2758c410613337e30c962660ea0469a4ed10a66600288163a8c4c01d346cf214aa15ced02d040c3091a419a6839432790a34da86a093b4021848b1d48a88471b307512551af780570b001450d214fb6a0a923e811a754b68621a820e2058f2456c4bc24e193c8d22858bd043ce090c2c610285dd2d81904a993aa5bc412581801a387922b640404003b"
+      val m = pmod(col("doc_id"), lit(3L))
+      val hexStr = when(m === 0, lit(aniHead + palette + aniTail))
+        .when(m === 1, lit(staHead + palette + staTail))
+        .otherwise(hex(lit("junk")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.gifFrames(unhex(hexStr)).as("__g"))
+        .select(col("doc_id"), col("__g.n_frames").as("n_frames"),
+          col("__g.total_delay_cs").as("total_delay_cs"),
+          col("__g.loop_count").as("loop_count"),
+          col("__g.version").as("version"))
+        .orderBy("doc_id")
+    }),
+    // XLSX sheet names: workbook.xml tab order resolved through the
+    // rels member to worksheet files (tab order deliberately differs
+    // from the fileN numbering); an unresolvable r:id keeps a null
+    // sheet_file; corrupt docs contribute no rows
+    "q323_xlsx_sheets" -> ((s, dir) => {
+      def leHex(c: Column, nBytes: Int) = concat((0 until nBytes).map(i =>
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(255L)), 2, "0")): _*)
+      def member(name: String, body: Column) = {
+        val bb = body.cast("binary")
+        val bl = length(bb).cast("long")
+        concat(unhex(concat(lit("504B0304140000000000" + "00000000"),
+          leHex(crc32(bb), 4), leHex(bl, 4), leHex(bl, 4),
+          lit("%02X000000".format(name.length)))),
+          lit(name).cast("binary"), bb)
+      }
+      val wb = concat(
+        lit("<workbook><sheets>" +
+          "<sheet name=\"Data &amp; more\" sheetId=\"1\" r:id=\"rId2\"/>" +
+          "<sheet name=\"S"),
+        pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit("\" sheetId=\"2\" r:id=\"rId1\"/>" +
+          "<sheet name=\"Ghost\" sheetId=\"3\" r:id=\"rId9\"/>" +
+          "</sheets></workbook>"))
+      val rels = lit("<Relationships>" +
+        "<Relationship Id=\"rId1\" Target=\"worksheets/sheet1.xml\"/>" +
+        "<Relationship Id=\"rId2\" Target=\"worksheets/sheet2.xml\"/>" +
+        "</Relationships>")
+      val payload = when(pmod(col("doc_id"), lit(5L)) === 0,
+        lit("junk".getBytes("UTF-8")))
+        .otherwise(concat(member("xl/workbook.xml", wb),
+          member("xl/_rels/workbook.xml.rels", rels)))
+      val fixture = t(s, dir, "documents")
+        .select(col("doc_id"), payload.as("payload")).localCheckpoint()
+      Multimodal.xlsxSheets(fixture).orderBy("doc_id", "pos")
+    }),
     // GIF perceptual dHash via the imageDhash dispatcher: two pinned
     // hand-LZW 16x16 grayscale GIFs (tools/make_gif_fixture.py, the
     // expected hashes computed INDEPENDENTLY in python); every 3rd
@@ -7769,6 +7825,31 @@ object SparkEntry {
         |      || chr(10) || chr(10) || 'note A' || chr(10)
         |  END AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q322: the census replayed as constants — 2 frames at 10+25 cs
+    // with loop 3, the static image 1 frame with no GCE (loop -1)
+    "q322_gif_frames" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 END AS n_frames,
+        |  CASE doc_id % 3 WHEN 0 THEN CAST(35 AS BIGINT)
+        |    WHEN 1 THEN 0 END AS total_delay_cs,
+        |  CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN -1 END AS loop_count,
+        |  CASE WHEN doc_id % 3 < 2 THEN '89a' END AS version
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q323: tab order replayed — rId2 resolves to sheet2, the ghost
+    // r:id keeps a null file; corrupt docs vanish
+    "q323_xlsx_sheets" ->
+      """SELECT doc_id, pos, name, sheet_file FROM (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+        |    'Data & more' AS name,
+        |    'worksheets/sheet2.xml' AS sheet_file FROM documents
+        |  UNION ALL SELECT doc_id, 1,
+        |    'S' || CAST(doc_id % 7 AS VARCHAR),
+        |    'worksheets/sheet1.xml' FROM documents
+        |  UNION ALL SELECT doc_id, 2, 'Ghost', NULL FROM documents)
+        |WHERE doc_id % 5 <> 0
+        |ORDER BY doc_id, pos""".stripMargin,
 
     // q320: hashes replayed as the python-computed constants; the
     // palette-PNG branch (m2) equals the gifA hash BY CONTRACT

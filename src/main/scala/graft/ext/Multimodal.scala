@@ -217,6 +217,15 @@ object Multimodal {
       when(sig === lit("474946383761"), "87a").otherwise("89a").as("version")))
   }
 
+  /** GIF animation census — frame count, summed GCE delays and the
+    * NETSCAPE2.0 loop count off one bounded block walk (image data
+    * skipped by sub-block lengths, never decoded) via the native
+    * [[graft.functions.GifFrames]] kernel: the animated-vs-static
+    * split and duration facts a media pipeline routes on. Null for
+    * non-GIF or truncated payloads. */
+  def gifFrames(payload: Column): Column =
+    graft.functions.GifFrames(payload)
+
   /** Parse WebP dimensions from the first chunk after `RIFF....WEBP`:
     * the extended `VP8X` header (24-bit LE canvas minus-one), the
     * lossy `VP8 ` frame header (9D 01 2A start code, 14-bit LE
@@ -1411,6 +1420,39 @@ object Multimodal {
       .select(col(idCol), col("sheet"),
         col("__c.row").as("row"), col("__c.col").as("col"),
         col("__c.value").as("value"))
+  }
+
+  /** XLSX sheet NAMES in workbook order — the mapping [[xlsxCells]]'
+    * file-number `sheet` column needs to become user-facing:
+    * `xl/workbook.xml`'s `<sheet>` elements carry the display name
+    * (entity-decoded) and an `r:id` that
+    * `xl/_rels/workbook.xml.rels` resolves to the worksheet member
+    * path. Output (idCol, pos, name, sheet_file) in workbook order —
+    * `pos` is the TAB order, which need not match the sheetN file
+    * numbering. Workbooks without the members contribute no rows;
+    * an unresolvable r:id keeps its row with a null sheet_file.
+    * Two member extractions, narrow explode, zero shuffle. */
+  def xlsxSheets(docs: DataFrame, idCol: String = "doc_id",
+                 payloadCol: String = "payload",
+                 maxBytes: Int = 1 << 24): DataFrame = {
+    val wb = graft.functions.Utf8Text(graft.functions.ZipEntryBytes(
+      col(payloadCol), "xl/workbook.xml", maxBytes))
+    val rels = graft.functions.Utf8Text(graft.functions.ZipEntryBytes(
+      col(payloadCol), "xl/_rels/workbook.xml.rels", maxBytes))
+    val relPairs = transform(
+      regexp_extract_all(rels, lit("(?s)<Relationship [^>]*>"), lit(0)),
+      t => struct(regexp_extract(t, "Id=\"([^\"]*)\"", 1).as("id"),
+        regexp_extract(t, "Target=\"([^\"]*)\"", 1).as("target")))
+    docs.select(col(idCol),
+        relPairs.cast("array<struct<id:string,target:string>>").as("__rp"),
+        posexplode(regexp_extract_all(wb,
+          lit("(?s)<sheet [^>]*/?>"), lit(0))).as(Seq("pos", "__t")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        TextAnalysis.decodeEntities(
+          regexp_extract(col("__t"), "name=\"([^\"]*)\"", 1)).as("name"),
+        try_element_at(filter(col("__rp"), x => x.getField("id") ===
+          regexp_extract(col("__t"), "r:id=\"([^\"]*)\"", 1)), lit(1))
+          .getField("target").as("sheet_file"))
   }
 
   /** Legacy `.xls` (BIFF8) cell grid — [[xlsxCells]]' shape for the

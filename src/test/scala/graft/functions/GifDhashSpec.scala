@@ -147,6 +147,42 @@ class GifDhashSpec extends AnyFunSuite {
     }
   }
 
+  test("GifFrames census: frames, summed GCE delays, NETSCAPE loop; " +
+    "static GIFs report 1 frame / no loop; truncation refuses") {
+    // animated: NETSCAPE loop 7, two frames with delays 10 + 25 cs
+    val bos = new ByteArrayOutputStream()
+    bos.write("GIF89a".getBytes("US-ASCII"))
+    bos.write(le(4, 2)); bos.write(le(4, 2))
+    bos.write(0xF7); bos.write(0); bos.write(0)
+    for (i <- 0 until 256) { bos.write(i); bos.write(i); bos.write(i) }
+    bos.write(Array[Byte](0x21, 0xFF.toByte, 11))
+    bos.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    bos.write(Array[Byte](3, 1, 7, 0, 0))
+    for (delay <- Seq(10, 25)) {
+      bos.write(Array[Byte](0x21, 0xF9.toByte, 4, 0,
+        delay.toByte, 0, 0, 0))
+      bos.write(0x2C)
+      bos.write(le(0, 2)); bos.write(le(0, 2))
+      bos.write(le(4, 2)); bos.write(le(4, 2)); bos.write(0)
+      val px = Array.tabulate(16)(i => (i * 3).toByte)
+      val code = lzwRoots(px, 8)
+      bos.write(8); bos.write(code.length); bos.write(code); bos.write(0)
+    }
+    bos.write(0x3B)
+    val ani = bos.toByteArray
+    def got(b: Array[Byte]) = Option(GifFrames.compute(b, 1 << 16)).map(r =>
+      (r.getInt(0), r.getLong(1), r.getInt(2),
+        r.getUTF8String(3).toString))
+    assert(got(ani) == Some((2, 35L, 7, "89a")))
+    val static = gifOf(base, 16, 16)
+    assert(got(static) == Some((1, 0L, -1, "89a")))
+    for (cut <- Seq(ani.length - 1, ani.length - 10, 800))
+      assert(got(ani.take(cut)).isEmpty, s"cut $cut")
+    assert(got("junk bytes".getBytes).isEmpty)
+    // the animated GIF's FIRST frame still dHashes (4x4 decodable)
+    assert(GifDhash.compute(ani) != null)
+  }
+
   test("fail-closed: signature, truncation at every tier, missing " +
     "color table, oversized dimensions, junk") {
     val good = gifOf(base, 16, 16)

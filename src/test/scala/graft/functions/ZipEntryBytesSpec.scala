@@ -219,6 +219,32 @@ class ZipEntryBytesSpec extends SparkSpec {
       .toDF("doc_id", "payload")).count() == 0)
   }
 
+  test("xlsxSheets: workbook tab order resolved through rels; " +
+    "unresolvable r:id keeps a null file; junk contributes no rows") {
+    val wb = "<workbook><sheets>" +
+      "<sheet name=\"A &amp; B\" sheetId=\"1\" r:id=\"rId2\"/>" +
+      "<sheet name=\"Two\" sheetId=\"2\" r:id=\"rId1\"/>" +
+      "<sheet name=\"Ghost\" sheetId=\"3\" r:id=\"rId9\"/>" +
+      "</sheets></workbook>"
+    val rels = "<Relationships>" +
+      "<Relationship Id=\"rId1\" Target=\"worksheets/sheet1.xml\"/>" +
+      "<Relationship Id=\"rId2\" Target=\"worksheets/sheet2.xml\"/>" +
+      "</Relationships>"
+    val z = storedZip(
+      "xl/workbook.xml" -> wb.getBytes("UTF-8"),
+      "xl/_rels/workbook.xml.rels" -> rels.getBytes("UTF-8"))
+    val rows = Multimodal.xlsxSheets(Seq((1L, z)).toDF("doc_id", "payload"))
+      .orderBy("pos").collect()
+      .map(r => (r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3)))
+    assert(rows.toSeq == Seq(
+      (0L, "A & B", "worksheets/sheet2.xml"),
+      (1L, "Two", "worksheets/sheet1.xml"),
+      (2L, "Ghost", null)))
+    assert(Multimodal.xlsxSheets(Seq((1L, "junk".getBytes))
+      .toDF("doc_id", "payload")).count() == 0)
+  }
+
   test("odfCells: the ods grid over a stored package — typed value, " +
     "text value, repeat; junk packages contribute no rows") {
     val content = "<office:document-content><office:body>" +

@@ -96,6 +96,33 @@ def png3_of(v, w, h):
             chunk(b"IEND", b""))
 
 
+def animated_gif(v, w, h, delays, loop):
+    """Two-frame GIF89a: NETSCAPE2.0 loop extension + one GCE per
+    frame — the q322 animation-census fixture."""
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])
+    for i in range(256):
+        out += bytes([i, i, i])
+    out += bytes([0x21, 0xFF, 11]) + b"NETSCAPE2.0"
+    out += bytes([3, 1]) + loop.to_bytes(2, "little") + b"\0"
+    for f, delay in enumerate(delays):
+        out += bytes([0x21, 0xF9, 4, 0]) + delay.to_bytes(2, "little")
+        out += bytes([0, 0])
+        out += bytes([0x2C]) + b"\0\0\0\0"
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\0"
+        pixels = [(v(x, y) + f) & 0xFF for y in range(h) for x in range(w)]
+        out.append(8)
+        code = lzw_roots(pixels, 8)
+        for off in range(0, len(code), 255):
+            chunk = code[off:off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += bytes([0x3B])
+    return bytes(out)
+
+
 def main():
     a = lambda x, y: (x * 13 + y * 7) % 200
     b = lambda x, y: (x * 29 + y * 3 + 31) % 177
@@ -106,6 +133,8 @@ def main():
     print(gb.hex())
     print("png3A hex:")
     print(png3_of(a, 16, 16).hex())
+    print("animated hex (2 frames, delays 10+25 cs, loop 3):")
+    print(animated_gif(a, 4, 4, [10, 25], 3).hex())
     print("hashA =", dhash(a, 16, 16))
     print("hashB =", dhash(b, 16, 16))
 
