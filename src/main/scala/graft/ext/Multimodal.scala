@@ -960,6 +960,8 @@ object Multimodal {
     * [[graft.functions.Bunzip2]], `zstd` →
     * [[graft.functions.ZstdPayload]], `xz` →
     * [[graft.functions.XzPayload]] (all bounded, fail-closed),
+    * `7z` → the first member whose single-coder folder decodes to
+    * UTF-8 text ([[graft.functions.SevenZipMembers]]),
     * `cfb` → the legacy Word piece-table tier
     * ([[graft.functions.DocTextExtract]]; non-Word compound files
     * null explicitly — sectors are not UTF-8),

@@ -12,9 +12,10 @@ import org.apache.spark.unsafe.types.UTF8String
 /** ID3v2 text-frame extraction — the metadata TEXT of an audio
   * corpus (`mp3Meta` stops at the header census; titles/artists/albums
   * are what a training pipeline actually wants): parse the `ID3`
-  * header (v2.3 or v2.4, syncsafe tag size), walk the frames (v2.3
-  * plain big-endian frame sizes, v2.4 syncsafe — per spec), and yield
-  * every `T***` text frame (TXXX's user-defined pairs included as
+  * header (v2.2, v2.3 or v2.4, syncsafe tag size), walk the frames
+  * (v2.2 3-char ids with 3-byte big-endian sizes, v2.3 4-char plain
+  * big-endian, v2.4 syncsafe — per spec), and yield
+  * every `T**`/`T***` text frame (TXXX's user-defined pairs included as
   * their raw description+value bytes) as `(frame_id, text)` with the
   * encoding byte honored: 0 latin1, 1 UTF-16 with BOM, 2 UTF-16BE,
   * 3 UTF-8; trailing NUL terminators stripped.
@@ -74,7 +75,7 @@ object Id3TextFrames {
     if (bytes0.length < 10 || bytes0(0) != 'I' || bytes0(1) != 'D' ||
       bytes0(2) != '3') return null
     val major = bytes0(3) & 0xff
-    if (major != 3 && major != 4) return null
+    if (major != 2 && major != 3 && major != 4) return null
     val flags = bytes0(5) & 0xff
     // tag-level unsynchronisation (common in v2.3 from older encoders):
     // 0xFF 0x00 pairs had a 0x00 inserted after every 0xFF in the tag
@@ -109,19 +110,27 @@ object Id3TextFrames {
         ((bytes(p + 2) & 0xffL) << 8) | (bytes(p + 3) & 0xffL)
     val tagSize = syncsafe(6)
     val tagEnd = math.min(10 + tagSize, n)
+    // v2.2 frames: 3-char ids + 3-byte big-endian sizes (6-byte
+    // headers, no flags) — the oldest tags still in the wild
+    val hdrLen = if (major == 2) 6 else 10
+    val idLen = if (major == 2) 3 else 4
     val out = new java.util.ArrayList[Any]
     var pos = 10
     var steps = 0
-    while (pos + 10 <= tagEnd && steps < maxFrames) {
+    while (pos + hdrLen <= tagEnd && steps < maxFrames) {
       steps += 1
       if (bytes(pos) == 0) // padding starts: clean end
         return new GenericArrayData(out.toArray)
-      val id = new String(bytes, pos, 4,
+      val id = new String(bytes, pos, idLen,
         java.nio.charset.StandardCharsets.ISO_8859_1)
       if (!id.forall(c => (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')))
         return null
-      val fsize = if (major == 4) syncsafe(pos + 4).toLong else be32(pos + 4)
-      if (fsize < 0 || pos + 10 + fsize > tagEnd) return null
+      val fsize =
+        if (major == 4) syncsafe(pos + 4).toLong
+        else if (major == 3) be32(pos + 4)
+        else ((bytes(pos + 3) & 0xffL) << 16) |
+          ((bytes(pos + 4) & 0xffL) << 8) | (bytes(pos + 5) & 0xffL)
+      if (fsize < 0 || pos + hdrLen + fsize > tagEnd) return null
       if (id.startsWith("T") && fsize >= 1) {
         // v2.4: reverse unsynchronisation PER FRAME (tag flag means
         // "every frame is unsynced"; frames can also opt in alone via
@@ -129,7 +138,8 @@ object Id3TextFrames {
         // indicator when format flag 0x01 announces one
         val fmtFlags = if (major == 4) bytes(pos + 9) & 0xff else 0
         var data: Array[Byte] =
-          java.util.Arrays.copyOfRange(bytes, pos + 10, pos + 10 + fsize.toInt)
+          java.util.Arrays.copyOfRange(bytes, pos + hdrLen,
+            pos + hdrLen + fsize.toInt)
         if (major == 4 && ((flags & 0x80) != 0 || (fmtFlags & 0x02) != 0)) {
           val b = new java.io.ByteArrayOutputStream(data.length)
           var i = 0
@@ -162,7 +172,7 @@ object Id3TextFrames {
             UTF8String.fromString(id), UTF8String.fromString(text))))
         }
       }
-      pos += 10 + fsize.toInt
+      pos += hdrLen + fsize.toInt
     }
     new GenericArrayData(out.toArray)
   }

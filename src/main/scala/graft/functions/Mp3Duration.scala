@@ -20,13 +20,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *     set gives the exact frame count — the LAME/VBR shape
   *   - else a `VBRI` tag at the Fhg fixed offset (32 bytes after the
   *     header) gives it at its +14 frames field
+  *   - else a FULL FRAME WALK (each frame's own bitrate + padding
+  *     bit sizes it — exact even for header-less VBR), counted only
+  *     when the walk lands exactly on the payload end (an ID3v1
+  *     `TAG` trailer accepted)
   *   - else CBR arithmetic: `floor(payload_after_tag / frame_size)`
   *     with `frame_size = 144·bitrate/sample_rate` — the constant-
   *     bitrate estimate every player uses
   *
   * `duration_ms = frames · 1152 · 1000 / sample_rate` (1152 samples
   * per MPEG1 Layer III frame). Output struct
-  * `(frames, duration_ms, method ∈ xing|vbri|cbr)`; NULL when no
+  * `(frames, duration_ms, method ∈ xing|vbri|walk|cbr)`; NULL when no
   * valid first frame parses (other MPEG versions/layers, free-format
   * bitrate, truncation — the fail-closed contract). Fixed-offset
   * byte reads, zero shuffle, codegen'd. */
@@ -114,6 +118,43 @@ object Mp3Duration {
     if (vbriAt + 18 <= n && b(vbriAt) == 'V' && b(vbriAt + 1) == 'B' &&
       b(vbriAt + 2) == 'R' && b(vbriAt + 3) == 'I')
       return mk(be32(b, vbriAt + 14), "vbri")
+    // a FULL FRAME WALK — exact even for header-less VBR: each
+    // frame's own bitrate + padding bit sizes it; counts only when
+    // the walk lands EXACTLY on the payload end (an optional 128-byte
+    // ID3v1 `TAG` trailer accepted), else falls to the estimate
+    locally {
+      var p = start
+      var count = 0L
+      var ok = true
+      var done = false
+      while (ok && !done) {
+        if (p == n || (n - p == 128 && p + 3 <= n &&
+          b(p) == 'T' && b(p + 1) == 'A' && b(p + 2) == 'G')) done = true
+        else if (p + 4 > n) ok = false
+        else {
+          val f1 = b(p) & 0xff
+          val f2 = b(p + 1) & 0xff
+          val f3 = b(p + 2) & 0xff
+          if (f1 != 0xff || (f2 >>> 5) != 7 || ((f2 >>> 3) & 3) != 3 ||
+            ((f2 >>> 1) & 3) != 1) ok = false
+          else {
+            val bi = f3 >>> 4
+            val si = (f3 >>> 2) & 3
+            if (bi < 1 || bi > 14 || si != srIdx) ok = false
+            else {
+              val fs = 144L * Bitrates(bi - 1) * 1000L / sampleRate +
+                ((f3 >>> 1) & 1)
+              if (fs <= 4) ok = false
+              else {
+                p += fs.toInt
+                count += 1
+              }
+            }
+          }
+        }
+      }
+      if (ok && count > 0) return mk(count, "walk")
+    }
     // CBR arithmetic over the audio bytes
     val frameSize = 144L * bitrate * 1000L / sampleRate
     if (frameSize <= 0) return null

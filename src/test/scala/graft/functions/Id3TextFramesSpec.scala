@@ -154,6 +154,48 @@ class Id3TextFramesSpec extends SparkSpec {
     assert(row(r3, 0) == ("TCON", "both ÿ"))
   }
 
+  test("id3 v2.2: 3-char ids with 3-byte big-endian sizes; both v2.2 " +
+    "encodings; non-text frames skipped; unsync reversal applies") {
+    def frame22(id: String, data: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      bos.write(id.getBytes("ISO-8859-1"))
+      val sz = data.length
+      bos.write(Array((sz >> 16) & 255, (sz >> 8) & 255, sz & 255)
+        .map(_.toByte))
+      bos.write(data)
+      bos.toByteArray
+    }
+    val t22 = tag(2,
+      frame22("TT2", textData(0, "Old Title")),
+      frame22("PIC", Array[Byte](0, 1, 2, 3)), // non-text: skipped
+      frame22("TP1", textData(1, "Art\u00e9st")))
+    val got = Id3TextFrames.compute(t22, 64)
+    assert(got != null)
+    val rows = (0 until got.numElements()).map { i =>
+      val r = got.getStruct(i, 2)
+      (r.getUTF8String(0).toString, r.getUTF8String(1).toString)
+    }
+    assert(rows == Seq(("TT2", "Old Title"), ("TP1", "Art\u00e9st")))
+    // v2.2 with the tag-level unsync flag: the UTF-16 BOM's FF gets
+    // an inserted 00 on the wire, reversed before the walk
+    val body = frame22("TT2", textData(1, "Sync"))
+    val unsynced = new ByteArrayOutputStream()
+    body.foreach { b =>
+      unsynced.write(b)
+      if (b == 0xff.toByte) unsynced.write(0)
+    }
+    val wire = unsynced.toByteArray
+    val bos = new ByteArrayOutputStream()
+    bos.write("ID3".getBytes); bos.write(2); bos.write(0); bos.write(0x80)
+    val sz = wire.length
+    bos.write(Array((sz >> 21) & 127, (sz >> 14) & 127, (sz >> 7) & 127,
+      sz & 127).map(_.toByte))
+    bos.write(wire)
+    val g2 = Id3TextFrames.compute(bos.toByteArray, 64)
+    assert(g2 != null && g2.numElements() == 1)
+    assert(g2.getStruct(0, 2).getUTF8String(1).toString == "Sync")
+  }
+
   test("id3 fails closed: no magic, bad version, oversized frame; operator explodes in order") {
     assert(Id3TextFrames.compute("MP3junk".getBytes, 8) == null)
     assert(Id3TextFrames.compute(tag(2,

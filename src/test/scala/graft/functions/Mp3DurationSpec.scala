@@ -79,6 +79,30 @@ class Mp3DurationSpec extends AnyFunSuite {
     assert(got(b) == Some((10L, 10L * 1152 * 1000 / 44100, "cbr")))
   }
 
+  test("frame WALK: header-less VBR counts exactly when frames tile " +
+    "the payload (per-frame bitrates + padding), ID3v1 trailer " +
+    "accepted; a mid-stream sample-rate flip falls back") {
+    // three frames at 128/32/320 kbps (sizes 417 / 104 / 1044+pad)
+    def fr(brIdx: Int, pad: Int): Array[Byte] = {
+      val size = 144 * Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+        192, 224, 256, 320)(brIdx - 1) * 1000 / 44100 + pad
+      val h = Array(0xff.toByte, 0xfb.toByte,
+        ((brIdx << 4) | (pad << 1)).toByte, 0.toByte)
+      h ++ new Array[Byte](size - 4)
+    }
+    val vbr = fr(9, 0) ++ fr(1, 1) ++ fr(14, 0)
+    assert(got(vbr) == Some((3L, 3L * 1152 * 1000 / 44100, "walk")))
+    // with an ID3v1 trailer
+    val v1 = "TAG".getBytes("US-ASCII") ++ new Array[Byte](125)
+    assert(got(vbr ++ v1) == Some((3L, 3L * 1152 * 1000 / 44100, "walk")))
+    // trailing garbage that is neither a frame nor TAG: estimate path
+    assert(got(vbr ++ new Array[Byte](50)).exists(_._3 == "cbr"))
+    // a frame with a different sample rate mid-walk: fall back
+    val badSr = fr(9, 0) ++ {
+      val f = fr(9, 0); f(2) = (f(2) | 0x04).toByte; f }
+    assert(got(badSr).exists(_._3 == "cbr"))
+  }
+
   test("fail-closed: MPEG2, Layer II, free-format bitrate, reserved " +
     "sample rate, truncation") {
     def withB2(v: Int) = { val h = hdr(false); h(1) = v.toByte; h ++ new Array[Byte](500) }
