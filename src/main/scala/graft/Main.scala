@@ -72,7 +72,7 @@ object Main {
     |                   |avro-blocks|avro-records|bson|msgpack|cbor|proto-fields
     |                   |bz2|zstd|xz|lz4|sz|mbox|cfb-meta|wiki-pages|wiki-corpus
     |                   |parquet-meta|parquet-stats|orc-meta|orc-stripes|orc-column-stats|arrow-meta
-    |                   |mp3-duration|image-dhash|gif-frames|xlsx-sheets
+    |                   |mp3-duration|image-dhash|gif-frames|webp-frames|xlsx-sheets
     |                (payloads: doc_id + the format's payload column)
     |  ingest-avro  --path DIR --target DIR [--ddl "a BIGINT, b STRING"]
     |  ingest-bson/-msgpack/-cbor --path DIR --ddl "a BIGINT, t STRING" --target DIR
@@ -525,6 +525,12 @@ object Main {
             ext.Multimodal.docxFullText(col("payload")).as("text"))
           case "image-dhash" => docs.select(col("doc_id"),
             ext.Multimodal.imageDhash(col("payload")).as("dhash"))
+          case "webp-frames" => docs.select(col("doc_id"),
+            ext.Multimodal.webpFrames(col("payload")).as("__w"))
+            .select(col("doc_id"), col("__w.n_frames").as("n_frames"),
+              col("__w.total_duration_ms").as("total_duration_ms"),
+              col("__w.loop_count").as("loop_count"),
+              col("__w.variant").as("variant"))
           case "gif-frames" => docs.select(col("doc_id"),
             ext.Multimodal.gifFrames(col("payload")).as("__g"))
             .select(col("doc_id"), col("__g.n_frames").as("n_frames"),

@@ -3685,6 +3685,23 @@ object SparkEntry {
           Multimodal.docxFullText(col("payload")).as("text"))
         .orderBy("doc_id")
     }),
+    // WebP animation census: a pinned 3-frame VP8X+ANIM+ANMF file vs
+    // a static VP8L; junk docs null
+    "q324_webp_frames" -> ((s, dir) => {
+      val ani = "524946467800000057454250565038580a000000020000000f00000f0000414e494d06000000000000000200414e4d46130000000000000000000f00000f0000280000002f000000414e4d46130000000000000000000f00000f00003c0000002f000000414e4d46130000000000000000000f00000f0000640000002f000000"
+      val sta = "5249464612000000574542505650384c060000002f0f000f0000"
+      val m = pmod(col("doc_id"), lit(3L))
+      val hexStr = when(m === 0, lit(ani)).when(m === 1, lit(sta))
+        .otherwise(hex(lit("junk")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.webpFrames(unhex(hexStr)).as("__w"))
+        .select(col("doc_id"), col("__w.n_frames").as("n_frames"),
+          col("__w.total_duration_ms").as("total_duration_ms"),
+          col("__w.loop_count").as("loop_count"),
+          col("__w.variant").as("variant"))
+        .orderBy("doc_id")
+    }),
     // GIF animation census: a pinned 2-frame NETSCAPE-looped GIF vs
     // the static q320 image; junk docs null
     "q322_gif_frames" -> ((s, dir) => {
@@ -7824,6 +7841,18 @@ object SparkEntry {
         |      || chr(10) || 'Head ' || CAST(doc_id % 7 AS VARCHAR)
         |      || chr(10) || chr(10) || 'note A' || chr(10)
         |  END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q324: the census replayed — 3 frames at 40+60+100 ms loop 2,
+    // the static VP8L one frame with no animation
+    "q324_webp_frames" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 1 END AS n_frames,
+        |  CASE doc_id % 3 WHEN 0 THEN CAST(200 AS BIGINT)
+        |    WHEN 1 THEN 0 END AS total_duration_ms,
+        |  CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN -1 END AS loop_count,
+        |  CASE doc_id % 3 WHEN 0 THEN 'vp8x' WHEN 1 THEN 'vp8l' END
+        |    AS variant
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q322: the census replayed as constants — 2 frames at 10+25 cs

@@ -226,6 +226,17 @@ object Multimodal {
   def gifFrames(payload: Column): Column =
     graft.functions.GifFrames(payload)
 
+  /** WebP animation census — [[gifFrames]]' sibling for the other
+    * animated web format via the native
+    * [[graft.functions.WebpFrames]] RIFF chunk walk: ANMF frame
+    * count, summed millisecond durations and the ANIM loop count
+    * (static VP8/VP8L/VP8X files report one frame, loop -1). Frame
+    * pixels never decode — VP8 entropy coding is a genuine codec;
+    * this is the animated-vs-static router. Null for non-WebP or
+    * truncated payloads. */
+  def webpFrames(payload: Column): Column =
+    graft.functions.WebpFrames(payload)
+
   /** Parse WebP dimensions from the first chunk after `RIFF....WEBP`:
     * the extended `VP8X` header (24-bit LE canvas minus-one), the
     * lossy `VP8 ` frame header (9D 01 2A start code, 14-bit LE

@@ -123,6 +123,24 @@ def animated_gif(v, w, h, delays, loop):
     return bytes(out)
 
 
+def webp_anim(durations, loop):
+    """Animated WebP (VP8X animation bit + ANIM + one ANMF per
+    duration) — the q324 census fixture; frame data is opaque."""
+    def chunk(tag, data):
+        pad = b"\0" if len(data) % 2 else b""
+        return tag + len(data).to_bytes(4, "little") + data + pad
+
+    body = chunk(b"VP8X", bytes([0x02, 0, 0, 0]) +
+                 (15).to_bytes(3, "little") + (15).to_bytes(3, "little"))
+    body += chunk(b"ANIM", b"\0\0\0\0" + loop.to_bytes(2, "little"))
+    for d in durations:
+        anmf = (b"\0\0\0" * 2 + (15).to_bytes(3, "little") +
+                (15).to_bytes(3, "little") + d.to_bytes(3, "little") +
+                bytes([0]) + b"\x2f\x00\x00")
+        body += chunk(b"ANMF", anmf)
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WEBP" + body
+
+
 def main():
     a = lambda x, y: (x * 13 + y * 7) % 200
     b = lambda x, y: (x * 29 + y * 3 + 31) % 177
@@ -135,6 +153,8 @@ def main():
     print(png3_of(a, 16, 16).hex())
     print("animated hex (2 frames, delays 10+25 cs, loop 3):")
     print(animated_gif(a, 4, 4, [10, 25], 3).hex())
+    print("webp anim hex (3 frames, 40+60+100 ms, loop 2):")
+    print(webp_anim([40, 60, 100], 2).hex())
     print("hashA =", dhash(a, 16, 16))
     print("hashB =", dhash(b, 16, 16))
 
