@@ -32,8 +32,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * FAIL-CLOSED NULL on: non-ZIP payload, malformed/truncated
   * header, corrupt CD when an EOCD is present (a claimed CD is never
-  * second-guessed by the fallback walk), ZIP64 marker values,
-  * unknown compression method, corrupt DEFLATE data, a declared or
+  * second-guessed by the fallback walk), a ZIP64 marker without its
+  * backing record (real ZIP64 archives — marker EOCD fields resolved
+  * through the locator + ZIP64 EOCD, per-entry markers through the
+  * 0x0001 extra — read fine), unknown compression method, corrupt DEFLATE data, a declared or
   * actual uncompressed size past `maxOut` (bomb guard — rejected,
   * never clipped), inflate output diverging from the declared usize,
   * and entry-not-found. Both walks are bounded to `maxEntries`
@@ -126,8 +128,10 @@ object ZipEntryBytesAt {
   * pointing at the entry's data. Central-directory primary (exact
   * sizes even for data-descriptor entries from streaming writers),
   * local-header walk fallback when no EOCD exists (where flag-bit-3
-  * entries still fail closed). Corrupt CD, ZIP64 markers, junk
-  * payloads → null (whole-archive fail-closed). */
+  * entries still fail closed). ZIP64 archives resolve through the
+  * locator/EOCD64 and per-entry 0x0001 extras. Corrupt CD, a ZIP64
+  * marker without its backing record, junk payloads → null
+  * (whole-archive fail-closed). */
 case class ZipEntries(child: Expression, maxEntries: Int)
     extends UnaryExpression {
   require(maxEntries > 0, "entry walk bound must be positive")
@@ -303,6 +307,80 @@ object ZipEntryBytes {
     } finally inf.end()
   }
 
+  private def le64(bytes: Array[Byte], p: Int): Long = {
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | (bytes(p + i) & 0xffL); i -= 1 }
+    v
+  }
+
+  /** EOCD-level directory bounds, ZIP64-resolved: when any EOCD field
+    * carries its 16/32-bit marker, the ZIP64 locator (20 bytes before
+    * the EOCD) points at the ZIP64 EOCD whose 64-bit count/size/offset
+    * are authoritative — the shape every >4 GiB archive and every
+    * `Zip64Mode.Always` writer emits. Returns (count, cdOff, cdEnd)
+    * or null on a malformed/absent ZIP64 record. */
+  private def cdBounds(bytes: Array[Byte], eocd: Int): (Long, Long, Long) = {
+    val count16 = le16(bytes, eocd + 10)
+    val cdSize32 = le32(bytes, eocd + 12)
+    val cdOff32 = le32(bytes, eocd + 16)
+    if (count16 != 0xffff && cdSize32 != 0xffffffffL &&
+      cdOff32 != 0xffffffffL)
+      return (count16.toLong, cdOff32, cdOff32 + cdSize32)
+    val loc = eocd - 20
+    if (loc < 0 || le32(bytes, loc) != 0x07064b50L) return null
+    val z = le64(bytes, loc + 8)
+    if (z < 0 || z + 56 > loc || le32(bytes, z.toInt) != 0x06064b50L)
+      return null
+    val count = le64(bytes, z.toInt + 32)
+    val cdSize = le64(bytes, z.toInt + 40)
+    val cdOff = le64(bytes, z.toInt + 48)
+    if (count < 0 || cdSize < 0 || cdOff < 0 || cdOff + cdSize > z)
+      return null
+    (count, cdOff, cdOff + cdSize)
+  }
+
+  /** Resolve a CD entry's 0xFFFFFFFF marker fields through its
+    * ZIP64 (id 0x0001) extra field — values present in spec order
+    * only for the fields that carry the marker. Null when a marker
+    * has no backing value (malformed). */
+  private def zip64Resolve(bytes: Array[Byte], extraAt: Int, elen: Int,
+                           usize0: Long, csize0: Long,
+                           lho0: Long): (Long, Long, Long) = {
+    if (usize0 != 0xffffffffL && csize0 != 0xffffffffL &&
+      lho0 != 0xffffffffL) return (usize0, csize0, lho0)
+    var p = extraAt
+    val end = extraAt + elen
+    while (p + 4 <= end) {
+      val id = le16(bytes, p)
+      val sz = le16(bytes, p + 2)
+      if (p + 4 + sz > end) return null
+      if (id == 1) {
+        val fend = p + 4 + sz
+        var q = p + 4
+        var us = usize0
+        var cs = csize0
+        var lh = lho0
+        if (us == 0xffffffffL) {
+          if (q + 8 > fend) return null
+          us = le64(bytes, q); q += 8
+        }
+        if (cs == 0xffffffffL) {
+          if (q + 8 > fend) return null
+          cs = le64(bytes, q); q += 8
+        }
+        if (lh == 0xffffffffL) {
+          if (q + 8 > fend) return null
+          lh = le64(bytes, q); q += 8
+        }
+        if (us < 0 || cs < 0 || lh < 0) return null
+        return (us, cs, lh)
+      }
+      p += 4 + sz
+    }
+    null
+  }
+
   /** Data offset behind a CD entry's local-header pointer: re-reads
     * the LOCAL name/extra lengths (they may differ from the CD's) and
     * sanity-checks the signature. -1 on any malformed shape. */
@@ -330,28 +408,25 @@ object ZipEntryBytes {
                            entryName: UTF8String, maxOut: Int,
                            maxEntries: Int): Array[Byte] = {
     val target = entryName.getBytes
-    val count = le16(bytes, eocd + 10)
-    val cdSize = le32(bytes, eocd + 12)
-    val cdOff = le32(bytes, eocd + 16)
-    // ZIP64 marker values and a CD that does not sit before its EOCD
-    // are out of this tier's contract: fail closed, never guess
-    if (count == 0xffff || cdOff == 0xffffffffL) return null
+    val bounds = cdBounds(bytes, eocd)
+    if (bounds == null) return null
+    val (count, cdOff, cdEnd) = bounds
     if (count > maxEntries) return null
-    if (cdOff + cdSize > eocd) return null
+    if (cdEnd > eocd) return null
     var pos = cdOff.toInt
-    var k = 0
+    var k = 0L
     while (k < count) {
       k += 1
       if (pos + 46 > eocd) return null
       if (le32(bytes, pos) != 0x02014b50L) return null // corrupt CD
       val method = le16(bytes, pos + 10)
-      val csize = le32(bytes, pos + 20)
-      val usize = le32(bytes, pos + 24)
+      val csize0 = le32(bytes, pos + 20)
+      val usize0 = le32(bytes, pos + 24)
       val nlen = le16(bytes, pos + 28)
       val elen = le16(bytes, pos + 30)
       val clen = le16(bytes, pos + 32)
-      val lho = le32(bytes, pos + 42)
-      if (pos + 46 + nlen > eocd) return null
+      val lho0 = le32(bytes, pos + 42)
+      if (pos + 46 + nlen + elen > eocd) return null
       val isTarget = nlen == target.length && {
         var i = 0
         var eq = true
@@ -362,7 +437,10 @@ object ZipEntryBytes {
         eq
       }
       if (isTarget) {
-        if (csize == 0xffffffffL || usize == 0xffffffffL) return null // ZIP64
+        val resolved = zip64Resolve(bytes, pos + 46 + nlen, elen,
+          usize0, csize0, lho0)
+        if (resolved == null) return null
+        val (usize, csize, lho) = resolved
         val dataStart = localDataStart(bytes, lho)
         if (dataStart < 0) return null
         return extractData(bytes, dataStart, method, csize, usize, maxOut)
@@ -415,7 +493,8 @@ object ZipEntryBytes {
   /** CD-primary entry LISTING kernel body — array of
     * `(name, method, csize, usize, offset)` with `offset` pointing at
     * the entry's DATA (the [[TarEntries]] shape: extraction is a
-    * `substr`/inflate away). Null on corrupt CD / ZIP64 / junk; for
+    * `substr`/inflate away). ZIP64-resolved; null on corrupt CD or
+    * junk; for
     * EOCD-less archives falls back to the local walk, where a
     * data-descriptor entry fails closed. */
   def computeEntries(bytes: Array[Byte],
@@ -430,27 +509,29 @@ object ZipEntryBytes {
         method, csize, usize, dataStart.toLong)))
     val eocd = findEocd(bytes)
     if (eocd >= 0) {
-      val count = le16(bytes, eocd + 10)
-      val cdSize = le32(bytes, eocd + 12)
-      val cdOff = le32(bytes, eocd + 16)
-      if (count == 0xffff || cdOff == 0xffffffffL) return null
+      val bounds = cdBounds(bytes, eocd)
+      if (bounds == null) return null
+      val (count, cdOff, cdEnd) = bounds
       if (count > maxEntries) return null
-      if (cdOff + cdSize > eocd) return null
+      if (cdEnd > eocd) return null
       var pos = cdOff.toInt
-      var k = 0
+      var k = 0L
       while (k < count) {
         k += 1
         if (pos + 46 > eocd) return null
         if (le32(bytes, pos) != 0x02014b50L) return null
         val method = le16(bytes, pos + 10)
-        val csize = le32(bytes, pos + 20)
-        val usize = le32(bytes, pos + 24)
+        val csize0 = le32(bytes, pos + 20)
+        val usize0 = le32(bytes, pos + 24)
         val nlen = le16(bytes, pos + 28)
         val elen = le16(bytes, pos + 30)
         val clen = le16(bytes, pos + 32)
-        val lho = le32(bytes, pos + 42)
-        if (pos + 46 + nlen > eocd) return null
-        if (csize == 0xffffffffL || usize == 0xffffffffL) return null
+        val lho0 = le32(bytes, pos + 42)
+        if (pos + 46 + nlen + elen > eocd) return null
+        val resolved = zip64Resolve(bytes, pos + 46 + nlen, elen,
+          usize0, csize0, lho0)
+        if (resolved == null) return null
+        val (usize, csize, lho) = resolved
         val dataStart = localDataStart(bytes, lho)
         if (dataStart < 0) return null
         row(pos + 46, nlen, method, csize, usize, dataStart)

@@ -245,6 +245,61 @@ class ZipEntryBytesSpec extends SparkSpec {
       .toDF("doc_id", "payload")).count() == 0)
   }
 
+  test("ZIP64: a real Zip64Mode.Always archive (marker EOCD fields, " +
+    "per-entry 0x0001 extras) lists and extracts; a lying locator " +
+    "refuses") {
+    import org.apache.commons.compress.archivers.zip.{Zip64Mode, ZipArchiveEntry, ZipArchiveOutputStream}
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipArchiveOutputStream(bos)
+    z.setUseZip64(Zip64Mode.Always)
+    for ((n, body) <- Seq("a.txt" -> "zip64 text a",
+      "dir/b.txt" -> "zip64 text b")) {
+      z.putArchiveEntry(new ZipArchiveEntry(n))
+      z.write(body.getBytes("UTF-8"))
+      z.closeArchiveEntry()
+    }
+    z.close()
+    val zb = bos.toByteArray
+    // kernel-level extraction by name
+    val got = ZipEntryBytes.compute(zb,
+      org.apache.spark.unsafe.types.UTF8String.fromString("dir/b.txt"),
+      1 << 20, 1024)
+    assert(got != null && new String(got, "UTF-8") == "zip64 text b")
+    // listing sees both entries with true sizes
+    val es = ZipEntryBytes.computeEntries(zb, 1024)
+    assert(es != null)
+    val names = (0 until es.numElements()).map(i =>
+      es.getStruct(i, 5).getUTF8String(0).toString)
+    assert(names.toSet == Set("a.txt", "dir/b.txt"))
+    val sizes = (0 until es.numElements()).map(i =>
+      es.getStruct(i, 5).getLong(3))
+    assert(sizes.forall(_ == 12L))
+    // the df tier reads it end to end
+    val dt = graft.ext.Multimodal.documentText(
+      Seq((1L, zb)).toDF("doc_id", "payload")).collect()(0)
+    assert(dt.getString(1) == "zip" &&
+      dt.getString(2) == "zip64 text a\n\nzip64 text b")
+    // FORCE the EOCD markers (count/cdSize/cdOff all 0xFF): the
+    // resolution must now go through the zip64 locator + EOCD64 the
+    // writer emitted — the true >4 GiB shape
+    val eocdAt = ZipEntryBytes.findEocd(zb)
+    val forced = zb.clone()
+    java.util.Arrays.fill(forced, eocdAt + 8, eocdAt + 20, 0xff.toByte)
+    val fes = ZipEntryBytes.computeEntries(forced, 1024)
+    assert(fes != null && fes.numElements() == 2)
+    val fgot = ZipEntryBytes.compute(forced,
+      org.apache.spark.unsafe.types.UTF8String.fromString("a.txt"),
+      1 << 20, 1024)
+    assert(fgot != null && new String(fgot, "UTF-8") == "zip64 text a")
+    // a lying locator (offset field garbage) then refuses
+    val lie = forced.clone()
+    java.util.Arrays.fill(lie, eocdAt - 12, eocdAt - 4, 0x7f.toByte)
+    assert(ZipEntryBytes.computeEntries(lie, 1024) == null)
+    assert(ZipEntryBytes.compute(lie,
+      org.apache.spark.unsafe.types.UTF8String.fromString("a.txt"),
+      1 << 20, 1024) == null)
+  }
+
   test("odfCells: the ods grid over a stored package — typed value, " +
     "text value, repeat; junk packages contribute no rows") {
     val content = "<office:document-content><office:body>" +
