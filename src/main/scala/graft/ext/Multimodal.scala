@@ -1091,6 +1091,16 @@ object Multimodal {
             graft.functions.Lz4FramePayload(col("__p"), maxBytes)))
           .when(col("format") === "snappy", graft.functions.Utf8Text(
             graft.functions.SnappyFramePayload(col("__p"), maxBytes)))
+          // tar: every regular member's text, newline-joined (the
+          // zip allMembers shape — tarballs ARE the source-release
+          // container); corrupt archives null
+          .when(col("format") === "tar",
+            array_join(filter(transform(
+              filter(graft.functions.TarEntries(col("__p"), 4096),
+                e => e.getField("typeflag") === "0"),
+              e => graft.functions.Utf8Text(col("__p").substr(
+                e.getField("offset") + 1, e.getField("size")))),
+              t => t.isNotNull), "\n\n"))
           // 7z: the FIRST member whose single-coder folder decodes
           // to valid UTF-8 (the source-release README shape);
           // multi-coder folders and corrupt archives null
@@ -1575,6 +1585,10 @@ object Multimodal {
       .when(pfx("04224D18"), "lz4")
       .when(pfx("FF060000734E61507059"), "snappy")
       .when(substring(payload, 1, 5).cast("string") === "WARC/", "warc")
+      // POSIX tar: the ustar magic sits at byte 257 (0-based) of the
+      // first header — sniffed LAST among containers so short
+      // payloads never pay the deep read
+      .when(hex(substring(payload, 258, 5)) === lit("7573746172"), "tar")
       .otherwise("unknown")
   }
 

@@ -191,6 +191,24 @@ class TarEntriesSpec extends SparkSpec {
     assert(rows.toSeq == Seq(longPath -> "pax body", "plain.txt" -> "p"))
   }
 
+  test("documentText routes tar: regular members' text newline-joined; " +
+    "directories skipped; a corrupted checksum nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = tarOf(
+      ("docs/", Array.emptyByteArray, '5'),
+      ("a.txt", "tar text a".getBytes("UTF-8"), '0'),
+      ("b/c.txt", "tar text c".getBytes("UTF-8"), '0'))
+    val bad = t.clone()
+    bad(150) = (bad(150) ^ 1).toByte // inside the first checksum field
+    val dt = graft.ext.Multimodal.documentText(
+      Seq((1L, t), (2L, bad)).toDF("doc_id", "payload"))
+      .orderBy("doc_id").collect()
+    assert(dt(0).getString(1) == "tar" &&
+      dt(0).getString(2) == "tar text a\n\ntar text c")
+    assert(dt(1).isNullAt(2))
+  }
+
   test("tar_entries fails closed: bad checksum, truncated data, trailing junk; " +
     "empty archive (pure terminator) yields zero entries") {
     val tar = tarOf(("f.txt", "data".getBytes, '0'))
