@@ -3685,6 +3685,30 @@ object SparkEntry {
           Multimodal.docxFullText(col("payload")).as("text"))
         .orderBy("doc_id")
     }),
+    // ICO favicon census: a pinned 2-image icon (classic BMP entry +
+    // an embedded-PNG 256px entry via the zero-byte rule); junk docs
+    // keep one null audit row
+    "q325_ico_entries" -> ((s, dir) => {
+      val ico = "000001000200" +
+        "10100000010004000800000026000000" +
+        "00000000010020000c0000002e000000" +
+        "0011223344556677" +
+        "89504e470d0a1a0a00000000"
+      val m = pmod(col("doc_id"), lit(2L))
+      val hexStr = when(m === 0, lit(ico)).otherwise(hex(lit("junk")))
+      val tpe = "struct<width:int,height:int,bpp:int,size:bigint," +
+        "is_png:boolean>"
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(coalesce(
+            graft.functions.IcoEntries(unhex(hexStr)).cast(s"array<$tpe>"),
+            array(lit(null).cast(tpe)))).as(Seq("entry_idx", "__e")))
+        .select(col("doc_id"), col("entry_idx").cast("long").as("entry_idx"),
+          col("__e.width").as("width"), col("__e.height").as("height"),
+          col("__e.bpp").as("bpp"), col("__e.size").as("size"),
+          col("__e.is_png").as("is_png"))
+        .orderBy("doc_id", "entry_idx")
+    }),
     // WebP animation census: a pinned 3-frame VP8X+ANIM+ANMF file vs
     // a static VP8L; junk docs null
     "q324_webp_frames" -> ((s, dir) => {
@@ -7842,6 +7866,20 @@ object SparkEntry {
         |      || chr(10) || chr(10) || 'note A' || chr(10)
         |  END AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q325: the directory replayed — the zero width/height byte means
+    // 256, the second payload carries the PNG signature
+    "q325_ico_entries" ->
+      """SELECT doc_id, entry_idx, width, height, bpp, size, is_png
+        |FROM (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS entry_idx, 16 AS width,
+        |    16 AS height, 4 AS bpp, CAST(8 AS BIGINT) AS size,
+        |    false AS is_png FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, 1, 256, 256, 32, 12, true
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, 0, NULL, NULL, NULL, NULL, NULL
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |ORDER BY doc_id, entry_idx""".stripMargin,
 
     // q324: the census replayed — 3 frames at 40+60+100 ms loop 2,
     // the static VP8L one frame with no animation

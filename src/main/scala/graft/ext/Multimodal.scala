@@ -217,6 +217,22 @@ object Multimodal {
       when(sig === lit("474946383761"), "87a").otherwise("89a").as("version")))
   }
 
+  /** ICO/CUR favicon census — one row per contained image
+    * (width/height with the 256 zero-byte rule, bit depth, byte
+    * size, embedded-PNG flag) via [[graft.functions.IcoEntries]];
+    * corrupt payloads contribute no rows. The brand-asset dedup /
+    * best-resolution-pick input; pixels never decode. */
+  def icoEntries(docs: DataFrame, idCol: String = "doc_id",
+                 payloadCol: String = "payload",
+                 maxEntries: Int = 256): DataFrame =
+    docs.select(col(idCol),
+        posexplode(graft.functions.IcoEntries(col(payloadCol), maxEntries))
+          .as(Seq("entry_idx", "__e")))
+      .select(col(idCol), col("entry_idx").cast("long").as("entry_idx"),
+        col("__e.width").as("width"), col("__e.height").as("height"),
+        col("__e.bpp").as("bpp"), col("__e.size").as("size"),
+        col("__e.is_png").as("is_png"))
+
   /** GIF animation census — frame count, summed GCE delays and the
     * NETSCAPE2.0 loop count off one bounded block walk (image data
     * skipped by sub-block lengths, never decoded) via the native
