@@ -72,7 +72,7 @@ object Main {
     |                   |avro-blocks|avro-records|bson|msgpack|cbor|proto-fields
     |                   |bz2|zstd|xz|lz4|sz|mbox|cfb-meta|wiki-pages|wiki-corpus
     |                   |parquet-meta|parquet-stats|orc-meta|orc-stripes|orc-column-stats|arrow-meta
-    |                   |mp3-duration|image-dhash|gif-frames|webp-frames|xlsx-sheets|ico
+    |                   |mp3-duration|image-dhash|gif-frames|webp-frames|xlsx-sheets|ico|tiff-dhash
     |                (payloads: doc_id + the format's payload column)
     |  ingest-avro  --path DIR --target DIR [--ddl "a BIGINT, b STRING"]
     |  ingest-bson/-msgpack/-cbor --path DIR --ddl "a BIGINT, t STRING" --target DIR
@@ -539,6 +539,8 @@ object Main {
               col("__g.version").as("version"))
           case "xlsx-sheets" => ext.Multimodal.xlsxSheets(docs)
           case "ico" => ext.Multimodal.icoEntries(docs)
+          case "tiff-dhash" => docs.select(col("doc_id"),
+            ext.Multimodal.tiffDhash(col("payload")).as("dhash"))
           case "epub-chapters" => ext.Multimodal.epubChapters(docs)
           case "bz2" => docs.select(col("doc_id"),
             functions.Bunzip2(col("payload")).as("data"))

@@ -3685,6 +3685,20 @@ object SparkEntry {
           Multimodal.docxFullText(col("payload")).as("text"))
         .orderBy("doc_id")
     }),
+    // TIFF dHash via the imageDhash dispatcher: pinned uncompressed
+    // gray TIFFs of the q320 pattern in BOTH photometric polarities —
+    // both must equal the GIF/PNG hash constant; junk docs null
+    "q326_tiff_dhash" -> ((s, dir) => {
+      val plain = "49492a0008010000000d1a2734414e5b6875828f9ca9b6c30714212e3b4855626f7c8996a3b0bd020e1b2835424f5c697683909daab7c40915222f3c495663707d8a97a4b1be03101c293643505d6a7784919eabb8c50a1723303d4a5764717e8b98a5b2bf04111e2a3744515e6b7885929facb9c60b1825313e4b5865727f8c99a6b3c005121f2c3845525f6c798693a0adbac70c1926333f4c596673808d9aa7b4c10613202d3a4653606d7a8794a1aebb000d1a2734414d5a6774818e9ba8b5c20714212e3b4854616e7b8895a2afbc010e1b2835424f5b6875828f9ca9b6c30815222f3c4956626f7c8996a3b0bd020f1c293643505d697683909daab7c4091623303d4a5764090000010300010000001000000001010300010000001000000002010300010000000800000003010300010000000100000006010300010000000100000011010400010000000800000015010300010000000100000016010300010000001000000017010400010000000001000000000000"
+      val inverted = "49492a0008010000fff2e5d8cbbeb1a4978a7d706356493cf8ebded1c4b7aa9d908376695c4f42fdf1e4d7cabdb0a396897c6f6255483bf6eaddd0c3b6a99c8f8275685b4e41fcefe3d6c9bcafa295887b6e6154473af5e8dccfc2b5a89b8e8174675a4d40fbeee1d5c8bbaea194877a6d60534639f4e7dacec1b4a79a8d807366594c3ffaede0d3c7baada09386796c5f524538f3e6d9ccc0b3a6998c7f7265584b3ef9ecdfd2c5b9ac9f9285786b5e5144fff2e5d8cbbeb2a5988b7e7164574a3df8ebded1c4b7ab9e9184776a5d5043fef1e4d7cabdb0a4978a7d706356493cf7eaddd0c3b6a99d908376695c4f42fdf0e3d6c9bcafa296897c6f6255483bf6e9dccfc2b5a89b090000010300010000001000000001010300010000001000000002010300010000000800000003010300010000000100000006010300010000000000000011010400010000000800000015010300010000000100000016010300010000001000000017010400010000000001000000000000"
+      val m = pmod(col("doc_id"), lit(3L))
+      val hexStr = when(m === 0, lit(plain)).when(m === 1, lit(inverted))
+        .otherwise(hex(lit("junk")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.imageDhash(unhex(hexStr)).as("dhash"))
+        .orderBy("doc_id")
+    }),
     // ICO favicon census: a pinned 2-image icon (classic BMP entry +
     // an embedded-PNG 256px entry via the zero-byte rule); junk docs
     // keep one null audit row
@@ -7865,6 +7879,14 @@ object SparkEntry {
         |      || chr(10) || 'Head ' || CAST(doc_id % 7 AS VARCHAR)
         |      || chr(10) || chr(10) || 'note A' || chr(10)
         |  END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q326: both polarities hash to the SAME python-computed constant
+    // as the q320 GIF of the pattern — cross-format by construction
+    "q326_tiff_dhash" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 < 2
+        |    THEN CAST(-1157460564566376449 AS BIGINT) END AS dhash
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q325: the directory replayed — the zero width/height byte means

@@ -1834,14 +1834,23 @@ object Multimodal {
   def gifDhash(payload: Column): Column =
     graft.functions.GifDhash(payload)
 
-  /** Format-dispatched perceptual hash: BMP, PNG, JPEG and GIF
-    * payloads decode to the SAME dHash space (identical
-    * grid/luma/packing), other formats null out — one hash column
-    * for a mixed media lake, one [[imageNearDupPairs]] pass across
-    * all four. */
+  /** dHash over UNCOMPRESSED TIFF pixels — the scan-master/
+    * scientific-export tier joins the family via the native
+    * [[graft.functions.TiffDhash]] IFD walk (both byte orders,
+    * strip concatenation, gray both polarities + RGB/RGBA chunky);
+    * compressed/tiled/planar/palette files fail closed rather than
+    * mis-decode. Same grid/luma/packing as [[bmpDhash]]. */
+  def tiffDhash(payload: Column): Column =
+    graft.functions.TiffDhash(payload)
+
+  /** Format-dispatched perceptual hash: BMP, PNG, JPEG, GIF and
+    * uncompressed-TIFF payloads decode to the SAME dHash space
+    * (identical grid/luma/packing), other formats null out — one
+    * hash column for a mixed media lake, one [[imageNearDupPairs]]
+    * pass across all five. */
   def imageDhash(payload: Column): Column =
     coalesce(bmpDhash(payload), pngDhash(payload), jpegDhash(payload),
-      gifDhash(payload))
+      gifDhash(payload), tiffDhash(payload))
 
   /** Perceptual image near-duplicate pairs over a mixed BMP/PNG media
     * frame — the image-side sibling of text simhash dedup, end to end

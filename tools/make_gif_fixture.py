@@ -123,6 +123,31 @@ def animated_gif(v, w, h, delays, loop):
     return bytes(out)
 
 
+def tiff_gray(v, w, h, inverted=False):
+    """Minimal little-endian uncompressed grayscale TIFF of the same
+    pattern — its dHash must equal the GIF/BMP/PNG hash (q326);
+    inverted=True stores 255-v with photometric 0, hashing the same."""
+    import struct
+    pixels = bytes(((255 - (v(x, y) & 0xFF)) if inverted else
+                    (v(x, y) & 0xFF))
+                   for y in range(h) for x in range(w))
+    # layout: header(8) + pixels + IFD
+    ifd_at = 8 + len(pixels)
+    tags = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8),
+        (259, 3, 1, 1), (262, 3, 1, 0 if inverted else 1),
+        (273, 4, 1, 8), (277, 3, 1, 1), (278, 3, 1, h),
+        (279, 4, 1, len(pixels)),
+    ]
+    out = b"II*\0" + struct.pack("<I", ifd_at) + pixels
+    out += struct.pack("<H", len(tags))
+    for tag, tpe, cnt, val in tags:
+        out += struct.pack("<HHI", tag, tpe, cnt)
+        out += struct.pack("<I", val) if tpe == 4 else struct.pack("<HH", val, 0)
+    out += struct.pack("<I", 0)
+    return out
+
+
 def webp_anim(durations, loop):
     """Animated WebP (VP8X animation bit + ANIM + one ANMF per
     duration) — the q324 census fixture; frame data is opaque."""
@@ -155,6 +180,10 @@ def main():
     print(animated_gif(a, 4, 4, [10, 25], 3).hex())
     print("webp anim hex (3 frames, 40+60+100 ms, loop 2):")
     print(webp_anim([40, 60, 100], 2).hex())
+    print("tiff gray hex (pattern A -> hashA):")
+    print(tiff_gray(a, 16, 16).hex())
+    print("tiff inverted hex (photometric 0 -> same hash):")
+    print(tiff_gray(a, 16, 16, inverted=True).hex())
     print("hashA =", dhash(a, 16, 16))
     print("hashB =", dhash(b, 16, 16))
 
