@@ -3685,6 +3685,47 @@ object SparkEntry {
           Multimodal.docxFullText(col("payload")).as("text"))
         .orderBy("doc_id")
     }),
+    // FLAC Vorbis comments: engine-built files (STREAMINFO + a
+    // VORBIS_COMMENT with mixed-case keys and a no-equals comment
+    // that is skipped); untagged docs no rows, junk docs one null
+    // audit row
+    "q327_flac_tags" -> ((s, dir) => {
+      def leHex(c: Column, nBytes: Int) = concat((0 until nBytes).map(i =>
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(255L)), 2, "0")): _*)
+      def comment(body: Column) =
+        concat(unhex(leHex(length(body.cast("binary")).cast("long"), 4)),
+          body.cast("binary"))
+      val id = col("doc_id").cast("string")
+      val vendor = "graft"
+      val vc = concat(
+        unhex(lit("%02X000000".format(vendor.length))),
+        lit(vendor).cast("binary"),
+        unhex(lit("04000000")),
+        comment(concat(lit("TITLE=Song "), id)),
+        comment(concat(lit("artist=Artist "),
+          pmod(col("doc_id"), lit(7L)).cast("string"))),
+        comment(lit("no equals here")),
+        comment(lit("Album=A&B")))
+      val streaminfo = "00" + "000022" + ("00" * 34)
+      val tagged = concat(unhex(lit("664c6143" + streaminfo)),
+        unhex(lit("84")),
+        unhex(lpad(hex(length(vc).cast("long")), 6, "0")), vc)
+      val untagged = lit(("664c6143" + "80" + "000022" + ("00" * 34))
+        .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+      val m = pmod(col("doc_id"), lit(3L))
+      val payload = when(m === 0, tagged).when(m === 1, untagged)
+        .otherwise(lit("junk".getBytes("UTF-8")))
+      val fixture = t(s, dir, "documents")
+        .select(col("doc_id"), payload.as("payload")).localCheckpoint()
+      val tpe = "struct<key:string,value:string>"
+      fixture.select(col("doc_id"),
+          posexplode(coalesce(
+            graft.functions.FlacTags(col("payload")).cast(s"array<$tpe>"),
+            array(lit(null).cast(tpe)))).as(Seq("pos", "__t")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("__t.key").as("key"), col("__t.value").as("value"))
+        .orderBy("doc_id", "pos")
+    }),
     // TIFF dHash via the imageDhash dispatcher: pinned uncompressed
     // gray TIFFs of the q320 pattern in BOTH photometric polarities —
     // both must equal the GIF/PNG hash constant; junk docs null
@@ -7880,6 +7921,22 @@ object SparkEntry {
         |      || chr(10) || chr(10) || 'note A' || chr(10)
         |  END AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q327: tags replayed — keys uppercased, the no-equals comment
+    // skipped; untagged docs vanish, junk docs one null audit row
+    "q327_flac_tags" ->
+      """SELECT doc_id, pos, "key", "value" FROM (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS pos, 'TITLE' AS "key",
+        |    'Song ' || CAST(doc_id AS VARCHAR) AS "value"
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, 1, 'ARTIST',
+        |    'Artist ' || CAST(doc_id % 7 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, 2, 'ALBUM', 'A&B'
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, 0, NULL, NULL
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     // q326: both polarities hash to the SAME python-computed constant
     // as the q320 GIF of the pattern — cross-format by construction

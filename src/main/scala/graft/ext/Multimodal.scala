@@ -723,6 +723,21 @@ object Multimodal {
       .select(col(idCol), col("pos").cast("long").as("pos"),
         col("__f.frame_id").as("frame_id"), col("__f.text").as("text"))
 
+  /** FLAC Vorbis comments exploded per media row — [[id3Tags]]' shape
+    * for the lossless tier via [[graft.functions.FlacTags]] (metadata
+    * block walk to VORBIS_COMMENT, keys ASCII-uppercased per the
+    * spec's case-insensitivity, values verbatim). Untagged FLACs
+    * contribute no rows; corrupt payloads fail closed to none.
+    * Output (idCol, pos, key, value) in comment order. */
+  def flacTags(docs: DataFrame, idCol: String = "media_id",
+               payloadCol: String = "payload",
+               maxTags: Int = 4096): DataFrame =
+    docs.select(col(idCol),
+        posexplode(graft.functions.FlacTags(col(payloadCol), maxTags))
+          .as(Seq("pos", "__t")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("__t.key").as("key"), col("__t.value").as("value"))
+
   /** TAR archive listing — release tarballs are how code corpora
     * arrive: [[graft.functions.TarEntries]] walks the checksummed
     * ustar headers and each entry explodes with its index, name,
