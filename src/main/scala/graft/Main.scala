@@ -72,7 +72,7 @@ object Main {
     |                   |avro-blocks|avro-records|bson|msgpack|cbor|proto-fields
     |                   |bz2|zstd|xz|lz4|sz|mbox|cfb-meta|wiki-pages|wiki-corpus
     |                   |parquet-meta|parquet-stats|orc-meta|orc-stripes|orc-column-stats|arrow-meta
-    |                   |mp3-duration|image-dhash|gif-frames|webp-frames|xlsx-sheets|ico|tiff-dhash|flac-tags
+    |                   |mp3-duration|image-dhash|gif-frames|webp-frames|xlsx-sheets|ico|tiff-dhash|flac-tags|wav-info
     |                (payloads: doc_id + the format's payload column)
     |  ingest-avro  --path DIR --target DIR [--ddl "a BIGINT, b STRING"]
     |  ingest-bson/-msgpack/-cbor --path DIR --ddl "a BIGINT, t STRING" --target DIR
@@ -591,6 +591,8 @@ object Main {
           case "id3" => ext.Multimodal.id3Tags(docs, idCol = "doc_id")
           case "flac-tags" =>
             ext.Multimodal.flacTags(docs, idCol = "doc_id")
+          case "wav-info" =>
+            ext.Multimodal.wavInfoTags(docs, idCol = "doc_id")
           case "epub" => ext.Multimodal.epubMeta(docs)
           case "avro-schema" => docs.select(col("doc_id"),
             ext.Multimodal.avroSchema(col("payload")).as("avro_schema"))

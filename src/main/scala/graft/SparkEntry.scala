@@ -3685,6 +3685,49 @@ object SparkEntry {
           Multimodal.docxFullText(col("payload")).as("text"))
         .orderBy("doc_id")
     }),
+    // WAV LIST/INFO tags: engine-built files (fmt + LIST/INFO with
+    // odd-length NUL-terminated values exercising RIFF padding +
+    // data); untagged docs no rows, junk docs one null audit row
+    "q328_wav_info" -> ((s, dir) => {
+      def leHex(c: Column, nBytes: Int) = concat((0 until nBytes).map(i =>
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(255L)), 2, "0")): _*)
+      def info(fourcc: String, v: Column) = {
+        val body = concat(v.cast("binary"), unhex(lit("00")))
+        val len = length(body).cast("long")
+        concat(lit(fourcc).cast("binary"), unhex(leHex(len, 4)), body,
+          when(pmod(len, lit(2L)) === 1, unhex(lit("00")))
+            .otherwise(lit(Array.empty[Byte])))
+      }
+      val id = col("doc_id").cast("string")
+      val fmt = "666d7420" + "10000000" +
+        "0100010044ac000088580100" + "01000800"
+      val data = "64617461" + "0400000000000000"
+      val infoBody = concat(lit("INFO").cast("binary"),
+        info("INAM", concat(lit("Track "), id)),
+        info("IART", concat(lit("Artist "),
+          pmod(col("doc_id"), lit(5L)).cast("string"))))
+      val list = concat(lit("LIST").cast("binary"),
+        unhex(leHex(length(infoBody).cast("long"), 4)), infoBody)
+      def riff(body: Column) = concat(lit("RIFF").cast("binary"),
+        unhex(leHex((length(body) + 4L).cast("long"), 4)),
+        lit("WAVE").cast("binary"), body)
+      val tagged = riff(concat(unhex(lit(fmt)), list, unhex(lit(data))))
+      val untagged = riff(concat(unhex(lit(fmt)), unhex(lit(data))))
+      val m = pmod(col("doc_id"), lit(3L))
+      val payload = when(m === 0, tagged).when(m === 1, untagged)
+        .otherwise(lit("junk".getBytes("UTF-8")))
+      val fixture = t(s, dir, "documents")
+        .select(col("doc_id"), payload.as("payload")).localCheckpoint()
+      val tpe = "struct<key:string,value:string>"
+      fixture.select(col("doc_id"),
+          posexplode(coalesce(
+            graft.functions.WavInfoTags(col("payload"), 4096)
+              .cast(s"array<$tpe>"),
+            array(lit(null).cast(tpe)))).as(Seq("pos", "__t")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("__t.key").as("key"), col("__t.value").as("value"))
+        .orderBy("doc_id", "pos")
+    }),
     // FLAC Vorbis comments: engine-built files (STREAMINFO + a
     // VORBIS_COMMENT with mixed-case keys and a no-equals comment
     // that is skipped); untagged docs no rows, junk docs one null
@@ -7921,6 +7964,20 @@ object SparkEntry {
         |      || chr(10) || chr(10) || 'note A' || chr(10)
         |  END AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q328: tags replayed — fourcc keys verbatim, NULs stripped;
+    // untagged docs vanish, junk docs one null audit row
+    "q328_wav_info" ->
+      """SELECT doc_id, pos, "key", "value" FROM (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS pos, 'INAM' AS "key",
+        |    'Track ' || CAST(doc_id AS VARCHAR) AS "value"
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, 1, 'IART',
+        |    'Artist ' || CAST(doc_id % 5 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, 0, NULL, NULL
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     // q327: tags replayed — keys uppercased, the no-equals comment
     // skipped; untagged docs vanish, junk docs one null audit row

@@ -738,6 +738,22 @@ object Multimodal {
       .select(col(idCol), col("pos").cast("long").as("pos"),
         col("__t.key").as("key"), col("__t.value").as("value"))
 
+  /** WAV LIST/INFO tags exploded per media row — the third leg of
+    * the audio-metadata trio ([[id3Tags]], [[flacTags]]) via
+    * [[graft.functions.WavInfoTags]]: INAM/IART/ICRD/ICMT and the
+    * rest of the public INFO vocabulary, fourcc keys verbatim,
+    * NUL-stripped values (UTF-8 validated, latin1 fallback).
+    * Untagged WAVs contribute no rows; corrupt payloads none.
+    * Output (idCol, pos, key, value) in chunk order. */
+  def wavInfoTags(docs: DataFrame, idCol: String = "media_id",
+                  payloadCol: String = "payload",
+                  maxTags: Int = 4096): DataFrame =
+    docs.select(col(idCol),
+        posexplode(graft.functions.WavInfoTags(col(payloadCol), maxTags))
+          .as(Seq("pos", "__t")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("__t.key").as("key"), col("__t.value").as("value"))
+
   /** TAR archive listing — release tarballs are how code corpora
     * arrive: [[graft.functions.TarEntries]] walks the checksummed
     * ustar headers and each entry explodes with its index, name,
