@@ -12,7 +12,10 @@ import org.apache.spark.sql.types._
   * split animated from static GIFs: one bounded block walk (no LZW
   * decode — image data sub-blocks are SKIPPED by their length
   * prefixes) counting image descriptors, summing the graphic-control
-  * extensions' frame delays (centiseconds) and reading the
+  * extensions' frame delays (centiseconds — a GCE's delay counts only
+  * when the rendered block that consumes it is an image descriptor;
+  * one attached to a plain-text extension or left trailing never
+  * displays a frame and is dropped) and reading the
   * NETSCAPE2.0 application extension's loop count (0 = forever, per
   * the public extension spec; -1 when absent — a single-pass GIF).
   *
@@ -69,6 +72,7 @@ object GifFrames {
       if ((packed & 0x80) != 0) p += 3 * (2 << (packed & 7)) // GCT
       var frames = 0
       var delay = 0L
+      var pendingDelay = 0L
       var loop = -1
       def skipSubBlocks(): Boolean = { // returns false on truncation
         var len = b(p) & 0xff
@@ -91,10 +95,16 @@ object GifFrames {
             val bodyAt = p + 2
             if (label == 0xF9 && bodyAt + 4 < b.length &&
               (b(bodyAt) & 0xff) >= 4) {
-              // GCE: size(>=4) packed delayLo delayHi transparentIdx
-              delay += (b(bodyAt + 2) & 0xffL) |
+              // GCE: size(>=4) packed delayLo delayHi transparentIdx.
+              // The delay is PENDING until a rendered block consumes
+              // it — a GCE attached to a plain-text extension or one
+              // trailing the last image never displays a frame
+              pendingDelay = (b(bodyAt + 2) & 0xffL) |
                 ((b(bodyAt + 3) & 0xffL) << 8)
             }
+            // a plain-text extension is the other graphic rendering
+            // block: it consumes the pending GCE without a frame
+            if (label == 0x01) pendingDelay = 0L
             if (label == 0xFF && bodyAt + 11 < b.length &&
               (b(bodyAt) & 0xff) == 11 &&
               new String(b, bodyAt + 1, 11, "US-ASCII") == "NETSCAPE2.0") {
@@ -115,6 +125,8 @@ object GifFrames {
             p += 1 // LZW min code size
             if (!skipSubBlocks()) return null
             frames += 1
+            delay += pendingDelay
+            pendingDelay = 0L
             if (frames > maxFrames) return null
           case _ => return null // unknown block: refuse, never guess
         }

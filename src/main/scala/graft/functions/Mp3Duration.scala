@@ -104,11 +104,12 @@ object Mp3Duration {
         UTF8String.fromString(method)))
     // Xing/Info at the side-info offset
     val xingAt = start + 4 + (if (mono) 17 else 32)
-    if (xingAt + 8 <= n &&
+    val xingSig = xingAt + 8 <= n &&
       ((b(xingAt) == 'X' && b(xingAt + 1) == 'i' && b(xingAt + 2) == 'n' &&
         b(xingAt + 3) == 'g') ||
         (b(xingAt) == 'I' && b(xingAt + 1) == 'n' && b(xingAt + 2) == 'f' &&
-          b(xingAt + 3) == 'o'))) {
+          b(xingAt + 3) == 'o'))
+    if (xingSig) {
       val flags = be32(b, xingAt + 4)
       if ((flags & 1L) != 0 && xingAt + 12 <= n)
         return mk(be32(b, xingAt + 8), "xing")
@@ -153,7 +154,11 @@ object Mp3Duration {
           }
         }
       }
-      if (ok && count > 0) return mk(count, "walk")
+      // a flag-less Xing/Info tag frame (signature present but no
+      // FRAMES flag — we fell through to the walk) is still a real
+      // frame the walk counts; players skip it, so subtract it here
+      if (ok && count > 0)
+        return mk(if (xingSig) count - 1 else count, "walk")
     }
     // CBR arithmetic over the audio bytes
     val frameSize = 144L * bitrate * 1000L / sampleRate

@@ -147,6 +147,11 @@ object SevenZipList {
     val folders = new scala.collection.mutable.ArrayBuffer[Folder]
     var numUnpackStreams: Array[Int] = Array.empty // per folder, default 1
     var subSizes: Array[Long] = Array.empty // resolved per substream
+    // folder digests from kUnpackInfo kCrc — a folder with ONE unpack
+    // stream and a defined digest covers that stream's CRC, so
+    // kSubStreamsInfo kCrc stores digests only for the REST
+    var folderCrcDefined: Array[Boolean] = Array.empty
+    var folderCrcs: Array[Long] = Array.empty
     // substream CRC32s (kSubStreamsInfo kCrc) — verified by the
     // member-extraction path when defined; empty when absent
     var subCrcDefined: Array[Boolean] = Array.empty
@@ -204,7 +209,9 @@ object SevenZipList {
                   f.unpackSizes = Array.fill(nOut)(c.num())
                 }
               case KCrc =>
-                skipCrcs(c, si.folders.length)
+                val (d, v) = readCrcs(c, si.folders.length)
+                si.folderCrcDefined = d
+                si.folderCrcs = v
               case _ => throw Bad
             }
             uid = c.num()
@@ -249,10 +256,43 @@ object SevenZipList {
                 }
                 si.subSizes = sizes.toArray
               case KCrc =>
+                // digests are stored ONLY for streams whose CRC is
+                // not already known: a single-stream folder with a
+                // defined kUnpackInfo digest is covered and excluded
+                // from the count; its stream seeds from the folder
+                def covered(f: Int): Boolean =
+                  si.numUnpackStreams(f) == 1 &&
+                    f < si.folderCrcDefined.length && si.folderCrcDefined(f)
+                var needed = 0
+                var ff = 0
+                while (ff < si.folders.length) {
+                  if (!covered(ff)) needed += si.numUnpackStreams(ff)
+                  ff += 1
+                }
+                val (defd, crcs) = readCrcs(c, needed)
                 val total = si.numUnpackStreams.sum
-                val (defd, crcs) = readCrcs(c, total)
-                si.subCrcDefined = defd
-                si.subCrcs = crcs
+                val allD = new Array[Boolean](total)
+                val allC = new Array[Long](total)
+                var sub = 0
+                var k = 0
+                ff = 0
+                while (ff < si.folders.length) {
+                  if (covered(ff)) {
+                    allD(sub) = true
+                    allC(sub) = si.folderCrcs(ff)
+                    sub += 1
+                  } else {
+                    var j = 0
+                    while (j < si.numUnpackStreams(ff)) {
+                      allD(sub) = defd(k)
+                      allC(sub) = crcs(k)
+                      sub += 1; k += 1; j += 1
+                    }
+                  }
+                  ff += 1
+                }
+                si.subCrcDefined = allD
+                si.subCrcs = allC
               case _ => throw Bad
             }
             sid = c.num()
@@ -267,6 +307,28 @@ object SevenZipList {
       si.numUnpackStreams = Array.fill(si.folders.length)(1)
       if (si.subSizes.isEmpty)
         si.subSizes = si.folders.map(_.mainUnpackSize).toArray
+    }
+    // no substream digests parsed but kUnpackInfo defined folder
+    // digests: seed the single-stream folders' CRCs so extraction
+    // still verifies them
+    if (si.subCrcDefined.isEmpty && si.folderCrcDefined.nonEmpty) {
+      val total = si.numUnpackStreams.sum
+      val allD = new Array[Boolean](total)
+      val allC = new Array[Long](total)
+      var sub = 0
+      var f = 0
+      while (f < si.folders.length) {
+        val cnt = si.numUnpackStreams(f)
+        if (cnt == 1 && f < si.folderCrcDefined.length &&
+          si.folderCrcDefined(f)) {
+          allD(sub) = true
+          allC(sub) = si.folderCrcs(f)
+        }
+        sub += cnt
+        f += 1
+      }
+      si.subCrcDefined = allD
+      si.subCrcs = allC
     }
     si
   }

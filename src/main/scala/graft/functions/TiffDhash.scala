@@ -129,12 +129,19 @@ object TiffDhash {
       if (offs == null || cnts == null || offs.length != cnts.length)
         return null
       if (bits.exists(_ != 8L)) return null
+      // explicit SamplesPerPixel bound: a hostile spp (e.g. 65535
+      // with w*h near MaxPixels) would wrap an Int byte count — refuse
+      // up front rather than rely on a caught allocation failure
+      if (spp < 1L || spp > 8L) return null
       val ch = spp.toInt
-      if (photo == 2L) { if (ch < 3) return null }
-      else if (ch < 1) return null
-      // concatenate strips into the top-down grid
-      val stride = (w * ch).toInt
-      val need = (h * stride).toInt
+      if (photo == 2L && ch < 3) return null
+      // concatenate strips into the top-down grid; sizes computed in
+      // Long and bounded (<= MaxPixels * 8 by the guards above)
+      val strideL = w * ch
+      val needL = h * strideL
+      if (needL > MaxPixels * 8L) return null
+      val stride = strideL.toInt
+      val need = needL.toInt
       val raw = new Array[Byte](need)
       var out = 0
       var s = 0

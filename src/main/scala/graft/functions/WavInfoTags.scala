@@ -100,7 +100,11 @@ object WavInfoTags {
         }
         p = dataAt + size + (size & 1L)
       }
-      if (p != riffEnd) return null // trailing junk: refuse
+      // trailing junk: refuse. p == riffEnd + 1 can ONLY arise from
+      // the final odd-sized chunk's RIFF pad byte (dataAt + size <=
+      // riffEnd is checked every iteration) — some real-world writers
+      // omit that last pad, so accept the one-byte overshoot
+      if (p != riffEnd && p != riffEnd + 1) return null
       new GenericArrayData(out.toArray)
     } catch {
       case _: ArrayIndexOutOfBoundsException => null

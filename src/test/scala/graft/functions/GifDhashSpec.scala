@@ -183,6 +183,34 @@ class GifDhashSpec extends AnyFunSuite {
     assert(GifDhash.compute(ani) != null)
   }
 
+  test("GCE delays count only when an IMAGE descriptor consumes " +
+    "them: plain-text and trailing GCEs are dropped") {
+    val bos = new ByteArrayOutputStream()
+    bos.write("GIF89a".getBytes("US-ASCII"))
+    bos.write(le(4, 2)); bos.write(le(4, 2))
+    bos.write(0xF7); bos.write(0); bos.write(0)
+    for (i <- 0 until 256) { bos.write(i); bos.write(i); bos.write(i) }
+    // GCE(10cs) consumed by a PLAIN TEXT extension: dropped
+    bos.write(Array[Byte](0x21, 0xF9.toByte, 4, 0, 10, 0, 0, 0))
+    bos.write(Array[Byte](0x21, 0x01, 12))
+    bos.write(new Array[Byte](12)) // text grid block
+    bos.write(Array[Byte](2, 'h', 'i', 0))
+    // GCE(25cs) consumed by an image: counted
+    bos.write(Array[Byte](0x21, 0xF9.toByte, 4, 0, 25, 0, 0, 0))
+    bos.write(0x2C)
+    bos.write(le(0, 2)); bos.write(le(0, 2))
+    bos.write(le(4, 2)); bos.write(le(4, 2)); bos.write(0)
+    val px = Array.tabulate(16)(i => (i * 3).toByte)
+    val code = lzwRoots(px, 8)
+    bos.write(8); bos.write(code.length); bos.write(code); bos.write(0)
+    // trailing GCE(99cs) nothing consumes: dropped
+    bos.write(Array[Byte](0x21, 0xF9.toByte, 4, 0, 99, 0, 0, 0))
+    bos.write(0x3B)
+    val r = GifFrames.compute(bos.toByteArray, 1 << 16)
+    assert(r != null)
+    assert((r.getInt(0), r.getLong(1)) == ((1, 25L)))
+  }
+
   test("fail-closed: signature, truncation at every tier, missing " +
     "color table, oversized dimensions, junk") {
     val good = gifOf(base, 16, 16)

@@ -103,6 +103,19 @@ class Mp3DurationSpec extends AnyFunSuite {
     assert(got(badSr).exists(_._3 == "cbr"))
   }
 
+  test("a flag-less Xing/Info tag frame is excluded from the frame " +
+    "walk (players skip it)") {
+    def fr417(): Array[Byte] = hdr(mono = false) ++ new Array[Byte](413)
+    val tag = fr417()
+    System.arraycopy("Xing".getBytes("US-ASCII"), 0, tag, 36, 4)
+    // flags stay 0: no FRAMES field, the tag is unusable -> walk
+    val b = tag ++ fr417() ++ fr417()
+    assert(got(b) == Some((2L, 2L * 1152 * 1000 / 44100, "walk")))
+    // without the signature the same three frames all count
+    assert(got(fr417() ++ fr417() ++ fr417()) ==
+      Some((3L, 3L * 1152 * 1000 / 44100, "walk")))
+  }
+
   test("fail-closed: MPEG2, Layer II, free-format bitrate, reserved " +
     "sample rate, truncation") {
     def withB2(v: Int) = { val h = hdr(false); h(1) = v.toByte; h ++ new Array[Byte](500) }

@@ -265,6 +265,84 @@ class SevenZipSpec extends SparkSpec {
       g4.forall(_._4.isEmpty))
   }
 
+  /** Hand-assembled single-file archive whose CRC lives in
+    * kUnpackInfo's FOLDER digests (the shape the spec allows when a
+    * folder has one stream): kSubStreamsInfo's kCrc then stores ZERO
+    * digests — the covered stream seeds from the folder digest. */
+  private def folderCrcArchive(name: String, data: Array[Byte],
+                               withSubStreams: Boolean): Array[Byte] = {
+    def num(v: Long): Array[Byte] = {
+      require(v >= 0 && v < 0x80, "single-byte num only in this builder")
+      Array(v.toByte)
+    }
+    val crc = { val c = new java.util.zip.CRC32(); c.update(data)
+      c.getValue & 0xFFFFFFFFL }
+    val nameBlock = {
+      val bos = new ByteArrayOutputStream()
+      bos.write(0)
+      bos.write((name + "\u0000").getBytes(
+        java.nio.charset.StandardCharsets.UTF_16LE))
+      bos.toByteArray
+    }
+    val tree = new ByteArrayOutputStream()
+    tree.write(0x01) // kHeader
+    tree.write(0x04) // kMainStreamsInfo
+    tree.write(0x06) // kPackInfo
+    tree.write(num(0)); tree.write(num(1))
+    tree.write(0x09); tree.write(num(data.length))
+    tree.write(0x00)
+    tree.write(0x07) // kUnPackInfo
+    tree.write(0x0B); tree.write(num(1)); tree.write(0x00)
+    tree.write(num(1))
+    tree.write(0x01); tree.write(0x00) // COPY coder
+    tree.write(0x0C); tree.write(num(data.length))
+    tree.write(0x0A); tree.write(1) // kCrc: FOLDER digest, allDefined
+    (0 until 4).foreach(i => tree.write(((crc >> (8 * i)) & 0xff).toInt))
+    tree.write(0x00)
+    if (withSubStreams) {
+      tree.write(0x08) // kSubStreamsInfo
+      tree.write(0x0A); tree.write(1) // kCrc: allDefined, ZERO digests
+      tree.write(0x00)
+    }
+    tree.write(0x00) // end kMainStreamsInfo
+    tree.write(0x05) // kFilesInfo
+    tree.write(num(1))
+    tree.write(0x11); tree.write(num(nameBlock.length))
+    tree.write(nameBlock)
+    tree.write(0x00)
+    tree.write(0x00) // end kHeader
+    val t = tree.toByteArray
+    val out = new ByteArrayOutputStream()
+    out.write(Array[Byte](0x37, 0x7A, 0xBC.toByte, 0xAF.toByte, 0x27, 0x1C,
+      0, 4, 0, 0, 0, 0))
+    (0 until 8).foreach(i =>
+      out.write(((data.length.toLong >> (8 * i)) & 0xff).toInt))
+    (0 until 8).foreach(i =>
+      out.write(((t.length.toLong >> (8 * i)) & 0xff).toInt))
+    val hc = new java.util.zip.CRC32(); hc.update(t)
+    (0 until 4).foreach(i => out.write(((hc.getValue >> (8 * i)) & 0xff).toInt))
+    out.write(data)
+    out.write(t)
+    out.toByteArray
+  }
+
+  test("7z folder digests in kUnpackInfo: a single-stream folder's " +
+    "CRC seeds the substream (with and without kSubStreamsInfo), is " +
+    "VERIFIED, and the digest count excludes covered streams") {
+    for (sub <- Seq(true, false)) {
+      val a = folderCrcArchive("f.txt", "folder crc".getBytes, sub)
+      val got = members(a)
+      assert(got != null, s"withSubStreams=$sub refused")
+      assert(got.map(e => (e._1, e._2)) == Seq(("f.txt", 10L)), s"$sub")
+      assert(got(0)._4.map(new String(_, "UTF-8")).contains("folder crc"),
+        s"withSubStreams=$sub data")
+      // payload flip: the SEEDED folder CRC must catch it
+      val flip = a.clone(); flip(32 + 3) = 'X'.toByte
+      val g2 = members(flip)
+      assert(g2 != null && g2(0)._4.isEmpty, s"withSubStreams=$sub flip")
+    }
+  }
+
   test("7z member extraction fails closed on everything the listing " +
     "refuses; multi-coder folders keep rows with null data") {
     val a = buildArchive(SevenZMethod.LZMA2)

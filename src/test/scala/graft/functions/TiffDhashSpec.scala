@@ -54,6 +54,15 @@ class TiffDhashSpec extends AnyFunSuite {
 
   private def base(x: Int, y: Int) = (x * 13 + y * 7) % 200
 
+  test("a hostile SamplesPerPixel refuses explicitly (no wrap)") {
+    val t = tiffGray(base, 16, 16)
+    val at = 8 + 16 * 16 + 2 + 6 * 12 + 8 // tag 277 value slot
+    assert(t(at) == 1.toByte, "tag layout moved")
+    t(at) = 0xff.toByte; t(at + 1) = 0xff.toByte
+    assert(TiffDhash.compute(t) == null)
+  }
+
+
   test("hand-built LE gray TIFF hashes EQUAL to the BMP; the " +
     "white-is-zero polarity inverts back to the same hash") {
     val want = BmpDhash.compute(bmpOf(base, 16, 16))
