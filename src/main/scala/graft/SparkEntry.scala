@@ -3685,37 +3685,42 @@ object SparkEntry {
           Multimodal.docxFullText(col("payload")).as("text"))
         .orderBy("doc_id")
     }),
-    // WAV LIST/INFO tags: engine-built files (fmt + LIST/INFO with
-    // odd-length NUL-terminated values exercising RIFF padding +
-    // data); untagged docs no rows, junk docs one null audit row
+    // WAV LIST/INFO tags: engine-built files (fmt + LIST/INFO with an
+    // odd-length NUL-terminated IART value exercising RIFF padding +
+    // data); untagged docs no rows, junk docs one null audit row.
+    // Fixture assembly is a FLAT 5-piece hex concat: the dynamic
+    // fields are fixed-width (3-digit track, 1-digit artist mod), so
+    // every chunk length is a plan-time Scala constant — the previous
+    // nested length-dependent expression tree was a ~2 s
+    // planning/codegen constant (the q278 class)
     "q328_wav_info" -> ((s, dir) => {
-      def leHex(c: Column, nBytes: Int) = concat((0 until nBytes).map(i =>
-        lpad(hex(shiftright(c, 8 * i).bitwiseAND(255L)), 2, "0")): _*)
-      def info(fourcc: String, v: Column) = {
-        val body = concat(v.cast("binary"), unhex(lit("00")))
-        val len = length(body).cast("long")
-        concat(lit(fourcc).cast("binary"), unhex(leHex(len, 4)), body,
-          when(pmod(len, lit(2L)) === 1, unhex(lit("00")))
-            .otherwise(lit(Array.empty[Byte])))
-      }
-      val id = col("doc_id").cast("string")
-      val fmt = "666d7420" + "10000000" +
+      def ccHex(t: String) =
+        t.getBytes("US-ASCII").map("%02x".format(_)).mkString
+      def le32(v: Int) = "%02x%02x%02x%02x".format(v & 0xff,
+        (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+      val fmt = ccHex("fmt ") + le32(16) +
         "0100010044ac000088580100" + "01000800"
-      val data = "64617461" + "0400000000000000"
-      val infoBody = concat(lit("INFO").cast("binary"),
-        info("INAM", concat(lit("Track "), id)),
-        info("IART", concat(lit("Artist "),
-          pmod(col("doc_id"), lit(5L)).cast("string"))))
-      val list = concat(lit("LIST").cast("binary"),
-        unhex(leHex(length(infoBody).cast("long"), 4)), infoBody)
-      def riff(body: Column) = concat(lit("RIFF").cast("binary"),
-        unhex(leHex((length(body) + 4L).cast("long"), 4)),
-        lit("WAVE").cast("binary"), body)
-      val tagged = riff(concat(unhex(lit(fmt)), list, unhex(lit(data))))
-      val untagged = riff(concat(unhex(lit(fmt)), unhex(lit(data))))
+      val data = ccHex("data") + le32(4) + "00000000"
+      // INAM body "Track NNN\0" = 10 bytes (even, no pad); IART body
+      // "Artist N\0" = 9 bytes (odd -> one RIFF pad byte)
+      val inamPre = ccHex("INAM") + le32(10) + ccHex("Track ")
+      val iartPre = "00" + ccHex("IART") + le32(9) + ccHex("Artist ")
+      val iartPost = "00" + "00" // value NUL + RIFF pad
+      val infoLen = 4 + 18 + 18 // "INFO" + INAM chunk + padded IART
+      val listHex = ccHex("LIST") + le32(infoLen) + ccHex("INFO")
+      val riffTagged =
+        ccHex("RIFF") + le32(4 + 24 + 8 + infoLen + 12) + ccHex("WAVE")
+      val riffUntagged = ccHex("RIFF") + le32(4 + 24 + 12) + ccHex("WAVE")
+      val trackHex =
+        hex(lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 3, "0"))
+      val artistHex = hex(pmod(col("doc_id"), lit(5L)).cast("string"))
+      val tagged = concat(lit(riffTagged + fmt + listHex + inamPre),
+        trackHex, lit(iartPre), artistHex, lit(iartPost + data))
       val m = pmod(col("doc_id"), lit(3L))
-      val payload = when(m === 0, tagged).when(m === 1, untagged)
-        .otherwise(lit("junk".getBytes("UTF-8")))
+      val hexStr = when(m === 0, tagged)
+        .when(m === 1, lit(riffUntagged + fmt + data))
+        .otherwise(hex(lit("junk")))
+      val payload = unhex(hexStr)
       val fixture = t(s, dir, "documents")
         .select(col("doc_id"), payload.as("payload")).localCheckpoint()
       val tpe = "struct<key:string,value:string>"
@@ -7970,7 +7975,8 @@ object SparkEntry {
     "q328_wav_info" ->
       """SELECT doc_id, pos, "key", "value" FROM (
         |  SELECT doc_id, CAST(0 AS BIGINT) AS pos, 'INAM' AS "key",
-        |    'Track ' || CAST(doc_id AS VARCHAR) AS "value"
+        |    'Track ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |      AS "value"
         |  FROM documents WHERE doc_id % 3 = 0
         |  UNION ALL SELECT doc_id, 1, 'IART',
         |    'Artist ' || CAST(doc_id % 5 AS VARCHAR)
