@@ -3685,6 +3685,35 @@ object SparkEntry {
           Multimodal.docxFullText(col("payload")).as("text"))
         .orderBy("doc_id")
     }),
+    // PDF ToUnicode CMap resolution: a page-structured CID PDF
+    // (FlateDecode CMap from tools/make_pdf_cid_fixture.py: bfchar
+    // H + U+0394, bfrange digits) whose show-string codes extract as
+    // REAL text; m1 keeps a simple latin1-tier PDF in the same row
+    // set, junk docs null audit fields. Dynamic digit codes are
+    // fixed-width, so the payload is a flat literal concat
+    "q329_pdf_cid" -> ((s, dir) => {
+      val partA = "255044462d312e340a312030206f626a203c3c202f54797065202f436174616c6f67202f5061676573203220302052203e3e0a656e646f626a0a322030206f626a203c3c202f54797065202f5061676573202f4b696473205b33203020525d202f436f756e742031203e3e0a656e646f626a0a332030206f626a203c3c202f54797065202f50616765202f506172656e74203220302052202f5265736f7572636573203c3c202f466f6e74203c3c202f4631203520302052203e3e203e3e202f436f6e74656e7473203420302052203e3e0a656e646f626a0a342030206f626a203c3c202f4c656e677468203433203e3e0a73747265616d0a4254202f4631203132205466203c30303031303030323e20546a203c313033"
+      val mid = "313033"
+      val partB = "3e20546a2045540a656e6473747265616d0a656e646f626a0a352030206f626a203c3c202f54797065202f466f6e74202f53756274797065202f5479706530202f42617365466f6e74202f4772616674434944202f546f556e69636f6465203620302052203e3e0a656e646f626a0a362030206f626a203c3c202f4c656e67746820313435202f46696c746572202f466c6174654465636f6465203e3e0a73747265616d0a78da5d4ebb0ec3200cdcf90afe20986468a488a555a56c95f205c43829432122f4ffc3ab4b6fb075be3b9dbbfbfc989d8dbc7b058f0b45be5967029dfe1b90f84abb750c243716636365e2471f0cea05bda1f3d04841bb9dd82412149f9e098a91337fbaaca975c3b70ec50dc92dc4705385c9ccfa7128d9e6825fa65580e873455a63c92656dd55cfa5f9c10b58c545020a656e6473747265616d0a656e646f626a0a2525454f46"
+      val dd = lpad(pmod(col("doc_id"), lit(100L)).cast("string"), 2, "0")
+      val cid = concat(lit(partA), hex(substring(dd, 1, 1)), lit(mid),
+        hex(substring(dd, 2, 1)), lit(partB))
+      val plain = concat(
+        hex(lit("%PDF-1.4\n1 0 obj << /Length 18 >>\nstream\nBT (Plain ")),
+        hex(pmod(col("doc_id"), lit(7L)).cast("string")),
+        hex(lit(") Tj ET\nendstream\nendobj\n%%EOF")))
+      val m = pmod(col("doc_id"), lit(3L))
+      val hexStr = when(m === 0, cid).when(m === 1, plain)
+        .otherwise(hex(lit("junk")))
+      val fixture = t(s, dir, "documents")
+        .select(col("doc_id"), unhex(hexStr).as("payload")).localCheckpoint()
+      fixture.select(col("doc_id"),
+          Multimodal.pdfText(col("payload")).as("__p"))
+        .select(col("doc_id"), col("__p.text").as("pdf_text"),
+          col("__p.n_streams").as("n_streams"),
+          col("__p.n_decoded").as("n_decoded"))
+        .orderBy("doc_id")
+    }),
     // WAV LIST/INFO tags: engine-built files (fmt + LIST/INFO with an
     // odd-length NUL-terminated IART value exercising RIFF padding +
     // data); untagged docs no rows, junk docs one null audit row.
@@ -7968,6 +7997,21 @@ object SparkEntry {
         |      || chr(10) || 'Head ' || CAST(doc_id % 7 AS VARCHAR)
         |      || chr(10) || chr(10) || 'note A' || chr(10)
         |  END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q329: CMap-resolved text replayed — 'H', U+0394 (chr 916) and
+    // the two digit codes; the m1 tier replays latin1; junk null
+    "q329_pdf_cid" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'H' || chr(916) || ' ' ||
+        |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |    WHEN 1 THEN 'Plain ' || CAST(doc_id % 7 AS VARCHAR)
+        |  END AS pdf_text,
+        |  CASE doc_id % 3 WHEN 0 THEN CAST(2 AS BIGINT)
+        |    WHEN 1 THEN CAST(1 AS BIGINT) END AS n_streams,
+        |  CASE doc_id % 3 WHEN 0 THEN CAST(2 AS BIGINT)
+        |    WHEN 1 THEN CAST(1 AS BIGINT) END AS n_decoded
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q328: tags replayed — fourcc keys verbatim, NULs stripped;

@@ -67,6 +67,155 @@ class PdfTextSpec extends SparkSpec {
     assert(df.collect()(0).getString(0) == "col api")
   }
 
+  /** Raw indirect-object PDF builder for the CMap battery. */
+  private def objPdf(objs: (Int, String, Option[Array[Byte]])*): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("%PDF-1.4\n".getBytes)
+    for ((num, dict, stream) <- objs) {
+      bos.write(s"$num 0 obj $dict\n".getBytes("ISO-8859-1"))
+      stream.foreach { d =>
+        bos.write("stream\n".getBytes)
+        bos.write(d)
+        bos.write("\nendstream".getBytes)
+      }
+      bos.write("\nendobj\n".getBytes)
+    }
+    bos.write("%%EOF".getBytes)
+    bos.toByteArray
+  }
+
+  private val cmapBody =
+    """/CIDInit /ProcSet findresource begin
+      |12 dict begin
+      |begincmap
+      |1 begincodespacerange
+      |<0000> <FFFF>
+      |endcodespacerange
+      |2 beginbfchar
+      |<0001> <0048>
+      |<0002> <0394>
+      |endbfchar
+      |1 beginbfrange
+      |<1030> <1039> <0030>
+      |endbfrange
+      |endcmap
+      |""".stripMargin
+
+  /** Full page-structured CID PDF: catalog, pages, page with
+    * /Resources /Font /F1 -> Type0 font -> FlateDecode ToUnicode. */
+  private def cidPdf(content: String, cmap: String = cmapBody,
+                     flateCmap: Boolean = true): Array[Byte] = {
+    val cm = if (flateCmap) zlib(cmap.getBytes("ISO-8859-1"))
+      else cmap.getBytes("ISO-8859-1")
+    objPdf(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>", None),
+      (4, s"<< /Length ${content.length} >>",
+        Some(content.getBytes("ISO-8859-1"))),
+      (5, "<< /Type /Font /Subtype /Type0 /BaseFont /Test " +
+        "/ToUnicode 6 0 R >>", None),
+      (6, s"<< /Length ${cm.length}" +
+        (if (flateCmap) " /Filter /FlateDecode" else "") + " >>", Some(cm)))
+  }
+
+  test("ToUnicode CMap: bfchar, incremented bfrange, 2-byte " +
+    "codespace -- subset-font codes come out as real text") {
+    val (t, ns, nd) = extract(cidPdf(
+      "BT /F1 12 Tf <00010002> Tj <10311032> Tj ET"))
+    assert(ns == 2 && nd == 2, s"$ns/$nd")
+    assert(t == "H\u0394 12", t)
+  }
+
+  test("ToUnicode CMap: array-destination bfrange with multi-char " +
+    "(ligature) values; unmapped codes emit U+FFFD") {
+    val cm = cmapBody.replace("endcmap",
+      """1 beginbfrange
+        |<0005> <0006> [<00660066> <00660069>]
+        |endbfrange
+        |endcmap""".stripMargin)
+    val (t, _, _) = extract(cidPdf("BT /F1 1 Tf <000500060009> Tj ET", cm))
+    assert(t == "fffi\uFFFD", t)
+  }
+
+  test("ToUnicode CMap: mixed 1-byte and 2-byte codespaces resolve " +
+    "widths per position") {
+    val cm =
+      """begincmap
+        |2 begincodespacerange
+        |<00> <7F>
+        |<8000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<41> <0058>
+        |<8001> <0059>
+        |endbfchar
+        |endcmap""".stripMargin
+    // bytes: 41 (1-byte code -> X), 80 01 (2-byte code -> Y)
+    val (t, _, _) = extract(cidPdf("BT /F1 1 Tf <418001> Tj ET", cm))
+    assert(t == "XY", t)
+  }
+
+  test("fonts WITHOUT a CMap keep the latin1 tier, and a mid-block " +
+    "Tf switch moves between the tiers") {
+    val content = "BT /F1 1 Tf <0001> Tj /F2 1 Tf (plain) Tj ET"
+    val cm = zlib(cmapBody.getBytes("ISO-8859-1"))
+    val p = objPdf(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Resources << /Font " +
+        "<< /F1 5 0 R /F2 7 0 R >> >> /Contents 4 0 R >>", None),
+      (4, s"<< /Length ${content.length} >>",
+        Some(content.getBytes("ISO-8859-1"))),
+      (5, "<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>", None),
+      (6, s"<< /Length ${cm.length} /Filter /FlateDecode >>", Some(cm)),
+      (7, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>", None))
+    val (t, _, _) = extract(p)
+    assert(t == "H plain", t)
+  }
+
+  test("malformed CMaps fall back to the latin1 tier, never throw: " +
+    "garbage flate, truncated entries, zero entries, over-cap range") {
+    for (cm <- Seq("notzlib", "begincmap 1 beginbfchar <0001>",
+      "begincmap endcmap",
+      "begincmap 1 beginbfrange <0000> <FFFFFF> <0000> endbfrange endcmap")) {
+      val flate = cm == "notzlib"
+      val p = cidPdf("BT /F1 1 Tf (ok) Tj ET", cm, flateCmap = flate)
+      val r = PdfTextExtract.compute(p, 64, 1 << 20)
+      assert(r != null, cm)
+      assert(r.getUTF8String(0).toString == "ok", cm)
+    }
+  }
+
+  test("resources via indirect ref + contents ARRAY resolve; a " +
+    "stream no page claims uses the global font union") {
+    val content = "BT /F1 1 Tf <0001> Tj ET"
+    val cm = zlib(cmapBody.getBytes("ISO-8859-1"))
+    val p = objPdf(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Resources 8 0 R " +
+        "/Contents [4 0 R 9 0 R] >>", None),
+      (4, s"<< /Length ${content.length} >>",
+        Some(content.getBytes("ISO-8859-1"))),
+      (5, "<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>", None),
+      (6, s"<< /Length ${cm.length} /Filter /FlateDecode >>", Some(cm)),
+      (8, "<< /Font << /F1 5 0 R >> >>", None),
+      (9, "<< /Length 26 >>", Some("BT /F1 1 Tf <0002> Tj ET  ".getBytes)))
+    val (t, _, _) = extract(p)
+    assert(t == "H\n\u0394", t)
+    // an orphan stream (no /Contents points at it): global union
+    val orphan = objPdf(
+      (5, "<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>", None),
+      (6, s"<< /Length ${cm.length} /Filter /FlateDecode >>", Some(cm)),
+      (8, "<< /Font << /F1 5 0 R >> >>", None),
+      (9, s"<< /Length ${content.length} >>",
+        Some(content.getBytes("ISO-8859-1"))))
+    val (t2, _, _) = extract(orphan)
+    assert(t2 == "H", t2)
+  }
+
   test("pdf_text: /FlateDecode found past a nested dict (/DecodeParms << >>)") {
     // a stream dict whose LAST '<<' before the keyword is a nested
     // dictionary AFTER /Filter — lastIndexOf would miss /FlateDecode
