@@ -3685,6 +3685,38 @@ object SparkEntry {
           Multimodal.docxFullText(col("payload")).as("text"))
         .orderBy("doc_id")
     }),
+    // Ogg audio tier: engine-built spec-exact pages
+    // (tools/make_ogg_fixture.py — the CRCs come from an INDEPENDENT
+    // implementation, so the kernel's page verification is
+    // cross-checked by construction): Vorbis tagged / Opus tagged
+    // (pre-skip on the 48 kHz granule clock) / Vorbis zero-comment;
+    // junk docs one null audit row
+    "q330_ogg_meta" -> ((s, dir) => {
+      val m0 = "4f6767530002ffffffffffffffff6f61726700000000a6d5f8c5011e01766f72626973000000000244ac0000000000000000000000000000b8014f6767530000ffffffffffffffff6f617267010000004ff773a5013503766f72626973050000006772616674020000000c0000005469746c653d536f6e6720410c0000004152544953543d5620417274014f676753000488580100000000006f61726702000000dbbc77550114aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"
+      val m1 = "4f6767530002ffffffffffffffff6f6172670000000059b41aba01134f7075734865616401013801c05d00000000004f6767530000ffffffffffffffff6f6172670100000096babb5301284f70757354616773050000006772616674010000000f000000656e636f6465723d6f707573656e634f6767530004b8bc0000000000006f61726702000000deaed35a010abbbbbbbbbbbbbbbbbbbb"
+      val m2 = "4f6767530002ffffffffffffffff6f61726700000000580179a7011e01766f726269730000000001401f0000000000000000000000000000b8014f6767530000ffffffffffffffff6f6172670100000099cc3548011503766f7262697305000000677261667400000000014f6767530004a00f0000000000006f61726702000000b18e857d0105cccccccccc"
+      val m = pmod(col("doc_id"), lit(4L))
+      val hexStr = when(m === 0, lit(m0)).when(m === 1, lit(m1))
+        .when(m === 2, lit(m2)).otherwise(hex(lit("junk")))
+      val fixture = t(s, dir, "documents")
+        .select(col("doc_id"), unhex(hexStr).as("payload")).localCheckpoint()
+      val tt = "struct<key:string,value:string>"
+      fixture.select(col("doc_id"),
+          Multimodal.oggMeta(col("payload")).as("__o"))
+        .select(col("doc_id"), col("__o.codec").as("codec"),
+          col("__o.channels").as("channels"),
+          col("__o.sample_rate").as("sample_rate"),
+          col("__o.duration_ms").as("duration_ms"),
+          posexplode(coalesce(
+            when(size(col("__o.tags")) > 0,
+              col("__o.tags").cast(s"array<$tt>")),
+            array(lit(null).cast(tt)))).as(Seq("pos", "__t")))
+        .select(col("doc_id"), col("codec"), col("channels"),
+          col("sample_rate"), col("duration_ms"),
+          col("pos").cast("long").as("pos"),
+          col("__t.key").as("key"), col("__t.value").as("value"))
+        .orderBy("doc_id", "pos")
+    }),
     // PDF ToUnicode CMap resolution: a page-structured CID PDF
     // (FlateDecode CMap from tools/make_pdf_cid_fixture.py: bfchar
     // H + U+0394, bfrange digits) whose show-string codes extract as
@@ -7998,6 +8030,26 @@ object SparkEntry {
         |      || chr(10) || chr(10) || 'note A' || chr(10)
         |  END AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q330: the census replayed — Vorbis granule/rate and Opus
+    // (granule − pre-skip)/48k durations as constants, tags in order
+    "q330_ogg_meta" ->
+      """SELECT doc_id, codec, channels, sample_rate, duration_ms,
+        |  pos, "key", "value" FROM (
+        |  SELECT doc_id, 'vorbis' AS codec, CAST(2 AS INTEGER) AS channels,
+        |    CAST(44100 AS BIGINT) AS sample_rate,
+        |    CAST(2000 AS BIGINT) AS duration_ms,
+        |    CAST(0 AS BIGINT) AS pos, 'TITLE' AS "key", 'Song A' AS "value"
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL SELECT doc_id, 'vorbis', 2, 44100, 2000, 1,
+        |    'ARTIST', 'V Art' FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL SELECT doc_id, 'opus', 1, 24000, 1000, 0,
+        |    'ENCODER', 'opusenc' FROM documents WHERE doc_id % 4 = 1
+        |  UNION ALL SELECT doc_id, 'vorbis', 1, 8000, 500, 0, NULL, NULL
+        |  FROM documents WHERE doc_id % 4 = 2
+        |  UNION ALL SELECT doc_id, NULL, NULL, NULL, NULL, 0, NULL, NULL
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     // q329: CMap-resolved text replayed — 'H', U+0394 (chr 916) and
     // the two digit codes; the m1 tier replays latin1; junk null

@@ -506,6 +506,13 @@ object Multimodal {
   def mp3Duration(payload: Column): Column =
     graft.functions.Mp3Duration(payload)
 
+  /** Ogg container census — codec (vorbis/opus), channels, rate,
+    * granule-clock duration and Vorbis-comment tags via the native
+    * [[graft.functions.OggMeta]] kernel (every page CRC verified,
+    * fail-closed null). */
+  def oggMeta(payload: Column): Column =
+    graft.functions.OggMeta(payload)
+
   /** Little-endian unsigned int of `len` bytes at COLUMN position
     * `pos`; null when the payload is shorter. */
   private def leUintAt(bin: Column, pos: Column, len: Int): Column =
@@ -1610,6 +1617,7 @@ object Multimodal {
       .when(pfx("52494646") && riffForm === "57454250", "webp")
       .when(pfx("49492A00") || pfx("4D4D002A"), "tiff")
       .when(pfx("664C6143"), "flac")
+      .when(pfx("4F676753"), "ogg")
       .when(pfx("494433") || pfx("FFFB") || pfx("FFFA"), "mp3")
       .when(hex(substring(payload, 5, 4)) === "66747970",
         when(ftypBrand.isin("avif", "heic", "heix", "mif1"), "heif")

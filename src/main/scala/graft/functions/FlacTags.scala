@@ -85,49 +85,61 @@ object FlacTags {
         p += 4 + len.toInt
       }
       if (vcAt < 0) return new GenericArrayData(Array.empty[Any])
-      val end = vcAt + vcLen.toInt
-      var q = vcAt
-      if (q + 4 > end) return null
-      val vlen = le32(b, q)
-      q += 4
-      if (vlen < 0 || q + vlen > end) return null
-      q += vlen.toInt
-      if (q + 4 > end) return null
-      val count = le32(b, q)
-      q += 4
-      if (count < 0 || count > maxTags) return null
-      val out = new java.util.ArrayList[Any]
-      var i = 0L
-      while (i < count) {
-        if (q + 4 > end) return null
-        val clen = le32(b, q)
-        q += 4
-        if (clen < 0 || q + clen > end) return null
-        val s = Utf8Text.compute(
-          java.util.Arrays.copyOfRange(b, q, q + clen.toInt))
-        if (s == null) return null // a comment must be UTF-8 per spec
-        val text = s.toString
-        val eq = text.indexOf('=')
-        if (eq > 0) {
-          val key = new java.lang.StringBuilder
-          var k = 0
-          while (k < eq) {
-            val c = text.charAt(k)
-            key.append(if (c >= 'a' && c <= 'z') (c - 32).toChar else c)
-            k += 1
-          }
-          out.add(new GenericInternalRow(Array[Any](
-            UTF8String.fromString(key.toString),
-            UTF8String.fromString(text.substring(eq + 1)))))
-        }
-        q += clen.toInt
-        i += 1
-      }
+      val out = parseVorbisComments(b, vcAt, vcAt + vcLen.toInt, maxTags)
+      if (out == null) return null
       new GenericArrayData(out.toArray)
     } catch {
       case _: ArrayIndexOutOfBoundsException => null
       case _: NegativeArraySizeException => null
     }
+  }
+
+  /** The public Vorbis-comment structure at `b[start,end)` — shared
+    * by FLAC's VORBIS_COMMENT block and Ogg's Vorbis/Opus comment
+    * headers: LE vendor length + vendor, LE count, then per comment a
+    * LE length and a `KEY=value` UTF-8 string. Keys ASCII-uppercased,
+    * `=`-less comments skipped. Null on any malformed shape. */
+  private[functions] def parseVorbisComments(
+      b: Array[Byte], start: Int, end: Int,
+      maxTags: Int): java.util.ArrayList[Any] = {
+    var q = start
+    if (q + 4 > end) return null
+    val vlen = le32(b, q)
+    q += 4
+    if (vlen < 0 || q + vlen > end) return null
+    q += vlen.toInt
+    if (q + 4 > end) return null
+    val count = le32(b, q)
+    q += 4
+    if (count < 0 || count > maxTags) return null
+    val out = new java.util.ArrayList[Any]
+    var i = 0L
+    while (i < count) {
+      if (q + 4 > end) return null
+      val clen = le32(b, q)
+      q += 4
+      if (clen < 0 || q + clen > end) return null
+      val s = Utf8Text.compute(
+        java.util.Arrays.copyOfRange(b, q, q + clen.toInt))
+      if (s == null) return null // a comment must be UTF-8 per spec
+      val text = s.toString
+      val eq = text.indexOf('=')
+      if (eq > 0) {
+        val key = new java.lang.StringBuilder
+        var k = 0
+        while (k < eq) {
+          val c = text.charAt(k)
+          key.append(if (c >= 'a' && c <= 'z') (c - 32).toChar else c)
+          k += 1
+        }
+        out.add(new GenericInternalRow(Array[Any](
+          UTF8String.fromString(key.toString),
+          UTF8String.fromString(text.substring(eq + 1)))))
+      }
+      q += clen.toInt
+      i += 1
+    }
+    out
   }
 
   import org.apache.spark.sql.graftshim.ColumnShim

@@ -2512,6 +2512,7 @@ class MultimodalSpec extends SparkSpec {
       (2L, b("000000186674797069736F32")),            // ftyp iso2 -> mp4
       (3L, b("52494646AAAAAAAA57454250")),            // RIFF WEBP
       (4L, b("4F626A0102")),                          // avro
+      (7L, b("4F67675300020000")),                     // OggS
       (5L, "WARC/1.1 junk".getBytes("ISO-8859-1")),
       (6L, b("DEADBEEF"))
     ).toDF("media_id", "payload")
@@ -2519,7 +2520,7 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.sniffFormat(col("payload")).as("f")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "heif", 2L -> "mp4", 3L -> "webp",
-      4L -> "avro", 5L -> "warc", 6L -> "unknown"))
+      4L -> "avro", 5L -> "warc", 6L -> "unknown", 7L -> "ogg"))
   }
 
   test("svgMeta: unit suffixes stripped, viewBox-only documents, " +
