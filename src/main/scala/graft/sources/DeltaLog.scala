@@ -12,12 +12,16 @@ import org.apache.spark.sql.types._
   * `<version>.json` commit files of newline-delimited actions, plus
   * periodic `<version>.checkpoint.parquet` files collapsing
   * everything up to that version, advertised by `_last_checkpoint`).
-  * Classic single-file AND multi-part
+  * Classic single-file, multi-part
   * (`<v>.checkpoint.<part>.<numParts>.parquet`, the `parts` field of
-  * `_last_checkpoint`) checkpoints are read; v2 UUID-named
-  * sidecar-based checkpoints are refused with an explicit error —
-  * their file actions can live in sidecar files this reader does not
-  * follow, and silently dropping them would corrupt the census.
+  * `_last_checkpoint`) AND v2 UUID-named
+  * (`<v>.checkpoint.<uuid>.parquet`) checkpoints are read — a v2
+  * top-level's `sidecar` actions name the `_sidecars/` parquet files
+  * holding the file actions, and both tiers replay together (a
+  * driver-side collect of the sidecar NAMES only — log-proportional,
+  * like the listing itself). Genuinely unsupported shapes keep
+  * explicit refusals: a JSON-named v2 top-level, or named sidecar
+  * files that do not exist.
   *
   * What this gives a 100 TB pipeline WITHOUT opening a single data
   * file: the live-file set (the table's true size and partition
@@ -64,7 +68,8 @@ object DeltaLog {
       StructField("minWriterVersion", IntegerType))))))
 
   private final case class LogFiles(jsons: Seq[String],
-                                    checkpoint: Option[(Seq[String], Long)])
+                                    checkpoint: Option[(Seq[String], Long)],
+                                    sidecars: Seq[String])
 
   /** List the log: the `_last_checkpoint` pointer (if any) plus every
     * commit json AFTER the checkpoint version. Driver-side listing of
@@ -97,11 +102,15 @@ object DeltaLog {
     // Resolve the checkpoint pointer to concrete parquet files:
     //   classic    <v>.checkpoint.parquet                      (1 file)
     //   multi-part <v>.checkpoint.<part>.<numParts>.parquet    (P files)
-    //   v2 (UUID-named, sidecar-based) — refused with an explicit
-    //   error: its file actions may live in sidecars this reader does
-    //   not follow, so reading the top-level file alone would silently
-    //   drop data files.
-    val ckpt = ckptPointer.map { case (v, partsOpt) =>
+    //   v2         <v>.checkpoint.<uuid>.parquet + its sidecar
+    //              actions' files under _sidecars/ (the top-level
+    //              carries the non-file actions and the pointers;
+    //              sidecar NAMES are collected driver-side —
+    //              log-proportional, like this listing)
+    //   A JSON-named v2 top-level and missing sidecars refuse with
+    //   explicit errors — silently dropping file actions would
+    //   corrupt the census.
+    val resolved = ckptPointer.map { case (v, partsOpt) =>
       partsOpt match {
         case Some(p) =>
           val files = (1 to p).map(i =>
@@ -110,27 +119,49 @@ object DeltaLog {
           if (missing.nonEmpty) throw new IllegalArgumentException(
             s"multi-part checkpoint v$v is missing ${missing.size} of $p " +
               s"parts under $logDir (first missing: ${missing.head.getName})")
-          (files.map(_.toString), v)
+          ((files.map(_.toString), v), Seq.empty[String])
         case None =>
           val classic = new Path(logDir, f"$v%020d.checkpoint.parquet")
-          if (fs.exists(classic)) (Seq(classic.toString), v)
+          if (fs.exists(classic)) ((Seq(classic.toString), v), Seq.empty[String])
           else {
             val prefix = f"$v%020d.checkpoint."
-            val candidates = names.filter(n =>
-              n.startsWith(prefix) && (n.endsWith(".parquet") || n.endsWith(".json")))
-            if (candidates.nonEmpty) throw new IllegalArgumentException(
-              s"unsupported checkpoint layout for v$v under $logDir: found " +
-                s"${candidates.sorted.mkString(", ")} — v2 (UUID-named, " +
-                "sidecar-based) checkpoints are not supported by this reader")
-            else throw new IllegalArgumentException(
-              s"_last_checkpoint points at v$v but ${classic.getName} " +
-                s"does not exist under $logDir")
+            val uuidParquet = names.filter(n => n.startsWith(prefix) &&
+              n.endsWith(".parquet") && n.count(_ == '.') == 3).sorted
+            if (uuidParquet.nonEmpty) {
+              val top = new Path(logDir, uuidParquet.head).toString
+              val topDf = spark.read.parquet(top)
+              val sidecars =
+                if (!topDf.columns.contains("sidecar")) Seq.empty[String]
+                else topDf.select(col("sidecar.path"))
+                  .where(col("sidecar.path").isNotNull)
+                  .collect().map(_.getString(0)).toSeq.map { sp =>
+                    if (sp.contains("://") || sp.startsWith("/")) sp
+                    else new Path(new Path(logDir, "_sidecars"), sp).toString
+                  }
+              val missing = sidecars.filterNot(sp => fs.exists(new Path(sp)))
+              if (missing.nonEmpty) throw new IllegalArgumentException(
+                s"v2 checkpoint v$v names ${missing.size} sidecar file(s) " +
+                  s"that do not exist under $logDir/_sidecars " +
+                  s"(first missing: ${missing.head})")
+              ((Seq(top), v), sidecars)
+            } else {
+              val candidates = names.filter(n =>
+                n.startsWith(prefix) && n.endsWith(".json"))
+              if (candidates.nonEmpty) throw new IllegalArgumentException(
+                s"unsupported checkpoint layout for v$v under $logDir: " +
+                  s"found ${candidates.sorted.mkString(", ")} — JSON-named " +
+                  "v2 top-level checkpoints are not supported by this reader")
+              else throw new IllegalArgumentException(
+                s"_last_checkpoint points at v$v but ${classic.getName} " +
+                  s"does not exist under $logDir")
+            }
           }
       }
     }
+    val ckpt = resolved.map(_._1)
     val tail = jsonV.filter(v => ckpt.forall(v > _._2))
     LogFiles(tail.map(v => new Path(logDir, f"$v%020d.json").toString).toSeq,
-      ckpt)
+      ckpt, resolved.map(_._2).getOrElse(Nil))
   }
 
   /** Every action in the current log window, with its `version`:
@@ -146,10 +177,10 @@ object DeltaLog {
           .cast("long")))
     // conform the checkpoint to the census's action schema field by
     // field: real checkpoints carry extra columns (stats, tags,
-    // commitInfo) and may lack others — absent actions/fields read as
-    // null, never a failed struct cast
-    val fromCkpt = log.checkpoint.map { case (paths, v) =>
-      val ck = spark.read.parquet(paths: _*)
+    // commitInfo, a v2 top-level's sidecar/checkpointMetadata) and
+    // may lack others — absent actions/fields read as null, never a
+    // failed struct cast
+    def conform(ck: DataFrame): DataFrame = {
       val cols = actionSchema.fields.map { af =>
         val st = af.dataType.asInstanceOf[StructType]
         if (!ck.columns.contains(af.name)) lit(null).cast(st).as(af.name)
@@ -162,7 +193,16 @@ object DeltaLog {
           }: _*)).as(af.name)
         }
       }
-      ck.select(cols: _*).withColumn("version", lit(v))
+      ck.select(cols: _*)
+    }
+    val fromCkpt = log.checkpoint.map { case (paths, v) =>
+      val top = conform(spark.read.parquet(paths: _*))
+        .withColumn("version", lit(v))
+      // v2 sidecars hold the file actions — same conform, same
+      // checkpoint version, read as one distributed parquet scan
+      if (log.sidecars.isEmpty) top
+      else top.unionByName(conform(spark.read.parquet(log.sidecars: _*))
+        .withColumn("version", lit(v)))
     }
     (fromJson, fromCkpt) match {
       case (Some(j), Some(c)) => c.unionByName(j)

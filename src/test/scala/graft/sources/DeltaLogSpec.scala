@@ -133,18 +133,77 @@ class DeltaLogSpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException](
       DeltaLog.snapshot(spark, dir.toString).collect())
     assert(e1.getMessage.contains("multi-part checkpoint"))
-    // a v2 UUID-named checkpoint (no classic file, no parts) refuses
-    val dir2 = Files.createTempDirectory("graft-delta-v2")
+    // a JSON-named v2 top-level (no classic file, no parts) refuses
+    val dir2 = Files.createTempDirectory("graft-delta-v2j")
     val log2 = Files.createDirectories(dir2.resolve("_delta_log"))
     writeCommit(log2, 0, v0)
     Files.write(log2.resolve(
-      f"${0L}%020d.checkpoint.80a083e8-7026.parquet"),
-      Array[Byte](0x50, 0x41, 0x52, 0x31))
+      f"${0L}%020d.checkpoint.80a083e8-7026.json"),
+      "{}".getBytes(StandardCharsets.UTF_8))
     Files.write(log2.resolve("_last_checkpoint"),
       """{"version":0,"size":4}""".getBytes(StandardCharsets.UTF_8))
     val e2 = intercept[IllegalArgumentException](
       DeltaLog.snapshot(spark, dir2.toString).collect())
     assert(e2.getMessage.contains("v2"))
+  }
+
+  test("delta v2 UUID checkpoint: sidecar file actions replay with " +
+    "the top-level's non-file actions, snapshot EQUALS the pure " +
+    "commit-replay answer; a missing sidecar refuses") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-delta-v2")
+    val log = Files.createDirectories(dir.resolve("_delta_log"))
+    val side = Files.createDirectories(log.resolve("_sidecars"))
+    val v2Schema = DeltaLog.actionSchema
+      .add(StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType)))))
+      .add(StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType)))))
+    def writeParquet(lines: Seq[String], to: Path): Unit = {
+      val f = Files.createTempFile("v2ck", ".json")
+      Files.write(f, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      spark.read.schema(v2Schema).json(f.toString)
+        .coalesce(1).write.mode("overwrite").parquet(to.toString)
+    }
+    // top-level: protocol + metaData + checkpointMetadata + 2 sidecar
+    // pointers; the file actions live ONLY in the sidecars
+    writeParquet(Seq(v0(0), v0(1),
+      """{"checkpointMetadata":{"version":1}}""",
+      """{"sidecar":{"path":"s1.parquet","sizeInBytes":10}}""",
+      """{"sidecar":{"path":"s2.parquet","sizeInBytes":10}}"""),
+      log.resolve(f"${1L}%020d.checkpoint.b02b3c88-7d2e-4f3a-a1de-1f4c0c9f0001.parquet"))
+    writeParquet(Seq(v0(2)), side.resolve("s1.parquet"))
+    writeParquet(Seq(v1(1),
+      """{"remove":{"path":"lang=de/b.parquet","deletionTimestamp":20,"dataChange":true}}"""),
+      side.resolve("s2.parquet"))
+    Files.write(log.resolve("_last_checkpoint"),
+      """{"version":1,"size":7}""".getBytes(StandardCharsets.UTF_8))
+    // a poisoned commit AT the checkpoint version proves the skip
+    writeCommit(log, 1, Seq("""{"add":{"path":"POISON","size":1}}"""))
+    writeCommit(log, 2, v2)
+    // the pure-json replay of the same history is the truth
+    val truth = DeltaLog.snapshot(spark, jsonTable())
+      .select("path", "size", "added_version").orderBy("path").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val live = DeltaLog.snapshot(spark, dir.toString)
+      .select("path", "size", "added_version").orderBy("path").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // added_version: the checkpoint collapses v0 adds into version 1
+    assert(truth == Seq(("lang=de/c.parquet", 300L, 1L),
+      ("lang=en/a.parquet", 150L, 2L)))
+    assert(live == truth)
+    val m = DeltaLog.tableMeta(spark, dir.toString).collect()(0)
+    assert(m.getAs[String]("name") == "docs2" &&
+      m.getAs[Long]("total_bytes") == 450L)
+    // a named-but-missing sidecar refuses explicitly
+    Files.delete(side.resolve("s2.parquet").resolve("_SUCCESS"))
+    for (f <- side.resolve("s2.parquet").toFile.listFiles())
+      f.delete()
+    Files.delete(side.resolve("s2.parquet"))
+    val e = intercept[IllegalArgumentException](
+      DeltaLog.snapshot(spark, dir.toString).collect())
+    assert(e.getMessage.contains("sidecar"))
   }
 
   test("delta commitStream tails the log: commits landed AFTER the " +
