@@ -3685,6 +3685,39 @@ object SparkEntry {
           Multimodal.docxFullText(col("payload")).as("text"))
         .orderBy("doc_id")
     }),
+    // Matroska/WebM EBML census: engine-built spec-exact bytes
+    // (tools/make_webm_fixture.py) — webm VP8+Opus with a dynamic
+    // 1-byte TrackNumber splice (EBML carries no checksum), matroska
+    // subtitle-only with the DEFAULT timescale and a 4-byte float
+    // duration; junk docs one null audit row
+    "q331_webm_meta" -> ((s, dir) => {
+      val m0pre = "1a45dfa3400d4286400101428240047765626d1853806740651549a96640142ad7b140030f42404489400840b38800000000001654ae6b4027ae4010d74001"
+      val m0post = "83400101864005565f565038ae4011d740010283400102864006415f4f5055531f43b6754018777777777777777777777777777777777777777777777777"
+      val m1 = "1a45dfa340114286400101428240086d6174726f736b6118538067402d1549a96640084489400444bb80001654ae6b4019ae4016d74001038340011186400b535f544558542f55544638"
+      val num = pmod(col("doc_id"), lit(5L)) + 1L
+      val m = pmod(col("doc_id"), lit(3L))
+      val hexStr = when(m === 0, concat(lit(m0pre),
+          lpad(hex(num), 2, "0"), lit(m0post)))
+        .when(m === 1, lit(m1)).otherwise(hex(lit("junk")))
+      val fixture = t(s, dir, "documents")
+        .select(col("doc_id"), unhex(hexStr).as("payload")).localCheckpoint()
+      val tt = "struct<track_num:bigint,track_type:string,codec_id:string>"
+      fixture.select(col("doc_id"),
+          Multimodal.webmMeta(col("payload")).as("__w"))
+        .select(col("doc_id"), col("__w.doctype").as("doctype"),
+          col("__w.timescale_ns").as("timescale_ns"),
+          col("__w.duration_ms").as("duration_ms"),
+          posexplode(coalesce(
+            when(size(col("__w.tracks")) > 0,
+              col("__w.tracks").cast(s"array<$tt>")),
+            array(lit(null).cast(tt)))).as(Seq("pos", "__t")))
+        .select(col("doc_id"), col("doctype"), col("timescale_ns"),
+          col("duration_ms"), col("pos").cast("long").as("pos"),
+          col("__t.track_num").as("track_num"),
+          col("__t.track_type").as("track_type"),
+          col("__t.codec_id").as("codec_id"))
+        .orderBy("doc_id", "pos")
+    }),
     // Ogg audio tier: engine-built spec-exact pages
     // (tools/make_ogg_fixture.py — the CRCs come from an INDEPENDENT
     // implementation, so the kernel's page verification is
@@ -8030,6 +8063,25 @@ object SparkEntry {
         |      || chr(10) || chr(10) || 'note A' || chr(10)
         |  END AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q331: the census replayed — the spliced TrackNumber is
+    // doc_id%5+1, matroska keeps the 1 ms default scale
+    "q331_webm_meta" ->
+      """SELECT doc_id, doctype, timescale_ns, duration_ms, pos,
+        |  track_num, track_type, codec_id FROM (
+        |  SELECT doc_id, 'webm' AS doctype,
+        |    CAST(1000000 AS BIGINT) AS timescale_ns,
+        |    CAST(5000 AS BIGINT) AS duration_ms, CAST(0 AS BIGINT) AS pos,
+        |    CAST(doc_id % 5 + 1 AS BIGINT) AS track_num,
+        |    'video' AS track_type, 'V_VP8' AS codec_id
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, 'webm', 1000000, 5000, 1, 2,
+        |    'audio', 'A_OPUS' FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, 'matroska', 1000000, 1500, 0, 3,
+        |    'subtitle', 'S_TEXT/UTF8' FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL SELECT doc_id, NULL, NULL, NULL, 0, NULL, NULL, NULL
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     // q330: the census replayed — Vorbis granule/rate and Opus
     // (granule − pre-skip)/48k durations as constants, tags in order

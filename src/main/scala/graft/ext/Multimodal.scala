@@ -513,6 +513,13 @@ object Multimodal {
   def oggMeta(payload: Column): Column =
     graft.functions.OggMeta(payload)
 
+  /** Matroska/WebM census — DocType, timestamp scale, duration and
+    * the per-track type/codec table via the native
+    * [[graft.functions.WebmMeta]] EBML walk (clusters skipped by
+    * size, never decoded; fail-closed null). */
+  def webmMeta(payload: Column): Column =
+    graft.functions.WebmMeta(payload)
+
   /** Little-endian unsigned int of `len` bytes at COLUMN position
     * `pos`; null when the payload is shorter. */
   private def leUintAt(bin: Column, pos: Column, len: Int): Column =
@@ -1618,6 +1625,9 @@ object Multimodal {
       .when(pfx("49492A00") || pfx("4D4D002A"), "tiff")
       .when(pfx("664C6143"), "flac")
       .when(pfx("4F676753"), "ogg")
+      .when(pfx("1A45DFA3"),
+        when(locate("7765626D", hex(substring(payload, 1, 48))) > 0,
+          "webm").otherwise("mkv"))
       .when(pfx("494433") || pfx("FFFB") || pfx("FFFA"), "mp3")
       .when(hex(substring(payload, 5, 4)) === "66747970",
         when(ftypBrand.isin("avif", "heic", "heix", "mif1"), "heif")

@@ -2513,6 +2513,8 @@ class MultimodalSpec extends SparkSpec {
       (3L, b("52494646AAAAAAAA57454250")),            // RIFF WEBP
       (4L, b("4F626A0102")),                          // avro
       (7L, b("4F67675300020000")),                     // OggS
+      (8L, b("1A45DFA3400D4286400101428240047765626D")), // EBML webm
+      (9L, b("1A45DFA340114286400101428240086D6174726F736B61")), // mkv
       (5L, "WARC/1.1 junk".getBytes("ISO-8859-1")),
       (6L, b("DEADBEEF"))
     ).toDF("media_id", "payload")
@@ -2520,7 +2522,8 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.sniffFormat(col("payload")).as("f")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "heif", 2L -> "mp4", 3L -> "webp",
-      4L -> "avro", 5L -> "warc", 6L -> "unknown", 7L -> "ogg"))
+      4L -> "avro", 5L -> "warc", 6L -> "unknown", 7L -> "ogg",
+      8L -> "webm", 9L -> "mkv"))
   }
 
   test("svgMeta: unit suffixes stripped, viewBox-only documents, " +
