@@ -3685,6 +3685,26 @@ object SparkEntry {
           Multimodal.docxFullText(col("payload")).as("text"))
         .orderBy("doc_id")
     }),
+    // WebP VP8L perceptual dHash: the SIXTH format hashing EQUAL —
+    // engine-built lossless streams from the INDEPENDENT python
+    // encoder (tools/make_webp_fixture.py): literal-only, an
+    // all-14-mode predictor transform, and a VP8X-wrapped variant all
+    // decode pattern A to the SAME pinned constant as q320's GIF and
+    // q326's TIFF; lossy VP8 refuses, junk docs null
+    "q332_webp_dhash" -> ((s, dir) => {
+      val vLit = "524946465c030000574542505650384c500300002f0fc003007080000050ce78c3c683873ffcf18b5f7ef2d38f7e78f0d8b0f160f060f060f060f060f060f060f07080000050ce78c3c683873ffcf18b5f7ef2d38f7e78f0d8b0f160f060f060f060f060f060f060f07080000050ce78c3c683873ffcf18b5f7ef2d38f7e78f0d8b0f160f060f060f060f060f060f060f0e87f000000080482402070381c854261b158a5a5a5128944a150a8d56a9d4e67341a2d168bdd6e77b95c5eaf170402c16030341a4d2412e9743a97cbadaaaa92c9642a954aabd51a0c06b3d96cb3d99c4ea7c7e30102815028148944e2f1782a95ca66b30502415d5d9d52a9d468347abdde643259ad5687c3e176bb7d3e1f180c86c3e1180c86442231180c1e8f2712899a9b9b7b7a7ac6c6c6161616b6b6b64e4e4eeeeeee3e3e3efcfdfd2322225028148140a0d1681c0e4728144aa5d2f6f6f6c1c1c1e9e9e9d5d5d5fdfdfdcbcbcbe7e7e7dfdfdf909090d8d8582c164b2693994c269fcf178bc572b9bcb7b7777c7c7c7171717b7bfbf4f4f4fefefef3f3332020203232322121213535352b2b2b3f3fbfacacacbebebea3a3636868686666666d6dede0e0e0eaeaeae5e5e5efef2f3434342e2e2e3939392323233737b7a8a8a8bababaa5a5a5afaf6f6262626969696767e7ececece1e1e1ebeb2b3030302a2a2a3131312d2d2d3b3bbba0a0a0bcbcbca1a1a1b3b3737878787676767d7dfdf0f0f0fafafaf5f5f5ffff3f2c2c2c3e3e3e2525253333332f2fafb8b8b8a6a6a6b5b5b5bfbf7f7272727979797777f7fcfcfcf1f1f1fbfb3b2828283a3a3a2929293d3d3d2727a7b0b0b0a2a2a2b1b1b1abab6b6464646e6e6e6363e3e8e8e8e6e6e6eded0d0000402010040281c3e128140a8bc52a2929a9adad6d6b6b1b1818989a9a5a5959d9dbdbbbb8b8787a7afaf9f901814030180c8d461389443a9dcee5722b2b2b9b9a9ababbbb474747e7e7e73737378f8f8f6f6f6fdfdfdffdfcfca050281289c4e3f1542a95cd660b04028944a25028d46ab54ea7331a8d168bc56eb7bb5c2eafd71b1c1c0c87c331180c89446230183c1e4f2412c96432954aa5d56a0d0683d96cb6d96c4ea7d3e3f10081c0f0f070140a45201068341a87c3110a8552a954a9546a341abd5e6f3299ac56abc3e170bbdd3e9f0f0c06c7c4c460b1583299cc6432f97cbe582c96cbe5"
+      val vPred = "524946461a020000574542505650384c0d0200002f0fc003000103004886f9ff88fe07286a1e593d7b0fc28d033a5baabc35699f6df26a9a54175cc445177571c2892b71263905131c82bb7cbf1b0774b654796bd23edbe4d534a92eb8888b2eeae2841357e24c720a26380477f97e370ee86ca9f2d6a47db6c9ab69525d7011175dd4c50927aec499e4144c7008eef2fd112242922449922449922449922449922449920430336f6f6f5f5f5f2449922409000000006badb5d65a6bdb3600bbddeee3e3e3f7f797244992240100000060adb5d6ba5eafdbb601d8eff7dfdfdf7f7f7f2449922409000000006badb5d65a6bdb360033333333e3eeeeeeeeeededddddddddd9d9999793e9f3313c0ccccccccb8bbbbbbbbbb77777777777767e6f178cccccc043033333333eeeeeeeeeeeedddddddddddd99793e9f33333301cccccccc8cbbbbbbbbbb7b7777777777f7f178cccccccc4c0055555555a5aaaaaaaaaa1a1111111187c30100000000005455555595aaaaaaaaaa6a444444449c4e2792000000005055555555aaaaaaaaaaaa111111a7d3e97ebf030000000080aaaaaaaa5255555555558d88c3e1f0ffff1f1100000000004044444444cccccccccccc2e978baa56d56eb72349922449002222222262666666666676bbdd1e1f1f9f9f9ff7fb3d499224490210111111113333333333b3878787a7a7a7d7d7d7cfcf4f9224499204202222222266666666666611f1f2f2f2fefefef3f3439224499200"
+      val vVp8x = "524946466e03000057454250565038580a000000000000000f00000f00005650384c500300002f0fc003007080000050ce78c3c683873ffcf18b5f7ef2d38f7e78f0d8b0f160f060f060f060f060f060f060f07080000050ce78c3c683873ffcf18b5f7ef2d38f7e78f0d8b0f160f060f060f060f060f060f060f07080000050ce78c3c683873ffcf18b5f7ef2d38f7e78f0d8b0f160f060f060f060f060f060f060f0e87f000000080482402070381c854261b158a5a5a5128944a150a8d56a9d4e67341a2d168bdd6e77b95c5eaf170402c16030341a4d2412e9743a97cbadaaaa92c9642a954aabd51a0c06b3d96cb3d99c4ea7c7e30102815028148944e2f1782a95ca66b30502415d5d9d52a9d468347abdde643259ad5687c3e176bb7d3e1f180c86c3e1180c86442231180c1e8f2712899a9b9b7b7a7ac6c6c6161616b6b6b64e4e4eeeeeee3e3e3efcfdfd2322225028148140a0d1681c0e4728144aa5d2f6f6f6c1c1c1e9e9e9d5d5d5fdfdfdcbcbcbe7e7e7dfdfdf909090d8d8582c164b2693994c269fcf178bc572b9bcb7b7777c7c7c7171717b7bfbf4f4f4fefefef3f3332020203232322121213535352b2b2b3f3fbfacacacbebebea3a3636868686666666d6dede0e0e0eaeaeae5e5e5efef2f3434342e2e2e3939392323233737b7a8a8a8bababaa5a5a5afaf6f6262626969696767e7ececece1e1e1ebeb2b3030302a2a2a3131312d2d2d3b3bbba0a0a0bcbcbca1a1a1b3b3737878787676767d7dfdf0f0f0fafafaf5f5f5ffff3f2c2c2c3e3e3e2525253333332f2fafb8b8b8a6a6a6b5b5b5bfbf7f7272727979797777f7fcfcfcf1f1f1fbfb3b2828283a3a3a2929293d3d3d2727a7b0b0b0a2a2a2b1b1b1abab6b6464646e6e6e6363e3e8e8e8e6e6e6eded0d0000402010040281c3e128140a8bc52a2929a9adad6d6b6b1b1818989a9a5a5959d9dbdbbbb8b8787a7afaf9f901814030180c8d461389443a9dcee5722b2b2b9b9a9ababbbb474747e7e7e73737378f8f8f6f6f6fdfdfdffdfcfca050281289c4e3f1542a95cd660b04028944a25028d46ab54ea7331a8d168bc56eb7bb5c2eafd71b1c1c0c87c331180c89446230183c1e4f2412c96432954aa5d56a0d0683d96cb6d96c4ea7d3e3f10081c0f0f070140a45201068341a87c3110a8552a954a9546a341abd5e6f3299ac56abc3e170bbdd3e9f0f0c06c7c4c460b1583299cc6432f97cbe582c96cbe5"
+      val vLossy = "524946462c0000005745425056503820200000000000000000000000000000000000000000000000000000000000000000000000"
+      val m = pmod(col("doc_id"), lit(5L))
+      val hexStr = when(m === 0, lit(vLit)).when(m === 1, lit(vPred))
+        .when(m === 2, lit(vVp8x)).when(m === 3, lit(vLossy))
+        .otherwise(hex(lit("junk")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.imageDhash(unhex(hexStr)).as("dhash"))
+        .orderBy("doc_id")
+    }),
     // Matroska/WebM EBML census: engine-built spec-exact bytes
     // (tools/make_webm_fixture.py) — webm VP8+Opus with a dynamic
     // 1-byte TrackNumber splice (EBML carries no checksum), matroska
@@ -8062,6 +8082,14 @@ object SparkEntry {
         |      || chr(10) || 'Head ' || CAST(doc_id % 7 AS VARCHAR)
         |      || chr(10) || chr(10) || 'note A' || chr(10)
         |  END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q332: three VP8L shapes hash to the SAME constant the q320
+    // GIF and q326 TIFF fixtures pin — cross-format by construction
+    "q332_webp_dhash" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 <= 2
+        |    THEN CAST(-1157460564566376449 AS BIGINT) END AS dhash
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q331: the census replayed — the spliced TrackNumber is

@@ -1892,14 +1892,23 @@ object Multimodal {
   def tiffDhash(payload: Column): Column =
     graft.functions.TiffDhash(payload)
 
-  /** Format-dispatched perceptual hash: BMP, PNG, JPEG, GIF and
-    * uncompressed-TIFF payloads decode to the SAME dHash space
-    * (identical grid/luma/packing), other formats null out — one
-    * hash column for a mixed media lake, one [[imageNearDupPairs]]
-    * pass across all five. */
+  /** dHash over LOSSLESS WebP pixels — the web-native format joins
+    * the family via the native [[graft.functions.WebpDhash]] VP8L
+    * decoder (canonical prefix codes, LZ77 plane codes, color cache,
+    * all four inverse transforms); lossy `VP8 ` payloads fail closed
+    * rather than approximate. Same grid/luma/packing as
+    * [[bmpDhash]]. */
+  def webpDhash(payload: Column): Column =
+    graft.functions.WebpDhash(payload)
+
+  /** Format-dispatched perceptual hash: BMP, PNG, JPEG, GIF,
+    * uncompressed-TIFF and lossless-WebP payloads decode to the SAME
+    * dHash space (identical grid/luma/packing), other formats null
+    * out — one hash column for a mixed media lake, one
+    * [[imageNearDupPairs]] pass across all six. */
   def imageDhash(payload: Column): Column =
     coalesce(bmpDhash(payload), pngDhash(payload), jpegDhash(payload),
-      gifDhash(payload), tiffDhash(payload))
+      gifDhash(payload), tiffDhash(payload), webpDhash(payload))
 
   /** Perceptual image near-duplicate pairs over a mixed BMP/PNG media
     * frame — the image-side sibling of text simhash dedup, end to end
