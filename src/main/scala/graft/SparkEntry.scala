@@ -885,6 +885,15 @@ object SparkEntry {
       Dedup.removeRepeatedSpans(t(s, dir, "documents"),
         minTokens = 8, minDocs = 2)
         .orderBy("doc_id")),
+    // BYTE-LEVEL BPE training (the GPT-2 production shape): merges at
+    // UTF-8 byte grain through the byte<->unicode table, on an
+    // accent-injected corpus so multi-byte sequences genuinely merge
+    "q333_byte_bpe_train" -> ((s, dir) =>
+      Corpus.bpeTrain(
+        t(s, dir, "documents").withColumn("text",
+          translate(col("text"), "ae", "\u00e4\u00e9")),
+        numMerges = 8, byteLevel = true)
+        .orderBy("rank")),
     // BPE tokenizer training: 8 highest-frequency pair merges over the
     // per-character vocab, deterministic lexicographic tie-break —
     // loop state is the vocab table, never the corpus
@@ -9483,6 +9492,9 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q113_bpe_train" -> bpeTrainOracle(8),
+    // q333: the byte-level chain replayed with the arithmetic
+    // byte-map CTE (byteBpeCtes)
+    "q333_byte_bpe_train" -> byteBpeTrainOracle(8),
     "q114_bpe_encode" -> bpeEncodeOracle(8, 50),
     "q141_tokenizer_fertility" -> tokenizerFertilityOracle(8),
     "q142_shuffle_shards" -> shuffleShardsOracle(8),
@@ -10614,15 +10626,11 @@ object SparkEntry {
       s"FROM w$steps ORDER BY bucket"
   }
 
-  private def bpeCtes(numMerges: Int): String = {
+  /** The shared per-merge CTE chain (p/t/seg tables) the BPE oracles
+    * append after a head defining `seg0(word, freq, syms)`. */
+  private def bpeStages(numMerges: Int): Seq[String] = {
     val sep = "\u001f"
-    val head =
-      """w AS (SELECT t AS word, count(*) AS freq FROM (
-        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
-        |  FROM documents) GROUP BY t),
-        |seg0 AS (SELECT word, freq,
-        |  [word[i:i] FOR i IN range(1, length(word) + 1)] AS syms FROM w)""".stripMargin
-    val stages = (0 until numMerges).map { k =>
+    (0 until numMerges).map { k =>
       s"""p$k AS (SELECT s.l AS l, s.r AS r, SUM(freq) AS cnt FROM (
          |  SELECT freq, unnest([{'l': syms[i], 'r': syms[i+1]}
          |                       FOR i IN range(1, len(syms))]) AS s
@@ -10635,7 +10643,55 @@ object SparkEntry {
          |      ELSE acc || '$sep' || x END), '$sep') AS syms
          |  FROM seg$k CROSS JOIN t$k t)""".stripMargin
     }
-    (head +: stages).mkString(",\n")
+  }
+
+  private def bpeCtes(numMerges: Int): String = {
+    val head =
+      """w AS (SELECT t AS word, count(*) AS freq FROM (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        |  FROM documents) GROUP BY t),
+        |seg0 AS (SELECT word, freq,
+        |  [word[i:i] FOR i IN range(1, length(word) + 1)] AS syms FROM w)""".stripMargin
+    (head +: bpeStages(numMerges)).mkString(",\n")
+  }
+
+  /** q333 CTEs: the GPT-2 byte-to-unicode map replayed arithmetically
+    * per byte of hex(encode(word)) — printables (33-126, 161-172,
+    * 174-255) map to themselves, control bytes <= 32 to 256+b, the
+    * 127-160 run to 289+(b-127), SHY(173) to 323 — then seg0 splits
+    * the MAPPED string per char. The corpus is accent-injected so
+    * multi-byte UTF-8 sequences genuinely merge. */
+  private def byteBpeCtes(numMerges: Int): String = {
+    val bv = "((strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))-1)*16 + " +
+      "strpos('0123456789ABCDEF', substr(hx, 2*i, 1))-1)"
+    val head =
+      s"""w AS (SELECT t AS word, count(*) AS freq FROM (
+         |  SELECT unnest(list_filter(string_split(
+         |    replace(replace(text, 'a', '\u00e4'), 'e', '\u00e9'), ' '),
+         |    x -> x <> '')) AS t
+         |  FROM documents) GROUP BY t),
+         |wm AS (SELECT word, freq, list_aggregate(
+         |  [chr(CAST(CASE
+         |     WHEN $bv BETWEEN 33 AND 126 OR $bv BETWEEN 161 AND 172
+         |       OR $bv BETWEEN 174 AND 255 THEN $bv
+         |     WHEN $bv <= 32 THEN 256 + $bv
+         |     WHEN $bv <= 160 THEN 289 + $bv - 127
+         |     ELSE 323 END AS INT))
+         |   FOR i IN range(1, octet_length(encode(word))+1)],
+         |  'string_agg', '') AS mapped
+         |  FROM (SELECT word, freq, hex(encode(word)) AS hx FROM w)),
+         |seg0 AS (SELECT word, freq,
+         |  [mapped[i:i] FOR i IN range(1, length(mapped) + 1)] AS syms
+         |  FROM wm)""".stripMargin
+    (head +: bpeStages(numMerges)).mkString(",\n")
+  }
+
+  private def byteBpeTrainOracle(numMerges: Int): String = {
+    val union = (0 until numMerges).map { k =>
+      s"SELECT CAST(${k + 1} AS BIGINT) AS rank, l AS left_sym, " +
+        s"r AS right_sym, CAST(cnt AS BIGINT) AS pair_count FROM t$k"
+    }.mkString("\nUNION ALL ")
+    s"WITH ${byteBpeCtes(numMerges)}\nSELECT * FROM (\n$union) ORDER BY rank"
   }
 
   private def bpeTrainOracle(numMerges: Int): String = {

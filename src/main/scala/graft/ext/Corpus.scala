@@ -1276,6 +1276,14 @@ object Corpus {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(s))))
 
+  /** Initial BPE symbol string of a word: the word itself
+    * (char-grain), or its GPT-2 byte-level unicode form — every
+    * UTF-8 byte as one visible char, [[graft.functions.Gpt2Bytes]] —
+    * so merges operate at byte grain and arbitrary UTF-8 round-trips
+    * losslessly through the learned pieces. */
+  private def bpeInitString(word: Column, byteLevel: Boolean): Column =
+    if (byteLevel) graft.functions.Gpt2Bytes.mapCol(word) else word
+
   /** BPE tokenizer training (Sennrich et al. 2016, arXiv:1508.07909):
     * start from per-character symbols, repeatedly merge the
     * highest-frequency adjacent symbol pair (ties broken
@@ -1286,7 +1294,11 @@ object Corpus {
     * adjacent occurrence weighted by word frequency, the reference
     * convention. No end-of-word marker (documented divergence from
     * Sennrich's `</w>`; add one upstream by suffixing tokens if
-    * needed).
+    * needed). `byteLevel = true` is the GPT-2 production shape:
+    * symbols start as the word's UTF-8 BYTES in the byte↔unicode
+    * table's visible space, so the alphabet is closed (≤ 256 base
+    * symbols) and any input — emoji, CJK, mojibake — segments without
+    * unknown tokens.
     *
     * Scale shape: the loop state is the VOCAB table (distinct words ×
     * symbol arrays), never the corpus — the corpus is scanned once to
@@ -1297,13 +1309,15 @@ object Corpus {
     * pair — the same bounded action class as the CC convergence
     * count). Stops early when no adjacent pairs remain. */
   def bpeTrain(docs: DataFrame, numMerges: Int,
-               textCol: String = "text"): DataFrame = {
+               textCol: String = "text",
+               byteLevel: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     var words = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(col("word"), col("freq"), split(col("word"), "").as("syms"))
+      .select(col("word"), col("freq"),
+        split(bpeInitString(col("word"), byteLevel), "").as("syms"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var exhausted = false
@@ -1484,12 +1498,13 @@ object Corpus {
     * pieces in order. */
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
                 idCol: String = "doc_id", textCol: String = "text",
-                checkpointEvery: Int = 4): DataFrame = {
+                checkpointEvery: Int = 4,
+                byteLevel: Boolean = false): DataFrame = {
     val toks = docs.select(col(idCol),
         posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos0", "word")))
       .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"), col("word"))
     var words = toks.select("word").distinct()
-      .withColumn("syms", split(col("word"), ""))
+      .withColumn("syms", split(bpeInitString(col("word"), byteLevel), ""))
     merges.zipWithIndex.foreach { case ((l, r), i) =>
       words = words.withColumn("syms", applyMerge(col("syms"), l, r))
       if ((i + 1) % checkpointEvery == 0) words = words.localCheckpoint()

@@ -298,6 +298,55 @@ class CorpusSpec extends SparkSpec {
     assert(enc.exists(_._4.length > 1))
   }
 
+  test("BYTE-LEVEL bpe: gpt2 table bijective with the published " +
+    "anchors, train matches the reference over byte-mapped words, " +
+    "and pieces round-trip arbitrary UTF-8 losslessly") {
+    import graft.functions.Gpt2Bytes
+    // published table anchors: printables identity, space = U+0120,
+    // DEL = U+0121 (first of the 127..160 run), SHY(0xAD) = U+0143
+    assert(Gpt2Bytes.ByteToChar('A'.toInt) == 'A')
+    assert(Gpt2Bytes.ByteToChar(0x20).toInt == 0x120)
+    assert(Gpt2Bytes.ByteToChar(0x7f).toInt == 0x121)
+    assert(Gpt2Bytes.ByteToChar(0xAD).toInt == 256 + 67)
+    assert(Gpt2Bytes.ByteToChar.distinct.length == 256, "bijection")
+    val d = docs(
+      (1L, "caf\u00e9 caf\u00e9 na\u00efve \ud83d\ude00\ud83d\ude00 \u4f60\u597d", "a"),
+      (2L, "caf\u00e9 \u4f60\u597d \u4f60\u597d tr\u00e8s", "a"))
+    def mapWord(w: String): String =
+      w.getBytes("UTF-8").map(b => Gpt2Bytes.ByteToChar(b & 0xff)).mkString
+    val wordFreq = d.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    val mappedFreq = wordFreq.map { case (w, f) => mapWord(w) -> f }
+    val (wantMerges, wantSeg) = refTrain(mappedFreq, 6)
+    val got = Corpus.bpeTrain(d, numMerges = 6, byteLevel = true)
+      .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
+    assert(got == wantMerges)
+    val enc = Corpus.bpeEncode(d, got.map(m => (m._2, m._3)),
+        byteLevel = true)
+      .orderBy("doc_id", "pos", "piece_idx")
+      .as[(Long, Long, Long, String)].collect()
+    val byTok = enc.groupBy(e => (e._1, e._2)).view
+      .mapValues(_.sortBy(_._3).map(_._4).toVector).toMap
+    val toks = d.select(col("doc_id"),
+        posexplode(split(col("text"), " "))).as[(Long, Int, String)].collect()
+    toks.foreach { case (id, p0, w) =>
+      val pieces = byTok((id, p0 + 1L))
+      // pieces live in the byte-mapped space; concatenating and
+      // unmapping restores the ORIGINAL word byte-for-byte
+      assert(pieces.mkString("") == mapWord(w))
+      assert(pieces == wantSeg(mapWord(w)))
+      val back = graft.functions.Gpt2Bytes.unmap(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          pieces.mkString("")))
+      assert(back != null && back.toString == w, s"roundtrip '$w'")
+    }
+    // unmap fails closed: out-of-image chars and invalid UTF-8
+    def un(x: String) = Option(graft.functions.Gpt2Bytes.unmap(
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)))
+    assert(un("\u4f60").isEmpty, "out of image")
+    assert(un((256 + 34).toChar.toString).isEmpty, "lone continuation byte")
+  }
+
   test("kneserNeyLogProb matches a JVM reference and the KN mass identity " +
     "(seen + continuation backoff sums to 1 over the vocab)") {
     val d = docs(
