@@ -2614,6 +2614,24 @@ object SparkEntry {
     // arena win rates over an arithmetic comparison table (three
     // models in a rotating a/b pairing, %5-bucketed outcomes); the
     // oracle replays the same aggregation in SQL
+    // Bradley-Terry arena strengths next to the q238 win rate: a
+    // 4-model comparison cycle with skewed outcomes plus a
+    // never-winning model z (excluded from the fit, null strength);
+    // 10 MM rounds on the engine-exact 9-dp grid
+    "q334_bradley_terry" -> ((s, dir) => {
+      val r = pmod(col("doc_id"), lit(4L))
+      val isZ = pmod(col("doc_id"), lit(11L)) === 0
+      val comps = t(s, dir, "documents").select(
+        concat(lit("m"), r.cast("string")).as("model_a"),
+        when(isZ, lit("z")).otherwise(
+          concat(lit("m"), pmod(r + 1L, lit(4L)).cast("string")))
+          .as("model_b"),
+        when(isZ, lit("a"))
+          .otherwise(when(pmod(col("doc_id"), lit(7L)) < 3, "a")
+            .when(pmod(col("doc_id"), lit(7L)) < 6, "b")
+            .otherwise("tie")).as("winner"))
+      PrefData.bradleyTerry(comps, numIters = 10).orderBy("model")
+    }),
     "q238_win_rate" -> ((s, dir) => {
       val r = pmod(col("doc_id"), lit(3L))
       val comps = t(s, dir, "documents").select(
@@ -9495,6 +9513,8 @@ object SparkEntry {
     // q333: the byte-level chain replayed with the arithmetic
     // byte-map CTE (byteBpeCtes)
     "q333_byte_bpe_train" -> byteBpeTrainOracle(8),
+    // q334: the MM chain replayed (bradleyTerryOracle)
+    "q334_bradley_terry" -> bradleyTerryOracle(10),
     "q114_bpe_encode" -> bpeEncodeOracle(8, 50),
     "q141_tokenizer_fertility" -> tokenizerFertilityOracle(8),
     "q142_shuffle_shards" -> shuffleShardsOracle(8),
@@ -10684,6 +10704,60 @@ object SparkEntry {
          |  [mapped[i:i] FOR i IN range(1, length(mapped) + 1)] AS syms
          |  FROM wm)""".stripMargin
     (head +: bpeStages(numMerges)).mkString(",\n")
+  }
+
+  /** q334 oracle: the Bradley-Terry MM chain replayed as iterated
+    * CTEs under the same 9-dp discipline — per round, denominators
+    * sum DECIMAL(28,9) casts of round(n/(p_i+p_j), 9), updates and
+    * the mean-1 renormalization round back to the grid. */
+  private def bradleyTerryOracle(numIters: Int): String = {
+    val head =
+      """c AS MATERIALIZED (SELECT 'm' || CAST(doc_id%4 AS VARCHAR) AS model_a,
+        |    CASE WHEN doc_id%11 = 0 THEN 'z'
+        |      ELSE 'm' || CAST((doc_id%4 + 1)%4 AS VARCHAR) END AS model_b,
+        |    CASE WHEN doc_id%11 = 0 THEN 'a' WHEN doc_id%7 < 3 THEN 'a'
+        |      WHEN doc_id%7 < 6 THEN 'b' ELSE 'tie' END AS winner
+        |  FROM documents),
+        |side AS MATERIALIZED (
+        |  SELECT model_a AS model,
+        |    CASE winner WHEN 'a' THEN 1.0 WHEN 'tie' THEN 0.5
+        |      ELSE 0.0 END AS ew,
+        |    CASE winner WHEN 'a' THEN 1 ELSE 0 END AS nw,
+        |    CASE winner WHEN 'tie' THEN 1 ELSE 0 END AS nt FROM c
+        |  UNION ALL
+        |  SELECT model_b,
+        |    CASE winner WHEN 'b' THEN 1.0 WHEN 'tie' THEN 0.5
+        |      ELSE 0.0 END,
+        |    CASE winner WHEN 'b' THEN 1 ELSE 0 END,
+        |    CASE winner WHEN 'tie' THEN 1 ELSE 0 END FROM c),
+        |stats AS MATERIALIZED (SELECT model, SUM(ew) AS eff_wins,
+        |    CAST(SUM(nw) AS BIGINT) AS n_wins,
+        |    CAST(SUM(nt) AS BIGINT) AS n_ties,
+        |    CAST(count(*) AS BIGINT) AS n_comps FROM side GROUP BY model),
+        |fit AS MATERIALIZED (SELECT model, CAST(eff_wins AS DOUBLE) AS w
+        |  FROM stats WHERE eff_wins > 0),
+        |pr AS MATERIALIZED (SELECT m1, m2, CAST(count(*) AS DOUBLE) AS n FROM (
+        |    SELECT model_a AS m1, model_b AS m2 FROM c
+        |    UNION ALL SELECT model_b, model_a FROM c) x
+        |  JOIN fit f1 ON f1.model = x.m1
+        |  JOIN fit f2 ON f2.model = x.m2 GROUP BY m1, m2),
+        |bt0 AS MATERIALIZED (SELECT model, CAST(1.0 AS DOUBLE) AS p FROM fit)""".stripMargin
+    val stages = (0 until numIters).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT pr.m1 AS model,
+         |    SUM(CAST(round(pr.n / (a.p + b.p), 9) AS DECIMAL(28,9))) AS den
+         |  FROM pr JOIN bt$k a ON a.model = pr.m1
+         |  JOIN bt$k b ON b.model = pr.m2 GROUP BY pr.m1),
+         |u$k AS MATERIALIZED (SELECT f.model, round(f.w / CAST(d.den AS DOUBLE), 9) AS p
+         |  FROM fit f JOIN d$k d USING (model)),
+         |n$k AS MATERIALIZED (SELECT SUM(CAST(p AS DECIMAL(28,9))) AS tot,
+         |    count(*) AS nm FROM u$k),
+         |bt${k + 1} AS MATERIALIZED (SELECT model,
+         |  round(p * nm / CAST(tot AS DOUBLE), 9) AS p FROM u$k, n$k)""".stripMargin
+    }
+    s"""WITH ${(head +: stages).mkString(",\n")}
+       |SELECT s.model, s.n_wins, s.n_ties, s.n_comps, b.p AS strength
+       |FROM stats s LEFT JOIN bt$numIters b USING (model)
+       |ORDER BY s.model""".stripMargin
   }
 
   private def byteBpeTrainOracle(numMerges: Int): String = {

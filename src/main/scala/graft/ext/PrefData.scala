@@ -68,6 +68,98 @@ object PrefData {
             (col("n_wins") + col("n_losses")).cast("double")))
   }
 
+  /** Bradley–Terry arena strengths (Bradley & Terry 1952; the
+    * minorization–maximization iteration of Hunter 2004, the standard
+    * fit behind chat-arena leaderboards) — [[winRate]]'s
+    * graph-aware sibling: win rate ignores WHO a model beat, while
+    * the BT fit solves for strengths `p_i` with
+    * `P(i beats j) = p_i / (p_i + p_j)`. Each MM round:
+    * `p_i ← W_i / Σ_j n_ij / (p_i + p_j)` (ties count half a win for
+    * each side, the arena convention), then strengths renormalize to
+    * mean 1. Fixed `numIters` rounds from the all-ones start — fully
+    * deterministic.
+    *
+    * ENGINE-EXACT float discipline (the [[Corpus]] 9-dp contract):
+    * every division result rounds to the 9-dp grid and every
+    * cross-row SUM runs over `DECIMAL(28,9)` casts of those rounded
+    * terms — decimal sums are exact and order-free, scalar IEEE ops
+    * replay identically — so the fitted doubles hash-match an
+    * independent engine's replay bit for bit.
+    *
+    * Models with ZERO effective wins have no finite MM fixed point —
+    * they (and their comparisons) are EXCLUDED from the fit and
+    * emitted with a null strength, never a silent drop. Output per
+    * model: (model, n_wins, n_ties, n_comps, strength).
+    *
+    * Scale shape: one corpus-sized aggregation into a models²-bounded
+    * pair table, then `numIters` joins over MODEL-SIZED state
+    * (lineage cut per round) — the [[Corpus.bpeTrain]] driver-loop
+    * class; the comparison stream is scanned once. */
+  def bradleyTerry(comps: DataFrame, numIters: Int = 20,
+                   modelACol: String = "model_a",
+                   modelBCol: String = "model_b",
+                   winnerCol: String = "winner"): DataFrame = {
+    require(numIters > 0, s"numIters must be > 0, got $numIters")
+    val w = col(winnerCol)
+    val valid = comps.filter(w.isin("a", "b", "tie"))
+    // per-model effective wins (tie = half) and totals
+    val perSide = valid.select(explode(array(
+      struct(col(modelACol).as("model"),
+        when(w === "a", 1.0).when(w === "tie", 0.5).otherwise(0.0)
+          .as("ew"),
+        when(w === "a", 1L).otherwise(0L).as("nw"),
+        when(w === "tie", 1L).otherwise(0L).as("nt")),
+      struct(col(modelBCol).as("model"),
+        when(w === "b", 1.0).when(w === "tie", 0.5).otherwise(0.0)
+          .as("ew"),
+        when(w === "b", 1L).otherwise(0L).as("nw"),
+        when(w === "tie", 1L).otherwise(0L).as("nt")))).as("s"))
+      .select(col("s.model").as("model"), col("s.ew").as("ew"),
+        col("s.nw").as("nw"), col("s.nt").as("nt"))
+    val stats = perSide.groupBy("model").agg(
+      sum(col("ew")).as("eff_wins"), // exact: a sum on the 0.5 grid
+      sum(col("nw")).as("n_wins"),
+      sum(col("nt")).as("n_ties"),
+      count(lit(1)).as("n_comps")).localCheckpoint()
+    val fitted = stats.filter(col("eff_wins") > 0)
+      .select("model", "eff_wins").localCheckpoint()
+    // directed pair counts restricted to fitted-vs-fitted comparisons
+    val pairs = valid.select(explode(array(
+      struct(col(modelACol).as("m1"), col(modelBCol).as("m2")),
+      struct(col(modelBCol).as("m1"), col(modelACol).as("m2")))).as("s"))
+      .select(col("s.m1").as("m1"), col("s.m2").as("m2"))
+      .join(fitted.select(col("model").as("m1")), Seq("m1"))
+      .join(fitted.select(col("model").as("m2")), Seq("m2"))
+      .groupBy("m1", "m2").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    var p = fitted.select(col("model"), lit(1.0).as("p"))
+    var k = 0
+    while (k < numIters) {
+      val den = pairs
+        .join(p.select(col("model").as("m1"), col("p").as("p1")), Seq("m1"))
+        .join(p.select(col("model").as("m2"), col("p").as("p2")), Seq("m2"))
+        .select(col("m1").as("model"),
+          round(col("n").cast("double") / (col("p1") + col("p2")), 9)
+            .cast("decimal(28,9)").as("term"))
+        .groupBy("model").agg(sum(col("term")).as("den"))
+      val upd = fitted.join(den, Seq("model"))
+        .select(col("model"),
+          round(col("eff_wins") / col("den").cast("double"), 9).as("p"))
+      val norm = upd.agg(
+        sum(col("p").cast("decimal(28,9)")).as("tot"),
+        count(lit(1)).as("nm"))
+      p = upd.crossJoin(norm)
+        .select(col("model"),
+          round(col("p") * col("nm").cast("double") /
+            col("tot").cast("double"), 9).as("p"))
+        .localCheckpoint()
+      k += 1
+    }
+    stats.join(p, Seq("model"), "left")
+      .select(col("model"), col("n_wins"), col("n_ties"), col("n_comps"),
+        col("p").as("strength"))
+  }
+
   /** Fleiss' kappa over a rating table (`item`, `annotator`,
     * `label`) — the standard multi-rater chance-corrected agreement
     * for annotation-quality gates. Requires a constant rater count:

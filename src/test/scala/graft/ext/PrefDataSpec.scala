@@ -48,6 +48,63 @@ class PrefDataSpec extends SparkSpec {
     assert(z.isNullAt(z.fieldIndex("win_frac"))) // 0 decisive comps
   }
 
+  test("bradleyTerry matches a JVM reference MM fit round for " +
+    "round; a stronger model ranks higher; zero-win models are " +
+    "excluded with null strength") {
+    // a beats everyone, b beats c, c only loses; z never appears
+    // with a win or tie
+    val comps = Seq(
+      ("a", "b", "a"), ("a", "b", "a"), ("a", "c", "a"),
+      ("b", "c", "b"), ("b", "a", "tie"), ("c", "a", "b"),
+      ("c", "b", "tie"), ("a", "z", "a"), ("b", "z", "a"),
+      ("a", "b", "bogus")
+    ).toDF("model_a", "model_b", "winner")
+    val got = PrefData.bradleyTerry(comps, numIters = 12)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got("z")._4.isEmpty, "zero-win model keeps null strength")
+    assert(got("z")._3 == 2L)
+    // JVM reference with the identical 9-dp discipline
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val valid = Seq(
+      ("a", "b", "a"), ("a", "b", "a"), ("a", "c", "a"),
+      ("b", "c", "b"), ("b", "a", "tie"), ("c", "a", "b"),
+      ("c", "b", "tie"), ("a", "z", "a"), ("b", "z", "a"))
+    val eff = scala.collection.mutable.Map[String, Double]()
+    for ((ma, mb, w) <- valid) {
+      eff(ma) = eff.getOrElse(ma, 0.0) +
+        (if (w == "a") 1.0 else if (w == "tie") 0.5 else 0.0)
+      eff(mb) = eff.getOrElse(mb, 0.0) +
+        (if (w == "b") 1.0 else if (w == "tie") 0.5 else 0.0)
+    }
+    val fitModels = eff.filter(_._2 > 0).keySet.toSeq.sorted
+    val pairs = scala.collection.mutable.Map[(String, String), Long]()
+    for ((ma, mb, _) <- valid
+         if fitModels.contains(ma) && fitModels.contains(mb)) {
+      pairs((ma, mb)) = pairs.getOrElse((ma, mb), 0L) + 1
+      pairs((mb, ma)) = pairs.getOrElse((mb, ma), 0L) + 1
+    }
+    var ps = fitModels.map(_ -> 1.0).toMap
+    for (_ <- 1 to 12) {
+      val upd = fitModels.map { m =>
+        // DECIMAL sums are exact, so a plain sum of 9-dp terms is too
+        val den = BigDecimal(pairs.collect {
+          case ((m1, m2), n) if m1 == m =>
+            BigDecimal(r9(n.toDouble / (ps(m1) + ps(m2))))
+        }.sum.toDouble)
+        m -> r9(eff(m) / den.toDouble)
+      }.toMap
+      val tot = upd.values.map(v => BigDecimal(v)).sum
+      ps = upd.map { case (m, v) =>
+        m -> r9(v * fitModels.size / tot.toDouble) }
+    }
+    for (m <- fitModels)
+      assert(got(m)._4.contains(ps(m)), s"$m: ${got(m)._4} vs ${ps(m)}")
+    assert(ps("a") > ps("b") && ps("b") > ps("c"))
+  }
+
   test("fleissKappa: exact moments on a known table; off-modal item " +
     "excluded; perfect-agreement single-label kappa null") {
     // 4 items x 3 raters: items 1,2 unanimous L0; item 3 split 2/1;
