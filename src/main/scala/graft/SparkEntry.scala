@@ -1822,12 +1822,13 @@ object SparkEntry {
         .localCheckpoint()
       Multimodal.audioNearDupPairs(media).orderBy("doc_a", "doc_b")
     }),
-    // REAL JPEG pixel decode via the JDK's bundled codec: 25 pattern
-    // JPEGs encoded DRIVER-SIDE (javax.imageio — deterministic,
-    // headless), block-aligned so the lossy round-trip preserves the
-    // dHash exactly and patterns sit >=12 bits apart; the oracle pins
-    // PAIR STRUCTURE (same-pattern copies at hamming 0), never JPEG
-    // hash values — IDCT rounding is decoder-defined (kernel scaladoc)
+    // REAL JPEG pixel decode (natively since round 15 — the pinned
+    // integer contract): 25 pattern JPEGs encoded DRIVER-SIDE
+    // (javax.imageio writes them; the ENGINE decodes them),
+    // block-aligned so the lossy round-trip preserves the dHash
+    // exactly and patterns sit >=12 bits apart; the oracle pins PAIR
+    // STRUCTURE (same-pattern copies at hamming 0) — q335 pins the
+    // VALUES the native decoder makes engine-exact
     "q182_jpeg_neardup" -> ((s, dir) => {
       import s.implicits._
       val pats = (0 until 25).map { p =>
@@ -3710,6 +3711,23 @@ object SparkEntry {
         .select(col("doc_id"), payload.as("payload")).localCheckpoint()
       fixture.select(col("doc_id"),
           Multimodal.docxFullText(col("payload")).as("text"))
+        .orderBy("doc_id")
+    }),
+    // Native-JPEG pinned hashes: the tier that used to be per-JRE is
+    // engine-exact since round 15 — gray, 4:2:0-with-restarts and
+    // 4:4:4 engine-built baselines (tools/make_jpeg_fixture.py, the
+    // python reference decoder shares the pinned integer contract)
+    // hash to constants; junk docs null
+    "q335_jpeg_dhash" -> ((s, dir) => {
+      val jGray = "ffd8ffdb004300100b0a101828333d0c0c0e131a3a3c370e0d1018283945380e11161d3357503e12162538446d674d182337405168715c31404e5767797865485c5f6270646763ffc0000b080010001001011100ffc400160001020000000000000000000000000000050001ffc40023100001020504040000000000000000000001020400031123410521316114323391ffda0008010100003f000b4965d437aa3bf1a4db5526aac37a729a8dc8a11e83f1a47d2597501bc7aa773494a94650b6d13812c640a0fa1df8ae311fffd9"
+      val j420 = "ffd8ffdb004300100b0a101828333d0c0c0e131a3a3c370e0d1018283945380e11161d3357503e12162538446d674d182337405168715c31404e5767797865485c5f6270646763ffdb0043011112182f6363636312151a4263636363181a3863636363632f426363636363636363636363636363636363636363636363636363636363636363636363636363ffc00011080010001003012200021101031101ffc400160001020000000000000000000000000000050001ffc40023100001020504040000000000000000000001020400031123410521316114323391ffc4001501020000000000000000000000000000000003ffc4001b11000105020000000000000000000000000111213242a10002ffc4001502020000000000000000000000000000000003ffc4001a120002030200000000000000000000000002a10103330021ffdd00040002ffda000c03010002110322003f000b4965d437aa3bf1a4db5526aac37a729a8dc8a11e83f1a47d2597501bc7aa773494a94650b6d13812c640a0fa1df8ae3117e868d0ea8ea09aa30a4c943faeffd9"
+      val j444 = "ffd8ffdb004300100b0a101828333d0c0c0e131a3a3c370e0d1018283945380e11161d3357503e12162538446d674d182337405168715c31404e5767797865485c5f6270646763ffdb0043011112182f6363636312151a4263636363181a3863636363632f426363636363636363636363636363636363636363636363636363636363636363636363636363ffc00011080010001003011100021101031101ffc400160001020000000000000000000000000000050001ffc40023100001020504040000000000000000000001020400031123410521316114323391ffc400160101020000000000000000000000000000020003ffc400211100010205060000000000000000000000010002042272b1b21213233181a1ffc400160201020000000000000000000000000000040005ffc400211200010205060000000000000000000000020003010434416211316191a1d1ffda000c03010002110322003f000b4965d46605b23a936288d49629bd51df8d26daa935561bd394d46e4508f41f8d2186f19f320b9b5258afa4b2ea0b01db3a491d0fc219cf391a764079de3f788378f54ee6929528ca16da270258c8141f43bf15c621443646d42c51cc1c2a874e37d2dd6cbfffd9"
+      val m = pmod(col("doc_id"), lit(4L))
+      val hexStr = when(m === 0, lit(jGray)).when(m === 1, lit(j420))
+        .when(m === 2, lit(j444)).otherwise(hex(lit("junk")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.imageDhash(unhex(hexStr)).as("dhash"))
         .orderBy("doc_id")
     }),
     // WebP VP8L perceptual dHash: the SIXTH format hashing EQUAL —
@@ -8109,6 +8127,17 @@ object SparkEntry {
         |      || chr(10) || 'Head ' || CAST(doc_id % 7 AS VARCHAR)
         |      || chr(10) || chr(10) || 'note A' || chr(10)
         |  END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q335: the native decoder's pinned constants replayed — the
+    // python reference computed them independently
+    "q335_jpeg_dhash" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN CAST(-1166467901801136257 AS BIGINT)
+        |    WHEN 1 THEN CAST(-1166467901801136129 AS BIGINT)
+        |    WHEN 2 THEN CAST(-1202496705279394050 AS BIGINT)
+        |  END AS dhash
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q332: three VP8L shapes hash to the SAME constant the q320

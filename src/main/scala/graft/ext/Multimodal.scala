@@ -1856,17 +1856,17 @@ object Multimodal {
   def pngDhash(payload: Column): Column =
     graft.functions.PngDhash(payload)
 
-  /** dHash over REAL decoded JPEG pixels — the JDK's bundled
-    * baseline-JPEG codec (`javax.imageio`, java.desktop,
-    * headless-safe: the same public-JVM-machinery class as
-    * [[pngDhash]]'s `Inflater`). Identical grid/luma/packing to
-    * [[bmpDhash]]/[[pngDhash]], so a JPEG save of the same image
-    * lands hamming-NEAR its lossless source. Decoder honesty: IDCT
-    * rounding is implementation-defined, so JPEG hash VALUES are
-    * deterministic per JRE but not contracted cross-engine — oracle
-    * rows pin pair structure (same-bytes copies at hamming 0), and
-    * re-encode robustness is unit-pinned. SOF dimensions are checked
-    * before pixel decode (the 2^22-pixel bounded-decode guard). */
+  /** dHash over NATIVELY decoded baseline-JPEG pixels — the
+    * from-public-spec decoder in [[graft.functions.JpegDhash]]
+    * (canonical Huffman entropy decode, restart markers, a PINNED
+    * integer IDCT/upsampling/color contract shared bit for bit with
+    * the committed python reference), which retired the old per-JRE
+    * `ImageIO` tier: JPEG hash VALUES are now deterministic ACROSS
+    * engines and oracle rows can pin them. Identical
+    * grid/luma/packing to [[bmpDhash]]/[[pngDhash]], so a JPEG save
+    * of the same image lands hamming-NEAR its lossless source.
+    * Progressive/arithmetic/12-bit frames fail closed; SOF dimensions
+    * are checked before pixel decode (the 2^22-pixel guard). */
   def jpegDhash(payload: Column): Column =
     graft.functions.JpegDhash(payload)
 
