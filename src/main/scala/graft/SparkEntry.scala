@@ -3821,6 +3821,30 @@ object SparkEntry {
     // REAL text; m1 keeps a simple latin1-tier PDF in the same row
     // set, junk docs null audit fields. Dynamic digit codes are
     // fixed-width, so the payload is a flat literal concat
+    // PDF /ObjStm expansion: the q329 CID document restructured the
+    // modern-writer way — catalog/pages/page/font dicts deflated
+    // inside a /Type /ObjStm object stream (PDF 1.5+), only the
+    // content stream and the CMap top-level (committed tool
+    // tools/make_pdf_objstm_fixture.py). Same dynamic digit codes;
+    // junk docs null audit fields
+    "q337_pdf_objstm" -> ((s, dir) => {
+      val partA = "255044462d312e350a372030206f626a203c3c202f54797065202f4f626a53746d202f4e2034202f4669727374203230202f46696c746572202f466c6174654465636f6465202f4c656e67746820313633203e3e0a73747265616d0a78da658ec10ac23010447f65fe601b53eba5f46045112f52f5241e621b4b411a6992837fef2651100a2164f366664720c3023287c4aac012a290284bd0f9fdd2a05a39f5343de8a87a6d5998a14155fd2912a0c3d0595c65e037b6193f3a88b932dc93669692a8d1d6f8a9e584a0db1a26f121b8c977151fce1b1dbb2cf2798168a293bfbb3886cf0cb4565627b29bd4c3d5fb0d23731987d6741ac52fe603931a46120a656e6473747265616d0a656e646f626a0a342030206f626a203c3c202f4c656e677468203433203e3e0a73747265616d0a4254202f4631203132205466203c30303031303030323e20546a203c313033"
+      val mid = "313033"
+      val partB = "3e20546a2045540a656e6473747265616d0a656e646f626a0a362030206f626a203c3c202f4c656e67746820313435202f46696c746572202f466c6174654465636f6465203e3e0a73747265616d0a78da5d4ebb0ec3200cdcf90afe20986468a488a555a56c95f205c43829432122f4ffc3ab4b6fb075be3b9dbbfbfc989d8dbc7b058f0b45be5967029dfe1b90f84abb750c243716636365e2471f0cea05bda1f3d04841bb9dd82412149f9e098a91337fbaaca975c3b70ec50dc92dc4705385c9ccfa7128d9e6825fa65580e873455a63c92656dd55cfa5f9c10b58c545020a656e6473747265616d0a656e646f626a0a2525454f46"
+      val dd = lpad(pmod(col("doc_id"), lit(100L)).cast("string"), 2, "0")
+      val cid = concat(lit(partA), hex(substring(dd, 1, 1)), lit(mid),
+        hex(substring(dd, 2, 1)), lit(partB))
+      val m = pmod(col("doc_id"), lit(2L))
+      val hexStr = when(m === 0, cid).otherwise(hex(lit("junk")))
+      val fixture = t(s, dir, "documents")
+        .select(col("doc_id"), unhex(hexStr).as("payload")).localCheckpoint()
+      fixture.select(col("doc_id"),
+          Multimodal.pdfText(col("payload")).as("__p"))
+        .select(col("doc_id"), col("__p.text").as("pdf_text"),
+          col("__p.n_streams").as("n_streams"),
+          col("__p.n_decoded").as("n_decoded"))
+        .orderBy("doc_id")
+    }),
     "q329_pdf_cid" -> ((s, dir) => {
       val partA = "255044462d312e340a312030206f626a203c3c202f54797065202f436174616c6f67202f5061676573203220302052203e3e0a656e646f626a0a322030206f626a203c3c202f54797065202f5061676573202f4b696473205b33203020525d202f436f756e742031203e3e0a656e646f626a0a332030206f626a203c3c202f54797065202f50616765202f506172656e74203220302052202f5265736f7572636573203c3c202f466f6e74203c3c202f4631203520302052203e3e203e3e202f436f6e74656e7473203420302052203e3e0a656e646f626a0a342030206f626a203c3c202f4c656e677468203433203e3e0a73747265616d0a4254202f4631203132205466203c30303031303030323e20546a203c313033"
       val mid = "313033"
@@ -3936,6 +3960,22 @@ object SparkEntry {
     // TIFF dHash via the imageDhash dispatcher: pinned uncompressed
     // gray TIFFs of the q320 pattern in BOTH photometric polarities —
     // both must equal the GIF/PNG hash constant; junk docs null
+    // compressed-TIFF dHash: LZW (early-change codes), PackBits and
+    // Deflate+Predictor2 re-encodings of the q326 grid (committed
+    // tool tools/make_tiff_compressed_fixture.py, whose independent
+    // python dHash asserts the same pinned constant); junk docs null
+    "q336_tiff_compressed" -> ((s, dir) => {
+      val lzw = "49492a000a010000800001a1a138d0824e2d9a0ea8247a7152b66181c2821170ec9055311bcf8894b28d60bd0103836281a9089e5c349d906904eaa96ec404854442f1e124ac63381f51497522c57c0308070523621940ba6a3ba11229e55ae18a0a0b88c603d2515cc8713f22d30a5592fc08110f0a86e4428978d67842a493eac5cb181618128c47c4b2c194e47f462654cb360014241f160e08a522f9b0f28649a815aba638303226198fc9859331cd008d4d29d68c10304c402d1d118a660369e90e9450ab97702824189a5a339d1028e4daa16ac2894522c54309b8f6884aa895ebc00c8a492684c2e1b0f6182265349b466371d8f8081f42a251a532b96cbc1216a9552ad01000090000010300010000001000000001010300010000001000000002010300010000000800000003010300010000000500000006010300010000000100000011010400010000000800000015010300010000000100000016010300010000001000000017010400010000000101000000000000"
+      val pb = "49492a000a0100007f000d1a2734414e5b6875828f9ca9b6c30714212e3b4855626f7c8996a3b0bd020e1b2835424f5c697683909daab7c40915222f3c495663707d8a97a4b1be03101c293643505d6a7784919eabb8c50a1723303d4a5764717e8b98a5b2bf04111e2a3744515e6b7885929facb9c60b1825313e4b5865727f8c99a6b3c005121f2c7f3845525f6c798693a0adbac70c1926333f4c596673808d9aa7b4c10613202d3a4653606d7a8794a1aebb000d1a2734414d5a6774818e9ba8b5c20714212e3b4854616e7b8895a2afbc010e1b2835424f5b6875828f9ca9b6c30815222f3c4956626f7c8996a3b0bd020f1c293643505d697683909daab7c4091623303d4a5764090000010300010000001000000001010300010000001000000002010300010000000800000003010300010000000580000006010300010000000100000011010400010000000800000015010300010000000100000016010300010000001000000017010400010000000201000000000000"
+      val dp = "49492a0046000000789c63e04505eca85c573e34be282a9757068daf8ccae5d542e31ba272792dd0f8f6a85c5e37542eaf2f1a3f0495cb1b8dc64f42e5f266a2f101c12012c10a0000010300010000001000000001010300010000001000000002010300010000000800000003010300010000000800000006010300010000000100000011010400010000000800000015010300010000000100000016010300010000001000000017010400010000003e0000003d010300010000000200000000000000"
+      val m = pmod(col("doc_id"), lit(4L))
+      val hexStr = when(m === 0, lit(lzw)).when(m === 1, lit(pb))
+        .when(m === 2, lit(dp)).otherwise(hex(lit("junk")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.imageDhash(unhex(hexStr)).as("dhash"))
+        .orderBy("doc_id")
+    }),
     "q326_tiff_dhash" -> ((s, dir) => {
       val plain = "49492a0008010000000d1a2734414e5b6875828f9ca9b6c30714212e3b4855626f7c8996a3b0bd020e1b2835424f5c697683909daab7c40915222f3c495663707d8a97a4b1be03101c293643505d6a7784919eabb8c50a1723303d4a5764717e8b98a5b2bf04111e2a3744515e6b7885929facb9c60b1825313e4b5865727f8c99a6b3c005121f2c3845525f6c798693a0adbac70c1926333f4c596673808d9aa7b4c10613202d3a4653606d7a8794a1aebb000d1a2734414d5a6774818e9ba8b5c20714212e3b4854616e7b8895a2afbc010e1b2835424f5b6875828f9ca9b6c30815222f3c4956626f7c8996a3b0bd020f1c293643505d697683909daab7c4091623303d4a5764090000010300010000001000000001010300010000001000000002010300010000000800000003010300010000000100000006010300010000000100000011010400010000000800000015010300010000000100000016010300010000001000000017010400010000000001000000000000"
       val inverted = "49492a0008010000fff2e5d8cbbeb1a4978a7d706356493cf8ebded1c4b7aa9d908376695c4f42fdf1e4d7cabdb0a396897c6f6255483bf6eaddd0c3b6a99c8f8275685b4e41fcefe3d6c9bcafa295887b6e6154473af5e8dccfc2b5a89b8e8174675a4d40fbeee1d5c8bbaea194877a6d60534639f4e7dacec1b4a79a8d807366594c3ffaede0d3c7baada09386796c5f524538f3e6d9ccc0b3a6998c7f7265584b3ef9ecdfd2c5b9ac9f9285786b5e5144fff2e5d8cbbeb2a5988b7e7164574a3df8ebded1c4b7ab9e9184776a5d5043fef1e4d7cabdb0a4978a7d706356493cf7eaddd0c3b6a99d908376695c4f42fdf0e3d6c9bcafa296897c6f6255483bf6e9dccfc2b5a89b090000010300010000001000000001010300010000001000000002010300010000000800000003010300010000000100000006010300010000000000000011010400010000000800000015010300010000000100000016010300010000001000000017010400010000000001000000000000"
@@ -8187,6 +8227,20 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 4 = 3)
         |ORDER BY doc_id, pos""".stripMargin,
 
+    // q337: the ObjStm-resolved text replays the q329 m0 shape with
+    // n_streams = 3 (ObjStm + content + CMap); junk docs null
+    "q337_pdf_objstm" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN 'H' || chr(916) || ' ' ||
+        |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |  END AS pdf_text,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(3 AS BIGINT)
+        |  END AS n_streams,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(3 AS BIGINT)
+        |  END AS n_decoded
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // q329: CMap-resolved text replayed — 'H', U+0394 (chr 916) and
     // the two digit codes; the m1 tier replays latin1; junk null
     "q329_pdf_cid" ->
@@ -8232,6 +8286,14 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id, 0, NULL, NULL
         |  FROM documents WHERE doc_id % 3 = 2)
         |ORDER BY doc_id, pos""".stripMargin,
+
+    // q336: all three compression tiers decode to the SAME pixel
+    // grid, so the pinned q326 constant replays for doc_id % 4 < 3
+    "q336_tiff_compressed" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 < 3
+        |    THEN CAST(-1157460564566376449 AS BIGINT) END AS dhash
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q326: both polarities hash to the SAME python-computed constant
     // as the q320 GIF of the pattern — cross-format by construction

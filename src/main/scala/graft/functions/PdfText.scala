@@ -39,7 +39,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * the show-string bytes that follow (the font selection persists
   * across BT blocks within a stream, per the graphics state). A
   * content stream not reachable from a page falls back to the union
-  * of all font resource dicts. Fonts WITHOUT a usable CMap (absent,
+  * of all font resource dicts. Since round 15 the object walk also
+  * EXPANDS `/Type /ObjStm` object streams (PDF 1.5+ cross-reference-
+  * stream files keep their font/page/resource dictionaries deflated
+  * inside these), so CMap resolution works on modern writers whose
+  * dictionaries never appear as top-level `N G obj` text. Fonts WITHOUT a usable CMap (absent,
   * malformed, or over the 64k-entry cap) keep the latin1 tier —
   * fail-closed to the old contract, never a throw.
   *
@@ -95,7 +99,10 @@ object PdfTextExtract {
     // the CMap environment is built ONLY when the document mentions
     // ToUnicode — the common simple-PDF path pays one indexOf
     val env: FontEnv =
-      if (doc.contains("/ToUnicode")) buildFontEnv(doc, maxStreams, maxOut)
+      // /ToUnicode may itself be INSIDE a deflated /ObjStm, so the
+      // cheap gate must fire on either token
+      if (doc.contains("/ToUnicode") || doc.contains("/ObjStm"))
+        buildFontEnv(doc, maxStreams, maxOut)
       else null
     val out = new java.lang.StringBuilder
     var nStreams = 0L
@@ -698,13 +705,103 @@ object PdfTextExtract {
   /** Build the CMap environment: decode every font's ToUnicode
     * stream, then resolve page `/Resources → /Font` maps onto the
     * pages' content-stream objects. Null when nothing usable. */
+  /** Integer value right after `/Key` in `dict`, or -1. */
+  private def intValueAt(dict: String, key: String): Int = {
+    val at = keyValueAt(dict, key)
+    if (at < 0) return -1
+    var i = at
+    while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
+    val s = i
+    while (i < dict.length && dict.charAt(i).isDigit) i += 1
+    if (i == s || i - s > 8) -1 else Integer.parseInt(dict.substring(s, i))
+  }
+
+  /** Expand `/Type /ObjStm` object streams (PDF 1.5+ — the place
+    * modern writers put their font, page and resource DICTIONARIES,
+    * which the top-level `N G obj` walk cannot see): decode the
+    * stream, read the `/N` objnum/offset header pairs, and surface
+    * each contained object as a synthetic dict-only [[ObjInfo]]
+    * (streams cannot live inside an ObjStm, so `streamStart = -1`).
+    * Top-level objects win number collisions. Bounded by `maxObjs`
+    * contained objects total and `maxOut` decoded bytes per stream. */
+  private def expandObjStms(doc: String, objs: Array[ObjInfo],
+                            maxObjs: Int, maxOut: Int): Array[ObjInfo] = {
+    var extra: scala.collection.mutable.ArrayBuffer[ObjInfo] = null
+    var budget = maxObjs
+    for (o <- objs) {
+      if (o.streamStart >= 0 && keyValueAt(o.dict, "/ObjStm") >= 0 &&
+        budget > 0) {
+        val n = intValueAt(o.dict, "/N")
+        val first = intValueAt(o.dict, "/First")
+        if (n > 0 && n <= budget && first >= 0) {
+          val data = doc.substring(o.streamStart, o.streamEnd)
+            .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          val text =
+            if (o.dict.contains("/FlateDecode"))
+              inflateZlib(data, maxOut) match {
+                case null => null
+                case b => new String(b,
+                  java.nio.charset.StandardCharsets.ISO_8859_1)
+              }
+            else new String(data,
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+          if (text != null && first <= text.length) {
+            // header: N whitespace-separated "objnum offset" pairs
+            val nums = new Array[Int](n)
+            val offs = new Array[Int](n)
+            var p = 0
+            var k = 0
+            var ok = true
+            while (k < 2 * n && ok) {
+              while (p < first && text.charAt(p).isWhitespace) p += 1
+              val s = p
+              while (p < first && text.charAt(p).isDigit) p += 1
+              if (p == s || p - s > 9) ok = false
+              else {
+                val v = Integer.parseInt(text.substring(s, p))
+                if ((k & 1) == 0) nums(k >> 1) = v else offs(k >> 1) = v
+                k += 1
+              }
+            }
+            if (ok) {
+              if (extra == null)
+                extra = new scala.collection.mutable.ArrayBuffer[ObjInfo]
+              var i = 0
+              while (i < n) {
+                val start = first.toLong + offs(i)
+                val end =
+                  if (i + 1 < n) math.min(first.toLong + offs(i + 1),
+                    text.length.toLong)
+                  else text.length.toLong
+                if (start >= 0 && start <= end && end <= text.length) {
+                  val body = text.substring(start.toInt, end.toInt)
+                  val ds = body.indexOf("<<")
+                  val dict =
+                    if (ds >= 0)
+                      body.substring(ds, dictEndFrom(body, ds, body.length))
+                    else ""
+                  extra += new ObjInfo(nums(i), dict, -1, -1, -1, -1)
+                  budget -= 1
+                }
+                i += 1
+              }
+            }
+          }
+        }
+      }
+    }
+    if (extra == null) objs else objs ++ extra
+  }
+
   private def buildFontEnv(doc: String, maxObjs: Int,
                            maxOut: Int): FontEnv = {
     try {
-      val objs = parseObjects(doc, maxObjs)
-      if (objs.isEmpty) return null
+      val top = parseObjects(doc, maxObjs)
+      if (top.isEmpty) return null
+      val objs = expandObjStms(doc, top, maxObjs, maxOut)
       val byNum = new java.util.HashMap[Integer, ObjInfo]()
-      for (o <- objs) byNum.put(o.num, o)
+      for (o <- objs) // top-level objects win number collisions
+        if (!byNum.containsKey(o.num)) byNum.put(o.num, o)
       // font object → CMap
       val fontCmaps = new java.util.HashMap[Integer, UCMap]()
       for (o <- objs) {

@@ -15,14 +15,18 @@ import org.apache.spark.sql.types._
   * / gradient-bit packing — a TIFF of the same pixels hashes EQUAL
   * to its BMP/PNG/GIF siblings.
   *
-  * Compression 1 (none) ONLY by contract: LZW/Deflate/PackBits TIFFs
-  * fail closed rather than mis-decode — scan masters and scientific
-  * exports are the uncompressed population this tier serves. The
-  * FIRST IFD only (multi-page documents hash their first page).
+  * Compression tiers (since round 15): 1 (none), 32773 (PackBits
+  * run-length), 5 (TIFF LZW — MSB-first variable-width codes with
+  * the spec's EARLY-CHANGE width bump, Clear/EOI handling), and
+  * 8/32946 (Adobe/legacy Deflate via `Inflater`), each decoded
+  * per strip; Predictor 2 (horizontal differencing, tag 317) is
+  * undone per row per sample after decompression. The FIRST IFD
+  * only (multi-page documents hash their first page).
   *
-  * Fails closed (null) for: bad magic, compressed or tiled files,
-  * planar configuration 2, sub-8-bit or 16-bit samples, palette
-  * TIFFs, missing strip tags, strips outside the payload, degenerate
+  * Fails closed (null) for: bad magic, other compressions (JPEG-in-
+  * TIFF, CCITT), tiled files, planar configuration 2, sub-8-bit or
+  * 16-bit samples, palette TIFFs, missing strip tags, strips outside
+  * the payload, corrupt LZW/Deflate/PackBits data, degenerate
   * dimensions, images above `MaxPixels` (2^22). */
 case class TiffDhash(child: Expression) extends UnaryExpression {
 
@@ -103,6 +107,7 @@ object TiffDhash {
       var cnts: Array[Long] = null
       var planar = 1L
       var tiled = false
+      var predictor = 1L
       var i = 0
       while (i < nTags) {
         val e = (ifdAt + 2 + 12 * i).toInt
@@ -117,13 +122,17 @@ object TiffDhash {
           case 278 => rowsPerStrip = values(e)(0)
           case 279 => cnts = values(e)
           case 284 => planar = values(e)(0)
+          case 317 => predictor = values(e)(0)
           case 320 => return null // palette TIFF: refuse
           case 322 | 323 | 324 | 325 => tiled = true
           case _ => ()
         }
         i += 1
       }
-      if (tiled || comp != 1L || planar != 1L) return null
+      if (tiled || planar != 1L) return null
+      if (comp != 1L && comp != 5L && comp != 8L && comp != 32773L &&
+        comp != 32946L) return null
+      if (predictor != 1L && predictor != 2L) return null
       if (w < 2 || h < 2 || w * h > MaxPixels) return null
       if (photo != 0L && photo != 1L && photo != 2L) return null
       if (offs == null || cnts == null || offs.length != cnts.length)
@@ -147,13 +156,41 @@ object TiffDhash {
       var s = 0
       while (s < offs.length && out < need) {
         val o = offs(s)
-        val c = math.min(cnts(s), (need - out).toLong)
+        val c = cnts(s)
         if (o < 0 || c < 0 || o + c > b.length) return null
-        System.arraycopy(b, o.toInt, raw, out, c.toInt)
-        out += c.toInt
+        val want = math.min(
+          // strips are rowsPerStrip rows except possibly the last
+          if (rowsPerStrip == Long.MaxValue) (need - out).toLong
+          else rowsPerStrip * strideL,
+          (need - out).toLong).toInt
+        val got = comp match {
+          case 1L =>
+            val n = math.min(c, want.toLong).toInt
+            System.arraycopy(b, o.toInt, raw, out, n)
+            n
+          case 32773L => packbits(b, o.toInt, c.toInt, raw, out, want)
+          case 5L => lzw(b, o.toInt, c.toInt, raw, out, want)
+          case 8L | 32946L => inflate(b, o.toInt, c.toInt, raw, out, want)
+        }
+        if (got < 0) return null
+        out += got
         s += 1
       }
       if (out < need) return null
+      // Predictor 2: each row stores per-sample horizontal deltas —
+      // undo by running sums along the row, one chain per channel
+      if (predictor == 2L) {
+        var y = 0
+        while (y < h.toInt) {
+          val base = y * stride
+          var p = ch
+          while (p < stride) {
+            raw(base + p) = (raw(base + p) + raw(base + p - ch)).toByte
+            p += 1
+          }
+          y += 1
+        }
+      }
       def luma(x: Long, y: Long): Long = {
         val p = (y * stride + x * ch).toInt
         if (photo == 2L)
@@ -182,6 +219,157 @@ object TiffDhash {
       case _: ArrayIndexOutOfBoundsException => null
       case _: NegativeArraySizeException => null
     }
+  }
+
+  /** PackBits run-length decode of one strip; returns bytes written
+    * or -1 on malformed input (overrun, dangling control byte). */
+  private def packbits(src: Array[Byte], off: Int, len: Int,
+                       dst: Array[Byte], at: Int, want: Int): Int = {
+    var p = off
+    val end = off + len
+    var o = at
+    val cap = at + want
+    while (p < end && o < cap) {
+      val n = src(p)
+      p += 1
+      if (n >= 0) { // literal run of n+1 bytes
+        if (p + n + 1 > end || o + n + 1 > cap) return -1
+        System.arraycopy(src, p, dst, o, n + 1)
+        p += n + 1
+        o += n + 1
+      } else if (n != -128) { // replicate next byte 1-n times
+        if (p >= end) return -1
+        val v = src(p)
+        p += 1
+        val cnt = 1 - n
+        if (o + cnt > cap) return -1
+        java.util.Arrays.fill(dst, o, o + cnt, v)
+        o += cnt
+      } // -128: no-op per spec
+    }
+    o - at
+  }
+
+  /** TIFF LZW strip decode: MSB-first variable-width codes, initial
+    * width 9, Clear=256 resets the table, EOI=257 ends the strip,
+    * EARLY CHANGE — the width bumps when the NEXT code to be
+    * assigned would not fit (at table sizes 511/1023/2047, one code
+    * earlier than GIF). Returns bytes written or -1 on corrupt data. */
+  private def lzw(src: Array[Byte], off: Int, len: Int,
+                  dst: Array[Byte], at: Int, want: Int): Int = {
+    val Clear = 256
+    val Eoi = 257
+    val maxCodes = 4096
+    // chained dictionary: prefix code + appended byte, first byte cached
+    val prefix = new Array[Int](maxCodes)
+    val append = new Array[Byte](maxCodes)
+    val length = new Array[Int](maxCodes)
+    var next = 258
+    var width = 9
+    var bitPos = 0L
+    val bitEnd = len.toLong * 8
+    var o = at
+    val cap = at + want
+    var prev = -1
+    def read(): Int = {
+      if (bitPos + width > bitEnd) return Eoi // truncation: stop
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val bp = bitPos + i
+        val byte = src(off + (bp >>> 3).toInt) & 0xff
+        v = (v << 1) | ((byte >>> (7 - (bp & 7).toInt)) & 1)
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+    // emit code's byte string into dst; returns first byte or -1
+    def emit(code: Int): Int = {
+      if (code < 256) {
+        if (o >= cap) return -1
+        dst(o) = code.toByte
+        o += 1
+        code
+      } else {
+        val n = length(code)
+        if (o + n > cap) return -1
+        var c = code
+        var p = o + n
+        while (c >= 258) { p -= 1; dst(p) = append(c); c = prefix(c) }
+        p -= 1
+        dst(p) = c.toByte
+        o += n
+        c
+      }
+    }
+    var running = true
+    while (running) {
+      val code = read()
+      if (code == Eoi) running = false
+      else if (code == Clear) {
+        next = 258
+        width = 9
+        prev = -1
+      } else if (prev < 0) {
+        if (code >= 256) return -1 // first code after clear must be literal
+        if (emit(code) < 0) return -1
+        prev = code
+      } else {
+        var first = 0
+        if (code < next) {
+          first = emit(code)
+          if (first < 0) return -1
+        } else if (code == next) { // KwK: prev + first(prev)
+          val pf = firstByte(prefix, append, prev)
+          val mark = o
+          first = emit(prev)
+          if (first < 0) return -1
+          if (o >= cap) return -1
+          dst(o) = pf.toByte
+          o += 1
+          first = dst(mark) & 0xff
+        } else return -1
+        if (next < maxCodes) {
+          prefix(next) = prev
+          append(next) = first.toByte
+          length(next) = (if (prev < 256) 1 else length(prev)) + 1
+          next += 1
+        }
+        // EARLY CHANGE: bump width when next == 2^width - 1
+        if (next == (1 << width) - 1 && width < 12) width += 1
+        prev = code
+      }
+      if (o >= cap) running = false
+    }
+    o - at
+  }
+
+  private def firstByte(prefix: Array[Int], append: Array[Byte],
+                        code: Int): Int = {
+    var c = code
+    while (c >= 258) c = prefix(c)
+    c
+  }
+
+  /** zlib inflate of one strip (Compression 8 Adobe Deflate or the
+    * legacy 32946 code — both zlib-framed). */
+  private def inflate(src: Array[Byte], off: Int, len: Int,
+                      dst: Array[Byte], at: Int, want: Int): Int = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(src, off, len)
+      var o = at
+      val cap = at + want
+      while (o < cap && !inf.finished()) {
+        val n = inf.inflate(dst, o, cap - o)
+        if (n == 0 && inf.needsInput()) return o - at // truncated input
+        o += n
+      }
+      o - at
+    } catch {
+      case _: java.util.zip.DataFormatException => -1
+    } finally inf.end()
   }
 
   import org.apache.spark.sql.graftshim.ColumnShim

@@ -157,6 +157,60 @@ class PdfTextSpec extends SparkSpec {
     assert(t == "XY", t)
   }
 
+  /** The cidPdf document restructured the modern-writer way: every
+    * DICTIONARY (catalog, pages, page, font) lives deflated inside a
+    * `/Type /ObjStm` object stream; only the content stream and the
+    * ToUnicode CMap stream stay top-level (streams cannot nest). */
+  private def objStmPdf(content: String,
+                        flateObjStm: Boolean = true): Array[Byte] = {
+    val inner = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /Resources " +
+        "<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+      5 -> ("<< /Type /Font /Subtype /Type0 /BaseFont /Test " +
+        "/ToUnicode 6 0 R >>"))
+    val hdr = new StringBuilder
+    val body = new StringBuilder
+    for ((n, d) <- inner) {
+      hdr.append(s"$n ${body.length} ")
+      body.append(d).append(' ')
+    }
+    val first = hdr.length
+    val raw = (hdr.toString + body.toString).getBytes("ISO-8859-1")
+    val data = if (flateObjStm) zlib(raw) else raw
+    val cm = zlib(cmapBody.getBytes("ISO-8859-1"))
+    objPdf(
+      (7, s"<< /Type /ObjStm /N ${inner.length} /First $first" +
+        (if (flateObjStm) " /Filter /FlateDecode" else "") +
+        s" /Length ${data.length} >>", Some(data)),
+      (4, s"<< /Length ${content.length} >>",
+        Some(content.getBytes("ISO-8859-1"))),
+      (6, s"<< /Length ${cm.length} /Filter /FlateDecode >>", Some(cm)))
+  }
+
+  test("/ObjStm expansion: font/page/resource dicts deflated inside " +
+    "an object stream still resolve the CMap (modern xref-stream " +
+    "writers); raw ObjStm too") {
+    for (flate <- Seq(true, false)) {
+      val (t, ns, nd) = extract(
+        objStmPdf("BT /F1 12 Tf <00010002> Tj <10311032> Tj ET",
+          flateObjStm = flate))
+      assert(ns == 3 && nd == 3, s"flate=$flate $ns/$nd")
+      assert(t == "H\u0394 12", s"flate=$flate: $t")
+    }
+  }
+
+  test("a corrupt /ObjStm (bad header, truncated deflate) never " +
+    "throws — the latin1 tier survives") {
+    val good = objStmPdf("BT /F1 12 Tf (plain) Tj ET")
+    val s = new String(good, "ISO-8859-1")
+    // break the /First offset so the header parse fails
+    val broken = s.replace("/First", "/First 9999 /X")
+    val (t, _, _) = extract(broken.getBytes("ISO-8859-1"))
+    assert(t.contains("plain"), t)
+  }
+
   test("fonts WITHOUT a CMap keep the latin1 tier, and a mid-block " +
     "Tf switch moves between the tiers") {
     val content = "BT /F1 1 Tf <0001> Tj /F2 1 Tf (plain) Tj ET"
