@@ -3062,6 +3062,29 @@ object SparkEntry {
     // parquet footer census over pinned pyarrow files: exact rows,
     // row groups, writer string and schema leaves straight from the
     // thrift-compact footer; %3==2 docs break the tail magic — null
+    // parquet DATA decode: row-group-0 page chain of the pinned
+    // pyarrow file — snappy pages, PLAIN dictionary + RLE_DICTIONARY
+    // indices, both physical types — values sampled with NO reader
+    // stack; junk docs one null audit row
+    "q338_parquet_page" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(3L))
+      val pv = when(m === 0,
+          Multimodal.parquetPageValues(unhex(lit(pqFlatHex)), "id"))
+        .when(m === 1,
+          Multimodal.parquetPageValues(unhex(lit(pqFlatHex)), "name"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), pv.as("__p"))
+        .select(col("doc_id"), col("__p.ptype").as("ptype"),
+          col("__p.codec").as("codec"),
+          col("__p.encoding").as("encoding"),
+          col("__p.num_values").as("num_values"),
+          posexplode(coalesce(col("__p.values"),
+            array(lit(null).cast("string")))).as(Seq("pos", "value")))
+        .select(col("doc_id"), col("ptype"), col("codec"), col("encoding"),
+          col("num_values"), col("pos").cast("long").as("pos"),
+          col("value"))
+        .orderBy("doc_id", "pos")
+    }),
     "q286_parquet_meta" -> ((s, dir) => {
       val corrupt = pqFlatHex.dropRight(2) + "58" // tail magic broken
       val m = pmod(col("doc_id"), lit(3L))
@@ -8730,6 +8753,25 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id, 'dir/b.bin', k,
         |    repeat('D', CAST(k AS INT)) FROM d WHERE doc_id % 2 = 1)
         |ORDER BY doc_id, name""".stripMargin,
+
+    // q338: the page values replayed — id 0..6, name n0..n6, both
+    // snappy RLE_DICTIONARY; junk docs one null audit row
+    "q338_parquet_page" ->
+      """SELECT doc_id, ptype, codec, encoding, num_values, pos, "value"
+        |FROM (
+        |  SELECT doc_id, 'int64' AS ptype, 'snappy' AS codec,
+        |    'rle_dictionary' AS encoding, CAST(7 AS BIGINT) AS num_values,
+        |    CAST(r.range AS BIGINT) AS pos,
+        |    CAST(r.range AS VARCHAR) AS "value"
+        |  FROM documents, range(7) r WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'byte_array', 'snappy', 'rle_dictionary', 7,
+        |    r.range, 'n' || CAST(r.range AS VARCHAR)
+        |  FROM documents, range(7) r WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id, NULL, NULL, NULL, NULL, 0, NULL
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     // q286: the footer facts replayed as constants (pyarrow wrote
     // the files; every value known by construction), corrupt null

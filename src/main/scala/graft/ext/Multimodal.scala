@@ -1232,6 +1232,17 @@ object Multimodal {
   def parquetStats(payload: Column, maxChunks: Int = 16384): Column =
     graft.functions.ParquetColumnStats(payload, maxChunks)
 
+  /** Parquet DATA decode — sample a top-level column's real values
+    * out of raw file bytes, no reader stack: row group 0's page
+    * chain, the dictionary/PLAIN encodings, RLE/bit-packed
+    * definition levels, and the uncompressed/snappy/gzip/zstd page
+    * codecs all through the repo's own from-spec kernels
+    * ([[graft.functions.ParquetPageValues]]). Null slots stay null
+    * in the values array; nested/repeated columns refuse. */
+  def parquetPageValues(payload: Column, column: String,
+                        maxVals: Int = 1 << 16): Column =
+    graft.functions.ParquetPageValues(payload, column, maxVals)
+
   /** SQLite database-header metadata — the long tail of data lakes
     * is full of `.db`/`.sqlite` files, and the 100-byte header is a
     * census in itself (SQLite file format, all big-endian fixed
