@@ -3778,6 +3778,36 @@ object SparkEntry {
     // 1-byte TrackNumber splice (EBML carries no checksum), matroska
     // subtitle-only with the DEFAULT timescale and a 4-byte float
     // duration; junk docs one null audit row
+    // AVI census completing the video-container trio: the pinned
+    // RIFF fixture (tools/make_avi_fixture.py — avih 320x240 over
+    // 250 frames, mjpg vids on the 30000/1001 clock -> 10010 ms,
+    // pcm auds, movi skipped by size); junk docs one null audit row
+    "q339_avi_meta" -> ((s, dir) => {
+      val avi = "5249464618010000415649204c495354f40000006864726c6176696828000000409c0000000000000000000000000000fa00000000000000020000000000000040010000f00000004c495354640000007374726c7374726828000000766964736d6a7067000000000000000000000000e903000030750000000000002c010000000000007374726628000000000000000000000000000000000000000000000000000000000000000000000000000000000000004c4953544c0000007374726c73747268280000006175647370636d2000000000000000000000000001000000401f00000000000080380100000000007374726610000000000000000000000000000000000000004c495354100000006d6f7669303064630300000001020300"
+      val m = pmod(col("doc_id"), lit(2L))
+      val hexStr = when(m === 0, lit(avi)).otherwise(hex(lit("junk")))
+      val tt = "struct<kind:string,handler:string,rate:bigint," +
+        "scale:bigint,length:bigint>"
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.aviMeta(unhex(hexStr)).as("__a"))
+        .select(col("doc_id"), col("__a.width").as("width"),
+          col("__a.height").as("height"),
+          col("__a.total_frames").as("total_frames"),
+          col("__a.duration_ms").as("duration_ms"),
+          col("__a.n_streams").as("n_streams"),
+          posexplode(coalesce(
+            when(size(col("__a.tracks")) > 0,
+              col("__a.tracks").cast(s"array<$tt>")),
+            array(lit(null).cast(tt)))).as(Seq("pos", "__t")))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("total_frames"), col("duration_ms"), col("n_streams"),
+          col("pos").cast("long").as("pos"),
+          col("__t.kind").as("kind"), col("__t.handler").as("handler"),
+          col("__t.rate").as("rate"), col("__t.scale").as("scale"),
+          col("__t.length").as("length"))
+        .orderBy("doc_id", "pos")
+    }),
     "q331_webm_meta" -> ((s, dir) => {
       val m0pre = "1a45dfa3400d4286400101428240047765626d1853806740651549a96640142ad7b140030f42404489400840b38800000000001654ae6b4027ae4010d74001"
       val m0post = "83400101864005565f565038ae4011d740010283400102864006415f4f5055531f43b6754018777777777777777777777777777777777777777777777777"
@@ -8210,6 +8240,27 @@ object SparkEntry {
         |  CASE WHEN doc_id % 5 <= 2
         |    THEN CAST(-1157460564566376449 AS BIGINT) END AS dhash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q339: the census replayed — vids clock duration 10010 ms,
+    // both stream headers; junk docs one null audit row
+    "q339_avi_meta" ->
+      """SELECT doc_id, width, height, total_frames, duration_ms,
+        |  n_streams, pos, kind, handler, rate, scale, length
+        |FROM (
+        |  SELECT doc_id, 320 AS width, 240 AS height,
+        |    CAST(250 AS BIGINT) AS total_frames,
+        |    CAST(10010 AS BIGINT) AS duration_ms, 2 AS n_streams,
+        |    CAST(0 AS BIGINT) AS pos, 'vids' AS kind, 'mjpg' AS handler,
+        |    CAST(30000 AS BIGINT) AS rate, CAST(1001 AS BIGINT) AS scale,
+        |    CAST(300 AS BIGINT) AS length
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, 320, 240, 250, 10010, 2, 1,
+        |    'auds', 'pcm ', 8000, 1, 80000
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, NULL, NULL, NULL, NULL, NULL, 0,
+        |    NULL, NULL, NULL, NULL, NULL
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     // q331: the census replayed — the spliced TrackNumber is
     // doc_id%5+1, matroska keeps the 1 ms default scale

@@ -520,6 +520,14 @@ object Multimodal {
   def webmMeta(payload: Column): Column =
     graft.functions.WebmMeta(payload)
 
+  /** AVI container census — avih dimensions/frame clock and the
+    * per-stream strh type/handler/rate table via the native
+    * [[graft.functions.AviMeta]] RIFF walk (movi payloads skipped by
+    * size; fail-closed null). Completes the video-container trio
+    * with [[mp4Meta]] and [[webmMeta]]. */
+  def aviMeta(payload: Column): Column =
+    graft.functions.AviMeta(payload)
+
   /** Little-endian unsigned int of `len` bytes at COLUMN position
     * `pos`; null when the payload is shorter. */
   private def leUintAt(bin: Column, pos: Column, len: Int): Column =
