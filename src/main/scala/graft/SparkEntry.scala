@@ -3741,6 +3741,21 @@ object SparkEntry {
     // 4:4:4 engine-built baselines (tools/make_jpeg_fixture.py, the
     // python reference decoder shares the pinned integer contract)
     // hash to constants; junk docs null
+    // PROGRESSIVE JPEG: the engine-built SOF2 spectral-selection
+    // fixture (tools/make_jpeg_fixture.py jProg420) carries the SAME
+    // quantized coefficients as q335's sequential 4:2:0, so it must
+    // decode to the SAME pinned hash — the progressive path
+    // cross-checked against the independently verified baseline one;
+    // junk docs null
+    "q340_jpeg_progressive" -> ((s, dir) => {
+      val jProg = "ffd8ffdb004300100b0a101828333d0c0c0e131a3a3c370e0d1018283945380e11161d3357503e12162538446d674d182337405168715c31404e5767797865485c5f6270646763ffdb0043011112182f6363636312151a4263636363181a3863636363632f426363636363636363636363636363636363636363636363636363636363636363636363636363ffc20011080010001003012200021101031101ffc400160001020000000000000000000000000000050001ffc4001501020000000000000000000000000000000003ffc4001502020000000000000000000000000000000003ffda000c0301000210032000000009be1dd7ffc40023100001020504040000000000000000000001020400031123410521316114323391ffda0008010100013f00d259751aa3bf1a4db5526aac37a729a8dc8a11e83f1a4692cba878f54ee6929528ca16da270258c8141f43bf15c623ffc4001b11000105020000000000000000000000000111213242a10002ffda0008010201013f00f4346875477fffc4001a120002030200000000000000000000000002a10103330021ffda0008010302013f0009aa30a4c943faefffd9"
+      val m = pmod(col("doc_id"), lit(2L))
+      val hexStr = when(m === 0, lit(jProg)).otherwise(hex(lit("junk")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.imageDhash(unhex(hexStr)).as("dhash"))
+        .orderBy("doc_id")
+    }),
     "q335_jpeg_dhash" -> ((s, dir) => {
       val jGray = "ffd8ffdb004300100b0a101828333d0c0c0e131a3a3c370e0d1018283945380e11161d3357503e12162538446d674d182337405168715c31404e5767797865485c5f6270646763ffc0000b080010001001011100ffc400160001020000000000000000000000000000050001ffc40023100001020504040000000000000000000001020400031123410521316114323391ffda0008010100003f000b4965d437aa3bf1a4db5526aac37a729a8dc8a11e83f1a47d2597501bc7aa773494a94650b6d13812c640a0fa1df8ae311fffd9"
       val j420 = "ffd8ffdb004300100b0a101828333d0c0c0e131a3a3c370e0d1018283945380e11161d3357503e12162538446d674d182337405168715c31404e5767797865485c5f6270646763ffdb0043011112182f6363636312151a4263636363181a3863636363632f426363636363636363636363636363636363636363636363636363636363636363636363636363ffc00011080010001003012200021101031101ffc400160001020000000000000000000000000000050001ffc40023100001020504040000000000000000000001020400031123410521316114323391ffc4001501020000000000000000000000000000000003ffc4001b11000105020000000000000000000000000111213242a10002ffc4001502020000000000000000000000000000000003ffc4001a120002030200000000000000000000000002a10103330021ffdd00040002ffda000c03010002110322003f000b4965d437aa3bf1a4db5526aac37a729a8dc8a11e83f1a47d2597501bc7aa773494a94650b6d13812c640a0fa1df8ae3117e868d0ea8ea09aa30a4c943faeffd9"
@@ -8224,6 +8239,14 @@ object SparkEntry {
 
     // q335: the native decoder's pinned constants replayed — the
     // python reference computed them independently
+    // q340: the progressive fixture replays the q335 m1 constant —
+    // same coefficients, different entropy layout; junk docs null
+    "q340_jpeg_progressive" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN CAST(-1166467901801136129 AS BIGINT) END AS dhash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q335_jpeg_dhash" ->
       """SELECT doc_id,
         |  CASE doc_id % 4

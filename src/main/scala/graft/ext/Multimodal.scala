@@ -1875,16 +1875,18 @@ object Multimodal {
   def pngDhash(payload: Column): Column =
     graft.functions.PngDhash(payload)
 
-  /** dHash over NATIVELY decoded baseline-JPEG pixels — the
-    * from-public-spec decoder in [[graft.functions.JpegDhash]]
-    * (canonical Huffman entropy decode, restart markers, a PINNED
-    * integer IDCT/upsampling/color contract shared bit for bit with
-    * the committed python reference), which retired the old per-JRE
+  /** dHash over NATIVELY decoded JPEG pixels — the from-public-spec
+    * decoder in [[graft.functions.JpegDhash]] (canonical Huffman
+    * entropy decode, restart markers, a PINNED integer
+    * IDCT/upsampling/color contract shared bit for bit with the
+    * committed python reference), which retired the old per-JRE
     * `ImageIO` tier: JPEG hash VALUES are now deterministic ACROSS
-    * engines and oracle rows can pin them. Identical
-    * grid/luma/packing to [[bmpDhash]]/[[pngDhash]], so a JPEG save
-    * of the same image lands hamming-NEAR its lossless source.
-    * Progressive/arithmetic/12-bit frames fail closed; SOF dimensions
+    * engines and oracle rows can pin them. BASELINE and PROGRESSIVE
+    * (SOF2 — the dominant web shape) frames both decode; a
+    * progressive and sequential encode of one image hash EQUAL.
+    * Identical grid/luma/packing to [[bmpDhash]]/[[pngDhash]], so a
+    * JPEG save of the same image lands hamming-NEAR its lossless
+    * source. Arithmetic/12-bit frames fail closed; SOF dimensions
     * are checked before pixel decode (the 2^22-pixel guard). */
   def jpegDhash(payload: Column): Column =
     graft.functions.JpegDhash(payload)

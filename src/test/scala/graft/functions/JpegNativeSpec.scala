@@ -57,10 +57,60 @@ class JpegNativeSpec extends AnyFunSuite {
     }
   }
 
-  test("fail-closed: progressive SOF2, missing EOI, truncation, " +
-    "marker inside entropy data, dimension bomb, junk") {
+  private def jdkJpeg(rgb: Boolean, progressive: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(32, 32,
+      if (rgb) java.awt.image.BufferedImage.TYPE_INT_RGB
+      else java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    def v(x: Int, y: Int) =
+      128 + ((x / 8) % 2 * 24 - 12) + ((y / 8) % 3 * 8) + (x + 2 * y) % 5
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val g = v(x, y)
+      if (rgb) img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      else img.getRaster.setSample(x, y, 0, g)
+    }
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = w.getDefaultWriteParam
+    if (progressive)
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); w.dispose()
+    bos.toByteArray
+  }
+
+  private val jProg420 = "ffd8ffdb004300100b0a101828333d0c0c0e131a3a3c370e0d1018283945380e11161d3357503e12162538446d674d182337405168715c31404e5767797865485c5f6270646763ffdb0043011112182f6363636312151a4263636363181a3863636363632f426363636363636363636363636363636363636363636363636363636363636363636363636363ffc20011080010001003012200021101031101ffc400160001020000000000000000000000000000050001ffc4001501020000000000000000000000000000000003ffc4001502020000000000000000000000000000000003ffda000c0301000210032000000009be1dd7ffc40023100001020504040000000000000000000001020400031123410521316114323391ffda0008010100013f00d259751aa3bf1a4db5526aac37a729a8dc8a11e83f1a4692cba878f54ee6929528ca16da270258c8141f43bf15c623ffc4001b11000105020000000000000000000000000111213242a10002ffda0008010201013f00f4346875477fffc4001a120002030200000000000000000000000002a10103330021ffda0008010302013f0009aa30a4c943faefffd9"
+
+  test("the engine-built SOF2 spectral-selection fixture (same " +
+    "quantized coefficients as the baseline 4:2:0) decodes to the " +
+    "SAME pinned hash") {
+    val got = JpegDhash.compute(hx(jProg420))
+    assert(got != null, "refused")
+    assert(got.longValue == -1166467901801136129L)
+    assert(got.longValue == JpegDhash.compute(hx(jColor420)).longValue)
+  }
+
+  test("PROGRESSIVE scans decode: the JDK writer's standard " +
+    "progression script (DC successive approximation + AC bands + " +
+    "refinements) reconstructs the SAME pixels as its sequential " +
+    "output — hashes equal, gray and RGB") {
+    for (rgb <- Seq(false, true)) {
+      val base = JpegDhash.compute(jdkJpeg(rgb, progressive = false))
+      val prog = JpegDhash.compute(jdkJpeg(rgb, progressive = true))
+      assert(base != null && prog != null, s"rgb=$rgb refused")
+      // same quant tables -> identical quantized coefficients -> the
+      // pinned reconstruction must agree EXACTLY
+      assert(prog.longValue == base.longValue, s"rgb=$rgb")
+    }
+  }
+
+  test("fail-closed: malformed SOF2 carrying a baseline full scan, " +
+    "missing EOI, truncation, marker inside entropy data, dimension " +
+    "bomb, junk") {
     val good = hx(jGray)
-    // flip the SOF marker to SOF2 (progressive)
+    // flip the SOF marker to SOF2: the full Ss=0..Se=63 scan is
+    // illegal inside a progressive frame (T.81) and must refuse
     val prog = good.clone()
     val sofAt = {
       var p = 2
@@ -69,7 +119,7 @@ class JpegNativeSpec extends AnyFunSuite {
       p
     }
     prog(sofAt + 1) = 0xc2.toByte
-    assert(JpegDhash.compute(prog) == null, "progressive")
+    assert(JpegDhash.compute(prog) == null, "progressive-full-scan")
     assert(JpegDhash.compute(good.dropRight(1)) == null, "no EOI")
     for (cut <- Seq(3, 20, good.length / 2))
       assert(JpegDhash.compute(good.take(cut)) == null, s"cut $cut")

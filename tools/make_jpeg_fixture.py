@@ -463,6 +463,175 @@ def decode_jpeg(b):
     return px, w, h
 
 
+def encode_progressive(planes, w, h, sampling, qts):
+    """Spectral-selection progressive (SOF2) encode of the SAME
+    quantized coefficients encode_jpeg would produce: one interleaved
+    DC scan (Ss=Se=0, Al=0) then one full AC band scan per component
+    (Ss=1, Se=63, non-interleaved, the component's UNPADDED block
+    grid). Pixels therefore decode identically to the baseline encode
+    of the same planes — the fixture's pinned hash is the baseline
+    hash, cross-checking the engine's progressive path against its
+    independently verified sequential one."""
+    ncomp = len(planes)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    comp = []
+    for c in range(ncomp):
+        hi, vi = sampling[c]
+        cw, ch = mcux * hi * 8, mcuy * vi * 8
+        sw, sh = (hmax // hi), (vmax // vi)
+        arr = [[0] * cw for _ in range(ch)]
+        for y in range(ch):
+            for x in range(cw):
+                sx = min(x * sw, w - 1)
+                sy = min(y * sh, h - 1)
+                acc = 0
+                for dy in range(sh):
+                    for dx in range(sw):
+                        acc += planes[c][min(sy + dy, h - 1) * w +
+                                         min(sx + dx, w - 1)]
+                arr[y][x] = acc // (sw * sh)
+        comp.append(arr)
+    # quantized blocks per component, padded grid, zigzag order
+    qb = []
+    for c in range(ncomp):
+        hi, vi = sampling[c]
+        rows = []
+        for brow in range(mcuy * vi):
+            row = []
+            for bcol in range(mcux * hi):
+                x0, y0 = bcol * 8, brow * 8
+                blk = [comp[c][y0 + y][x0 + x] - 128
+                       for y in range(8) for x in range(8)]
+                co = fdct(blk)
+                row.append([int(round(co[ZZ[k]] / qts[c][k]))
+                            for k in range(64)])
+            rows.append(row)
+        qb.append(rows)
+    scan_wh = [((( (w * sampling[c][0] + hmax - 1) // hmax) + 7) // 8,
+                (((h * sampling[c][1] + vmax - 1) // vmax) + 7) // 8)
+               for c in range(ncomp)]
+
+    # ---- DC scan symbols (interleaved MCU walk, padded grid) ----
+    def dc_walk(emit):
+        preds = [0] * ncomp
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c in range(ncomp):
+                    hi, vi = sampling[c]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            q0 = qb[c][my * vi + by][mx * hi + bx][0]
+                            emit(c, q0 - preds[c])
+                            preds[c] = q0
+
+    dcf = [{} for _ in range(ncomp)]
+
+    def dc_count(c, diff):
+        s = csize(diff)
+        dcf[c][s] = dcf[c].get(s, 0) + 1
+    dc_walk(dc_count)
+    for c in range(ncomp):
+        dcf[c].setdefault(0, 0)
+        if len(dcf[c]) == 1:
+            dcf[c][11] = dcf[c].get(11, 0) + 1
+    dct = [build_huffman(dcf[c]) for c in range(ncomp)]
+    dcc = [canonical_codes(*t) for t in dct]
+
+    # ---- AC scan symbols per component (unpadded grid) ----
+    def ac_syms(c):
+        sw, sh = scan_wh[c]
+        out = []
+        for brow in range(sh):
+            for bcol in range(sw):
+                q = qb[c][brow][bcol]
+                run = 0
+                for k in range(1, 64):
+                    if q[k] == 0:
+                        run += 1
+                    else:
+                        while run > 15:
+                            out.append((15, 0, 0))
+                            run -= 16
+                        out.append((run, csize(q[k]), q[k]))
+                        run = 0
+                if run:
+                    out.append((0, 0, 0))  # EOB (run of 1)
+        return out
+    acs = [ac_syms(c) for c in range(ncomp)]
+    act = []
+    acc_ = []
+    for c in range(ncomp):
+        f = {}
+        for r, s, _ in acs[c]:
+            f[(r << 4) | s] = f.get((r << 4) | s, 0) + 1
+        f.setdefault(0, 0)
+        if len(f) == 1:
+            f[0xF0] = f.get(0xF0, 0) + 1
+        t = build_huffman(f)
+        act.append(t)
+        acc_.append(canonical_codes(*t))
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.append(0xFF)
+        out.append(marker)
+        out.extend((len(payload) + 2).to_bytes(2, "big"))
+        out.extend(payload)
+    emitted = {}
+    for c in range(ncomp):
+        key = id(qts[c])
+        if key not in emitted:
+            emitted[key] = len(emitted)
+            seg(0xDB, bytes([emitted[key]]) + bytes(qts[c]))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, (sampling[c][0] << 4) | sampling[c][1],
+                      emitted[id(qts[c])]])
+    seg(0xC2, bytes(sof))
+    # DC scan: DHTs then the interleaved scan
+    for c in range(ncomp):
+        cnt, syms = dct[c]
+        seg(0xC4, bytes([c]) + bytes(cnt[1:]) + bytes(syms))
+    sos = bytearray([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, c << 4])
+    sos += bytes([0, 0, 0])
+    seg(0xDA, bytes(sos))
+    bits = JBits()
+
+    def dc_emit(c, diff):
+        s = csize(diff)
+        code, l = dcc[c][s]
+        bits.put(code, l)
+        if s:
+            vv = diff if diff >= 0 else diff + (1 << s) - 1
+            bits.put(vv & ((1 << s) - 1), s)
+    dc_walk(dc_emit)
+    bits.align()
+    out += bits.out
+    # one AC band scan per component
+    for c in range(ncomp):
+        cnt, syms = act[c]
+        seg(0xC4, bytes([0x10 | c]) + bytes(cnt[1:]) + bytes(syms))
+        seg(0xDA, bytes([1, c + 1, c]) + bytes([1, 63, 0]))
+        bits = JBits()
+        for r, s, val in acs[c]:
+            code, l = acc_[c][(r << 4) | s]
+            bits.put(code, l)
+            if s:
+                vv = val if val >= 0 else val + (1 << s) - 1
+                bits.put(vv & ((1 << s) - 1), s)
+        bits.align()
+        out += bits.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def dhash(px, w, h):
     xs = [i * (w - 1) // 8 for i in range(9)]
     bits = 0
@@ -509,6 +678,18 @@ def main():
     p444, _, _ = decode_jpeg(jc444)
     print('val jColor444 = "%s"' % jc444.hex())
     print("hashColor444 =", dhash(p444, W, H))
+    # progressive 4:2:0 of the SAME planes: identical quantized
+    # coefficients -> identical pixels -> the baseline 4:2:0 hash
+    # (computed WITHOUT restarts: coefficients are restart-invariant)
+    jc_norst = encode_jpeg(ycc, W, H, [(2, 2), (1, 1), (1, 1)],
+                           [QT_L, QT_C, QT_C])
+    pc_norst, _, _ = decode_jpeg(jc_norst)
+    assert dhash(pc_norst, W, H) == dhash(pc, W, H)
+    jprog = encode_progressive(ycc, W, H, [(2, 2), (1, 1), (1, 1)],
+                               [QT_L, QT_C, QT_C])
+    assert jprog[3] != 0xC0  # really SOF2
+    print('val jProg420 = "%s"' % jprog.hex())
+    print("hashProg420 =", dhash(pc, W, H), "(== hashColor420)")
 
 
 if __name__ == "__main__":
