@@ -3502,6 +3502,32 @@ object SparkEntry {
     // sqlite header census: page size (raw 1 => 65536), page count,
     // encoding, user version, library version — fixed-offset slices;
     // every 5th doc breaks the magic and the struct nulls
+    // SQLite table-row decode: the REAL-library-written small.db
+    // (tools/make_sqlite_fixture.py) — every serial type through the
+    // sqlite_master root-page resolution and the record walk; junk
+    // docs one null audit row
+    "q341_sqlite_rows" -> ((s, dir) => {
+      val smallDb = "53514c69746520666f726d61742033000200010100402020000000030000000300000000000000000000000200000004000000000000000000000001000000000000000000000000000000000000000000000000000000000000000000000003002e63010d00000002017f0001b5017f0000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000034020617171701497461626c656c616e67736c616e677303435245415445205441424c45206c616e67732028636f646520544558542949010617151501777461626c65646f6373646f637302435245415445205441424c4520646f637320286120494e54454745522c2062205245414c2c206320544558542c206420424c4f42290d0000000b01450001ea01e301cf01a20197018c0181017501670157014500000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000100b050600130080000000000000006e65670e0a0506000f007fffffffffffffff7a0c090505000f007fffffffffff770a080504000f007fffffff7609070503000f007fffff7509060502010f007fff027409050502000010ff7f00102b04050105490e7f0002540be400787878787878787878787878787878787878787878787878787878787878ff12030509071700bff8000000000000636166c3a905020508000d0c140105000717103fd000000000000068656c6c6f01020d0000000101fa0001fa0000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000004010211656e"
+      val m = pmod(col("doc_id"), lit(2L))
+      val hexStr = when(m === 0, lit(smallDb)).otherwise(hex(lit("junk")))
+      val rt = "struct<rowid:bigint,vals:array<string>>"
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.sqliteRows(unhex(hexStr), "docs").as("__s"))
+        .select(col("doc_id"), col("__s.root_page").as("root_page"),
+          col("__s.n_rows").as("n_rows"),
+          posexplode(coalesce(
+            when(size(col("__s.rows")) > 0, col("__s.rows").cast(s"array<$rt>")),
+            array(lit(null).cast(rt)))).as(Seq("pos", "__r")))
+        .select(col("doc_id"), col("root_page"), col("n_rows"),
+          col("pos").cast("long").as("pos"),
+          col("__r.rowid").as("rowid"),
+          element_at(col("__r.vals"), 1).as("a"),
+          element_at(col("__r.vals"), 2).as("b"),
+          element_at(col("__r.vals"), 3).as("c"),
+          element_at(col("__r.vals"), 4).as("d"))
+        .orderBy("doc_id", "pos")
+    }),
     "q289_sqlite_meta" -> ((s, dir) => {
       def be32(c: Column) = lpad(hex(c), 8, "0")
       val pageHex = when(pmod(col("doc_id"), lit(2L)) === 0, lit("1000"))
@@ -9026,6 +9052,39 @@ object SparkEntry {
         |ORDER BY doc_id, pos""".stripMargin,
 
     // q289: header facts replayed arithmetically; %5 docs null
+    // q341: the docs rows replayed literally — note the REAL
+    // library packed integral floats (1e10, 2.0) as INTEGERs
+    "q341_sqlite_rows" ->
+      """SELECT doc_id, root_page, n_rows, pos, rowid, a, b, c, d
+        |FROM (
+        |  SELECT doc_id, 2 AS root_page, CAST(11 AS BIGINT) AS n_rows,
+        |    CAST(0 AS BIGINT) AS pos, CAST(1 AS BIGINT) AS rowid,
+        |    CAST(NULL AS VARCHAR) AS a, '0.25' AS b, 'hello' AS c,
+        |    '0102' AS d FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, 2, 11, 1, 2, '0', NULL, '', ''
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, 2, 11, 2, 3, '1', '-1.5', 'café', NULL
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, 2, 11, 3, 4, '127', '10000000000', 'xxxxxxxxxxxxxxxxxxxxxxxxxxxxxx', 'ff'
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, 2, 11, 4, 5, '-129', NULL, NULL, '0010'
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, 2, 11, 5, 6, '32767', '2', 't', NULL
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, 2, 11, 6, 7, '8388607', NULL, 'u', NULL
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, 2, 11, 7, 8, '2147483647', NULL, 'v', NULL
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, 2, 11, 8, 9, '140737488355327', NULL, 'w', NULL
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, 2, 11, 9, 10, '9223372036854775807', NULL, 'z', NULL
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, 2, 11, 10, 11, '-9223372036854775808', NULL, 'neg', NULL
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, NULL, NULL, 0, NULL, NULL, NULL, NULL,
+        |    NULL FROM documents WHERE doc_id % 2 = 1)
+        |ORDER BY doc_id, pos""".stripMargin,
+
     "q289_sqlite_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 5 = 0 THEN NULL

@@ -1275,6 +1275,18 @@ object Multimodal {
       beUint(payload, 97, 4).cast("int").as("sqlite_version")))
   }
 
+  /** SQLite TABLE-ROW decode — the data tier [[sqliteMeta]]'s header
+    * census stops short of: resolve the table's root page through
+    * sqlite_master, walk its b-tree (interior + leaf + overflow
+    * chains), decode every record's serial types
+    * ([[graft.functions.SqliteRows]]). Rows come back as
+    * `(rowid, vals array<string>)`; INTEGER PRIMARY KEY alias
+    * columns read NULL by SQLite's own storage rule (the value is
+    * the rowid). UTF-16 databases fail closed. */
+  def sqliteRows(payload: Column, table: String,
+                 maxRows: Int = 4096): Column =
+    graft.functions.SqliteRows(payload, table, maxRows)
+
   /** ORC tail metadata — the third leg of the lake-census trio:
     * compression codec, writer version, exact row count, stripe
     * count, content length and the root struct's top-level columns
