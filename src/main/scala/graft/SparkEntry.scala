@@ -3110,6 +3110,35 @@ object SparkEntry {
     // stripes, top-level columns from the protobuf footer — all four
     // decodable codecs (none, zlib-deflate, snappy and lz4 raw
     // blocks); %5==4 docs break the head magic — null
+    // ORC DATA decode: stripe-0 values of BOTH columns out of the
+    // five pinned pyarrow files (all decodable codecs; the zstd file
+    // carries different content by construction) — no reader stack;
+    // corrupt docs one null audit row
+    "q342_orc_values" -> ((s, dir) => {
+      val corrupt = "58" + orcPlainHex.drop(2)
+      val m = pmod(col("doc_id"), lit(6L))
+      val hexStr = when(m === 0, lit(orcPlainHex))
+        .when(m === 1, lit(orcZlibHex))
+        .when(m === 2, lit(orcSnappyHex))
+        .when(m === 3, lit(orcLz4Hex))
+        .when(m === 4, lit(orcZstdHex)).otherwise(lit(corrupt))
+      val fixture = t(s, dir, "documents")
+        .select(col("doc_id"), unhex(hexStr).as("payload")).localCheckpoint()
+      fixture.select(col("doc_id"),
+          Multimodal.orcColumnValues(col("payload"), "id").as("__i"),
+          Multimodal.orcColumnValues(col("payload"), "name").as("__n"))
+        .select(col("doc_id"), col("__i.codec").as("codec"),
+          col("__i.encoding").as("encoding"),
+          col("__i.n_values").as("n_values"),
+          posexplode(coalesce(col("__n.values"),
+            array(lit(null).cast("string")))).as(Seq("pos", "name_val")),
+          col("__i.values").as("__iv"))
+        .select(col("doc_id"), col("codec"), col("encoding"),
+          col("n_values"), col("pos").cast("long").as("pos"),
+          element_at(col("__iv"), col("pos").cast("int") + 1).as("id_val"),
+          col("name_val"))
+        .orderBy("doc_id", "pos")
+    }),
     "q287_orc_meta" -> ((s, dir) => {
       val corrupt = "58" + orcPlainHex.drop(2) // head magic broken
       val m = pmod(col("doc_id"), lit(6L))
@@ -9013,6 +9042,31 @@ object SparkEntry {
         |    CAST(NULL AS VARCHAR)
         |  FROM documents WHERE doc_id % 4 = 3)
         |ORDER BY doc_id, coalesce(pos, -1)""".stripMargin,
+
+    // q342: stripe-0 values replayed literally — pyarrow wrote the
+    // five files with known content (the zstd one shifted by
+    // construction); corrupt docs keep one null audit row
+    "q342_orc_values" ->
+      """SELECT doc_id, codec, encoding, n_values, pos, id_val,
+        |  name_val FROM (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6 WHEN 0 THEN 'none' WHEN 1 THEN 'zlib'
+        |      WHEN 2 THEN 'snappy' WHEN 3 THEN 'lz4' ELSE 'zstd'
+        |      END AS codec,
+        |    'direct_v2' AS encoding, CAST(5 AS BIGINT) AS n_values,
+        |    CAST(p.pos AS BIGINT) AS pos,
+        |    CAST(CASE WHEN doc_id % 6 = 4 THEN p.pos + 1 ELSE p.pos
+        |      END AS VARCHAR) AS id_val,
+        |    CASE WHEN doc_id % 6 = 4
+        |      THEN (['a','ab','abc','dd','e'])[p.pos + 1]
+        |      ELSE (['a','bb','c','dd','e'])[p.pos + 1]
+        |      END AS name_val
+        |  FROM documents, (SELECT unnest(range(5)) AS pos) p
+        |  WHERE doc_id % 6 <> 5
+        |  UNION ALL SELECT doc_id, NULL, NULL, NULL,
+        |    CAST(0 AS BIGINT), NULL, NULL
+        |  FROM documents WHERE doc_id % 6 = 5)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     // q287: the tail facts replayed as constants (pyarrow wrote the
     // files; every value known by construction), corrupt null

@@ -1297,6 +1297,17 @@ object Multimodal {
   def orcMeta(payload: Column, maxFooter: Int = 1 << 24): Column =
     graft.functions.OrcFooterMeta(payload, maxFooter)
 
+  /** ORC DATA decode — sample a top-level column's real values out
+    * of raw file bytes, no reader stack: stripe 0's streams through
+    * the full RLEv2 reader (all four sub-formats), byte/boolean RLE,
+    * IEEE lanes, DIRECT_V2 + DICTIONARY_V2 strings, PRESENT-stream
+    * nulls, every decodable codec
+    * ([[graft.functions.OrcColumnValues]]) — the parquet sibling of
+    * [[parquetPageValues]]. */
+  def orcColumnValues(payload: Column, column: String,
+                      maxVals: Int = 1 << 16): Column =
+    graft.functions.OrcColumnValues(payload, column, maxVals)
+
   /** 7z archive listing — names, sizes, directory flags off the
     * (possibly LZMA-compressed) header via
     * [[graft.functions.SevenZipList]]; one row per entry, corrupt
