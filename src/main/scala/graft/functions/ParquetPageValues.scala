@@ -31,11 +31,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * shape: one bounded per-row kernel over `binaryFile` payloads
   * (maxVals caps materialization), zero shuffle, codegen'd.
   *
+  * The V2-WRITER ENCODINGS decode too (the parquet-mr v2 / modern
+  * arrow defaults): DELTA_BINARY_PACKED int32/int64 (ULEB128 header,
+  * zigzag first value + per-block min deltas, per-miniblock
+  * bit-widths with padded partial miniblocks and unwritten trailing
+  * ones, Long wraparound exactly as the format defines),
+  * DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY (shared-prefix +
+  * suffix reconstruction), and BYTE_STREAM_SPLIT float/double/
+  * int32/int64 lanes (stream de-interleave, exact-region check).
+  *
   * Contract bounds (fail-closed null, never a guess): flat
   * top-level columns only (max repetition level 0, max definition
   * level <= 1 — the column is a direct child of the root);
-  * DELTA-family and BYTE_STREAM_SPLIT encodings, FLBA/INT96
-  * types, and other codecs (brotli, lzo, lz4-frame) refuse; absent
+  * FLBA/INT96 types and other codecs (brotli, lzo,
+  * lz4-frame) refuse; absent
   * column name refuses. Values render as strings the census way:
   * integers in decimal, floats via Java's shortest round-trip,
   * UTF-8 byte arrays verbatim, booleans true/false; null slots
@@ -93,7 +102,11 @@ object ParquetPageValues {
   private def encName(e: Int): String = e match {
     case 0 => "plain"
     case 2 => "plain_dictionary"
+    case 5 => "delta_binary_packed"
+    case 6 => "delta_length_byte_array"
+    case 7 => "delta_byte_array"
     case 8 => "rle_dictionary"
+    case 9 => "byte_stream_split"
     case _ => "unsupported"
   }
 
@@ -568,6 +581,131 @@ object ParquetPageValues {
     out
   }
 
+  // ---- DELTA-family + BYTE_STREAM_SPLIT readers (Encodings.md) -------
+
+  /** Mutable cursor shared by the delta readers (they nest:
+    * DELTA_BYTE_ARRAY = two DELTA_BINARY_PACKED runs + suffix bytes). */
+  private final class Cur(var p: Int)
+
+  private def uleb(b: Array[Byte], c: Cur, end: Int): Long = {
+    var v = 0L
+    var shift = 0
+    var bb = 0
+    do {
+      if (c.p >= end || shift > 63) throw Bad
+      bb = b(c.p) & 0xff
+      v |= (bb & 0x7fL) << shift
+      shift += 7
+      c.p += 1
+    } while ((bb & 0x80) != 0)
+    v
+  }
+
+  private def zzVar(b: Array[Byte], c: Cur, end: Int): Long = {
+    val u = uleb(b, c, end)
+    (u >>> 1) ^ -(u & 1)
+  }
+
+  /** DELTA_BINARY_PACKED: exactly `count` longs from `c.p`, cursor
+    * advanced past the last miniblock READ — per the spec the writer
+    * pads a partially-filled miniblock to its full byte length but
+    * emits NO data for fully-unused trailing miniblocks (their
+    * bit-width bytes are still present). Deltas accumulate in Long,
+    * wrapping exactly as the format defines; the caller narrows
+    * int32 lanes. */
+  private def deltaPacked(b: Array[Byte], c: Cur, end: Int,
+                          count: Int): Array[Long] = {
+    val blockSize = uleb(b, c, end)
+    val miniPer = uleb(b, c, end)
+    val total = uleb(b, c, end)
+    val first = zzVar(b, c, end)
+    if (blockSize <= 0 || blockSize > (1 << 20) || miniPer <= 0 ||
+      miniPer > blockSize || blockSize % miniPer != 0) throw Bad
+    val perMini = (blockSize / miniPer).toInt
+    if (perMini % 8 != 0) throw Bad
+    if (total != count) throw Bad
+    val out = new Array[Long](count)
+    if (count == 0) return out
+    out(0) = first
+    var got = 1
+    var acc = first
+    val nMini = miniPer.toInt
+    val widths = new Array[Int](nMini)
+    while (got < count) {
+      val minDelta = zzVar(b, c, end)
+      var i = 0
+      while (i < nMini) {
+        if (c.p >= end) throw Bad
+        widths(i) = b(c.p) & 0xff
+        c.p += 1
+        i += 1
+      }
+      i = 0
+      while (i < nMini && got < count) {
+        val w = widths(i)
+        if (w > 64) throw Bad
+        val nbytes = perMini * w / 8
+        if (c.p + nbytes > end) throw Bad
+        var k = 0
+        while (k < perMini && got < count) {
+          var v = 0L
+          var bit = 0
+          while (bit < w) {
+            val bp = k.toLong * w + bit
+            if ((b(c.p + (bp >> 3).toInt) >> (bp & 7).toInt & 1) != 0)
+              v |= 1L << bit
+            bit += 1
+          }
+          acc += minDelta + v
+          out(got) = acc
+          got += 1
+          k += 1
+        }
+        c.p += nbytes
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** DELTA_LENGTH_BYTE_ARRAY: packed lengths then concatenated bytes. */
+  private def deltaLengthBA(b: Array[Byte], c: Cur, end: Int,
+                            count: Int): Array[Array[Byte]] = {
+    val lens = deltaPacked(b, c, end, count)
+    val out = new Array[Array[Byte]](count)
+    var i = 0
+    while (i < count) {
+      val l = lens(i)
+      if (l < 0 || l > (1 << 28) || c.p + l > end) throw Bad
+      out(i) = java.util.Arrays.copyOfRange(b, c.p, c.p + l.toInt)
+      c.p += l.toInt
+      i += 1
+    }
+    out
+  }
+
+  /** DELTA_BYTE_ARRAY: shared-prefix lengths + suffix payloads. */
+  private def deltaBA(b: Array[Byte], c: Cur, end: Int,
+                      count: Int): Array[Array[Byte]] = {
+    val prefs = deltaPacked(b, c, end, count)
+    val sufs = deltaLengthBA(b, c, end, count)
+    val out = new Array[Array[Byte]](count)
+    var prev = Array.emptyByteArray
+    var i = 0
+    while (i < count) {
+      val pl = prefs(i)
+      if (pl < 0 || pl > prev.length) throw Bad
+      val suf = sufs(i)
+      val v = new Array[Byte](pl.toInt + suf.length)
+      System.arraycopy(prev, 0, v, 0, pl.toInt)
+      System.arraycopy(suf, 0, v, pl.toInt, suf.length)
+      out(i) = v
+      prev = v
+      i += 1
+    }
+    out
+  }
+
   /** One data page's worth of (levels, values) appended to `out`. */
   private def decodeDataPage(b: Array[Byte], off: Int, end: Int, ptype: Int,
                              optional: Boolean, numValues: Int, encoding: Int,
@@ -615,6 +753,51 @@ object ParquetPageValues {
         while (k < present) {
           if (idx(k) < 0 || idx(k) >= dict.length) throw Bad
           v(k) = dict(idx(k))
+          k += 1
+        }
+        v
+      case 5 => // DELTA_BINARY_PACKED: int32/int64 lanes
+        if (ptype != 1 && ptype != 2) throw Bad
+        val c = new Cur(p)
+        val nums = deltaPacked(b, c, end, present)
+        val v = new Array[UTF8String](present)
+        var k = 0
+        while (k < present) {
+          v(k) = UTF8String.fromString(
+            if (ptype == 1) nums(k).toInt.toString else nums(k).toString)
+          k += 1
+        }
+        v
+      case 6 => // DELTA_LENGTH_BYTE_ARRAY
+        if (ptype != 6) throw Bad
+        val c = new Cur(p)
+        deltaLengthBA(b, c, end, present).map(UTF8String.fromBytes)
+      case 7 => // DELTA_BYTE_ARRAY
+        if (ptype != 6) throw Bad
+        val c = new Cur(p)
+        deltaBA(b, c, end, present).map(UTF8String.fromBytes)
+      case 9 => // BYTE_STREAM_SPLIT: fixed-width lanes de-interleaved
+        val w = ptype match {
+          case 1 | 4 => 4
+          case 2 | 5 => 8
+          case _ => throw Bad
+        }
+        if ((end - p).toLong != present.toLong * w) throw Bad
+        val v = new Array[UTF8String](present)
+        var k = 0
+        while (k < present) {
+          var bits = 0L
+          var j = 0
+          while (j < w) {
+            bits |= (b(p + j * present + k) & 0xffL) << (8 * j)
+            j += 1
+          }
+          v(k) = UTF8String.fromString(ptype match {
+            case 1 => bits.toInt.toString
+            case 2 => bits.toString
+            case 4 => java.lang.Float.intBitsToFloat(bits.toInt).toString
+            case _ => java.lang.Double.longBitsToDouble(bits).toString
+          })
           k += 1
         }
         v

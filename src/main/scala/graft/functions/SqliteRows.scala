@@ -255,7 +255,7 @@ object SqliteRows {
   def compute(bytes: Array[Byte], table: String, maxRows: Int): InternalRow = {
     try {
       if (bytes == null || bytes.length < 512 || table == null) return null
-      val magic = "SQLite format 3 "
+      val magic = "SQLite format 3\u0000"
       var i = 0
       while (i < 16) {
         if (bytes(i) != magic.charAt(i).toByte) return null
