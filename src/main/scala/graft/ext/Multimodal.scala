@@ -904,6 +904,19 @@ object Multimodal {
           .as("__tar")),
       idCol, "__tar", maxEntries)
 
+  /** [[tarList]] over a `.tar.Z` (Unix compress) tarball — the
+    * pre-gzip source-drop shape old FTP mirrors still serve: one
+    * bounded [[graft.functions.LzwUncompress]] decode feeds the
+    * checksummed ustar walk. Corrupt LZW OR corrupt tar ⇒ no rows. */
+  def tarZList(docs: DataFrame, idCol: String = "doc_id",
+               payloadCol: String = "payload",
+               maxOut: Int = 1 << 26,
+               maxEntries: Int = 1 << 16): DataFrame =
+    tarList(docs.select(col(idCol),
+        graft.functions.LzwUncompress(col(payloadCol), maxOut)
+          .as("__tar")),
+      idCol, "__tar", maxEntries)
+
   /** See [[tarZstList]]. */
   def tarSzList(docs: DataFrame, idCol: String = "doc_id",
                 payloadCol: String = "payload",
@@ -1160,6 +1173,8 @@ object Multimodal {
             graft.functions.Lz4FramePayload(col("__p"), maxBytes)))
           .when(col("format") === "snappy", graft.functions.Utf8Text(
             graft.functions.SnappyFramePayload(col("__p"), maxBytes)))
+          .when(col("format") === "z", graft.functions.Utf8Text(
+            graft.functions.LzwUncompress(col("__p"), maxBytes)))
           // tar: every regular member's text, newline-joined (the
           // zip allMembers shape — tarballs ARE the source-release
           // container); corrupt archives null
@@ -1678,6 +1693,7 @@ object Multimodal {
       .when(pfx("504B0304"), "zip")
       .when(pfx("504B0506"), "zip_empty")
       .when(pfx("1F8B"), "gzip")
+      .when(pfx("1F9D"), "z")
       .when(pfx("50415231"), "parquet")
       .when(pfx("4F5243"), "orc")
       .when(pfx("4F626A01"), "avro")
