@@ -904,6 +904,76 @@ object Multimodal {
           .as("__tar")),
       idCol, "__tar", maxEntries)
 
+  /** Unix `ar` archive listing — `.deb` packages, static `.a`
+    * libraries, old distfiles: one row per REAL member (GNU `//`
+    * name tables and `/` symbol indexes resolve names but never
+    * surface; BSD `#1/LEN` inline names handled), `offset` pointing
+    * at the member's verbatim bytes for `substr` extraction, exactly
+    * the [[graft.functions.TarEntries]] contract. Corrupt archives
+    * fail the whole row closed to null. */
+  def arEntries(payload: Column, maxEntries: Int = 1 << 16): Column =
+    graft.functions.ArEntries(payload, maxEntries)
+
+  /** Debian package census — the `.deb` onboarding step a software
+    * corpus needs: `.deb` IS an ar archive, so the walk is
+    * `arEntries → control.tar.{gz,xz,zst} member → decompress by its
+    * own extension → ustar walk → ./control text`, every stage the
+    * repo's own fail-closed kernel. Yields
+    * `(deb_version, control_text, package, version, architecture)` —
+    * the three header fields parsed from the control text (RFC-822
+    * style `Key: value` lines); anything corrupt along the chain
+    * leaves that row's fields null. One kernel pass per stage, zero
+    * shuffle. */
+  def debControl(docs: DataFrame, idCol: String = "doc_id",
+                 payloadCol: String = "payload",
+                 maxOut: Int = 1 << 26): DataFrame = {
+    def member(e: Column): Column = e.getField("name")
+    val entries = graft.functions.ArEntries(col(payloadCol), 64)
+    def field(key: String): Column = {
+      val v = regexp_extract(col("control_text"),
+        "(?m)^" + key + ":[ \\t]*(.*?)[ \\t]*$", 1)
+      when(v =!= "", v)
+    }
+    docs
+      .select(col(idCol), col(payloadCol), entries.as("__e"))
+      .select(col(idCol), col(payloadCol),
+        element_at(filter(col("__e"),
+          e => member(e) === "debian-binary"), 1).as("__dv"),
+        element_at(filter(col("__e"),
+          e => member(e).startsWith("control.tar")), 1).as("__ce"))
+      .select(col(idCol),
+        trim(decode(col(payloadCol).substr(
+          col("__dv").getField("offset").cast("int") + 1,
+          least(col("__dv").getField("size"), lit(16L)).cast("int")),
+          "UTF-8"), "\n ").as("deb_version"),
+        member(col("__ce")).as("__cn"),
+        col(payloadCol).substr(
+          col("__ce").getField("offset").cast("int") + 1,
+          col("__ce").getField("size").cast("int")).as("__cb"))
+      .select(col(idCol), col("deb_version"),
+        when(col("__cn") === "control.tar.gz",
+          graft.functions.GunzipPayload(col("__cb"), maxOut))
+          .when(col("__cn") === "control.tar.xz",
+            graft.functions.XzPayload(col("__cb"), maxOut))
+          .when(col("__cn") === "control.tar.zst",
+            graft.functions.ZstdPayload(col("__cb"), maxOut))
+          .when(col("__cn") === "control.tar", col("__cb"))
+          .as("__tar"))
+      .select(col(idCol), col("deb_version"), col("__tar"),
+        element_at(filter(
+          graft.functions.TarEntries(col("__tar"), 4096),
+          e => member(e) === "./control" || member(e) === "control"), 1)
+          .as("__te"))
+      .select(col(idCol), col("deb_version"),
+        graft.functions.Utf8Text(col("__tar").substr(
+          col("__te").getField("offset").cast("int") + 1,
+          col("__te").getField("size").cast("int"))).as("control_text"))
+      .select(col(idCol), col("deb_version"), col("control_text"),
+        field("Package").as("package"),
+        field("Version").as("version"),
+        field("Architecture").as("architecture"))
+  }
+
   /** [[tarList]] over a `.tar.Z` (Unix compress) tarball — the
     * pre-gzip source-drop shape old FTP mirrors still serve: one
     * bounded [[graft.functions.LzwUncompress]] decode feeds the

@@ -864,6 +864,14 @@ object TextAnalysis {
     * classes — no lookaround), so DuckDB replays the identical chain
     * and the output is oracle-checked. Narrow zero-shuffle
     * regexp_replace chain — scan speed over a 100 TB crawl. */
+  /** SRT / WebVTT subtitle cues — the caption-corpus onboarding step
+    * ([[graft.functions.SubtitleCues]]): format auto-detected, VTT
+    * NOTE/STYLE blocks skipped, markup tags stripped, times in ms;
+    * malformed timing fails the row closed to null, a cue-less file
+    * is an EMPTY array. */
+  def subtitleCues(text: Column, maxCues: Int = 1 << 16): Column =
+    graft.functions.SubtitleCues(text, maxCues)
+
   def htmlToText(html: Column): Column = {
     val noBlocks = regexp_replace(html,
       "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " ")
