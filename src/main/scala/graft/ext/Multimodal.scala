@@ -528,6 +528,15 @@ object Multimodal {
   def aviMeta(payload: Column): Column =
     graft.functions.AviMeta(payload)
 
+  /** AIFF / AIFF-C census — channels, bit depth, the 80-bit-extended
+    * sample rate decoded exactly, frame count, duration and the
+    * AIFF-C compression fourcc via the native
+    * [[graft.functions.AiffMeta]] big-endian IFF walk (sound data
+    * skipped by size; fail-closed null). Completes the audio
+    * container family with the WAV, FLAC, MP3, MP4 and Ogg tiers. */
+  def aiffMeta(payload: Column): Column =
+    graft.functions.AiffMeta(payload)
+
   /** Little-endian unsigned int of `len` bytes at COLUMN position
     * `pos`; null when the payload is shorter. */
   private def leUintAt(bin: Column, pos: Column, len: Int): Column =
@@ -972,6 +981,63 @@ object Multimodal {
         field("Package").as("package"),
         field("Version").as("version"),
         field("Architecture").as("architecture"))
+  }
+
+  /** cpio archive listing — RPM payloads and initramfs images: one
+    * row per entry (newc/crc hex headers and odc octal headers both
+    * decode, the TRAILER!!! terminator surfaces to nobody), `offset`
+    * pointing at the verbatim data, the [[arEntries]] contract. */
+  def cpioEntries(payload: Column, maxEntries: Int = 1 << 16): Column =
+    graft.functions.CpioEntries(payload, maxEntries)
+
+  /** RPM identity census — name/version/release/arch/summary plus the
+    * payload format and compressor tags, via the native
+    * [[graft.functions.RpmInfo]] lead + header-structure walk. */
+  def rpmInfo(payload: Column): Column =
+    graft.functions.RpmInfo(payload)
+
+  /** RPM payload file listing — [[debControl]]'s sibling chain for
+    * the other package universe: `rpmInfo` finds where the payload
+    * starts and which codec the package's OWN header declares
+    * (absent = gzip, the rpmlib default), the matching from-format
+    * kernel decompresses it, and [[cpioEntries]] lists the files.
+    * Yields `(name, version, release, file_pos, file_name,
+    * file_size, file_mode)`; anything corrupt along the chain leaves
+    * null fields. */
+  def rpmFiles(docs: DataFrame, idCol: String = "doc_id",
+               payloadCol: String = "payload",
+               maxOut: Int = 1 << 26): DataFrame = {
+    val info = graft.functions.RpmInfo(col(payloadCol))
+    docs
+      .select(col(idCol), col(payloadCol), info.as("__i"))
+      .select(col(idCol),
+        col("__i.name").as("name"), col("__i.version").as("version"),
+        col("__i.release").as("release"),
+        coalesce(col("__i.payload_compressor"), when(
+          col("__i").isNotNull, lit("gzip"))).as("__comp"),
+        col(payloadCol).substr(
+          col("__i.payload_offset").cast("int") + 1,
+          (length(col(payloadCol)) -
+            col("__i.payload_offset").cast("int")).cast("int"))
+          .as("__pb"))
+      .select(col(idCol), col("name"), col("version"), col("release"),
+        when(col("__comp") === "gzip",
+          graft.functions.GunzipPayload(col("__pb"), maxOut))
+          .when(col("__comp") === "xz",
+            graft.functions.XzPayload(col("__pb"), maxOut))
+          .when(col("__comp") === "zstd",
+            graft.functions.ZstdPayload(col("__pb"), maxOut))
+          .when(col("__comp") === "bzip2",
+            graft.functions.Bunzip2(col("__pb"), maxOut))
+          .as("__cpio"))
+      .select(col(idCol), col("name"), col("version"), col("release"),
+        posexplode_outer(graft.functions.CpioEntries(col("__cpio"), 4096))
+          .as(Seq("file_pos", "__e")))
+      .select(col(idCol), col("name"), col("version"), col("release"),
+        col("file_pos").cast("long").as("file_pos"),
+        col("__e.name").as("file_name"),
+        col("__e.size").as("file_size"),
+        col("__e.mode").cast("int").as("file_mode"))
   }
 
   /** [[tarList]] over a `.tar.Z` (Unix compress) tarball — the
@@ -1748,6 +1814,8 @@ object Multimodal {
       .when(pfx("FFD8FF"), "jpeg")
       .when(pfx("474946383761") || pfx("474946383961"), "gif")
       .when(pfx("52494646") && riffForm === "57415645", "wav")
+      .when(pfx("464F524D") &&
+        (riffForm === "41494646" || riffForm === "41494643"), "aiff")
       .when(pfx("52494646") && riffForm === "57454250", "webp")
       .when(pfx("49492A00") || pfx("4D4D002A"), "tiff")
       .when(pfx("664C6143"), "flac")
@@ -1764,6 +1832,10 @@ object Multimodal {
       .when(pfx("504B0506"), "zip_empty")
       .when(pfx("1F8B"), "gzip")
       .when(pfx("1F9D"), "z")
+      .when(pfx("EDABEEDB"), "rpm")
+      .when(pfx("303730373031") || pfx("303730373032") ||
+        pfx("303730373037"), "cpio")
+      .when(pfx("213C617263683E0A"), "ar")
       .when(pfx("50415231"), "parquet")
       .when(pfx("4F5243"), "orc")
       .when(pfx("4F626A01"), "avro")
