@@ -1496,6 +1496,15 @@ object Multimodal {
     * dictionary/record-batch block lists and column names off the
     * footer flatbuffer ([[graft.functions.ArrowFooterMeta]]), no
     * batch data touched. */
+  /** Arrow IPC FILE data decode — the third columnar-values member
+    * next to [[parquetPageValues]] and [[orcColumnValues]]: a named
+    * top-level column's values out of every record batch, both
+    * envelope generations, validity-restored nulls
+    * ([[graft.functions.ArrowColumnValues]]). */
+  def arrowColumnValues(payload: Column, column: String,
+                        maxVals: Int = 1 << 16): Column =
+    graft.functions.ArrowColumnValues(payload, column, maxVals)
+
   def arrowMeta(payload: Column, maxColumns: Int = 4096): Column =
     graft.functions.ArrowFooterMeta(payload, maxColumns)
 
