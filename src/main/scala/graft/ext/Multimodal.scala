@@ -913,6 +913,14 @@ object Multimodal {
           .as("__tar")),
       idCol, "__tar", maxEntries)
 
+  /** Legacy `.lzma`-alone decompression — both the known-size and
+    * the marker-terminated unknown-size forms, through the repo's
+    * own LZMA machinery ([[graft.functions.LzmaAlonePayload]];
+    * fail-closed, bomb-capped). The format carries no magic, so it
+    * never joins `sniffFormat` — route by extension upstream. */
+  def lzmaAlone(payload: Column, maxOut: Int = 1 << 24): Column =
+    graft.functions.LzmaAlonePayload(payload, maxOut)
+
   /** Unix `ar` archive listing — `.deb` packages, static `.a`
     * libraries, old distfiles: one row per REAL member (GNU `//`
     * name tables and `/` symbol indexes resolve names but never

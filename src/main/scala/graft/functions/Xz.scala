@@ -68,6 +68,7 @@ case class XzPayload(child: Expression, maxOut: Int)
 object XzPayload {
 
   private object Bad extends Exception with scala.util.control.NoStackTrace
+  private object Finished extends Exception with scala.util.control.NoStackTrace
 
   // ---------------------------------------------------------------
   // checks
@@ -289,7 +290,8 @@ object XzPayload {
     * before it). */
   private def lzmaChunk(bytes: Array[Byte], off: Int, packSize: Int,
                         unpackSize: Int, out: Out, dictBase: Int,
-                        m: Lzma, exact: Boolean = true): Unit = {
+                        m: Lzma, exact: Boolean = true,
+                        allowMarker: Boolean = false): Unit = {
     val rc = new RangeDec(bytes, off, off + packSize)
     val target = out.len + unpackSize
     val pbMask = (1 << m.pb) - 1
@@ -347,7 +349,12 @@ object XzPayload {
               dist += rc.reverseTree(m.align, 0, 4)
             }
           }
-          if (dist == 0xFFFFFFFFL) throw Bad // end marker: not in LZMA2
+          if (dist == 0xFFFFFFFFL) {
+            // end marker: legal only for the .lzma-alone caller, and
+            // only with the range coder in its finished state
+            if (allowMarker && rc.code == 0) throw Finished
+            throw Bad
+          }
           if (dist > Int.MaxValue - 1) throw Bad
           m.rep0 = dist.toInt
           m.state = if (m.state < 7) 7 else 10
@@ -421,6 +428,34 @@ object XzPayload {
       lzmaChunk(bytes, off, packSize, unpackSize, out, 0, m,
         exact = false)
       java.util.Arrays.copyOf(out.buf, out.len)
+    } catch {
+      case Bad => null
+      case _: ArrayIndexOutOfBoundsException => null
+    }
+  }
+
+  /** Marker-terminated LZMA1 decode for the `.lzma`-alone container
+    * (unknown-size streams end with the dist=0xFFFFFFFF marker and a
+    * finished range coder). Fail-closed null; over-`maxOut` refused
+    * by the output guard, a missing marker by the packed bytes
+    * running out. */
+  private[functions] def lzma1Marker(bytes: Array[Byte], off: Int,
+                                     packSize: Int, props: Int,
+                                     maxOut: Int): Array[Byte] = {
+    try {
+      if (off < 0 || packSize < 0 || off + packSize > bytes.length)
+        return null
+      val out = new Out(maxOut)
+      val m = new Lzma
+      m.setProps(props)
+      m.resetState()
+      try {
+        lzmaChunk(bytes, off, packSize, Int.MaxValue - 16, out, 0, m,
+          exact = false, allowMarker = true)
+        null // target unreachable: ending WITHOUT a marker is corrupt
+      } catch {
+        case Finished => java.util.Arrays.copyOf(out.buf, out.len)
+      }
     } catch {
       case Bad => null
       case _: ArrayIndexOutOfBoundsException => null
