@@ -913,6 +913,20 @@ object Multimodal {
           .as("__tar")),
       idCol, "__tar", maxEntries)
 
+  /** Executable census — ELF / PE / Mach-O (incl. FAT) headers into
+    * `(format, arch, bits, kind, n_sections)`: the routing step a
+    * software corpus runs before any code analysis
+    * ([[graft.functions.BinaryMeta]]; fail-closed null). */
+  def binaryMeta(payload: Column): Column =
+    graft.functions.BinaryMeta(payload)
+
+  /** Font census — TTF/OTF/TTC sfnt headers into family, full name,
+    * glyph count and unitsPerEm with the name-record precedence real
+    * font stacks use ([[graft.functions.FontMeta]]; WOFF refuses —
+    * it is a compressed wrapper, not sfnt). */
+  def fontMeta(payload: Column): Column =
+    graft.functions.FontMeta(payload)
+
   /** Legacy `.lzma`-alone decompression — both the known-size and
     * the marker-terminated unknown-size forms, through the repo's
     * own LZMA machinery ([[graft.functions.LzmaAlonePayload]];
@@ -1850,6 +1864,14 @@ object Multimodal {
       .when(pfx("1F8B"), "gzip")
       .when(pfx("1F9D"), "z")
       .when(pfx("EDABEEDB"), "rpm")
+      .when(pfx("7F454C46"), "elf")
+      .when(pfx("FEEDFACE") || pfx("FEEDFACF") || pfx("CEFAEDFE") ||
+        pfx("CFFAEDFE"), "macho")
+      .when(pfx("4F54544F"), "otf")
+      .when(pfx("74746366"), "ttc")
+      .when(pfx("00010000"), "ttf")
+      .when(pfx("774F4646"), "woff")
+      .when(pfx("774F4632"), "woff2")
       .when(pfx("303730373031") || pfx("303730373032") ||
         pfx("303730373037"), "cpio")
       .when(pfx("213C617263683E0A"), "ar")
