@@ -927,6 +927,21 @@ object Multimodal {
   def fontMeta(payload: Column): Column =
     graft.functions.FontMeta(payload)
 
+  /** WOFF 1.0 → sfnt reconstruction — per-table zlib unwrap + sfnt
+    * directory rebuild per the spec, so crawled webfonts feed
+    * [[fontMeta]] directly: `fontMeta(woffSfnt(payload))`. WOFF2
+    * refuses (Brotli, the documented absence).
+    * ([[graft.functions.WoffSfnt]]; fail-closed, bomb-capped.) */
+  def woffSfnt(payload: Column, maxOut: Int = 1 << 24): Column =
+    graft.functions.WoffSfnt(payload, maxOut)
+
+  /** Standard MIDI File census — format, tracks, division, a
+    * tempo-map-integrated duration and the note count via the native
+    * [[graft.functions.MidiMeta]] event walk (running status, meta/
+    * sysex framing, SMPTE divisions; fail-closed null). */
+  def midiMeta(payload: Column, maxEvents: Int = 1 << 20): Column =
+    graft.functions.MidiMeta(payload, maxEvents)
+
   /** Legacy `.lzma`-alone decompression — both the known-size and
     * the marker-terminated unknown-size forms, through the repo's
     * own LZMA machinery ([[graft.functions.LzmaAlonePayload]];
@@ -1872,6 +1887,7 @@ object Multimodal {
       .when(pfx("00010000"), "ttf")
       .when(pfx("774F4646"), "woff")
       .when(pfx("774F4632"), "woff2")
+      .when(pfx("4D546864"), "midi")
       .when(pfx("303730373031") || pfx("303730373032") ||
         pfx("303730373037"), "cpio")
       .when(pfx("213C617263683E0A"), "ar")
