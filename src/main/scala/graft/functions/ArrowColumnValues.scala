@@ -30,9 +30,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * Batches concatenate in file order; `n_values` is the exact total
   * row count even when `maxVals` caps materialization.
   *
+  * BODY COMPRESSION decodes too — the feather-v2 defaults: a
+  * `BodyCompression` of LZ4_FRAME or ZSTD routes every buffer
+  * through the repo's own frame codecs (8-byte LE uncompressed-size
+  * prefix per buffer, -1 meaning stored raw, output length
+  * VERIFIED).
+  *
   * FAIL-CLOSED NULL for: bad magics, an absent column,
   * dictionary-encoded fields, nested/list/decimal/temporal types,
-  * body compression (the `compression` field present), any buffer or
+  * unknown compression codecs or methods, any buffer or
   * flatbuffer offset escaping its slice, node/buffer counts that
   * disagree with the schema walk. Per-row bounded work, zero
   * shuffle, codegen'd. */
@@ -244,7 +250,18 @@ object ArrowColumnValues {
           if (ht != 3) throw Bad // expected a RecordBatch
           val hP = fieldPos(msg, 2, msgLo, msgHi)
           val rb = indirect(hP, msgLo, msgHi)
-          if (fieldPos(rb, 3, msgLo, msgHi) != 0) throw Bad // compressed
+          // BodyCompression: codec 0 = LZ4_FRAME, 1 = ZSTD; method
+          // must be the per-buffer default
+          var comp = -1
+          val cP = fieldPos(rb, 3, msgLo, msgHi)
+          if (cP != 0) {
+            val ct = indirect(cP, msgLo, msgHi)
+            val codecP = fieldPos(ct, 0, msgLo, msgHi)
+            comp = if (codecP == 0) 0 else bytes(codecP) & 0xff
+            val methodP = fieldPos(ct, 1, msgLo, msgHi)
+            if (methodP != 0 && bytes(methodP) != 0) throw Bad
+            if (comp != 0 && comp != 1) throw Bad
+          }
           val rows = le64(fieldPos(rb, 0, msgLo, msgHi) match {
             case 0 => throw Bad
             case p => p
@@ -271,49 +288,83 @@ object ArrowColumnValues {
           val nodeP = nodes + 4 + 16 * target
           if (nodeP + 16 > msgHi) throw Bad
           val nullCount = le64(nodeP + 8)
-          val (vOff, vLen) = buffer(0)
-          def bodyAt(off2: Long, len: Long): Int = {
-            if (off2 < 0 || len < 0 ||
-              bodyStart + off2 + len > o + metaLen + bodyLen) throw Bad
-            (bodyStart + off2).toInt
+          // materialize a buffer: slice when plain, decompress when
+          // the batch declares BodyCompression (per-buffer 8-byte LE
+          // uncompressed-length prefix; -1 means stored raw)
+          def bufferBytes(k: Int): Array[Byte] = {
+            val (bOff, bLen) = buffer(k)
+            if (bLen == 0) return Array.emptyByteArray
+            if (bOff < 0 || bLen < 0 ||
+              bodyStart + bOff + bLen > o + metaLen + bodyLen) throw Bad
+            val st = (bodyStart + bOff).toInt
+            if (comp < 0)
+              java.util.Arrays.copyOfRange(bytes, st, st + bLen.toInt)
+            else {
+              if (bLen < 8) throw Bad
+              var ul = 0L
+              var k2 = 7
+              while (k2 >= 0) {
+                ul = (ul << 8) | (bytes(st + k2) & 0xffL)
+                k2 -= 1
+              }
+              if (ul == -1L)
+                java.util.Arrays.copyOfRange(bytes, st + 8, st + bLen.toInt)
+              else {
+                if (ul < 0 || ul > (1 << 28)) throw Bad
+                val packed = java.util.Arrays.copyOfRange(
+                  bytes, st + 8, st + bLen.toInt)
+                val outB =
+                  if (comp == 0) FrameCodecs.lz4Frame(packed, ul.toInt)
+                  else ZstdPayload.compute(packed, ul.toInt)
+                if (outB == null || outB.length != ul) throw Bad
+                outB
+              }
+            }
           }
-          val validity =
-            if (vLen == 0) {
-              if (nullCount != 0) throw Bad
-              -1
-            } else bodyAt(vOff, vLen)
+          def aLe16(a: Array[Byte], p: Int): Int =
+            (a(p) & 0xff) | ((a(p + 1) & 0xff) << 8)
+          def aLe32(a: Array[Byte], p: Int): Int =
+            (a(p) & 0xff) | ((a(p + 1) & 0xff) << 8) |
+              ((a(p + 2) & 0xff) << 16) | ((a(p + 3) & 0xff) << 24)
+          def aLe64(a: Array[Byte], p: Int): Long = {
+            var v = 0L
+            var k = 7
+            while (k >= 0) { v = (v << 8) | (a(p + k) & 0xffL); k -= 1 }
+            v
+          }
+          val validity = bufferBytes(0)
+          if (validity.length == 0 && nullCount != 0) throw Bad
+          if (validity.length != 0 && validity.length.toLong * 8 < rows)
+            throw Bad
           def isValid(r: Int): Boolean =
-            validity < 0 ||
-              ((bytes(validity + (r >> 3)) >> (r & 7)) & 1) != 0
-          if (validity >= 0 && vLen * 8 < rows) throw Bad
+            validity.length == 0 ||
+              ((validity(r >> 3) >> (r & 7)) & 1) != 0
 
           tType.kind match {
             case 0 | 1 | 4 => // fixed width / bool
-              val (dOff, dLen) = buffer(1)
+              val d = bufferBytes(1)
               val w = tType.bits
-              val needBits = rows * w
-              if (dLen * 8 < needBits) throw Bad
-              val d = bodyAt(dOff, dLen)
+              if (d.length.toLong * 8 < rows * w) throw Bad
               var r = 0
               while (r < rows && out.size() < maxVals) {
                 if (!isValid(r)) out.add(null)
                 else out.add(UTF8String.fromString(tType.kind match {
                   case 4 =>
-                    if (((bytes(d + (r >> 3)) >> (r & 7)) & 1) != 0)
+                    if (((d(r >> 3) >> (r & 7)) & 1) != 0)
                       "true" else "false"
                   case 1 =>
                     if (w == 32)
-                      java.lang.Float.intBitsToFloat(le32(d + 4 * r))
+                      java.lang.Float.intBitsToFloat(aLe32(d, 4 * r))
                         .toString
                     else
-                      java.lang.Double.longBitsToDouble(le64(d + 8 * r))
+                      java.lang.Double.longBitsToDouble(aLe64(d, 8 * r))
                         .toString
                   case _ =>
                     val raw = w match {
-                      case 8 => bytes(d + r).toLong
-                      case 16 => (le16(d + 2 * r).toShort).toLong
-                      case 32 => le32(d + 4 * r).toLong
-                      case _ => le64(d + 8 * r)
+                      case 8 => d(r).toLong
+                      case 16 => (aLe16(d, 2 * r).toShort).toLong
+                      case 32 => aLe32(d, 4 * r).toLong
+                      case _ => aLe64(d, 8 * r)
                     }
                     if (tType.signed) raw.toString
                     else w match {
@@ -326,26 +377,24 @@ object ArrowColumnValues {
                 r += 1
               }
             case _ => // utf8 / binary: offsets int32 + data
-              val (oOff, oLen) = buffer(1)
-              val (dOff, dLen) = buffer(2)
-              if (oLen < (rows + 1) * 4) throw Bad
-              val op = bodyAt(oOff, oLen)
-              val dp = bodyAt(dOff, dLen)
+              val op = bufferBytes(1)
+              val dBuf = bufferBytes(2)
+              if (op.length.toLong < (rows + 1) * 4) throw Bad
               var r = 0
               while (r < rows && out.size() < maxVals) {
                 if (!isValid(r)) out.add(null)
                 else {
-                  val s = le32(op + 4 * r)
-                  val e = le32(op + 4 * (r + 1))
-                  if (s < 0 || e < s || e > dLen) throw Bad
+                  val s = aLe32(op, 4 * r)
+                  val e = aLe32(op, 4 * (r + 1))
+                  if (s < 0 || e < s || e > dBuf.length) throw Bad
                   if (tType.kind == 2)
                     out.add(UTF8String.fromBytes(
-                      java.util.Arrays.copyOfRange(bytes, dp + s, dp + e)))
+                      java.util.Arrays.copyOfRange(dBuf, s, e)))
                   else {
                     val sb = new java.lang.StringBuilder(2 * (e - s))
-                    var q = dp + s
-                    while (q < dp + e) {
-                      sb.append("%02x".format(bytes(q) & 0xff))
+                    var q = s
+                    while (q < e) {
+                      sb.append("%02x".format(dBuf(q) & 0xff))
                       q += 1
                     }
                     out.add(UTF8String.fromString(sb.toString))

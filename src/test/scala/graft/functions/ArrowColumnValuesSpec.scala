@@ -49,6 +49,22 @@ class ArrowColumnValuesSpec extends AnyFunSuite {
     }
   }
 
+  test("BODY COMPRESSION: pyarrow's zstd and lz4-frame IPC files " +
+    "decode every column identically to the plain file") {
+    for (f <- Seq("arrow_zstd.hex", "arrow_lz4.hex")) {
+      val b = res(f)
+      val (_, nb, nv, i64) = values(b, "i64")
+      assert(nb == 2 && nv == 6L, f)
+      assert(i64 == Seq("5", null, "-7", (1L << 40).toString, "0", "42"), f)
+      val (_, _, _, s) = values(b, "s")
+      assert(s == Seq("alpha", null, "", "beta", "café", "zz"), f)
+      val (_, _, _, bin) = values(b, "bin")
+      assert(bin == Seq("0102", "", "ff", "616263", "00", "1020"), f)
+      val (_, _, _, flag) = values(b, "flag")
+      assert(flag == Seq("true", "false", "true", "true", null, "false"), f)
+    }
+  }
+
   test("maxVals caps materialization, n_values stays exact") {
     val r = ArrowColumnValues.compute(res("arrow_v5.hex"), "i64", 3)
     assert(r.getArray(3).numElements() == 3 && r.getLong(2) == 6L)
