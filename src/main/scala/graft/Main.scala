@@ -73,6 +73,8 @@ object Main {
     |                   |bz2|zstd|xz|lz4|sz|mbox|cfb-meta|wiki-pages|wiki-corpus
     |                   |parquet-meta|parquet-stats|orc-meta|orc-stripes|orc-column-stats|arrow-meta
     |                   |mp3-duration|image-dhash|gif-frames|webp-frames|xlsx-sheets|ico|tiff-dhash|flac-tags|wav-info
+    |                   |tar-z|unlzw|lzma|ar-list|deb-control|cpio-list|rpm-info|rpm-files
+    |                   |aiff|binary-meta|font-meta|woff-font|midi|subtitles
     |                (payloads: doc_id + the format's payload column)
     |  ingest-avro  --path DIR --target DIR [--ddl "a BIGINT, b STRING"]
     |  ingest-bson/-msgpack/-cbor --path DIR --ddl "a BIGINT, t STRING" --target DIR
@@ -489,7 +491,7 @@ object Main {
       case "extract-archive" =>
         // the crawl-container tier behind one verb: each format is
         // the narrow kernel pipeline documented on its operator
-        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.functions.{col, posexplode}
         val docs = spark.read.parquet(one("payloads"))
         val out = one("format") match {
           case "warc-gz" =>
@@ -557,6 +559,56 @@ object Main {
           case "tar-bz2" => ext.Multimodal.tarBz2List(docs)
           case "tar-lz4" => ext.Multimodal.tarLz4List(docs)
           case "tar-sz" => ext.Multimodal.tarSzList(docs)
+          case "tar-z" => ext.Multimodal.tarZList(docs)
+          case "unlzw" => docs.select(col("doc_id"),
+            functions.LzwUncompress(col("payload"), 1 << 26).as("data"))
+          case "lzma" => docs.select(col("doc_id"),
+            functions.LzmaAlonePayload(col("payload"), 1 << 26).as("data"))
+          case "ar-list" => docs.select(col("doc_id"),
+            posexplode(ext.Multimodal.arEntries(col("payload")))
+              .as(Seq("pos", "e")))
+            .select(col("doc_id"), col("pos"), col("e.name"),
+              col("e.offset"), col("e.size"), col("e.mtime"))
+          case "deb-control" => ext.Multimodal.debControl(docs)
+          case "cpio-list" => docs.select(col("doc_id"),
+            posexplode(ext.Multimodal.cpioEntries(col("payload")))
+              .as(Seq("pos", "e")))
+            .select(col("doc_id"), col("pos"), col("e.name"),
+              col("e.offset"), col("e.size"), col("e.mode"),
+              col("e.mtime"))
+          case "rpm-info" => docs.select(col("doc_id"),
+            ext.Multimodal.rpmInfo(col("payload")).as("__r"))
+            .select(col("doc_id"), col("__r.name"), col("__r.version"),
+              col("__r.release"), col("__r.arch"),
+              col("__r.payload_compressor"))
+          case "rpm-files" => ext.Multimodal.rpmFiles(docs)
+          case "aiff" => docs.select(col("doc_id"),
+            ext.Multimodal.aiffMeta(col("payload")).as("__a"))
+            .select(col("doc_id"), col("__a.form"), col("__a.channels"),
+              col("__a.sample_rate"), col("__a.duration_ms"),
+              col("__a.codec"))
+          case "binary-meta" => docs.select(col("doc_id"),
+            ext.Multimodal.binaryMeta(col("payload")).as("__b"))
+            .select(col("doc_id"), col("__b.format"), col("__b.arch"),
+              col("__b.bits"), col("__b.kind"), col("__b.n_sections"))
+          case "font-meta" => docs.select(col("doc_id"),
+            ext.Multimodal.fontMeta(col("payload")).as("__f"))
+            .select(col("doc_id"), col("__f.format"), col("__f.family"),
+              col("__f.full_name"), col("__f.n_glyphs"))
+          case "woff-font" => docs.select(col("doc_id"),
+            ext.Multimodal.fontMeta(
+              ext.Multimodal.woffSfnt(col("payload"))).as("__f"))
+            .select(col("doc_id"), col("__f.format"), col("__f.family"),
+              col("__f.full_name"), col("__f.n_glyphs"))
+          case "midi" => docs.select(col("doc_id"),
+            ext.Multimodal.midiMeta(col("payload")).as("__m"))
+            .select(col("doc_id"), col("__m.format"), col("__m.n_tracks"),
+              col("__m.duration_ms"), col("__m.n_notes"))
+          case "subtitles" => docs.select(col("doc_id"),
+            posexplode(ext.TextAnalysis.subtitleCues(
+              functions.Utf8Text(col("payload")))).as(Seq("pos", "c")))
+            .select(col("doc_id"), col("pos"), col("c.cue_id"),
+              col("c.start_ms"), col("c.end_ms"), col("c.text"))
           case "cfb-meta" => docs
             .select(col("doc_id"),
               ext.Multimodal.cfbMeta(col("payload")).as("__m"))
