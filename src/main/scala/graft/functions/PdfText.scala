@@ -13,9 +13,16 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Simple-PDF text extraction — the parser `pdfMeta`'s token census
   * deliberately is not: walk every `<< … >> stream … endstream`
-  * object, decode FlateDecode streams with `java.util.zip.Inflater`
-  * (zlib framing — the PngDhash machinery) and take unfiltered
-  * streams verbatim, then scan each content stream's `BT … ET` text
+  * object, decode each stream through its FULL `/Filter` chain —
+  * FlateDecode (`java.util.zip.Inflater`, zlib framing), LZWDecode
+  * (MSB-first 9→12-bit codes, `/EarlyChange` honored), ASCII85Decode,
+  * ASCIIHexDecode and RunLengthDecode, singly or as a `/Filter`
+  * ARRAY applied in sequence (`[/ASCII85Decode /FlateDecode]`), with
+  * PNG/TIFF `/Predictor` inversion after a Flate/LZW stage — take
+  * unfiltered streams verbatim, and SKIP-AND-COUNT streams carrying
+  * filters this kernel must not pretend to read (DCTDecode,
+  * CCITTFaxDecode, JBIG2Decode, JPXDecode, Crypt), then scan each
+  * content stream's `BT … ET` text
   * blocks for the show operators — `(…) Tj`, `(…) '`, `(…) "` and
   * `[(…) -120 (…)] TJ` — parsing PDF literal strings in full
   * (balanced nested parens, the `\n \r \t \b \f \( \) \\` escapes,
@@ -31,7 +38,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * subset fonts embed arbitrary glyph codes that are garbage as raw
   * bytes): when the document contains `/ToUnicode`, the kernel
   * parses the indirect objects (`N G obj … endobj`), decodes each
-  * font's ToUnicode CMap stream (FlateDecode or raw), reads its
+  * font's ToUnicode CMap stream (any decodable filter chain), reads its
   * `begincodespacerange`/`beginbfchar`/`beginbfrange` entries
   * (array and incremented-range destinations, UTF-16BE values), and
   * resolves page `/Resources → /Font` name→font maps so that a
@@ -47,8 +54,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * malformed, or over the 64k-entry cap) keep the latin1 tier —
   * fail-closed to the old contract, never a throw.
   *
-  * Remaining honestly-documented bounds: fonts whose ToUnicode is
-  * absent (pure Identity-H with no CMap) still emit raw code bytes,
+  * IDENTITY-H WITHOUT TOUNICODE (round 16): a Type0 font carrying
+  * `/Encoding /Identity-H` but no usable ToUnicode resolves through
+  * its EMBEDDED TrueType program — `/DescendantFonts → /FontDescriptor
+  * → /FontFile2`, decoded through the filter chain, its `cmap` table
+  * (formats 4 and 12) INVERTED glyph→unicode (smallest codepoint
+  * wins when a glyph serves several) — valid because Identity-H show
+  * codes ARE glyph ids when `/CIDToGIDMap` is identity (the default;
+  * a stream-valued CIDToGIDMap keeps the raw tier). Unmapped glyphs
+  * emit U+FFFD like any unmapped CMap code.
+  *
+  * Remaining honestly-documented bounds: CFF programs (`/FontFile3`)
+  * are not inverted (no glyf-order cmap guarantee),
   * and `Tf` operators between BT blocks are not tracked (real
   * writers set the font inside the text object). Undecodable or
   * over-`maxOut` streams are SKIPPED and counted, not fatal: output
@@ -100,8 +117,10 @@ object PdfTextExtract {
     // ToUnicode — the common simple-PDF path pays one indexOf
     val env: FontEnv =
       // /ToUnicode may itself be INSIDE a deflated /ObjStm, so the
-      // cheap gate must fire on either token
-      if (doc.contains("/ToUnicode") || doc.contains("/ObjStm"))
+      // cheap gate must fire on either token; /Identity-H fonts
+      // resolve through their embedded program's cmap
+      if (doc.contains("/ToUnicode") || doc.contains("/ObjStm") ||
+        doc.contains("/Identity-H"))
         buildFontEnv(doc, maxStreams, maxOut)
       else null
     val out = new java.lang.StringBuilder
@@ -127,37 +146,29 @@ object PdfTextExtract {
       if (dataStart < 0) { pos = sk + 6 }
       else {
         nStreams += 1
-        val end = doc.indexOf("endstream", dataStart)
-        if (end < 0) {
-          val txt = out.toString
-          return new GenericInternalRow(Array[Any](
-            UTF8String.fromString(txt), nStreams, nDecoded))
-        }
-        // raw data (strip one trailing EOL the writer put before the
-        // endstream keyword)
-        var dEnd = end
-        if (dEnd > dataStart && doc.charAt(dEnd - 1) == '\n') dEnd -= 1
-        if (dEnd > dataStart && doc.charAt(dEnd - 1) == '\r') dEnd -= 1
         // the dict governing this stream: backwards balanced <</>> scan
         // finds the OUTER opener — a plain lastIndexOf("<<") would stop
         // at a nested dict (/DecodeParms << … >>) and miss /FlateDecode
         val dictStart = dictStartBefore(doc, sk)
         val dict = if (dictStart >= 0) doc.substring(dictStart, sk) else ""
-        val flate = dict.contains("/FlateDecode")
+        val (dEnd, end) = streamBounds(doc, dict, dataStart)
+        if (end < 0) {
+          val txt = out.toString
+          return new GenericInternalRow(Array[Any](
+            UTF8String.fromString(txt), nStreams, nDecoded))
+        }
         val data = doc.substring(dataStart, dEnd)
           .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-        val content: String =
-          if (!flate)
-            new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
-          else inflateZlib(data, maxOut) match {
-            case null => null
-            case b =>
-              new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
-          }
+        val content: String = decodeStream(dict, data, maxOut) match {
+          case null => null
+          case b =>
+            new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+        }
         if (content != null) {
           nDecoded += 1
+          val skipScan = env != null && env.isResourceStream(dataStart)
           val fonts = if (env == null) null else env.fontsFor(dataStart)
-          val t = extractShownText(content, fonts)
+          val t = if (skipScan) "" else extractShownText(content, fonts)
           if (t.nonEmpty) {
             if (out.length > 0) out.append('\n')
             out.append(t)
@@ -193,6 +204,436 @@ object PdfTextExtract {
       } else i -= 1
     }
     -1
+  }
+
+  /** A DIRECT (non-reference) integer `/Length` in `dict`, or -1. */
+  private def directLengthAt(dict: String): Int = {
+    val at = keyValueAt(dict, "/Length")
+    if (at < 0) return -1
+    if (refAt(dict, at) >= 0) return -1 // `N 0 R`: indirect, unusable
+    var i = at
+    while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
+    val s = i
+    while (i < dict.length && dict.charAt(i).isDigit) i += 1
+    if (i == s || i - s > 8) -1 else Integer.parseInt(dict.substring(s, i))
+  }
+
+  /** Bounds of one stream's raw data: trust a DIRECT `/Length` whose
+    * end lands (past at most one EOL) exactly on the `endstream`
+    * keyword — binary filter output may legally END in EOL bytes or
+    * even contain the keyword text — else fall back to the
+    * one-EOL-strip heuristic. Returns `(dataEnd, endKeywordAt)`,
+    * `(-1, -1)` when no `endstream` terminates the stream. */
+  private def streamBounds(doc: String, dict: String,
+                           dataStart: Int): (Int, Int) = {
+    val len = directLengthAt(dict)
+    if (len >= 0 && dataStart.toLong + len <= doc.length) {
+      var k = dataStart + len
+      if (k < doc.length && doc.charAt(k) == '\r') k += 1
+      if (k < doc.length && doc.charAt(k) == '\n') k += 1
+      if (doc.startsWith("endstream", k)) return (dataStart + len, k)
+    }
+    val end = doc.indexOf("endstream", dataStart)
+    if (end < 0) return (-1, -1)
+    var dEnd = end
+    if (dEnd > dataStart && doc.charAt(dEnd - 1) == '\n') dEnd -= 1
+    if (dEnd > dataStart && doc.charAt(dEnd - 1) == '\r') dEnd -= 1
+    (dEnd, end)
+  }
+
+  /** Names of the stream filters this kernel can decode. */
+  private val Decodable = Set("FlateDecode", "Fl", "LZWDecode", "LZW",
+    "ASCII85Decode", "A85", "ASCIIHexDecode", "AHx",
+    "RunLengthDecode", "RL")
+
+  /** `/Filter` chain of a stream dict: a single name, an array of
+    * names applied in sequence, or empty (no filter). Null when any
+    * named filter is outside [[Decodable]] (DCTDecode, CCITTFax,
+    * JBIG2, JPX, Crypt — image/crypto filters this kernel must not
+    * pretend to read) or the value is malformed. */
+  private def filterChain(dict: String): Array[String] = {
+    val at = keyValueAt(dict, "/Filter")
+    if (at < 0) return Array.empty
+    var i = at
+    val n = dict.length
+    while (i < n && dict.charAt(i).isWhitespace) i += 1
+    def name(): String = {
+      if (i >= n || dict.charAt(i) != '/') return null
+      i += 1
+      val s = i
+      while (i < n && isRegular(dict.charAt(i))) i += 1
+      if (i == s) null else dict.substring(s, i)
+    }
+    if (i < n && dict.charAt(i) == '[') {
+      i += 1
+      val out = new scala.collection.mutable.ArrayBuffer[String]
+      while (i < n && dict.charAt(i) != ']') {
+        if (dict.charAt(i) == '/') {
+          val f = name()
+          if (f == null || !Decodable.contains(f)) return null
+          out += f
+        } else i += 1
+      }
+      out.toArray
+    } else {
+      val f = name()
+      if (f == null || !Decodable.contains(f)) null else Array(f)
+    }
+  }
+
+  /** Decode one stream's raw data through its `/Filter` chain:
+    * FlateDecode, LZWDecode (MSB-first 9→12-bit codes, `/EarlyChange`
+    * honored, default 1), ASCII85Decode, ASCIIHexDecode and
+    * RunLengthDecode — singly or as a `/Filter` ARRAY applied in
+    * sequence — with PNG (`/Predictor` ≥ 10) and TIFF (`/Predictor`
+    * 2) row-predictor inversion after a Flate/LZW stage (parms are
+    * read from the stream dict; the overwhelmingly common real shape
+    * is a single predicted stage). Null = undecodable: an unknown
+    * filter, corrupt data, or output over `maxOut` — the caller
+    * counts the skip, never guesses. */
+  private[functions] def decodeStream(dict: String, data: Array[Byte],
+                                      maxOut: Int): Array[Byte] = {
+    val chain = filterChain(dict)
+    if (chain == null) return null
+    var cur = data
+    for (f <- chain) {
+      if (cur == null) return null
+      cur = f match {
+        case "FlateDecode" | "Fl" => predicted(dict, inflateZlib(cur, maxOut))
+        case "LZWDecode" | "LZW" =>
+          val ec = intValueAt(dict, "/EarlyChange") match {
+            case 0 => 0
+            case _ => 1 // absent (-1) or any other value: spec default
+          }
+          predicted(dict, lzwDecode(cur, ec, maxOut))
+        case "ASCII85Decode" | "A85" => a85Decode(cur, maxOut)
+        case "ASCIIHexDecode" | "AHx" => ahxDecode(cur, maxOut)
+        case "RunLengthDecode" | "RL" => rlDecode(cur, maxOut)
+        case _ => null
+      }
+    }
+    cur
+  }
+
+  /** Apply the dict's `/Predictor` (if any) to a Flate/LZW result:
+    * ≥ 10 inverts the PNG row filters (None/Sub/Up/Average/Paeth,
+    * `/Colors`·`/BitsPerComponent`-wide left stride, default 1·8),
+    * 2 inverts the TIFF horizontal differencing (8-bit components
+    * only). 1 or absent passes through; malformed geometry → null. */
+  private def predicted(dict: String, data: Array[Byte]): Array[Byte] = {
+    if (data == null) return null
+    val pred = intValueAt(dict, "/Predictor")
+    if (pred <= 1) return data
+    val columns = math.max(1, intValueAt(dict, "/Columns"))
+    val colors = intValueAt(dict, "/Colors") match {
+      case -1 => 1
+      case c => c
+    }
+    val bpcV = intValueAt(dict, "/BitsPerComponent") match {
+      case -1 => 8
+      case b => b
+    }
+    if (colors < 1 || colors > 4) return null
+    val bpp = math.max(1, colors * bpcV / 8)
+    val rowBytes = (columns.toLong * colors * bpcV + 7) / 8
+    if (rowBytes <= 0 || rowBytes > Int.MaxValue - 1) return null
+    val rb = rowBytes.toInt
+    if (pred == 2) {
+      if (bpcV != 8) return null // sub-byte TIFF differencing: refuse
+      val out = data.clone()
+      var r = 0
+      while (r + rb <= out.length) {
+        var i = r + bpp
+        while (i < r + rb && i < out.length) {
+          out(i) = (out(i) + out(i - bpp)).toByte
+          i += 1
+        }
+        r += rb
+      }
+      return out
+    }
+    if (pred < 10) return null
+    // PNG predictors: rows of (tag + rowBytes)
+    if (data.length % (rb + 1) != 0) return null
+    val rows = data.length / (rb + 1)
+    val out = new Array[Byte](rows * rb)
+    var r = 0
+    while (r < rows) {
+      val tag = data(r * (rb + 1)) & 0xff
+      val src = r * (rb + 1) + 1
+      val dst = r * rb
+      var i = 0
+      while (i < rb) {
+        val raw = data(src + i) & 0xff
+        val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+        val up = if (r > 0) out(dst - rb + i) & 0xff else 0
+        val ul = if (r > 0 && i >= bpp) out(dst - rb + i - bpp) & 0xff else 0
+        val v = tag match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + ((left + up) >> 1)
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            raw + (if (pa <= pb && pa <= pc) left
+                   else if (pb <= pc) up else ul)
+          case _ => return null
+        }
+        out(dst + i) = v.toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** PDF LZWDecode: MSB-first variable-width codes starting at 9
+    * bits, Clear=256 resets the table, EOD=257 ends the stream
+    * (REQUIRED — exhausting input without it is corrupt, null), width
+    * bumps at table size `2^w - earlyChange` (the spec default
+    * `/EarlyChange 1` matches TIFF's one-early bump). Growable
+    * output, `maxOut`-capped. */
+  private[functions] def lzwDecode(src: Array[Byte], earlyChange: Int,
+                                   maxOut: Int): Array[Byte] = {
+    val Clear = 256
+    val Eod = 257
+    val maxCodes = 4096
+    val prefix = new Array[Int](maxCodes)
+    val append = new Array[Byte](maxCodes)
+    val length = new Array[Int](maxCodes)
+    var next = 258
+    var width = 9
+    var bitPos = 0L
+    val bitEnd = src.length.toLong * 8
+    var out = new Array[Byte](math.min(maxOut, math.max(64, src.length * 3)))
+    var o = 0
+    var prev = -1
+    def ensure(extra: Int): Boolean = {
+      if (o + extra <= out.length) return true
+      if (o + extra > maxOut) return false
+      var cap = out.length
+      while (cap < o + extra) cap = math.min(maxOut, cap * 2)
+      out = java.util.Arrays.copyOf(out, cap)
+      true
+    }
+    def firstByte(code: Int): Int = {
+      var c = code
+      while (c >= 258) c = prefix(c)
+      c
+    }
+    def emit(code: Int): Int = {
+      if (code < 256) {
+        if (!ensure(1)) return -1
+        out(o) = code.toByte
+        o += 1
+        code
+      } else {
+        val n = length(code)
+        if (!ensure(n)) return -1
+        var c = code
+        var p = o + n
+        while (c >= 258) { p -= 1; out(p) = append(c); c = prefix(c) }
+        p -= 1
+        out(p) = c.toByte
+        o += n
+        c
+      }
+    }
+    while (true) {
+      if (bitPos + width > bitEnd) return null // no EOD: corrupt
+      var code = 0
+      var i = 0
+      while (i < width) {
+        val bp = bitPos + i
+        code = (code << 1) |
+          ((src((bp >>> 3).toInt) >>> (7 - (bp & 7).toInt)) & 1)
+        i += 1
+      }
+      bitPos += width
+      if (code == Eod) return java.util.Arrays.copyOf(out, o)
+      if (code == Clear) {
+        next = 258
+        width = 9
+        prev = -1
+      } else if (prev < 0) {
+        if (code >= 256) return null // first code after clear: literal
+        if (emit(code) < 0) return null
+        prev = code
+      } else {
+        var first = 0
+        if (code < next) {
+          first = emit(code)
+          if (first < 0) return null
+        } else if (code == next) { // KwK
+          val pf = firstByte(prev)
+          first = emit(prev)
+          if (first < 0) return null
+          if (!ensure(1)) return null
+          out(o) = pf.toByte
+          o += 1
+        } else return null
+        if (next < maxCodes) {
+          prefix(next) = prev
+          append(next) = first.toByte
+          length(next) = (if (prev < 256) 1 else length(prev)) + 1
+          next += 1
+        }
+        if (next == (1 << width) - earlyChange && width < 12) width += 1
+        prev = code
+      }
+    }
+    null // unreachable
+  }
+
+  /** ASCII85Decode: 5 chars `!`..`u` → 4 bytes base-85, `z` = four
+    * zero bytes (only between groups), whitespace skipped, `~>` ends;
+    * a trailing partial group of n chars yields n-1 bytes (padded
+    * with `u`). A lone trailing char, out-of-range chars, `z` inside
+    * a group or 32-bit overflow → null. */
+  private[functions] def a85Decode(src: Array[Byte],
+                                   maxOut: Int): Array[Byte] = {
+    var out = new Array[Byte](math.min(maxOut, math.max(64, src.length)))
+    var o = 0
+    def ensure(extra: Int): Boolean = {
+      if (o + extra <= out.length) return true
+      if (o + extra > maxOut) return false
+      out = java.util.Arrays.copyOf(out,
+        math.min(maxOut, math.max(out.length * 2, o + extra)))
+      true
+    }
+    var acc = 0L
+    var k = 0
+    var i = 0
+    // optional <~ opener (Adobe framing)
+    if (src.length >= 2 && src(0) == '<' && src(1) == '~') i = 2
+    var ended = false
+    while (i < src.length && !ended) {
+      val c = (src(i) & 0xff).toChar
+      if (c == '~') {
+        ended = true // `~>` terminator (trailing '>' not required here)
+      } else if (c == 'z') {
+        if (k != 0) return null
+        if (!ensure(4)) return null
+        out(o) = 0; out(o + 1) = 0; out(o + 2) = 0; out(o + 3) = 0
+        o += 4
+      } else if (c.isWhitespace) {
+        // skip
+      } else if (c >= '!' && c <= 'u') {
+        acc = acc * 85 + (c - '!')
+        k += 1
+        if (k == 5) {
+          if (acc > 0xffffffffL) return null
+          if (!ensure(4)) return null
+          out(o) = (acc >> 24).toByte
+          out(o + 1) = (acc >> 16).toByte
+          out(o + 2) = (acc >> 8).toByte
+          out(o + 3) = acc.toByte
+          o += 4
+          acc = 0
+          k = 0
+        }
+      } else return null
+      i += 1
+    }
+    if (k == 1) return null
+    if (k > 1) {
+      var pad = k
+      var a = acc
+      while (pad < 5) { a = a * 85 + 84; pad += 1 } // pad with 'u'
+      if (a > 0xffffffffL) return null
+      if (!ensure(k - 1)) return null
+      var j = 0
+      while (j < k - 1) {
+        out(o) = (a >> (24 - 8 * j)).toByte
+        o += 1
+        j += 1
+      }
+    }
+    java.util.Arrays.copyOf(out, o)
+  }
+
+  /** ASCIIHexDecode: hex pairs, whitespace skipped, `>` ends, odd
+    * final digit takes low nibble 0; any other char → null. */
+  private[functions] def ahxDecode(src: Array[Byte],
+                                   maxOut: Int): Array[Byte] = {
+    val out = new Array[Byte](math.min(maxOut.toLong,
+      src.length / 2 + 1).toInt)
+    var o = 0
+    var hi = -1
+    var i = 0
+    while (i < src.length) {
+      val c = (src(i) & 0xff).toChar
+      if (c == '>') {
+        if (hi >= 0) {
+          if (o >= out.length) return null
+          out(o) = (hi << 4).toByte
+          o += 1
+        }
+        return java.util.Arrays.copyOf(out, o)
+      }
+      val v =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else if (c.isWhitespace) -2
+        else return null
+      if (v >= 0) {
+        if (hi < 0) hi = v
+        else {
+          if (o >= out.length) return null
+          out(o) = ((hi << 4) | v).toByte
+          o += 1
+          hi = -1
+        }
+      }
+      i += 1
+    }
+    // EOD '>' is technically required; tolerate its absence at EOF
+    if (hi >= 0) {
+      if (o >= out.length) return null
+      out(o) = (hi << 4).toByte
+      o += 1
+    }
+    java.util.Arrays.copyOf(out, o)
+  }
+
+  /** RunLengthDecode: tag 0..127 copies tag+1 literal bytes, 129..255
+    * repeats the next byte 257-tag times, 128 = EOD. Truncated data
+    * (no EOD, or a run past the input) → null. */
+  private[functions] def rlDecode(src: Array[Byte],
+                                  maxOut: Int): Array[Byte] = {
+    var out = new Array[Byte](math.min(maxOut, math.max(64, src.length * 2)))
+    var o = 0
+    def ensure(extra: Int): Boolean = {
+      if (o + extra <= out.length) return true
+      if (o + extra > maxOut) return false
+      out = java.util.Arrays.copyOf(out,
+        math.min(maxOut, math.max(out.length * 2, o + extra)))
+      true
+    }
+    var i = 0
+    while (i < src.length) {
+      val tag = src(i) & 0xff
+      i += 1
+      if (tag == 128) return java.util.Arrays.copyOf(out, o)
+      if (tag < 128) {
+        val n = tag + 1
+        if (i + n > src.length || !ensure(n)) return null
+        System.arraycopy(src, i, out, o, n)
+        i += n
+        o += n
+      } else {
+        val n = 257 - tag
+        if (i >= src.length || !ensure(n)) return null
+        java.util.Arrays.fill(out, o, o + n, src(i))
+        i += 1
+        o += n
+      }
+    }
+    null // input exhausted without the 128 EOD tag: corrupt
   }
 
   /** zlib inflate with the [[GunzipPayload]] cap discipline. */
@@ -611,11 +1052,8 @@ object PdfTextExtract {
             else if (doc.startsWith("stream\n", sk)) sk + 7
             else -1
           if (dataStart >= 0) {
-            val e = doc.indexOf("endstream", dataStart)
+            val (dEnd, e) = streamBounds(doc, dict, dataStart)
             if (e >= 0) {
-              var dEnd = e
-              if (dEnd > dataStart && doc.charAt(dEnd - 1) == '\n') dEnd -= 1
-              if (dEnd > dataStart && doc.charAt(dEnd - 1) == '\r') dEnd -= 1
               sStart = dataStart
               sEnd = dEnd
             }
@@ -635,7 +1073,8 @@ object PdfTextExtract {
       objs: Array[ObjInfo],
       byContent: java.util.HashMap[Integer,
         java.util.HashMap[String, UCMap]],
-      global: java.util.HashMap[String, UCMap]) {
+      global: java.util.HashMap[String, UCMap],
+      resourceStreams: java.util.HashSet[Integer]) {
     def fontsFor(dataStart: Int): java.util.HashMap[String, UCMap] = {
       var i = 0
       while (i < objs.length) {
@@ -647,6 +1086,20 @@ object PdfTextExtract {
         i += 1
       }
       global
+    }
+    /** Streams the env resolved as FONT RESOURCES (ToUnicode CMaps,
+      * embedded font programs): decoded and counted like any stream,
+      * but never text-scanned — a font's glyf data is binary that
+      * can contain coincidental `BT … Tj … ET` byte runs. */
+    def isResourceStream(dataStart: Int): Boolean = {
+      var i = 0
+      while (i < objs.length) {
+        val o = objs(i)
+        if (o.streamStart == dataStart)
+          return resourceStreams.contains(o.num)
+        i += 1
+      }
+      false
     }
   }
 
@@ -736,15 +1189,11 @@ object PdfTextExtract {
         if (n > 0 && n <= budget && first >= 0) {
           val data = doc.substring(o.streamStart, o.streamEnd)
             .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-          val text =
-            if (o.dict.contains("/FlateDecode"))
-              inflateZlib(data, maxOut) match {
-                case null => null
-                case b => new String(b,
-                  java.nio.charset.StandardCharsets.ISO_8859_1)
-              }
-            else new String(data,
+          val text = decodeStream(o.dict, data, maxOut) match {
+            case null => null
+            case b => new String(b,
               java.nio.charset.StandardCharsets.ISO_8859_1)
+          }
           if (text != null && first <= text.length) {
             // header: N whitespace-separated "objnum offset" pairs
             val nums = new Array[Int](n)
@@ -793,6 +1242,125 @@ object PdfTextExtract {
     if (extra == null) objs else objs ++ extra
   }
 
+  /** Invert an embedded TrueType program's `cmap` table (formats 4
+    * and 12, all encoding records merged): glyph id → the SMALLEST
+    * unicode codepoint that maps to it (deterministic when a glyph
+    * serves several codepoints). Returned as a synthetic 2-byte-code
+    * [[UCMap]] for the Identity-H tier, where show-string codes ARE
+    * glyph ids (CIDToGIDMap identity). Null when the program has no
+    * usable subtable; glyph 0 (.notdef) never maps. */
+  private[functions] def invertSfntCmap(fp: Array[Byte]): UCMap = {
+    try {
+      if (fp == null || fp.length < 12) return null
+      def be16(p: Int): Int = ((fp(p) & 0xff) << 8) | (fp(p + 1) & 0xff)
+      def be32(p: Int): Long =
+        ((fp(p) & 0xffL) << 24) | ((fp(p + 1) & 0xffL) << 16) |
+          ((fp(p + 2) & 0xffL) << 8) | (fp(p + 3) & 0xffL)
+      val v = be32(0)
+      if (v != 0x00010000L && v != 0x74727565L && v != 0x4f54544fL)
+        return null
+      val nTables = be16(4)
+      if (nTables <= 0 || nTables > 4096 || 12 + 16 * nTables > fp.length)
+        return null
+      var cmapOff = -1
+      var cmapLen = -1
+      var i = 0
+      while (i < nTables) {
+        val r = 12 + 16 * i
+        if (fp(r) == 'c' && fp(r + 1) == 'm' && fp(r + 2) == 'a' &&
+          fp(r + 3) == 'p') {
+          cmapOff = be32(r + 8).toInt
+          cmapLen = be32(r + 12).toInt
+        }
+        i += 1
+      }
+      if (cmapOff < 0 || cmapLen < 4 ||
+        cmapOff.toLong + cmapLen > fp.length) return null
+      val nRec = be16(cmapOff + 2)
+      if (nRec <= 0 || nRec > 64) return null
+      val inv = new java.util.HashMap[Integer, Integer]()
+      val MaxEntries = 1 << 16
+      def keep(glyph: Int, cp: Int): Unit =
+        if (glyph > 0 && glyph <= 0xffff && cp > 0 &&
+          inv.size < MaxEntries) {
+          val old = inv.get(glyph)
+          if (old == null || cp < old) inv.put(glyph, cp)
+        }
+      var rec = 0
+      while (rec < nRec) {
+        val off = cmapOff + be32(cmapOff + 4 + 8 * rec + 4).toInt
+        if (off >= 0 && off + 4 <= fp.length) {
+          val fmt = be16(off)
+          if (fmt == 4 && off + 14 <= fp.length) {
+            val segX2 = be16(off + 6)
+            val segs = segX2 / 2
+            if (segs > 0 && off + 16 + 4 * segX2 <= fp.length) {
+              var s = 0
+              while (s < segs) {
+                val endC = be16(off + 14 + 2 * s)
+                val startC = be16(off + 16 + segX2 + 2 * s)
+                val delta = be16(off + 16 + 2 * segX2 + 2 * s)
+                val roPos = off + 16 + 3 * segX2 + 2 * s
+                val ro = be16(roPos)
+                var c = startC
+                while (c <= endC && c != 0xffff) {
+                  val g =
+                    if (ro == 0) (c + delta) & 0xffff
+                    else {
+                      val ga = roPos + ro + 2 * (c - startC)
+                      if (ga + 1 >= fp.length) 0
+                      else {
+                        val raw = be16(ga)
+                        if (raw == 0) 0 else (raw + delta) & 0xffff
+                      }
+                    }
+                  keep(g, c)
+                  c += 1
+                }
+                s += 1
+              }
+            }
+          } else if (fmt == 12 && off + 16 <= fp.length) {
+            val nGroups = be32(off + 12)
+            if (nGroups > 0 && nGroups <= 65536 &&
+              off + 16 + 12 * nGroups <= fp.length) {
+              var g = 0
+              while (g < nGroups) {
+                val r = off + 16 + 12 * g
+                val startC = be32(r)
+                val endC = be32(r + 4)
+                val startG = be32(r + 8)
+                if (endC >= startC && endC - startC < MaxEntries &&
+                  endC <= 0x10ffff) {
+                  var c = startC
+                  while (c <= endC) {
+                    keep((startG + (c - startC)).toInt, c.toInt)
+                    c += 1
+                  }
+                }
+                g += 1
+              }
+            }
+          }
+        }
+        rec += 1
+      }
+      if (inv.isEmpty) return null
+      val m = new UCMap
+      m.ranges = Array(Array(2L, 0L, 0xffffL))
+      val it = inv.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        m.byWidth(2).put(e.getKey.longValue,
+          new String(Character.toChars(e.getValue.intValue)))
+      }
+      m.entries = inv.size
+      m
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => null
+    }
+  }
+
   private def buildFontEnv(doc: String, maxObjs: Int,
                            maxOut: Int): FontEnv = {
     try {
@@ -802,28 +1370,72 @@ object PdfTextExtract {
       val byNum = new java.util.HashMap[Integer, ObjInfo]()
       for (o <- objs) // top-level objects win number collisions
         if (!byNum.containsKey(o.num)) byNum.put(o.num, o)
+      def streamTextOf(ref: Int): Array[Byte] = {
+        val so = byNum.get(ref)
+        if (so == null || so.streamStart < 0) return null
+        val data = doc.substring(so.streamStart, so.streamEnd)
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        decodeStream(so.dict, data, maxOut)
+      }
       // font object → CMap
       val fontCmaps = new java.util.HashMap[Integer, UCMap]()
+      val resourceStreams = new java.util.HashSet[Integer]()
       for (o <- objs) {
         val at = keyValueAt(o.dict, "/ToUnicode")
         if (at >= 0) {
           val ref = refAt(o.dict, at)
-          val cm = byNum.get(ref)
-          if (cm != null && cm.streamStart >= 0) {
-            val data = doc.substring(cm.streamStart, cm.streamEnd)
-              .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-            val text =
-              if (cm.dict.contains("/FlateDecode"))
-                inflateZlib(data, maxOut) match {
-                  case null => null
-                  case b => new String(b,
-                    java.nio.charset.StandardCharsets.ISO_8859_1)
+          val decoded = streamTextOf(ref)
+          if (decoded != null) {
+            val parsed = parseCMap(new String(decoded,
+              java.nio.charset.StandardCharsets.ISO_8859_1))
+            if (parsed != null) {
+              fontCmaps.put(o.num, parsed)
+              resourceStreams.add(ref)
+            }
+          }
+        }
+      }
+      // Identity-H tier: a Type0 font WITHOUT a usable ToUnicode but
+      // with /Encoding /Identity-H and an embedded TrueType program
+      // whose cmap can be inverted (show codes = CIDs = glyph ids
+      // when CIDToGIDMap is identity — the default)
+      for (o <- objs) {
+        if (!fontCmaps.containsKey(o.num) &&
+          keyValueAt(o.dict, "/Identity-H") >= 0) {
+          val dfAt = keyValueAt(o.dict, "/DescendantFonts")
+          if (dfAt >= 0) {
+            // the value: an inline [N 0 R] array (the common shape)
+            var j = dfAt
+            while (j < o.dict.length && (o.dict.charAt(j).isWhitespace ||
+              o.dict.charAt(j) == '[')) j += 1
+            val dRef = refAt(o.dict, j)
+            val desc = if (dRef >= 0) byNum.get(dRef) else null
+            if (desc != null) {
+              // CIDToGIDMap must be identity (absent = identity)
+              val cgAt = keyValueAt(desc.dict, "/CIDToGIDMap")
+              val identity = cgAt < 0 || {
+                var k = cgAt
+                while (k < desc.dict.length &&
+                  desc.dict.charAt(k).isWhitespace) k += 1
+                desc.dict.startsWith("/Identity", k)
+              }
+              if (identity) {
+                val fdAt = keyValueAt(desc.dict, "/FontDescriptor")
+                val fd = if (fdAt >= 0)
+                  byNum.get(refAt(desc.dict, fdAt)) else null
+                if (fd != null) {
+                  val ffAt = keyValueAt(fd.dict, "/FontFile2")
+                  if (ffAt >= 0) {
+                    val ffRef = refAt(fd.dict, ffAt)
+                    val prog = streamTextOf(ffRef)
+                    val inverted = invertSfntCmap(prog)
+                    if (inverted != null) {
+                      fontCmaps.put(o.num, inverted)
+                      resourceStreams.add(ffRef)
+                    }
+                  }
                 }
-              else new String(data,
-                java.nio.charset.StandardCharsets.ISO_8859_1)
-            if (text != null) {
-              val parsed = parseCMap(text)
-              if (parsed != null) fontCmaps.put(o.num, parsed)
+              }
             }
           }
         }
@@ -915,7 +1527,7 @@ object PdfTextExtract {
           }
         }
       }
-      new FontEnv(objs, byContent, global)
+      new FontEnv(objs, byContent, global, resourceStreams)
     } catch {
       case _: RuntimeException => null
     }
