@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -51,7 +51,15 @@ object DeltaLog {
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType)))),
+      StructField("dataChange", BooleanType),
+      // Delta 3.x deletion vectors: without these columns a DV table's
+      // census would silently report soft-deleted rows as live size
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType))))))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
@@ -181,17 +189,26 @@ object DeltaLog {
     // may lack others — absent actions/fields read as null, never a
     // failed struct cast
     def conform(ck: DataFrame): DataFrame = {
+      // struct fields conform RECURSIVELY BY NAME (a positional
+      // struct cast would scramble e.g. a checkpoint deletionVector
+      // struct carrying extra or reordered fields)
+      def conformField(src: Column, srcType: DataType,
+                       want: DataType): Column = (srcType, want) match {
+        case (s: StructType, w: StructType) =>
+          when(src.isNotNull, struct(w.fields.map { f =>
+            (if (s.fieldNames.contains(f.name))
+              conformField(src.getField(f.name), s(f.name).dataType,
+                f.dataType)
+            else lit(null).cast(f.dataType)).as(f.name)
+          }: _*))
+        case _ => src.cast(want)
+      }
       val cols = actionSchema.fields.map { af =>
-        val st = af.dataType.asInstanceOf[StructType]
-        if (!ck.columns.contains(af.name)) lit(null).cast(st).as(af.name)
-        else {
-          val inner = ck.schema(af.name).dataType.asInstanceOf[StructType]
-          when(col(af.name).isNotNull, struct(st.fields.map { sf =>
-            (if (inner.fieldNames.contains(sf.name))
-              col(af.name + "." + sf.name).cast(sf.dataType)
-            else lit(null).cast(sf.dataType)).as(sf.name)
-          }: _*)).as(af.name)
-        }
+        if (!ck.columns.contains(af.name))
+          lit(null).cast(af.dataType).as(af.name)
+        else
+          conformField(col(af.name), ck.schema(af.name).dataType,
+            af.dataType).as(af.name)
       }
       ck.select(cols: _*)
     }
@@ -215,7 +232,12 @@ object DeltaLog {
 
   /** The LIVE file set: one row per data file in the current table
     * version — `(path, size, modification_time, partition_values,
-    * added_version)`. One shuffle keyed by path. */
+    * added_version, has_dv, dv_cardinality)`. The deletion-vector
+    * columns keep the census HONEST on Delta 3.x tables: a file with
+    * `has_dv` carries `dv_cardinality` soft-deleted rows, so file
+    * sizes and row counts derived from it are upper bounds (the DV
+    * bitmap itself is not decoded — no data file is opened). One
+    * shuffle keyed by path. */
   def snapshot(spark: SparkSession, tableDir: String): DataFrame = {
     val acts = actions(spark, tableDir)
       .filter(col("add").isNotNull || col("remove").isNotNull)
@@ -224,13 +246,16 @@ object DeltaLog {
         col("add.size").as("size"),
         col("add.modificationTime").as("modification_time"),
         col("add.partitionValues").as("partition_values"),
+        col("add.deletionVector").as("__dv"),
         col("version"))
     val w = Window.partitionBy("path")
       .orderBy(col("version").desc, col("is_add").desc)
     acts.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("is_add"))
       .select(col("path"), col("size"), col("modification_time"),
-        col("partition_values"), col("version").as("added_version"))
+        col("partition_values"), col("version").as("added_version"),
+        col("__dv").isNotNull.as("has_dv"),
+        col("__dv.cardinality").as("dv_cardinality"))
   }
 
   /** Table-level facts: latest metaData + protocol + version + live

@@ -101,6 +101,59 @@ class DeltaLogSpec extends SparkSpec {
       m.getAs[Long]("total_bytes") == 450L)
   }
 
+  test("delta deletion vectors: a DV-carrying add surfaces has_dv + " +
+    "dv_cardinality in the snapshot, a later DV-free rewrite clears " +
+    "them, and the columns survive a checkpoint round-trip") {
+    val dir = Files.createTempDirectory("graft-delta-dv")
+    val log = Files.createDirectories(dir.resolve("_delta_log"))
+    writeCommit(log, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+      """{"metaData":{"id":"t2","name":"dv","schemaString":"{}","partitionColumns":[],"createdTime":1}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":100,"modificationTime":10,"dataChange":true}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{},"size":200,"modificationTime":11,"dataChange":true}}"""))
+    // a DELETE wrote a deletion vector against f1 (Delta 3.x shape)
+    writeCommit(log, 1, Seq(
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":100,"modificationTime":10,"dataChange":false,"deletionVector":{"storageType":"u","pathOrInlineDv":"ab^-aqEH.-t","offset":1,"sizeInBytes":36,"cardinality":7}}}"""))
+    val live = DeltaLog.snapshot(spark, dir.toString)
+      .orderBy("path").collect()
+    assert(live.map(r => (r.getString(0), r.getBoolean(5),
+      if (r.isNullAt(6)) -1L else r.getLong(6))).toSeq ==
+      Seq(("f1.parquet", true, 7L), ("f2.parquet", false, -1L)))
+    // census stays honest: size still reported, DV flags the bound
+    assert(live(0).getLong(1) == 100L)
+    // a compaction rewrite drops the DV
+    writeCommit(log, 2, Seq(
+      """{"remove":{"path":"f1.parquet","deletionTimestamp":30,"dataChange":false}}""",
+      """{"add":{"path":"f1c.parquet","partitionValues":{},"size":90,"modificationTime":31,"dataChange":false}}"""))
+    val live2 = DeltaLog.snapshot(spark, dir.toString)
+      .orderBy("path").collect()
+    assert(live2.map(r => (r.getString(0), r.getBoolean(5))).toSeq ==
+      Seq(("f1c.parquet", false), ("f2.parquet", false)))
+    // checkpoint the DV state at v1 (extra checkpoint columns AND the
+    // DV struct must conform by NAME, never by position) and replay
+    val dir2 = Files.createTempDirectory("graft-delta-dv-ck")
+    val log2 = Files.createDirectories(dir2.resolve("_delta_log"))
+    val collapsed = Files.createTempFile("dvck", ".json")
+    Files.write(collapsed, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+      """{"metaData":{"id":"t2","name":"dv","schemaString":"{}","partitionColumns":[],"createdTime":1}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":100,"modificationTime":10,"dataChange":false,"deletionVector":{"storageType":"u","pathOrInlineDv":"ab^-aqEH.-t","offset":1,"sizeInBytes":36,"cardinality":7}}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{},"size":200,"modificationTime":11,"dataChange":true}}""")
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    spark.read.schema(DeltaLog.actionSchema)
+      .json(collapsed.toString)
+      .withColumn("stats", lit("""{"numRecords":5}"""))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(log2.resolve(f"${1L}%020d.checkpoint.parquet").toString)
+    Files.write(log2.resolve("_last_checkpoint"),
+      """{"version":1,"size":4}""".getBytes(StandardCharsets.UTF_8))
+    val liveCk = DeltaLog.snapshot(spark, dir2.toString)
+      .orderBy("path").collect()
+    assert(liveCk.map(r => (r.getString(0), r.getBoolean(5),
+      if (r.isNullAt(6)) -1L else r.getLong(6))).toSeq ==
+      Seq(("f1.parquet", true, 7L), ("f2.parquet", false, -1L)))
+  }
+
   test("delta multi-part checkpoint: the parts field resolves every " +
     "part file; a missing part and a v2 UUID layout both refuse with " +
     "explicit errors") {
