@@ -69,6 +69,13 @@ object BinaryMeta {
     try {
       if (b(0) == 0x7f.toByte && b(1) == 'E' && b(2) == 'L' && b(3) == 'F')
         elf(b)
+      else if (b(0) == 0x00 && b(1) == 'a' && b(2) == 's' && b(3) == 'm') {
+        // WebAssembly: the fourth executable format in web corpora —
+        // the full import/export census lives in [[WasmMeta]]
+        val w = WasmMeta.compute(b, 1)
+        if (w == null) null
+        else row("wasm", "wasm", 32, "module", w.getInt(1))
+      }
       else if (b(0) == 'M' && b(1) == 'Z') pe(b)
       else {
         val m = be32(b, 0)
