@@ -1284,6 +1284,31 @@ object Corpus {
   private def bpeInitString(word: Column, byteLevel: Boolean): Column =
     if (byteLevel) graft.functions.Gpt2Bytes.mapCol(word) else word
 
+  /** The GPT-2 pre-tokenizer pattern (the public encoder.py regex):
+    * contraction suffixes, optionally-space-prefixed letter / number /
+    * punctuation runs, then whitespace — `\s+(?!\S)` keeps a trailing
+    * whitespace run whole while interior runs leave their LAST space
+    * to prefix the following word. Java-regex semantics: `\p{L}` and
+    * `\p{N}` are the Unicode classes (as in the reference), `\s` is
+    * ASCII whitespace (the reference's `\s` is Unicode — NBSP-class
+    * whitespace diverges; documented, irrelevant to merge statistics
+    * on real text). */
+  val Gpt2PretokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+" +
+      "|\\s+(?!\\S)|\\s+"
+
+  /** GPT-2 pre-tokenization: text → production segmentation pieces
+    * (spaces ATTACHED to the following word — the property that makes
+    * byte-level BPE merge statistics match the shipped tokenizer).
+    * Zero-shuffle scan (one codegen'd `regexp_extract_all`). */
+  def gpt2Pieces(text: Column): Column =
+    regexp_extract_all(text, lit(Gpt2PretokenPattern), lit(0))
+
+  /** Token grain ahead of BPE: GPT-2 regex pieces or whitespace. */
+  private def bpeGrain(textCol: String, gpt2Pre: Boolean): Column =
+    if (gpt2Pre) gpt2Pieces(col(textCol))
+    else TextAnalysis.tokens(col(textCol))
+
   /** BPE tokenizer training (Sennrich et al. 2016, arXiv:1508.07909):
     * start from per-character symbols, repeatedly merge the
     * highest-frequency adjacent symbol pair (ties broken
@@ -1310,11 +1335,12 @@ object Corpus {
     * count). Stops early when no adjacent pairs remain. */
   def bpeTrain(docs: DataFrame, numMerges: Int,
                textCol: String = "text",
-               byteLevel: Boolean = false): DataFrame = {
+               byteLevel: Boolean = false,
+               gpt2Pre: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     var words = docs
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .select(explode(bpeGrain(textCol, gpt2Pre)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("word"), col("freq"),
         split(bpeInitString(col("word"), byteLevel), "").as("syms"))
@@ -1499,9 +1525,10 @@ object Corpus {
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
                 idCol: String = "doc_id", textCol: String = "text",
                 checkpointEvery: Int = 4,
-                byteLevel: Boolean = false): DataFrame = {
+                byteLevel: Boolean = false,
+                gpt2Pre: Boolean = false): DataFrame = {
     val toks = docs.select(col(idCol),
-        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos0", "word")))
+        posexplode(bpeGrain(textCol, gpt2Pre)).as(Seq("pos0", "word")))
       .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"), col("word"))
     var words = toks.select("word").distinct()
       .withColumn("syms", split(bpeInitString(col("word"), byteLevel), ""))

@@ -347,6 +347,42 @@ class CorpusSpec extends SparkSpec {
     assert(un((256 + 34).toChar.toString).isEmpty, "lone continuation byte")
   }
 
+  test("GPT-2 regex pre-tokenizer: segmentation pinned against the " +
+    "reference pattern's committed output; gpt2Pre byte-level encode " +
+    "reconstructs the WHOLE text (spaces included) losslessly") {
+    // committed reference tokenization of the public encoder.py
+    // pattern over this sentence (contractions split, spaces attach
+    // to the following word, an interior double space leaves one
+    // whitespace piece, trailing newline run stays whole)
+    val sentence = "Hello world's can't stop!!  They're 42x faster.\n"
+    val want = Seq("Hello", " world", "'s", " can", "'t", " stop", "!!",
+      " ", " They", "'re", " 42", "x", " faster", ".", "\n")
+    val d1 = docs((1L, sentence, "a"))
+    val got = d1.select(explode(Corpus.gpt2Pieces(col("text"))).as("p"))
+      .as[String].collect().toSeq
+    assert(got == want, got)
+    // full coverage: pieces concatenate back to the exact input
+    assert(got.mkString("") == sentence)
+    // gpt2Pre + byteLevel: the encoded pieces of ALL tokens unmap to
+    // the original TEXT byte-for-byte \u2014 whitespace survives, the
+    // property whitespace-grain BPE cannot have
+    val d = docs((1L, "stop stop stop caf\u00e9 can't  \u4f60\u597d!", "a"))
+    val merges = Corpus.bpeTrain(d, numMerges = 5, byteLevel = true,
+        gpt2Pre = true)
+      .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
+    val enc = Corpus.bpeEncode(d, merges.map(m => (m._2, m._3)),
+        byteLevel = true, gpt2Pre = true)
+      .orderBy("pos", "piece_idx").as[(Long, Long, Long, String)].collect()
+    val back = graft.functions.Gpt2Bytes.unmap(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        enc.map(_._4).mkString("")))
+    assert(back != null &&
+      back.toString == "stop stop stop caf\u00e9 can't  \u4f60\u597d!")
+    // merge statistics differ from the whitespace grain: the space
+    // glyph (U+0120) appears INSIDE gpt2-grain symbols
+    assert(merges.exists(m => (m._2 + m._3).exists(_.toInt == 0x120)))
+  }
+
   test("kneserNeyLogProb matches a JVM reference and the KN mass identity " +
     "(seen + continuation backoff sums to 1 over the vocab)") {
     val d = docs(
