@@ -75,6 +75,7 @@ object Main {
     |                   |mp3-duration|image-dhash|gif-frames|webp-frames|xlsx-sheets|ico|tiff-dhash|flac-tags|wav-info
     |                   |tar-z|unlzw|lzma|ar-list|deb-control|cpio-list|rpm-info|rpm-files
     |                   |aiff|binary-meta|font-meta|woff-font|midi|subtitles
+    |                   |ass-subtitles|rar-list|wasm-meta
     |                (payloads: doc_id + the format's payload column)
     |  ingest-avro  --path DIR --target DIR [--ddl "a BIGINT, b STRING"]
     |  ingest-bson/-msgpack/-cbor --path DIR --ddl "a BIGINT, t STRING" --target DIR
@@ -609,6 +610,28 @@ object Main {
               functions.Utf8Text(col("payload")))).as(Seq("pos", "c")))
             .select(col("doc_id"), col("pos"), col("c.cue_id"),
               col("c.start_ms"), col("c.end_ms"), col("c.text"))
+          case "ass-subtitles" => docs.select(col("doc_id"),
+            posexplode(ext.TextAnalysis.assCues(
+              functions.Utf8Text(col("payload")))).as(Seq("pos", "c")))
+            .select(col("doc_id"), col("pos"), col("c.layer"),
+              col("c.style"), col("c.speaker"),
+              col("c.start_ms"), col("c.end_ms"), col("c.text"))
+          case "rar-list" => docs.select(col("doc_id"),
+            ext.Multimodal.rarEntries(col("payload")).as("__r"))
+            .select(col("doc_id"), col("__r.format").as("format"),
+              col("__r.solid_archive").as("solid_archive"),
+              posexplode(col("__r.entries")))
+            .select(col("doc_id"), col("format"), col("solid_archive"),
+              col("pos"), col("col.name"), col("col.unpacked_size"),
+              col("col.packed_size"), col("col.method"),
+              col("col.encrypted"))
+          case "wasm-meta" => docs.select(col("doc_id"),
+            ext.Multimodal.wasmMeta(col("payload")).as("__w"))
+            .select(col("doc_id"), col("__w.version"),
+              col("__w.n_sections"), col("__w.n_types"),
+              col("__w.n_imports"), col("__w.n_exports"),
+              col("__w.n_functions"), col("__w.import_names"),
+              col("__w.export_names"))
           case "cfb-meta" => docs
             .select(col("doc_id"),
               ext.Multimodal.cfbMeta(col("payload")).as("__m"))

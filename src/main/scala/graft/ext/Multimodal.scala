@@ -920,6 +920,13 @@ object Multimodal {
   def binaryMeta(payload: Column): Column =
     graft.functions.BinaryMeta(payload)
 
+  /** WebAssembly module census — `\0asm` section walk into version,
+    * section/type/import/export/function counts and the bounded
+    * `module.field` import + export name lists
+    * ([[graft.functions.WasmMeta]]; fail-closed null). */
+  def wasmMeta(payload: Column, maxNames: Int = 256): Column =
+    graft.functions.WasmMeta(payload, maxNames)
+
   /** Font census — TTF/OTF/TTC sfnt headers into family, full name,
     * glyph count and unitsPerEm with the name-record precedence real
     * font stacks use ([[graft.functions.FontMeta]]; WOFF refuses —
@@ -959,6 +966,16 @@ object Multimodal {
     * fail the whole row closed to null. */
   def arEntries(payload: Column, maxEntries: Int = 1 << 16): Column =
     graft.functions.ArEntries(payload, maxEntries)
+
+  /** RAR4/RAR5 HEADER census — `(format, solid_archive, entries[])`
+    * with per-entry name/sizes/method/crc/solid/encrypted flags, all
+    * header CRCs verified; see [[graft.functions.RarEntries]].
+    * DECOMPRESSION is a documented refusal (the RAR codec family is
+    * proprietary) — the 7z posture: the listing is first-class, the
+    * packed bytes are never interpreted. Encrypted-header archives
+    * refuse whole (a partial census would lie). */
+  def rarEntries(payload: Column, maxEntries: Int = 1 << 16): Column =
+    graft.functions.RarEntries(payload, maxEntries)
 
   /** Debian package census — the `.deb` onboarding step a software
     * corpus needs: `.deb` IS an ar archive, so the walk is
@@ -1876,10 +1893,12 @@ object Multimodal {
       .when(pfx("255044462D"), "pdf")
       .when(pfx("504B0304"), "zip")
       .when(pfx("504B0506"), "zip_empty")
+      .when(pfx("526172211A0700") || pfx("526172211A070100"), "rar")
       .when(pfx("1F8B"), "gzip")
       .when(pfx("1F9D"), "z")
       .when(pfx("EDABEEDB"), "rpm")
       .when(pfx("7F454C46"), "elf")
+      .when(pfx("0061736D"), "wasm")
       .when(pfx("FEEDFACE") || pfx("FEEDFACF") || pfx("CEFAEDFE") ||
         pfx("CFFAEDFE"), "macho")
       .when(pfx("4F54544F"), "otf")

@@ -872,6 +872,14 @@ object TextAnalysis {
   def subtitleCues(text: Column, maxCues: Int = 1 << 16): Column =
     graft.functions.SubtitleCues(text, maxCues)
 
+  /** ASS/SSA subtitle events — the fansub/anime caption tier
+    * ([[graft.functions.AssCues]]): `[Events]` `Format:`-declared
+    * field order, centisecond timecodes, `{\...}` override tags
+    * stripped, `\N` newlines; per-event layer/style/speaker surface.
+    * Malformed declarations or timecodes fail the row closed. */
+  def assCues(text: Column, maxCues: Int = 1 << 16): Column =
+    graft.functions.AssCues(text, maxCues)
+
   def htmlToText(html: Column): Column = {
     val noBlocks = regexp_replace(html,
       "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " ")

@@ -373,6 +373,54 @@ class MainSpec extends SparkSpec {
       .count() == 3)
   }
 
+  test("round-16 verbs: ass-subtitles, rar-list, wasm-meta through argv") {
+    import spark.implicits._
+    def hx(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // ASS: one dialogue event via the declared Format order
+    val assIn = Files.createTempDirectory("graft-cli-ass-in").toString
+    val ass = "[Events]\nFormat: Layer, Start, End, Style, Text\n" +
+      "Dialogue: 3,0:00:01.00,0:00:02.00,Top,hi there\n"
+    Seq((1L, ass.getBytes("UTF-8"))).toDF("doc_id", "payload")
+      .write.mode("overwrite").parquet(assIn)
+    val assOut = Files.createTempDirectory("graft-cli-ass").toString
+    Main.main(Array("extract-archive", "--payloads", assIn,
+      "--format", "ass-subtitles", "--target", assOut))
+    val ar = spark.read.parquet(assOut).collect()(0)
+    assert(ar.getAs[Int]("layer") == 3 &&
+      ar.getAs[String]("style") == "Top" &&
+      ar.getAs[String]("text") == "hi there")
+    // RAR: the q359 python-writer RAR5 fixture
+    val rarHex = "526172211a070100dcde5e35030100046878b64221020214068020" +
+      "a40300f153655604f7e1c003010d6269672f6d6f64656c2e62696e6f706171" +
+      "7565207061636b656420627974657321f7c9dde2140202030800a40300010a" +
+      "73747265616d2e64617478797a19b23a3503050000"
+    val rarIn = Files.createTempDirectory("graft-cli-rar-in").toString
+    Seq((1L, hx(rarHex))).toDF("doc_id", "payload")
+      .write.mode("overwrite").parquet(rarIn)
+    val rarOut = Files.createTempDirectory("graft-cli-rar").toString
+    Main.main(Array("extract-archive", "--payloads", rarIn,
+      "--format", "rar-list", "--target", rarOut))
+    val rr = spark.read.parquet(rarOut).orderBy("pos").collect()
+    assert(rr.length == 2 && rr(0).getAs[String]("format") == "rar5" &&
+      rr(0).getAs[String]("name") == "big/model.bin")
+    // wasm: the q361 module
+    val wasmHex = "0061736d01000000010a0260017f0060017f017f02200303656e" +
+      "76036c6f67000003656e76036d656d0201010403656e760167037f00030201" +
+      "010710020372756e0001066d656d6f727902000a0601040020000b000e0870" +
+      "726f64756365726772616674"
+    val wIn = Files.createTempDirectory("graft-cli-wasm-in").toString
+    Seq((1L, hx(wasmHex))).toDF("doc_id", "payload")
+      .write.mode("overwrite").parquet(wIn)
+    val wOut = Files.createTempDirectory("graft-cli-wasm").toString
+    Main.main(Array("extract-archive", "--payloads", wIn,
+      "--format", "wasm-meta", "--target", wOut))
+    val wr = spark.read.parquet(wOut).collect()(0)
+    assert(wr.getAs[Int]("n_imports") == 3 &&
+      wr.getAs[scala.collection.Seq[String]]("export_names")
+        .toSeq == Seq("run", "memory"))
+  }
+
   test("update verb upserts a parquet delta into Derby by pk, through argv") {
     import org.apache.spark.sql.functions.{col, lit}
     // stand the table up with rows 1..10
