@@ -71,7 +71,7 @@ object Main {
     |                   |zip-list|7z-list|7z-members|pdf|id3|epub|epub-chapters|avro-schema
     |                   |avro-blocks|avro-records|bson|msgpack|cbor|proto-fields
     |                   |bz2|zstd|xz|lz4|sz|mbox|cfb-meta|wiki-pages|wiki-corpus
-    |                   |parquet-meta|parquet-stats|orc-meta|orc-stripes|orc-column-stats|arrow-meta
+    |                   |parquet-meta|parquet-stats|parquet-page-index|orc-meta|orc-stripes|orc-column-stats|arrow-meta
     |                   |mp3-duration|image-dhash|gif-frames|webp-frames|xlsx-sheets|ico|tiff-dhash|flac-tags|wav-info
     |                   |tar-z|unlzw|lzma|ar-list|deb-control|cpio-list|rpm-info|rpm-files
     |                   |aiff|binary-meta|font-meta|woff-font|midi|subtitles
@@ -88,6 +88,7 @@ object Main {
     |                 [--follow true]           (streaming commit tail)
     |  iceberg-snapshot --table DIR --target DIR  (live data files)
     |  iceberg-meta   --table DIR --target DIR    (uuid/version/row total)
+    |  iceberg-deletes --table DIR --target DIR   (v2 delete-file census)
     |  iceberg-tail   --table DIR --target DIR --checkpoint DIR
     |                 [--follow true]           (streaming metadata tail)
     |  hudi-timeline  --table DIR --target DIR    (instant states)
@@ -231,6 +232,11 @@ object Main {
           .write.mode("overwrite").parquet(one("target"))
       case "iceberg-meta" =>
         sources.IcebergTable.tableMeta(spark, one("table"))
+          .write.mode("overwrite").parquet(one("target"))
+      case "iceberg-deletes" =>
+        // v2 merge-on-read delete files: the census that marks data
+        // row counts as upper bounds
+        sources.IcebergTable.deleteFiles(spark, one("table"))
           .write.mode("overwrite").parquet(one("target"))
       case "hudi-tail" =>
         // live instant tail: each completed commit's write stats
@@ -648,6 +654,11 @@ object Main {
               .explode(ext.Multimodal.parquetStats(col("payload")))
               .as("c"))
             .select(col("doc_id"), col("c.*"))
+          case "parquet-page-index" => docs
+            .select(col("doc_id"), org.apache.spark.sql.functions
+              .explode(ext.Multimodal.parquetPageIndex(col("payload")))
+              .as("p"))
+            .select(col("doc_id"), col("p.*"))
           case "wiki-pages" => ext.TextAnalysis.wikiDumpPages(
             docs.select(col("doc_id"),
               col("payload").cast("string").as("xml")))

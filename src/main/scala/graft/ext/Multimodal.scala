@@ -1445,6 +1445,16 @@ object Multimodal {
   def parquetStats(payload: Column, maxChunks: Int = 16384): Column =
     graft.functions.ParquetColumnStats(payload, maxChunks)
 
+  /** Parquet PAGE-INDEX census — the scan-planning grain below
+    * [[parquetStats]]: per-PAGE first_row_index/offset/size from the
+    * OffsetIndex and null_page/null_count/min/max/boundary_order from
+    * the ColumnIndex (what predicate-pushdown page skipping actually
+    * reads; parquet-mr ≥ 1.11 writes them by default). Files without
+    * page indexes yield an EMPTY array; malformed index regions fail
+    * the row closed ([[graft.functions.ParquetPageIndex]]). */
+  def parquetPageIndex(payload: Column, maxPages: Int = 1 << 16): Column =
+    graft.functions.ParquetPageIndex(payload, maxPages)
+
   /** Parquet DATA decode — sample a top-level column's real values
     * out of raw file bytes, no reader stack: row group 0's page
     * chain, the dictionary/PLAIN encodings, RLE/bit-packed

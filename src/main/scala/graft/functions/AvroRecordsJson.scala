@@ -88,6 +88,12 @@ object AvroRecordsJson {
   private case object SBytes extends Sch
   private case object SString extends Sch
   private final case class SFixed(size: Int) extends Sch
+  /** A base type carrying an Avro logicalType annotation — decimal /
+    * date / time / timestamp / uuid render as their logical values
+    * (unknown logical names fall back to the base rendering, the
+    * spec's reader rule). */
+  private final case class SLogical(base: Sch, logical: String,
+                                    scale: Int) extends Sch
   private final case class SEnum(symbols: Array[String]) extends Sch
   private final case class SArray(items: Sch) extends Sch
   private final case class SMap(values: Sch) extends Sch
@@ -287,7 +293,10 @@ object AvroRecordsJson {
             case _ => throw Bad
           }
           if (size < 0 || size > (1 << 26)) throw Bad
-          val f = SFixed(size); named.put(name, f); f
+          val f0 = SFixed(size)
+          val f = withLogical(f0, m)
+          named.put(name, f0) // refs resolve to the raw fixed
+          f
         case "array" =>
           SArray(schemaOf(
             { val it = m.get("items"); if (it == null) throw Bad; it },
@@ -297,10 +306,26 @@ object AvroRecordsJson {
             { val vv = m.get("values"); if (vv == null) throw Bad; vv },
             named, ns2))
         case prim =>
-          schemaOf(JStr(prim), named, ns2) // {"type":"string",...}
+          // {"type":"string", ...} — attributes may carry a logicalType
+          withLogical(schemaOf(JStr(prim), named, ns2), m)
       }
     case _ => throw Bad
   }
+
+
+  /** Wrap `base` when the schema object carries a `logicalType`. */
+  private def withLogical(base: Sch,
+                          m: java.util.LinkedHashMap[String, J]): Sch =
+    m.get("logicalType") match {
+      case JStr(lt) =>
+        val scale = m.get("scale") match {
+          case JNum(x) => x.toInt
+          case _ => 0
+        }
+        if (scale < 0 || scale > 64) throw Bad
+        SLogical(base, lt, scale)
+      case _ => base
+    }
 
   // ---------- JSON rendering helpers -------------------------------
   private def appendJsonString(out: java.lang.StringBuilder, s: String): Unit = {
@@ -402,6 +427,50 @@ object AvroRecordsJson {
       case SFixed(size) =>
         val at = c.take(size)
         appendBytesAsSpecString(out, c.b, at, size)
+      case SLogical(base, logical, scale) =>
+        logical match {
+          case "decimal" =>
+            // two's-complement big-endian unscaled value over bytes
+            // or fixed; rendered as an exact plain-string number
+            val (at, len) = base match {
+              case SBytes =>
+                val n = c.varint()
+                if (n < 0 || n > (1 << 20)) throw Bad
+                (c.take(n), n.toInt)
+              case SFixed(size) => (c.take(size), size)
+              case _ => throw Bad
+            }
+            if (len == 0) throw Bad
+            val unscaled = new java.math.BigInteger(
+              java.util.Arrays.copyOfRange(c.b, at, at + len))
+            out.append(
+              new java.math.BigDecimal(unscaled, scale).toPlainString)
+          case "date" if base == SInt =>
+            appendJsonString(out,
+              java.time.LocalDate.ofEpochDay(c.varint()).toString)
+          case "timestamp-millis" if base == SLong =>
+            appendJsonString(out,
+              java.time.Instant.ofEpochMilli(c.varint()).toString)
+          case "timestamp-micros" if base == SLong =>
+            val v = c.varint()
+            appendJsonString(out, java.time.Instant.ofEpochSecond(
+              Math.floorDiv(v, 1000000L),
+              Math.floorMod(v, 1000000L) * 1000L).toString)
+          case "time-millis" if base == SInt =>
+            val v = c.varint()
+            if (v < 0 || v >= 86400000L) throw Bad
+            appendJsonString(out,
+              java.time.LocalTime.ofNanoOfDay(v * 1000000L).toString)
+          case "time-micros" if base == SLong =>
+            val v = c.varint()
+            if (v < 0 || v >= 86400000000L) throw Bad
+            appendJsonString(out,
+              java.time.LocalTime.ofNanoOfDay(v * 1000L).toString)
+          case _ =>
+            // uuid (already a string) and unknown logical names keep
+            // the base rendering — the spec's reader rule
+            decodeDatum(c, base, named, out, maxOut, depth + 1)
+        }
       case SEnum(symbols) =>
         val ix = c.varint()
         if (ix < 0 || ix >= symbols.length) throw Bad

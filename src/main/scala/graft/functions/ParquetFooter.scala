@@ -436,7 +436,7 @@ object ParquetColumnStats {
 
   /** Decode a Statistics min/max blob per the chunk's physical type;
     * unknown/odd shapes render as lowercase hex, never a guess. */
-  private def decodeStat(ptype: Int, b: Array[Byte]): String = {
+  private[functions] def decodeStat(ptype: Int, b: Array[Byte]): String = {
     def hexOf: String = b.map("%02x".format(_)).mkString
     ptype match {
       case 0 => if (b.length == 1) (b(0) != 0).toString else hexOf
@@ -530,6 +530,13 @@ object ParquetColumnStats {
     }
     if (path == null) throw Bad
     (ptype, path, codec, numValues, cBytes, uBytes, nullCount, minB, maxB)
+  }
+
+  /** The chunk's (physical type, dotted path) for [[ParquetPageIndex]]
+    * — consumes one ColumnMetaData struct. */
+  private[functions] def chunkTypePath(r: Reader): (Int, String) = {
+    val m = columnMeta(r)
+    (m._1, m._2)
   }
 
   /** The per-row kernel — public static so generated code can call it. */
@@ -647,4 +654,330 @@ object ParquetColumnStats {
   def apply(payload: Column, maxChunks: Int = 16384): Column =
     ColumnShim.column(
       ParquetColumnStats(ColumnShim.expression(payload), maxChunks))
+}
+
+/** Parquet PAGE-INDEX census — the scan-planning grain below
+  * [[ParquetColumnStats]]'s column chunks: modern writers (parquet-mr
+  * ≥ 1.11 — Spark's own default — and pyarrow with
+  * `write_page_index`) serialize a ColumnIndex + OffsetIndex pair per
+  * column chunk OUTSIDE the footer, and predicate-pushdown page
+  * skipping reads exactly these. One row per PAGE:
+  * `(row_group, column_path, page, first_row_index, page_offset,
+  * compressed_page_size, null_page, null_count, min_value, max_value,
+  * boundary_order)` with min/max decoded per physical type (the
+  * [[ParquetColumnStats]] rules — hex for shapes it will not guess).
+  *
+  * The footer walk collects each chunk's `offset_index_offset/length`
+  * + `column_index_offset/length` (ColumnChunk fields 4-7) and its
+  * physical type/path, then parses both structures at their offsets,
+  * every region bounds-checked. Files WITHOUT page indexes yield an
+  * EMPTY array (pre-1.11 writers are not corruption); a chunk whose
+  * index regions are malformed, whose list lengths disagree, or a
+  * walk past `maxPages` fails the whole row closed to null.
+  * Per-row bounded work, zero shuffle, codegen'd. */
+case class ParquetPageIndex(child: Expression, maxPages: Int)
+    extends UnaryExpression {
+  require(maxPages > 0, "page walk bound must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"parquet_page_index expects binary input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("row_group", IntegerType, nullable = false),
+    StructField("column_path", StringType, nullable = false),
+    StructField("page", IntegerType, nullable = false),
+    StructField("first_row_index", LongType, nullable = false),
+    StructField("page_offset", LongType, nullable = false),
+    StructField("compressed_page_size", IntegerType, nullable = false),
+    StructField("null_page", BooleanType, nullable = false),
+    StructField("null_count", LongType, nullable = true),
+    StructField("min_value", StringType, nullable = true),
+    StructField("max_value", StringType, nullable = true),
+    StructField("boundary_order", StringType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    ParquetPageIndex.compute(a.asInstanceOf[Array[Byte]], maxPages)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ParquetPageIndex.compute($c, $maxPages);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "parquet_page_index"
+}
+
+object ParquetPageIndex {
+  import ParquetFooterMeta._
+  import ParquetColumnStats.decodeStat
+
+  private def boundaryName(b: Int): String = b match {
+    case 0 => "unordered"
+    case 1 => "ascending"
+    case 2 => "descending"
+    case x => s"order_$x"
+  }
+
+  /** One chunk's index pointers + decode context. */
+  private final class ChunkIdx(val rowGroup: Int, val path: String,
+                               val ptype: Int,
+                               var oiOff: Long, var oiLen: Int,
+                               var ciOff: Long, var ciLen: Int)
+
+  /** ColumnIndex: (nullPages, minBlobs, maxBlobs, boundaryOrder,
+    * nullCounts) — lists must agree in length with the page count. */
+  private def columnIndex(r: Reader): (Array[Boolean], Array[Array[Byte]],
+      Array[Array[Byte]], Int, Array[Long]) = {
+    var nullPages: Array[Boolean] = null
+    var minB: Array[Array[Byte]] = null
+    var maxB: Array[Array[Byte]] = null
+    var order = 0
+    var nullCounts: Array[Long] = null
+    var lastFid = 0
+    var done = false
+    while (!done) {
+      val h = r.u8()
+      if (h == TStop) done = true
+      else {
+        val t = h & 0x0f
+        val delta = (h >> 4) & 0x0f
+        lastFid = if (delta == 0) r.zigzag().toInt else lastFid + delta
+        lastFid match {
+          case 1 if t == TList =>
+            val (et, n) = listHeader(r)
+            if ((et != TTrue && et != TFalse) || n < 0 || n > 65536)
+              throw Bad
+            nullPages = new Array[Boolean](n)
+            var i = 0
+            while (i < n) {
+              val v = r.u8()
+              // compact bools in containers: one byte, 1 = true
+              nullPages(i) = v == 1
+              i += 1
+            }
+          case 2 if t == TList =>
+            val (et, n) = listHeader(r)
+            if (et != TBinary || n < 0 || n > 65536) throw Bad
+            minB = Array.fill(n)(null: Array[Byte])
+            var i = 0
+            while (i < n) { minB(i) = r.blob(); i += 1 }
+          case 3 if t == TList =>
+            val (et, n) = listHeader(r)
+            if (et != TBinary || n < 0 || n > 65536) throw Bad
+            maxB = Array.fill(n)(null: Array[Byte])
+            var i = 0
+            while (i < n) { maxB(i) = r.blob(); i += 1 }
+          case 4 if t == TI32 => order = r.zigzag().toInt
+          case 5 if t == TList =>
+            val (et, n) = listHeader(r)
+            if (et != TI64 || n < 0 || n > 65536) throw Bad
+            nullCounts = new Array[Long](n)
+            var i = 0
+            while (i < n) { nullCounts(i) = r.zigzag(); i += 1 }
+          case _ => skipValue(r, t, 0)
+        }
+      }
+    }
+    if (nullPages == null || minB == null || maxB == null) throw Bad
+    (nullPages, minB, maxB, order, nullCounts)
+  }
+
+  /** OffsetIndex: per-page (offset, compressedPageSize, firstRowIndex). */
+  private def offsetIndex(r: Reader,
+                          maxPages: Int): Array[(Long, Int, Long)] = {
+    var pages: Array[(Long, Int, Long)] = null
+    var lastFid = 0
+    var done = false
+    while (!done) {
+      val h = r.u8()
+      if (h == TStop) done = true
+      else {
+        val t = h & 0x0f
+        val delta = (h >> 4) & 0x0f
+        lastFid = if (delta == 0) r.zigzag().toInt else lastFid + delta
+        if (lastFid == 1 && t == TList) {
+          val (et, n) = listHeader(r)
+          if (et != TStruct || n < 0 || n > maxPages) throw Bad
+          pages = new Array[(Long, Int, Long)](n)
+          var i = 0
+          while (i < n) {
+            var off = 0L
+            var csz = 0
+            var fri = 0L
+            var fid = 0
+            var pDone = false
+            while (!pDone) {
+              val ph = r.u8()
+              if (ph == TStop) pDone = true
+              else {
+                val pt = ph & 0x0f
+                val pd = (ph >> 4) & 0x0f
+                fid = if (pd == 0) r.zigzag().toInt else fid + pd
+                fid match {
+                  case 1 if pt == TI64 => off = r.zigzag()
+                  case 2 if pt == TI32 => csz = r.zigzag().toInt
+                  case 3 if pt == TI64 => fri = r.zigzag()
+                  case _ => skipValue(r, pt, 0)
+                }
+              }
+            }
+            pages(i) = (off, csz, fri)
+            i += 1
+          }
+        } else skipValue(r, t, 0)
+      }
+    }
+    if (pages == null) throw Bad
+    pages
+  }
+
+  /** The per-row kernel — public static so generated code can call it. */
+  def compute(bytes: Array[Byte], maxPages: Int): GenericArrayData = {
+    try {
+      val n = bytes.length
+      if (n < 12) return null
+      if (bytes(0) != 'P' || bytes(1) != 'A' || bytes(2) != 'R' ||
+        bytes(3) != '1') return null
+      if (bytes(n - 4) != 'P' || bytes(n - 3) != 'A' ||
+        bytes(n - 2) != 'R' || bytes(n - 1) != '1') return null
+      val flen = (bytes(n - 8) & 0xff) | ((bytes(n - 7) & 0xff) << 8) |
+        ((bytes(n - 6) & 0xff) << 16) | ((bytes(n - 5) & 0xff) << 24)
+      if (flen <= 0 || n - 8 - flen < 4) return null
+      val footerStart = n - 8 - flen
+      val r = new Reader(bytes, footerStart, n - 8)
+      val chunks = new java.util.ArrayList[ChunkIdx]
+      var lastFid = 0
+      var done = false
+      while (!done) {
+        val h = r.u8()
+        if (h == TStop) done = true
+        else {
+          val t = h & 0x0f
+          val delta = (h >> 4) & 0x0f
+          lastFid = if (delta == 0) r.zigzag().toInt else lastFid + delta
+          if (lastFid == 4 && t == TList) {
+            val (et, nRg) = listHeader(r)
+            if (et != TStruct || nRg < 0) throw Bad
+            var rg = 0
+            while (rg < nRg) {
+              var fid = 0
+              var rgDone = false
+              while (!rgDone) {
+                val hh = r.u8()
+                if (hh == TStop) rgDone = true
+                else {
+                  val tt = hh & 0x0f
+                  val dd = (hh >> 4) & 0x0f
+                  fid = if (dd == 0) r.zigzag().toInt else fid + dd
+                  if (fid == 1 && tt == TList) {
+                    val (cet, nCc) = listHeader(r)
+                    if (cet != TStruct || nCc < 0 || nCc > 65536) throw Bad
+                    var c = 0
+                    while (c < nCc) {
+                      var path: String = null
+                      var ptype = -1
+                      var oiOff = -1L
+                      var oiLen = -1
+                      var ciOff = -1L
+                      var ciLen = -1
+                      var cfid = 0
+                      var ccDone = false
+                      while (!ccDone) {
+                        val ch = r.u8()
+                        if (ch == TStop) ccDone = true
+                        else {
+                          val ct = ch & 0x0f
+                          val cd = (ch >> 4) & 0x0f
+                          cfid = if (cd == 0) r.zigzag().toInt else cfid + cd
+                          cfid match {
+                            case 3 if ct == TStruct =>
+                              val meta = ParquetColumnStats.chunkTypePath(r)
+                              ptype = meta._1
+                              path = meta._2
+                            case 4 if ct == TI64 => oiOff = r.zigzag()
+                            case 5 if ct == TI32 => oiLen = r.zigzag().toInt
+                            case 6 if ct == TI64 => ciOff = r.zigzag()
+                            case 7 if ct == TI32 => ciLen = r.zigzag().toInt
+                            case _ => skipValue(r, ct, 0)
+                          }
+                        }
+                      }
+                      if (path != null)
+                        chunks.add(new ChunkIdx(rg, path, ptype,
+                          oiOff, oiLen, ciOff, ciLen))
+                      c += 1
+                    }
+                  } else skipValue(r, tt, 0)
+                }
+              }
+              rg += 1
+            }
+          } else skipValue(r, t, 0)
+        }
+      }
+      val out = new java.util.ArrayList[Any]
+      var i = 0
+      while (i < chunks.size()) {
+        val ck = chunks.get(i)
+        if (ck.oiOff >= 0 && ck.oiLen > 0) {
+          if (ck.oiOff + ck.oiLen > footerStart) throw Bad
+          val pages = offsetIndex(
+            new Reader(bytes, ck.oiOff.toInt, (ck.oiOff + ck.oiLen).toInt),
+            maxPages)
+          var ci: (Array[Boolean], Array[Array[Byte]], Array[Array[Byte]],
+            Int, Array[Long]) = null
+          if (ck.ciOff >= 0 && ck.ciLen > 0) {
+            if (ck.ciOff + ck.ciLen > footerStart) throw Bad
+            ci = columnIndex(
+              new Reader(bytes, ck.ciOff.toInt, (ck.ciOff + ck.ciLen).toInt))
+            if (ci._1.length != pages.length ||
+              ci._2.length != pages.length ||
+              ci._3.length != pages.length ||
+              (ci._5 != null && ci._5.length != pages.length)) throw Bad
+          }
+          if (out.size() + pages.length > maxPages) throw Bad
+          var pg = 0
+          while (pg < pages.length) {
+            val (off, csz, fri) = pages(pg)
+            val nullPage = ci != null && ci._1(pg)
+            val minS: Any =
+              if (ci == null || nullPage || ci._2(pg).isEmpty) null
+              else UTF8String.fromString(decodeStat(ck.ptype, ci._2(pg)))
+            val maxS: Any =
+              if (ci == null || nullPage || ci._3(pg).isEmpty) null
+              else UTF8String.fromString(decodeStat(ck.ptype, ci._3(pg)))
+            val nc: Any =
+              if (ci == null || ci._5 == null) null
+              else java.lang.Long.valueOf(ci._5(pg))
+            out.add(new GenericInternalRow(Array[Any](
+              ck.rowGroup, UTF8String.fromString(ck.path), pg, fri, off,
+              csz, nullPage, nc, minS, maxS,
+              UTF8String.fromString(
+                if (ci == null) "unordered" else boundaryName(ci._4)))))
+            pg += 1
+          }
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    } catch {
+      case Bad => null
+      case _: ArrayIndexOutOfBoundsException => null
+    }
+  }
+
+  import org.apache.spark.sql.graftshim.ColumnShim
+
+  /** Column-level entry point; default page walk bound 64k. */
+  def apply(payload: Column, maxPages: Int = 1 << 16): Column =
+    ColumnShim.column(
+      ParquetPageIndex(ColumnShim.expression(payload), maxPages))
 }

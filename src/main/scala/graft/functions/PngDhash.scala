@@ -20,7 +20,10 @@ import org.apache.spark.sql.types._
   * Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3
   * (palette — indices resolve through PLTE to plain RGB, the
   * indexed web-graphics shape GIF shares), 4 (gray+alpha), 6
-  * (RGBA), non-interlaced, IDAT split across any number of chunks.
+  * (RGBA), BOTH interlace methods (Adam7 passes defilter
+  * independently and scatter — an interlaced and a plain encode of
+  * the same pixels hash EQUAL), IDAT split across any number of
+  * chunks.
   * Luma is integer `299·R + 587·G + 114·B` (gray: `1000·g`), rows
   * TOP-DOWN per the PNG spec (BMP's kernel flips its bottom-up
   * storage to the same orientation). Chunk CRCs are NOT validated —
@@ -28,7 +31,7 @@ import org.apache.spark.sql.types._
   * not the perceptual one.
   *
   * Fails closed (null) for: non-PNG signatures, sub-8-bit palettes /
-  * 16-bit / interlaced images, a type-3 image without (or indexing
+  * 16-bit images, a type-3 image without (or indexing
   * past) its PLTE, truncated chunks or pixel data, zlib
   * errors, inflated size mismatching `h·(1 + w·channels)`, unknown
   * filter bytes, degenerate dimensions, and images above `MaxPixels`
@@ -76,6 +79,38 @@ object PngDhash {
   private val Signature =
     Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
 
+
+  /** One scanline's reconstruction (spec §9): `cur(x) = f + pred`
+    * with left neighbors from `cur`, up/upper-left from `prev` (all
+    * zero for a pass's first row). False on an unknown filter. */
+  private def defilterRow(ft: Int, src: Array[Byte], srcOff: Int,
+                          prev: Array[Byte], cur: Array[Byte],
+                          ch: Int): Boolean = {
+    if (ft > 4) return false
+    var x = 0
+    while (x < cur.length) {
+      val f = src(srcOff + x) & 0xff
+      val left = if (x >= ch) cur(x - ch) & 0xff else 0
+      val up = prev(x) & 0xff
+      val ul = if (x >= ch) prev(x - ch) & 0xff else 0
+      val pred = ft match {
+        case 0 => 0
+        case 1 => left
+        case 2 => up
+        case 3 => (left + up) >> 1
+        case _ =>
+          val p = left + up - ul
+          val pa = math.abs(p - left)
+          val pb = math.abs(p - up)
+          val pc = math.abs(p - ul)
+          if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+      }
+      cur(x) = ((f + pred) & 0xff).toByte
+      x += 1
+    }
+    true
+  }
+
   /** Inflate + defilter the pixel grid; null on any malformation.
     * Returns the raw (defiltered) byte array, rows top-down, plus
     * geometry — shared by [[compute]] and any future pixel op. */
@@ -90,7 +125,7 @@ object PngDhash {
     val bitDepth = b(24) & 0xff
     val colorType = b(25) & 0xff
     val interlace = b(28) & 0xff
-    if (bitDepth != 8 || interlace != 0 || (b(26) & 0xff) != 0 ||
+    if (bitDepth != 8 || interlace > 1 || (b(26) & 0xff) != 0 ||
       (b(27) & 0xff) != 0) return null
     val ch = colorType match {
       case 0 => 1
@@ -128,7 +163,20 @@ object PngDhash {
     val compressed = idat.toByteArray
     if (compressed.isEmpty) return null
     val stride = (w * ch).toInt
-    val expected = (h * (1 + stride)).toInt
+    // Adam7 passes: (xOrigin, yOrigin, xStep, yStep); each non-empty
+    // pass is an INDEPENDENT filtered sub-image (spec section 8.2)
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (interlace == 0) Array((0, 0, 1, 1))
+      else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val passDims = passes.map { case (xo, yo, xs, ys) =>
+      val pw = if (w > xo) ((w - xo + xs - 1) / xs).toInt else 0
+      val ph = if (h > yo) ((h - yo + ys - 1) / ys).toInt else 0
+      (pw, ph)
+    }
+    val expected = passDims.map { case (pw, ph) =>
+      if (pw > 0 && ph > 0) ph * (1 + pw * ch) else 0
+    }.sum
     val filtered = new Array[Byte](expected)
     val inf = new Inflater()
     try {
@@ -147,38 +195,43 @@ object PngDhash {
     } catch {
       case _: DataFormatException => return null
     } finally inf.end()
-    // defilter in place into the raw grid (spec §9: each scanline is
-    // one filter-type byte then the filtered bytes; reconstruction
-    // references the decoded left / up / upper-left neighbors)
+    // defilter each pass with a rolling previous-row buffer (spec §9)
+    // and SCATTER its pixels onto the final grid at
+    // (xo + i·xStep, yo + j·yStep) — the non-interlaced image is the
+    // single identity pass of the same walk
     val raw = new Array[Byte](h.toInt * stride)
-    var y = 0
-    while (y < h) {
-      val ft = filtered(y * (1 + stride)) & 0xff
-      val src = y * (1 + stride) + 1
-      val dst = y * stride
-      if (ft > 4) return null
-      var x = 0
-      while (x < stride) {
-        val f = filtered(src + x) & 0xff
-        val left = if (x >= ch) raw(dst + x - ch) & 0xff else 0
-        val up = if (y > 0) raw(dst - stride + x) & 0xff else 0
-        val ul = if (x >= ch && y > 0) raw(dst - stride + x - ch) & 0xff else 0
-        val pred = ft match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) >> 1
-          case _ => // 4 = Paeth (ft > 4 already failed closed)
-            val p = left + up - ul
-            val pa = math.abs(p - left)
-            val pb = math.abs(p - up)
-            val pc = math.abs(p - ul)
-            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+    var off = 0
+    var pi = 0
+    while (pi < passes.length) {
+      val (xo, yo, xs, ys) = passes(pi)
+      val (pw, ph) = passDims(pi)
+      if (pw > 0 && ph > 0) {
+        val rowLen = pw * ch
+        var prev = new Array[Byte](rowLen)
+        var cur = new Array[Byte](rowLen)
+        var j = 0
+        while (j < ph) {
+          val ft = filtered(off) & 0xff
+          if (!defilterRow(ft, filtered, off + 1, prev, cur, ch))
+            return null
+          if (xs == 1) // contiguous row (the identity pass, pass 7)
+            System.arraycopy(cur, 0, raw,
+              (yo + j * ys) * stride + xo * ch, rowLen)
+          else {
+            var i2 = 0
+            while (i2 < pw) {
+              val dst = (yo + j * ys) * stride + (xo + i2 * xs) * ch
+              var c = 0
+              while (c < ch) { raw(dst + c) = cur(i2 * ch + c); c += 1 }
+              i2 += 1
+            }
+          }
+          val t = prev; prev = cur; cur = t
+          off += 1 + rowLen
+          j += 1
         }
-        raw(dst + x) = ((f + pred) & 0xff).toByte
-        x += 1
       }
-      y += 1
+      pi += 1
     }
     if (colorType == 3) {
       // resolve indices through the palette to plain RGB — an index

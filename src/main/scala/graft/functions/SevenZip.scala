@@ -21,10 +21,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * one stream), and the directory/empty-file distinction
   * (`kEmptyStream` without `kEmptyFile` = directory, per the spec).
   *
-  * LISTING tier by contract: member CONTENT stays compressed inside
-  * multi-coder folders whose full decode chain (BCJ filters, bind
-  * pairs) is out of scope here — the census a lake audit needs (what
-  * is inside, how big) never touches the payload.
+  * LISTING tier by contract: the census a lake audit needs (what is
+  * inside, how big) never touches the payload. The member-extraction
+  * sibling ([[SevenZipMembers]]) decodes single-coder folders AND
+  * 2-coder FILTER CHAINS (x86 BCJ / Delta after any supported
+  * compressor — what the 7z CLI writes for executables) since round
+  * 16; BCJ2's 4-stream split, PPMd and AES keep the refusal.
   *
   * Output: array of `(name, size, is_dir)` in archive order.
   *
@@ -122,6 +124,8 @@ object SevenZipList {
                                  props: Array[Byte])
   private final class Folder {
     val coders = new scala.collection.mutable.ArrayBuffer[Coder]
+    /** (inIndex, outIndex) bind pairs — the chain topology. */
+    val bindPairs = new scala.collection.mutable.ArrayBuffer[(Int, Int)]
     var unpackSizes: Array[Long] = Array.empty
     /** Packed input streams this folder consumes (totalIn − bind
       * pairs) — the member-extraction path advances the global
@@ -394,10 +398,12 @@ object SevenZipList {
     f.bindOutConsumed = new Array[Boolean](totalOut)
     var bp = 0
     while (bp < nBindPairs) {
-      c.num() // inIndex
+      val inIndex = c.num()
       val outIndex = c.num()
       if (outIndex < 0 || outIndex >= totalOut) throw Bad
+      if (inIndex < 0 || inIndex >= totalIn) throw Bad
       f.bindOutConsumed(outIndex.toInt) = true
+      f.bindPairs += ((inIndex.toInt, outIndex.toInt))
       bp += 1
     }
     val nPacked = totalIn - nBindPairs
@@ -470,6 +476,111 @@ object SevenZipList {
         } finally inf.end()
       case _ => throw Bad // multi-coder/filtered headers: refuse
     }
+  }
+
+  /** x86 BCJ DECODE filter (the public Bra86 semantics, ip = 0 at
+    * the folder start): E8/E9 call/jump targets written as absolute
+    * addresses by the encoder convert back to relative, with the
+    * mask state machine suppressing false positives the same way the
+    * encoder did. In place. */
+  private[functions] def bcjX86Decode(d: Array[Byte]): Unit = {
+    def msb(b: Int): Boolean = b == 0x00 || b == 0xff
+    val size = d.length
+    if (size < 5) return
+    val end = size - 4
+    var pos = 0
+    var mask = 0
+    var running = true
+    while (running) {
+      var p = pos
+      while (p < end && (d(p) & 0xfe) != 0xe8) p += 1
+      val dist = p - pos
+      pos = p
+      if (p >= end) running = false
+      else {
+        var skip = false
+        if (dist > 2) mask = 0
+        else {
+          mask >>= dist
+          if (mask != 0 && (mask > 4 || mask == 3 ||
+            msb(d(p + (mask >> 1) + 1) & 0xff))) {
+            mask = (mask >> 1) | 4
+            pos += 1
+            skip = true
+          }
+        }
+        if (!skip) {
+          if (msb(d(p + 4) & 0xff)) {
+            var v = ((d(p + 4) & 0xffL) << 24) | ((d(p + 3) & 0xffL) << 16) |
+              ((d(p + 2) & 0xffL) << 8) | (d(p + 1) & 0xffL)
+            val cur = (pos + 5).toLong & 0xffffffffL
+            v = (v - cur) & 0xffffffffL
+            if (mask != 0) {
+              val sh = (mask & 6) << 2
+              if (msb(((v >> sh) & 0xff).toInt)) {
+                v = v ^ (((0x100L << sh) - 1) & 0xffffffffL)
+                v = (v - cur) & 0xffffffffL
+              }
+              mask = 0
+            }
+            d(p + 1) = v.toByte
+            d(p + 2) = (v >> 8).toByte
+            d(p + 3) = (v >> 16).toByte
+            d(p + 4) = (0L - ((v >> 24) & 1L)).toByte
+            pos += 5
+          } else {
+            mask = (mask >> 1) | 4
+            pos += 1
+          }
+        }
+      }
+    }
+  }
+
+  /** Delta DECODE filter: `d(i) += d(i - dist)`, front to back. */
+  private def deltaDecode(d: Array[Byte], dist: Int): Unit = {
+    if (dist <= 0) throw Bad
+    var i = dist
+    while (i < d.length) {
+      d(i) = (d(i) + d(i - dist)).toByte
+      i += 1
+    }
+  }
+
+  /** A folder's full decode: the single-coder case, or a 2-coder
+    * FILTER CHAIN (compressor → x86 BCJ or Delta — what real 7z
+    * writes for executables) resolved through the bind pair: the
+    * coder with the unbound INPUT takes the packed bytes, the bind
+    * pair must connect its output to the filter, and the filter's
+    * output is the folder result (length re-verified). Anything
+    * wider (BCJ2's 4-stream split, PPMd, AES) keeps the refusal. */
+  private def decodeFolderChain(bytes: Array[Byte], start: Long,
+                                packLen: Long, f: Folder,
+                                maxOut: Int): Array[Byte] = {
+    if (f.coders.length == 1)
+      return decodeCoder(bytes, start, packLen, f.mainUnpackSize,
+        f.coders(0), maxOut)
+    if (f.coders.length != 2 || f.bindPairs.length != 1 ||
+      f.numPackedStreams != 1 ||
+      f.coders.exists(c => c.numIn != 1 || c.numOut != 1)) throw Bad
+    val (bin, bout) = f.bindPairs(0)
+    // 1-in/1-out coders: stream index == coder index
+    val firstIdx = 1 - bin // unbound input ← the packed bytes
+    if (bout != firstIdx) throw Bad // chain must be first.out → filter.in
+    if (firstIdx >= f.unpackSizes.length) throw Bad
+    val mid = decodeCoder(bytes, start, packLen,
+      f.unpackSizes(firstIdx), f.coders(firstIdx), maxOut)
+    val filt = f.coders(bin)
+    val idHex = filt.id.map(b => f"${b & 0xff}%02x").mkString
+    idHex match {
+      case "03030103" => bcjX86Decode(mid)
+      case "03" =>
+        val dist = (if (filt.props.nonEmpty) filt.props(0) & 0xff else 0) + 1
+        deltaDecode(mid, dist)
+      case _ => throw Bad // BCJ2/PPMd/AES/other filters: refuse
+    }
+    if (mid.length != f.mainUnpackSize) throw Bad
+    mid
   }
 
   private final case class FilesInfo(names: Array[String],
@@ -632,10 +743,13 @@ object SevenZipList {
     * span (cumulative pack sizes; refused folders still advance the
     * index), decode ONCE via the header path's coder set, slice the
     * folder output into substreams (solid archives), VERIFY each
-    * substream CRC when the header defines one. `data` is null —
-    * with the row kept — for directories, members of multi-coder/
-    * BCJ/unsupported folders, CRC mismatches, and folders past the
-    * aggregate `maxOut` bomb cap; empty FILES carry empty bytes. */
+    * substream CRC when the header defines one. Folders decode
+    * through [[decodeFolderChain]]: one coder, or a compressor →
+    * x86-BCJ/Delta filter chain resolved via the bind pair. `data`
+    * is null — with the row kept — for directories, members of
+    * unsupported folders (BCJ2/PPMd/AES), CRC mismatches, and
+    * folders past the aggregate `maxOut` bomb cap; empty FILES
+    * carry empty bytes. */
   def computeMembers(bytes: Array[Byte], maxEntries: Int,
                      maxOut: Int): GenericArrayData = {
     try {
@@ -662,8 +776,7 @@ object SevenZipList {
         if (folderData(fi) == null && !folderFailed(fi)) {
           val fo = main.folders(fi)
           try {
-            if (fo.coders.length != 1 || fo.numPackedStreams != 1)
-              throw Bad // multi-coder/filtered folders: documented refusal
+            if (fo.numPackedStreams != 1) throw Bad // BCJ2-class: refusal
             val p = packIdx(fi)
             if (p >= main.packSizes.length) throw Bad
             var off = 32L + main.packPos
@@ -672,8 +785,7 @@ object SevenZipList {
             val unpack = fo.mainUnpackSize
             if (unpack > budget) throw Bad // aggregate bomb cap
             folderData(fi) =
-              decodeCoder(bytes, off, main.packSizes(p), unpack,
-                fo.coders(0), maxOut)
+              decodeFolderChain(bytes, off, main.packSizes(p), fo, maxOut)
             budget -= unpack
           } catch {
             case Bad => folderFailed(fi) = true

@@ -137,9 +137,47 @@ object IcebergTable {
         col("e.data_file.file_size_in_bytes").as("file_size_in_bytes"))
   }
 
+  /** The current snapshot's v2 DELETE files — [[DeltaLog]]'s
+    * deletion-vector columns, Iceberg-shaped: one row per live delete
+    * file with `content_kind` (`position` = content 1, `equality` =
+    * content 2) and its record count, so data-file row counts from
+    * [[snapshot]] read as honest UPPER BOUNDS on a merge-on-read
+    * table. Same manifest walk (delete manifests are ordinary avro
+    * manifests whose entries carry content != 0); the delete files
+    * themselves are never opened. Empty on v1/copy-on-write tables. */
+  def deleteFiles(spark: SparkSession, tableDir: String): DataFrame = {
+    val paths = manifests(spark, tableDir)
+      .select("manifest_path").collect()
+      .map(r => resolve(tableDir, r.getString(0)))
+    if (paths.isEmpty)
+      throw new IllegalArgumentException("snapshot has no manifests")
+    spark.read.format("binaryFile").load(paths: _*)
+      .select(explode(graft.functions.AvroRecordsJson(col("content")))
+        .as("j"))
+      .select(from_json(col("j"), StructType.fromDDL(
+        "status INT, snapshot_id BIGINT, data_file STRUCT<" +
+          "content: INT, file_path: STRING, file_format: STRING, " +
+          "record_count: BIGINT, file_size_in_bytes: BIGINT>")).as("e"))
+      .filter(col("e.status") =!= 2 &&
+        coalesce(col("e.data_file.content"), lit(0)) =!= 0)
+      .select(col("e.data_file.file_path").as("file_path"),
+        when(col("e.data_file.content") === 1, "position")
+          .when(col("e.data_file.content") === 2, "equality")
+          .otherwise(concat(lit("content_"),
+            col("e.data_file.content").cast("string")))
+          .as("content_kind"),
+        col("e.data_file.file_format").as("file_format"),
+        col("e.data_file.record_count").as("record_count"),
+        col("e.data_file.file_size_in_bytes").as("file_size_in_bytes"))
+  }
+
   /** One-row census: format/uuid/snapshot facts + the live file
     * count, byte total and EXACT row total (a metadata-only number —
-    * Iceberg manifests carry per-file record counts). */
+    * Iceberg manifests carry per-file record counts), plus the
+    * DELETE-file census (`n_delete_files`, `delete_records`) that
+    * marks `total_records` as an upper bound on merge-on-read
+    * tables — the honesty columns [[DeltaLog.snapshot]]'s
+    * `has_dv`/`dv_cardinality` give the Delta side. */
   def tableMeta(spark: SparkSession, tableDir: String): DataFrame = {
     val m = metadata(spark, tableDir)
       .select(col("`format-version`").as("format_version"),
@@ -150,7 +188,10 @@ object IcebergTable {
       .agg(count(lit(1)).as("n_files"),
         coalesce(sum(col("file_size_in_bytes")), lit(0L)).as("total_bytes"),
         coalesce(sum(col("record_count")), lit(0L)).as("total_records"))
-    m.crossJoin(live)
+    val dels = deleteFiles(spark, tableDir)
+      .agg(count(lit(1)).as("n_delete_files"),
+        coalesce(sum(col("record_count")), lit(0L)).as("delete_records"))
+    m.crossJoin(live).crossJoin(dels)
   }
 
   /** Structured-streaming tail of the METADATA LOG — [[DeltaLog]]'s

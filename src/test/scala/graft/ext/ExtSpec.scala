@@ -3150,6 +3150,45 @@ class MultimodalSpec extends SparkSpec {
       chunk("IEND", Array.empty[Byte])
   }
 
+
+  /** REAL Adam7 serialization of the formula pixels: each non-empty
+    * pass an independent filtered sub-image (filter 0 rows), zlib
+    * via Deflater — [[pngBytes]]'s interlaced sibling. */
+  private def adam7Bytes(v: (Int, Int) => Int, w: Int = 16,
+                         h: Int = 16): Array[Byte] = {
+    val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val stream = passes.flatMap { case (xo, yo, xs, ys) =>
+      val pw = if (w > xo) (w - xo + xs - 1) / xs else 0
+      val ph = if (h > yo) (h - yo + ys - 1) / ys else 0
+      (0 until ph).flatMap { j =>
+        0.toByte +: (0 until pw).flatMap { i =>
+          val p = (v(xo + i * xs, yo + j * ys) & 0xff).toByte
+          Seq(p, p, p)
+        }
+      }
+    }.toArray
+    val d = new java.util.zip.Deflater()
+    d.setInput(stream); d.finish()
+    val buf = new Array[Byte](stream.length + 256)
+    val n = d.deflate(buf); d.end()
+    val zz = buf.take(n)
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] =
+      be(data.length, 4) ++ tag.getBytes ++ data ++ crcChunk(tag, data)
+    sig ++ chunk("IHDR", be(w, 4) ++ be(h, 4) ++
+      Array[Byte](8, 2, 0, 0, 1)) ++ chunk("IDAT", zz) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Chunk CRC32 over tag+data (ImageIO validates them). */
+  private def crcChunk(tag: String, data: Array[Byte]): Array[Byte] = {
+    val c = new java.util.zip.CRC32()
+    c.update(tag.getBytes)
+    c.update(data)
+    be(c.getValue, 4)
+  }
+
   test("pngDhash: inflate + all five filter inversions recover the pixels; " +
     "BMP of the same image hashes EQUAL; malformed payloads fail closed") {
     import spark.implicits._
@@ -3180,7 +3219,8 @@ class MultimodalSpec extends SparkSpec {
       (4L, pngBytes(base, colorType = 6)),          // RGBA, opaque alpha
       (5L, pngBytes(base, splitIdat = true)),       // multi-IDAT concatenation
       (6L, bmpOf(base)),                            // the SAME image as BMP
-      (7L, pngBytes(base, interlace = 1)),          // Adam7: fail closed
+      (7L, pngBytes(base, interlace = 1)),          // LYING header: fail closed
+      (11L, adam7Bytes(base)),                      // REAL Adam7: equal hash
       (8L, good.dropRight(20)),                     // truncated: fail closed
       (9L, corrupt),                                // zlib error: fail closed
       (10L, "not an image".getBytes)
@@ -3195,6 +3235,16 @@ class MultimodalSpec extends SparkSpec {
       "gray/RGBA of the same values share the luma, so the hash")
     assert(out(1L) == out(5L), "split IDAT must concatenate")
     assert(out(1L) == out(6L), "PNG and BMP of the same pixels hash EQUAL")
+    assert(out(1L) == out(11L),
+      "an Adam7 and a plain encode of the same pixels hash EQUAL")
+    // the Adam7 fixture is independently verified: the JDK's own PNG
+    // reader decodes it to the formula pixels
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(adam7Bytes(base)))
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert((img.getRGB(x, y) & 0xff) == (base(x, y) & 0xff), s"($x,$y)")
+    // an interlace header OVER non-interlaced data lies about its
+    // geometry — fail closed, like truncation/corruption/junk
     assert(out(7L).isEmpty && out(8L).isEmpty && out(9L).isEmpty && out(10L).isEmpty)
     // pngMeta agrees with the decode path
     val m = rows.filter(col("media_id") === 1L)

@@ -171,6 +171,64 @@ class AvroRecordsJsonSpec extends SparkSpec {
     assert(AvroRecordsJson.sparkDdl("""{"bad json""") == null)
   }
 
+  test("avro LOGICAL TYPES render as logical values: decimal (bytes " +
+    "AND fixed), date, timestamp-millis/micros, time-millis, uuid; " +
+    "unknown logical names keep the base rendering") {
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"lt","fields":[
+        |  {"name":"dec","type":{"type":"bytes","logicalType":"decimal",
+        |    "precision":10,"scale":2}},
+        |  {"name":"decf","type":{"type":"fixed","name":"d8","size":8,
+        |    "logicalType":"decimal","precision":18,"scale":4}},
+        |  {"name":"dt","type":{"type":"int","logicalType":"date"}},
+        |  {"name":"tsm","type":{"type":"long",
+        |    "logicalType":"timestamp-millis"}},
+        |  {"name":"tsu","type":{"type":"long",
+        |    "logicalType":"timestamp-micros"}},
+        |  {"name":"tm","type":{"type":"int","logicalType":"time-millis"}},
+        |  {"name":"uid","type":{"type":"string","logicalType":"uuid"}},
+        |  {"name":"mystery","type":{"type":"int",
+        |    "logicalType":"not-a-real-one"}}
+        |]}""".stripMargin)
+    val bos = new ByteArrayOutputStream()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, bos)
+    val r = new GenericData.Record(schema)
+    // -12345 unscaled, scale 2 => -123.45
+    r.put("dec", java.nio.ByteBuffer.wrap(
+      java.math.BigInteger.valueOf(-12345L).toByteArray))
+    // 98765 unscaled in an 8-byte fixed, scale 4 => 9.8765
+    val fx = new Array[Byte](8)
+    val src = java.math.BigInteger.valueOf(98765L).toByteArray
+    System.arraycopy(src, 0, fx, 8 - src.length, src.length)
+    r.put("decf", new GenericData.Fixed(
+      schema.getField("decf").schema(), fx))
+    r.put("dt", 19723)          // 2024-01-01
+    r.put("tsm", 1700000000123L)
+    r.put("tsu", 1700000000123456L)
+    r.put("tm", 3723250)        // 01:02:03.25
+    r.put("uid", "0f8fad5b-d9cb-469f-a165-70867728950e")
+    r.put("mystery", 7)
+    w.append(r)
+    w.close()
+    val got = records(bos.toByteArray)
+    assert(got.length == 1)
+    val j = got.head
+    assert(j.contains("\"dec\":-123.45"), j)
+    assert(j.contains("\"decf\":9.8765"), j)
+    assert(j.contains("\"dt\":\"" +
+      java.time.LocalDate.ofEpochDay(19723) + "\""), j)
+    assert(j.contains("\"tsm\":\"" +
+      java.time.Instant.ofEpochMilli(1700000000123L) + "\""), j)
+    assert(j.contains("\"tsu\":\"" + java.time.Instant.ofEpochSecond(
+      1700000000L, 123456000L) + "\""), j)
+    assert(j.contains("\"tm\":\"01:02:03.250\""), j)
+    assert(j.contains(
+      "\"uid\":\"0f8fad5b-d9cb-469f-a165-70867728950e\""), j)
+    assert(j.contains("\"mystery\":7"), j)
+  }
+
   test("avro_records fails closed: schema junk, unsupported codec, " +
     "corrupt block data, record-count bomb, datum overrun") {
     val (_, bytes) = rich()

@@ -68,7 +68,9 @@ class IcebergTableSpec extends SparkSpec {
       entry(2, 0, "data/gone.parquet", "PARQUET", 9, 90)))
     val m2 = avroFile(manifestEntrySchema, Seq(
       entry(0, 0, "data/c.avro", "AVRO", 50, 500),
-      entry(1, 1, "data/deletes.parquet", "PARQUET", 4, 40)))
+      entry(1, 1, "data/deletes.parquet", "PARQUET", 4, 40),
+      entry(1, 2, "data/eqdel.parquet", "PARQUET", 2, 20),
+      entry(2, 1, "data/olddel.parquet", "PARQUET", 9, 90)))
     Files.write(meta.resolve("m1.avro"), m1)
     Files.write(meta.resolve("m2.avro"), m2)
     def mf(p: String, len: Long): GenericRecord = {
@@ -125,7 +127,22 @@ class IcebergTableSpec extends SparkSpec {
       assert(m.getAs[Long]("n_files") == 3L)
       assert(m.getAs[Long]("total_bytes") == 3500L)
       assert(m.getAs[Long]("total_records") == 350L)
+      // merge-on-read honesty columns: total_records is an UPPER
+      // bound, bounded by the delete-file census
+      assert(m.getAs[Long]("n_delete_files") == 2L)
+      assert(m.getAs[Long]("delete_records") == 6L)
     }
+  }
+
+  test("iceberg deleteFiles: live v2 delete files with content kinds " +
+    "and record counts; dropped delete entries excluded") {
+    val dir = buildTable(withHint = true)
+    val dels = IcebergTable.deleteFiles(spark, dir.toString)
+      .orderBy("file_path").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    assert(dels.toSeq == Seq(
+      ("data/deletes.parquet", "position", 4L),
+      ("data/eqdel.parquet", "equality", 2L)))
   }
 
   test("iceberg metadataStream tails the metadata log: documents " +
