@@ -87,7 +87,8 @@ case class PdfTextExtract(child: Expression, maxStreams: Int, maxOut: Int)
   override def dataType: DataType = StructType(Seq(
     StructField("text", StringType, nullable = false),
     StructField("n_streams", LongType, nullable = false),
-    StructField("n_decoded", LongType, nullable = false)))
+    StructField("n_decoded", LongType, nullable = false),
+    StructField("encrypted", BooleanType, nullable = false)))
 
   override def nullable: Boolean = true
 
@@ -113,6 +114,53 @@ object PdfTextExtract {
     if (bytes.length < 5 || bytes(0) != '%' || bytes(1) != 'P' ||
       bytes(2) != 'D' || bytes(3) != 'F' || bytes(4) != '-') return null
     val doc = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // encryption: names/dicts stay plaintext in an encrypted PDF —
+    // only strings and streams are enciphered — so the /Encrypt
+    // reference and the crypt parameters are readable up front
+    var encrypted = false
+    var crypt: PdfCrypt.Decryptor = null
+    var preObjs: Array[ObjInfo] = null
+    if (doc.contains("/Encrypt")) {
+      preObjs = parseObjects(doc, maxStreams)
+      val dictByNum = new java.util.HashMap[Integer, String]()
+      for (o <- preObjs)
+        if (!dictByNum.containsKey(o.num)) dictByNum.put(o.num, o.dict)
+      PdfCrypt.build(doc, n => dictByNum.get(n)) match {
+        case null => preObjs = null // false-positive gate: plaintext
+        case PdfCrypt.Locked =>
+          // genuinely password-protected (or unsupported handler):
+          // count the streams, decode NOTHING — never guessed text
+          var nStreams = 0L
+          var pos = 0
+          var steps = 0
+          while (steps < maxStreams) {
+            steps += 1
+            val sk = doc.indexOf("stream", pos)
+            if (sk < 0) steps = maxStreams
+            else {
+              // same opener test as the main walk — and not the tail
+              // of "endstream"
+              if ((doc.startsWith("stream\r\n", sk) ||
+                doc.startsWith("stream\n", sk)) &&
+                (sk == 0 || !isRegular(doc.charAt(sk - 1)))) nStreams += 1
+              pos = sk + 6
+            }
+          }
+          return new GenericInternalRow(Array[Any](
+            UTF8String.fromString(""), nStreams, 0L, true))
+        case d: PdfCrypt.Decryptor =>
+          encrypted = true
+          crypt = d
+      }
+    }
+    // per-stream object lookup, needed only when streams decrypt
+    val objByStart: java.util.HashMap[Integer, ObjInfo] =
+      if (crypt != null && crypt.cfm != 0) {
+        val m = new java.util.HashMap[Integer, ObjInfo]()
+        for (o <- preObjs) if (o.streamStart >= 0)
+          m.put(o.streamStart, o)
+        m
+      } else null
     // the CMap environment is built ONLY when the document mentions
     // ToUnicode — the common simple-PDF path pays one indexOf
     val env: FontEnv =
@@ -121,7 +169,7 @@ object PdfTextExtract {
       // resolve through their embedded program's cmap
       if (doc.contains("/ToUnicode") || doc.contains("/ObjStm") ||
         doc.contains("/Identity-H"))
-        buildFontEnv(doc, maxStreams, maxOut)
+        buildFontEnv(doc, maxStreams, maxOut, crypt, preObjs)
       else null
     val out = new java.lang.StringBuilder
     var nStreams = 0L
@@ -134,7 +182,7 @@ object PdfTextExtract {
       if (sk < 0) {
         val txt = out.toString
         return new GenericInternalRow(Array[Any](
-          UTF8String.fromString(txt), nStreams, nDecoded))
+          UTF8String.fromString(txt), nStreams, nDecoded, encrypted))
       }
       // require the keyword form: "stream" followed by \r\n or \n
       val dataStart =
@@ -155,15 +203,22 @@ object PdfTextExtract {
         if (end < 0) {
           val txt = out.toString
           return new GenericInternalRow(Array[Any](
-            UTF8String.fromString(txt), nStreams, nDecoded))
+            UTF8String.fromString(txt), nStreams, nDecoded, encrypted))
         }
-        val data = doc.substring(dataStart, dEnd)
+        var data = doc.substring(dataStart, dEnd)
           .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-        val content: String = decodeStream(dict, data, maxOut) match {
-          case null => null
-          case b =>
-            new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+        // decrypt before filters (XRef streams are never encrypted)
+        if (objByStart != null && keyValueAt(dict, "/XRef") < 0) {
+          val o = objByStart.get(dataStart)
+          data = if (o == null) null
+                 else crypt.decrypt(o.num, o.gen, data)
         }
+        val content: String =
+          (if (data == null) null else decodeStream(dict, data, maxOut)) match {
+            case null => null
+            case b =>
+              new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+          }
         if (content != null) {
           nDecoded += 1
           val skipScan = env != null && env.isResourceStream(dataStart)
@@ -180,7 +235,7 @@ object PdfTextExtract {
     // stream-walk bound exhausted: report what was decoded so far —
     // the n_streams/n_decoded pair shows the truncation
     new GenericInternalRow(Array[Any](
-      UTF8String.fromString(out.toString), nStreams, nDecoded))
+      UTF8String.fromString(out.toString), nStreams, nDecoded, encrypted))
   }
 
   /** Start index of the stream dict governing the keyword at `sk`:
@@ -730,12 +785,12 @@ object PdfTextExtract {
   }
 
   /** PDF "regular" character: not whitespace, not a delimiter. */
-  private def isRegular(c: Char): Boolean =
+  private[functions] def isRegular(c: Char): Boolean =
     !c.isWhitespace && c != '(' && c != ')' && c != '<' && c != '>' &&
       c != '[' && c != ']' && c != '{' && c != '}' && c != '/' && c != '%'
 
   /** PDF literal string at s(i) == '(' → (content, index past ')'). */
-  private def parseLiteral(s: String, i0: Int, end: Int): (String, Int) = {
+  private[functions] def parseLiteral(s: String, i0: Int, end: Int): (String, Int) = {
     val sb = new java.lang.StringBuilder
     var depth = 1
     var i = i0 + 1
@@ -773,7 +828,7 @@ object PdfTextExtract {
   }
 
   /** PDF hex string at s(i) == '<' → (content, index past '>'). */
-  private def parseHex(s: String, i0: Int, end: Int): (String, Int) = {
+  private[functions] def parseHex(s: String, i0: Int, end: Int): (String, Int) = {
     val sb = new java.lang.StringBuilder
     var i = i0 + 1
     var hi = -1
@@ -982,15 +1037,17 @@ object PdfTextExtract {
     if (m.entries == 0) null else m
   }
 
-  /** One indirect object: number, its dict text, body bounds, and
-    * (when present) the raw stream-data bounds within the doc. */
-  private final class ObjInfo(val num: Int, val dict: String,
+  /** One indirect object: number, generation, its dict text, body
+    * bounds, and (when present) the raw stream-data bounds within
+    * the doc. The generation feeds the per-object decryption key. */
+  private final class ObjInfo(val num: Int, val gen: Int,
+                              val dict: String,
                               val bodyStart: Int, val bodyEnd: Int,
                               val streamStart: Int, val streamEnd: Int)
 
   /** Balanced `<< … >>` forward scan → index AFTER the closing `>>`
     * (or `end` when unterminated). */
-  private def dictEndFrom(doc: String, ds: Int, end: Int): Int = {
+  private[functions] def dictEndFrom(doc: String, ds: Int, end: Int): Int = {
     var i = ds
     var depth = 0
     while (i + 1 < end) {
@@ -1017,6 +1074,7 @@ object PdfTextExtract {
       // boundary: "obj" must be its own token ("endobj" has 'd' before)
       val okAfter = after >= doc.length || !isRegular(doc.charAt(after))
       var num = -1
+      var gen = 0
       if (okAfter) {
         var i = k - 1
         while (i >= 0 && (doc.charAt(i) == ' ' || doc.charAt(i) == '\r' ||
@@ -1024,7 +1082,8 @@ object PdfTextExtract {
         var genEnd = i
         while (i >= 0 && doc.charAt(i).isDigit) i -= 1
         val genStart = i + 1
-        if (genEnd >= genStart) {
+        if (genEnd >= genStart && genEnd - genStart < 6) {
+          gen = Integer.parseInt(doc.substring(genStart, genEnd + 1))
           while (i >= 0 && (doc.charAt(i) == ' ' || doc.charAt(i) == '\r' ||
             doc.charAt(i) == '\n' || doc.charAt(i) == '\t')) i -= 1
           var numEnd = i
@@ -1059,7 +1118,7 @@ object PdfTextExtract {
             }
           }
         }
-        out += new ObjInfo(num, dict, after, bodyEnd, sStart, sEnd)
+        out += new ObjInfo(num, gen, dict, after, bodyEnd, sStart, sEnd)
         pos = bodyEnd + 6
       }
     }
@@ -1105,7 +1164,7 @@ object PdfTextExtract {
 
   /** Next `N G R` indirect reference after position `at` in `dict`,
     * or -1 when the value there is not a reference. */
-  private def refAt(dict: String, at: Int): Int = {
+  private[functions] def refAt(dict: String, at: Int): Int = {
     var i = at
     val n = dict.length
     while (i < n && dict.charAt(i).isWhitespace) i += 1
@@ -1122,7 +1181,7 @@ object PdfTextExtract {
   }
 
   /** Value position after `/Key` in `dict` (token-boundary match). */
-  private def keyValueAt(dict: String, key: String): Int = {
+  private[functions] def keyValueAt(dict: String, key: String): Int = {
     var from = 0
     var k = dict.indexOf(key, from)
     while (k >= 0) {
@@ -1178,7 +1237,8 @@ object PdfTextExtract {
     * Top-level objects win number collisions. Bounded by `maxObjs`
     * contained objects total and `maxOut` decoded bytes per stream. */
   private def expandObjStms(doc: String, objs: Array[ObjInfo],
-                            maxObjs: Int, maxOut: Int): Array[ObjInfo] = {
+                            maxObjs: Int, maxOut: Int,
+                            crypt: PdfCrypt.Decryptor): Array[ObjInfo] = {
     var extra: scala.collection.mutable.ArrayBuffer[ObjInfo] = null
     var budget = maxObjs
     for (o <- objs) {
@@ -1187,9 +1247,14 @@ object PdfTextExtract {
         val n = intValueAt(o.dict, "/N")
         val first = intValueAt(o.dict, "/First")
         if (n > 0 && n <= budget && first >= 0) {
-          val data = doc.substring(o.streamStart, o.streamEnd)
+          var data = doc.substring(o.streamStart, o.streamEnd)
             .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-          val text = decodeStream(o.dict, data, maxOut) match {
+          // the ObjStm stream itself decrypts; the objects inside are
+          // NOT separately enciphered (spec rule)
+          if (crypt != null && crypt.cfm != 0)
+            data = crypt.decrypt(o.num, o.gen, data)
+          val text = (if (data == null) null
+                      else decodeStream(o.dict, data, maxOut)) match {
             case null => null
             case b => new String(b,
               java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -1229,7 +1294,8 @@ object PdfTextExtract {
                     if (ds >= 0)
                       body.substring(ds, dictEndFrom(body, ds, body.length))
                     else ""
-                  extra += new ObjInfo(nums(i), dict, -1, -1, -1, -1)
+                  // objects in an ObjStm always have generation 0
+                  extra += new ObjInfo(nums(i), 0, dict, -1, -1, -1, -1)
                   budget -= 1
                 }
                 i += 1
@@ -1361,21 +1427,25 @@ object PdfTextExtract {
     }
   }
 
-  private def buildFontEnv(doc: String, maxObjs: Int,
-                           maxOut: Int): FontEnv = {
+  private def buildFontEnv(doc: String, maxObjs: Int, maxOut: Int,
+                           crypt: PdfCrypt.Decryptor,
+                           pre: Array[ObjInfo]): FontEnv = {
     try {
-      val top = parseObjects(doc, maxObjs)
+      val top = if (pre != null) pre else parseObjects(doc, maxObjs)
       if (top.isEmpty) return null
-      val objs = expandObjStms(doc, top, maxObjs, maxOut)
+      val objs = expandObjStms(doc, top, maxObjs, maxOut, crypt)
       val byNum = new java.util.HashMap[Integer, ObjInfo]()
       for (o <- objs) // top-level objects win number collisions
         if (!byNum.containsKey(o.num)) byNum.put(o.num, o)
       def streamTextOf(ref: Int): Array[Byte] = {
         val so = byNum.get(ref)
         if (so == null || so.streamStart < 0) return null
-        val data = doc.substring(so.streamStart, so.streamEnd)
+        var data = doc.substring(so.streamStart, so.streamEnd)
           .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-        decodeStream(so.dict, data, maxOut)
+        if (crypt != null && crypt.cfm != 0 &&
+          keyValueAt(so.dict, "/XRef") < 0)
+          data = crypt.decrypt(so.num, so.gen, data)
+        if (data == null) null else decodeStream(so.dict, data, maxOut)
       }
       // font object → CMap
       val fontCmaps = new java.util.HashMap[Integer, UCMap]()
