@@ -25,8 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * inside, how big) never touches the payload. The member-extraction
   * sibling ([[SevenZipMembers]]) decodes single-coder folders AND
   * 2-coder FILTER CHAINS (x86 BCJ / Delta after any supported
-  * compressor — what the 7z CLI writes for executables) since round
-  * 16; BCJ2's 4-stream split, PPMd and AES keep the refusal.
+  * compressor — what the 7z CLI writes for executables) AND the
+  * BCJ2 four-stream folder graph since round 16; PPMd and AES keep
+  * the refusal.
   *
   * Output: array of `(name, size, is_dir)` in archive order.
   *
@@ -131,6 +132,9 @@ object SevenZipList {
       * pairs) — the member-extraction path advances the global
       * pack-stream index by this even for folders it refuses. */
     var numPackedStreams: Int = 1
+    /** Pack-order → global in-stream index (present when
+      * numPackedStreams > 1; empty = natural unbound order). */
+    var packedIndices: Array[Int] = Array.empty
     /** The folder's final output size = the out-stream no bind pair
       * consumes; single-coder folders (the header case) have one. */
     var bindOutConsumed: Array[Boolean] = Array.empty
@@ -410,8 +414,17 @@ object SevenZipList {
     if (nPacked < 1) throw Bad
     f.numPackedStreams = nPacked
     if (nPacked > 1) {
+      // pack-stream order: which IN-stream each packed stream feeds
+      // (BCJ2's four inputs arrive in declared, not natural, order)
+      val idx = new Array[Int](nPacked)
       var k = 0
-      while (k < nPacked) { c.num(); k += 1 }
+      while (k < nPacked) {
+        val v = c.num()
+        if (v < 0 || v >= totalIn) throw Bad
+        idx(k) = v.toInt
+        k += 1
+      }
+      f.packedIndices = idx
     }
     f
   }
@@ -552,8 +565,9 @@ object SevenZipList {
     * writes for executables) resolved through the bind pair: the
     * coder with the unbound INPUT takes the packed bytes, the bind
     * pair must connect its output to the filter, and the filter's
-    * output is the folder result (length re-verified). Anything
-    * wider (BCJ2's 4-stream split, PPMd, AES) keeps the refusal. */
+    * output is the folder result (length re-verified). BCJ2's
+    * multi-packed shape routes through [[decodeFolderGraph]]
+    * instead; PPMd and AES keep the refusal. */
   private def decodeFolderChain(bytes: Array[Byte], start: Long,
                                 packLen: Long, f: Folder,
                                 maxOut: Int): Array[Byte] = {
@@ -581,6 +595,203 @@ object SevenZipList {
     }
     if (mid.length != f.mainUnpackSize) throw Bad
     mid
+  }
+
+  /** BCJ2 DECODE (coder 0303011B — the public four-stream x86 branch
+    * converter from the LZMA SDK's documented format): `main` carries
+    * every byte except converted rel32 operands, `call`/`jump` carry
+    * the ABSOLUTE targets big-endian (E8 → call, E9 and 0F 8x jcc →
+    * jump), and `rc` is an LZMA-style range-coded bit stream — 11-bit
+    * adaptive models, one per context: jcc, E9, and E8-by-preceding-
+    * byte — deciding per eligible opcode whether its operand was
+    * converted. A branch byte is eligible only when 4 operand bytes
+    * still fit in the output (the encoder's own constraint). Any
+    * stream exhaustion or length mismatch throws — fail closed. */
+  private[functions] def bcj2Decode(main: Array[Byte], call: Array[Byte],
+                                    jump: Array[Byte], rc: Array[Byte],
+                                    outSize: Int): Array[Byte] = {
+    if (outSize < 0) throw Bad
+    val out = new Array[Byte](outSize)
+    // range decoder init: first byte ignored (encoder emits 0), then
+    // 4 code bytes
+    if (rc.length < 5) throw Bad
+    var rcPos = 1
+    var range = 0xFFFFFFFFL
+    var code = 0L
+    var k = 0
+    while (k < 4) { code = (code << 8) | (rc(rcPos) & 0xffL); rcPos += 1; k += 1 }
+    val probs = new Array[Int](2 + 256)
+    java.util.Arrays.fill(probs, 1024) // kBitModelTotal / 2
+    def decodeBit(idx: Int): Int = {
+      val bound = (range >>> 11) * probs(idx)
+      var bit = 0
+      // both values live in [0, 2^32) inside Longs: plain < is the
+      // unsigned compare
+      if (code < bound) {
+        range = bound
+        probs(idx) += (2048 - probs(idx)) >>> 5
+      } else {
+        range -= bound
+        code -= bound
+        probs(idx) -= probs(idx) >>> 5
+        bit = 1
+      }
+      while (range < (1L << 24)) {
+        if (rcPos >= rc.length) throw Bad
+        range <<= 8
+        code = ((code << 8) | (rc(rcPos) & 0xffL)) & 0xFFFFFFFFL
+        rcPos += 1
+      }
+      bit
+    }
+    var mainPos = 0
+    var callPos = 0
+    var jumpPos = 0
+    var outPos = 0
+    var prev = 0
+    while (outPos < outSize) {
+      if (mainPos >= main.length) throw Bad
+      val b = main(mainPos) & 0xff
+      mainPos += 1
+      out(outPos) = b.toByte
+      outPos += 1
+      val isBranch = (b & 0xFE) == 0xE8 ||
+        (prev == 0x0F && (b & 0xF0) == 0x80)
+      if (isBranch && outPos + 4 <= outSize) {
+        val idx =
+          if (b == 0xE8) 2 + prev
+          else if (b == 0xE9) 1
+          else 0
+        if (decodeBit(idx) == 1) {
+          val srcArr = if (b == 0xE8) call else jump
+          val sp = if (b == 0xE8) callPos else jumpPos
+          if (sp + 4 > srcArr.length) throw Bad
+          val abs = ((srcArr(sp) & 0xffL) << 24) |
+            ((srcArr(sp + 1) & 0xffL) << 16) |
+            ((srcArr(sp + 2) & 0xffL) << 8) | (srcArr(sp + 3) & 0xffL)
+          if (b == 0xE8) callPos += 4 else jumpPos += 4
+          val dest = (abs - (outPos.toLong + 4)) & 0xFFFFFFFFL
+          out(outPos) = dest.toByte
+          out(outPos + 1) = (dest >>> 8).toByte
+          out(outPos + 2) = (dest >>> 16).toByte
+          out(outPos + 3) = (dest >>> 24).toByte
+          outPos += 4
+          prev = ((dest >>> 24) & 0xff).toInt
+        } else prev = b
+      } else prev = b
+    }
+    // all four inputs must be fully consumed — trailing garbage in
+    // any stream is a malformed folder, not a success
+    if (mainPos != main.length || callPos != call.length ||
+      jumpPos != jump.length) throw Bad
+    out
+  }
+
+  /** General folder-graph decode for multi-packed-stream folders —
+    * the BCJ2 shape: each coder's inputs resolve either through a
+    * bind pair (another coder's output, evaluated recursively with
+    * memoization) or from the folder's packed spans in declared
+    * pack order. Every intermediate output length is VERIFIED
+    * against the folder's declared unpack sizes. `spans` are the
+    * folder's packed (offset, size) pairs in pack order. */
+  private def decodeFolderGraph(bytes: Array[Byte],
+                                spans: Array[(Long, Long)], f: Folder,
+                                maxOut: Int): Array[Byte] = {
+    val nCoders = f.coders.length
+    if (nCoders < 1 || nCoders > 8) throw Bad
+    if (f.coders.exists(_.numOut != 1)) throw Bad // no splitter coders
+    // global in-stream index ranges per coder; out index == coder idx
+    val inStart = new Array[Int](nCoders + 1)
+    var i = 0
+    while (i < nCoders) {
+      inStart(i + 1) = inStart(i) + f.coders(i).numIn
+      i += 1
+    }
+    val totalIn = inStart(nCoders)
+    // in-stream → bound out-stream (or -1)
+    val boundOut = Array.fill(totalIn)(-1)
+    for ((bin, bout) <- f.bindPairs) {
+      if (bin < 0 || bin >= totalIn || bout < 0 || bout >= nCoders)
+        throw Bad
+      boundOut(bin) = bout
+    }
+    // in-stream → packed-span index
+    val packOrder: Array[Int] =
+      if (f.packedIndices.nonEmpty) f.packedIndices
+      else (0 until totalIn).filter(boundOut(_) < 0).toArray
+    if (packOrder.length != spans.length) throw Bad
+    val packOfIn = Array.fill(totalIn)(-1)
+    i = 0
+    while (i < packOrder.length) {
+      val in = packOrder(i)
+      if (in < 0 || in >= totalIn || boundOut(in) >= 0 ||
+        packOfIn(in) >= 0) throw Bad
+      packOfIn(in) = i
+      i += 1
+    }
+    def packedBytes(span: Int): Array[Byte] = {
+      val (off, len) = spans(span)
+      if (off < 0 || len < 0 || len > maxOut ||
+        off + len > bytes.length) throw Bad
+      java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+    }
+    val memo = new Array[Array[Byte]](nCoders)
+    val inFlight = new Array[Boolean](nCoders) // cycle guard
+    def evalCoder(ci: Int): Array[Byte] = {
+      if (memo(ci) != null) return memo(ci)
+      if (inFlight(ci)) throw Bad
+      inFlight(ci) = true
+      val c = f.coders(ci)
+      val ins = new Array[Array[Byte]](c.numIn)
+      var j = 0
+      while (j < c.numIn) {
+        val g = inStart(ci) + j
+        ins(j) =
+          if (boundOut(g) >= 0) evalCoder(boundOut(g))
+          else if (packOfIn(g) >= 0) packedBytes(packOfIn(g))
+          else throw Bad
+        j += 1
+      }
+      if (ci >= f.unpackSizes.length) throw Bad
+      val unpack = f.unpackSizes(ci)
+      if (unpack < 0 || unpack > maxOut) throw Bad
+      val idHex = c.id.map(b => f"${b & 0xff}%02x").mkString
+      val out: Array[Byte] = idHex match {
+        case "0303011b" => // BCJ2: main, call, jump, rc
+          if (c.numIn != 4) throw Bad
+          bcj2Decode(ins(0), ins(1), ins(2), ins(3), unpack.toInt)
+        case "03030103" => // x86 BCJ (1-in filter)
+          if (c.numIn != 1) throw Bad
+          val d = ins(0).clone()
+          bcjX86Decode(d)
+          d
+        case "03" => // Delta
+          if (c.numIn != 1) throw Bad
+          val d = ins(0).clone()
+          deltaDecode(d,
+            (if (c.props.nonEmpty) c.props(0) & 0xff else 0) + 1)
+          d
+        case _ => // single-input compressors via the shared kernel
+          if (c.numIn != 1) throw Bad
+          decodeCoder(ins(0), 0L, ins(0).length.toLong, unpack, c, maxOut)
+      }
+      if (out.length != unpack) throw Bad
+      memo(ci) = out
+      inFlight(ci) = false
+      out
+    }
+    // the folder result: the single out-stream no bind pair consumes
+    var mainCoder = -1
+    i = nCoders - 1
+    while (i >= 0) {
+      if (i >= f.bindOutConsumed.length || !f.bindOutConsumed(i)) {
+        if (mainCoder >= 0) throw Bad // more than one loose output
+        mainCoder = i
+      }
+      i -= 1
+    }
+    if (mainCoder < 0) throw Bad
+    evalCoder(mainCoder)
   }
 
   private final case class FilesInfo(names: Array[String],
@@ -744,10 +955,11 @@ object SevenZipList {
     * index), decode ONCE via the header path's coder set, slice the
     * folder output into substreams (solid archives), VERIFY each
     * substream CRC when the header defines one. Folders decode
-    * through [[decodeFolderChain]]: one coder, or a compressor →
-    * x86-BCJ/Delta filter chain resolved via the bind pair. `data`
+    * through [[decodeFolderChain]] (one coder, or a compressor →
+    * x86-BCJ/Delta filter chain via the bind pair) or, for the
+    * multi-packed BCJ2 shape, [[decodeFolderGraph]]. `data`
     * is null — with the row kept — for directories, members of
-    * unsupported folders (BCJ2/PPMd/AES), CRC mismatches, and
+    * unsupported folders (PPMd/AES), CRC mismatches, and
     * folders past the aggregate `maxOut` bomb cap; empty FILES
     * carry empty bytes. */
   def computeMembers(bytes: Array[Byte], maxEntries: Int,
@@ -776,16 +988,29 @@ object SevenZipList {
         if (folderData(fi) == null && !folderFailed(fi)) {
           val fo = main.folders(fi)
           try {
-            if (fo.numPackedStreams != 1) throw Bad // BCJ2-class: refusal
             val p = packIdx(fi)
-            if (p >= main.packSizes.length) throw Bad
+            if (p + fo.numPackedStreams > main.packSizes.length) throw Bad
             var off = 32L + main.packPos
             var k = 0
             while (k < p) { off += main.packSizes(k); k += 1 }
             val unpack = fo.mainUnpackSize
             if (unpack > budget) throw Bad // aggregate bomb cap
             folderData(fi) =
-              decodeFolderChain(bytes, off, main.packSizes(p), fo, maxOut)
+              if (fo.numPackedStreams == 1)
+                decodeFolderChain(bytes, off, main.packSizes(p), fo, maxOut)
+              else {
+                // multi-packed folder (the BCJ2 shape): packed spans
+                // in pack order, resolved through the coder graph
+                val spans = new Array[(Long, Long)](fo.numPackedStreams)
+                var s = 0
+                var o = off
+                while (s < fo.numPackedStreams) {
+                  spans(s) = (o, main.packSizes(p + s))
+                  o += main.packSizes(p + s)
+                  s += 1
+                }
+                decodeFolderGraph(bytes, spans, fo, maxOut)
+              }
             budget -= unpack
           } catch {
             case Bad => folderFailed(fi) = true

@@ -421,5 +421,87 @@ class SevenZipSpec extends SparkSpec {
       dt(0).getString(2) == "hello seven zip")
     assert(dt(1).getString(1) == "7z" && dt(1).isNullAt(2))
   }
-}
 
+  // ---- BCJ2 (round 16): fixtures from tools/make_7z_bcj2_fixture.py
+  // — an independent python implementation of the range coder and
+  // stream split; the decoder must reproduce the payload exactly ----
+
+  private val bcj2CopyHex: String =
+    "377abcaf271c0004da94aaf810010000000000004000000000000000ad" +
+    "fdee2c42434a32206669787475726520707265616d626c653a20e82063" +
+    "616c6c3020e907000000206a6d7030200f80206a63633020e82063616c" +
+    "6c3120e9d6040000206a6d7031200f81206a63633120e8cb0700002063" +
+    "616c6c3220e9a5090000206a6d7032200f821e030000206a63633220e8" +
+    "2063616c6c3320e9740e0000206a6d7033200f83206a63633320e82063" +
+    "616c6c3420e943130000206a6d7034200f84206a63633420e83e130000" +
+    "2063616c6c3520e912180000206a6d7035200f85cb070000206a636335" +
+    "20706c61696e207461696c2077697468206e6f206272616e636865732e" +
+    "2e2e2e2e000000450000043900000c210000101500000034000001e600" +
+    "00054a000006fc00b3fc166e7a0001040600040980e910100700070b01" +
+    "0001140303011b0401000102030c81090a018017d16b00000501111300" +
+    "63006f00640065002e00620069006e0000000000"
+  private val bcj2Lzma2Hex: String =
+    "377abcaf271c00042ed693e4c8000000000000004800000000000000bc" +
+    "499ee9e000e800995d002110c5721c830d33bae026b2e073e9943c5b7b" +
+    "ac0e2265c89f50adc5f52178ac79d6d47fcf0e20dc9910dede8085dd4c" +
+    "e74ec24d45b38e8aa2785c9239467065843202ed9788b3bce021fbef2f" +
+    "a43567c0ea36d48497711a1235035c187843b2a00fbf5214d3d3629cac" +
+    "65114a1d8138fcdfd4325c853bfd3a038e40a545137669efc1e3eb335f" +
+    "64b1b051fc530876e7d65f62dd9a150d99000000000045000004390000" +
+    "0c210000101500000034000001e60000054a000006fc00b3fc166e7a00" +
+    "01040600040980a110100700070b01000221210116140303011b040101" +
+    "00000203040c80e981090a018017d16b0000050111130063006f006400" +
+    "65002e00620069006e0000000000"
+  private val bcj2PayloadHex: String =
+    "42434a32206669787475726520707265616d626c653a20e82900000020" +
+    "63616c6c3020e907000000206a6d7030200f8000000000206a63633020" +
+    "e8fa0300002063616c6c3120e9d6040000206a6d7031200f818f010000" +
+    "206a63633120e8cb0700002063616c6c3220e9a5090000206a6d703220" +
+    "0f821e030000206a63633220e89c0b00002063616c6c3320e9740e0000" +
+    "206a6d7033200f83ad040000206a63633320e86d0f00002063616c6c34" +
+    "20e943130000206a6d7034200f843c060000206a63633420e83e130000" +
+    "2063616c6c3520e912180000206a6d7035200f85cb070000206a636335" +
+    "20706c61696e207461696c2077697468206e6f206272616e636865732e" +
+    "2e2e2e2e"
+  // payload length 265
+
+  private def hx(h: String): Array[Byte] =
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def memberData(ar: Array[Byte]): Array[Byte] = {
+    val rows = SevenZipList.computeMembers(ar, 64, 1 << 24)
+    assert(rows != null && rows.numElements() == 1)
+    val row = rows.getStruct(0, 4)
+    if (row.isNullAt(3)) null else row.getBinary(3)
+  }
+
+  test("BCJ2 four-stream folder (stored streams) reproduces the " +
+    "payload byte for byte") {
+    assert(java.util.Arrays.equals(memberData(hx(bcj2CopyHex)),
+      hx(bcj2PayloadHex)))
+  }
+
+  test("BCJ2 behind LZMA2 via the bind pair (the real-world shape) " +
+    "decodes through the folder graph") {
+    assert(java.util.Arrays.equals(memberData(hx(bcj2Lzma2Hex)),
+      hx(bcj2PayloadHex)))
+  }
+
+  test("BCJ2: a packed-byte flip mismatches the declared CRC — data " +
+    "nulls, the row stays") {
+    val flip = hx(bcj2Lzma2Hex)
+    flip(40) = (flip(40) ^ 1).toByte // inside the LZMA2 packed stream
+    assert(memberData(flip) == null)
+  }
+
+  test("BCJ2: a corrupted rc stream desyncs the branch decisions — " +
+    "the stream-consumption check fails the folder closed") {
+    // the copy archive's packed layout is main(233) call(16)
+    // jump(16) rc(7): byte 297+2 is the rc code — flipping it
+    // changes which branches convert, so call/jump consumption no
+    // longer matches the stream lengths
+    val flip = hx(bcj2CopyHex)
+    flip(299) = (flip(299) ^ 0x55).toByte
+    assert(memberData(flip) == null)
+  }
+}
