@@ -1452,6 +1452,14 @@ object Multimodal {
     * reads; parquet-mr ≥ 1.11 writes them by default). Files without
     * page indexes yield an EMPTY array; malformed index regions fail
     * the row closed ([[graft.functions.ParquetPageIndex]]). */
+  /** PNG metadata census — geometry, gamma, eXIf presence and the
+    * tEXt/zTXt/iTXt text chunks (generative-pipeline provenance
+    * lives here: `parameters`, `Software`, XMP). Chunk CRCs are
+    * verified; one bad chunk nulls the file
+    * ([[graft.functions.PngMeta]]). */
+  def pngMeta(payload: Column, maxText: Int = 1 << 20): Column =
+    graft.functions.PngMeta(payload, maxText)
+
   def parquetPageIndex(payload: Column, maxPages: Int = 1 << 16): Column =
     graft.functions.ParquetPageIndex(payload, maxPages)
 
