@@ -75,7 +75,7 @@ object Main {
     |                   |mp3-duration|image-dhash|gif-frames|webp-frames|xlsx-sheets|ico|tiff-dhash|flac-tags|wav-info
     |                   |tar-z|unlzw|lzma|ar-list|deb-control|cpio-list|rpm-info|rpm-files
     |                   |aiff|binary-meta|font-meta|woff-font|midi|subtitles
-    |                   |ass-subtitles|rar-list|wasm-meta|png-meta
+    |                   |ass-subtitles|rar-list|wasm-meta|png-meta|mp4-tracks
     |                (payloads: doc_id + the format's payload column)
     |  ingest-avro  --path DIR --target DIR [--ddl "a BIGINT, b STRING"]
     |  ingest-bson/-msgpack/-cbor --path DIR --ddl "a BIGINT, t STRING" --target DIR
@@ -654,6 +654,11 @@ object Main {
               .explode(ext.Multimodal.parquetStats(col("payload")))
               .as("c"))
             .select(col("doc_id"), col("c.*"))
+          case "mp4-tracks" => docs
+            .select(col("doc_id"), org.apache.spark.sql.functions
+              .explode(ext.Multimodal.mp4Tracks(col("payload")))
+              .as("t"))
+            .select(col("doc_id"), col("t.*"))
           case "png-meta" => docs
             .select(col("doc_id"),
               ext.Multimodal.pngMeta(col("payload")).as("__p"))

@@ -1452,6 +1452,13 @@ object Multimodal {
     * reads; parquet-mr ≥ 1.11 writes them by default). Files without
     * page indexes yield an EMPTY array; malformed index regions fail
     * the row closed ([[graft.functions.ParquetPageIndex]]). */
+  /** MP4 per-TRACK sample-table census — the costing grain of a
+    * video corpus: samples/bytes/chunks per trak with handler,
+    * timescale and language, no codec decode
+    * ([[graft.functions.Mp4Tracks]]). */
+  def mp4Tracks(payload: Column, maxTracks: Int = 64): Column =
+    graft.functions.Mp4Tracks(payload, maxTracks)
+
   /** PNG metadata census — geometry, gamma, eXIf presence and the
     * tEXt/zTXt/iTXt text chunks (generative-pipeline provenance
     * lives here: `parameters`, `Software`, XMP). Chunk CRCs are
