@@ -71,7 +71,7 @@ object Main {
     |                   |zip-list|7z-list|7z-members|pdf|id3|epub|epub-chapters|avro-schema
     |                   |avro-blocks|avro-records|bson|msgpack|cbor|proto-fields
     |                   |bz2|zstd|xz|lz4|sz|mbox|cfb-meta|wiki-pages|wiki-corpus
-    |                   |parquet-meta|parquet-stats|parquet-page-index|orc-meta|orc-stripes|orc-column-stats|arrow-meta
+    |                   |parquet-meta|parquet-stats|parquet-page-index|parquet-bloom|orc-meta|orc-stripes|orc-column-stats|arrow-meta
     |                   |mp3-duration|image-dhash|gif-frames|webp-frames|xlsx-sheets|ico|tiff-dhash|flac-tags|wav-info
     |                   |tar-z|unlzw|lzma|ar-list|deb-control|cpio-list|rpm-info|rpm-files
     |                   |aiff|binary-meta|font-meta|woff-font|midi|subtitles
@@ -666,6 +666,11 @@ object Main {
               col("__p.bit_depth"), col("__p.color_type"),
               col("__p.gamma"), col("__p.exif_len"),
               col("__p.n_chunks"), col("__p.texts"))
+          case "parquet-bloom" => docs
+            .select(col("doc_id"), org.apache.spark.sql.functions
+              .explode(ext.Multimodal.parquetBloomInfo(col("payload")))
+              .as("b"))
+            .select(col("doc_id"), col("b.*"))
           case "parquet-page-index" => docs
             .select(col("doc_id"), org.apache.spark.sql.functions
               .explode(ext.Multimodal.parquetPageIndex(col("payload")))

@@ -1467,6 +1467,20 @@ object Multimodal {
   def pngMeta(payload: Column, maxText: Int = 1 << 20): Column =
     graft.functions.PngMeta(payload, maxText)
 
+  /** Parquet bloom-filter census: one row per (row group, column)
+    * carrying a bloom, header facts verified at their offsets
+    * ([[graft.functions.ParquetBloomInfo]]). */
+  def parquetBloomInfo(payload: Column, maxColumns: Int = 4096): Column =
+    graft.functions.ParquetBloom.bloomInfo(payload, maxColumns)
+
+  /** Parquet bloom-filter membership probe — the split-block xxHash64
+    * check a scan planner runs before opening a row group; null when
+    * the file or column has no bloom
+    * ([[graft.functions.ParquetBloomCheck]]). */
+  def parquetBloomMightContain(payload: Column, colName: String,
+                               probe: Column): Column =
+    graft.functions.ParquetBloom.mightContain(payload, colName, probe)
+
   def parquetPageIndex(payload: Column, maxPages: Int = 1 << 16): Column =
     graft.functions.ParquetPageIndex(payload, maxPages)
 
