@@ -1470,6 +1470,13 @@ object Multimodal {
   /** Parquet bloom-filter census: one row per (row group, column)
     * carrying a bloom, header facts verified at their offsets
     * ([[graft.functions.ParquetBloomInfo]]). */
+  /** ORC bloom-filter membership probe — BLOOM_FILTER_UTF8 index
+    * streams tested with ORC's own Murmur3-64 double hashing; null
+    * when the column has no bloom ([[graft.functions.OrcBloomCheck]]). */
+  def orcBloomMightContain(payload: Column, colName: String,
+                           probe: Column): Column =
+    graft.functions.OrcBloom.mightContain(payload, colName, probe)
+
   def parquetBloomInfo(payload: Column, maxColumns: Int = 4096): Column =
     graft.functions.ParquetBloom.bloomInfo(payload, maxColumns)
 
