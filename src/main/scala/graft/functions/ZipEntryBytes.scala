@@ -12,8 +12,11 @@ import org.apache.spark.unsafe.types.UTF8String
 /** ZIP member content extraction — the step [[graft.ext.Multimodal]]'s
   * `zipMeta` walk stops short of: resolve the entry named `entryName`
   * and yield its bytes — stored members (method 0) sliced directly,
-  * DEFLATE members (method 8) inflated with `Inflater(nowrap)`. This
-  * is what turns a crawled OOXML payload into text:
+  * DEFLATE members (method 8) inflated with `Inflater(nowrap)`, and
+  * (round 16) the modern methods through the repo's own from-spec
+  * decoders: bzip2 (12), LZMA (14, the APPNOTE version+props
+  * preamble with sized or end-marker streams), zstd (93), xz (95).
+  * This is what turns a crawled OOXML payload into text:
   * `word/document.xml` is one extraction away from the document
   * corpus.
   *
@@ -273,8 +276,12 @@ object ZipEntryBytes {
       entry.getLong(3), maxOut)
   }
 
-  /** Slice (method 0) or inflate (method 8) one member's data given
-    * CD/local-header facts; null on any malformed shape or cap trip. */
+  /** One member's data given CD/local-header facts: slice (method 0),
+    * inflate (8), or route the modern methods through the repo's own
+    * from-spec decoders — bzip2 (12), LZMA (14: the APPNOTE
+    * version+props preamble, sized or end-marker stream), zstd (93)
+    * and xz (95). Every decode must land EXACTLY on the declared
+    * uncompressed size; null on any malformed shape or cap trip. */
   private def extractData(bytes: Array[Byte], dataStart: Int, method: Int,
                           csize: Long, usize: Long,
                           maxOut: Int): Array[Byte] = {
@@ -285,6 +292,37 @@ object ZipEntryBytes {
       if (csize != usize) return null
       return java.util.Arrays.copyOfRange(bytes, dataStart,
         dataStart + csize.toInt)
+    }
+    if (method == 12) { // bzip2 member
+      val out = Bunzip2.compute(java.util.Arrays.copyOfRange(bytes,
+        dataStart, dataStart + csize.toInt), maxOut)
+      return if (out != null && out.length == usize) out else null
+    }
+    if (method == 14) { // LZMA member: version(2) propsSize(2) props(5)
+      if (csize < 9) return null
+      val propsSize = (bytes(dataStart + 2) & 0xff) |
+        ((bytes(dataStart + 3) & 0xff) << 8)
+      if (propsSize != 5 || csize < 4 + 5) return null
+      val prop = bytes(dataStart + 4) & 0xff
+      val dOff = dataStart + 9
+      val dLen = (csize - 9).toInt
+      // sized stream first; writers that emit the end marker (the
+      // python zipfile shape) fall to the marker decoder
+      var out = XzPayload.lzma1(bytes, dOff, dLen, usize.toInt, prop,
+        maxOut)
+      if (out == null)
+        out = XzPayload.lzma1Marker(bytes, dOff, dLen, prop, maxOut)
+      return if (out != null && out.length == usize) out else null
+    }
+    if (method == 93) { // zstd member
+      val out = ZstdPayload.compute(java.util.Arrays.copyOfRange(bytes,
+        dataStart, dataStart + csize.toInt), maxOut)
+      return if (out != null && out.length == usize) out else null
+    }
+    if (method == 95) { // xz member (a whole .xz container)
+      val out = XzPayload.compute(java.util.Arrays.copyOfRange(bytes,
+        dataStart, dataStart + csize.toInt), maxOut)
+      return if (out != null && out.length == usize) out else null
     }
     if (method != 8) return null
     if (usize == 0) return Array.empty[Byte] // empty member

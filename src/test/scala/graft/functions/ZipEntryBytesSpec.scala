@@ -452,4 +452,96 @@ class ZipEntryBytesSpec extends SparkSpec {
     assert(dt.getString(1) == "zip" &&
       dt.getString(2).startsWith("Titre & plus\n"))
   }
+
+  // ---- modern compression methods (round 16): python zipfile's OWN
+  // bzip2/lzma members, a liblzma .xz member, a zstd-jni member ----
+
+  private val methodsZipHex: String =
+    "504b03041400000000002fbe105d338518a312000000120000000a0000" +
+    "0073746f7265642e74787473746f726564206d656d62657220626f6479" +
+    "504b03041400000008002fbe105d9028077917000000270000000b0000" +
+    "006465666c6174652e7478744b494dcb492c4955c84dcd4d4a2d5248ca" +
+    "4fa9c4460000504b03042e0000000c002fbe105d66514db23e00000048" +
+    "00000009000000627a6970322e747874425a6839314159265359bfb172" +
+    "3f00000d9980400010001622d03020005081a068055434064f1241278d" +
+    "093070a24d105105107c5dc914e14242fec5c8fc504b03043f0002000e" +
+    "002fbe105db14dc9dc2700000044000000080000006c7a6d612e747874" +
+    "090405005d0000800000361e89dd7d4952e0f51c55829a6ec01f46f4c6" +
+    "3eda8c36cbfffee99000504b010214031400000000002fbe105d338518" +
+    "a312000000120000000a00000000000000000000008001000000007374" +
+    "6f7265642e747874504b010214031400000008002fbe105d9028077917" +
+    "000000270000000b000000000000000000000080013a0000006465666c" +
+    "6174652e747874504b01022e032e0000000c002fbe105d66514db23e00" +
+    "00004800000009000000000000000000000080017a000000627a697032" +
+    "2e747874504b01023f033f0002000e002fbe105db14dc9dc2700000044" +
+    "0000000800000000000000000000008001df0000006c7a6d612e747874" +
+    "504b05060000000004000400de0000002c0100000000"
+  private val xzZipHex: String =
+    "504b03043f0000005f00000000007475004e540000003c000000060000" +
+    "00787a2e747874fd377a585a000004e6d6b4460200210116000000742f" +
+    "e5a3e0003b00165d003c1e8005d1b923adada2ed295dd4837f3ff684f9" +
+    "800000000031081b0af1e38bee0001323cdd9d99e21fb6f37d01000000" +
+    "0004595a504b01023f003f0000005f00000000007475004e540000003c" +
+    "000000060000000000000000000000000000000000787a2e747874504b" +
+    "0506000000000100010034000000780000000000"
+
+  private def hx(h: String): Array[Byte] =
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def entryText(ar: Array[Byte], name: String): String = {
+    val b = ZipEntryBytes.compute(ar, UTF8String.fromString(name),
+      1 << 24, 4096)
+    if (b == null) null else new String(b, "UTF-8")
+  }
+
+  test("python zipfile's own members: stored, deflate, bzip2 and " +
+    "LZMA all extract") {
+    val ar = hx(methodsZipHex)
+    assert(entryText(ar, "stored.txt") === "stored member body")
+    assert(entryText(ar, "deflate.txt") ===
+      "deflate member body body body body body")
+    assert(entryText(ar, "bzip2.txt") === "bzip2 member body " * 4)
+    assert(entryText(ar, "lzma.txt") === "lzma member body " * 4)
+  }
+
+  test("a method-95 xz member (liblzma container) extracts") {
+    assert(entryText(hx(xzZipHex), "xz.txt") === "xz member body " * 4)
+  }
+
+  test("a method-93 zstd member compressed by zstd-jni extracts") {
+    val plain = ("zstd member body " * 4).getBytes("UTF-8")
+    val packed = com.github.luben.zstd.Zstd.compress(plain)
+    val name = "zstd.txt".getBytes("UTF-8")
+    val crc = { val c = new java.util.zip.CRC32(); c.update(plain); c.getValue }
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    val local = "PK\u0003\u0004".getBytes("ISO-8859-1") ++
+      le(63, 2) ++ le(0, 2) ++ le(93, 2) ++ le(0, 4) ++
+      le(crc, 4) ++ le(packed.length, 4) ++ le(plain.length, 4) ++
+      le(name.length, 2) ++ le(0, 2) ++ name ++ packed
+    val cd = "PK\u0001\u0002".getBytes("ISO-8859-1") ++
+      le(63, 2) ++ le(63, 2) ++ le(0, 2) ++ le(93, 2) ++ le(0, 4) ++
+      le(crc, 4) ++ le(packed.length, 4) ++ le(plain.length, 4) ++
+      le(name.length, 2) ++ le(0, 2) ++ le(0, 2) ++ le(0, 2) ++
+      le(0, 2) ++ le(0, 4) ++ le(0, 4) ++ name
+    val eocd = "PK\u0005\u0006".getBytes("ISO-8859-1") ++
+      le(0, 2) ++ le(0, 2) ++ le(1, 2) ++ le(1, 2) ++
+      le(cd.length, 4) ++ le(local.length, 4) ++ le(0, 2)
+    val ar = local ++ cd ++ eocd
+    assert(entryText(ar, "zstd.txt") === "zstd member body " * 4)
+  }
+
+  test("modern-method members fail closed on corrupt payloads and " +
+    "size lies") {
+    val ar = hx(methodsZipHex)
+    // flip a byte inside the bzip2 member's compressed data
+    val doc = new String(ar.map(c => (c & 0xff).toChar))
+    val at = doc.indexOf("bzip2.txt", doc.indexOf("PK\u0003\u0004",
+      doc.indexOf("bzip2.txt") - 40)) + "bzip2.txt".length
+    val flip = ar.clone()
+    flip(at + 12) = (flip(at + 12) ^ 0x40).toByte
+    assert(entryText(flip, "bzip2.txt") == null)
+    // others in the same archive still extract (per-member isolation)
+    assert(entryText(flip, "lzma.txt") === "lzma member body " * 4)
+  }
 }
