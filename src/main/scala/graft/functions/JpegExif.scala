@@ -80,7 +80,14 @@ object JpegExif {
       pos += 2 + len
     }
     if (app1 < 0) return null
-    val base = app1
+    tiffIfd(bytes, app1, app1End)
+  }
+
+  /** TIFF IFD0 parse shared by the JPEG APP1 path and the PNG `eXIf`
+    * chunk (whose payload IS a raw TIFF blob): endianness, the 42
+    * check, and the orientation/make/model/datetime entries. */
+  private[functions] def tiffIfd(bytes: Array[Byte], base: Int,
+                                 app1End: Int): InternalRow = {
     if (base + 8 > app1End) return null
     val le = bytes(base) == 'I' && bytes(base + 1) == 'I'
     val be = bytes(base) == 'M' && bytes(base + 1) == 'M'

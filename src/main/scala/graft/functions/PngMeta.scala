@@ -224,3 +224,84 @@ object PngMeta {
   def apply(payload: Column, maxText: Int = 1 << 20): Column =
     ColumnShim.column(PngMeta(ColumnShim.expression(payload), maxText))
 }
+
+/** EXIF out of a PNG's `eXIf` chunk — the payload is a RAW TIFF blob,
+  * so the parse is [[JpegExif.tiffIfd]] verbatim; only the container
+  * walk differs (CRC-verified chunks up to `eXIf`). Same
+  * (orientation, make, model, datetime) struct as the JPEG tier. */
+case class PngExif(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"png_exif needs binary input, got ${t.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("orientation", IntegerType, nullable = true),
+    StructField("make", StringType, nullable = true),
+    StructField("model", StringType, nullable = true),
+    StructField("datetime", StringType, nullable = true)))
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    PngExif.compute(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.PngExif.compute($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+
+  override def prettyName: String = "png_exif"
+}
+
+object PngExif {
+
+  private val Magic = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+    0x0D, 0x0A, 0x1A, 0x0A)
+
+  /** Per-row kernel — public static for generated code. Null when
+    * the file is not a PNG, a chunk CRC fails before `eXIf`, no
+    * `eXIf` chunk exists, or the TIFF blob is malformed. */
+  def compute(b: Array[Byte]): InternalRow = {
+    try {
+      if (b.length < 8) return null
+      var i = 0
+      while (i < 8) { if (b(i) != Magic(i)) return null; i += 1 }
+      var pos = 8
+      while (pos + 12 <= b.length) {
+        val len = ((b(pos) & 0xffL) << 24) | ((b(pos + 1) & 0xffL) << 16) |
+          ((b(pos + 2) & 0xffL) << 8) | (b(pos + 3) & 0xffL)
+        if (len > Int.MaxValue - 12 || pos + 12 + len > b.length)
+          return null
+        val crc = new java.util.zip.CRC32()
+        crc.update(b, pos + 4, 4 + len.toInt)
+        val want = ((b(pos + 8 + len.toInt) & 0xffL) << 24) |
+          ((b(pos + 9 + len.toInt) & 0xffL) << 16) |
+          ((b(pos + 10 + len.toInt) & 0xffL) << 8) |
+          (b(pos + 11 + len.toInt) & 0xffL)
+        if (crc.getValue != want) return null
+        if (b(pos + 4) == 'e' && b(pos + 5) == 'X' &&
+          b(pos + 6) == 'I' && b(pos + 7) == 'f')
+          return JpegExif.tiffIfd(b, pos + 8, pos + 8 + len.toInt)
+        if (b(pos + 4) == 'I' && b(pos + 5) == 'E' &&
+          b(pos + 6) == 'N' && b(pos + 7) == 'D') return null
+        pos += 12 + len.toInt
+      }
+      null
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => null
+    }
+  }
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftshim.ColumnShim
+
+  def apply(payload: Column): Column =
+    ColumnShim.column(PngExif(ColumnShim.expression(payload)))
+}

@@ -155,4 +155,37 @@ class PngMetaSpec extends SparkSpec {
     assert(r.getLong(7) === 3L)
     assert(r.getArray(8).numElements() === 0)
   }
+
+  private val exifFixtureHex =
+    "89504e470d0a1a0a0000000d4948445200000001000000010800000000" +
+    "3a7e9b55000000616558496649492a000800000004000f010200090000" +
+    "003e000000100102000600000047000000120103000100000006000000" +
+    "32010200140000004d00000000000000477261667443616d00504e472d" +
+    "3100323032363a30383a31362031323a30303a3030002018f872000000" +
+    "0a49444154789c636800000082008177cd72b60000000049454e44ae42" +
+    "6082"
+
+  test("eXIf chunk: the raw TIFF blob parses through the shared IFD " +
+    "walk — orientation, make, model, datetime") {
+    val r = PngExif.compute(hx(exifFixtureHex))
+    assert(r != null)
+    assert(r.getInt(0) === 6)
+    assert(r.getUTF8String(1).toString === "GraftCam")
+    assert(r.getUTF8String(2).toString === "PNG-1")
+    assert(r.getUTF8String(3).toString === "2026:08:16 12:00:00")
+  }
+
+  test("eXIf fail-closed: CRC flip inside the chunk, no-eXIf file, " +
+    "truncated TIFF") {
+    val good = hx(exifFixtureHex)
+    val flip = good.clone()
+    flip(40) = (flip(40) ^ 1).toByte // inside eXIf data -> CRC breaks
+    assert(PngExif.compute(flip) == null)
+    // the q370 fixture's eXIf stub is a VALID empty IFD: a row with
+    // every field null, not a refusal
+    val stub = PngExif.compute(hx(fixtureHex))
+    assert(stub != null && (0 until 4).forall(stub.isNullAt))
+    assert(PngExif.compute(good.take(30)) == null)
+    assert(PngExif.compute("not png".getBytes) == null)
+  }
 }
