@@ -724,8 +724,8 @@ object Corpus {
     * Value-thresholded at both cuts (ties bucket together, no rank
     * tie-break to reproduce); scoreless <2-token docs are absent, the
     * conservative default. Scale shape = the tail filter's: one LM
-    * scoring pass, two histogram-quantile passes (no whole-stratum
-    * window sort), two one-row-per-source cut joins. */
+    * scoring pass, ONE multi-quantile histogram pass for both cuts (no
+    * whole-stratum window sort), one one-row-per-source cut join. */
   def perplexityBuckets(docs: DataFrame, loFrac: Double = 1.0 / 3,
                         hiFrac: Double = 2.0 / 3,
                         keyCol: String = "source", idCol: String = "doc_id",
@@ -735,11 +735,12 @@ object Corpus {
     val scored = bigramLogProb(docs, idCol, textCol)
       .join(docs.select(col(idCol), col(keyCol)), Seq(idCol))
       .localCheckpoint()
-    def cutAt(f: Double, name: String) = graft.ops.Scale
-      .kthSmallestByKey(scored, "avg_logprob", keyCol, f)
-      .select(col(keyCol), col("quantile").as(name))
-    scored.join(cutAt(loFrac, "__lo"), Seq(keyCol))
-      .join(cutAt(hiFrac, "__hi"), Seq(keyCol))
+    val q = graft.ops.Scale
+      .kthSmallestByKeyMulti(scored, "avg_logprob", keyCol, Seq(loFrac, hiFrac))
+    val cuts = q.groupBy(col(keyCol)).agg(
+      max(when(col("p") === loFrac, col("quantile"))).as("__lo"),
+      max(when(col("p") === hiFrac, col("quantile"))).as("__hi"))
+    scored.join(cuts, Seq(keyCol))
       .select(col(keyCol), col(idCol), col("n_bigrams"), col("avg_logprob"),
         when(col("avg_logprob") <= col("__lo"), "tail")
           .when(col("avg_logprob") <= col("__hi"), "middle")
@@ -877,11 +878,17 @@ object Corpus {
         pmod(Dedup.hash16(col("__t")), lit(buckets.toLong)).as("__bkt"))
       .groupBy(col(idCol), col("n_tokens"), col("__bkt"))
       .agg(count(lit(1)).as("__c"))
+    // materialized ONCE: the top-k selection and the attribute
+    // join-back both read `scored`, and lazily each would re-run the
+    // full token-explode + hash pass over the raw corpus; the scored
+    // table is three scalars per doc — the standard narrow
+    // stage-boundary persist point
     val scored = feat.join(broadcast(delta), Seq("__bkt"))
       .groupBy(col(idCol), col("n_tokens"))
       .agg(sum(col("__c") * col("__delta")).as("__L"))
       .select(col(idCol), col("n_tokens"),
         (col("__L").cast("double") / col("n_tokens")).as("avg_logratio"))
+      .localCheckpoint()
     val hx = md5(concat(lit("dsir|"), col(idCol).cast("string")))
     def nibAt(i: Int) = instr(lit("0123456789abcdef"), substring(hx, i, 1)) - 1
     val v = (1 to 13).foldLeft(lit(0L)) { (acc, i) => acc * 16 + nibAt(i).cast("long") }

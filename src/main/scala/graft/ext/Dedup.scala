@@ -217,8 +217,13 @@ object Dedup {
       .select(explode(array(col("doc_a"), col("doc_b"))).as(idCol))
       .distinct()
     val candDocs = docs.join(candIds, Seq(idCol), "left_semi")
+    // materialized ONCE: three consumers (both join sides + the size
+    // table) would otherwise re-run the shingle kernel over the
+    // candidate docs three times; the stream is candidate-bounded, the
+    // documented verify-stage persist point
     val docShingles = candDocs
       .select(col(idCol), explode(graft.functions.ShingleSet(TextAnalysis.tokens(col(textCol)), shingleN)).as("sh"))
+      .localCheckpoint()
     val sizes = docShingles.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val a = docShingles.toDF("doc_a", "sh")
     val b = docShingles.toDF("doc_b", "sh")
@@ -255,19 +260,32 @@ object Dedup {
     * pipeline entry (PlanSpec's quarantine guard pins the call
     * sites).
     *
-    * Single-pass shape: the shingle self-join *is* the intersection
-    * count — `|A∩B| = #shingles where both docs appear` — so n_shared
-    * falls out of one groupBy on the joined pairs; no second pass over
-    * the shingle sets. */
+    * Single-pass shape: group doc ids per shingle and expand the
+    * in-bucket `a < b` combinations ([[candidatePairs]]' expansion) —
+    * each bucket row contributes 1 to `|A∩B|` for every pair it holds,
+    * so n_shared falls out of one groupBy over the expanded pairs.
+    * This replaces the old self-join form with ONE keyed shuffle of
+    * the (doc, shingle) stream instead of two (the join shuffled both
+    * copies), and the stream itself is materialized ONCE: the shingle
+    * kernel used to be re-evaluated per join branch plus a third time
+    * for the size table. */
   def jaccardPairs(docs: DataFrame, shingleN: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val docShingles = docs
       .select(col(idCol), explode(graft.functions.ShingleSet(TextAnalysis.tokens(col(textCol)), shingleN)).as("sh"))
+      .localCheckpoint()
     val sizes = docShingles.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    val shared = docShingles.toDF("doc_a", "sh")
-      .join(docShingles.toDF("doc_b", "sh"), "sh")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+    val buckets = docShingles.groupBy(col("sh"))
+      .agg(collect_list(col(idCol)).as("__raw"))
+      .filter(size(col("__raw")) > 1)
+      .select(array_sort(col("__raw")).as("__ids"))
+    val sorted = col("__ids")
+    val expanded = flatten(transform(sorted, (a, i) =>
+      transform(slice(sorted, i + lit(2), size(sorted) - i - 1),
+        b => struct(a.as("doc_a"), b.as("doc_b")))))
+    val shared = buckets.select(explode(expanded).as("__p"))
+      .groupBy(col("__p.doc_a").as("doc_a"), col("__p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
     shared
       .join(broadcast(sizes.toDF("doc_a", "n_a")), "doc_a")
       .join(broadcast(sizes.toDF("doc_b", "n_b")), "doc_b")
@@ -278,84 +296,146 @@ object Dedup {
   /** Connected components over an undirected pair list
     * `(doc_a, doc_b)` — the step that turns near-duplicate PAIRS into
     * duplicate CLUSTERS, so a dedup pipeline can keep exactly one
-    * representative (the minimum id) per transitive group.
+    * representative (the minimum id) per transitive group. Returns
+    * (doc_id, comp) where comp = min id in the component, ids kept in
+    * the input's own integral type.
     *
-    * Iterative min-label propagation: every node starts labeled with
-    * its own id; each round takes the min of its label and its
-    * neighbors' labels; converges in O(graph diameter) rounds — small
-    * for dedup graphs, whose clusters are near-cliques. All state is
-    * DataFrames (nothing driver-sized); each round's result is
-    * localCheckpoint'ed to cut the plan lineage, the standard guard
-    * for iterative DataFrame algorithms. Returns (doc_id, comp) where
-    * comp = min id in the component. */
+    * Iterative min-label propagation with pointer jumping, run as a
+    * RAW RDD loop over co-partitioned (long, long) pair RDDs — NOT as
+    * per-round DataFrame plans. The loop body is the one place in the
+    * library where Catalyst's per-round fixed costs dominate at every
+    * scale: each round as a DataFrame pays analysis + optimization +
+    * whole-stage-codegen + one AQE sub-job per exchange (measured
+    * ~8-10 scheduler jobs per round), and Spark 4's localCheckpoint
+    * additionally carries the origin plan's ESTIMATED statistics onto
+    * the checkpointed state, whose join-product estimate compounds
+    * exponentially across rounds (by round ~12 the driver was pinned
+    * multiplying million-digit BigInts inside
+    * SizeInBytesOnlyStatsPlanVisitor). The RDD loop plans nothing per
+    * round and runs ONE scheduler job per round.
+    *
+    * Round structure (edges hash-partitioned by label-source node ONCE
+    * and cached; labels co-partitioned by the same partitioner, so the
+    * only per-round shuffles are the min-combine and the two bounded
+    * jump exchanges):
+    *  1. neighbor-min propagation: co-partitioned edges⋈labels is a
+    *     NARROW join; the (src ← neighbor label) stream reduces by key
+    *     with map-side combiners — skew-free even when one component
+    *     dominates the graph.
+    *  2. pointer jump, request/response form: each partition emits its
+    *     DISTINCT wanted labels (c1, partition) — so a hot label (the
+    *     min of a giant component, requested by millions of rows) is
+    *     at most #partitions request rows, never a per-row shuffle of
+    *     the hot key — the response (c1 → label(c1)) maps are routed
+    *     back by partition id and applied map-side via zipPartitions.
+    *     Jumping keeps chain-shaped components (mutual-kNN graphs
+    *     produce them routinely) at O(log diameter) rounds instead of
+    *     diameter rounds.
+    *  3. convergence: labels only ever DECREASE, so the loop is done
+    *     exactly when a round changes nothing — counted by a zero-test
+    *     accumulator inside the same job (a retried/speculated task
+    *     can only over-count, and only the == 0 decision is consumed,
+    *     which over-counting cannot flip).
+    * State is one cached node-sized RDD per round (predecessor dropped
+    * as soon as its successor materializes) — nothing driver-sized. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
                           idCol: String = "doc_id"): DataFrame = {
-    val nodes = pairs.select(col("doc_a").as("id"))
-      .union(pairs.select(col("doc_b").as("id"))).distinct()
-    val edgesRaw = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+    val spark = pairs.sparkSession
+    val idType = pairs.schema("doc_a").dataType
+    require(Seq("tinyint", "smallint", "int", "bigint")
+        .contains(idType.simpleString),
+      s"connectedComponents needs integral ids; doc_a is " +
+        s"${idType.simpleString} — rank a numeric surrogate and join back")
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    // symmetric (label-source, label-target) edge RDD: (a,b) produces
+    // a→b and b→a, keyed by the node whose label the round READS
+    val symRaw = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long")).rdd
+      .flatMap { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        Iterator((a, b), (b, a))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
     // scale the loop's parallelism to the graph, not the session: the
     // label/edge state is bounded by the pair list, and running a tiny
     // graph's rounds at full shuffle width is pure empty-task
-    // overhead, while a billion-edge graph needs the full width.
-    // (~1M symmetric edges per partition; count() is free — the
-    // checkpoint just materialized.)
-    val sessionParts = pairs.sparkSession.sessionState.conf.numShufflePartitions
-    val loopParts = math.max(2, math.min(sessionParts, (edgesRaw.count() / 1000000L).toInt))
-    val edges = edgesRaw.coalesce(loopParts).localCheckpoint()
-    var labels = nodes.withColumn("comp", col("id"))
-      .coalesce(loopParts).localCheckpoint()
-    // labels only ever DECREASE under min-propagation, so the rounds
-    // converge exactly when sum(comp) stops falling — a narrow
-    // aggregate per round instead of a prev⋈next diff join (one fewer
-    // shuffle join per iteration, at any scale). decimal(38,0): exact
-    // for any node count × id magnitude a real corpus reaches.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
+    // overhead, while a billion-edge graph needs the full width
+    // (~1M symmetric edges per partition).
+    val m = symRaw.count()
+    val sessionParts = spark.sessionState.conf.numShufflePartitions
+    val loopParts = math.max(2, math.min(sessionParts, (m / 1000000L).toInt))
+    val part = new HashPartitioner(loopParts)
+    val pidPart = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = loopParts
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }
+    val edges = symRaw.partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // seed each node with min(id, min direct neighbor): the symmetric
+    // edge list contains every node as a key, so one co-partitioned
+    // (narrow) reduce both enumerates the nodes AND folds what used to
+    // be the first propagation round into initialization
+    var labels = edges.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      .mapPartitions(_.map { case (id, mn) => (id, math.min(id, mn)) },
+        preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    symRaw.unpersist(blocking = false)
+    val sc = spark.sparkContext
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("dcomp")).as("ncomp"))
-      // materialized: the self-join below references this frame TWICE,
-      // and lazy it would re-run the edge-sized nbrMin aggregation in
-      // both branches (ReuseExchange saves the shuffle write, not the
-      // downstream operators) — the label table is node-sized, so the
-      // cut is cheap at any scale
-      val propagated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .coalesce(loopParts).localCheckpoint()
-      // pointer halving: also jump each label to its LABEL's label
-      // (comp is always some node's id, so the self-join hits). Min
-      // propagation alone needs diameter-many rounds — a chain-shaped
-      // component (mutual-kNN graphs produce them routinely) of
-      // length > maxIter would fail the convergence require at scale;
-      // with the jump the round count is O(log diameter) for one
-      // extra label-table join per round. Labels still only decrease
-      // and stay within the component, so the fixpoint (= component
-      // min) and the convergence test are unchanged. (Late rounds
-      // concentrate a big component's rows on its min label — the
-      // halving join's key skew; it is a shuffle join, so AQE's
-      // skew-split applies, and the hot key's payload is 2 longs.)
-      val next = propagated.join(
-          propagated.select(col("id").as("__cid"), col("comp").as("__ccomp")),
-          col("comp") === col("__cid"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("__ccomp"), col("comp"))).as("comp"))
-        .coalesce(loopParts).localCheckpoint()
-      val s = labelSum(next)
+      val changed = sc.longAccumulator(s"cc-changed-$i")
+      // 1. neighbor minima: narrow co-partitioned join, combined reduce
+      val nbr = edges.join(labels, part)
+        .map { case (_, (dst, srcComp)) => (dst, srcComp) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      // carry (old, proposed) per node for the change count
+      val prop = labels.leftOuterJoin(nbr, part)
+        .mapValues { case (c, nc) =>
+          (c, math.min(c, nc.getOrElse(c)))
+        }
+      // 2. pointer jump: per-partition DISTINCT label requests →
+      //    bounded-key lookup join → responses routed back by pid
+      val requests = prop.mapPartitionsWithIndex { (pid, it) =>
+        val want = new java.util.HashSet[Long]()
+        it.foreach { case (_, (_, c1)) => want.add(c1) }
+        val b = Iterator.newBuilder[(Long, Int)]
+        want.forEach(c1 => b += ((c1, pid)))
+        b.result()
+      }
+      val responses = requests.join(labels, part)
+        .map { case (c1, (pid, l1)) => (pid, (c1, l1)) }
+        .partitionBy(pidPart)
+      val next = prop.zipPartitions(responses,
+          preservesPartitioning = true) { (propIt, respIt) =>
+        val m = new java.util.HashMap[Long, Long]()
+        respIt.foreach { case (_, (c1, l1)) => m.put(c1, l1) }
+        propIt.map { case (id, (old, c1)) =>
+          val l1 = m.getOrDefault(c1, c1)
+          val c2 = math.min(c1, l1)
+          if (c2 != old) changed.add(1L)
+          (id, c2)
+        }
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      if (debug) System.err.println(s"[cc] round=$i changed=${changed.value}")
+      labels.unpersist(blocking = false)
       labels = next
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      converged = changed.value == 0L
       i += 1
     }
+    if (debug) System.err.println(s"[cc] rounds=$i converged=$converged")
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    labels.select(col("id").as(idCol), col("comp"))
+    edges.unpersist(blocking = false)
+    val out = spark.createDataFrame(
+      labels.map { case (id, comp) => org.apache.spark.sql.Row(id, comp) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__comp", org.apache.spark.sql.types.LongType, nullable = false))))
+    out.select(col("__id").cast(idType).as(idCol),
+      col("__comp").cast(idType).as("comp"))
   }
 
   /** Duplicate-cluster source census — the mirror/aggregator report
@@ -407,38 +487,78 @@ object Dedup {
                          idCol: String = "doc_id"): DataFrame = {
     require(iters >= 0 && dampNum >= 0 && dampNum <= 100 && startMass > 0,
       s"bad pagerank params (iters=$iters, dampNum=$dampNum, startMass=$startMass)")
-    val dir = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    val deg = dir.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+    // RAW RDD loop, [[connectedComponents]]' argument verbatim: a
+    // per-iteration DataFrame plan pays analysis + codegen + one AQE
+    // sub-job per exchange, and Spark 4's localCheckpoint carries
+    // compounding size ESTIMATES across rounds; the RDD loop plans
+    // nothing per round, keeps ranks/degrees/edges co-partitioned (the
+    // only per-round shuffle is the inflow reduce, map-side combined
+    // and therefore hub-skew-free), and runs one scheduler job per
+    // iteration. All arithmetic is the same exact integer div/mul —
+    // bit-identical masses on any engine and any partitioning.
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+    val spark = pairs.sparkSession
+    val idType = nodes.schema(idCol).dataType
+    require(Seq("tinyint", "smallint", "int", "bigint")
+        .contains(idType.simpleString),
+      s"pagerankCentrality needs integral ids; $idCol is " +
+        s"${idType.simpleString} — rank a numeric surrogate and join back")
+    val dirRaw = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long")).rdd
+      .flatMap { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        Iterator((a, b), (b, a))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    val m = dirRaw.count()
+    val sessionParts = spark.sessionState.conf.numShufflePartitions
+    val loopParts = math.max(2, math.min(sessionParts, (m / 1000000L).toInt))
+    val part = new HashPartitioner(loopParts)
+    val dir = dirRaw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = dir.mapValues(_ => 1L)
+      .reduceByKey(part, (a: Long, b: Long) => a + b)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // pair endpoints UNION nodes: an edge referencing an id absent
     // from `nodes` would otherwise route inflow to a row the
     // ranks-keyed join drops — silently losing mass and breaking the
     // exact-conservation invariant this operator documents
-    var ranks = nodes.select(col(idCol).as("id"))
-      .unionByName(dir.select(col("src").as("id")))
-      .distinct()
-      .withColumn("mass", lit(startMass))
-      .localCheckpoint()
+    var ranks = nodes.select(col(idCol).cast("long")).rdd
+      .map(r => (r.getLong(0), ()))
+      .union(dirRaw.map { case (src, _) => (src, ()) })
+      .reduceByKey(part, (a: Unit, _: Unit) => a)
+      .mapValues(_ => startMass)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
+    dirRaw.unpersist(blocking = false)
     for (_ <- 1 to iters) {
-      val st = ranks.join(deg, Seq("id"), "left")
-        .select(col("id"), col("mass"), coalesce(col("deg"), lit(0L)).as("deg"))
-        .withColumn("dist",
-          when(col("deg") > 0, expr(s"(mass * $dampNum) div 100")).otherwise(lit(0L)))
-        .withColumn("share", when(col("deg") > 0, expr("dist div deg")).otherwise(lit(0L)))
+      // (id, (mass, deg, dist, share)) — co-partitioned narrow join
+      val st = ranks.leftOuterJoin(deg, part).mapValues { case (mass, d) =>
+        val dg = d.getOrElse(0L)
+        val dist = if (dg > 0) (mass * dampNum) / 100 else 0L
+        val share = if (dg > 0) dist / dg else 0L
+        (mass, dg, dist, share)
+      }
       val inflow = dir
-        .join(st.select(col("id").as("src"), col("share")), Seq("src"))
-        .groupBy(col("dst").as("id")).agg(sum(col("share")).as("in"))
-      ranks = st
-        .join(inflow, Seq("id"), "left")
-        .select(col("id"),
-          (col("mass") - col("dist")                       // retained
-            + (col("dist") - col("share") * col("deg"))    // div remainder
-            + coalesce(col("in"), lit(0L))).as("mass"))
-        .localCheckpoint()
+        .join(st.mapValues(_._4), part) // (src, (dst, share)) narrow
+        .map { case (_, (dst, share)) => (dst, share) }
+        .reduceByKey(part, (a: Long, b: Long) => a + b)
+      val next = st.leftOuterJoin(inflow, part)
+        .mapValues { case ((mass, dg, dist, share), in) =>
+          mass - dist + (dist - share * dg) + in.getOrElse(0L)
+        }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      ranks.unpersist(blocking = false)
+      ranks = next
     }
-    ranks.select(col("id").as(idCol), col("mass"))
+    val out = spark.createDataFrame(
+      ranks.map { case (id, mass) => org.apache.spark.sql.Row(id, mass) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("mass",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    out.select(col("__id").cast(idType).as(idCol), col("mass"))
   }
 
   /** HITS hub/authority centrality (Kleinberg 1999) on a DIRECTED
@@ -699,12 +819,14 @@ object Dedup {
   /** Portable 16-bit token hash: value of the first 4 hex nibbles of
     * md5(token), via position lookup — expressible identically in
     * ANSI SQL (no engine-specific hash function). */
-  private[ext] def hash16(t: Column): Column = {
-    val hex = md5(t)
-    def nib(i: Int): Column =
-      (instr(lit("0123456789abcdef"), substring(hex, i, 1)) - 1).cast("long")
-    nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
-  }
+  private[ext] def hash16(t: Column): Column =
+    // conv(hex-prefix, 16, 10) computes exactly the old four-nibble
+    // positional sum (md5 hex is lowercase [0-9a-f], so the base-16
+    // parse is the same number) in ONE codegen'd call instead of four
+    // instr+substring probes per token occurrence — this hash runs per
+    // TOKEN in the logreg/DSIR/PSI feature paths, so its constant
+    // factor is corpus-sized
+    conv(substring(md5(t), 1, 4), 16, 10).cast("long")
 
   /** 16-bit SimHash over tokens: bit k of the fingerprint is set iff
     * the sum over tokens of ±1 (by bit k of the token hash, see

@@ -92,9 +92,14 @@ object PrefData {
     * model: (model, n_wins, n_ties, n_comps, strength).
     *
     * Scale shape: one corpus-sized aggregation into a models²-bounded
-    * pair table, then `numIters` joins over MODEL-SIZED state
-    * (lineage cut per round) — the [[Corpus.bpeTrain]] driver-loop
-    * class; the comparison stream is scanned once. */
+    * pair table; the MM iterations then run ON THE DRIVER over that
+    * collected pair table (the documented model-sized bounded-collect
+    * class — the same economics as `pqBuildKMeans`'s Lloyd loop). The
+    * old per-iteration DataFrame joins paid Catalyst planning + ~5
+    * scheduler jobs per round to move a |models|-row table; the
+    * comparison stream is still scanned exactly once, and the driver
+    * replay reproduces the decimal contract operation for operation
+    * (HALF_UP 9-dp rounds, exact decimal(28,9) sums, double casts). */
   def bradleyTerry(comps: DataFrame, numIters: Int = 20,
                    modelACol: String = "model_a",
                    modelBCol: String = "model_b",
@@ -124,40 +129,63 @@ object PrefData {
     val fitted = stats.filter(col("eff_wins") > 0)
       .select("model", "eff_wins").localCheckpoint()
     // directed pair counts restricted to fitted-vs-fitted comparisons
-    val pairs = valid.select(explode(array(
+    val pairRows = valid.select(explode(array(
       struct(col(modelACol).as("m1"), col(modelBCol).as("m2")),
       struct(col(modelBCol).as("m1"), col(modelACol).as("m2")))).as("s"))
       .select(col("s.m1").as("m1"), col("s.m2").as("m2"))
       .join(fitted.select(col("model").as("m1")), Seq("m1"))
       .join(fitted.select(col("model").as("m2")), Seq("m2"))
       .groupBy("m1", "m2").agg(count(lit(1)).as("n"))
-      .localCheckpoint()
-    var p = fitted.select(col("model"), lit(1.0).as("p"))
+      .collect() // models²-bounded
+    val effRows = fitted.collect() // |models| rows
+    // driver MM replay of the decimal contract: round-to-9dp is
+    // HALF_UP on BigDecimal.valueOf (Spark's Round for doubles,
+    // non-finite passed through), per-model denominators are EXACT
+    // decimal(28,9) sums of the rounded terms, casts to double are
+    // BigDecimal.doubleValue — each step bit-identical to the old
+    // per-iteration DataFrame plan and to the oracle's SQL replay
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def round9(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x
+      else JBD.valueOf(x).setScale(9, RoundingMode.HALF_UP).doubleValue
+    val eff = effRows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    var p: Map[String, Double] = eff.keysIterator.map(_ -> 1.0).toMap
     var k = 0
     while (k < numIters) {
-      val den = pairs
-        .join(p.select(col("model").as("m1"), col("p").as("p1")), Seq("m1"))
-        .join(p.select(col("model").as("m2"), col("p").as("p2")), Seq("m2"))
-        .select(col("m1").as("model"),
-          round(col("n").cast("double") / (col("p1") + col("p2")), 9)
-            .cast("decimal(28,9)").as("term"))
-        .groupBy("model").agg(sum(col("term")).as("den"))
-      val upd = fitted.join(den, Seq("model"))
-        .select(col("model"),
-          round(col("eff_wins") / col("den").cast("double"), 9).as("p"))
-      val norm = upd.agg(
-        sum(col("p").cast("decimal(28,9)")).as("tot"),
-        count(lit(1)).as("nm"))
-      p = upd.crossJoin(norm)
-        .select(col("model"),
-          round(col("p") * col("nm").cast("double") /
-            col("tot").cast("double"), 9).as("p"))
-        .localCheckpoint()
+      val den = scala.collection.mutable.LinkedHashMap.empty[String, JBD]
+      pairRows.foreach { r =>
+        val m1 = r.getString(0); val m2 = r.getString(1); val n = r.getLong(2)
+        // an endpoint can drop out of the p table mid-fit (no finite
+        // denominator in an earlier round) — the old inner joins
+        // dropped such pair rows; replicate
+        (p.get(m1), p.get(m2)) match {
+          case (Some(p1), Some(p2)) =>
+            val term = round9(n.toDouble / (p1 + p2))
+            if (!term.isNaN && !term.isInfinite)
+              den.update(m1, den.getOrElse(m1, JBD.ZERO)
+                .add(JBD.valueOf(term).setScale(9, RoundingMode.HALF_UP)))
+          case _ => ()
+        }
+      }
+      val upd = p.keysIterator.flatMap { m =>
+        den.get(m).map(d => m -> round9(eff(m) / d.doubleValue))
+      }.toMap
+      val nm = upd.size
+      val tot = upd.valuesIterator
+        .foldLeft(JBD.ZERO)((acc, v) =>
+          acc.add(JBD.valueOf(v).setScale(9, RoundingMode.HALF_UP)))
+      p = upd.map { case (m, v) =>
+        m -> round9(v * nm.toDouble / tot.doubleValue)
+      }
       k += 1
     }
-    stats.join(p, Seq("model"), "left")
+    val strength = map_from_arrays(
+      array(p.keys.toSeq.sorted.map(lit(_)): _*),
+      array(p.keys.toSeq.sorted.map(m => lit(p(m))): _*))
+    stats
       .select(col("model"), col("n_wins"), col("n_ties"), col("n_comps"),
-        col("p").as("strength"))
+        (if (p.isEmpty) lit(null).cast("double")
+         else element_at(strength, col("model"))).as("strength"))
   }
 
   /** Fleiss' kappa over a rating table (`item`, `annotator`,

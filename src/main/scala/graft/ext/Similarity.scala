@@ -1249,10 +1249,11 @@ object Similarity {
     * (idCol, dim, x, x_clipped) — reassemble with `collect_list` over
     * a position sort when an array column is needed downstream.
     *
-    * Scale shape: the (dim, value) stream is computed once; quantiles
-    * are two bounded histogram passes per cut (`kthSmallestByKey`),
-    * and the 2·d-row cut table broadcasts into the clip projection —
-    * the corpus is never shuffled. */
+    * Scale shape: the (dim, value) stream feeds ONE multi-quantile
+    * histogram pass (both cuts share the stats scan and histogram —
+    * the per-cut form ran the machinery twice), and the d-row cut
+    * table broadcasts into the clip projection — the corpus is never
+    * shuffled. */
   def winsorizeEmbeddings(emb: DataFrame, pLo: Double = 0.05,
                           pHi: Double = 0.95,
                           idCol: String = "vec_id",
@@ -1262,11 +1263,12 @@ object Similarity {
     val x = emb.select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "__x")))
       .select(col(idCol), col("dim").cast("long").as("dim"),
         col("__x").cast("double").as("x"))
-    val lo = graft.ops.Scale.kthSmallestByKey(x, "x", "dim", pLo)
-      .select(col("dim"), col("quantile").as("__lo"))
-    val hi = graft.ops.Scale.kthSmallestByKey(x, "x", "dim", pHi)
-      .select(col("dim"), col("quantile").as("__hi"))
-    x.join(broadcast(lo), Seq("dim")).join(broadcast(hi), Seq("dim"))
+    val q = graft.ops.Scale.kthSmallestByKeyMulti(x, "x", "dim",
+      Seq(pLo, pHi).distinct)
+    val cuts = q.groupBy(col("dim")).agg(
+      max(when(col("p") === pLo, col("quantile"))).as("__lo"),
+      max(when(col("p") === pHi, col("quantile"))).as("__hi"))
+    x.join(broadcast(cuts), Seq("dim"))
       .select(col(idCol), col("dim"), col("x"),
         greatest(least(col("x"), col("__hi")), col("__lo")).as("x_clipped"))
   }
@@ -1281,21 +1283,24 @@ object Similarity {
     * correctly-rounded double ops on exact selected values — engine-
     * identical. Output exploded (idCol, dim, x, x_robust).
     *
-    * Scale shape: the (dim, value) stream feeds the two bounded
-    * histogram passes per cut; the 3·d-row cut table broadcasts into
-    * the final narrow projection — the corpus never shuffles. */
+    * Scale shape: the (dim, value) stream feeds ONE multi-quantile
+    * histogram pass (median, q1 and q3 share the stats scan and
+    * histogram — the per-cut form ran the machinery three times); the
+    * d-row cut table broadcasts into the final narrow projection — the
+    * corpus never shuffles. */
   def robustStandardize(emb: DataFrame,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
     val x = emb.select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "__x")))
       .select(col(idCol), col("dim").cast("long").as("dim"),
         col("__x").cast("double").as("x"))
-    def cut(p: Double, name: String) =
-      graft.ops.Scale.kthSmallestByKey(x, "x", "dim", p)
-        .select(col("dim"), col("quantile").as(name))
-    x.join(broadcast(cut(0.5, "__med")), Seq("dim"))
-      .join(broadcast(cut(0.25, "__q1")), Seq("dim"))
-      .join(broadcast(cut(0.75, "__q3")), Seq("dim"))
+    val q = graft.ops.Scale.kthSmallestByKeyMulti(x, "x", "dim",
+      Seq(0.25, 0.5, 0.75))
+    val cuts = q.groupBy(col("dim")).agg(
+      max(when(col("p") === 0.5, col("quantile"))).as("__med"),
+      max(when(col("p") === 0.25, col("quantile"))).as("__q1"),
+      max(when(col("p") === 0.75, col("quantile"))).as("__q3"))
+    x.join(broadcast(cuts), Seq("dim"))
       .select(col(idCol), col("dim"), col("x"),
         when(col("__q3") === col("__q1"), lit(0.0))
           .otherwise((col("x") - col("__med")) / (col("__q3") - col("__q1")))

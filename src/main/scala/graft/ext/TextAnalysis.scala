@@ -233,8 +233,7 @@ object TextAnalysis {
     val pdt = base.select(col(idCol), col(langCol).as("lang_true"),
       (length(t) - (n - 1)).cast("long").as("ktot"))
     scoreUnderProfiles(dk, pdt, profiles, idCol,
-      broadcastProf = profiles.count() <= maxBroadcastProfileRows,
-      checkpointScores = false)
+      broadcastProf = profiles.count() <= maxBroadcastProfileRows)
   }
 
   /** Train the per-language char-n-gram profile table (lang_cand, ng,
@@ -284,28 +283,31 @@ object TextAnalysis {
       .agg(sum(col("k")).as("c"))
       .localCheckpoint()
     val scores = scoresUnderProfiles(dk, pdt, prof, idCol,
-      broadcastProf = prof.count() <= maxBroadcastProfileRows,
-      checkpointScores = true)
-    val pred = argmaxScores(scores, idCol)
-    val rest = scores
-      .join(pred.select(col(idCol), col("lang_pred"), col("score").as("__s1")),
-        Seq(idCol))
-      .filter(col("lang_cand") =!= col("lang_pred"))
-    val runner = rest
-      .groupBy(col(idCol), col("__s1"))
-      .agg(max(col("score")).as("__s2"))
-    val runnerLang = rest
-      .join(runner.select(col(idCol), col("__s2")), Seq(idCol))
-      .filter(col("score") === col("__s2"))
-      .groupBy(col(idCol)).agg(min(col("lang_cand")).as("runner_up"))
-    pred.join(runner, Seq(idCol), "left")
-      .join(runnerLang, Seq(idCol), "left")
-      .select(col(idCol), col("lang_true"), col("lang_pred"), col("runner_up"),
+      broadcastProf = prof.count() <= maxBroadcastProfileRows)
+    // winner AND runner-up from ONE window pass over the |docs|×|langs|
+    // score table — (score DESC, lang ASC) makes row 1 exactly the old
+    // argmax (max score, ties to min language) and row 2 exactly the
+    // old runner-up (max score among langs ≠ lang_pred, ties to min
+    // language, including the top-score-tie case where the runner-up
+    // shares the winner's score). The old form materialized the score
+    // table and re-derived the runner-up through four joins and three
+    // aggregations; this is one exchange + one sort, and the score
+    // table has a single consumer so it no longer needs a checkpoint.
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("lang_cand").asc)
+    scores
+      .select(col(idCol), col("lang_true"), col("lang_cand"), col("score"),
+        row_number().over(w).as("__rn"),
+        lead(col("score"), 1).over(w).as("__s2"),
+        lead(col("lang_cand"), 1).over(w).as("__l2"))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("lang_true"),
+        col("lang_cand").as("lang_pred"), col("__l2").as("runner_up"),
         coalesce(
           // both sides exact nano-nat longs: the margin gate decision
           // is engine-identical (the threshold itself is rounded once
           // to nano-nat precision, exact for any sane margin)
-          col("__s1") - col("__s2")
+          col("score") - col("__s2")
             >= lit(math.round(confidenceMargin * 1e9)),
           lit(true)).as("confident"))
   }
@@ -319,10 +321,9 @@ object TextAnalysis {
   private def scoreUnderProfiles(dk: DataFrame, pdt: DataFrame,
                                  prof: DataFrame,
                                  idCol: String,
-                                 broadcastProf: Boolean,
-                                 checkpointScores: Boolean = true): DataFrame =
-    argmaxScores(scoresUnderProfiles(dk, pdt, prof, idCol, broadcastProf,
-      checkpointScores), idCol)
+                                 broadcastProf: Boolean): DataFrame =
+    argmaxScores(scoresUnderProfiles(dk, pdt, prof, idCol, broadcastProf),
+      idCol)
 
   /** The 9-dp per-occurrence ln score as an exact LONG count of
     * nano-nats. `round(ln·, 9)` is a 9-dp decimal by construction, so
@@ -343,58 +344,78 @@ object TextAnalysis {
   private def scoresUnderProfiles(dk: DataFrame, pdtIn: DataFrame,
                                   prof: DataFrame,
                                   idCol: String,
-                                  broadcastProf: Boolean,
-                                  checkpointScores: Boolean): DataFrame = {
-    val ltot = prof.groupBy("lang_cand").agg(sum(col("c")).as("tot"))
-      .withColumn("__k", lit(1))
-    val vsize = prof.select("ng").distinct().agg(count(lit(1)).as("V"))
-      .withColumn("__k", lit(1))
-    // per-language constants: total, and the unseen-n-gram floor (the
-    // 1-row vocab count folds in on a constant key — a hash join, not
-    // a nested-loop cross)
-    val li = ltot.join(broadcast(vsize), Seq("__k"))
-      .select(col("lang_cand"), col("tot"), col("V"),
-        lnNano(lit(1.0) / (col("tot") + col("V")).cast("double")).as("fl"))
-      .withColumn("__k", lit(1))
-    // per-doc totals arrive precomputed (len-(n-1), recorded at census
-    // build) — the callers saved a corpus-wide shuffle by not deriving
-    // them from the exploded stream
-    val pdt = pdtIn.withColumn("__k", lit(1))
+                                  broadcastProf: Boolean): DataFrame = {
+    // the vocabulary size is ONE number — a driver scalar (the
+    // documented bounded-action class), not a 1-row frame attached on
+    // a constant key: that join had no real equi-key and planned as a
+    // BroadcastNestedLoopJoin, the shape the plan-hygiene sweep forbids
+    val vocabV = prof.select("ng").distinct().count()
+    // per-language constants: total, and the unseen-n-gram floor —
+    // a pure projection of the per-language totals
+    val li = prof.groupBy("lang_cand").agg(sum(col("c")).as("tot"))
+      .select(col("lang_cand"), col("tot"), lit(vocabV).as("V"),
+        lnNano(lit(1.0) / (col("tot") + vocabV).cast("double")).as("fl"))
+    // the (lang_cand, unseen-floor) constants are |languages| rows —
+    // the documented model-sized bounded-collect class (prof.count()
+    // already runs in every caller). Attaching them to the per-doc
+    // totals as an EXPLODED LITERAL array replaces the old
+    // constant-key join, which had no real equi-key and therefore
+    // planned as a BroadcastNestedLoopJoin — a pathological shape the
+    // plan-hygiene sweep forbids (it had been hiding behind the score
+    // table's since-removed eager checkpoint).
+    val liRows = li.select(col("lang_cand"), col("fl")).collect()
     // present-n-gram partial scores: each (doc, ng) row meets every
     // language whose profile holds the n-gram
     val profSide = if (broadcastProf) broadcast(prof) else prof
     val pres = dk.join(profSide, Seq("ng"))
-      .join(broadcast(li.drop("__k")), Seq("lang_cand"))
+      .join(broadcast(li), Seq("lang_cand"))
       .groupBy(col(idCol), col("lang_cand"))
       .agg(sum(col("k")
           * lnNano((col("c") + 1).cast("double")
             / (col("tot") + col("V")).cast("double"))).as("sp"),
         sum(col("k")).as("kp"))
-    val scores = pdt.join(broadcast(li), Seq("__k"))
+    if (liRows.isEmpty)
+      // no trainable language (empty/too-short corpus): empty scores
+      // with the contract schema
+      return pdtIn.select(col(idCol), col("lang_true"),
+        lit(null).cast("string").as("lang_cand"), lit(0L).as("score"))
+        .filter(lit(false))
+    val langLits = array(liRows.map(r =>
+      struct(lit(r.get(0)).as("lang_cand"), lit(r.getLong(1)).as("fl"))): _*)
+    // per-doc totals arrive precomputed (len-(n-1), recorded at census
+    // build) — the callers saved a corpus-wide shuffle by not deriving
+    // them from the exploded stream. Every consumer (the window
+    // argmax / margin pass) reads the score table exactly ONCE now, so
+    // it is never materialized — the old argmax self-join read it
+    // twice and forced a |docs|×|langs| checkpoint in the trained path.
+    pdtIn
+      .select(col(idCol), col("lang_true"), col("ktot"),
+        explode(langLits).as("__lc"))
+      .select(col(idCol), col("lang_true"),
+        col("__lc.lang_cand").as("lang_cand"), col("ktot"),
+        col("__lc.fl").as("fl"))
       .join(pres, Seq(idCol, "lang_cand"), "left")
       .select(col(idCol), col("lang_true"), col("lang_cand"),
         (coalesce(col("sp"), lit(0L))
           + (col("ktot") - coalesce(col("kp"), lit(0L))) * col("fl"))
           .as("score"))
-    // the argmax self-join reads `scores` twice; in the trained path
-    // it sits on the dk checkpoint so materializing it once is cheap
-    // and saves the join re-run. The pre-trained path keeps FULL scan
-    // lineage instead — a |docs|x|langs| materialization to save one
-    // shuffle-stage reuse is the wrong trade at corpus scale.
-    if (checkpointScores) scores.localCheckpoint() else scores
   }
 
   /** Exact-decimal argmax over a score table: max score per doc, ties
-    * to the lexicographically smallest language. */
+    * to the lexicographically smallest language — ONE window pass
+    * ((score DESC, lang ASC) row_number, keep row 1) instead of the
+    * old max-aggregate + self-join + re-aggregate: one exchange and
+    * one consumer of the score table at any scale. */
   private def argmaxScores(scoresM: DataFrame, idCol: String): DataFrame = {
-    val best = scoresM.groupBy(col(idCol))
-      .agg(max(col("score")).as("__best"))
-    scoresM.join(best, Seq(idCol))
-      .filter(col("score") === col("__best"))
-      .groupBy(col(idCol), col("lang_true"), col("score"))
-      .agg(min(col("lang_cand")).as("lang_pred"))
-      .select(col(idCol), col("lang_true"), col("lang_pred"), col("score"),
-        (col("lang_pred") === col("lang_true")).as("correct"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("lang_cand").asc)
+    scoresM
+      .select(col(idCol), col("lang_true"), col("lang_cand"), col("score"),
+        row_number().over(w).as("__rn"))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("lang_true"),
+        col("lang_cand").as("lang_pred"), col("score"),
+        (col("lang_cand") === col("lang_true")).as("correct"))
   }
   // NOTE on cross-engine determinism: within ONE engine the nano-nat
   // scores are exact and the argmax fully deterministic. ACROSS

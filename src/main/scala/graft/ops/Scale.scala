@@ -90,10 +90,27 @@ object Scale {
     * quality-score thresholds) that need "the exact p-quantile per
     * source" at crawl scale. */
   def kthSmallestByKey(df: DataFrame, valueCol: String, keyCol: String,
-                       p: Double, nBuckets: Int = 1024): DataFrame = {
-    require(p > 0.0 && p <= 1.0, s"p must be in (0, 1], got $p")
+                       p: Double, nBuckets: Int = 1024): DataFrame =
+    kthSmallestByKeyMulti(df, valueCol, keyCol, Seq(p), nBuckets)
+      .select(col(keyCol), col("n"), col("k"), col("quantile"))
+
+  /** [[kthSmallestByKey]] for SEVERAL quantiles of the same strata in
+    * ONE set of passes — the stats scan, the histogram and its bucket
+    * prefix sum are shared across every `p`; only the boundary-bucket
+    * revisit runs per (key, p) (and two ps landing in the same bucket
+    * share its rows). Callers needing q1/median/q3 or per-dim lo/hi
+    * cuts previously re-ran the whole machinery per cut — at corpus
+    * scale that is |ps| redundant scans of the value stream, at bench
+    * scale |ps| redundant plans. Output (keyCol, p, n, k, quantile),
+    * one row per stratum × requested p; `p` is echoed exactly as
+    * passed, so callers can pivot on it. */
+  def kthSmallestByKeyMulti(df: DataFrame, valueCol: String, keyCol: String,
+                            ps: Seq[Double], nBuckets: Int = 1024): DataFrame = {
+    require(ps.nonEmpty, "need at least one quantile")
+    ps.foreach(p => require(p > 0.0 && p <= 1.0, s"p must be in (0, 1], got $p"))
+    require(ps.distinct.size == ps.size, s"duplicate quantiles in $ps")
     require(nBuckets > 0)
-    require(!Set("n", "k", "quantile").contains(keyCol),
+    require(!Set("n", "k", "p", "quantile").contains(keyCol),
       s"keyCol '$keyCol' collides with an output column name")
     import org.apache.spark.sql.expressions.Window
     // the (key, value) projection feeds three passes (stats, histogram,
@@ -112,16 +129,17 @@ object Scale {
           .as("__bad"))
       // the fail-fast lives inside __k (an always-consumed column) so
       // the optimizer cannot prune it away
-      .withColumn("__k",
+      .withColumn("__ks", array(ps.map(p => struct(
+        lit(p).as("p"),
         when(col("__bad") > 0, raise_error(concat(
           lit("kthSmallestByKey: non-finite or null values in stratum '"),
           col(keyCol).cast("string"),
           lit("' — filter or clamp NaN/Inf/null upstream"))).cast("long"))
-          .otherwise(ceil(lit(p) * col("__n")).cast("long")))
+          .otherwise(ceil(lit(p) * col("__n")).cast("long")).as("k"))): _*))
     // key-join of the data against the model-sized stats table; AQE
     // broadcasts stats when the key count is small
     val bucketed = base
-      .join(stats, Seq(keyCol))
+      .join(stats.select(col(keyCol), col("__mn"), col("__mx")), Seq(keyCol))
       .withColumn("__b",
         when(col("__mx") === col("__mn"), lit(0))
           .otherwise(least(
@@ -131,23 +149,30 @@ object Scale {
           .cast("int"))
     val wb = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // per-(key, p) boundary bucket: the shared histogram + prefix sum,
+    // the per-p target positions unpacked from the stats row
     val boundary = bucketed.groupBy(col(keyCol), col("__b"))
-      .agg(count(lit(1)).as("__cb"), max(col("__k")).as("__k"))
+      .agg(count(lit(1)).as("__cb"))
       .withColumn("__prev", coalesce(sum(col("__cb")).over(wb), lit(0L)))
-      .filter(col("__prev") < col("__k") &&
-        col("__prev") + col("__cb") >= col("__k"))
-      .select(col(keyCol), col("__b"), col("__prev"), col("__k"))
-    val wv = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
+      .join(stats.select(col(keyCol), explode(col("__ks")).as("__pk")),
+        Seq(keyCol))
+      .filter(col("__prev") < col("__pk.k") &&
+        col("__prev") + col("__cb") >= col("__pk.k"))
+      .select(col(keyCol), col("__b"), col("__prev"),
+        col("__pk.p").as("p"), col("__pk.k").as("__k"))
+    val wv = Window.partitionBy(col(keyCol), col("p")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val kth = bucketed.select(col(keyCol), col("__b"), col("__v"))
       .join(boundary, Seq(keyCol, "__b"))
-      .groupBy(col(keyCol), col("__v"), col("__prev"), col("__k"))
+      .groupBy(col(keyCol), col("p"), col("__v"), col("__prev"), col("__k"))
       .agg(count(lit(1)).as("__cv"))
       .withColumn("__cum", col("__prev") + sum(col("__cv")).over(wv))
       .filter(col("__cum") >= col("__k"))
-      .groupBy(col(keyCol)).agg(min(col("__v")).as("quantile"))
-    stats.select(col(keyCol), col("__n").as("n"), col("__k").as("k"))
+      .groupBy(col(keyCol), col("p")).agg(min(col("__v")).as("quantile"),
+        max(col("__k")).as("k"))
+    stats.select(col(keyCol), col("__n").as("n"))
       .join(kth, Seq(keyCol))
+      .select(col(keyCol), col("p"), col("n"), col("k"), col("quantile"))
   }
 
   /** True when the physical plan of `df` contains no shuffle exchange —

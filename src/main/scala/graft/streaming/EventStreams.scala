@@ -442,11 +442,15 @@ object EventStreams {
     * approximate percentiles), and the output is the ≤27-cell segment
     * census (r_bucket, f_bucket, m_bucket, n_users).
     *
-    * Scale shape: one event scan into a user-keyed aggregate; six
-    * tercile cuts run the q105 histogram machinery over the user
-    * table; the 1-row cutpoint table folds back on a constant key
-    * (hash join). Deterministic: the cutpoints are actual data
-    * values, ties bucket low. */
+    * Scale shape: one event scan into a user-keyed aggregate; ALL six
+    * tercile cuts come from ONE multi-quantile histogram pass over the
+    * dimension-unpivoted user table (kthSmallestByKeyMulti keyed by
+    * dimension — the old per-cut form ran the whole histogram
+    * machinery six times: six redundant scans of the user table at any
+    * scale, and six separate ~8-stage plans at bench scale); the 1-row
+    * cutpoint table folds back on a constant key (hash join).
+    * Deterministic: the cutpoints are actual data values, ties bucket
+    * low. */
   def rfmSegments(events: DataFrame): DataFrame = {
     val e = withEventTime(events)
     val anchor = e.agg(max(to_date(col("ts"))).as("__anchor"))
@@ -460,15 +464,25 @@ object EventStreams {
       .select(col("user_id"),
         datediff(col("__anchor"), col("__last")).cast("long").as("recency"),
         col("frequency"), col("__m").cast("double").as("monetary"))
-      .localCheckpoint() // feeds six quantile passes + the bucketing
-    val g = perUser.withColumn("__g", lit(1))
-    def cutDf(c: String, p: Double, name: String) =
-      graft.ops.Scale.kthSmallestByKey(g, c, "__g", p)
-        .select(col("quantile").as(name)).withColumn("__k", lit(1))
-    val cuts = Seq(("recency", "r"), ("frequency", "f"), ("monetary", "m"))
-      .flatMap { case (c, n) =>
-        Seq(cutDf(c, 1.0 / 3, s"${n}1"), cutDf(c, 2.0 / 3, s"${n}2")) }
-      .reduce((a, b) => a.join(b, Seq("__k")))
+      .localCheckpoint() // feeds the quantile pass + the bucketing
+    // unpivot to (dim, value): each dimension is its own stratum, so
+    // one multi-quantile call computes every cutpoint — per-stratum
+    // values are exactly the old per-column inputs, hence identical
+    // cutpoints
+    val long = perUser.select(explode(array(
+        struct(lit("r").as("d"), col("recency").cast("double").as("v")),
+        struct(lit("f").as("d"), col("frequency").cast("double").as("v")),
+        struct(lit("m").as("d"), col("monetary").as("v")))).as("__dv"))
+      .select(col("__dv.d").as("__dim"), col("__dv.v").as("__v"))
+    val q = graft.ops.Scale
+      .kthSmallestByKeyMulti(long, "__v", "__dim", Seq(1.0 / 3, 2.0 / 3))
+    def cut(d: String, p: Double) =
+      max(when(col("__dim") === d && col("p") === p, col("quantile")))
+    val cuts = q.agg(
+      cut("r", 1.0 / 3).as("r1"), cut("r", 2.0 / 3).as("r2"),
+      cut("f", 1.0 / 3).as("f1"), cut("f", 2.0 / 3).as("f2"),
+      cut("m", 1.0 / 3).as("m1"), cut("m", 2.0 / 3).as("m2"))
+      .withColumn("__k", lit(1))
     def bucket(v: Column, t1: Column, t2: Column) =
       when(v <= t1, 0L).when(v <= t2, 1L).otherwise(2L)
     perUser.withColumn("__k", lit(1)).join(broadcast(cuts), Seq("__k"))
