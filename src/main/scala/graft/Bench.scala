@@ -32,6 +32,15 @@ object Bench {
       // the dims — the local stand-in for a cluster's many-file layout
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"))
+      // the generated-class cache defaults to ONE HUNDRED entries; a
+      // single complex query compiles more codegen units than that, so
+      // a many-query session recompiles every ordering/projection on
+      // every use — thread dumps showed executor tasks BLOCKED on the
+      // classloader lock inside Janino for seconds per stage
+      // (GenerateOrdering.create). Sized for a session that runs the
+      // whole suite; the same setting is what a long-lived production
+      // driver/executor wants at any scale, not a local-mode trick.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/codegen warm-up before any timed work

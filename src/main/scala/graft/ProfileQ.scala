@@ -20,6 +20,8 @@ object ProfileQ {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // suite-sized codegen-class cache (default 100 thrashes; see Bench)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"))
       .getOrCreate()

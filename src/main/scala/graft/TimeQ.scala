@@ -16,6 +16,8 @@ object TimeQ {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // suite-sized codegen-class cache (default 100 thrashes; see Bench)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
