@@ -22,6 +22,8 @@ object ProfileQ {
       .config("spark.ui.enabled", "false")
       // suite-sized codegen-class cache (default 100 thrashes; see Bench)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS", "200"))
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"))
       .getOrCreate()

@@ -16,8 +16,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // PLAN cache, not a data cache: `spark.read.parquet` eagerly lists
+  // the path and reads a footer to infer the schema — pure driver
+  // metadata work repeated identically for every one of the hundreds
+  // of queries touching the same fixture tables in one session. The
+  // cached object is the LAZY DataFrame (a logical plan); every
+  // action still scans the parquet input — this is what a catalog
+  // does for a real table's schema at any scale. Keyed per session
+  // (weakly, so a stopped session's entries are collectable).
+  private val planCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") EventStreams.withEventTime(df) else df
+    val bySession = planCache.synchronized {
+      var m = planCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        planCache.put(spark, m)
+      }
+      m
+    }
+    bySession.computeIfAbsent(s"$dir/$name.parquet", { path =>
+      val df = spark.read.parquet(path)
+      if (name == "events") EventStreams.withEventTime(df) else df
+    })
   }
 }
