@@ -501,10 +501,22 @@ object Similarity {
         pmod(hash(a.columns.map(col): _*), lit(filesPerCell)))
     clustered.write.mode("overwrite")
       .partitionBy("__cell").parquet(s"$path/assigned")
-    index.centroids.coalesce(1).write.mode("overwrite")
+    // ONE partials aggregation serves both side tables: a
+    // deterministic index's centroids ARE centroidsFromPartials of
+    // exactly these partials (the associativity contract
+    // ivfCompactDeletes relies on), so deriving them from the
+    // materialized nLists·dim partials saves a full posexplode
+    // re-aggregation of the corpus at any scale — the old form
+    // scanned the assigned lineage three times (write, centroids,
+    // partials). A trained index keeps its KMeans centers verbatim.
+    val partials = centroidPartials(a, vecCol).localCheckpoint()
+    partials.coalesce(1).write.mode("overwrite").parquet(s"$path/partials")
+    val cents =
+      if (index.quantizer == IvfIndex.Deterministic)
+        centroidsFromPartials(partials)
+      else index.centroids
+    cents.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/centroids")
-    centroidPartials(a, vecCol).coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/partials")
     val spark = a.sparkSession
     import spark.implicits._
     Seq(index.quantizer).toDF("kind").coalesce(1)
