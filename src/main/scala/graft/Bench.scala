@@ -103,7 +103,14 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
-    // belt-and-braces artifact: the same line on disk, immune to any
+    // tail-capture safety: a 372-query suite makes the line above
+    // ~11 KB, and a harness that keeps only the last ~2 KB of stdout
+    // truncates away its head — including the total (r15 and r16 both
+    // lost it exactly that way). A complete SHORT summary line printed
+    // LAST survives any tail window; the full per-query line and the
+    // on-disk artifact below stay unchanged for full-width consumers.
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${results.size},"errors":${errors.size},"sf":"$sfDir"}""")
+    // belt-and-braces artifact: the full line on disk, immune to any
     // stdout capture window
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(

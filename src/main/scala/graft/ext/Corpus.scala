@@ -1426,14 +1426,22 @@ object Corpus {
     * pair explode + one symbol explode (both vocab-sized aggregations)
     * and a 1-ROW driver argmax. */
   def wordpieceTrain(docs: DataFrame, numMerges: Int,
-                     textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    var words = docs
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+                     textCol: String = "text"): DataFrame =
+    wpTrainOnWords(wpWordTable(docs, textCol), numMerges)
+
+  /** The trainer's loop state: the DISTINCT-word table with
+    * frequencies and initial `##`-marked symbols — ONE corpus scan,
+    * shared by [[wordpieceTrain]] and [[wordpieceTrainAndVocab]]. */
+  private def wpWordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("word"), col("freq"), wpInitSyms(col("word")).as("syms"))
       .localCheckpoint()
+
+  private def wpTrainOnWords(words0: DataFrame, numMerges: Int): DataFrame = {
+    val spark = words0.sparkSession
+    import spark.implicits._
+    var words = words0
     val merges = Seq.newBuilder[(Long, String, String, Long, Double)]
     var exhausted = false
     var k = 0
@@ -1484,6 +1492,29 @@ object Corpus {
       .select(explode(wpInitSyms(col("word"))).as("s"))
       .distinct().collect().map(_.getString(0))
     (alphabet.toSeq ++ merges.map { case (l, r) => wpJoin(l, r) }).distinct
+  }
+
+  /** Train the merges AND derive the encode vocabulary from ONE
+    * corpus scan: the alphabet is the distinct initial symbols of the
+    * distinct-word table the trainer already built — the identical
+    * set [[wordpieceVocab]] re-derives from a second token-stream
+    * scan when no trained word table is at hand (distinct symbols
+    * over distinct words ≡ distinct symbols over all token
+    * instances; [[WordpieceSegment]] indexes the vocab into hash
+    * sets, so order is immaterial). Returns ([[wordpieceTrain]]'s
+    * merge rows verbatim, the vocabulary [[wordpieceEncode]] takes) —
+    * the train→encode composition pays one corpus pass, not two. */
+  def wordpieceTrainAndVocab(docs: DataFrame, numMerges: Int,
+                             textCol: String = "text"): (DataFrame, Seq[String]) = {
+    val words = wpWordTable(docs, textCol)
+    val mergesDf = wpTrainOnWords(words, numMerges)
+    // mergesDf is a driver-local table (the trainer's builder Seq)
+    val mergePairs = mergesDf.collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val alphabet = words.select(explode(col("syms")).as("s"))
+      .distinct().collect().map(_.getString(0))
+    (mergesDf,
+      (alphabet.toSeq ++ mergePairs.map { case (l, r) => wpJoin(l, r) }).distinct)
   }
 
   /** Encode a corpus with a WordPiece VOCABULARY ([[wordpieceVocab]]

@@ -220,10 +220,15 @@ object Dedup {
     // materialized ONCE: three consumers (both join sides + the size
     // table) would otherwise re-run the shingle kernel over the
     // candidate docs three times; the stream is candidate-bounded, the
-    // documented verify-stage persist point
+    // documented verify-stage persist point. LAZY checkpoint: the
+    // blocks are stored by the first stage that consumes them inside
+    // the query's own job — an EAGER checkpoint here ran a separate
+    // up-front materialization job whose fixed cost exceeded the
+    // triple-evaluation it saved at bench scale (q82 +41%, q75 +15%),
+    // while the lazy form keeps single evaluation at every scale
     val docShingles = candDocs
       .select(col(idCol), explode(graft.functions.ShingleSet(TextAnalysis.tokens(col(textCol)), shingleN)).as("sh"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val sizes = docShingles.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val a = docShingles.toDF("doc_a", "sh")
     val b = docShingles.toDF("doc_b", "sh")
@@ -273,18 +278,26 @@ object Dedup {
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val docShingles = docs
       .select(col(idCol), explode(graft.functions.ShingleSet(TextAnalysis.tokens(col(textCol)), shingleN)).as("sh"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val sizes = docShingles.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val buckets = docShingles.groupBy(col("sh"))
       .agg(collect_list(col(idCol)).as("__raw"))
       .filter(size(col("__raw")) > 1)
       .select(array_sort(col("__raw")).as("__ids"))
-    val sorted = col("__ids")
-    val expanded = flatten(transform(sorted, (a, i) =>
-      transform(slice(sorted, i + lit(2), size(sorted) - i - 1),
-        b => struct(a.as("doc_a"), b.as("doc_b")))))
-    val shared = buckets.select(explode(expanded).as("__p"))
-      .groupBy(col("__p.doc_a").as("doc_a"), col("__p.doc_b").as("doc_b"))
+    // hot-shingle safety: expand each sorted bucket as one generator
+    // row per LEFT endpoint (a, tail-slice) and explode the slice,
+    // instead of flattening all n(n-1)/2 pair structs into a SINGLE
+    // array value — a boilerplate shingle shared by 100k docs would
+    // materialize billions of structs in one row (executor OOM) under
+    // the flatten form; here no value outgrows the bucket itself.
+    // The pair multiset is identical: (a at 0-based i) × (every id
+    // after it), once per bucket row, exactly as before.
+    val shared = buckets
+      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "__a")))
+      .select(col("__a").as("doc_a"),
+        explode(slice(col("__ids"), col("__i") + lit(2),
+          size(col("__ids")) - col("__i") - 1)).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
     shared
       .join(broadcast(sizes.toDF("doc_a", "n_a")), "doc_a")
@@ -529,6 +542,12 @@ object Dedup {
       .mapValues(_ => startMass)
       .persist(StorageLevel.MEMORY_AND_DISK)
     ranks.count()
+    // materialize dir/deg BEFORE dropping their source: deg pulls dir
+    // which pulls dirRaw — unpersisting first made iteration 1 re-run
+    // the full pairs lineage (DataFrame scan + flatMap) from source
+    // (connectedComponents gets the same ordering right via
+    // labels.count() ahead of symRaw.unpersist)
+    deg.count()
     dirRaw.unpersist(blocking = false)
     for (_ <- 1 to iters) {
       // (id, (mass, deg, dist, share)) — co-partitioned narrow join

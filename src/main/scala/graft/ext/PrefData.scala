@@ -171,7 +171,12 @@ object PrefData {
         den.get(m).map(d => m -> round9(eff(m) / d.doubleValue))
       }.toMap
       val nm = upd.size
+      // non-finite strengths (a denominator that rounded to exactly 0
+      // makes eff/0 = Infinity) are SKIPPED in the sum, replicating
+      // the old plan's double→decimal(28,9) cast degrading them to
+      // null — JBD.valueOf(Infinity) would throw instead
       val tot = upd.valuesIterator
+        .filterNot(v => v.isNaN || v.isInfinite)
         .foldLeft(JBD.ZERO)((acc, v) =>
           acc.add(JBD.valueOf(v).setScale(9, RoundingMode.HALF_UP)))
       p = upd.map { case (m, v) =>

@@ -426,18 +426,116 @@ object Similarity {
       IvfIndex.Deterministic)
   }
 
+  // ------------------------------------------------------------------
+  // Persisted side-table layout: the index-metadata tables — centroid
+  // PARTIALS (nLists·dim rows), CENTROIDS (nLists rows) and the
+  // QUANTIZER-KIND marker (1 row) — ride in ONE parquet dataset,
+  // `$path/meta`, discriminated by a `side` column. The old layout
+  // wrote them as three separate datasets, paying three commit rounds
+  // (job + task + output-commit rename) per lifecycle operation for
+  // kilobyte tables (guide §6: small-file/commit cost). Tombstones
+  // stay their own APPEND-ONLY dataset: ivfDeleteWrite must be
+  // O(batch) and must not rewrite anything. Indexes persisted by the
+  // old layout read back via the legacy fallbacks below; the on-disk
+  // layout is internal — the read-back query results are the contract.
+  // ------------------------------------------------------------------
+
+  private def hPath(spark: org.apache.spark.sql.SparkSession,
+                    path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def pathExists(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Boolean =
+    hPath(spark, path).exists(new org.apache.hadoop.fs.Path(path))
+
+  /** Does `path` hold a persisted index (either layout)? */
+  private[graft] def ivfIndexExists(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    pathExists(spark, s"$path/meta") || pathExists(spark, s"$path/quantizer") ||
+      pathExists(spark, s"$path/centroids")
+
+  /** The three side tables as one meta-row stream (side, __cell,
+    * __pos, __sum, __cnt, __centroid, q). */
+  private def metaRows(partials: DataFrame, cents: DataFrame,
+                       kind: String): DataFrame = {
+    val spark = partials.sparkSession
+    partials.select(lit("partials").as("side"),
+        col("__cell").cast("int").as("__cell"),
+        col("__pos").cast("int").as("__pos"),
+        col("__sum").cast("bigint").as("__sum"),
+        col("__cnt").cast("bigint").as("__cnt"),
+        lit(null).cast("array<double>").as("__centroid"),
+        lit(null).cast("string").as("q"))
+      .unionByName(cents.select(lit("centroid").as("side"),
+        col("__cell").cast("int").as("__cell"),
+        lit(null).cast("int").as("__pos"),
+        lit(null).cast("bigint").as("__sum"),
+        lit(null).cast("bigint").as("__cnt"),
+        col("__centroid").cast("array<double>").as("__centroid"),
+        lit(null).cast("string").as("q")))
+      .unionByName(spark.range(1).select(lit("quantizer").as("side"),
+        lit(null).cast("int").as("__cell"),
+        lit(null).cast("int").as("__pos"),
+        lit(null).cast("bigint").as("__sum"),
+        lit(null).cast("bigint").as("__cnt"),
+        lit(null).cast("array<double>").as("__centroid"),
+        lit(kind).as("q")))
+  }
+
+  /** ONE commit for all three side tables. `materializeFirst` is
+    * required whenever the rows read from the meta file being
+    * replaced (append/compact refresh): the eager checkpoint computes
+    * them before the overwrite deletes its source. */
+  private def writeMeta(path: String, partials: DataFrame,
+                        cents: DataFrame, kind: String,
+                        materializeFirst: Boolean): Unit = {
+    val rows0 = metaRows(partials, cents, kind)
+    val rows = if (materializeFirst) rows0.localCheckpoint() else rows0
+    rows.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // drop the legacy side datasets a migrated index leaves behind, so
+    // the two layouts can never disagree
+    val fs = hPath(rows.sparkSession, path)
+    Seq("partials", "centroids", "quantizer").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$t")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
+  /** Persisted centroid partials (meta layout, legacy dataset, or the
+    * one-time migration scan of a pre-partials index). */
+  private[graft] def readPartials(spark: org.apache.spark.sql.SparkSession,
+                           path: String, vecCol: String): DataFrame =
+    if (pathExists(spark, s"$path/meta"))
+      spark.read.parquet(s"$path/meta").filter(col("side") === "partials")
+        .select(col("__cell"), col("__pos"), col("__sum"), col("__cnt"))
+    else if (pathExists(spark, s"$path/partials"))
+      spark.read.parquet(s"$path/partials")
+    else // index persisted before partials existed: one-time
+      // migration scan of the corpus; every later append is O(batch)
+      centroidPartials(spark.read.parquet(s"$path/assigned")
+        .withColumn("__cell", col("__cell").cast("int")), vecCol)
+
+  /** Persisted centroids (either layout). */
+  private[graft] def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                            path: String): DataFrame =
+    if (pathExists(spark, s"$path/meta"))
+      spark.read.parquet(s"$path/meta").filter(col("side") === "centroid")
+        .select(col("__cell"), col("__centroid"))
+    else spark.read.parquet(s"$path/centroids")
+
   /** Append a batch to a PERSISTED deterministic IVF index: the batch
     * rows land in their cell partitions via parquet append (existing
     * cell files are untouched), and the centroid refresh MERGES the
-    * batch's exact-integer partials into the persisted
-    * `path/partials` side table — every step is O(batch); the
-    * pre-existing corpus under `path/assigned` is never read or
-    * rewritten. Because the partials are associative long sums
-    * ([[centroidPartials]]) and the mean division happens once over
-    * the merged totals ([[centroidsFromPartials]]), the refreshed
-    * centroids are bit-identical to a full rebuild's. After the call,
-    * [[ivfRead]] sees exactly what [[ivfWrite]] of a full rebuild
-    * would have produced. */
+    * batch's exact-integer partials into the persisted partials side
+    * table — every step is O(batch); the pre-existing corpus under
+    * `path/assigned` is never read or rewritten. Because the partials
+    * are associative long sums ([[centroidPartials]]) and the mean
+    * division happens once over the merged totals
+    * ([[centroidsFromPartials]]), the refreshed centroids are
+    * bit-identical to a full rebuild's. After the call, [[ivfRead]]
+    * sees exactly what [[ivfWrite]] of a full rebuild would have
+    * produced. */
   def ivfAppendWrite(path: String, batch: DataFrame, planes: Int, dim: Int,
                      filesPerCell: Int = 1, idCol: String = "vec_id",
                      vecCol: String = "embedding"): Unit = {
@@ -455,24 +553,17 @@ object Similarity {
         pmod(hash(newAssigned.columns.map(col): _*), lit(filesPerCell)))
     clustered.write.mode("append").partitionBy("__cell")
       .parquet(s"$path/assigned")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/partials")))
-        spark.read.parquet(s"$path/partials")
-      else // index persisted before partials existed: one-time
-        // migration scan of the corpus; every later append is O(batch)
-        centroidPartials(spark.read.parquet(s"$path/assigned")
-          .withColumn("__cell", col("__cell").cast("int")), vecCol)
-    // merged is nLists·dim rows — localCheckpoint materializes it so
-    // the overwrite below doesn't read from the path it replaces
+    val base = readPartials(spark, path, vecCol)
+    // merged is nLists·dim rows, consumed twice in the meta write (as
+    // rows + the centroid derivation) — the lazy checkpoint evaluates
+    // it once; writeMeta's eager materialization runs before the
+    // overwrite deletes the meta file the base partials read from
     val merged = base.unionByName(centroidPartials(newAssigned, vecCol))
       .groupBy(col("__cell"), col("__pos"))
       .agg(sum(col("__sum")).as("__sum"), sum(col("__cnt")).as("__cnt"))
-      .localCheckpoint()
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$path/partials")
-    centroidsFromPartials(merged).coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
+      .localCheckpoint(eager = false)
+    writeMeta(path, merged, centroidsFromPartials(merged), kind,
+      materializeFirst = true)
   }
 
   /** Persist an IVF index: the assigned corpus lands PARTITIONED BY
@@ -505,22 +596,21 @@ object Similarity {
     // deterministic index's centroids ARE centroidsFromPartials of
     // exactly these partials (the associativity contract
     // ivfCompactDeletes relies on), so deriving them from the
-    // materialized nLists·dim partials saves a full posexplode
+    // checkpointed nLists·dim partials saves a full posexplode
     // re-aggregation of the corpus at any scale — the old form
     // scanned the assigned lineage three times (write, centroids,
     // partials). A trained index keeps its KMeans centers verbatim.
-    val partials = centroidPartials(a, vecCol).localCheckpoint()
-    partials.coalesce(1).write.mode("overwrite").parquet(s"$path/partials")
+    // The checkpoint is LAZY: a fresh meta write has no
+    // overwrite-source hazard, so the partials materialize inside the
+    // single meta-write job (no separate up-front job) and the
+    // centroid subtree reuses the stored blocks.
+    val partials = centroidPartials(a, vecCol).localCheckpoint(eager = false)
     val cents =
       if (index.quantizer == IvfIndex.Deterministic)
         centroidsFromPartials(partials)
       else index.centroids
-    cents.coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/centroids")
-    val spark = a.sparkSession
-    import spark.implicits._
-    Seq(index.quantizer).toDF("kind").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/quantizer")
+    writeMeta(path, partials, cents, index.quantizer,
+      materializeFirst = false)
   }
 
   /** Tombstone-delete vectors from a persisted IVF index: the ids
@@ -565,12 +655,12 @@ object Similarity {
     * documented bounded-action class. */
   def ivfCompactDeletes(spark: org.apache.spark.sql.SparkSession,
                         path: String, vecCol: String = "embedding"): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = hPath(spark, path)
     val tPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     if (!fs.exists(tPath)) return
     val kind = quantizerKind(spark, path)
-    val tomb = spark.read.parquet(s"$path/tombstones").localCheckpoint()
+    val tomb = spark.read.parquet(s"$path/tombstones")
+      .localCheckpoint(eager = false)
     val tCol = tomb.columns.head
     val assigned = spark.read.parquet(s"$path/assigned")
       .withColumn("__cell", col("__cell").cast("int"))
@@ -578,14 +668,26 @@ object Similarity {
       s"tombstone column '$tCol' is not a column of the assigned table " +
         s"(${assigned.columns.mkString(", ")}) — ivfDeleteWrite was called " +
         "with the wrong idCol")
-    // migrate a pre-partials index BEFORE any rewrite, so the
-    // subtraction below always has a base to subtract from
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/partials")))
-      centroidPartials(assigned, vecCol).coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/partials")
-    val dead = assigned.join(tomb, Seq(tCol), "left_semi").localCheckpoint()
-    val affected = dead.select(col("__cell")).distinct()
+    // the dead rows are needed only as their (bounded, nLists·dim)
+    // NEGATED PARTIALS and the affected-cell list — aggregating them
+    // here, BEFORE the rewrite consumes their source files, replaces
+    // the old corpus-sized checkpoint of the dead rows themselves
+    val sub = centroidPartials(assigned.join(tomb, Seq(tCol), "left_semi"),
+        vecCol)
+      .select(col("__cell"), col("__pos"),
+        (-col("__sum")).as("__sum"), (-col("__cnt")).as("__cnt"))
+      .localCheckpoint()
+    val affected = sub.select(col("__cell")).distinct()
       .collect().map(_.getInt(0))
+    val base0 = readPartials(spark, path, vecCol)
+    // pre-partials legacy index: the migration partials derive from
+    // the CORPUS, which the rewrite below replaces — materialize them
+    // first (stored layouts read from the meta/partials file instead,
+    // which only the final writeMeta touches, after its own eager cut)
+    val base =
+      if (pathExists(spark, s"$path/meta") || pathExists(spark, s"$path/partials"))
+        base0
+      else base0.localCheckpoint()
     val refreshed =
       if (affected.nonEmpty) {
         val survivors = assigned
@@ -594,12 +696,6 @@ object Similarity {
           .repartition(col("__cell")).localCheckpoint()
         val liveCells = survivors.select(col("__cell")).distinct()
           .collect().map(_.getInt(0)).toSet
-        // the dead rows' partials are materialized (localCheckpoint
-        // above) before the rewrite consumes their source files
-        val sub = centroidPartials(dead, vecCol)
-          .select(col("__cell"), col("__pos"),
-            (-col("__sum")).as("__sum"), (-col("__cnt")).as("__cnt"))
-          .localCheckpoint()
         survivors.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("__cell").parquet(s"$path/assigned")
@@ -608,23 +704,29 @@ object Similarity {
         affected.filterNot(liveCells).foreach { c =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned/__cell=$c"), true)
         }
-        spark.read.parquet(s"$path/partials").unionByName(sub)
+        base.unionByName(sub)
           .groupBy(col("__cell"), col("__pos"))
           .agg(sum(col("__sum")).as("__sum"), sum(col("__cnt")).as("__cnt"))
           .filter(col("__cnt") > 0)
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
       } else {
         // live tombstones but no matching rows: either ids that never
         // existed (partials already correct) or a crashed prior
         // compaction that rewrote assigned without refreshing partials
         // — rebuilding from the corpus is correct in both cases and
         // the only way to restore the exact invariant after a crash
-        centroidPartials(assigned, vecCol).localCheckpoint()
+        centroidPartials(assigned, vecCol).localCheckpoint(eager = false)
       }
-    refreshed.coalesce(1).write.mode("overwrite").parquet(s"$path/partials")
-    if (kind == IvfIndex.Deterministic)
-      centroidsFromPartials(refreshed).coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/centroids")
+    // partials + centroids + kind land in ONE commit; the trained
+    // path carries the stored centroid rows forward byte-identical
+    // (FAISS remove_ids semantics — deletion never retrains), the
+    // deterministic path re-derives them from the refreshed partials.
+    // writeMeta's eager checkpoint materializes everything (including
+    // the old-meta reads) before the overwrite.
+    val cents =
+      if (kind == IvfIndex.Deterministic) centroidsFromPartials(refreshed)
+      else readCentroids(spark, path)
+    writeMeta(path, refreshed, cents, kind, materializeFirst = true)
     fs.delete(tPath, true)
   }
 
@@ -632,13 +734,13 @@ object Similarity {
     * marker existed read back as deterministic (the only kind the
     * original append path supported). */
   private def quantizerKind(spark: org.apache.spark.sql.SparkSession,
-                            path: String): String = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/quantizer")))
+                            path: String): String =
+    if (pathExists(spark, s"$path/meta"))
+      spark.read.parquet(s"$path/meta").filter(col("side") === "quantizer")
+        .select(col("q")).head().getString(0)
+    else if (pathExists(spark, s"$path/quantizer"))
       spark.read.parquet(s"$path/quantizer").head().getString(0)
     else IvfIndex.Deterministic
-  }
 
   /** Reload a persisted IVF index. Pending [[ivfDeleteWrite]]
     * tombstones are anti-joined into the assigned view (a broadcast
@@ -646,15 +748,12 @@ object Similarity {
     * never reach a probe even before [[ivfCompactDeletes]] runs. */
   def ivfRead(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     val assigned0 = spark.read.parquet(s"$path/assigned")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val assigned =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones"))) {
+      if (pathExists(spark, s"$path/tombstones")) {
         val tomb = spark.read.parquet(s"$path/tombstones")
         assigned0.join(broadcast(tomb), Seq(tomb.columns.head), "left_anti")
       } else assigned0
-    IvfIndex(assigned, spark.read.parquet(s"$path/centroids"),
-      quantizerKind(spark, path))
+    IvfIndex(assigned, readCentroids(spark, path), quantizerKind(spark, path))
   }
 
   /** Assign vectors to their nearest centroid from a centroid TABLE
@@ -718,7 +817,7 @@ object Similarity {
     require(quantizerKind(spark, path) == IvfIndex.Trained,
       "ivfAppendWriteTrained freezes the centroids — on a deterministic-quantizer " +
         "index that would silently stop the exact refresh; use ivfAppendWrite")
-    val cents = spark.read.parquet(s"$path/centroids")
+    val cents = readCentroids(spark, path)
     val newAssigned = assignToCentroids(batch, cents, idCol, vecCol)
     val clustered =
       if (filesPerCell <= 1) newAssigned.repartition(col("__cell"))
@@ -726,15 +825,16 @@ object Similarity {
         pmod(hash(newAssigned.columns.map(col): _*), lit(filesPerCell)))
     clustered.write.mode("append").partitionBy("__cell")
       .parquet(s"$path/assigned")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/partials"))) {
-      val merged = spark.read.parquet(s"$path/partials")
+    if (pathExists(spark, s"$path/meta") || pathExists(spark, s"$path/partials")) {
+      val merged = readPartials(spark, path, vecCol)
         .unionByName(centroidPartials(newAssigned, vecCol))
         .groupBy(col("__cell"), col("__pos"))
         .agg(sum(col("__sum")).as("__sum"), sum(col("__cnt")).as("__cnt"))
-        .localCheckpoint()
-      merged.coalesce(1).write.mode("overwrite").parquet(s"$path/partials")
+      // centroid ROWS ride along byte-identical (FAISS add semantics:
+      // the quantizer never retrains); writeMeta's eager checkpoint
+      // materializes merged + cents before the meta overwrite
+      writeMeta(path, merged, cents, IvfIndex.Trained,
+        materializeFirst = true)
     }
   }
 

@@ -707,14 +707,21 @@ object TextAnalysis {
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val spark = docs.sparkSession
     val toks = tokens(col(textCol))
+    // NARROW feature build: the native HashBucketCounts kernel
+    // computes each document's per-bucket token counts in one
+    // codegen'd pass (same md5 16-bit hash, same pmod bucket — the
+    // kernel doc pins the equivalence, KernelProperties asserts it),
+    // replacing the exploded per-occurrence md5 chain AND its
+    // corpus-sized (doc, bucket) aggregation exchange. Counts are
+    // identical integers, so __x = c/n is the identical double.
     val feat = docs.filter(size(toks) > 0)
       .select(col(idCol), label.cast("double").as("__y"),
-        size(toks).cast("double").as("__n"), explode(toks).as("__t"))
+        size(toks).cast("double").as("__n"),
+        graft.functions.HashBucketCounts(toks, buckets).as("__bc"))
       .select(col(idCol), col("__y"), col("__n"),
-        pmod(Dedup.hash16(col("__t")), lit(buckets.toLong)).as("__bkt"))
-      .groupBy(col(idCol), col("__y"), col("__n"), col("__bkt"))
-      .agg(count(lit(1)).as("__c"))
-      .select(col(idCol), col("__y"), col("__bkt"),
+        posexplode(col("__bc")).as(Seq("__bkt", "__c")))
+      .filter(col("__c") > 0)
+      .select(col(idCol), col("__y"), col("__bkt").cast("bigint").as("__bkt"),
         (col("__c") / col("__n")).as("__x"))
       // hash-partition the feature table by doc ONCE: localCheckpoint
       // preserves the partitioning, so every step's per-doc margin

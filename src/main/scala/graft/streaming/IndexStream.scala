@@ -36,9 +36,7 @@ object IndexStream {
                   filesPerCell: Int = 1, idCol: String = "vec_id",
                   vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/quantizer")))
+    if (!Similarity.ivfIndexExists(spark, path))
       Similarity.ivfWrite(
         Similarity.ivfBuildDeterministic(batch, planes, dim, idCol, vecCol),
         path, filesPerCell, vecCol)

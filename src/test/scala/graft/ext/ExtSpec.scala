@@ -2252,7 +2252,11 @@ class SimilaritySpec extends SparkSpec {
       i2.assigned.select(cols: _*).exceptAll(i1.assigned.select(cols: _*)).isEmpty)
     // partials and centroids bit-identical to the survivor rebuild
     // (exact long subtraction: partials(all) − partials(dead))
-    def table(p: String, t: String) = spark.read.parquet(s"$p/$t")
+    // layout-agnostic side-table readers (the on-disk layout is
+    // internal; the row contract is what compaction must preserve)
+    def table(p: String, t: String) =
+      if (t == "partials") Similarity.readPartials(spark, p, "embedding")
+      else Similarity.readCentroids(spark, p)
     assert(table(p1, "partials").exceptAll(table(p2, "partials")).isEmpty &&
       table(p2, "partials").exceptAll(table(p1, "partials")).isEmpty,
       "compacted partials must equal the survivor rebuild's")
@@ -2270,17 +2274,17 @@ class SimilaritySpec extends SparkSpec {
     val emb = load("embeddings")
     val p = java.nio.file.Files.createTempDirectory("graft-ivf-del-trained").toString
     Similarity.ivfWrite(Similarity.ivfBuild(emb, nLists = 4), p)
-    val centBefore = spark.read.parquet(s"$p/centroids").collect().toSet
+    val centBefore = Similarity.readCentroids(spark, p).collect().toSet
     Similarity.ivfDeleteWrite(p, emb.filter(col("vec_id") % 11 === 0).select("vec_id"))
     Similarity.ivfCompactDeletes(spark, p)
     // FAISS remove_ids semantics: deletion never retrains the quantizer
-    assert(spark.read.parquet(s"$p/centroids").collect().toSet == centBefore,
+    assert(Similarity.readCentroids(spark, p).collect().toSet == centBefore,
       "compaction must not touch a trained index's centroids")
     // but the partials invariant tracks the surviving rows exactly
     val want = spark.read.parquet(s"$p/assigned")
       .withColumn("__cell", col("__cell").cast("int"))
     val wantPartials = Similarity.centroidPartials(want, "embedding").collect().toSet
-    assert(spark.read.parquet(s"$p/partials").collect().toSet == wantPartials)
+    assert(Similarity.readPartials(spark, p, "embedding").collect().toSet == wantPartials)
   }
 
   test("ivfDeleteWrite renames any id column; compaction rejects a foreign one") {
@@ -2315,7 +2319,7 @@ class SimilaritySpec extends SparkSpec {
       .foreach(f => java.nio.file.Files.write(f,
         "not a parquet file".getBytes("UTF-8")))
     Similarity.ivfAppendWrite(p, b, planes = 4, dim = 64)
-    val refreshed = spark.read.parquet(s"$p/centroids")
+    val refreshed = Similarity.readCentroids(spark, p)
     val rebuilt = Similarity.ivfBuildDeterministic(emb, planes = 4, dim = 64)
       .centroids
     assert(refreshed.exceptAll(rebuilt).isEmpty &&
@@ -2390,9 +2394,14 @@ class SimilaritySpec extends SparkSpec {
         .map(f => f.toString -> java.nio.file.Files.getLastModifiedTime(f))
         .toMap
     }
-    val (centBefore, dataBefore) = (files("centroids"), files("assigned"))
+    val centBefore = Similarity.readCentroids(spark, p).collect().toSet
+    val dataBefore = files("assigned")
     Similarity.ivfAppendWriteTrained(p, b)
-    assert(files("centroids") == centBefore, "centroid files must be untouched")
+    // FAISS add semantics: the quantizer never retrains — the stored
+    // centroid rows are carried forward identical (the meta layout
+    // rewrites the kilobyte side file, so the check is on rows)
+    assert(Similarity.readCentroids(spark, p).collect().toSet == centBefore,
+      "centroid rows must be untouched")
     val dataAfter = files("assigned")
     assert(dataBefore.keySet.subsetOf(dataAfter.keySet) &&
       dataBefore.forall { case (f, t) => dataAfter(f) == t },
@@ -2400,7 +2409,7 @@ class SimilaritySpec extends SparkSpec {
     val idx = Similarity.ivfRead(spark, p)
     assert(idx.assigned.count() == emb.count())
     // partials ≡ centroidPartials(assigned) even on the trained path
-    val stored = spark.read.parquet(s"$p/partials")
+    val stored = Similarity.readPartials(spark, p, "embedding")
     val recomputed = Similarity.centroidPartials(
       idx.assigned.withColumn("__cell", col("__cell").cast("int")), "embedding")
     assert(stored.exceptAll(recomputed).isEmpty &&

@@ -110,6 +110,25 @@ object KernelProperties extends Properties("graft.functions.kernels") {
       SimhashPack.compute(arr, width) == simhashRef(toks, width)
     }
 
+  // the hash16 contract of the exploded logreg/DSIR feature path:
+  // pmod(conv(substring(md5(t),1,4),16,10), buckets) per occurrence
+  private def bucketCountsRef(toks: List[String], buckets: Int): List[Long] = {
+    val counts = new Array[Long](buckets)
+    for (t <- toks) {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+      counts(java.lang.Integer.parseInt(hex, 16) % buckets) += 1L
+    }
+    counts.toList
+  }
+
+  property("hash_bucket_counts kernel matches the md5-hex-parse reference") =
+    forAll(toksGen, Gen.oneOf(1, 7, 64, 65536)) { (toks, buckets) =>
+      val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      HashBucketCounts.compute(arr, buckets).toLongArray().toList ==
+        bucketCountsRef(toks, buckets)
+    }
+
   private val bytesGen: Gen[Array[Byte]] =
     Gen.choose(0, 4096).flatMap(n =>
       Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte)).map(_.toArray))

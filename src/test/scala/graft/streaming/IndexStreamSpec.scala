@@ -38,8 +38,8 @@ class IndexStreamSpec extends SparkSpec {
       i2.assigned.select(cols: _*).exceptAll(i1.assigned.select(cols: _*)).isEmpty,
       "streamed assigned rows must equal the rebuild's")
     // centroid means are exact-integer partial merges → bit-identical
-    val (c1, c2) = (spark.read.parquet(s"$streamed/centroids"),
-      spark.read.parquet(s"$rebuilt/centroids"))
+    val (c1, c2) = (Similarity.readCentroids(spark, streamed),
+      Similarity.readCentroids(spark, rebuilt))
     assert(c1.exceptAll(c2).isEmpty && c2.exceptAll(c1).isEmpty,
       "streamed centroids must be bit-identical to the rebuild's")
     val p1 = Similarity.ivfQuery(i1, Seq(5L, 6L), k = 3, nProbe = 2)
