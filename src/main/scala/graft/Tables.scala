@@ -24,6 +24,10 @@ object Tables {
   // action still scans the parquet input — this is what a catalog
   // does for a real table's schema at any scale. Keyed per session
   // (weakly, so a stopped session's entries are collectable).
+  // INVARIANT: fixture dirs are immutable for a session's lifetime —
+  // the cached plan pins the file listing captured at first load, so
+  // a tool that regenerates testdata in-session must use a fresh
+  // session (or this cache would serve stale file lists).
   private val planCache =
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()

@@ -1346,12 +1346,16 @@ object Corpus {
                gpt2Pre: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // LAZY cuts throughout the loop: each table materializes inside
+    // the job that first consumes it (the round's pair aggregation)
+    // instead of as its own eager checkpoint job — same single
+    // evaluation, one less scheduler job per round
     var words = docs
       .select(explode(bpeGrain(textCol, gpt2Pre)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("word"), col("freq"),
         split(bpeInitString(col("word"), byteLevel), "").as("syms"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var exhausted = false
     var k = 0
@@ -1375,7 +1379,7 @@ object Corpus {
         merges += ((k.toLong, l, r, cnt))
         words = words
           .withColumn("syms", applyMerge(col("syms"), l, r))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
       }
     }
     merges.result().toDF("rank", "left_sym", "right_sym", "pair_count")
@@ -1436,7 +1440,7 @@ object Corpus {
     docs.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("word"), col("freq"), wpInitSyms(col("word")).as("syms"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
   private def wpTrainOnWords(words0: DataFrame, numMerges: Int): DataFrame = {
     val spark = words0.sparkSession
@@ -1446,9 +1450,22 @@ object Corpus {
     var exhausted = false
     var k = 0
     while (k < numMerges && !exhausted) {
-      val symCnt = words
+      // the symbol-count table is MODEL-SIZED by construction (at most
+      // the alphabet plus the merges so far) — one bounded collect per
+      // round, then the pair scoring reads the denominators from a
+      // LITERAL MAP instead of re-joining a re-aggregated symbol table
+      // twice. Same exact longs into the same long product and IEEE
+      // division, and the (score DESC, l, r) argmax stays Spark-side —
+      // round winners are bit-identical; per round this drops two
+      // joins and their AQE sub-jobs (q186 was 44 scheduler jobs for
+      // 8 merges, nearly all driver dispatch).
+      val symRows = words
         .select(col("freq"), explode(col("syms")).as("s"))
         .groupBy(col("s")).agg(sum(col("freq")).as("c"))
+        .as[(String, Long)]
+        .collect()
+      val symLit = map(symRows.toIndexedSeq.flatMap {
+        case (s, c) => Seq(lit(s), lit(c)) }: _*)
       val top = words
         .filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(
@@ -1457,11 +1474,10 @@ object Corpus {
               element_at(col("syms"), i + 1).as("r")))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("cnt"))
-        .join(symCnt.withColumnRenamed("s", "l").withColumnRenamed("c", "cl"), "l")
-        .join(symCnt.withColumnRenamed("s", "r").withColumnRenamed("c", "cr"), "r")
         .select(col("l"), col("r"), col("cnt"),
-          (col("cnt").cast("double") / (col("cl") * col("cr")).cast("double"))
-            .as("score"))
+          (col("cnt").cast("double")
+            / (element_at(symLit, col("l")) * element_at(symLit, col("r")))
+              .cast("double")).as("score"))
         .orderBy(col("score").desc, col("l").asc, col("r").asc)
         .limit(1)
         .as[(String, String, Long, Double)]
@@ -1471,9 +1487,11 @@ object Corpus {
         val (l, r, cnt, score) = top.head
         k += 1
         merges += ((k.toLong, l, r, cnt, score))
+        // LAZY cut: the rewritten table materializes inside the next
+        // round's symbol-count job instead of as its own eager job
         words = words
           .withColumn("syms", applyWpMerge(col("syms"), l, r, wpJoin(l, r)))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
       }
     }
     merges.result().toDF("rank", "left_sym", "right_sym", "pair_count", "score")
@@ -1572,7 +1590,11 @@ object Corpus {
       .withColumn("syms", split(bpeInitString(col("word"), byteLevel), ""))
     merges.zipWithIndex.foreach { case ((l, r), i) =>
       words = words.withColumn("syms", applyMerge(col("syms"), l, r))
-      if ((i + 1) % checkpointEvery == 0) words = words.localCheckpoint()
+      // LAZY cut: the plan/RDD boundary (what bounds the stacked-HOF
+      // depth) exists immediately; the blocks simply materialize
+      // inside the final join's job instead of one eager job per cut
+      if ((i + 1) % checkpointEvery == 0)
+        words = words.localCheckpoint(eager = false)
     }
     toks.join(words, Seq("word"))
       .select(col(idCol), col("pos"),

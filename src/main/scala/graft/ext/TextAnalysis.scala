@@ -195,17 +195,20 @@ object TextAnalysis {
         // here so the totals pass needs neither a re-census nor a
         // shuffle
         (length(t) - (n - 1)).cast("long").as("ktot"))
-      .localCheckpoint()
-    val dk = census.select(col(idCol), col("lang_true"),
-      explode(col("__cn")).as(Seq("ng", "k")))
-    val pdt = census.select(col(idCol), col("lang_true"), col("ktot"))
-    val prof = dk.groupBy(col("lang_true").as("lang_cand"), col("ng"))
+      .localCheckpoint(eager = false)
+    // LAZY cuts: the census materializes inside the profile build's
+    // job and the profile inside its own row-count probe — same
+    // single evaluations, two fewer eager checkpoint jobs
+    val prof = census
+      .select(col("lang_true").as("lang_cand"),
+        explode(col("__cn")).as(Seq("ng", "k")))
+      .groupBy(col("lang_cand"), col("ng"))
       .agg(sum(col("k")).as("c"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // prof is materialized above, so the row-count probe is free of
     // any corpus re-scan — the broadcast-vs-shuffle decision needs a
     // real number, not a guess (linearScore decides on weights.size)
-    scoreUnderProfiles(dk, pdt, prof, idCol,
+    scoreUnderProfiles(census, prof, idCol,
       broadcastProf = prof.count() <= maxBroadcastProfileRows)
   }
 
@@ -225,14 +228,13 @@ object TextAnalysis {
     require(n >= 1, s"n must be >= 1, got $n")
     val t = col(textCol)
     val base = docs.filter(length(t) >= n)
-    val cn = graft.functions.CharNgramCounts(t, n)
-    val dk = base.select(col(idCol), col(langCol).as("lang_true"),
-        explode(cn).as(Seq("ng", "k")))
-    // totals come straight from the text length — the n-gram count of
-    // a doc is len-(n-1) by construction; zero shuffle, zero re-census
-    val pdt = base.select(col(idCol), col(langCol).as("lang_true"),
+    // census shape without a checkpoint: the kernel path consumes it
+    // once; the shuffle-join fallback reads it twice (stream + totals),
+    // the documented no-materialize trade of the pre-trained path
+    val cens = base.select(col(idCol), col(langCol).as("lang_true"),
+      graft.functions.CharNgramCounts(t, n).as("__cn"),
       (length(t) - (n - 1)).cast("long").as("ktot"))
-    scoreUnderProfiles(dk, pdt, profiles, idCol,
+    scoreUnderProfiles(cens, profiles, idCol,
       broadcastProf = profiles.count() <= maxBroadcastProfileRows)
   }
 
@@ -275,14 +277,17 @@ object TextAnalysis {
     val census = base.select(col(idCol), col(langCol).as("lang_true"),
         graft.functions.CharNgramCounts(t, n).as("__cn"),
         (length(t) - (n - 1)).cast("long").as("ktot"))
-      .localCheckpoint()
-    val dk = census.select(col(idCol), col("lang_true"),
-      explode(col("__cn")).as(Seq("ng", "k")))
-    val pdt = census.select(col(idCol), col("lang_true"), col("ktot"))
-    val prof = dk.groupBy(col("lang_true").as("lang_cand"), col("ng"))
+      .localCheckpoint(eager = false)
+    // LAZY cuts: the census materializes inside the profile build's
+    // job and the profile inside its own row-count probe — same
+    // single evaluations, two fewer eager checkpoint jobs
+    val prof = census
+      .select(col("lang_true").as("lang_cand"),
+        explode(col("__cn")).as(Seq("ng", "k")))
+      .groupBy(col("lang_cand"), col("ng"))
       .agg(sum(col("k")).as("c"))
-      .localCheckpoint()
-    val scores = scoresUnderProfiles(dk, pdt, prof, idCol,
+      .localCheckpoint(eager = false)
+    val scores = scoresUnderProfiles(census, prof, idCol,
       broadcastProf = prof.count() <= maxBroadcastProfileRows)
     // winner AND runner-up from ONE window pass over the |docs|×|langs|
     // score table — (score DESC, lang ASC) makes row 1 exactly the old
@@ -314,15 +319,16 @@ object TextAnalysis {
 
   /** The scoring half shared by the trained and pre-trained language-ID
     * entry points: Laplace per-occurrence scores with the unseen floor,
-    * exact nano-nat argmax, ties to min language. `dk` is the per-(doc,
-    * lang_true, ng) count table; `prof` is (lang_cand, ng, c).
-    * `broadcastProf` picks the profile-join strategy — the per-language
-    * constant tables (|langs| rows) stay broadcast either way. */
-  private def scoreUnderProfiles(dk: DataFrame, pdt: DataFrame,
+    * exact nano-nat argmax, ties to min language. `cens` is the
+    * per-document census table (idCol, lang_true, __cn map, ktot);
+    * `prof` is (lang_cand, ng, c). `broadcastProf` picks the scoring
+    * strategy — the per-language constant tables (|langs| rows) stay
+    * driver-collected either way. */
+  private def scoreUnderProfiles(cens: DataFrame,
                                  prof: DataFrame,
                                  idCol: String,
                                  broadcastProf: Boolean): DataFrame =
-    argmaxScores(scoresUnderProfiles(dk, pdt, prof, idCol, broadcastProf),
+    argmaxScores(scoresUnderProfiles(cens, prof, idCol, broadcastProf),
       idCol)
 
   /** The 9-dp per-occurrence ln score as an exact LONG count of
@@ -341,7 +347,7 @@ object TextAnalysis {
     * exact integer NANO-NATS ([[lnNano]]); magnitudes stay below
     * ktot·4e10, so documents up to ~2·10⁸ n-grams fit a long with
     * ANSI overflow as the loud failure mode past that. */
-  private def scoresUnderProfiles(dk: DataFrame, pdtIn: DataFrame,
+  private def scoresUnderProfiles(cens: DataFrame,
                                   prof: DataFrame,
                                   idCol: String,
                                   broadcastProf: Boolean): DataFrame = {
@@ -357,48 +363,79 @@ object TextAnalysis {
         lnNano(lit(1.0) / (col("tot") + vocabV).cast("double")).as("fl"))
     // the (lang_cand, unseen-floor) constants are |languages| rows —
     // the documented model-sized bounded-collect class (prof.count()
-    // already runs in every caller). Attaching them to the per-doc
-    // totals as an EXPLODED LITERAL array replaces the old
-    // constant-key join, which had no real equi-key and therefore
-    // planned as a BroadcastNestedLoopJoin — a pathological shape the
-    // plan-hygiene sweep forbids (it had been hiding behind the score
-    // table's since-removed eager checkpoint).
+    // already runs in every caller)
     val liRows = li.select(col("lang_cand"), col("fl")).collect()
-    // present-n-gram partial scores: each (doc, ng) row meets every
-    // language whose profile holds the n-gram
-    val profSide = if (broadcastProf) broadcast(prof) else prof
-    val pres = dk.join(profSide, Seq("ng"))
-      .join(broadcast(li), Seq("lang_cand"))
-      .groupBy(col(idCol), col("lang_cand"))
-      .agg(sum(col("k")
-          * lnNano((col("c") + 1).cast("double")
-            / (col("tot") + col("V")).cast("double"))).as("sp"),
-        sum(col("k")).as("kp"))
     if (liRows.isEmpty)
       // no trainable language (empty/too-short corpus): empty scores
       // with the contract schema
-      return pdtIn.select(col(idCol), col("lang_true"),
+      return cens.select(col(idCol), col("lang_true"),
         lit(null).cast("string").as("lang_cand"), lit(0L).as("score"))
         .filter(lit(false))
-    val langLits = array(liRows.map(r =>
-      struct(lit(r.get(0)).as("lang_cand"), lit(r.getLong(1)).as("fl"))): _*)
-    // per-doc totals arrive precomputed (len-(n-1), recorded at census
-    // build) — the callers saved a corpus-wide shuffle by not deriving
-    // them from the exploded stream. Every consumer (the window
-    // argmax / margin pass) reads the score table exactly ONCE now, so
-    // it is never materialized — the old argmax self-join read it
-    // twice and forced a |docs|×|langs| checkpoint in the trained path.
-    pdtIn
-      .select(col(idCol), col("lang_true"), col("ktot"),
-        explode(langLits).as("__lc"))
-      .select(col(idCol), col("lang_true"),
-        col("__lc.lang_cand").as("lang_cand"), col("ktot"),
-        col("__lc.fl").as("fl"))
-      .join(pres, Seq(idCol, "lang_cand"), "left")
-      .select(col(idCol), col("lang_true"), col("lang_cand"),
-        (coalesce(col("sp"), lit(0L))
-          + (col("ktot") - coalesce(col("kp"), lit(0L))) * col("fl"))
-          .as("score"))
+    // the per-(lang, n-gram) Laplace score is a pure function of the
+    // PROFILE row — compute it there, ONCE per profile row, instead of
+    // per joined (doc, ng, lang) occurrence: Spark's 9-dp Round is a
+    // per-row BigDecimal construction, and paying it |docs|·|matches|
+    // times dominated the whole scoring stage (measured ~50 s of task
+    // time at sf0.1 vs ~0.2 s of real join work). Same lnNano longs
+    // per (lang, ng), same exact k·w products, same exact sums —
+    // bit-identical scores.
+    val profW = prof.join(broadcast(li), Seq("lang_cand"))
+      .select(col("lang_cand"), col("ng"), lnNano((col("c") + 1).cast("double")
+        / (col("tot") + col("V")).cast("double")).as("__w"))
+    if (broadcastProf) {
+      // KERNEL path: the weighted profile is executor-memory-sized
+      // (the same bound the old broadcast join enforced), so it rides
+      // as a reference object inside ONE codegen'd expression that
+      // scores every language per census row — no (doc, ng, k)
+      // explode, no |docs|·|matches|·|langs| join stream, no
+      // re-aggregation. Dense per-language (sp, kp) structs (zeros
+      // where nothing matched) make the floor attachment a literal-map
+      // lookup; sums are exact longs, so the scores are bit-identical
+      // to the join fallback under any partitioning (ExtSpec pins the
+      // two forms equal).
+      val langsArr = liRows.map(_.getString(0)).sorted
+      val idx = new graft.functions.LangProfileScores.Index(langsArr)
+      profW.collect().foreach(r =>
+        idx.add(r.getString(1), r.getString(0), r.getLong(2)))
+      val flMap = map(liRows.toIndexedSeq.flatMap(r =>
+        Seq(lit(r.getString(0)), lit(r.getLong(1)))): _*)
+      cens
+        .select(col(idCol), col("lang_true"), col("ktot"),
+          explode(graft.functions.LangProfileScores(col("__cn"), idx))
+            .as("__s"))
+        .select(col(idCol), col("lang_true"),
+          col("__s.lang_cand").as("lang_cand"),
+          (col("__s.sp") + (col("ktot") - col("__s.kp"))
+            * element_at(flMap, col("__s.lang_cand"))).as("score"))
+    } else {
+      // JOIN fallback — the profile outgrew what an executor should
+      // hold as one object (a real multilingual corpus has 10⁶–10⁷
+      // distinct char trigrams × ~100 languages): explode the census
+      // and shuffle-join the weighted profile
+      val dk = cens.select(col(idCol), col("lang_true"),
+        explode(col("__cn")).as(Seq("ng", "k")))
+      val pres = dk.join(profW, Seq("ng"))
+        .groupBy(col(idCol), col("lang_cand"))
+        .agg(sum(col("k") * col("__w")).as("sp"),
+          sum(col("k")).as("kp"))
+      val langLits = array(liRows.toIndexedSeq.map(r =>
+        struct(lit(r.get(0)).as("lang_cand"), lit(r.getLong(1)).as("fl"))): _*)
+      // per-doc totals arrive precomputed (len-(n-1), recorded at
+      // census build). Every consumer (the window argmax / margin
+      // pass) reads the score table exactly ONCE, so it is never
+      // materialized.
+      cens
+        .select(col(idCol), col("lang_true"), col("ktot"),
+          explode(langLits).as("__lc"))
+        .select(col(idCol), col("lang_true"),
+          col("__lc.lang_cand").as("lang_cand"), col("ktot"),
+          col("__lc.fl").as("fl"))
+        .join(pres, Seq(idCol, "lang_cand"), "left")
+        .select(col(idCol), col("lang_true"), col("lang_cand"),
+          (coalesce(col("sp"), lit(0L))
+            + (col("ktot") - coalesce(col("kp"), lit(0L))) * col("fl"))
+            .as("score"))
+    }
   }
 
   /** Exact-decimal argmax over a score table: max score per doc, ties
@@ -731,11 +768,27 @@ object TextAnalysis {
       .repartition(col(idCol))
       .localCheckpoint()
     val nDocs = feat.select(col(idCol)).distinct().count()
-    var w = spark.range(buckets)
-      .select(col("id").as("__bkt"), lit(0.0).as("__w"))
-      .localCheckpoint()
-    for (step <- 1 to steps) {
-      val z = feat.join(broadcast(w), Seq("__bkt"))
+    // the weight vector is MODEL-SIZED (`buckets` doubles) — it lives
+    // on the driver and enters each step's plan as a LITERAL array
+    // indexed by bucket, and each step's gradient comes back as one
+    // bounded collect (≤ buckets rows — the documented model-sized
+    // bounded-collect class, the bradleyTerry/pqBuildKMeans
+    // economics). The old loop kept w as a 64-row DataFrame: per step
+    // that cost a broadcast build, a join, an eager localCheckpoint
+    // and their AQE sub-jobs (~9 scheduler jobs/step measured); now a
+    // step is ONE job — the gradient aggregation over the checkpointed
+    // feature table — and the plan depth no longer grows, so no
+    // per-step lineage cut is needed at all. Arithmetic is replayed
+    // op-for-op (same literal doubles into the same rounded decimal
+    // sums; the update is the same lr·g/N IEEE chain; the final 9-dp
+    // round is Spark's own HALF_UP-on-BigDecimal rule), so the weights
+    // are bit-identical to the DataFrame loop's.
+    var w = Array.fill(buckets)(0.0)
+    for (_ <- 1 to steps) {
+      val wLit = array(w.toIndexedSeq.map(lit(_)): _*)
+      val z = feat
+        .select(col(idCol), col("__y"), col("__x"),
+          element_at(wLit, (col("__bkt") + 1).cast("int")).as("__w"))
         .groupBy(col(idCol), col("__y"))
         .agg(sum(round(col("__w") * col("__x"), 12).cast("decimal(30,12)"))
           .cast("double").as("__z"))
@@ -745,21 +798,20 @@ object TextAnalysis {
         .groupBy(col("__bkt"))
         .agg(sum(round(col("__r") * col("__x"), 12).cast("decimal(30,12)"))
           .cast("double").as("__g"))
-      w = w.join(g, Seq("__bkt"), "left")
-        .select(col("__bkt"),
-          (col("__w") - lit(lr) * coalesce(col("__g"), lit(0.0)) / nDocs).as("__w"))
-      // the weight table is `buckets` rows, but it is consumed TWICE
-      // per step (broadcast into the margin pass, joined in the
-      // update) — left lazy, step k's plan re-evaluates every earlier
-      // step per reference, an O(2^k) re-aggregation of the feature
-      // table (measured ~5 s of the 3-step oracle run). The per-step
-      // eager cut is milliseconds against that; checkpointEvery > 1
-      // is only for cost-free extra safety margin on the plan depth.
-      if (step % checkpointEvery == 0 || step == steps)
-        w = w.localCheckpoint()
+        .collect()
+      val gm = g.map(row => row.getLong(0) -> row.getDouble(1)).toMap
+      w = Array.tabulate(buckets)(b =>
+        w(b) - lr * gm.getOrElse(b.toLong, 0.0) / nDocs)
     }
-    w.select(col("__bkt").cast("long").as("bucket"),
-      round(col("__w"), 9).as("weight"))
+    // Spark's Round(double, 9): HALF_UP on BigDecimal.valueOf,
+    // non-finite passed through
+    def round9(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    val wOut = array(w.toIndexedSeq.map(v => lit(round9(v))): _*)
+    spark.range(buckets).select(col("id").as("bucket"),
+      element_at(wOut, (col("id") + 1).cast("int")).as("weight"))
   }
 
   /** Text normalization for training corpora: lowercase, strip
