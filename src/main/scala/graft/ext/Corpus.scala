@@ -888,7 +888,7 @@ object Corpus {
       .agg(sum(col("__c") * col("__delta")).as("__L"))
       .select(col(idCol), col("n_tokens"),
         (col("__L").cast("double") / col("n_tokens")).as("avg_logratio"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val hx = md5(concat(lit("dsir|"), col(idCol).cast("string")))
     def nibAt(i: Int) = instr(lit("0123456789abcdef"), substring(hx, i, 1)) - 1
     val v = (1 to 13).foldLeft(lit(0L)) { (acc, i) => acc * 16 + nibAt(i).cast("long") }
@@ -947,8 +947,8 @@ object Corpus {
           .cast("decimal(12,9)").as(lpName))
     // raw bigrams feed BOTH the general model and the scoring join —
     // cut the lineage so the explode runs once, not twice
-    val rawBg = bigrams(raw).localCheckpoint()
-    val inBg = bigrams(inDomain).localCheckpoint()
+    val rawBg = bigrams(raw).localCheckpoint(eager = false)
+    val inBg = bigrams(inDomain).localCheckpoint(eager = false)
     val floorRow = inBg
       .agg(round(log(lit(1.0) / (count(lit(1)) + lit(1)).cast("double")), 9)
         .cast("decimal(12,9)").as("__lp_floor"))
@@ -1088,7 +1088,8 @@ object Corpus {
       .select(col("source"),
         pmod(Dedup.hash16(col("__t")), lit(buckets.toLong)).as("bucket"))
       .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("n"))
-      .localCheckpoint() // feeds totals, the corpus hist, and scoring
+      // lazy: feeds totals, the corpus hist, and scoring
+      .localCheckpoint(eager = false)
     val corpusHist = sb.groupBy(col("bucket")).agg(sum(col("n")).as("nc"))
     val srcTot = sb.groupBy(col("source")).agg(sum(col("n")).as("tot_s"))
     val bCount = corpusHist.agg(count(lit(1)).as("B"),
@@ -1728,7 +1729,8 @@ object Corpus {
           transform(sequence(lit(1), least(lit(maxPieceLen), length(w) - i + 1)),
             l => w.substr(i, l))))).as("piece"))
       .groupBy("piece").agg(sum(col("freq")).as("freq"))
-      .localCheckpoint() // feeds both the char floor and the top-N
+      // lazy: feeds both the char floor and the top-N
+      .localCheckpoint(eager = false)
     val kept = pieces.filter(length(col("piece")) === 1)
       .unionByName(pieces.filter(length(col("piece")) > 1)
         .orderBy(col("freq").desc, col("piece").asc).limit(vocabSize))
@@ -1867,7 +1869,8 @@ object Corpus {
     val bigrams = docs.select(col(sourceCol).as("source"),
         explode(graft.functions.TokenNgrams(TextAnalysis.tokens(col(textCol)), 2))
           .as("bg"))
-      .localCheckpoint() // feeds the model AND the scoring pass
+      // lazy: feeds the model AND the scoring pass
+      .localCheckpoint(eager = false)
     val pairCounts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c_pair"))
     val model = pairCounts
       .withColumn("c_prefix", sum(col("c_pair"))

@@ -603,12 +603,15 @@ object Dedup {
   def hitsScores(edges: DataFrame, iters: Int = 2,
                  srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(iters >= 1 && iters <= 3, s"iters must be in [1,3], got $iters")
+    // LAZY cuts throughout (here and in the loop): the plan boundary
+    // bounds depth immediately; blocks materialize inside the final
+    // action's job — same single evaluation, no per-round eager jobs
     val w = edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .agg(count(lit(1)).as("w")).localCheckpoint()
+      .agg(count(lit(1)).as("w")).localCheckpoint(eager = false)
     val nodes = w.select(col("src").as("id"))
       .unionByName(w.select(col("dst").as("id"))).distinct()
     var scores = nodes.select(col("id"), lit(1L).as("hub"), lit(1L).as("auth"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     for (_ <- 1 to iters) {
       val auth = w.join(scores.select(col("id").as("src"), col("hub")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum(col("w") * col("hub")).as("a"))
@@ -618,7 +621,7 @@ object Dedup {
         .groupBy(col("src").as("id")).agg(sum(col("w") * col("auth")).as("h"))
       scores = s1.join(hub, Seq("id"), "left")
         .select(col("id"), coalesce(col("h"), lit(0L)).as("hub"), col("auth"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     scores
   }
@@ -670,7 +673,9 @@ object Dedup {
         explode(graft.functions.ShingleSet(
           TextAnalysis.tokens(col(textCol)), shingleN, 16)).as("sh"))
       .distinct()
-      .localCheckpoint() // feeds sizes AND both sides of the pair join
+      // lazy: feeds sizes AND both sides of the pair join, evaluated
+      // once, materialized inside the consuming job
+      .localCheckpoint(eager = false)
     val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val shared = ss.join(ss.select(col("sh"), col("source").as("source_b")), Seq("sh"))
       .filter(col("source") < col("source_b"))
@@ -787,10 +792,11 @@ object Dedup {
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val truth = jaccardPairs(docs, shingleN = 3, idCol, textCol)
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(eager = false)
     val nT = truth.agg(count(lit(1)).as("n_truth"))
     def metrics(cand: DataFrame, name: String) = {
-      val c = cand.select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val c = cand.select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(eager = false)
       val nC = c.agg(count(lit(1)).as("n_candidates"))
       val nTp = c.join(truth, Seq("doc_a", "doc_b"), "left_semi")
         .agg(count(lit(1)).as("tp"))
@@ -951,7 +957,9 @@ object Dedup {
     val groups = f.groupBy(col("simhash"))
       .agg(sort_array(collect_list(col("id"))).as("ids"),
         min(col("id")).as("rep"))
-      .localCheckpoint() // feeds within-pairs, banding AND the expand
+      // lazy: feeds within-pairs, banding AND the expand — one
+      // evaluation, stored at first use
+      .localCheckpoint(eager = false)
     val ids = col("ids")
     val within = groups.filter(size(ids) > 1)
       .select(explode(flatten(transform(ids, (a, i) =>
